@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * All queries in [[SparkEntry.queries]] receive the scale-factor directory
+  * and read through here, so schema/pathing lives in one place. Reads are
+  * plain parquet scans — Catalyst pushes filters/projections down to the
+  * vectorized reader (verify with `.explain("formatted")`: `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as a long (legacy flag) and floor-divide to micros.
+    * DuckDB keeps nanos — oracles must only compare at ≥ms granularity
+    * (floor-to-ms is identical from ns and µs, so ms diffs are safe). */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      // integer `div`, NOT `/`: long `/` is double division, and doubles
+      // round 1.7e18-ns epochs to ~256 ns — enough to cross µs/ms boundaries.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Registers every table as a temp view (for the few SQL-expressed
+    * queries: grouping sets etc.). Idempotent. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
