@@ -1,9 +1,137 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Delivery, SnapshotJob, SnapshotPipeline}
+import graft.sources.{LocalKeyService, SnapshotFixture}
+
 /** Snapshot-pipeline parity operators (scan → anti-join → decrypt →
-  * decompress → parse → deliver; SURVEY.md §2.1-2.5). Filled in
-  * incrementally. */
+  * decompress → parse → deliver; SURVEY.md §2.1-2.5) in the driver's
+  * inventory. The end-to-end run uses a deterministic local fixture
+  * (DuckDB can't AES-CTR → rows-only check; full invariants live in
+  * SnapshotJobSpec). The join/regex/rollup *shapes* are additionally
+  * exercised over the parquet testdata with DuckDB oracles.
+  */
 object PipelineQueries {
   import Registry.Q
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    // Full ingest pipeline: binaryFile scan + sidecar metadata →
+    // topic parse → key broadcast → AES-CTR decrypt → gunzip → JSONL
+    // explode → typed Mongo-document rows. Output: per-topic record/file
+    // counts + version histogram over parsed fields.
+    Q("q50_pipeline_records",
+      (spark, dir) => {
+        val fixture = "/tmp/graft-fixture-q50"
+        SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(20, 100))
+        SnapshotJob.records(spark, fixture, LocalKeyService)
+          .groupBy(col("topic"), col("record._version").as("version"))
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct(col("fileName")).as("n_files"),
+            min(col("record._id.citizenId")).as("first_id"))
+      },
+      None),
+
+    // F1 as an oracle-checked shape: membership anti-join of a scan
+    // against a "finished" set (deterministic subset of documents).
+    Q("q51_finished_antijoin",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val finished = d.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+        d.join(finished, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_fresh"), sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_fresh, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id NOT IN (
+             |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+             |GROUP BY source""".stripMargin)),
+
+    // M4/F3 as an oracle-checked shape: the reference's filename grammar
+    // applied to synthesized names; invalid rows quarantine as ''.
+    Q("q52_topic_parse",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val fn = concat(lit("db."), col("lang"), lit("."), col("source"),
+          lit("-045-050-"), lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".txt.gz"))
+        val named = d.select(col("doc_id"), fn.as("fileName"))
+        SnapshotPipeline.withTopic(named)
+          .groupBy(col("database"), col("collection"), col("topic"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      },
+      Some("""WITH named AS (
+             |  SELECT doc_id,
+             |    'db.' || lang || '.' || source || '-045-050-' ||
+             |      lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt.gz' AS fileName
+             |  FROM documents)
+             |SELECT regexp_extract(fileName,
+             |    '^(?:\w+\.)?([\w-]+)\.([\w-]+)-\d{3}-\d{3}-\d+\.\w+\.\w+$', 1) AS database,
+             |  regexp_extract(fileName,
+             |    '^(?:\w+\.)?([\w-]+)\.([\w-]+)-\d{3}-\d{3}-\d+\.\w+\.\w+$', 2) AS collection,
+             |  CASE WHEN fileName LIKE 'db.%' THEN 'db.' ELSE '' END ||
+             |    regexp_extract(fileName, '^(?:\w+\.)?([\w-]+)\.([\w-]+)-\d{3}-\d{3}-\d+\.\w+\.\w+$', 1)
+             |    || '.' ||
+             |    regexp_extract(fileName, '^(?:\w+\.)?([\w-]+)\.([\w-]+)-\d{3}-\d{3}-\d+\.\w+\.\w+$', 2)
+             |    AS topic,
+             |  COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_doc
+             |FROM named GROUP BY 1, 2, 3""".stripMargin)),
+
+    // A1-A3 as an oracle-checked shape: delivery counts vs an expected
+    // manifest, per-key status decision, then all/any completion rollup
+    // (bool_and/bool_or with partial aggregation).
+    Q("q53_status_rollup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val sent = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("files_sent"))
+        val expected = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("files_expected"))
+        val status = expected.join(sent, Seq("user_id"), "left")
+          .withColumn("files_sent", coalesce(col("files_sent"), lit(0L)))
+          .withColumn("status",
+            when(col("files_expected") === 0, "Received")
+              .when(col("files_sent") >= col("files_expected"), "Sent")
+              .otherwise("In_Progress"))
+        status.groupBy(col("status"))
+          .agg(count(lit(1)).as("n_collections"),
+            sum(col("files_sent")).as("total_sent"))
+      },
+      Some("""WITH sent AS (
+             |  SELECT user_id, COUNT(*) AS files_sent FROM events
+             |  WHERE event_type = 'purchase' GROUP BY user_id),
+             |expected AS (
+             |  SELECT user_id, COUNT(*) AS files_expected FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |status AS (
+             |  SELECT e.user_id, COALESCE(s.files_sent, 0) AS files_sent,
+             |    CASE WHEN e.files_expected = 0 THEN 'Received'
+             |      WHEN COALESCE(s.files_sent, 0) >= e.files_expected THEN 'Sent'
+             |      ELSE 'In_Progress' END AS status
+             |  FROM expected e LEFT JOIN sent s USING (user_id))
+             |SELECT status, COUNT(*) AS n_collections,
+             |  CAST(SUM(files_sent) AS BIGINT) AS total_sent
+             |FROM status GROUP BY status""".stripMargin)),
+
+    // A3's bool_and/bool_or rollup itself, oracle-checked.
+    Q("q54_completion_rollup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        e.groupBy(col("user_id"))
+          .agg(bool_and(col("event_type") =!= "error").as("all_ok"),
+            bool_or(col("event_type") === "error").as("any_failed"))
+          .withColumn("completion",
+            when(col("all_ok"), "COMPLETED_SUCCESSFULLY")
+              .when(col("any_failed"), "COMPLETED_UNSUCCESSFULLY")
+              .otherwise("NOT_COMPLETED"))
+          .groupBy(col("completion")).agg(count(lit(1)).as("n_users"))
+      },
+      Some("""SELECT CASE WHEN all_ok THEN 'COMPLETED_SUCCESSFULLY'
+             |  WHEN any_failed THEN 'COMPLETED_UNSUCCESSFULLY'
+             |  ELSE 'NOT_COMPLETED' END AS completion, COUNT(*) AS n_users
+             |FROM (SELECT user_id, bool_and(event_type <> 'error') AS all_ok,
+             |        bool_or(event_type = 'error') AS any_failed
+             |      FROM events GROUP BY user_id) g
+             |GROUP BY 1""".stripMargin)),
+  )
 }

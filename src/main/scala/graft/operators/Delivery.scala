@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Crypto
+
+/** Sinks + status aggregation (reference K1-K5, A1-A3 — SURVEY.md
+  * §2.4-2.5).
+  *
+  * Delivery target is a filesystem directory (`<outDir>/<topic>/<name>`),
+  * the exact shape the reference's integration harness observes (mock-nifi
+  * writes POSTed files to /data/output — SnapshotSenderIntegrationTest
+  * .kt:50-55). An HTTP delivery would swap the partition function body for
+  * a pooled-client POST loop; everything else (markers, counts, statuses)
+  * is unchanged.
+  *
+  * Exactly-once accounting: Spark retries tasks, so the per-row commit
+  * protocol (POST → counter++ → marker) of the reference
+  * (HttpWriter.kt:83-97) is reshaped — writes are idempotent (same path,
+  * same bytes), `.finished` markers are the commit log, and FilesSent is
+  * *derived by counting markers*, never incremented (SURVEY.md §7.3).
+  */
+object Delivery {
+
+  /** K1 + K2: write each delivered file and its `.finished` marker
+    * (marker body "Finished <name>" — S3StatusFileWriter.kt:19-52).
+    * Runs in the executors via foreachPartition; both writes are
+    * idempotent so at-least-once task retries converge. */
+  def deliver(files: DataFrame, outDir: String, statusDir: String): Unit = {
+    files.select(col("topic"), col("outputName"), col("sourceFileName"), col("content"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val topic = r.getString(0)
+          val outputName = r.getString(1)
+          val fileName = r.getString(2)
+          val content = r.getAs[Array[Byte]](3)
+          val topicDir = Paths.get(outDir, topic)
+          Files.createDirectories(topicDir)
+          Files.write(topicDir.resolve(outputName), content)
+          val st = Paths.get(statusDir)
+          Files.createDirectories(st)
+          Files.write(st.resolve(s"$fileName.finished"),
+            s"Finished $fileName".getBytes(StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** Scan of the `.finished` marker prefix → one row per already-delivered
+    * file (feeds SnapshotPipeline.filterFinished and sentCounts). Uses the
+    * file *index* only — no content read. */
+  def finishedMarkers(spark: SparkSession, statusDir: String): DataFrame = {
+    Files.createDirectories(Paths.get(statusDir))
+    val ds = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.finished").load(statusDir)
+      .select(element_at(split(col("path"), "/"), -1).as("markerName"))
+    ds.select(regexp_replace(col("markerName"), "\\.finished$", "")
+      .as("finishedFileName"))
+  }
+
+  /** A1: FilesSent per collection, derived from markers (not incremented —
+    * see class doc). Reference: DynamoDBExportStatusService.kt:38-44. */
+  def sentCounts(markers: DataFrame): DataFrame =
+    SnapshotPipeline.withTopic(
+        markers.select(col("finishedFileName").as("fileName")))
+      .groupBy(col("topic")).agg(count(lit(1)).as("FilesSent"))
+
+  /** A2: per-collection status decision
+    * (DynamoDBExportStatusService.kt:113-141):
+    * exported>0 ∧ sent==exported → Sent; exported==0 → Received
+    * (NO_FILES_EXPORTED path); else In_Progress.
+    * `expected` = (topic, FilesExported) — the left join keeps zero-file
+    * collections alive (SURVEY.md §7.3, zero-row groups). */
+  def collectionStatus(expected: DataFrame, sent: DataFrame): DataFrame =
+    expected.join(sent, Seq("topic"), "left")
+      .withColumn("FilesSent", coalesce(col("FilesSent"), lit(0L)))
+      .withColumn("CollectionStatus",
+        when(col("FilesExported") === 0, "Received")
+          .when(col("FilesSent") === col("FilesExported"), "Sent")
+          .otherwise("In_Progress"))
+
+  private val okStatuses =
+    Seq("Sent", "Received", "Success", "Table_Unavailable", "Blocked_Topic")
+
+  /** A3: run-completion rollup over all collections of a correlation id
+    * (DynamoDBExportStatusService.kt:79-102): all-ok → success, any
+    * Export_Failed → failure, else not-completed. bool_and/bool_or get
+    * partial aggregation for free. */
+  def runCompletion(statuses: DataFrame, correlationId: String): DataFrame =
+    statuses
+      .select(lit(correlationId).as("correlationId"),
+        col("CollectionStatus").isin(okStatuses: _*).as("ok"),
+        (col("CollectionStatus") === "Export_Failed").as("failed"))
+      .groupBy(col("correlationId"))
+      .agg(bool_and(col("ok")).as("all_ok"), bool_or(col("failed")).as("any_failed"))
+      .withColumn("completionStatus",
+        when(col("all_ok"), "COMPLETED_SUCCESSFULLY")
+          .when(col("any_failed"), "COMPLETED_UNSUCCESSFULLY")
+          .otherwise("NOT_COMPLETED"))
+
+  /** K3 + M8: success indicator `_<db>_<collection>_successful.gz` (20-byte
+    * empty gzip) for Sent topics (when configured) and always for
+    * zero-file topics (JobCompletionNotificationListener.kt:34-40,
+    * SuccessServiceImpl.kt:39-104). Driver-side: the status DF is tiny. */
+  def writeSuccessIndicators(statuses: DataFrame, outDir: String,
+      sendForSent: Boolean): Seq[String] = {
+    val want = statuses
+      .filter(col("CollectionStatus") === "Received" ||
+        (lit(sendForSent) && col("CollectionStatus") === "Sent"))
+      .select(col("topic")).collect().map(_.getString(0)).toSeq
+    want.map { topic =>
+      // topic db.<database>.<collection> → _<database>_<collection>_successful.gz
+      val parts = topic.stripPrefix("db.").split("\\.", 2)
+      val name = s"_${parts(0)}_${parts(1)}_successful.gz"
+      val dir = Paths.get(outDir, topic)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(name), Crypto.emptyGzip)
+      name
+    }
+  }
+
+  /** K5: the SNS monitoring payload as JSON (SnsServiceImpl.kt:25-51) —
+    * severity/notification type keyed off the completion status. */
+  def monitoringPayload(completion: DataFrame, exportDate: String,
+      snapshotType: String): DataFrame =
+    completion.select(to_json(struct(
+      when(col("completionStatus") === "COMPLETED_SUCCESSFULLY", "Information")
+        .otherwise("Critical").as("severity"),
+      when(col("completionStatus") === "COMPLETED_SUCCESSFULLY", "Information")
+        .otherwise("Error").as("notification_type"),
+      lit("crown-export-poller").as("slack_username"),
+      concat(lit("Crown export "),
+        when(col("completionStatus") === "COMPLETED_SUCCESSFULLY", "completed")
+          .otherwise("failed")).as("title_text"),
+      array(
+        struct(lit("Export date").as("key"), lit(exportDate).as("value")),
+        struct(lit("Correlation Id").as("key"), col("correlationId").as("value")),
+        struct(lit("Snapshot type").as("key"), lit(snapshotType).as("value"))
+      ).as("custom_elements")).as("payload")))
+}

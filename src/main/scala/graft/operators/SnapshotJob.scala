@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{EncryptedSnapshotSource, KeyService}
+import graft.operators.SnapshotPipeline._
+
+/** End-to-end snapshot delivery run (reference job lifecycle — SURVEY.md
+  * §3.1): scan → topic parse/quarantine → finished anti-join → key
+  * resolution → decrypt → blocked-topic split → headers → deliver +
+  * markers → status aggregation → completion rollup.
+  *
+  * Returns the per-collection status DataFrame; side effects are the
+  * delivered files, `.finished` markers and success indicators under
+  * `outDir`/`statusDir`.
+  */
+object SnapshotJob {
+
+  final case class RunResult(
+      statuses: DataFrame,
+      completion: DataFrame,
+      quarantined: Long,
+      blocked: Long)
+
+  /** `expected` = (topic, FilesExported) — the external export manifest
+    * (DynamoDB's FilesExported in the reference, environment.sh:68-117). */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      statusDir: String,
+      expected: DataFrame,
+      keys: KeyService,
+      conf: DeliveryConf = DeliveryConf()): RunResult = {
+
+    val scanned = withTopic(EncryptedSnapshotSource.read(spark, inputDir))
+    val (valid, rejected) = quarantine(scanned)
+    val (allowed, blockedRows) = splitBlockedTopics(valid, conf.blockedTopics)
+
+    val fresh = filterFinished(allowed,
+      Delivery.finishedMarkers(spark, statusDir), conf.reprocessFiles)
+
+    val decrypted = decrypt(resolveKeys(fresh, keys))
+    val ready = nifiHeaders(decrypted, conf)
+
+    Delivery.deliver(ready, outDir, statusDir)
+
+    // counts derived from the marker commit log, not from this run's rows:
+    // re-runs and task retries stay exactly-once-observable.
+    val sent = Delivery.sentCounts(Delivery.finishedMarkers(spark, statusDir))
+    val statuses = Delivery.collectionStatus(expected, sent)
+    Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
+    val completion = Delivery.runCompletion(statuses, conf.correlationId)
+
+    RunResult(statuses, completion, rejected.count(), blockedRows.count())
+  }
+
+  /** The analytics view over a snapshot directory: fully decrypted,
+    * decompressed, one typed row per MongoDB document. */
+  def records(spark: SparkSession, inputDir: String, keys: KeyService): DataFrame = {
+    val scanned = withTopic(EncryptedSnapshotSource.read(spark, inputDir))
+    val (valid, _) = quarantine(scanned)
+    parseRecords(explodeRecords(decrypt(resolveKeys(valid, keys))))
+  }
+}

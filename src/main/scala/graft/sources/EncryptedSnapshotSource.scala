@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest scan for encrypted snapshot files (reference S1-S3:
+  * S3DirectoryReader.kt:51-98).
+  *
+  * The reference pages ListObjectsV2 into one big in-memory list, then
+  * HEADs each object for user metadata. Spark-first: `binaryFile` gives a
+  * distributed listing (InMemoryFileIndex) + whole-file content column —
+  * the paginated listing and the per-file fetch collapse into one scan.
+  * Encryption params ride in sidecar `.meta.json` files (the local stand-in
+  * for S3 user metadata — a DSv2 source exposing real S3 user metadata
+  * would slot in here with the same output schema).
+  *
+  * Output schema (FIXTURES.md §1):
+  * fullPath, fileName, length, content BINARY, iv, dataKeyEncryptionKeyId,
+  * cipherTextDataKey.
+  *
+  * Scale note: the metadata side is tiny (one short JSON per file) and is
+  * broadcast; the content side never shuffles — everything downstream
+  * until the record explode is narrow.
+  */
+object EncryptedSnapshotSource {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("fileName", StringType),
+    StructField("iv", StringType),
+    StructField("dataKeyEncryptionKeyId", StringType),
+    StructField("cipherTextDataKey", StringType)))
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.enc")
+      .load(dir)
+      .select(
+        col("path").as("fullPath"),
+        element_at(split(col("path"), "/"), -1).as("fileName"),
+        col("length"),
+        col("content"))
+    val meta = spark.read.schema(metaSchema)
+      .json(s"$dir/*.meta.json")
+    files.join(broadcast(meta), Seq("fileName"), "left")
+  }
+}
