@@ -1,8 +1,103 @@
 package graft
 
-/** Similarity-search operators over the `embeddings` table. Filled in
-  * incrementally. */
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity-search + multimodal operators over `embeddings`/`documents`
+  * (LLM-data-pipeline surface). Brute-force cosine top-k is the
+  * oracle-checked baseline; SRP-LSH and IVF are the scale paths
+  * (recall-tested against brute force in SimilaritySpec).
+  */
 object SimilarityQueries {
   import Registry.Q
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    // Exact cosine top-5 neighbors for the first 20 vectors.
+    Q("q40_cosine_brute_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.bruteTopK(e.filter(col("vec_id") < 20), e, 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+             |pairs AS (
+             |  SELECT qid, nid,
+             |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) *
+             |      sqrt(list_dot_product(nv, nv))) AS sim
+             |  FROM q JOIN c ON qid <> nid),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |  FROM pairs)
+             |SELECT qid, nid, ROUND(sim, 6) AS sim, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // SRP-LSH approximate top-k (bucketed candidates only).
+    Q("q41_cosine_srp_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.srpTopK(e.filter(col("vec_id") < 20), e, 5)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_results"),
+            round(max(col("sim")), 6).as("best_sim"))
+      },
+      None),
+
+    // IVF (KMeans cells, nprobe probing) approximate top-k.
+    Q("q42_cosine_ivf_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, 5)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_results"),
+            round(max(col("sim")), 6).as("best_sim"))
+      },
+      None),
+
+    // Vector statistics: norms per label (higher-order fns, no UDF).
+    Q("q43_embedding_stats",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(VectorFunctions.norm(col("embedding"))), 6).as("avg_norm"),
+            max(size(col("embedding"))).as("dim"))
+      },
+      Some("""SELECT label, COUNT(*) AS n,
+             |ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |  CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+             |CAST(MAX(len(embedding)) AS INT) AS dim
+             |FROM embeddings GROUP BY label""".stripMargin)),
+
+    // Embedding near-duplicate pairs via SRP buckets, on a corpus doubled
+    // with exact copies (shifted ids) so duplicates exist by construction.
+    Q("q44_embedding_neardup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val doubledCorpus = e.unionByName(
+          e.withColumn("vec_id", col("vec_id") + 10000L))
+        Similarity.cosineDupPairs(doubledCorpus, 0.95)
+          .agg(count(lit(1)).as("n_dup_pairs"),
+            round(min(col("sim")), 6).as("min_sim"))
+      },
+      None),
+
+    // Multimodal plumbing: binary media column → per-partition decode
+    // (stubbed kernel) → typed metadata + features → aggregate.
+    Q("q45_multimodal_decode",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val decoded = Multimodal.decode(Multimodal.syntheticMedia(d))
+        decoded.toDF()
+          .groupBy(col("media_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("meta.bytes")).as("total_bytes"),
+            round(avg(col("meta.width")), 4).as("avg_width"),
+            round(sum(VectorFunctions.norm(col("features"))), 4).as("feat_norm_sum"))
+      },
+      None),
+  )
 }

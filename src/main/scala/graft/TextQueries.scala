@@ -1,25 +1,171 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
 /** Text-analysis + dedup operators over the `documents` table
-  * (LLM-data-pipeline surface; SURVEY.md §2.6). Filled in incrementally. */
+  * (LLM-data-pipeline surface; SURVEY.md §2.6).
+  *
+  * The LSH/SimHash queries run on a "doubled" corpus (documents ∪ shifted
+  * copy) so near-duplicates exist by construction and the candidate
+  * generation provably recalls them — the raw synthetic corpus has no
+  * near-dups to find.
+  */
 object TextQueries {
   import Registry.Q
 
+  /** documents ∪ copy with doc_id+10000 (exact dup) — every original doc
+    * has one guaranteed duplicate partner. */
+  private def doubled(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000L))
+  }
+
   val all: Seq[Q] = Seq(
-    // Exact dedup by content hash (sha256) — the groupBy form scales:
-    // one shuffle on the 64-hex digest, min(doc_id) is the canonical keeper.
+    // Exact dedup by content hash (sha256): one shuffle on the digest,
+    // min(doc_id) is the canonical keeper.
     Q("q30_dedup_exact",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        d.select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
-          .groupBy(col("content_hash"))
-          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
-          .filter(col("n_copies") >= 1)
+        Dedup.exact(d, "doc_id", "text")
       },
       Some("""SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
              |CAST(MIN(doc_id) AS BIGINT) AS keeper_id
-             |FROM documents GROUP BY sha256(text) HAVING COUNT(*) >= 1""".stripMargin)),
+             |FROM documents GROUP BY sha256(text)""".stripMargin)),
+
+    // Token/char statistics — the quality-scoring feature set.
+    Q("q31_text_stats",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val feats = TextFunctions.qualityFeatures(col("text"))
+        d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+          .filter(col("doc_id") % 5 === 0)
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+             |CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+             |ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             |  / length(text), 6) AS alpha_ratio,
+             |ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE)
+             |  / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len,
+             |ROUND(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS DOUBLE)
+             |  / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
+             |FROM documents WHERE doc_id % 5 = 0""".stripMargin)),
+
+    // Language-ID (stopword-marker argmax) vs the labeled lang column.
+    Q("q32_lang_id",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("lang").as("labeled"),
+            TextFunctions.langId(col("text")).as("predicted"))
+          .groupBy(col("labeled"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some {
+        val score = (l: String) => {
+          val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(",")
+          s"lpad(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($markers))) AS VARCHAR), 5, '0') || '$l'"
+        }
+        val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+        s"""WITH scored AS (SELECT lang AS labeled,
+           |  list_max([${langs.map(score).mkString(",\n  ")}]) AS best
+           |  FROM documents)
+           |SELECT labeled,
+           |  CASE WHEN best[1:5] = '00000' THEN 'und' ELSE best[6:7] END AS predicted,
+           |  COUNT(*) AS n
+           |FROM scored GROUP BY 1, 2""".stripMargin
+      }),
+
+    // BPE-ish lexer token counting (word runs | single punctuation).
+    Q("q33_lex_tokens",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.groupBy(col("source"))
+          .agg(sum(size(TextFunctions.lexTokens(col("text")))).as("total_lex_tokens"),
+            sum(size(TextFunctions.tokens(col("text")))).as("total_ws_tokens"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT source,
+             |CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_lex_tokens,
+             |CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+             |COUNT(*) AS n_docs
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // Word-shingle construction parity (the MinHash input representation).
+    Q("q34_shingles",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("doc_id"),
+            size(TextFunctions.wordShingles(col("text"), 3)).as("n_shingles"),
+            size(array_distinct(TextFunctions.wordShingles(col("text"), 3)))
+              .as("n_distinct_shingles"))
+          .filter(col("doc_id") < 100)
+      },
+      Some("""WITH sh AS (SELECT doc_id,
+             |  list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+             |    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) AS shingles
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT doc_id, CAST(len(shingles) AS INT) AS n_shingles,
+             |  CAST(len(list_distinct(shingles)) AS INT) AS n_distinct_shingles
+             |FROM sh""".stripMargin)),
+
+    // Exact n-gram Jaccard over a bounded candidate set (verification
+    // stage): all pairs among doc_id < 40.
+    Q("q35_ngram_jaccard",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents").filter(col("doc_id") < 40)
+        val pairs = d.select(col("doc_id").as("idA"))
+          .crossJoin(d.select(col("doc_id").as("idB")))
+          .filter(col("idA") < col("idB"))
+        Dedup.ngramJaccard(pairs, d, "doc_id", "text", 3)
+          .groupBy((col("idA") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("jaccard")), 4).as("jaccard_sum"),
+            round(max(col("jaccard")), 6).as("jaccard_max"))
+      },
+      Some("""WITH sh AS (SELECT doc_id,
+             |  list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
+             |    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' '))) AS s
+             |  FROM documents WHERE doc_id < 40),
+             |pairs AS (
+             |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT CAST(idA % 10 AS BIGINT) AS bucket, COUNT(*) AS n_pairs,
+             |  ROUND(SUM(jaccard), 4) AS jaccard_sum, ROUND(MAX(jaccard), 6) AS jaccard_max
+             |FROM pairs GROUP BY 1""".stripMargin)),
+
+    // MinHash+LSH near-dup candidates on the doubled corpus: every
+    // original↔copy pair must collide with est_jaccard 1.0.
+    Q("q36_minhash_lsh",
+      (spark, dir) => {
+        Dedup.minhashLshPairs(doubled(spark, dir), "doc_id", "text")
+          .groupBy((col("est_jaccard") >= 0.99).as("is_exact_dup"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("est_jaccard")), 4).as("avg_est_jaccard"))
+      },
+      None), // LSH internals not SQL-expressible; recall proven in DedupSpec
+
+    // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
+    Q("q37_simhash",
+      (spark, dir) => {
+        Dedup.simhashPairs(doubled(spark, dir), "doc_id", "text")
+          .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      },
+      None),
+
+    // Rolling-hash document fingerprint (whitespace-insensitive exact dedup).
+    Q("q38_fingerprint",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(TextFunctions.fingerprint(col("text")).as("fp"), col("doc_id"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      },
+      None),
   )
 }

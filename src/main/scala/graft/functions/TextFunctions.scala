@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the LLM-data-pipeline surface.
+  *
+  * Everything that can be a built-in Column expression is one (codegen'd,
+  * oracle-checkable); only MinHash/SimHash/rolling-hash — which need
+  * per-token imperative loops — are Scala UDFs, and those run once per
+  * document, amortized over the whole text.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (matches DuckDB string_split_regex on trimmed
+    * input — leading/trailing whitespace must be trimmed first or both
+    * engines produce an empty leading token). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexer tokens: word runs or single non-space punctuation. */
+  def lexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Word n-gram shingles via higher-order functions (no UDF):
+    * shingle i = words[i..i+n-1] joined by space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    when(size(words) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+  }
+
+  /** Stopword-marker language-ID: score = |tokens ∩ markers(lang)|,
+    * predict argmax (ties → lexicographically first lang, 'und' if all
+    * zero). Deterministic, SQL-expressible in both engines. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "que", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
+
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => {
+      val markers = langMarkers(lang)
+      markers.map(m => t === m).reduce(_ || _)
+    }))
+
+  /** Argmax via a sortable string encoding — `lpad(score)||lang`, take the
+    * max — so ties break toward the lexicographically LAST lang in both
+    * Spark and the DuckDB oracle (plain string max, no struct ordering
+    * needed). Score 0 across the board → 'und'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l =>
+      concat(lpad(langScore(toks, l).cast("string"), 5, "0"), lit(l)))
+    val best = array_max(array(scored: _*))
+    when(substring(best, 1, 5) === "00000", "und")
+      .otherwise(substring(best, 6, 2))
+  }
+
+  /** Heuristic quality score in [0,1]: penalizes very short docs, all-caps,
+    * low alpha ratio, missing stopwords. Exact arithmetic: integer counts
+    * + one double division per ratio (cross-engine deterministic). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val stop = langScore(tokens(lower(text)), "en")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "alpha_ratio" -> round(alpha.cast("double") / nChars, 6),
+      "avg_token_len" -> round((nChars - (nTokens - lit(1))).cast("double") / nTokens, 6),
+      "stopword_ratio" -> round(stop.cast("double") / nTokens, 6))
+  }
+
+  // --- UDF kernels (per-document, deterministic) -------------------------
+
+  /** FNV-1a 64-bit over UTF-8 — stable, dependency-free token hash. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: numHashes universal-hash minima over the shingle
+    * set. One pass per shingle, O(shingles × numHashes) multiply-adds. */
+  def minhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val base = fnv1a64(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = mix64(base ^ mix64(i.toLong))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private val minhashUdf = udf((sh: Seq[String], n: Int) => minhashSig(sh, n))
+
+  def minhash(shingles: Column, numHashes: Int): Column =
+    minhashUdf(shingles, lit(numHashes))
+
+  /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes. */
+  def simhash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  def simhash(toks: Column): Column = simhashUdf(toks)
+
+  /** Polynomial rolling-hash document fingerprint over normalized text
+    * (lowercase, collapsed whitespace) — base 257 mod 2^61-1. */
+  def rollingFingerprint(text: String): Long = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val mod = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < norm.length) {
+      // (h * 257 + c) mod p without overflow: p < 2^61 so use Math.multiplyHigh-free
+      // path via BigInt-free split multiply
+      val prod = multiplyMod(h, 257L, mod)
+      h = (prod + norm.charAt(i)) % mod
+      i += 1
+    }
+    h
+  }
+
+  private def multiplyMod(a: Long, b: Long, m: Long): Long = {
+    // a < 2^61, b small (257): a*b may exceed 2^63 → split a
+    val hi = a >>> 31
+    val lo = a & 0x7fffffffL
+    ((hi * b % m) * (1L << 31) % m + lo * b) % m
+  }
+
+  private val fingerprintUdf = udf((s: String) => rollingFingerprint(s))
+
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over a (id, text) corpus — the standard
+  * training-data pipeline ladder: exact → MinHash-LSH → SimHash →
+  * exact-Jaccard verification.
+  *
+  * Scale shape (100 TB): every variant is
+  *   narrow per-doc signature → shuffle on a SMALL key (hash / band
+  *   bucket / simhash block) → pair join inside buckets only.
+  * No all-pairs product ever materializes; bucket width bounds the
+  * quadratic term. Signatures are a few hundred bytes/doc, so the
+  * shuffled volume is ~signatures, not text.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy, min(id) is the canonical keeper.
+    * (dropDuplicates has the same plan; the explicit form also yields the
+    * group sizes.) */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** MinHash + LSH candidate pairs.
+    *
+    * shingle(n words) → minhash signature (numHashes) → split into
+    * `bands` bands of numHashes/bands rows → explode one row per band →
+    * shuffle on (band, hash(band-slice)) → pairs within buckets →
+    * estimated Jaccard = fraction of matching signature positions.
+    * Probability a pair with Jaccard j collides: 1-(1-j^r)^b — with
+    * 128/32 bands it catches j ≳ 0.5.
+    *
+    * @return (idA, idB, est_jaccard) with idA < idB, distinct.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minhash(wordShingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", hash(col("band"),
+        slice(col("sig"), col("band") * rows + lit(1), lit(rows))))
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("idA"), col("sig").as("sigA"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sigA"), col("sigB"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
+          / numHashes, 6))
+      .select(col("idA"), col("idB"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Pigeonhole blocking: split the 64-bit fingerprint into
+    * maxHamming+1 blocks — any pair within distance k agrees on ≥1 block,
+    * so pairs only form inside (block, blockValue) buckets. Hamming via
+    * bit_count(xor) — codegen'd, no UDF on the pair path. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val fps = df.select(col(idCol).as("id"),
+      simhash(tokens(lower(col(textCol)))).as("fp"))
+    val blockVals = array((0 until nBlocks).map(b =>
+      shiftrightunsigned(col("fp"), b * blockBits)
+        .bitwiseAND(lit((1L << blockBits) - 1))): _*)
+    val blocked = fps.select(col("id"), col("fp"),
+      posexplode(blockVals).as(Seq("block", "blockVal")))
+    val a = blocked.select(col("block"), col("blockVal"),
+      col("id").as("idA"), col("fp").as("fpA"))
+    val b = blocked.select(col("block"), col("blockVal"),
+      col("id").as("idB"), col("fp").as("fpB"))
+    a.join(b, Seq("block", "blockVal"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (the verification
+    * stage after LSH): array_intersect/array_union on distinct shingles. */
+  def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = corpus.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("shA"), col("shB"))).cast("double")
+          / size(array_union(col("shA"), col("shB"))), 6))
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - [[bruteTopK]] — exact cosine top-k; the correctness baseline. The
+  *    query side is broadcast, so the corpus is scanned once with no
+  *    shuffle of the corpus; per-pair work is one codegen'd dot product
+  *    (norms precomputed per row, not per pair).
+  *  - [[srpTopK]] — signed-random-projection LSH: bucket on signature
+  *    bands, exact rerank inside buckets. Corpus-side cost drops to the
+  *    bucket fraction; the scale path when queries × corpus explodes.
+  *  - [[ivfTopK]] — inverted-file: KMeans coarse centroids, probe the
+  *    nprobe nearest cells. Centroid fit is a tiny sampled job; assignment
+  *    is one narrow pass; the probe join hits nprobe/k of the corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: queries (small, broadcast) × corpus → window
+    * rank per query. Ties broken by corpus id for determinism. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", cosinePre(dot(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** SRP-LSH top-k: same output shape as bruteTopK but only pairs sharing
+    * an LSH band bucket are scored (approximate — high-sim pairs collide
+    * with high probability). planes bits split into bands of bandBits. */
+  def srpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    require(planes % bandBits == 0)
+    val nBands = planes / bandBits
+    def signed(df: DataFrame, idAs: String, vAs: String): DataFrame = {
+      val buckets = array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits)
+          .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
+          srpSignature(col("embedding"), planes, seed).as("sig"),
+          norm(col("embedding")).as(s"${idAs}norm"))
+        .select(col("*"), posexplode(buckets).as(Seq("band", "bucket")))
+    }
+    val q = signed(queries, "qid", "qv")
+    val c = signed(corpus, "nid", "nv")
+    val cand = c.join(broadcast(q.drop("sig")), Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"),
+        col("qidnorm"), col("nidnorm"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("sim",
+        cosinePre(dot(col("qv"), col("nv")), col("qidnorm"), col("nidnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** IVF top-k: coarse-quantize the corpus into nCells KMeans cells, then
+    * score queries only against their nprobe nearest cells. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val vecs = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .fit(vecs.select(col("features")))
+    // cell assignment: one narrow pass
+    val assigned = model.transform(vecs)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("prediction").as("cell"))
+      .withColumn("nnorm", norm(col("nv")))
+
+    // centroid table is tiny: broadcast to rank cells per query
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val wCell = Window.partitionBy(col("qid"))
+      .orderBy(col("cellSim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cellSim", cosine(col("qv"), col("centroid")))
+      .withColumn("cellRank", row_number().over(wCell))
+      .filter(col("cellRank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("cell"))
+
+    val pairs = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosinePre(dot(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via SRP buckets
+    * (the embedding analogue of Dedup.minhashLshPairs). */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double,
+      planes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val nBands = planes / bandBits
+    val buckets = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+    val sigs = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
+        srpSignature(col("embedding"), planes, seed).as("sig"),
+        norm(col("embedding")).as("vnorm"))
+      .select(col("*"), posexplode(buckets).as(Seq("band", "bucket")))
+    val a = sigs.select(col("band"), col("bucket"), col("id").as("idA"),
+      col("v").as("vA"), col("vnorm").as("normA"))
+    val b = sigs.select(col("band"), col("bucket"), col("id").as("idB"),
+      col("v").as("vB"), col("vnorm").as("normB"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("vA"), col("vB"),
+        col("normA"), col("normB"))
+      .distinct()
+      .withColumn("sim", cosinePre(dot(col("vA"), col("vB")), col("normA"), col("normB")))
+      .filter(col("sim") >= threshold)
+      .select(col("idA"), col("idB"), round(col("sim"), 6).as("sim"))
+  }
+}
