@@ -17,6 +17,7 @@ object Registry {
 
   def groups: Seq[Seq[Q]] = Seq(
     RelationalQueries.all,
+    RelationalQueries2.all,
     TextQueries.all,
     SimilarityQueries.all,
     PipelineQueries.all)

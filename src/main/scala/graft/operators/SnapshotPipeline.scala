@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.Crypto
+import graft.plans.CryptoExpressions
 import graft.sources.KeyService
 
 /** The snapshot dataflow as pure DataFrame→DataFrame operators
@@ -84,19 +84,23 @@ object SnapshotPipeline {
     * `.finished` markers key off the ORIGINAL object key (the reference's
     * status key maps the original S3 key, S3Utils.kt:25-32, and the
     * finished filter runs before decryption). */
-  def decrypt(df: DataFrame): DataFrame =
+  def decrypt(df: DataFrame): DataFrame = {
+    CryptoExpressions.register(df.sparkSession)
     df.withColumn("content",
-        Crypto.aesCtrDecrypt(col("content"), col("plaintextDataKey"), col("iv")))
+        CryptoExpressions.aes_ctr_decrypt(col("content"), col("plaintextDataKey"), col("iv")))
       .withColumn("sourceFileName", col("fileName"))
       .withColumn("fileName", regexp_replace(col("fileName"), "\\.enc$", ""))
+  }
 
   /** M3: gunzip → UTF-8 → one row per JSON line. The per-record path after
     * the explode is all codegen'd built-ins. */
-  def explodeRecords(df: DataFrame): DataFrame =
+  def explodeRecords(df: DataFrame): DataFrame = {
+    CryptoExpressions.register(df.sparkSession)
     df.withColumn("line",
-        explode(split(decode(Crypto.gunzipCol(col("content")), "UTF-8"), "\n")))
+        explode(split(decode(CryptoExpressions.gunzip(col("content")), "UTF-8"), "\n")))
       .filter(length(col("line")) > 0)
       .drop("content")
+  }
 
   /** Schema of the reference's MongoDB document rows (FIXTURES.md §2).
     * `$`-prefixed Mongo extended-JSON keys are legal struct field names. */

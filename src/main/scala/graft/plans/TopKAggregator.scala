@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k as a typed Aggregator.
+  *
+  * vs the window form (`row_number().over(partitionBy(g).orderBy(s))
+  * .filter(rn <= k)`): the window must shuffle and SORT every row of every
+  * group; this aggregator keeps a k-element buffer per group and combines
+  * map-side, so the shuffle carries at most k rows per group per map task —
+  * the difference between shuffling 100 TB and shuffling k×|groups| rows.
+  *
+  * Ordering: score DESC, id ASC (deterministic under score ties).
+  * Output: the top-k (score, id) pairs, rank-ordered.
+  */
+object TopKAggregator {
+
+  final case class ScoredId(score: Double, id: Long)
+
+  private def insert(buf: List[ScoredId], v: ScoredId, k: Int): List[ScoredId] = {
+    // descending by score, ascending id on ties; buffer stays sorted+bounded
+    val (better, rest) = buf.span(b =>
+      b.score > v.score || (b.score == v.score && b.id < v.id))
+    (better ::: v :: rest).take(k)
+  }
+
+  class TopK(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
+    override def zero: List[ScoredId] = Nil
+    override def reduce(b: List[ScoredId], a: ScoredId): List[ScoredId] =
+      insert(b, a, k)
+    override def merge(b1: List[ScoredId], b2: List[ScoredId]): List[ScoredId] =
+      b2.foldLeft(b1)((acc, v) => insert(acc, v, k))
+    override def finish(r: List[ScoredId]): Seq[ScoredId] = r
+    override def bufferEncoder: Encoder[List[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped-DataFrame form: `df.groupBy(g).agg(top_k(3)(score, id))`
+    * → ARRAY<STRUCT<score, id>> rank-ordered. */
+  def top_k(k: Int)(score: Column, id: Column): Column = {
+    implicit val enc: Encoder[ScoredId] = Encoders.product[ScoredId]
+    udaf(new TopK(k)).apply(score, id)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §1.3): the reference's
+  * re-run-with-marker-anti-join loop is the batch form of a checkpointed
+  * file stream; these operators are the streaming form.
+  *
+  * All transforms are written against plain DataFrames so the SAME
+  * function serves batch and streaming (parity provable in tests:
+  * stream.processAllAvailable == batch result).
+  */
+object EventStream {
+
+  /** Tumbling-window counts with a watermark — the streaming q23.
+    * Works on a batch OR streaming events frame. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Streaming file-dedup — the F1 anti-join as a stream: `dropDuplicates`
+    * over the file key with state retained behind a watermark. On a file
+    * stream this is exactly "skip objects already delivered", with the
+    * checkpoint playing the role of the `.finished` marker prefix. */
+  def dedupeByKey(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.withWatermark(tsCol, "1 hour").dropDuplicates(keyCol)
+
+  final case class SessionState(count: Long, lastMs: Long, sessions: Long)
+  final case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Stateful sessionization with mapGroupsWithState — the custom-state
+    * form of q24's gaps-and-islands (30-minute gap = new session). Update
+    * mode: emits the running per-user (events, sessions) after each batch. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { ms =>
+            val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+            st = SessionState(st.count + 1, ms,
+              st.sessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          SessionUpdate(user, st.count, st.sessions)
+      }
+  }
+
+  /** Runs a streaming query over a parquet directory to completion using
+    * the memory sink (the local harness for streaming parity tests).
+    * @return the collected result table */
+  def runToCompletion(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, mode: OutputMode,
+      queryName: String): DataFrame = {
+    val batchSchema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(batchSchema).parquet(dir)
+    val q = transform(stream).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}
