@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler: sbt "runMain graft.Profile <target> [sfDir]". */
+object Profile {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val target = args.headOption.getOrElse("minhash")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
+
+    target match {
+      case "minhash" =>
+        val d = Tables.load(spark, dir, "documents")
+        val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000L))
+        import graft.functions.TextFunctions._
+        time("corpus.count")(corpus.count())
+        val shingled = corpus.select(col("doc_id"),
+          wordShingles(col("text"), 3).as("sh"))
+        time("shingles only")(shingled.write.format("noop").mode("overwrite").save())
+        val sigs = corpus.select(col("doc_id").as("id"),
+          minhash(wordShingles(col("text"), 3), 128).as("sig"))
+        time("minhash sigs")(sigs.write.format("noop").mode("overwrite").save())
+        val full = graft.operators.Dedup.minhashLshPairs(corpus, "doc_id", "text")
+        time("full lsh pairs")(full.write.format("noop").mode("overwrite").save())
+      case "srp" =>
+        val e = Tables.load(spark, dir, "embeddings")
+        val corpus = e.unionByName(e.withColumn("vec_id", col("vec_id") + 10000L))
+        import graft.functions.VectorFunctions._
+        val sigs = corpus.select(col("vec_id"),
+          srpSignature(col("embedding"), 16, 42L).as("sig"))
+        time("srp signatures")(sigs.write.format("noop").mode("overwrite").save())
+        val norms = corpus.select(col("vec_id"), norm(col("embedding")).as("n"))
+        time("norms")(norms.write.format("noop").mode("overwrite").save())
+        val full = graft.operators.Similarity.cosineDupPairs(corpus, 0.95)
+        time("full dup pairs")(full.write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}

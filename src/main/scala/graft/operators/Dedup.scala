@@ -41,23 +41,35 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // fused tokenize→shingle→minhash kernel (one JVM pass per doc); the
+    // sig table is read 3× below (banding + 2 re-attach joins) → persist.
+    // sig(0)=MaxValue ⇔ the doc had < shingleSize words: drop those (two
+    // shingle-less docs would otherwise pair up with est_jaccard 1).
     val sigs = df.select(col(idCol).as("id"),
-        minhash(wordShingles(col(textCol), shingleSize), numHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
+        minhashText(col(textCol), shingleSize, numHashes).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .persist()
 
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket", hash(col("band"),
-        slice(col("sig"), col("band") * rows + lit(1), lit(rows))))
+    // The bucket join carries ONLY (band, bucket, id) — 24 bytes/row, not
+    // the 1 KB signature: at sf0.1 that's the difference between shuffling
+    // ~8 MB and ~640 MB. Signatures re-attach after the candidate pairs
+    // are deduped (two broadcast-able joins against the compact sig table).
+    val banded = sigs.select(col("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), col("band"), hash(col("band"),
+        slice(col("sig"), col("band") * rows + lit(1), lit(rows))).as("bucket"))
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("idA"), col("sig").as("sigA"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("idB"), col("sig").as("sigB"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
+      .select(col("idA"), col("idB"))
       .distinct() // a pair may collide in several bands
+
+    candidates
+      .join(sigs.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+      .join(sigs.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sigA"), col("sigB"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")

@@ -44,24 +44,30 @@ object Similarity {
       planes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
     require(planes % bandBits == 0)
     val nBands = planes / bandBits
-    def signed(df: DataFrame, idAs: String, vAs: String): DataFrame = {
-      val buckets = array((0 until nBands).map(b =>
-        shiftrightunsigned(col("sig"), b * bandBits)
-          .bitwiseAND(lit((1 << bandBits) - 1))): _*)
-      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
-          srpSignature(col("embedding"), planes, seed).as("sig"),
-          norm(col("embedding")).as(s"${idAs}norm"))
-        .select(col("*"), posexplode(buckets).as(Seq("band", "bucket")))
-    }
-    val q = signed(queries, "qid", "qv")
-    val c = signed(corpus, "nid", "nv")
-    val cand = c.join(broadcast(q.drop("sig")), Seq("band", "bucket"))
+    val buckets = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+    def base(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("id"), col("embedding").as("v"),
+        srpSignature(col("embedding"), planes, seed).as("sig"),
+        norm(col("embedding")).as("vnorm"))
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      base(df).select(col("id").as(idAs),
+        posexplode(buckets).as(Seq("band", "bucket")))
+    // bucket join on ids only; vectors re-attach per deduped candidate
+    val qVecs = base(queries).select(col("id").as("qid"), col("v").as("qv"),
+      col("vnorm").as("qnorm"))
+    val cVecs = base(corpus).select(col("id").as("nid"), col("v").as("nv"),
+      col("vnorm").as("nnorm"))
+    val cand = banded(corpus, "nid")
+      .join(broadcast(banded(queries, "qid")), Seq("band", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"),
-        col("qidnorm"), col("nidnorm"))
+      .select(col("qid"), col("nid"))
       .distinct() // a pair can collide in several bands
+      .join(broadcast(qVecs), Seq("qid"))
+      .join(cVecs, Seq("nid"))
       .withColumn("sim",
-        cosinePre(dot(col("qv"), col("nv")), col("qidnorm"), col("nidnorm")))
+        cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -111,27 +117,38 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via SRP buckets
-    * (the embedding analogue of Dedup.minhashLshPairs). */
+    * (the embedding analogue of Dedup.minhashLshPairs).
+    *
+    * Defaults are tuned for HIGH thresholds (≥0.9): 8-bit bands are ~30×
+    * more selective than the 4-bit topK default (candidates ∝ n²/2^bandBits
+    * per band), identical vectors still collide with probability 1, and a
+    * 0.95-cosine pair survives ≥1 of 3 bands w.p. ~0.8. */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
-      planes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+      planes: Int = 24, bandBits: Int = 8, seed: Long = 42L): DataFrame = {
     val nBands = planes / bandBits
     val buckets = array((0 until nBands).map(b =>
       shiftrightunsigned(col("sig"), b * bandBits)
         .bitwiseAND(lit((1 << bandBits) - 1))): _*)
-    val sigs = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
-        srpSignature(col("embedding"), planes, seed).as("sig"),
-        norm(col("embedding")).as("vnorm"))
-      .select(col("*"), posexplode(buckets).as(Seq("band", "bucket")))
-    val a = sigs.select(col("band"), col("bucket"), col("id").as("idA"),
-      col("v").as("vA"), col("vnorm").as("normA"))
-    val b = sigs.select(col("band"), col("bucket"), col("id").as("idB"),
-      col("v").as("vB"), col("vnorm").as("normB"))
+    // bucket join carries ids only; vectors re-attach per deduped candidate.
+    // base is read twice (banding + vector attach) → persist the small table.
+    val base = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
+      srpSignature(col("embedding"), planes, seed).as("sig"),
+      norm(col("embedding")).as("vnorm")).persist()
+    val banded = base
+      .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"))
+    val vecs = base.select(col("id"), col("v"), col("vnorm"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("vA"), col("vB"),
-        col("normA"), col("normB"))
+      .select(col("idA"), col("idB"))
       .distinct()
-      .withColumn("sim", cosinePre(dot(col("vA"), col("vB")), col("normA"), col("normB")))
+      .join(vecs.select(col("id").as("idA"), col("v").as("vA"),
+        col("vnorm").as("normA")), Seq("idA"))
+      .join(vecs.select(col("id").as("idB"), col("v").as("vB"),
+        col("vnorm").as("normB")), Seq("idB"))
+      .withColumn("sim",
+        cosinePre(dotFast(col("vA"), col("vB")), col("normA"), col("normB")))
       .filter(col("sim") >= threshold)
       .select(col("idA"), col("idB"), round(col("sim"), 6).as("sim"))
   }
