@@ -39,6 +39,20 @@ object Profile {
         time("minhash sigs")(sigs.write.format("noop").mode("overwrite").save())
         val full = graft.operators.Dedup.minhashLshPairs(corpus, "doc_id", "text")
         time("full lsh pairs")(full.write.format("noop").mode("overwrite").save())
+      case "metrics" =>
+        val fixture = "/tmp/graft-fixture-profmetrics"
+        graft.sources.SnapshotFixture.generate(fixture,
+          graft.sources.SnapshotFixture.defaultTopics(5, 20))
+        import spark.implicits._
+        val expected = Seq(("db.core.claimant", 5L), ("db.database.sent", 1L),
+          ("db.database.empty", 0L)).toDF("topic", "FilesExported")
+        val collector = graft.operators.PipelineMetrics.install(spark)
+        val out = java.nio.file.Files.createTempDirectory("prof-out").toString
+        val status = java.nio.file.Files.createTempDirectory("prof-status").toString
+        graft.operators.SnapshotJob.run(spark, fixture, out, status, expected,
+          graft.sources.LocalKeyService)
+        println(s"[profile] scan=${collector.await("graft_scan")}")
+        println(s"[profile] delivery=${collector.await("graft_delivery")}")
       case "srp" =>
         val e = Tables.load(spark, dir, "embeddings")
         val corpus = e.unionByName(e.withColumn("vec_id", col("vec_id") + 10000L))

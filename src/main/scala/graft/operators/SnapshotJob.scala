@@ -34,7 +34,9 @@ object SnapshotJob {
       keys: KeyService,
       conf: DeliveryConf = DeliveryConf()): RunResult = {
 
-    val scanned = withTopic(EncryptedSnapshotSource.read(spark, inputDir))
+    val scanned = PipelineMetrics.observeScan(
+      withTopic(EncryptedSnapshotSource.read(spark, inputDir)),
+      conf.blockedTopics)
     val (valid, rejected) = quarantine(scanned)
     val (allowed, blockedRows) = splitBlockedTopics(valid, conf.blockedTopics)
 
@@ -42,7 +44,7 @@ object SnapshotJob {
       Delivery.finishedMarkers(spark, statusDir), conf.reprocessFiles)
 
     val decrypted = decrypt(resolveKeys(fresh, keys))
-    val ready = nifiHeaders(decrypted, conf)
+    val ready = PipelineMetrics.observeDelivery(nifiHeaders(decrypted, conf))
 
     Delivery.deliver(ready, outDir, statusDir)
 
