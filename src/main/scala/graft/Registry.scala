@@ -18,6 +18,7 @@ object Registry {
   def groups: Seq[Seq[Q]] = Seq(
     RelationalQueries.all,
     RelationalQueries2.all,
+    RelationalQueries3.all,
     TextQueries.all,
     SimilarityQueries.all,
     PipelineQueries.all)

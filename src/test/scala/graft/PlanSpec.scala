@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the perf properties the queries rely on
+  * (pushdown, broadcast, expression fusion) must stay visible in the
+  * physical plan — a silent regression here costs nothing at sf0.01 and
+  * everything at 100 TB. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+
+  test("q02: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q02_filter_topk")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.replaceAll("\\s", "").contains("l_shipdate"), "filter column visible")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "expected shipdate pushdown in:\n" + p.take(2000))
+  }
+
+  test("q03: dimension join broadcasts (no shuffle of nation)") {
+    val p = plan("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      p.take(1000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(1000))
+  }
+
+  test("scan reads only referenced columns (projection pruning)") {
+    val df = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"),
+      "unreferenced column must not be read:\n" + p.take(1000))
+  }
+
+  test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
+    graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
+      graft.sources.SnapshotFixture.defaultTopics(1, 5))
+    val recs = graft.operators.SnapshotJob.records(spark,
+      "/tmp/graft-fixture-plan", graft.sources.LocalKeyService)
+    val p = recs.queryExecution.analyzed.toString
+    assert(p.contains("aes_ctr_decrypt"), p.take(2000))
+    assert(p.contains("gunzip"), p.take(2000))
+    assert(!p.contains("UDF("), "crypto path must not be a ScalaUDF")
+  }
+}
