@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Delivery, SnapshotJob, SnapshotPipeline}
 import graft.sources.{LocalKeyService, SnapshotFixture}
+import graft.streaming.EventStream
 
 /** Snapshot-pipeline parity operators (scan → anti-join → decrypt →
   * decompress → parse → deliver; SURVEY.md §2.1-2.5) in the driver's
@@ -133,5 +134,28 @@ object PipelineQueries {
              |        bool_or(event_type = 'error') AS any_failed
              |      FROM events GROUP BY user_id) g
              |GROUP BY 1""".stripMargin)),
+
+    // Structured Streaming surface: the events table replayed as a file
+    // stream through the SAME windowed-agg transform as the batch form,
+    // run to completion via the memory sink. Oracle: the batch equivalent
+    // restricted to watermark-closed windows (what Append mode emits).
+    Q("q70_streaming_window",
+      (spark, dir) => {
+        // stream source needs µs timestamps: re-write events normalized
+        val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val marker = new java.io.File(s"$normDir/_SUCCESS")
+        if (!marker.exists()) {
+          Tables.load(spark, dir, "events").write.mode("overwrite").parquet(normDir)
+        }
+        EventStream.runToCompletion(spark, normDir,
+          EventStream.hourlyTypeCounts,
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q70_${math.abs(dir.hashCode)}")
+      },
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events)
+             |SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+             |FROM events, mx
+             |GROUP BY 1, 2, mx.m
+             |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR + INTERVAL 2 HOUR <= mx.m""".stripMargin)),
   )
 }

@@ -122,6 +122,12 @@ object Delivery {
     }
   }
 
+  /** K5 skip rule: no monitoring message for heartbeat runs or when no
+    * topic ARN is configured (SnsServiceImpl.kt:26-29,
+    * JobCompletionNotificationListener.kt:60-63). */
+  def shouldSendMonitoring(exportDate: String, topicArn: String): Boolean =
+    exportDate != "NIFI_HEARTBEAT" && topicArn.nonEmpty
+
   /** K5: the SNS monitoring payload as JSON (SnsServiceImpl.kt:25-51) —
     * severity/notification type keyed off the completion status. */
   def monitoringPayload(completion: DataFrame, exportDate: String,
