@@ -147,6 +147,52 @@ object RelationalQueries3 {
              |ROUND(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))[1], 6) AS first_sq
              |FROM embeddings WHERE vec_id < 100""".stripMargin)),
 
+    // Pure non-equi theta join (BroadcastNestedLoopJoin): nation pairs
+    // related only by < and != predicates — no equi key at all.
+    Q("q66_theta_join",
+      (spark, dir) => {
+        val n = Tables.load(spark, dir, "nation")
+        val a = n.select(col("n_nationkey").as("a_key"),
+          col("n_name").as("a_name"), col("n_regionkey").as("a_region"))
+        val b = n.select(col("n_nationkey").as("b_key"),
+          col("n_regionkey").as("b_region"))
+        a.join(b, col("a_key") < col("b_key") &&
+            col("a_region") =!= col("b_region"))
+          .groupBy(col("a_name"))
+          .agg(count(lit(1)).as("n_foreign_later"),
+            sum(col("b_key").cast("bigint")).as("key_sum"))
+      },
+      Some("""SELECT a.n_name AS a_name, COUNT(*) AS n_foreign_later,
+             |CAST(SUM(b.n_nationkey) AS BIGINT) AS key_sum
+             |FROM nation a JOIN nation b
+             |ON a.n_nationkey < b.n_nationkey AND a.n_regionkey <> b.n_regionkey
+             |GROUP BY a.n_name""".stripMargin)),
+
+    // Map construction + extraction (map_from_arrays / element_at /
+    // map_keys). DuckDB's map extraction returns a LIST → [1] unwraps.
+    Q("q67_map_funcs",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val m = map_from_arrays(
+          array(lit("et"), lit("uid")),
+          array(col("event_type"), col("user_id").cast("string")))
+        e.select(m.as("m"))
+          .select(element_at(col("m"), "et").as("et"),
+            element_at(col("m"), "uid").as("uid"),
+            size(map_keys(col("m"))).as("n_keys"))
+          .groupBy(col("et"))
+          .agg(countDistinct(col("uid")).as("n_users"),
+            max(col("n_keys")).as("n_keys"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH m AS (SELECT map(['et','uid'],
+             |    [event_type, CAST(user_id AS VARCHAR)]) AS m FROM events)
+             |SELECT m['et'][1] AS et,
+             |  COUNT(DISTINCT m['uid'][1]) AS n_users,
+             |  CAST(MAX(cardinality(m)) AS INT) AS n_keys,
+             |  COUNT(*) AS n
+             |FROM m GROUP BY 1""".stripMargin)),
+
     // Anti-join dedup keep-first (the dropDuplicates shape, oracled).
     Q("q65_keep_first",
       (spark, dir) => {

@@ -122,6 +122,22 @@ object Delivery {
     }
   }
 
+  /** K4: persist the per-collection end state keyed by correlation id
+    * (the reference's DynamoDB `UCExportToCrownStatus` upsert,
+    * DynamoDBExportStatusService.kt:153-163). Idempotent: the directory
+    * for a correlation id always holds that run's final state. */
+  def upsertStatuses(statuses: DataFrame, tableDir: String,
+      correlationId: String): Unit =
+    statuses
+      .withColumn("CorrelationId", lit(correlationId))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$tableDir/CorrelationId=$correlationId")
+
+  /** Read-back of the K4 status table across correlation ids. */
+  def readStatusTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(s"$tableDir/*")
+
   /** K5 skip rule: no monitoring message for heartbeat runs or when no
     * topic ARN is configured (SnsServiceImpl.kt:26-29,
     * JobCompletionNotificationListener.kt:60-63). */

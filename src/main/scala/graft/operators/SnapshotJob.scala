@@ -38,6 +38,12 @@ object SnapshotJob {
       withTopic(EncryptedSnapshotSource.read(spark, inputDir)),
       conf.blockedTopics)
     val (valid, rejected) = quarantine(scanned)
+    if (conf.strict) {
+      val bad = rejected.select(col("fileName")).limit(5)
+        .collect().map(_.getString(0))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"strict mode: unparseable snapshot filenames: ${bad.mkString(", ")}")
+    }
     val (allowed, blockedRows) = splitBlockedTopics(valid, conf.blockedTopics)
 
     val fresh = filterFinished(allowed,
@@ -53,6 +59,8 @@ object SnapshotJob {
     val sent = Delivery.sentCounts(Delivery.finishedMarkers(spark, statusDir))
     val statuses = Delivery.collectionStatus(expected, sent)
     Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
+    conf.statusTable.foreach(dir =>
+      Delivery.upsertStatuses(statuses, dir, conf.correlationId))
     val completion = Delivery.runCompletion(statuses, conf.correlationId)
 
     RunResult(statuses, completion, rejected.count(), blockedRows.count())

@@ -175,5 +175,11 @@ object SnapshotPipeline {
       s3Prefix: String = "snapshots",
       shutdownFlag: Boolean = true,
       reprocessFiles: Boolean = false,
-      blockedTopics: Seq[String] = Nil)
+      blockedTopics: Seq[String] = Nil,
+      /** strict=true restores the reference's fail-the-run behavior on
+        * malformed filenames (MetadataException, HttpWriter.kt:121-127)
+        * instead of the quarantine side-output. */
+      strict: Boolean = false,
+      /** K4 status-table directory (None → statuses only returned). */
+      statusTable: Option[String] = None)
 }
