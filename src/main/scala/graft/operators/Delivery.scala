@@ -122,6 +122,18 @@ object Delivery {
     }
   }
 
+  /** Analytic-lake export: parsed snapshot records as parquet partitioned
+    * by (database, collection) — the 100 TB-friendly output layout (one
+    * topic = one partition subtree; downstream queries on a topic prune
+    * every other partition at planning time). */
+  def exportRecordsPartitioned(records: DataFrame, lakeDir: String): Unit =
+    records
+      .select(col("database"), col("collection"), col("topic"),
+        col("fileName"), col("record.*"), col("createdAt"))
+      .write.mode("overwrite")
+      .partitionBy("database", "collection")
+      .parquet(lakeDir)
+
   /** K4: persist the per-collection end state keyed by correlation id
     * (the reference's DynamoDB `UCExportToCrownStatus` upsert,
     * DynamoDBExportStatusService.kt:153-163). Idempotent: the directory

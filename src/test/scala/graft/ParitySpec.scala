@@ -38,6 +38,23 @@ class ParitySpec extends SparkSuite {
     assert(row.getAs[String]("CorrelationId") == "corr-42")
   }
 
+  test("lake export partitions by (database, collection) and prunes") {
+    val lake = Files.createTempDirectory("parity-lake").toString
+    val recs = SnapshotJob.records(spark, fixtureDir, LocalKeyService)
+    Delivery.exportRecordsPartitioned(recs, lake)
+    // partition subtree per topic
+    assert(Files.exists(Paths.get(lake, "database=core", "collection=claimant")))
+    assert(Files.exists(Paths.get(lake, "database=database", "collection=sent")))
+    val back = spark.read.parquet(lake)
+    assert(back.count() == recs.count())
+    // a topic-filtered read plans with partition filters (pruning)
+    val pruned = back.filter(col("database") === "core" &&
+      col("collection") === "claimant")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    assert(pruned.count() == 3 * 10)
+  }
+
   test("strict mode fails the run on a malformed filename") {
     val badDir = Files.createTempDirectory("parity-bad").toString
     // copy fixture + plant one malformed object with sidecar
