@@ -39,6 +39,18 @@ object Profile {
         time("minhash sigs")(sigs.write.format("noop").mode("overwrite").save())
         val full = graft.operators.Dedup.minhashLshPairs(corpus, "doc_id", "text")
         time("full lsh pairs")(full.write.format("noop").mode("overwrite").save())
+      case "stream" =>
+        val fixture = "/tmp/graft-fixture-profstream"
+        graft.sources.SnapshotFixture.generate(fixture,
+          graft.sources.SnapshotFixture.defaultTopics(3, 10))
+        val out = java.nio.file.Files.createTempDirectory("prof-sout").toString
+        val status = java.nio.file.Files.createTempDirectory("prof-sstatus").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("prof-sckpt").toString
+        val q = graft.streaming.SnapshotStream.start(spark, fixture, out,
+          status, ckpt, graft.sources.LocalKeyService)
+        q.awaitTermination(120000)
+        val delivered = new java.io.File(out, "db.core.claimant").listFiles()
+        println(s"[profile] stream delivered=${delivered.length} files to $out")
       case "metrics" =>
         val fixture = "/tmp/graft-fixture-profmetrics"
         graft.sources.SnapshotFixture.generate(fixture,

@@ -158,6 +158,17 @@ object TextQueries {
       },
       None),
 
+    // The full dedup ladder end-to-end: exact-hash collapse → MinHash-LSH
+    // candidates → exact-Jaccard verify → keep-smallest-id survivors.
+    Q("q39_dedup_pipeline",
+      (spark, dir) => {
+        val kept = Dedup.dedupeCorpus(doubled(spark, dir), "doc_id", "text")
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(when(col("doc_id") < 10000L, 1L).otherwise(0L)).as("n_originals"),
+          sum(when(col("doc_id") >= 10000L, 1L).otherwise(0L)).as("n_copies"))
+      },
+      None), // survivors proven in SnapshotStreamSpec; copies must all drop
+
     // Rolling-hash document fingerprint (whitespace-insensitive exact dedup).
     Q("q38_fingerprint",
       (spark, dir) => {

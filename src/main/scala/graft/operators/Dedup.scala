@@ -106,6 +106,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The full dedup ladder as one operator: exact-hash groups collapse
+    * first, then MinHash-LSH candidates are verified with exact n-gram
+    * Jaccard, and every doc whose verified near-duplicate has a smaller id
+    * is dropped. Returns the surviving rows of `df`.
+    *
+    * Decision rule (greedy keep-smallest-id) is deterministic and local:
+    * a doc is dropped iff it has a verified duplicate with a smaller id —
+    * no iterative connected components needed, and at 100 TB the decision
+    * is one anti-join against the (small) drop list. */
+  def dedupeCorpus(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, shingleSize: Int = 3): DataFrame = {
+    val exactDrops = df
+      .select(sha2(col(textCol), 256).as("h"), col(idCol).as("id"))
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("keeper"), collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("dropId"), col("keeper"))
+      .filter(col("dropId") =!= col("keeper"))
+      .select(col("dropId"))
+
+    val nearDrops = ngramJaccard(
+        minhashLshPairs(df, idCol, textCol, shingleSize),
+        df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(greatest(col("idA"), col("idB")).as("dropId"))
+
+    df.join(exactDrops.unionByName(nearDrops).distinct()
+        .withColumnRenamed("dropId", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs (the verification
     * stage after LSH): array_intersect/array_union on distinct shingles. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
