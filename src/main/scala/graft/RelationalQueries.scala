@@ -489,12 +489,15 @@ object RelationalQueries {
     // --- Sketch aggregates (engine-specific → rows-only check) ------------
     Q("q25_sketches",
       (spark, dir) => {
+        // pure-sketch aggregation: single pass, no Expand (the exact
+        // counterpart lives in q15/SketchSpec — mixing countDistinct in
+        // here forced a double-pass Expand plan)
         val li = Tables.load(spark, dir, "lineitem")
         li.groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-            countDistinct(col("l_partkey")).as("exact_parts"))
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+              .as("approx_median"))
       },
-      None), // HLL/KLL internals differ per engine; covered by ScalaTest bounds-spec
+      None), // HLL/KLL internals differ per engine; accuracy bounds in SketchSpec
   )
 }

@@ -156,6 +156,33 @@ object TextFunctions {
   def minhashText(text: Column, shingleSize: Int, numHashes: Int): Column =
     minhashTextUdf(text, lit(shingleSize), lit(numHashes))
 
+  /** Fused tokenize→shingle→distinct in one JVM pass (the exact-Jaccard
+    * verification input; same output as
+    * array_distinct(wordShingles(text, n)) up to element order). */
+  def distinctShingles(text: String, n: Int): Array[String] = {
+    val words = text.trim.split("\\s+")
+    if (words.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  private val distinctShinglesUdf = udf((t: String, n: Int) => distinctShingles(t, n))
+
+  def distinctShinglesCol(text: Column, n: Int): Column =
+    distinctShinglesUdf(text, lit(n))
+
   /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes. */
   def simhash64(toks: Seq[String]): Long = {
     val votes = new Array[Int](64)

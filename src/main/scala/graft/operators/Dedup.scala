@@ -140,8 +140,9 @@ object Dedup {
     * stage after LSH): array_intersect/array_union on distinct shingles. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
+    // fused shingle kernel; table read twice (idA/idB attach) → persist
     val sh = corpus.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      distinctShinglesCol(col(textCol), shingleSize).as("sh")).persist()
     pairs
       .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
       .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
