@@ -19,6 +19,7 @@ object Registry {
     RelationalQueries.all,
     RelationalQueries2.all,
     RelationalQueries3.all,
+    RelationalQueries4.all,
     TextQueries.all,
     SimilarityQueries.all,
     PipelineQueries.all)
