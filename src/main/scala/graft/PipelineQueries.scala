@@ -23,8 +23,10 @@ object PipelineQueries {
     // counts + version histogram over parsed fields.
     Q("q50_pipeline_records",
       (spark, dir) => {
+        // the reference's integration workload: 100 files × 1,000 records
+        // per topic run (s3_files.py:25-26) — generated once, cached
         val fixture = "/tmp/graft-fixture-q50"
-        SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(20, 100))
+        SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(100, 1000))
         SnapshotJob.records(spark, fixture, LocalKeyService)
           .groupBy(col("topic"), col("record._version").as("version"))
           .agg(count(lit(1)).as("n_records"),

@@ -79,6 +79,7 @@ object RelationalQueries4 {
             reverse(col("p_name")).as("name_rev"),
             instr(col("p_name"), "a").as("first_a"),
             split_part(col("p_brand"), lit("#"), lit(2)).as("brand_id"),
+            levenshtein(col("p_type"), lit("STANDARD")).as("type_dist"),
             substring(col("p_name"), 1, 3).as("name_left"),
             col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("name_right"))
       },
@@ -88,6 +89,7 @@ object RelationalQueries4 {
              |reverse(p_name) AS name_rev,
              |CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
              |split_part(p_brand, '#', 2) AS brand_id,
+             |CAST(levenshtein(p_type, 'STANDARD') AS INT) AS type_dist,
              |left(p_name, 3) AS name_left,
              |right(p_name, 3) AS name_right
              |FROM part WHERE p_partkey % 19 = 0""".stripMargin)),

@@ -31,6 +31,21 @@ object EncryptedSnapshotSource {
     StructField("dataKeyEncryptionKeyId", StringType),
     StructField("cipherTextDataKey", StringType)))
 
+  /** S5: the no-op source — an empty relation with the ingest schema
+    * (reference: noOpReader profile, ContextConfiguration.kt:24-26).
+    * Zero-file collections flow through the identical plan and still
+    * produce Received status + success indicators. */
+  def empty(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("fileName", StringType), StructField("fullPath", StringType),
+        StructField("length", LongType), StructField("content", BinaryType),
+        StructField("iv", StringType),
+        StructField("dataKeyEncryptionKeyId", StringType),
+        StructField("cipherTextDataKey", StringType))))
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.enc")
