@@ -137,6 +137,31 @@ object PipelineQueries {
              |      FROM events GROUP BY user_id) g
              |GROUP BY 1""".stripMargin)),
 
+    // Backward as-of join (custom operator — Spark has no native ASOF):
+    // for every click, the latest prior purchase value per user. Oracle:
+    // DuckDB's native ASOF LEFT JOIN.
+    Q("q71_asof_join",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin
+          .asofBackward(clicks, purchases, Seq("user_id"), "ts", Seq("value"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("asof_value")).as("n_matched"),
+            round(sum(coalesce(col("asof_value"), lit(0.0))), 4).as("value_sum"))
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             |purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id, COUNT(*) AS n_clicks, COUNT(p.value) AS n_matched,
+             |ROUND(SUM(COALESCE(p.value, 0.0)), 4) AS value_sum
+             |FROM clicks c ASOF LEFT JOIN purchases p
+             |ON c.user_id = p.user_id AND p.ts <= c.ts
+             |GROUP BY c.user_id""".stripMargin)),
+
     // Structured Streaming surface: the events table replayed as a file
     // stream through the SAME windowed-agg transform as the batch form,
     // run to completion via the memory sink. Oracle: the batch equivalent

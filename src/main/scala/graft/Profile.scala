@@ -12,9 +12,28 @@ object Profile {
     r
   }
 
+  /** Fresh session built WITH GraftExtensions: the SQL-text surface of
+    * the native expressions must resolve without any register() call. */
+  private def runExtensionsProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val gz = java.util.Base64.getEncoder.encodeToString(
+      graft.functions.Crypto.gzip("hello graft".getBytes("UTF-8")))
+    val out = spark.sql(
+      s"SELECT decode(gunzip(unbase64('$gz')), 'UTF-8') AS s").head().getString(0)
+    println(s"[profile] extensions sql gunzip -> '$out'")
+    assert(out == "hello graft")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val target = args.headOption.getOrElse("minhash")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    if (target == "extensions") { runExtensionsProbe(); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
