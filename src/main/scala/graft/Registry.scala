@@ -20,6 +20,7 @@ object Registry {
     RelationalQueries2.all,
     RelationalQueries3.all,
     RelationalQueries4.all,
+    RelationalQueries5.all,
     TextQueries.all,
     SimilarityQueries.all,
     PipelineQueries.all)

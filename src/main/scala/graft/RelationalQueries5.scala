@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fifth relational batch: the remaining recognizable TPC-H shapes
+  * adapted to the available columns (EXISTS-correlated counting,
+  * single-pass selective aggregate, disjunctive multi-predicate join,
+  * anti-join + scalar-subquery combination). */
+object RelationalQueries5 {
+  import Registry.Q
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val all: Seq[Q] = Seq(
+    // TPC-H Q4 shape: priority counts for orders having at least one
+    // late lineitem (EXISTS → left-semi join).
+    Q("q72_priority_exists",
+      (spark, dir) => {
+        val o = Tables.load(spark, dir, "orders")
+        val li = Tables.load(spark, dir, "lineitem")
+        val lateKeys = li
+          .filter(year(col("l_shipdate")) >= 1999)
+          .select(col("l_orderkey"))
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .join(lateKeys, o("o_orderkey") === lateKeys("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |AND EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND year(l_shipdate) >= 1999)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q6 shape: the forecast-revenue-change single-pass aggregate
+    // (tight band predicates, no joins, pure scan+filter+agg).
+    Q("q73_forecast_revenue",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        li.filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+            .cast("double").as("revenue_delta"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+             |COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive bracketed predicates across the join
+    // (three OR'd conjunct groups — exercises predicate normalization).
+    Q("q74_disjunctive_join",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        val p = Tables.load(spark, dir, "part")
+        li.join(p, li("l_partkey") === p("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q22 shape: anti-join (customers with no orders) + scalar
+    // subquery (above-average balances), grouped by a derived code.
+    Q("q75_global_sales_opportunity",
+      (spark, dir) => {
+        val c = Tables.load(spark, dir, "customer")
+        val o = Tables.load(spark, dir, "orders")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("a")).head().getDouble(0)
+        val bigOrders = o.filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey"))
+        c.filter(col("c_acctbal") > avgBal)
+          .join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 5).as("code"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(money(col("c_acctbal"))).cast("double").as("total_bal"))
+      },
+      Some("""SELECT CAST(c_nationkey % 5 AS INT) AS code, COUNT(*) AS n_customers,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |AND NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |GROUP BY 1""".stripMargin)),
+  )
+}
