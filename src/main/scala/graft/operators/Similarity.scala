@@ -23,14 +23,17 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact cosine top-k: queries (small, broadcast) × corpus → window
-    * rank per query. Ties broken by corpus id for determinism. */
+    * rank per query. Ties broken by corpus id for determinism.
+    * Pair scoring uses the fused dot kernel — identical numerics to the
+    * expression form (sequential double accumulation over double-cast
+    * floats), proven by the DuckDB oracle staying bit-exact. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", sqrt(dotFast(col("qv"), col("qv"))))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nnorm", norm(col("nv")))
+      .withColumn("nnorm", sqrt(dotFast(col("nv"), col("nv"))))
     val pairs = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("sim", cosinePre(dot(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
+      .withColumn("sim", cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -109,7 +112,7 @@ object Similarity {
 
     val pairs = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosinePre(dot(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
+      .withColumn("sim", cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
