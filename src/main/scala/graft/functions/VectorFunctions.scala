@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector kernels as higher-order Column expressions (no UDF, no
+/** Embedding-vector kernels: higher-order Column expressions for the
+  * oracle-parity forms (dot/norm/cosine) plus fused JVM kernels (dotFast/
+  * normFast/srpSignature) for the hot paths — identical numerics (no
   * MLlib Vector boxing): dot/norm/cosine over ARRAY<FLOAT|DOUBLE>.
   *
   * Floats are cast to double *before* any arithmetic — float multiply then
@@ -68,19 +70,28 @@ object VectorFunctions {
     srpUdf(v, lit(planes), lit(seed))
   }
 
-  /** Pair-scoring dot product as one JVM pass (double accumulation over
-    * double-cast floats — same numerics as [[dot]]). For the candidate
-    * scoring hot path of the approximate (non-oracled) operators; the
-    * oracle-checked brute force keeps the expression form. */
-  def dotKernel(a: Seq[Float], b: Seq[Float]): Double = {
+  /** Pair-scoring dot product as one JVM pass — the hot-path form used by
+    * ALL the similarity operators (including the oracle-checked brute
+    * force: inputs are cast to ARRAY<DOUBLE> first, so float inputs see
+    * exactly the expression form's numerics — double-cast then sequential
+    * double accumulation — proven by the DuckDB oracle staying bit-exact).
+    *
+    * Null columns and mismatched lengths yield null (sorts last under the
+    * desc sim ordering, like the expression form); null *elements* are
+    * out of contract. */
+  def dotKernel(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    if (a == null || b == null || a.length != b.length) return None
     var acc = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    Some(acc)
   }
 
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => dotKernel(a, b))
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => dotKernel(a, b))
 
-  def dotFast(a: Column, b: Column): Column = dotUdf(a, b)
+  def dotFast(a: Column, b: Column): Column =
+    dotUdf(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Fused-kernel norm (companion of [[norm]]). */
+  def normFast(v: Column): Column = sqrt(dotFast(v, v))
 }

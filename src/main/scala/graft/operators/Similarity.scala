@@ -11,7 +11,7 @@ import graft.functions.VectorFunctions._
   * Three tiers:
   *  - [[bruteTopK]] — exact cosine top-k; the correctness baseline. The
   *    query side is broadcast, so the corpus is scanned once with no
-  *    shuffle of the corpus; per-pair work is one codegen'd dot product
+  *    shuffle of the corpus; per-pair work is one fused-kernel dot product
   *    (norms precomputed per row, not per pair).
   *  - [[srpTopK]] — signed-random-projection LSH: bucket on signature
   *    bands, exact rerank inside buckets. Corpus-side cost drops to the
@@ -24,14 +24,18 @@ object Similarity {
 
   /** Exact cosine top-k: queries (small, broadcast) × corpus → window
     * rank per query. Ties broken by corpus id for determinism.
-    * Pair scoring uses the fused dot kernel — identical numerics to the
-    * expression form (sequential double accumulation over double-cast
-    * floats), proven by the DuckDB oracle staying bit-exact. */
+    * Pair scoring uses the fused dot kernel (double-cast inputs → same
+    * numerics as the expression form, DuckDB-oracle bit-exact). Rows
+    * with zero-norm (or null) embeddings are excluded — a 0/0 sim is NaN,
+    * and Spark sorts NaN ABOVE every double, which would make a zero
+    * vector everybody's rank-1 neighbor. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qnorm", sqrt(dotFast(col("qv"), col("qv"))))
+      .withColumn("qnorm", normFast(col("qv")))
+      .filter(col("qnorm") > 0)
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nnorm", sqrt(dotFast(col("nv"), col("nv"))))
+      .withColumn("nnorm", normFast(col("nv")))
+      .filter(col("nnorm") > 0)
     val pairs = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("sim", cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
@@ -53,7 +57,7 @@ object Similarity {
     def base(df: DataFrame): DataFrame =
       df.select(col("vec_id").as("id"), col("embedding").as("v"),
         srpSignature(col("embedding"), planes, seed).as("sig"),
-        norm(col("embedding")).as("vnorm"))
+        normFast(col("embedding")).as("vnorm"))
     def banded(df: DataFrame, idAs: String): DataFrame =
       base(df).select(col("id").as(idAs),
         posexplode(buckets).as(Seq("band", "bucket")))
@@ -93,7 +97,7 @@ object Similarity {
     val assigned = model.transform(vecs)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("prediction").as("cell"))
-      .withColumn("nnorm", norm(col("nv")))
+      .withColumn("nnorm", normFast(col("nv")))
 
     // centroid table is tiny: broadcast to rank cells per query
     import spark.implicits._
@@ -101,7 +105,7 @@ object Similarity {
       .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", normFast(col("qv")))
     val wCell = Window.partitionBy(col("qid"))
       .orderBy(col("cellSim").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
@@ -136,7 +140,7 @@ object Similarity {
     // base is read twice (banding + vector attach) → persist the small table.
     val base = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
       srpSignature(col("embedding"), planes, seed).as("sig"),
-      norm(col("embedding")).as("vnorm")).persist()
+      normFast(col("embedding")).as("vnorm")).persist()
     val banded = base
       .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("idA"))

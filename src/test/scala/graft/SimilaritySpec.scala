@@ -41,6 +41,20 @@ class SimilaritySpec extends SparkSuite {
     assert(dups.filter(col("idB") === col("idA") + 10000L).count() == emb.count())
   }
 
+  test("zero-norm and null embeddings are excluded, not NaN-rank-1") {
+    val weird = Seq(
+      (9001L, Array.fill(64)(0.0f), 0),           // zero vector → NaN sim
+      (9002L, null.asInstanceOf[Array[Float]], 0) // null embedding
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = emb.unionByName(weird)
+    val top = Similarity.bruteTopK(queries, corpus, 5).cache()
+    // neither pathological row may appear as anyone's neighbor…
+    assert(top.filter(col("nid") >= 9000L).count() == 0)
+    // …no NaN sims leak out, and every query still gets k results
+    assert(top.filter(isnan(col("sim"))).count() == 0)
+    assert(top.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("multimodal decode: schema, partition batching, deterministic stub") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val decoded = Multimodal.decode(Multimodal.syntheticMedia(docs)).cache()
