@@ -56,7 +56,7 @@ object Delivery {
     Files.createDirectories(Paths.get(statusDir))
     val ds = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.finished").load(statusDir)
-      .select(element_at(split(col("path"), "/"), -1).as("markerName"))
+      .select(SnapshotPipeline.fileNameFromPath(col("path")).as("markerName"))
     ds.select(regexp_replace(col("markerName"), "\\.finished$", "")
       .as("finishedFileName"))
   }
@@ -70,15 +70,19 @@ object Delivery {
 
   /** A2: per-collection status decision
     * (DynamoDBExportStatusService.kt:113-141):
+    * blocked topic → Blocked_Topic (counts as ok in A3 — a run that
+    * skipped a blocklisted collection on purpose still completes);
     * exported>0 ∧ sent==exported → Sent; exported==0 → Received
     * (NO_FILES_EXPORTED path); else In_Progress.
     * `expected` = (topic, FilesExported) — the left join keeps zero-file
     * collections alive (SURVEY.md §7.3, zero-row groups). */
-  def collectionStatus(expected: DataFrame, sent: DataFrame): DataFrame =
+  def collectionStatus(expected: DataFrame, sent: DataFrame,
+      blockedTopics: Seq[String] = Nil): DataFrame =
     expected.join(sent, Seq("topic"), "left")
       .withColumn("FilesSent", coalesce(col("FilesSent"), lit(0L)))
       .withColumn("CollectionStatus",
-        when(col("FilesExported") === 0, "Received")
+        when(col("topic").isin(blockedTopics: _*), "Blocked_Topic")
+          .when(col("FilesExported") === 0, "Received")
           .when(col("FilesSent") === col("FilesExported"), "Sent")
           .otherwise("In_Progress"))
 
@@ -111,14 +115,19 @@ object Delivery {
       .filter(col("CollectionStatus") === "Received" ||
         (lit(sendForSent) && col("CollectionStatus") === "Sent"))
       .select(col("topic")).collect().map(_.getString(0)).toSeq
-    want.map { topic =>
-      // topic db.<database>.<collection> → _<database>_<collection>_successful.gz
-      val parts = topic.stripPrefix("db.").split("\\.", 2)
-      val name = s"_${parts(0)}_${parts(1)}_successful.gz"
-      val dir = Paths.get(outDir, topic)
-      Files.createDirectories(dir)
-      Files.write(dir.resolve(name), Crypto.emptyGzip)
-      name
+    want.flatMap { topic =>
+      // topic db.<database>.<collection> → _<database>_<collection>_successful.gz;
+      // the expected manifest is external input — a topic without a '.'
+      // can't form the name, skip it rather than AIOOBE mid-finalization
+      topic.stripPrefix("db.").split("\\.", 2) match {
+        case Array(db, coll) =>
+          val name = s"_${db}_${coll}_successful.gz"
+          val dir = Paths.get(outDir, topic)
+          Files.createDirectories(dir)
+          Files.write(dir.resolve(name), Crypto.emptyGzip)
+          Some(name)
+        case _ => None
+      }
     }
   }
 

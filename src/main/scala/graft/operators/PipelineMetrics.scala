@@ -61,11 +61,15 @@ object PipelineMetrics {
     c
   }
 
-  /** Scan-side counters (files seen / valid / quarantined / blocked). */
+  /** Scan-side counters (files seen / valid / quarantined / blocked).
+    * files_rejected mirrors SnapshotPipeline.quarantine's rule (bad
+    * grammar OR missing encryption metadata). */
   def observeScan(df: DataFrame, blocked: Seq[String]): DataFrame =
     df.observe("graft_scan",
       count(lit(1)).as("files_scanned"),
-      sum(when(col("database") === "", 1L).otherwise(0L)).as("files_rejected"),
+      sum(when(col("database") === "" || col("iv").isNull ||
+        col("dataKeyEncryptionKeyId").isNull || col("cipherTextDataKey").isNull,
+        1L).otherwise(0L)).as("files_rejected"),
       sum(when(col("topic").isin(blocked: _*), 1L).otherwise(0L))
         .as("files_blocked"),
       sum(col("length")).as("bytes_scanned"))

@@ -57,13 +57,19 @@ object SnapshotJob {
     // counts derived from the marker commit log, not from this run's rows:
     // re-runs and task retries stay exactly-once-observable.
     val sent = Delivery.sentCounts(Delivery.finishedMarkers(spark, statusDir))
-    val statuses = Delivery.collectionStatus(expected, sent)
+    // statuses are tiny but consumed by 4 actions → cache once
+    val statuses = Delivery
+      .collectionStatus(expected, sent, conf.blockedTopics).cache()
     Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
     conf.statusTable.foreach(dir =>
       Delivery.upsertStatuses(statuses, dir, conf.correlationId))
     val completion = Delivery.runCompletion(statuses, conf.correlationId)
 
-    RunResult(statuses, completion, rejected.count(), blockedRows.count())
+    // prune content before counting: binaryFile only reads the bytes if
+    // the content column is requested, so these are listing-only jobs
+    RunResult(statuses, completion,
+      rejected.select(col("fileName")).count(),
+      blockedRows.select(col("fileName")).count())
   }
 
   /** The analytics view over a snapshot directory: fully decrypted,

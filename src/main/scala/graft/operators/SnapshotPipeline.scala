@@ -20,6 +20,11 @@ object SnapshotPipeline {
     * non-capturing. */
   val topicPattern = "^(?:\\w+\\.)?([\\w-]+)\\.([\\w-]+)-\\d{3}-\\d{3}-\\d+\\.\\w+\\.\\w+$"
 
+  /** Shared name helpers — the scan side and the marker side MUST parse
+    * identically or the finished anti-join silently stops matching. */
+  def fileNameFromPath(path: Column): Column = element_at(split(path, "/"), -1)
+  def stripEnc(name: Column): Column = regexp_replace(name, "\\.enc$", "")
+
   /** M4 + F3: derive database/collection/topic from the filename; rows
     * that fail the grammar get database='' (use [[quarantine]] to split
     * them off instead of throwing — at 100 TB one bad key must not kill
@@ -29,7 +34,7 @@ object SnapshotPipeline {
     // sees the encrypted x.txt.gz.enc — the reference parses after the
     // decrypt rename (DecryptionProcessor.kt:38 then HttpWriter.kt:47),
     // so parse on the name with any `.enc` stripped.
-    val parsed = regexp_replace(col("fileName"), "\\.enc$", "")
+    val parsed = stripEnc(col("fileName"))
     val db = regexp_extract(parsed, topicPattern, 1)
     val coll = regexp_extract(parsed, topicPattern, 2)
     df.withColumn("database", db)
@@ -41,11 +46,15 @@ object SnapshotPipeline {
           .otherwise(lit("")), col("database"), lit("."), col("collection")))
   }
 
-  /** Splits (valid, rejected). The rejected side is the quarantine
-    * side-output standing in for the reference's rejected-files counter
-    * (MetricsConfiguration.kt:28-33). */
+  /** Splits (valid, rejected). Rejected = filename fails the grammar OR
+    * the encryption metadata is missing (orphan object without a sidecar /
+    * S3 user metadata — the reference throws DataKeyDecryptionException,
+    * S3DirectoryReader.kt:96-98; at 100 TB one orphan must quarantine, not
+    * NPE the key-resolution or silently vanish in the key join). */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val valid = col("database") =!= ""
+    val valid = col("database") =!= "" &&
+      col("iv").isNotNull && col("dataKeyEncryptionKeyId").isNotNull &&
+      col("cipherTextDataKey").isNotNull
     (df.filter(valid), df.filter(!valid))
   }
 
@@ -89,7 +98,7 @@ object SnapshotPipeline {
     df.withColumn("content",
         CryptoExpressions.aes_ctr_decrypt(col("content"), col("plaintextDataKey"), col("iv")))
       .withColumn("sourceFileName", col("fileName"))
-      .withColumn("fileName", regexp_replace(col("fileName"), "\\.enc$", ""))
+      .withColumn("fileName", stripEnc(col("fileName")))
   }
 
   /** M3: gunzip → UTF-8 → one row per JSON line. The per-record path after

@@ -52,11 +52,22 @@ object EncryptedSnapshotSource {
       .load(dir)
       .select(
         col("path").as("fullPath"),
-        element_at(split(col("path"), "/"), -1).as("fileName"),
+        graft.operators.SnapshotPipeline.fileNameFromPath(col("path")).as("fileName"),
         col("length"),
         col("content"))
-    val meta = spark.read.schema(metaSchema)
-      .json(s"$dir/*.meta.json")
-    files.join(broadcast(meta), Seq("fileName"), "left")
+    files.join(broadcast(readMeta(spark, dir)), Seq("fileName"), "left")
+  }
+
+  /** Sidecar metadata scan; a zero-match glob must mean "no metadata",
+    * not AnalysisException — a legitimately empty export (heartbeat run,
+    * zero-file collection) flows through to Received statuses. */
+  private def readMeta(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/*.meta.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+    if (matches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
+    else spark.read.schema(metaSchema).json(s"$dir/*.meta.json")
   }
 }

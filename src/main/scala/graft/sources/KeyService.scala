@@ -33,10 +33,19 @@ object Retry {
     while (i < attempts) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: OOM/interrupt must propagate immediately, not
+        // burn 5 sleep-backoff attempts masking a cancellation
+        case scala.util.control.NonFatal(e) =>
           last = e
           i += 1
-          if (i < attempts) { Thread.sleep(delay); delay = (delay * multiplier).toLong }
+          if (i < attempts) {
+            try Thread.sleep(delay)
+            catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt(); throw ie
+            }
+            delay = (delay * multiplier).toLong
+          }
       }
     }
     throw last

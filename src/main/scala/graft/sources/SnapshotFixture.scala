@@ -58,6 +58,12 @@ object SnapshotFixture {
     if (Files.exists(done) &&
         new String(Files.readAllBytes(done), StandardCharsets.UTF_8) == stamp)
       return root
+    // stamp mismatch: clear stale files from a previous configuration —
+    // shrinking a topic must not leave extra valid ciphertext behind
+    root.toFile.listFiles().foreach { f =>
+      if (f.getName.endsWith(".enc") || f.getName.endsWith(".meta.json") ||
+          f.getName == "_FIXTURE_COMPLETE") f.delete()
+    }
     topics.foreach { t =>
       val keyB64 = dataKeyB64(t.name)
       val cipherKeyB64 = LocalKeyService.encryptKey(defaultKeyId, keyB64)

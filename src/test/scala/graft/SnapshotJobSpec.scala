@@ -111,7 +111,7 @@ class SnapshotJobSpec extends SparkSuite {
     assert(st("db.core.claimant") == (("Sent", files.toLong)))
   }
 
-  test("blocked topics are split out, not delivered") {
+  test("blocked topics are split out, not delivered, and count as ok") {
     val (out, status) = freshDirs("blocked")
     val res = SnapshotJob.run(spark, fixtureDir, out, status, expectedDf,
       LocalKeyService,
@@ -120,7 +120,40 @@ class SnapshotJobSpec extends SparkSuite {
     assert(!Files.exists(Paths.get(out, "db.database.sent")))
     val st = res.statuses.filter(col("topic") === "db.database.sent")
       .select("CollectionStatus").as[String].head()
-    assert(st == "In_Progress") // 0 sent of 2 expected
+    // Blocked_Topic ∈ A3's ok-set: a run that skipped a blocklisted
+    // collection on purpose still completes (SURVEY.md A3)
+    assert(st == "Blocked_Topic")
+    assert(res.completion.select("completionStatus").as[String].head() ==
+      "COMPLETED_SUCCESSFULLY")
+  }
+
+  test("orphan object without a sidecar quarantines; run still completes") {
+    val orphanDir = Files.createTempDirectory("graft-orphan").toString
+    Paths.get(fixtureDir).toFile.listFiles().foreach { f =>
+      Files.copy(f.toPath, Paths.get(orphanDir, f.getName))
+    }
+    // valid grammar, valid ciphertext shape — but NO .meta.json sidecar
+    Files.write(Paths.get(orphanDir, "db.core.claimant-045-050-999999.txt.gz.enc"),
+      Array[Byte](1, 2, 3, 4))
+    val (out, status) = freshDirs("orphan")
+    val res = SnapshotJob.run(spark, orphanDir, out, status, expectedDf,
+      LocalKeyService)
+    assert(res.quarantined == 1)
+    val st = res.statuses.select("topic", "CollectionStatus")
+      .as[(String, String)].collect().toMap
+    assert(st("db.core.claimant") == "Sent") // the intact files all delivered
+  }
+
+  test("a directory with zero snapshot files flows to Received, not a crash") {
+    val emptyDir = Files.createTempDirectory("graft-empty-in").toString
+    val (out, status) = freshDirs("empty")
+    val res = SnapshotJob.run(spark, emptyDir, out, status,
+      Seq(("db.database.empty", 0L)).toDF("topic", "FilesExported"),
+      LocalKeyService)
+    val st = res.statuses.select("CollectionStatus").as[String].collect()
+    assert(st.toSeq == Seq("Received"))
+    assert(res.completion.select("completionStatus").as[String].head() ==
+      "COMPLETED_SUCCESSFULLY")
   }
 
   implicit private class TupleSeqOps(rows: Array[(String, String, Long)]) {

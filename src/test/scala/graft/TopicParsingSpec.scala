@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.SnapshotPipeline
 
@@ -50,6 +50,9 @@ class TopicParsingSpec extends SparkSuite {
       "db.core.claimant-45-50-1.txt.gz", // chunk fields not 3-digit
       "db.core.claimant-045-050-000001") // missing 2-part extension
     val df = bad.toDF("fileName")
+      .withColumn("iv", lit("aXY="))
+      .withColumn("dataKeyEncryptionKeyId", lit("k"))
+      .withColumn("cipherTextDataKey", lit("c"))
     val (valid, rejected) = SnapshotPipeline.quarantine(SnapshotPipeline.withTopic(df))
     assert(valid.count() == 0)
     assert(rejected.count() == bad.size)
