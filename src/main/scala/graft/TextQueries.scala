@@ -45,14 +45,14 @@ object TextQueries {
           .filter(col("doc_id") % 5 === 0)
       },
       Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
-             |CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+             |CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS INT) AS n_tokens,
              |ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
              |  / length(text), 6) AS alpha_ratio,
-             |ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE)
-             |  / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len,
-             |ROUND(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |ROUND(CAST(length(text) - (len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) - 1) AS DOUBLE)
+             |  / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), 6) AS avg_token_len,
+             |ROUND(CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
              |    t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS DOUBLE)
-             |  / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
+             |  / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), 6) AS stopword_ratio
              |FROM documents WHERE doc_id % 5 = 0""".stripMargin)),
 
     // Language-ID (stopword-marker argmax) vs the labeled lang column.
@@ -67,7 +67,7 @@ object TextQueries {
       Some {
         val score = (l: String) => {
           val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(",")
-          s"lpad(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($markers))) AS VARCHAR), 5, '0') || '$l'"
+          s"lpad(CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+'), t -> t IN ($markers))) AS VARCHAR), 5, '0') || '$l'"
         }
         val langs = TextFunctions.langMarkers.keys.toSeq.sorted
         s"""WITH scored AS (SELECT lang AS labeled,
@@ -90,7 +90,7 @@ object TextQueries {
       },
       Some("""SELECT source,
              |CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_lex_tokens,
-             |CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+             |CAST(SUM(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT) AS total_ws_tokens,
              |COUNT(*) AS n_docs
              |FROM documents GROUP BY source""".stripMargin)),
 
@@ -105,8 +105,8 @@ object TextQueries {
           .filter(col("doc_id") < 100)
       },
       Some("""WITH sh AS (SELECT doc_id,
-             |  list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
-             |    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) AS shingles
+             |  list_transform(range(1, len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) - 3 + 2),
+             |    i -> array_to_string((string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))[i:i+2], ' ')) AS shingles
              |  FROM documents WHERE doc_id < 100)
              |SELECT doc_id, CAST(len(shingles) AS INT) AS n_shingles,
              |  CAST(len(list_distinct(shingles)) AS INT) AS n_distinct_shingles
@@ -127,8 +127,8 @@ object TextQueries {
             round(max(col("jaccard")), 6).as("jaccard_max"))
       },
       Some("""WITH sh AS (SELECT doc_id,
-             |  list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 3 + 2),
-             |    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' '))) AS s
+             |  list_distinct(list_transform(range(1, len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) - 3 + 2),
+             |    i -> array_to_string((string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))[i:i+2], ' '))) AS s
              |  FROM documents WHERE doc_id < 40),
              |pairs AS (
              |  SELECT a.doc_id AS idA, b.doc_id AS idB,

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (matches DuckDB string_split_regex on trimmed
-    * input — leading/trailing whitespace must be trimmed first or both
-    * engines produce an empty leading token). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens. Strips ALL leading/trailing whitespace (not just
+    * spaces — `trim` alone leaves tabs/newlines, and a text starting with
+    * a separator then yields a spurious empty first token). Matches the
+    * JVM kernels' String.trim semantics and the DuckDB oracles (which use
+    * the same regexp strip). */
+  def tokens(text: Column): Column =
+    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
 
   /** BPE-ish lexer tokens: word runs or single non-space punctuation. */
   def lexTokens(text: Column): Column =
@@ -126,6 +129,7 @@ object TextFunctions {
     * costs per shingle (measured 4 s / 10k docs just for shingling);
     * this kernel is the hot-path form for the LSH operators. */
   def minhashFromText(text: String, shingleSize: Int, numHashes: Int): Array[Long] = {
+    if (text == null) return Array.fill(numHashes)(Long.MaxValue) // → filtered
     val words = text.trim.split("\\s+")
     if (words.length < shingleSize) return Array.fill(numHashes)(Long.MaxValue)
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -157,9 +161,11 @@ object TextFunctions {
     minhashTextUdf(text, lit(shingleSize), lit(numHashes))
 
   /** Fused tokenize→shingle→distinct in one JVM pass (the exact-Jaccard
-    * verification input; same output as
-    * array_distinct(wordShingles(text, n)) up to element order). */
+    * verification input; same element set as
+    * array_distinct(wordShingles(text, n)) — both strip all
+    * leading/trailing whitespace before splitting). */
   def distinctShingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
     val words = text.trim.split("\\s+")
     if (words.length < n) return Array.empty
     val seen = new java.util.LinkedHashSet[String]()
@@ -183,8 +189,10 @@ object TextFunctions {
   def distinctShinglesCol(text: Column, n: Int): Column =
     distinctShinglesUdf(text, lit(n))
 
-  /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes. */
+  /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes.
+    * Null token list (null text upstream) → 0L fingerprint. */
   def simhash64(toks: Seq[String]): Long = {
+    if (toks == null) return 0L
     val votes = new Array[Int](64)
     toks.foreach { t =>
       val h = fnv1a64(t)
@@ -205,27 +213,35 @@ object TextFunctions {
   def simhash(toks: Column): Column = simhashUdf(toks)
 
   /** Polynomial rolling-hash document fingerprint over normalized text
-    * (lowercase, collapsed whitespace) — base 257 mod 2^61-1. */
+    * (lowercase, collapsed whitespace) — base 257 mod p = 2^61-1.
+    * Mersenne reduction over the full 128-bit product (Math.multiplyHigh):
+    * 2^64 ≡ 8 (mod p), so hi·2^64 + lo ≡ 8·hi + (lo & p) + (lo >>> 61). */
   def rollingFingerprint(text: String): Long = {
+    if (text == null) return 0L
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
-    val mod = (1L << 61) - 1
     var h = 0L
     var i = 0
     while (i < norm.length) {
-      // (h * 257 + c) mod p without overflow: p < 2^61 so use Math.multiplyHigh-free
-      // path via BigInt-free split multiply
-      val prod = multiplyMod(h, 257L, mod)
-      h = (prod + norm.charAt(i)) % mod
+      h = addMod61(mulMod61(h, 257L), norm.charAt(i).toLong)
       i += 1
     }
     h
   }
 
-  private def multiplyMod(a: Long, b: Long, m: Long): Long = {
-    // a < 2^61, b small (257): a*b may exceed 2^63 → split a
-    val hi = a >>> 31
-    val lo = a & 0x7fffffffL
-    ((hi * b % m) * (1L << 31) % m + lo * b) % m
+  private val P61 = (1L << 61) - 1
+
+  private def addMod61(a: Long, b: Long): Long = {
+    val s = a + b // both < p < 2^61 → no overflow
+    if (s >= P61) s - P61 else s
+  }
+
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // a,b < 2^61 → product < 2^122 → hi < 2^58 → 8·hi < 2^61
+    var r = (lo & P61) + (lo >>> 61) + (hi << 3)
+    while (r >= P61) r -= P61
+    r
   }
 
   private val fingerprintUdf = udf((s: String) => rollingFingerprint(s))

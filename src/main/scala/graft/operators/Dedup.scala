@@ -43,6 +43,9 @@ object Dedup {
     val rows = numHashes / bands
     // fused tokenize→shingle→minhash kernel (one JVM pass per doc); the
     // sig table is read 3× below (banding + 2 re-attach joins) → persist.
+    // NOTE long-lived sessions: persisted tables are not unpersisted by
+    // the lazy API (the result must stay recomputable); callers doing many
+    // dedup passes should spark.catalog.clearCache() between batches.
     // sig(0)=MaxValue ⇔ the doc had < shingleSize words: drop those (two
     // shingle-less docs would otherwise pair up with est_jaccard 1).
     val sigs = df.select(col(idCol).as("id"),
@@ -87,11 +90,13 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
+    // JVM shifts are mod 64: maxHamming=0 → blockBits=64 → (1L<<64)-1
+    // would be 0, degenerating every bucket to 0 (all-pairs join)
+    val mask = if (blockBits >= 64) -1L else (1L << blockBits) - 1
     val fps = df.select(col(idCol).as("id"),
       simhash(tokens(lower(col(textCol)))).as("fp"))
     val blockVals = array((0 until nBlocks).map(b =>
-      shiftrightunsigned(col("fp"), b * blockBits)
-        .bitwiseAND(lit((1L << blockBits) - 1))): _*)
+      shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))): _*)
     val blocked = fps.select(col("id"), col("fp"),
       posexplode(blockVals).as(Seq("block", "blockVal")))
     val a = blocked.select(col("block"), col("blockVal"),

@@ -49,6 +49,20 @@ object Delivery {
       }
   }
 
+  /** Quarantine side-channel: one `.quarantined` marker per rejected file
+    * (streaming mode needs this — the source checkpoint consumes objects
+    * exactly once, so an unrecorded rejection would be silent data loss). */
+  def writeQuarantineMarkers(rejected: DataFrame, statusDir: String): Unit =
+    rejected.select(col("fileName")).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val st = Paths.get(statusDir)
+          Files.createDirectories(st)
+          Files.write(st.resolve(s"${r.getString(0)}.quarantined"),
+            s"Quarantined ${r.getString(0)}".getBytes(StandardCharsets.UTF_8))
+        }
+    }
+
   /** Scan of the `.finished` marker prefix → one row per already-delivered
     * file (feeds SnapshotPipeline.filterFinished and sentCounts). Uses the
     * file *index* only — no content read. */

@@ -61,14 +61,14 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Frame/sample selection: for "video", keep every nth byte-window as a
-    * frame row (the explode pattern a real frame sampler uses). */
+  /** Frame/sample selection: for "video", one row per sampled frame —
+    * frame_no = k·everyN for k in [0, bytes/everyN) (the explode pattern
+    * a real frame sampler uses). Zero-byte media emit no frames. */
   def sampleFrames(decoded: Dataset[DecodedRow], everyN: Int = 4): DataFrame =
     decoded.toDF()
-      .filter(col("media_type") === "video/mp4")
-      .withColumn("frame_no",
-        explode(sequence(lit(0), greatest(
-          (col("meta.bytes") / everyN).cast("int") - 1, lit(0)))))
-      .filter(col("frame_no") % everyN === 0)
-      .select(col("doc_id"), col("frame_no"), col("meta.width"), col("meta.height"))
+      .filter(col("media_type") === "video/mp4" && col("meta.bytes") >= everyN)
+      .withColumn("k",
+        explode(sequence(lit(0), (col("meta.bytes") / everyN).cast("int") - 1)))
+      .select(col("doc_id"), (col("k") * everyN).as("frame_no"),
+        col("meta.width"), col("meta.height"))
 }

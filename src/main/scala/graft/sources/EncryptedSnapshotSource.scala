@@ -60,8 +60,9 @@ object EncryptedSnapshotSource {
 
   /** Sidecar metadata scan; a zero-match glob must mean "no metadata",
     * not AnalysisException — a legitimately empty export (heartbeat run,
-    * zero-file collection) flows through to Received statuses. */
-  private def readMeta(spark: SparkSession, dir: String): DataFrame = {
+    * zero-file collection) flows through to Received statuses. Public:
+    * the streaming ingest re-reads this per micro-batch. */
+  def readMeta(spark: SparkSession, dir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/*.meta.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)

@@ -24,9 +24,12 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
 
   /** Streaming file-dedup — the F1 anti-join as a stream: `dropDuplicates`
-    * over the file key with state retained behind a watermark. On a file
-    * stream this is exactly "skip objects already delivered", with the
-    * checkpoint playing the role of the `.finished` marker prefix. */
+    * over the file key. State is one entry per distinct key and is NOT
+    * watermark-evicted (the watermarked ts column is not in the key set) —
+    * for file-identity dedup that is the contract: the state mirrors the
+    * `.finished` marker prefix, which also grows with delivered files.
+    * When keys are time-local and bounded state matters more than exact
+    * dedup, `dropDuplicatesWithinWatermark(keyCol)` is the alternative. */
   def dedupeByKey(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
     df.withWatermark(tsCol, "1 hour").dropDuplicates(keyCol)
 
@@ -35,7 +38,15 @@ object EventStream {
 
   /** Stateful sessionization with mapGroupsWithState — the custom-state
     * form of q24's gaps-and-islands (30-minute gap = new session). Update
-    * mode: emits the running per-user (events, sessions) after each batch. */
+    * mode: emits the running per-user (events, sessions) after each batch.
+    *
+    * Events are sorted WITHIN a batch; an event arriving in a LATER batch
+    * with an earlier timestamp (file order ≠ time order) is counted into
+    * the current session and never rewinds lastMs — exact cross-batch
+    * ordering needs event-time buffering (flatMapGroupsWithState with an
+    * event-time timeout + watermark), which this deliberately trades away
+    * for O(1) state. Batch parity holds whenever a user's events land
+    * time-ordered across batches (always true for single-batch replays). */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessionUpdate] = {
     import spark.implicits._
@@ -50,7 +61,7 @@ object EventStream {
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           sorted.foreach { ms =>
             val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
-            st = SessionState(st.count + 1, ms,
+            st = SessionState(st.count + 1, math.max(st.lastMs, ms),
               st.sessions + (if (newSession) 1 else 0))
           }
           state.update(st)

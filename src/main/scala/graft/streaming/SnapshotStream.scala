@@ -36,20 +36,26 @@ object SnapshotStream {
       .schema(spark.read.format("binaryFile").load(inputDir).schema)
       .load(inputDir)
 
-    val meta = spark.read.schema(EncryptedSnapshotSource.metaSchema)
-      .json(s"$inputDir/*.meta.json")
-
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions._
+        // meta re-read PER BATCH (zero-match-safe): a sidecar that landed
+        // after the stream started is still picked up for later objects
+        val meta = EncryptedSnapshotSource.readMeta(spark, inputDir)
         val files = batch.select(
           col("path").as("fullPath"),
-          element_at(split(col("path"), "/"), -1).as("fileName"),
+          SnapshotPipeline.fileNameFromPath(col("path")).as("fileName"),
           col("length"), col("content"))
           .join(broadcast(meta), Seq("fileName"), "left")
-        val (valid, _) = quarantine(withTopic(files))
+        val (valid, rejected) = quarantine(withTopic(files))
+        // the file-source checkpoint consumes each object exactly once, so
+        // a quarantined object (e.g. sidecar not yet uploaded) would be
+        // lost SILENTLY — record a .quarantined marker so operators can
+        // recover it with a batch re-run (no .finished marker exists, so
+        // the batch anti-join will pick it up).
+        Delivery.writeQuarantineMarkers(rejected, statusDir)
         val (allowed, _) = splitBlockedTopics(valid, conf.blockedTopics)
         val ready = nifiHeaders(decrypt(resolveKeys(allowed, keys)), conf)
         Delivery.deliver(ready, outDir, statusDir)
