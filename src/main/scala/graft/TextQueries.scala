@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, DedupGroups, TfIdf}
 
 /** Text-analysis + dedup operators over the `documents` table
   * (LLM-data-pipeline surface; SURVEY.md §2.6).
@@ -168,6 +168,56 @@ object TextQueries {
           sum(when(col("doc_id") >= 10000L, 1L).otherwise(0L)).as("n_copies"))
       },
       None), // survivors proven in SnapshotStreamSpec; copies must all drop
+
+    // TF-IDF sparse cosine top-3 via the inverted-index (posting-list)
+    // join — no dense vectors, docs pair only through shared terms.
+    Q("q76_tfidf_topk",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        TfIdf.topK(TfIdf.weights(d, "doc_id", "text"), 3)
+          .filter(col("qid") < 30)
+          .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"),
+            col("rank"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS id,
+             |    unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
+             |       WHERE length(term) > 0 GROUP BY 1, 2),
+             |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |w AS (SELECT id, tf.term,
+             |        tf * (ln((n.n + 1.0) / (df + 1)) + 1) AS tfidf
+             |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             |norms AS (SELECT id, sqrt(SUM(tfidf * tfidf)) AS norm FROM w GROUP BY id),
+             |dots AS (
+             |  SELECT a.id AS idA, b.id AS idB, SUM(a.tfidf * b.tfidf) AS dot
+             |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             |  GROUP BY 1, 2),
+             |sims AS (
+             |  SELECT idA, idB, dot / (na.norm * nb.norm) AS sim
+             |  FROM dots JOIN norms na ON na.id = idA JOIN norms nb ON nb.id = idB),
+             |sym AS (
+             |  SELECT idA AS qid, idB AS nid, sim FROM sims
+             |  UNION ALL SELECT idB, idA, sim FROM sims),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |  FROM sym)
+             |SELECT qid, nid, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3 AND qid < 30""".stripMargin)),
+
+    // Transitive dedup groups: connected components over the verified
+    // near-dup graph (A~B, B~C → one group even without an A~C pair).
+    Q("q77_dedup_groups",
+      (spark, dir) => {
+        val kept = DedupGroups.dedupeTransitive(
+          doubled(spark, dir), "doc_id", "text")
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(when(col("doc_id") < 10000L, 1L).otherwise(0L)).as("n_originals"))
+      },
+      None), // closure semantics proven in TfIdfSpec
 
     // Rolling-hash document fingerprint (whitespace-insensitive exact dedup).
     Q("q38_fingerprint",

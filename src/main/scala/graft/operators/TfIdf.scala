@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** TF-IDF term weighting and sparse cosine similarity — the classic
+  * retrieval stack as pure DataFrame algebra (no MLlib vectors).
+  *
+  * Shapes for scale:
+  *  - term frequencies: explode(tokens) → groupBy(doc, term) — one
+  *    shuffle on (doc, term), combiner-friendly;
+  *  - document frequencies: groupBy(term) over distinct (doc, term) —
+  *    small output (vocabulary);
+  *  - similarity: the sparse dot product joins on TERM (posting-list
+  *    join) so only documents sharing a term ever pair up — the
+  *    inverted-index shape, no dense vectors, no all-pairs product.
+  */
+object TfIdf {
+
+  /** (id, term, tf, df, tfidf) — smoothed idf = ln((N+1)/(df+1)) + 1. */
+  def weights(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = corpus.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = corpus.count()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n.toDouble) + 1) / (col("df") + 1)) + 1))
+  }
+
+  /** Sparse cosine similarity for all document pairs sharing ≥1 term:
+    * posting-list self-join on term, dot = Σ tfidf_a·tfidf_b, norms
+    * precomputed per doc. Returns (idA, idB, sim) with idA < idB. */
+  def pairSimilarity(weightsDf: DataFrame): DataFrame = {
+    val norms = weightsDf.groupBy(col("id"))
+      .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("norm"))
+    val a = weightsDf.select(col("term"), col("id").as("idA"),
+      col("tfidf").as("wA"))
+    val b = weightsDf.select(col("term"), col("id").as("idB"),
+      col("tfidf").as("wB"))
+    a.join(b, Seq("term"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(sum(col("wA") * col("wB")).as("dot"))
+      .join(norms.select(col("id").as("idA"), col("norm").as("normA")), Seq("idA"))
+      .join(norms.select(col("id").as("idB"), col("norm").as("normB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        (col("dot") / (col("normA") * col("normB"))).as("sim"))
+  }
+
+  /** Top-k most similar docs per query doc (sparse, inverted-index path). */
+  def topK(weightsDf: DataFrame, k: Int): DataFrame = {
+    val sims = pairSimilarity(weightsDf)
+    // symmetrize so every doc sees its neighbors regardless of id order
+    val sym = sims.select(col("idA").as("qid"), col("idB").as("nid"), col("sim"))
+      .unionAll(sims.select(col("idB").as("qid"), col("idA").as("nid"), col("sim")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupGroups, TfIdf}
+
+class TfIdfSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tf-idf: rare terms outweigh common ones; self-similarity is 1") {
+    val docs = Seq(
+      (1L, "spark spark spark zebra"),
+      (2L, "spark flink"),
+      (3L, "spark beam"),
+      (4L, "spark flink beam")).toDF("doc_id", "text")
+    val w = TfIdf.weights(docs, "doc_id", "text").cache()
+    val byTerm = w.filter(col("id") === 1L)
+      .select(col("term"), col("tfidf")).as[(String, Double)].collect().toMap
+    // zebra appears in 1/4 docs, spark in 4/4 — idf must rank zebra higher
+    // per-occurrence; doc 1 has tf(spark)=3 so compare unit weights
+    assert(byTerm("zebra") > byTerm("spark") / 3)
+    // identical docs → cosine 1
+    val twin = Seq((10L, "alpha beta gamma"), (11L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val sim = TfIdf.pairSimilarity(TfIdf.weights(twin, "doc_id", "text"))
+      .select("sim").as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-9)
+  }
+
+  test("tf-idf topK only pairs docs sharing a term (inverted-index shape)") {
+    val docs = Seq(
+      (1L, "apples oranges"),
+      (2L, "oranges pears"),
+      (3L, "cars trucks")).toDF("doc_id", "text")
+    val top = TfIdf.topK(TfIdf.weights(docs, "doc_id", "text"), 5)
+    val qids = top.select("qid").as[Long].collect().toSet
+    assert(!qids.contains(3L)) // no shared terms → no candidate pairs at all
+    assert(top.filter(col("qid") === 1L).select("nid").as[Long].collect()
+      .toSet == Set(2L))
+  }
+
+  test("connected components: A~B, B~C land in one group with min-id label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val groups = DedupGroups.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+  }
+
+  test("transitive dedup collapses chains the greedy rule also catches, plus closure") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents").limit(50)
+    // chain: original → copy → copy-of-copy (one extra token each)
+    val c1 = docs.withColumn("doc_id", col("doc_id") + 1000L)
+      .withColumn("text", concat(col("text"), lit(" aaa")))
+    val c2 = docs.withColumn("doc_id", col("doc_id") + 2000L)
+      .withColumn("text", concat(col("text"), lit(" aaa bbb")))
+    val corpus = docs.unionByName(c1).unionByName(c2)
+    val kept = DedupGroups.dedupeTransitive(corpus, "doc_id", "text", 0.7)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    // every chain collapses to its original (others transitively linked)
+    assert(ids.count(_ >= 1000L) < 20,
+      s"${ids.count(_ >= 1000L)} chain copies survived")
+    assert((0L until 50L).toSet.subsetOf(ids) ||
+      ids.intersect((0L until 50L).toSet).size >= 45)
+  }
+}
