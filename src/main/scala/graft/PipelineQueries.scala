@@ -162,6 +162,29 @@ object PipelineQueries {
              |ON c.user_id = p.user_id AND p.ts <= c.ts
              |GROUP BY c.user_id""".stripMargin)),
 
+    // The stream-stream attribution join's batch form, oracled: purchases
+    // matched to the clicks that preceded them by ≤30 min per user.
+    Q("q78_purchase_attribution",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val joined = EventStream.purchaseAttribution(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"))
+        joined.groupBy(col("user_id"))
+          .agg(countDistinct(col("purchase_id")).as("attributed_purchases"),
+            count(lit(1)).as("click_purchase_pairs"),
+            round(sum(col("value")), 4).as("attributed_value"))
+      },
+      Some("""SELECT p.user_id AS user_id,
+             |COUNT(DISTINCT p.event_id) AS attributed_purchases,
+             |COUNT(*) AS click_purchase_pairs,
+             |ROUND(SUM(p.value), 4) AS attributed_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ON c.user_id = p.user_id AND c.ts <= p.ts
+             |AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             |GROUP BY p.user_id""".stripMargin)),
+
     // Structured Streaming surface: the events table replayed as a file
     // stream through the SAME windowed-agg transform as the batch form,
     // run to completion via the memory sink. Oracle: the batch equivalent

@@ -101,5 +101,72 @@ object RelationalQueries5 {
              |AND NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |GROUP BY 1""".stripMargin)),
+    // TPC-H Q21 shape: multi-EXISTS — suppliers whose lineitems are the
+    // only late ones in multi-supplier orders (EXISTS other supplier,
+    // NOT EXISTS other late supplier).
+    Q("q79_multi_exists",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        val s = Tables.load(spark, dir, "supplier")
+        val late = li.filter(year(col("l_shipdate")) >= 2000)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        late
+          .join(others, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .join(s, col("l_suppkey") === s("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM (SELECT l_orderkey, l_suppkey FROM lineitem WHERE year(l_shipdate) >= 2000) l1
+             |JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |    AND year(l3.l_shipdate) >= 2000)
+             |GROUP BY s_name""".stripMargin)),
+
+    // TPC-H Q2 shape: correlated min — suppliers offering their nation's
+    // cheapest part price (min over a correlated group, join back).
+    Q("q80_min_cost_supplier",
+      (spark, dir) => {
+        val s = Tables.load(spark, dir, "supplier")
+        val minBal = s.groupBy(col("s_nationkey")).agg(min(col("s_acctbal")).as("mn"))
+        s.join(minBal, Seq("s_nationkey"))
+          .filter(col("s_acctbal") === col("mn"))
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+             |FROM supplier s1
+             |WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM supplier s2
+             |                   WHERE s2.s_nationkey = s1.s_nationkey)""".stripMargin)),
+
+    // RANGE window frame: running revenue over a VALUE range (all peers
+    // within 5000 of the current price), distinct from q13's ROWS frame.
+    Q("q81_range_frame",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.load(spark, dir, "orders")
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-5000L, 0L)
+        o.filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_in_band"),
+            round(max(col("o_totalprice")).over(w) - min(col("o_totalprice")).over(w), 2)
+              .as("band_spread"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |COUNT(*) OVER w AS n_in_band,
+             |ROUND(MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w, 2) AS band_spread
+             |FROM orders WHERE o_orderkey % 37 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)""".stripMargin)),
   )
 }

@@ -69,6 +69,27 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: purchases joined to the clicks that
+    * preceded them by ≤ `windowMinutes` for the same user. Both sides are
+    * watermarked so the join state is bounded: a buffered click can be
+    * dropped once the purchase-side watermark passes click.ts + window
+    * (Spark derives the state horizon from the interval condition).
+    * Works on batch frames too (same function, batch parity testable). */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id").as("click_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .drop("click_user")
+  }
+
   /** Runs a streaming query over a parquet directory to completion using
     * the memory sink (the local harness for streaming parity tests).
     * @return the collected result table */

@@ -54,6 +54,28 @@ class StreamingSpec extends SparkSuite {
     assert(deduped.count() == batchDistinct)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val batchEvents = spark.read.parquet(eventsDir)
+    def clicksOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+    def purchasesOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+
+    val streamed = EventStream.runToCompletion(spark, eventsDir,
+      df => EventStream.purchaseAttribution(clicksOf(df), purchasesOf(df)),
+      OutputMode.Append, "attribution")
+      .select("purchase_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    val batch = EventStream.purchaseAttribution(
+        clicksOf(batchEvents), purchasesOf(batchEvents))
+      .select("purchase_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // inner stream-stream join emits matches as both sides arrive; with a
+    // single replay batch every batch pair must be emitted and no extras
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization == batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
     val sessions = EventStream.runToCompletion(spark, eventsDir,
