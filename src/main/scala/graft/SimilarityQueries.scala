@@ -85,6 +85,21 @@ object SimilarityQueries {
       },
       None),
 
+    // Product quantization: 64-dim float vectors → 8-int codes (32×
+    // compression), ADC top-10 over the compressed index only.
+    Q("q46_pq_adc_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val model = graft.operators.ProductQuantization.train(e)
+        val index = graft.operators.ProductQuantization.encode(e, model)
+        graft.operators.ProductQuantization
+          .adcTopK(e.filter(col("vec_id") < 20), index, model, 10)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_results"),
+            round(max(col("approx_dot")), 4).as("best_approx_dot"))
+      },
+      None), // KMeans codebooks are engine-specific; recall bounds in PQSpec
+
     // Multimodal plumbing: binary media column → per-partition decode
     // (stubbed kernel) → typed metadata + features → aggregate.
     Q("q45_multimodal_decode",

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression + ANN.
+  *
+  * The 100 TB memory story: a d-dim float vector (d·4 bytes) compresses
+  * to m bytes — one codebook index per subspace (m subspaces of d/m dims,
+  * k=256-max centroids each; here k≤16 for the tiny test corpus). At
+  * d=64, m=8 that is 256 B → 8 B per vector, 32×. Scoring is asymmetric
+  * distance computation (ADC): per query, precompute an m×k table of
+  * subvector dot products against every centroid; a corpus vector's
+  * approximate dot is then m table lookups on its code — no float vector
+  * is ever touched at scan time.
+  *
+  * Codebooks are trained per subspace with KMeans on a sample
+  * (deterministic seed), broadcast everywhere; encode is one narrow pass.
+  */
+object ProductQuantization {
+
+  /** codebooks(sub)(centroid) = centroid subvector */
+  final case class PQModel(m: Int, subDim: Int,
+      codebooks: Array[Array[Array[Float]]]) extends Serializable
+
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      seed: Long = 42L): PQModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { s =>
+      val sub = corpus.select(array_to_vector(
+        slice(col("embedding"), s * subDim + 1, subDim)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
+        .fit(sub)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    PQModel(m, subDim, codebooks)
+  }
+
+  /** Nearest centroid per subspace → m-byte code (as Array[Int] for
+    * Spark-friendliness; values < k ≤ 256). */
+  def encodeKernel(v: Seq[Float], model: PQModel): Array[Int] = {
+    val code = new Array[Int](model.m)
+    var s = 0
+    while (s < model.m) {
+      val cb = model.codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var i = 0
+        while (i < model.subDim) {
+          val diff = v(s * model.subDim + i) - cb(c)(i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(s) = best
+      s += 1
+    }
+    code
+  }
+
+  /** ADC: query's per-subspace dot-product table, then approximate
+    * dot(query, corpus) = Σ_s table(s)(code(s)). */
+  def adcTable(q: Seq[Float], model: PQModel): Array[Array[Double]] =
+    Array.tabulate(model.m) { s =>
+      model.codebooks(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < model.subDim) {
+          d += q(s * model.subDim + i).toDouble * c(i); i += 1
+        }
+        d
+      }
+    }
+
+  /** Encode a corpus: (vec_id, code ARRAY<INT>) — the compressed index. */
+  def encode(corpus: DataFrame, model: PQModel): DataFrame = {
+    val enc = udf((v: Seq[Float]) => encodeKernel(v, model))
+    corpus.select(col("vec_id"), enc(col("embedding")).as("code"))
+  }
+
+  /** Approximate top-k by ADC over the compressed index: queries are
+    * collected (small side), their ADC tables broadcast via the UDF
+    * closure; the corpus side touches ONLY the m-int codes. */
+  def adcTopK(queries: DataFrame, index: DataFrame, model: PQModel,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val tables = qRows.map { case (qid, v) => (qid, adcTable(v, model)) }
+    val score = udf((code: Seq[Int], qIdx: Int) => {
+      val t = tables(qIdx)._2
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += t(i)(code(i)); i += 1 }
+      s
+    })
+    val qIds = tables.zipWithIndex.map { case ((qid, _), i) => (qid, i) }
+      .toSeq.toDF("qid", "qIdx")
+    val scored = index.crossJoin(broadcast(qIds))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx_dot", score(col("code"), col("qIdx")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(col("approx_dot"), 6).as("approx_dot"), col("rank"))
+  }
+}

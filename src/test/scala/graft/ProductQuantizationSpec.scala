@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ProductQuantization, Similarity}
+
+class ProductQuantizationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+  private lazy val model = ProductQuantization.train(emb)
+
+  test("codes are m ints in [0, k); 32x smaller than the float vectors") {
+    val index = ProductQuantization.encode(emb, model).cache()
+    assert(index.count() == emb.count())
+    val bad = index.filter(exists(col("code"),
+      c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    val m = index.select(size(col("code"))).head().getInt(0)
+    assert(m == 8) // 8 bytes-worth of codes vs 64 floats = 32x
+  }
+
+  test("ADC top-10 recalls a substantial share of exact top-10") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = ProductQuantization.encode(emb, model)
+    val approx = ProductQuantization.adcTopK(queries, index, model, 10)
+      .select(col("qid"), col("nid"))
+    val exact = Similarity.bruteTopK(queries, emb, 10)
+      .select(col("qid"), col("nid"))
+    val hit = exact.join(approx, Seq("qid", "nid")).count().toDouble
+    val recall = hit / exact.count()
+    // 16-cell codebooks on random 64-dim data are coarse; chance level is
+    // 10/499 ≈ 0.02 — require an order of magnitude above it
+    assert(recall >= 0.2, s"recall@10 = $recall")
+  }
+
+  test("an exact duplicate vector gets the identical code") {
+    val dup = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(90000L))
+    val index = ProductQuantization.encode(emb.unionByName(dup), model)
+    val codes = index.filter(col("vec_id").isin(0L, 90000L))
+      .select("code").as[Seq[Int]].collect()
+    assert(codes.length == 2 && codes(0) == codes(1))
+  }
+}
