@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
 object DedupGroups {
 
   /** @param pairs (idA, idB) candidate/verified duplicate pairs
+    * @param maxIter safety cap; min-label propagation needs ~diameter
+    *        iterations (near-clique dup clusters: 2-3; a CHAIN of k edits
+    *        needs k). Hitting the cap without convergence logs a warning —
+    *        the result then over-keeps (components split), never
+    *        over-drops.
     * @return (id, groupId) for every id that appears in a pair; groupId =
     *         min id of its connected component */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .unionAll(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct()
@@ -48,19 +53,31 @@ object DedupGroups {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[DedupGroups] label propagation hit maxIter=$maxIter " +
+        "without converging — components may be split (over-kept, never over-dropped)")
     edges.unpersist()
     labels.withColumnRenamed("label", "groupId")
   }
 
-  /** Full closure dedup: groups from the verified pair graph; survivors =
-    * every unpaired doc + one keeper (min id) per group. */
+  /** Full closure dedup: groups from the verified near-dup pair graph
+    * UNION the exact-hash pair graph (LSH filters shingle-less short
+    * docs, so exact duplicates below shingleSize words would otherwise
+    * escape the closure); survivors = every unpaired doc + one keeper
+    * (min id) per group. */
   def dedupeTransitive(df: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.8): DataFrame = {
-    val verified = Dedup.ngramJaccard(
+      jaccardThreshold: Double = 0.8, maxIter: Int = 25): DataFrame = {
+    val near = Dedup.ngramJaccard(
         Dedup.minhashLshPairs(df, idCol, textCol), df, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("idA"), col("idB"))
-    val groups = connectedComponents(verified)
+    val exact = df
+      .select(sha2(col(textCol), 256).as("h"), col(idCol).as("id"))
+      .groupBy(col("h")).agg(min(col("id")).as("idA"),
+        collect_list(col("id")).as("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") =!= col("idB"))
+    val groups = connectedComponents(near.unionByName(exact), maxIter)
     val drops = groups.filter(col("id") =!= col("groupId"))
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")

@@ -24,27 +24,40 @@ object ProductQuantization {
   final case class PQModel(m: Int, subDim: Int,
       codebooks: Array[Array[Array[Float]]]) extends Serializable
 
+  /** Trains on a deterministic hash-sample capped at ~`maxTrainRows`
+    * vectors (codebook quality saturates long before the corpus does);
+    * the sampled projection is persisted once and sliced per subspace —
+    * m KMeans fits but ONE pass over the source data. */
   def train(corpus: DataFrame, m: Int = 8, k: Int = 16,
-      seed: Long = 42L): PQModel = {
+      seed: Long = 42L, maxTrainRows: Long = 100000L): PQModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val total = corpus.count()
+    val every = math.max(1L, total / maxTrainRows)
+    val sample = corpus
+      .filter(col("embedding").isNotNull &&
+        pmod(hash(col("vec_id")), lit(every)) === 0)
+      .select(col("embedding")).persist()
+    val dim = sample.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val codebooks = (0 until m).map { s =>
-      val sub = corpus.select(array_to_vector(
+      val sub = sample.select(array_to_vector(
         slice(col("embedding"), s * subDim + 1, subDim)).as("features"))
       val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
         .fit(sub)
       model.clusterCenters.map(_.toArray.map(_.toFloat))
     }.toArray
+    sample.unpersist()
     PQModel(m, subDim, codebooks)
   }
 
   /** Nearest centroid per subspace → m-byte code (as Array[Int] for
-    * Spark-friendliness; values < k ≤ 256). */
+    * Spark-friendliness; values < k ≤ 256). Null / wrong-dim vectors →
+    * null code (dropped by [[encode]] — one bad row must not kill the
+    * index build). */
   def encodeKernel(v: Seq[Float], model: PQModel): Array[Int] = {
+    if (v == null || v.length != model.m * model.subDim) return null
     val code = new Array[Int](model.m)
     var s = 0
     while (s < model.m) {
@@ -79,10 +92,12 @@ object ProductQuantization {
       }
     }
 
-  /** Encode a corpus: (vec_id, code ARRAY<INT>) — the compressed index. */
+  /** Encode a corpus: (vec_id, code ARRAY<INT>) — the compressed index.
+    * Rows with null/malformed embeddings are dropped. */
   def encode(corpus: DataFrame, model: PQModel): DataFrame = {
-    val enc = udf((v: Seq[Float]) => encodeKernel(v, model))
+    val enc = udf((v: Seq[Float]) => Option(encodeKernel(v, model)))
     corpus.select(col("vec_id"), enc(col("embedding")).as("code"))
+      .filter(col("code").isNotNull)
   }
 
   /** Approximate top-k by ADC over the compressed index: queries are
@@ -94,6 +109,7 @@ object ProductQuantization {
     import spark.implicits._
     val qRows = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v != null && v.length == model.m * model.subDim }
     val tables = qRows.map { case (qid, v) => (qid, adcTable(v, model)) }
     val score = udf((code: Seq[Int], qIdx: Int) => {
       val t = tables(qIdx)._2

@@ -36,8 +36,11 @@ object TfIdf {
 
   /** Sparse cosine similarity for all document pairs sharing ≥1 term:
     * posting-list self-join on term, dot = Σ tfidf_a·tfidf_b, norms
-    * precomputed per doc. Returns (idA, idB, sim) with idA < idB. */
-  def pairSimilarity(weightsDf: DataFrame): DataFrame = {
+    * precomputed per doc. Returns (idA, idB, sim) with idA < idB.
+    * The weights plan is read three times (norms + both join sides) →
+    * persisted here; long-lived sessions see Dedup's clearCache note. */
+  def pairSimilarity(weightsDf0: DataFrame): DataFrame = {
+    val weightsDf = weightsDf0.persist()
     val norms = weightsDf.groupBy(col("id"))
       .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("norm"))
     val a = weightsDf.select(col("term"), col("id").as("idA"),
@@ -56,7 +59,7 @@ object TfIdf {
 
   /** Top-k most similar docs per query doc (sparse, inverted-index path). */
   def topK(weightsDf: DataFrame, k: Int): DataFrame = {
-    val sims = pairSimilarity(weightsDf)
+    val sims = pairSimilarity(weightsDf).persist() // read by both union sides
     // symmetrize so every doc sees its neighbors regardless of id order
     val sym = sims.select(col("idA").as("qid"), col("idB").as("nid"), col("sim"))
       .unionAll(sims.select(col("idB").as("qid"), col("idA").as("nid"), col("sim")))
