@@ -147,6 +147,30 @@ object RelationalQueries5 {
              |WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM supplier s2
              |                   WHERE s2.s_nationkey = s1.s_nationkey)""".stripMargin)),
 
+    // Source-format coverage: the same relation served from CSV and JSON
+    // must agree with the parquet truth (oracle reads parquet). Round-trip
+    // through /tmp exercises the csv/json writers AND readers with
+    // explicit schemas (timestamps pinned to µs strings).
+    Q("q82_csv_json_sources",
+      (spark, dir) => {
+        val n = Tables.load(spark, dir, "nation")
+        val r = Tables.load(spark, dir, "region")
+        val base = s"/tmp/graft-sources-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
+        r.write.mode("overwrite").json(s"$base/region_json")
+        val nCsv = spark.read.option("header", "true")
+          .schema(n.schema).csv(s"$base/nation_csv")
+        val rJson = spark.read.schema(r.schema).json(s"$base/region_json")
+        nCsv.join(broadcast(rJson), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations"),
+            sum(col("n_nationkey").cast("bigint")).as("key_sum"))
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations,
+             |CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
     // RANGE window frame: running revenue over a VALUE range (all peers
     // within 5000 of the current price), distinct from q13's ROWS frame.
     Q("q81_range_frame",
