@@ -192,5 +192,54 @@ object RelationalQueries5 {
              |FROM orders WHERE o_orderkey % 37 = 0
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
              |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+    // Multiset set operations (INTERSECT ALL / EXCEPT ALL keep
+    // duplicates — the bag semantics q14's set-ops don't cover).
+    Q("q83_multiset_ops",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+        val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+        val i = a.intersectAll(b).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val e = a.exceptAll(b).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        i.unionByName(e)
+      },
+      Some("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+             |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+             |i AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+             |e AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+             |SELECT l_suppkey, COUNT(*) AS n, 'intersect_all' AS op FROM i GROUP BY 1
+             |UNION ALL
+             |SELECT l_suppkey, COUNT(*) AS n, 'except_all' AS op FROM e GROUP BY 1""".stripMargin)),
+
+    // Second array-function family: position / contains / overlap /
+    // sort / reverse-sort / slice / element counting.
+    Q("q84_array_funcs2",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val signs = transform(col("embedding"),
+          x => when(x > 0, 1).otherwise(-1))
+        e.filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            // Spark returns 0 on no-match, DuckDB NULL — normalize to NULL
+            nullif(array_position(signs, 1), lit(0L)).as("first_pos_sign"),
+            array_contains(signs, -1).as("has_negative"),
+            arrays_overlap(slice(signs, 1, 4), slice(signs, 61, 4)).as("ends_overlap"),
+            element_at(sort_array(col("embedding")), 1).as("min_elem"),
+            element_at(sort_array(col("embedding"), asc = false), 1).as("max_elem"),
+            size(filter(signs, s => s === 1)).as("n_positive"))
+      },
+      Some("""WITH t AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS signs,
+             |  embedding FROM embeddings WHERE vec_id < 100)
+             |SELECT vec_id,
+             |CAST(list_position(signs, 1) AS BIGINT) AS first_pos_sign,
+             |list_contains(signs, -1) AS has_negative,
+             |list_has_any(list_slice(signs, 1, 4), list_slice(signs, 61, 64)) AS ends_overlap,
+             |list_sort(embedding)[1] AS min_elem,
+             |list_reverse_sort(embedding)[1] AS max_elem,
+             |CAST(len(list_filter(signs, s -> s = 1)) AS INT) AS n_positive
+             |FROM t""".stripMargin)),
   )
 }
