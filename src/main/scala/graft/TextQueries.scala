@@ -171,10 +171,14 @@ object TextQueries {
 
     // TF-IDF sparse cosine top-3 via the inverted-index (posting-list)
     // join — no dense vectors, docs pair only through shared terms.
+    // Stop-term cutoff at df > 50%: the synthetic corpus has a ~30-word
+    // vocabulary where nearly every term is in most docs, so the unpruned
+    // posting join is ~450M pairs at sf0.1; the oracle applies the SAME
+    // cutoff.
     Q("q76_tfidf_topk",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        TfIdf.topK(TfIdf.weights(d, "doc_id", "text"), 3)
+        TfIdf.topK(TfIdf.weights(d, "doc_id", "text"), 3, maxDfRatio = 0.5)
           .filter(col("qid") < 30)
           .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"),
             col("rank"))
@@ -189,7 +193,8 @@ object TextQueries {
              |n AS (SELECT COUNT(*) AS n FROM documents),
              |w AS (SELECT id, tf.term,
              |        tf * (ln((n.n + 1.0) / (df + 1)) + 1) AS tfidf
-             |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             |      FROM tf JOIN dfq USING (term) CROSS JOIN n
+             |      WHERE df <= 0.5 * n.n),
              |norms AS (SELECT id, sqrt(SUM(tfidf * tfidf)) AS norm FROM w GROUP BY id),
              |dots AS (
              |  SELECT a.id AS idA, b.id AS idB, SUM(a.tfidf * b.tfidf) AS dot

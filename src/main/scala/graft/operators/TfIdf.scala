@@ -37,10 +37,24 @@ object TfIdf {
   /** Sparse cosine similarity for all document pairs sharing ≥1 term:
     * posting-list self-join on term, dot = Σ tfidf_a·tfidf_b, norms
     * precomputed per doc. Returns (idA, idB, sim) with idA < idB.
+    *
+    * `maxDfRatio` < 1 prunes terms appearing in more than that fraction
+    * of documents from the similarity entirely (join AND norms) — the
+    * champion-list/stop-term cutoff. A term with df ≈ N contributes
+    * idf ≈ 1 to everyone but its posting self-join is O(N²): at sf0.1
+    * the unpruned join is ~450M pairs, pruned at 0.5 it is ~60k.
+    * Default 1.0 = exact cosine (no pruning).
+    *
     * The weights plan is read three times (norms + both join sides) →
     * persisted here; long-lived sessions see Dedup's clearCache note. */
-  def pairSimilarity(weightsDf0: DataFrame): DataFrame = {
-    val weightsDf = weightsDf0.persist()
+  def pairSimilarity(weightsDf0: DataFrame, maxDfRatio: Double = 1.0): DataFrame = {
+    val weightsAll = weightsDf0.persist()
+    val weightsDf =
+      if (maxDfRatio >= 1.0) weightsAll
+      else {
+        val nDocs = weightsAll.select(col("id")).distinct().count()
+        weightsAll.filter(col("df") <= maxDfRatio * nDocs).persist()
+      }
     val norms = weightsDf.groupBy(col("id"))
       .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("norm"))
     val a = weightsDf.select(col("term"), col("id").as("idA"),
@@ -58,8 +72,8 @@ object TfIdf {
   }
 
   /** Top-k most similar docs per query doc (sparse, inverted-index path). */
-  def topK(weightsDf: DataFrame, k: Int): DataFrame = {
-    val sims = pairSimilarity(weightsDf).persist() // read by both union sides
+  def topK(weightsDf: DataFrame, k: Int, maxDfRatio: Double = 1.0): DataFrame = {
+    val sims = pairSimilarity(weightsDf, maxDfRatio).persist() // both union sides
     // symmetrize so every doc sees its neighbors regardless of id order
     val sym = sims.select(col("idA").as("qid"), col("idB").as("nid"), col("sim"))
       .unionAll(sims.select(col("idB").as("qid"), col("idA").as("nid"), col("sim")))
