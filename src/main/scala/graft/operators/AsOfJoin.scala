@@ -28,24 +28,33 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    // left side carries its own columns + nulls for the value columns
+    // Right values travel wrapped in a single-field struct: the struct is
+    // non-null even when the value is genuinely NULL, so the running
+    // `last(ignoreNulls)` skips ONLY left-row placeholders — a matching
+    // right row whose value column is NULL correctly attaches NULL instead
+    // of falling through to an older right row.
     val lTagged = valueCols.foldLeft(left.withColumn("_side", lit(1))) {
       (df, v) => df.withColumn(s"_asof_$v", lit(null).cast(
-        right.schema(v).dataType))
+        new org.apache.spark.sql.types.StructType()
+          .add("w", right.schema(v).dataType)))
     }
-    // right side carries partition keys + ts + values, nulls elsewhere
+    // right side carries partition keys + ts + wrapped values, nulls elsewhere
     val rTagged = leftCols.filterNot(partitionCols.contains(_))
       .filterNot(_ == tsCol)
       .foldLeft(right.select((partitionCols :+ tsCol).map(col) ++
-        valueCols.map(v => col(v).as(s"_asof_$v")): _*)
+        valueCols.map(v => struct(col(v).as("w")).as(s"_asof_$v")): _*)
         .withColumn("_side", lit(0))) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
 
     val unioned = lTagged.unionByName(rTagged)
-    // right rows order BEFORE left rows at equal ts → `<=` semantics
+    // right rows order BEFORE left rows at equal ts → `<=` semantics; among
+    // right rows sharing (keys, ts) the wrapped value structs are a
+    // deterministic tiebreak (the max struct wins), so the attached value
+    // no longer depends on partition/sort luck.
+    val tiebreak = valueCols.map(v => col(s"_asof_$v").asc)
     val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(Seq(col(tsCol).asc, col("_side").asc) ++ tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val attached = valueCols.foldLeft(unioned) { (df, v) =>
@@ -54,6 +63,6 @@ object AsOfJoin {
     }
     attached.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(v => col(s"_asof_$v").as(s"asof_$v")): _*)
+        valueCols.map(v => col(s"_asof_$v").getField("w").as(s"asof_$v")): _*)
   }
 }

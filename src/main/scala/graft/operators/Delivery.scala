@@ -53,13 +53,26 @@ object Delivery {
     * (streaming mode needs this — the source checkpoint consumes objects
     * exactly once, so an unrecorded rejection would be silent data loss). */
   def writeQuarantineMarkers(rejected: DataFrame, statusDir: String): Unit =
-    rejected.select(col("fileName")).foreachPartition {
+    writeSideMarkers(rejected, statusDir, "quarantined", "Quarantined")
+
+  /** Blocked-topic side-channel: same hazard as quarantine — in streaming
+    * mode a blocked file is consumed exactly once by the source checkpoint,
+    * so dropping it without a trace loses the record that it ever arrived.
+    * A `.blocked` marker makes the drop auditable and recoverable (no
+    * `.finished` marker exists, so a batch re-run after unblocking picks
+    * the file up). */
+  def writeBlockedMarkers(blocked: DataFrame, statusDir: String): Unit =
+    writeSideMarkers(blocked, statusDir, "blocked", "Blocked")
+
+  private def writeSideMarkers(files: DataFrame, statusDir: String,
+      suffix: String, verb: String): Unit =
+    files.select(col("fileName")).foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
           val st = Paths.get(statusDir)
           Files.createDirectories(st)
-          Files.write(st.resolve(s"${r.getString(0)}.quarantined"),
-            s"Quarantined ${r.getString(0)}".getBytes(StandardCharsets.UTF_8))
+          Files.write(st.resolve(s"${r.getString(0)}.$suffix"),
+            s"$verb ${r.getString(0)}".getBytes(StandardCharsets.UTF_8))
         }
     }
 

@@ -38,7 +38,12 @@ object ProductQuantization {
       .filter(col("embedding").isNotNull &&
         pmod(hash(col("vec_id")), lit(every)) === 0)
       .select(col("embedding")).persist()
-    val dim = sample.select(size(col("embedding"))).head().getInt(0)
+    // explicit guard: an empty sample (empty corpus / all-null embeddings)
+    // must fail with a diagnosable message, not head()'s NoSuchElementException
+    val firstDim = sample.select(size(col("embedding"))).head(1)
+    require(firstDim.nonEmpty,
+      "PQ.train: no trainable vectors (empty corpus or all-null embeddings)")
+    val dim = firstDim(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val codebooks = (0 until m).map { s =>

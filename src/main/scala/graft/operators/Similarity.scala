@@ -54,10 +54,14 @@ object Similarity {
     val buckets = array((0 until nBands).map(b =>
       shiftrightunsigned(col("sig"), b * bandBits)
         .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+    // zero-norm/null guard mirrors bruteTopK: 0/0 sim is NaN and Spark
+    // sorts NaN above every double — a zero vector would be every
+    // colliding query's rank-1 neighbor.
     def base(df: DataFrame): DataFrame =
       df.select(col("vec_id").as("id"), col("embedding").as("v"),
         srpSignature(col("embedding"), planes, seed).as("sig"),
         normFast(col("embedding")).as("vnorm"))
+        .filter(col("vnorm") > 0)
     def banded(df: DataFrame, idAs: String): DataFrame =
       base(df).select(col("id").as(idAs),
         posexplode(buckets).as(Seq("band", "bucket")))
@@ -89,15 +93,19 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
-    val vecs = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
+    // zero-norm/null guard mirrors bruteTopK (NaN-sim hazard) and keeps
+    // degenerate vectors out of the KMeans fit.
+    val vecs = corpus
+      .withColumn("nnorm", normFast(col("embedding")))
+      .filter(col("nnorm") > 0)
+      .select(col("vec_id"), col("embedding"), col("nnorm"),
+        array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .fit(vecs.select(col("features")))
     // cell assignment: one narrow pass
     val assigned = model.transform(vecs)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        col("prediction").as("cell"))
-      .withColumn("nnorm", normFast(col("nv")))
+        col("nnorm"), col("prediction").as("cell"))
 
     // centroid table is tiny: broadcast to rank cells per query
     import spark.implicits._
@@ -106,6 +114,7 @@ object Similarity {
       .toSeq.toDF("cell", "centroid")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qnorm", normFast(col("qv")))
+      .filter(col("qnorm") > 0)
     val wCell = Window.partitionBy(col("qid"))
       .orderBy(col("cellSim").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
@@ -138,9 +147,14 @@ object Similarity {
         .bitwiseAND(lit((1 << bandBits) - 1))): _*)
     // bucket join carries ids only; vectors re-attach per deduped candidate.
     // base is read twice (banding + vector attach) → persist the small table.
+    // zero-norm/null guard: Spark evaluates `NaN >= threshold` as TRUE, so
+    // without this a zero-embedding row is reported as a duplicate of every
+    // bucket-mate with sim = NaN.
     val base = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
       srpSignature(col("embedding"), planes, seed).as("sig"),
-      normFast(col("embedding")).as("vnorm")).persist()
+      normFast(col("embedding")).as("vnorm"))
+      .filter(col("vnorm") > 0)
+      .persist()
     val banded = base
       .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("idA"))

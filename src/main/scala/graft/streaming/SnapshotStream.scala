@@ -56,7 +56,10 @@ object SnapshotStream {
         // recover it with a batch re-run (no .finished marker exists, so
         // the batch anti-join will pick it up).
         Delivery.writeQuarantineMarkers(rejected, statusDir)
-        val (allowed, _) = splitBlockedTopics(valid, conf.blockedTopics)
+        val (allowed, blocked) = splitBlockedTopics(valid, conf.blockedTopics)
+        // blocked files are consumed exactly once by the checkpoint too —
+        // record a .blocked marker (same rationale as .quarantined above)
+        Delivery.writeBlockedMarkers(blocked, statusDir)
         val ready = nifiHeaders(decrypt(resolveKeys(allowed, keys)), conf)
         Delivery.deliver(ready, outDir, statusDir)
         ()

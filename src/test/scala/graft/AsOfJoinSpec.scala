@@ -36,6 +36,36 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got("lonely").isEmpty)      // key absent on right → null
   }
 
+  test("a matching right row with NULL value attaches NULL, not an older value") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double])) // latest match: NULL value
+      .toDF("user_id", "ts", "value")
+    val got = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("value"))
+      .select(col("tag"), col("asof_value"))
+      .as[(String, Option[Double])].collect().toMap
+    // the 11:00 row is the as-of match; its NULL must not be skipped in
+    // favor of the older 10:00 row's 100.0
+    assert(got("x").isEmpty)
+  }
+
+  test("right-side ties on (key, ts) resolve deterministically") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0)) // same key+ts: max value wins
+      .toDF("user_id", "ts", "value")
+    (1 to 3).foreach { _ =>
+      val got = AsOfJoin.asofBackward(
+        left, right.repartition(8), Seq("user_id"), "ts", Seq("value"))
+        .select(col("asof_value")).as[Option[Double]].head()
+      assert(got.contains(200.0))
+    }
+  }
+
   test("as-of result is one row per left row (no range blow-up)") {
     val e = Tables.load(spark, sf("sf0.001"), "events")
     val clicks = e.filter(col("event_type") === "click")

@@ -10,6 +10,20 @@ class ProductQuantizationSpec extends SparkSuite {
   private lazy val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
   private lazy val model = ProductQuantization.train(emb)
 
+  test("train on an empty / all-null corpus fails with an explicit message") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      ProductQuantization.train(empty)
+    }
+    assert(e1.getMessage.contains("no trainable vectors"))
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      ProductQuantization.train(allNull)
+    }
+    assert(e2.getMessage.contains("no trainable vectors"))
+  }
+
   test("codes are m ints in [0, k); 32x smaller than the float vectors") {
     val index = ProductQuantization.encode(emb, model).cache()
     assert(index.count() == emb.count())

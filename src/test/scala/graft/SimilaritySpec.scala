@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSuite {
     assert(top.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("approximate paths exclude zero-norm/null embeddings too") {
+    val weird = Seq(
+      (9001L, Array.fill(64)(0.0f), 0),           // zero vector → NaN sim
+      (9002L, null.asInstanceOf[Array[Float]], 0) // null embedding
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = emb.unionByName(weird)
+    for (top <- Seq(Similarity.srpTopK(queries, corpus, 5),
+                    Similarity.ivfTopK(queries, corpus, 5))) {
+      assert(top.filter(col("nid") >= 9000L).count() == 0)
+      assert(top.filter(isnan(col("sim"))).count() == 0)
+    }
+    // dup detector: NaN >= threshold evaluates TRUE in Spark, so an
+    // unguarded zero vector pairs with every bucket-mate
+    val dups = Similarity.cosineDupPairs(
+      corpus.unionByName(corpus.withColumn("vec_id", col("vec_id") + 10000L)),
+      0.999).cache()
+    assert(dups.filter(isnan(col("sim"))).count() == 0)
+    assert(dups.filter(
+      (col("idA") % 10000L >= 9000L) || (col("idB") % 10000L >= 9000L))
+      .count() == 0)
+  }
+
   test("multimodal decode: schema, partition batching, deterministic stub") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val decoded = Multimodal.decode(Multimodal.syntheticMedia(docs)).cache()

@@ -42,6 +42,29 @@ class SnapshotStreamSpec extends SparkSuite {
       "checkpoint must prevent re-delivery")
   }
 
+  test("streaming blocked-topic files leave a .blocked marker, not silence") {
+    import graft.operators.SnapshotPipeline.DeliveryConf
+    val fixture = "/tmp/graft-fixture-stream-blocked"
+    SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(3, 5))
+    val out = Files.createTempDirectory("sb-out").toString
+    val status = Files.createTempDirectory("sb-status").toString
+    val ckpt = Files.createTempDirectory("sb-ckpt").toString
+
+    val q = SnapshotStream.start(spark, fixture, out, status, ckpt,
+      LocalKeyService, DeliveryConf(blockedTopics = Seq("db.core.claimant")))
+    q.awaitTermination(120000)
+
+    // blocked files: no delivery, no .finished marker — but a .blocked
+    // marker each (the checkpoint consumed them exactly once)
+    assert(!Paths.get(out, "db.core.claimant").toFile.exists())
+    val names = Paths.get(status).toFile.listFiles().map(_.getName)
+    val blocked = names.filter(_.endsWith(".blocked"))
+    assert(blocked.length == 3)
+    assert(blocked.forall(_.contains("db.core.claimant")))
+    // the unblocked topic still delivers normally
+    assert(names.count(_.endsWith(".finished")) == 1)
+  }
+
   test("dedupeCorpus drops planted exact + near duplicates, keeps originals") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents").limit(100)
     // plant: exact copies (+10000) and near-copies with one word changed (+20000)
