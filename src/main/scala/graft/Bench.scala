@@ -36,12 +36,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // stable declaration order (Map iteration order is arbitrary)
+    // stable declaration order (Map iteration order is arbitrary).
+    // The line must stay SHORT: the driver records only a bounded stdout
+    // tail, and round 1's full-name/full-precision line (~3.2 KB) was
+    // truncated into unparseable JSON. Compact keys (q01..q84 — unique by
+    // construction) + 3-decimal seconds keep the whole line under ~1 KB.
     val results = Registry.all.map(q => q.name -> run(q.fn))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

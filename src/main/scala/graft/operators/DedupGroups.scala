@@ -8,56 +8,118 @@ import org.apache.spark.sql.functions._
   * a candidate pair (the keep-smallest-id rule in Dedup.dedupeCorpus is
   * greedy/local; this is the exact closure).
   *
-  * Algorithm: iterative label propagation (large-star-ish) — every node
-  * repeatedly adopts the minimum label in its neighborhood until a fixed
-  * point. Each iteration is one join + one aggregation on the EDGE list
-  * (∝ candidate pairs, already bucket-bounded upstream); iterations ≈
-  * diameter of the dup graph, which for near-dup clusters is tiny (dup
-  * clusters are near-cliques). Hard cap + convergence check.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * standard scale-out CC. Each round:
+  *   - large-star: every node links its LARGER neighbors to the minimum
+  *     of its neighborhood (incl. itself);
+  *   - small-star: every node links its smaller neighbors (and itself)
+  *     to the minimum of that set.
+  * Both preserve connectivity and strictly shrink tree height; the edge
+  * set converges to one star per component rooted at the component min in
+  * O(log n) rounds — unlike min-label propagation, whose round count is
+  * the graph DIAMETER (data-dependent: a chain of k near-dup edits needs
+  * k rounds; this needs ~log k).
+  *
+  * Per round: two groupBy+join pairs on the edge list (each join keyed on
+  * the groupBy key, so the aggregated side reuses the exchange), one
+  * `localCheckpoint` to truncate the growing plan lineage, and ONE
+  * aggregate computing a (count, hash-sum) signature — convergence is
+  * detected by signature equality, not by a separate join+count over the
+  * previous labels.
   */
 object DedupGroups {
 
   /** @param pairs (idA, idB) candidate/verified duplicate pairs
-    * @param maxIter safety cap; min-label propagation needs ~diameter
-    *        iterations (near-clique dup clusters: 2-3; a CHAIN of k edits
-    *        needs k). Hitting the cap without convergence logs a warning —
-    *        the result then over-keeps (components split), never
-    *        over-drops.
+    * @param maxIter safety cap; star-contraction needs ~log₂(largest
+    *        component) rounds, so the default is generous for any
+    *        realistic graph (2^20-node chains). Hitting the cap without
+    *        convergence logs a warning — the result then over-keeps
+    *        (components split), never over-drops.
     * @return (id, groupId) for every id that appears in a pair; groupId =
     *         min id of its connected component */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
-      .unionAll(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of star rounds
+    * executed (exposed so specs can pin the O(log n) bound). */
+  def connectedComponentsWithStats(pairs: DataFrame, maxIter: Int = 20)
+      : (DataFrame, Int) = {
+    // canonical child→parent edges: (a, b) with a > b
+    val initial = pairs
+      .select(greatest(col("idA"), col("idB")).as("a"),
+        least(col("idA"), col("idB")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-      .cache()
-    var labels = edges.select(col("src").as("id"))
+    // every id of the ORIGINAL pair set — final labels are computed over
+    // this, so the output contract (one row per paired id) holds even at
+    // a non-converged cap exit
+    val nodes = pairs.select(col("idA").as("id"))
+      .unionAll(pairs.select(col("idB").as("id")))
       .distinct()
-      .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint(true)
+
+    var edges = initial.localCheckpoint(true)
+    var sig: (Long, Long) = signature(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbrLabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // large-star: center u over ALL neighbors, m = min(Γ(u) ∪ {u});
+      // emit (v, m) for each larger neighbor v > u. Output edges keep
+      // a > b canonical form (v > u ≥ m).
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+
+      // small-star: edges are (a, b) with b < a, so center a's smaller
+      // neighborhood is exactly its b's; m = min(b's). Emit (b, m) for
+      // every smaller neighbor plus (a, m).
+      val ssMin = large.groupBy("a").agg(min(col("b")).as("m"))
+      val small = large.join(ssMin, Seq("a"))
+        .select(col("b").as("a2"), col("m"))
+        .unionAll(ssMin.select(col("a").as("a2"), col("m")))
+        .filter(col("a2") =!= col("m"))
+        .select(col("a2").as("a"), col("m").as("b"))
+        .distinct()
+
+      val prev = edges
+      // truncate lineage + cache in one go: without this the logical plan
+      // doubles every round and analysis time dominates by round ~10
+      edges = small.localCheckpoint(true)
+      prev.unpersist()
+      val nextSig = signature(edges)
+      converged = nextSig == sig
+      sig = nextSig
       i += 1
     }
     if (!converged)
-      System.err.println(s"[DedupGroups] label propagation hit maxIter=$maxIter " +
+      System.err.println(s"[DedupGroups] star contraction hit maxIter=$maxIter " +
         "without converging — components may be split (over-kept, never over-dropped)")
-    edges.unpersist()
-    labels.withColumnRenamed("label", "groupId")
+
+    // at the star fixed point each child a has exactly one parent b = the
+    // component min; min() also degrades safely at a cap exit
+    val children = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("groupId"))
+      .select(col("a").as("id"), col("groupId"))
+    val labels = nodes.join(children, Seq("id"), "left")
+      .select(col("id"), coalesce(col("groupId"), col("id")).as("groupId"))
+    (labels, i)
+  }
+
+  /** One-job convergence probe: (edge count, sum of 32-bit edge hashes).
+    * Equal signatures across a round ⇒ same edge set (hash collisions
+    * would need the count AND the sum to collide simultaneously). */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)),
+      coalesce(sum(hash(col("a"), col("b")).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Full closure dedup: groups from the verified near-dup pair graph
@@ -66,7 +128,7 @@ object DedupGroups {
     * escape the closure); survivors = every unpaired doc + one keeper
     * (min id) per group. */
   def dedupeTransitive(df: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.8, maxIter: Int = 25): DataFrame = {
+      jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
     val near = Dedup.ngramJaccard(
         Dedup.minhashLshPairs(df, idCol, textCol), df, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
