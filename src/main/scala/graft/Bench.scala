@@ -31,7 +31,12 @@ object Bench {
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // release() inside the timed region: dropping a query's operator
+      // caches is part of that query's cost, and carrying them over would
+      // skew later queries' memory
+      try graft.operators.OperatorCaches.withCaches {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }

@@ -42,16 +42,14 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // fused tokenize→shingle→minhash kernel (one JVM pass per doc); the
-    // sig table is read 3× below (banding + 2 re-attach joins) → persist.
-    // NOTE long-lived sessions: persisted tables are not unpersisted by
-    // the lazy API (the result must stay recomputable); callers doing many
-    // dedup passes should spark.catalog.clearCache() between batches.
+    // sig table is read 3× below (banding + 2 re-attach joins) → persist,
+    // tracked so callers release it after their action (OperatorCaches).
     // sig(0)=MaxValue ⇔ the doc had < shingleSize words: drop those (two
     // shingle-less docs would otherwise pair up with est_jaccard 1).
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = OperatorCaches.track(df.select(col(idCol).as("id"),
         minhashText(col(textCol), shingleSize, numHashes).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-      .persist()
+      .persist())
 
     // The bucket join carries ONLY (band, bucket, id) — 24 bytes/row, not
     // the 1 KB signature: at sf0.1 that's the difference between shuffling
@@ -145,9 +143,10 @@ object Dedup {
     * stage after LSH): array_intersect/array_union on distinct shingles. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    // fused shingle kernel; table read twice (idA/idB attach) → persist
-    val sh = corpus.select(col(idCol).as("id"),
-      distinctShinglesCol(col(textCol), shingleSize).as("sh")).persist()
+    // fused shingle kernel; table read twice (idA/idB attach) → persist,
+    // tracked for caller release (OperatorCaches)
+    val sh = OperatorCaches.track(corpus.select(col(idCol).as("id"),
+      distinctShinglesCol(col(textCol), shingleSize).as("sh")).persist())
     pairs
       .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
       .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))

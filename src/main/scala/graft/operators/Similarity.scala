@@ -150,11 +150,12 @@ object Similarity {
     // zero-norm/null guard: Spark evaluates `NaN >= threshold` as TRUE, so
     // without this a zero-embedding row is reported as a duplicate of every
     // bucket-mate with sim = NaN.
-    val base = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
-      srpSignature(col("embedding"), planes, seed).as("sig"),
-      normFast(col("embedding")).as("vnorm"))
+    val base = OperatorCaches.track(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
+        srpSignature(col("embedding"), planes, seed).as("sig"),
+        normFast(col("embedding")).as("vnorm"))
       .filter(col("vnorm") > 0)
-      .persist()
+      .persist())
     val banded = base
       .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("idA"))

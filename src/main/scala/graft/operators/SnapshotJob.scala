@@ -57,9 +57,10 @@ object SnapshotJob {
     // counts derived from the marker commit log, not from this run's rows:
     // re-runs and task retries stay exactly-once-observable.
     val sent = Delivery.sentCounts(Delivery.finishedMarkers(spark, statusDir))
-    // statuses are tiny but consumed by 4 actions → cache once
-    val statuses = Delivery
-      .collectionStatus(expected, sent, conf.blockedTopics).cache()
+    // statuses are tiny but consumed by 4 actions → cache once (tracked:
+    // recomputing after a caller's OperatorCaches.release() is cheap)
+    val statuses = OperatorCaches.track(Delivery
+      .collectionStatus(expected, sent, conf.blockedTopics).cache())
     Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
     conf.statusTable.foreach(dir =>
       Delivery.upsertStatuses(statuses, dir, conf.correlationId))

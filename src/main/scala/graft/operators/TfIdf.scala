@@ -46,14 +46,15 @@ object TfIdf {
     * Default 1.0 = exact cosine (no pruning).
     *
     * The weights plan is read three times (norms + both join sides) →
-    * persisted here; long-lived sessions see Dedup's clearCache note. */
+    * persisted here, tracked for caller release (OperatorCaches). */
   def pairSimilarity(weightsDf0: DataFrame, maxDfRatio: Double = 1.0): DataFrame = {
-    val weightsAll = weightsDf0.persist()
+    val weightsAll = OperatorCaches.track(weightsDf0.persist())
     val weightsDf =
       if (maxDfRatio >= 1.0) weightsAll
       else {
         val nDocs = weightsAll.select(col("id")).distinct().count()
-        weightsAll.filter(col("df") <= maxDfRatio * nDocs).persist()
+        OperatorCaches.track(
+          weightsAll.filter(col("df") <= maxDfRatio * nDocs).persist())
       }
     val norms = weightsDf.groupBy(col("id"))
       .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("norm"))
@@ -73,7 +74,8 @@ object TfIdf {
 
   /** Top-k most similar docs per query doc (sparse, inverted-index path). */
   def topK(weightsDf: DataFrame, k: Int, maxDfRatio: Double = 1.0): DataFrame = {
-    val sims = pairSimilarity(weightsDf, maxDfRatio).persist() // both union sides
+    val sims = OperatorCaches.track(
+      pairSimilarity(weightsDf, maxDfRatio).persist()) // both union sides
     // symmetrize so every doc sees its neighbors regardless of id order
     val sym = sims.select(col("idA").as("qid"), col("idB").as("nid"), col("sim"))
       .unionAll(sims.select(col("idB").as("qid"), col("idA").as("nid"), col("sim")))
