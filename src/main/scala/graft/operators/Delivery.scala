@@ -28,25 +28,47 @@ object Delivery {
 
   /** K1 + K2: write each delivered file and its `.finished` marker
     * (marker body "Finished <name>" — S3StatusFileWriter.kt:19-52).
-    * Runs in the executors via foreachPartition; both writes are
-    * idempotent so at-least-once task retries converge. */
-  def deliver(files: DataFrame, outDir: String, statusDir: String): Unit = {
-    files.select(col("topic"), col("outputName"), col("sourceFileName"), col("content"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.foreach { r =>
-          val topic = r.getString(0)
-          val outputName = r.getString(1)
-          val fileName = r.getString(2)
-          val content = r.getAs[Array[Byte]](3)
-          val topicDir = Paths.get(outDir, topic)
-          Files.createDirectories(topicDir)
-          Files.write(topicDir.resolve(outputName), content)
-          val st = Paths.get(statusDir)
-          Files.createDirectories(st)
-          Files.write(st.resolve(s"$fileName.finished"),
-            s"Finished $fileName".getBytes(StandardCharsets.UTF_8))
-        }
+    * Local-FS transport; see [[deliverVia]] for the transport seam. */
+  def deliver(files: DataFrame, outDir: String, statusDir: String): Unit =
+    deliverVia(files, statusDir, LocalFsTransport(outDir))
+
+  /** K1 + K2 behind the transport seam: send each file through
+    * `transport` (FS, HTTP, …) from the executors via foreachPartition,
+    * then write its `.finished` marker — marker AFTER send, so a failed
+    * send leaves no marker and the file is retried by the next run.
+    * Both actions are idempotent, so at-least-once task retries converge.
+    *
+    * If the input carries a `headers` struct (nifiHeaders output), its
+    * fields travel to the transport as the header map; without one the
+    * map is empty (FS delivery ignores it). */
+  def deliverVia(files: DataFrame, statusDir: String,
+      transport: DeliveryTransport): Unit = {
+    val hasHeaders = files.columns.contains("headers")
+    val selected =
+      if (hasHeaders)
+        files.select(col("topic"), col("outputName"), col("sourceFileName"),
+          col("content"), col("headers"))
+      else
+        files.select(col("topic"), col("outputName"), col("sourceFileName"),
+          col("content"))
+    selected.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val headers =
+          if (hasHeaders) {
+            val h = r.getStruct(4)
+            h.schema.fieldNames.zipWithIndex.collect {
+              case (name, i) if !h.isNullAt(i) => name -> h.get(i).toString
+            }.toMap
+          } else Map.empty[String, String]
+        val fileName = r.getString(2)
+        transport.send(DeliveredFile(r.getString(0), r.getString(1),
+          fileName, r.getAs[Array[Byte]](3), headers))
+        val st = Paths.get(statusDir)
+        Files.createDirectories(st)
+        Files.write(st.resolve(s"$fileName.finished"),
+          s"Finished $fileName".getBytes(StandardCharsets.UTF_8))
       }
+    }
   }
 
   /** Quarantine side-channel: one `.quarantined` marker per rejected file

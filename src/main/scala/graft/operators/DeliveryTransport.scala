@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Retry
+
+/** One delivered snapshot file: payload + the 12-header NiFi envelope
+  * (reference HttpWriter.kt:70-81, NiFiUtility.kt:12-25). */
+final case class DeliveredFile(
+    topic: String,
+    outputName: String,
+    sourceFileName: String,
+    content: Array[Byte],
+    headers: Map[String, String])
+
+/** K1 transport seam — HOW one file leaves the engine. Instances are
+  * serialized into `foreachPartition` closures; per-executor resources
+  * (HTTP client pools) belong in `@transient lazy val`s so each executor
+  * JVM builds its own once and reuses it across rows.
+  *
+  * Contract: `send` either delivers or throws. A throw fails the Spark
+  * task → task retry → at-least-once sends; delivery must therefore be
+  * idempotent server-side (same path, same bytes — reference mock-nifi
+  * behaves this way), and the `.finished` marker (written by the caller
+  * only after `send` returns) remains the exactly-once commit log.
+  */
+trait DeliveryTransport extends Serializable {
+  def send(file: DeliveredFile): Unit
+}
+
+/** Local-filesystem delivery: `<outDir>/<topic>/<outputName>` — the shape
+  * the reference's integration harness observes (mock-nifi writes POSTed
+  * files to /data/output, SnapshotSenderIntegrationTest.kt:50-55). */
+final case class LocalFsTransport(outDir: String) extends DeliveryTransport {
+  override def send(file: DeliveredFile): Unit = {
+    val topicDir = Paths.get(outDir, file.topic)
+    Files.createDirectories(topicDir)
+    Files.write(topicDir.resolve(file.outputName), file.content)
+  }
+}
+
+/** HTTP delivery (reference HttpWriter.kt:44-119): POST the file bytes to
+  * the receiver with the 12 NiFi headers; non-200 responses are retried
+  * with exponential backoff (the reference throws WriterException and
+  * lets Spring Batch's retry loop re-drive the item — here the backoff
+  * loop is explicit, and exhausting it fails the Spark task).
+  *
+  * One `HttpClient` per executor JVM (@transient lazy), connection reuse
+  * across every row the executor delivers — the pooled-client shape. */
+final case class HttpTransport(
+    url: String,
+    maxAttempts: Int = 5,
+    initialDelayMs: Long = 1000,
+    timeoutMs: Long = 30000) extends DeliveryTransport {
+
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  override def send(file: DeliveredFile): Unit =
+    Retry.withBackoff(attempts = maxAttempts, initialDelayMs = initialDelayMs) {
+      val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/octet-stream")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(file.content))
+      file.headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = client.send(builder.build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() != 200)
+        throw new RuntimeException(
+          s"Failed to post '${file.sourceFileName}': post returned " +
+            s"status code ${resp.statusCode()}")
+    }
+}

@@ -32,7 +32,10 @@ object SnapshotJob {
       statusDir: String,
       expected: DataFrame,
       keys: KeyService,
-      conf: DeliveryConf = DeliveryConf()): RunResult = {
+      conf: DeliveryConf = DeliveryConf(),
+      /** K1 transport override: None → local-FS delivery into `outDir`;
+        * Some(HttpTransport(url)) → the reference's NiFi POST wire. */
+      transport: Option[DeliveryTransport] = None): RunResult = {
 
     val scanned = PipelineMetrics.observeScan(
       withTopic(EncryptedSnapshotSource.read(spark, inputDir)),
@@ -52,7 +55,8 @@ object SnapshotJob {
     val decrypted = decrypt(resolveKeys(fresh, keys))
     val ready = PipelineMetrics.observeDelivery(nifiHeaders(decrypted, conf))
 
-    Delivery.deliver(ready, outDir, statusDir)
+    Delivery.deliverVia(ready, statusDir,
+      transport.getOrElse(LocalFsTransport(outDir)))
 
     // counts derived from the marker commit log, not from this run's rows:
     // re-runs and task retries stay exactly-once-observable.

@@ -22,10 +22,24 @@ trait KeyService extends Serializable {
   def decryptKey(keyId: String, cipherTextKeyB64: String): String
 }
 
+/** Permanent key-decryption failure — the service understood the request
+  * and rejected it (HTTP 400). Retrying cannot help; the reference fails
+  * the file immediately (HttpKeyService.kt:78-80). */
+final class DataKeyDecryptionException(msg: String) extends RuntimeException(msg)
+
+/** Transient key-service failure (non-200/non-400, connect errors) —
+  * retryable with backoff (HttpKeyService.kt:81-84). */
+final class DataKeyServiceUnavailableException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
 /** Retry with exponential backoff (reference defaults: 5 attempts, 1 s,
-  * ×2 — HttpKeyService.kt:37-40). */
+  * ×2 — HttpKeyService.kt:37-40). `retryable` implements the reference's
+  * error taxonomy: a permanent failure (e.g. DKS 400) propagates
+  * immediately instead of burning the backoff schedule. */
 object Retry {
-  def withBackoff[T](attempts: Int = 5, initialDelayMs: Long = 1000, multiplier: Double = 2.0)(
+  def withBackoff[T](attempts: Int = 5, initialDelayMs: Long = 1000,
+      multiplier: Double = 2.0,
+      retryable: Throwable => Boolean = _ => true)(
       f: => T): T = {
     var delay = initialDelayMs
     var last: Throwable = null
@@ -35,7 +49,7 @@ object Retry {
       catch {
         // NonFatal only: OOM/interrupt must propagate immediately, not
         // burn 5 sleep-backoff attempts masking a cancellation
-        case scala.util.control.NonFatal(e) =>
+        case scala.util.control.NonFatal(e) if retryable(e) =>
           last = e
           i += 1
           if (i < attempts) {
@@ -50,6 +64,74 @@ object Retry {
     }
     throw last
   }
+}
+
+/** DKS-shaped HTTP key service (reference HttpKeyService.kt:43-101):
+  * POST the base64 ciphertext key to
+  * `<base>/datakey/actions/decrypt?keyId=<id>&correlationId=<uuid>`,
+  * parse `plaintextDataKey` from the JSON response, with the reference's
+  * error taxonomy — 200 = success, 400 = permanent
+  * [[DataKeyDecryptionException]] (no retry), anything else (including
+  * connect failures) = [[DataKeyServiceUnavailableException]] retried
+  * with exponential backoff. Per-JVM memo cache keyed on
+  * (ciphertext, keyId), as the reference caches (decryptedKeyCache).
+  *
+  * The pipeline calls this on the DRIVER only (distinct key set →
+  * broadcast, SnapshotPipeline.resolveKeys), so one client instance and
+  * one cache see every request of a run. */
+final class HttpKeyService(baseUrl: String, maxAttempts: Int = 5,
+    initialDelayMs: Long = 1000) extends KeyService {
+
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val cache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  override def decryptKey(keyId: String, cipherTextKeyB64: String): String =
+    cache.getOrElseUpdate(s"$cipherTextKeyB64/$keyId",
+      Retry.withBackoff(attempts = maxAttempts, initialDelayMs = initialDelayMs,
+        retryable = !_.isInstanceOf[DataKeyDecryptionException]) {
+        val correlationId = java.util.UUID.randomUUID().toString
+        val url = s"$baseUrl/datakey/actions/decrypt?keyId=" +
+          java.net.URLEncoder.encode(keyId, "US-ASCII") +
+          s"&correlationId=$correlationId"
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .header("Content-Type", "text/plain")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(cipherTextKeyB64))
+          .build()
+        val resp =
+          try client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new DataKeyServiceUnavailableException(
+              s"Error contacting data key service: '$e', " +
+                s"dks_correlation_id: '$correlationId'", e)
+          }
+        resp.statusCode() match {
+          case 200 =>
+            // DataKeyResult JSON ({dataKeyEncryptionKeyId, plaintextDataKey,
+            // ciphertextDataKey}); keys are base64 — no escapes — so a
+            // field regex is a faithful parser and avoids a JSON dep
+            val m = HttpKeyService.PlaintextField.findFirstMatchIn(resp.body())
+            m.map(_.group(1)).getOrElse(
+              throw new DataKeyServiceUnavailableException(
+                s"DKS 200 response without plaintextDataKey, " +
+                  s"dks_correlation_id: '$correlationId'"))
+          case 400 =>
+            throw new DataKeyDecryptionException(
+              s"Decrypting encryptedKey: '$cipherTextKeyB64' with " +
+                s"keyEncryptionKeyId: '$keyId', dks_correlation_id: " +
+                s"'$correlationId' data key service returned status_code: '400'")
+          case other =>
+            throw new DataKeyServiceUnavailableException(
+              s"Decrypting encryptedKey: '$cipherTextKeyB64' with " +
+                s"keyEncryptionKeyId: '$keyId', dks_correlation_id: " +
+                s"'$correlationId' data key service returned status_code: '$other'")
+        }
+      })
+}
+
+object HttpKeyService {
+  private val PlaintextField =
+    """"plaintextDataKey"\s*:\s*"([^"]+)"""".r
 }
 
 /** Local deterministic stand-in for the DKS: the master key for `keyId`

@@ -1,0 +1,132 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.SnapshotFixture
+
+/** Contract tests for the K1 HTTP transport against a local receiver —
+  * mirrors the reference HttpWriterTest.kt matrix: 200 → delivered +
+  * marker, non-200 → retried, persistent failure → task fails with no
+  * marker; plus the 12-header envelope assertions. */
+class HttpTransportSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** In-JVM receiver: thread-safe (partitions post concurrently), records
+    * bodies+headers by filename header, can fail the first N attempts. */
+  private final class Receiver(failFirst: Int = 0, alwaysStatus: Int = 200) {
+    val bodies = new ConcurrentHashMap[String, Array[Byte]]()
+    val headers = new ConcurrentHashMap[String, Map[String, String]]()
+    val hits = new AtomicInteger(0)
+    private val perFileHits = new ConcurrentHashMap[String, AtomicInteger]()
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val body = ex.getRequestBody.readAllBytes()
+      val fname = Option(ex.getRequestHeaders.getFirst("Filename")).getOrElse("?")
+      val n = perFileHits.computeIfAbsent(fname, _ => new AtomicInteger(0))
+        .incrementAndGet()
+      if (alwaysStatus != 200 || n <= failFirst) {
+        val status = if (alwaysStatus != 200) alwaysStatus else 503
+        ex.sendResponseHeaders(status, -1)
+      } else {
+        bodies.put(fname, body)
+        headers.put(fname, ex.getRequestHeaders.entrySet().asScala
+          .map(e => e.getKey.toLowerCase -> e.getValue.get(0)).toMap)
+        ex.sendResponseHeaders(200, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private val nifiHeaderNames = Seq("filename", "environment", "export_date",
+    "database", "collection", "snapshot_type", "topic", "status_table_name",
+    "correlation_id", "s3_prefix", "shutdown_flag", "reprocess_files")
+
+  test("HTTP delivery posts bytes + 12 NiFi headers, FS/HTTP parity, markers") {
+    val fixture = "/tmp/graft-fixture-http"
+    SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(3, 5))
+    val expected = Seq(("db.core.claimant", 3L), ("db.database.sent", 1L),
+      ("db.database.empty", 0L)).toDF("topic", "FilesExported")
+
+    // FS run = the known-good baseline
+    val fsOut = Files.createTempDirectory("http-fs-out").toString
+    val fsStatus = Files.createTempDirectory("http-fs-status").toString
+    SnapshotJob.run(spark, fixture, fsOut, fsStatus, expected,
+      graft.sources.LocalKeyService)
+
+    val rx = new Receiver()
+    try {
+      val out = Files.createTempDirectory("http-out").toString
+      val status = Files.createTempDirectory("http-status").toString
+      val conf = SnapshotPipeline.DeliveryConf(correlationId = "http-run")
+      SnapshotJob.run(spark, fixture, out, status, expected,
+        graft.sources.LocalKeyService, conf,
+        transport = Some(HttpTransport(rx.url, initialDelayMs = 1)))
+
+      assert(rx.bodies.size == 4) // 3 claimant + 1 sent
+      // byte parity with the FS delivery for every file
+      rx.bodies.asScala.foreach { case (fname, bytes) =>
+        val topic = rx.headers.get(fname)("topic")
+        val fsBytes = Files.readAllBytes(Paths.get(fsOut, topic, fname))
+        assert(java.util.Arrays.equals(bytes, fsBytes), s"$fname bytes differ")
+      }
+      // the full 12-header envelope rides every POST
+      rx.headers.asScala.foreach { case (fname, hs) =>
+        nifiHeaderNames.foreach(h => assert(hs.contains(h), s"$fname missing $h"))
+        assert(hs("correlation_id") == "http-run")
+        assert(hs("filename") == fname && fname.endsWith(".json.gz"))
+        assert(hs("topic").startsWith("db."))
+      }
+      // markers written after successful send
+      val markers = Paths.get(status).toFile.listFiles()
+        .filter(_.getName.endsWith(".finished"))
+      assert(markers.length == 4)
+    } finally rx.stop()
+  }
+
+  test("non-200 responses are retried with backoff until success") {
+    val rx = new Receiver(failFirst = 2)
+    try {
+      val status = Files.createTempDirectory("http-retry-status").toString
+      val files = Seq(("db.a.b", "f1.json.gz", "f1.txt.gz",
+        "payload".getBytes("UTF-8"))).toDF(
+        "topic", "outputName", "sourceFileName", "content")
+        .withColumn("headers", struct(col("outputName").as("filename")))
+      Delivery.deliverVia(files, status,
+        HttpTransport(rx.url, maxAttempts = 5, initialDelayMs = 1))
+      assert(rx.hits.get() == 3) // 2 × 503 then 200
+      assert(new String(rx.bodies.get("f1.json.gz"), "UTF-8") == "payload")
+      assert(Files.exists(Paths.get(status, "f1.txt.gz.finished")))
+    } finally rx.stop()
+  }
+
+  test("persistent failure exhausts retries, fails the job, no marker") {
+    val rx = new Receiver(alwaysStatus = 500)
+    try {
+      val status = Files.createTempDirectory("http-fail-status").toString
+      val files = Seq(("db.a.b", "f1.json.gz", "f1.txt.gz",
+        "payload".getBytes("UTF-8"))).toDF(
+        "topic", "outputName", "sourceFileName", "content")
+      val e = intercept[Exception] {
+        Delivery.deliverVia(files, status,
+          HttpTransport(rx.url, maxAttempts = 3, initialDelayMs = 1))
+      }
+      assert(e.getMessage != null)
+      assert(rx.hits.get() >= 3) // all backoff attempts consumed (× task retries)
+      assert(!Files.exists(Paths.get(status, "f1.txt.gz.finished")),
+        "failed send must not leave a commit marker")
+    } finally rx.stop()
+  }
+}
