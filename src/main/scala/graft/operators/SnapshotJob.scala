@@ -35,7 +35,11 @@ object SnapshotJob {
       conf: DeliveryConf = DeliveryConf(),
       /** K1 transport override: None → local-FS delivery into `outDir`;
         * Some(HttpTransport(url)) → the reference's NiFi POST wire. */
-      transport: Option[DeliveryTransport] = None): RunResult = {
+      transport: Option[DeliveryTransport] = None,
+      /** K5/K6 after-run block: monitoring publish + final metrics push
+        * (JobCompletionNotificationListener semantics, incl. heartbeat
+        * skip). None → no monitoring side effects. */
+      monitoring: Option[MonitoringConf] = None): RunResult = {
 
     val scanned = PipelineMetrics.observeScan(
       withTopic(EncryptedSnapshotSource.read(spark, inputDir)),
@@ -69,6 +73,7 @@ object SnapshotJob {
     conf.statusTable.foreach(dir =>
       Delivery.upsertStatuses(statuses, dir, conf.correlationId))
     val completion = Delivery.runCompletion(statuses, conf.correlationId)
+    monitoring.foreach(Monitoring.afterRun(_, conf, completion))
 
     // prune content before counting: binaryFile only reads the bytes if
     // the content column is requested, so these are listing-only jobs
