@@ -13,6 +13,19 @@ import graft.operators.{Multimodal, Similarity}
 object SimilarityQueries {
   import Registry.Q
 
+  /** The q41 oracle's literal Rademacher matrix: sign(plane, dim) from the
+    * SAME splitmix64 derivation as VectorFunctions.srpSignatureKernel
+    * (±1.0 exactly representable — multiplying by it reproduces the
+    * kernel's add/subtract bit-for-bit). */
+  private def srpSignRows(planes: Int, dims: Int, seed: Long): String =
+    (0 until planes).map { p =>
+      val sv = (0 until dims).map { i =>
+        val h = VectorFunctions.mix64(seed ^ VectorFunctions.mix64(p.toLong << 32 | i.toLong))
+        if ((h & 1L) == 0L) "1.0" else "-1.0"
+      }.mkString("[", ",", "]")
+      s"($p, $sv)"
+    }.mkString(",")
+
   val all: Seq[Q] = Seq(
     // Exact cosine top-5 neighbors for the first 20 vectors.
     Q("q40_cosine_brute_topk",
@@ -35,7 +48,13 @@ object SimilarityQueries {
              |SELECT qid, nid, ROUND(sim, 6) AS sim, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5""".stripMargin)),
 
-    // SRP-LSH approximate top-k (bucketed candidates only).
+    // SRP-LSH approximate top-k (bucketed candidates only). Oracled: the
+    // signature is deterministic given the seed, so the Rademacher plane
+    // matrix is embedded in the SQL as a literal — generated from the
+    // SAME mix64 the kernel uses (srpSignRows), so they cannot drift —
+    // and DuckDB replays signature → band buckets → candidate join →
+    // exact rerank. list_dot_product matches the fused kernel's ascending
+    // double accumulation bit-exactly (proven by the q40 oracle).
     Q("q41_cosine_srp_topk",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
@@ -44,7 +63,38 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_results"),
             round(max(col("sim")), 6).as("best_sim"))
       },
-      None),
+      Some(s"""WITH signs AS (
+             |  SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+             |  FROM (VALUES ${srpSignRows(planes = 16, dims = 64, seed = 42L)}) s(plane, sv)),
+             |base AS (
+             |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |normed AS (
+             |  SELECT id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM base
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |accs AS (
+             |  SELECT id, plane, list_dot_product(v, sv) AS acc
+             |  FROM normed CROSS JOIN signs),
+             |sigs AS (
+             |  SELECT id,
+             |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+             |  FROM accs GROUP BY id),
+             |banded AS (
+             |  SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
+             |  FROM sigs CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+             |cand AS (
+             |  SELECT DISTINCT q.id AS qid, c.id AS nid
+             |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+             |  WHERE q.id < 20 AND q.id <> c.id),
+             |pairs AS (
+             |  SELECT qid, nid,
+             |    list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) AS sim
+             |  FROM cand JOIN normed qn ON qn.id = qid JOIN normed cn ON cn.id = nid),
+             |ranked AS (
+             |  SELECT qid, nid, ROUND(sim, 6) AS sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |  FROM pairs)
+             |SELECT qid, count(*) AS n_results, ROUND(max(sim), 6) AS best_sim
+             |FROM ranked WHERE rank <= 5 GROUP BY qid""".stripMargin)),
 
     // IVF (KMeans cells, nprobe probing) approximate top-k.
     Q("q42_cosine_ivf_topk",

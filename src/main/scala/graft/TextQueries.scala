@@ -232,6 +232,21 @@ object TextQueries {
           .groupBy(col("fp"))
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       },
-      None),
+      // the rolling hash is pure integer arithmetic — DuckDB replays it
+      // exactly with a 128-bit (HUGEINT) left fold over the char codes;
+      // list_prepend seeds the accumulator so empty docs fold to 0 like
+      // the JVM kernel
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+             |  FROM documents),
+             |fps AS (
+             |  SELECT doc_id,
+             |    CAST(list_reduce(
+             |      list_prepend(CAST(0 AS HUGEINT),
+             |        list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT) AS fp
+             |  FROM norm)
+             |SELECT fp, count(*) AS n, min(doc_id) AS keeper FROM fps GROUP BY fp""".stripMargin)),
   )
 }

@@ -55,7 +55,7 @@ object VectorFunctions {
     sig
   }
 
-  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+  private[graft] def mix64(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
