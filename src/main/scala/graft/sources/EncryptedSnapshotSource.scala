@@ -46,17 +46,27 @@ object EncryptedSnapshotSource {
         StructField("cipherTextDataKey", StringType))))
   }
 
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.enc")
-      .load(dir)
-      .select(
-        col("path").as("fullPath"),
-        graft.operators.SnapshotPipeline.fileNameFromPath(col("path")).as("fileName"),
-        col("length"),
-        col("content"))
-    files.join(broadcast(readMeta(spark, dir)), Seq("fileName"), "left")
-  }
+  /** Ingest read, switchable between the two equivalent implementations
+    * via session conf `spark.graft.snapshotSource`:
+    *  - "glob" (default): binaryFile scan + broadcast sidecar join;
+    *  - "dsv2": the SnapshotSourceProvider DataSource V2 table
+    *    (column-pruned per-object reads, metadata fetched beside each
+    *    object — the S3-user-metadata source shape, SURVEY §4).
+    * Identical schema and rows (SnapshotDsv2Spec). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    if (spark.conf.getOption("spark.graft.snapshotSource").contains("dsv2"))
+      spark.read.format("encrypted-snapshot").load(dir)
+    else {
+      val files = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.enc")
+        .load(dir)
+        .select(
+          col("path").as("fullPath"),
+          graft.operators.SnapshotPipeline.fileNameFromPath(col("path")).as("fileName"),
+          col("length"),
+          col("content"))
+      files.join(broadcast(readMeta(spark, dir)), Seq("fileName"), "left")
+    }
 
   /** Sidecar metadata scan; a zero-match glob must mean "no metadata",
     * not AnalysisException — a legitimately empty export (heartbeat run,

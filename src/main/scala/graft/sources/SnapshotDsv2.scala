@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 ingest source for encrypted snapshots — the "real
+  * source" shape SURVEY §4 sketches for S1-S3 (S3DirectoryReader.kt:51-98
+  * lists a prefix, then HEADs each object for user metadata; here the
+  * user metadata is the sidecar `.meta.json`, read next to each object
+  * INSIDE the partition reader instead of as a separate join).
+  *
+  * `spark.read.format("encrypted-snapshot").load(dir)` — same 7-column
+  * schema and rows as EncryptedSnapshotSource.read's glob+broadcast-join
+  * form (proven identical in SnapshotDsv2Spec).
+  *
+  * Scale shape:
+  *  - the listing is one driver-side glob (the reference's paginated
+  *    ListObjectsV2 collapses the same way) and files are BIN-PACKED by
+  *    size into ≤ defaultParallelism partitions — balanced executors even
+  *    when file sizes are skewed;
+  *  - column pruning is pushed into the reader: a listing-only query
+  *    (counts, topic parsing, finished anti-join probes) never reads the
+  *    object bytes — the 100 TB case where scan cost is the whole game;
+  *  - metadata is fetched per object by its reader (no broadcast, no
+  *    second listing), which is exactly the S3 HEAD-per-object shape.
+  */
+final class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "encrypted-snapshot"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotDsv2.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SnapshotTable(properties.get("path"))
+}
+
+object SnapshotDsv2 {
+  /** Column order matches EncryptedSnapshotSource.read (fileName leads —
+    * it is the glob form's join key). */
+  val schema: StructType = StructType(Seq(
+    StructField("fileName", StringType),
+    StructField("fullPath", StringType),
+    StructField("length", LongType),
+    StructField("content", BinaryType),
+    StructField("iv", StringType),
+    StructField("dataKeyEncryptionKeyId", StringType),
+    StructField("cipherTextDataKey", StringType)))
+
+  // sidecar values are base64/identifier strings — no JSON escapes — so
+  // field regexes are a faithful parser (same stance as HttpKeyService)
+  private val fieldRe = Map(
+    "iv" -> """"iv"\s*:\s*"([^"]*)"""".r,
+    "dataKeyEncryptionKeyId" -> """"dataKeyEncryptionKeyId"\s*:\s*"([^"]*)"""".r,
+    "cipherTextDataKey" -> """"cipherTextDataKey"\s*:\s*"([^"]*)"""".r)
+
+  private[sources] def metaField(metaJson: String, field: String): String =
+    if (metaJson == null) null
+    else fieldRe(field).findFirstMatchIn(metaJson).map(_.group(1)).orNull
+}
+
+final class SnapshotTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"encrypted-snapshot(`$path`)"
+  override def schema(): StructType = SnapshotDsv2.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(path)
+}
+
+final class SnapshotScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SnapshotDsv2.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty prune (pure COUNT(*)) still needs one column to row-count by;
+    // keep the cheapest one
+    required =
+      if (requiredSchema.isEmpty) StructType(Seq(SnapshotDsv2.schema("fileName")))
+      else requiredSchema
+  override def build(): Scan = new SnapshotScan(path, required)
+}
+
+/** One partition = a size-balanced bin of whole files. */
+final case class SnapshotInputPartition(files: Seq[(String, Long)])
+  extends InputPartition
+
+final class SnapshotScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val glob = new Path(path, "*.enc")
+    val fs = glob.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Nil)
+    if (statuses.isEmpty) return Array.empty
+    val slots = math.max(1, math.min(statuses.size,
+      SparkSession.active.sparkContext.defaultParallelism))
+    // greedy first-fit-decreasing bin pack on file size
+    val bins = Array.fill(slots)(Vector.newBuilder[(String, Long)])
+    val sizes = new Array[Long](slots)
+    statuses.sortBy(-_.getLen).foreach { st =>
+      val i = sizes.zipWithIndex.minBy(_._1)._2
+      bins(i) += ((st.getPath.toString, st.getLen))
+      sizes(i) += st.getLen
+    }
+    bins.map(b => SnapshotInputPartition(b.result()))
+      .filter(_.files.nonEmpty).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required.fieldNames)
+}
+
+final class SnapshotReaderFactory(requiredFields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotPartitionReader(
+      partition.asInstanceOf[SnapshotInputPartition].files, requiredFields)
+}
+
+final class SnapshotPartitionReader(files: Seq[(String, Long)],
+    requiredFields: Array[String]) extends PartitionReader[InternalRow] {
+
+  // executor-side FS handle; default Configuration resolves file:/ (and
+  // any scheme on the executor classpath) — a cluster deployment would
+  // broadcast the driver's Hadoop conf through the partition instead
+  @transient private lazy val conf = new Configuration()
+  private val needContent = requiredFields.contains("content")
+  private val needMeta = requiredFields.exists(
+    Set("iv", "dataKeyEncryptionKeyId", "cipherTextDataKey"))
+  private var i = -1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= files.length) return false
+    val (pathStr, len) = files(i)
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val content: Array[Byte] =
+      if (!needContent) null
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(0, buf)
+          buf
+        } finally in.close()
+      }
+    val meta: String =
+      if (!needMeta) null
+      else {
+        val mp = new Path(pathStr + ".meta.json")
+        if (!fs.exists(mp)) null
+        else {
+          val in = fs.open(mp)
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+      }
+    val values = requiredFields.map {
+      case "fileName" => UTF8String.fromString(p.getName)
+      case "fullPath" => UTF8String.fromString(pathStr)
+      case "length" => len
+      case "content" => content
+      case f => Option(SnapshotDsv2.metaField(meta, f))
+        .map(UTF8String.fromString).orNull
+    }
+    row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
