@@ -151,12 +151,54 @@ object TextQueries {
       None), // LSH internals not SQL-expressible; recall proven in DedupSpec
 
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
+    // Oracled: simhash is pure integer arithmetic — DuckDB replays
+    // fnv1a64 per token (HUGEINT fold mod 2^64; corpus is ASCII so
+    // unicode(char) = the UTF-8 byte), the per-bit majority vote, the
+    // 16-bit pigeonhole blocking, and bit_count(xor) verification.
     Q("q37_simhash",
       (spark, dir) => {
         Dedup.simhashPairs(doubled(spark, dir), "doc_id", "text")
           .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
       },
-      None),
+      Some("""WITH corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+             |toks AS (
+             |  SELECT id, unnest(regexp_split_to_array(
+             |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+             |  FROM corpus),
+             |hashes AS (
+             |  SELECT id,
+             |    list_reduce(
+             |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+             |      (h, b) -> ((h - (h % 256) +
+             |        CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |        * 1099511628211) % 18446744073709551616) AS h
+             |  FROM toks),
+             |votes AS (
+             |  SELECT id, bit,
+             |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+             |  FROM hashes CROSS JOIN generate_series(0, 63) g(bit)
+             |  GROUP BY id, bit),
+             |fps AS (
+             |  SELECT id, sum(CASE WHEN vote > 0
+             |    THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS fpu
+             |  FROM votes GROUP BY id),
+             |signed AS (
+             |  SELECT id, CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+             |  FROM fps),
+             |blocked AS (
+             |  SELECT id, fp, block, (fp >> (block * 16)) & 65535 AS bv
+             |  FROM signed CROSS JOIN generate_series(0, 3) g(block)),
+             |pairs AS (
+             |  SELECT DISTINCT a.id AS idA, b.id AS idB,
+             |    bit_count(xor(a.fp, b.fp)) AS hamming
+             |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.bv = b.bv
+             |  WHERE a.id < b.id)
+             |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs
+             |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin)),
 
     // The full dedup ladder end-to-end: exact-hash collapse → MinHash-LSH
     // candidates → exact-Jaccard verify → keep-smallest-id survivors.

@@ -46,13 +46,27 @@ object ProductQuantization {
     val dim = firstDim(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    val codebooks = (0 until m).map { s =>
-      val sub = sample.select(array_to_vector(
-        slice(col("embedding"), s * subDim + 1, subDim)).as("features"))
-      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
-        .fit(sub)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
+    // the m fits are independent driver-iterative jobs over the SAME
+    // persisted sample — run them concurrently (Spark schedules concurrent
+    // jobs fine; each is tiny). Sequential fits were the whole q46 bench
+    // cost: 8 × ~1 s of driver-iteration latency, not compute.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    val ec = ExecutionContext.fromExecutorService(pool)
+    val codebooks =
+      try {
+        val fits = (0 until m).map { s =>
+          Future {
+            val sub = sample.select(array_to_vector(
+              slice(col("embedding"), s * subDim + 1, subDim)).as("features"))
+            val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
+              .fit(sub)
+            model.clusterCenters.map(_.toArray.map(_.toFloat))
+          }(ec)
+        }
+        fits.map(Await.result(_, Duration.Inf)).toArray
+      } finally ec.shutdown()
     sample.unpersist()
     PQModel(m, subDim, codebooks)
   }
