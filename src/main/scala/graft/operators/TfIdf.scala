@@ -72,8 +72,14 @@ object TfIdf {
         (col("dot") / (col("normA") * col("normB"))).as("sim"))
   }
 
-  /** Top-k most similar docs per query doc (sparse, inverted-index path). */
-  def topK(weightsDf: DataFrame, k: Int, maxDfRatio: Double = 1.0): DataFrame = {
+  /** Top-k most similar docs per query doc (sparse, inverted-index path).
+    *
+    * Unlike [[pairSimilarity]] (exact by default), topK defaults to a 0.5
+    * stop-term cutoff: a retrieval entry point is a ranking, rankings are
+    * dominated by rare terms, and a df≈N term's posting self-join is the
+    * O(N²) blow-up that killed the unpruned form at sf0.1 (~450M pairs).
+    * Pass maxDfRatio = 1.0 explicitly to rank with exact cosine. */
+  def topK(weightsDf: DataFrame, k: Int, maxDfRatio: Double = 0.5): DataFrame = {
     val sims = OperatorCaches.track(
       pairSimilarity(weightsDf, maxDfRatio).persist()) // both union sides
     // symmetrize so every doc sees its neighbors regardless of id order

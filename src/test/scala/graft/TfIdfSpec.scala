@@ -32,7 +32,9 @@ class TfIdfSpec extends SparkSuite {
       (1L, "apples oranges"),
       (2L, "oranges pears"),
       (3L, "cars trucks")).toDF("doc_id", "text")
-    val top = TfIdf.topK(TfIdf.weights(docs, "doc_id", "text"), 5)
+    // maxDfRatio=1.0: this test is about the pairing shape, and at 3 docs
+    // the default 0.5 cutoff would prune the one shared term (df=2)
+    val top = TfIdf.topK(TfIdf.weights(docs, "doc_id", "text"), 5, maxDfRatio = 1.0)
     val qids = top.select("qid").as[Long].collect().toSet
     assert(!qids.contains(3L)) // no shared terms → no candidate pairs at all
     assert(top.filter(col("qid") === 1L).select("nid").as[Long].collect()
