@@ -290,5 +290,94 @@ object TextQueries {
              |      (h, c) -> (h * 257 + c) % 2305843009213693951) AS BIGINT) AS fp
              |  FROM norm)
              |SELECT fp, count(*) AS n, min(doc_id) AS keeper FROM fps GROUP BY fp""".stripMargin)),
+
+    // Deterministic stratified downsampling — the training-mixture op.
+    // Membership is a Knuth multiplicative residue on the stable id (NOT
+    // rand()/TABLESAMPLE): replayable in any engine, stable across
+    // re-runs and partitionings, and a pure narrow map at 100 TB (the
+    // only shuffle is the final per-stratum count).
+    Q("q85_stratified_sample",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val rate = when(col("source") === "src0", 10).otherwise(30)
+        val kept = (col("doc_id") * 2654435761L) % 100 < rate
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("kept_ratio",
+            round(col("n_kept").cast("double") / col("n_total"), 6))
+      },
+      Some("""SELECT source, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 <
+             |    (CASE WHEN source = 'src0' THEN 10 ELSE 30 END)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  ROUND(CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 <
+             |    (CASE WHEN source = 'src0' THEN 10 ELSE 30 END)
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // Quality-threshold filtering (the pre-training cleaning pass):
+    // length / alphabetic-ratio / stopword-signal gates, then per-lang
+    // survival stats. Same feature expressions as q31 (oracle-proven).
+    Q("q86_quality_filter",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val f = TextFunctions.qualityFeatures(col("text")).toMap
+        d.select(col("lang"), f("n_tokens").as("n_tokens"),
+            f("alpha_ratio").as("alpha_ratio"),
+            f("stopword_ratio").as("stopword_ratio"))
+          .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.6 &&
+            col("stopword_ratio") >= 0.02)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+              .as("avg_tokens"))
+      },
+      Some("""WITH feats AS (
+             |  SELECT lang,
+             |    CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS INT) AS n_tokens,
+             |    ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             |      / length(text), 6) AS alpha_ratio,
+             |    ROUND(CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'),
+             |        t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS DOUBLE)
+             |      / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), 6) AS stopword_ratio
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  ROUND(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+             |FROM feats
+             |WHERE n_tokens >= 20 AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.02
+             |GROUP BY lang""".stripMargin)),
+
+    // Token-budget sequence packing (context-window packing): greedy
+    // concatenation in stable doc order, context boundary every 4096
+    // tokens of running sum (512 here so the tiny corpus yields several contexts per stratum; 4k-8k in production) — one window cumsum per stratum, no driver
+    // loop, no shuffle beyond the (source) partition: the 100 TB shape.
+    Q("q87_pack_contexts",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        d.select(col("source"), col("doc_id"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("context_id", expr("(cum - n_tokens) div 512"))
+          .groupBy(col("source"), col("context_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("ctx_tokens"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |packed AS (
+             |  SELECT source, n_tokens,
+             |    CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             |      // 512 AS BIGINT) AS context_id
+             |  FROM toks)
+             |SELECT source, context_id, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS ctx_tokens
+             |FROM packed GROUP BY source, context_id""".stripMargin)),
   )
 }
