@@ -379,5 +379,71 @@ object TextQueries {
              |SELECT source, context_id, count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS ctx_tokens
              |FROM packed GROUP BY source, context_id""".stripMargin)),
+
+    // PII scrubbing (pre-training redaction). The synthetic corpus has no
+    // natural PII, so the query plants deterministic emails / SSN-style
+    // ids / phone numbers per doc (same move as the doubled dedup corpus:
+    // the thing to detect must exist by construction), then scrubs and
+    // proves zero residue. RE2-safe patterns run identically in both
+    // engines; ids redact before phones (a 3-2-4 id matches the phone
+    // shape too).
+    Q("q88_pii_scrub",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val injected = concat(col("text"),
+          lit(" contact user"), col("doc_id") % 1000, lit("@mail.example.org"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" cc admin"), col("doc_id") % 7, lit("@corp.example.com")))
+            .otherwise(lit("")),
+          lit(" or call +1 555 0"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" id 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val counts = TextFunctions.piiCounts(injected).toMap
+        d.select(col("source"), col("doc_id"),
+            TextFunctions.redactPii(injected).as("scrubbed"),
+            counts("n_emails").as("n_emails"), counts("n_ids").as("n_ids"),
+            counts("n_phones").as("n_phones"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).as("emails"),
+            sum(col("n_ids")).as("ids"),
+            sum(col("n_phones")).as("phones"),
+            sum(length(col("scrubbed"))).as("scrubbed_chars"),
+            sum(when(col("scrubbed").contains("@") ||
+              col("scrubbed").rlike("\\d{3}-\\d{2}-\\d{4}"), 1L).otherwise(0L))
+              .as("residual_pii"))
+      },
+      Some("""WITH injected AS (
+             |  SELECT source, doc_id,
+             |    text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR) || '@mail.example.org'
+             |      || (CASE WHEN doc_id % 3 = 0
+             |          THEN ' cc admin' || CAST(doc_id % 7 AS VARCHAR) || '@corp.example.com'
+             |          ELSE '' END)
+             |      || ' or call +1 555 0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             |      || ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents),
+             |scrubbed AS (
+             |  SELECT source,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |        '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+             |      '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS s,
+             |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ids,
+             |    len(regexp_extract_all(
+             |      regexp_replace(
+             |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+             |        '\b\d{3}-\d{2}-\d{4}\b', '', 'g'),
+             |      '\+?\d[\d()\- ]{6,}\d')) AS n_phones
+             |  FROM injected)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_emails) AS BIGINT) AS emails,
+             |  CAST(sum(n_ids) AS BIGINT) AS ids,
+             |  CAST(sum(n_phones) AS BIGINT) AS phones,
+             |  CAST(sum(length(s)) AS BIGINT) AS scrubbed_chars,
+             |  CAST(sum(CASE WHEN s LIKE '%@%'
+             |    OR regexp_matches(s, '\d{3}-\d{2}-\d{4}') THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS residual_pii
+             |FROM scrubbed GROUP BY source""".stripMargin)),
   )
 }

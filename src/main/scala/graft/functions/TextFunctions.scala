@@ -64,6 +64,31 @@ object TextFunctions {
       .otherwise(substring(best, 6, 2))
   }
 
+  /** PII patterns for the scrubbing pass (training-data cleaning).
+    * RE2-compatible (no lookarounds) so the same patterns run in Spark
+    * (Java regex) and any RE2 engine bit-identically. Order matters:
+    * SSN-style ids redact BEFORE phones (a 3-2-4 id also matches the
+    * phone shape). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val idRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val phoneRe = "\\+?\\d[\\d()\\- ]{6,}\\d"
+
+  /** Redact emails, SSN-style ids, then phone-shaped digit runs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        idRe, "<ID>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-kind PII hit counts (on the RAW text, before redaction). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(emailRe), lit(0))),
+    "n_ids" -> size(regexp_extract_all(text, lit(idRe), lit(0))),
+    "n_phones" -> size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, emailRe, ""), idRe, ""),
+      lit(phoneRe), lit(0))))
+
   /** Heuristic quality score in [0,1]: penalizes very short docs, all-caps,
     * low alpha ratio, missing stopwords. Exact arithmetic: integer counts
     * + one double division per ratio (cross-engine deterministic). */
