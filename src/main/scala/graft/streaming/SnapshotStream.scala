@@ -28,7 +28,9 @@ object SnapshotStream {
       statusDir: String,
       checkpointDir: String,
       keys: KeyService,
-      conf: DeliveryConf = DeliveryConf()) = {
+      conf: DeliveryConf = DeliveryConf(),
+      /** K1 transport, same seam as the batch job: None → local FS. */
+      transport: Option[graft.operators.DeliveryTransport] = None) = {
 
     val stream = spark.readStream
       .format("binaryFile")
@@ -61,7 +63,8 @@ object SnapshotStream {
         // record a .blocked marker (same rationale as .quarantined above)
         Delivery.writeBlockedMarkers(blocked, statusDir)
         val ready = nifiHeaders(decrypt(resolveKeys(allowed, keys)), conf)
-        Delivery.deliver(ready, outDir, statusDir)
+        Delivery.deliverVia(ready, statusDir,
+          transport.getOrElse(graft.operators.LocalFsTransport(outDir)))
         ()
       }
       .start()

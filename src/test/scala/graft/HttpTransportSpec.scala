@@ -96,6 +96,27 @@ class HttpTransportSpec extends SparkSuite {
     } finally rx.stop()
   }
 
+  test("streaming delivery works over the same HTTP transport seam") {
+    val fixture = "/tmp/graft-fixture-http-stream"
+    SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(2, 5))
+    val rx = new Receiver()
+    try {
+      val out = Files.createTempDirectory("http-stream-out").toString
+      val status = Files.createTempDirectory("http-stream-status").toString
+      val ckpt = Files.createTempDirectory("http-stream-ckpt").toString
+      val q = graft.streaming.SnapshotStream.start(spark, fixture, out, status,
+        ckpt, graft.sources.LocalKeyService,
+        transport = Some(HttpTransport(rx.url, initialDelayMs = 1)))
+      q.awaitTermination(120000)
+      assert(rx.bodies.size == 3) // 2 claimant + 1 sent, POSTed not FS-written
+      assert(!Paths.get(out, "db.core.claimant").toFile.exists())
+      rx.headers.asScala.values.foreach(hs =>
+        nifiHeaderNames.foreach(h => assert(hs.contains(h))))
+      assert(Paths.get(status).toFile.listFiles()
+        .count(_.getName.endsWith(".finished")) == 3)
+    } finally rx.stop()
+  }
+
   test("non-200 responses are retried with backoff until success") {
     val rx = new Receiver(failFirst = 2)
     try {
