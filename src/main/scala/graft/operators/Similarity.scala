@@ -86,9 +86,15 @@ object Similarity {
   }
 
   /** IVF top-k: coarse-quantize the corpus into nCells KMeans cells, then
-    * score queries only against their nprobe nearest cells. */
+    * score queries only against their nprobe nearest cells. The centroid
+    * fit runs on a deterministic hash-sample capped at `maxTrainRows`
+    * (coarse-centroid quality saturates long before the corpus does —
+    * same stance as ProductQuantization.train), so index-build cost does
+    * NOT grow with corpus size; assignment is still one narrow pass over
+    * everything. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -100,8 +106,13 @@ object Similarity {
       .filter(col("nnorm") > 0)
       .select(col("vec_id"), col("embedding"), col("nnorm"),
         array_to_vector(col("embedding")).as("features"))
+    val total = vecs.count()
+    val every = math.max(1L, total / maxTrainRows)
+    val trainSet = vecs
+      .filter(pmod(hash(col("vec_id")), lit(every)) === 0)
+      .select(col("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .fit(vecs.select(col("features")))
+      .fit(trainSet)
     // cell assignment: one narrow pass
     val assigned = model.transform(vecs)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),

@@ -133,6 +133,45 @@ class HttpTransportSpec extends SparkSuite {
     } finally rx.stop()
   }
 
+  test("end-to-end: key resolution through the HTTP DKS wire") {
+    // DKS stub backed by the same derivation the fixture encrypts with —
+    // the pipeline only sees the HTTP surface
+    val dks = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger(0)
+    dks.createContext("/", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val cipherB64 = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val keyId = ex.getRequestURI.getQuery.split("&")
+        .find(_.startsWith("keyId=")).get.stripPrefix("keyId=")
+      val plain = graft.sources.LocalKeyService.decryptKey(keyId, cipherB64)
+      val body = (s"""{"dataKeyEncryptionKeyId":"$keyId",""" +
+        s""""plaintextDataKey":"$plain","ciphertextDataKey":"$cipherB64"}""")
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    dks.start()
+    try {
+      val fixture = "/tmp/graft-fixture-http-dks"
+      SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(3, 5))
+      val expected = Seq(("db.core.claimant", 3L), ("db.database.sent", 1L))
+        .toDF("topic", "FilesExported")
+      val out = Files.createTempDirectory("dks-out").toString
+      val status = Files.createTempDirectory("dks-status").toString
+      val keys = new graft.sources.HttpKeyService(
+        s"http://127.0.0.1:${dks.getAddress.getPort}", initialDelayMs = 1)
+      val r = SnapshotJob.run(spark, fixture, out, status, expected, keys)
+      import spark.implicits._
+      assert(r.statuses.filter(col("CollectionStatus") === "Sent").count() == 2)
+      // payloads decrypted correctly end-to-end: records parse
+      assert(SnapshotJob.records(spark, fixture, keys).count() == 20)
+      // key resolution is distinct-per-topic on the driver, memo-cached —
+      // 2 topics = 2 DKS calls across BOTH actions, not one per file
+      assert(hits.get() == 2, s"expected 2 DKS hits, got ${hits.get()}")
+    } finally dks.stop(0)
+  }
+
   test("persistent failure exhausts retries, fails the job, no marker") {
     val rx = new Receiver(alwaysStatus = 500)
     try {
