@@ -36,10 +36,64 @@ object DedupGroups {
     *        realistic graph (2^20-node chains). Hitting the cap without
     *        convergence logs a warning — the result then over-keeps
     *        (components split), never over-drops.
+    * @param localEdgeLimit edge-count threshold below which the closure is
+    *        finished with driver-side union-find instead of distributed
+    *        star rounds. The pair graph reaching CC has ALREADY been
+    *        LSH-pruned and similarity-verified — duplicate edges, not raw
+    *        rows — so it is usually orders of magnitude smaller than the
+    *        corpus; 4M edges ≈ 64 MB collected. Union-find is O(E α(E))
+    *        in one job's worth of latency, where each star round costs ~4
+    *        scheduled jobs (the q77 bench floor was round latency, not
+    *        compute). Larger graphs take the star path unchanged.
     * @return (id, groupId) for every id that appears in a pair; groupId =
     *         min id of its connected component */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponentsWithStats(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeLimit: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema("idA").dataType
+    val integral = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!integral) return connectedComponentsWithStats(pairs, maxIter)._1
+    val canonical = pairs
+      .select(greatest(col("idA"), col("idB")).cast("long").as("a"),
+        least(col("idA"), col("idB")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    try {
+      if (canonical.count() > localEdgeLimit)
+        return connectedComponentsWithStats(pairs, maxIter)._1
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = canonical.as[(Long, Long)].collect()
+      val nodeIds = pairs.select(col("idA").cast("long"))
+        .unionAll(pairs.select(col("idB").cast("long")))
+        .distinct().as[Long].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by min id: the smaller root stays root, so find() yields
+        // the component minimum directly — same contract as the star path
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      nodeIds.toSeq.map(n => (n, find(n))).toDF("id", "groupId")
+        .select(col("id").cast(idType).as("id"),
+          col("groupId").cast(idType).as("groupId"))
+    } finally canonical.unpersist()
+  }
 
   /** As [[connectedComponents]], also returning the number of star rounds
     * executed (exposed so specs can pin the O(log n) bound). */

@@ -25,49 +25,39 @@ object ProductQuantization {
       codebooks: Array[Array[Array[Float]]]) extends Serializable
 
   /** Trains on a deterministic hash-sample capped at ~`maxTrainRows`
-    * vectors (codebook quality saturates long before the corpus does);
-    * the sampled projection is persisted once and sliced per subspace —
-    * m KMeans fits but ONE pass over the source data. */
+    * vectors (codebook quality saturates long before the corpus does).
+    * The sample is collected and the m codebooks fit ON THE DRIVER with
+    * [[LocalKMeans]] — one distributed pass to sample, zero Spark jobs to
+    * fit. The earlier MLlib version scheduled m × maxIter driver-iterative
+    * jobs and that latency WAS the q46 bench cost; the sample is capped,
+    * so the local fit does not grow with corpus size. */
   def train(corpus: DataFrame, m: Int = 8, k: Int = 16,
       seed: Long = 42L, maxTrainRows: Long = 100000L): PQModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val total = corpus.count()
     val every = math.max(1L, total / maxTrainRows)
-    val sample = corpus
+    val rows = corpus
       .filter(col("embedding").isNotNull &&
         pmod(hash(col("vec_id")), lit(every)) === 0)
-      .select(col("embedding")).persist()
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
     // explicit guard: an empty sample (empty corpus / all-null embeddings)
-    // must fail with a diagnosable message, not head()'s NoSuchElementException
-    val firstDim = sample.select(size(col("embedding"))).head(1)
-    require(firstDim.nonEmpty,
+    // must fail with a diagnosable message
+    require(rows.nonEmpty,
       "PQ.train: no trainable vectors (empty corpus or all-null embeddings)")
-    val dim = firstDim(0).getInt(0)
+    // collect() order varies with partitioning — sort by id so the fit is
+    // a pure function of (data, k, seed)
+    val sorted = rows.sortBy(_._1).map(_._2.toArray)
+    val dim = sorted(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    // the m fits are independent driver-iterative jobs over the SAME
-    // persisted sample — run them concurrently (Spark schedules concurrent
-    // jobs fine; each is tiny). Sequential fits were the whole q46 bench
-    // cost: 8 × ~1 s of driver-iteration latency, not compute.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
-    val ec = ExecutionContext.fromExecutorService(pool)
-    val codebooks =
-      try {
-        val fits = (0 until m).map { s =>
-          Future {
-            val sub = sample.select(array_to_vector(
-              slice(col("embedding"), s * subDim + 1, subDim)).as("features"))
-            val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
-              .fit(sub)
-            model.clusterCenters.map(_.toArray.map(_.toFloat))
-          }(ec)
-        }
-        fits.map(Await.result(_, Duration.Inf)).toArray
-      } finally ec.shutdown()
-    sample.unpersist()
+    val clean = sorted.filter(_.length == dim)
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = clean.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      LocalKMeans.fit(sub, k, maxIter = 10, seed = seed + s)
+    }
     PQModel(m, subDim, codebooks)
   }
 

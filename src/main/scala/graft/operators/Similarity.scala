@@ -95,33 +95,41 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxTrainRows: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
+    import spark.implicits._
 
     // zero-norm/null guard mirrors bruteTopK (NaN-sim hazard) and keeps
-    // degenerate vectors out of the KMeans fit.
+    // degenerate vectors out of the centroid fit.
     val vecs = corpus
       .withColumn("nnorm", normFast(col("embedding")))
       .filter(col("nnorm") > 0)
-      .select(col("vec_id"), col("embedding"), col("nnorm"),
-        array_to_vector(col("embedding")).as("features"))
+      .select(col("vec_id"), col("embedding"), col("nnorm"))
     val total = vecs.count()
     val every = math.max(1L, total / maxTrainRows)
-    val trainSet = vecs
+    // fit runs on the driver (LocalKMeans): the sample is capped, sorted
+    // by id for determinism; MLlib's driver-iterative jobs were the whole
+    // q42 index-build latency
+    val trainRows = vecs
       .filter(pmod(hash(col("vec_id")), lit(every)) === 0)
-      .select(col("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .fit(trainSet)
-    // cell assignment: one narrow pass
-    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    require(trainRows.nonEmpty,
+      "ivfTopK: no trainable vectors (empty corpus or all zero-norm)")
+    val sorted = trainRows.sortBy(_._1).map(_._2.toArray)
+    val dim = sorted(0).length
+    val centers = LocalKMeans.fit(sorted.filter(_.length == dim), nCells,
+      maxIter = 10, seed = seed)
+    // cell assignment: one narrow pass with broadcast centroids
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val nearestCell = udf((v: Seq[Float]) =>
+      LocalKMeans.nearest(v.toArray, bcCenters.value))
+    val assigned = vecs
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        col("nnorm"), col("prediction").as("cell"))
+        col("nnorm"), nearestCell(col("embedding")).as("cell"))
 
     // centroid table is tiny: broadcast to rank cells per query
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+    val centroids = centers.zipWithIndex
+      .map { case (v, i) => (i, v) }
       .toSeq.toDF("cell", "centroid")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qnorm", normFast(col("qv")))

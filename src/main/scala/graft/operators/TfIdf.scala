@@ -27,11 +27,17 @@ object TfIdf {
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val n = corpus.count()
+    // corpus size as an in-plan broadcast scalar, not a driver count():
+    // a blocking .count() serializes an extra job before the real DAG —
+    // measurable fixed latency on every call (and at scale it re-reads
+    // the corpus). Numerics identical: count cast to double, then +1.
+    val nDf = corpus.agg(count(lit(1)).cast("double").as("_n_docs"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        col("tf") * (log((lit(n.toDouble) + 1) / (col("df") + 1)) + 1))
+        col("tf") * (log((col("_n_docs") + 1) / (col("df") + 1)) + 1))
+      .drop("_n_docs")
   }
 
   /** Sparse cosine similarity for all document pairs sharing ≥1 term:
@@ -52,9 +58,13 @@ object TfIdf {
     val weightsDf =
       if (maxDfRatio >= 1.0) weightsAll
       else {
-        val nDocs = weightsAll.select(col("id")).distinct().count()
+        // document count as an in-plan broadcast scalar (same stance as
+        // weights(): no driver-blocking count job on the hot path)
+        val nd = weightsAll.agg(countDistinct(col("id")).as("_nd"))
         OperatorCaches.track(
-          weightsAll.filter(col("df") <= maxDfRatio * nDocs).persist())
+          weightsAll.crossJoin(broadcast(nd))
+            .filter(col("df") <= col("_nd") * maxDfRatio).drop("_nd")
+            .persist())
       }
     val norms = weightsDf.groupBy(col("id"))
       .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("norm"))
