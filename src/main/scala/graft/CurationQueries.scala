@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, DedupGroups}
+
+/** Corpus-curation surface: decontamination, repetition scoring,
+  * transitive closure with an exact oracle, vocabulary, mixture weights
+  * (LLM-data-pipeline operators beyond the dedup/ANN families).
+  *
+  * Every query here is DuckDB-oracled — including connected components
+  * (q91), which gets an exactly-predictable expected labeling by building
+  * the edge list as per-(source,lang) doc-id chains: the operator sees
+  * only anonymous pairs and must close multi-hop chains, yet the true
+  * components are provably "all docs of that (source,lang)", so the
+  * oracle is a window min. The tokenizer in every oracle mirrors
+  * TextFunctions.tokens (strip ALL leading/trailing whitespace, split on
+  * \s+), same as q31.
+  */
+object CurationQueries {
+  import Registry.Q
+
+  val all: Seq[Q] = Seq(
+    // Benchmark decontamination (GPT-3 appendix-C style): eval set =
+    // every 17th doc; a training doc is contaminated if it shares ≥1
+    // distinct word 5-gram with ANY eval doc. Reports the per-doc count
+    // of shared distinct grams.
+    Q("q89_decontaminate",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val evalSet = d.filter(col("doc_id") % 17 === 3)
+        val train = d.filter(col("doc_id") % 17 =!= 3)
+        Curation.ngramContamination(train, evalSet, "doc_id", "text", 5)
+          .select(col("id").as("doc_id"), col("n_shared"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, array_to_string(w[g : g + 4], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(g)),
+             |eval_grams AS (
+             |  SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 3)
+             |SELECT g.doc_id, count(*) AS n_shared
+             |FROM grams g JOIN eval_grams e USING (gram)
+             |WHERE g.doc_id % 17 <> 3
+             |GROUP BY g.doc_id""".stripMargin)),
+
+    // Intra-document repetition features (repetitive-junk filter):
+    // most-frequent-token ratio + duplicate-3-gram ratio per doc.
+    Q("q90_repetition",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+        Curation.repetitionStats(d, "doc_id", "text", 3)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            col("top_token_ratio"), col("n_grams"), col("dup_gram_ratio"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |tokc AS (
+             |  SELECT doc_id, t, count(*) AS c
+             |  FROM toks, unnest(w) AS u(t) GROUP BY doc_id, t),
+             |tok_stats AS (
+             |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS max_tok
+             |  FROM tokc GROUP BY doc_id),
+             |grams AS (
+             |  SELECT doc_id, array_to_string(w[g : g + 2], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(g)),
+             |gram_stats AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |    count(DISTINCT gram) AS n_distinct_grams
+             |  FROM grams GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  round(CAST(max_tok AS DOUBLE) / n_tokens, 6) AS top_token_ratio,
+             |  n_grams,
+             |  round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_gram_ratio
+             |FROM tok_stats JOIN gram_stats USING (doc_id)""".stripMargin)),
+
+    // Connected components with an EXACT oracle: edges chain consecutive
+    // doc_ids within each (source, lang) — the operator must close chains
+    // of length |group|-1 from anonymous pairs; true labels are the
+    // (source, lang) window min. Singleton groups have no edge and are
+    // excluded on both sides.
+    Q("q91_cc_chains",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val w = Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("doc_id"))
+        val edges = d.select(col("doc_id").as("idA"),
+            lead(col("doc_id"), 1).over(w).as("idB"))
+          .filter(col("idB").isNotNull)
+        DedupGroups.connectedComponents(edges)
+          .select(col("id"), col("groupId").as("group_id"))
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(min(doc_id) OVER (PARTITION BY source, lang) AS BIGINT) AS group_id
+             |FROM documents
+             |QUALIFY count(*) OVER (PARTITION BY source, lang) > 1""".stripMargin)),
+
+    // Global token vocabulary: top 50 lower-cased tokens by
+    // (count desc, token asc) — the deterministic cut for BPE seeding /
+    // frequency tables.
+    Q("q92_vocab_topk",
+      (spark, dir) =>
+        Curation.vocabulary(Tables.load(spark, dir, "documents"), "text", 50),
+      Some("""SELECT t AS tok, count(*) AS n
+             |FROM (SELECT unnest(string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS t
+             |  FROM documents)
+             |WHERE length(t) > 0
+             |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin)),
+
+    // Domain-mixture reweighting: per-source token share and the uniform-
+    // budget sampling weight (total/k)/tokens(source).
+    Q("q93_mixture_weights",
+      (spark, dir) =>
+        Curation.mixtureWeights(
+          Tables.load(spark, dir, "documents"), "source", "text"),
+      Some("""WITH s AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT count(*) AS k, sum(n_tokens) AS tot FROM s)
+             |SELECT source, n_docs, n_tokens,
+             |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
+             |  round(CAST(tot AS DOUBLE) / k / n_tokens, 6) AS weight
+             |FROM s, t""".stripMargin)),
+  )
+}

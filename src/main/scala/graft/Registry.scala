@@ -23,6 +23,7 @@ object Registry {
     RelationalQueries5.all,
     TextQueries.all,
     SimilarityQueries.all,
+    CurationQueries.all,
     PipelineQueries.all)
 
   lazy val all: Seq[Q] = {

@@ -121,7 +121,9 @@ object TextFunctions {
     h
   }
 
-  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+  /** splitmix64 finalizer. package-visible so query oracles can embed
+    * mix64-derived constants generated from the SAME kernel (no drift). */
+  private[graft] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

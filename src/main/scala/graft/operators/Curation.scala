@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, intra-document repetition scoring, vocabulary
+  * extraction, and domain-mixture reweighting.
+  *
+  * Scale shapes (100 TB):
+  *  - contamination joins on the n-gram VALUE with the eval side distinct
+  *    — the eval set (benchmarks) is tiny relative to the corpus, so the
+  *    gram join broadcasts; the corpus side is one explode + one shuffle.
+  *    (At extreme gram cardinality, pre-hash grams to 64-bit before the
+  *    join to shrink shuffle width — kept as raw strings here so the
+  *    DuckDB oracle can replay the query exactly.)
+  *  - repetition stats are per-document aggregates: explode → groupBy on
+  *    (doc, token) — combiner-friendly, no cross-document traffic.
+  *  - mixture weights aggregate to one row per domain — trivially small.
+  */
+object Curation {
+
+  /** Documents sharing at least one word `n`-gram with `evalSet` —
+    * GPT-3-style benchmark decontamination, reported as
+    * (id, n_shared BIGINT = distinct overlapping grams).
+    * Self-containment: callers exclude eval ids from `corpus` if the two
+    * overlap (the query layer does). */
+  def ngramContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val g = explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("gram")
+      if (withId) df.select(col(idCol).as("id"), g) else df.select(g)
+    }
+    val evalGrams = grams(evalSet, withId = false).distinct()
+    grams(corpus, withId = true)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // grams already distinct per doc
+  }
+
+  /** The cleaning form: corpus minus every contaminated document (one
+    * anti-join against [[ngramContamination]] ids). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bad = ngramContamination(corpus, evalSet, idCol, textCol, n)
+      .select(col("id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Per-document repetition features (the "repetitive junk" filter of a
+    * quality pipeline): token count, most-frequent-token ratio, `n`-gram
+    * count and duplicate-gram ratio. Documents with fewer than `n` tokens
+    * (no grams) are excluded. All counts BIGINT, ratios round(…, 6). */
+  def repetitionStats(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tokStats = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tok"))
+    val grams = corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+    val gramStats = grams.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct_grams"))
+    tokStats.join(gramStats, Seq("id"))
+      .select(col("id"), col("n_tokens"),
+        round(col("max_tok").cast("double") / col("n_tokens"), 6)
+          .as("top_token_ratio"),
+        col("n_grams"),
+        round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_gram_ratio"))
+  }
+
+  /** Global token vocabulary: top `k` tokens by (count desc, token asc) —
+    * deterministic total order so the cut at `k` is stable. Lower-cased,
+    * empty tokens dropped. */
+  def vocabulary(corpus: DataFrame, textCol: String, k: Int): DataFrame =
+    corpus.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+
+  /** Domain-mixture reweighting toward a UNIFORM token budget per domain:
+    * weight(g) = (total_tokens / n_domains) / tokens(g) — the sampling
+    * multiplier that equalizes each domain's token contribution (the
+    * flat-mixture special case of DoReMi-style domain reweighting).
+    * One row per domain: (group, n_docs, n_tokens, token_share, weight).
+    * Totals ride along as in-plan broadcast scalars — no driver count. */
+  def mixtureWeights(corpus: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val stats = corpus.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col(textCol))).cast("long"))
+          .as("n_tokens"))
+    val totals = stats.agg(count(lit(1)).as("_k"), sum(col("n_tokens")).as("_tot"))
+    stats.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_tot"), 6).as("token_share"),
+        round(col("_tot").cast("double") / col("_k") / col("n_tokens"), 6)
+          .as("weight"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Curation operators: decontamination, repetition stats, vocabulary,
+  * mixture weights — planted-example semantics, not just row counts. */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),       // shares the 5-gram prefix with eval
+    (2L, "one two three four five six seven"),          // clean
+    (3L, "alpha beta gamma delta epsilon eta"),         // shares the same 5-gram
+    (4L, "short doc"),                                  // < n tokens: no grams
+  ).toDF("doc_id", "text")
+  private val evalSet = Seq(
+    (100L, "alpha beta gamma delta epsilon omega"),
+  ).toDF("doc_id", "text")
+
+  test("ngramContamination flags exactly the docs sharing a 5-gram") {
+    val got = Curation.ngramContamination(corpus, evalSet, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L),
+      "docs 1 and 3 share 'alpha beta gamma delta epsilon'; 2 and 4 are clean")
+  }
+
+  test("decontaminate removes contaminated docs and keeps the rest") {
+    val kept = Curation.decontaminate(corpus, evalSet, "doc_id", "text", 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("repetitionStats: a repeated phrase shows up in dup_gram_ratio") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),     // 5 tokens, 3 grams all identical
+      (2L, "a b c d e"),                    // all distinct
+      (3L, "x y"),                          // no 3-grams → excluded
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (_, n1, top1, g1, dup1) = got(1L)
+    assert(n1 == 5 && top1 == 1.0 && g1 == 3 && (dup1 ~= (1.0 - 1.0 / 3)))
+    val (_, n2, top2, g2, dup2) = got(2L)
+    assert(n2 == 5 && top2 == 0.2 && g2 == 3 && dup2 == 0.0)
+  }
+
+  private implicit class DoubleOps(x: Double) {
+    def ~=(y: Double): Boolean = math.abs(x - y) < 1e-6
+  }
+
+  test("vocabulary: deterministic (count desc, token asc) cut") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
+    val got = Curation.vocabulary(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L)),
+      "a and b tie at 3; token-asc puts both ahead of c=2")
+  }
+
+  test("mixtureWeights: shares sum to 1, uniform weight is tokens-inverse") {
+    val docs = Seq(
+      (1L, "w w w w", "big"), (2L, "w w w w", "big"),   // 8 tokens
+      (3L, "w w", "small"),                             // 2 tokens
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.mixtureWeights(docs, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nd, nt, share, weight) = got("big")
+    assert(nd == 2 && nt == 8 && (share ~= 0.8) && (weight ~= 0.625))
+    val (_, nds, nts, shares, weights) = got("small")
+    assert(nds == 1 && nts == 2 && (shares ~= 0.2) && (weights ~= 2.5))
+    assert((share + shares) ~= 1.0)
+  }
+}
