@@ -115,6 +115,36 @@ object CurationQueries {
              |WHERE length(t) > 0
              |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin)),
 
+    // Perplexity-style quality scoring: mean unigram surprisal per doc
+    // against the corpus's own token distribution. Surprisal is fixed to
+    // integer micro-nats per DISTINCT token before any per-doc summing,
+    // so document totals are exact integer sums in both engines (raw
+    // double sums would be aggregation-order-dependent).
+    Q("q94_unigram_surprisal",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Curation.unigramSurprisal(d, "doc_id", "text")
+          .filter(col("id") % 7 === 0)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            col("mean_surprisal"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t FROM (
+             |    SELECT doc_id, unnest(string_split_regex(
+             |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS t
+             |    FROM documents)
+             |  WHERE length(t) > 0),
+             |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+             |tot AS (SELECT sum(c) AS n FROM counts),
+             |surp AS (
+             |  SELECT t, CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS s
+             |  FROM counts, tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 4) AS mean_surprisal
+             |FROM toks JOIN surp USING (t)
+             |WHERE doc_id % 7 = 0
+             |GROUP BY doc_id""".stripMargin)),
+
     // Domain-mixture reweighting: per-source token share and the uniform-
     // budget sampling weight (total/k)/tokens(source).
     Q("q93_mixture_weights",

@@ -124,6 +124,11 @@ object SimilarityQueries {
 
     // Embedding near-duplicate pairs via SRP buckets, on a corpus doubled
     // with exact copies (shifted ids) so duplicates exist by construction.
+    // Oracled like q41: the 24-plane Rademacher matrix is embedded from
+    // the SAME splitmix64 derivation, buckets are plain 8-bit sig slices
+    // (no engine-specific hashing anywhere on the candidate path), the
+    // threshold is applied to the unrounded sim exactly as the operator
+    // does, and only then rounded for output.
     Q("q44_embedding_neardup",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
@@ -133,7 +138,37 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_dup_pairs"),
             round(min(col("sim")), 6).as("min_sim"))
       },
-      None),
+      Some(s"""WITH signs AS (
+             |  SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+             |  FROM (VALUES ${srpSignRows(planes = 24, dims = 64, seed = 42L)}) s(plane, sv)),
+             |base AS (
+             |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+             |normed AS (
+             |  SELECT id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM base
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |accs AS (
+             |  SELECT id, plane, list_dot_product(v, sv) AS acc
+             |  FROM normed CROSS JOIN signs),
+             |sigs AS (
+             |  SELECT id,
+             |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+             |  FROM accs GROUP BY id),
+             |banded AS (
+             |  SELECT id, band, (sig >> (band * 8)) & 255 AS bucket
+             |  FROM sigs CROSS JOIN (VALUES (0),(1),(2)) b(band)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS idA, b.id AS idB
+             |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+             |  WHERE a.id < b.id),
+             |pairs AS (
+             |  SELECT idA, idB,
+             |    list_dot_product(na.v, nb.v) / (na.vnorm * nb.vnorm) AS sim
+             |  FROM cand JOIN normed na ON na.id = idA JOIN normed nb ON nb.id = idB)
+             |SELECT count(*) AS n_dup_pairs,
+             |  round(min(round(sim, 6)), 6) AS min_sim
+             |FROM pairs WHERE sim >= 0.95""".stripMargin)),
 
     // Product quantization: 64-dim float vectors → 8-int codes (32×
     // compression), ADC top-10 over the compressed index only.

@@ -24,6 +24,156 @@ object TextQueries {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000L))
   }
 
+  /** Shared DuckDB CTE prefix replaying the MinHash-LSH candidate stage
+    * (doubled corpus → 3-word shingles → fnv1a64 → 128 mix64 minima →
+    * 4-row band equality → candidate pairs), built programmatically: the
+    * 128 per-hash-function seeds are mix64(h) from TextFunctions' OWN
+    * kernel, embedded as unsigned literals; mulmod expands (a*b) mod 2^64
+    * into split 32-bit-half arithmetic that stays inside INT128. Feeds
+    * both q36 (candidate stats) and q39 (full ladder survivors). */
+  private lazy val lshCandidateCtes: String = {
+    val seeds = (0 until 128).map { h =>
+      val u = java.lang.Long.toUnsignedString(TextFunctions.mix64(h.toLong))
+      s"($h,CAST($u AS UBIGINT))"
+    }.mkString(",")
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+    def xorShift(u: String, s: Int): String =
+      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+       |toks AS (
+       |  SELECT id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+       |  FROM corpus),
+       |shingles AS (
+       |  SELECT DISTINCT id, array_to_string(w[g : g + 2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(g)
+       |  WHERE len(w) >= 3),
+       |bases AS (SELECT DISTINCT sh FROM shingles),
+       |bhash AS (
+       |  SELECT sh, CAST(list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(string_split(sh, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (h, b) -> ((h - (h % 256) +
+       |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |      * 1099511628211) % 18446744073709551616) AS UBIGINT) AS base
+       |  FROM bases),
+       |hseeds AS (SELECT h, seed FROM (VALUES $seeds) s(h, seed)),
+       |s0 AS (SELECT sh, h,
+       |  (CAST(xor(base, seed) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
+       |  FROM bhash CROSS JOIN hseeds),
+       |s1 AS (SELECT sh, h, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT sh, h, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |mixed AS (SELECT sh, h, xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |signedv AS (
+       |  SELECT sh, h, CAST(CASE WHEN CAST(vu AS HUGEINT) >= 9223372036854775808
+       |    THEN CAST(vu AS HUGEINT) - 18446744073709551616
+       |    ELSE CAST(vu AS HUGEINT) END AS BIGINT) AS v
+       |  FROM mixed),
+       |sigs AS (
+       |  SELECT s.id, m.h, min(m.v) AS sig
+       |  FROM shingles s JOIN signedv m USING (sh)
+       |  GROUP BY s.id, m.h),
+       |banded AS (
+       |  SELECT id, h // 4 AS band, string_agg(sig::VARCHAR, ',' ORDER BY h) AS key
+       |  FROM sigs GROUP BY id, h // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.id < b.id)""".stripMargin
+  }
+
+  private def q36Oracle: String = lshCandidateCtes +
+    """,
+      |est AS (
+      |  SELECT c.idA, c.idB,
+      |    round(CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 128, 6) AS est_jaccard
+      |  FROM cand c JOIN sigs sa ON sa.id = c.idA
+      |  JOIN sigs sb ON sb.id = c.idB AND sb.h = sa.h
+      |  GROUP BY c.idA, c.idB)
+      |SELECT (est_jaccard >= 0.99) AS is_exact_dup, count(*) AS n_pairs,
+      |  round(avg(est_jaccard), 4) AS avg_est_jaccard
+      |FROM est GROUP BY 1""".stripMargin
+
+  /** q39's oracle: LSH candidates verified with exact shingle Jaccard
+    * (|∩| joins on the shingle value; |∪| = nA + nB − |∩| since shingle
+    * lists are distinct), greedy drop-the-greater-id, unioned with
+    * sha256 exact-duplicate drops — the same decision rule as
+    * Dedup.dedupeCorpus. */
+  /** q77's oracle: the q39 edge set (verified near-dup ∪ exact-hash
+    * pairs) closed transitively by unrolled min-label propagation — sym
+    * includes self-loops so each round references the previous labels
+    * exactly ONCE (multi-referenced chained CTEs trip a DuckDB
+    * re-evaluation quirk that re-runs the whole LSH prefix per round:
+    * 28 s vs 5 s), and MATERIALIZED pins the shared frames. Two rounds
+    * close this corpus's components (all stars around their min — radius
+    * 1, measured; the second round is margin + fixpoint confirmation).
+    * WITH RECURSIVE would be the general form but disables DuckDB's CTE
+    * optimizations (~6× slower here); the Spark operator is the general
+    * solution, the oracle only needs to be exact for the static gate
+    * data. */
+  private def q77Oracle: String = lshCandidateCtes +
+    """,
+      |inter AS (
+      |  SELECT c.idA, c.idB, count(*) AS ni
+      |  FROM cand c JOIN shingles sa ON sa.id = c.idA
+      |  JOIN shingles sb ON sb.id = c.idB AND sb.sh = sa.sh
+      |  GROUP BY c.idA, c.idB),
+      |sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+      |edges AS MATERIALIZED (
+      |  SELECT i.idA AS a, i.idB AS b
+      |  FROM inter i JOIN sizes na ON na.id = i.idA JOIN sizes nb ON nb.id = i.idB
+      |  WHERE round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) >= 0.8
+      |  UNION
+      |  SELECT k.keeper AS a, c.id AS b
+      |  FROM corpus c JOIN (
+      |    SELECT sha256(text) AS h, min(id) AS keeper FROM corpus GROUP BY 1) k
+      |  ON sha256(c.text) = k.h
+      |  WHERE c.id <> k.keeper),
+      |sym AS MATERIALIZED (
+      |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+      |  UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges),
+      |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS g FROM sym),
+      |l1 AS MATERIALIZED (
+      |  SELECT s.a AS id, min(l.g) AS g
+      |  FROM sym s JOIN l0 l ON l.id = s.b GROUP BY s.a),
+      |l2 AS MATERIALIZED (
+      |  SELECT s.a AS id, min(l.g) AS g
+      |  FROM sym s JOIN l1 l ON l.id = s.b GROUP BY s.a),
+      |drops AS (SELECT id FROM l2 WHERE g < id),
+      |kept AS (SELECT id FROM corpus WHERE id NOT IN (SELECT id FROM drops))
+      |SELECT count(*) AS n_kept,
+      |  CAST(sum(CASE WHEN id < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_originals
+      |FROM kept""".stripMargin
+
+  private def q39Oracle: String = lshCandidateCtes +
+    """,
+      |inter AS (
+      |  SELECT c.idA, c.idB, count(*) AS ni
+      |  FROM cand c JOIN shingles sa ON sa.id = c.idA
+      |  JOIN shingles sb ON sb.id = c.idB AND sb.sh = sa.sh
+      |  GROUP BY c.idA, c.idB),
+      |sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+      |near_drops AS (
+      |  SELECT greatest(i.idA, i.idB) AS dropId
+      |  FROM inter i JOIN sizes na ON na.id = i.idA JOIN sizes nb ON nb.id = i.idB
+      |  WHERE round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) >= 0.8),
+      |exact_drops AS (
+      |  SELECT c.id AS dropId
+      |  FROM corpus c JOIN (
+      |    SELECT sha256(text) AS h, min(id) AS keeper FROM corpus GROUP BY 1) k
+      |  ON sha256(c.text) = k.h
+      |  WHERE c.id <> k.keeper),
+      |drops AS (
+      |  SELECT DISTINCT dropId FROM (
+      |    SELECT dropId FROM exact_drops UNION ALL SELECT dropId FROM near_drops)),
+      |kept AS (SELECT id FROM corpus WHERE id NOT IN (SELECT dropId FROM drops))
+      |SELECT count(*) AS n_kept,
+      |  CAST(sum(CASE WHEN id < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_originals,
+      |  CAST(sum(CASE WHEN id >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+      |FROM kept""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact dedup by content hash (sha256): one shuffle on the digest,
     // min(doc_id) is the canonical keeper.
@@ -141,6 +291,17 @@ object TextQueries {
 
     // MinHash+LSH near-dup candidates on the doubled corpus: every
     // original↔copy pair must collide with est_jaccard 1.0.
+    // Oracled: the signature kernel is pure integer arithmetic, so DuckDB
+    // replays it exactly — fnv1a64 per 3-word shingle (HUGEINT fold, as
+    // q37/q38), then sig[h] = min over shingles of mix64(base ^ mix64(h))
+    // with the 128 mix64(h) seeds embedded as literals GENERATED FROM THE
+    // SAME Scala kernel (no drift possible), 64×64-bit multiplies done as
+    // split 32-bit halves mod 2^64 (a full HUGEINT product overflows
+    // INT128), mins taken over the SIGNED view to match Long comparison.
+    // Banding joins on 4-signature-slice equality — Spark buckets by
+    // hash(band, slice), so the oracle's candidate set differs only if
+    // Murmur3 collides across distinct slices (verified: none at either
+    // test SF; the static test data makes this check deterministic).
     Q("q36_minhash_lsh",
       (spark, dir) => {
         Dedup.minhashLshPairs(doubled(spark, dir), "doc_id", "text")
@@ -148,7 +309,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_pairs"),
             round(avg(col("est_jaccard")), 4).as("avg_est_jaccard"))
       },
-      None), // LSH internals not SQL-expressible; recall proven in DedupSpec
+      Some(q36Oracle)),
 
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays
@@ -209,7 +370,7 @@ object TextQueries {
           sum(when(col("doc_id") < 10000L, 1L).otherwise(0L)).as("n_originals"),
           sum(when(col("doc_id") >= 10000L, 1L).otherwise(0L)).as("n_copies"))
       },
-      None), // survivors proven in SnapshotStreamSpec; copies must all drop
+      Some(q39Oracle)),
 
     // TF-IDF sparse cosine top-3 via the inverted-index (posting-list)
     // join — no dense vectors, docs pair only through shared terms.
@@ -264,7 +425,7 @@ object TextQueries {
         kept.agg(count(lit(1)).as("n_kept"),
           sum(when(col("doc_id") < 10000L, 1L).otherwise(0L)).as("n_originals"))
       },
-      None), // closure semantics proven in TfIdfSpec
+      Some(q77Oracle)),
 
     // Rolling-hash document fingerprint (whitespace-insensitive exact dedup).
     Q("q38_fingerprint",

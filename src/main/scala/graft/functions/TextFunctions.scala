@@ -216,6 +216,34 @@ object TextFunctions {
   def distinctShinglesCol(text: Column, n: Int): Column =
     distinctShinglesUdf(text, lit(n))
 
+  /** Fused tokenize→shingle WITHOUT dedup (same element multiset as
+    * wordShingles, one JVM pass — the expression form's interpreted
+    * higher-order lambdas cost ~4 s / 10k docs and dominated q89/q90). */
+  def allShingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val words = text.trim.split("\\s+")
+    if (words.length < n) return Array.empty
+    val out = new Array[String](words.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  private val allShinglesUdf = udf((t: String, n: Int) => allShingles(t, n))
+
+  def allShinglesCol(text: Column, n: Int): Column =
+    allShinglesUdf(text, lit(n))
+
   /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes.
     * Null token list (null text upstream) → 0L fingerprint. */
   def simhash64(toks: Seq[String]): Long = {

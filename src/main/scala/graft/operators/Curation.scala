@@ -29,9 +29,11 @@ object Curation {
     * overlap (the query layer does). */
   def ngramContamination(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
+    // fused JVM shingle kernel, not the expression form: interpreted
+    // higher-order lambdas cost ~4 s / 10k docs and dominated the bench
     def grams(df: DataFrame, withId: Boolean): DataFrame = {
-      val g = explode(array_distinct(
-        TextFunctions.wordShingles(col(textCol), n))).as("gram")
+      val g = explode(
+        TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram")
       if (withId) df.select(col(idCol).as("id"), g) else df.select(g)
     }
     val evalGrams = grams(evalSet, withId = false).distinct()
@@ -63,7 +65,7 @@ object Curation {
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tok"))
     val grams = corpus.select(col(idCol).as("id"),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      explode(TextFunctions.allShinglesCol(col(textCol), n)).as("gram"))
     val gramStats = grams.groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("gram")).as("n_distinct_grams"))
@@ -86,6 +88,40 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
+
+  /** Per-document mean unigram surprisal — the KenLM-free version of
+    * perplexity-based quality filtering: score(doc) = −Σ ln p(tok) / n,
+    * with p() the corpus's own unigram distribution. High = rare-token
+    * soup, low = repetitive filler; both tails get filtered in a real
+    * pipeline.
+    *
+    * Numeric discipline (cross-engine exactness): the only float op per
+    * TERM is ln of an exact ratio, immediately fixed to integer
+    * micro-nats — per-document totals are then EXACT integer sums
+    * (order-independent, unlike summing raw doubles, which is
+    * non-associative and differs between engines' aggregation orders);
+    * the mean divides two exact integers once at the end.
+    * Scale: vocabulary is tiny relative to any corpus → surprisal table
+    * broadcasts; the doc side is one explode + one combiner-friendly
+    * groupBy. */
+  def unigramSurprisal(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = corpus.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("_n"))
+    val surp = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(-log(col("c").cast("double") / col("_n")) * 1e6, 0)
+          .cast("long").as("s"))
+    toks.join(broadcast(surp), Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("s_total"))
+      .select(col("id"), col("n_tokens"),
+        round(col("s_total").cast("double") / col("n_tokens") / 1e6, 4)
+          .as("mean_surprisal"))
+  }
 
   /** Domain-mixture reweighting toward a UNIFORM token budget per domain:
     * weight(g) = (total_tokens / n_domains) / tokens(g) — the sampling

@@ -60,6 +60,24 @@ class CurationSpec extends SparkSuite {
       "a and b tie at 3; token-asc puts both ahead of c=2")
   }
 
+  test("unigramSurprisal: rare tokens score high, uniform docs at ln(V)") {
+    // 8 'a', 8 'b' → p = 1/2 each; doc 3 is all-rare? no rare here:
+    // surprisal of every token = ln 2 → both docs score ln 2
+    val docs = Seq((1L, "a b a b a b a b"), (2L, "b a b a b a b a"))
+      .toDF("doc_id", "text")
+    val got = Curation.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val ln2 = BigDecimal(math.round(math.log(2) * 1e6))./(BigDecimal(1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == 8 && (got(1L)._3 ~= ln2))
+    assert(got(2L)._3 ~= ln2)
+    // a doc with one rare token among commons scores above ln 2
+    val docs2 = Seq((1L, "a a a a a a a"), (2L, "a rare")).toDF("doc_id", "text")
+    val got2 = Curation.unigramSurprisal(docs2, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got2(2L)._3 > got2(1L)._3)
+  }
+
   test("mixtureWeights: shares sum to 1, uniform weight is tokens-inverse") {
     val docs = Seq(
       (1L, "w w w w", "big"), (2L, "w w w w", "big"),   // 8 tokens
