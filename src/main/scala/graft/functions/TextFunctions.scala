@@ -121,6 +121,12 @@ object TextFunctions {
     h
   }
 
+  private val fnv1a64Udf = udf((s: String) => fnv1a64(s))
+
+  /** Column form of the fnv1a64 string hash (64-bit join keys for gram /
+    * shingle joins at scale — 8 bytes instead of an n-word string). */
+  def fnv1a64Col(s: Column): Column = fnv1a64Udf(s)
+
   /** splitmix64 finalizer. package-visible so query oracles can embed
     * mix64-derived constants generated from the SAME kernel (no drift). */
   private[graft] def mix64(z0: Long): Long = {

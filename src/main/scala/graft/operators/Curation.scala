@@ -26,15 +26,27 @@ object Curation {
     * GPT-3-style benchmark decontamination, reported as
     * (id, n_shared BIGINT = distinct overlapping grams).
     * Self-containment: callers exclude eval ids from `corpus` if the two
-    * overlap (the query layer does). */
+    * overlap (the query layer does).
+    *
+    * `hashGrams = true` joins on fnv1a64(gram) instead of the gram string
+    * — the 100 TB form: an 8-byte join key instead of an ~n-word string
+    * shrinks the broadcast and the probe-side hashing. n_shared counts
+    * then ride on 64-bit fingerprints (collision odds ~|eval grams|²/2⁶⁴
+    * — negligible, and an equivalence spec pins both paths identical on
+    * the test corpus). Default false so the q89 oracle compares raw
+    * grams. */
   def ngramContamination(corpus: DataFrame, evalSet: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      hashGrams: Boolean = false): DataFrame = {
     // fused JVM shingle kernel, not the expression form: interpreted
     // higher-order lambdas cost ~4 s / 10k docs and dominated the bench
     def grams(df: DataFrame, withId: Boolean): DataFrame = {
-      val g = explode(
+      val raw = explode(
         TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram")
-      if (withId) df.select(col(idCol).as("id"), g) else df.select(g)
+      val sel = if (withId) df.select(col(idCol).as("id"), raw)
+                else df.select(raw)
+      if (hashGrams) sel.withColumn("gram", TextFunctions.fnv1a64Col(col("gram")))
+      else sel
     }
     val evalGrams = grams(evalSet, withId = false).distinct()
     grams(corpus, withId = true)

@@ -26,6 +26,17 @@ class CurationSpec extends SparkSuite {
       "docs 1 and 3 share 'alpha beta gamma delta epsilon'; 2 and 4 are clean")
   }
 
+  test("hashed-gram contamination (the scale path) matches the raw-gram path") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val evalSet = docs.filter(col("doc_id") % 17 === 3)
+    val train = docs.filter(col("doc_id") % 17 =!= 3)
+    def run(hashed: Boolean) =
+      Curation.ngramContamination(train, evalSet, "doc_id", "text", 5,
+          hashGrams = hashed)
+        .as[(Long, Long)].collect().toMap
+    assert(run(hashed = true) == run(hashed = false))
+  }
+
   test("decontaminate removes contaminated docs and keeps the rest") {
     val kept = Curation.decontaminate(corpus, evalSet, "doc_id", "text", 5)
       .select("doc_id").as[Long].collect().sorted
