@@ -69,6 +69,70 @@ object EventStream {
       }
   }
 
+  final case class SessionBuf(eventsMs: Seq[Long])
+  final case class ClosedSession(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** EXACT event-time sessionization: flatMapGroupsWithState with an
+    * event-time timeout. Where [[sessionize]] trades cross-batch ordering
+    * for O(1) state, this buffers events per user until the WATERMARK
+    * passes session-end + gap, then emits the closed session — late or
+    * out-of-order events (within the watermark delay) land in the right
+    * session regardless of which micro-batch delivered them.
+    *
+    * State is bounded by the watermark horizon: an event is buffered for
+    * at most (watermark delay + gap) of event time, then its session
+    * closes and the buffer shrinks. Emission is Append-mode (closed
+    * sessions are immutable facts, exactly-once per session).
+    *
+    * Batch parity: closed sessions equal the q24 gaps-and-islands
+    * decomposition restricted to sessions whose end + gap ≤ final
+    * watermark — proven in StreamingSpec with deliberately out-of-order
+    * batches. */
+  def sessionizeEventTime(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import spark.implicits._
+    // the watermarked COLUMN itself must reach the stateful operator
+    // (projecting it into unix_millis strips the watermark tag and the
+    // analyzer rejects EventTimeTimeout) — convert inside the lambda
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessionBuf]) =>
+          val buffered = state.getOption.map(_.eventsMs).getOrElse(Seq.empty)
+          val all = (buffered ++ rows.map(_._2.getTime)).sorted
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            // split at gaps, close every session the watermark has passed
+            val wm = state.getCurrentWatermarkMs()
+            val sessions = all.foldLeft(List.empty[List[Long]]) {
+              case (acc, ms) => acc match {
+                case head :: tail if ms - head.head <= gapMs =>
+                  (ms :: head) :: tail // head of inner list = last event
+                case _ => List(ms) :: acc
+              }
+            }.map(_.reverse).reverse
+            val (closed, open) =
+              sessions.partition(s => state.hasTimedOut || s.last + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionBuf(open.flatten))
+              // fire when the watermark passes the last buffered event's
+              // session horizon (must stay above the current watermark,
+              // which open-nonempty guarantees: last + gap > wm)
+              state.setTimeoutTimestamp(open.flatten.max + gapMs)
+            }
+            closed.iterator.map(s =>
+              ClosedSession(user, s.head, s.last, s.length.toLong))
+          }
+      }
+  }
+
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are
     * watermarked so the join state is bounded: a buffered click can be

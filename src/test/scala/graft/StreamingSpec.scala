@@ -76,6 +76,42 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("event-time sessionization closes exact sessions across OUT-OF-ORDER batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = ms.toDF().toDF("user_id", "ts")
+    val q = EventStream.sessionizeEventTime(spark, stream,
+        gapMs = 30L * 60 * 1000, watermarkDelay = "45 minutes")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("et_sessions").start()
+    try {
+      // batch 1: user 1's events at minute 100 and 10 — the minute-10
+      // event ARRIVES after minute-100 raised the max-seen clock
+      ms.addData((1L, t(100)), (1L, t(10)))
+      q.processAllAvailable()
+      // batch 2: minute 60 arrives AFTER minute 100 was processed, but is
+      // above the watermark (55) — it must slot between the buffered
+      // sessions; this batch also closes {10} (10 + gap = 40 ≤ wm 55)
+      ms.addData((1L, t(60)))
+      q.processAllAvailable()
+      // sentinel far in the future forces the watermark past everything
+      ms.addData((99L, t(1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("et_sessions")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def sess(startMin: Long, endMin: Long, n: Long) =
+      (1L, startMin * 60000L, endMin * 60000L, n)
+    // exact event-time sessions for user 1: {10}, {60}, {100} — three
+    // singleton sessions (gaps 50 and 40 > 30), with the minute-10 event
+    // correctly placed BEFORE minute-100 despite arriving in the same
+    // batch after it, and minute-60 arriving a batch later still slotting
+    // between them.
+    assert(got.filter(_._1 == 1L) ==
+      Set(sess(10, 10, 1), sess(60, 60, 1), sess(100, 100, 1)))
+  }
+
   test("stateful sessionization == batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
     val sessions = EventStream.runToCompletion(spark, eventsDir,
