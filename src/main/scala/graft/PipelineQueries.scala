@@ -185,6 +185,45 @@ object PipelineQueries {
              |AND c.ts >= p.ts - INTERVAL 30 MINUTE
              |GROUP BY p.user_id""".stripMargin)),
 
+    // Exact event-time sessionization as a stream: flatMapGroupsWithState
+    // buffers per-user events under an event-time timeout and emits each
+    // session once the watermark passes its end + gap. Replayed in one
+    // file-source batch (watermark 0 during the data batch, so nothing is
+    // late-dropped), every emission happens in the trailing no-data batch
+    // via timeouts, which fire on watermark STRICTLY past the horizon —
+    // hence the strict < in the oracle's closed-session restriction.
+    Q("q95_streaming_sessions",
+      (spark, dir) => {
+        val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val marker = new java.io.File(s"$normDir/_SUCCESS")
+        if (!marker.exists()) {
+          Tables.load(spark, dir, "events").write.mode("overwrite").parquet(normDir)
+        }
+        EventStream.runToCompletion(spark, normDir,
+          df => EventStream.sessionizeEventTime(spark, df,
+            watermarkDelay = "45 minutes").toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q95_${math.abs(dir.hashCode)}")
+      },
+      Some("""WITH gapped AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM gapped),
+             |per_session AS (
+             |  SELECT user_id, sid, epoch_ms(MIN(ts)) AS session_start_ms,
+             |    epoch_ms(MAX(ts)) AS session_end_ms, COUNT(*) AS n_events
+             |  FROM sessions GROUP BY user_id, sid),
+             |wm AS (SELECT epoch_ms(MAX(ts)) - 2700000 AS w FROM events)
+             |SELECT user_id, session_start_ms, session_end_ms, n_events
+             |FROM per_session, wm
+             |WHERE session_end_ms + 1800000 < w""".stripMargin)),
+
     // Structured Streaming surface: the events table replayed as a file
     // stream through the SAME windowed-agg transform as the batch form,
     // run to completion via the memory sink. Oracle: the batch equivalent

@@ -117,15 +117,16 @@ object EventStream {
                 case _ => List(ms) :: acc
               }
             }.map(_.reverse).reverse
-            val (closed, open) =
-              sessions.partition(s => state.hasTimedOut || s.last + gapMs <= wm)
+            val (closed, open) = sessions.partition(_.last + gapMs <= wm)
             if (open.isEmpty) state.remove()
             else {
               state.update(SessionBuf(open.flatten))
-              // fire when the watermark passes the last buffered event's
-              // session horizon (must stay above the current watermark,
-              // which open-nonempty guarantees: last + gap > wm)
-              state.setTimeoutTimestamp(open.flatten.max + gapMs)
+              // fire when the watermark passes the EARLIEST open session's
+              // horizon — keying the timeout to the latest event would let
+              // an always-active user hold its old sessions (and their
+              // state) hostage indefinitely. Partition guarantees
+              // min > wm, which setTimeoutTimestamp requires.
+              state.setTimeoutTimestamp(open.map(_.last + gapMs).min)
             }
             closed.iterator.map(s =>
               ClosedSession(user, s.head, s.last, s.length.toLong))
