@@ -115,6 +115,33 @@ object CurationQueries {
              |WHERE length(t) > 0
              |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin)),
 
+    // Corpus distinct-n diversity report (1/2/3-grams): the repetition /
+    // mode-collapse metric for training data.
+    Q("q96_ngram_diversity",
+      (spark, dir) =>
+        Curation.ngramDiversity(
+          Tables.load(spark, dir, "documents"), "text", maxN = 3),
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+             |  FROM documents),
+             |g1 AS (SELECT t AS gram FROM toks, unnest(w) AS u(t)),
+             |g2 AS (
+             |  SELECT array_to_string(w[g : g + 1], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(g)),
+             |g3 AS (
+             |  SELECT array_to_string(w[g : g + 2], ' ') AS gram
+             |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(g)),
+             |stats AS (
+             |  SELECT 1 AS n, count(*) AS total_ngrams,
+             |    count(DISTINCT gram) AS distinct_ngrams FROM g1
+             |  UNION ALL
+             |  SELECT 2, count(*), count(DISTINCT gram) FROM g2
+             |  UNION ALL
+             |  SELECT 3, count(*), count(DISTINCT gram) FROM g3)
+             |SELECT n, total_ngrams, distinct_ngrams,
+             |  round(CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6) AS diversity
+             |FROM stats ORDER BY n""".stripMargin)),
+
     // Perplexity-style quality scoring: mean unigram surprisal per doc
     // against the corpus's own token distribution. Surprisal is fixed to
     // integer micro-nats per DISTINCT token before any per-doc summing,

@@ -101,6 +101,26 @@ object Curation {
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
+  /** Corpus-level n-gram diversity (distinct-n): for n = 1..maxN, the
+    * ratio of distinct to total word n-grams — the standard repetition /
+    * mode-collapse report for a training corpus (low distinct-2 ⇒
+    * boilerplate-heavy data). One explode + one aggregate per n; the
+    * distinct count shuffles n-gram strings once per n. */
+  def ngramDiversity(corpus: DataFrame, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    (1 to maxN).map { n =>
+      corpus.select(explode(
+          TextFunctions.allShinglesCol(col(textCol), n)).as("gram"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("gram")).as("distinct_ngrams"))
+        .withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("diversity"))
+      .orderBy(col("n"))
+  }
+
   /** Per-document mean unigram surprisal — the KenLM-free version of
     * perplexity-based quality filtering: score(doc) = −Σ ln p(tok) / n,
     * with p() the corpus's own unigram distribution. High = rare-token

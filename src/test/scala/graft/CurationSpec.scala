@@ -63,6 +63,20 @@ class CurationSpec extends SparkSuite {
     def ~=(y: Double): Boolean = math.abs(x - y) < 1e-6
   }
 
+  test("ngramDiversity: all-repeated vs all-distinct corpora bracket the ratio") {
+    val docs = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Curation.ngramDiversity(docs, "text", maxN = 2)
+      .as[(Int, Long, Long, Double)].collect()
+      .map { case (n, t, d, r) => n -> ((t, d, r)) }.toMap
+    // 1-grams: 8 total, 5 distinct (x,a,b,c,d); 2-grams: 6 total,
+    // 4 distinct ("x x" ×3 collapses)
+    assert(got(1) == ((8L, 5L, 0.625)))
+    assert(got(2) == ((6L, 4L, round6(4.0 / 6))))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("vocabulary: deterministic (count desc, token asc) cut") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
     val got = Curation.vocabulary(docs, "text", 2)
@@ -87,6 +101,23 @@ class CurationSpec extends SparkSuite {
     val got2 = Curation.unigramSurprisal(docs2, "doc_id", "text")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(got2(2L)._3 > got2(1L)._3)
+  }
+
+  test("degenerate inputs: empty corpus and null text flow through, never throw") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val withNull = Seq((1L, null.asInstanceOf[String]),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Curation.ngramContamination(empty, evalSet, "doc_id", "text", 5).count() == 0)
+    assert(Curation.ngramContamination(withNull, evalSet, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap == Map(2L -> 1L),
+      "null text contributes no grams; doc 2 still matches")
+    assert(Curation.repetitionStats(withNull, "doc_id", "text", 3)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(Curation.vocabulary(empty, "text", 10).count() == 0)
+    // empty corpus: counts are 0 and the 0/0 ratio is NULL (Spark's
+    // non-ANSI division), not an exception
+    assert(Curation.ngramDiversity(empty, "text", 2)
+      .select("total_ngrams").as[Long].collect().forall(_ == 0))
   }
 
   test("mixtureWeights: shares sum to 1, uniform weight is tokens-inverse") {
