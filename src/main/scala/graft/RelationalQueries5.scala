@@ -171,6 +171,26 @@ object RelationalQueries5 {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)),
 
+    // ORC source parity (the remaining columnar format Spark ships a
+    // native reader for — no Avro connector in this jar set): supplier
+    // round-trips through an ORC write+read, then aggregates; the oracle
+    // computes the same over the parquet truth, so any ORC writer/reader
+    // divergence (types, decimals, nulls) breaks the hash.
+    Q("q97_orc_source",
+      (spark, dir) => {
+        val s = Tables.load(spark, dir, "supplier")
+        val base = s"/tmp/graft-sources-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        s.write.mode("overwrite").orc(s"$base/supplier_orc")
+        spark.read.schema(s.schema).orc(s"$base/supplier_orc")
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("acctbal_sum"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             |CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+             |FROM supplier GROUP BY s_nationkey""".stripMargin)),
+
     // RANGE window frame: running revenue over a VALUE range (all peers
     // within 5000 of the current price), distinct from q13's ROWS frame.
     Q("q81_range_frame",

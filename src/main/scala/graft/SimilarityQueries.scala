@@ -199,5 +199,43 @@ object SimilarityQueries {
             round(sum(VectorFunctions.norm(col("features"))), 4).as("feat_norm_sum"))
       },
       None),
+
+    // REAL container-header extraction (PNG IHDR / WAV fmt / MP4 ftyp
+    // parsed from actual bytes — the pre-decode filter pass of a media
+    // ingest). The builders put deterministic doc_id-derived values into
+    // valid headers; the oracle recomputes those values in SQL, so a
+    // parser byte-offset bug breaks the hash.
+    Q("q98_media_headers",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Multimodal.extractHeaders(Multimodal.headeredMedia(d))
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("width")).as("width_sum"),
+            sum(col("height")).as("height_sum"),
+            sum(col("channels")).as("channels_sum"),
+            sum(col("sample_rate")).as("rate_sum"),
+            sum(col("payload_bytes")).as("payload_sum"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+             |      WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'isom' END AS format,
+             |    CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 113 ELSE 0 END AS width,
+             |    CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 7) % 97 ELSE 0 END AS height,
+             |    CASE WHEN doc_id % 3 = 0 THEN 3
+             |      WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 ELSE 0 END AS channels,
+             |    CASE WHEN doc_id % 3 = 1 THEN
+             |      CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END
+             |      ELSE 0 END AS sample_rate,
+             |    strlen(coalesce(text, '')) AS payload_bytes
+             |  FROM documents)
+             |SELECT format, count(*) AS n,
+             |  CAST(sum(width) AS BIGINT) AS width_sum,
+             |  CAST(sum(height) AS BIGINT) AS height_sum,
+             |  CAST(sum(channels) AS BIGINT) AS channels_sum,
+             |  CAST(sum(sample_rate) AS BIGINT) AS rate_sum,
+             |  CAST(sum(payload_bytes) AS BIGINT) AS payload_sum
+             |FROM m GROUP BY format""".stripMargin)),
   )
 }

@@ -61,6 +61,135 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  // ---- Real container-header layer (no media libs needed) ----------------
+  //
+  // Pixel/sample DECODE needs libjpeg/ffmpeg and stays stubbed, but the
+  // container headers are plain bytes — parsing them is real work a
+  // 100 TB ingest does on every object (dimensions/sample-rate filters
+  // run BEFORE any expensive decode). Builders construct valid headers;
+  // the parser reads them back; both are exercised against each other
+  // and against hand-written byte fixtures in MultimodalSpec.
+
+  final case class MediaHeader(format: String, width: Int, height: Int,
+      channels: Int, sample_rate: Int, payload_bytes: Long)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG (IHDR), WAV (RIFF/fmt) and MP4 (ftyp) header parsing — returns
+    * None for unrecognized/truncated bytes (one bad object must not kill
+    * the scan). */
+  def parseHeader(media: Array[Byte]): Option[MediaHeader] = {
+    if (media == null) return None
+    if (media.length >= 26 && media.take(8).sameElements(pngSig)) {
+      // IHDR: length(4) type(4) at offset 8; width/height BE at 16/20;
+      // color type at 25 (2 = truecolor RGB, 6 = RGBA, 0 = gray)
+      val channels = media(25) match {
+        case 2 => 3
+        case 6 => 4
+        case 4 => 2
+        case _ => 1
+      }
+      Some(MediaHeader("png", be32(media, 16), be32(media, 20), channels,
+        0, media.length.toLong - 33))
+    } else if (media.length >= 44 &&
+        media.take(4).sameElements("RIFF".getBytes) &&
+        media.slice(8, 12).sameElements("WAVE".getBytes)) {
+      // canonical fmt chunk at offset 12: channels LE16 at 22, sample
+      // rate LE32 at 24
+      Some(MediaHeader("wav", 0, 0, le16(media, 22), le32(media, 24),
+        media.length.toLong - 44))
+    } else if (media.length >= 12 &&
+        media.slice(4, 8).sameElements("ftyp".getBytes)) {
+      Some(MediaHeader(new String(media.slice(8, 12),
+          java.nio.charset.StandardCharsets.US_ASCII).trim, 0, 0, 0, 0,
+        media.length.toLong - be32(media, 0)))
+    } else None
+  }
+
+  /** Minimal valid PNG: signature + IHDR chunk (no zlib — the payload
+    * rides as an opaque trailing chunk, which header parsers skip). */
+  def pngBytes(width: Int, height: Int, colorType: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33 + payload.length)
+    out.put(pngSig)
+    out.putInt(13).put("IHDR".getBytes)
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put(colorType.toByte) // bit depth 8
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    out.putInt(0) // CRC placeholder (header parsers don't verify)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Canonical 44-byte WAV header + payload as PCM data. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    out.put("RIFF".getBytes).putInt(36 + payload.length).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1.toShort) // PCM
+    out.putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+    out.putShort((channels * bitsPerSample / 8).toShort)
+    out.putShort(bitsPerSample.toShort)
+    out.put("data".getBytes).putInt(payload.length)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Minimal MP4: a single ftyp box, payload appended as opaque mdat-less
+    * tail (box walkers stop at the declared size). */
+  def mp4Bytes(brand: String, payload: Array[Byte]): Array[Byte] = {
+    require(brand.length == 4)
+    val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+    out.putInt(12).put("ftyp".getBytes).put(brand.getBytes)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Media table with REAL container headers, every field a deterministic
+    * function of doc_id (the q98 oracle recomputes them in SQL):
+    * doc_id % 3 == 0 → PNG  (width 16 + id%113, height 16 + (id/7)%97, RGB)
+    * doc_id % 3 == 1 → WAV  (44100/16000 Hz by id parity, 1+id%2 channels)
+    * otherwise       → MP4  ("isom" brand). */
+  def headeredMedia(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 => MediaRow(id, "image/png",
+            pngBytes((16 + id % 113).toInt, (16 + (id / 7) % 97).toInt, 2, payload))
+          case 1 => MediaRow(id, "audio/wav",
+            wavBytes(if (id % 2 == 0) 44100 else 16000, (1 + id % 2).toInt,
+              16, payload))
+          case _ => MediaRow(id, "video/mp4", mp4Bytes("isom", payload))
+        }
+      }
+  }
+
+  /** Header extraction over a media table: mapPartitions (same batching
+    * seam as decode), unparseable rows dropped with a null-safe flatMap. */
+  def extractHeaders(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => parseHeader(r.media).map(h => (r.doc_id, h)))
+    }.toDF("doc_id", "header")
+      .select(col("doc_id"), col("header.*"))
+  }
+
   /** Frame/sample selection: for "video", one row per sampled frame —
     * frame_no = k·everyN for k in [0, bytes/everyN) (the explode pattern
     * a real frame sampler uses). Zero-byte media emit no frames. */
