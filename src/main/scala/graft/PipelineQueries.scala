@@ -16,6 +16,18 @@ import graft.streaming.EventStream
 object PipelineQueries {
   import Registry.Q
 
+  /** events re-written µs-normalized for the streaming file source (the
+    * raw parquet is TIMESTAMP(NANOS), which the stream reader rejects);
+    * generate-once per sf dir, marker-guarded. Shared by q70/q95. */
+  private def normalizedEventsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$normDir/_SUCCESS").exists()) {
+      Tables.load(spark, dir, "events").write.mode("overwrite").parquet(normDir)
+    }
+    normDir
+  }
+
   val all: Seq[Q] = Seq(
     // Full ingest pipeline: binaryFile scan + sidecar metadata →
     // topic parse → key broadcast → AES-CTR decrypt → gunzip → JSONL
@@ -194,12 +206,7 @@ object PipelineQueries {
     // hence the strict < in the oracle's closed-session restriction.
     Q("q95_streaming_sessions",
       (spark, dir) => {
-        val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val marker = new java.io.File(s"$normDir/_SUCCESS")
-        if (!marker.exists()) {
-          Tables.load(spark, dir, "events").write.mode("overwrite").parquet(normDir)
-        }
-        EventStream.runToCompletion(spark, normDir,
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
           df => EventStream.sessionizeEventTime(spark, df,
             watermarkDelay = "45 minutes").toDF(),
           org.apache.spark.sql.streaming.OutputMode.Append,
@@ -230,13 +237,7 @@ object PipelineQueries {
     // restricted to watermark-closed windows (what Append mode emits).
     Q("q70_streaming_window",
       (spark, dir) => {
-        // stream source needs µs timestamps: re-write events normalized
-        val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val marker = new java.io.File(s"$normDir/_SUCCESS")
-        if (!marker.exists()) {
-          Tables.load(spark, dir, "events").write.mode("overwrite").parquet(normDir)
-        }
-        EventStream.runToCompletion(spark, normDir,
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
           EventStream.hourlyTypeCounts,
           org.apache.spark.sql.streaming.OutputMode.Append,
           s"q70_${math.abs(dir.hashCode)}")

@@ -28,9 +28,16 @@ object TextQueries {
     * (doubled corpus → 3-word shingles → fnv1a64 → 128 mix64 minima →
     * 4-row band equality → candidate pairs), built programmatically: the
     * 128 per-hash-function seeds are mix64(h) from TextFunctions' OWN
-    * kernel, embedded as unsigned literals; mulmod expands (a*b) mod 2^64
-    * into split 32-bit-half arithmetic that stays inside INT128. Feeds
-    * both q36 (candidate stats) and q39 (full ladder survivors). */
+    * kernel, embedded as unsigned literals (no seed drift possible);
+    * mulmod expands (a*b) mod 2^64 into split 32-bit-half arithmetic that
+    * stays inside INT128. Feeds q36 (candidate stats), q39 (full ladder
+    * survivors) and q77 (transitive closure).
+    *
+    * ASCII assumption (same as the q37 simhash oracle): the fnv fold uses
+    * `unicode(c)` per CHARACTER, which equals the UTF-8 byte only for
+    * ASCII — a non-ASCII character folds as one code point here but as
+    * 2-4 bytes in the Scala kernel. The pinned corpus is verified pure
+    * ASCII; a multi-byte corpus would need a UTF-8 byte-expansion CTE. */
   private lazy val lshCandidateCtes: String = {
     val seeds = (0 until 128).map { h =>
       val u = java.lang.Long.toUnsignedString(TextFunctions.mix64(h.toLong))

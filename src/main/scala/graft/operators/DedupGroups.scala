@@ -89,7 +89,13 @@ object DedupGroups {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
-      nodeIds.toSeq.map(n => (n, find(n))).toDF("id", "groupId")
+      // parallelize, don't toDF: a Seq-backed LocalRelation embeds every
+      // row in the logical plan — at the 4M-edge crossover that is ~8M
+      // boxed tuples of driver heap and plan-serialization cost
+      val labels = nodeIds.map(n => (n, find(n)))
+      val parts = math.max(1, labels.length / 500000)
+      spark.sparkContext.parallelize(labels.toSeq, parts)
+        .toDF("id", "groupId")
         .select(col("id").cast(idType).as("id"),
           col("groupId").cast(idType).as("groupId"))
     } finally canonical.unpersist()

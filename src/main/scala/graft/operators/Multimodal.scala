@@ -90,9 +90,11 @@ object Multimodal {
     * the scan). */
   def parseHeader(media: Array[Byte]): Option[MediaHeader] = {
     if (media == null) return None
-    if (media.length >= 26 && media.take(8).sameElements(pngSig)) {
-      // IHDR: length(4) type(4) at offset 8; width/height BE at 16/20;
-      // color type at 25 (2 = truecolor RGB, 6 = RGBA, 0 = gray)
+    if (media.length >= 33 && media.take(8).sameElements(pngSig) &&
+        media.slice(12, 16).sameElements("IHDR".getBytes)) {
+      // sig(8) + len(4) + "IHDR"(4) + 13-byte payload + CRC(4) = 33 bytes
+      // minimum; width/height BE at 16/20; color type at 25
+      // (2 = truecolor RGB, 6 = RGBA, 4 = gray+alpha, else gray/palette)
       val channels = media(25) match {
         case 2 => 3
         case 6 => 4
@@ -103,16 +105,23 @@ object Multimodal {
         0, media.length.toLong - 33))
     } else if (media.length >= 44 &&
         media.take(4).sameElements("RIFF".getBytes) &&
-        media.slice(8, 12).sameElements("WAVE".getBytes)) {
-      // canonical fmt chunk at offset 12: channels LE16 at 22, sample
-      // rate LE32 at 24
+        media.slice(8, 12).sameElements("WAVE".getBytes) &&
+        media.slice(12, 16).sameElements("fmt ".getBytes)) {
+      // canonical fmt chunk directly at offset 12 (a LIST/JUNK-first WAV
+      // would need a chunk walk — reject rather than read garbage):
+      // channels LE16 at 22, sample rate LE32 at 24
       Some(MediaHeader("wav", 0, 0, le16(media, 22), le32(media, 24),
         media.length.toLong - 44))
     } else if (media.length >= 12 &&
         media.slice(4, 8).sameElements("ftyp".getBytes)) {
-      Some(MediaHeader(new String(media.slice(8, 12),
+      // declared box size must be sane and inside the buffer — a
+      // mid-box-truncated download would otherwise yield negative
+      // payload_bytes
+      val sz = be32(media, 0)
+      if (sz < 12 || sz > media.length) None
+      else Some(MediaHeader(new String(media.slice(8, 12),
           java.nio.charset.StandardCharsets.US_ASCII).trim, 0, 0, 0, 0,
-        media.length.toLong - be32(media, 0)))
+        media.length.toLong - sz))
     } else None
   }
 

@@ -117,7 +117,12 @@ object EventStream {
                 case _ => List(ms) :: acc
               }
             }.map(_.reverse).reverse
-            val (closed, open) = sessions.partition(_.last + gapMs <= wm)
+            // STRICT <, matching the timeout trigger (wm strictly past the
+            // horizon): with <= a sibling session's timeout could emit a
+            // horizon==wm session that a single-session user would never
+            // emit — inconsistent, and it would break q95's oracle, whose
+            // restriction is strict for exactly this reason
+            val (closed, open) = sessions.partition(_.last + gapMs < wm)
             if (open.isEmpty) state.remove()
             else {
               state.update(SessionBuf(open.flatten))

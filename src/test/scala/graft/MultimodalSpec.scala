@@ -46,6 +46,19 @@ class MultimodalSpec extends SparkSuite {
     // valid PNG signature but truncated before IHDR completes
     val trunc = Multimodal.pngBytes(9, 9, 2, Array.empty[Byte]).take(20)
     assert(Multimodal.parseHeader(trunc).isEmpty)
+    // truncated INSIDE the IHDR payload (26-32 bytes): must reject, not
+    // return a negative payload_bytes
+    assert(Multimodal.parseHeader(
+      Multimodal.pngBytes(9, 9, 2, Array.empty[Byte]).take(30)).isEmpty)
+    // ftyp declaring a box size beyond the buffer (mid-box truncation)
+    val bigFtyp = Multimodal.mp4Bytes("isom", Array.empty[Byte])
+    bigFtyp(3) = 100.toByte // declared size 100 > 12-byte buffer
+    assert(Multimodal.parseHeader(bigFtyp).isEmpty)
+    // RIFF/WAVE whose first chunk is not the canonical "fmt " (LIST-first
+    // encoders): reject rather than read garbage offsets
+    val listWav = Multimodal.wavBytes(44100, 1, 16, Array.empty[Byte])
+    System.arraycopy("LIST".getBytes, 0, listWav, 12, 4)
+    assert(Multimodal.parseHeader(listWav).isEmpty)
   }
 
   test("headeredMedia fields are the documented doc_id functions") {
