@@ -115,6 +115,22 @@ object CurationQueries {
              |WHERE length(t) > 0
              |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin)),
 
+    // Exact-k per-stratum sampling (deterministic hash-rank reservoir):
+    // exactly min(3, |source|) docs per source, reproducible.
+    Q("q99_sample_k_per_stratum",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Curation.sampleKPerStratum(d, "source", "doc_id", 3)
+          .select(col("source"), col("doc_id"), col("sample_rank"))
+      },
+      Some("""SELECT source, doc_id, CAST(rk AS INT) AS sample_rank
+             |FROM (
+             |  SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 3""".stripMargin)),
+
     // Corpus distinct-n diversity report (1/2/3-grams): the repetition /
     // mode-collapse metric for training data.
     Q("q96_ngram_diversity",

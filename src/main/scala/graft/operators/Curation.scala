@@ -101,6 +101,25 @@ object Curation {
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
+  /** Exact-k per-stratum sample: the first `k` rows of each group under a
+    * deterministic multiplicative-hash order — the reservoir-sampling
+    * contract (exactly min(k, |group|) rows, uniform-ish, reproducible)
+    * without RNG state. One shuffle on the stratum key; rank is a window
+    * over the hash order, so no second pass. q85's rate-based sampler
+    * keeps a FRACTION per stratum; this keeps a COUNT (the form used for
+    * eval-set carving and per-domain caps). */
+  def sampleKPerStratum(corpus: DataFrame, stratumCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Knuth multiplicative hash mod a prime — identical arithmetic is
+    // expressible in DuckDB (Spark's hash() is murmur3, DuckDB's isn't);
+    // id tiebreak makes the cut total-order deterministic
+    val order = pmod(col(idCol) * 2654435761L, lit(1000000007L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order, col(idCol))
+    corpus.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Corpus-level n-gram diversity (distinct-n): for n = 1..maxN, the
     * ratio of distinct to total word n-grams — the standard repetition /
     * mode-collapse report for a training corpus (low distinct-2 ⇒

@@ -103,6 +103,17 @@ class CurationSpec extends SparkSuite {
     assert(got2(2L)._3 > got2(1L)._3)
   }
 
+  test("sampleKPerStratum: exactly min(k, |group|) rows, deterministic") {
+    val docs = (1L to 20L).map(i => (i, if (i <= 15) "big" else "small"))
+      .toDF("doc_id", "source")
+    def run() = Curation.sampleKPerStratum(docs, "source", "doc_id", 6)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val got = run()
+    assert(got.count(_._1 == "big") == 6, "k rows from the large stratum")
+    assert(got.count(_._1 == "small") == 5, "whole stratum when |group| < k")
+    assert(run() == got, "hash-rank order is reproducible")
+  }
+
   test("degenerate inputs: empty corpus and null text flow through, never throw") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val withNull = Seq((1L, null.asInstanceOf[String]),
