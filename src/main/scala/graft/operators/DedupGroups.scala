@@ -56,20 +56,25 @@ object DedupGroups {
       case _ => false
     }
     if (!integral) return connectedComponentsWithStats(pairs, maxIter)._1
+    // keep self-loop pairs here: `nodeIds` must cover ids that appear
+    // ONLY in (x, x) pairs, and deriving both edges and nodes from this
+    // one cached frame means the (potentially expensive) upstream pair
+    // pipeline — LSH + verification in dedupeTransitive — is evaluated
+    // once, not once per action
     val canonical = pairs
       .select(greatest(col("idA"), col("idB")).cast("long").as("a"),
         least(col("idA"), col("idB")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
       .distinct()
       .persist()
     try {
-      if (canonical.count() > localEdgeLimit)
+      if (canonical.filter(col("a") =!= col("b")).count() > localEdgeLimit)
         return connectedComponentsWithStats(pairs, maxIter)._1
       val spark = pairs.sparkSession
       import spark.implicits._
-      val edges = canonical.as[(Long, Long)].collect()
-      val nodeIds = pairs.select(col("idA").cast("long"))
-        .unionAll(pairs.select(col("idB").cast("long")))
+      val edges = canonical.filter(col("a") =!= col("b"))
+        .as[(Long, Long)].collect()
+      val nodeIds = canonical.select(col("a"))
+        .unionAll(canonical.select(col("b")))
         .distinct().as[Long].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
