@@ -115,6 +115,33 @@ object CurationQueries {
              |WHERE length(t) > 0
              |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin)),
 
+    // Fuzzy join: supplier-name pairs within edit distance 1 via
+    // deletion-neighborhood (FastSS) blocking — O(N·len) variant rows,
+    // never the N² all-pairs product. Both engines agree on levenshtein;
+    // the oracle rebuilds the same variant sets with generate_series.
+    Q("q100_fuzzy_join",
+      (spark, dir) => {
+        val s = Tables.load(spark, dir, "supplier")
+          .filter(col("s_suppkey") % 4 === 0) // bounded output
+        Curation.fuzzyPairs(s, "s_suppkey", "s_name")
+          .select(col("idA"), col("idB"), col("dist"))
+      },
+      Some("""WITH src AS (
+             |  SELECT s_suppkey AS id, s_name AS s FROM supplier
+             |  WHERE s_suppkey % 4 = 0),
+             |variants AS (
+             |  SELECT id, s, s AS v FROM src
+             |  UNION ALL
+             |  SELECT id, s,
+             |    substr(s, 1, i - 1) || substr(s, i + 1, length(s)) AS v
+             |  FROM src, unnest(generate_series(1, length(s))) AS t(i)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS idA, b.id AS idB, a.s AS sA, b.s AS sB
+             |  FROM variants a JOIN variants b ON a.v = b.v
+             |  WHERE a.id < b.id)
+             |SELECT idA, idB, CAST(levenshtein(sA, sB) AS INT) AS dist
+             |FROM cand WHERE levenshtein(sA, sB) <= 1""".stripMargin)),
+
     // Exact-k per-stratum sampling (deterministic hash-rank reservoir):
     // exactly min(3, |source|) docs per source, reproducible.
     Q("q99_sample_k_per_stratum",

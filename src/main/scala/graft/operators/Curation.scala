@@ -101,6 +101,37 @@ object Curation {
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
+  /** Fuzzy self-join: pairs within Levenshtein distance 1, found via
+    * deletion-neighborhood blocking — each string joins on {itself} ∪
+    * {itself with one character deleted}, so a substitution pair meets at
+    * the shared deletion and an insert/delete pair meets at the shorter
+    * string itself. Verification (levenshtein ≤ 1) restores precision;
+    * recall is exact for distance ≤ 1 by construction.
+    *
+    * Scale shape: candidates form only inside variant-equality buckets —
+    * strings emit length+1 variants each, so the join carries
+    * O(N·len) slim rows instead of the O(N²) all-pairs product an
+    * unblocked `levenshtein(a,b) <= 1` filter would need. The classic
+    * FastSS/SymSpell decomposition as two DataFrame ops. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // deletion of position i = s[1..i-1] ++ s[i+1..]; the array also
+    // carries s itself (catches insert/delete pairs via the shorter side)
+    val variants = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(concat(
+        array(col("s")),
+        transform(sequence(lit(1), length(col("s"))), i =>
+          concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s"))))))).as("v"))
+    val a = variants.select(col("id").as("idA"), col("s").as("sA"), col("v"))
+    val b = variants.select(col("id").as("idB"), col("s").as("sB"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("sA"), col("sB"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("sA"), col("sB")))
+      .filter(col("dist") <= 1)
+  }
+
   /** Exact-k per-stratum sample: the first `k` rows of each group under a
     * deterministic multiplicative-hash order — the reservoir-sampling
     * contract (exactly min(k, |group|) rows, uniform-ish, reproducible)

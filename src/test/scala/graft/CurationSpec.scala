@@ -103,6 +103,17 @@ class CurationSpec extends SparkSuite {
     assert(got2(2L)._3 > got2(1L)._3)
   }
 
+  test("fuzzyPairs: distance-1 recall via deletion blocking, verified precision") {
+    val rows = Seq((1L, "kitten"), (2L, "sitten"), (3L, "kittn"),
+      (4L, "kitten!"), (5L, "zebra")).toDF("doc_id", "name")
+    val got = Curation.fuzzyPairs(rows, "doc_id", "name")
+      .select("idA", "idB", "dist").as[(Long, Long, Int)].collect().toSet
+    // substitution (1,2), deletion (1,3), insertion (1,4); every other
+    // pair is distance ≥ 2 and must be absent even when it shares a
+    // blocking variant
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1)))
+  }
+
   test("sampleKPerStratum: exactly min(k, |group|) rows, deterministic") {
     val docs = (1L to 20L).map(i => (i, if (i <= 15) "big" else "small"))
       .toDF("doc_id", "source")
