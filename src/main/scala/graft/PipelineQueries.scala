@@ -197,6 +197,59 @@ object PipelineQueries {
              |AND c.ts >= p.ts - INTERVAL 30 MINUTE
              |GROUP BY p.user_id""".stripMargin)),
 
+    // Funnel analysis: furthest ordered stage per user (first view →
+    // first click within 48 h of that view → first purchase within 48 h
+    // of that click). Each stage is a conditional-min aggregate plus a
+    // left join — no per-user sorting, no UDF; users who never view land
+    // in stage 0. (Unwindowed, the dense synthetic corpus converts every
+    // user; the 48 h constraint yields a discriminating 54/38/58 split.)
+    Q("q101_funnel",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val win = expr("INTERVAL 48 HOURS")
+        val v = e.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("v"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"))
+        val c = v.join(clicks, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("v"))
+          .agg(min(when(col("cts") >= col("v") &&
+            col("cts") <= col("v") + win, col("cts"))).as("c"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+        val p = c.join(purchases, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("v"), col("c"))
+          .agg(min(when(col("pts") >= col("c") &&
+            col("pts") <= col("c") + win, col("pts"))).as("p"))
+        p.select(when(col("p").isNotNull, 3)
+            .when(col("c").isNotNull, 2)
+            .when(col("v").isNotNull, 1)
+            .otherwise(0).as("stage"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS v
+             |  FROM events GROUP BY user_id),
+             |c AS (
+             |  SELECT v.user_id, v.v, min(CASE WHEN e.ts >= v.v
+             |    AND e.ts <= v.v + INTERVAL 48 HOUR THEN e.ts END) AS c
+             |  FROM v LEFT JOIN events e
+             |    ON e.user_id = v.user_id AND e.event_type = 'click'
+             |  GROUP BY v.user_id, v.v),
+             |p AS (
+             |  SELECT c.user_id, c.v, c.c, min(CASE WHEN e.ts >= c.c
+             |    AND e.ts <= c.c + INTERVAL 48 HOUR THEN e.ts END) AS p
+             |  FROM c LEFT JOIN events e
+             |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |  GROUP BY c.user_id, c.v, c.c)
+             |SELECT CASE WHEN p IS NOT NULL THEN 3
+             |  WHEN c IS NOT NULL THEN 2
+             |  WHEN v IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             |  count(*) AS n_users
+             |FROM p GROUP BY 1""".stripMargin)),
+
     // Exact event-time sessionization as a stream: flatMapGroupsWithState
     // buffers per-user events under an event-time timeout and emits each
     // session once the watermark passes its end + gap. Replayed in one
