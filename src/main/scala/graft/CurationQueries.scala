@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators.{Curation, DedupGroups}
 
 /** Corpus-curation surface: decontamination, repetition scoring,
@@ -157,6 +158,40 @@ object CurationQueries {
              |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
              |  FROM documents)
              |WHERE rk <= 3""".stripMargin)),
+
+    // Curriculum binning: docs decile-bucketed by token length under a
+    // total order (n_tokens, doc_id) — the shard layout for
+    // shortest-first training schedules. ntile's distribution rule
+    // (first n%k buckets get the extra row) is identical in both
+    // engines. The global window is exact-but-single-partition; a
+    // 100 TB curriculum would bin by approx-quantile cutpoints instead
+    // (q20's machinery) — this is the exact small-corpus form.
+    Q("q102_curriculum_buckets",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = Window.orderBy(col("n_tokens"), col("doc_id"))
+        d.withColumn("bucket", ntile(10).over(w))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            sum(col("n_tokens")).as("token_budget"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split_regex(
+             |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT n_tokens,
+             |    ntile(10) OVER (ORDER BY n_tokens, doc_id) AS bucket
+             |  FROM t)
+             |SELECT bucket, count(*) AS n_docs,
+             |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS token_budget
+             |FROM b GROUP BY bucket""".stripMargin)),
 
     // Corpus distinct-n diversity report (1/2/3-grams): the repetition /
     // mode-collapse metric for training data.
