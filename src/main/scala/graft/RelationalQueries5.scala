@@ -261,5 +261,46 @@ object RelationalQueries5 {
              |list_reverse_sort(embedding)[1] AS max_elem,
              |CAST(len(list_filter(signs, s -> s = 1)) AS INT) AS n_positive
              |FROM t""".stripMargin)),
+
+    // Skew-salted join UNDER THE CORRECTNESS GATE: the left side carries
+    // a deterministic salt, the right side replicates saltFactor ways, so
+    // a pathologically hot key spreads across saltFactor tasks — and the
+    // result must equal the plain join bit-for-bit (the oracle IS the
+    // plain join). ScaleSpec proves equivalence structurally; this pins
+    // it against DuckDB every round.
+    Q("q103_salted_join",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"),
+            col("l_discount").cast("decimal(18,2)").as("disc"))
+        val o = Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.ScaleOps.saltedJoin(li, o, Seq("o_orderkey"), 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("price") * (lit(1) - col("disc"))).cast("double")
+              .as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Two-phase salted aggregation, same stance: partial agg on
+    // (key, salt), final on key — must equal the plain GROUP BY.
+    Q("q104_salted_agg",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("bigint").as("qty"))
+        graft.operators.ScaleOps.saltedSumCount(li, "l_returnflag", "qty", 8)
+          .select(col("l_returnflag"), col("sum").as("qty_sum"),
+            col("count").as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+             |COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
   )
 }
