@@ -26,6 +26,158 @@ object SimilarityQueries {
       s"($p, $sv)"
     }.mkString(",")
 
+  /** q42's oracle: the ENTIRE IVF index build replayed in SQL — sorted-
+    * Forgy seeding, `maxIter` unrolled Lloyd rounds (assignment =
+    * ascending-fold squared distance with ties to the lowest centroid
+    * index; update = members folded in vec_id order, mean = sum/count,
+    * empty cluster keeps its centroid), then probe ranking and exact
+    * rerank. Works because ivfTopK's fit is fitSortedForgy: no RNG,
+    * double precision throughout, and Scala's early convergence exit is
+    * parity-safe (a converged round is a no-op, so the fixed unroll
+    * lands on the same fixed point). MATERIALIZED pins each stage — the
+    * chained-CTE re-evaluation quirk otherwise re-runs the whole prefix
+    * per round. */
+  private def q42Oracle(nCells: Int, nprobe: Int, k: Int,
+      maxIter: Int): String = {
+    def d2(p: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
+        s"s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), (a,b) -> a + b)"
+    def assignStage(cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, cidx AS cell FROM (
+         |    SELECT p.vid, c.cidx, ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${d2("p.v", "c.c")}, c.cidx) AS rk
+         |    FROM pts p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+    def updateStage(assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.cidx,
+         |    CASE WHEN m.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, 64), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(m.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / m.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.cell, list(p.v ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN pts p ON p.vid = a.vid GROUP BY a.cell) m
+         |  ON m.cell = pc.cidx)""".stripMargin
+    val sb = new StringBuilder(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS vid, embedding AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings
+         |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |cent0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
+         |  FROM (SELECT vid, v FROM pts ORDER BY vid LIMIT $nCells))""".stripMargin)
+    var prev = "cent0"
+    for (it <- 0 until maxIter) {
+      sb.append(assignStage(prev, s"a$it"))
+      sb.append(updateStage(s"a$it", prev, s"cent${it + 1}"))
+      prev = s"cent${it + 1}"
+    }
+    sb.append(assignStage(prev, "afinal"))
+    sb.append(
+      s""",
+         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv, nrm AS qnorm FROM pts WHERE vid < 20),
+         |probes AS (
+         |  SELECT qid, qv, qnorm, cidx AS cell FROM (
+         |    SELECT q.qid, q.qv, q.qnorm, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, c.c) /
+         |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+         |        c.cidx) AS crk
+         |    FROM q CROSS JOIN $prev c) WHERE crk <= $nprobe),
+         |pairs AS (
+         |  SELECT pr.qid, a.vid AS nid,
+         |    list_dot_product(pr.qv, CAST(p.v AS DOUBLE[])) / (pr.qnorm * p.nrm) AS sim
+         |  FROM probes pr JOIN afinal a ON a.cell = pr.cell
+         |  JOIN pts p ON p.vid = a.vid
+         |  WHERE a.vid <> pr.qid),
+         |ranked AS (
+         |  SELECT qid, nid, round(sim, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM pairs)
+         |SELECT qid, count(*) AS n_results, round(max(sim), 6) AS best_sim
+         |FROM ranked WHERE rk <= $k GROUP BY qid""".stripMargin)
+    sb.toString
+  }
+
+  /** q46's oracle: the PQ pipeline replayed end-to-end — all m subspace
+    * codebooks trained in ONE set of unrolled Lloyd stages keyed by a
+    * subspace column (same kernel contract as q42Oracle: sorted-Forgy
+    * seeds, ascending-fold distances, vid-ordered member sums, ties to
+    * the lowest index, empty cluster keeps its centroid), then encode =
+    * final assignment, ADC tables = per-(query, subspace, centroid)
+    * dots, and the score an s-ORDERED fold of table lookups (an
+    * unordered SUM of doubles would be aggregation-order-dependent). */
+  private def q46Oracle(m: Int, subDim: Int, kCent: Int, maxIter: Int,
+      topK: Int): String = {
+    def d2(p: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
+        s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
+    def assignStage(cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, s, cidx AS cell FROM (
+         |    SELECT p.vid, p.s, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vid, p.s ORDER BY ${d2("p.sv", "c.c")}, c.cidx) AS rk
+         |    FROM subs p JOIN $cent c ON c.s = p.s) WHERE rk = 1)""".stripMargin
+    def updateStage(assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.s, pc.cidx,
+         |    CASE WHEN m.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $subDim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(m.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / m.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.s, a.cell, list(p.sv ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN subs p ON p.vid = a.vid AND p.s = a.s
+         |    GROUP BY a.s, a.cell) m
+         |  ON m.s = pc.s AND m.cell = pc.cidx)""".stripMargin
+    val dim = m * subDim
+    val sb = new StringBuilder(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS vid, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+         |subs AS MATERIALIZED (
+         |  SELECT p.vid, sx.s, p.v[sx.s * $subDim + 1 : (sx.s + 1) * $subDim] AS sv
+         |  FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) sx),
+         |first_seed AS (SELECT vid FROM pts ORDER BY vid LIMIT $kCent),
+         |cent0 AS MATERIALIZED (
+         |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
+         |    CAST(sb.sv AS DOUBLE[]) AS c
+         |  FROM subs sb JOIN first_seed f ON f.vid = sb.vid)""".stripMargin)
+    var prev = "cent0"
+    for (it <- 0 until maxIter) {
+      sb.append(assignStage(prev, s"a$it"))
+      sb.append(updateStage(s"a$it", prev, s"cent${it + 1}"))
+      prev = s"cent${it + 1}"
+    }
+    sb.append(assignStage(prev, "afinal"))
+    sb.append(
+      s""",
+         |qsubs AS (SELECT vid AS qid, s, CAST(sv AS DOUBLE[]) AS qsv FROM subs WHERE vid < 20),
+         |adc AS MATERIALIZED (
+         |  SELECT q.qid, c.s, c.cidx, list_dot_product(q.qsv, c.c) AS dot
+         |  FROM qsubs q JOIN $prev c ON c.s = q.s),
+         |contrib AS (
+         |  SELECT ad.qid, a.vid AS nid, a.s, ad.dot
+         |  FROM afinal a JOIN adc ad ON ad.s = a.s AND ad.cidx = a.cell
+         |  WHERE a.vid <> ad.qid),
+         |scores AS (
+         |  SELECT qid, nid,
+         |    list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+         |  FROM contrib GROUP BY qid, nid),
+         |ranked AS (
+         |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+         |  FROM scores)
+         |SELECT qid, count(*) AS n_results, round(max(approx6), 4) AS best_approx_dot
+         |FROM ranked WHERE rk <= $topK GROUP BY qid""".stripMargin)
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
     // Exact cosine top-5 neighbors for the first 20 vectors.
     Q("q40_cosine_brute_topk",
@@ -96,7 +248,8 @@ object SimilarityQueries {
              |SELECT qid, count(*) AS n_results, ROUND(max(sim), 6) AS best_sim
              |FROM ranked WHERE rank <= 5 GROUP BY qid""".stripMargin)),
 
-    // IVF (KMeans cells, nprobe probing) approximate top-k.
+    // IVF (k-means cells, nprobe probing) approximate top-k — ORACLED,
+    // k-means included: see q42Oracle.
     Q("q42_cosine_ivf_topk",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
@@ -105,7 +258,7 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_results"),
             round(max(col("sim")), 6).as("best_sim"))
       },
-      None),
+      Some(q42Oracle(nCells = 16, nprobe = 4, k = 5, maxIter = 10))),
 
     // Vector statistics: norms per label (higher-order fns, no UDF).
     Q("q43_embedding_stats",
@@ -183,7 +336,8 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_results"),
             round(max(col("approx_dot")), 4).as("best_approx_dot"))
       },
-      None), // KMeans codebooks are engine-specific; recall bounds in PQSpec
+      Some(q46Oracle(m = 8, subDim = 8, kCent = 16, maxIter = 10,
+        topK = 10))),
 
     // Multimodal plumbing: binary media column → per-partition decode
     // (stubbed kernel) → typed metadata + features → aggregate.

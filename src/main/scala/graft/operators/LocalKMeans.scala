@@ -104,6 +104,73 @@ object LocalKMeans {
     centroids.map(_.map(_.toFloat))
   }
 
+  /** Sorted-Forgy variant for the ORACLE-GATED path (IVF): no RNG — the
+    * first `k` points of the (caller-sorted) sample seed the centroids,
+    * and everything stays in double precision so the DuckDB oracle can
+    * replay the exact arithmetic (ascending-fold distances, members
+    * summed in sorted order, mean = sum/count, empty cluster keeps its
+    * centroid, ties to the lowest index). Early exit is parity-safe: a
+    * converged round is a no-op, so an oracle unrolling maxIter fixed
+    * stages lands on the same fixed point. */
+  def fitSortedForgy(points: Array[Array[Float]], k: Int,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty, "LocalKMeans.fitSortedForgy: no points")
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    val centroids = Array.tabulate(kk) { c =>
+      Array.tabulate(dim)(i => points(c)(i).toDouble)
+    }
+    val assign = Array.fill(n)(-1)
+    val sums = Array.ofDim[Double](kk, dim)
+    val counts = new Array[Long](kk)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      java.util.Arrays.fill(counts, 0L)
+      var ci = 0
+      while (ci < kk) { java.util.Arrays.fill(sums(ci), 0.0); ci += 1 }
+      var j = 0
+      while (j < n) {
+        val p = points(j)
+        val best = nearestDouble(p, centroids)
+        if (assign(j) != best) { assign(j) = best; changed = true }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        j += 1
+      }
+      ci = 0
+      while (ci < kk) {
+        if (counts(ci) > 0) {
+          var i = 0
+          while (i < dim) { centroids(ci)(i) = sums(ci)(i) / counts(ci); i += 1 }
+        }
+        ci += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Double-precision nearest-centroid kernel (pairs with
+    * [[fitSortedForgy]]: `float − double` promotes exactly, matching the
+    * oracle's CAST arithmetic; strict < breaks ties to the lowest
+    * index). */
+  def nearestDouble(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cb = centroids(c)
+      var d = 0.0; var i = 0
+      while (i < cb.length) { val t = v(i) - cb(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Index of the nearest centroid — the assignment/encode kernel shared
     * by IVF cell assignment and PQ encoding. */
   def nearest(v: Array[Float], centroids: Array[Array[Float]]): Int = {

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantization {
 
-  /** codebooks(sub)(centroid) = centroid subvector */
+  /** codebooks(sub)(centroid) = centroid subvector. Double precision:
+    * the codebooks come from [[LocalKMeans.fitSortedForgy]] so the q46
+    * oracle can replay the fit exactly (float-rounded codebooks would
+    * need float-arithmetic parity in SQL). */
   final case class PQModel(m: Int, subDim: Int,
-      codebooks: Array[Array[Array[Float]]]) extends Serializable
+      codebooks: Array[Array[Array[Double]]]) extends Serializable
 
   /** Trains on a deterministic hash-sample capped at ~`maxTrainRows`
     * vectors (codebook quality saturates long before the corpus does).
@@ -53,10 +56,12 @@ object ProductQuantization {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val clean = sorted.filter(_.length == dim)
+    // sorted-Forgy + double precision per subspace: no RNG, and the
+    // arithmetic replays in the q46 oracle (same stance as ivfTopK)
     val codebooks = Array.tabulate(m) { s =>
       val sub = clean.map(v =>
         java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      LocalKMeans.fit(sub, k, maxIter = 10, seed = seed + s)
+      LocalKMeans.fitSortedForgy(sub, k, maxIter = 10)
     }
     PQModel(m, subDim, codebooks)
   }

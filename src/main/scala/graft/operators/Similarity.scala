@@ -117,12 +117,14 @@ object Similarity {
       "ivfTopK: no trainable vectors (empty corpus or all zero-norm)")
     val sorted = trainRows.sortBy(_._1).map(_._2.toArray)
     val dim = sorted(0).length
-    val centers = LocalKMeans.fit(sorted.filter(_.length == dim), nCells,
-      maxIter = 10, seed = seed)
+    // sorted-Forgy init + double precision: no RNG and arithmetic a SQL
+    // oracle can replay exactly (q42 is oracle-gated on this path)
+    val centers = LocalKMeans.fitSortedForgy(sorted.filter(_.length == dim),
+      nCells, maxIter = 10)
     // cell assignment: one narrow pass with broadcast centroids
     val bcCenters = spark.sparkContext.broadcast(centers)
     val nearestCell = udf((v: Seq[Float]) =>
-      LocalKMeans.nearest(v.toArray, bcCenters.value))
+      LocalKMeans.nearestDouble(v, bcCenters.value))
     val assigned = vecs
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("nnorm"), nearestCell(col("embedding")).as("cell"))
