@@ -155,7 +155,7 @@ object CurationQueries {
              |FROM (
              |  SELECT source, doc_id,
              |    ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+             |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
              |  FROM documents)
              |WHERE rk <= 3""".stripMargin)),
 

@@ -205,22 +205,27 @@ object PipelineQueries {
     // user; the 48 h constraint yields a discriminating 54/38/58 split.)
     Q("q101_funnel",
       (spark, dir) => {
+        // ALL window comparisons in epoch-ms: Spark floors events to µs,
+        // DuckDB sees the raw nanos — raw-timestamp inequalities can flip
+        // on sub-µs components (the Tables.loadEvents invariant); ms
+        // floors are identical in both engines.
         val e = Tables.load(spark, dir, "events")
-        val win = expr("INTERVAL 48 HOURS")
+        val winMs = 48L * 3600 * 1000
         val v = e.groupBy(col("user_id"))
-          .agg(min(when(col("event_type") === "view", col("ts"))).as("v"))
+          .agg(min(when(col("event_type") === "view",
+            unix_millis(col("ts")))).as("v"))
         val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("cts"))
+          .select(col("user_id"), unix_millis(col("ts")).as("cts"))
         val c = v.join(clicks, Seq("user_id"), "left")
           .groupBy(col("user_id"), col("v"))
           .agg(min(when(col("cts") >= col("v") &&
-            col("cts") <= col("v") + win, col("cts"))).as("c"))
+            col("cts") <= col("v") + winMs, col("cts"))).as("c"))
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("pts"))
+          .select(col("user_id"), unix_millis(col("ts")).as("pts"))
         val p = c.join(purchases, Seq("user_id"), "left")
           .groupBy(col("user_id"), col("v"), col("c"))
           .agg(min(when(col("pts") >= col("c") &&
-            col("pts") <= col("c") + win, col("pts"))).as("p"))
+            col("pts") <= col("c") + winMs, col("pts"))).as("p"))
         p.select(when(col("p").isNotNull, 3)
             .when(col("c").isNotNull, 2)
             .when(col("v").isNotNull, 1)
@@ -230,17 +235,17 @@ object PipelineQueries {
       },
       Some("""WITH v AS (
              |  SELECT user_id,
-             |    min(CASE WHEN event_type = 'view' THEN ts END) AS v
+             |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v
              |  FROM events GROUP BY user_id),
              |c AS (
-             |  SELECT v.user_id, v.v, min(CASE WHEN e.ts >= v.v
-             |    AND e.ts <= v.v + INTERVAL 48 HOUR THEN e.ts END) AS c
+             |  SELECT v.user_id, v.v, min(CASE WHEN epoch_ms(e.ts) >= v.v
+             |    AND epoch_ms(e.ts) <= v.v + 172800000 THEN epoch_ms(e.ts) END) AS c
              |  FROM v LEFT JOIN events e
              |    ON e.user_id = v.user_id AND e.event_type = 'click'
              |  GROUP BY v.user_id, v.v),
              |p AS (
-             |  SELECT c.user_id, c.v, c.c, min(CASE WHEN e.ts >= c.c
-             |    AND e.ts <= c.c + INTERVAL 48 HOUR THEN e.ts END) AS p
+             |  SELECT c.user_id, c.v, c.c, min(CASE WHEN epoch_ms(e.ts) >= c.c
+             |    AND epoch_ms(e.ts) <= c.c + 172800000 THEN epoch_ms(e.ts) END) AS p
              |  FROM c LEFT JOIN events e
              |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
              |  GROUP BY c.user_id, c.v, c.c)

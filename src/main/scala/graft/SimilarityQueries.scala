@@ -36,7 +36,13 @@ object SimilarityQueries {
     * parity-safe (a converged round is a no-op, so the fixed unroll
     * lands on the same fixed point). MATERIALIZED pins each stage — the
     * chained-CTE re-evaluation quirk otherwise re-runs the whole prefix
-    * per round. */
+    * per round.
+    *
+    * PRECONDITION (here and in q46Oracle): the corpus must be under
+    * ivfTopK's maxTrainRows cap (100k) so the hash-sampling filter is a
+    * no-op — the oracle trains on ALL rows, and Spark's murmur3 sample
+    * selection is not SQL-replayable. Holds for every gate SF; a larger
+    * corpus would mismatch with the CAP as the cause, not a bug. */
   private def q42Oracle(nCells: Int, nprobe: Int, k: Int,
       maxIter: Int): String = {
     def d2(p: String, c: String): String =

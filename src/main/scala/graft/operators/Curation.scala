@@ -115,19 +115,25 @@ object Curation {
     * FastSS/SymSpell decomposition as two DataFrame ops. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     // deletion of position i = s[1..i-1] ++ s[i+1..]; the array also
-    // carries s itself (catches insert/delete pairs via the shorter side)
-    val variants = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .select(col("id"), col("s"), explode(concat(
+    // carries s itself (catches insert/delete pairs via the shorter side).
+    // The variant join carries (id, v) ONLY — strings re-attach per
+    // deduped candidate (same id-only-shuffle stance as the LSH bucket
+    // joins; carrying s through the join would ship O(N·len²) bytes).
+    val names = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val variants = names
+      .select(col("id"), explode(concat(
         array(col("s")),
         transform(sequence(lit(1), length(col("s"))), i =>
           concat(col("s").substr(lit(1), i - 1),
             col("s").substr(i + 1, length(col("s"))))))).as("v"))
-    val a = variants.select(col("id").as("idA"), col("s").as("sA"), col("v"))
-    val b = variants.select(col("id").as("idB"), col("s").as("sB"), col("v"))
+    val a = variants.select(col("id").as("idA"), col("v"))
+    val b = variants.select(col("id").as("idB"), col("v"))
     a.join(b, Seq("v"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("sA"), col("sB"))
+      .select(col("idA"), col("idB"))
       .distinct()
+      .join(names.select(col("id").as("idA"), col("s").as("sA")), Seq("idA"))
+      .join(names.select(col("id").as("idB"), col("s").as("sB")), Seq("idB"))
       .withColumn("dist", levenshtein(col("sA"), col("sB")))
       .filter(col("dist") <= 1)
   }
@@ -144,8 +150,12 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     // Knuth multiplicative hash mod a prime — identical arithmetic is
     // expressible in DuckDB (Spark's hash() is murmur3, DuckDB's isn't);
-    // id tiebreak makes the cut total-order deterministic
-    val order = pmod(col(idCol) * 2654435761L, lit(1000000007L))
+    // the id is reduced mod p BEFORE the multiply so the product stays
+    // under 2^63 for any 64-bit id (Spark would wrap silently; DuckDB
+    // raises an overflow error — divergent); id tiebreak makes the cut
+    // total-order deterministic
+    val order = pmod(pmod(col(idCol), lit(1000000007L)) * 2654435761L,
+      lit(1000000007L))
     val w = Window.partitionBy(col(stratumCol)).orderBy(order, col(idCol))
     corpus.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)

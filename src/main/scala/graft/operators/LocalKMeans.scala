@@ -13,98 +13,14 @@ package graft.operators
   * assignment/encode pass.
   *
   * Determinism: callers sort the collected sample by id before passing
-  * (collect() order varies with partitioning); init is k-means++ with a
-  * seeded RNG, so (data, k, seed) → centroids is a pure function.
+  * (collect() order varies with partitioning); seeding is sorted-Forgy
+  * (first k points), so (data, k) → centroids is a pure function with no
+  * RNG at all — which is also what lets the q42/q46 oracles replay the
+  * fit in SQL.
   */
 object LocalKMeans {
 
-  /** Returns `min(k, #points)` centroids. Empty clusters keep their
-    * previous centroid (k-means++ init makes them rare at these sizes). */
-  def fit(points: Array[Array[Float]], k: Int, maxIter: Int = 10,
-      seed: Long = 42L): Array[Array[Float]] = {
-    require(points.nonEmpty, "LocalKMeans.fit: no points")
-    val n = points.length
-    val dim = points(0).length
-    val kk = math.min(k, n)
-    val rng = new scala.util.Random(seed)
-
-    def d2(p: Array[Float], c: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < dim) { val t = p(i) - c(i); d += t * t; i += 1 }
-      d
-    }
-
-    // k-means++ seeding: first centroid uniform, rest ∝ distance²
-    val centroids = Array.ofDim[Double](kk, dim)
-    val minD2 = Array.fill(n)(Double.MaxValue)
-    def copyIn(cIdx: Int, p: Array[Float]): Unit = {
-      var i = 0
-      while (i < dim) { centroids(cIdx)(i) = p(i); i += 1 }
-    }
-    copyIn(0, points(rng.nextInt(n)))
-    var c = 0
-    while (c < kk - 1) {
-      var sum = 0.0
-      var j = 0
-      while (j < n) {
-        val d = d2(points(j), centroids(c))
-        if (d < minD2(j)) minD2(j) = d
-        sum += minD2(j); j += 1
-      }
-      // degenerate sample (all points identical): any pick is correct
-      val target = if (sum > 0) rng.nextDouble() * sum else 0.0
-      var acc = 0.0; var pick = n - 1; j = 0
-      var done = false
-      while (j < n && !done) {
-        acc += minD2(j)
-        if (acc >= target && (sum == 0.0 || minD2(j) > 0)) { pick = j; done = true }
-        j += 1
-      }
-      c += 1
-      copyIn(c, points(pick))
-    }
-
-    // Lloyd iterations with in-loop convergence check (no extra pass)
-    val assign = Array.fill(n)(-1)
-    val sums = Array.ofDim[Double](kk, dim)
-    val counts = new Array[Long](kk)
-    var iter = 0
-    var changed = true
-    while (iter < maxIter && changed) {
-      changed = false
-      java.util.Arrays.fill(counts, 0L)
-      var ci = 0
-      while (ci < kk) { java.util.Arrays.fill(sums(ci), 0.0); ci += 1 }
-      var j = 0
-      while (j < n) {
-        val p = points(j)
-        var best = 0; var bestD = Double.MaxValue
-        var cc = 0
-        while (cc < kk) {
-          val d = d2(p, centroids(cc))
-          if (d < bestD) { bestD = d; best = cc }
-          cc += 1
-        }
-        if (assign(j) != best) { assign(j) = best; changed = true }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += p(i); i += 1 }
-        j += 1
-      }
-      ci = 0
-      while (ci < kk) {
-        if (counts(ci) > 0) {
-          var i = 0
-          while (i < dim) { centroids(ci)(i) = sums(ci)(i) / counts(ci); i += 1 }
-        }
-        ci += 1
-      }
-      iter += 1
-    }
-    centroids.map(_.map(_.toFloat))
-  }
-
-  /** Sorted-Forgy variant for the ORACLE-GATED path (IVF): no RNG — the
+  /** Sorted-Forgy fit, the ORACLE-GATED path (IVF + PQ): no RNG — the
     * first `k` points of the (caller-sorted) sample seed the centroids,
     * and everything stays in double precision so the DuckDB oracle can
     * replay the exact arithmetic (ascending-fold distances, members
@@ -171,18 +87,4 @@ object LocalKMeans {
     best
   }
 
-  /** Index of the nearest centroid — the assignment/encode kernel shared
-    * by IVF cell assignment and PQ encoding. */
-  def nearest(v: Array[Float], centroids: Array[Array[Float]]): Int = {
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < centroids.length) {
-      val cb = centroids(c)
-      var d = 0.0; var i = 0
-      while (i < cb.length) { val t = v(i) - cb(i); d += t * t; i += 1 }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
 }

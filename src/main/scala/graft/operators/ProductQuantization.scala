@@ -35,7 +35,7 @@ object ProductQuantization {
     * jobs and that latency WAS the q46 bench cost; the sample is capped,
     * so the local fit does not grow with corpus size. */
   def train(corpus: DataFrame, m: Int = 8, k: Int = 16,
-      seed: Long = 42L, maxTrainRows: Long = 100000L): PQModel = {
+      maxTrainRows: Long = 100000L): PQModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val total = corpus.count()

@@ -93,7 +93,7 @@ object Similarity {
     * NOT grow with corpus size; assignment is still one narrow pass over
     * everything. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      nCells: Int = 16, nprobe: Int = 4,
       maxTrainRows: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -121,13 +121,20 @@ object Similarity {
     // oracle can replay exactly (q42 is oracle-gated on this path)
     val centers = LocalKMeans.fitSortedForgy(sorted.filter(_.length == dim),
       nCells, maxIter = 10)
-    // cell assignment: one narrow pass with broadcast centroids
+    // cell assignment: one narrow pass with broadcast centroids; a
+    // wrong-dimension row is dropped (null cell), not a job-killing
+    // IndexOutOfBounds inside the kernel — same one-bad-row stance as
+    // ProductQuantization.encode
     val bcCenters = spark.sparkContext.broadcast(centers)
+    // null check INSIDE the udf: the optimizer may evaluate it before
+    // the norm>0 filter that would have dropped null rows
     val nearestCell = udf((v: Seq[Float]) =>
-      LocalKMeans.nearestDouble(v, bcCenters.value))
+      if (v == null || v.length != dim) None
+      else Some(LocalKMeans.nearestDouble(v, bcCenters.value)))
     val assigned = vecs
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("nnorm"), nearestCell(col("embedding")).as("cell"))
+      .filter(col("cell").isNotNull)
 
     // centroid table is tiny: broadcast to rank cells per query
     val centroids = centers.zipWithIndex
