@@ -45,7 +45,17 @@ object PipelineQueries {
             countDistinct(col("fileName")).as("n_files"),
             min(col("record._id.citizenId")).as("first_id"))
       },
-      None),
+      // hash-exact via the fixture's pre-encryption ground truth
+      // (truth.csv is written by the generator from its own arithmetic,
+      // never through the decrypt path) — AES-CTR + gunzip + JSONL
+      // explode + typed parse all sit between the two sides.
+      Some("""SELECT topic, version, COUNT(*) AS n_records,
+             |  COUNT(DISTINCT fileName) AS n_files,
+             |  MIN(citizenId) AS first_id
+             |FROM read_csv('/tmp/graft-fixture-q50/truth.csv', header=true,
+             |  columns={'topic':'VARCHAR','fileName':'VARCHAR',
+             |           'version':'INTEGER','citizenId':'VARCHAR'})
+             |GROUP BY topic, version""".stripMargin)),
 
     // F1 as an oracle-checked shape: membership anti-join of a scan
     // against a "finished" set (deterministic subset of documents).

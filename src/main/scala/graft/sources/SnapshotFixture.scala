@@ -54,15 +54,16 @@ object SnapshotFixture {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val done = root.resolve("_FIXTURE_COMPLETE")
+    val truth = root.resolve("truth.csv")
     val stamp = topics.map(t => s"${t.name}:${t.files}:${t.recordsPerFile}").mkString(",")
-    if (Files.exists(done) &&
+    if (Files.exists(done) && Files.exists(truth) &&
         new String(Files.readAllBytes(done), StandardCharsets.UTF_8) == stamp)
       return root
     // stamp mismatch: clear stale files from a previous configuration —
     // shrinking a topic must not leave extra valid ciphertext behind
     root.toFile.listFiles().foreach { f =>
       if (f.getName.endsWith(".enc") || f.getName.endsWith(".meta.json") ||
-          f.getName == "_FIXTURE_COMPLETE") f.delete()
+          f.getName == "truth.csv" || f.getName == "_FIXTURE_COMPLETE") f.delete()
     }
     topics.foreach { t =>
       val keyB64 = dataKeyB64(t.name)
@@ -81,8 +82,35 @@ object SnapshotFixture {
           meta.getBytes(StandardCharsets.UTF_8))
       }
     }
+    writeTruth(truth, topics)
     Files.write(done, stamp.getBytes(StandardCharsets.UTF_8))
     root
+  }
+
+  /** Pre-encryption ground truth, one CSV row per record, constructed
+    * directly from the generator's arithmetic — NEVER through the
+    * decrypt/gunzip/parse path it exists to check. DuckDB reads it via
+    * `read_csv('<dir>/truth.csv')`, which turns the end-to-end AES
+    * pipeline (q50) into a hash-exact oracle (the reference's analogous
+    * invariant: SnapshotSenderIntegrationTest.kt:78-102 re-derives the
+    * expected plaintext independently of the delivery path). Fields
+    * mirror [[record]]: citizenId = `<topic>/<file>/<rec>`, _version =
+    * `1 + rec % 3`; fileName is the post-decrypt name (`.enc` stripped,
+    * DecryptionProcessor.kt:38). No field ever contains `,` or `"`, so
+    * no CSV quoting is needed. */
+  private def writeTruth(path: Path, topics: Seq[Topic]): Unit = {
+    val w = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
+    try {
+      w.write("topic,fileName,version,citizenId\n")
+      topics.foreach { t =>
+        (0 until t.files).foreach { f =>
+          val fn = fileName(t, f).stripSuffix(".enc")
+          (0 until t.recordsPerFile).foreach { r =>
+            w.write(s"${t.name},$fn,${1 + r % 3},${t.name}/$f/$r\n")
+          }
+        }
+      }
+    } finally w.close()
   }
 
   /** The default 3-topic matrix from the reference's integration setup
