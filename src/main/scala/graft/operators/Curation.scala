@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -138,25 +138,52 @@ object Curation {
       .filter(col("dist") <= 1)
   }
 
+  // Knuth multiplicative hash mod a prime — identical arithmetic is
+  // expressible in DuckDB (Spark's hash() is murmur3, DuckDB's isn't);
+  // the id is reduced mod p BEFORE the multiply so the product stays
+  // under 2^63 for any 64-bit id (Spark would wrap silently; DuckDB
+  // raises an overflow error — divergent)
+  private def sampleOrder(id: Column): Column =
+    pmod(pmod(id, lit(1000000007L)) * 2654435761L, lit(1000000007L))
+
   /** Exact-k per-stratum sample: the first `k` rows of each group under a
     * deterministic multiplicative-hash order — the reservoir-sampling
     * contract (exactly min(k, |group|) rows, uniform-ish, reproducible)
-    * without RNG state. One shuffle on the stratum key; rank is a window
-    * over the hash order, so no second pass. q85's rate-based sampler
-    * keeps a FRACTION per stratum; this keeps a COUNT (the form used for
-    * eval-set carving and per-domain caps). */
+    * without RNG state. `idCol` must be numeric and a key within its
+    * stratum (it is the tiebreak AND the re-attach key).
+    *
+    * Scale shape: a bounded-heap aggregation ([[graft.plans.TopKAggregator]])
+    * — each map task keeps at most k (hash, id) pairs per stratum and the
+    * shuffle carries only those, vs the window form which must shuffle and
+    * fully SORT every row of every stratum just to keep k. The k×|strata|
+    * winners then re-attach to the corpus via a broadcast join (bounded by
+    * construction), so the corpus itself is never shuffled at all. */
   def sampleKPerStratum(corpus: DataFrame, stratumCol: String,
       idCol: String, k: Int): DataFrame = {
+    // heap order = hash ASC, id ASC; the aggregator ranks score DESC,
+    // id ASC, so score = -hash (exact in double: hash < 2^31 < 2^53)
+    val picked = corpus
+      .select(col(stratumCol).as("_stratum"), col(idCol).cast("long").as("_sid"))
+      .groupBy(col("_stratum"))
+      .agg(graft.plans.TopKAggregator.top_k(k)(
+        -sampleOrder(col("_sid")).cast("double"), col("_sid")).as("_top"))
+      .select(col("_stratum"), posexplode(col("_top")).as(Seq("_pos", "_pick")))
+      .select(col("_stratum"), (col("_pos") + 1).cast("int").as("sample_rank"),
+        col("_pick.id").as("_sid"))
+    corpus.join(broadcast(picked),
+        corpus(stratumCol) <=> picked("_stratum") &&
+          col(idCol).cast("long") === picked("_sid"))
+      .drop("_stratum", "_sid")
+  }
+
+  /** The window-form reference implementation of [[sampleKPerStratum]]
+    * (one shuffle, full per-stratum sort). Kept for the equivalence spec
+    * — the two forms must pick identical rows with identical ranks. */
+  def sampleKPerStratumWindowed(corpus: DataFrame, stratumCol: String,
+      idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Knuth multiplicative hash mod a prime — identical arithmetic is
-    // expressible in DuckDB (Spark's hash() is murmur3, DuckDB's isn't);
-    // the id is reduced mod p BEFORE the multiply so the product stays
-    // under 2^63 for any 64-bit id (Spark would wrap silently; DuckDB
-    // raises an overflow error — divergent); id tiebreak makes the cut
-    // total-order deterministic
-    val order = pmod(pmod(col(idCol), lit(1000000007L)) * 2654435761L,
-      lit(1000000007L))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(order, col(idCol))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(sampleOrder(col(idCol)), col(idCol))
     corpus.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }

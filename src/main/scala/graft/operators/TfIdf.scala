@@ -48,12 +48,14 @@ object TfIdf {
     * of documents from the similarity entirely (join AND norms) — the
     * champion-list/stop-term cutoff. A term with df ≈ N contributes
     * idf ≈ 1 to everyone but its posting self-join is O(N²): at sf0.1
-    * the unpruned join is ~450M pairs, pruned at 0.5 it is ~60k.
-    * Default 1.0 = exact cosine (no pruning).
+    * the unpruned join is ~450M pairs, pruned at 0.5 it is ~60k. The
+    * pruned form is therefore the DEFAULT (0.5); exact cosine over every
+    * stop term is the explicitly-requested form — pass maxDfRatio = 1.0
+    * and accept the O(df²) posting join it implies.
     *
     * The weights plan is read three times (norms + both join sides) →
     * persisted here, tracked for caller release (OperatorCaches). */
-  def pairSimilarity(weightsDf0: DataFrame, maxDfRatio: Double = 1.0): DataFrame = {
+  def pairSimilarity(weightsDf0: DataFrame, maxDfRatio: Double = 0.5): DataFrame = {
     val weightsAll = OperatorCaches.track(weightsDf0.persist())
     val weightsDf =
       if (maxDfRatio >= 1.0) weightsAll
@@ -84,11 +86,11 @@ object TfIdf {
 
   /** Top-k most similar docs per query doc (sparse, inverted-index path).
     *
-    * Unlike [[pairSimilarity]] (exact by default), topK defaults to a 0.5
-    * stop-term cutoff: a retrieval entry point is a ranking, rankings are
-    * dominated by rare terms, and a df≈N term's posting self-join is the
-    * O(N²) blow-up that killed the unpruned form at sf0.1 (~450M pairs).
-    * Pass maxDfRatio = 1.0 explicitly to rank with exact cosine. */
+    * Like [[pairSimilarity]], topK defaults to the 0.5 stop-term cutoff:
+    * a retrieval entry point is a ranking, rankings are dominated by rare
+    * terms, and a df≈N term's posting self-join is the O(N²) blow-up that
+    * killed the unpruned form at sf0.1 (~450M pairs). Pass
+    * maxDfRatio = 1.0 explicitly to rank with exact cosine. */
   def topK(weightsDf: DataFrame, k: Int, maxDfRatio: Double = 0.5): DataFrame = {
     val sims = OperatorCaches.track(
       pairSimilarity(weightsDf, maxDfRatio).persist()) // both union sides

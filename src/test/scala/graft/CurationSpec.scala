@@ -125,6 +125,17 @@ class CurationSpec extends SparkSuite {
     assert(run() == got, "hash-rank order is reproducible")
   }
 
+  test("sampleKPerStratum: bounded-heap form ≡ window form (rows AND ranks)") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    val heap = canon(Curation.sampleKPerStratum(docs, "source", "doc_id", 7))
+    val win = canon(Curation.sampleKPerStratumWindowed(docs, "source", "doc_id", 7))
+    assert(heap == win, s"diff=${(heap diff win) ++ (win diff heap)}")
+    assert(heap.nonEmpty)
+  }
+
   test("degenerate inputs: empty corpus and null text flow through, never throw") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val withNull = Seq((1L, null.asInstanceOf[String]),

@@ -19,12 +19,19 @@ class TfIdfSpec extends SparkSuite {
     // zebra appears in 1/4 docs, spark in 4/4 — idf must rank zebra higher
     // per-occurrence; doc 1 has tf(spark)=3 so compare unit weights
     assert(byTerm("zebra") > byTerm("spark") / 3)
-    // identical docs → cosine 1
+    // identical docs → cosine 1 (exact form requested explicitly: with 2
+    // docs every shared term has df=2 and the default 0.5 cutoff — the
+    // safe-at-scale default — would prune them all)
     val twin = Seq((10L, "alpha beta gamma"), (11L, "alpha beta gamma"))
       .toDF("doc_id", "text")
-    val sim = TfIdf.pairSimilarity(TfIdf.weights(twin, "doc_id", "text"))
+    val sim = TfIdf.pairSimilarity(TfIdf.weights(twin, "doc_id", "text"),
+        maxDfRatio = 1.0)
       .select("sim").as[Double].head()
     assert(math.abs(sim - 1.0) < 1e-9)
+    // the default prunes df > N/2 stop terms: same twin corpus yields no
+    // pairs at all — exact cosine is opt-in, not the default blow-up path
+    assert(TfIdf.pairSimilarity(TfIdf.weights(twin, "doc_id", "text"))
+      .isEmpty)
   }
 
   test("tf-idf topK only pairs docs sharing a term (inverted-index shape)") {
