@@ -184,6 +184,126 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** q105's oracle: the full IVF-ADC composition replayed in SQL — the
+    * coarse k-means fit (q42Oracle's stages, `c`-prefixed) AND the m
+    * subspace PQ fits (q46Oracle's stages, `s`-prefixed) unrolled in ONE
+    * WITH chain, then probe ranking (cosine vs final coarse centroids,
+    * nprobe kept), eligibility (corpus rows whose coarse cell is probed),
+    * ADC tables and the s-ordered score fold. Same preconditions as
+    * q42Oracle/q46Oracle (corpus under the maxTrainRows cap so the hash
+    * sample is a no-op; both sides train on all norm>0 rows). */
+  private def q105Oracle(nCells: Int, nprobe: Int, m: Int, subDim: Int,
+      kCent: Int, maxIter: Int, topK: Int): String = {
+    def d2(p: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
+        s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
+    val dim = m * subDim
+    // coarse (full-dim, unkeyed) Lloyd stages — q42Oracle's kernel
+    def cAssign(cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, cidx AS cell FROM (
+         |    SELECT p.vid, c.cidx, ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${d2("p.v", "c.c")}, c.cidx) AS rk
+         |    FROM pts p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+    def cUpdate(assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $dim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.cell, list(p.v ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN pts p ON p.vid = a.vid GROUP BY a.cell) mm
+         |  ON mm.cell = pc.cidx)""".stripMargin
+    // subspace (s-keyed) Lloyd stages — q46Oracle's kernel
+    def sAssign(cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, s, cidx AS cell FROM (
+         |    SELECT p.vid, p.s, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vid, p.s ORDER BY ${d2("p.sv", "c.c")}, c.cidx) AS rk
+         |    FROM subs p JOIN $cent c ON c.s = p.s) WHERE rk = 1)""".stripMargin
+    def sUpdate(assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.s, pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $subDim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.s, a.cell, list(p.sv ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN subs p ON p.vid = a.vid AND p.s = a.s
+         |    GROUP BY a.s, a.cell) mm
+         |  ON mm.s = pc.s AND mm.cell = pc.cidx)""".stripMargin
+    val sb = new StringBuilder(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS vid, embedding AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |ccent0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
+         |  FROM (SELECT vid, v FROM pts ORDER BY vid LIMIT $nCells)),
+         |subs AS MATERIALIZED (
+         |  SELECT p.vid, sx.s, p.v[sx.s * $subDim + 1 : (sx.s + 1) * $subDim] AS sv
+         |  FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) sx),
+         |first_seed AS (SELECT vid FROM pts ORDER BY vid LIMIT $kCent),
+         |scent0 AS MATERIALIZED (
+         |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
+         |    CAST(sb.sv AS DOUBLE[]) AS c
+         |  FROM subs sb JOIN first_seed f ON f.vid = sb.vid)""".stripMargin)
+    var cPrev = "ccent0"
+    for (it <- 0 until maxIter) {
+      sb.append(cAssign(cPrev, s"ca$it"))
+      sb.append(cUpdate(s"ca$it", cPrev, s"ccent${it + 1}"))
+      cPrev = s"ccent${it + 1}"
+    }
+    sb.append(cAssign(cPrev, "cafinal"))
+    var sPrev = "scent0"
+    for (it <- 0 until maxIter) {
+      sb.append(sAssign(sPrev, s"sa$it"))
+      sb.append(sUpdate(s"sa$it", sPrev, s"scent${it + 1}"))
+      sPrev = s"scent${it + 1}"
+    }
+    sb.append(sAssign(sPrev, "safinal"))
+    sb.append(
+      s""",
+         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE vid < 20),
+         |probes AS (
+         |  SELECT qid, cidx AS cell FROM (
+         |    SELECT q.qid, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, c.c) /
+         |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+         |        c.cidx) AS crk
+         |    FROM q CROSS JOIN $cPrev c) WHERE crk <= $nprobe),
+         |elig AS (
+         |  SELECT pr.qid, cf.vid AS nid
+         |  FROM probes pr JOIN cafinal cf ON cf.cell = pr.cell
+         |  WHERE cf.vid <> pr.qid),
+         |qsubs AS (SELECT vid AS qid, s, CAST(sv AS DOUBLE[]) AS qsv FROM subs WHERE vid < 20),
+         |adc AS MATERIALIZED (
+         |  SELECT qs.qid, c.s, c.cidx, list_dot_product(qs.qsv, c.c) AS dot
+         |  FROM qsubs qs JOIN $sPrev c ON c.s = qs.s),
+         |contrib AS (
+         |  SELECT e.qid, e.nid, a.s, ad.dot
+         |  FROM elig e JOIN safinal a ON a.vid = e.nid
+         |  JOIN adc ad ON ad.qid = e.qid AND ad.s = a.s AND ad.cidx = a.cell),
+         |scores AS (
+         |  SELECT qid, nid,
+         |    list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+         |  FROM contrib GROUP BY qid, nid),
+         |ranked AS (
+         |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+         |  FROM scores)
+         |SELECT qid, count(*) AS n_results, round(max(approx6), 4) AS best_approx_dot
+         |FROM ranked WHERE rk <= $topK GROUP BY qid""".stripMargin)
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
     // Exact cosine top-5 neighbors for the first 20 vectors.
     Q("q40_cosine_brute_topk",
@@ -344,6 +464,21 @@ object SimilarityQueries {
       },
       Some(q46Oracle(m = 8, subDim = 8, kCent = 16, maxIter = 10,
         topK = 10))),
+
+    // IVF-ADC composition (the production ANN shape): probe 4 of 16
+    // coarse cells, ADC-score only those cells' PQ codes — ORACLED with
+    // BOTH k-means fits unrolled in one SQL chain (q105Oracle).
+    Q("q105_ivf_pq_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        graft.operators.ProductQuantization
+          .ivfAdcTopK(e.filter(col("vec_id") < 20), e, 10)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_results"),
+            round(max(col("approx_dot")), 4).as("best_approx_dot"))
+      },
+      Some(q105Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10))),
 
     // Multimodal plumbing: binary media column → per-partition decode
     // (stubbed kernel) → typed metadata + features → aggregate.

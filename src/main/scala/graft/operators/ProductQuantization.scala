@@ -114,6 +114,113 @@ object ProductQuantization {
       .filter(col("code").isNotNull)
   }
 
+  /** IVF-ADC (a.k.a. IVF-PQ, the production ANN shape): coarse-quantize
+    * the corpus into `nCells` k-means cells AND PQ-encode every vector,
+    * then per query probe only the `nprobe` nearest cells and ADC-score
+    * just those cells' codes — [[adcTopK]]'s full-index scan cut by
+    * ~nprobe/nCells, with the scan still touching only m-int codes.
+    *
+    * Both fits share ONE hash-capped sorted sample (a single distributed
+    * sampling pass; the fits themselves are driver-local LocalKMeans,
+    * O(sample) — same discipline as [[train]] / Similarity.ivfTopK), and
+    * cell assignment + PQ encode run in the SAME narrow pass over the
+    * corpus. Codes quantize raw vectors, not residuals: residual coding
+    * would couple the codebooks to the coarse fit for ~1 extra bit of
+    * accuracy — the flat variant keeps both fits independently
+    * SQL-replayable (q105 unrolls them in one oracle).
+    *
+    * Queries are driver-side by contract (their ADC tables ride the
+    * scoring UDF's closure), so the probe ranking — cosine against
+    * nCells centroids per query — is computed locally too: no
+    * crossJoin+window stage; the probe list joins the index as a
+    * broadcast. Zero-norm/null queries and corpus rows are excluded
+    * (NaN-sim/rank hazard, same stance as Similarity.bruteTopK). */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.normFast
+    val vecs = corpus
+      .withColumn("nnorm", normFast(col("embedding")))
+      .filter(col("nnorm") > 0)
+      .select(col("vec_id"), col("embedding"))
+    val total = vecs.count()
+    val every = math.max(1L, total / maxTrainRows)
+    val sample = vecs
+      .filter(pmod(hash(col("vec_id")), lit(every)) === 0)
+      .as[(Long, Seq[Float])].collect()
+    require(sample.nonEmpty,
+      "ivfAdcTopK: no trainable vectors (empty corpus or all zero-norm)")
+    val sorted = sample.sortBy(_._1).map(_._2.toArray)
+    val dim = sorted(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val clean = sorted.filter(_.length == dim)
+    val coarse = LocalKMeans.fitSortedForgy(clean, nCells, maxIter = 10)
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = clean.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      LocalKMeans.fitSortedForgy(sub, kCodes, maxIter = 10)
+    }
+    val model = PQModel(m, subDim, codebooks)
+
+    // index build: coarse cell + code in one narrow pass; a null/wrong-dim
+    // row drops (one bad row must not kill the build)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val cellOf = udf((v: Seq[Float]) =>
+      if (v == null || v.length != dim) None
+      else Some(LocalKMeans.nearestDouble(v, bcCoarse.value)))
+    val enc = udf((v: Seq[Float]) => Option(encodeKernel(v, model)))
+    val index = vecs
+      .select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+        enc(col("embedding")).as("code"))
+      .filter(col("cell").isNotNull && col("code").isNotNull)
+
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v != null && v.length == dim }
+      .sortBy(_._1)
+    // ascending-index double folds match the oracle's list_dot_product
+    def dotD(q: Seq[Float], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { d += q(i).toDouble * c(i); i += 1 }
+      d
+    }
+    def qNorm(q: Seq[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < q.length) { d += q(i).toDouble * q(i); i += 1 }
+      math.sqrt(d)
+    }
+    val live = qRows.filter { case (_, v) => qNorm(v) > 0 }
+    val tables = live.map { case (qid, v) => (qid, adcTable(v, model)) }
+    val cNorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    val probes = live.zipWithIndex.flatMap { case ((qid, v), qIdx) =>
+      val qn = qNorm(v)
+      coarse.indices
+        .map(c => (dotD(v, coarse(c)) / (qn * cNorms(c)), c))
+        .sortBy { case (sim, c) => (-sim, c) }
+        .take(nprobe)
+        .map { case (_, c) => (qid, qIdx, c) }
+    }.toSeq.toDF("qid", "qIdx", "cell")
+
+    val score = udf((code: Seq[Int], qIdx: Int) => {
+      val t = tables(qIdx)._2
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += t(i)(code(i)); i += 1 }
+      s
+    })
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx_dot", score(col("code"), col("qIdx")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(col("approx_dot"), 6).as("approx_dot"), col("rank"))
+  }
+
   /** Approximate top-k by ADC over the compressed index: queries are
     * collected (small side), their ADC tables broadcast via the UDF
     * closure; the corpus side touches ONLY the m-int codes. */

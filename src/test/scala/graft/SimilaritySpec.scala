@@ -33,6 +33,31 @@ class SimilaritySpec extends SparkSuite {
     assert(r >= 0.3, s"recall@5 = $r")
   }
 
+  test("IVF-ADC composition: probes cut the scan, recall survives, guards hold") {
+    import graft.operators.ProductQuantization
+    val top = ProductQuantization.ivfAdcTopK(queries, emb, 5).cache()
+    // every live query gets exactly k results (probed cells at nprobe=4
+    // of 16 hold far more than k candidates on 500 vectors)
+    assert(top.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
+    // ADC ranks by approximate dot; against exact cosine top-5 the overlap
+    // is the composition's recall — well above chance (5/499 ≈ 0.01)
+    val r = recallAtK(top, 5)
+    assert(r >= 0.2, s"IVF-ADC recall@5 = $r")
+    // deterministic: same inputs → identical result set
+    val again = ProductQuantization.ivfAdcTopK(queries, emb, 5)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(again == top.select("qid", "nid", "rank")
+      .as[(Long, Long, Int)].collect().toSet)
+    // zero-norm/null rows: never a neighbor, never a query
+    val weird = Seq(
+      (9001L, Array.fill(64)(0.0f), 0),
+      (9002L, null.asInstanceOf[Array[Float]], 0)
+    ).toDF("vec_id", "embedding", "label")
+    val guarded = ProductQuantization.ivfAdcTopK(
+      queries.unionByName(weird), emb.unionByName(weird), 5)
+    assert(guarded.filter(col("nid") >= 9000L || col("qid") >= 9000L).count() == 0)
+  }
+
   test("identical vectors are found at sim 1.0 by the SRP dup detector") {
     val doubledCorpus = emb.unionByName(
       emb.withColumn("vec_id", col("vec_id") + 10000L))
