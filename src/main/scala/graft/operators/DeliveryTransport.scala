@@ -45,18 +45,45 @@ final case class LocalFsTransport(outDir: String) extends DeliveryTransport {
   * lets Spring Batch's retry loop re-drive the item — here the backoff
   * loop is explicit, and exhausting it fails the Spark task).
   *
+  * `tls = Some(TlsConfig(...))` switches the wire to mutual TLS — client
+  * certificate from the identity store, server verified against the
+  * trust store (the reference's NiFi wire is always this shape,
+  * SecureHttpClientProvider.kt:30-80); `None` keeps plain HTTP (the
+  * reference's insecureHttpClient test profile).
+  *
   * One `HttpClient` per executor JVM (@transient lazy), connection reuse
-  * across every row the executor delivers — the pooled-client shape. */
+  * across every row the executor delivers — the pooled-client shape; the
+  * SSLContext (keystore parse, file IO) is built inside that same lazy,
+  * so TLS setup is also once per executor, never per file. */
 final case class HttpTransport(
     url: String,
     maxAttempts: Int = 5,
     initialDelayMs: Long = 1000,
-    timeoutMs: Long = 30000) extends DeliveryTransport {
+    timeoutMs: Long = 30000,
+    tls: Option[graft.sources.TlsConfig] = None,
+    /** run counters (retried/failed posts). Accumulator-backed, so the
+      * executor-side increments aggregate cluster-wide. */
+    counters: Option[PipelineMetrics.RunCounters] = None) extends DeliveryTransport {
 
-  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val client = {
+    val b = java.net.http.HttpClient.newBuilder()
+    tls.foreach(t => b.sslContext(t.sslContext))
+    b.build()
+  }
 
   override def send(file: DeliveredFile): Unit =
-    Retry.withBackoff(attempts = maxAttempts, initialDelayMs = initialDelayMs) {
+    try sendWithRetry(file)
+    catch { case e: Throwable =>
+      // best-effort: updates from a task that then fails are dropped by
+      // Spark's accumulator protocol, but the count survives wherever the
+      // partition carries on (reference failedFilesCounter semantics)
+      counters.foreach(_.failedFiles.add(1))
+      throw e
+    }
+
+  private def sendWithRetry(file: DeliveredFile): Unit =
+    Retry.withBackoff(attempts = maxAttempts, initialDelayMs = initialDelayMs,
+      onRetry = () => counters.foreach(_.filesRetriedPost.add(1))) {
       val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .header("Content-Type", "application/octet-stream")

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.operators.SnapshotPipeline.DeliveryConf
 import graft.sources.Retry
@@ -117,7 +118,11 @@ final case class MonitoringConf(
       * batch engine shouldn't block the driver on a scrape schedule). */
     deleteOnFinal: Boolean = false,
     snsMaxAttempts: Int = 5,
-    snsInitialDelayMs: Long = 1000)
+    snsInitialDelayMs: Long = 1000,
+    /** wire-level run counters; when present the final push carries the
+      * reference's full Counter/Gauge inventory name for name
+      * (PipelineMetrics.referenceInventory). */
+    counters: Option[PipelineMetrics.RunCounters] = None)
 
 object Monitoring {
 
@@ -132,9 +137,12 @@ object Monitoring {
     * (PushGatewayServiceImpl.kt:29-44).
     *
     * @param completion single-row rollup from Delivery.runCompletion
+    * @param statuses per-collection status frame (tiny, cached by the
+    *   caller) — feeds the completed/failed-collection counters of the
+    *   reference inventory; pass an empty frame to skip those
     * @return the published message id, if a message was sent */
   def afterRun(m: MonitoringConf, conf: DeliveryConf,
-      completion: DataFrame): Option[String] = {
+      completion: DataFrame, statuses: Option[DataFrame] = None): Option[String] = {
     val status = completion.select("completionStatus").head().getString(0)
     val sent =
       if (!Delivery.shouldSendMonitoring(conf.exportDate, m.topicArn)) None
@@ -148,13 +156,22 @@ object Monitoring {
           m.sns.publish(m.topicArn, payload)
         })
       }
+    sent.foreach(_ =>
+      m.counters.foreach(_.monitoringMessagesSent.incrementAndGet()))
     m.pusher.foreach { p =>
-      val flat = m.metrics.map(_.snapshot.flatMap { case (obs, fields) =>
-        fields.map { case (f, v) => s"${obs}_$f" -> v }
-      }.toMap).getOrElse(Map.empty[String, Long])
+      val obs = m.metrics.map(_.snapshot).getOrElse(Map.empty)
+      val flat = obs.flatMap { case (o, fields) =>
+        fields.map { case (f, v) => s"${o}_$f" -> v }
+      }
+      val statusRows = statuses.map(
+        _.select(col("CollectionStatus"), col("FilesSent"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+        .getOrElse(Seq.empty)
+      val inventory = PipelineMetrics.referenceInventory(
+        obs, statusRows, status, m.counters)
       val gk = Map("type" -> conf.snapshotType, "instance" -> m.instanceName,
         "correlation_id" -> conf.correlationId)
-      p.push(m.pushJob, gk, flat)
+      p.push(m.pushJob, gk, flat ++ inventory)
       if (m.deleteOnFinal) p.delete(m.pushJob, gk)
     }
     sent

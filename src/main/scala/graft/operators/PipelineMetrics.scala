@@ -61,6 +61,83 @@ object PipelineMetrics {
     c
   }
 
+  /** Wire-level run counters — the part of the reference inventory the
+    * in-plan `observe` nodes can't see (retries inside a backoff loop,
+    * DKS calls, success-indicator writes, the running gauge).
+    *
+    * Executor-side events (post retries/failures) ride Spark
+    * `LongAccumulator`s — the cluster-safe distributed counter (NOT a
+    * JVM static, which silently undercounts on >1 executor). Driver-side
+    * wires (DKS, SNS, success files — all driver-only by design) are
+    * plain AtomicLongs, @transient so an accidental closure capture
+    * fails loudly on executors instead of losing counts silently. */
+  final class RunCounters(spark: SparkSession) extends Serializable {
+    import org.apache.spark.util.LongAccumulator
+    val filesRetriedPost: LongAccumulator =
+      spark.sparkContext.longAccumulator("snapshot_sender_files_retried_post")
+    val failedFiles: LongAccumulator =
+      spark.sparkContext.longAccumulator("snapshot_sender_failed_files")
+    @transient val dksKeysDecrypted = new java.util.concurrent.atomic.AtomicLong()
+    @transient val dksKeyDecryptionRetries = new java.util.concurrent.atomic.AtomicLong()
+    @transient val successFilesSent = new java.util.concurrent.atomic.AtomicLong()
+    @transient val successFileRetries = new java.util.concurrent.atomic.AtomicLong()
+    @transient val failedSuccessFiles = new java.util.concurrent.atomic.AtomicLong()
+    @transient val monitoringMessagesSent = new java.util.concurrent.atomic.AtomicLong()
+    /** 1 while a run is in flight (inc at run start, dec in its finally);
+      * the final gateway push happens inside the run, so it reports 1 —
+      * the reference's live runningApplicationsGauge semantics. */
+    @transient val runningApplications = new java.util.concurrent.atomic.AtomicLong()
+  }
+
+  /** The reference's Counter/Gauge inventory, name for name
+    * (MetricsConfiguration.kt:20-93) — assembled per run from the observe
+    * snapshot (scan/delivery families), the collection statuses, the
+    * completion rollup and the wire counters. Pushed by
+    * Monitoring.afterRun; asserted name-for-name in MetricsSpec
+    * (mirroring SnapshotSenderIntegrationTest.kt:138-216). */
+  def referenceInventory(
+      observations: Map[String, Map[String, Long]],
+      statuses: Seq[(String, Long)], // (CollectionStatus, FilesSent)
+      completionStatus: String,
+      counters: Option[RunCounters]): Map[String, Long] = {
+    val scan = observations.getOrElse("graft_scan", Map.empty)
+      .withDefaultValue(0L)
+    val del = observations.getOrElse("graft_delivery", Map.empty)
+      .withDefaultValue(0L)
+    def c(f: RunCounters => Long): Long = counters.map(f).getOrElse(0L)
+    Map(
+      "snapshot_sender_items_read_from_s3" -> scan("files_scanned"),
+      "snapshot_sender_rejected_files" -> scan("files_rejected"),
+      "snapshot_sender_blocked_topic_files" -> scan("files_blocked"),
+      "snapshot_sender_files_posted_successfully" -> del("files_delivered"),
+      "snapshot_sender_files_retried_post" -> c(_.filesRetriedPost.value),
+      "snapshot_sender_failed_files" -> c(_.failedFiles.value),
+      // markers are the sent-count commit log: every delivered file is one
+      // increment of the status table's FilesSent (A1)
+      "snapshot_sender_incremented_files_sent" -> del("files_delivered"),
+      "snapshot_sender_completed_non_empty_collections" ->
+        statuses.count(_._1 == "Sent").toLong,
+      "snapshot_sender_completed_empty_collections" ->
+        statuses.count(_._1 == "Received").toLong,
+      // reference: collections with >= 1 failed/unfinished file
+      "snapshot_sender_failed_collections" ->
+        statuses.count(s => s._1 == "In_Progress" || s._1 == "Export_Failed").toLong,
+      "snapshot_sender_successful_runs" ->
+        (if (completionStatus == "COMPLETED_SUCCESSFULLY") 1L else 0L),
+      "snapshot_sender_failed_runs" ->
+        (if (completionStatus == "COMPLETED_UNSUCCESSFULLY") 1L else 0L),
+      "snapshot_sender_dks_keys_decrypted" -> c(_.dksKeysDecrypted.get),
+      "snapshot_sender_dks_key_decryption_retries" ->
+        c(_.dksKeyDecryptionRetries.get),
+      "snapshot_sender_monitoring_messages_sent" ->
+        c(_.monitoringMessagesSent.get),
+      "snapshot_sender_success_files_sent" -> c(_.successFilesSent.get),
+      "snapshot_sender_success_file_sending_retries" ->
+        c(_.successFileRetries.get),
+      "snapshot_sender_failed_success_files" -> c(_.failedSuccessFiles.get),
+      "snapshot_sender_running_applications" -> c(_.runningApplications.get))
+  }
+
   /** Scan-side counters (files seen / valid / quarantined / blocked).
     * files_rejected mirrors SnapshotPipeline.quarantine's rule (bad
     * grammar OR missing encryption metadata). */

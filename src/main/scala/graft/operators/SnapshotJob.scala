@@ -40,6 +40,24 @@ object SnapshotJob {
         * (JobCompletionNotificationListener semantics, incl. heartbeat
         * skip). None → no monitoring side effects. */
       monitoring: Option[MonitoringConf] = None): RunResult = {
+    val counters = monitoring.flatMap(_.counters)
+    counters.foreach(_.runningApplications.incrementAndGet())
+    try runInner(spark, inputDir, outDir, statusDir, expected, keys, conf,
+      transport, monitoring, counters)
+    finally counters.foreach(_.runningApplications.decrementAndGet())
+  }
+
+  private def runInner(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      statusDir: String,
+      expected: DataFrame,
+      keys: KeyService,
+      conf: DeliveryConf,
+      transport: Option[DeliveryTransport],
+      monitoring: Option[MonitoringConf],
+      counters: Option[PipelineMetrics.RunCounters]): RunResult = {
 
     val scanned = PipelineMetrics.observeScan(
       withTopic(EncryptedSnapshotSource.read(spark, inputDir)),
@@ -56,7 +74,7 @@ object SnapshotJob {
     val fresh = filterFinished(allowed,
       Delivery.finishedMarkers(spark, statusDir), conf.reprocessFiles)
 
-    val decrypted = decrypt(resolveKeys(fresh, keys))
+    val decrypted = decrypt(resolveKeys(fresh, keys, counters))
     val ready = PipelineMetrics.observeDelivery(nifiHeaders(decrypted, conf))
 
     Delivery.deliverVia(ready, statusDir,
@@ -69,11 +87,13 @@ object SnapshotJob {
     // recomputing after a caller's OperatorCaches.release() is cheap)
     val statuses = OperatorCaches.track(Delivery
       .collectionStatus(expected, sent, conf.blockedTopics).cache())
-    Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
+    val successFiles =
+      Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
+    counters.foreach(_.successFilesSent.addAndGet(successFiles.size.toLong))
     conf.statusTable.foreach(dir =>
       Delivery.upsertStatuses(statuses, dir, conf.correlationId))
     val completion = Delivery.runCompletion(statuses, conf.correlationId)
-    monitoring.foreach(Monitoring.afterRun(_, conf, completion))
+    monitoring.foreach(Monitoring.afterRun(_, conf, completion, Some(statuses)))
 
     // prune content before counting: binaryFile only reads the bytes if
     // the content column is requested, so these are listing-only jobs

@@ -74,7 +74,8 @@ object SnapshotPipeline {
     * broadcast-joined back. Same asymptotics as the reference's memo
     * cache (HttpKeyService.kt:48-73), but cluster-safe: N files cost
     * ~1 service call per distinct key, not N. */
-  def resolveKeys(df: DataFrame, keys: KeyService): DataFrame = {
+  def resolveKeys(df: DataFrame, keys: KeyService,
+      counters: Option[PipelineMetrics.RunCounters] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val distinctKeys = df
@@ -85,6 +86,9 @@ object SnapshotPipeline {
     val resolved = distinctKeys.map { case (keyId, cipher) =>
       (keyId, cipher, keys.decryptKey(keyId, cipher))
     }.toSeq.toDF("dataKeyEncryptionKeyId", "cipherTextDataKey", "plaintextDataKey")
+    // one increment per key actually resolved this run — the memo-cached
+    // distinct set, service-agnostic (reference keysDecryptedCounter)
+    counters.foreach(_.dksKeysDecrypted.addAndGet(distinctKeys.length.toLong))
     df.join(broadcast(resolved), Seq("dataKeyEncryptionKeyId", "cipherTextDataKey"))
   }
 

@@ -39,7 +39,10 @@ final class DataKeyServiceUnavailableException(msg: String, cause: Throwable = n
 object Retry {
   def withBackoff[T](attempts: Int = 5, initialDelayMs: Long = 1000,
       multiplier: Double = 2.0,
-      retryable: Throwable => Boolean = _ => true)(
+      retryable: Throwable => Boolean = _ => true,
+      /** observability hook, fired once per retried failure (metric
+        * counters — snapshot_sender_*_retries families) */
+      onRetry: () => Unit = () => ())(
       f: => T): T = {
     var delay = initialDelayMs
     var last: Throwable = null
@@ -50,6 +53,7 @@ object Retry {
         // NonFatal only: OOM/interrupt must propagate immediately, not
         // burn 5 sleep-backoff attempts masking a cancellation
         case scala.util.control.NonFatal(e) if retryable(e) =>
+          onRetry()
           last = e
           i += 1
           if (i < attempts) {
@@ -80,16 +84,29 @@ object Retry {
   * broadcast, SnapshotPipeline.resolveKeys), so one client instance and
   * one cache see every request of a run. */
 final class HttpKeyService(baseUrl: String, maxAttempts: Int = 5,
-    initialDelayMs: Long = 1000) extends KeyService {
+    initialDelayMs: Long = 1000,
+    /** mutual TLS to the DKS — the reference's DKS wire always rides the
+      * same SecureHttpClientProvider as the NiFi wire; None = plain HTTP
+      * (its insecureHttpClient test profile). */
+    tls: Option[TlsConfig] = None,
+    /** run counters: DKS retry increments (driver-side — this client is
+      * only ever called from resolveKeys on the driver). */
+    counters: Option[graft.operators.PipelineMetrics.RunCounters] = None)
+  extends KeyService {
 
-  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val client = {
+    val b = java.net.http.HttpClient.newBuilder()
+    tls.foreach(t => b.sslContext(t.sslContext))
+    b.build()
+  }
   @transient private lazy val cache =
     new scala.collection.concurrent.TrieMap[String, String]()
 
   override def decryptKey(keyId: String, cipherTextKeyB64: String): String =
     cache.getOrElseUpdate(s"$cipherTextKeyB64/$keyId",
       Retry.withBackoff(attempts = maxAttempts, initialDelayMs = initialDelayMs,
-        retryable = !_.isInstanceOf[DataKeyDecryptionException]) {
+        retryable = !_.isInstanceOf[DataKeyDecryptionException],
+        onRetry = () => counters.foreach(_.dksKeyDecryptionRetries.incrementAndGet())) {
         val correlationId = java.util.UUID.randomUUID().toString
         val url = s"$baseUrl/datakey/actions/decrypt?keyId=" +
           java.net.URLEncoder.encode(keyId, "US-ASCII") +
