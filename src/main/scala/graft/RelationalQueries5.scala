@@ -302,5 +302,60 @@ object RelationalQueries5 {
              |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
              |COUNT(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // KMV (bottom-k) distinct sketch vs exact distinct — the
+    // DETERMINISTIC sketch family (unlike q25's HLL, whose internals are
+    // engine-specific and stay rows-only): every stage is specified
+    // integer/IEEE arithmetic, so the oracle rebuilds the entire sketch —
+    // mix64 via split-multiply mod 2^64 (the LSH-oracle machinery),
+    // unsigned bottom-64, and the estimator in the same IEEE op order.
+    // PRECONDITION: user_id ≥ 0 (a negative id would need the
+    // two's-complement expansion the Scala long cast implies).
+    Q("q106_kmv_sketch",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val est = graft.operators.Sketches.kmvDistinct(e, "event_type", "user_id", 64)
+        val exact = e.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(est, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            round(col("kmv_estimate"), 4).as("kmv_estimate"))
+      },
+      Some(q106Oracle(64))),
   )
+
+  /** q106's oracle: the whole KMV sketch replayed — splitmix64 with the
+    * mulmod split-32-bit-halves machinery (same as the MinHash oracles),
+    * unsigned bottom-k by plain UBIGINT ORDER BY, then the estimator with
+    * the IDENTICAL IEEE sequence as Sketches.kmvDistinct (signed k-th
+    * value → double → +2^64 when negative — not a direct unsigned cast,
+    * which could double-round differently). */
+  private def q106Oracle(k: Int): String = {
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+    def xorShift(u: String, s: Int): String =
+      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+    s"""WITH vals AS (SELECT DISTINCT event_type, user_id FROM events),
+       |s0 AS (SELECT event_type,
+       |  (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
+       |  FROM vals),
+       |s1 AS (SELECT event_type, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT event_type, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |mixed AS (SELECT event_type, xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |ranked AS (SELECT event_type, vu,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vu) AS rk FROM mixed),
+       |grp AS (SELECT event_type, count(*) AS nd,
+       |  max(CASE WHEN rk = $k THEN vu END) AS vu_k FROM ranked GROUP BY event_type),
+       |signedk AS (SELECT event_type, nd,
+       |  CAST(CASE WHEN CAST(vu_k AS HUGEINT) >= 9223372036854775808
+       |    THEN CAST(vu_k AS HUGEINT) - 18446744073709551616
+       |    ELSE CAST(vu_k AS HUGEINT) END AS BIGINT) AS vk FROM grp)
+       |SELECT event_type, CAST(nd AS BIGINT) AS n_exact,
+       |  round(CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |    ELSE ${k - 1}.0 * 18446744073709551616.0 /
+       |      (CASE WHEN vk >= 0 THEN CAST(vk AS DOUBLE)
+       |       ELSE CAST(vk AS DOUBLE) + 18446744073709551616.0 END)
+       |  END, 4) AS kmv_estimate
+       |FROM signedk""".stripMargin
+  }
 }

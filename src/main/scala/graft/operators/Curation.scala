@@ -134,8 +134,11 @@ object Curation {
       .distinct()
       .join(names.select(col("id").as("idA"), col("s").as("sA")), Seq("idA"))
       .join(names.select(col("id").as("idB"), col("s").as("sB")), Seq("idB"))
-      .withColumn("dist", levenshtein(col("sA"), col("sB")))
-      .filter(col("dist") <= 1)
+      // bounded form: early-terminates past the threshold (returns -1)
+      // instead of filling the full DP matrix — exact distance for kept
+      // rows, so q100's output (and its DuckDB oracle) are unchanged
+      .withColumn("dist", levenshtein(col("sA"), col("sB"), 1))
+      .filter(col("dist") >= 0)
   }
 
   // Knuth multiplicative hash mod a prime — identical arithmetic is

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.BottomKAggregator
+
+/** Deterministic, cross-engine-replayable sketches.
+  *
+  * Spark's own approx aggregates (HLL `approx_count_distinct`,
+  * `percentile_approx`) are implementation-defined — correct but not
+  * comparable against another engine (q25 stays a rows-only check for
+  * exactly that reason). A KMV (k-minimum-values / bottom-k) sketch over
+  * a SPECIFIED hash is different: every stage is plain integer and IEEE
+  * double arithmetic, so a second engine replays it bit-for-bit — the
+  * q106 oracle rebuilds the whole sketch in DuckDB (the same
+  * split-multiply mod-2^64 machinery as the MinHash oracles).
+  *
+  * Scale shape: one `(group, value)` dedup shuffle, then a bounded-heap
+  * aggregation ([[graft.plans.BottomKAggregator]]) whose shuffle carries
+  * ≤ k longs per group per map task. Sketches are mergeable by
+  * construction (union the lists, keep the k smallest), which is what
+  * makes them partition-friendly at 100 TB.
+  */
+object Sketches {
+
+  /** splitmix64 finalizer — THE kernel the MinHash oracles already
+    * replay (TextFunctions.mix64), lifted to a Column. A JVM udf, not
+    * Column arithmetic: the wrapping multiplies would throw under ANSI
+    * mode (same reason srpSignature is a fused kernel). Bijection on
+    * 64-bit inputs: distinct values stay distinct, outputs uniform —
+    * exactly what the KMV estimator needs. Null-safe INSIDE the udf
+    * (the optimizer may evaluate it before any null filter). */
+  private val mix64Udf = udf((x: java.lang.Long) =>
+    if (x == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(graft.functions.TextFunctions.mix64(x)))
+
+  def mix64Col(x: Column): Column = mix64Udf(x)
+
+  private val TwoPow64: Double = math.pow(2, 64)
+
+  /** KMV distinct-count estimate per group: hash the values with mix64,
+    * keep the k smallest distinct hashes (unsigned order — the sign bit
+    * is flipped so signed compare gives unsigned order), and estimate
+    *
+    *   D̂ = (k−1) · 2^64 / u_k      (u_k = k-th smallest hash, unsigned)
+    *
+    * — the classic KMV/bottom-k estimator: if D distinct uniform hashes
+    * land in [0, 2^64), the k-th smallest sits near k/D of the range.
+    * Fewer than k distinct values ⇒ the sketch holds ALL of them and the
+    * estimate is exact by definition.
+    *
+    * Numeric discipline for cross-engine exactness: u_k is derived from
+    * the SIGNED k-th hash via `double(v) + double(2^64) when v < 0` —
+    * the oracle performs the identical IEEE op sequence (a direct
+    * unsigned→double cast on one side vs signed-then-add on the other
+    * can double-round differently near 2^53). */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    // sign-bit flip: signed order of (h ^ Long.MinValue) == unsigned
+    // order of h; mix64 is a bijection, so distinct-on-hash ==
+    // distinct-on-value
+    val flipped = mix64Col(col(valueCol).cast("long"))
+      .bitwiseXOR(lit(Long.MinValue))
+    val kth = element_at(col("_ks"), k)
+    // undo the flip (xor, not subtraction — ANSI-safe, no overflow)
+    val vk = kth.bitwiseXOR(lit(Long.MinValue))
+    val uK = when(vk >= 0, vk.cast("double"))
+      .otherwise(vk.cast("double") + lit(TwoPow64))
+    df.select(col(groupCol), flipped.as("_h"))
+      .distinct()
+      .groupBy(col(groupCol))
+      .agg(BottomKAggregator.bottom_k(k)(col("_h")).as("_ks"))
+      .select(col(groupCol),
+        when(size(col("_ks")) < k, size(col("_ks")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / uK)
+          .as("kmv_estimate"))
+  }
+}

@@ -46,3 +46,34 @@ object TopKAggregator {
     udaf(new TopK(k)).apply(score, id)
   }
 }
+
+/** Bounded bottom-k over DISTINCT longs with EXACT long ordering — the
+  * state carrier for KMV-style sketches ([[graft.operators.Sketches]]).
+  * [[TopKAggregator]] ranks by a double score, which cannot order raw
+  * 64-bit hashes (a double has 53 mantissa bits — close hashes collide);
+  * this keeps the k smallest distinct Long values under signed compare.
+  * Same shuffle shape: ≤ k longs per group per map task. */
+object BottomKAggregator {
+
+  private def insert(buf: List[Long], v: Long, k: Int): List[Long] = {
+    val (lt, rest) = buf.span(_ < v)
+    if (rest.headOption.contains(v)) buf // distinct: drop re-occurrences
+    else (lt ::: v :: rest).take(k)
+  }
+
+  class BottomK(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], a: Long): List[Long] = insert(b, a, k)
+    override def merge(b1: List[Long], b2: List[Long]): List[Long] =
+      b2.foldLeft(b1)((acc, v) => insert(acc, v, k))
+    override def finish(r: List[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `df.groupBy(g).agg(bottom_k(64)(hash))` → ARRAY<BIGINT>, ascending. */
+  def bottom_k(k: Int)(v: Column): Column =
+    udaf(new BottomK(k)).apply(v)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Sketches
+
+/** KMV bottom-k distinct sketch: kernel bridge, exact-below-k contract,
+  * estimator accuracy, determinism. */
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mix64Col is TextFunctions.mix64 (incl. negatives) — no kernel drift") {
+    val xs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L)
+    val got = xs.toDF("x").select(Sketches.mix64Col(col("x")))
+      .as[Long].collect().toSeq
+    assert(got == xs.map(TextFunctions.mix64))
+  }
+
+  test("fewer than k distinct values → the estimate IS the exact count") {
+    // 10 distinct values, repeated — dedup must collapse them first
+    val df = (1L to 30L).map(i => ("g", i % 10)).toDF("grp", "v")
+    val est = Sketches.kmvDistinct(df, "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head()
+    assert(est == 10.0)
+  }
+
+  test("estimator lands near truth for n >> k, and is deterministic") {
+    val n = 5000L
+    val df = spark.range(n).select(lit("g").as("grp"), col("id").as("v"))
+    def run() = Sketches.kmvDistinct(df, "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head()
+    val est = run()
+    // KMV stderr ≈ 1/sqrt(k-2) ≈ 13% at k=64; 40% is a safe determinism-
+    // friendly bound (the hash is fixed, so this never flakes)
+    assert(math.abs(est / n - 1.0) < 0.4, s"estimate $est for $n distinct")
+    assert(run() == est)
+    // bigger k → the same data can only be estimated as well or better
+    val est256 = Sketches.kmvDistinct(df, "grp", "v", k = 256)
+      .select("kmv_estimate").as[Double].head()
+    assert(math.abs(est256 / n - 1.0) <= math.abs(est / n - 1.0) + 0.05)
+  }
+}
