@@ -322,7 +322,53 @@ object RelationalQueries5 {
             round(col("kmv_estimate"), 4).as("kmv_estimate"))
       },
       Some(q106Oracle(64))),
+
+    // Hash-sample quantiles — the second deterministic sketch: a
+    // no-RNG uniform row sample (bottom-256 rows by mix64(event_id) per
+    // group) + nearest-rank quantiles over the sorted sample. Unlike
+    // percentile_approx's GK sketch (engine-specific internals, q25
+    // rows-only), every step is specified arithmetic and the oracle
+    // rebuilds the sample AND the rank selection bit-for-bit.
+    // PRECONDITION: event_id unique (it is the sample/dedup key).
+    Q("q107_sample_quantiles",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        graft.operators.Sketches.sampleQuantiles(e, "event_type",
+          "event_id", "value", Seq(0.5, 0.9, 0.99), k = 256)
+      },
+      Some(q107Oracle(256))),
   )
+
+  /** q107's oracle: mix64(event_id) via the split-multiply machinery,
+    * signed-order bottom-k rank (the aggregator compares signed longs),
+    * value-sorted sample list, nearest-rank selection with the identical
+    * floor/index arithmetic. */
+  private def q107Oracle(k: Int): String = {
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+    def xorShift(u: String, s: Int): String =
+      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+    def sel(q: String): String =
+      s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
+    s"""WITH base AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events),
+       |s0 AS (SELECT event_type, v,
+       |  (CAST(event_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
+       |  FROM base),
+       |s1 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |mixed AS (SELECT event_type, v,
+       |  CAST(CASE WHEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) >= 9223372036854775808
+       |    THEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) - 18446744073709551616
+       |    ELSE CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) END AS BIGINT) AS h
+       |  FROM s2),
+       |ranked AS (SELECT event_type, v,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM mixed),
+       |samp AS (SELECT event_type, list(v ORDER BY v) AS sorted, count(*) AS n
+       |  FROM ranked WHERE rk <= $k GROUP BY event_type)
+       |SELECT event_type, ${sel("0.5")} AS p50, ${sel("0.9")} AS p90,
+       |  ${sel("0.99")} AS p99
+       |FROM samp""".stripMargin
+  }
 
   /** q106's oracle: the whole KMV sketch replayed — splitmix64 with the
     * mulmod split-32-bit-halves machinery (same as the MinHash oracles),

@@ -77,4 +77,38 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / uK)
           .as("kmv_estimate"))
   }
+
+  /** Approximate quantiles from a DETERMINISTIC uniform sample: keep the
+    * k rows whose mix64(id) hashes are smallest per group (hash order is
+    * independent of the value, so the sample is uniform over rows — the
+    * no-RNG reservoir), then nearest-rank quantiles over the sorted
+    * sample: element at index floor(q·(n−1)) (0-based, n = sample size).
+    *
+    * vs Spark's `percentile_approx` (GK sketch — correct, but its
+    * internals are engine-specific so its output can never be compared
+    * across engines): every step here is specified arithmetic, replayed
+    * bit-for-bit by the q107 oracle. Accuracy is the standard sampling
+    * bound (quantile stderr ≈ sqrt(q(1−q)/k)); state is k doubles per
+    * group per map task, mergeable, one shuffle.
+    *
+    * `idCol` must be a unique row key (its hash is the sample order AND
+    * the dedup key — a task-retry replay cannot double-insert a row). */
+  def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, qs: Seq[Double], k: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0))
+    val sampled = df
+      .select(col(groupCol), mix64Col(col(idCol).cast("long")).as("_h"),
+        col(valueCol).cast("double").as("_v"))
+      .groupBy(col(groupCol))
+      .agg(BottomKAggregator.bottom_k_sample(k)(col("_h"), col("_v"))
+        .as("_sample"))
+      .withColumn("_sorted", sort_array(col("_sample")))
+    val quantCols = qs.map { q =>
+      // floor(q·(n−1)) in double, +1 for 1-based element_at — the oracle
+      // performs the identical sequence
+      val idx = floor(lit(q) * (size(col("_sorted")) - 1)).cast("int") + 1
+      element_at(col("_sorted"), idx).as(s"p${math.round(q * 100)}")
+    }
+    sampled.select(col(groupCol) +: quantCols: _*)
+  }
 }

@@ -76,4 +76,37 @@ object BottomKAggregator {
   /** `df.groupBy(g).agg(bottom_k(64)(hash))` → ARRAY<BIGINT>, ascending. */
   def bottom_k(k: Int)(v: Column): Column =
     udaf(new BottomK(k)).apply(v)
+
+  final case class HashedValue(h: Long, v: Double)
+
+  /** Bottom-k ROWS by hash, carrying a payload value — the deterministic
+    * uniform-sample state for [[graft.operators.Sketches.sampleQuantiles]]:
+    * keep the k rows whose (unique-id) hashes are smallest, return their
+    * values. Distinct-by-hash (mix64 of a unique id never collides — it
+    * is a bijection), so a retried row can't enter the sample twice. */
+  class BottomKSample(k: Int)
+    extends Aggregator[HashedValue, List[HashedValue], Seq[Double]] {
+    private def insert(buf: List[HashedValue], a: HashedValue): List[HashedValue] = {
+      val (lt, rest) = buf.span(_.h < a.h)
+      if (rest.headOption.exists(_.h == a.h)) buf
+      else (lt ::: a :: rest).take(k)
+    }
+    override def zero: List[HashedValue] = Nil
+    override def reduce(b: List[HashedValue], a: HashedValue): List[HashedValue] =
+      insert(b, a)
+    override def merge(b1: List[HashedValue], b2: List[HashedValue]): List[HashedValue] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: List[HashedValue]): Seq[Double] = r.map(_.v)
+    override def bufferEncoder: Encoder[List[HashedValue]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `df.groupBy(g).agg(bottom_k_sample(256)(hash, value))` →
+    * ARRAY<DOUBLE> of the k sampled values (hash order). */
+  def bottom_k_sample(k: Int)(h: Column, v: Column): Column = {
+    implicit val enc: Encoder[HashedValue] = Encoders.product[HashedValue]
+    udaf(new BottomKSample(k)).apply(h, v)
+  }
 }

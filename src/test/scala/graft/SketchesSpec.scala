@@ -40,4 +40,23 @@ class SketchesSpec extends SparkSuite {
       .select("kmv_estimate").as[Double].head()
     assert(math.abs(est256 / n - 1.0) <= math.abs(est / n - 1.0) + 0.05)
   }
+
+  test("sample quantiles: exact when the group fits in k, near-true beyond") {
+    // group fits the sample entirely → nearest-rank quantiles are EXACT
+    val small = (0L until 101L).map(i => ("g", i, i.toDouble))
+      .toDF("grp", "id", "v")
+    val exact = Sketches.sampleQuantiles(small, "grp", "id", "v",
+      Seq(0.5, 0.9), k = 256).select("p50", "p90")
+      .as[(Double, Double)].head()
+    assert(exact == ((50.0, 90.0)))
+    // 100k uniform values, k=256 sample: p50 within the sampling bound
+    val big = spark.range(100000L)
+      .select(lit("g").as("grp"), col("id"), (col("id") % 1000L).cast("double").as("v"))
+    def run() = Sketches.sampleQuantiles(big, "grp", "id", "v",
+      Seq(0.5), k = 256).select("p50").as[Double].head()
+    val p50 = run()
+    // true median 499.5; stderr ≈ sqrt(0.25/256) ≈ 3.1% of the range
+    assert(math.abs(p50 - 499.5) < 100.0, s"sampled p50 = $p50")
+    assert(run() == p50, "no-RNG reservoir must be reproducible")
+  }
 }
