@@ -37,7 +37,20 @@ object Sketches {
 
   def mix64Col(x: Column): Column = mix64Udf(x)
 
-  private val TwoPow64: Double = math.pow(2, 64)
+  private[graft] val TwoPow64: Double = math.pow(2, 64)
+
+  /** JVM twin of the Column-form estimator in [[kmvDistinct]] — the SAME
+    * IEEE op sequence (signed k-th → double → +2^64 when negative), used
+    * by the streaming state operator so stream and batch estimates are
+    * bit-identical. `ks` = ascending flipped hashes (sign-bit-flipped →
+    * signed order == unsigned order). */
+  private[graft] def kmvEstimateKernel(ks: Seq[Long], k: Int): Double =
+    if (ks.size < k) ks.size.toDouble
+    else {
+      val vk = ks(k - 1) ^ Long.MinValue // undo the flip
+      val u = if (vk >= 0) vk.toDouble else vk.toDouble + TwoPow64
+      (k - 1).toDouble * TwoPow64 / u
+    }
 
   /** KMV distinct-count estimate per group: hash the values with mix64,
     * keep the k smallest distinct hashes (unsigned order — the sign bit

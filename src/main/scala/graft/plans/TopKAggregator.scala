@@ -55,7 +55,10 @@ object TopKAggregator {
   * Same shuffle shape: ≤ k longs per group per map task. */
 object BottomKAggregator {
 
-  private def insert(buf: List[Long], v: Long, k: Int): List[Long] = {
+  /** Also the state-merge kernel for the STREAMING sketch
+    * (EventStream.kmvDistinctStream) — one insert definition, so batch
+    * aggregation and stream state can never diverge. */
+  private[graft] def insert(buf: List[Long], v: Long, k: Int): List[Long] = {
     val (lt, rest) = buf.span(_ < v)
     if (rest.headOption.contains(v)) buf // distinct: drop re-occurrences
     else (lt ::: v :: rest).take(k)

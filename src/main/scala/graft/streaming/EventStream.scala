@@ -139,6 +139,45 @@ object EventStream {
       }
   }
 
+  final case class KmvState(ks: List[Long])
+  final case class DistinctEstimate(group: String, kmv_estimate: Double)
+
+  /** STREAMING cardinality estimation: the KMV bottom-k sketch
+    * (operators.Sketches) as `mapGroupsWithState` state — per group, the
+    * k smallest distinct mix64 hashes seen so far; each micro-batch
+    * merges its values in and emits the running distinct-count estimate
+    * (Update mode). The state is k longs per group FOREVER — unlike
+    * exact streaming distinct (dropDuplicates), whose state grows with
+    * the distinct count itself; that is the whole point of a sketch at
+    * 100 TB of stream history.
+    *
+    * Batch parity is exact, not approximate-in-the-same-ballpark: the
+    * insert kernel is shared with the batch aggregator and the estimator
+    * is the same IEEE sequence, so after processing the same rows (in
+    * any batch split — inserts commute) the stream's final estimate
+    * equals `Sketches.kmvDistinct` bit-for-bit (proven in spec). */
+  def kmvDistinctStream(spark: SparkSession, df: DataFrame,
+      groupCol: String, valueCol: String,
+      k: Int = 64): org.apache.spark.sql.Dataset[DistinctEstimate] = {
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, DistinctEstimate](
+        GroupStateTimeout.NoTimeout) {
+        case (group, rows, state: GroupState[KmvState]) =>
+          val merged = rows.foldLeft(
+            state.getOption.map(_.ks).getOrElse(Nil)) { (buf, r) =>
+            graft.plans.BottomKAggregator.insert(buf,
+              graft.functions.TextFunctions.mix64(r._2) ^ Long.MinValue, k)
+          }
+          state.update(KmvState(merged))
+          DistinctEstimate(group,
+            graft.operators.Sketches.kmvEstimateKernel(merged, k))
+      }
+  }
+
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are
     * watermarked so the join state is bounded: a buffered click can be

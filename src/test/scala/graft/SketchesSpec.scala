@@ -59,4 +59,33 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(p50 - 499.5) < 100.0, s"sampled p50 = $p50")
     assert(run() == p50, "no-RNG reservoir must be reproducible")
   }
+
+  test("streaming KMV == batch KMV bit-for-bit, across arbitrary batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0L until 3000L).map(i => (s"g${i % 3}", i * 7L))
+    val batchDf = all.toDF("grp", "v")
+    val expected = Sketches.kmvDistinct(batchDf, "grp", "v", k = 64)
+      .select("grp", "kmv_estimate").as[(String, Double)].collect().toMap
+
+    val ms = MemoryStream[(String, Long)](spark)
+    val q = graft.streaming.EventStream
+      .kmvDistinctStream(spark, ms.toDF().toDF("grp", "v"), "grp", "v", k = 64)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream").start()
+    try {
+      // three uneven batches, second overlaps the first (re-seen values
+      // must not re-enter the sketch — distinct-by-hash state)
+      ms.addData(all.take(1000): _*); q.processAllAvailable()
+      ms.addData(all.slice(500, 2200): _*); q.processAllAvailable()
+      ms.addData(all.drop(2200): _*); q.processAllAvailable()
+    } finally q.stop()
+    // the estimate is monotone non-decreasing as values arrive (the k-th
+    // smallest hash only ever decreases), so the final per-group estimate
+    // is the max over all Update-mode emissions — no sink-order reliance
+    val got = spark.table("kmv_stream")
+      .groupBy(col("group")).agg(max(col("kmv_estimate")).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(got == expected,
+      s"stream $got != batch $expected — sketch merge must commute")
+  }
 }
