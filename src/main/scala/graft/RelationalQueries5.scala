@@ -350,7 +350,8 @@ object RelationalQueries5 {
       s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     def sel(q: String): String =
       s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
-    s"""WITH base AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events),
+    s"""WITH base AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
        |s0 AS (SELECT event_type, v,
        |  (CAST(event_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
        |  FROM base),
@@ -381,7 +382,8 @@ object RelationalQueries5 {
       s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
     def xorShift(u: String, s: Int): String =
       s"CAST(xor($u, $u >> $s) AS HUGEINT)"
-    s"""WITH vals AS (SELECT DISTINCT event_type, user_id FROM events),
+    s"""WITH vals AS (SELECT DISTINCT event_type, user_id FROM events
+       |  WHERE user_id IS NOT NULL),
        |s0 AS (SELECT event_type,
        |  (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
        |  FROM vals),

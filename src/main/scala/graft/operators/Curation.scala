@@ -152,8 +152,10 @@ object Curation {
   /** Exact-k per-stratum sample: the first `k` rows of each group under a
     * deterministic multiplicative-hash order — the reservoir-sampling
     * contract (exactly min(k, |group|) rows, uniform-ish, reproducible)
-    * without RNG state. `idCol` must be numeric and a key within its
-    * stratum (it is the tiebreak AND the re-attach key).
+    * without RNG state. `idCol` must be an INTEGRAL, non-null key within
+    * its stratum (it is the hash input, the tiebreak AND the re-attach
+    * key; both forms hash its `cast("long")` so they can never diverge
+    * on a non-long integral column).
     *
     * Scale shape: a bounded-heap aggregation ([[graft.plans.TopKAggregator]])
     * — each map task keeps at most k (hash, id) pairs per stratum and the
@@ -186,7 +188,7 @@ object Curation {
       idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(sampleOrder(col(idCol)), col(idCol))
+      .orderBy(sampleOrder(col(idCol).cast("long")), col(idCol))
     corpus.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }

@@ -159,7 +159,8 @@ object Delivery {
     * zero-file topics (JobCompletionNotificationListener.kt:34-40,
     * SuccessServiceImpl.kt:39-104). Driver-side: the status DF is tiny. */
   def writeSuccessIndicators(statuses: DataFrame, outDir: String,
-      sendForSent: Boolean): Seq[String] = {
+      sendForSent: Boolean,
+      counters: Option[PipelineMetrics.RunCounters] = None): Seq[String] = {
     val want = statuses
       .filter(col("CollectionStatus") === "Received" ||
         (lit(sendForSent) && col("CollectionStatus") === "Sent"))
@@ -172,8 +173,19 @@ object Delivery {
         case Array(db, coll) =>
           val name = s"_${db}_${coll}_successful.gz"
           val dir = Paths.get(outDir, topic)
-          Files.createDirectories(dir)
-          Files.write(dir.resolve(name), Crypto.emptyGzip)
+          // retried like every other wire (reference successFilesRetried /
+          // failedSuccessFiles counters — the two metrics are live, not
+          // inventory placeholders)
+          try graft.sources.Retry.withBackoff(attempts = 3,
+            initialDelayMs = 100,
+            onRetry = () => counters.foreach(_.successFileRetries.incrementAndGet())) {
+            Files.createDirectories(dir)
+            Files.write(dir.resolve(name), Crypto.emptyGzip)
+          }
+          catch { case e: Throwable =>
+            counters.foreach(_.failedSuccessFiles.incrementAndGet())
+            throw e
+          }
           Some(name)
         case _ => None
       }

@@ -70,6 +70,17 @@ object LocalKMeans {
     centroids
   }
 
+  /** Dominant vector length in a sample: the fit dimension is decided by
+    * MAJORITY, not by whichever row sorts first — one truncated row with
+    * the lowest id must not flip `dim` and silently disqualify every
+    * well-formed vector from the fit (ties break to the larger length,
+    * deterministically). */
+  def dominantDim(sample: Array[Array[Float]]): Int = {
+    require(sample.nonEmpty, "dominantDim: empty sample")
+    sample.map(_.length).groupBy(identity)
+      .maxBy { case (len, g) => (g.length, len) }._1
+  }
+
   /** Double-precision nearest-centroid kernel (pairs with
     * [[fitSortedForgy]]: `float − double` promotes exactly, matching the
     * oracle's CAST arithmetic; strict < breaks ties to the lowest

@@ -52,7 +52,7 @@ object ProductQuantization {
     // collect() order varies with partitioning — sort by id so the fit is
     // a pure function of (data, k, seed)
     val sorted = rows.sortBy(_._1).map(_._2.toArray)
-    val dim = sorted(0).length
+    val dim = LocalKMeans.dominantDim(sorted)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val clean = sorted.filter(_.length == dim)
@@ -153,7 +153,7 @@ object ProductQuantization {
     require(sample.nonEmpty,
       "ivfAdcTopK: no trainable vectors (empty corpus or all zero-norm)")
     val sorted = sample.sortBy(_._1).map(_._2.toArray)
-    val dim = sorted(0).length
+    val dim = LocalKMeans.dominantDim(sorted)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val clean = sorted.filter(_.length == dim)

@@ -116,7 +116,7 @@ object Similarity {
     require(trainRows.nonEmpty,
       "ivfTopK: no trainable vectors (empty corpus or all zero-norm)")
     val sorted = trainRows.sortBy(_._1).map(_._2.toArray)
-    val dim = sorted(0).length
+    val dim = LocalKMeans.dominantDim(sorted)
     // sorted-Forgy init + double precision: no RNG and arithmetic a SQL
     // oracle can replay exactly (q42 is oracle-gated on this path)
     val centers = LocalKMeans.fitSortedForgy(sorted.filter(_.length == dim),

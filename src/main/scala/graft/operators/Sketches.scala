@@ -77,11 +77,14 @@ object Sketches {
     val flipped = mix64Col(col(valueCol).cast("long"))
       .bitwiseXOR(lit(Long.MinValue))
     val kth = element_at(col("_ks"), k)
+    // null values are excluded, matching COUNT(DISTINCT)'s null semantics
+    // — and a null would NPE the primitive-Long aggregator input anyway
     // undo the flip (xor, not subtraction — ANSI-safe, no overflow)
     val vk = kth.bitwiseXOR(lit(Long.MinValue))
     val uK = when(vk >= 0, vk.cast("double"))
       .otherwise(vk.cast("double") + lit(TwoPow64))
-    df.select(col(groupCol), flipped.as("_h"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), flipped.as("_h"))
       .distinct()
       .groupBy(col(groupCol))
       .agg(BottomKAggregator.bottom_k(k)(col("_h")).as("_ks"))
@@ -109,7 +112,10 @@ object Sketches {
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, qs: Seq[Double], k: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0))
+    // null id/value rows are excluded (a null would NPE the primitive
+    // aggregator input; quantiles over nulls are undefined anyway)
     val sampled = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), mix64Col(col(idCol).cast("long")).as("_h"),
         col(valueCol).cast("double").as("_v"))
       .groupBy(col(groupCol))
@@ -120,7 +126,11 @@ object Sketches {
       // floor(q·(n−1)) in double, +1 for 1-based element_at — the oracle
       // performs the identical sequence
       val idx = floor(lit(q) * (size(col("_sorted")) - 1)).cast("int") + 1
-      element_at(col("_sorted"), idx).as(s"p${math.round(q * 100)}")
+      // exact decimal label: p50, p99, p99_9, p12_5 — rounding would
+      // collide 0.99 with 0.994 and mislabel fractional percentiles
+      val label = "p" + BigDecimal(q.toString).*(100)
+        .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+      element_at(col("_sorted"), idx).as(label)
     }
     sampled.select(col(groupCol) +: quantCols: _*)
   }

@@ -88,7 +88,8 @@ object SnapshotJob {
     val statuses = OperatorCaches.track(Delivery
       .collectionStatus(expected, sent, conf.blockedTopics).cache())
     val successFiles =
-      Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true)
+      Delivery.writeSuccessIndicators(statuses, outDir, sendForSent = true,
+        counters)
     counters.foreach(_.successFilesSent.addAndGet(successFiles.size.toLong))
     conf.statusTable.foreach(dir =>
       Delivery.upsertStatuses(statuses, dir, conf.correlationId))

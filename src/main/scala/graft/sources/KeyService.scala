@@ -53,10 +53,12 @@ object Retry {
         // NonFatal only: OOM/interrupt must propagate immediately, not
         // burn 5 sleep-backoff attempts masking a cancellation
         case scala.util.control.NonFatal(e) if retryable(e) =>
-          onRetry()
           last = e
           i += 1
           if (i < attempts) {
+            onRetry() // only when a retry actually follows — the terminal
+                      // failure is a failure, not a retry
+
             try Thread.sleep(delay)
             catch {
               case ie: InterruptedException =>

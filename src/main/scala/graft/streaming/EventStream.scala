@@ -160,7 +160,8 @@ object EventStream {
       groupCol: String, valueCol: String,
       k: Int = 64): org.apache.spark.sql.Dataset[DistinctEstimate] = {
     import spark.implicits._
-    df.select(col(groupCol).cast("string").as("g"),
+    df.filter(col(valueCol).isNotNull) // null: excluded, as in the batch form
+      .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .as[(String, Long)]
       .groupByKey(_._1)

@@ -56,6 +56,15 @@ class SimilaritySpec extends SparkSuite {
     val guarded = ProductQuantization.ivfAdcTopK(
       queries.unionByName(weird), emb.unionByName(weird), 5)
     assert(guarded.filter(col("nid") >= 9000L || col("qid") >= 9000L).count() == 0)
+    // a truncated row with the LOWEST id must not flip the fit dimension
+    // and silently empty the index (dominant-dim rule)
+    val truncated = Seq((-1L, Array.fill(32)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val withBad = ProductQuantization.ivfAdcTopK(
+      queries, emb.unionByName(truncated), 5)
+    assert(withBad.groupBy("qid").count()
+      .filter(col("count") =!= 5).count() == 0,
+      "one low-id bad row emptied the IVF-ADC index")
   }
 
   test("identical vectors are found at sim 1.0 by the SRP dup detector") {

@@ -60,6 +60,25 @@ class SketchesSpec extends SparkSuite {
     assert(run() == p50, "no-RNG reservoir must be reproducible")
   }
 
+  test("null values are excluded (countDistinct semantics), never NPE the sketch") {
+    val df = Seq(("g", java.lang.Long.valueOf(1L)), ("g", null.asInstanceOf[java.lang.Long]),
+      ("g", java.lang.Long.valueOf(2L))).toDF("grp", "v")
+    assert(Sketches.kmvDistinct(df, "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head() == 2.0)
+    val q = Seq(("g", java.lang.Long.valueOf(1L), java.lang.Double.valueOf(5.0)),
+      ("g", null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(9.0)),
+      ("g", java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Double]),
+      ("g", java.lang.Long.valueOf(3L), java.lang.Double.valueOf(7.0)))
+      .toDF("grp", "id", "v")
+    // only rows 1 and 3 survive → p50 over {5.0, 7.0} = 5.0
+    assert(Sketches.sampleQuantiles(q, "grp", "id", "v", Seq(0.5), k = 64)
+      .select("p50").as[Double].head() == 5.0)
+    // fractional/colliding quantiles get exact, distinct labels
+    val cols = Sketches.sampleQuantiles(q, "grp", "id", "v",
+      Seq(0.99, 0.994, 0.125), k = 64).columns.toSeq
+    assert(cols == Seq("grp", "p99", "p99_4", "p12_5"))
+  }
+
   test("streaming KMV == batch KMV bit-for-bit, across arbitrary batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val all = (0L until 3000L).map(i => (s"g${i % 3}", i * 7L))
