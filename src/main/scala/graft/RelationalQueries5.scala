@@ -337,7 +337,80 @@ object RelationalQueries5 {
           "event_id", "value", Seq(0.5, 0.9, 0.99), k = 256)
       },
       Some(q107Oracle(256))),
+
+    // KMV set algebra: union / intersection / Jaccard of the click and
+    // view user populations, from the two bottom-64 sketches alone — the
+    // cross-source overlap estimator (no join of the sources). Oracle
+    // replays the sketches AND the ρ-estimator arithmetic.
+    Q("q108_kmv_overlap",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        graft.operators.Sketches
+          .kmvOverlap(e, "event_type", "user_id", "click", "view", k = 64)
+          .select(col("group_a"), col("group_b"),
+            round(col("d_a"), 4).as("d_a"), round(col("d_b"), 4).as("d_b"),
+            round(col("d_union"), 4).as("d_union"),
+            round(col("d_intersect"), 4).as("d_intersect"),
+            round(col("jaccard_est"), 4).as("jaccard_est"))
+      },
+      Some(q108Oracle(64))),
   )
+
+  /** q108's oracle: per-group bottom-k hash sketches (mix64 via the
+    * split-multiply machinery), the merged union sketch as a global rank
+    * over distinct hashes (equivalent to merging the per-group lists:
+    * every global bottom-k hash is in its own group's bottom-k), then the
+    * estimator and ρ arithmetic in the kernel's exact IEEE sequence. */
+  private def q108Oracle(k: Int): String = {
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+    def xorShift(u: String, s: Int): String =
+      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+    // (k-1)·2^64/u from the k-th UBIGINT hash, exact when nd < k; the
+    // signed→double(+2^64) sequence mirrors Sketches.kmvEstimateKernel
+    def est(nd: String, vuk: String): String =
+      s"""CASE WHEN $nd < $k THEN CAST($nd AS DOUBLE)
+         |  ELSE ${k - 1}.0 * 18446744073709551616.0 /
+         |    (CASE WHEN CAST($vuk AS HUGEINT) >= 9223372036854775808
+         |     THEN CAST(CAST($vuk AS HUGEINT) - 18446744073709551616 AS DOUBLE) + 18446744073709551616.0
+         |     ELSE CAST(CAST($vuk AS HUGEINT) AS DOUBLE) END)
+         |  END""".stripMargin
+    s"""WITH vals AS (SELECT DISTINCT event_type AS g, user_id FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+       |s0 AS (SELECT g,
+       |  (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
+       |  FROM vals),
+       |s1 AS (SELECT g, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT g, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |hashes AS (SELECT g, xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |gk AS (SELECT g, vu, ROW_NUMBER() OVER (PARTITION BY g ORDER BY vu) AS rk FROM hashes),
+       |ga AS (SELECT vu FROM gk WHERE g = 'click' AND rk <= $k),
+       |gb AS (SELECT vu FROM gk WHERE g = 'view' AND rk <= $k),
+       |nda AS (SELECT count(*) AS n FROM gk WHERE g = 'click'),
+       |ndb AS (SELECT count(*) AS n FROM gk WHERE g = 'view'),
+       |udist AS (SELECT DISTINCT vu FROM hashes),
+       |uni AS (SELECT vu, ROW_NUMBER() OVER (ORDER BY vu) AS rk FROM udist),
+       |uk AS (SELECT vu FROM uni WHERE rk <= $k),
+       |ustats AS (SELECT count(*) AS usize, max(vu) AS vu_k,
+       |  (SELECT count(*) FROM udist) AS nd FROM uk),
+       |ka AS (SELECT max(vu) AS vu_k, count(*) AS sz FROM ga),
+       |kb AS (SELECT max(vu) AS vu_k, count(*) AS sz FROM gb),
+       |cc AS (SELECT count(*) AS c FROM uk
+       |  JOIN ga USING (vu) JOIN gb USING (vu)),
+       |ests AS (SELECT
+       |  ${est("(SELECT n FROM nda)", "(SELECT vu_k FROM ka)")} AS d_a,
+       |  ${est("(SELECT n FROM ndb)", "(SELECT vu_k FROM kb)")} AS d_b,
+       |  ${est("(SELECT nd FROM ustats)", "(SELECT vu_k FROM ustats)")} AS d_union,
+       |  (SELECT usize FROM ustats) AS usize, (SELECT c FROM cc) AS c)
+       |SELECT 'click' AS group_a, 'view' AS group_b,
+       |  round(d_a, 4) AS d_a, round(d_b, 4) AS d_b,
+       |  round(d_union, 4) AS d_union,
+       |  round(CASE WHEN usize = 0 THEN 0.0
+       |    ELSE CAST(c AS DOUBLE) / usize * d_union END, 4) AS d_intersect,
+       |  round(CASE WHEN usize = 0 THEN 0.0
+       |    ELSE CAST(c AS DOUBLE) / usize END, 4) AS jaccard_est
+       |FROM ests""".stripMargin
+  }
 
   /** q107's oracle: mix64(event_id) via the split-multiply machinery,
     * signed-order bottom-k rank (the aggregator compares signed longs),

@@ -94,6 +94,51 @@ object Sketches {
           .as("kmv_estimate"))
   }
 
+  /** KMV set algebra: distinct-count estimates for two groups, their
+    * UNION and their INTERSECTION, plus a Jaccard estimate — from the two
+    * bottom-k sketches alone. The union sketch is just the k smallest of
+    * the merged lists (KMV is mergeable); the intersection uses the
+    * standard ρ-estimator: of the union sketch's hashes, the fraction
+    * present in BOTH group sketches, scaled by the union estimate. This
+    * is how cross-source overlap (shared users, shared documents) is
+    * estimated at 100 TB without ever joining the sources — the sketches
+    * are a few hundred bytes each.
+    *
+    * The per-group sketches are computed distributed (same plan as
+    * [[kmvDistinct]]); the set algebra runs on the driver over 2×k longs
+    * — that is the point of a sketch. Estimates are exact whenever the
+    * true cardinality fits the sketch ([[kmvEstimateKernel]]'s `< k`
+    * branch; the intersection divides by the union-sketch SIZE, so the
+    * all-fits case degrades to exact set arithmetic). */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flipped = mix64Col(col(valueCol).cast("long"))
+      .bitwiseXOR(lit(Long.MinValue))
+    val sketches = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), flipped.as("_h"))
+      .distinct()
+      .groupBy(col("g"))
+      .agg(BottomKAggregator.bottom_k(k)(col("_h")).as("_ks"))
+      .as[(String, Seq[Long])].collect().toMap
+    val a = sketches.getOrElse(groupA, Seq.empty)
+    val b = sketches.getOrElse(groupB, Seq.empty)
+    val union = (a ++ b).distinct.sorted.take(k)
+    val dU = kmvEstimateKernel(union, k)
+    val aSet = a.toSet
+    val bSet = b.toSet
+    val c = union.count(h => aSet(h) && bSet(h))
+    val (dI, jac) =
+      if (union.isEmpty) (0.0, 0.0)
+      else (c.toDouble / union.size * dU, c.toDouble / union.size)
+    Seq((groupA, groupB, kmvEstimateKernel(a, k), kmvEstimateKernel(b, k),
+      dU, dI, jac))
+      .toDF("group_a", "group_b", "d_a", "d_b", "d_union", "d_intersect",
+        "jaccard_est")
+  }
+
   /** Approximate quantiles from a DETERMINISTIC uniform sample: keep the
     * k rows whose mix64(id) hashes are smallest per group (hash order is
     * independent of the value, so the sample is uniform over rows — the

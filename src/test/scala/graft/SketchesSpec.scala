@@ -79,6 +79,23 @@ class SketchesSpec extends SparkSuite {
     assert(cols == Seq("grp", "p99", "p99_4", "p12_5"))
   }
 
+  test("KMV overlap: exact when populations fit the sketch, near-true beyond") {
+    // A = {0..9}, B = {5..14}: everything fits k=64 → EXACT set algebra
+    val small = ((0L until 10L).map(("A", _)) ++ (5L until 15L).map(("B", _)))
+      .toDF("grp", "v")
+    val ex = Sketches.kmvOverlap(small, "grp", "v", "A", "B", k = 64)
+      .select("d_a", "d_b", "d_union", "d_intersect", "jaccard_est")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(ex == ((10.0, 10.0, 15.0, 5.0, 5.0 / 15.0)))
+    // 10k/10k with 5k overlap, k=256: estimates land near truth
+    val big = ((0L until 10000L).map(("A", _)) ++ (5000L until 15000L).map(("B", _)))
+      .toDF("grp", "v")
+    val est = Sketches.kmvOverlap(big, "grp", "v", "A", "B", k = 256)
+      .select("d_union", "d_intersect").as[(Double, Double)].head()
+    assert(math.abs(est._1 / 15000.0 - 1.0) < 0.3, s"union ${est._1}")
+    assert(math.abs(est._2 / 5000.0 - 1.0) < 0.5, s"intersect ${est._2}")
+  }
+
   test("streaming KMV == batch KMV bit-for-bit, across arbitrary batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val all = (0L until 3000L).map(i => (s"g${i % 3}", i * 7L))
