@@ -40,6 +40,27 @@ object PipelineMetrics {
 
     def get(observation: String): Option[Map[String, Long]] = store.get(observation)
 
+    /** Sum of an observation FAMILY: the exact name plus any per-batch
+      * variants (`<name>_b<batchId>` — the streaming path names its
+      * observe nodes per micro-batch, because within one execution
+      * repeated actions re-report IDENTICAL values, which put-overwrite
+      * dedupes correctly, while across batches the values differ and
+      * must ADD; a flat accumulate would double-count the former, a flat
+      * overwrite would drop the latter). */
+    def sumFamily(prefix: String): Map[String, Long] =
+      store.toMap
+        .filter { case (name, _) =>
+          name == prefix || name.startsWith(prefix + "_b") }
+        .values
+        .foldLeft(Map.empty[String, Long].withDefaultValue(0L)) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (f, v)) => a.updated(f, a(f) + v) }
+        }
+
+    /** Clears collected observations — call between RUNS on a long-lived
+      * session (a run that executes no batches would otherwise read the
+      * previous run's counts as current). */
+    def reset(): Unit = store.clear()
+
     /** Listener delivery is async; poll briefly. */
     def await(observation: String, timeoutMs: Long = 10000): Map[String, Long] = {
       val deadline = System.currentTimeMillis() + timeoutMs
@@ -140,9 +161,12 @@ object PipelineMetrics {
 
   /** Scan-side counters (files seen / valid / quarantined / blocked).
     * files_rejected mirrors SnapshotPipeline.quarantine's rule (bad
-    * grammar OR missing encryption metadata). */
-  def observeScan(df: DataFrame, blocked: Seq[String]): DataFrame =
-    df.observe("graft_scan",
+    * grammar OR missing encryption metadata). `suffix` distinguishes
+    * per-micro-batch observe nodes in streaming mode (`_b<batchId>`) —
+    * read those back with [[Collector.sumFamily]]. */
+  def observeScan(df: DataFrame, blocked: Seq[String],
+      suffix: String = ""): DataFrame =
+    df.observe(s"graft_scan$suffix",
       count(lit(1)).as("files_scanned"),
       sum(when(col("database") === "" || col("iv").isNull ||
         col("dataKeyEncryptionKeyId").isNull || col("cipherTextDataKey").isNull,
@@ -153,8 +177,8 @@ object PipelineMetrics {
 
   /** Delivery-side counters (files posted + payload bytes — the
     * reference's filesSent / bytes counters). */
-  def observeDelivery(df: DataFrame): DataFrame =
-    df.observe("graft_delivery",
+  def observeDelivery(df: DataFrame, suffix: String = ""): DataFrame =
+    df.observe(s"graft_delivery$suffix",
       count(lit(1)).as("files_delivered"),
       sum(length(col("content"))).as("bytes_delivered"),
       approx_count_distinct(col("topic")).as("topics_seen"))

@@ -41,7 +41,7 @@ object SnapshotStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
         // meta re-read PER BATCH (zero-match-safe): a sidecar that landed
         // after the stream started is still picked up for later objects
@@ -51,7 +51,16 @@ object SnapshotStream {
           SnapshotPipeline.fileNameFromPath(col("path")).as("fileName"),
           col("length"), col("content"))
           .join(broadcast(meta), Seq("fileName"), "left")
-        val (valid, rejected) = quarantine(withTopic(files))
+        // same observe nodes as the batch job (A4 parity), named PER
+        // BATCH (`_b<id>`): within one batch the marker/deliver actions
+        // re-report identical values (put-overwrite dedupes), across
+        // batches the counts differ and must add — read them back with
+        // Collector.sumFamily("graft_scan"). NOTE the collector must be
+        // installed BEFORE start(): foreachBatch runs on the query's
+        // cloned session, which snapshots the listener list at start.
+        val scanned = graft.operators.PipelineMetrics.observeScan(
+          withTopic(files), conf.blockedTopics, suffix = s"_b$batchId")
+        val (valid, rejected) = quarantine(scanned)
         // the file-source checkpoint consumes each object exactly once, so
         // a quarantined object (e.g. sidecar not yet uploaded) would be
         // lost SILENTLY — record a .quarantined marker so operators can
@@ -62,7 +71,9 @@ object SnapshotStream {
         // blocked files are consumed exactly once by the checkpoint too —
         // record a .blocked marker (same rationale as .quarantined above)
         Delivery.writeBlockedMarkers(blocked, statusDir)
-        val ready = nifiHeaders(decrypt(resolveKeys(allowed, keys)), conf)
+        val ready = graft.operators.PipelineMetrics.observeDelivery(
+          nifiHeaders(decrypt(resolveKeys(allowed, keys)), conf),
+          suffix = s"_b$batchId")
         Delivery.deliverVia(ready, statusDir,
           transport.getOrElse(graft.operators.LocalFsTransport(outDir)))
         ()

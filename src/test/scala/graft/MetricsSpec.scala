@@ -20,16 +20,18 @@ class MetricsSpec extends SparkSuite {
       ("db.database.empty", 0L)).toDF("topic", "FilesExported")
 
     val collector = PipelineMetrics.install(spark)
-    SnapshotJob.run(spark, fixtureDir, out, status, expected, LocalKeyService)
+    try {
+      SnapshotJob.run(spark, fixtureDir, out, status, expected, LocalKeyService)
 
-    val delivery = collector.await("graft_delivery")
-    assert(delivery("files_delivered") == 6) // 5 claimant + 1 sent
-    assert(delivery("bytes_delivered") > 0)
-    val scan = collector.await("graft_scan")
-    assert(scan("files_scanned") == 6)
-    assert(scan("files_rejected") == 0)
-    assert(scan("files_blocked") == 0)
-    assert(scan("bytes_scanned") > 0)
+      val delivery = collector.await("graft_delivery")
+      assert(delivery("files_delivered") == 6) // 5 claimant + 1 sent
+      assert(delivery("bytes_delivered") > 0)
+      val scan = collector.await("graft_scan")
+      assert(scan("files_scanned") == 6)
+      assert(scan("files_rejected") == 0)
+      assert(scan("files_blocked") == 0)
+      assert(scan("bytes_scanned") > 0)
+    } finally spark.listenerManager.unregister(collector)
   }
 
   /** The reference's full Counter/Gauge inventory
@@ -72,11 +74,12 @@ class MetricsSpec extends SparkSuite {
     val counters = new PipelineMetrics.RunCounters(spark)
     val conf = graft.operators.SnapshotPipeline.DeliveryConf(
       correlationId = "inv-run")
-    SnapshotJob.run(spark, fixtureDir, out, status, expected, LocalKeyService,
+    try SnapshotJob.run(spark, fixtureDir, out, status, expected, LocalKeyService,
       conf, monitoring = Some(MonitoringConf(
         sns = LocalFsSnsPublisher(sns), topicArn = "arn:test:inv",
         pusher = Some(LocalFsMetricsPusher(gateway)),
         metrics = Some(collector), counters = Some(counters))))
+    finally spark.listenerManager.unregister(collector)
 
     val pushed = Files.list(java.nio.file.Paths.get(gateway)).iterator()
       .next()

@@ -89,10 +89,11 @@ class MonitoringSpec extends SparkSuite {
     val out = Files.createTempDirectory("mon-out2").toString
     val status = Files.createTempDirectory("mon-status2").toString
     val conf = SnapshotPipeline.DeliveryConf(correlationId = "push-run")
-    SnapshotJob.run(spark, fixture, out, status, expected, LocalKeyService,
+    try SnapshotJob.run(spark, fixture, out, status, expected, LocalKeyService,
       conf, monitoring = Some(MonitoringConf(sns, "arn:x",
         pusher = Some(LocalFsMetricsPusher(pushDir)),
         metrics = Some(collector), snsInitialDelayMs = 1)))
+    finally spark.listenerManager.unregister(collector)
     val files = new java.io.File(pushDir).listFiles()
     assert(files.length == 1)
     val content = new String(Files.readAllBytes(files.head.toPath), "UTF-8")

@@ -12,6 +12,17 @@ import graft.streaming.SnapshotStream
 class SnapshotStreamSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Listener delivery is async: poll until the family has entries. */
+  private def awaitFamily(c: graft.operators.PipelineMetrics.Collector,
+      prefix: String, timeoutMs: Long = 10000): Map[String, Long] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (c.sumFamily(prefix).isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    val m = c.sumFamily(prefix)
+    assert(m.nonEmpty, s"observation family '$prefix' never delivered")
+    m
+  }
+
   test("streaming pipeline delivers the same outputs as the batch job") {
     val fixture = "/tmp/graft-fixture-stream"
     SnapshotFixture.generate(fixture, SnapshotFixture.defaultTopics(4, 10))
@@ -19,13 +30,22 @@ class SnapshotStreamSpec extends SparkSuite {
     val status = Files.createTempDirectory("stream-status").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
 
-    val q = SnapshotStream.start(spark, fixture, out, status, ckpt,
-      LocalKeyService)
-    q.awaitTermination(120000) // AvailableNow terminates when drained
+    // install BEFORE start: foreachBatch runs on the query's cloned
+    // session, which snapshots the listener list at query start
+    val collector = graft.operators.PipelineMetrics.install(spark)
+    try {
+      val q = SnapshotStream.start(spark, fixture, out, status, ckpt,
+        LocalKeyService)
+      q.awaitTermination(120000) // AvailableNow terminates when drained
 
-    val claimant = Paths.get(out, "db.core.claimant").toFile.listFiles()
-      .filter(_.getName.endsWith(".json.gz"))
-    assert(claimant.length == 4)
+      val claimant = Paths.get(out, "db.core.claimant").toFile.listFiles()
+        .filter(_.getName.endsWith(".json.gz"))
+      assert(claimant.length == 4)
+      // A4 parity: per-batch observe nodes, summed over the family —
+      // correct for ANY batch split, not just the one-batch drain
+      assert(awaitFamily(collector, "graft_scan")("files_scanned") == 5)
+      assert(awaitFamily(collector, "graft_delivery")("files_delivered") == 5)
+    } finally spark.listenerManager.unregister(collector)
     val markers = Paths.get(status).toFile.listFiles()
       .filter(_.getName.endsWith(".finished"))
     assert(markers.length == 5) // 4 claimant + 1 sent
@@ -50,19 +70,28 @@ class SnapshotStreamSpec extends SparkSuite {
     val status = Files.createTempDirectory("sb-status").toString
     val ckpt = Files.createTempDirectory("sb-ckpt").toString
 
-    val q = SnapshotStream.start(spark, fixture, out, status, ckpt,
-      LocalKeyService, DeliveryConf(blockedTopics = Seq("db.core.claimant")))
-    q.awaitTermination(120000)
+    val collector = graft.operators.PipelineMetrics.install(spark)
+    try {
+      val q = SnapshotStream.start(spark, fixture, out, status, ckpt,
+        LocalKeyService, DeliveryConf(blockedTopics = Seq("db.core.claimant")))
+      q.awaitTermination(120000)
 
-    // blocked files: no delivery, no .finished marker — but a .blocked
-    // marker each (the checkpoint consumed them exactly once)
-    assert(!Paths.get(out, "db.core.claimant").toFile.exists())
-    val names = Paths.get(status).toFile.listFiles().map(_.getName)
-    val blocked = names.filter(_.endsWith(".blocked"))
-    assert(blocked.length == 3)
-    assert(blocked.forall(_.contains("db.core.claimant")))
-    // the unblocked topic still delivers normally
-    assert(names.count(_.endsWith(".finished")) == 1)
+      // blocked files: no delivery, no .finished marker — but a .blocked
+      // marker each (the checkpoint consumed them exactly once)
+      assert(!Paths.get(out, "db.core.claimant").toFile.exists())
+      val names = Paths.get(status).toFile.listFiles().map(_.getName)
+      val blocked = names.filter(_.endsWith(".blocked"))
+      assert(blocked.length == 3)
+      assert(blocked.forall(_.contains("db.core.claimant")))
+      // the unblocked topic still delivers normally
+      assert(names.count(_.endsWith(".finished")) == 1)
+      // counter parity on the DIVERGING path too: blocked files counted,
+      // nothing rejected, only the unblocked file delivered
+      val scan = awaitFamily(collector, "graft_scan")
+      assert(scan("files_scanned") == 4 && scan("files_blocked") == 3 &&
+        scan("files_rejected") == 0)
+      assert(awaitFamily(collector, "graft_delivery")("files_delivered") == 1)
+    } finally spark.listenerManager.unregister(collector)
   }
 
   test("dedupeCorpus drops planted exact + near duplicates, keeps originals") {
