@@ -122,23 +122,30 @@ final class SnapshotScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required.fieldNames)
+    new SnapshotReaderFactory(required.fieldNames,
+      // thread the DRIVER's Hadoop conf to the executors (credentials,
+      // endpoint overrides, scheme impls) — a default executor-side
+      // Configuration would silently drop driver-set S3 options
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-final class SnapshotReaderFactory(requiredFields: Array[String])
+final class SnapshotReaderFactory(requiredFields: Array[String],
+    serConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition].files, requiredFields)
+      partition.asInstanceOf[SnapshotInputPartition].files, requiredFields,
+      serConf)
 }
 
 final class SnapshotPartitionReader(files: Seq[(String, Long)],
-    requiredFields: Array[String]) extends PartitionReader[InternalRow] {
+    requiredFields: Array[String],
+    serConf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
 
-  // executor-side FS handle; default Configuration resolves file:/ (and
-  // any scheme on the executor classpath) — a cluster deployment would
-  // broadcast the driver's Hadoop conf through the partition instead
-  @transient private lazy val conf = new Configuration()
+  // executor-side FS handle from the DRIVER's threaded conf
+  @transient private lazy val conf: Configuration = serConf.value
   private val needContent = requiredFields.contains("content")
   private val needMeta = requiredFields.exists(
     Set("iv", "dataKeyEncryptionKeyId", "cipherTextDataKey"))
