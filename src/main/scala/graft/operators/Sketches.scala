@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegralType, StringType}
 
 import graft.plans.BottomKAggregator
 
@@ -36,6 +37,36 @@ object Sketches {
     else java.lang.Long.valueOf(graft.functions.TextFunctions.mix64(x)))
 
   def mix64Col(x: Column): Column = mix64Udf(x)
+
+  /** mix64 ∘ fnv1a64 over UTF-8 — the STRING hash path. fnv1a64 is the
+    * token hash the MinHash oracles already replay in DuckDB
+    * (TextQueries.lshCandidateCtes' HUGEINT fold), so string-keyed
+    * sketches stay cross-engine replayable. Null-safe inside the udf for
+    * the same reason as [[mix64Udf]]. */
+  private val mix64StrUdf = udf((s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(graft.functions.TextFunctions.mix64(
+      graft.functions.TextFunctions.fnv1a64(s))))
+
+  /** Hash a sketch key column to a uniform 64-bit value, dispatching on
+    * the column's DECLARED type: integral → mix64(long) (the original
+    * oracled path, a bijection — distinct values stay distinct); string →
+    * mix64(fnv1a64(utf8 bytes)) (collisions theoretically possible, the
+    * standard sketch trade — and the oracle replays the identical fold,
+    * so cross-engine exactness is unaffected). Any other type is rejected
+    * LOUDLY: the old unconditional `cast("long")` turned a non-null
+    * string into a null long, which then NPE'd the primitive bottom-k
+    * aggregator input — exactly the columns (user ids, URLs, doc keys) a
+    * pipeline user would sketch first. */
+  private[graft] def hashInput(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case _: IntegralType => mix64Col(col(colName).cast("long"))
+      case StringType      => mix64StrUdf(col(colName))
+      case dt => throw new IllegalArgumentException(
+        s"Sketches: key column '$colName' has type ${dt.simpleString}; " +
+          "sketch keys must be integral (byte/short/int/long) or string. " +
+          "Cast explicitly first if a lossy encoding is intended.")
+    }
 
   private[graft] val TwoPow64: Double = math.pow(2, 64)
 
@@ -72,9 +103,10 @@ object Sketches {
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     // sign-bit flip: signed order of (h ^ Long.MinValue) == unsigned
-    // order of h; mix64 is a bijection, so distinct-on-hash ==
-    // distinct-on-value
-    val flipped = mix64Col(col(valueCol).cast("long"))
+    // order of h; on the integral path the hash is a bijection, so
+    // distinct-on-hash == distinct-on-value (string path: standard
+    // sketch collision trade, replayed identically by the oracle)
+    val flipped = hashInput(df, valueCol)
       .bitwiseXOR(lit(Long.MinValue))
     val kth = element_at(col("_ks"), k)
     // null values are excluded, matching COUNT(DISTINCT)'s null semantics
@@ -114,7 +146,7 @@ object Sketches {
       groupA: String, groupB: String, k: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val flipped = mix64Col(col(valueCol).cast("long"))
+    val flipped = hashInput(df, valueCol)
       .bitwiseXOR(lit(Long.MinValue))
     val sketches = df
       .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
@@ -161,7 +193,7 @@ object Sketches {
     // aggregator input; quantiles over nulls are undefined anyway)
     val sampled = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol), mix64Col(col(idCol).cast("long")).as("_h"),
+      .select(col(groupCol), hashInput(df, idCol).as("_h"),
         col(valueCol).cast("double").as("_v"))
       .groupBy(col(groupCol))
       .agg(BottomKAggregator.bottom_k_sample(k)(col("_h"), col("_v"))
