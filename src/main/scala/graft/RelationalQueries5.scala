@@ -354,7 +354,123 @@ object RelationalQueries5 {
             round(col("jaccard_est"), 4).as("jaccard_est"))
       },
       Some(q108Oracle(64))),
+
+    // STRING-keyed KMV sketch — the round-5 hash-dispatch path under the
+    // oracle gate: props is a string column (100 distinct JSON-ish values
+    // per group at both test SFs, so nd > k=64 exercises the ESTIMATOR
+    // branch, not just exact-below-k). The oracle replays the full string
+    // path: fnv1a64 over the UTF-8 bytes as a HUGEINT fold (props is
+    // ASCII, so unicode(char) == the byte — same assumption as the q37
+    // simhash oracle), then splitmix64, unsigned bottom-k, the estimator
+    // in the identical IEEE sequence. n_exact is COUNT(DISTINCT props)
+    // (NOT distinct-hash count — under a fnv collision those could
+    // differ; the sketch itself dedups on hash, which the oracle mirrors
+    // with a DISTINCT on the hash).
+    Q("q109_kmv_sketch_string",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val est = graft.operators.Sketches.kmvDistinct(e, "event_type", "props", 64)
+        val exact = e.groupBy(col("event_type"))
+          .agg(countDistinct(col("props")).as("n_exact"))
+        exact.join(est, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            round(col("kmv_estimate"), 4).as("kmv_estimate"))
+      },
+      Some(q109Oracle(64))),
+
+    // STRING-keyed sample quantiles: the same q107 shape with the row key
+    // cast to its decimal-string rendering — the id hash becomes
+    // mix64(fnv1a64("123")) instead of mix64(123), so the SAMPLE ITSELF
+    // differs from q107's and the oracle replays the string fold. This is
+    // the string-id path a real pipeline hits first (UUID/URL row keys).
+    Q("q110_sample_quantiles_string",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+          .withColumn("event_sid", col("event_id").cast("string"))
+        graft.operators.Sketches.sampleQuantiles(e, "event_type",
+          "event_sid", "value", Seq(0.5, 0.9, 0.99), k = 256)
+      },
+      Some(q110Oracle(256))),
   )
+
+  /** fnv1a64 over a string column as a DuckDB HUGEINT fold (mod 2^64) —
+    * the q37/q38 oracle machinery: per-char unicode() == the UTF-8 byte
+    * for ASCII input. Returns the UNSIGNED hash in [0, 2^64). */
+  private def fnvFold(colExpr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(string_split($colExpr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (h, b) -> ((h - (h % 256) +
+       |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |      * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** q109's oracle: mix64(fnv1a64(props)) — the fnv fold above feeds the
+    * same splitmix64 split-multiply stages as q106, then DISTINCT ON THE
+    * HASH (mirroring the sketch's dedup key), unsigned bottom-k, and the
+    * estimator in the identical IEEE sequence. */
+  private def q109Oracle(k: Int): String = {
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+    def xorShift(u: String, s: Int): String =
+      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+    s"""WITH vals AS (SELECT DISTINCT event_type, props FROM events
+       |  WHERE props IS NOT NULL),
+       |exact AS (SELECT event_type, count(*) AS n_exact FROM vals GROUP BY event_type),
+       |fnv AS (SELECT event_type, ${fnvFold("props")} AS fh FROM vals),
+       |s0 AS (SELECT event_type,
+       |  (fh + 11400714819323198485) % 18446744073709551616 AS z1 FROM fnv),
+       |s1 AS (SELECT event_type, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT event_type, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |mixed AS (SELECT DISTINCT event_type,
+       |  xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |ranked AS (SELECT event_type, vu,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vu) AS rk FROM mixed),
+       |grp AS (SELECT event_type, count(*) AS nd,
+       |  max(CASE WHEN rk = $k THEN vu END) AS vu_k FROM ranked GROUP BY event_type),
+       |signedk AS (SELECT event_type, nd,
+       |  CAST(CASE WHEN CAST(vu_k AS HUGEINT) >= 9223372036854775808
+       |    THEN CAST(vu_k AS HUGEINT) - 18446744073709551616
+       |    ELSE CAST(vu_k AS HUGEINT) END AS BIGINT) AS vk FROM grp)
+       |SELECT s.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+       |  round(CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |    ELSE ${k - 1}.0 * 18446744073709551616.0 /
+       |      (CASE WHEN vk >= 0 THEN CAST(vk AS DOUBLE)
+       |       ELSE CAST(vk AS DOUBLE) + 18446744073709551616.0 END)
+       |  END, 4) AS kmv_estimate
+       |FROM signedk s JOIN exact e USING (event_type)""".stripMargin
+  }
+
+  /** q110's oracle: q107 with the id hashed as mix64(fnv1a64(CAST(id AS
+    * VARCHAR))) — signed-order bottom-k rank, value-sorted sample,
+    * nearest-rank selection, all in the identical arithmetic. */
+  private def q110Oracle(k: Int): String = {
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+    def xorShift(u: String, s: Int): String =
+      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+    def sel(q: String): String =
+      s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
+    s"""WITH base AS (SELECT event_type, CAST(event_id AS VARCHAR) AS sid,
+       |  CAST(value AS DOUBLE) AS v FROM events
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
+       |fnv AS (SELECT event_type, v, ${fnvFold("sid")} AS fh FROM base),
+       |s0 AS (SELECT event_type, v,
+       |  (fh + 11400714819323198485) % 18446744073709551616 AS z1 FROM fnv),
+       |s1 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |mixed AS (SELECT event_type, v,
+       |  CAST(CASE WHEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) >= 9223372036854775808
+       |    THEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) - 18446744073709551616
+       |    ELSE CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) END AS BIGINT) AS h
+       |  FROM s2),
+       |ranked AS (SELECT event_type, v,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM mixed),
+       |samp AS (SELECT event_type, list(v ORDER BY v) AS sorted, count(*) AS n
+       |  FROM ranked WHERE rk <= $k GROUP BY event_type)
+       |SELECT event_type, ${sel("0.5")} AS p50, ${sel("0.9")} AS p90,
+       |  ${sel("0.99")} AS p99
+       |FROM samp""".stripMargin
+  }
 
   /** q108's oracle: per-group bottom-k hash sketches (mix64 via the
     * split-multiply machinery), the merged union sketch as a global rank

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegralType, StringType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 import graft.plans.BottomKAggregator
 
@@ -52,15 +52,20 @@ object Sketches {
     * the column's DECLARED type: integral → mix64(long) (the original
     * oracled path, a bijection — distinct values stay distinct); string →
     * mix64(fnv1a64(utf8 bytes)) (collisions theoretically possible, the
-    * standard sketch trade — and the oracle replays the identical fold,
-    * so cross-engine exactness is unaffected). Any other type is rejected
+    * standard sketch trade — and the q109/q110 oracles replay the
+    * identical fold in DuckDB, so cross-engine exactness is unaffected,
+    * gated every round). Any other type is rejected
     * LOUDLY: the old unconditional `cast("long")` turned a non-null
     * string into a null long, which then NPE'd the primitive bottom-k
     * aggregator input — exactly the columns (user ids, URLs, doc keys) a
     * pipeline user would sketch first. */
   private[graft] def hashInput(df: DataFrame, colName: String): Column =
     df.schema(colName).dataType match {
-      case _: IntegralType => mix64Col(col(colName).cast("long"))
+      // ByteType|ShortType|IntegerType|LongType spelled out: the obvious
+      // `case _: IntegralType` doesn't compile — Spark 4.1.2 marks the
+      // IntegralType abstract class private[sql] in its Scala signature
+      case ByteType | ShortType | IntegerType | LongType =>
+        mix64Col(col(colName).cast("long"))
       case StringType      => mix64StrUdf(col(colName))
       case dt => throw new IllegalArgumentException(
         s"Sketches: key column '$colName' has type ${dt.simpleString}; " +
@@ -185,7 +190,13 @@ object Sketches {
     * group per map task, mergeable, one shuffle.
     *
     * `idCol` must be a unique row key (its hash is the sample order AND
-    * the dedup key — a task-retry replay cannot double-insert a row). */
+    * the dedup key — a task-retry replay cannot double-insert a row).
+    * String ids: the effective dedup key is mix64(fnv1a64(id)), so the
+    * uniqueness guarantee holds only up to hash collisions — two distinct
+    * ids that collide share one sample slot (the standard sketch trade,
+    * same as the kmv paths; ~n²/2^65 expected collisions, negligible at
+    * any real sample size). Integral ids keep the exact guarantee (the
+    * hash is a bijection). */
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, qs: Seq[Double], k: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0))

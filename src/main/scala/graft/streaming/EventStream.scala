@@ -152,17 +152,24 @@ object EventStream {
     * 100 TB of stream history.
     *
     * Batch parity is exact, not approximate-in-the-same-ballpark: the
-    * insert kernel is shared with the batch aggregator and the estimator
-    * is the same IEEE sequence, so after processing the same rows (in
-    * any batch split — inserts commute) the stream's final estimate
-    * equals `Sketches.kmvDistinct` bit-for-bit (proven in spec). */
+    * HASH is `Sketches.hashInput` — the batch sketch's own type-dispatch
+    * kernel (integral → mix64, string → mix64∘fnv1a64, other types
+    * rejected loudly), applied on the DataFrame side BEFORE the state
+    * operator — the insert kernel is shared with the batch aggregator
+    * and the estimator is the same IEEE sequence, so after processing
+    * the same rows (in any batch split — inserts commute) the stream's
+    * final estimate equals `Sketches.kmvDistinct` bit-for-bit (proven in
+    * spec for both long- and string-keyed streams). */
   def kmvDistinctStream(spark: SparkSession, df: DataFrame,
       groupCol: String, valueCol: String,
       k: Int = 64): org.apache.spark.sql.Dataset[DistinctEstimate] = {
     import spark.implicits._
+    // hash + sign-flip on the Column side (same expressions as the batch
+    // plan); the state fold then inserts ready-made flipped hashes
+    val flipped = graft.operators.Sketches.hashInput(df, valueCol)
+      .bitwiseXOR(lit(Long.MinValue))
     df.filter(col(valueCol).isNotNull) // null: excluded, as in the batch form
-      .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("long").as("v"))
+      .select(col(groupCol).cast("string").as("g"), flipped.as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[KmvState, DistinctEstimate](
@@ -170,8 +177,7 @@ object EventStream {
         case (group, rows, state: GroupState[KmvState]) =>
           val merged = rows.foldLeft(
             state.getOption.map(_.ks).getOrElse(Nil)) { (buf, r) =>
-            graft.plans.BottomKAggregator.insert(buf,
-              graft.functions.TextFunctions.mix64(r._2) ^ Long.MinValue, k)
+            graft.plans.BottomKAggregator.insert(buf, r._2, k)
           }
           state.update(KmvState(merged))
           DistinctEstimate(group,

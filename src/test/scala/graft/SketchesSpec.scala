@@ -60,6 +60,52 @@ class SketchesSpec extends SparkSuite {
     assert(run() == p50, "no-RNG reservoir must be reproducible")
   }
 
+  test("string keys hash as mix64∘fnv1a64, exact below k, nulls excluded") {
+    // the dispatch must route strings through mix64(fnv1a64(s)) — verify
+    // against the JVM kernels directly (no drift between Column and JVM)
+    val strs = Seq("", "a", "hello world", "Ünïcode ✓", "{\"k\": 87}")
+    val hashed = strs.toDF("s")
+    val got = hashed.select(graft.operators.Sketches
+        .hashInput(hashed, "s").as("h")).as[Long].collect().toSeq
+    assert(got == strs.map(s => TextFunctions.mix64(TextFunctions.fnv1a64(s))))
+    // 10 distinct strings (repeated) fit k=64 → estimate is EXACT
+    val df = (1L to 30L).map(i => ("g", s"user-${i % 10}")).toDF("grp", "v")
+    assert(Sketches.kmvDistinct(df, "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head() == 10.0)
+    // null strings excluded, like null longs
+    val withNull = Seq(("g", "x"), ("g", null), ("g", "y")).toDF("grp", "v")
+    assert(Sketches.kmvDistinct(withNull, "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head() == 2.0)
+    // string-keyed estimator branch: n >> k lands near truth, deterministic
+    val big = spark.range(5000L)
+      .select(lit("g").as("grp"), concat(lit("id-"), col("id")).as("v"))
+    def run() = Sketches.kmvDistinct(big, "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head()
+    val est = run()
+    assert(math.abs(est / 5000.0 - 1.0) < 0.4, s"estimate $est")
+    assert(run() == est)
+    // string id for the quantile sample (the q110 shape)
+    val q = (0L until 101L).map(i => ("g", s"row-$i", i.toDouble))
+      .toDF("grp", "id", "v")
+    assert(Sketches.sampleQuantiles(q, "grp", "id", "v", Seq(0.5), k = 256)
+      .select("p50").as[Double].head() == 50.0)
+  }
+
+  test("non-integral non-string key types are rejected loudly, not null-cast") {
+    val dbl = Seq(("g", 1.5)).toDF("grp", "v")
+    val eDbl = intercept[IllegalArgumentException](
+      Sketches.kmvDistinct(dbl, "grp", "v", k = 64))
+    assert(eDbl.getMessage.contains("double"))
+    val ts = Seq(("g", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("grp", "v")
+    intercept[IllegalArgumentException](
+      Sketches.kmvDistinct(ts, "grp", "v", k = 64))
+    // and the same guard on the quantile sample's id column
+    intercept[IllegalArgumentException](
+      Sketches.sampleQuantiles(Seq(("g", 1.5, 2.0)).toDF("grp", "id", "v"),
+        "grp", "id", "v", Seq(0.5)))
+  }
+
   test("null values are excluded (countDistinct semantics), never NPE the sketch") {
     val df = Seq(("g", java.lang.Long.valueOf(1L)), ("g", null.asInstanceOf[java.lang.Long]),
       ("g", java.lang.Long.valueOf(2L))).toDF("grp", "v")
@@ -123,5 +169,37 @@ class SketchesSpec extends SparkSuite {
       .as[(String, Double)].collect().toMap
     assert(got == expected,
       s"stream $got != batch $expected — sketch merge must commute")
+  }
+
+  test("STRING-keyed streaming KMV == batch KMV bit-for-bit (shared hash dispatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // pre-fix regression shape: a string value column used to null-cast
+    // and crash the (String, Long) decode; now it must match batch exactly
+    val all = (0L until 2000L).map(i => (s"g${i % 2}", s"key-${i * 7}"))
+    val batchDf = all.toDF("grp", "v")
+    val expected = Sketches.kmvDistinct(batchDf, "grp", "v", k = 64)
+      .select("grp", "kmv_estimate").as[(String, Double)].collect().toMap
+
+    val ms = MemoryStream[(String, String)](spark)
+    val q = graft.streaming.EventStream
+      .kmvDistinctStream(spark, ms.toDF().toDF("grp", "v"), "grp", "v", k = 64)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream_str").start()
+    try {
+      ms.addData(all.take(700): _*); q.processAllAvailable()
+      ms.addData(all.slice(300, 1500): _*); q.processAllAvailable()
+      ms.addData(all.drop(1500): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kmv_stream_str")
+      .groupBy(col("group")).agg(max(col("kmv_estimate")).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(got == expected,
+      s"string-keyed stream $got != batch $expected")
+  }
+
+  test("streaming KMV rejects non-integral non-string keys loudly (same dispatch)") {
+    val dbl = Seq(("g", 1.5)).toDF("grp", "v")
+    intercept[IllegalArgumentException](
+      graft.streaming.EventStream.kmvDistinctStream(spark, dbl, "grp", "v"))
   }
 }
