@@ -33,7 +33,7 @@ object Bench {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-q50",
       graft.sources.SnapshotFixture.defaultTopics(100, 1000))
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // release() inside the timed region: dropping a query's operator
       // caches is part of that query's cost, and carrying them over would
@@ -43,6 +43,18 @@ object Bench {
       }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // n iterations per query, report the MIN — single-shot numbers have
+    // flagged phantom 2× regressions (GC pause / first-touch page faults
+    // landing on one query) two rounds running; min-of-n is the standard
+    // noise-robust point estimate for a deterministic workload. The
+    // iterations run back-to-back per query (not interleaved) so each
+    // query's later runs see the same page-cache state.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = Seq.fill(iters)(runOnce(fn))
+      if (times.exists(_ < 0)) -1.0 else times.min
     }
 
     // stable declaration order (Map iteration order is arbitrary).

@@ -44,6 +44,16 @@ object SimilarityQueries {
     * selection is not SQL-replayable. Holds for every gate SF; a larger
     * corpus would mismatch with the CAP as the cause, not a bug. */
   private def q42Oracle(nCells: Int, nprobe: Int, k: Int,
+      maxIter: Int): String =
+    q42OracleChain(nCells, nprobe, maxIter) +
+      s"""
+         |SELECT qid, count(*) AS n_results, round(max(sim), 6) AS best_sim
+         |FROM ranked WHERE rk <= $k GROUP BY qid""".stripMargin
+
+  /** The q42 WITH-chain up to `ranked` (per-candidate rk per query), no
+    * final SELECT — shared by q42 (top-k agg) and q111 (recall@k vs the
+    * brute-force truth, which reuses the chain's `pts`/`q` CTEs). */
+  private def q42OracleChain(nCells: Int, nprobe: Int,
       maxIter: Int): String = {
     def d2(p: String, c: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
@@ -102,11 +112,29 @@ object SimilarityQueries {
          |ranked AS (
          |  SELECT qid, nid, round(sim, 6) AS sim,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-         |  FROM pairs)
-         |SELECT qid, count(*) AS n_results, round(max(sim), 6) AS best_sim
-         |FROM ranked WHERE rk <= $k GROUP BY qid""".stripMargin)
+         |  FROM pairs)""".stripMargin)
     sb.toString
   }
+
+  /** q111's oracle: the full q42 IVF chain, the brute-force truth from
+    * the SAME `pts`/`q` CTEs (q40's arithmetic), and recall@k as a
+    * left join of truth against the probe-limited approximate set. */
+  private def q111Oracle(nCells: Int, nprobe: Int, maxIter: Int,
+      k: Int): String =
+    q42OracleChain(nCells, nprobe, maxIter) +
+      s""",
+         |approx AS (SELECT qid, nid FROM ranked WHERE rk <= $k),
+         |btruth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, p.vid AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) / (q.qnorm * p.nrm) DESC,
+         |        p.vid) AS rk
+         |    FROM q JOIN pts p ON p.vid <> q.qid) WHERE rk <= $k)
+         |SELECT t.qid, count(*) AS n_true, count(a.nid) AS n_hit,
+         |  round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall
+         |FROM btruth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+         |GROUP BY t.qid""".stripMargin
 
   /** q46's oracle: the PQ pipeline replayed end-to-end — all m subspace
     * codebooks trained in ONE set of unrolled Lloyd stages keyed by a
@@ -193,7 +221,16 @@ object SimilarityQueries {
     * q42Oracle/q46Oracle (corpus under the maxTrainRows cap so the hash
     * sample is a no-op; both sides train on all norm>0 rows). */
   private def q105Oracle(nCells: Int, nprobe: Int, m: Int, subDim: Int,
-      kCent: Int, maxIter: Int, topK: Int): String = {
+      kCent: Int, maxIter: Int, topK: Int): String =
+    q105OracleChain(nCells, nprobe, m, subDim, kCent, maxIter) +
+      s"""
+         |SELECT qid, count(*) AS n_results, round(max(approx6), 4) AS best_approx_dot
+         |FROM ranked WHERE rk <= $topK GROUP BY qid""".stripMargin
+
+  /** The q105 IVF-ADC WITH-chain up to `ranked`, no final SELECT —
+    * shared by q105 (top-k agg) and q112 (recall@k vs brute truth). */
+  private def q105OracleChain(nCells: Int, nprobe: Int, m: Int, subDim: Int,
+      kCent: Int, maxIter: Int): String = {
     def d2(p: String, c: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
         s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
@@ -298,11 +335,33 @@ object SimilarityQueries {
          |ranked AS (
          |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
-         |  FROM scores)
-         |SELECT qid, count(*) AS n_results, round(max(approx6), 4) AS best_approx_dot
-         |FROM ranked WHERE rk <= $topK GROUP BY qid""".stripMargin)
+         |  FROM scores)""".stripMargin)
     sb.toString
   }
+
+  /** q112's oracle: the full q105 IVF-ADC chain plus the brute-force
+    * cosine truth over the same `pts` (norms computed inline — q105's
+    * pts carries no norm column), recall@k as a truth-vs-approx join.
+    * Measures what a user actually asks of a compressed ANN index: how
+    * much of the TRUE neighborhood the approximation keeps. */
+  private def q112Oracle(nCells: Int, nprobe: Int, m: Int, subDim: Int,
+      kCent: Int, maxIter: Int, k: Int): String =
+    q105OracleChain(nCells, nprobe, m, subDim, kCent, maxIter) +
+      s""",
+         |approx AS (SELECT qid, nid FROM ranked WHERE rk <= $k),
+         |btruth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, p.vid AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) /
+         |        (sqrt(list_dot_product(q.qv, q.qv)) *
+         |         sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[])))) DESC,
+         |        p.vid) AS rk
+         |    FROM q JOIN pts p ON p.vid <> q.qid) WHERE rk <= $k)
+         |SELECT t.qid, count(*) AS n_true, count(a.nid) AS n_hit,
+         |  round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall
+         |FROM btruth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+         |GROUP BY t.qid""".stripMargin
 
   val all: Seq[Q] = Seq(
     // Exact cosine top-5 neighbors for the first 20 vectors.
@@ -480,20 +539,106 @@ object SimilarityQueries {
       Some(q105Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
         kCent = 16, maxIter = 10, topK = 10))),
 
-    // Multimodal plumbing: binary media column → per-partition decode
-    // (stubbed kernel) → typed metadata + features → aggregate.
+    // RETRIEVAL-QUALITY gate for IVF: recall@10 of the probed index vs
+    // the exact brute-force truth, per query. The first question a user
+    // asks of an ANN index is recall, not determinism — this puts the
+    // answer under the hash gate (both the approximate chain and the
+    // truth are replayed in SQL, so the recall numbers are exact, not a
+    // flaky sampled metric). nprobe=4 of 16 cells: recall < 1.0 by
+    // construction for some queries — the gate pins the exact value.
+    Q("q111_ivf_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
+        val approx = Similarity.ivfTopK(qs, e, 10)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        truth.join(approx, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
+            round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+              count(lit(1)), 4).as("recall"))
+      },
+      Some(q111Oracle(nCells = 16, nprobe = 4, maxIter = 10, k = 10))),
+
+    // Same recall gate for the COMPRESSED index (IVF-ADC): quantization
+    // loses information on top of cell pruning, so this measures the
+    // full production trade — probe 4/16 cells, score 8×16-code PQ
+    // approximations, and pin exactly how much of the true top-10
+    // survives.
+    Q("q112_ivf_adc_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
+        val approx = graft.operators.ProductQuantization
+          .ivfAdcTopK(qs, e, 10)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        truth.join(approx, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
+            round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+              count(lit(1)), 4).as("recall"))
+      },
+      Some(q112Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, k = 10))),
+
+    // REAL multimodal decode through the stock JDK stacks: the builders
+    // emit genuine compressed PNGs (zlib IDAT, real CRCs) and PCM WAVs
+    // whose pixel/sample values are integer functions of doc_id;
+    // ImageIO / AudioSystem decode them back and the query aggregates the
+    // decoded SUMS — the oracle recomputes pixel(x,y) and sample(i)
+    // directly in SQL (generate_series over the deterministic dims), so
+    // an encoder, zlib, byte-offset, or sign bug anywhere in the round
+    // trip breaks the hash. MP4 rows have no JDK decoder and must be
+    // DROPPED (the one-bad-object contract) — the oracle simply omits
+    // them, so an un-dropped row also breaks the hash.
     Q("q45_multimodal_decode",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        val decoded = Multimodal.decode(Multimodal.syntheticMedia(d))
-        decoded.toDF()
+        Multimodal.decodeRealTable(Multimodal.realMedia(d)).toDF()
           .groupBy(col("media_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("meta.bytes")).as("total_bytes"),
-            round(avg(col("meta.width")), 4).as("avg_width"),
-            round(sum(VectorFunctions.norm(col("features"))), 4).as("feat_norm_sum"))
+            sum(col("width").cast("bigint")).as("width_sum"),
+            sum(col("height").cast("bigint")).as("height_sum"),
+            sum(col("unit_count")).as("unit_sum"),
+            sum(col("value_sum")).as("value_sum"))
       },
-      None),
+      Some("""WITH png AS (
+             |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 3) % 16 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |px AS (
+             |  SELECT p.doc_id, p.w, p.h,
+             |    (p.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+             |  FROM png p, generate_series(0, 23) x(x), generate_series(0, 23) y(y)
+             |  WHERE x.x < p.w AND y.y < p.h),
+             |png_agg AS (
+             |  SELECT 'image/png' AS media_type, count(DISTINCT doc_id) AS n,
+             |    (SELECT sum(w) FROM png) AS width_sum,
+             |    (SELECT sum(h) FROM png) AS height_sum,
+             |    count(*) AS unit_sum, sum(v) AS value_sum
+             |  FROM px),
+             |wav AS (
+             |  SELECT doc_id, 64 + doc_id % 64 AS ns
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |smp AS (
+             |  SELECT w.doc_id, (w.doc_id * 37 + i.i * 11) % 4096 - 2048 AS v
+             |  FROM wav w, generate_series(0, 127) i(i) WHERE i.i < w.ns),
+             |wav_agg AS (
+             |  SELECT 'audio/wav' AS media_type, count(DISTINCT doc_id) AS n,
+             |    0 AS width_sum, 0 AS height_sum,
+             |    count(*) AS unit_sum, sum(v) AS value_sum
+             |  FROM smp)
+             |SELECT media_type, CAST(n AS BIGINT) AS n,
+             |  CAST(width_sum AS BIGINT) AS width_sum,
+             |  CAST(height_sum AS BIGINT) AS height_sum,
+             |  CAST(unit_sum AS BIGINT) AS unit_sum,
+             |  CAST(value_sum AS BIGINT) AS value_sum
+             |FROM png_agg UNION ALL SELECT media_type, CAST(n AS BIGINT),
+             |  CAST(width_sum AS BIGINT), CAST(height_sum AS BIGINT),
+             |  CAST(unit_sum AS BIGINT), CAST(value_sum AS BIGINT) FROM wav_agg""".stripMargin)),
 
     // REAL container-header extraction (PNG IHDR / WAV fmt / MP4 ftyp
     // parsed from actual bytes — the pre-decode filter pass of a media

@@ -199,6 +199,142 @@ object Multimodal {
       .select(col("doc_id"), col("header.*"))
   }
 
+  // ---- Real JDK decode layer (no native libs needed) ---------------------
+  //
+  // The stub above stands in for libjpeg/ffmpeg formats the JDK can't
+  // read; PNG pixels and WAV PCM the stock JDK decodes for real
+  // (javax.imageio.ImageIO / javax.sound.sampled.AudioSystem). The
+  // builders below emit REAL compressed PNGs (zlib IDAT, correct CRCs)
+  // and canonical PCM WAVs whose pixel/sample values are deterministic
+  // integer functions of doc_id — so the q45 oracle recomputes the
+  // decoded SUMS in SQL and a decode bug anywhere (encoder, zlib round-
+  // trip, byte-offset, sign handling) breaks the hash. All sums are
+  // integer arithmetic: bit-exact across engines by construction.
+
+  final case class RealDecoded(doc_id: Long, media_type: String,
+      width: Int, height: Int, unit_count: Long, value_sum: Long)
+
+  private def pngChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val tagB = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tagB); crc.update(body)
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+    out.putInt(body.length).put(tagB).put(body).putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** REAL 8-bit grayscale PNG: IHDR + zlib-deflated filter-0 scanlines in
+    * IDAT + IEND, all CRCs genuine — `ImageIO.read` accepts it. */
+  def pngEncoded(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val raw = new Array[Byte](height * (width + 1))
+    var p = 0
+    var y = 0
+    while (y < height) {
+      raw(p) = 0 // filter type None per scanline
+      p += 1
+      var x = 0
+      while (x < width) { raw(p) = (pixel(x, y) & 0xff).toByte; p += 1; x += 1 }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf)
+    defl.end()
+    pngSig ++ pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", buf.take(n)) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode through the actual JDK stacks: PNG → ImageIO raster walk
+    * (unit_count = pixels, value_sum = Σ gray values); WAV → AudioSystem
+    * frame stream, signed LE16 PCM (unit_count = samples, value_sum =
+    * Σ sample values). Unsupported/corrupt bytes → None (one bad object
+    * must not kill a 100 TB scan — same contract as parseHeader). */
+  def decodeReal(mediaType: String, media: Array[Byte]): Option[RealDecoded] =
+    try mediaType match {
+      case "image/png" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+        if (img == null) None
+        else {
+          val r = img.getRaster
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s += r.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some(RealDecoded(0L, mediaType, img.getWidth, img.getHeight,
+            img.getWidth.toLong * img.getHeight, s))
+        }
+      case "audio/wav" =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(media))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+          else {
+            val bytes = ais.readAllBytes()
+            var s = 0L
+            var i = 0
+            while (i + 1 < bytes.length) {
+              s += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+              i += 2
+            }
+            Some(RealDecoded(0L, mediaType, 0, 0, bytes.length.toLong / 2, s))
+          }
+        } finally ais.close()
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Media table with REAL decodable payloads, every value a deterministic
+    * integer function of doc_id (the q45 oracle replays the sums in SQL):
+    * doc_id % 3 == 0 → PNG gray 8-bit, w = 8 + id%16, h = 8 + (id/3)%16,
+    *                   pixel(x,y) = (id·31 + x·7 + y·13) mod 256
+    * doc_id % 3 == 1 → WAV PCM16 mono 8 kHz, n = 64 + id%64 samples,
+    *                   sample(i) = ((id·37 + i·11) mod 4096) − 2048
+    * otherwise       → MP4 (no JDK decoder — exercises the drop path). */
+  def realMedia(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 3) % 16).toInt
+          MediaRow(id, "image/png",
+            pngEncoded(w, h, (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        case 1 =>
+          val n = (64 + id % 64).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((id * 37 + i * 11) % 4096 - 2048).toShort
+            pcm(i * 2) = (v & 0xff).toByte
+            pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          MediaRow(id, "audio/wav", wavBytes(8000, 1, 16, pcm))
+        case _ => MediaRow(id, "video/mp4", mp4Bytes("isom", Array.emptyByteArray))
+      }
+    }
+  }
+
+  /** Real-decode over a media table: mapPartitions (one decoder warm-up
+    * per partition — ImageIO's plugin registry scan is per-JVM but the
+    * seam is where a native decoder would init), unsupported rows
+    * dropped. */
+  def decodeRealTable(media: Dataset[MediaRow]): Dataset[RealDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r =>
+        decodeReal(r.media_type, r.media).map(_.copy(doc_id = r.doc_id)))
+    }
+  }
+
   /** Frame/sample selection: for "video", one row per sampled frame —
     * frame_no = k·everyN for k in [0, bytes/everyN) (the explode pattern
     * a real frame sampler uses). Zero-byte media emit no frames. */

@@ -61,6 +61,48 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.parseHeader(listWav).isEmpty)
   }
 
+  test("REAL PNG round-trip: pngEncoded → ImageIO → exact pixel recovery") {
+    // pixel function with every value class: 0, 255, mid-range
+    val px = (x: Int, y: Int) => (x * 7 + y * 13) % 256
+    val bytes = Multimodal.pngEncoded(23, 17, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO must accept the generated PNG")
+    assert(img.getWidth == 23 && img.getHeight == 17)
+    val r = img.getRaster
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert(r.getSample(x, y, 0) == px(x, y), s"pixel ($x,$y)")
+    // and through the decode kernel: exact integer sums
+    val d = Multimodal.decodeReal("image/png", bytes).get
+    val expSum = (for (y <- 0 until 17; x <- 0 until 23) yield px(x, y).toLong).sum
+    assert(d.width == 23 && d.height == 17 &&
+      d.unit_count == 23L * 17 && d.value_sum == expSum)
+  }
+
+  test("REAL WAV round-trip: wavBytes PCM16 → AudioSystem → exact sample sums") {
+    val samples = (0 until 100).map(i => ((i * 11) % 4096 - 2048).toShort)
+    val pcm = new Array[Byte](200)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val d = Multimodal.decodeReal("audio/wav",
+      Multimodal.wavBytes(8000, 1, 16, pcm)).get
+    assert(d.unit_count == 100L)
+    assert(d.value_sum == samples.map(_.toLong).sum) // negatives sign-extend
+  }
+
+  test("decodeReal drops unsupported and corrupt media, never throws") {
+    assert(Multimodal.decodeReal("video/mp4",
+      Multimodal.mp4Bytes("isom", Array.emptyByteArray)).isEmpty)
+    assert(Multimodal.decodeReal("image/png", "garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeReal("audio/wav", "garbage".getBytes).isEmpty)
+    // a real table with all three classes: mp4 rows dropped, rest decoded
+    val docs = Seq((0L, ""), (1L, ""), (2L, ""), (3L, "")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeRealTable(Multimodal.realMedia(docs))
+      .collect().map(r => r.doc_id -> r.media_type).toMap
+    assert(decoded == Map(0L -> "image/png", 1L -> "audio/wav", 3L -> "image/png"))
+  }
+
   test("headeredMedia fields are the documented doc_id functions") {
     val docs = Seq((0L, "abc"), (1L, "de"), (2L, "f"), (7L, "xyz"))
       .toDF("doc_id", "text")
