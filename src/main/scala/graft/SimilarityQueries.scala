@@ -228,9 +228,10 @@ object SimilarityQueries {
          |FROM ranked WHERE rk <= $topK GROUP BY qid""".stripMargin
 
   /** The q105 IVF-ADC WITH-chain up to `ranked`, no final SELECT —
-    * shared by q105 (top-k agg) and q112 (recall@k vs brute truth). */
+    * shared by q105 (top-k agg), q112 (recall@k vs brute truth) and q113
+    * (distributed corpus-vs-corpus, `queryPred = "TRUE"`). */
   private def q105OracleChain(nCells: Int, nprobe: Int, m: Int, subDim: Int,
-      kCent: Int, maxIter: Int): String = {
+      kCent: Int, maxIter: Int, queryPred: String = "vid < 20"): String = {
     def d2(p: String, c: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
         s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
@@ -307,7 +308,7 @@ object SimilarityQueries {
     sb.append(sAssign(sPrev, "safinal"))
     sb.append(
       s""",
-         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE vid < 20),
+         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE $queryPred),
          |probes AS (
          |  SELECT qid, cidx AS cell FROM (
          |    SELECT q.qid, c.cidx,
@@ -320,7 +321,7 @@ object SimilarityQueries {
          |  SELECT pr.qid, cf.vid AS nid
          |  FROM probes pr JOIN cafinal cf ON cf.cell = pr.cell
          |  WHERE cf.vid <> pr.qid),
-         |qsubs AS (SELECT vid AS qid, s, CAST(sv AS DOUBLE[]) AS qsv FROM subs WHERE vid < 20),
+         |qsubs AS (SELECT vid AS qid, s, CAST(sv AS DOUBLE[]) AS qsv FROM subs WHERE $queryPred),
          |adc AS MATERIALIZED (
          |  SELECT qs.qid, c.s, c.cidx, list_dot_product(qs.qsv, c.c) AS dot
          |  FROM qsubs qs JOIN $sPrev c ON c.s = qs.s),
@@ -584,6 +585,35 @@ object SimilarityQueries {
       },
       Some(q112Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
         kCent = 16, maxIter = 10, k = 10))),
+
+    // DISTRIBUTED corpus-vs-corpus IVF-ADC: every vector queries the
+    // index with queries staying distributed end-to-end (executor-side
+    // probe ranking + ADC tables, one cell-keyed shuffle, bounded-heap
+    // top-k) — the 100 TB form of q105, whose query batch is driver-side
+    // by contract. The oracle is the q105 chain evaluated over ALL
+    // queries: any divergence between the distributed plan and the
+    // driver-side arithmetic (probe ties, fold order, rank ties) breaks
+    // the hash.
+    Q("q113_ann_corpus_join",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        // max of the ALREADY-6-rounded score, no second rounding: a
+        // 6-decimal value sits exactly on a 4-decimal half boundary ~1%
+        // of the time, where Spark (HALF_UP on the decimal string) and
+        // DuckDB (binary-value round) disagree — at 500 queries that is
+        // a guaranteed hash break, not a tail risk (bitten in round 6:
+        // qid 67's 0.30365 → 0.3037 vs 0.3036)
+        graft.operators.ProductQuantization
+          .ivfAdcTopKDistributed(e, e, 10)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_results"),
+            max(col("approx_dot")).as("best_approx_dot"))
+      },
+      Some(q105OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, queryPred = "TRUE") +
+        s"""
+           |SELECT qid, count(*) AS n_results, max(approx6) AS best_approx_dot
+           |FROM ranked WHERE rk <= 10 GROUP BY qid""".stripMargin)),
 
     // REAL multimodal decode through the stock JDK stacks: the builders
     // emit genuine compressed PNGs (zlib IDAT, real CRCs) and PCM WAVs

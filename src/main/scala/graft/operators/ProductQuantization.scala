@@ -135,9 +135,15 @@ object ProductQuantization {
     * crossJoin+window stage; the probe list joins the index as a
     * broadcast. Zero-norm/null queries and corpus rows are excluded
     * (NaN-sim/rank hazard, same stance as Similarity.bruteTopK). */
-  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
-      maxTrainRows: Long = 100000L): DataFrame = {
+  /** Shared IVF-PQ build: one hash-capped sorted training sample, the
+    * coarse fit AND the m subspace codebook fits (all driver-local
+    * LocalKMeans over the capped sample), plus the distributed index
+    * pass (cell + code per corpus vector, bad rows dropped). */
+  private[graft] final case class IvfPq(coarse: Array[Array[Double]],
+      model: PQModel, dim: Int, index: DataFrame)
+
+  private def fitIvfPq(corpus: DataFrame, nCells: Int, m: Int, kCodes: Int,
+      maxTrainRows: Long): IvfPq = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions.normFast
@@ -176,6 +182,19 @@ object ProductQuantization {
       .select(col("vec_id"), cellOf(col("embedding")).as("cell"),
         enc(col("embedding")).as("code"))
       .filter(col("cell").isNotNull && col("code").isNotNull)
+    IvfPq(coarse, model, dim, index)
+  }
+
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fitted = fitIvfPq(corpus, nCells, m, kCodes, maxTrainRows)
+    val dim = fitted.dim
+    val model = fitted.model
+    val coarse = fitted.coarse
+    val index = fitted.index
 
     val qRows = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
@@ -219,6 +238,85 @@ object ProductQuantization {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"),
         round(col("approx_dot"), 6).as("approx_dot"), col("rank"))
+  }
+
+  /** Corpus-vs-corpus IVF-ADC: the fully DISTRIBUTED form — queries
+    * NEVER touch the driver (vs [[ivfAdcTopK]], whose query batch is
+    * driver-side by contract). The 100 TB shape when the query set IS
+    * another corpus:
+    *
+    *  - probe ranking and the per-query ADC table are computed
+    *    executor-side from the broadcast centroids/codebooks (the fits
+    *    stay capped-sample driver-local — they do not grow with data);
+    *  - each query ships (qid, cell, m×kCodes table ≈ 1 KB) through ONE
+    *    shuffle keyed by cell, joining the index co-partitioned on cell
+    *    — candidate generation is cell-blocked, never all-pairs;
+    *  - top-k per query via the bounded-heap aggregator ([[
+    *    graft.plans.TopKAggregator]]): the agg shuffle carries ≤ k rows
+    *    per query per map task, where the window form would sort every
+    *    scored candidate.
+    *
+    * Same arithmetic as [[ivfAdcTopK]] path-for-path (probe ties
+    * (sim DESC, cidx), score = ascending-s fold of table lookups, rank
+    * ties (dot DESC, nid)) — q113 gates the parity against the q105
+    * oracle chain evaluated over ALL queries. */
+  def ivfAdcTopKDistributed(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val fitted = fitIvfPq(corpus, nCells, m, kCodes, maxTrainRows)
+    val dim = fitted.dim
+    val model = fitted.model
+    val coarse = fitted.coarse
+    val cNorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    // per-codebook offsets into the flattened table (a codebook may hold
+    // fewer than kCodes centroids when the training sample is small)
+    val offsets = model.codebooks.scanLeft(0)(_ + _.length)
+
+    // probe ranking per query, executor-side — cosine vs nCells
+    // centroids, ties (sim DESC, cidx ASC): identical to the driver-side
+    // ranking in ivfAdcTopK. Zero-norm/null/wrong-dim queries → null →
+    // filtered (NaN-sim hazard, same stance as bruteTopK).
+    val probesUdf = udf((v: Seq[Float]) =>
+      if (v == null || v.length != dim) null
+      else {
+        var qn = 0.0
+        var i = 0
+        while (i < v.length) { qn += v(i).toDouble * v(i); i += 1 }
+        qn = math.sqrt(qn)
+        if (qn <= 0) null
+        else coarse.indices.map { c =>
+          var d = 0.0
+          var j = 0
+          while (j < dim) { d += v(j).toDouble * coarse(c)(j); j += 1 }
+          (d / (qn * cNorms(c)), c)
+        }.sortBy { case (sim, c) => (-sim, c) }.take(nprobe).map(_._2).toArray
+      })
+    val tableUdf = udf((v: Seq[Float]) =>
+      if (v == null || v.length != dim) null else adcTable(v, model).flatten)
+    val qSide = queries
+      .select(col("vec_id").as("qid"),
+        probesUdf(col("embedding")).as("cells"),
+        tableUdf(col("embedding")).as("tbl"))
+      .filter(col("cells").isNotNull && col("tbl").isNotNull)
+      .select(col("qid"), explode(col("cells")).as("cell"), col("tbl"))
+
+    // ascending-s fold — the oracle's list(dot ORDER BY s) sequence
+    val score = udf((code: Seq[Int], tbl: Seq[Double]) => {
+      var s = 0.0
+      var i = 0
+      while (i < code.length) { s += tbl(offsets(i) + code(i)); i += 1 }
+      s
+    })
+    val scored = fitted.index.join(qSide, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx_dot", score(col("code"), col("tbl")))
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKAggregator.top_k(k)(col("approx_dot"), col("vec_id"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 6).as("approx_dot"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Approximate top-k by ADC over the compressed index: queries are

@@ -161,29 +161,56 @@ object EventStream {
     * final estimate equals `Sketches.kmvDistinct` bit-for-bit (proven in
     * spec for both long- and string-keyed streams). */
   def kmvDistinctStream(spark: SparkSession, df: DataFrame,
-      groupCol: String, valueCol: String,
-      k: Int = 64): org.apache.spark.sql.Dataset[DistinctEstimate] = {
+      groupCol: String, valueCol: String, k: Int = 64,
+      groupTtl: Option[String] = None): org.apache.spark.sql.Dataset[DistinctEstimate] = {
     import spark.implicits._
     // hash + sign-flip on the Column side (same expressions as the batch
     // plan); the state fold then inserts ready-made flipped hashes
     val flipped = graft.operators.Sketches.hashInput(df, valueCol)
       .bitwiseXOR(lit(Long.MinValue))
-    df.filter(col(valueCol).isNotNull) // null: excluded, as in the batch form
+    val grouped = df
+      .filter(col(valueCol).isNotNull) // null: excluded, as in the batch form
       .select(col(groupCol).cast("string").as("g"), flipped.as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[KmvState, DistinctEstimate](
-        GroupStateTimeout.NoTimeout) {
-        case (group, rows, state: GroupState[KmvState]) =>
-          val merged = rows.foldLeft(
-            state.getOption.map(_.ks).getOrElse(Nil)) { (buf, r) =>
-            graft.plans.BottomKAggregator.insert(buf, r._2, k)
-          }
-          state.update(KmvState(merged))
-          DistinctEstimate(group,
-            graft.operators.Sketches.kmvEstimateKernel(merged, k))
-      }
+    groupTtl match {
+      case None =>
+        grouped.mapGroupsWithState[KmvState, DistinctEstimate](
+          GroupStateTimeout.NoTimeout) {
+          case (group, rows, state: GroupState[KmvState]) =>
+            kmvStateUpdate(k, None)(group, rows, state).next()
+        }
+      case Some(_) =>
+        // opt-in TTL for high-cardinality group columns: per-group state
+        // is bounded (k longs) but the group COUNT is not — an idle group
+        // (a departed user, a retired topic) otherwise holds its slot
+        // forever. A timed-out group's state drops silently; if the group
+        // reappears, its sketch restarts (estimates dip until re-filled —
+        // the standard trade of expiring sketch state).
+        grouped.flatMapGroupsWithState[KmvState, DistinctEstimate](
+          OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
+          kmvStateUpdate(k, groupTtl))
+    }
   }
+
+  /** The shared per-group state transition for [[kmvDistinctStream]] —
+    * package-visible so the TTL branch is unit-testable with
+    * `TestGroupState` (a processing-time timeout cannot be fired
+    * deterministically through a real streaming query). */
+  private[graft] def kmvStateUpdate(k: Int, ttl: Option[String])(
+      group: String, rows: Iterator[(String, Long)],
+      state: GroupState[KmvState]): Iterator[DistinctEstimate] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val merged = rows.foldLeft(
+        state.getOption.map(_.ks).getOrElse(Nil)) { (buf, r) =>
+        graft.plans.BottomKAggregator.insert(buf, r._2, k)
+      }
+      state.update(KmvState(merged))
+      ttl.foreach(state.setTimeoutDuration)
+      Iterator.single(DistinctEstimate(group,
+        graft.operators.Sketches.kmvEstimateKernel(merged, k)))
+    }
 
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are

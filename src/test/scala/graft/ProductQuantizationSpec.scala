@@ -48,6 +48,30 @@ class ProductQuantizationSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall@10 = $recall")
   }
 
+  test("distributed corpus-vs-corpus IVF-ADC == driver-side ivfAdcTopK row-for-row") {
+    // same queries, same corpus, same params: the distributed plan
+    // (executor-side probes/tables, cell shuffle, bounded-heap top-k)
+    // must reproduce the driver-side path exactly — scores, ranks, ties
+    val queries = emb.filter(col("vec_id") < 30)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "approx_dot", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val driver = canon(ProductQuantization.ivfAdcTopK(queries, emb, 10))
+    val dist = canon(ProductQuantization.ivfAdcTopKDistributed(queries, emb, 10))
+    assert(dist == driver)
+  }
+
+  test("distributed IVF-ADC drops zero-norm and wrong-dim queries, keeps the rest") {
+    val weird = Seq(
+      (70001L, Seq.fill(64)(0f)),          // zero norm → dropped
+      (70002L, Seq.fill(3)(1f)),           // wrong dim → dropped
+      (70003L, (0 until 64).map(_.toFloat)) // fine
+    ).toDF("vec_id", "embedding")
+    val out = ProductQuantization.ivfAdcTopKDistributed(weird, emb, 5)
+      .select("qid").distinct().as[Long].collect().toSet
+    assert(out == Set(70003L))
+  }
+
   test("an exact duplicate vector gets the identical code") {
     val dup = emb.filter(col("vec_id") === 0)
       .withColumn("vec_id", lit(90000L))

@@ -202,4 +202,30 @@ class SketchesSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       graft.streaming.EventStream.kmvDistinctStream(spark, dbl, "grp", "v"))
   }
+
+  test("streaming KMV TTL branch: timeout removes state, updates re-arm the clock") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.EventStream
+    val fn = EventStream.kmvStateUpdate(64, Some("10 minutes")) _
+    // normal update: estimate emitted, state written, timeout armed
+    val st = TestGroupState.create[EventStream.KmvState](
+      optionalState = Optional.empty[EventStream.KmvState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = fn("g", Iterator(("g", 1L), ("g", 2L), ("g", 1L)), st).toSeq
+    assert(out.map(_.kmv_estimate) == Seq(2.0))
+    assert(st.exists && st.get.ks.length == 2)
+    assert(st.getTimeoutTimestampMs.isPresent &&
+      st.getTimeoutTimestampMs.get == 1000L + 10 * 60 * 1000L)
+    // timeout invocation: state dropped, nothing emitted
+    val timedOut = TestGroupState.create[EventStream.KmvState](
+      optionalState = Optional.of(st.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    assert(fn("g", Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved)
+  }
 }
