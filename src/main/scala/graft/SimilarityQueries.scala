@@ -26,6 +26,68 @@ object SimilarityQueries {
       s"($p, $sv)"
     }.mkString(",")
 
+  /** The q41 SRP-LSH WITH-chain up to `ranked`, no final SELECT — shared
+    * by q41 (top-k agg) and q114 (recall@k vs the brute truth, reusing
+    * the chain's `normed` CTE). The Rademacher matrix rides as literals
+    * from the SAME splitmix64 derivation as the kernel. */
+  private def q41OracleChain(planes: Int, bandBits: Int, seed: Long): String = {
+    val nBands = planes / bandBits
+    val bandVals = (0 until nBands).map(b => s"($b)").mkString(",")
+    s"""WITH signs AS (
+       |  SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+       |  FROM (VALUES ${srpSignRows(planes, dims = 64, seed)}) s(plane, sv)),
+       |base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |normed AS (
+       |  SELECT id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM base
+       |  WHERE sqrt(list_dot_product(v, v)) > 0),
+       |accs AS (
+       |  SELECT id, plane, list_dot_product(v, sv) AS acc
+       |  FROM normed CROSS JOIN signs),
+       |sigs AS (
+       |  SELECT id,
+       |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+       |  FROM accs GROUP BY id),
+       |banded AS (
+       |  SELECT id, band, (sig >> (band * $bandBits)) & ${(1 << bandBits) - 1} AS bucket
+       |  FROM sigs CROSS JOIN (VALUES $bandVals) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.id < 20 AND q.id <> c.id),
+       |pairs AS (
+       |  SELECT qid, nid,
+       |    list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) AS sim
+       |  FROM cand JOIN normed qn ON qn.id = qid JOIN normed cn ON cn.id = nid),
+       |ranked AS (
+       |  SELECT qid, nid, ROUND(sim, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM pairs)""".stripMargin
+  }
+
+  /** q114's oracle: the q41 SRP chain + brute truth over `normed` +
+    * recall@k — the third ANN family's quality number under the gate
+    * (SRP misses whatever never shares a band bucket; LOW recall at
+    * 16 planes / 4-bit bands on random data is the honest answer, and
+    * the gate pins it exactly). */
+  private def q114Oracle(planes: Int, bandBits: Int, seed: Long,
+      k: Int): String =
+    q41OracleChain(planes, bandBits, seed) +
+      s""",
+         |approx AS (SELECT qid, nid FROM ranked WHERE rank <= $k),
+         |btruth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qn.id AS qid, cn.id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qn.id ORDER BY
+         |        list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) DESC,
+         |        cn.id) AS rk
+         |    FROM normed qn JOIN normed cn ON qn.id < 20 AND cn.id <> qn.id)
+         |  WHERE rk <= $k)
+         |SELECT t.qid, count(*) AS n_true, count(a.nid) AS n_hit,
+         |  round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall
+         |FROM btruth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+         |GROUP BY t.qid""".stripMargin
+
   /** q42's oracle: the ENTIRE IVF index build replayed in SQL — sorted-
     * Forgy seeding, `maxIter` unrolled Lloyd rounds (assignment =
     * ascending-fold squared distance with ties to the lowest centroid
@@ -401,38 +463,10 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_results"),
             round(max(col("sim")), 6).as("best_sim"))
       },
-      Some(s"""WITH signs AS (
-             |  SELECT plane, CAST(sv AS DOUBLE[]) AS sv
-             |  FROM (VALUES ${srpSignRows(planes = 16, dims = 64, seed = 42L)}) s(plane, sv)),
-             |base AS (
-             |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |normed AS (
-             |  SELECT id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM base
-             |  WHERE sqrt(list_dot_product(v, v)) > 0),
-             |accs AS (
-             |  SELECT id, plane, list_dot_product(v, sv) AS acc
-             |  FROM normed CROSS JOIN signs),
-             |sigs AS (
-             |  SELECT id,
-             |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
-             |  FROM accs GROUP BY id),
-             |banded AS (
-             |  SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
-             |  FROM sigs CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
-             |cand AS (
-             |  SELECT DISTINCT q.id AS qid, c.id AS nid
-             |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
-             |  WHERE q.id < 20 AND q.id <> c.id),
-             |pairs AS (
-             |  SELECT qid, nid,
-             |    list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) AS sim
-             |  FROM cand JOIN normed qn ON qn.id = qid JOIN normed cn ON cn.id = nid),
-             |ranked AS (
-             |  SELECT qid, nid, ROUND(sim, 6) AS sim,
-             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-             |  FROM pairs)
-             |SELECT qid, count(*) AS n_results, ROUND(max(sim), 6) AS best_sim
-             |FROM ranked WHERE rank <= 5 GROUP BY qid""".stripMargin)),
+      Some(q41OracleChain(planes = 16, bandBits = 4, seed = 42L) +
+        s"""
+           |SELECT qid, count(*) AS n_results, ROUND(max(sim), 6) AS best_sim
+           |FROM ranked WHERE rank <= 5 GROUP BY qid""".stripMargin)),
 
     // IVF (k-means cells, nprobe probing) approximate top-k — ORACLED,
     // k-means included: see q42Oracle.
@@ -594,6 +628,26 @@ object SimilarityQueries {
     // queries: any divergence between the distributed plan and the
     // driver-side arithmetic (probe ties, fold order, rank ties) breaks
     // the hash.
+    // SRP-LSH recall@10 — the third ANN family's quality gate (q111 IVF,
+    // q112 IVF-ADC): 16 planes / 4-bit bands on random 64-dim data is a
+    // coarse filter, so recall is honestly LOW for many queries; the gate
+    // pins the exact per-query value rather than asserting a bound.
+    Q("q114_srp_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
+        val approx = Similarity.srpTopK(qs, e, 10)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+        truth.join(approx, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
+            round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+              count(lit(1)), 4).as("recall"))
+      },
+      Some(q114Oracle(planes = 16, bandBits = 4, seed = 42L, k = 10))),
+
     Q("q113_ann_corpus_join",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
