@@ -51,10 +51,20 @@ object Bench {
     // noise-robust point estimate for a deterministic workload. The
     // iterations run back-to-back per query (not interleaved) so each
     // query's later runs see the same page-cache state.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // malformed env must not kill the run before the JSON line prints —
+    // a config typo would otherwise read as a total bench failure
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = Seq.fill(iters)(runOnce(fn))
-      if (times.exists(_ < 0)) -1.0 else times.min
+      var best = Double.MaxValue
+      var i = 0
+      while (i < iters) {
+        val t = runOnce(fn)
+        if (t < 0) return -1.0 // failed once: don't re-run a failing query
+        if (t < best) best = t
+        i += 1
+      }
+      best
     }
 
     // stable declaration order (Map iteration order is arbitrary).

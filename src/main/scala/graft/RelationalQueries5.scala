@@ -395,11 +395,16 @@ object RelationalQueries5 {
 
   /** fnv1a64 over a string column as a DuckDB HUGEINT fold (mod 2^64) —
     * the q37/q38 oracle machinery: per-char unicode() == the UTF-8 byte
-    * for ASCII input. Returns the UNSIGNED hash in [0, 2^64). */
+    * for ASCII input. Returns the UNSIGNED hash in [0, 2^64).
+    * Empty-string guard: string_split('', '') yields [''] whose
+    * unicode('') is -1 — a bogus "byte" the JVM fold never sees (fnv1a64
+    * of "" is the untouched offset basis); list_filter drops it (non-
+    * empty splits never contain ''). */
   private def fnvFold(colExpr: String): String =
     s"""list_reduce(
        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
-       |      list_transform(string_split($colExpr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |      list_transform(list_filter(string_split($colExpr, ''), c -> c <> ''),
+       |        c -> CAST(unicode(c) AS HUGEINT))),
        |    (h, b) -> ((h - (h % 256) +
        |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
        |      * 1099511628211) % 18446744073709551616)""".stripMargin

@@ -426,6 +426,19 @@ object SimilarityQueries {
          |FROM btruth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
          |GROUP BY t.qid""".stripMargin
 
+  /** recall@k arithmetic shared by q111/q112/q114: truth LEFT JOIN
+    * approx on (qid, nid) → per-query hit count and ratio. One
+    * definition so the Spark side can never diverge across the three
+    * gates (the oracles share the same shape in their chain tails). */
+  private def recallVsTruth(truth: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    truth.join(approx.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)), 4).as("recall"))
+
   val all: Seq[Q] = Seq(
     // Exact cosine top-5 neighbors for the first 20 vectors.
     Q("q40_cosine_brute_topk",
@@ -585,15 +598,9 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
         val qs = e.filter(col("vec_id") < 20)
-        val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
-        val approx = Similarity.ivfTopK(qs, e, 10)
-          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
-        truth.join(approx, Seq("qid", "nid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
-            round(sum(coalesce(col("hit"), lit(0))).cast("double") /
-              count(lit(1)), 4).as("recall"))
+        recallVsTruth(
+          Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid")),
+          Similarity.ivfTopK(qs, e, 10).select(col("qid"), col("nid")))
       },
       Some(q111Oracle(nCells = 16, nprobe = 4, maxIter = 10, k = 10))),
 
@@ -606,16 +613,10 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
         val qs = e.filter(col("vec_id") < 20)
-        val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
-        val approx = graft.operators.ProductQuantization
-          .ivfAdcTopK(qs, e, 10)
-          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
-        truth.join(approx, Seq("qid", "nid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
-            round(sum(coalesce(col("hit"), lit(0))).cast("double") /
-              count(lit(1)), 4).as("recall"))
+        recallVsTruth(
+          Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid")),
+          graft.operators.ProductQuantization.ivfAdcTopK(qs, e, 10)
+            .select(col("qid"), col("nid")))
       },
       Some(q112Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
         kCent = 16, maxIter = 10, k = 10))),
@@ -628,26 +629,6 @@ object SimilarityQueries {
     // queries: any divergence between the distributed plan and the
     // driver-side arithmetic (probe ties, fold order, rank ties) breaks
     // the hash.
-    // SRP-LSH recall@10 — the third ANN family's quality gate (q111 IVF,
-    // q112 IVF-ADC): 16 planes / 4-bit bands on random 64-dim data is a
-    // coarse filter, so recall is honestly LOW for many queries; the gate
-    // pins the exact per-query value rather than asserting a bound.
-    Q("q114_srp_recall",
-      (spark, dir) => {
-        val e = Tables.load(spark, dir, "embeddings")
-        val qs = e.filter(col("vec_id") < 20)
-        val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
-        val approx = Similarity.srpTopK(qs, e, 10)
-          .select(col("qid"), col("nid")).withColumn("hit", lit(1))
-        truth.join(approx, Seq("qid", "nid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"),
-            round(sum(coalesce(col("hit"), lit(0))).cast("double") /
-              count(lit(1)), 4).as("recall"))
-      },
-      Some(q114Oracle(planes = 16, bandBits = 4, seed = 42L, k = 10))),
-
     Q("q113_ann_corpus_join",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
@@ -668,6 +649,20 @@ object SimilarityQueries {
         s"""
            |SELECT qid, count(*) AS n_results, max(approx6) AS best_approx_dot
            |FROM ranked WHERE rk <= 10 GROUP BY qid""".stripMargin)),
+
+    // SRP-LSH recall@10 — the third ANN family's quality gate (q111 IVF,
+    // q112 IVF-ADC): 16 planes / 4-bit bands on random 64-dim data is a
+    // coarse filter, so recall is honestly LOW for many queries; the gate
+    // pins the exact per-query value rather than asserting a bound.
+    Q("q114_srp_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        recallVsTruth(
+          Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid")),
+          Similarity.srpTopK(qs, e, 10).select(col("qid"), col("nid")))
+      },
+      Some(q114Oracle(planes = 16, bandBits = 4, seed = 42L, k = 10))),
 
     // REAL multimodal decode through the stock JDK stacks: the builders
     // emit genuine compressed PNGs (zlib IDAT, real CRCs) and PCM WAVs
@@ -720,9 +715,11 @@ object SimilarityQueries {
              |  CAST(height_sum AS BIGINT) AS height_sum,
              |  CAST(unit_sum AS BIGINT) AS unit_sum,
              |  CAST(value_sum AS BIGINT) AS value_sum
-             |FROM png_agg UNION ALL SELECT media_type, CAST(n AS BIGINT),
+             |FROM png_agg WHERE n > 0
+             |UNION ALL SELECT media_type, CAST(n AS BIGINT),
              |  CAST(width_sum AS BIGINT), CAST(height_sum AS BIGINT),
-             |  CAST(unit_sum AS BIGINT), CAST(value_sum AS BIGINT) FROM wav_agg""".stripMargin)),
+             |  CAST(unit_sum AS BIGINT), CAST(value_sum AS BIGINT)
+             |FROM wav_agg WHERE n > 0""".stripMargin)),
 
     // REAL container-header extraction (PNG IHDR / WAV fmt / MP4 ftyp
     // parsed from actual bytes — the pre-decode filter pass of a media

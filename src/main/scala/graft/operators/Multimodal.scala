@@ -242,11 +242,15 @@ object Multimodal {
     }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = defl.deflate(buf)
+    // loop until finished(): incompressible content can exceed any fixed
+    // buffer (stored-block overhead), and a single deflate() call would
+    // silently truncate the IDAT
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
     defl.end()
     pngSig ++ pngChunk("IHDR", ihdr.array()) ++
-      pngChunk("IDAT", buf.take(n)) ++ pngChunk("IEND", Array.emptyByteArray)
+      pngChunk("IDAT", out.toByteArray) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** Decode through the actual JDK stacks: PNG → ImageIO raster walk

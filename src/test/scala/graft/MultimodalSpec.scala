@@ -78,6 +78,18 @@ class MultimodalSpec extends SparkSuite {
       d.unit_count == 23L * 17 && d.value_sum == expSum)
   }
 
+  test("large incompressible PNG survives the deflate loop (no IDAT truncation)") {
+    // pseudo-random pixels: compressed size exceeds any single fixed
+    // buffer's slack (stored-block overhead), exercising the
+    // multi-call deflate loop
+    val px = (x: Int, y: Int) => ((x * 2654435761L + y * 40503L) >>> 13).toInt & 0xff
+    val bytes = Multimodal.pngEncoded(600, 600, px)
+    val d = Multimodal.decodeReal("image/png", bytes).get
+    assert(d.width == 600 && d.height == 600 && d.unit_count == 360000L)
+    val expSum = (for (y <- 0 until 600; x <- 0 until 600) yield px(x, y).toLong).sum
+    assert(d.value_sum == expSum)
+  }
+
   test("REAL WAV round-trip: wavBytes PCM16 → AudioSystem → exact sample sums") {
     val samples = (0 until 100).map(i => ((i * 11) % 4096 - 2048).toShort)
     val pcm = new Array[Byte](200)
