@@ -41,6 +41,31 @@ class PlanSpec extends SparkSuite {
       "unreferenced column must not be read:\n" + p.take(1000))
   }
 
+  test("q113 distributed ANN: cell-keyed shuffle join, bounded-heap agg, no cartesian") {
+    val e = Tables.load(spark, sf("sf0.01"), "embeddings")
+    val p = graft.operators.ProductQuantization
+      .ivfAdcTopKDistributed(e, e, 10)
+      .queryExecution.executedPlan.toString
+    // candidate generation must be the cell equi-join, never all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "corpus-vs-corpus must stay cell-blocked:\n" + p.take(2000))
+    // top-k is the typed bounded-heap aggregator (ObjectHashAggregate),
+    // not a window sort over every scored candidate
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), "top-k must not be a window sort:\n" + p.take(2000))
+    // the join keys on both sides are the cell column
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("recall gates: brute side broadcasts the 20-query probe set") {
+    val p = plan("q111_ivf_recall")
+    // both truth and approx build from a broadcast of the tiny query
+    // side — a shuffle of the corpus against 20 queries would be wrong
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
