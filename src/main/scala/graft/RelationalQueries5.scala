@@ -409,25 +409,50 @@ object RelationalQueries5 {
        |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
        |      * 1099511628211) % 18446744073709551616)""".stripMargin
 
+  // --- Shared splitmix64 SQL machinery (q106-q110 oracles) ---------------
+
+  /** 64×64-bit multiply mod 2^64 as split 32-bit halves (a full HUGEINT
+    * product overflows INT128) — the LSH oracles' machinery. */
+  private def mulmod(a: String, b: String): String =
+    s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+  private def xorShift(u: String, s: Int): String =
+    s"CAST(xor($u, $u >> $s) AS HUGEINT)"
+
+  /** The splitmix64 stage chain as CTEs `s0`→`s1`→`s2`→`mixed` over an
+    * input HUGEINT expression in [0, 2^64) — ONE definition for every
+    * sketch oracle, so the split-multiply arithmetic cannot drift
+    * between them. `carry` columns ride through every stage; `mixed`
+    * emits the hash UNSIGNED as `vu` (or signed BIGINT as `h` when
+    * `signedOut` — the bottom-k-sample aggregator compares signed
+    * longs), optionally DISTINCT (the sketch's dedup-on-hash key).
+    * Emitted WITHOUT a leading WITH — append after an existing CTE. */
+  private def mix64Stages(src: String, carry: Seq[String], inputExpr: String,
+      distinctMixed: Boolean = false, signedOut: Boolean = false): String = {
+    val cols = carry.map(_ + ", ").mkString
+    val u = "xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31)"
+    val out =
+      if (!signedOut) s"$u AS vu"
+      else s"""CAST(CASE WHEN CAST($u AS HUGEINT) >= 9223372036854775808
+              |    THEN CAST($u AS HUGEINT) - 18446744073709551616
+              |    ELSE CAST($u AS HUGEINT) END AS BIGINT) AS h""".stripMargin
+    val d = if (distinctMixed) "DISTINCT " else ""
+    s"""s0 AS (SELECT $cols
+       |  ($inputExpr + 11400714819323198485) % 18446744073709551616 AS z1 FROM $src),
+       |s1 AS (SELECT $cols${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
+       |s2 AS (SELECT $cols${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
+       |mixed AS (SELECT $d$cols$out FROM s2)""".stripMargin
+  }
+
   /** q109's oracle: mix64(fnv1a64(props)) — the fnv fold above feeds the
     * same splitmix64 split-multiply stages as q106, then DISTINCT ON THE
     * HASH (mirroring the sketch's dedup key), unsigned bottom-k, and the
     * estimator in the identical IEEE sequence. */
   private def q109Oracle(k: Int): String = {
-    def mulmod(a: String, b: String): String =
-      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
-    def xorShift(u: String, s: Int): String =
-      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     s"""WITH vals AS (SELECT DISTINCT event_type, props FROM events
        |  WHERE props IS NOT NULL),
        |exact AS (SELECT event_type, count(*) AS n_exact FROM vals GROUP BY event_type),
        |fnv AS (SELECT event_type, ${fnvFold("props")} AS fh FROM vals),
-       |s0 AS (SELECT event_type,
-       |  (fh + 11400714819323198485) % 18446744073709551616 AS z1 FROM fnv),
-       |s1 AS (SELECT event_type, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
-       |s2 AS (SELECT event_type, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
-       |mixed AS (SELECT DISTINCT event_type,
-       |  xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |${mix64Stages("fnv", Seq("event_type"), "fh", distinctMixed = true)},
        |ranked AS (SELECT event_type, vu,
        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vu) AS rk FROM mixed),
        |grp AS (SELECT event_type, count(*) AS nd,
@@ -449,25 +474,13 @@ object RelationalQueries5 {
     * VARCHAR))) — signed-order bottom-k rank, value-sorted sample,
     * nearest-rank selection, all in the identical arithmetic. */
   private def q110Oracle(k: Int): String = {
-    def mulmod(a: String, b: String): String =
-      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
-    def xorShift(u: String, s: Int): String =
-      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     def sel(q: String): String =
       s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
     s"""WITH base AS (SELECT event_type, CAST(event_id AS VARCHAR) AS sid,
        |  CAST(value AS DOUBLE) AS v FROM events
        |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
        |fnv AS (SELECT event_type, v, ${fnvFold("sid")} AS fh FROM base),
-       |s0 AS (SELECT event_type, v,
-       |  (fh + 11400714819323198485) % 18446744073709551616 AS z1 FROM fnv),
-       |s1 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
-       |s2 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
-       |mixed AS (SELECT event_type, v,
-       |  CAST(CASE WHEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) >= 9223372036854775808
-       |    THEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) - 18446744073709551616
-       |    ELSE CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) END AS BIGINT) AS h
-       |  FROM s2),
+       |${mix64Stages("fnv", Seq("event_type", "v"), "fh", signedOut = true)},
        |ranked AS (SELECT event_type, v,
        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM mixed),
        |samp AS (SELECT event_type, list(v ORDER BY v) AS sorted, count(*) AS n
@@ -483,10 +496,6 @@ object RelationalQueries5 {
     * every global bottom-k hash is in its own group's bottom-k), then the
     * estimator and ρ arithmetic in the kernel's exact IEEE sequence. */
   private def q108Oracle(k: Int): String = {
-    def mulmod(a: String, b: String): String =
-      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
-    def xorShift(u: String, s: Int): String =
-      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     // (k-1)·2^64/u from the k-th UBIGINT hash, exact when nd < k; the
     // signed→double(+2^64) sequence mirrors Sketches.kmvEstimateKernel
     def est(nd: String, vuk: String): String =
@@ -498,12 +507,8 @@ object RelationalQueries5 {
          |  END""".stripMargin
     s"""WITH vals AS (SELECT DISTINCT event_type AS g, user_id FROM events
        |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
-       |s0 AS (SELECT g,
-       |  (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
-       |  FROM vals),
-       |s1 AS (SELECT g, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
-       |s2 AS (SELECT g, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
-       |hashes AS (SELECT g, xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |${mix64Stages("vals", Seq("g"), "CAST(user_id AS HUGEINT)")},
+       |hashes AS (SELECT g, vu FROM mixed),
        |gk AS (SELECT g, vu, ROW_NUMBER() OVER (PARTITION BY g ORDER BY vu) AS rk FROM hashes),
        |ga AS (SELECT vu FROM gk WHERE g = 'click' AND rk <= $k),
        |gb AS (SELECT vu FROM gk WHERE g = 'view' AND rk <= $k),
@@ -538,24 +543,11 @@ object RelationalQueries5 {
     * value-sorted sample list, nearest-rank selection with the identical
     * floor/index arithmetic. */
   private def q107Oracle(k: Int): String = {
-    def mulmod(a: String, b: String): String =
-      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
-    def xorShift(u: String, s: Int): String =
-      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     def sel(q: String): String =
       s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
     s"""WITH base AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
        |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
-       |s0 AS (SELECT event_type, v,
-       |  (CAST(event_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
-       |  FROM base),
-       |s1 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
-       |s2 AS (SELECT event_type, v, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
-       |mixed AS (SELECT event_type, v,
-       |  CAST(CASE WHEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) >= 9223372036854775808
-       |    THEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) - 18446744073709551616
-       |    ELSE CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) END AS BIGINT) AS h
-       |  FROM s2),
+       |${mix64Stages("base", Seq("event_type", "v"), "CAST(event_id AS HUGEINT)", signedOut = true)},
        |ranked AS (SELECT event_type, v,
        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM mixed),
        |samp AS (SELECT event_type, list(v ORDER BY v) AS sorted, count(*) AS n
@@ -572,18 +564,9 @@ object RelationalQueries5 {
     * value → double → +2^64 when negative — not a direct unsigned cast,
     * which could double-round differently). */
   private def q106Oracle(k: Int): String = {
-    def mulmod(a: String, b: String): String =
-      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
-    def xorShift(u: String, s: Int): String =
-      s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     s"""WITH vals AS (SELECT DISTINCT event_type, user_id FROM events
        |  WHERE user_id IS NOT NULL),
-       |s0 AS (SELECT event_type,
-       |  (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
-       |  FROM vals),
-       |s1 AS (SELECT event_type, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
-       |s2 AS (SELECT event_type, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
-       |mixed AS (SELECT event_type, xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS vu FROM s2),
+       |${mix64Stages("vals", Seq("event_type"), "CAST(user_id AS HUGEINT)")},
        |ranked AS (SELECT event_type, vu,
        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vu) AS rk FROM mixed),
        |grp AS (SELECT event_type, count(*) AS nd,
