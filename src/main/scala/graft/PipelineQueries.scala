@@ -315,5 +315,28 @@ object PipelineQueries {
              |FROM events, mx
              |GROUP BY 1, 2, mx.m
              |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR + INTERVAL 2 HOUR <= mx.m""".stripMargin)),
+
+    // Streaming KMV sketch under the oracle gate: the events table
+    // replayed as a file stream through kmvDistinctStream (Update mode).
+    // The estimate is monotone non-decreasing as values arrive (the k-th
+    // smallest hash only ever decreases), so max over the Update-mode
+    // emissions IS the final state — which equals the batch sketch
+    // bit-for-bit (shared insert kernel, inserts commute), so the oracle
+    // is q106's chain minus the exact-count column. This puts the
+    // STREAMING sketch path itself, not just its spec parity, under the
+    // cross-engine hash gate every round.
+    Q("q115_streaming_kmv",
+      (spark, dir) => {
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
+          df => EventStream.kmvDistinctStream(spark, df,
+            "event_type", "user_id", 64).toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          s"q115_${math.abs(dir.hashCode)}")
+          .groupBy(col("group"))
+          .agg(max(col("kmv_estimate")).as("m"))
+          .select(col("group").as("event_type"),
+            round(col("m"), 4).as("kmv_estimate"))
+      },
+      Some(RelationalQueries5.kmvEventsOracle(64, includeExact = false))),
   )
 }

@@ -563,7 +563,16 @@ object RelationalQueries5 {
     * the IDENTICAL IEEE sequence as Sketches.kmvDistinct (signed k-th
     * value → double → +2^64 when negative — not a direct unsigned cast,
     * which could double-round differently). */
-  private def q106Oracle(k: Int): String = {
+  private def q106Oracle(k: Int): String =
+    kmvEventsOracle(k, includeExact = true)
+
+  /** The events-table KMV sketch replayed in DuckDB — q106's oracle, and
+    * (without the exact-count column) q115's: the STREAMING sketch's
+    * final state equals the batch sketch by construction (shared insert
+    * kernel, inserts commute), so one oracle serves both forms.
+    * package-visible for PipelineQueries' streaming gate. */
+  private[graft] def kmvEventsOracle(k: Int, includeExact: Boolean): String = {
+    val exactCol = if (includeExact) "CAST(nd AS BIGINT) AS n_exact,\n  " else ""
     s"""WITH vals AS (SELECT DISTINCT event_type, user_id FROM events
        |  WHERE user_id IS NOT NULL),
        |${mix64Stages("vals", Seq("event_type"), "CAST(user_id AS HUGEINT)")},
@@ -575,7 +584,7 @@ object RelationalQueries5 {
        |  CAST(CASE WHEN CAST(vu_k AS HUGEINT) >= 9223372036854775808
        |    THEN CAST(vu_k AS HUGEINT) - 18446744073709551616
        |    ELSE CAST(vu_k AS HUGEINT) END AS BIGINT) AS vk FROM grp)
-       |SELECT event_type, CAST(nd AS BIGINT) AS n_exact,
+       |SELECT event_type, $exactCol
        |  round(CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
        |    ELSE ${k - 1}.0 * 18446744073709551616.0 /
        |      (CASE WHEN vk >= 0 THEN CAST(vk AS DOUBLE)
