@@ -721,6 +721,37 @@ object SimilarityQueries {
              |  CAST(unit_sum AS BIGINT), CAST(value_sum AS BIGINT)
              |FROM wav_agg WHERE n > 0""".stripMargin)),
 
+    // Frame sampling under the gate: the explode pattern a real frame
+    // sampler uses — one row per every-Nth frame of each "video" — over
+    // the stub-decode layer (whose per-byte metadata is deterministic,
+    // so the oracle replays frame counts, frame numbers and widths
+    // exactly: w = 1 + first byte&0x7f, frames = floor(bytes/4), ASCII
+    // corpus ⇒ unicode(char) == byte). Gates the decode→explode
+    // plumbing the multimodal ingest shares with any real decoder.
+    Q("q116_frame_sampling",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val decoded = Multimodal.decode(Multimodal.syntheticMedia(d))
+        Multimodal.sampleFrames(decoded, everyN = 4)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("frame_no")).as("frame_no_sum"),
+            sum(col("width").cast("bigint")).as("width_sum"))
+      },
+      Some("""WITH vids AS (
+             |  SELECT doc_id, strlen(coalesce(text,'')) AS bytes,
+             |    CASE WHEN strlen(coalesce(text,'')) >= 1
+             |      THEN 1 + (unicode(text[1]) & 127) ELSE 0 END AS w
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |frames AS (
+             |  SELECT v.doc_id, k.k * 4 AS frame_no, v.w
+             |  FROM vids v, generate_series(0, 511) k(k)
+             |  WHERE v.bytes >= 4 AND k.k <= CAST(v.bytes // 4 AS INT) - 1)
+             |SELECT CAST(doc_id % 10 AS BIGINT) AS bucket, count(*) AS n_frames,
+             |  CAST(sum(frame_no) AS BIGINT) AS frame_no_sum,
+             |  CAST(sum(w) AS BIGINT) AS width_sum
+             |FROM frames GROUP BY 1""".stripMargin)),
+
     // REAL container-header extraction (PNG IHDR / WAV fmt / MP4 ftyp
     // parsed from actual bytes — the pre-decode filter pass of a media
     // ingest). The builders put deterministic doc_id-derived values into
