@@ -395,7 +395,10 @@ object RelationalQueries5 {
 
   /** fnv1a64 over a string column as a DuckDB HUGEINT fold (mod 2^64) —
     * the q37/q38 oracle machinery: per-char unicode() == the UTF-8 byte
-    * for ASCII input. Returns the UNSIGNED hash in [0, 2^64).
+    * for ASCII input ONLY, and the JVM kernel folds raw UTF-8 bytes, so
+    * any non-ASCII char would silently diverge from the gate — the CASE
+    * guard raises a named error() instead, turning a future non-ASCII
+    * fixture into an explicit failure rather than a bare hash mismatch.
     * Empty-string guard: string_split('', '') yields [''] whose
     * unicode('') is -1 — a bogus "byte" the JVM fold never sees (fnv1a64
     * of "" is the untouched offset basis); list_filter drops it (non-
@@ -404,7 +407,9 @@ object RelationalQueries5 {
     s"""list_reduce(
        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |      list_transform(list_filter(string_split($colExpr, ''), c -> c <> ''),
-       |        c -> CAST(unicode(c) AS HUGEINT))),
+       |        c -> CASE WHEN unicode(c) BETWEEN 0 AND 127
+       |          THEN CAST(unicode(c) AS HUGEINT)
+       |          ELSE CAST(error('non-ASCII byte in fnvFold oracle input — JVM kernel folds UTF-8 bytes; fixture must stay ASCII') AS HUGEINT) END)),
        |    (h, b) -> ((h - (h % 256) +
        |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
        |      * 1099511628211) % 18446744073709551616)""".stripMargin

@@ -739,14 +739,18 @@ object SimilarityQueries {
             sum(col("width").cast("bigint")).as("width_sum"))
       },
       Some("""WITH vids AS (
-             |  SELECT doc_id, strlen(coalesce(text,'')) AS bytes,
+             |  SELECT doc_id,
+             |    CASE WHEN strlen(coalesce(text,'')) = length(coalesce(text,''))
+             |      THEN strlen(coalesce(text,''))
+             |      ELSE error('non-ASCII text in q116 oracle fixture — unicode(char) only equals the UTF-8 byte for ASCII') END AS bytes,
              |    CASE WHEN strlen(coalesce(text,'')) >= 1
              |      THEN 1 + (unicode(text[1]) & 127) ELSE 0 END AS w
              |  FROM documents WHERE doc_id % 3 = 2),
              |frames AS (
-             |  SELECT v.doc_id, k.k * 4 AS frame_no, v.w
-             |  FROM vids v, generate_series(0, 511) k(k)
-             |  WHERE v.bytes >= 4 AND k.k <= CAST(v.bytes // 4 AS INT) - 1)
+             |  SELECT doc_id,
+             |    unnest(generate_series(0, CAST(bytes // 4 AS INT) - 1)) * 4 AS frame_no,
+             |    w
+             |  FROM vids WHERE bytes >= 4)
              |SELECT CAST(doc_id % 10 AS BIGINT) AS bucket, count(*) AS n_frames,
              |  CAST(sum(frame_no) AS BIGINT) AS frame_no_sum,
              |  CAST(sum(w) AS BIGINT) AS width_sum

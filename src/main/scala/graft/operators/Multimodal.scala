@@ -301,10 +301,18 @@ object Multimodal {
     *                   pixel(x,y) = (id·31 + x·7 + y·13) mod 256
     * doc_id % 3 == 1 → WAV PCM16 mono 8 kHz, n = 64 + id%64 samples,
     *                   sample(i) = ((id·37 + i·11) mod 4096) − 2048
-    * otherwise       → MP4 (no JDK decoder — exercises the drop path). */
+    * otherwise       → MP4 (no JDK decoder — exercises the drop path).
+    *
+    * doc_id must be NONNEGATIVE: the oracle's pixel/sample formulas use
+    * SQL `%` on nonnegative ids, and Scala's signed `%` (plus the
+    * `8 + id % 16` dimension arithmetic) diverges below zero — rejected
+    * loudly here rather than surfacing as a NegativeArraySizeException
+    * in the PNG builder or a silent oracle divergence. */
   def realMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].map { id =>
+      require(id >= 0, s"realMedia: doc_id must be nonnegative, got $id " +
+        "(oracle formulas use nonnegative % semantics)")
       (id % 3) match {
         case 0 =>
           val w = (8 + id % 16).toInt

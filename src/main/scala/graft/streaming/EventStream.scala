@@ -164,6 +164,16 @@ object EventStream {
       groupCol: String, valueCol: String, k: Int = 64,
       groupTtl: Option[String] = None): org.apache.spark.sql.Dataset[DistinctEstimate] = {
     import spark.implicits._
+    // validate the TTL duration string NOW: setTimeoutDuration only parses
+    // it executor-side per batch, so a typo ("10 minuets") would otherwise
+    // fail the streaming query at runtime mid-stream instead of here
+    groupTtl.foreach { ttl =>
+      val ms =
+        try org.apache.spark.network.util.JavaUtils.timeStringAsMs(ttl)
+        catch { case e: NumberFormatException => throw new IllegalArgumentException(
+          s"kmvDistinctStream: malformed groupTtl '$ttl' (expected e.g. '10 minutes')", e) }
+      require(ms > 0, s"kmvDistinctStream: groupTtl '$ttl' must be a positive duration")
+    }
     // hash + sign-flip on the Column side (same expressions as the batch
     // plan); the state fold then inserts ready-made flipped hashes
     val flipped = graft.operators.Sketches.hashInput(df, valueCol)

@@ -203,6 +203,17 @@ class SketchesSpec extends SparkSuite {
       graft.streaming.EventStream.kmvDistinctStream(spark, dbl, "grp", "v"))
   }
 
+  test("streaming KMV validates groupTtl at construction, not mid-stream") {
+    val df = Seq(("g", 1L)).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
+        groupTtl = Some("10 minuets")))
+    assert(e.getMessage.contains("10 minuets"))
+    intercept[IllegalArgumentException](
+      graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
+        groupTtl = Some("0 seconds")))
+  }
+
   test("streaming KMV TTL branch: timeout removes state, updates re-arm the clock") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.TestGroupState
