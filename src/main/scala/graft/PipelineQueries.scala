@@ -338,5 +338,41 @@ object PipelineQueries {
             round(col("m"), 4).as("kmv_estimate"))
       },
       Some(RelationalQueries5.kmvEventsOracle(64, includeExact = false))),
+
+    // Stream-STREAM interval join under the oracle gate: the events table
+    // replayed as a file stream, split into click/purchase substreams, and
+    // joined through purchaseAttribution (watermarked interval join — the
+    // state-store join operator, not a static broadcast). The file source
+    // delivers all files in one trigger and the initial watermark is 0, so
+    // nothing is late-dropped and Append emits exactly the full interval
+    // join — which the oracle replays as a plain self-join in DuckDB. All
+    // aggregates are integer (epoch-ms lags, id sums), so the hash is
+    // exact. Batch-split robustness of the join itself is Spark's state
+    // machinery (exercised further in StreamingRecoverySpec).
+    Q("q117_streaming_interval_join",
+      (spark, dir) => {
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
+          df => EventStream.purchaseAttribution(
+            df.filter(col("event_type") === "click"),
+            df.filter(col("event_type") === "purchase"),
+            windowMinutes = 30),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q117_${math.abs(dir.hashCode)}")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+              .as("lag_ms_sum"),
+            sum(col("click_id")).as("click_id_sum"),
+            sum(col("purchase_id")).as("purchase_id_sum"))
+      },
+      Some("""SELECT p.user_id AS user_id, count(*) AS n_pairs,
+             |  CAST(sum(epoch_ms(p.ts) - epoch_ms(c.ts)) AS BIGINT) AS lag_ms_sum,
+             |  CAST(sum(c.event_id) AS BIGINT) AS click_id_sum,
+             |  CAST(sum(p.event_id) AS BIGINT) AS purchase_id_sum
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             |GROUP BY 1""".stripMargin)),
   )
 }
