@@ -266,5 +266,55 @@ object CurationQueries {
              |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
              |  round(CAST(tot AS DOUBLE) / k / n_tokens, 6) AS weight
              |FROM s, t""".stripMargin)),
+
+    // Fixed-point PageRank (operators/Graph.scala) — the link-analysis
+    // quality prior of a web-crawl curation pipeline, over the bipartite
+    // customer↔supplier interaction graph (both directions, supplier ids
+    // offset into their own namespace). All arithmetic is integer
+    // micro-units, so the oracle unrolls every iteration exactly: per
+    // round, contrib = pr // outdeg summed per target, then
+    // pr' = 150000 + (85·recv) // 100. Top-20 with a total-order
+    // tiebreak (pr desc, node asc).
+    Q("q118_pagerank",
+      (spark, dir) => {
+        val o = Tables.load(spark, dir, "orders")
+        val l = Tables.load(spark, dir, "lineitem")
+        val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(10000000L)).as("dst"))
+          .distinct()
+        val edges = fwd
+          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        graft.operators.Graph.pageRank(edges, iterations = 4)
+          .orderBy(desc("pr"), asc("node"))
+          .limit(20)
+      },
+      Some(pageRankOracle(4))),
   )
+
+  /** The q118 oracle: the ENTIRE fixed-point PageRank chain unrolled as
+    * SQL CTEs — same integer micro-unit arithmetic as Graph.pageRank
+    * (DuckDB `//` floors, Spark DIV truncates: identical on the
+    * all-positive domain), one (contrib, rank) CTE pair per iteration. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH fwd AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |c$i AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS recv
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.node, 150000 + (85 * coalesce(c.recv, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }.mkString
+    head + its +
+      s"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY pr DESC, node LIMIT 20"
+  }
 }

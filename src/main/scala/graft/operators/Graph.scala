@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators — the graph-shaped curation signals of a
+  * web-scale training-data pipeline (PageRank over a hyperlink or
+  * interaction graph is the classic quality prior attached to crawled
+  * documents before filtering).
+  *
+  * ALL rank arithmetic is integer fixed-point in micro-units (the q94
+  * integer-micro-nat discipline): partial sums of longs commute exactly,
+  * so the result is independent of partitioning AND the whole iteration
+  * chain replays bit-for-bit in SQL — floating-point PageRank would
+  * hash-diverge on summation order alone. Per iteration each node sends
+  * `pr DIV outdeg` (integral division) along every out-edge and updates
+  * to `BASE + (DAMP_NUM * received) DIV DAMP_DEN` (damping 0.85,
+  * BASE = 0.15 in micro-units). Nodes with no out-edges leak their mass
+  * (the "leaked mass" dangling variant) — avoiding the global
+  * dangling-sum scalar keeps each iteration ONE join + ONE aggregation
+  * with no driver round-trip, and determinism is unaffected.
+  *
+  * 100 TB shape: per iteration, contributions = edges ⋈ ranks on src (a
+  * key-partitioned shuffle join) then groupBy(dst) with map-side partial
+  * aggregation; ranks is one slim row per node. Bucket the edge table by
+  * src so the per-iteration join reuses the bucketing instead of
+  * re-shuffling the (large, static) edge side every round — only the
+  * small rank frame moves. No collect, no driver state, O(iterations)
+  * stages.
+  */
+object Graph {
+  /** 1.0 in micro-units — every node's initial rank. */
+  val Scale = 1000000L
+  private val Base = 150000L // 0.15 * Scale
+  private val DampNum = 85L
+  private val DampDen = 100L
+
+  /** Fixed-point PageRank over an edge list with columns (src, dst),
+    * both integral node ids. Multi-edges count multiply — dedup upstream
+    * if the graph is simple. Returns (node, pr) with pr in micro-units.
+    *
+    * @param iterations unrolled iteration count (each is one join + one
+    *                   aggregation; callers gate small fixed counts, the
+    *                   convergence loop is the caller's policy)
+    */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // static across iterations: every edge annotated with its source's
+    // out-degree, so the loop joins one frame instead of two
+    val degEdges = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+
+    var ranks = nodes.select(col("node"), lit(Scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      val received = degEdges
+        .join(ranks, degEdges("src") === ranks("node"))
+        .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("recv"))
+      ranks = nodes
+        .join(received, nodes("node") === received("dst"), "left")
+        .select(col("node"),
+          (lit(Base) + expr(s"($DampNum * coalesce(recv, CAST(0 AS BIGINT))) DIV $DampDen"))
+            .as("pr"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank kernel: exact hand-computed values (the integer
+  * micro-unit arithmetic is specified, so the assertion is equality, not
+  * tolerance), dangling-leak semantics, and the symmetric fixed point. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("2-cycle is an exact fixed point at Scale") {
+    // each node forwards its whole rank: recv = 1e6, pr' = 150000 + 850000
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), 5)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("hub-and-spokes: exact values after 2 iterations") {
+    // 1→2, 1→3, 2→1, 3→1; outdeg(1)=2, others 1.
+    // i1: recv(1)=2e6 → 1850000; recv(2)=recv(3)=500000 → 575000
+    // i2: 1 sends 925000 each; 2,3 send 575000 each
+    //     pr(1)=150000+(85*1150000)/100=1127500
+    //     pr(2)=pr(3)=150000+(85*925000)/100=936250
+    val r = ranks(Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)), 2)
+    assert(r == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
+  test("dangling node leaks mass; source without inlinks decays to base") {
+    // single edge 1→2: node 2 has no out-edges (its mass leaks), node 1
+    // receives nothing. i1: pr(1)=150000, pr(2)=1000000.
+    // i2: pr(2)=150000+(85*150000)/100=277500.
+    val r1 = ranks(Seq((1L, 2L)), 1)
+    assert(r1 == Map(1L -> 150000L, 2L -> 1000000L))
+    val r2 = ranks(Seq((1L, 2L)), 2)
+    assert(r2 == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("zero iterations returns the uniform initialization") {
+    val r = ranks(Seq((7L, 8L)), 0)
+    assert(r == Map(7L -> Graph.Scale, 8L -> Graph.Scale))
+  }
+
+  test("result is independent of input partitioning (integer sums commute)") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 13) % 41))
+      .distinct
+    val a = Graph.pageRank(edges.toDF("src", "dst").repartition(1), 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(16), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}
