@@ -391,7 +391,76 @@ object RelationalQueries5 {
           "event_sid", "value", Seq(0.5, 0.9, 0.99), k = 256)
       },
       Some(q110Oracle(256))),
+
+    // Deterministic Bloom-filter join pruning (operators/Bloom.scala) —
+    // the runtime-filter primitive: build the bit array over one
+    // customer segment's keys, probe every distinct order customer, and
+    // hash the VERDICTS (pass / actual / false-positive counts per key
+    // bucket). The oracle replays the position arithmetic exactly — two
+    // splitmix64 chains (h1, h2|1), Kirsch–Mitzenmacher positions
+    // (h1 + i·h2) mod 2^64 mod m, build-side position set, probe =
+    // every distinct position present — so the filter's false positives
+    // themselves are gated, not just its no-false-negative property.
+    // m = 4096 keeps a visible FP rate at the test SFs; the operator
+    // takes m/k from the caller (2^19+ for a 100 TB build side).
+    Q("q119_bloom_prune",
+      (spark, dir) => {
+        val cust = Tables.load(spark, dir, "customer")
+        val ords = Tables.load(spark, dir, "orders")
+        val buildSide = cust.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("key"))
+        val words = graft.operators.Bloom.build(buildSide, "key", 4096, 3)
+        ords.select(col("o_custkey").as("key")).distinct()
+          .withColumn("pass",
+            graft.operators.Bloom.mightContain(words, 4096, 3)(col("key")))
+          .join(buildSide.withColumn("actual", lit(true)), Seq("key"), "left")
+          .groupBy((col("key") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_probe"),
+            count(when(col("pass"), 1)).as("n_pass"),
+            count(when(col("actual"), 1)).as("n_actual"),
+            count(when(col("pass") && col("actual").isNull, 1)).as("n_fp"))
+      },
+      Some(q119Oracle(4096, 3))),
   )
+
+  /** The q119 oracle: Bloom build + probe replayed in SQL. Two mix64
+    * chains (prefixes `a`/`b`) give h1 and h2 per distinct key;
+    * h2 is forced odd as in the JVM kernel; positions are
+    * (h1 + i·h2) mod 2^64 mod m (m a power of two, so the unsigned mod
+    * equals the JVM's `& (m-1)` on the wrapped sum). The filter IS the
+    * build side's distinct position set; a probe key passes iff every
+    * one of its distinct positions is present. −7046029254386353131 is
+    * Bloom.H2Seed (0x9e3779b97f4a7c15) as a signed BIGINT for the xor. */
+  private def q119Oracle(m: Int, k: Int): String =
+    s"""WITH bkeys AS (SELECT DISTINCT c_custkey AS key FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+       |keys AS (SELECT key FROM bkeys UNION SELECT key FROM pkeys),
+       |${mix64Stages("keys", Seq("key"), "CAST(key AS HUGEINT)", prefix = "a")},
+       |h1 AS (SELECT key, CAST(vu AS HUGEINT) AS h1u FROM amixed),
+       |${mix64Stages("keys", Seq("key"),
+           "(CAST(xor(CAST(key AS BIGINT), -7046029254386353131) AS HUGEINT) + 18446744073709551616) % 18446744073709551616",
+           prefix = "b")},
+       |h2 AS (SELECT key,
+       |  CAST(vu AS HUGEINT) - (CAST(vu AS HUGEINT) % 2) + 1 AS h2u FROM bmixed),
+       |pos AS (SELECT h1.key,
+       |    ((h1.h1u + i.i * h2.h2u) % 18446744073709551616) % $m AS pos
+       |  FROM h1 JOIN h2 ON h1.key = h2.key,
+       |    generate_series(0, ${k - 1}) i(i)),
+       |bpos AS (SELECT DISTINCT pos FROM pos
+       |  WHERE key IN (SELECT key FROM bkeys)),
+       |ppos AS (SELECT DISTINCT key, pos FROM pos
+       |  WHERE key IN (SELECT key FROM pkeys)),
+       |verdict AS (SELECT p.key, count(*) AS npos, count(b.pos) AS nhit
+       |  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos GROUP BY 1),
+       |flags AS (SELECT v.key, (v.npos = v.nhit) AS pass,
+       |    (bk.key IS NOT NULL) AS actual
+       |  FROM verdict v LEFT JOIN bkeys bk ON v.key = bk.key)
+       |SELECT CAST(key % 10 AS BIGINT) AS bucket, count(*) AS n_probe,
+       |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+       |  CAST(sum(CASE WHEN pass AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+       |FROM flags GROUP BY 1""".stripMargin
 
   /** fnv1a64 over a string column as a DuckDB HUGEINT fold (mod 2^64) —
     * the q37/q38 oracle machinery: per-char unicode() == the UTF-8 byte
@@ -430,9 +499,13 @@ object RelationalQueries5 {
     * emits the hash UNSIGNED as `vu` (or signed BIGINT as `h` when
     * `signedOut` — the bottom-k-sample aggregator compares signed
     * longs), optionally DISTINCT (the sketch's dedup-on-hash key).
-    * Emitted WITHOUT a leading WITH — append after an existing CTE. */
+    * Emitted WITHOUT a leading WITH — append after an existing CTE.
+    * `prefix` renames the CTE chain (`a0`…`amixed`) so one oracle can
+    * hold several independent hash chains (the q119 bloom oracle needs
+    * two). */
   private def mix64Stages(src: String, carry: Seq[String], inputExpr: String,
-      distinctMixed: Boolean = false, signedOut: Boolean = false): String = {
+      distinctMixed: Boolean = false, signedOut: Boolean = false,
+      prefix: String = "s"): String = {
     val cols = carry.map(_ + ", ").mkString
     val u = "xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31)"
     val out =
@@ -441,11 +514,13 @@ object RelationalQueries5 {
               |    THEN CAST($u AS HUGEINT) - 18446744073709551616
               |    ELSE CAST($u AS HUGEINT) END AS BIGINT) AS h""".stripMargin
     val d = if (distinctMixed) "DISTINCT " else ""
-    s"""s0 AS (SELECT $cols
+    val (c0, c1, c2) = (s"${prefix}0", s"${prefix}1", s"${prefix}2")
+    val mixedName = if (prefix == "s") "mixed" else s"${prefix}mixed"
+    s"""$c0 AS (SELECT $cols
        |  ($inputExpr + 11400714819323198485) % 18446744073709551616 AS z1 FROM $src),
-       |s1 AS (SELECT $cols${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
-       |s2 AS (SELECT $cols${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
-       |mixed AS (SELECT $d$cols$out FROM s2)""".stripMargin
+       |$c1 AS (SELECT $cols${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM $c0),
+       |$c2 AS (SELECT $cols${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM $c1),
+       |$mixedName AS (SELECT $d$cols$out FROM $c2)""".stripMargin
   }
 
   /** q109's oracle: mix64(fnv1a64(props)) — the fnv fold above feeds the
