@@ -421,7 +421,57 @@ object RelationalQueries5 {
             count(when(col("pass") && col("actual").isNull, 1)).as("n_fp"))
       },
       Some(q119Oracle(4096, 3))),
+
+    // Deterministic HLL-shaped register sketch (Sketches.hllRaw) — the
+    // fixed-memory counterpart to q106's KMV, every stage specified so
+    // the oracle rebuilds registers AND estimate exactly: top-6-bit
+    // register index, rho = leading zeros of the 58-bit window + 1
+    // capped at 40 (keeps the register-term sum exactly double-
+    // representable), raw α₆₄ estimator with no ln-based corrections.
+    // event_id gives each group its own ~2k-distinct set (unlike
+    // user_id, where all groups share the same 150 users and every
+    // register pattern would coincide).
+    Q("q120_hll_sketch",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val est = graft.operators.Sketches.hllRaw(e, "event_type", "event_id")
+        val exact = e.groupBy(col("event_type"))
+          .agg(countDistinct(col("event_id")).as("n_exact"))
+        exact.join(est, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            round(col("hll_estimate"), 4).as("hll_estimate"))
+      },
+      Some(q120Oracle)),
   )
+
+  /** The q120 oracle: the full HLL register pipeline in SQL — mix64 via
+    * the shared stage chain, register split by integer div/mod on 2^58,
+    * rho from strlen(bin(w)) (bin() emits no leading zeros, so its
+    * length IS the bit length), max per register, and the raw estimator
+    * in the identical IEEE multiply-chain order. */
+  private def q120Oracle: String =
+    s"""WITH vals AS (SELECT DISTINCT event_type, event_id FROM events
+       |  WHERE event_id IS NOT NULL),
+       |exact AS (SELECT event_type, count(*) AS n_exact FROM vals GROUP BY 1),
+       |${mix64Stages("vals", Seq("event_type"), "CAST(event_id AS HUGEINT)")},
+       |reg AS (SELECT event_type,
+       |    CAST(CAST(vu AS HUGEINT) // 288230376151711744 AS BIGINT) AS idx,
+       |    CAST(CAST(vu AS HUGEINT) % 288230376151711744 AS UBIGINT) AS w
+       |  FROM mixed),
+       |rho AS (SELECT event_type, idx,
+       |    LEAST(CASE WHEN w = 0 THEN 59
+       |      ELSE 58 - CAST(strlen(bin(w)) AS INT) + 1 END, 40) AS m
+       |  FROM reg),
+       |regmax AS (SELECT event_type, idx, max(m) AS reg FROM rho GROUP BY 1, 2),
+       |sums AS (SELECT event_type,
+       |    sum(CAST(1 AS BIGINT) << CAST(40 - reg AS INT)) AS present_sum,
+       |    count(*) AS npresent
+       |  FROM regmax GROUP BY 1)
+       |SELECT s.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+       |  round(CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 /
+       |    CAST(present_sum + (64 - npresent) * 1099511627776 AS DOUBLE), 4)
+       |    AS hll_estimate
+       |FROM sums s JOIN exact e ON s.event_type = e.event_type""".stripMargin
 
   /** The q119 oracle: Bloom build + probe replayed in SQL. Two mix64
     * chains (prefixes `a`/`b`) give h1 and h2 per distinct key;

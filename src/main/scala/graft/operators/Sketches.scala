@@ -197,6 +197,59 @@ object Sketches {
     * same as the kmv paths; ~n²/2^65 expected collisions, negligible at
     * any real sample size). Integral ids keep the exact guarantee (the
     * hash is a bijection). */
+  /** Deterministic HLL-shaped distinct sketch — the register form of
+    * cardinality estimation (fixed memory: 64 registers per group,
+    * vs KMV's k hashes), with every stage SPECIFIED so a second engine
+    * replays it bit-for-bit; Spark's own `approx_count_distinct` HLL is
+    * implementation-defined (q25 stays rows-only for that reason), this
+    * is the comparable-by-construction counterpart.
+    *
+    * Spec: hash = [[hashInput]] (the oracled mix64 dispatch); register
+    * index = top 6 bits of the unsigned hash (m = 64 registers); rho =
+    * 1 + leading zeros of the remaining 58-bit window (59 when the
+    * window is all-zero), CAPPED at 40 so the per-register term
+    * 2^(40−rho) stays a long and the per-group SUM (≤ 64·2^40 = 2^46)
+    * converts to double exactly — summation order cannot matter, which
+    * is what makes the estimate cross-engine exact. Estimate =
+    * α₆₄·m²·2^40 / Σ 2^(40−M_j) with α₆₄ = 0.709 — the raw HLL
+    * estimator, deliberately WITHOUT the small/large-range corrections
+    * (those need ln/linear-counting branches whose libm values differ
+    * across engines; the raw form is one IEEE multiply chain + divide).
+    * Empty registers contribute 2^40 (M_j = 0), as in standard HLL.
+    *
+    * Scale shape: one (group, idx) max-aggregation — partial max
+    * map-side, 64 slim rows per group per map task — then a per-group
+    * fold. Registers merge by max, so the sketch is partition- and
+    * stream-mergeable by construction. */
+  def hllRaw(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = hashInput(df, valueCol)
+    // idx and capped rho fused in one udf (wrapping/unsigned long ops —
+    // Column arithmetic would trip ANSI), encoded idx*256 + rho
+    val regUdf = udf((x: java.lang.Long) =>
+      if (x == null) null
+      else {
+        val u = x.longValue()
+        val idx = (u >>> 58).toInt
+        val w = u & ((1L << 58) - 1)
+        val rho = if (w == 0L) 59 else java.lang.Long.numberOfLeadingZeros(w) - 5
+        java.lang.Integer.valueOf(idx * 256 + math.min(rho, 40))
+      })
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), regUdf(h).as("_im"))
+      .select(col(groupCol), expr("_im DIV 256").as("_idx"),
+        expr("_im % 256").as("_m"))
+      .groupBy(col(groupCol), col("_idx"))
+      .agg(max(col("_m")).as("_reg"))
+      .groupBy(col(groupCol))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - _reg)")).as("_ps"),
+        count(lit(1)).as("_np"))
+      .select(col(groupCol),
+        (lit(0.709) * lit(4096.0) * lit(1099511627776.0) /
+          (col("_ps") + (lit(64L) - col("_np")) * lit(1099511627776L))
+            .cast("double"))
+          .as("hll_estimate"))
+  }
+
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, qs: Seq[Double], k: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0))

@@ -197,6 +197,27 @@ class SketchesSpec extends SparkSuite {
       s"string-keyed stream $got != batch $expected")
   }
 
+  test("HLL raw sketch: near truth at n >> m, deterministic, partition-invariant") {
+    val n = 10000L
+    val df = spark.range(n).select(lit("g").as("grp"), col("id").as("v"))
+    def est(parts: Int) = Sketches.hllRaw(df.repartition(parts), "grp", "v")
+      .select("hll_estimate").as[Double].head()
+    val e1 = est(1)
+    // m=64 registers → relative error ~1.04/sqrt(64) = 13%; raw estimator
+    // (no corrections) at n/m ≈ 156 sits well inside 35%
+    assert(math.abs(e1 - n) / n < 0.35, s"estimate $e1 vs $n")
+    assert(est(16) == e1, "register max must commute across partitionings")
+  }
+
+  test("HLL raw sketch: string keys route through the same dispatch; other types loud") {
+    val sdf = (1 to 2000).map(i => ("g", s"user-$i")).toDF("grp", "v")
+    val e = Sketches.hllRaw(sdf, "grp", "v")
+      .select("hll_estimate").as[Double].head()
+    assert(math.abs(e - 2000) / 2000 < 0.35, s"estimate $e vs 2000")
+    val dbl = Seq(("g", 1.5)).toDF("grp", "v")
+    intercept[IllegalArgumentException](Sketches.hllRaw(dbl, "grp", "v"))
+  }
+
   test("streaming KMV rejects non-integral non-string keys loudly (same dispatch)") {
     val dbl = Seq(("g", 1.5)).toDF("grp", "v")
     intercept[IllegalArgumentException](
