@@ -442,7 +442,66 @@ object RelationalQueries5 {
             round(col("hll_estimate"), 4).as("hll_estimate"))
       },
       Some(q120Oracle)),
+
+    // HLL set algebra (Sketches.hllAlgebra) — cross-population overlap
+    // without joining the populations (q108's story in register form):
+    // English docs vs long docs, union by elementwise register max
+    // (exact sketch algebra), intersection by inclusion–exclusion over
+    // the raw estimates, clamped at 0. The oracle rebuilds BOTH register
+    // sets (two prefixed mix64 chains), the max-merge, and the three
+    // estimates; the intersection is computed from the unrounded doubles
+    // and rounded once (the q113 re-rounding rule).
+    Q("q121_hll_algebra",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Sketches.hllAlgebra(
+          d.filter(col("lang") === "en"),
+          d.filter(col("n_chars") >= 200),
+          "doc_id")
+          .select(round(col("est_a"), 4).as("est_a"),
+            round(col("est_b"), 4).as("est_b"),
+            round(col("est_union"), 4).as("est_union"),
+            round(col("est_intersection"), 4).as("est_intersection"))
+      },
+      Some(q121Oracle)),
   )
+
+  /** Register-pipeline CTEs for one q121 hash chain: `{p}mixed` →
+    * `{p}regmax` (idx, reg) — the q120 arithmetic, prefix-scoped. */
+  private def hllRegCtes(p: String): String =
+    s"""${p}reg AS (SELECT
+       |    CAST(CAST(vu AS HUGEINT) // 288230376151711744 AS BIGINT) AS idx,
+       |    CAST(CAST(vu AS HUGEINT) % 288230376151711744 AS UBIGINT) AS w
+       |  FROM ${p}mixed),
+       |${p}rho AS (SELECT idx,
+       |    LEAST(CASE WHEN w = 0 THEN 59
+       |      ELSE 58 - CAST(strlen(bin(w)) AS INT) + 1 END, 40) AS m
+       |  FROM ${p}reg),
+       |${p}regmax AS (SELECT idx, max(m) AS reg FROM ${p}rho GROUP BY 1)""".stripMargin
+
+  /** Scalar-subquery raw estimator over a (idx, reg) CTE. */
+  private def hllEstSql(src: String): String =
+    s"""(SELECT CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 /
+       |  CAST(coalesce(sum(CAST(1 AS BIGINT) << CAST(40 - reg AS INT)), 0) +
+       |    (64 - count(*)) * 1099511627776 AS DOUBLE) FROM $src)""".stripMargin
+
+  private def q121Oracle: String =
+    s"""WITH va AS (SELECT DISTINCT doc_id FROM documents
+       |  WHERE lang = 'en' AND doc_id IS NOT NULL),
+       |vb AS (SELECT DISTINCT doc_id FROM documents
+       |  WHERE n_chars >= 200 AND doc_id IS NOT NULL),
+       |${mix64Stages("va", Seq(), "CAST(doc_id AS HUGEINT)", prefix = "a")},
+       |${mix64Stages("vb", Seq(), "CAST(doc_id AS HUGEINT)", prefix = "b")},
+       |${hllRegCtes("a")},
+       |${hllRegCtes("b")},
+       |uregmax AS (SELECT idx, max(reg) AS reg FROM
+       |  (SELECT * FROM aregmax UNION ALL SELECT * FROM bregmax) GROUP BY 1),
+       |ests AS (SELECT ${hllEstSql("aregmax")} AS ea,
+       |  ${hllEstSql("bregmax")} AS eb, ${hllEstSql("uregmax")} AS eu)
+       |SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+       |  round(eu, 4) AS est_union,
+       |  round(greatest(CAST(0 AS DOUBLE), ea + eb - eu), 4) AS est_intersection
+       |FROM ests""".stripMargin
 
   /** The q120 oracle: the full HLL register pipeline in SQL — mix64 via
     * the shared stage chain, register split by integer div/mod on 2^58,

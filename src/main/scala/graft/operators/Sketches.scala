@@ -221,21 +221,37 @@ object Sketches {
     * map-side, 64 slim rows per group per map task — then a per-group
     * fold. Registers merge by max, so the sketch is partition- and
     * stream-mergeable by construction. */
-  def hllRaw(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val h = hashInput(df, valueCol)
-    // idx and capped rho fused in one udf (wrapping/unsigned long ops —
-    // Column arithmetic would trip ANSI), encoded idx*256 + rho
-    val regUdf = udf((x: java.lang.Long) =>
-      if (x == null) null
-      else {
-        val u = x.longValue()
-        val idx = (u >>> 58).toInt
-        val w = u & ((1L << 58) - 1)
-        val rho = if (w == 0L) 59 else java.lang.Long.numberOfLeadingZeros(w) - 5
-        java.lang.Integer.valueOf(idx * 256 + math.min(rho, 40))
-      })
+  // idx and capped rho fused in one udf (wrapping/unsigned long ops —
+  // Column arithmetic would trip ANSI), encoded idx*256 + rho
+  private val hllRegUdf = udf((x: java.lang.Long) =>
+    if (x == null) null
+    else {
+      val u = x.longValue()
+      val idx = (u >>> 58).toInt
+      val w = u & ((1L << 58) - 1)
+      val rho = if (w == 0L) 59 else java.lang.Long.numberOfLeadingZeros(w) - 5
+      java.lang.Integer.valueOf(idx * 256 + math.min(rho, 40))
+    })
+
+  /** The raw α₆₄ estimator over a register frame's (term-sum, register
+    * count) — shared by [[hllRaw]] and [[hllAlgebra]] so the IEEE op
+    * sequence cannot drift between them. coalesce: an EMPTY population
+    * has no registers at all (sum null, count 0) → all-empty sum. */
+  private def hllEstimate(ps: Column, np: Column): Column =
+    lit(0.709) * lit(4096.0) * lit(1099511627776.0) /
+      (coalesce(ps, lit(0L)) +
+        (lit(64L) - coalesce(np, lit(0L))) * lit(1099511627776L)).cast("double")
+
+  /** Per-population register frame (_idx, _reg) — max per register. */
+  private def hllRegs(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), regUdf(h).as("_im"))
+      .select(hllRegUdf(hashInput(df, valueCol)).as("_im"))
+      .select(expr("_im DIV 256").as("_idx"), expr("_im % 256").as("_m"))
+      .groupBy(col("_idx")).agg(max(col("_m")).as("_reg"))
+
+  def hllRaw(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), hllRegUdf(hashInput(df, valueCol)).as("_im"))
       .select(col(groupCol), expr("_im DIV 256").as("_idx"),
         expr("_im % 256").as("_m"))
       .groupBy(col(groupCol), col("_idx"))
@@ -244,10 +260,31 @@ object Sketches {
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - _reg)")).as("_ps"),
         count(lit(1)).as("_np"))
       .select(col(groupCol),
-        (lit(0.709) * lit(4096.0) * lit(1099511627776.0) /
-          (col("_ps") + (lit(64L) - col("_np")) * lit(1099511627776L))
-            .cast("double"))
-          .as("hll_estimate"))
+        hllEstimate(col("_ps"), col("_np")).as("hll_estimate"))
+
+  /** HLL set algebra: distinct-count estimates for two populations,
+    * their UNION, and their INTERSECTION — from the registers alone,
+    * never joining the populations (the q108 cross-source-overlap story
+    * in the register-sketch form). Union is EXACT sketch algebra (HLL
+    * registers merge by max — the union's sketch IS the elementwise max,
+    * by construction, which is why HLL survives any partitioning or
+    * shard layout at 100 TB); intersection is inclusion–exclusion over
+    * the three raw estimates, clamped at 0 (the standard trade — I–E
+    * variance grows when the overlap is small). Emits one row:
+    * est_a, est_b, est_union, est_intersection (unrounded doubles;
+    * callers round ONCE for display). */
+  def hllAlgebra(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    val ra = hllRegs(dfA, valueCol)
+    val rb = hllRegs(dfB, valueCol)
+    val ru = ra.union(rb).groupBy(col("_idx")).agg(max(col("_reg")).as("_reg"))
+    def est(regs: DataFrame, name: String): DataFrame =
+      regs.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - _reg)")).as("_ps"),
+          count(lit(1)).as("_np"))
+        .select(hllEstimate(col("_ps"), col("_np")).as(name))
+    est(ra, "est_a").crossJoin(est(rb, "est_b")).crossJoin(est(ru, "est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"))
   }
 
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,

@@ -218,6 +218,35 @@ class SketchesSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sketches.hllRaw(dbl, "grp", "v"))
   }
 
+  test("HLL algebra: union IS the max-merge (bit-equal to sketching the union)") {
+    val a = (0L until 6000L).toDF("v")
+    val b = (3000L until 9000L).toDF("v")
+    val alg = Sketches.hllAlgebra(a, b, "v")
+      .as[(Double, Double, Double, Double)].head()
+    // the union estimate must equal hllRaw over the actual unioned rows —
+    // registers merge by max, so the sketch of the union IS the merge
+    val direct = Sketches.hllRaw(
+      a.union(b).withColumn("g", lit("g")), "g", "v")
+      .select("hll_estimate").as[Double].head()
+    assert(alg._3 == direct)
+    // inclusion–exclusion lands near the true overlap (|I| = 3000)
+    assert(math.abs(alg._4 - 3000.0) / 3000.0 < 0.5, s"intersection ${alg._4}")
+    assert(math.abs(alg._1 - 6000.0) / 6000.0 < 0.35, s"est_a ${alg._1}")
+  }
+
+  test("HLL algebra: empty population yields the raw all-empty estimate (documented)") {
+    val a = (0L until 100L).toDF("v")
+    val b = a.filter(col("v") < 0) // empty
+    val alg = Sketches.hllAlgebra(a, b, "v")
+      .as[(Double, Double, Double, Double)].head()
+    // raw estimator of 64 empty registers = 0.709 * 64 — the documented
+    // no-linear-counting artifact (corrections need ln, which is not
+    // cross-engine replayable)
+    assert(alg._2 == 45.376)
+    assert(alg._3 == alg._1, "union with empty == est_a")
+    assert(alg._4 == 0.0 || alg._4 == alg._1 + alg._2 - alg._3)
+  }
+
   test("streaming KMV rejects non-integral non-string keys loudly (same dispatch)") {
     val dbl = Seq(("g", 1.5)).toDF("grp", "v")
     intercept[IllegalArgumentException](
