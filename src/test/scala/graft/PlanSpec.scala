@@ -66,6 +66,31 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q118 PageRank: every iteration is an equi-join + partial agg, no cartesian") {
+    val p = plan("q118_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "per-iteration contribution join must stay an equi-join:\n" + p.take(2000))
+    // the groupBy(dst) aggregation must combine map-side
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q119 bloom build: position distinct is a partial aggregation (bounded by m)") {
+    val build = Tables.load(spark, sf("sf0.01"), "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"))
+    // the build-side plan is what bounds the shuffle: distinct positions
+    // combine map-side, so each task ships at most m ints
+    val posPlan = {
+      // mirror Bloom.build's plan without collecting
+      import org.apache.spark.sql.functions.udf
+      val posUdf = udf((x: java.lang.Long) => Array(0L)) // shape only
+      build.select(explode(posUdf(col("key"))).as("pos")).distinct()
+        .queryExecution.executedPlan.toString
+    }
+    assert(posPlan.contains("HashAggregate"), posPlan.take(2000))
+    assert(posPlan.contains("Exchange hashpartitioning"), posPlan.take(2000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
