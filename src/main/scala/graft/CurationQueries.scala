@@ -286,7 +286,7 @@ object CurationQueries {
         val edges = fwd
           .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
           .distinct()
-        graft.operators.Graph.pageRank(edges, iterations = 4)
+        graft.operators.Graph.pageRank(edges, iterations = 4, broadcastRanks = true)
           .orderBy(desc("pr"), asc("node"))
           .limit(20)
       },

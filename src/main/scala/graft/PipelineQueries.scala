@@ -357,7 +357,11 @@ object PipelineQueries {
             df.filter(col("event_type") === "purchase"),
             windowMinutes = 30),
           org.apache.spark.sql.streaming.OutputMode.Append,
-          s"q117_${math.abs(dir.hashCode)}")
+          s"q117_${math.abs(dir.hashCode)}",
+          // 4 state stores per partition for a stream-stream join; the
+          // per-user state is tiny, so fewer partitions = less per-store
+          // fixed cost (commit files, maintenance) with no skew risk
+          shufflePartitions = Some(8))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))

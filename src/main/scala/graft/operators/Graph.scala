@@ -42,26 +42,46 @@ object Graph {
     * @param iterations unrolled iteration count (each is one join + one
     *                   aggregation; callers gate small fixed counts, the
     *                   convergence loop is the caller's policy)
+    * @param broadcastRanks when true, the per-iteration rank frame (one
+    *                   slim row per node) is broadcast to the edge side —
+    *                   the big, static edge table is never re-shuffled,
+    *                   each iteration is map + partial agg + one small
+    *                   contribs shuffle. Right whenever the node count
+    *                   fits an executor (tens of millions); leave false
+    *                   at billions of nodes, where the co-partitioned
+    *                   shuffle join (bucket the edges by src) is the
+    *                   scale shape.
     */
-  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int,
+      broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
+    // nodes and the degree-annotated edge list are read by EVERY
+    // iteration — persisted and tracked (OperatorCaches contract), else
+    // the upstream edge construction (often a join + distinct) recomputes
+    // once per iteration per consumer
+    val nodes = OperatorCaches.track(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct()
+        .persist())
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // static across iterations: every edge annotated with its source's
     // out-degree, so the loop joins one frame instead of two
-    val degEdges = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
+    val degEdges = OperatorCaches.track(
+      edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .persist())
 
+    val small: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else identity
     var ranks = nodes.select(col("node"), lit(Scale).as("pr"))
     for (_ <- 1 to iterations) {
       val received = degEdges
-        .join(ranks, degEdges("src") === ranks("node"))
+        .join(small(ranks), degEdges("src") === ranks("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("recv"))
       ranks = nodes
-        .join(received, nodes("node") === received("dst"), "left")
+        .join(small(received), nodes("node") === received("dst"), "left")
         .select(col("node"),
           (lit(Base) + expr(s"($DampNum * coalesce(recv, CAST(0 AS BIGINT))) DIV $DampDen"))
             .as("pr"))

@@ -245,17 +245,28 @@ object EventStream {
 
   /** Runs a streaming query over a parquet directory to completion using
     * the memory sink (the local harness for streaming parity tests).
+    * @param shufflePartitions override for the STATE partition count —
+    *   a streaming query pins its state layout to the session's
+    *   shuffle-partition setting at start, and stateful operators pay
+    *   per-store fixed costs (a stream-stream join opens FOUR stores per
+    *   partition); small-state queries want few partitions regardless of
+    *   the session's batch setting. Restored after start (the query
+    *   keeps the value it started with).
     * @return the collected result table */
   def runToCompletion(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, mode: OutputMode,
-      queryName: String): DataFrame = {
+      queryName: String, shufflePartitions: Option[Int] = None): DataFrame = {
     val batchSchema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(batchSchema).parquet(dir)
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    val q =
+      try transform(stream).writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
