@@ -339,6 +339,28 @@ object PipelineQueries {
       },
       Some(RelationalQueries5.kmvEventsOracle(64, includeExact = false))),
 
+    // Streaming HLL register sketch under the oracle gate — q115's
+    // pattern for the fixed-memory sketch: registers only grow, so the
+    // estimate is monotone non-decreasing and max over the Update-mode
+    // emissions IS the final state, which equals batch hllRaw bit-for-bit
+    // (shared hash/register/estimator kernels, register max commutes
+    // across any batch split). Oracle = q120's chain minus the exact
+    // column.
+    Q("q122_streaming_hll",
+      (spark, dir) => {
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
+          df => EventStream.hllDistinctStream(spark, df,
+            "event_type", "event_id").toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          s"q122_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+          .groupBy(col("group"))
+          .agg(max(col("hll_estimate")).as("m"))
+          .select(col("group").as("event_type"),
+            round(col("m"), 4).as("hll_estimate"))
+      },
+      Some(RelationalQueries5.hllEventsOracle(includeExact = false))),
+
     // Stream-STREAM interval join under the oracle gate: the events table
     // replayed as a file stream, split into click/purchase substreams, and
     // joined through purchaseAttribution (watermarked interval join — the

@@ -503,12 +503,20 @@ object RelationalQueries5 {
        |  round(greatest(CAST(0 AS DOUBLE), ea + eb - eu), 4) AS est_intersection
        |FROM ests""".stripMargin
 
-  /** The q120 oracle: the full HLL register pipeline in SQL — mix64 via
-    * the shared stage chain, register split by integer div/mod on 2^58,
-    * rho from strlen(bin(w)) (bin() emits no leading zeros, so its
-    * length IS the bit length), max per register, and the raw estimator
-    * in the identical IEEE multiply-chain order. */
-  private def q120Oracle: String =
+  /** The q120 oracle (and, without the exact column, q122's — the
+    * streaming register sketch is gated against the SAME chain): the
+    * full HLL register pipeline in SQL — mix64 via the shared stage
+    * chain, register split by integer div/mod on 2^58, rho from
+    * strlen(bin(w)) (bin() emits no leading zeros, so its length IS the
+    * bit length), max per register, and the raw estimator in the
+    * identical IEEE multiply-chain order. */
+  private def q120Oracle: String = hllEventsOracle(includeExact = true)
+
+  private[graft] def hllEventsOracle(includeExact: Boolean): String = {
+    val exactCol =
+      if (includeExact) "CAST(e.n_exact AS BIGINT) AS n_exact,\n  " else ""
+    val exactJoin =
+      if (includeExact) "\nJOIN exact e ON s.event_type = e.event_type" else ""
     s"""WITH vals AS (SELECT DISTINCT event_type, event_id FROM events
        |  WHERE event_id IS NOT NULL),
        |exact AS (SELECT event_type, count(*) AS n_exact FROM vals GROUP BY 1),
@@ -526,11 +534,12 @@ object RelationalQueries5 {
        |    sum(CAST(1 AS BIGINT) << CAST(40 - reg AS INT)) AS present_sum,
        |    count(*) AS npresent
        |  FROM regmax GROUP BY 1)
-       |SELECT s.event_type, CAST(e.n_exact AS BIGINT) AS n_exact,
+       |SELECT s.event_type, $exactCol
        |  round(CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 /
        |    CAST(present_sum + (64 - npresent) * 1099511627776 AS DOUBLE), 4)
        |    AS hll_estimate
-       |FROM sums s JOIN exact e ON s.event_type = e.event_type""".stripMargin
+       |FROM sums s$exactJoin""".stripMargin
+  }
 
   /** The q119 oracle: Bloom build + probe replayed in SQL. Two mix64
     * chains (prefixes `a`/`b`) give h1 and h2 per distinct key;

@@ -223,7 +223,7 @@ object Sketches {
     * stream-mergeable by construction. */
   // idx and capped rho fused in one udf (wrapping/unsigned long ops —
   // Column arithmetic would trip ANSI), encoded idx*256 + rho
-  private val hllRegUdf = udf((x: java.lang.Long) =>
+  private[graft] val hllRegUdf = udf((x: java.lang.Long) =>
     if (x == null) null
     else {
       val u = x.longValue()
@@ -232,6 +232,18 @@ object Sketches {
       val rho = if (w == 0L) 59 else java.lang.Long.numberOfLeadingZeros(w) - 5
       java.lang.Integer.valueOf(idx * 256 + math.min(rho, 40))
     })
+
+  /** JVM twin of [[hllEstimate]] over a FULL 64-register array — the
+    * same IEEE sequence (the integer term sum over all 64 registers
+    * equals present-sum + (64−n)·2^40 exactly, then one double divide),
+    * used by the streaming state operator so stream and batch estimates
+    * are bit-identical. */
+  private[graft] def hllEstimateKernel(regs: Array[Byte]): Double = {
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += 1L << (40 - regs(i)); i += 1 }
+    0.709 * 4096.0 * 1099511627776.0 / s.toDouble
+  }
 
   /** The raw α₆₄ estimator over a register frame's (term-sum, register
     * count) — shared by [[hllRaw]] and [[hllAlgebra]] so the IEEE op

@@ -142,6 +142,19 @@ object EventStream {
   final case class KmvState(ks: List[Long])
   final case class DistinctEstimate(group: String, kmv_estimate: Double)
 
+  /** Eagerly validate a state-TTL duration string: setTimeoutDuration
+    * only parses it executor-side per batch, so a typo ("10 minuets")
+    * would otherwise fail the streaming query at runtime mid-stream
+    * instead of at construction. */
+  private def validateTtl(who: String, groupTtl: Option[String]): Unit =
+    groupTtl.foreach { ttl =>
+      val ms =
+        try org.apache.spark.network.util.JavaUtils.timeStringAsMs(ttl)
+        catch { case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$who: malformed groupTtl '$ttl' (expected e.g. '10 minutes')", e) }
+      require(ms > 0, s"$who: groupTtl '$ttl' must be a positive duration")
+    }
+
   /** STREAMING cardinality estimation: the KMV bottom-k sketch
     * (operators.Sketches) as `mapGroupsWithState` state — per group, the
     * k smallest distinct mix64 hashes seen so far; each micro-batch
@@ -164,16 +177,7 @@ object EventStream {
       groupCol: String, valueCol: String, k: Int = 64,
       groupTtl: Option[String] = None): org.apache.spark.sql.Dataset[DistinctEstimate] = {
     import spark.implicits._
-    // validate the TTL duration string NOW: setTimeoutDuration only parses
-    // it executor-side per batch, so a typo ("10 minuets") would otherwise
-    // fail the streaming query at runtime mid-stream instead of here
-    groupTtl.foreach { ttl =>
-      val ms =
-        try org.apache.spark.network.util.JavaUtils.timeStringAsMs(ttl)
-        catch { case e: NumberFormatException => throw new IllegalArgumentException(
-          s"kmvDistinctStream: malformed groupTtl '$ttl' (expected e.g. '10 minutes')", e) }
-      require(ms > 0, s"kmvDistinctStream: groupTtl '$ttl' must be a positive duration")
-    }
+    validateTtl("kmvDistinctStream", groupTtl)
     // hash + sign-flip on the Column side (same expressions as the batch
     // plan); the state fold then inserts ready-made flipped hashes
     val flipped = graft.operators.Sketches.hashInput(df, valueCol)
@@ -220,6 +224,68 @@ object EventStream {
       ttl.foreach(state.setTimeoutDuration)
       Iterator.single(DistinctEstimate(group,
         graft.operators.Sketches.kmvEstimateKernel(merged, k)))
+    }
+
+  final case class HllState(regs: Array[Byte])
+  final case class HllEstimate(group: String, hll_estimate: Double)
+
+  /** STREAMING HLL: the register sketch ([[graft.operators.Sketches
+    * .hllRaw]]) as `mapGroupsWithState` state — per group, 64 bytes of
+    * registers FOREVER, merged by max as values arrive; each micro-batch
+    * emits the running estimate (Update mode). Registers only grow, so
+    * the estimate is monotone non-decreasing and max over the Update
+    * emissions IS the final state. Hash and register encoding are the
+    * batch operator's own kernels applied Column-side BEFORE the state
+    * operator, and the estimator is the batch form's JVM twin, so after
+    * the same rows (any batch split — register max commutes) the
+    * stream's final estimate equals `hllRaw` bit-for-bit. The
+    * fixed-64-byte state is the HLL trade against streaming KMV's
+    * k-long list: even cheaper state, no exact-below-k regime. */
+  def hllDistinctStream(spark: SparkSession, df: DataFrame,
+      groupCol: String, valueCol: String,
+      groupTtl: Option[String] = None): org.apache.spark.sql.Dataset[HllEstimate] = {
+    import spark.implicits._
+    validateTtl("hllDistinctStream", groupTtl)
+    val im = graft.operators.Sketches.hllRegUdf(
+      graft.operators.Sketches.hashInput(df, valueCol))
+    val grouped = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), im.as("im"))
+      .as[(String, Int)]
+      .groupByKey(_._1)
+    groupTtl match {
+      case None =>
+        grouped.mapGroupsWithState[HllState, HllEstimate](
+          GroupStateTimeout.NoTimeout) {
+          case (group, rows, state: GroupState[HllState]) =>
+            hllStateUpdate(None)(group, rows, state).next()
+        }
+      case Some(_) =>
+        grouped.flatMapGroupsWithState[HllState, HllEstimate](
+          OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(
+          hllStateUpdate(groupTtl))
+    }
+  }
+
+  /** The shared per-group state transition for [[hllDistinctStream]] —
+    * package-visible for TestGroupState-driven TTL specs, same contract
+    * as [[kmvStateUpdate]]. */
+  private[graft] def hllStateUpdate(ttl: Option[String])(
+      group: String, rows: Iterator[(String, Int)],
+      state: GroupState[HllState]): Iterator[HllEstimate] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val regs = state.getOption.map(_.regs.clone())
+        .getOrElse(new Array[Byte](64))
+      rows.foreach { r =>
+        val idx = r._2 >> 8          // im DIV 256 (im >= 0 by encoding)
+        val m = (r._2 & 255).toByte  // rho <= 40, fits a byte
+        if (m > regs(idx)) regs(idx) = m
+      }
+      state.update(HllState(regs))
+      ttl.foreach(state.setTimeoutDuration)
+      Iterator.single(HllEstimate(group,
+        graft.operators.Sketches.hllEstimateKernel(regs)))
     }
 
   /** Stream-stream interval join: purchases joined to the clicks that

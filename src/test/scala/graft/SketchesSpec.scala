@@ -197,6 +197,79 @@ class SketchesSpec extends SparkSuite {
       s"string-keyed stream $got != batch $expected")
   }
 
+  test("streaming HLL == batch hllRaw bit-for-bit, across arbitrary batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0L until 3000L).map(i => (s"g${i % 3}", i * 11L))
+    val batchDf = all.toDF("grp", "v")
+    val expected = Sketches.hllRaw(batchDf, "grp", "v")
+      .select("grp", "hll_estimate").as[(String, Double)].collect().toMap
+
+    val ms = MemoryStream[(String, Long)](spark)
+    val q = graft.streaming.EventStream
+      .hllDistinctStream(spark, ms.toDF().toDF("grp", "v"), "grp", "v")
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("hll_stream").start()
+    try {
+      // uneven, overlapping batches — register max must commute
+      ms.addData(all.take(1000): _*); q.processAllAvailable()
+      ms.addData(all.slice(500, 2200): _*); q.processAllAvailable()
+      ms.addData(all.drop(2200): _*); q.processAllAvailable()
+    } finally q.stop()
+    // registers only grow → estimate monotone → max emission == final
+    val got = spark.table("hll_stream")
+      .groupBy(col("group")).agg(max(col("hll_estimate")).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(got == expected,
+      s"stream $got != batch $expected — register merge must commute")
+  }
+
+  test("STRING-keyed streaming HLL == batch (shared dispatch); TTL validated eagerly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0L until 1500L).map(i => (s"g${i % 2}", s"url-${i * 3}"))
+    val expected = Sketches.hllRaw(all.toDF("grp", "v"), "grp", "v")
+      .select("grp", "hll_estimate").as[(String, Double)].collect().toMap
+    val ms = MemoryStream[(String, String)](spark)
+    val q = graft.streaming.EventStream
+      .hllDistinctStream(spark, ms.toDF().toDF("grp", "v"), "grp", "v")
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("hll_stream_str").start()
+    try {
+      ms.addData(all.take(800): _*); q.processAllAvailable()
+      ms.addData(all.drop(800): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hll_stream_str")
+      .groupBy(col("group")).agg(max(col("hll_estimate")).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(got == expected)
+    intercept[IllegalArgumentException](
+      graft.streaming.EventStream.hllDistinctStream(spark,
+        Seq(("g", 1L)).toDF("grp", "v"), "grp", "v",
+        groupTtl = Some("not a duration")))
+  }
+
+  test("streaming HLL TTL branch: timeout removes state, survivors keep registers") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.EventStream
+    val fn = EventStream.hllStateUpdate(Some("10 minutes")) _
+    val st = TestGroupState.create[EventStream.HllState](
+      optionalState = Optional.empty[EventStream.HllState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    // encoded im = idx*256 + rho
+    val out = fn("g", Iterator(("g", 3 * 256 + 7), ("g", 3 * 256 + 5)), st).toSeq
+    assert(out.size == 1 && st.exists)
+    assert(st.get.regs(3) == 7, "register keeps the max rho")
+    val timedOut = TestGroupState.create[EventStream.HllState](
+      optionalState = Optional.of(st.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    assert(fn("g", Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved, "timed-out group must release its state")
+  }
+
   test("HLL raw sketch: near truth at n >> m, deterministic, partition-invariant") {
     val n = 10000L
     val df = spark.range(n).select(lit("g").as("grp"), col("id").as("v"))
