@@ -123,6 +123,13 @@ object Bench {
       // a partial artifact beats a killed run with no line at all
       printLine(partial = true)
       System.exit(0)
+    } else if (!printed.get) {
+      // the worker DIED (session build, warm-up, fixture) before printing
+      // — emit the partial line so the tail stays parseable, but exit
+      // nonzero: an environment failure must stay loud, not read as a
+      // clean run with a silently missing artifact
+      printLine(partial = true)
+      System.exit(1)
     }
   }
 }

@@ -40,6 +40,22 @@ object Bloom {
     require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
   }
 
+  /** Key columns must be integral — the Sketches.hashInput lesson: a
+    * silent `cast("long")` turns string keys into nulls, which here
+    * would build an EMPTY filter and make `prune` drop every probe row
+    * (false negatives, the one thing a bloom filter must never produce).
+    * Strings need the position spec extended through the fnv fold (and
+    * a matching oracle) — reject until that path is gated. */
+  private def checkKeyType(df: DataFrame, keyCol: String): Unit =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Bloom: key column '$keyCol' has type ${dt.simpleString}; bloom keys " +
+          "must be integral (byte/short/int/long) — a lossy cast would " +
+          "null-cast keys and silently break the no-false-negative guarantee")
+    }
+
   /** The shared position kernel — build and probe both go through here,
     * and the q119 oracle replays it in SQL. */
   private[graft] def positions(key: Long, m: Int, k: Int): Array[Long] = {
@@ -53,6 +69,7 @@ object Bloom {
     * length m/64. */
   def build(df: DataFrame, keyCol: String, m: Int, k: Int): Array[Long] = {
     checkParams(m, k)
+    checkKeyType(df, keyCol)
     val posUdf = udf((x: java.lang.Long) =>
       if (x == null) null else positions(x.longValue(), m, k))
     val ps = df.filter(col(keyCol).isNotNull)
@@ -86,7 +103,10 @@ object Bloom {
   def prune(probe: DataFrame, probeKey: String,
       buildSide: DataFrame, buildKey: String,
       m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    checkKeyType(probe, probeKey)
     val words = build(buildSide, buildKey, m, k)
+    // null probe keys get a null verdict and are dropped here — correct
+    // for the runtime-filter use (a null key never matches an equi-join)
     probe.filter(mightContain(words, m, k)(col(probeKey)))
   }
 }

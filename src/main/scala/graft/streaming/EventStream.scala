@@ -145,14 +145,24 @@ object EventStream {
   /** Eagerly validate a state-TTL duration string: setTimeoutDuration
     * only parses it executor-side per batch, so a typo ("10 minuets")
     * would otherwise fail the streaming query at runtime mid-stream
-    * instead of at construction. */
+    * instead of at construction. Validation runs the string through THE
+    * parser the runtime uses — a throwaway TestGroupState's
+    * setTimeoutDuration (GroupStateImpl.parseDuration, interval syntax
+    * like "10 minutes") — because a lookalike parser is exactly how this
+    * check once went wrong: JavaUtils.timeStringAsMs accepts "10s" but
+    * not "10 minutes", the runtime accepts "10 minutes" but not "10s" —
+    * disjoint grammars, so that validator rejected every valid TTL and
+    * passed every invalid one. */
   private def validateTtl(who: String, groupTtl: Option[String]): Unit =
     groupTtl.foreach { ttl =>
-      val ms =
-        try org.apache.spark.network.util.JavaUtils.timeStringAsMs(ttl)
-        catch { case e: NumberFormatException => throw new IllegalArgumentException(
-          s"$who: malformed groupTtl '$ttl' (expected e.g. '10 minutes')", e) }
-      require(ms > 0, s"$who: groupTtl '$ttl' must be a positive duration")
+      import org.apache.spark.api.java.Optional
+      val probe = org.apache.spark.sql.streaming.TestGroupState.create[Int](
+        Optional.empty[Int](), GroupStateTimeout.ProcessingTimeTimeout, 0L,
+        Optional.empty[Long](), hasTimedOut = false)
+      try probe.setTimeoutDuration(ttl)
+      catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"$who: invalid groupTtl '$ttl' (expected e.g. '10 minutes'): " +
+          e.getMessage, e) }
     }
 
   /** STREAMING cardinality estimation: the KMV bottom-k sketch

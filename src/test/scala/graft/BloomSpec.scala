@@ -56,6 +56,18 @@ class BloomSpec extends SparkSuite {
     assert(v(1).isNullAt(0))
   }
 
+  test("non-integral key columns are rejected loudly, never null-cast") {
+    // a silent cast("long") on string keys builds an EMPTY filter and
+    // prune() then drops every row — false negatives from a bloom filter
+    val strs = Seq("a", "b").toDF("key")
+    val e = intercept[IllegalArgumentException](Bloom.build(strs, "key", 256, 2))
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException](
+      Bloom.prune(strs, "key", Seq(1L).toDF("key"), "key"))
+    intercept[IllegalArgumentException](
+      Bloom.prune(Seq(1L).toDF("key"), "key", strs, "key"))
+  }
+
   test("parameter validation is loud") {
     val df = Seq(1L).toDF("key")
     intercept[IllegalArgumentException](Bloom.build(df, "key", 1000, 3)) // not 2^n

@@ -328,13 +328,25 @@ class SketchesSpec extends SparkSuite {
 
   test("streaming KMV validates groupTtl at construction, not mid-stream") {
     val df = Seq(("g", 1L)).toDF("grp", "v")
+    // a RUNTIME-VALID TTL must construct — the first validator used a
+    // lookalike parser (JavaUtils) whose grammar is disjoint from the
+    // runtime's (GroupStateImpl.parseDuration), so it rejected exactly
+    // the strings the state operator accepts; only invalid-input tests
+    // existed, so the suite stayed green
+    graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
+      groupTtl = Some("10 minutes"))
+    graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
+      groupTtl = Some("1 hour"))
     val e = intercept[IllegalArgumentException](
       graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
         groupTtl = Some("10 minuets")))
     assert(e.getMessage.contains("10 minuets"))
     intercept[IllegalArgumentException](
       graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
-        groupTtl = Some("0 seconds")))
+        groupTtl = Some("0 seconds"))) // parses, but must be positive
+    intercept[IllegalArgumentException](
+      graft.streaming.EventStream.kmvDistinctStream(spark, df, "grp", "v",
+        groupTtl = Some("-5 minutes")))
   }
 
   test("streaming KMV TTL branch: timeout removes state, updates re-arm the clock") {
