@@ -464,7 +464,58 @@ object RelationalQueries5 {
             round(col("est_intersection"), 4).as("est_intersection"))
       },
       Some(q121Oracle)),
+
+    // Count–Min frequency sketch (Sketches.cmCounters/cmEstimates) — the
+    // third sketch family (frequencies) next to distinct (q106/q120) and
+    // quantiles (q107), gated like the recall queries: the 20 most
+    // frequent users' TRUE counts next to their CM estimates, both
+    // replayed in SQL. Positions are the q119 bloom kernel, so the
+    // oracle shares that machinery; counters are plain counts per
+    // (row, pos) cell. n_cm >= n_true always (CM never underestimates);
+    // at w=1024, d=4 and ≤1500 keys, collisions are visible but small.
+    Q("q123_countmin",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val counters = graft.operators.Sketches.cmCounters(e, "user_id", 1024, 4)
+        val truth = e.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+          .orderBy(desc("n_true"), asc("user_id")).limit(20)
+        val est = graft.operators.Sketches.cmEstimates(
+          counters, truth.select(col("user_id")), "user_id", 1024, 4)
+        truth.join(est, Seq("user_id"))
+          .select(col("user_id"), col("n_true"), col("n_cm"))
+      },
+      Some(q123Oracle(1024, 4))),
   )
+
+  /** The q123 oracle: CM build + probe replayed in SQL — the q119
+    * position machinery (two prefixed mix64 chains, h2 forced odd,
+    * power-of-two modulus), counters as counts per (r, pos) cell over
+    * ALL value occurrences, estimate = min over the d cells. */
+  private def q123Oracle(w: Int, d: Int): String =
+    s"""WITH vals AS (SELECT user_id AS key FROM events
+       |  WHERE user_id IS NOT NULL),
+       |cnt AS (SELECT key, count(*) AS n FROM vals GROUP BY 1),
+       |keys AS (SELECT key FROM cnt),
+       |${mix64Stages("keys", Seq("key"), "CAST(key AS HUGEINT)", prefix = "a")},
+       |h1 AS (SELECT key, CAST(vu AS HUGEINT) AS h1u FROM amixed),
+       |${mix64Stages("keys", Seq("key"),
+           "(CAST(xor(CAST(key AS BIGINT), -7046029254386353131) AS HUGEINT) + 18446744073709551616) % 18446744073709551616",
+           prefix = "b")},
+       |h2 AS (SELECT key,
+       |  CAST(vu AS HUGEINT) - (CAST(vu AS HUGEINT) % 2) + 1 AS h2u FROM bmixed),
+       |pos AS (SELECT h1.key, i.i AS r,
+       |    ((h1.h1u + i.i * h2.h2u) % 18446744073709551616) % $w AS pos
+       |  FROM h1 JOIN h2 ON h1.key = h2.key,
+       |    generate_series(0, ${d - 1}) i(i)),
+       |counters AS (SELECT p.r, p.pos, sum(c.n) AS cell
+       |  FROM pos p JOIN cnt c ON p.key = c.key GROUP BY 1, 2),
+       |topk AS (SELECT key, n FROM cnt ORDER BY n DESC, key LIMIT 20)
+       |SELECT t.key AS user_id, CAST(t.n AS BIGINT) AS n_true,
+       |  CAST(min(co.cell) AS BIGINT) AS n_cm
+       |FROM topk t JOIN pos p ON p.key = t.key
+       |  JOIN counters co ON co.r = p.r AND co.pos = p.pos
+       |GROUP BY 1, 2""".stripMargin
 
   /** Register-pipeline CTEs for one q121 hash chain: `{p}mixed` →
     * `{p}regmax` (idx, reg) — the q120 arithmetic, prefix-scoped. */

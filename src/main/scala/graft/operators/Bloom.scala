@@ -34,7 +34,7 @@ import graft.functions.TextFunctions
 object Bloom {
   private val H2Seed = 0x9e3779b97f4a7c15L
 
-  private def checkParams(m: Int, k: Int): Unit = {
+  private[graft] def checkParams(m: Int, k: Int): Unit = {
     require(m >= 64 && Integer.bitCount(m) == 1,
       s"bloom m must be a power of two >= 64, got $m")
     require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
@@ -46,7 +46,7 @@ object Bloom {
     * (false negatives, the one thing a bloom filter must never produce).
     * Strings need the position spec extended through the fnv fold (and
     * a matching oracle) — reject until that path is gated. */
-  private def checkKeyType(df: DataFrame, keyCol: String): Unit =
+  private[graft] def checkKeyType(df: DataFrame, keyCol: String): Unit =
     df.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()

@@ -299,6 +299,54 @@ object Sketches {
           .as("est_intersection"))
   }
 
+  /** Count–Min frequency sketch — the third classic sketch family next
+    * to distinct counts (KMV/HLL) and quantiles (hash sample): a d×w
+    * counter matrix; est(x) = min over rows of counter[r][pos_r(x)],
+    * never an underestimate, overestimates only on collisions. The
+    * position kernel is [[Bloom.positions]] (Kirsch–Mitzenmacher double
+    * hashing over the oracled mix64, power-of-two w), so the q123
+    * oracle replays positions, counters AND estimates exactly.
+    *
+    * Scale shape: the counter build is one explode + count — the
+    * (r, pos) domain is bounded by d·w, so map-side partial aggregation
+    * caps every task's shuffle output at d·w slim rows; counters are
+    * mergeable by plain addition (shard, window, or stream merges are
+    * sums). Estimation joins the probe's d positions against the
+    * counter table — counters are ≤ d·w rows, a broadcast at any
+    * realistic width. */
+  def cmCounters(df: DataFrame, valueCol: String, w: Int, d: Int): DataFrame = {
+    Bloom.checkParams(w, d)
+    Bloom.checkKeyType(df, valueCol)
+    val posUdf = udf((x: java.lang.Long) =>
+      if (x == null) null
+      else Bloom.positions(x.longValue(), w, d).zipWithIndex
+        .map { case (p, r) => (r, p) })
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(posUdf(col(valueCol).cast("long"))).as("rp"))
+      .select(col("rp._1").as("r"), col("rp._2").as("pos"))
+      .groupBy(col("r"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a probe frame's `valueCol` against a
+    * [[cmCounters]] table: min over the d row counters, absent cells
+    * counting 0 (a never-seen key estimates 0 exactly). */
+  def cmEstimates(counters: DataFrame, probe: DataFrame, valueCol: String,
+      w: Int, d: Int): DataFrame = {
+    Bloom.checkParams(w, d)
+    Bloom.checkKeyType(probe, valueCol)
+    val posUdf = udf((x: java.lang.Long) =>
+      if (x == null) null
+      else Bloom.positions(x.longValue(), w, d).zipWithIndex
+        .map { case (p, r) => (r, p) })
+    probe.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), explode(posUdf(col(valueCol).cast("long"))).as("rp"))
+      .select(col(valueCol), col("rp._1").as("r"), col("rp._2").as("pos"))
+      .join(broadcast(counters), Seq("r", "pos"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cm"))
+  }
+
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, qs: Seq[Double], k: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q < 1.0))

@@ -270,6 +270,34 @@ class SketchesSpec extends SparkSuite {
     assert(timedOut.isRemoved, "timed-out group must release its state")
   }
 
+  test("Count-Min never underestimates; exact at low load; unseen keys estimate 0") {
+    val df = (0L until 3000L).map(i => i % 100).toDF("v") // 100 keys × 30
+    val counters = Sketches.cmCounters(df, "v", 1024, 4)
+    val probe = (0L until 100L).toDF("v")
+    val est = Sketches.cmEstimates(counters, probe, "v", 1024, 4)
+      .as[(Long, Long)].collect().toMap
+    // CM property: estimate >= true count, always
+    assert(est.values.forall(_ >= 30L))
+    // 100 keys in 1024 cells × 4 rows: min-over-rows is exact here
+    assert(est.values.forall(_ == 30L), s"unexpected collisions: $est")
+    val unseen = Sketches.cmEstimates(counters, Seq(99999L).toDF("v"), "v", 1024, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(unseen(99999L) == 0L, "never-seen key must estimate 0 exactly")
+  }
+
+  test("Count-Min counters are partition-invariant and merge by addition") {
+    val df = (0L until 2000L).map(i => i % 37).toDF("v")
+    def cells(parts: Int) = Sketches.cmCounters(df.repartition(parts), "v", 256, 3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(cells(1) == cells(16), "counter cells must not depend on partitioning")
+    // merging two halves by summing cells == building over the whole
+    val a = Sketches.cmCounters(df.filter(col("v") < 20), "v", 256, 3)
+    val b = Sketches.cmCounters(df.filter(col("v") >= 20), "v", 256, 3)
+    val merged = a.union(b).groupBy(col("r"), col("pos"))
+      .agg(sum(col("cnt")).as("cnt")).as[(Int, Long, Long)].collect().toSet
+    assert(merged == cells(1), "CM must merge by plain cell addition")
+  }
+
   test("HLL raw sketch: near truth at n >> m, deterministic, partition-invariant") {
     val n = 10000L
     val df = spark.range(n).select(lit("g").as("grp"), col("id").as("v"))
