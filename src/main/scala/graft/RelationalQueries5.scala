@@ -486,7 +486,43 @@ object RelationalQueries5 {
           .select(col("user_id"), col("n_true"), col("n_cm"))
       },
       Some(q123Oracle(1024, 4))),
+
+    // Z-order clustering codes (Layout.morton2) — the multi-dimensional
+    // data-layout key, gated on its bit arithmetic: morton codes over
+    // (l_partkey, l_suppkey), summarized per high-byte bucket (count,
+    // min/max code, distinct parts) — all integer, replayed bit-for-bit
+    // by the same interleave unrolled in SQL. The operator itself is
+    // pure Column shifts/masks/ORs (no udf — codegen'd; asserted in
+    // LayoutSpec), because a layout key touches every row of a write.
+    Q("q124_zorder_codes",
+      (spark, dir) => {
+        val l = Tables.load(spark, dir, "lineitem")
+        val code = graft.operators.Layout.morton2(
+          col("l_partkey"), col("l_suppkey"), bits = 16)
+        l.select(code.as("z"), col("l_partkey"))
+          .groupBy(expr("z DIV 65536").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("z")).as("min_code"), max(col("z")).as("max_code"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+      },
+      Some(q124Oracle(16))),
   )
+
+  /** The q124 oracle: the morton interleave unrolled — 2·bits shift/
+    * mask/OR terms, identical bit positions, then the same per-bucket
+    * rollup. DuckDB `|`/`&`/`<<`/`>>` on BIGINT match the JVM exactly
+    * for nonnegative inputs. */
+  private def q124Oracle(bits: Int): String = {
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+    s"""WITH z AS (SELECT ($terms) AS z, l_partkey FROM lineitem)
+       |SELECT z // 65536 AS bucket, count(*) AS n,
+       |  CAST(min(z) AS BIGINT) AS min_code, CAST(max(z) AS BIGINT) AS max_code,
+       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+       |FROM z GROUP BY 1""".stripMargin
+  }
 
   /** The q123 oracle: CM build + probe replayed in SQL — the q119
     * position machinery (two prefixed mix64 chains, h2 forced odd,
