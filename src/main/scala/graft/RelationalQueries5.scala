@@ -506,7 +506,66 @@ object RelationalQueries5 {
             countDistinct(col("l_partkey")).as("n_parts"))
       },
       Some(q124Oracle(16))),
+
+    // STRING-keyed Bloom pruning — the path the round-7 review scoped
+    // out of q119 (URLs/names/doc keys are the first thing a pipeline
+    // filters on): key64 = fnv1a64(utf8), then the same position kernel
+    // (Bloom.keyHash dispatch; an fnv collision merges position sets,
+    // which can only add false positives — the safe direction). Probe =
+    // every customer name, build = one segment; bucket = the name's
+    // trailing digit. The oracle replays the fold and both chains.
+    Q("q125_bloom_string",
+      (spark, dir) => {
+        val cust = Tables.load(spark, dir, "customer")
+        val buildSide = cust.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_name").as("key"))
+        val words = graft.operators.Bloom.build(buildSide, "key", 4096, 3)
+        val probe = cust.select(col("c_name").as("key")).distinct()
+        probe
+          .withColumn("pass", graft.operators.Bloom.mightContain(words, 4096, 3)(
+            graft.operators.Bloom.keyHash(probe, "key")))
+          .join(buildSide.withColumn("actual", lit(true)), Seq("key"), "left")
+          .groupBy(substring(col("key"), -1, 1).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_probe"),
+            count(when(col("pass"), 1)).as("n_pass"),
+            count(when(col("actual"), 1)).as("n_actual"),
+            count(when(col("pass") && col("actual").isNull, 1)).as("n_fp"))
+      },
+      Some(q125Oracle(4096, 3))),
+
+    // STRING-keyed Count–Min — token/property frequency estimation, the
+    // form a text pipeline hits first: events.props through the same
+    // fnv dispatch, top-20 true frequencies next to the CM estimates.
+    Q("q126_countmin_string",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val counters = graft.operators.Sketches.cmCounters(e, "props", 1024, 4)
+        val truth = e.filter(col("props").isNotNull)
+          .groupBy(col("props")).agg(count(lit(1)).as("n_true"))
+          .orderBy(desc("n_true"), asc("props")).limit(20)
+        val est = graft.operators.Sketches.cmEstimates(
+          counters, truth.select(col("props")), "props", 1024, 4)
+        truth.join(est, Seq("props"))
+          .select(col("props"), col("n_true"), col("n_cm"))
+      },
+      Some(q126Oracle(1024, 4))),
   )
+
+  private def q125Oracle(m: Int, k: Int): String =
+    s"""WITH bkeys AS (SELECT DISTINCT c_name AS key FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |pkeys AS (SELECT DISTINCT c_name AS key FROM customer),
+       |keys AS (SELECT key FROM pkeys),
+       |${bloomPosCtes(stringKey = true, m, k)},
+       |${bloomVerdictTail("CAST(key[-1] AS INT)")}""".stripMargin
+
+  private def q126Oracle(w: Int, d: Int): String =
+    s"""WITH vals AS (SELECT props AS key FROM events
+       |  WHERE props IS NOT NULL),
+       |cnt AS (SELECT key, count(*) AS n FROM vals GROUP BY 1),
+       |keys AS (SELECT key FROM cnt),
+       |${bloomPosCtes(stringKey = true, w, d)},
+       |${cmTail("props")}""".stripMargin
 
   /** The q124 oracle: the morton interleave unrolled — 2·bits shift/
     * mask/OR terms, identical bit positions, then the same per-bucket
@@ -524,34 +583,28 @@ object RelationalQueries5 {
        |FROM z GROUP BY 1""".stripMargin
   }
 
-  /** The q123 oracle: CM build + probe replayed in SQL — the q119
-    * position machinery (two prefixed mix64 chains, h2 forced odd,
-    * power-of-two modulus), counters as counts per (r, pos) cell over
-    * ALL value occurrences, estimate = min over the d cells. */
+  /** CM oracle tail shared by q123/q126: counters as counts per (r, pos)
+    * cell over ALL value occurrences, estimate = min over the d cells
+    * for the top-20 true-frequency keys. */
+  private def cmTail(outKey: String): String =
+    s"""counters AS (SELECT p.r, p.pos, sum(c.n) AS cell
+       |  FROM pos p JOIN cnt c ON p.key = c.key GROUP BY 1, 2),
+       |topk AS (SELECT key, n FROM cnt ORDER BY n DESC, key LIMIT 20)
+       |SELECT t.key AS $outKey, CAST(t.n AS BIGINT) AS n_true,
+       |  CAST(min(co.cell) AS BIGINT) AS n_cm
+       |FROM topk t JOIN pos p ON p.key = t.key
+       |  JOIN counters co ON co.r = p.r AND co.pos = p.pos
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The q123 oracle: CM build + probe replayed over the shared position
+    * machinery. */
   private def q123Oracle(w: Int, d: Int): String =
     s"""WITH vals AS (SELECT user_id AS key FROM events
        |  WHERE user_id IS NOT NULL),
        |cnt AS (SELECT key, count(*) AS n FROM vals GROUP BY 1),
        |keys AS (SELECT key FROM cnt),
-       |${mix64Stages("keys", Seq("key"), "CAST(key AS HUGEINT)", prefix = "a")},
-       |h1 AS (SELECT key, CAST(vu AS HUGEINT) AS h1u FROM amixed),
-       |${mix64Stages("keys", Seq("key"),
-           "(CAST(xor(CAST(key AS BIGINT), -7046029254386353131) AS HUGEINT) + 18446744073709551616) % 18446744073709551616",
-           prefix = "b")},
-       |h2 AS (SELECT key,
-       |  CAST(vu AS HUGEINT) - (CAST(vu AS HUGEINT) % 2) + 1 AS h2u FROM bmixed),
-       |pos AS (SELECT h1.key, i.i AS r,
-       |    ((h1.h1u + i.i * h2.h2u) % 18446744073709551616) % $w AS pos
-       |  FROM h1 JOIN h2 ON h1.key = h2.key,
-       |    generate_series(0, ${d - 1}) i(i)),
-       |counters AS (SELECT p.r, p.pos, sum(c.n) AS cell
-       |  FROM pos p JOIN cnt c ON p.key = c.key GROUP BY 1, 2),
-       |topk AS (SELECT key, n FROM cnt ORDER BY n DESC, key LIMIT 20)
-       |SELECT t.key AS user_id, CAST(t.n AS BIGINT) AS n_true,
-       |  CAST(min(co.cell) AS BIGINT) AS n_cm
-       |FROM topk t JOIN pos p ON p.key = t.key
-       |  JOIN counters co ON co.r = p.r AND co.pos = p.pos
-       |GROUP BY 1, 2""".stripMargin
+       |${bloomPosCtes(stringKey = false, w, d)},
+       |${cmTail("user_id")}""".stripMargin
 
   /** Register-pipeline CTEs for one q121 hash chain: `{p}mixed` →
     * `{p}regmax` (idx, reg) — the q120 arithmetic, prefix-scoped. */
@@ -628,31 +681,46 @@ object RelationalQueries5 {
        |FROM sums s$exactJoin""".stripMargin
   }
 
-  /** The q119 oracle: Bloom build + probe replayed in SQL. Two mix64
-    * chains (prefixes `a`/`b`) give h1 and h2 per distinct key;
-    * h2 is forced odd as in the JVM kernel; positions are
-    * (h1 + i·h2) mod 2^64 mod m (m a power of two, so the unsigned mod
-    * equals the JVM's `& (m-1)` on the wrapped sum). The filter IS the
-    * build side's distinct position set; a probe key passes iff every
-    * one of its distinct positions is present. −7046029254386353131 is
-    * Bloom.H2Seed (0x9e3779b97f4a7c15) as a signed BIGINT for the xor. */
-  private def q119Oracle(m: Int, k: Int): String =
-    s"""WITH bkeys AS (SELECT DISTINCT c_custkey AS key FROM customer
-       |  WHERE c_mktsegment = 'BUILDING'),
-       |pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
-       |keys AS (SELECT key FROM bkeys UNION SELECT key FROM pkeys),
-       |${mix64Stages("keys", Seq("key"), "CAST(key AS HUGEINT)", prefix = "a")},
+  /** CTEs from a `keys(key)` relation to `pos(key, r, pos)` — the
+    * bloom/CM position machinery (q119/q123/q125/q126 share it, so the
+    * position arithmetic cannot drift between those gates). Two mix64
+    * chains (prefixes `a`/`b`) give h1 and h2 per key; h2 is forced odd
+    * as in the JVM kernel; positions are (h1 + i·h2) mod 2^64 mod m
+    * (m a power of two, so the unsigned mod equals the JVM's `& (m-1)`
+    * on the wrapped sum). −7046029254386353131 is Bloom.H2Seed
+    * (0x9e3779b97f4a7c15) as a signed BIGINT for the xor. For STRING
+    * keys the fnv1a64 fold supplies the 64-bit key value first —
+    * Bloom.keyHash's dispatch, replayed. Emitted WITHOUT a leading
+    * WITH. */
+  private def bloomPosCtes(stringKey: Boolean, m: Int, k: Int): String = {
+    val keyPrep =
+      if (!stringKey)
+        s"""fnvs AS (SELECT key,
+           |  (CAST(key AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS fh,
+           |  CAST(key AS BIGINT) AS fhs FROM keys)""".stripMargin
+      else
+        s"""fnv0 AS (SELECT key, ${fnvFold("key")} AS fh FROM keys),
+           |fnvs AS (SELECT key, fh, CAST(CASE WHEN fh >= 9223372036854775808
+           |  THEN fh - 18446744073709551616 ELSE fh END AS BIGINT) AS fhs FROM fnv0)""".stripMargin
+    s"""$keyPrep,
+       |${mix64Stages("fnvs", Seq("key"), "fh", prefix = "a")},
        |h1 AS (SELECT key, CAST(vu AS HUGEINT) AS h1u FROM amixed),
-       |${mix64Stages("keys", Seq("key"),
-           "(CAST(xor(CAST(key AS BIGINT), -7046029254386353131) AS HUGEINT) + 18446744073709551616) % 18446744073709551616",
+       |${mix64Stages("fnvs", Seq("key"),
+           "(CAST(xor(fhs, -7046029254386353131) AS HUGEINT) + 18446744073709551616) % 18446744073709551616",
            prefix = "b")},
        |h2 AS (SELECT key,
        |  CAST(vu AS HUGEINT) - (CAST(vu AS HUGEINT) % 2) + 1 AS h2u FROM bmixed),
-       |pos AS (SELECT h1.key,
+       |pos AS (SELECT h1.key, i.i AS r,
        |    ((h1.h1u + i.i * h2.h2u) % 18446744073709551616) % $m AS pos
        |  FROM h1 JOIN h2 ON h1.key = h2.key,
-       |    generate_series(0, ${k - 1}) i(i)),
-       |bpos AS (SELECT DISTINCT pos FROM pos
+       |    generate_series(0, ${k - 1}) i(i))""".stripMargin
+  }
+
+  /** Bloom verdict tail shared by q119/q125: build-side position set,
+    * probe passes iff every distinct position is present, bucketed
+    * verdict counts. `bucketExpr` buckets the probe key. */
+  private def bloomVerdictTail(bucketExpr: String): String =
+    s"""bpos AS (SELECT DISTINCT pos FROM pos
        |  WHERE key IN (SELECT key FROM bkeys)),
        |ppos AS (SELECT DISTINCT key, pos FROM pos
        |  WHERE key IN (SELECT key FROM pkeys)),
@@ -661,11 +729,21 @@ object RelationalQueries5 {
        |flags AS (SELECT v.key, (v.npos = v.nhit) AS pass,
        |    (bk.key IS NOT NULL) AS actual
        |  FROM verdict v LEFT JOIN bkeys bk ON v.key = bk.key)
-       |SELECT CAST(key % 10 AS BIGINT) AS bucket, count(*) AS n_probe,
+       |SELECT $bucketExpr AS bucket, count(*) AS n_probe,
        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        |  CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
        |  CAST(sum(CASE WHEN pass AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
        |FROM flags GROUP BY 1""".stripMargin
+
+  /** The q119 oracle: Bloom build + probe replayed in SQL over the
+    * shared position machinery. */
+  private def q119Oracle(m: Int, k: Int): String =
+    s"""WITH bkeys AS (SELECT DISTINCT c_custkey AS key FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+       |keys AS (SELECT key FROM bkeys UNION SELECT key FROM pkeys),
+       |${bloomPosCtes(stringKey = false, m, k)},
+       |${bloomVerdictTail("CAST(key % 10 AS BIGINT)")}""".stripMargin
 
   /** fnv1a64 over a string column as a DuckDB HUGEINT fold (mod 2^64) —
     * the q37/q38 oracle machinery: per-char unicode() == the UTF-8 byte

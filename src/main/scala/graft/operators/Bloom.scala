@@ -34,26 +34,39 @@ import graft.functions.TextFunctions
 object Bloom {
   private val H2Seed = 0x9e3779b97f4a7c15L
 
+  private val strKeyUdf = udf((s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(TextFunctions.fnv1a64(s)))
+
   private[graft] def checkParams(m: Int, k: Int): Unit = {
     require(m >= 64 && Integer.bitCount(m) == 1,
       s"bloom m must be a power of two >= 64, got $m")
     require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
   }
 
-  /** Key columns must be integral — the Sketches.hashInput lesson: a
-    * silent `cast("long")` turns string keys into nulls, which here
-    * would build an EMPTY filter and make `prune` drop every probe row
-    * (false negatives, the one thing a bloom filter must never produce).
-    * Strings need the position spec extended through the fnv fold (and
-    * a matching oracle) — reject until that path is gated. */
-  private[graft] def checkKeyType(df: DataFrame, keyCol: String): Unit =
+  /** Map a key column to the 64-bit value the position kernel hashes —
+    * the Sketches.hashInput discipline: integral → the raw long
+    * (positions mix64 it, a bijection); string → fnv1a64 of the UTF-8
+    * bytes (the fold the LSH/sketch oracles replay in DuckDB — q125
+    * gates this path). An fnv collision merges two keys' position sets,
+    * which can only ADD false positives, never false negatives — the
+    * safe direction for a filter. Any other type is rejected LOUDLY: a
+    * silent `cast("long")` would null-cast string keys, build an EMPTY
+    * filter, and make `prune` drop every probe row — false negatives
+    * from the one structure that must never produce one. */
+  def keyHash(df: DataFrame, keyCol: String): Column =
     df.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        col(keyCol).cast("long")
+      case org.apache.spark.sql.types.StringType =>
+        // null-guarded fold (TextFunctions.fnv1a64Col would NPE on null
+        // input — here the expression runs on every row, pre-filter)
+        strKeyUdf(col(keyCol))
       case dt => throw new IllegalArgumentException(
         s"Bloom: key column '$keyCol' has type ${dt.simpleString}; bloom keys " +
-          "must be integral (byte/short/int/long) — a lossy cast would " +
-          "null-cast keys and silently break the no-false-negative guarantee")
+          "must be integral (byte/short/int/long) or string — a lossy cast " +
+          "would null-cast keys and silently break the no-false-negative guarantee")
     }
 
   /** The shared position kernel — build and probe both go through here,
@@ -69,11 +82,10 @@ object Bloom {
     * length m/64. */
   def build(df: DataFrame, keyCol: String, m: Int, k: Int): Array[Long] = {
     checkParams(m, k)
-    checkKeyType(df, keyCol)
     val posUdf = udf((x: java.lang.Long) =>
       if (x == null) null else positions(x.longValue(), m, k))
     val ps = df.filter(col(keyCol).isNotNull)
-      .select(explode(posUdf(col(keyCol).cast("long"))).as("pos"))
+      .select(explode(posUdf(keyHash(df, keyCol))).as("pos"))
       .distinct()
       .collect().map(_.getLong(0))
     val words = new Array[Long](m / 64)
@@ -82,7 +94,9 @@ object Bloom {
   }
 
   /** Membership test as a Column (fused udf over the packed words — the
-    * words ride the closure, m/8 bytes per task). Null key → null. */
+    * words ride the closure, m/8 bytes per task). `key` must already be
+    * the 64-bit key value: a long column directly, or [[keyHash]] for
+    * the typed dispatch (string keys). Null key → null. */
   def mightContain(words: Array[Long], m: Int, k: Int)(key: Column): Column = {
     checkParams(m, k)
     require(words.length == m / 64,
@@ -103,10 +117,9 @@ object Bloom {
   def prune(probe: DataFrame, probeKey: String,
       buildSide: DataFrame, buildKey: String,
       m: Int = 1 << 16, k: Int = 3): DataFrame = {
-    checkKeyType(probe, probeKey)
     val words = build(buildSide, buildKey, m, k)
     // null probe keys get a null verdict and are dropped here — correct
     // for the runtime-filter use (a null key never matches an equi-join)
-    probe.filter(mightContain(words, m, k)(col(probeKey)))
+    probe.filter(mightContain(words, m, k)(keyHash(probe, probeKey)))
   }
 }

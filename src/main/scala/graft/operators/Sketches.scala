@@ -316,13 +316,12 @@ object Sketches {
     * realistic width. */
   def cmCounters(df: DataFrame, valueCol: String, w: Int, d: Int): DataFrame = {
     Bloom.checkParams(w, d)
-    Bloom.checkKeyType(df, valueCol)
     val posUdf = udf((x: java.lang.Long) =>
       if (x == null) null
       else Bloom.positions(x.longValue(), w, d).zipWithIndex
         .map { case (p, r) => (r, p) })
     df.filter(col(valueCol).isNotNull)
-      .select(explode(posUdf(col(valueCol).cast("long"))).as("rp"))
+      .select(explode(posUdf(Bloom.keyHash(df, valueCol))).as("rp"))
       .select(col("rp._1").as("r"), col("rp._2").as("pos"))
       .groupBy(col("r"), col("pos"))
       .agg(count(lit(1)).as("cnt"))
@@ -334,13 +333,12 @@ object Sketches {
   def cmEstimates(counters: DataFrame, probe: DataFrame, valueCol: String,
       w: Int, d: Int): DataFrame = {
     Bloom.checkParams(w, d)
-    Bloom.checkKeyType(probe, valueCol)
     val posUdf = udf((x: java.lang.Long) =>
       if (x == null) null
       else Bloom.positions(x.longValue(), w, d).zipWithIndex
         .map { case (p, r) => (r, p) })
     probe.filter(col(valueCol).isNotNull)
-      .select(col(valueCol), explode(posUdf(col(valueCol).cast("long"))).as("rp"))
+      .select(col(valueCol), explode(posUdf(Bloom.keyHash(probe, valueCol))).as("rp"))
       .select(col(valueCol), col("rp._1").as("r"), col("rp._2").as("pos"))
       .join(broadcast(counters), Seq("r", "pos"), "left")
       .groupBy(col(valueCol))

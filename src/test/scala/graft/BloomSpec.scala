@@ -56,16 +56,25 @@ class BloomSpec extends SparkSuite {
     assert(v(1).isNullAt(0))
   }
 
-  test("non-integral key columns are rejected loudly, never null-cast") {
-    // a silent cast("long") on string keys builds an EMPTY filter and
-    // prune() then drops every row — false negatives from a bloom filter
-    val strs = Seq("a", "b").toDF("key")
-    val e = intercept[IllegalArgumentException](Bloom.build(strs, "key", 256, 2))
+  test("string keys route through the fnv fold: no false negatives, fractional rejected") {
+    // strings go through Bloom.keyHash (fnv1a64 → position kernel); a
+    // collision merges position sets, which only ADDS false positives —
+    // built keys must still always pass
+    val urls = (0 until 400).map(i => s"https://example.com/doc/$i").toDF("key")
+    val words = Bloom.build(urls, "key", 2048, 3)
+    val missed = urls.filter(
+      !Bloom.mightContain(words, 2048, 3)(Bloom.keyHash(urls, "key")))
+    assert(missed.count() == 0)
+    val pruned = Bloom.prune(
+      (0 until 1000).map(i => s"https://example.com/doc/$i").toDF("key"),
+      "key", urls, "key", m = 2048, k = 3)
+    assert(pruned.count() >= 400, "every true member must survive pruning")
+    // fractional keys stay rejected — 1.5 and 1.9 would silently coerce
+    val dbl = Seq(1.5).toDF("key")
+    val e = intercept[IllegalArgumentException](Bloom.build(dbl, "key", 256, 2))
     assert(e.getMessage.contains("integral"))
     intercept[IllegalArgumentException](
-      Bloom.prune(strs, "key", Seq(1L).toDF("key"), "key"))
-    intercept[IllegalArgumentException](
-      Bloom.prune(Seq(1L).toDF("key"), "key", strs, "key"))
+      Bloom.prune(dbl, "key", Seq(1L).toDF("key"), "key"))
   }
 
   test("parameter validation is loud") {
