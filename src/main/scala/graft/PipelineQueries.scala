@@ -361,6 +361,33 @@ object PipelineQueries {
       },
       Some(RelationalQueries5.hllEventsOracle(includeExact = false))),
 
+    // Streaming Count–Min under the oracle gate — the third sketch
+    // family's streaming form (KMV: q115, HLL: q122): the counter build
+    // streams as a plain Update-mode aggregation (cell counts are
+    // monotone, so max over emissions is the final table), then the
+    // estimates are computed from the recovered counters exactly as in
+    // batch — same output frame as q123, same oracle.
+    Q("q127_streaming_countmin",
+      (spark, dir) => {
+        val cells = EventStream.runToCompletion(spark,
+          normalizedEventsDir(spark, dir),
+          df => EventStream.cmCountersStream(spark, df, "user_id", 1024, 4),
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          s"q127_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+          .groupBy(col("r"), col("pos"))
+          .agg(max(col("cnt")).as("cnt"))
+        val e = Tables.load(spark, dir, "events")
+        val truth = e.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+          .orderBy(desc("n_true"), asc("user_id")).limit(20)
+        val est = graft.operators.Sketches.cmEstimates(
+          cells, truth.select(col("user_id")), "user_id", 1024, 4)
+        truth.join(est, Seq("user_id"))
+          .select(col("user_id"), col("n_true"), col("n_cm"))
+      },
+      Some(RelationalQueries5.cmEventsOracle(1024, 4))),
+
     // Stream-STREAM interval join under the oracle gate: the events table
     // replayed as a file stream, split into click/purchase substreams, and
     // joined through purchaseAttribution (watermarked interval join — the

@@ -596,9 +596,12 @@ object RelationalQueries5 {
        |  JOIN counters co ON co.r = p.r AND co.pos = p.pos
        |GROUP BY 1, 2""".stripMargin
 
-  /** The q123 oracle: CM build + probe replayed over the shared position
-    * machinery. */
-  private def q123Oracle(w: Int, d: Int): String =
+  /** The q123 oracle (and q127's — the streaming CM build is gated
+    * against the SAME chain): CM build + probe replayed over the shared
+    * position machinery. */
+  private def q123Oracle(w: Int, d: Int): String = cmEventsOracle(w, d)
+
+  private[graft] def cmEventsOracle(w: Int, d: Int): String =
     s"""WITH vals AS (SELECT user_id AS key FROM events
        |  WHERE user_id IS NOT NULL),
        |cnt AS (SELECT key, count(*) AS n FROM vals GROUP BY 1),

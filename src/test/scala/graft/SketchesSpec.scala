@@ -298,6 +298,28 @@ class SketchesSpec extends SparkSuite {
     assert(merged == cells(1), "CM must merge by plain cell addition")
   }
 
+  test("streaming Count-Min cells == batch build, across arbitrary batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (0L until 2000L).map(i => i % 61)
+    val expected = Sketches.cmCounters(all.toDF("v"), "v", 256, 3)
+      .as[(Int, Long, Long)].collect().toSet
+
+    val ms = MemoryStream[Long](spark)
+    val q = graft.streaming.EventStream
+      .cmCountersStream(spark, ms.toDF().toDF("v"), "v", 256, 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cm_stream").start()
+    try {
+      ms.addData(all.take(700): _*); q.processAllAvailable()
+      ms.addData(all.drop(700): _*); q.processAllAvailable()
+    } finally q.stop()
+    // cell counts are monotone → max emission per cell == final table
+    val got = spark.table("cm_stream")
+      .groupBy(col("r"), col("pos")).agg(max(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == expected, "streaming CM cells must equal the batch build")
+  }
+
   test("HLL raw sketch: near truth at n >> m, deterministic, partition-invariant") {
     val n = 10000L
     val df = spark.range(n).select(lit("g").as("grp"), col("id").as("v"))
