@@ -277,42 +277,80 @@ object CurationQueries {
     // tiebreak (pr desc, node asc).
     Q("q118_pagerank",
       (spark, dir) => {
-        val o = Tables.load(spark, dir, "orders")
-        val l = Tables.load(spark, dir, "lineitem")
-        val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("src"),
-            (col("l_suppkey") + lit(10000000L)).as("dst"))
-          .distinct()
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-        graft.operators.Graph.pageRank(edges, iterations = 4, broadcastRanks = true)
+        graft.operators.Graph.pageRank(customerSupplierEdges(spark, dir),
+            iterations = 4, broadcastRanks = true)
           .orderBy(desc("pr"), asc("node"))
           .limit(20)
       },
-      Some(pageRankOracle(4))),
+      Some(pageRankOracle(4, seedsSql = None))),
+
+    // Personalized PageRank (restart at a seed set): the "what's near
+    // these nodes" relevance query — seeds are one nation's customers;
+    // non-seeds start at 0 and get no base term, so every unit of rank
+    // provably flowed out of the seed set through the graph. Same
+    // integer arithmetic; the oracle carries the seed flag through
+    // every unrolled iteration.
+    Q("q128_personalized_pagerank",
+      (spark, dir) => {
+        val seeds = Tables.load(spark, dir, "customer")
+          .filter(col("c_nationkey") === 1)
+          .select(col("c_custkey").as("node"))
+        graft.operators.Graph.personalizedPageRank(
+            customerSupplierEdges(spark, dir), seeds,
+            iterations = 4, broadcastRanks = true)
+          .orderBy(desc("pr"), asc("node"))
+          .limit(20)
+      },
+      Some(pageRankOracle(4,
+        seedsSql = Some("SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1")))),
   )
 
-  /** The q118 oracle: the ENTIRE fixed-point PageRank chain unrolled as
-    * SQL CTEs — same integer micro-unit arithmetic as Graph.pageRank
-    * (DuckDB `//` floors, Spark DIV truncates: identical on the
-    * all-positive domain), one (contrib, rank) CTE pair per iteration. */
-  private def pageRankOracle(iters: Int): String = {
+  /** The q118/q128 graph: bidirectional customer↔supplier interaction
+    * edges (supplier ids offset into their own namespace). */
+  private def customerSupplierEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      .distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** The q118/q128 oracle: the ENTIRE fixed-point PageRank chain
+    * unrolled as SQL CTEs — same integer micro-unit arithmetic as
+    * Graph.pageRank (DuckDB `//` floors, Spark DIV truncates: identical
+    * on the all-positive domain), one (contrib, rank) CTE pair per
+    * iteration. `seedsSql` (a `node`-column SELECT) switches to the
+    * personalized form: seed-only initialization and base term. */
+  private def pageRankOracle(iters: Int, seedsSql: Option[String]): String = {
+    val seedCtes = seedsSql match {
+      case None =>
+        """sn AS (SELECT node, TRUE AS seed FROM nodes)"""
+      case Some(sql) =>
+        s"""seeds AS ($sql),
+           |sn AS (SELECT n.node, (s.node IS NOT NULL) AS seed
+           |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""".stripMargin
+    }
     val head =
-      """WITH fwd AS (
-        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
-        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |$seedCtes,
+         |r0 AS (SELECT node, CAST(CASE WHEN seed THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+         |  FROM sn)""".stripMargin
     val its = (1 to iters).map { i =>
       s""",
          |c$i AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS recv
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
          |  GROUP BY 1),
-         |r$i AS (SELECT n.node, 150000 + (85 * coalesce(c.recv, 0)) // 100 AS pr
-         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+         |r$i AS (SELECT n.node,
+         |    (CASE WHEN n.seed THEN 150000 ELSE 0 END) + (85 * coalesce(c.recv, 0)) // 100 AS pr
+         |  FROM sn n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
     }.mkString
     head + its +
       s"\nSELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY pr DESC, node LIMIT 20"

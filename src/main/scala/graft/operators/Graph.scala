@@ -53,17 +53,45 @@ object Graph {
     *                   scale shape.
     */
   def pageRank(edges: DataFrame, iterations: Int,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false): DataFrame =
+    pageRankImpl(edges, None, iterations, broadcastRanks)
+
+  /** Personalized PageRank: teleport mass restarts at the SEED set only
+    * (uniform PageRank is the special case "every node is a seed") —
+    * the "what's near these nodes" relevance query of a link graph:
+    * seeds = a topic's known-good pages (or one user's history), ranks
+    * = proximity-weighted relevance. Same fixed-point integer
+    * arithmetic, same per-iteration plan; non-seeds start at 0 and
+    * receive no base term, so all mass provably originates from the
+    * seed set. `seeds` is a single-column (`node`) frame; seed ids
+    * absent from the graph are ignored on both sides of the gate. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, broadcastRanks: Boolean = false): DataFrame =
+    pageRankImpl(edges, Some(seeds), iterations, broadcastRanks)
+
+  private def pageRankImpl(edges: DataFrame, seeds: Option[DataFrame],
+      iterations: Int, broadcastRanks: Boolean): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    // nodes and the degree-annotated edge list are read by EVERY
-    // iteration — persisted and tracked (OperatorCaches contract), else
-    // the upstream edge construction (often a join + distinct) recomputes
-    // once per iteration per consumer
-    val nodes = OperatorCaches.track(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
-        .distinct()
-        .persist())
+    val small: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else identity
+    // nodes (with their seed flag) and the degree-annotated edge list
+    // are read by EVERY iteration — persisted and tracked
+    // (OperatorCaches contract), else the upstream edge construction
+    // (often a join + distinct) recomputes once per iteration per
+    // consumer
+    val bare = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val flagged = seeds match {
+      case None => bare.select(col("node"), lit(true).as("_seed"))
+      case Some(s) =>
+        bare.join(
+            small(s.select(col("node")).distinct()
+              .select(col("node"), lit(true).as("_seed"))),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+    }
+    val nodes = OperatorCaches.track(flagged.persist())
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // static across iterations: every edge annotated with its source's
     // out-degree, so the loop joins one frame instead of two
@@ -72,9 +100,9 @@ object Graph {
         .select(col("src"), col("dst"), col("outdeg"))
         .persist())
 
-    val small: DataFrame => DataFrame =
-      if (broadcastRanks) df => broadcast(df) else identity
-    var ranks = nodes.select(col("node"), lit(Scale).as("pr"))
+    val baseTerm = when(col("_seed"), lit(Base)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(col("_seed"), lit(Scale)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to iterations) {
       val received = degEdges
         .join(small(ranks), degEdges("src") === ranks("node"))
@@ -83,9 +111,9 @@ object Graph {
       ranks = nodes
         .join(small(received), nodes("node") === received("dst"), "left")
         .select(col("node"),
-          (lit(Base) + expr(s"($DampNum * coalesce(recv, CAST(0 AS BIGINT))) DIV $DampDen"))
+          (baseTerm + expr(s"($DampNum * coalesce(recv, CAST(0 AS BIGINT))) DIV $DampDen"))
             .as("pr"))
     }
-    ranks
+    ranks.select(col("node"), col("pr"))
   }
 }

@@ -45,6 +45,29 @@ class GraphSpec extends SparkSuite {
     assert(r == Map(7L -> Graph.Scale, 8L -> Graph.Scale))
   }
 
+  test("personalized PageRank: mass originates from seeds only; all-seeds == uniform") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L))
+    // seed {1}: component {4,5} is unreachable from the seed — after any
+    // number of iterations its nodes must hold rank 0 exactly
+    val seeded = Graph.personalizedPageRank(
+      edges.toDF("src", "dst"), Seq(1L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(seeded(4L) == 0L && seeded(5L) == 0L,
+      s"unreachable component must stay at zero: $seeded")
+    assert(seeded(1L) > 0L && seeded(2L) > 0L && seeded(3L) > 0L)
+    // seeding EVERY node is definitionally uniform PageRank
+    val allSeeds = Graph.personalizedPageRank(
+      edges.toDF("src", "dst"), (1L to 5L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    val uniform = ranks(edges, 3)
+    assert(allSeeds == uniform)
+    // seed ids absent from the graph are ignored
+    val phantom = Graph.personalizedPageRank(
+      edges.toDF("src", "dst"), Seq(1L, 999L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(phantom == seeded && !phantom.contains(999L))
+  }
+
   test("result is independent of input partitioning (integer sums commute)") {
     val edges = (0L until 400L).map(i => (i % 37, (i * 13) % 41))
       .distinct
