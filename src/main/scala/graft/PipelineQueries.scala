@@ -371,20 +371,14 @@ object PipelineQueries {
       (spark, dir) => {
         val cells = EventStream.runToCompletion(spark,
           normalizedEventsDir(spark, dir),
-          df => EventStream.cmCountersStream(spark, df, "user_id", 1024, 4),
+          df => EventStream.cmCountersStream(df, "user_id", 1024, 4),
           org.apache.spark.sql.streaming.OutputMode.Update,
           s"q127_${math.abs(dir.hashCode)}",
           shufflePartitions = Some(8))
           .groupBy(col("r"), col("pos"))
           .agg(max(col("cnt")).as("cnt"))
-        val e = Tables.load(spark, dir, "events")
-        val truth = e.filter(col("user_id").isNotNull)
-          .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
-          .orderBy(desc("n_true"), asc("user_id")).limit(20)
-        val est = graft.operators.Sketches.cmEstimates(
-          cells, truth.select(col("user_id")), "user_id", 1024, 4)
-        truth.join(est, Seq("user_id"))
-          .select(col("user_id"), col("n_true"), col("n_cm"))
+        graft.operators.Sketches.cmTopKGate(
+          Tables.load(spark, dir, "events"), cells, "user_id", 1024, 4)
       },
       Some(RelationalQueries5.cmEventsOracle(1024, 4))),
 

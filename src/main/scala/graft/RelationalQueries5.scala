@@ -407,12 +407,15 @@ object RelationalQueries5 {
       (spark, dir) => {
         val cust = Tables.load(spark, dir, "customer")
         val ords = Tables.load(spark, dir, "orders")
+        // distinct mirrors the oracle's DISTINCT bkeys (custkeys are
+        // unique in customer, but the gate must not depend on that)
         val buildSide = cust.filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("key"))
+          .select(col("c_custkey").as("key")).distinct()
         val words = graft.operators.Bloom.build(buildSide, "key", 4096, 3)
-        ords.select(col("o_custkey").as("key")).distinct()
+        val probe = ords.select(col("o_custkey").as("key")).distinct()
+        probe
           .withColumn("pass",
-            graft.operators.Bloom.mightContain(words, 4096, 3)(col("key")))
+            graft.operators.Bloom.mightContainIn(probe, "key", words, 4096, 3))
           .join(buildSide.withColumn("actual", lit(true)), Seq("key"), "left")
           .groupBy((col("key") % 10).as("bucket"))
           .agg(count(lit(1)).as("n_probe"),
@@ -476,14 +479,9 @@ object RelationalQueries5 {
     Q("q123_countmin",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "events")
-        val counters = graft.operators.Sketches.cmCounters(e, "user_id", 1024, 4)
-        val truth = e.filter(col("user_id").isNotNull)
-          .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
-          .orderBy(desc("n_true"), asc("user_id")).limit(20)
-        val est = graft.operators.Sketches.cmEstimates(
-          counters, truth.select(col("user_id")), "user_id", 1024, 4)
-        truth.join(est, Seq("user_id"))
-          .select(col("user_id"), col("n_true"), col("n_cm"))
+        graft.operators.Sketches.cmTopKGate(e,
+          graft.operators.Sketches.cmCounters(e, "user_id", 1024, 4),
+          "user_id", 1024, 4)
       },
       Some(q123Oracle(1024, 4))),
 
@@ -517,13 +515,16 @@ object RelationalQueries5 {
     Q("q125_bloom_string",
       (spark, dir) => {
         val cust = Tables.load(spark, dir, "customer")
+        // distinct to match the oracle's DISTINCT bkeys — without it a
+        // duplicate build name would fan out the probe's left join and
+        // diverge from the gate
         val buildSide = cust.filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_name").as("key"))
+          .select(col("c_name").as("key")).distinct()
         val words = graft.operators.Bloom.build(buildSide, "key", 4096, 3)
         val probe = cust.select(col("c_name").as("key")).distinct()
         probe
-          .withColumn("pass", graft.operators.Bloom.mightContain(words, 4096, 3)(
-            graft.operators.Bloom.keyHash(probe, "key")))
+          .withColumn("pass",
+            graft.operators.Bloom.mightContainIn(probe, "key", words, 4096, 3))
           .join(buildSide.withColumn("actual", lit(true)), Seq("key"), "left")
           .groupBy(substring(col("key"), -1, 1).cast("int").as("bucket"))
           .agg(count(lit(1)).as("n_probe"),
@@ -539,14 +540,9 @@ object RelationalQueries5 {
     Q("q126_countmin_string",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "events")
-        val counters = graft.operators.Sketches.cmCounters(e, "props", 1024, 4)
-        val truth = e.filter(col("props").isNotNull)
-          .groupBy(col("props")).agg(count(lit(1)).as("n_true"))
-          .orderBy(desc("n_true"), asc("props")).limit(20)
-        val est = graft.operators.Sketches.cmEstimates(
-          counters, truth.select(col("props")), "props", 1024, 4)
-        truth.join(est, Seq("props"))
-          .select(col("props"), col("n_true"), col("n_cm"))
+        graft.operators.Sketches.cmTopKGate(e,
+          graft.operators.Sketches.cmCounters(e, "props", 1024, 4),
+          "props", 1024, 4)
       },
       Some(q126Oracle(1024, 4))),
   )

@@ -38,10 +38,14 @@ object Bloom {
     if (s == null) null.asInstanceOf[java.lang.Long]
     else java.lang.Long.valueOf(TextFunctions.fnv1a64(s)))
 
-  private[graft] def checkParams(m: Int, k: Int): Unit = {
+  /** `who`/`mName`/`kName` label the error for the calling operator —
+    * Count–Min shares this kernel and its users should see "Sketches
+    * ... w" in diagnostics, not "Bloom ... m". */
+  private[graft] def checkParams(m: Int, k: Int, who: String = "Bloom",
+      mName: String = "m", kName: String = "k"): Unit = {
     require(m >= 64 && Integer.bitCount(m) == 1,
-      s"bloom m must be a power of two >= 64, got $m")
-    require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
+      s"$who: $mName must be a power of two >= 64, got $m")
+    require(k >= 1 && k <= 16, s"$who: $kName must be in [1, 16], got $k")
   }
 
   /** Map a key column to the 64-bit value the position kernel hashes —
@@ -54,7 +58,7 @@ object Bloom {
     * silent `cast("long")` would null-cast string keys, build an EMPTY
     * filter, and make `prune` drop every probe row — false negatives
     * from the one structure that must never produce one. */
-  def keyHash(df: DataFrame, keyCol: String): Column =
+  def keyHash(df: DataFrame, keyCol: String, who: String = "Bloom"): Column =
     df.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
@@ -64,9 +68,30 @@ object Bloom {
         // input — here the expression runs on every row, pre-filter)
         strKeyUdf(col(keyCol))
       case dt => throw new IllegalArgumentException(
-        s"Bloom: key column '$keyCol' has type ${dt.simpleString}; bloom keys " +
+        s"$who: key column '$keyCol' has type ${dt.simpleString}; keys " +
           "must be integral (byte/short/int/long) or string — a lossy cast " +
           "would null-cast keys and silently break the no-false-negative guarantee")
+    }
+
+  /** The k positions of every key as ONE fused udf per row — type
+    * dispatch happens at plan time, the string path folds fnv + double
+    * hashing in a single closure (no boxed handoff between two udfs on
+    * the per-row hot path). Shared by the filter build and the
+    * Count–Min build/probe (via `posexplode`: the array INDEX is the
+    * hash-row number r). */
+  private[graft] def positionsCol(df: DataFrame, keyCol: String,
+      m: Int, k: Int, who: String = "Bloom"): Column =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val u = udf((s: String) =>
+          if (s == null) null
+          else positions(TextFunctions.fnv1a64(s), m, k))
+        u(col(keyCol))
+      case _ =>
+        // integral (or rejected loudly by keyHash's dispatch)
+        val u = udf((x: java.lang.Long) =>
+          if (x == null) null else positions(x.longValue(), m, k))
+        u(keyHash(df, keyCol, who))
     }
 
   /** The shared position kernel — build and probe both go through here,
@@ -82,10 +107,8 @@ object Bloom {
     * length m/64. */
   def build(df: DataFrame, keyCol: String, m: Int, k: Int): Array[Long] = {
     checkParams(m, k)
-    val posUdf = udf((x: java.lang.Long) =>
-      if (x == null) null else positions(x.longValue(), m, k))
     val ps = df.filter(col(keyCol).isNotNull)
-      .select(explode(posUdf(keyHash(df, keyCol))).as("pos"))
+      .select(explode(positionsCol(df, keyCol, m, k)).as("pos"))
       .distinct()
       .collect().map(_.getLong(0))
     val words = new Array[Long](m / 64)
@@ -93,14 +116,38 @@ object Bloom {
     words
   }
 
-  /** Membership test as a Column (fused udf over the packed words — the
-    * words ride the closure, m/8 bytes per task). `key` must already be
-    * the 64-bit key value: a long column directly, or [[keyHash]] for
-    * the typed dispatch (string keys). Null key → null. */
+  /** Membership test over a key COLUMN with the full type dispatch —
+    * the safe public entry point: integral and string keys both route
+    * through the specified kernel in one fused udf (string: fnv +
+    * positions + bit test in a single closure), anything else is
+    * rejected loudly at plan time. Null key → null verdict. The words
+    * ride the closure, m/8 bytes per task. */
+  def mightContainIn(df: DataFrame, keyCol: String,
+      words: Array[Long], m: Int, k: Int): Column = {
+    checkWords(words, m, k)
+    def test(ps: Array[Long]): java.lang.Boolean = java.lang.Boolean.valueOf(
+      ps.forall(p => (words((p >> 6).toInt) >>> (p & 63).toInt & 1L) == 1L))
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val u = udf((s: String) =>
+          if (s == null) null
+          else test(positions(TextFunctions.fnv1a64(s), m, k)))
+        u(col(keyCol))
+      case _ =>
+        val u = udf((x: java.lang.Long) =>
+          if (x == null) null
+          else test(positions(x.longValue(), m, k)))
+        u(keyHash(df, keyCol))
+    }
+  }
+
+  /** Membership test as a Column over an already-64-bit key value (a
+    * LongType column, or [[keyHash]]'s output). NO implicit cast: a
+    * lossy coercion here once reopened the false-negative hole the df
+    * entry points close — pass a long column or use [[mightContainIn]]
+    * for the typed dispatch. Null key → null. */
   def mightContain(words: Array[Long], m: Int, k: Int)(key: Column): Column = {
-    checkParams(m, k)
-    require(words.length == m / 64,
-      s"words length ${words.length} != m/64 = ${m / 64}")
+    checkWords(words, m, k)
     val probeUdf = udf((x: java.lang.Long) =>
       if (x == null) null
       else {
@@ -108,7 +155,13 @@ object Bloom {
         java.lang.Boolean.valueOf(
           ps.forall(p => (words((p >> 6).toInt) >>> (p & 63).toInt & 1L) == 1L))
       })
-    probeUdf(key.cast("long"))
+    probeUdf(key)
+  }
+
+  private def checkWords(words: Array[Long], m: Int, k: Int): Unit = {
+    checkParams(m, k)
+    require(words.length == m / 64,
+      s"words length ${words.length} != m/64 = ${m / 64}")
   }
 
   /** The runtime-filter use: keep only probe rows whose key passes the
@@ -120,6 +173,6 @@ object Bloom {
     val words = build(buildSide, buildKey, m, k)
     // null probe keys get a null verdict and are dropped here — correct
     // for the runtime-filter use (a null key never matches an equi-join)
-    probe.filter(mightContain(words, m, k)(keyHash(probe, probeKey)))
+    probe.filter(mightContainIn(probe, probeKey, words, m, k))
   }
 }

@@ -315,14 +315,14 @@ object Sketches {
     * counter table — counters are ≤ d·w rows, a broadcast at any
     * realistic width. */
   def cmCounters(df: DataFrame, valueCol: String, w: Int, d: Int): DataFrame = {
-    Bloom.checkParams(w, d)
-    val posUdf = udf((x: java.lang.Long) =>
-      if (x == null) null
-      else Bloom.positions(x.longValue(), w, d).zipWithIndex
-        .map { case (p, r) => (r, p) })
+    Bloom.checkParams(w, d, who = "Sketches.cmCounters", mName = "w", kName = "d")
+    // posexplode over the shared position kernel: the array INDEX is the
+    // hash-row number r — build and probe cannot desynchronize because
+    // neither defines its own pairing
     df.filter(col(valueCol).isNotNull)
-      .select(explode(posUdf(Bloom.keyHash(df, valueCol))).as("rp"))
-      .select(col("rp._1").as("r"), col("rp._2").as("pos"))
+      .select(posexplode(
+        Bloom.positionsCol(df, valueCol, w, d, who = "Sketches.cmCounters")))
+      .select(col("pos").as("r"), col("col").as("pos"))
       .groupBy(col("r"), col("pos"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -332,17 +332,27 @@ object Sketches {
     * counting 0 (a never-seen key estimates 0 exactly). */
   def cmEstimates(counters: DataFrame, probe: DataFrame, valueCol: String,
       w: Int, d: Int): DataFrame = {
-    Bloom.checkParams(w, d)
-    val posUdf = udf((x: java.lang.Long) =>
-      if (x == null) null
-      else Bloom.positions(x.longValue(), w, d).zipWithIndex
-        .map { case (p, r) => (r, p) })
+    Bloom.checkParams(w, d, who = "Sketches.cmEstimates", mName = "w", kName = "d")
     probe.filter(col(valueCol).isNotNull)
-      .select(col(valueCol), explode(posUdf(Bloom.keyHash(probe, valueCol))).as("rp"))
-      .select(col(valueCol), col("rp._1").as("r"), col("rp._2").as("pos"))
+      .select(col(valueCol), posexplode(
+        Bloom.positionsCol(probe, valueCol, w, d, who = "Sketches.cmEstimates")))
+      .select(col(valueCol), col("pos").as("r"), col("col").as("pos"))
       .join(broadcast(counters), Seq("r", "pos"), "left")
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cm"))
+  }
+
+  /** The shared gate shape for the CM queries (q123/q126/q127): top-20
+    * true frequencies (count desc, key asc — a total order) next to
+    * their CM estimates from `counters`. */
+  private[graft] def cmTopKGate(df: DataFrame, counters: DataFrame,
+      keyCol: String, w: Int, d: Int): DataFrame = {
+    val truth = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_true"))
+      .orderBy(desc("n_true"), asc(keyCol)).limit(20)
+    truth.join(cmEstimates(counters, truth.select(col(keyCol)), keyCol, w, d),
+        Seq(keyCol))
+      .select(col(keyCol), col("n_true"), col("n_cm"))
   }
 
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,

@@ -299,26 +299,16 @@ object EventStream {
     }
 
   /** STREAMING Count–Min: the counter build is a plain streaming
-    * aggregation — explode each value's d positions (the batch
-    * operator's own kernel via [[graft.operators.Sketches.cmCounters]]'
-    * position udf, shared through Bloom.positions/keyHash) and running-
-    * count per (r, pos) cell in Update mode. Cell counts are monotone
-    * non-decreasing, so max over the Update emissions IS the final
-    * counter table, which equals the batch build exactly (counts
-    * commute). State = one long per touched cell, bounded by d·w. */
-  def cmCountersStream(spark: SparkSession, df: DataFrame,
-      valueCol: String, w: Int, d: Int): DataFrame = {
-    graft.operators.Bloom.checkParams(w, d)
-    val posUdf = udf((x: java.lang.Long) =>
-      if (x == null) null
-      else graft.operators.Bloom.positions(x.longValue(), w, d).zipWithIndex
-        .map { case (p, r) => (r, p) })
-    df.filter(col(valueCol).isNotNull)
-      .select(explode(posUdf(graft.operators.Bloom.keyHash(df, valueCol))).as("rp"))
-      .select(col("rp._1").as("r"), col("rp._2").as("pos"))
-      .groupBy(col("r"), col("pos"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+    * aggregation, so the batch operator IS the streaming operator —
+    * this delegates to [[graft.operators.Sketches.cmCounters]] verbatim
+    * (one kernel; stream/batch parity cannot drift). Run in Update
+    * mode: cell counts are monotone non-decreasing, so max over the
+    * Update emissions IS the final counter table, which equals the
+    * batch build exactly (counts commute). State = one long per
+    * touched cell, bounded by d·w. */
+  def cmCountersStream(df: DataFrame, valueCol: String,
+      w: Int, d: Int): DataFrame =
+    graft.operators.Sketches.cmCounters(df, valueCol, w, d)
 
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are

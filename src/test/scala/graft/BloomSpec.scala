@@ -63,7 +63,7 @@ class BloomSpec extends SparkSuite {
     val urls = (0 until 400).map(i => s"https://example.com/doc/$i").toDF("key")
     val words = Bloom.build(urls, "key", 2048, 3)
     val missed = urls.filter(
-      !Bloom.mightContain(words, 2048, 3)(Bloom.keyHash(urls, "key")))
+      !Bloom.mightContainIn(urls, "key", words, 2048, 3))
     assert(missed.count() == 0)
     val pruned = Bloom.prune(
       (0 until 1000).map(i => s"https://example.com/doc/$i").toDF("key"),

@@ -306,7 +306,7 @@ class SketchesSpec extends SparkSuite {
 
     val ms = MemoryStream[Long](spark)
     val q = graft.streaming.EventStream
-      .cmCountersStream(spark, ms.toDF().toDF("v"), "v", 256, 3)
+      .cmCountersStream(ms.toDF().toDF("v"), "v", 256, 3)
       .writeStream.outputMode("update")
       .format("memory").queryName("cm_stream").start()
     try {
