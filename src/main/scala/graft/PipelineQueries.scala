@@ -28,6 +28,19 @@ object PipelineQueries {
     normDir
   }
 
+  /** The q129 streaming-build input: the q119 build side written once
+    * per sf dir as a parquet directory the file-stream source can
+    * replay (marker-guarded, like [[normalizedEventsDir]]). */
+  private def bloomBuildDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val d = s"/tmp/graft-bloomstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$d/_SUCCESS").exists()) {
+      RelationalQueries5.buildingCustomerKeys(spark, dir)
+        .write.mode("overwrite").parquet(d)
+    }
+    d
+  }
+
   val all: Seq[Q] = Seq(
     // Full ingest pipeline: binaryFile scan + sidecar metadata →
     // topic parse → key broadcast → AES-CTR decrypt → gunzip → JSONL
@@ -360,6 +373,28 @@ object PipelineQueries {
             round(col("m"), 4).as("hll_estimate"))
       },
       Some(RelationalQueries5.hllEventsOracle(includeExact = false))),
+
+    // Streaming Bloom build under the oracle gate: a runtime filter
+    // constructed from a STREAM of seen keys (the incremental-ingest
+    // form — each batch of new keys ORs its positions in; position-set
+    // union commutes, so the streamed filter equals the batch build
+    // exactly and must land on q119's verdicts, false positives
+    // included. The position table's key set IS the filter; counts are
+    // scaffolding for the Update-mode aggregation.
+    Q("q129_streaming_bloom",
+      (spark, dir) => {
+        val posTable = EventStream.runToCompletion(spark,
+          bloomBuildDir(spark, dir),
+          df => EventStream.bloomPositionsStream(df, "key", 4096, 3),
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          s"q129_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val ps = posTable.select(col("pos")).distinct()
+          .collect().map(_.getLong(0))
+        val words = graft.operators.Bloom.pack(ps, 4096)
+        RelationalQueries5.bloomVerdictGate(spark, dir, words, 4096, 3)
+      },
+      Some(RelationalQueries5.q119Oracle(4096, 3))),
 
     // Streaming Count–Min under the oracle gate — the third sketch
     // family's streaming form (KMV: q115, HLL: q122): the counter build

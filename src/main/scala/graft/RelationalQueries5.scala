@@ -405,23 +405,9 @@ object RelationalQueries5 {
     // takes m/k from the caller (2^19+ for a 100 TB build side).
     Q("q119_bloom_prune",
       (spark, dir) => {
-        val cust = Tables.load(spark, dir, "customer")
-        val ords = Tables.load(spark, dir, "orders")
-        // distinct mirrors the oracle's DISTINCT bkeys (custkeys are
-        // unique in customer, but the gate must not depend on that)
-        val buildSide = cust.filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("key")).distinct()
-        val words = graft.operators.Bloom.build(buildSide, "key", 4096, 3)
-        val probe = ords.select(col("o_custkey").as("key")).distinct()
-        probe
-          .withColumn("pass",
-            graft.operators.Bloom.mightContainIn(probe, "key", words, 4096, 3))
-          .join(buildSide.withColumn("actual", lit(true)), Seq("key"), "left")
-          .groupBy((col("key") % 10).as("bucket"))
-          .agg(count(lit(1)).as("n_probe"),
-            count(when(col("pass"), 1)).as("n_pass"),
-            count(when(col("actual"), 1)).as("n_actual"),
-            count(when(col("pass") && col("actual").isNull, 1)).as("n_fp"))
+        val words = graft.operators.Bloom.build(
+          buildingCustomerKeys(spark, dir), "key", 4096, 3)
+        bloomVerdictGate(spark, dir, words, 4096, 3)
       },
       Some(q119Oracle(4096, 3))),
 
@@ -734,9 +720,40 @@ object RelationalQueries5 {
        |  CAST(sum(CASE WHEN pass AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
        |FROM flags GROUP BY 1""".stripMargin
 
-  /** The q119 oracle: Bloom build + probe replayed in SQL over the
+  /** The q119/q129 build side — distinct mirrors the oracle's DISTINCT
+    * bkeys (custkeys are unique in customer, but the gate must not
+    * depend on that). */
+  private[graft] def buildingCustomerKeys(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key")).distinct()
+
+  /** The q119/q129 probe-verdict frame from a packed filter: every
+    * distinct order customer probed, actual membership from the build
+    * side, bucketed verdict counts (FPs included — what the oracle
+    * hashes). */
+  private[graft] def bloomVerdictGate(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      words: Array[Long], m: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val probe = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("key")).distinct()
+    probe
+      .withColumn("pass",
+        graft.operators.Bloom.mightContainIn(probe, "key", words, m, k))
+      .join(buildingCustomerKeys(spark, dir).withColumn("actual", lit(true)),
+        Seq("key"), "left")
+      .groupBy((col("key") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_probe"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        count(when(col("actual"), 1)).as("n_actual"),
+        count(when(col("pass") && col("actual").isNull, 1)).as("n_fp"))
+  }
+
+  /** The q119 oracle (and q129's — the streamed build must land on the
+    * same verdicts): Bloom build + probe replayed in SQL over the
     * shared position machinery. */
-  private def q119Oracle(m: Int, k: Int): String =
+  private[graft] def q119Oracle(m: Int, k: Int): String =
     s"""WITH bkeys AS (SELECT DISTINCT c_custkey AS key FROM customer
        |  WHERE c_mktsegment = 'BUILDING'),
        |pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),

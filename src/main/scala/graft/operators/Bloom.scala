@@ -111,6 +111,13 @@ object Bloom {
       .select(explode(positionsCol(df, keyCol, m, k)).as("pos"))
       .distinct()
       .collect().map(_.getLong(0))
+    pack(ps, m)
+  }
+
+  /** Pack a distinct position set into filter words — shared by the
+    * batch build and the streaming build (whose position set arrives
+    * from a streaming distinct aggregation instead). */
+  private[graft] def pack(ps: Array[Long], m: Int): Array[Long] = {
     val words = new Array[Long](m / 64)
     ps.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63).toInt)
     words

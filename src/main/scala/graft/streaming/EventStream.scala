@@ -310,6 +310,24 @@ object EventStream {
       w: Int, d: Int): DataFrame =
     graft.operators.Sketches.cmCounters(df, valueCol, w, d)
 
+  /** STREAMING Bloom build: the position SET streams as a distinct-
+    * shaped aggregation (Update-mode counts per position — the table's
+    * KEY SET is the filter; counts are irrelevant). The membership
+    * structure of a runtime filter built from a stream of seen keys
+    * equals the batch build exactly, because position-set union
+    * commutes. State = one counter per touched position, bounded by m.
+    * Positions come from the batch kernel ([[graft.operators.Bloom
+    * .positionsCol]]) — one kernel, no stream/batch drift. */
+  def bloomPositionsStream(df: DataFrame, keyCol: String,
+      m: Int, k: Int): DataFrame = {
+    graft.operators.Bloom.checkParams(m, k)
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(
+        graft.operators.Bloom.positionsCol(df, keyCol, m, k)).as("pos"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are
     * watermarked so the join state is bounded: a buffered click can be

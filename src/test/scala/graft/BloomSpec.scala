@@ -77,6 +77,25 @@ class BloomSpec extends SparkSuite {
       Bloom.prune(dbl, "key", Seq(1L).toDF("key"), "key"))
   }
 
+  test("streaming bloom build == batch position set, across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val keys = (0L until 500L).map(_ * 17L)
+    val expected = keys.flatMap(k => Bloom.positions(k, 1024, 3)).toSet
+
+    val ms = MemoryStream[Long](spark)
+    val q = graft.streaming.EventStream
+      .bloomPositionsStream(ms.toDF().toDF("key"), "key", 1024, 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bloom_stream").start()
+    try {
+      ms.addData(keys.take(200): _*); q.processAllAvailable()
+      ms.addData(keys.drop(150): _*); q.processAllAvailable() // overlap
+    } finally q.stop()
+    val got = spark.table("bloom_stream")
+      .select(col("pos")).distinct().as[Long].collect().toSet
+    assert(got == expected, "streamed position set must equal the batch set")
+  }
+
   test("parameter validation is loud") {
     val df = Seq(1L).toDF("key")
     intercept[IllegalArgumentException](Bloom.build(df, "key", 1000, 3)) // not 2^n
