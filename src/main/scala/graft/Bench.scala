@@ -29,6 +29,36 @@ import org.apache.spark.sql.SparkSession
   * is finishing, by the clock, before the external killer fires.
   */
 object Bench {
+  /** The FIXED bench anchor: round-7 per-query minima (sec, sf0.1,
+    * local[32], min-of-2 — BENCH_r07.json, the first clean artifact
+    * after the timeout-proof rewrite), recorded so the ≤2× gate has a
+    * mechanical denominator instead of being re-litigated round-over-
+    * round (BASELINE.md "Bench anchor"). Keys are the compact bench
+    * keys; queries added after r7 have no anchor and are excluded from
+    * the ratio (the ratio compares like-for-like totals). */
+  private[graft] val anchor: Map[String, Double] = Map(
+    "q01"->1.872, "q02"->0.31, "q03"->1.345, "q04"->0.561, "q05"->0.52, "q06"->0.764,
+    "q07"->1.353, "q08"->0.536, "q09"->0.498, "q10"->0.863, "q11"->0.215, "q12"->0.834,
+    "q13"->0.308, "q14"->0.4, "q15"->0.29, "q16"->0.261, "q17"->0.191, "q18"->0.152,
+    "q19"->0.211, "q20"->0.993, "q21"->0.672, "q22"->0.403, "q23"->0.419, "q24"->0.514,
+    "q25"->0.425, "q26"->0.415, "q27"->0.286, "q28"->0.284, "q29"->0.269, "q30"->0.201,
+    "q31"->0.217, "q32"->1.145, "q33"->0.32, "q34"->0.341, "q35"->0.515, "q36"->1.425,
+    "q37"->0.942, "q38"->0.235, "q39"->2.217, "q40"->1.739, "q41"->1.221, "q42"->1.653,
+    "q43"->0.263, "q44"->3.152, "q45"->0.739, "q46"->2.359, "q50"->1.089, "q51"->0.2,
+    "q52"->0.201, "q53"->0.31, "q54"->0.227, "q55"->0.194, "q56"->0.178, "q57"->0.292,
+    "q58"->0.233, "q59"->0.54, "q60"->0.822, "q61"->0.654, "q62"->1.077, "q63"->0.271,
+    "q64"->0.119, "q65"->0.345, "q66"->0.229, "q67"->0.734, "q68"->0.172, "q69"->0.152,
+    "q70"->1.989, "q71"->0.333, "q72"->0.677, "q73"->0.251, "q74"->0.414, "q75"->0.56,
+    "q76"->2.804, "q77"->2.813, "q78"->0.356, "q79"->0.96, "q80"->0.252, "q81"->0.411,
+    "q82"->0.555, "q83"->0.667, "q84"->0.165, "q85"->0.185, "q86"->0.488, "q87"->0.322,
+    "q88"->0.991, "q89"->0.525, "q90"->0.629, "q91"->0.857, "q92"->0.263, "q93"->0.314,
+    "q94"->0.47, "q95"->1.816, "q96"->0.483, "q97"->0.304, "q98"->0.292, "q99"->0.302,
+    "q100"->0.324, "q101"->0.305, "q102"->0.245, "q103"->2.602, "q104"->0.366, "q105"->1.489,
+    "q106"->0.598, "q107"->0.916, "q108"->0.376, "q109"->0.416, "q110"->0.985, "q111"->1.915,
+    "q112"->1.829, "q113"->5.126, "q114"->1.542, "q115"->1.102, "q116"->0.33, "q117"->2.335,
+    "q118"->6.449, "q119"->1.001, "q120"->0.469, "q121"->0.428, "q122"->0.718, "q123"->0.449,
+    "q124"->0.602, "q125"->0.653, "q126"->0.414, "q127"->1.147, "q128"->4.739, "q129"->1.188)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,8 +67,15 @@ object Bench {
 
     // The line must stay SHORT: the driver records only a bounded stdout
     // tail, and round 1's full-name/full-precision line (~3.2 KB) was
-    // truncated into unparseable JSON. Compact keys (q01..q116 — unique by
-    // construction) + 3-decimal seconds keep the whole line under ~1.3 KB.
+    // truncated into unparseable JSON. Compact keys (qNN — unique by
+    // construction) + 3-decimal seconds put a ~130-query line at ~1.9 KB
+    // (measured: 126 queries → 1.78 KB in BENCH_r07), well under the
+    // ~3.2 KB bound that truncated round 1's line.
+    // All number formatting is Locale.ROOT: under a non-English default
+    // JVM locale the f-interpolator renders decimals with commas and the
+    // artifact becomes unparseable JSON.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val sfName = sfDir.split('/').last
     val best = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val order = Registry.all.map(_.name) // stable declaration order
@@ -46,11 +83,27 @@ object Bench {
     def printLine(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       val done = order.filter(best.containsKey)
       val qs = done.map { k =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f"${best.get(k)}%.3f"
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(best.get(k))
       }.mkString("{", ",", "}")
       val total = done.map(best.get(_)).filter(_ >= 0).sum
       val partialField = if (partial) "\"partial\":true," else ""
-      println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$partialField"queries":$qs,"sf":"$sfName"}""")
+      // vs_anchor: measured/anchor totals over the queries BOTH sides
+      // have (anchored + measured successfully this run) — the mechanical
+      // form of BASELINE.md's ≤2× gate. "anchor":"ok" ≤1.5 < "warn" ≤2
+      // < "fail"; partial runs skip the verdict (an interrupted run's
+      // ratio over a truncated subset is not a perf signal).
+      val shared = done.filter(k => best.get(k) >= 0 &&
+        anchor.contains(k.takeWhile(_ != '_')))
+      val anchorSum = shared.map(k => anchor(k.takeWhile(_ != '_'))).sum
+      val anchorField =
+        if (partial || anchorSum <= 0) ""
+        else {
+          val ratio = shared.map(best.get(_)).sum / anchorSum
+          val status =
+            if (ratio <= 1.5) "ok" else if (ratio <= 2.0) "warn" else "fail"
+          s""""vs_anchor":${fmt(ratio)},"anchor":"$status","""
+        }
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partialField$anchorField"queries":$qs,"sf":"$sfName"}""")
       System.out.flush()
     }
 

@@ -16,27 +16,45 @@ import graft.streaming.EventStream
 object PipelineQueries {
   import Registry.Q
 
+  /** Cache key for a derived on-disk fixture: a content FINGERPRINT of
+    * the source frame (row count + a value extremum), not just the sf
+    * dir path — if the testdata at that path is ever regenerated with
+    * different content, the old path-keyed cache would silently stream
+    * stale rows while the oracle reads the fresh table, surfacing as an
+    * unexplained hash mismatch (or worse, a stale pass). The fingerprint
+    * is one cheap aggregate over parquet footer stats. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame,
+      fpCol: String): String = {
+    val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
+    s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
+  }
+
   /** events re-written µs-normalized for the streaming file source (the
     * raw parquet is TIMESTAMP(NANOS), which the stream reader rejects);
-    * generate-once per sf dir, marker-guarded. Shared by q70/q95. */
+    * generate-once per sf dir + content fingerprint, marker-guarded.
+    * Shared by the streaming queries (q70/q95/q115/...). */
   private def normalizedEventsDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val events = Tables.load(spark, dir, "events")
+    val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"-${fingerprint(events, "event_id")}"
     if (!new java.io.File(s"$normDir/_SUCCESS").exists()) {
-      Tables.load(spark, dir, "events").write.mode("overwrite").parquet(normDir)
+      events.write.mode("overwrite").parquet(normDir)
     }
     normDir
   }
 
   /** The q129 streaming-build input: the q119 build side written once
-    * per sf dir as a parquet directory the file-stream source can
-    * replay (marker-guarded, like [[normalizedEventsDir]]). */
+    * per sf dir + content fingerprint as a parquet directory the
+    * file-stream source can replay (marker-guarded, like
+    * [[normalizedEventsDir]]). */
   private def bloomBuildDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val d = s"/tmp/graft-bloomstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val keys = RelationalQueries5.buildingCustomerKeys(spark, dir)
+    val d = s"/tmp/graft-bloomstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"-${fingerprint(keys, "key")}"
     if (!new java.io.File(s"$d/_SUCCESS").exists()) {
-      RelationalQueries5.buildingCustomerKeys(spark, dir)
-        .write.mode("overwrite").parquet(d)
+      keys.write.mode("overwrite").parquet(d)
     }
     d
   }

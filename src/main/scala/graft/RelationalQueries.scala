@@ -486,18 +486,14 @@ object RelationalQueries {
              |  CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
              |FROM per_session GROUP BY user_id""".stripMargin)),
 
-    // --- Sketch aggregates (engine-specific → rows-only check) ------------
-    Q("q25_sketches",
-      (spark, dir) => {
-        // pure-sketch aggregation: single pass, no Expand (the exact
-        // counterpart lives in q15/SketchSpec — mixing countDistinct in
-        // here forced a double-pass Expand plan)
-        val li = Tables.load(spark, dir, "lineitem")
-        li.groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-              .as("approx_median"))
-      },
-      None), // HLL/KLL internals differ per engine; accuracy bounds in SketchSpec
+    // Spark's built-in approx sketches (approx_count_distinct HLL,
+    // percentile_approx GK) are deliberately NOT registered: their
+    // internals are engine-specific, so no DuckDB oracle can exist by
+    // category and a registry entry would sit permanently amber
+    // (rows-only) in every CORRECTNESS artifact. The shapes live under
+    // accuracy-bound specs in SketchSpec (including the former
+    // q25_sketches grouped single-pass query), and every sketch FAMILY
+    // has a deterministic, hash-gated counterpart: distinct → q106/q120,
+    // quantiles → q107, frequencies → q123.
   )
 }

@@ -130,7 +130,7 @@ object Bloom {
     * rejected loudly at plan time. Null key → null verdict. The words
     * ride the closure, m/8 bytes per task. */
   def mightContainIn(df: DataFrame, keyCol: String,
-      words: Array[Long], m: Int, k: Int): Column = {
+      words: Array[Long], m: Int, k: Int, who: String = "Bloom"): Column = {
     checkWords(words, m, k)
     def test(ps: Array[Long]): java.lang.Boolean = java.lang.Boolean.valueOf(
       ps.forall(p => (words((p >> 6).toInt) >>> (p & 63).toInt & 1L) == 1L))
@@ -141,10 +141,12 @@ object Bloom {
           else test(positions(TextFunctions.fnv1a64(s), m, k)))
         u(col(keyCol))
       case _ =>
+        // `who` forwarded: a Count–Min (or other sharing) caller hitting
+        // the type error here must see ITS name, not "Bloom:"
         val u = udf((x: java.lang.Long) =>
           if (x == null) null
           else test(positions(x.longValue(), m, k)))
-        u(keyHash(df, keyCol))
+        u(keyHash(df, keyCol, who))
     }
   }
 

@@ -152,7 +152,13 @@ object EventStream {
     * check once went wrong: JavaUtils.timeStringAsMs accepts "10s" but
     * not "10 minutes", the runtime accepts "10 minutes" but not "10s" —
     * disjoint grammars, so that validator rejected every valid TTL and
-    * passed every invalid one. */
+    * passed every invalid one.
+    *
+    * SPARK-VERSION COUPLING, deliberately isolated here: TestGroupState
+    * is an Evolving testing API — this one function is the only
+    * production-path use, so a Spark upgrade that changes it breaks one
+    * compile site (and the "valid TTLs construct" spec catches a
+    * behavioral change), not every streaming constructor. */
   private def validateTtl(who: String, groupTtl: Option[String]): Unit =
     groupTtl.foreach { ttl =>
       import org.apache.spark.api.java.Optional

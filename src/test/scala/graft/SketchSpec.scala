@@ -4,11 +4,34 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Delivery
 
-/** Bounds for the engine-specific sketch aggregates (q25 has no DuckDB
-  * oracle — HLL/KLL internals differ per engine — so the accuracy
-  * contract is proven here instead), plus small delivery-rule parity. */
+/** Bounds for the engine-specific sketch aggregates (Spark's built-in
+  * approx_count_distinct/percentile_approx have engine-specific HLL/GK
+  * internals, so no cross-engine oracle can exist by category — the
+  * accuracy contract is proven here instead; the deterministic gated
+  * counterparts are q106/q107/q120/q123), plus small delivery-rule
+  * parity. */
 class SketchSpec extends SparkSuite {
   import spark.implicits._
+
+  test("grouped single-pass sketch aggregation (former q25 shape)") {
+    // the one-pass pure-sketch plan: both approx aggregates in a single
+    // groupBy (mixing countDistinct in would force a double-pass Expand)
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median"))
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 3) // A, N, R
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (flag, approx, median) =>
+      val err = math.abs(approx - exact(flag)).toDouble / exact(flag)
+      assert(err < 0.15, s"$flag: approx=$approx exact=${exact(flag)}")
+      assert(median > 0.0)
+    }
+  }
 
   test("approx_count_distinct within its rsd bound of the exact count") {
     val li = Tables.load(spark, sf("sf0.01"), "lineitem")
