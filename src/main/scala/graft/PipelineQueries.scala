@@ -16,19 +16,6 @@ import graft.streaming.EventStream
 object PipelineQueries {
   import Registry.Q
 
-  /** Cache key for a derived on-disk fixture: a content FINGERPRINT of
-    * the source frame (row count + a value extremum), not just the sf
-    * dir path — if the testdata at that path is ever regenerated with
-    * different content, the old path-keyed cache would silently stream
-    * stale rows while the oracle reads the fresh table, surfacing as an
-    * unexplained hash mismatch (or worse, a stale pass). The fingerprint
-    * is one cheap aggregate over parquet footer stats. */
-  private def fingerprint(df: org.apache.spark.sql.DataFrame,
-      fpCol: String): String = {
-    val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
-    s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
-  }
-
   /** events re-written µs-normalized for the streaming file source (the
     * raw parquet is TIMESTAMP(NANOS), which the stream reader rejects);
     * generate-once per sf dir + content fingerprint, marker-guarded.
@@ -37,7 +24,7 @@ object PipelineQueries {
       dir: String): String = {
     val events = Tables.load(spark, dir, "events")
     val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${fingerprint(events, "event_id")}"
+      s"-${Tables.fingerprint(events, "event_id")}"
     if (!new java.io.File(s"$normDir/_SUCCESS").exists()) {
       events.write.mode("overwrite").parquet(normDir)
     }
@@ -52,7 +39,7 @@ object PipelineQueries {
       dir: String): String = {
     val keys = RelationalQueries5.buildingCustomerKeys(spark, dir)
     val d = s"/tmp/graft-bloomstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${fingerprint(keys, "key")}"
+      s"-${Tables.fingerprint(keys, "key")}"
     if (!new java.io.File(s"$d/_SUCCESS").exists()) {
       keys.write.mode("overwrite").parquet(d)
     }

@@ -24,7 +24,8 @@ object Registry {
     TextQueries.all,
     SimilarityQueries.all,
     CurationQueries.all,
-    PipelineQueries.all)
+    PipelineQueries.all,
+    LayoutQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatten

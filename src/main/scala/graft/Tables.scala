@@ -36,4 +36,17 @@ object Tables {
     * queries: grouping sets etc.). Idempotent. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cache key for a derived on-disk fixture: a content FINGERPRINT of
+    * the source frame (row count + a value extremum), not just the sf
+    * dir path — if the testdata at that path is ever regenerated with
+    * different content, a path-keyed cache would silently serve stale
+    * rows while the oracle reads the fresh table, surfacing as an
+    * unexplained hash mismatch (or worse, a stale pass). One cheap
+    * aggregate over parquet footer stats. */
+  private[graft] def fingerprint(df: DataFrame, fpCol: String): String = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
+    s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-layout primitives — the write-side half of scan performance at
@@ -33,5 +33,29 @@ object Layout {
         shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The write-side half of the operator: cluster a frame by a layout
+    * code so min/max file statistics can prune later multi-dimensional
+    * reads. Range-partition into `numSplits` output splits by `code`
+    * (each split owns a contiguous code range — at 100 TB this is the
+    * one full shuffle a re-layout costs, and it is the point of the
+    * job) and sort rows by the code within each split, so every output
+    * file AND every row group inside it covers a narrow code range —
+    * by the locality property (LayoutSpec), a narrow range in BOTH
+    * interleaved dimensions. The code column is dropped before the
+    * write: it is derivable, and the pruning works off the stats of the
+    * ORIGINAL columns.
+    *
+    * Callers write the result with `.write.parquet(...)`; reads then
+    * prune row groups via pushed-down min/max checks with no layout
+    * awareness at all (proven end-to-end in LayoutSpec and gated as
+    * q130). */
+  def clusterBy(df: DataFrame, code: Column, numSplits: Int): DataFrame = {
+    require(numSplits >= 1, s"numSplits must be >= 1, got $numSplits")
+    df.withColumn("_layout_code", code)
+      .repartitionByRange(numSplits, col("_layout_code"))
+      .sortWithinPartitions("_layout_code")
+      .drop("_layout_code")
   }
 }

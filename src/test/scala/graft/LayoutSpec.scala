@@ -49,6 +49,58 @@ class LayoutSpec extends SparkSuite {
       s"chunk spans: $spans")
   }
 
+  /** Sum of rows MATERIALIZED by the parquet scans of `df` after full
+    * execution — i.e. rows surviving row-group-stat pruning (the
+    * vectorized reader skips whole row groups whose min/max can't match
+    * the pushed filter; it does not filter inside a kept group, so this
+    * metric is exactly "rows the layout forced the scan to read"). */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no parquet scan in plan:\n" + plan)
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-clustered layout prunes the scan: same 2-D rectangle, same answer, a fraction of the rows read") {
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    val zdir = s"$base/z"
+    val udir = s"$base/u"
+    Layout.clusterBy(li,
+        Layout.morton2(col("l_partkey"), col("l_suppkey"), 16), 16)
+      .write.mode("overwrite").parquet(zdir)
+    // the adversarial baseline: hash-scattered layout — every file spans
+    // the full domain in both dimensions, so stats can prune nothing
+    li.repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(udir)
+
+    def rect(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 5))
+    val total = li.count()
+    val zRead = scannedRows(rect(zdir))
+    val uRead = scannedRows(rect(udir))
+    // answers identical — a layout must never change a result
+    val zAns = rect(zdir).agg(count(lit(1)), sum(col("l_orderkey"))).collect()(0)
+    val uAns = rect(udir).agg(count(lit(1)), sum(col("l_orderkey"))).collect()(0)
+    assert(zAns == uAns)
+    assert(zAns.getLong(0) > 0, "rectangle must be non-empty for the test to mean anything")
+    // the theorem: the scattered layout reads everything, the z layout a
+    // fraction (the locality lemma above is WHY: each z-contiguous chunk
+    // spans ≤ half the domain in BOTH dims, so most row groups' min/max
+    // exclude the rectangle and the reader skips them)
+    assert(uRead == total,
+      s"hash layout should read all $total rows, read $uRead")
+    assert(zRead * 2 <= uRead,
+      s"z layout should read < half the rows: z=$zRead vs unsorted=$uRead")
+  }
+
   test("morton2 is pure Column arithmetic — no ScalaUDF, stays in codegen") {
     // a real source, not a Seq literal — Catalyst constant-folds a local
     // relation into a LocalTableScan (itself proof the expression is
