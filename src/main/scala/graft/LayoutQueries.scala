@@ -63,5 +63,88 @@ object LayoutQueries {
              |FROM lineitem
              |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
              |GROUP BY 1""".stripMargin)),
+
+    // N-dimensional morton codes (Layout.mortonN) — the 3-column ZORDER
+    // BY key, gated on its bit arithmetic like q124: codes over
+    // (l_partkey, l_suppkey, l_linenumber) at 10 bits/dim, rolled up
+    // per high-bits bucket. The oracle unrolls the identical 30
+    // shift/mask/OR terms in SQL.
+    Q("q131_mortonN_codes",
+      (spark, dir) => {
+        val l = Tables.load(spark, dir, "lineitem")
+        val code = Layout.mortonN(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+          bits = 10)
+        l.select(code.as("z"), col("l_orderkey"))
+          .groupBy(expr("z DIV 1048576").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("z")).as("min_code"), max(col("z")).as("max_code"),
+            sum(col("l_orderkey")).as("order_sum"))
+      },
+      Some(q131Oracle(10))),
+
+    // Hilbert-curve codes (Layout.withHilbert2) — the continuous
+    // space-filling key (better locality than z-order: LayoutSpec
+    // proves every consecutive code pair is an adjacent cell). Gated on
+    // the full per-level transform: the oracle replays the identical
+    // reflect/swap/accumulate chain as one SQL CTE per bit level.
+    Q("q132_hilbert_codes",
+      (spark, dir) => {
+        val l = Tables.load(spark, dir, "lineitem")
+        Layout.withHilbert2(l.select(col("l_orderkey"), col("l_partkey"),
+              col("l_suppkey")),
+            col("l_partkey"), col("l_suppkey"), bits = 8, out = "h")
+          .groupBy(expr("h DIV 1024").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("h")).as("min_code"), max(col("h")).as("max_code"),
+            sum(col("l_orderkey")).as("order_sum"))
+      },
+      Some(q132Oracle(8))),
   )
+
+  /** The q131 oracle: mortonN's interleave unrolled — bits·3 terms, bit
+    * i of column j at position 3i+j, then the same per-bucket rollup
+    * (the q124 oracle generalized). */
+  private def q131Oracle(bits: Int): String = {
+    val cols = Seq("l_partkey", "l_suppkey", "l_linenumber")
+    val terms = (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * 3 + j})").mkString(" | ")
+    s"""WITH z AS (SELECT ($terms) AS z, l_orderkey FROM lineitem)
+       |SELECT z // 1048576 AS bucket, count(*) AS n,
+       |  CAST(min(z) AS BIGINT) AS min_code, CAST(max(z) AS BIGINT) AS max_code,
+       |  CAST(sum(l_orderkey) AS BIGINT) AS order_sum
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  /** The q132 oracle: the xy2d Hilbert transform as one CTE per bit
+    * level, high to low — each level adds s²·((3·rx) xor ry) to the
+    * code and reflects/swaps (x, y) into the quadrant, exactly the
+    * [[Layout.withHilbert2]] per-level projection. n−1 reflections and
+    * the final rollup are all BIGINT. */
+  private def q132Oracle(bits: Int): String = {
+    val nMinus1 = (1L << bits) - 1
+    val levels = ((bits - 1) to 0 by -1).map { i =>
+      val s2 = 1L << (2 * i)
+      s"""h$i AS (SELECT l_orderkey,
+         |  d + $s2 * xor(3 * ((x >> $i) & 1), (y >> $i) & 1) AS d,
+         |  CASE WHEN ((y >> $i) & 1) = 0 THEN
+         |    CASE WHEN ((x >> $i) & 1) = 1 THEN $nMinus1 - y ELSE y END
+         |    ELSE x END AS x,
+         |  CASE WHEN ((y >> $i) & 1) = 0 THEN
+         |    CASE WHEN ((x >> $i) & 1) = 1 THEN $nMinus1 - x ELSE x END
+         |    ELSE y END AS y
+         |FROM h${i + 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h$bits AS (SELECT l_orderkey,
+       |  CAST(l_partkey & $nMinus1 AS BIGINT) AS x,
+       |  CAST(l_suppkey & $nMinus1 AS BIGINT) AS y,
+       |  CAST(0 AS BIGINT) AS d FROM lineitem),
+       |$levels
+       |SELECT d // 1024 AS bucket, count(*) AS n,
+       |  CAST(min(d) AS BIGINT) AS min_code, CAST(max(d) AS BIGINT) AS max_code,
+       |  CAST(sum(l_orderkey) AS BIGINT) AS order_sum
+       |FROM h0 GROUP BY 1""".stripMargin
+  }
 }

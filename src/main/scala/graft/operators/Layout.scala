@@ -23,16 +23,78 @@ object Layout {
     * bit i of `y` at 2i+1. Values wider than `bits` bits alias into the
     * same code range (high bits are masked off) — callers choose `bits`
     * to cover their domain. */
-  def morton2(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    val terms = (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+  def morton2(x: Column, y: Column, bits: Int = 16): Column =
+    mortonN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave — the general ZORDER BY key: bit i
+    * of column j lands at position i·n + j (n = number of columns), so
+    * [[morton2]] is exactly `mortonN(Seq(x, y), bits)`. Same contract:
+    * NONNEGATIVE integral columns, values wider than `bits` bits alias
+    * into the code range (high bits masked), pure Column shift/mask/OR
+    * — codegen'd, ANSI-safe, and replayable term-for-term in SQL (the
+    * q131 oracle). `bits · n ≤ 63` keeps the code a nonnegative long. */
+  def mortonN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"mortonN needs at least 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 63,
+      s"bits must satisfy 1 <= bits and bits*$n <= 63, got $bits")
+    val longs = cols.map(_.cast("long"))
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
     terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hilbert-curve code over two NONNEGATIVE integral columns (low
+    * `bits` bits each — callers size `bits` to the domain; wider values
+    * are masked like [[morton2]]). Better locality than Z-order: the
+    * curve is CONTINUOUS (consecutive codes are always adjacent cells —
+    * spec-proven; a z-curve jumps at every quadrant seam), so equal-code
+    * chunks span tighter rectangles and file stats prune harder.
+    *
+    * The classic xy2d transform: per bit level (high to low), the
+    * quadrant index contributes `s² · ((3·rx) xor ry)` to the code and
+    * the coordinate frame is reflected/swapped into that quadrant. A
+    * DataFrame TRANSFORM, not a single Column: each level reads the
+    * previous level's (x, y) several times, so one nested expression
+    * would grow ~5× per level (Column trees don't share subtrees) —
+    * per-level projections keep the plan linear in `bits` while staying
+    * pure Column arithmetic end-to-end (no udf in a write path;
+    * codegen asserted in spec). All arithmetic is bounded (d < 4^bits,
+    * reflections stay in [0, 2^bits)) — ANSI-safe, and the q132 oracle
+    * replays the identical level chain as SQL CTEs. */
+  def withHilbert2(df: DataFrame, x: Column, y: Column, bits: Int,
+      out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("_hx", x.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("_hy", y.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("_hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("_hrx",
+          when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("_hry",
+          when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+      val nd = col("_hd") +
+        lit(s * s) * (lit(3L) * col("_hrx")).bitwiseXOR(col("_hry"))
+      // rotate into the quadrant: if ry == 0, reflect (when rx == 1)
+      // then swap x and y; if ry == 1, the frame is unchanged
+      val nx = when(col("_hry") === 0,
+          when(col("_hrx") === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy")))
+        .otherwise(col("_hx"))
+      val ny = when(col("_hry") === 0,
+          when(col("_hrx") === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx")))
+        .otherwise(col("_hy"))
+      cur = cur.withColumn("_hd", nd)
+        .withColumn("_hx_n", nx).withColumn("_hy_n", ny)
+        .withColumn("_hx", col("_hx_n")).withColumn("_hy", col("_hy_n"))
+    }
+    cur.withColumn(out, col("_hd"))
+      .drop("_hx", "_hy", "_hd", "_hrx", "_hry", "_hx_n", "_hy_n")
   }
 
   /** The write-side half of the operator: cluster a frame by a layout

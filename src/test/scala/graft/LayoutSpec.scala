@@ -49,6 +49,106 @@ class LayoutSpec extends SparkSuite {
       s"chunk spans: $spans")
   }
 
+  private def refMortonN(vs: Seq[Long], bits: Int): Long = {
+    val n = vs.size
+    var z = 0L
+    for (i <- 0 until bits; j <- 0 until n)
+      z |= ((vs(j) >> i) & 1L) << (i * n + j)
+    z
+  }
+
+  test("mortonN matches the reference interleave in 3 dimensions (and morton2 == mortonN(2))") {
+    val pts = for (x <- 0L until 12L; y <- 0L until 12L; z <- 0L until 12L)
+      yield (x * 3, y * 5, z * 7)
+    val got = pts.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.mortonN(Seq(col("x"), col("y"), col("z")), 8).as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, m) =>
+      assert(m == refMortonN(Seq(x, y, z), 8), s"($x, $y, $z)")
+    }
+    // morton2 delegates to mortonN — same bit layout (q124 stays exact)
+    val two = Seq((5L, 9L), (100L, 3L), (65535L, 65535L)).toDF("x", "y")
+      .select(Layout.morton2(col("x"), col("y"), 16).as("a"),
+        Layout.mortonN(Seq(col("x"), col("y")), 16).as("b"))
+      .as[(Long, Long)].collect()
+    two.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("3-D morton sort narrows per-chunk ranges in ALL three dimensions") {
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+        yield (x, y, z)).toList)
+    val sorted = pts.sortBy { case (x, y, z) => refMortonN(Seq(x, y, z), 4) }
+    val chunks = sorted.grouped(sorted.size / 8).toList
+    chunks.foreach { c =>
+      val spans = Seq(c.map(_._1), c.map(_._2), c.map(_._3))
+        .map(vs => vs.max - vs.min)
+      assert(spans.forall(_ <= 8), s"chunk spans $spans > half domain")
+    }
+  }
+
+  private def refHilbert(x0: Long, y0: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var x = x0 & (n - 1); var y = y0 & (n - 1)
+    var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("withHilbert2 matches the reference xy2d transform bit-for-bit") {
+    val pts = for (x <- 0L until 48L; y <- 0L until 48L) yield (x * 5, y * 3)
+    val got = Layout.withHilbert2(pts.toDF("x", "y"),
+        col("x"), col("y"), 8, "h")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == refHilbert(x, y, 8), s"($x, $y): got $h, want ${refHilbert(x, y, 8)}")
+    }
+  }
+
+  test("hilbert curve is CONTINUOUS: consecutive codes are adjacent cells (z-order is not)") {
+    // the property that makes hilbert strictly better locality than
+    // morton: walk the full 32×32 grid in code order — every step moves
+    // exactly one cell in exactly one dimension. A z-curve violates this
+    // at every quadrant seam (the (3,3)→(4,0) style jumps).
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val walk = Layout.withHilbert2(grid, col("x"), col("y"), 5, "h")
+      .orderBy("h")
+      .as[(Long, Long, Long)].collect()
+    assert(walk.length == 1024)
+    assert(walk.map(_._3).toSeq == (0L until 1024L)) // bijection onto [0, n²)
+    walk.sliding(2).foreach { case Array((x0, y0, _), (x1, y1, _)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump from ($x0,$y0) to ($x1,$y1)")
+    }
+    // and the z-curve does NOT satisfy it (sanity that the test bites)
+    val zWalk = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .sortBy { case (x, y) => refMorton(x, y, 3) }
+    val zJumps = zWalk.sliding(2).count {
+      case Seq((x0, y0), (x1, y1)) => math.abs(x1 - x0) + math.abs(y1 - y0) != 1
+    }
+    assert(zJumps > 0)
+  }
+
+  test("withHilbert2 is pure Column arithmetic — no ScalaUDF anywhere in the plan") {
+    val df = Layout.withHilbert2(
+      spark.range(100).toDF("id"), col("id"), col("id") + 1, 8, "h")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") &&
+      !df.queryExecution.analyzed.toString.contains("UDF("),
+      "layout key must not be a udf")
+  }
+
   /** Sum of rows MATERIALIZED by the parquet scans of `df` after full
     * execution — i.e. rows surviving row-group-stat pruning (the
     * vectorized reader skips whole row groups whose min/max can't match
