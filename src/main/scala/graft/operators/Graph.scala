@@ -69,16 +69,12 @@ object Graph {
       iterations: Int, broadcastRanks: Boolean = false): DataFrame =
     pageRankImpl(edges, Some(seeds), iterations, broadcastRanks)
 
-  private def pageRankImpl(edges: DataFrame, seeds: Option[DataFrame],
-      iterations: Int, broadcastRanks: Boolean): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val small: DataFrame => DataFrame =
-      if (broadcastRanks) df => broadcast(df) else identity
-    // nodes (with their seed flag) and the degree-annotated edge list
-    // are read by EVERY iteration — persisted and tracked
-    // (OperatorCaches contract), else the upstream edge construction
-    // (often a join + distinct) recomputes once per iteration per
-    // consumer
+  /** The static per-run frames every iteration reads: nodes (with seed
+    * flag) and the degree-annotated edge list. Both persisted; the
+    * CALLER owns release (lazy form: OperatorCaches; converged form:
+    * unpersist-on-return). */
+  private def staticFrames(edges: DataFrame, seeds: Option[DataFrame],
+      small: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val bare = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -91,29 +87,116 @@ object Graph {
             Seq("node"), "left")
           .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
     }
-    val nodes = OperatorCaches.track(flagged.persist())
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // static across iterations: every edge annotated with its source's
     // out-degree, so the loop joins one frame instead of two
-    val degEdges = OperatorCaches.track(
-      edges.join(outdeg, "src")
-        .select(col("src"), col("dst"), col("outdeg"))
-        .persist())
+    val degEdges = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    (flagged.persist(), degEdges.persist())
+  }
 
+  /** One fixed-point iteration — THE kernel, shared verbatim by the
+    * unrolled (gated) and converged (deep-iteration) forms so their
+    * arithmetic cannot drift: one equi-join + one map-side-combining
+    * aggregation, no driver state. */
+  private def step(nodes: DataFrame, degEdges: DataFrame, ranks: DataFrame,
+      small: DataFrame => DataFrame): DataFrame = {
     val baseTerm = when(col("_seed"), lit(Base)).otherwise(lit(0L))
-    var ranks = nodes.select(col("node"),
+    val received = degEdges
+      .join(small(ranks), degEdges("src") === ranks("node"))
+      .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
+      .groupBy("dst").agg(sum(col("contrib")).as("recv"))
+    nodes
+      .join(small(received), nodes("node") === received("dst"), "left")
+      .select(col("node"),
+        (baseTerm + expr(s"($DampNum * coalesce(recv, CAST(0 AS BIGINT))) DIV $DampDen"))
+          .as("pr"))
+  }
+
+  private def initRanks(nodes: DataFrame): DataFrame =
+    nodes.select(col("node"),
       when(col("_seed"), lit(Scale)).otherwise(lit(0L)).as("pr"))
-    for (_ <- 1 to iterations) {
-      val received = degEdges
-        .join(small(ranks), degEdges("src") === ranks("node"))
-        .select(col("dst"), expr("pr DIV outdeg").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("recv"))
-      ranks = nodes
-        .join(small(received), nodes("node") === received("dst"), "left")
-        .select(col("node"),
-          (baseTerm + expr(s"($DampNum * coalesce(recv, CAST(0 AS BIGINT))) DIV $DampDen"))
-            .as("pr"))
-    }
+
+  private def pageRankImpl(edges: DataFrame, seeds: Option[DataFrame],
+      iterations: Int, broadcastRanks: Boolean): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val small: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else identity
+    // static frames are read by EVERY iteration — persisted and tracked
+    // (OperatorCaches contract: this form stays LAZY, so it cannot
+    // unpersist on return; loop-heavy sessions should call
+    // pageRankConverged, which owns its caches), else the upstream edge
+    // construction recomputes once per iteration per consumer
+    val (nodes0, degEdges0) = staticFrames(edges, seeds, small)
+    val nodes = OperatorCaches.track(nodes0)
+    val degEdges = OperatorCaches.track(degEdges0)
+    var ranks = initRanks(nodes)
+    for (_ <- 1 to iterations) ranks = step(nodes, degEdges, ranks, small)
     ranks.select(col("node"), col("pr"))
+  }
+
+  /** Deep-iteration PageRank — the form that owns the iteration policy
+    * a real 20–50-round run needs, instead of leaving it to the caller:
+    *
+    *   - **lineage truncation**: every `checkpointEvery` iterations the
+    *     rank frame is `localCheckpoint`ed (eager). The unrolled chain's
+    *     logical plan otherwise grows linearly and its analysis cost
+    *     super-linearly, and a lost partition late in the run would
+    *     recompute the whole chain. A checkpoint makes the frame
+    *     self-contained (plan = one scan of materialized partitions).
+    *   - **convergence stop**: when `tol >= 0`, iteration stops once
+    *     max |pr − pr'| ≤ tol (micro-units) between consecutive
+    *     CHECKPOINTS — the check is one join + one max aggregation,
+    *     paid only every `checkpointEvery` rounds, so the
+    *     no-driver-round-trip property of [[step]] is amortized, not
+    *     abandoned. `tol < 0` disables the check (fixed-count deep run).
+    *
+    * EAGER by design (checkpointing IS materialization) and
+    * cache-clean: the static frames are unpersisted before return and
+    * the result is checkpointed, so repeated calls in one session
+    * accumulate nothing (spec-proven; superseded rank checkpoints are
+    * reclaimed by Spark's ContextCleaner once unreferenced). The
+    * arithmetic is [[step]] — identical to the gated unrolled form, so
+    * a converged run at iteration count N equals `pageRank(edges, N)`
+    * bit-for-bit (spec-proven).
+    *
+    * @return (ranks, iterationsRun) */
+  def pageRankConverged(edges: DataFrame, maxIterations: Int,
+      tol: Long = 0L, checkpointEvery: Int = 8,
+      broadcastRanks: Boolean = false,
+      seeds: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(maxIterations >= 0, s"maxIterations must be >= 0, got $maxIterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val small: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else identity
+    val (nodes, degEdges) = staticFrames(edges, seeds, small)
+    try {
+      var ranks = initRanks(nodes).localCheckpoint(true)
+      var prevCp = ranks
+      var it = 0
+      var converged = false
+      while (it < maxIterations && !converged) {
+        val burst = math.min(checkpointEvery, maxIterations - it)
+        for (_ <- 1 to burst) ranks = step(nodes, degEdges, ranks, small)
+        ranks = ranks.localCheckpoint(true)
+        it += burst
+        if (tol >= 0) {
+          val delta = ranks.as("a")
+            .join(prevCp.select(col("node"), col("pr").as("_prev")), Seq("node"))
+            .agg(max(abs(col("pr") - col("_prev"))))
+            .collect()(0).getLong(0)
+          // delta measured over a checkpoint burst: if NO rank moved
+          // more than tol across `burst` whole iterations, the fixed
+          // point is reached for integer arithmetic (a genuine change
+          // must move some node by ≥ 1 micro-unit per burst)
+          converged = delta <= tol
+        }
+        prevCp = ranks
+      }
+      (ranks.select(col("node"), col("pr")), it)
+    } finally {
+      nodes.unpersist(blocking = false)
+      degEdges.unpersist(blocking = false)
+    }
   }
 }

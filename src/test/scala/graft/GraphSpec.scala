@@ -77,4 +77,57 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("pageRankConverged: 32 deep iterations equal the unrolled form, with a bounded plan") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 13) % 41)).distinct
+    val (deep, ran) = Graph.pageRankConverged(
+      edges.toDF("src", "dst"), 32, tol = -1L, checkpointEvery = 8)
+    assert(ran == 32)
+    val got = deep.as[(Long, Long)].collect().toMap
+    val want = Graph.pageRank(edges.toDF("src", "dst"), 32)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // lineage truncated: the returned frame reads a checkpoint, not 32
+    // unrolled join+agg rounds — its plan must be scan-sized, where the
+    // unrolled form's plan grows ~9 lines per iteration
+    val deepLines = deep.queryExecution.optimizedPlan.toString.linesIterator.size
+    val unrolledLines = Graph.pageRank(edges.toDF("src", "dst"), 32)
+      .queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(deepLines < 10, s"checkpointed plan should be tiny, got $deepLines lines")
+    assert(unrolledLines > 100, s"sanity: unrolled plan is large ($unrolledLines)")
+  }
+
+  test("pageRankConverged: tol=0 stops at the integer fixed point, matching the unrolled run") {
+    // 2-cycle reaches the exact fixed point immediately — the stop must
+    // fire at the first checkpoint, long before maxIterations
+    val (fp, ran) = Graph.pageRankConverged(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), 100, tol = 0L,
+      checkpointEvery = 4)
+    assert(ran < 100, s"should converge early, ran $ran")
+    assert(fp.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1000000L, 2L -> 1000000L))
+    // a bigger graph: wherever it stops, the result equals the unrolled
+    // form at that iteration count (same kernel, same arithmetic)
+    val edges = (0L until 400L).map(i => (i % 37, (i * 13) % 41)).distinct
+    val (conv, n) = Graph.pageRankConverged(
+      edges.toDF("src", "dst"), 100, tol = 0L, checkpointEvery = 10)
+    assert(n < 100, s"integer arithmetic must hit an exact fixed point, ran $n")
+    val want = Graph.pageRank(edges.toDF("src", "dst"), n)
+      .as[(Long, Long)].collect().toMap
+    assert(conv.as[(Long, Long)].collect().toMap == want)
+  }
+
+  test("pageRankConverged leaves no cached frames behind across repeated calls") {
+    // drain what the suite's LAZY pageRank calls tracked (their contract
+    // is caller-side release) so the assertion isolates the converged form
+    graft.operators.OperatorCaches.release()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    for (_ <- 1 to 3) {
+      val (r, _) = Graph.pageRankConverged(edges, 8, tol = -1L, checkpointEvery = 4)
+      r.collect()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "converged form must unpersist its static frames on return")
+  }
 }
