@@ -461,5 +461,73 @@ object PipelineQueries {
              | AND p.event_type = 'purchase' AND c.event_type = 'click'
              | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
              |GROUP BY 1""".stripMargin)),
+
+    // EVENT-TIME windowed KMV in APPEND mode — the final-only emission
+    // form next to q115's running-estimate Update stream: one immutable
+    // sketch per (day window, event_type), emitted exactly once when the
+    // watermark (max ts − 1 h) passes the window end. The oracle replays
+    // the q106 chain per closed window — the stream's final emission
+    // must equal the batch sketch over exactly the admitted rows. k=16
+    // so the estimator branch (not just the exact-below-k branch)
+    // exercises at the per-day cardinalities of the oracle SF.
+    Q("q133_streaming_kmv_window",
+      (spark, dir) => {
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
+          df => EventStream.kmvWindowed(df, "event_type", "user_id", 16,
+            "1 day", "1 hour"),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q133_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+          .select(col("window_start").as("day_start"), col("event_type"),
+            round(col("kmv_estimate"), 4).as("kmv_estimate"))
+      },
+      Some(RelationalQueries5.kmvWindowedOracle(16))),
+
+    // EVENT-TIME windowed HLL (Append): the stream emits final (window,
+    // group, register) rows; the estimate folds over them BATCH-side
+    // through the hllRaw kernel (chaining a second streaming agg is the
+    // multi-stateful shape to avoid). Oracle = q120's chain per closed
+    // window.
+    Q("q134_streaming_hll_window",
+      (spark, dir) => {
+        val regs = EventStream.runToCompletion(spark,
+          normalizedEventsDir(spark, dir),
+          df => EventStream.hllRegsWindowed(df, "event_type", "event_id",
+            "1 day", "1 hour"),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q134_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        graft.operators.Sketches.hllEstimateOver(
+            regs.withColumnRenamed("window_start", "day_start"),
+            Seq("day_start", "event_type"))
+          .select(col("day_start"), col("event_type"),
+            round(col("hll_estimate"), 4).as("hll_estimate"))
+      },
+      Some(RelationalQueries5.hllWindowedOracle)),
+
+    // EVENT-TIME windowed Count–Min (Append) + the merge property that
+    // makes per-window sketches USEFUL: the emitted windows' cells are
+    // summed back into one counter table (CM merges by addition), which
+    // must equal the batch build over exactly the closed windows' rows —
+    // then the q123 gate shape over that restriction. Both the windowed
+    // emission AND the cross-window merge sit under one oracle.
+    Q("q135_streaming_cm_window",
+      (spark, dir) => {
+        val cells = EventStream.runToCompletion(spark,
+          normalizedEventsDir(spark, dir),
+          df => EventStream.cmCountersWindowed(df, "user_id", 1024, 4,
+            "1 day", "1 hour"),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q135_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val merged = cells.groupBy(col("r"), col("pos"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val e = Tables.load(spark, dir, "events")
+        val admitted = e.crossJoin(broadcast(e.agg(max(col("ts")).as("_mx"))))
+          .filter(expr("date_trunc('DAY', ts) + INTERVAL 25 HOURS <= _mx"))
+          .drop("_mx")
+        graft.operators.Sketches.cmTopKGate(admitted, merged, "user_id", 1024, 4)
+      },
+      Some(RelationalQueries5.cmWindowAdmittedOracle(1024, 4))),
   )
 }

@@ -591,6 +591,79 @@ object RelationalQueries5 {
        |${bloomPosCtes(stringKey = false, w, d)},
        |${cmTail("user_id")}""".stripMargin
 
+  /** Rows admitted by the event-time windowed streams' emission rule —
+    * shared restriction of the q133/q134/q135 oracles: a "1 day" window
+    * is emitted in Append mode once the watermark (max ts − 1 hour)
+    * passes its end, i.e. day_start + 25 hours ≤ max(ts). */
+  private def windowAdmitted: String =
+    "date_trunc('day', ts) + INTERVAL 25 HOUR <= mx.m"
+
+  /** The q135 oracle: the q123 CM chain restricted to rows of CLOSED
+    * windows — the streamed per-window cells merged by addition must
+    * land on the batch build over exactly those rows. */
+  private[graft] def cmWindowAdmittedOracle(w: Int, d: Int): String =
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |vals AS (SELECT user_id AS key FROM events, mx
+       |  WHERE user_id IS NOT NULL AND $windowAdmitted),
+       |cnt AS (SELECT key, count(*) AS n FROM vals GROUP BY 1),
+       |keys AS (SELECT key FROM cnt),
+       |${bloomPosCtes(stringKey = false, w, d)},
+       |${cmTail("user_id")}""".stripMargin
+
+  /** The q133 oracle: the q106 KMV chain per (day window, event_type),
+    * restricted to closed windows — the Append-mode stream's final
+    * emission per window must equal the batch sketch over the
+    * watermark-admitted rows of that window. */
+  private[graft] def kmvWindowedOracle(k: Int): String =
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |vals AS (SELECT DISTINCT date_trunc('day', ts) AS day_start, event_type, user_id
+       |  FROM events, mx
+       |  WHERE user_id IS NOT NULL AND $windowAdmitted),
+       |${mix64Stages("vals", Seq("day_start", "event_type"), "CAST(user_id AS HUGEINT)")},
+       |ranked AS (SELECT day_start, event_type, vu,
+       |  ROW_NUMBER() OVER (PARTITION BY day_start, event_type ORDER BY vu) AS rk FROM mixed),
+       |grp AS (SELECT day_start, event_type, count(*) AS nd,
+       |  max(CASE WHEN rk = $k THEN vu END) AS vu_k FROM ranked GROUP BY 1, 2),
+       |signedk AS (SELECT day_start, event_type, nd,
+       |  CAST(CASE WHEN CAST(vu_k AS HUGEINT) >= 9223372036854775808
+       |    THEN CAST(vu_k AS HUGEINT) - 18446744073709551616
+       |    ELSE CAST(vu_k AS HUGEINT) END AS BIGINT) AS vk FROM grp)
+       |SELECT day_start, event_type,
+       |  round(CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |    ELSE ${k - 1}.0 * 18446744073709551616.0 /
+       |      (CASE WHEN vk >= 0 THEN CAST(vk AS DOUBLE)
+       |       ELSE CAST(vk AS DOUBLE) + 18446744073709551616.0 END)
+       |  END, 4) AS kmv_estimate
+       |FROM signedk""".stripMargin
+
+  /** The q134 oracle: the q120 HLL register chain per (day window,
+    * event_type), restricted to closed windows. */
+  private[graft] def hllWindowedOracle: String =
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |vals AS (SELECT DISTINCT date_trunc('day', ts) AS day_start, event_type, event_id
+       |  FROM events, mx
+       |  WHERE event_id IS NOT NULL AND $windowAdmitted),
+       |${mix64Stages("vals", Seq("day_start", "event_type"), "CAST(event_id AS HUGEINT)")},
+       |reg AS (SELECT day_start, event_type,
+       |    CAST(CAST(vu AS HUGEINT) // 288230376151711744 AS BIGINT) AS idx,
+       |    CAST(CAST(vu AS HUGEINT) % 288230376151711744 AS UBIGINT) AS w
+       |  FROM mixed),
+       |rho AS (SELECT day_start, event_type, idx,
+       |    LEAST(CASE WHEN w = 0 THEN 59
+       |      ELSE 58 - CAST(strlen(bin(w)) AS INT) + 1 END, 40) AS m
+       |  FROM reg),
+       |regmax AS (SELECT day_start, event_type, idx, max(m) AS reg
+       |  FROM rho GROUP BY 1, 2, 3),
+       |sums AS (SELECT day_start, event_type,
+       |    sum(CAST(1 AS BIGINT) << CAST(40 - reg AS INT)) AS present_sum,
+       |    count(*) AS npresent
+       |  FROM regmax GROUP BY 1, 2)
+       |SELECT day_start, event_type,
+       |  round(CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 /
+       |    CAST(present_sum + (64 - npresent) * 1099511627776 AS DOUBLE), 4)
+       |    AS hll_estimate
+       |FROM sums""".stripMargin
+
   /** Register-pipeline CTEs for one q121 hash chain: `{p}mixed` →
     * `{p}regmax` (idx, reg) — the q120 arithmetic, prefix-scoped. */
   private def hllRegCtes(p: String): String =

@@ -104,6 +104,20 @@ object Sketches {
     * the oracle performs the identical IEEE op sequence (a direct
     * unsigned→double cast on one side vs signed-then-add on the other
     * can double-round differently near 2^53). */
+  /** The Column-form KMV estimator over a bottom-k list column (ascending
+    * FLIPPED hashes) — the exact IEEE sequence of [[kmvEstimateKernel]];
+    * one expression shared by the batch and event-time-windowed forms so
+    * the arithmetic cannot drift between their gates. */
+  private[graft] def kmvEstimateColumn(ks: Column, k: Int): Column = {
+    val kth = element_at(ks, k)
+    // undo the flip (xor, not subtraction — ANSI-safe, no overflow)
+    val vk = kth.bitwiseXOR(lit(Long.MinValue))
+    val uK = when(vk >= 0, vk.cast("double"))
+      .otherwise(vk.cast("double") + lit(TwoPow64))
+    when(size(ks) < k, size(ks).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / uK)
+  }
+
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
@@ -113,22 +127,15 @@ object Sketches {
     // sketch collision trade, replayed identically by the oracle)
     val flipped = hashInput(df, valueCol)
       .bitwiseXOR(lit(Long.MinValue))
-    val kth = element_at(col("_ks"), k)
     // null values are excluded, matching COUNT(DISTINCT)'s null semantics
     // — and a null would NPE the primitive-Long aggregator input anyway
-    // undo the flip (xor, not subtraction — ANSI-safe, no overflow)
-    val vk = kth.bitwiseXOR(lit(Long.MinValue))
-    val uK = when(vk >= 0, vk.cast("double"))
-      .otherwise(vk.cast("double") + lit(TwoPow64))
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), flipped.as("_h"))
       .distinct()
       .groupBy(col(groupCol))
       .agg(BottomKAggregator.bottom_k(k)(col("_h")).as("_ks"))
       .select(col(groupCol),
-        when(size(col("_ks")) < k, size(col("_ks")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / uK)
-          .as("kmv_estimate"))
+        kmvEstimateColumn(col("_ks"), k).as("kmv_estimate"))
   }
 
   /** KMV set algebra: distinct-count estimates for two groups, their
@@ -261,18 +268,28 @@ object Sketches {
       .select(expr("_im DIV 256").as("_idx"), expr("_im % 256").as("_m"))
       .groupBy(col("_idx")).agg(max(col("_m")).as("_reg"))
 
-  def hllRaw(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), hllRegUdf(hashInput(df, valueCol)).as("_im"))
-      .select(col(groupCol), expr("_im DIV 256").as("_idx"),
-        expr("_im % 256").as("_m"))
-      .groupBy(col(groupCol), col("_idx"))
-      .agg(max(col("_m")).as("_reg"))
-      .groupBy(col(groupCol))
+  /** Per-key estimates from a register frame (`keyCols` + `_idx`,
+    * `_reg`) — the estimator tail of [[hllRaw]], shared with the
+    * event-time-windowed streaming form (whose registers arrive from a
+    * windowed max aggregation instead): one fold per key, the identical
+    * IEEE sequence. */
+  private[graft] def hllEstimateOver(regs: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    regs.groupBy(keyCols.map(col): _*)
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - _reg)")).as("_ps"),
         count(lit(1)).as("_np"))
-      .select(col(groupCol),
-        hllEstimate(col("_ps"), col("_np")).as("hll_estimate"))
+      .select(keyCols.map(col) :+
+        hllEstimate(col("_ps"), col("_np")).as("hll_estimate"): _*)
+
+  def hllRaw(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimateOver(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol), hllRegUdf(hashInput(df, valueCol)).as("_im"))
+        .select(col(groupCol), expr("_im DIV 256").as("_idx"),
+          expr("_im % 256").as("_m"))
+        .groupBy(col(groupCol), col("_idx"))
+        .agg(max(col("_m")).as("_reg")),
+      Seq(groupCol))
 
   /** HLL set algebra: distinct-count estimates for two populations,
     * their UNION, and their INTERSECTION — from the registers alone,

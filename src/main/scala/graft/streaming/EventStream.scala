@@ -334,6 +334,85 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** EVENT-TIME WINDOWED sketches, APPEND mode — the final-only
+    * emission family next to the running-estimate Update-mode streams
+    * above (kmvDistinctStream/hllDistinctStream/cmCountersStream): a
+    * consumer that wants one immutable sketch per closed time window
+    * (the reference's `.finished`-marker incremental pattern mapped
+    * onto event time) groups by `window(ts, ...)` under a watermark and
+    * lets Append emit each window exactly once, when the watermark
+    * passes its end. Late rows within the delay land in their correct
+    * window regardless of arrival batch; rows later than the watermark
+    * are dropped (spec-proven, the standard trade for bounded state).
+    *
+    * All three forms are ONE stateful aggregation whose per-window
+    * state is the sketch itself (k longs / 64 registers / ≤ d·w cells)
+    * — and because every sketch's merge commutes, the emitted window
+    * equals the batch sketch over exactly the watermark-admitted rows,
+    * which is what the q133/q134/q135 oracles replay. */
+  def kmvWindowed(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, windowDuration: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    // no distinct() stage: the bottom-k insert kernel dedupes hashes
+    // itself (the Update-mode stream relies on the same property), so
+    // the whole query is ONE stateful operator
+    val flipped = graft.operators.Sketches.hashInput(df, valueCol)
+      .bitwiseXOR(lit(Long.MinValue))
+    df.filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col(groupCol), flipped.as("_h"))
+      .groupBy(window(col("ts"), windowDuration).as("_w"), col(groupCol))
+      .agg(graft.plans.BottomKAggregator.bottom_k(k)(col("_h")).as("_ks"))
+      .select(col("_w.start").as("window_start"), col(groupCol),
+        graft.operators.Sketches.kmvEstimateColumn(col("_ks"), k)
+          .as("kmv_estimate"))
+  }
+
+  /** Windowed HLL registers (Append): one row per (window, group,
+    * register) once the window closes. The estimator is deliberately
+    * NOT in-stream: callers fold the emitted registers through
+    * [[graft.operators.Sketches.hllEstimateOver]] (the batch kernel) —
+    * chaining a second aggregation onto a streaming agg is exactly the
+    * multi-stateful-operator shape to avoid. */
+  def hllRegsWindowed(df: DataFrame, groupCol: String, valueCol: String,
+      windowDuration: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col(groupCol),
+        graft.operators.Sketches.hllRegUdf(
+          graft.operators.Sketches.hashInput(df, valueCol)).as("_im"))
+      .select(col("ts"), col(groupCol), expr("_im DIV 256").as("_idx"),
+        expr("_im % 256").as("_m"))
+      .groupBy(window(col("ts"), windowDuration).as("_w"), col(groupCol),
+        col("_idx"))
+      .agg(max(col("_m")).as("_reg"))
+      .select(col("_w.start").as("window_start"), col(groupCol),
+        col("_idx"), col("_reg"))
+
+  /** Windowed Count–Min cells (Append): final (window, r, pos, cnt)
+    * rows per closed window. Counters merge by ADDITION, so summing the
+    * emitted windows' cells reconstructs the sketch over any window
+    * union exactly — the q135 gate merges all closed windows and lands
+    * on the batch chain over the admitted rows. */
+  def cmCountersWindowed(df: DataFrame, valueCol: String, w: Int, d: Int,
+      windowDuration: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.operators.Bloom.checkParams(w, d, who = "EventStream.cmCountersWindowed",
+      mName = "w", kName = "d")
+    df.filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), posexplode(
+        graft.operators.Bloom.positionsCol(df, valueCol, w, d,
+          who = "EventStream.cmCountersWindowed")))
+      .select(col("ts"), col("pos").as("r"), col("col").as("pos"))
+      .groupBy(window(col("ts"), windowDuration).as("_w"), col("r"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("_w.start").as("window_start"), col("r"), col("pos"),
+        col("cnt"))
+  }
+
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are
     * watermarked so the join state is bounded: a buffered click can be

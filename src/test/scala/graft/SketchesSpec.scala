@@ -424,4 +424,74 @@ class SketchesSpec extends SparkSuite {
     assert(fn("g", Iterator.empty, timedOut).isEmpty)
     assert(timedOut.isRemoved)
   }
+
+  test("windowed KMV (Append): closed window emits ONCE, equals batch over admitted rows; watermark-late data is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // window W1 = Jan 1; six distinct users, then an advance event on
+    // Jan 3 that pushes the watermark (max − 1 h) past W1's end + delay
+    val w1Users = (1L to 6L).map(u => ("a", u, t(1, (u % 23).toInt)))
+    val ms = MemoryStream[(String, Long, java.sql.Timestamp)](spark)
+    val q = graft.streaming.EventStream.kmvWindowed(
+        ms.toDF().toDF("event_type", "user_id", "ts"),
+        "event_type", "user_id", k = 4, "1 day", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kmv_windowed").start()
+    try {
+      ms.addData(w1Users :+ (("a", 999L, t(3, 12))): _*)
+      q.processAllAvailable() // wm → Jan 3 11:00; W1 closes and emits
+      // LATE: a W1 row arriving after W1 closed — must be dropped, not
+      // re-open or re-emit the window
+      ms.addData(("a", 77L, t(1, 5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("kmv_windowed")
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    // exactly one emission: W1 for group "a" (Jan 3's window never closes)
+    assert(rows.length == 1, s"want exactly W1, got ${rows.toSeq}")
+    val (ws, g, est) = rows(0)
+    assert(ws == t(1, 0) && g == "a")
+    // the emission equals the BATCH sketch over the admitted rows only —
+    // user 77 is excluded (late), user 999 is another window
+    val expected = Sketches.kmvDistinct(
+        w1Users.toDF("event_type", "user_id", "ts"),
+        "event_type", "user_id", k = 4)
+      .select("kmv_estimate").as[Double].head()
+    assert(est == expected, s"windowed stream $est != batch $expected")
+    // sanity that the late-drop mattered: including user 77 changes the
+    // sketch (otherwise the assertion above cannot distinguish)
+    val withLate = Sketches.kmvDistinct(
+        (w1Users :+ (("a", 77L, t(1, 5)))).toDF("event_type", "user_id", "ts"),
+        "event_type", "user_id", k = 4)
+      .select("kmv_estimate").as[Double].head()
+    assert(withLate != expected)
+  }
+
+  test("windowed CM cells (Append) merged by addition == batch cmCounters over the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // two closable windows with overlapping keys + an advance event
+    val rows = (0L until 300L).map(i => (i % 17, t(1 + (i % 2).toInt, (i % 23).toInt)))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val q = graft.streaming.EventStream.cmCountersWindowed(
+        ms.toDF().toDF("user_id", "ts"), "user_id", 256, 3, "1 day", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cm_windowed").start()
+    try {
+      ms.addData(rows :+ ((999L, t(4, 12))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = spark.table("cm_windowed")
+      .groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, p, c) => ((r, p), c) }.toMap
+    val batch = Sketches.cmCounters(
+        rows.toDF("user_id", "ts"), "user_id", 256, 3)
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, p, c) => ((r, p), c) }.toMap
+    assert(merged == batch,
+      "summed per-window cells must equal the batch build over admitted rows")
+  }
 }
