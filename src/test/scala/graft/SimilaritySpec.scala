@@ -67,6 +67,34 @@ class SimilaritySpec extends SparkSuite {
       "one low-id bad row emptied the IVF-ADC index")
   }
 
+  test("recall floors at the bench SF (sf0.1) hold; nprobe is the quality knob (numbers pinned in SCALE.md)") {
+    // the oracle gate (q111/q112/q114) pins these EXACTLY at the oracle
+    // SF; this pins the floors at the 10× bench SF so a regression in
+    // recall at scale (bad centroids, broken probe ranking, skewed
+    // cells) fails a spec instead of surfacing as a silent quality drop.
+    val e = Tables.load(spark, sf("sf0.1"), "embeddings")
+    val qs = e.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteTopK(qs, e, 10).select(col("qid"), col("nid"))
+    val total = truth.count().toDouble
+    assert(total == 200.0)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      truth.join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"))
+        .count() / total
+    val ivf = meanRecall(Similarity.ivfTopK(qs, e, 10))
+    val adc = meanRecall(graft.operators.ProductQuantization.ivfAdcTopK(qs, e, 10))
+    val srp = meanRecall(Similarity.srpTopK(qs, e, 10))
+    // measured (deterministic pipelines, 2026-08 fixtures): ivf 0.855,
+    // adc 0.26, srp 0.45 — floors leave headroom for fixture regeneration
+    assert(ivf >= 0.80, s"IVF mean recall@10 at sf0.1 fell to $ivf (was 0.855)")
+    assert(adc >= 0.20, s"IVF-ADC mean recall@10 at sf0.1 fell to $adc (was 0.26)")
+    assert(srp >= 0.35, s"SRP mean recall@10 at sf0.1 fell to $srp (was 0.45)")
+    // the knob: doubling nprobe (4 → 8 of 16 cells) must not lose recall
+    // and should push IVF near-exhaustive
+    val ivf8 = meanRecall(Similarity.ivfTopK(qs, e, 10, nprobe = 8))
+    assert(ivf8 >= ivf, s"nprobe=8 recall $ivf8 below nprobe=4 $ivf")
+    assert(ivf8 >= 0.90, s"nprobe=8 should be near-exhaustive, got $ivf8")
+  }
+
   test("identical vectors are found at sim 1.0 by the SRP dup detector") {
     val doubledCorpus = emb.unionByName(
       emb.withColumn("vec_id", col("vec_id") + 10000L))
