@@ -529,5 +529,38 @@ object PipelineQueries {
         graft.operators.Sketches.cmTopKGate(admitted, merged, "user_id", 1024, 4)
       },
       Some(RelationalQueries5.cmWindowAdmittedOracle(1024, 4))),
+
+    // EVENT-TIME windowed Bloom build (Append) — q129's incremental-
+    // ingest filter on event time: each closed day window emits its
+    // position set exactly once; the union of the closed windows' sets
+    // IS the filter over their keys (position-set union commutes), so
+    // probing EVERY user against the merged filter must land on the
+    // batch verdict chain over the admitted rows, false positives
+    // included. Users seen only in unclosed windows are true negatives
+    // the filter may still pass — that is the FP column the oracle
+    // hashes. Completes the Append-mode family: all four
+    // filter/sketch structures now stream final-only per window.
+    Q("q136_streaming_bloom_window",
+      (spark, dir) => {
+        val cells = EventStream.runToCompletion(spark,
+          normalizedEventsDir(spark, dir),
+          df => EventStream.bloomPositionsWindowed(df, "user_id", 4096, 3,
+            "1 day", "1 hour"),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q136_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val ps = cells.select(col("pos")).distinct()
+          .collect().map(_.getLong(0))
+        val words = graft.operators.Bloom.pack(ps, 4096)
+        val e = Tables.load(spark, dir, "events")
+        val probe = e.filter(col("user_id").isNotNull)
+          .select(col("user_id").as("key")).distinct()
+        val admitted = e.crossJoin(broadcast(e.agg(max(col("ts")).as("_mx"))))
+          .filter(expr("date_trunc('DAY', ts) + INTERVAL 25 HOURS <= _mx"))
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id").as("key")).distinct()
+        RelationalQueries5.bloomVerdictFrame(probe, admitted, words, 4096, 3)
+      },
+      Some(RelationalQueries5.bloomWindowAdmittedOracle(4096, 3))),
   )
 }

@@ -802,26 +802,33 @@ object RelationalQueries5 {
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key")).distinct()
 
-  /** The q119/q129 probe-verdict frame from a packed filter: every
-    * distinct order customer probed, actual membership from the build
-    * side, bucketed verdict counts (FPs included — what the oracle
-    * hashes). */
-  private[graft] def bloomVerdictGate(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
-      words: Array[Long], m: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val probe = Tables.load(spark, dir, "orders")
-      .select(col("o_custkey").as("key")).distinct()
+  /** Bucketed probe-verdict frame from a packed filter — the gate shape
+    * shared by q119/q129 and q136: every probe `key`'s verdict next to
+    * its actual build-side membership, bucketed counts, FPs included
+    * (what the oracles hash). Both frames must carry a `key` column. */
+  private[graft] def bloomVerdictFrame(probe: org.apache.spark.sql.DataFrame,
+      buildSide: org.apache.spark.sql.DataFrame,
+      words: Array[Long], m: Int, k: Int): org.apache.spark.sql.DataFrame =
     probe
       .withColumn("pass",
         graft.operators.Bloom.mightContainIn(probe, "key", words, m, k))
-      .join(buildingCustomerKeys(spark, dir).withColumn("actual", lit(true)),
-        Seq("key"), "left")
+      .join(buildSide.withColumn("actual", lit(true)), Seq("key"), "left")
       .groupBy((col("key") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_probe"),
         count(when(col("pass"), 1)).as("n_pass"),
         count(when(col("actual"), 1)).as("n_actual"),
         count(when(col("pass") && col("actual").isNull, 1)).as("n_fp"))
-  }
+
+  /** The q119/q129 probe-verdict frame from a packed filter: every
+    * distinct order customer probed, actual membership from the build
+    * side. */
+  private[graft] def bloomVerdictGate(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      words: Array[Long], m: Int, k: Int): org.apache.spark.sql.DataFrame =
+    bloomVerdictFrame(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey").as("key")).distinct(),
+      buildingCustomerKeys(spark, dir), words, m, k)
 
   /** The q119 oracle (and q129's — the streamed build must land on the
     * same verdicts): Bloom build + probe replayed in SQL over the
@@ -830,6 +837,21 @@ object RelationalQueries5 {
     s"""WITH bkeys AS (SELECT DISTINCT c_custkey AS key FROM customer
        |  WHERE c_mktsegment = 'BUILDING'),
        |pkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+       |keys AS (SELECT key FROM bkeys UNION SELECT key FROM pkeys),
+       |${bloomPosCtes(stringKey = false, m, k)},
+       |${bloomVerdictTail("CAST(key % 10 AS BIGINT)")}""".stripMargin
+
+  /** The q136 oracle: the q119 verdict chain with build = the users of
+    * watermark-CLOSED day windows (the windowed stream's admitted rows)
+    * and probe = every user — the merged per-window position sets must
+    * produce exactly these verdicts, FPs included. */
+  private[graft] def bloomWindowAdmittedOracle(m: Int, k: Int): String =
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |bkeys AS (SELECT DISTINCT user_id AS key FROM events, mx
+       |  WHERE user_id IS NOT NULL
+       |    AND date_trunc('day', ts) + INTERVAL 25 HOUR <= mx.m),
+       |pkeys AS (SELECT DISTINCT user_id AS key FROM events
+       |  WHERE user_id IS NOT NULL),
        |keys AS (SELECT key FROM bkeys UNION SELECT key FROM pkeys),
        |${bloomPosCtes(stringKey = false, m, k)},
        |${bloomVerdictTail("CAST(key % 10 AS BIGINT)")}""".stripMargin

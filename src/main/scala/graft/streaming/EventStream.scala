@@ -413,6 +413,26 @@ object EventStream {
         col("cnt"))
   }
 
+  /** Windowed Bloom positions (Append): final (window, pos, cnt) rows
+    * per closed window — the event-time form of [[bloomPositionsStream]]
+    * (q129's Update-mode build). Each window's key SET is its filter;
+    * position-set union across windows is the filter over the unioned
+    * keys exactly (the q136 gate merges all closed windows and lands on
+    * the batch verdicts over the admitted rows). Per-window state ≤ m
+    * cells, evicted at window close. */
+  def bloomPositionsWindowed(df: DataFrame, keyCol: String, m: Int, k: Int,
+      windowDuration: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.operators.Bloom.checkParams(m, k)
+    df.filter(col(keyCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(
+        graft.operators.Bloom.positionsCol(df, keyCol, m, k)).as("pos"))
+      .groupBy(window(col("ts"), windowDuration).as("_w"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("_w.start").as("window_start"), col("pos"), col("cnt"))
+  }
+
   /** Stream-stream interval join: purchases joined to the clicks that
     * preceded them by ≤ `windowMinutes` for the same user. Both sides are
     * watermarked so the join state is bounded: a buffered click can be
