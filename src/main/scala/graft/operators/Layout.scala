@@ -67,6 +67,10 @@ object Layout {
   def withHilbert2(df: DataFrame, x: Column, y: Column, bits: Int,
       out: String): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val internal = Set("_hx", "_hy", "_hd", "_hrx", "_hry", "_hx_n", "_hy_n")
+    val clash = df.columns.filter(internal)
+    require(clash.isEmpty,
+      s"withHilbert2 uses internal column names ${clash.mkString(", ")} — rename them first")
     val n = 1L << bits
     var cur = df
       .withColumn("_hx", x.cast("long").bitwiseAND(lit(n - 1)))

@@ -199,6 +199,23 @@ class LayoutSpec extends SparkSuite {
       s"hash layout should read all $total rows, read $uRead")
     assert(zRead * 2 <= uRead,
       s"z layout should read < half the rows: z=$zRead vs unsorted=$uRead")
+
+    // hilbert-clustered layout prunes at least as well in aggregate:
+    // same rectangle, same answer, and the scan still reads < half —
+    // continuity gives tighter per-chunk bounding boxes, so hilbert
+    // should match or beat morton at equal split counts (allow equality:
+    // at 16 splits both often isolate the same corner files)
+    val hdir = s"$base/h"
+    Layout.clusterBy(
+        Layout.withHilbert2(li, col("l_partkey"), col("l_suppkey"), 11, "_h"),
+        col("_h"), 16)
+      .drop("_h")
+      .write.mode("overwrite").parquet(hdir)
+    val hRead = scannedRows(rect(hdir))
+    val hAns = rect(hdir).agg(count(lit(1)), sum(col("l_orderkey"))).collect()(0)
+    assert(hAns == uAns)
+    assert(hRead * 2 <= uRead,
+      s"hilbert layout should read < half the rows: h=$hRead vs unsorted=$uRead")
   }
 
   test("morton2 is pure Column arithmetic — no ScalaUDF, stays in codegen") {

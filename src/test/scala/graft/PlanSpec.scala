@@ -91,6 +91,26 @@ class PlanSpec extends SparkSuite {
     assert(posPlan.contains("Exchange hashpartitioning"), posPlan.take(2000))
   }
 
+  test("q130 clustered read: both rectangle predicates are pushed to the parquet scan") {
+    // the pruning theorem (LayoutSpec) only holds while the filters
+    // reach the reader — a cast or wrapping expression that blocks
+    // pushdown would silently turn the z layout back into a full scan.
+    // plan toString elides PushedFilters at maxMetadataStringLength
+    // (default 100 chars — the suppkey bounds fall off the end); widen
+    // it for the assertion window
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q130_zorder_prune")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_partkey") &&
+      p.contains("LessThanOrEqual(l_partkey"),
+      "l_partkey range must push down:\n" + p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_suppkey") &&
+      p.contains("LessThanOrEqual(l_suppkey"),
+      "l_suppkey range must push down:\n" + p.take(2000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
