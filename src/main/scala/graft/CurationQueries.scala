@@ -315,7 +315,13 @@ object CurationQueries {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(10000000L)).as("dst"))
       .distinct()
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // plain union, NO second distinct: fwd's src space (custkeys, < 10M)
+    // and the reversed copy's src space (suppkeys + 10M) are disjoint by
+    // the namespace offset, so the two distinct sets cannot overlap — a
+    // dedup here would shuffle the full doubled edge set for nothing
+    // (the oracle's UNION dedupes, but over the same provably-disjoint
+    // sets, so the results are identical)
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** The q118/q128 oracle: the ENTIRE fixed-point PageRank chain
