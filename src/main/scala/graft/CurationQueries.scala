@@ -311,16 +311,24 @@ object CurationQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val l = Tables.load(spark, dir, "lineitem")
+    // the namespace-offset disjointness below is an ASSUMPTION about the
+    // data (custkeys stay under the 10M supplier offset) — assert it for
+    // the price of a one-column scan, because a violation would not fail:
+    // it would silently keep duplicate edges the oracle's UNION dedupes,
+    // surfacing as an unexplained hash mismatch (or skewed rank mass)
+    val maxCust = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    require(maxCust < 10000000L,
+      s"customer keys reach $maxCust >= the 10M supplier namespace offset — raise the offset")
     val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(10000000L)).as("dst"))
       .distinct()
-    // plain union, NO second distinct: fwd's src space (custkeys, < 10M)
-    // and the reversed copy's src space (suppkeys + 10M) are disjoint by
-    // the namespace offset, so the two distinct sets cannot overlap — a
-    // dedup here would shuffle the full doubled edge set for nothing
-    // (the oracle's UNION dedupes, but over the same provably-disjoint
-    // sets, so the results are identical)
+    // plain union, NO second distinct: fwd's src space (custkeys, < 10M —
+    // asserted above) and the reversed copy's src space (suppkeys + 10M)
+    // are disjoint by the namespace offset, so the two distinct sets
+    // cannot overlap — a dedup here would shuffle the full doubled edge
+    // set for nothing (the oracle's UNION dedupes, but over the same
+    // provably-disjoint sets, so the results are identical)
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 

@@ -27,7 +27,7 @@ object LayoutQueries {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"))
     val d = s"/tmp/graft-zorder-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${Tables.fingerprint(li, "l_orderkey")}"
+      s"-${Tables.fingerprint(li, "l_orderkey", s"$dir/lineitem")}"
     if (!new java.io.File(s"$d/_SUCCESS").exists()) {
       Layout.clusterBy(li,
           Layout.morton2(col("l_partkey"), col("l_suppkey"), bits = 16), 16)

@@ -24,11 +24,23 @@ object PipelineQueries {
       dir: String): String = {
     val events = Tables.load(spark, dir, "events")
     val normDir = s"/tmp/graft-stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${Tables.fingerprint(events, "event_id")}"
+      s"-${Tables.fingerprint(events, "event_id", s"$dir/events")}"
     if (!new java.io.File(s"$normDir/_SUCCESS").exists()) {
       events.write.mode("overwrite").parquet(normDir)
     }
     normDir
+  }
+
+  /** Events of watermark-CLOSED "1 day" windows — the Spark-side twin of
+    * the oracles' emission rule (RelationalQueries5.windowAdmitted:
+    * day_start + 25 h ≤ max ts), shared by q135/q136 so the rule lives
+    * once per engine. */
+  private def admittedEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.crossJoin(broadcast(e.agg(max(col("ts")).as("_mx"))))
+      .filter(expr("date_trunc('DAY', ts) + INTERVAL 25 HOURS <= _mx"))
+      .drop("_mx")
   }
 
   /** The q129 streaming-build input: the q119 build side written once
@@ -39,7 +51,7 @@ object PipelineQueries {
       dir: String): String = {
     val keys = RelationalQueries5.buildingCustomerKeys(spark, dir)
     val d = s"/tmp/graft-bloomstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${Tables.fingerprint(keys, "key")}"
+      s"-${Tables.fingerprint(keys, "key", s"$dir/bloomkeys")}"
     if (!new java.io.File(s"$d/_SUCCESS").exists()) {
       keys.write.mode("overwrite").parquet(d)
     }
@@ -522,11 +534,8 @@ object PipelineQueries {
           shufflePartitions = Some(8))
         val merged = cells.groupBy(col("r"), col("pos"))
           .agg(sum(col("cnt")).as("cnt"))
-        val e = Tables.load(spark, dir, "events")
-        val admitted = e.crossJoin(broadcast(e.agg(max(col("ts")).as("_mx"))))
-          .filter(expr("date_trunc('DAY', ts) + INTERVAL 25 HOURS <= _mx"))
-          .drop("_mx")
-        graft.operators.Sketches.cmTopKGate(admitted, merged, "user_id", 1024, 4)
+        graft.operators.Sketches.cmTopKGate(
+          admittedEvents(spark, dir), merged, "user_id", 1024, 4)
       },
       Some(RelationalQueries5.cmWindowAdmittedOracle(1024, 4))),
 
@@ -552,11 +561,10 @@ object PipelineQueries {
         val ps = cells.select(col("pos")).distinct()
           .collect().map(_.getLong(0))
         val words = graft.operators.Bloom.pack(ps, 4096)
-        val e = Tables.load(spark, dir, "events")
-        val probe = e.filter(col("user_id").isNotNull)
+        val probe = Tables.load(spark, dir, "events")
+          .filter(col("user_id").isNotNull)
           .select(col("user_id").as("key")).distinct()
-        val admitted = e.crossJoin(broadcast(e.agg(max(col("ts")).as("_mx"))))
-          .filter(expr("date_trunc('DAY', ts) + INTERVAL 25 HOURS <= _mx"))
+        val admitted = admittedEvents(spark, dir)
           .filter(col("user_id").isNotNull)
           .select(col("user_id").as("key")).distinct()
         RelationalQueries5.bloomVerdictFrame(probe, admitted, words, 4096, 3)

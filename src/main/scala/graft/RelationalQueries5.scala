@@ -848,8 +848,7 @@ object RelationalQueries5 {
   private[graft] def bloomWindowAdmittedOracle(m: Int, k: Int): String =
     s"""WITH mx AS (SELECT max(ts) AS m FROM events),
        |bkeys AS (SELECT DISTINCT user_id AS key FROM events, mx
-       |  WHERE user_id IS NOT NULL
-       |    AND date_trunc('day', ts) + INTERVAL 25 HOUR <= mx.m),
+       |  WHERE user_id IS NOT NULL AND $windowAdmitted),
        |pkeys AS (SELECT DISTINCT user_id AS key FROM events
        |  WHERE user_id IS NOT NULL),
        |keys AS (SELECT key FROM bkeys UNION SELECT key FROM pkeys),

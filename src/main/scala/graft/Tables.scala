@@ -42,11 +42,23 @@ object Tables {
     * dir path — if the testdata at that path is ever regenerated with
     * different content, a path-keyed cache would silently serve stale
     * rows while the oracle reads the fresh table, surfacing as an
-    * unexplained hash mismatch (or worse, a stale pass). One cheap
-    * aggregate over parquet footer stats. */
-  private[graft] def fingerprint(df: DataFrame, fpCol: String): String = {
-    import org.apache.spark.sql.functions._
-    val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
-    s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
-  }
+    * unexplained hash mismatch (or worse, a stale pass).
+    *
+    * The aggregate is a real column scan (Spark does not read parquet
+    * footer stats for count/max unless aggregate pushdown is enabled),
+    * so it is MEMOIZED per (key, column) for the JVM's lifetime —
+    * fixture lookups inside benched query bodies pay it once, not once
+    * per run. The staleness the fingerprint exists to catch is
+    * CROSS-session (driver regenerates testdata between rounds);
+    * mid-JVM regeneration of a read-only fixture dir is not a case. */
+  private val fingerprints =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def fingerprint(df: DataFrame, fpCol: String,
+      memoKey: String): String =
+    fingerprints.computeIfAbsent((memoKey, fpCol), { _ =>
+      import org.apache.spark.sql.functions._
+      val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
+      s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
+    })
 }

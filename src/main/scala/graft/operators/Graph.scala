@@ -144,12 +144,19 @@ object Graph {
     *     super-linearly, and a lost partition late in the run would
     *     recompute the whole chain. A checkpoint makes the frame
     *     self-contained (plan = one scan of materialized partitions).
-    *   - **convergence stop**: when `tol >= 0`, iteration stops once
-    *     max |pr − pr'| ≤ tol (micro-units) between consecutive
-    *     CHECKPOINTS — the check is one join + one max aggregation,
-    *     paid only every `checkpointEvery` rounds, so the
-    *     no-driver-round-trip property of [[step]] is amortized, not
-    *     abandoned. `tol < 0` disables the check (fixed-count deep run).
+    *   - **convergence stop**: when `tol >= 0`, after each checkpoint a
+    *     PROBE iteration is evaluated (one extra join + max aggregation,
+    *     paid only once per `checkpointEvery` rounds — amortized, not
+    *     abandoned) and iteration stops once max |pr − pr'| ≤ tol
+    *     (micro-units) between CONSECUTIVE iterations. Deliberately not
+    *     "delta across the burst": integer floor-division dynamics can
+    *     settle into small limit cycles, and a cycle whose period
+    *     divides the burst length would alias to delta 0 across the
+    *     burst — a false fixed point whose answer depends on
+    *     `checkpointEvery` parity. A consecutive-iteration check can
+    *     only stop at a genuine (within-tol) fixed point; a tol=0 run on
+    *     a pure limit cycle correctly runs to `maxIterations`.
+    *     `tol < 0` disables the check (fixed-count deep run).
     *
     * EAGER by design (checkpointing IS materialization) and
     * cache-clean: the static frames are unpersisted before return and
@@ -172,7 +179,6 @@ object Graph {
     val (nodes, degEdges) = staticFrames(edges, seeds, small)
     try {
       var ranks = initRanks(nodes).localCheckpoint(true)
-      var prevCp = ranks
       var it = 0
       var converged = false
       while (it < maxIterations && !converged) {
@@ -181,17 +187,20 @@ object Graph {
         ranks = ranks.localCheckpoint(true)
         it += burst
         if (tol >= 0) {
-          val delta = ranks.as("a")
-            .join(prevCp.select(col("node"), col("pr").as("_prev")), Seq("node"))
+          // probe ONE further iteration and compare CONSECUTIVE states
+          // (see scaladoc: a burst-to-burst delta would alias limit
+          // cycles). The probe frame is discarded — at tol=0 it equals
+          // `ranks` exactly, so the returned frame is still bit-equal
+          // to pageRank(it); at tol>0 it is within tol by definition.
+          val probe = step(nodes, degEdges, ranks, small)
+          val row = probe.as("a")
+            .join(ranks.select(col("node"), col("pr").as("_prev")), Seq("node"))
             .agg(max(abs(col("pr") - col("_prev"))))
-            .collect()(0).getLong(0)
-          // delta measured over a checkpoint burst: if NO rank moved
-          // more than tol across `burst` whole iterations, the fixed
-          // point is reached for integer arithmetic (a genuine change
-          // must move some node by ≥ 1 micro-unit per burst)
-          converged = delta <= tol
+            .collect()(0)
+          // an EMPTY graph has no ranks at all: max over zero rows is
+          // null — converged by definition (nothing can ever move)
+          converged = row.isNullAt(0) || row.getLong(0) <= tol
         }
-        prevCp = ranks
       }
       (ranks.select(col("node"), col("pr")), it)
     } finally {

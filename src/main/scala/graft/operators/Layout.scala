@@ -71,6 +71,11 @@ object Layout {
     val clash = df.columns.filter(internal)
     require(clash.isEmpty,
       s"withHilbert2 uses internal column names ${clash.mkString(", ")} — rename them first")
+    // the out name too: out = "_hd" would alias the accumulator and then
+    // be dropped with it — the caller would get a frame with NO code
+    // column and fail far from the cause
+    require(!internal.contains(out),
+      s"withHilbert2 output column '$out' collides with an internal name — pick another")
     val n = 1L << bits
     var cur = df
       .withColumn("_hx", x.cast("long").bitwiseAND(lit(n - 1)))

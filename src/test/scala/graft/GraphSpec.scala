@@ -117,6 +117,15 @@ class GraphSpec extends SparkSuite {
     assert(conv.as[(Long, Long)].collect().toMap == want)
   }
 
+  test("pageRankConverged on an empty edge frame: converges immediately, empty result (review finding)") {
+    // the delta aggregation over an empty join returns one NULL row —
+    // must read as converged, not NPE (pageRank on the same input
+    // returns an empty frame cleanly; the forms must agree)
+    val (r, _) = Graph.pageRankConverged(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 10, tol = 0L)
+    assert(r.count() == 0)
+  }
+
   test("pageRankConverged leaves no cached frames behind across repeated calls") {
     // drain what the suite's LAZY pageRank calls tracked (their contract
     // is caller-side release) so the assertion isolates the converged form
