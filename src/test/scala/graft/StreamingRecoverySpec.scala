@@ -155,6 +155,58 @@ class StreamingRecoverySpec extends SparkSuite {
       s"got $got")
   }
 
+  test("windowed KMV sketch buffer survives a mid-window restart (typed-aggregator state recovered)") {
+    // the Append-windowed sketches keep a CUSTOM Aggregator buffer (the
+    // bottom-k list) in the state store — the one stateful shape the
+    // suite didn't cover. Split one window's rows across two lives with
+    // k < total distinct values: the final estimate depends on ALL
+    // values' hashes (u_k = k-th smallest of six), so a lost phase-1
+    // buffer cannot produce the batch answer (it would read exactly 3.0,
+    // the below-k exact branch over phase 2's three values).
+    def t(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val input = Files.createTempDirectory("kmv-input").toString
+    val out = Files.createTempDirectory("kmv-out").toString
+    val ckpt = Files.createTempDirectory("kmv-ckpt").toString
+    def addFile(name: String, rows: (String, Long, java.sql.Timestamp)*): Unit = {
+      val stage = s"$input-stage"
+      rows.toSeq.toDF("event_type", "user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      Paths.get(stage).toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(f =>
+          Files.copy(f.toPath, Paths.get(input, name),
+            StandardCopyOption.REPLACE_EXISTING))
+    }
+    val schema = Seq(("a", 1L, t(1, 1))).toDF("event_type", "user_id", "ts").schema
+    def life(): Unit = drainOnce(input, out, ckpt, schema,
+      df => EventStream.kmvWindowed(df, "event_type", "user_id", k = 4,
+        "1 day", "1 hour"))
+
+    // life 1: half of window W1 (Jan 1); watermark stays inside W1 → no
+    // emission, the partial bottom-k buffer lives only in the checkpoint
+    addFile("f1.parquet", ("a", 1L, t(1, 1)), ("a", 2L, t(1, 2)), ("a", 3L, t(1, 3)))
+    life()
+    assert(spark.read.parquet(out).count() == 0,
+      "W1 must not close in life 1")
+    // life 2 (after the "crash"): W1's other half + an advance event two
+    // days later that pushes the watermark past W1's end
+    addFile("f2.parquet", ("a", 4L, t(1, 4)), ("a", 5L, t(1, 5)),
+      ("a", 6L, t(1, 6)), ("a", 999L, t(3, 12)))
+    life()
+
+    val got = spark.read.parquet(out)
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == t(1, 0) && got(0)._2 == "a",
+      s"want exactly W1 for group a, got ${got.toSeq}")
+    val expected = graft.operators.Sketches.kmvDistinct(
+        (1L to 6L).map(u => ("a", u)).toDF("event_type", "user_id"),
+        "event_type", "user_id", k = 4)
+      .select("kmv_estimate").as[Double].head()
+    assert(got(0)._3 == expected,
+      s"recovered-buffer estimate ${got(0)._3} != batch $expected — " +
+        "phase-1 sketch state was lost across the restart")
+  }
+
   test("snapshot stream restart delivers new files only — never re-sends") {
     StreamingRecoverySpec.sendCounts.clear()
     val fixture = "/tmp/graft-fixture-recovery"
