@@ -36,6 +36,27 @@ object LayoutQueries {
     d
   }
 
+  /** A deliberately-fragmented lineitem copy (64 small files — the
+    * streaming-ingest pathology) compacted back through
+    * [[graft.operators.Compaction]]; both stages generate-once per sf
+    * dir + content fingerprint. */
+  private def compactedLineitemDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val fp = Tables.fingerprint(li, "l_orderkey", s"$dir/lineitem")
+    val sfx = s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$fp"
+    val frag = s"/tmp/graft-frag-$sfx"
+    if (!new java.io.File(s"$frag/_SUCCESS").exists()) {
+      li.repartition(64).write.mode("overwrite").parquet(frag)
+    }
+    val comp = s"/tmp/graft-compact-$sfx"
+    if (!new java.io.File(s"$comp/_SUCCESS").exists()) {
+      graft.operators.Compaction.compact(spark, frag, comp,
+        targetBytes = 512L * 1024 * 1024)
+    }
+    comp
+  }
+
   val all: Seq[Q] = Seq(
     // Z-order write→prune END-TO-END: lineitem is physically re-written
     // clustered by morton2(l_partkey, l_suppkey), then a 2-D rectangle
@@ -100,6 +121,28 @@ object LayoutQueries {
             sum(col("l_orderkey")).as("order_sum"))
       },
       Some(q132Oracle(8))),
+
+    // Small-files compaction END-TO-END: lineitem fragmented into 64
+    // small files (the streaming-ingest pathology), rewritten to
+    // target-sized files through Compaction (a narrow coalesce — no
+    // shuffle, spec-asserted), then aggregated OUT OF THE COMPACTED
+    // FILES under the hash gate. Oracle = the same aggregate on the
+    // original table: compaction must never change a row, only the
+    // file granularity (the granularity half is CompactionSpec's).
+    Q("q137_compaction",
+      (spark, dir) => {
+        spark.read.parquet(compactedLineitemDir(spark, dir))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("order_sum"),
+            sum(col("l_partkey")).as("part_sum"),
+            max(col("l_linenumber")).as("max_line"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS order_sum,
+             |  CAST(sum(l_partkey) AS BIGINT) AS part_sum,
+             |  max(l_linenumber) AS max_line
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
   )
 
   /** The q131 oracle: mortonN's interleave unrolled — bits·3 terms, bit

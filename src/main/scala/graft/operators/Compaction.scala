@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-files compaction — the file-granularity half of data layout
+  * (the clustering half is [[Layout]]): long-running ingest (streaming
+  * sinks, per-batch appends, the reference's one-file-per-S3-object
+  * model) accumulates files far below the efficient scan size, and at
+  * 100 TB the metadata and open-file overhead of millions of small
+  * files dominates scan cost. Compaction rewrites a directory's rows
+  * into ~`targetBytes`-sized files.
+  *
+  * Spark-first shape: sizing comes from the filesystem listing (works
+  * for any Hadoop-visible store), and the rewrite is `coalesce` — a
+  * NARROW dependency, no shuffle (spec-asserted): merging files needs
+  * no data movement beyond concatenating partitions. Only when asked
+  * to produce MORE files than input partitions (splitting oversized
+  * files) does it fall back to a round-robin `repartition`, which is a
+  * real shuffle and priced accordingly. Row preservation is gated
+  * (q137): an aggregate over the compacted copy must hash-match the
+  * oracle over the original table.
+  */
+object Compaction {
+  final case class Plan(df: DataFrame, inputFiles: Int, inputBytes: Long,
+      targetFiles: Int, shuffles: Boolean)
+
+  /** Size up a parquet directory and plan its rewrite: ceil(bytes /
+    * targetBytes) output files, coalesce when shrinking (narrow),
+    * repartition only when growing. */
+  def plan(spark: SparkSession, dir: String, targetBytes: Long): Plan = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getLen
+      }
+      buf.toSeq
+    }
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val totalBytes = files.sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val inParts = df.rdd.getNumPartitions
+    val (out, shuffles) =
+      if (nOut <= inParts) (df.coalesce(nOut), false)
+      else (df.repartition(nOut), true)
+    Plan(out, files.size, totalBytes, nOut, shuffles)
+  }
+
+  /** Rewrite `inDir` into `outDir` at ~targetBytes per file; returns the
+    * executed plan's stats. The write is a full rewrite into a fresh
+    * directory — swapping it over the original atomically is the
+    * caller's (table format's) business; this operator owns the data
+    * movement only. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Plan = {
+    val pl = plan(spark, inDir, targetBytes)
+    pl.df.write.mode("overwrite").parquet(outDir)
+    pl
+  }
+}

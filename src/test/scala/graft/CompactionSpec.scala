@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+
+/** Compaction: file-count arithmetic, the no-shuffle guarantee of the
+  * shrink path, row preservation, and the grow fallback. */
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("shrinking compaction: planned file count lands on disk, rows preserved, NO shuffle") {
+    val src = java.nio.file.Files.createTempDirectory("cmp-src").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp-out").toString
+    (0L until 5000L).map(i => (i, s"row-$i")).toDF("id", "payload")
+      .repartition(32).write.mode("overwrite").parquet(src)
+    assert(parquetFiles(src).length == 32)
+
+    val pl = Compaction.compact(spark, src, out, targetBytes = 1L << 30)
+    assert(pl.inputFiles == 32 && pl.targetFiles == 1 && !pl.shuffles)
+    assert(parquetFiles(out).length == 1,
+      s"expected 1 compacted file, got ${parquetFiles(out).length}")
+    // the shrink path is a NARROW coalesce — merging files must not pay
+    // a shuffle (the whole point of compaction vs re-layout)
+    val p = pl.df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "shrink compaction must not shuffle:\n" + p)
+    assert(p.contains("Coalesce"), p)
+    // row preservation, exactly
+    val a = spark.read.parquet(src).as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("intermediate target: multiple output files, still narrow") {
+    val src = java.nio.file.Files.createTempDirectory("cmp-src2").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp-out2").toString
+    (0L until 20000L).map(i => (i, s"payload-$i-$i")).toDF("id", "payload")
+      .repartition(16).write.mode("overwrite").parquet(src)
+    val total = parquetFiles(src).map(_.length).sum
+    // target ~= a third of the data → 3-4 output files, fewer than 16 in
+    val pl = Compaction.compact(spark, src, out, targetBytes = total / 3)
+    assert(pl.targetFiles >= 2 && pl.targetFiles < 16 && !pl.shuffles,
+      s"plan: $pl")
+    assert(parquetFiles(out).length == pl.targetFiles)
+    assert(spark.read.parquet(out).count() == 20000L)
+  }
+
+  test("growing past the input partition count falls back to a real repartition") {
+    val src = java.nio.file.Files.createTempDirectory("cmp-src3").toString
+    (0L until 1000L).toDF("id").coalesce(1).write.mode("overwrite").parquet(src)
+    val pl = Compaction.plan(spark, src, targetBytes = 64)
+    assert(pl.shuffles, "splitting one file into many requires a shuffle")
+    assert(pl.targetFiles > 1)
+  }
+
+  test("empty / bad input is rejected loudly") {
+    val empty = java.nio.file.Files.createTempDirectory("cmp-empty").toString
+    intercept[IllegalArgumentException] {
+      Compaction.plan(spark, empty, targetBytes = 1024)
+    }
+    intercept[IllegalArgumentException] {
+      Compaction.plan(spark, empty, targetBytes = 0)
+    }
+  }
+}
