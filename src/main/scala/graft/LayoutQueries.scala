@@ -36,6 +36,26 @@ object LayoutQueries {
     d
   }
 
+  /** lineitem's key columns re-written HILBERT-clustered on
+    * (l_partkey, l_suppkey) — q130's sibling on the continuous curve
+    * (11 bits covers the sf0.1 partkey domain). */
+  private def hilbertLineitemDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+    val d = s"/tmp/graft-hilbert-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"-${Tables.fingerprint(li, "l_orderkey", s"$dir/lineitem")}"
+    if (!new java.io.File(s"$d/_SUCCESS").exists()) {
+      Layout.clusterBy(
+          Layout.withHilbert2(li, col("l_partkey"), col("l_suppkey"), 11, "_h"),
+          col("_h"), 16)
+        .drop("_h")
+        .write.mode("overwrite").parquet(d)
+    }
+    d
+  }
+
   /** A deliberately-fragmented lineitem copy (64 small files — the
     * streaming-ingest pathology) compacted back through
     * [[graft.operators.Compaction]]; both stages generate-once per sf
@@ -143,6 +163,31 @@ object LayoutQueries {
              |  CAST(sum(l_partkey) AS BIGINT) AS part_sum,
              |  max(l_linenumber) AS max_line
              |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // Hilbert write→prune end-to-end — q130 on the CONTINUOUS curve:
+    // lineitem re-written clustered by the hilbert code, the same 2-D
+    // rectangle read back out of the clustered files. Same oracle text
+    // as q130 by design (a re-layout never changes an answer; only the
+    // physical path differs), and LayoutSpec proves the hilbert layout
+    // also reads < half the rows for this rectangle.
+    Q("q138_hilbert_prune",
+      (spark, dir) => {
+        val h = spark.read.parquet(hilbertLineitemDir(spark, dir))
+        h.filter(col("l_partkey").between(1, 50) &&
+            col("l_suppkey").between(1, 5))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_partkey")).as("part_sum"),
+            sum(col("l_orderkey")).as("order_sum"),
+            max(col("l_linenumber")).as("max_line"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             |  CAST(sum(l_partkey) AS BIGINT) AS part_sum,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS order_sum,
+             |  max(l_linenumber) AS max_line
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+             |GROUP BY 1""".stripMargin)),
   )
 
   /** The q131 oracle: mortonN's interleave unrolled — bits·3 terms, bit
