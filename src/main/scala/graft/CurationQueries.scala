@@ -303,7 +303,57 @@ object CurationQueries {
       },
       Some(pageRankOracle(4,
         seedsSql = Some("SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1")))),
+
+    // Token-window document chunking (Curation.chunkByTokens) — the
+    // splitting sibling of q86's context packing: overlapping
+    // 128-token chunks at stride 96 over the oracled BPE-ish lexer.
+    // The gate hashes chunk counts, per-chunk token sums AND boundary
+    // tokens (first/last lengths per bucket) — an off-by-one in the
+    // slice start, the stride, or the ceil arithmetic breaks it.
+    Q("q139_token_chunking",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.chunkByTokens(d, "doc_id", "text", 128, 32)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("chunk_tokens")).as("token_sum"),
+            max(col("chunk_idx")).cast("long").as("max_chunk_idx"),
+            sum(length(col("first_token"))).as("first_len_sum"),
+            sum(length(col("last_token"))).as("last_len_sum"))
+      },
+      Some(q139Oracle(128, 32))),
   )
+
+  /** The q139 oracle: the identical lexer regex, the identical integer
+    * chunk-count arithmetic (DuckDB `//` floors == Spark DIV on the
+    * nonnegative domain), per-chunk token counts via least(), and the
+    * 1-based boundary indices the Spark `slice`/`element_at` pair
+    * produces. */
+  private def q139Oracle(chunk: Int, overlap: Int): String = {
+    val stride = chunk - overlap
+    s"""WITH toks AS (SELECT doc_id,
+       |    regexp_extract_all(text, '\\w+|[^\\w\\s]') AS t FROM documents),
+       |st AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+       |nc AS (SELECT doc_id, t, n,
+       |  CASE WHEN n <= $chunk THEN 1
+       |    ELSE (n - $chunk + ${stride - 1}) // $stride + 1 END AS n_chunks
+       |  FROM st),
+       |ch AS (SELECT doc_id, t, n,
+       |  unnest(generate_series(0, n_chunks - 1)) AS ci FROM nc),
+       |per AS (SELECT doc_id, ci,
+       |  least($chunk, n - ci * $stride) AS c_n,
+       |  t[ci * $stride + 1] AS first_tok,
+       |  t[ci * $stride + least($chunk, n - ci * $stride)] AS last_tok
+       |  FROM ch)
+       |SELECT doc_id % 10 AS bucket, count(*) AS n_chunks,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(c_n) AS BIGINT) AS token_sum,
+       |  CAST(max(ci) AS BIGINT) AS max_chunk_idx,
+       |  CAST(sum(length(first_tok)) AS BIGINT) AS first_len_sum,
+       |  CAST(sum(length(last_tok)) AS BIGINT) AS last_len_sum
+       |FROM per GROUP BY 1""".stripMargin
+  }
 
   /** The q118/q128 graph: bidirectional customer↔supplier interaction
     * edges (supplier ids offset into their own namespace). */

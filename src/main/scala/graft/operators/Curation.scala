@@ -181,6 +181,52 @@ object Curation {
       .drop("_stratum", "_sid")
   }
 
+  /** Token-window document chunking — the SPLITTING sibling of context
+    * packing (TextQueries q86 packs short docs INTO a window; this
+    * splits long docs ACROSS windows): every document becomes
+    * ceil-strided overlapping chunks of `chunkTokens` lexer tokens,
+    * consecutive chunks sharing `overlapTokens` (the standard
+    * continuity trade for training-context construction). Token basis
+    * is the oracled BPE-ish lexer ([[graft.functions.TextFunctions
+    * .lexTokens]] — `regexp_extract_all` in DuckDB), so the whole
+    * operator replays in SQL and q139 gates chunk counts, per-chunk
+    * token counts AND boundary tokens.
+    *
+    * Pure Column end-to-end (regexp lexer, integer chunk arithmetic,
+    * `sequence`/`slice`/`element_at` higher-order functions — no udf in
+    * an operator that touches every document of a corpus); chunk count
+    * per doc is 1 for n ≤ chunkTokens else
+    * `(n − chunkTokens + stride − 1) div stride + 1` (integer — exact
+    * in any engine). Token-less documents produce ZERO chunks. Narrow
+    * except the explode (no shuffle at all — chunking is map-side;
+    * downstream grouping pays the only exchange).
+    *
+    * Emits (idCol, chunk_idx, chunk_tokens, first_token, last_token). */
+  def chunkByTokens(corpus: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    corpus
+      .select(col(idCol),
+        graft.functions.TextFunctions.lexTokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .withColumn("_nc", when(col("_n") <= chunkTokens, lit(1))
+        .otherwise(
+          expr(s"CAST((_n - $chunkTokens + ${stride - 1}) DIV $stride AS INT) + 1"))
+      )
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"))
+      .withColumn("_c",
+        slice(col("_t"), col("chunk_idx") * lit(stride) + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_c")).as("chunk_tokens"),
+        element_at(col("_c"), 1).as("first_token"),
+        element_at(col("_c"), -1).as("last_token"))
+  }
+
   /** The window-form reference implementation of [[sampleKPerStratum]]
     * (one shuffle, full per-stratum sort). Kept for the equivalence spec
     * — the two forms must pick identical rows with identical ranks. */

@@ -167,4 +167,44 @@ class CurationSpec extends SparkSuite {
     assert(nds == 1 && nts == 2 && (shares ~= 0.2) && (weights ~= 2.5))
     assert((share + shares) ~= 1.0)
   }
+
+  test("chunkByTokens: coverage, overlap and boundary invariants") {
+    // 10 tokens ("t0 .. t9"), chunk 4, overlap 1 → stride 3 →
+    // ceil((10-4)/3)+1 = 3 chunks: [0,4) [3,7) [6,10)
+    val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(doc, "doc_id", "text", 4, 1)
+      .orderBy("chunk_idx")
+      .as[(Long, Int, Int, String, String)].collect()
+    assert(got.map(c => (c._2, c._3, c._4, c._5)).toSeq == Seq(
+      (0, 4, "t0", "t3"), (1, 4, "t3", "t6"), (2, 4, "t6", "t9")),
+      got.toSeq.toString)
+    // overlap: each consecutive pair shares exactly `overlap` tokens
+    // (last chunk's first == previous chunk's last here, overlap 1)
+    // short doc → one chunk, exactly its own size
+    val short = Curation.chunkByTokens(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .as[(Long, Int, Int, String, String)].collect()
+    assert(short.toSeq == Seq((2L, 0, 3, "a", "c")))
+    // token-less doc → zero chunks; null text must not throw
+    val empty = Curation.chunkByTokens(
+      Seq((3L, "   "), (4L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+    assert(empty.count() == 0)
+    // every token of a long doc is covered by at least one chunk:
+    // total chunk tokens == n + overlap·(chunks−1)
+    val n = 500
+    val long = Seq((5L, (0 until n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkByTokens(long, "doc_id", "text", 128, 32)
+      .as[(Long, Int, Int, String, String)].collect()
+    val nChunks = chunks.length
+    assert(nChunks == (n - 128 + 95) / 96 + 1)
+    assert(chunks.map(_._3).sum == n + 32 * (nChunks - 1),
+      "chunk token counts must cover every token exactly once plus overlaps")
+    // no udf anywhere (regex lexer + higher-order functions only)
+    val p = Curation.chunkByTokens(doc, "doc_id", "text", 4, 1)
+      .queryExecution.analyzed.toString
+    assert(!p.contains("UDF("), "chunking must stay pure Column")
+  }
 }
