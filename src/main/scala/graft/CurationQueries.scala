@@ -365,8 +365,10 @@ object CurationQueries {
     // data (custkeys stay under the 10M supplier offset) — assert it for
     // the price of a one-column scan, because a violation would not fail:
     // it would silently keep duplicate edges the oracle's UNION dedupes,
-    // surfacing as an unexplained hash mismatch (or skewed rank mass)
-    val maxCust = o.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    // surfacing as an unexplained hash mismatch (or skewed rank mass).
+    // The scan is memoized: once per (dir, column) per JVM, not once per
+    // query run (q118 AND q128 both come through here).
+    val maxCust = Tables.memoizedMax(o, "o_custkey", s"$dir/orders")
     require(maxCust < 10000000L,
       s"customer keys reach $maxCust >= the 10M supplier namespace offset — raise the offset")
     val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))

@@ -61,4 +61,18 @@ object Tables {
       val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
       s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
     })
+
+  private val maxima =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** max of an integral column, memoized per (key, column) for the JVM
+    * lifetime — for data-shape ASSERTIONS on read-only inputs (e.g. the
+    * graph namespace-offset guard) that would otherwise re-scan per
+    * query run. Same staleness contract as [[fingerprint]]. */
+  private[graft] def memoizedMax(df: DataFrame, colName: String,
+      memoKey: String): Long =
+    maxima.computeIfAbsent((memoKey, colName), { _ =>
+      import org.apache.spark.sql.functions._
+      df.agg(max(col(colName))).collect()(0).getLong(0)
+    })
 }
