@@ -15,66 +15,72 @@ import graft.operators.Layout
 object LayoutQueries {
   import Registry.Q
 
-  /** lineitem's integral key columns re-written Z-ORDER-clustered on
-    * (l_partkey, l_suppkey) — generate-once per sf dir + content
-    * fingerprint, marker-guarded (the [[PipelineQueries]] fixture
-    * discipline). 16 splits: enough distinct code ranges that row-group
-    * stats discriminate, small enough that the write stays cheap at the
-    * bench SF. */
-  private def zorderedLineitemDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_linenumber"))
-    val d = s"/tmp/graft-zorder-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${Tables.fingerprint(li, "l_orderkey", s"$dir/lineitem")}"
-    if (!new java.io.File(s"$d/_SUCCESS").exists()) {
-      Layout.clusterBy(li,
-          Layout.morton2(col("l_partkey"), col("l_suppkey"), bits = 16), 16)
-        .write.mode("overwrite").parquet(d)
-    }
+  /** The generate-once discipline all derived layout fixtures share:
+    * a /tmp dir keyed on the sf dir + the source's CONTENT fingerprint
+    * + a `tag` that MUST encode every build parameter (bits, splits,
+    * target size...) — a parameter change with an unchanged tag would
+    * silently reuse the stale layout, invisible to the hash gate
+    * because answers are layout-independent. Marker-guarded. */
+  private def derivedDir(dir: String, tag: String, fp: String)(
+      build: String => Unit): String = {
+    val d = s"/tmp/graft-$tag-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$fp"
+    if (!new java.io.File(s"$d/_SUCCESS").exists()) build(d)
     d
   }
 
-  /** lineitem's key columns re-written HILBERT-clustered on
-    * (l_partkey, l_suppkey) — q130's sibling on the continuous curve
-    * (11 bits covers the sf0.1 partkey domain). */
-  private def hilbertLineitemDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val li = Tables.load(spark, dir, "lineitem")
+  private def lineitemKeys(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"))
-    val d = s"/tmp/graft-hilbert-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-      s"-${Tables.fingerprint(li, "l_orderkey", s"$dir/lineitem")}"
-    if (!new java.io.File(s"$d/_SUCCESS").exists()) {
+
+  private def lineitemFp(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    Tables.fingerprint(lineitemKeys(spark, dir), "l_orderkey", s"$dir/lineitem")
+
+  /** lineitem re-written Z-ORDER-clustered on (l_partkey, l_suppkey).
+    * 16 splits: enough distinct code ranges that row-group stats
+    * discriminate, small enough that the write stays cheap at the
+    * bench SF. */
+  private def zorderedLineitemDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    derivedDir(dir, "zorder-b16s16", lineitemFp(spark, dir)) { d =>
+      Layout.clusterBy(lineitemKeys(spark, dir),
+          Layout.morton2(col("l_partkey"), col("l_suppkey"), bits = 16), 16)
+        .write.mode("overwrite").parquet(d)
+    }
+
+  /** lineitem re-written HILBERT-clustered — q130's sibling on the
+    * continuous curve. bits = 15: the code domain must COVER the widest
+    * clustered dimension (sf0.1 partkey reaches 19,999 — 15 bits), or
+    * the mask aliases distant partkey bands into one cell and the
+    * layout silently stops pruning on that column at exactly the SF
+    * that matters (review finding: 11 bits covered only sf0.01). */
+  private def hilbertLineitemDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    derivedDir(dir, "hilbert-b15s16", lineitemFp(spark, dir)) { d =>
       Layout.clusterBy(
-          Layout.withHilbert2(li, col("l_partkey"), col("l_suppkey"), 11, "_h"),
+          Layout.withHilbert2(lineitemKeys(spark, dir),
+            col("l_partkey"), col("l_suppkey"), 15, "_h"),
           col("_h"), 16)
         .drop("_h")
         .write.mode("overwrite").parquet(d)
     }
-    d
-  }
 
   /** A deliberately-fragmented lineitem copy (64 small files — the
     * streaming-ingest pathology) compacted back through
-    * [[graft.operators.Compaction]]; both stages generate-once per sf
-    * dir + content fingerprint. */
+    * [[graft.operators.Compaction]]. */
   private def compactedLineitemDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val li = Tables.load(spark, dir, "lineitem")
-    val fp = Tables.fingerprint(li, "l_orderkey", s"$dir/lineitem")
-    val sfx = s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}-$fp"
-    val frag = s"/tmp/graft-frag-$sfx"
-    if (!new java.io.File(s"$frag/_SUCCESS").exists()) {
-      li.repartition(64).write.mode("overwrite").parquet(frag)
+    val fp = lineitemFp(spark, dir)
+    val frag = derivedDir(dir, "frag-f64", fp) { d =>
+      Tables.load(spark, dir, "lineitem")
+        .repartition(64).write.mode("overwrite").parquet(d)
     }
-    val comp = s"/tmp/graft-compact-$sfx"
-    if (!new java.io.File(s"$comp/_SUCCESS").exists()) {
-      graft.operators.Compaction.compact(spark, frag, comp,
+    derivedDir(dir, "compact-t512m", fp) { d =>
+      graft.operators.Compaction.compact(spark, frag, d,
         targetBytes = 512L * 1024 * 1024)
     }
-    comp
   }
 
   val all: Seq[Q] = Seq(

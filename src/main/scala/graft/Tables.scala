@@ -73,6 +73,12 @@ object Tables {
       memoKey: String): Long =
     maxima.computeIfAbsent((memoKey, colName), { _ =>
       import org.apache.spark.sql.functions._
-      df.agg(max(col(colName))).collect()(0).getLong(0)
+      val r = df.agg(max(col(colName))).collect()(0)
+      // max over zero rows is null — fail with a diagnosis, not the bare
+      // NPE getLong would throw (and which would mask the caller's own
+      // data-shape assertion)
+      require(!r.isNullAt(0),
+        s"memoizedMax($memoKey.$colName): input frame is empty")
+      r.getLong(0)
     })
 }

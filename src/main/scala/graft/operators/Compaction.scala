@@ -43,7 +43,12 @@ object Compaction {
     }
     require(files.nonEmpty, s"no parquet files under $dir")
     val totalBytes = files.sum
-    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // clamp BEFORE the Int narrowing: a tiny targetBytes against a huge
+    // directory yields a ratio past Int.MaxValue, and .toInt would wrap
+    // it negative (repartition(negative) throws deep inside Spark) or
+    // to a silently wrong positive count
+    val nOut = math.min(Int.MaxValue.toLong,
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)).toInt
     val df = spark.read.parquet(dir)
     val inParts = df.rdd.getNumPartitions
     val (out, shuffles) =

@@ -207,6 +207,12 @@ object Curation {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    // the withHilbert2 hygiene: an idCol named like an internal (or the
+    // output) column would alias mid-pipeline and fail far from the cause
+    val reserved = Set("_t", "_n", "_nc", "_c",
+      "chunk_idx", "chunk_tokens", "first_token", "last_token")
+    require(!reserved.contains(idCol),
+      s"chunkByTokens reserves column name '$idCol' — rename the id column first")
     val stride = chunkTokens - overlapTokens
     corpus
       .select(col(idCol),
