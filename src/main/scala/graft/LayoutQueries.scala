@@ -83,6 +83,43 @@ object LayoutQueries {
     }
   }
 
+  /** orders and customer saved as BUCKETED tables (8 buckets on the
+    * join key, one sorted bucket spec each) — the co-located-join
+    * layout: both sides' files are pre-partitioned by the key, so the
+    * join needs NO exchange on either side (PlanSpec asserts it). The
+    * session catalog is in-memory, so the tables are (re)created once
+    * per session per content fingerprint; the warehouse dir is
+    * gitignored scratch. */
+  private def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val fp = Tables.fingerprint(o, "o_orderkey", s"$dir/orders_bucketed")
+    val to = s"graft_bucketed_orders_$fp"
+    val tc = s"graft_bucketed_customer_$fp"
+    // the warehouse DIRECTORY outlives the in-memory catalog (a fresh
+    // JVM sees the files but not the table) and saveAsTable refuses a
+    // managed location that already exists — drop the stale location
+    // before recreating
+    def dropStaleLocation(table: String): Unit = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    if (!spark.catalog.tableExists(to)) {
+      dropStaleLocation(to)
+      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(to)
+    }
+    if (!spark.catalog.tableExists(tc)) {
+      dropStaleLocation(tc)
+      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(tc)
+    }
+    (to, tc)
+  }
+
   val all: Seq[Q] = Seq(
     // Z-order write→prune END-TO-END: lineitem is physically re-written
     // clustered by morton2(l_partkey, l_suppkey), then a 2-D rectangle
@@ -193,6 +230,30 @@ object LayoutQueries {
              |  max(l_linenumber) AS max_line
              |FROM lineitem
              |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+             |GROUP BY 1""".stripMargin)),
+
+    // BUCKETED co-located join — the shuffle-avoidance layout for
+    // repeated big joins (SCALE.md's "bucket the edge table" note made
+    // runnable): both sides pre-bucketed by the join key into the same
+    // bucket count, the sort-merge join (hinted, so a broadcast can't
+    // mask the demo at small SFs) reads matching buckets directly and
+    // the ONLY exchange in the whole plan is the final aggregation's
+    // (PlanSpec asserts exactly that). The oracle is the plain join —
+    // bucketing is a physical layout; the answer must be identical.
+    Q("q140_bucketed_join",
+      (spark, dir) => {
+        val (to, tc) = bucketedTables(spark, dir)
+        spark.table(to).hint("merge")
+          .join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            max(col("o_custkey")).as("max_cust"),
+            sum(col("o_orderkey")).as("order_sum"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  max(o_custkey) AS max_cust,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS order_sum
+             |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
   )
 

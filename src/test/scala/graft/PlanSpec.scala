@@ -111,6 +111,15 @@ class PlanSpec extends SparkSuite {
       "l_suppkey range must push down:\n" + p.take(2000))
   }
 
+  test("q140: bucketed join shuffles NEITHER side — the only exchange is the final aggregation's") {
+    val p = plan("q140_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(exchanges == 1,
+      s"bucketed join inputs must read pre-bucketed files without a shuffle " +
+        s"(found $exchanges exchanges):\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
