@@ -323,6 +323,24 @@ object CurationQueries {
             sum(length(col("last_token"))).as("last_len_sum"))
       },
       Some(q139Oracle(128, 32))),
+
+    // Deterministic hash-Bernoulli sampling (Curation.hashSample) — the
+    // rate-based mixture downsampler: keep iff mix64(doc_id)/2^64 falls
+    // under the domain's rate ((srcnum % 4 + 1)/5 here → 0.2/0.4/0.6/
+    // 0.8 bands). No RNG: reproducible, retry-stable, subset-monotone
+    // in the rate, and exactly replayable — the oracle recomputes every
+    // keep/drop decision, so the gate hashes the SAMPLE itself (counts
+    // + id sums per domain), not a statistic of it.
+    Q("q141_hash_sampling",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val srcNum = col("source").substr(lit(4), lit(10)).cast("int")
+        val rate = ((srcNum % 4) + 1).cast("double") / lit(5.0)
+        graft.operators.Curation.hashSample(d, "doc_id", rate)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      },
+      Some(RelationalQueries5.hashSampleOracle)),
   )
 
   /** The q139 oracle: the identical lexer regex, the identical integer

@@ -636,6 +636,23 @@ object RelationalQueries5 {
        |  END, 4) AS kmv_estimate
        |FROM signedk""".stripMargin
 
+  /** The q141 oracle: deterministic hash-Bernoulli sampling replayed —
+    * mix64(doc_id) through the shared stage chain (signed out), the
+    * identical signed→double→+2^64 fraction sequence, and the same
+    * per-domain rate arithmetic ((srcnum % 4 + 1) / 5). */
+  private[graft] def hashSampleOracle: String =
+    s"""WITH base AS (SELECT doc_id, source FROM documents
+       |  WHERE doc_id IS NOT NULL),
+       |${mix64Stages("base", Seq("doc_id", "source"), "CAST(doc_id AS HUGEINT)", signedOut = true)},
+       |kept AS (SELECT doc_id, source FROM mixed
+       |  WHERE (CASE WHEN h >= 0 THEN CAST(h AS DOUBLE)
+       |      ELSE CAST(h AS DOUBLE) + 18446744073709551616.0 END)
+       |    / 18446744073709551616.0
+       |    < CAST((CAST(substring(source, 4) AS INT) % 4) + 1 AS DOUBLE) / 5.0)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM kept GROUP BY 1""".stripMargin
+
   /** The q134 oracle: the q120 HLL register chain per (day window,
     * event_type), restricted to closed windows. */
   private[graft] def hllWindowedOracle: String =

@@ -181,6 +181,28 @@ object Curation {
       .drop("_stratum", "_sid")
   }
 
+  /** Deterministic hash-Bernoulli sampling — the RATE-based sampler
+    * next to [[sampleKPerStratum]]'s exact-k form: keep a row iff the
+    * uniform fraction derived from mix64(id) falls under `rate` (a
+    * per-row Column — constant, or a per-domain CASE for mixture
+    * reweighting). No RNG anywhere: the decision is a pure function of
+    * the row id, so it is reproducible across runs, stable under task
+    * retries, consistent across engines (the q141 oracle replays it),
+    * and SUBSET-MONOTONE — raising a rate only ever adds rows, never
+    * swaps them (the property distributed downsampling jobs rely on
+    * when rates are tuned between runs). Map-side only, no shuffle.
+    *
+    * The fraction is u/2^64 computed by the sketch discipline's IEEE
+    * sequence (signed hash → double → +2^64 when negative, one divide)
+    * so the comparison replays bit-for-bit in SQL. */
+  def hashSample(corpus: DataFrame, idCol: String, rate: Column): DataFrame = {
+    val h = Sketches.hashInput(corpus, idCol)
+    val u = when(h >= 0, h.cast("double"))
+      .otherwise(h.cast("double") + lit(graft.operators.Sketches.TwoPow64))
+    corpus.filter(col(idCol).isNotNull &&
+      u / lit(graft.operators.Sketches.TwoPow64) < rate)
+  }
+
   /** Token-window document chunking — the SPLITTING sibling of context
     * packing (TextQueries q86 packs short docs INTO a window; this
     * splits long docs ACROSS windows): every document becomes

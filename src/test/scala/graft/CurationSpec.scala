@@ -168,6 +168,28 @@ class CurationSpec extends SparkSuite {
     assert((share + shares) ~= 1.0)
   }
 
+  test("hashSample: rate accuracy, subset monotonicity, determinism, string-key dispatch") {
+    val n = 20000
+    val ids = (0L until n.toLong).toDF("id")
+    def kept(rate: Double): Set[Long] =
+      Curation.hashSample(ids, "id", lit(rate)).as[Long].collect().toSet
+    val half = kept(0.5)
+    // rate accuracy: mix64 is uniform, so the kept fraction concentrates
+    assert(math.abs(half.size.toDouble / n - 0.5) < 0.02, s"${half.size}")
+    // subset-monotone: raising the rate only ADDS rows (the property a
+    // re-tuned downsampling job relies on — no resampling churn)
+    val more = kept(0.7)
+    assert(half.subsetOf(more), "rate increase must never swap rows out")
+    // deterministic: same input, same sample, run to run
+    assert(kept(0.5) == half)
+    // rate 0 and 1 are exact
+    assert(kept(0.0).isEmpty && kept(1.0).size == n)
+    // string keys route through the fnv dispatch (no silent null-cast)
+    val strKept = Curation.hashSample(
+      (0 until 1000).map(i => s"doc-$i").toDF("id"), "id", lit(0.5)).count()
+    assert(math.abs(strKept / 1000.0 - 0.5) < 0.1, s"$strKept")
+  }
+
   test("chunkByTokens: coverage, overlap and boundary invariants") {
     // 10 tokens ("t0 .. t9"), chunk 4, overlap 1 → stride 3 →
     // ceil((10-4)/3)+1 = 3 chunks: [0,4) [3,7) [6,10)
