@@ -19,17 +19,33 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as a long (legacy flag) and floor-divide to micros.
-    * DuckDB keeps nanos — oracles must only compare at ≥ms granularity
-    * (floor-to-ms is identical from ns and µs, so ms diffs are safe). */
+  /** events.ts has shipped in several physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as a long (legacy flag) and
+    * floor-divided to micros — and TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false), which Spark 4 infers as TIMESTAMP_NTZ. Branch on the type
+    * the reader actually produced and normalize ALL of them to the
+    * session-zone TimestampType (sessions here run UTC), so a testdata
+    * regeneration that flips the physical type cannot break every events
+    * query with an analysis error. DuckDB reads the same file natively
+    * and treats naive timestamps as UTC — identical epoch semantics. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      // integer `div`, NOT `/`: long `/` is double division, and doubles
-      // round 1.7e18-ns epochs to ~256 ns — enough to cross µs/ms boundaries.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: long `/` is double division, and doubles
+        // round 1.7e18-ns epochs to ~256 ns — enough to cross µs/ms edges.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // naive micros; session tz is UTC, so this cast is epoch-preserving
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other (expected nanos-as-long or timestamp)")
+    }
   }
 
   /** Registers every table as a temp view (for the few SQL-expressed

@@ -341,11 +341,14 @@ object ProductQuantization {
     val scored = index.crossJoin(broadcast(qIds))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("approx_dot", score(col("code"), col("qIdx")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_dot").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"),
-        round(col("approx_dot"), 6).as("approx_dot"), col("rank"))
+    // bounded-heap top-k (score DESC, id ASC — the window's exact order):
+    // ≤ k rows per query per map task instead of a full per-query sort
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKAggregator.top_k(k)(col("approx_dot"), col("vec_id"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 6).as("approx_dot"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }
