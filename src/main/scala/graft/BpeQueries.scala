@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+/** The BPE tokenizer under the gate: the fit itself (q143), per-document
+  * encoding (q142), and the token-budget family re-based on real
+  * tokenizer tokens (q144 chunking).
+  *
+  * Oracle discipline (the q46/q105 unrolled-k-means pattern): the DuckDB
+  * SQL replays the ENTIRE fit — hash-capped sample, word frequencies,
+  * vocab cap, and every one of the `M` merge steps (pair counting, the
+  * (count DESC, l, r) argmax, and the left-to-right non-overlapping
+  * merge pass as a window-function fold) — then the ENTIRE encode (every
+  * distinct corpus word through all `M` passes in rank order, re-joined
+  * to documents in token order). Nothing is trusted from the Scala side;
+  * a drift anywhere in the merge loop breaks q143 directly and q142/q144
+  * through the token stream.
+  *
+  * The window fold (per merge step): match marks `m_i = (s_i=l ∧
+  * s_{i+1}=r)`, runs of consecutive matches take their 1st, 3rd, …
+  * members (gaps-and-islands parity — exactly the left-to-right
+  * non-overlapping scan), the position after a taken match is consumed.
+  * [[graft.BpeSpec]] pins the Scala kernel to hand-computed folds
+  * including the overlapping-run case ("aaaa"). */
+object BpeQueries {
+  import Registry.Q
+
+  /** Fit parameters (shared by the Spark queries and every oracle —
+    * single definition, no drift). At 100 TB these scale the same way
+    * the PQ fit caps do: the sample saturates merge quality long before
+    * the corpus runs out. */
+  private val SampleDocs = 256
+  private val MaxWords = 4096
+  private val NumMerges = 48
+
+  private val Lex = "\\w+|[^\\w\\s]"
+  private val Alpha = "^[A-Za-z]+$"
+
+  private def fitModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Bpe.Model =
+    Bpe.fit(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      SampleDocs, MaxWords, NumMerges)
+
+  // ------------------------------------------------------------------
+  // Oracle SQL generators
+  // ------------------------------------------------------------------
+
+  /** The apply-one-merge window fold as five CTEs `{p}x…{p}u` + the
+    * output word table `out(w[, f], s)`. `src` must have (w[, f], s). */
+  private def applyCtes(p: String, src: String, b: String, out: String,
+      carryF: Boolean): String = {
+    val fSel = if (carryF) "f, " else ""
+    val fAgg = if (carryF) "min(f) AS f, " else ""
+    s"""${p}x AS (SELECT w, ${fSel}unnest(generate_series(1, len(s))) AS i, s FROM $src),
+       |${p}y AS (SELECT w, ${fSel}i, s[i] AS sym,
+       |  coalesce(s[i] = (SELECT l FROM $b) AND s[i+1] = (SELECT r FROM $b), FALSE) AS m FROM ${p}x),
+       |${p}z AS (SELECT w, ${fSel}i, sym, m,
+       |  i - row_number() OVER (PARTITION BY w, m ORDER BY i) AS grp FROM ${p}y),
+       |${p}t AS (SELECT w, ${fSel}i, sym, m,
+       |  m AND (row_number() OVER (PARTITION BY w, m, grp ORDER BY i) % 2 = 1) AS taken FROM ${p}z),
+       |${p}u AS (SELECT w, ${fSel}i, sym, taken,
+       |  coalesce(lag(taken) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed,
+       |  lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM ${p}t),
+       |$out AS MATERIALIZED (SELECT w, $fAgg
+       |  list(CASE WHEN taken THEN sym || nxt ELSE sym END ORDER BY i)
+       |    FILTER (WHERE NOT consumed) AS s
+       |  FROM ${p}u GROUP BY w)""".stripMargin
+  }
+
+  /** Fit replay: sample → vocab `v0` → merge steps `b1…bM`, `v1…vM`. */
+  private def fitChain: String = {
+    val head =
+      s"""base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |${RelationalQueries5.mix64Stages("base", Seq("doc_id", "text"), "CAST(doc_id AS HUGEINT)")},
+         |samp AS (SELECT doc_id, text FROM mixed ORDER BY vu LIMIT $SampleDocs),
+         |stoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM samp),
+         |wf AS (SELECT lower(tok) AS w, count(*) AS f FROM stoks
+         |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
+         |vocab AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT $MaxWords),
+         |v0 AS MATERIALIZED (SELECT w, f,
+         |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM vocab)""".stripMargin
+    val steps = (1 to NumMerges).map { k =>
+      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r, f FROM (
+         |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i FROM v${k - 1} WHERE len(s) >= 2)),
+         |c$k AS (SELECT l, r, sum(f) AS c FROM p$k GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r FROM c$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+         |${applyCtes(s"f$k", s"v${k - 1}", s"b$k", s"v$k", carryF = true)}""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** Encode replay: distinct corpus words through all M passes, then the
+    * per-document ordered token stream `per(doc_id, bt)`. */
+  private def encodeChain: String = {
+    val head =
+      s"""ct AS MATERIALIZED (SELECT doc_id,
+         |  regexp_extract_all(text, '$Lex') AS t FROM documents),
+         |cw AS (SELECT DISTINCT lower(tok) AS w FROM (SELECT unnest(t) AS tok FROM ct)
+         |  WHERE regexp_matches(tok, '$Alpha')),
+         |e0 AS MATERIALIZED (SELECT w,
+         |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM cw)""".stripMargin
+    val steps = (1 to NumMerges).map(k =>
+      applyCtes(s"e$k", s"e${k - 1}", s"b$k", s"e$k", carryF = false))
+    val flat =
+      s"""dt AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM ct),
+         |dk AS (SELECT doc_id, i, t[i] AS tok FROM dt),
+         |ds AS (SELECT d.doc_id, d.i,
+         |  CASE WHEN regexp_matches(d.tok, '$Alpha') THEN e.s ELSE [d.tok] END AS subs
+         |  FROM dk d LEFT JOIN e$NumMerges e ON e.w = lower(d.tok)),
+         |df AS (SELECT doc_id, i, unnest(generate_series(1, len(subs))) AS j, subs FROM ds),
+         |dg AS (SELECT doc_id, i, j, subs[j] AS st FROM df),
+         |per AS MATERIALIZED (SELECT doc_id, list(st ORDER BY i, j) AS bt FROM dg GROUP BY doc_id)""".stripMargin
+    (head +: steps :+ flat).mkString(",\n")
+  }
+
+  private def mergesOracle: String = {
+    val union = (1 to NumMerges)
+      .map(k => s"SELECT CAST($k AS INTEGER) AS rank, l, r FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"WITH $fitChain,\nmg AS ($union)\nSELECT rank, l, r FROM mg"
+  }
+
+  private def tokensOracle: String =
+    s"""WITH $fitChain,
+       |$encodeChain
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tok,
+       |  CAST(coalesce(list_sum(list_transform(p.bt, x -> length(x) * length(x))), 0) AS BIGINT) AS sq_len,
+       |  coalesce(array_to_string(p.bt[1:5], ' '), '') AS head5
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
+
+  /** q144: the q139 chunk arithmetic verbatim, but over the BPE token
+    * stream `per.bt` instead of the raw lexer tokens. */
+  private def chunkingOracle(chunk: Int, overlap: Int): String = {
+    val stride = chunk - overlap
+    s"""WITH $fitChain,
+       |$encodeChain,
+       |st AS (SELECT doc_id, bt AS t, len(bt) AS n FROM per WHERE len(bt) > 0),
+       |nc AS (SELECT doc_id, t, n,
+       |  CASE WHEN n <= $chunk THEN 1
+       |    ELSE (n - $chunk + ${stride - 1}) // $stride + 1 END AS n_chunks
+       |  FROM st),
+       |ch AS (SELECT doc_id, t, n,
+       |  unnest(generate_series(0, n_chunks - 1)) AS ci FROM nc),
+       |pc AS (SELECT doc_id, ci,
+       |  least($chunk, n - ci * $stride) AS c_n,
+       |  t[ci * $stride + 1] AS first_tok,
+       |  t[ci * $stride + least($chunk, n - ci * $stride)] AS last_tok
+       |  FROM ch)
+       |SELECT doc_id % 10 AS bucket, count(*) AS n_chunks,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(c_n) AS BIGINT) AS token_sum,
+       |  CAST(max(ci) AS BIGINT) AS max_chunk_idx,
+       |  CAST(sum(length(first_tok)) AS BIGINT) AS first_len_sum,
+       |  CAST(sum(length(last_tok)) AS BIGINT) AS last_len_sum
+       |FROM pc GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Registered queries
+  // ------------------------------------------------------------------
+
+  def all: Seq[Q] = Seq(
+
+    // The fitted merge table itself, rank by rank — the most direct gate
+    // on the fit: any drift in sampling, vocab capping, pair counting,
+    // tie order, or the merge pass changes some (rank, l, r) row.
+    Q("q143_bpe_merges",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        import spark.implicits._
+        model.merges.zipWithIndex
+          .map { case (m, i) => (i + 1, m.l, m.r) }
+          .toDF("rank", "l", "r")
+      },
+      Some(mergesOracle)),
+
+    // Per-document encoding: token count, sum of squared subword lengths
+    // (merge-sensitive — plain length sums are merge-INVARIANT since BPE
+    // preserves characters), and the first five tokens verbatim.
+    Q("q142_bpe_tokens",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("doc_id"), Bpe.encodeCol(col("text"), model).as("_bt"))
+          .select(col("doc_id"),
+            size(col("_bt")).cast("long").as("n_tok"),
+            aggregate(col("_bt"), lit(0L),
+              (acc, t) => acc + (length(t) * length(t)).cast("long"))
+              .as("sq_len"),
+            concat_ws(" ", slice(col("_bt"), 1, 5)).as("head5"))
+      },
+      Some(tokensOracle)),
+
+    // Token-window chunking re-based on REAL tokenizer tokens (the q139
+    // arithmetic over the BPE stream): what a context-window packer
+    // actually budgets. 64-token chunks, 16-token overlap.
+    Q("q144_bpe_chunking",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.chunkTokenArray(
+            d.select(col("doc_id"), col("text")),
+            "doc_id", Bpe.encodeCol(col("text"), model), 64, 16)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("chunk_tokens")).as("token_sum"),
+            max(col("chunk_idx")).cast("long").as("max_chunk_idx"),
+            sum(length(col("first_token"))).as("first_len_sum"),
+            sum(length(col("last_token"))).as("last_len_sum"))
+      },
+      Some(chunkingOracle(64, 16))),
+  )
+}

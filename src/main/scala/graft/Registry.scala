@@ -25,7 +25,8 @@ object Registry {
     SimilarityQueries.all,
     CurationQueries.all,
     PipelineQueries.all,
-    LayoutQueries.all)
+    LayoutQueries.all,
+    BpeQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatten

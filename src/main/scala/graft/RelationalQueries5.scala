@@ -913,7 +913,7 @@ object RelationalQueries5 {
     * `prefix` renames the CTE chain (`a0`…`amixed`) so one oracle can
     * hold several independent hash chains (the q119 bloom oracle needs
     * two). */
-  private def mix64Stages(src: String, carry: Seq[String], inputExpr: String,
+  private[graft] def mix64Stages(src: String, carry: Seq[String], inputExpr: String,
       distinctMixed: Boolean = false, signedOut: Boolean = false,
       prefix: String = "s"): String = {
     val cols = carry.map(_ + ", ").mkString

@@ -1,0 +1,219 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding tokenizer — the real form of the
+  * token-budget family (chunking, packing, surprisal previously counted
+  * regex-lexer tokens; a training pipeline budgets in BPE merges).
+  *
+  * Reference scope: the reference engine has no tokenizer (its pipeline
+  * moves opaque gzip payloads); this is part of the training-data-pipeline
+  * surface the brief adds on top of reference parity.
+  *
+  * Design for 100 TB: the FIT is driver-local over a hash-capped document
+  * sample (codebook-quality saturates long before the corpus does — the
+  * same argument as the PQ/IVF fits in
+  * [[graft.operators.ProductQuantization]]), then the merge table (≤ a few
+  * KB) rides to executors inside the encode kernel's closure; ENCODING is
+  * embarrassingly parallel, one fused per-document UDF call with a
+  * per-JVM word→subwords memo (natural text repeats words heavily, so the
+  * merge loop runs once per distinct word per executor, not once per
+  * occurrence). No shuffle anywhere on the encode path.
+  *
+  * Everything is deterministic — no RNG:
+  *  - sample   = the `sampleDocs` documents with the smallest unsigned
+  *               splitmix64(doc id) (any retry or partitioning yields the
+  *               same set);
+  *  - vocab    = the `maxWords` most frequent sampled words, ties broken
+  *               by the word ascending;
+  *  - merges   = repeat `numMerges` times: count adjacent symbol pairs
+  *               over the vocab (every adjacent position, weighted by word
+  *               frequency), take the most frequent pair (ties: smaller
+  *               left symbol, then smaller right symbol), stop when the
+  *               best pair occurs < 2 times; merge all its occurrences
+  *               left-to-right in every vocab word.
+  *
+  * Encoding applies the fitted merges IN RANK ORDER, each as one
+  * left-to-right non-overlapping pass. This is equivalent to the textbook
+  * "repeatedly merge the lowest-ranked pair present" loop: merging pair k
+  * can only create pairs that contain its merged symbol, and every merge
+  * containing a symbol first built by merge k was necessarily learned
+  * after k (rank > k), so no lower-ranked opportunity ever appears
+  * mid-stream ([[graft.BpeSpec]] pins this equivalence on the fitted
+  * table).
+  *
+  * Cross-engine parity: the pre-tokenizer is the shared lexer regex
+  * (`\w+|[^\w\s]` — identical in Java regex and DuckDB RE2, the q139
+  * precedent); only pure-ASCII-alpha pre-tokens are lowercased (ASCII
+  * lowering is locale- and engine-independent; non-alpha tokens pass
+  * through RAW and atomic, so no unicode case-mapping can diverge).
+  * The DuckDB oracle replays the ENTIRE fit and encode — sample, vocab,
+  * every merge step, every encode pass — as unrolled SQL (the q46/q105
+  * unrolled-k-means pattern), so the gate trusts nothing from this class.
+  */
+object Bpe {
+
+  /** Pre-token pattern — shared verbatim with
+    * [[TextFunctions.lexTokens]] and every oracle. */
+  val LexPattern = "\\w+|[^\\w\\s]"
+
+  /** Only pre-tokens matching this are BPE-encoded (after ASCII
+    * lowercase); everything else is an atomic token. */
+  val AlphaPattern = "^[A-Za-z]+$"
+
+  final case class Merge(l: String, r: String)
+
+  final case class Model(merges: Vector[Merge]) {
+    /** Stable identity for the per-JVM encode memo (two SFs fit two
+      * different tables in one JVM — tests and Verify both do). */
+    private[functions] lazy val key: Long = {
+      var h = 0xcbf29ce484222325L
+      merges.foreach { m =>
+        h = (h ^ TextFunctions.fnv1a64(m.l)) * 0x100000001b3L
+        h = (h ^ TextFunctions.fnv1a64(m.r)) * 0x100000001b3L
+      }
+      h
+    }
+  }
+
+  /** One left-to-right non-overlapping merge pass (the shared kernel of
+    * fit and encode; the oracle's window-function fold computes the same
+    * positions — match runs take their 1st, 3rd, … members). */
+  def applyMerge(s: Vector[String], l: String, r: String): Vector[String] = {
+    if (s.length < 2) return s
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def lex(text: String): Array[String] =
+    if (text == null) Array.empty
+    else LexPattern.r.findAllIn(text).toArray
+
+  private val alphaRe = AlphaPattern.r
+
+  private def isAlpha(tok: String): Boolean = alphaRe.matches(tok)
+
+  /** Fit a merge table from the word-frequency view of a sample.
+    * Deterministic given the input map (see class doc for tie order). */
+  def fitFromWordFreq(wordFreq: Map[String, Long], maxWords: Int,
+      numMerges: Int): Model = {
+    val vocab = wordFreq.toSeq
+      .sortBy { case (w, f) => (-f, w) }
+      .take(maxWords)
+    var words: Vector[(Vector[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }.toVector
+    val merges = Vector.newBuilder[Merge]
+    var k = 0
+    var stop = false
+    while (k < numMerges && !stop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.toSeq
+        .filter(_._2 >= 2L)
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .headOption
+      best match {
+        case None => stop = true
+        case Some(((l, r), _)) =>
+          merges += Merge(l, r)
+          words = words.map { case (s, f) => (applyMerge(s, l, r), f) }
+          k += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Full driver-local fit over a documents frame: hash-capped sample →
+    * word frequencies → merge loop. The ONLY collect is the capped
+    * sample (`sampleDocs` rows — bounded by construction, the
+    * ProductQuantization.train discipline). */
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+      sampleDocs: Int = 256, maxWords: Int = 4096,
+      numMerges: Int = 48): Model = {
+    require(sampleDocs >= 1 && maxWords >= 1 && numMerges >= 0,
+      s"bad fit params: sampleDocs=$sampleDocs maxWords=$maxWords numMerges=$numMerges")
+    val mix = udf((id: Long) => TextFunctions.mix64(id))
+    // unsigned order via the sign-flip bijection (x ^ Long.MinValue
+    // preserves unsigned order under signed compare), so the bottom-k
+    // runs as a DISTRIBUTED sort+limit — the only collect is the capped
+    // sample itself
+    val sample = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+      .withColumn("_h", mix(col("_id")).bitwiseXOR(lit(Long.MinValue)))
+      .orderBy(col("_h"))
+      .limit(sampleDocs)
+      .collect()
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    sample.foreach { row =>
+      lex(row.getString(1)).foreach { tok =>
+        if (isAlpha(tok)) {
+          val w = tok.toLowerCase(Locale.ROOT)
+          freq.update(w, freq.getOrElse(w, 0L) + 1L)
+        }
+      }
+    }
+    fitFromWordFreq(freq.toMap, maxWords, numMerges)
+  }
+
+  /** Encode one (lowercased alpha) word: chars, then every merge in rank
+    * order, one pass each. */
+  def encodeWord(w: String, model: Model): Vector[String] = {
+    var s = w.map(_.toString).toVector
+    model.merges.foreach(m => s = applyMerge(s, m.l, m.r))
+    s
+  }
+
+  // per-JVM (model, word) → subwords memo; bounded so an adversarial
+  // vocabulary can't grow it without limit (beyond the cap the encode
+  // just recomputes — correctness never depends on the cache)
+  private val memoCap = 1 << 17
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Vector[String]]()
+
+  private def encodeWordMemo(w: String, model: Model): Vector[String] = {
+    val k = (model.key, w)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val v = encodeWord(w, model)
+      if (memo.size < memoCap) memo.put(k, v)
+      v
+    }
+  }
+
+  /** Fused per-document kernel: lex → per-token encode/atomic → flat
+    * subword stream. Null text → empty (never null — callers aggregate). */
+  def encodeText(text: String, model: Model): Seq[String] = {
+    val toks = lex(text)
+    val out = Seq.newBuilder[String]
+    toks.foreach { tok =>
+      if (isAlpha(tok))
+        out ++= encodeWordMemo(tok.toLowerCase(Locale.ROOT), model)
+      else out += tok
+    }
+    out.result()
+  }
+
+  /** Column form (the model rides the closure — a few KB). */
+  def encodeCol(text: Column, model: Model): Column = {
+    val f = udf((t: String) => encodeText(t, model))
+    f(text)
+  }
+}

@@ -225,7 +225,16 @@ object Curation {
     *
     * Emits (idCol, chunk_idx, chunk_tokens, first_token, last_token). */
   def chunkByTokens(corpus: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame =
+    chunkTokenArray(corpus, idCol,
+      graft.functions.TextFunctions.lexTokens(col(textCol)),
+      chunkTokens, overlapTokens)
+
+  /** [[chunkByTokens]] over an arbitrary token-array column (the BPE
+    * re-basing, q144: a context-window packer budgets in tokenizer
+    * tokens, not lexer tokens — pass `Bpe.encodeCol(...)` here). */
+  def chunkTokenArray(corpus: DataFrame, idCol: String, toks: Column,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
@@ -234,11 +243,10 @@ object Curation {
     val reserved = Set("_t", "_n", "_nc", "_c",
       "chunk_idx", "chunk_tokens", "first_token", "last_token")
     require(!reserved.contains(idCol),
-      s"chunkByTokens reserves column name '$idCol' — rename the id column first")
+      s"chunkTokenArray reserves column name '$idCol' — rename the id column first")
     val stride = chunkTokens - overlapTokens
     corpus
-      .select(col(idCol),
-        graft.functions.TextFunctions.lexTokens(col(textCol)).as("_t"))
+      .select(col(idCol), toks.as("_t"))
       .withColumn("_n", size(col("_t")))
       .filter(col("_n") > 0)
       .withColumn("_nc", when(col("_n") <= chunkTokens, lit(1))

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.functions.Bpe.{Merge, Model}
+
+/** The BPE tokenizer: merge-pass semantics (including the overlapping-run
+  * parity case), fit determinism and tie order, and the equivalence of
+  * rank-order application with the textbook min-rank loop — the property
+  * the oracle's unrolled encode relies on. */
+class BpeSpec extends SparkSuite {
+
+  // ------------------------------------------------------------------
+  // applyMerge: the left-to-right non-overlapping pass
+  // ------------------------------------------------------------------
+
+  private def syms(s: String): Vector[String] = s.map(_.toString).toVector
+
+  test("applyMerge merges every non-overlapping occurrence left-to-right") {
+    assert(Bpe.applyMerge(syms("abab"), "a", "b") == Vector("ab", "ab"))
+    assert(Bpe.applyMerge(syms("aab"), "a", "b") == Vector("a", "ab"))
+    assert(Bpe.applyMerge(syms("ab"), "x", "y") == Vector("a", "b"))
+    assert(Bpe.applyMerge(Vector("ab", "c"), "ab", "c") == Vector("abc"))
+    assert(Bpe.applyMerge(syms("a"), "a", "a") == Vector("a"))
+    assert(Bpe.applyMerge(Vector.empty, "a", "b") == Vector.empty)
+  }
+
+  test("applyMerge overlapping runs take the 1st, 3rd, … occurrence (parity)") {
+    // the case the oracle's gaps-and-islands fold must match exactly
+    assert(Bpe.applyMerge(syms("aaa"), "a", "a") == Vector("aa", "a"))
+    assert(Bpe.applyMerge(syms("aaaa"), "a", "a") == Vector("aa", "aa"))
+    assert(Bpe.applyMerge(syms("aaaaa"), "a", "a") == Vector("aa", "aa", "a"))
+    assert(Bpe.applyMerge(syms("baaab"), "a", "a") == Vector("b", "aa", "a", "b"))
+  }
+
+  // ------------------------------------------------------------------
+  // fit: hand-computed merges, tie order, determinism
+  // ------------------------------------------------------------------
+
+  test("fitFromWordFreq learns the hand-computed merge sequence") {
+    // pairs of "abab"×3: (a,b)=6 [two occurrences per word], (b,a)=3;
+    // "cd"×2 adds (c,d)=2. Merge 1 = (a,b). Then "abab"→[ab,ab] gives
+    // (ab,ab)=3; merge 2 = (ab,ab) [3 > 2]. Merge 3 = (c,d)=2.
+    // Then "cd"→[cd]: nothing ≥ 2 remains → stop at 3 merges.
+    val m = Bpe.fitFromWordFreq(
+      Map("abab" -> 3L, "cd" -> 2L), maxWords = 10, numMerges = 10)
+    assert(m.merges == Vector(
+      Merge("a", "b"), Merge("ab", "ab"), Merge("c", "d")))
+  }
+
+  test("fit tie order: equal counts break on (l, r) ascending") {
+    // "xy" and "xz" both freq 2 → pairs (x,y)=2 and (x,z)=2: tie on
+    // count, (x,y) < (x,z) lexicographically → merge 1 = (x,y)
+    val m = Bpe.fitFromWordFreq(
+      Map("xy" -> 2L, "xz" -> 2L), maxWords = 10, numMerges = 1)
+    assert(m.merges == Vector(Merge("x", "y")))
+  }
+
+  test("fit stops when the best pair count drops below 2") {
+    val m = Bpe.fitFromWordFreq(Map("ab" -> 1L, "cd" -> 1L), 10, 10)
+    assert(m.merges.isEmpty, "all pair counts are 1 — nothing to merge")
+  }
+
+  test("fit is independent of map iteration order") {
+    val words = Seq("spark" -> 7L, "scala" -> 5L, "scan" -> 5L,
+      "span" -> 3L, "parquet" -> 2L, "part" -> 6L)
+    val a = Bpe.fitFromWordFreq(words.toMap, 100, 20)
+    val b = Bpe.fitFromWordFreq(
+      scala.collection.immutable.ListMap(words.reverse: _*), 100, 20)
+    assert(a.merges == b.merges)
+    assert(a.merges.nonEmpty)
+  }
+
+  test("vocab cap keeps the maxWords most frequent words (ties: word asc)") {
+    // cap 1: "bb" (freq 3) wins over "aa" (freq 2) → only (b,b) learnable
+    val m = Bpe.fitFromWordFreq(Map("aa" -> 2L, "bb" -> 3L), maxWords = 1,
+      numMerges = 10)
+    assert(m.merges == Vector(Merge("b", "b")))
+  }
+
+  // ------------------------------------------------------------------
+  // encode: rank-order application ≡ textbook min-rank loop
+  // ------------------------------------------------------------------
+
+  /** The textbook encode: repeatedly merge the LOWEST-ranked pair present
+    * (leftmost occurrence), until none applies. */
+  private def minRankEncode(w: String, model: Model): Vector[String] = {
+    val rank = model.merges.zipWithIndex
+      .map { case (m, i) => (m.l, m.r) -> i }.toMap
+    var s = syms(w)
+    var done = false
+    while (!done) {
+      val cands = (0 until s.length - 1)
+        .flatMap(i => rank.get((s(i), s(i + 1))).map(r => (r, i)))
+      if (cands.isEmpty) done = true
+      else {
+        val (r, i) = cands.min
+        val m = model.merges(r)
+        s = s.patch(i, Vector(m.l + m.r), 2)
+      }
+    }
+    s
+  }
+
+  test("rank-order encode equals the min-rank loop on a fitted table") {
+    val corpus = Map("lower" -> 9L, "lowest" -> 7L, "newer" -> 11L,
+      "newest" -> 8L, "wider" -> 6L, "widest" -> 5L, "low" -> 13L,
+      "new" -> 12L, "aaaa" -> 4L, "aaab" -> 3L)
+    val model = Bpe.fitFromWordFreq(corpus, 100, 30)
+    assert(model.merges.size >= 10, s"expected a rich table, got ${model.merges}")
+    val probes = corpus.keys.toSeq ++ Seq(
+      "slowest", "renewed", "aa", "aaaaaaa", "widestest", "z", "lownew")
+    probes.foreach { w =>
+      assert(Bpe.encodeWord(w, model) == minRankEncode(w, model),
+        s"divergence on '$w' with merges ${model.merges}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // encodeText: lexing, atomic passthrough, case, nulls
+  // ------------------------------------------------------------------
+
+  test("encodeText lowers alpha tokens, passes others through atomically") {
+    val model = Model(Vector(Merge("a", "b"), Merge("ab", "c")))
+    assert(Bpe.encodeText("ABC abc", model) == Seq("abc", "abc"))
+    assert(Bpe.encodeText("abc, x1b!", model) ==
+      Seq("abc", ",", "x1b", "!"), // x1b has a digit → atomic, unmerged
+      "non-alpha \\w+ tokens must stay atomic")
+    assert(Bpe.encodeText(null, model) == Seq.empty)
+    assert(Bpe.encodeText("", model) == Seq.empty)
+    assert(Bpe.encodeText("  \t\n ", model) == Seq.empty)
+  }
+
+  test("encodeCol matches encodeText through the Spark plan") {
+    import spark.implicits._
+    val model = Bpe.fit(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"),
+      "doc_id", "text")
+    assert(model.merges.size == 48)
+    val docs = Seq((1L, "spark scan merge"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.encodeCol(col("text"), model).as("bt"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Bpe.encodeText("spark scan merge", model))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("fit on the real corpus is reproducible run-to-run") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val a = Bpe.fit(docs, "doc_id", "text")
+    val b = Bpe.fit(docs.repartition(7), "doc_id", "text")
+    assert(a.merges == b.merges,
+      "fit must not depend on partitioning (hash-capped sample is a total order)")
+  }
+}
