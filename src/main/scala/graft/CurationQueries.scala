@@ -341,6 +341,31 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
       },
       Some(RelationalQueries5.hashSampleOracle)),
+
+    // Bucketed-edge PageRank (Graph.pageRankBucketed): q118's graph and
+    // arithmetic, but the degree-annotated edge table is MATERIALIZED as
+    // a bucketed catalog table on src (Layout.bucketize) and never
+    // cached — each of the 4 iterations joins the edge buckets
+    // co-partitioned with zero edge-side exchange; only the slim rank
+    // frame moves. The 100 TB iteration shape made runnable (PlanSpec
+    // asserts the plan). Bucketing is physical layout: the answer — and
+    // the oracle — are identical to q118's.
+    Q("q145_bucketed_pagerank",
+      (spark, dir) => {
+        val o = Tables.load(spark, dir, "orders")
+        val l = Tables.load(spark, dir, "lineitem")
+        // each source table contributes its OWN content fingerprint
+        val fpO = Tables.fingerprint(o, "o_orderkey", s"$dir/orders_degedges")
+        val fpL = Tables.fingerprint(l, "l_orderkey", s"$dir/lineitem_degedges")
+        val deg = graft.operators.Graph.degreeEdges(
+          customerSupplierEdges(spark, dir))
+        val tbl = graft.operators.Layout.bucketize(spark, deg,
+          s"graft_bucketed_degedges_${fpO}_$fpL", 8, "src")
+        graft.operators.Graph.pageRankBucketed(tbl, iterations = 4)
+          .orderBy(desc("pr"), asc("node"))
+          .limit(20)
+      },
+      Some(pageRankOracle(4, seedsSql = None))),
   )
 
   /** The q139 oracle: the identical lexer regex, the identical integer

@@ -101,26 +101,8 @@ object LayoutQueries {
     val fpC = Tables.fingerprint(c, "c_custkey", s"$dir/customer_bucketed")
     val to = s"graft_bucketed_orders_$fpO"
     val tc = s"graft_bucketed_customer_$fpC"
-    // the warehouse DIRECTORY outlives the in-memory catalog (a fresh
-    // JVM sees the files but not the table) and saveAsTable refuses a
-    // managed location that already exists — drop the stale location
-    // before recreating
-    def dropStaleLocation(table: String): Unit = {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    if (!spark.catalog.tableExists(to)) {
-      dropStaleLocation(to)
-      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable(to)
-    }
-    if (!spark.catalog.tableExists(tc)) {
-      dropStaleLocation(tc)
-      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable(tc)
-    }
+    graft.operators.Layout.bucketize(spark, o, to, 8, "o_custkey")
+    graft.operators.Layout.bucketize(spark, c, tc, 8, "c_custkey")
     (to, tc)
   }
 

@@ -87,12 +87,9 @@ object Graph {
             Seq("node"), "left")
           .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
     }
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // static across iterations: every edge annotated with its source's
     // out-degree, so the loop joins one frame instead of two
-    val degEdges = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-    (flagged.persist(), degEdges.persist())
+    (flagged.persist(), degreeEdges(edges).persist())
   }
 
   /** One fixed-point iteration — THE kernel, shared verbatim by the
@@ -116,6 +113,45 @@ object Graph {
   private def initRanks(nodes: DataFrame): DataFrame =
     nodes.select(col("node"),
       when(col("_seed"), lit(Scale)).otherwise(lit(0L)).as("pr"))
+
+  /** The static per-edge frame of the iteration: every edge annotated
+    * with its source's out-degree. Public so callers can MATERIALIZE it
+    * once — at 100 TB, bucketize it by `src` (Layout.bucketize) and run
+    * [[pageRankBucketed]] over the table. */
+  def degreeEdges(edges: DataFrame): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+  }
+
+  /** PageRank over a PRE-MATERIALIZED degree-annotated edge table
+    * (src, dst, outdeg — [[degreeEdges]] saved via `Layout.bucketize`
+    * on `src`): the documented 100×-scale shape made runnable. Each
+    * iteration's join reads the edge buckets co-partitioned with NO
+    * exchange and NO cache on the edge side — at scale the edge table
+    * outlives any executor cache; the bucket layout IS the
+    * materialization, so only the slim rank frame moves per iteration
+    * (PlanSpec: zero `Exchange hashpartitioning(src…` in the whole
+    * 4-iteration plan). The merge hint pins the sort-merge join — at
+    * test scale the planner would happily broadcast the rank frame,
+    * which is exactly the co-location the demo must not silently fall
+    * back to (the q140 discipline).
+    *
+    * Same `step` kernel as [[pageRank]] — identical integer fixed-point
+    * arithmetic, identical oracle. */
+  def pageRankBucketed(degEdges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val nodes0 = degEdges.select(col("src").as("node"))
+      .union(degEdges.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), lit(true).as("_seed"))
+      .persist()
+    val nodes = OperatorCaches.track(nodes0)
+    val hinted = degEdges.hint("merge")
+    var ranks = initRanks(nodes)
+    for (_ <- 1 to iterations) ranks = step(nodes, hinted, ranks, identity)
+    ranks.select(col("node"), col("pr"))
+  }
 
   private def pageRankImpl(edges: DataFrame, seeds: Option[DataFrame],
       iterations: Int, broadcastRanks: Boolean): DataFrame = {

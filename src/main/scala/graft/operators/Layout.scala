@@ -122,6 +122,36 @@ object Layout {
     * prune row groups via pushed-down min/max checks with no layout
     * awareness at all (proven end-to-end in LayoutSpec and gated as
     * q130). */
+  /** Save `df` as a BUCKETED (and per-bucket sorted) catalog table and
+    * return the table-backed frame — the co-located-join / co-located-
+    * iteration layout: every later join or aggregation on `keyCol`
+    * reads the buckets already partitioned, paying ZERO exchange on
+    * this side (q140 proves the join form, q145 the iteration form).
+    * At 100 TB this is the difference between re-shuffling a static
+    * fact/edge table once per consumer and never shuffling it again.
+    *
+    * Create-once semantics: callers key `tableName` on the CONTENT
+    * (Tables.fingerprint of each source — its own fingerprint per
+    * table, the round-8 stale-fixture lesson), so a regenerated input
+    * gets a fresh table and a warm catalog reuses the existing one.
+    * The warehouse directory outlives the in-memory catalog (a fresh
+    * JVM sees files but no table) and `saveAsTable` refuses an
+    * existing managed location — the stale location is dropped before
+    * recreation. */
+  def bucketize(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      tableName: String, buckets: Int, keyCol: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    if (!spark.catalog.tableExists(tableName)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tableName)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
+        .mode("overwrite").saveAsTable(tableName)
+    }
+    spark.table(tableName)
+  }
+
   def clusterBy(df: DataFrame, code: Column, numSplits: Int): DataFrame = {
     require(numSplits >= 1, s"numSplits must be >= 1, got $numSplits")
     // same reserved-name hygiene as withHilbert2: silently overwriting a

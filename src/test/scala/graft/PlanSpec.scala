@@ -120,6 +120,18 @@ class PlanSpec extends SparkSuite {
         s"(found $exchanges exchanges):\n" + p.take(3000))
   }
 
+  test("q145: bucketed-edge PageRank never exchanges the edge side") {
+    val p = plan("q145_bucketed_pagerank")
+    assert(p.contains("Bucketed: true"),
+      "edge scan must actually read buckets:\n" + p.take(2000))
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // rank-side exchanges partition on node/dst; an edge-side exchange
+    // would partition on src — there must be NONE anywhere in the
+    // 4-iteration plan (the whole point of the bucketing)
+    assert(!p.contains("Exchange hashpartitioning(src"),
+      "edge side must read pre-bucketed with no shuffle:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
