@@ -570,5 +570,42 @@ object PipelineQueries {
         RelationalQueries5.bloomVerdictFrame(probe, admitted, words, 4096, 3)
       },
       Some(RelationalQueries5.bloomWindowAdmittedOracle(4096, 3))),
+
+    // Snapshot-diff (Diff.snapshotDiff): added/removed/changed between
+    // two runs of a collection — the weekly analytic over the reference's
+    // incremental re-run layout (FinishedFilterProcessor.kt:17-27). Two
+    // runs are modeled as deterministic views of documents: run A drops
+    // doc_id % 7 == 0, run B drops % 5 == 0 and rewrites text for
+    // % 3 == 0 — so all three classes are populated and every verdict is
+    // derivable. The Spark side classifies via per-column sha256
+    // fingerprints; the oracle classifies by DIRECT value comparison
+    // (IS DISTINCT FROM) — hash-compare must equal value-compare row for
+    // row, or the gate breaks.
+    Q("q146_snapshot_diff",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val runA = d.filter(col("doc_id") % 7 =!= 0)
+        val runB = d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.operators.Diff.snapshotDiff(runA, runB, Seq("doc_id"),
+          Seq("text", "lang", "source", "n_chars"))
+      },
+      Some("""WITH a AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+             |b AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text,
+             |    lang, source, n_chars
+             |  FROM documents WHERE doc_id % 5 <> 0)
+             |SELECT b.doc_id, 'added' AS status FROM b
+             |  WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.doc_id = b.doc_id)
+             |UNION ALL
+             |SELECT a.doc_id, 'removed' FROM a
+             |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.doc_id = a.doc_id)
+             |UNION ALL
+             |SELECT a.doc_id, 'changed' FROM a JOIN b USING (doc_id)
+             |  WHERE a.text IS DISTINCT FROM b.text
+             |     OR a.lang IS DISTINCT FROM b.lang
+             |     OR a.source IS DISTINCT FROM b.source
+             |     OR a.n_chars IS DISTINCT FROM b.n_chars""".stripMargin)),
   )
 }
