@@ -287,6 +287,88 @@ object RelationalQueries5 {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin)),
 
+    // AQE skew-join parity (the when-can-you-stop-hand-salting answer
+    // to q103): the SAME join shape under OptimizeSkewedJoin instead of
+    // manual salting. The join key is the BIT LENGTH of the orderkey
+    // (length(bin(x)) — integer-exact in both engines, DuckDB strlen
+    // (bin) precedent from q120): key b holds ~2^(b-1) orderkeys, so the
+    // top key owns ~half of lineitem — a genuine power-law hot key.
+    // Skew thresholds are tuned to the test scale and RESTORED after an
+    // EAGER in-query execution (configs must be live at execution time,
+    // and autoBroadcastJoinThreshold=-1 must not leak into later
+    // queries); the query REQUIREs the final adaptive plan to contain a
+    // skewed shuffle read — the gate itself fails loudly if the demo
+    // regresses to an unsplit join. The oracle is the PLAIN join: AQE
+    // splitting is physical, the answer must be identical.
+    Q("q147_aqe_skew_join",
+      (spark, dir) => {
+        val tuned = Map(
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+          // the downstream per-key aggregation could reuse the join's
+          // hash partitioning, so by default AQE REFUSES to split (the
+          // split breaks the partitioning and re-shuffles the agg).
+          // force=true takes that trade explicitly — at scale the skewed
+          // straggler dominates the extra small shuffle; this knob is
+          // the actual answer to "why didn't my skew join split?"
+          "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        val result = try {
+          tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+          // repartition(64) simulates the many upstream map tasks any
+          // real-scale scan has: AQE splits a skewed reduce partition at
+          // MAPPER granularity (PartialReducerPartitionSpec is a
+          // map-index range), and the single-row-group test parquet
+          // yields ONE effective mapper — the rule then detects the skew
+          // but silently cannot split it (measured: 63 of 64 scan splits
+          // produced zero bytes). The second trap this demo documents.
+          val l = Tables.load(spark, dir, "lineitem")
+            .select(length(bin(col("l_orderkey"))).cast("long").as("k"),
+              col("l_extendedprice").cast("decimal(18,2)").as("price"),
+              col("l_discount").cast("decimal(18,2)").as("disc"))
+            .repartition(64)
+          // the per-k dim side is MATERIALIZED first (≤ ~20 rows — one
+          // per orderkey bit length — bounded): OptimizeSkewedJoin only
+          // matches a join whose children are Sort-over-shuffle-stage
+          // directly, and an aggregation between the shuffle and the
+          // join would hide the stage from the rule (observed: the rule
+          // silently never fires — exactly the trap this demo documents)
+          val rRows = Tables.load(spark, dir, "orders")
+            .groupBy(length(bin(col("o_orderkey"))).cast("long").as("k"))
+            .agg(count(lit(1)).as("n_orders"))
+          val r = spark.createDataFrame(
+            java.util.Arrays.asList(rRows.collect(): _*), rRows.schema)
+          val j = l.hint("merge").join(r, "k")
+            .groupBy("k").agg(count(lit(1)).as("n_items"),
+              min(col("n_orders")).as("n_orders"),
+              sum(col("price") * (lit(1) - col("disc"))).cast("double")
+                .as("revenue"))
+          val rows = j.collect() // ~20 rows (distinct bit lengths) — bounded
+          val plan = j.queryExecution.executedPlan.toString
+          require(plan.contains("skewed"),
+            "OptimizeSkewedJoin did not fire — the skew demo regressed:\n" +
+              plan.take(3000))
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), j.schema)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        result
+      },
+      Some("""WITH l AS (SELECT strlen(bin(l_orderkey)) AS k,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             |    CAST(l_discount AS DECIMAL(18,2)) AS disc FROM lineitem),
+             |o AS (SELECT strlen(bin(o_orderkey)) AS k, count(*) AS n_orders
+             |  FROM orders GROUP BY 1)
+             |SELECT l.k, count(*) AS n_items, min(o.n_orders) AS n_orders,
+             |  CAST(sum(price * (1 - disc)) AS DOUBLE) AS revenue
+             |FROM l JOIN o ON l.k = o.k GROUP BY l.k""".stripMargin)),
+
     // Two-phase salted aggregation, same stance: partial agg on
     // (key, salt), final on key — must equal the plain GROUP BY.
     Q("q104_salted_agg",

@@ -132,6 +132,23 @@ class PlanSpec extends SparkSuite {
       "edge side must read pre-bucketed with no shuffle:\n" + p.take(3000))
   }
 
+  test("q147: AQE skew demo leaves no session-conf residue") {
+    // the query tunes skew thresholds + autoBroadcastJoinThreshold=-1
+    // around an EAGER run; a leak would silently de-broadcast (and so
+    // slow) every later query in the session
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    // the in-query require() already proves OptimizeSkewedJoin fired
+    val rows = SparkEntry.queries("q147_aqe_skew_join")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.nonEmpty)
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(before == after, s"conf leak: $before vs $after")
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
