@@ -14,20 +14,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark-first shape: sizing comes from the filesystem listing (works
   * for any Hadoop-visible store), and the rewrite is `coalesce` — a
   * NARROW dependency, no shuffle (spec-asserted): merging files needs
-  * no data movement beyond concatenating partitions. Only when asked
-  * to produce MORE files than input partitions (splitting oversized
-  * files) does it fall back to a round-robin `repartition`, which is a
-  * real shuffle and priced accordingly. Row preservation is gated
+  * no data movement beyond concatenating partitions. When asked to
+  * produce MORE files than input partitions (splitting oversized
+  * files), the write uses `maxRecordsPerFile` instead of a shuffle:
+  * each task rolls to a new file every N records, so splitting is ALSO
+  * narrow — no repartition of the whole directory just to cut a few
+  * oversized files (the per-file record budget is sized from the
+  * directory's own rows-per-byte). The residual trade: splitting
+  * cannot MERGE leftovers across input files, so an input mix of one
+  * huge and many tiny files compacts in two passes (split, then
+  * shrink) — each pass still shuffle-free. Row preservation is gated
   * (q137): an aggregate over the compacted copy must hash-match the
   * oracle over the original table.
   */
 object Compaction {
   final case class Plan(df: DataFrame, inputFiles: Int, inputBytes: Long,
-      targetFiles: Int, shuffles: Boolean)
+      targetFiles: Int, shuffles: Boolean,
+      maxRecordsPerFile: Option[Long] = None)
 
   /** Size up a parquet directory and plan its rewrite: ceil(bytes /
-    * targetBytes) output files, coalesce when shrinking (narrow),
-    * repartition only when growing. */
+    * targetBytes) output files — coalesce when shrinking (narrow),
+    * per-task file rolling (`maxRecordsPerFile`, also narrow) when
+    * growing. */
   def plan(spark: SparkSession, dir: String, targetBytes: Long): Plan = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val p = new Path(dir)
@@ -51,10 +59,19 @@ object Compaction {
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)).toInt
     val df = spark.read.parquet(dir)
     val inParts = df.rdd.getNumPartitions
-    val (out, shuffles) =
-      if (nOut <= inParts) (df.coalesce(nOut), false)
-      else (df.repartition(nOut), true)
-    Plan(out, files.size, totalBytes, nOut, shuffles)
+    if (nOut <= inParts)
+      Plan(df.coalesce(nOut), files.size, totalBytes, nOut, shuffles = false)
+    else {
+      // grow path: rows-per-output-file from the directory's own
+      // rows-per-byte. One counting scan (cheap next to the rewrite,
+      // which scans anyway); the write then rolls files per task with
+      // zero data movement.
+      val totalRows = df.count()
+      val recordsPerFile =
+        math.max(1L, totalRows * targetBytes / math.max(1L, totalBytes))
+      Plan(df, files.size, totalBytes, nOut, shuffles = false,
+        maxRecordsPerFile = Some(recordsPerFile))
+    }
   }
 
   /** Rewrite `inDir` into `outDir` at ~targetBytes per file; returns the
@@ -65,7 +82,11 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Plan = {
     val pl = plan(spark, inDir, targetBytes)
-    pl.df.write.mode("overwrite").parquet(outDir)
+    val w = pl.maxRecordsPerFile match {
+      case Some(n) => pl.df.write.option("maxRecordsPerFile", n)
+      case None => pl.df.write
+    }
+    w.mode("overwrite").parquet(outDir)
     pl
   }
 }

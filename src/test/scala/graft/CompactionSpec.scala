@@ -48,12 +48,28 @@ class CompactionSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 20000L)
   }
 
-  test("growing past the input partition count falls back to a real repartition") {
+  test("growing splits via per-task file rolling — still NO shuffle") {
     val src = java.nio.file.Files.createTempDirectory("cmp-src3").toString
-    (0L until 1000L).toDF("id").coalesce(1).write.mode("overwrite").parquet(src)
-    val pl = Compaction.plan(spark, src, targetBytes = 64)
-    assert(pl.shuffles, "splitting one file into many requires a shuffle")
+    val out = java.nio.file.Files.createTempDirectory("cmp-out3").toString
+    (0L until 1000L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    assert(parquetFiles(src).length == 1)
+    val total = parquetFiles(src).map(_.length).sum
+    val pl = Compaction.compact(spark, src, out, targetBytes = total / 4)
+    assert(!pl.shuffles,
+      "splitting oversized files must roll per task, not repartition")
+    assert(pl.maxRecordsPerFile.exists(n => n >= 1 && n < 1000), s"plan: $pl")
     assert(pl.targetFiles > 1)
+    // maxRecordsPerFile rolls a new file every N records inside the one
+    // input task — multiple output files with zero data movement
+    val got = parquetFiles(out).length
+    assert(got > 1, s"expected multiple split files, got $got")
+    val p = pl.df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "grow compaction must not shuffle:\n" + p)
+    // row preservation, exactly
+    val a = spark.read.parquet(src).as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(a == b)
   }
 
   test("empty / bad input is rejected loudly") {
