@@ -613,5 +613,54 @@ object TextQueries {
              |    OR regexp_matches(s, '\d{3}-\d{2}-\d{4}') THEN 1 ELSE 0 END) AS BIGINT)
              |    AS residual_pii
              |FROM scrubbed GROUP BY source""".stripMargin)),
+
+    // Char-n-gram language-ID (CharLangId): the curation-grade upgrade
+    // of q's 10-marker argmax — Cavnar–Trenkle rank profiles (top-64
+    // padded trigrams per lang) fit from the hash-capped sample, every
+    // per-doc verdict under the gate. The fit is single-pass, so the
+    // oracle replays fit AND classification in one SQL chain: same
+    // sample selection (shared mix64 stages), same trigram extraction
+    // (`_word_` padding over ASCII-lowered alpha words), same
+    // (count DESC, gram ASC) rank order, same (score DESC, lang ASC)
+    // argmax, same 'und' zero case.
+    Q("q148_charlang",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val profiles = graft.functions.CharLangId.fit(
+          d, "doc_id", "text", "lang")
+        d.select(col("doc_id"),
+            graft.functions.CharLangId.classifyCol(col("text"), profiles)
+              .as("_v"))
+          .select(col("doc_id"),
+            col("_v")("_1").as("pred_lang"),
+            col("_v")("_2").cast("long").as("score"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text, lang FROM documents
+             |  WHERE text IS NOT NULL),
+             |${RelationalQueries5.mix64Stages("base", Seq("doc_id", "text", "lang"), "CAST(doc_id AS HUGEINT)")},
+             |samp AS (SELECT doc_id, text, lang FROM mixed ORDER BY vu LIMIT 256),
+             |sw AS (SELECT lang, '_' || lower(tok) || '_' AS p
+             |  FROM (SELECT lang, unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS tok FROM samp)
+             |  WHERE lang IS NOT NULL AND regexp_matches(tok, '^[A-Za-z]+$$')),
+             |sg AS (SELECT lang, substr(p, i, 3) AS g FROM (
+             |  SELECT lang, p, unnest(generate_series(1, length(p) - 2)) AS i FROM sw)),
+             |pc AS (SELECT lang, g, count(*) AS c FROM sg GROUP BY 1, 2),
+             |prof AS (SELECT lang, g, rank FROM (
+             |  SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rank
+             |  FROM pc) WHERE rank <= 64),
+             |dw AS (SELECT doc_id, '_' || lower(tok) || '_' AS p
+             |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS tok FROM documents)
+             |  WHERE regexp_matches(tok, '^[A-Za-z]+$$')),
+             |dg AS (SELECT DISTINCT doc_id, substr(p, i, 3) AS g FROM (
+             |  SELECT doc_id, p, unnest(generate_series(1, length(p) - 2)) AS i FROM dw)),
+             |sc AS (SELECT d.doc_id, p.lang, sum(65 - p.rank) AS score
+             |  FROM dg d JOIN prof p ON p.g = d.g GROUP BY 1, 2),
+             |best AS (SELECT doc_id, lang, score,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+             |  FROM sc WHERE score > 0)
+             |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+             |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+             |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+             |  ON b.doc_id = d.doc_id""".stripMargin)),
   )
 }
