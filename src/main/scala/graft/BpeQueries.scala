@@ -213,5 +213,67 @@ object BpeQueries {
             sum(length(col("last_token"))).as("last_len_sum"))
       },
       Some(chunkingOracle(64, 16))),
+
+    // Unigram surprisal re-based on REAL tokenizer tokens (the q94
+    // arithmetic over the BPE stream): quality scoring against the
+    // distribution of the tokens a training pipeline actually counts.
+    // Same integer micro-nat fixing (surprisal rounded per DISTINCT
+    // token before any per-doc summing — double sums would be
+    // aggregation-order-dependent), same %7 doc sample.
+    Q("q149_bpe_surprisal",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.unigramSurprisalTokens(d, "doc_id",
+            Bpe.encodeCol(col("text"), model))
+          .filter(col("id") % 7 === 0)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            col("mean_surprisal"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |btoks AS (SELECT doc_id, unnest(bt) AS tok FROM per),
+             |counts AS (SELECT tok, count(*) AS c FROM btoks GROUP BY tok),
+             |tot AS (SELECT sum(c) AS n FROM counts),
+             |surp AS (SELECT tok,
+             |    CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS s
+             |  FROM counts, tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 4) AS mean_surprisal
+             |FROM btoks JOIN surp USING (tok)
+             |WHERE doc_id % 7 = 0
+             |GROUP BY doc_id""".stripMargin)),
+
+    // Sequence packing over the BPE stream (Curation.packSequences):
+    // concatenate docs in id order within 8 hash shards, cut at
+    // 512-token boundaries — the training-batch construction. The gate
+    // hashes per-(shard, seq) landing stats: where every doc STARTS is
+    // a function of every token count before it, so one mis-tokenized
+    // doc shifts its whole shard's tail.
+    Q("q150_bpe_packing",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.packSequences(d, "doc_id",
+            Bpe.encodeCol(col("text"), model), budgetTokens = 512, shards = 8)
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("token_sum"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |nt AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+             |offs AS (SELECT doc_id, shard, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+             |  FROM nt)
+             |SELECT shard, CAST(start_off // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM offs GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -263,6 +263,38 @@ object Curation {
         element_at(col("_c"), -1).as("last_token"))
   }
 
+  /** Sequence packing: concatenate documents in id order and cut at
+    * `budgetTokens` boundaries — the standard LLM-training batch
+    * construction (documents straddle sequence boundaries; nothing is
+    * padded or dropped, so utilization is 100% by construction and the
+    * interesting outputs are where each document LANDS). Packing is
+    * inherently sequential, so the corpus packs independently within
+    * `shards` hash shards — at 100 TB each shard's running sum is one
+    * window over its own partition, never a global single-task sort
+    * (the same sharding any real pre-tokenized dataset writer uses).
+    *
+    * Returns per document: shard (= id % shards), n_tokens, start_off
+    * (offset of the document's first token in the shard's concatenated
+    * stream) and seq_id (the budget-sized sequence that first token
+    * lands in, = start_off DIV budget). Deterministic: ordering is by
+    * the unique id. */
+  def packSequences(corpus: DataFrame, idCol: String, toks: Column,
+      budgetTokens: Int, shards: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val reserved = Set("shard", "n_tokens", "start_off", "seq_id", "_t")
+    require(!reserved.contains(idCol),
+      s"packSequences reserves column name '$idCol' — rename the id column first")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    corpus.select(col(idCol), toks.as("_t"))
+      .select(col(idCol), (col(idCol) % shards).as("shard"),
+        size(col("_t")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off DIV $budgetTokens"))
+  }
+
   /** The window-form reference implementation of [[sampleKPerStratum]]
     * (one shuffle, full per-stratum sort). Kept for the equivalence spec
     * — the two forms must pick identical rows with identical ranks. */
@@ -311,9 +343,17 @@ object Curation {
     * broadcasts; the doc side is one explode + one combiner-friendly
     * groupBy. */
   def unigramSurprisal(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    unigramSurprisalTokens(corpus, idCol,
+      TextFunctions.tokens(lower(col(textCol))))
+
+  /** [[unigramSurprisal]] over an arbitrary token-array column (the BPE
+    * re-basing, q149 — surprisal against the distribution of the tokens
+    * a training pipeline actually counts). */
+  def unigramSurprisalTokens(corpus: DataFrame, idCol: String,
+      toks0: Column): DataFrame = {
     val toks = corpus.select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+        explode(toks0).as("tok"))
       .filter(length(col("tok")) > 0)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("_n"))

@@ -85,6 +85,48 @@ class CurationSpec extends SparkSuite {
       "a and b tie at 3; token-asc puts both ahead of c=2")
   }
 
+  test("packSequences: hand-computed landing offsets, straddling, sharding") {
+    import org.apache.spark.sql.functions._
+    // one shard (ids all even, shards=2 -> shard 0); token counts 3,4,2,5
+    val docs = Seq((0L, "a b c"), (2L, "d e f g"), (4L, "h i"), (6L, "j k l m n"))
+      .toDF("doc_id", "text")
+    val got = Curation.packSequences(docs, "doc_id",
+        graft.functions.TextFunctions.tokens(col("text")), budgetTokens = 4,
+        shards = 2)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        col("seq_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offsets: 0, 3, 7, 9; seq (budget 4): 0, 0, 1, 2 - doc 2 STARTS in
+    // seq 0 even though its tokens straddle into seq 1 (concat-and-cut
+    // semantics: nothing padded, nothing dropped)
+    assert(got.toSeq == Seq(
+      (0L, 0L, 3L, 0L, 0L), (2L, 0L, 4L, 3L, 0L),
+      (4L, 0L, 2L, 7L, 1L), (6L, 0L, 5L, 9L, 2L)))
+    // two shards pack independently
+    val mixed = Seq((0L, "a b c"), (1L, "x"), (2L, "d"), (3L, "y z"))
+      .toDF("doc_id", "text")
+    val g2 = Curation.packSequences(mixed, "doc_id",
+        graft.functions.TextFunctions.tokens(col("text")), 4, 2)
+      .select(col("doc_id"), col("shard"), col("start_off"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(g2.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 3L), (3L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(mixed.withColumnRenamed("doc_id", "seq_id"),
+        "seq_id", col("text"), 4, 2)
+    }
+  }
+
+  test("unigramSurprisalTokens over explicit tokens matches the text form") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val a = Curation.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Curation.unigramSurprisalTokens(docs, "doc_id",
+        graft.functions.TextFunctions.tokens(lower(col("text"))))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("unigramSurprisal: rare tokens score high, uniform docs at ln(V)") {
     // 8 'a', 8 'b' → p = 1/2 each; doc 3 is all-rare? no rare here:
     // surprisal of every token = ln 2 → both docs score ln 2
