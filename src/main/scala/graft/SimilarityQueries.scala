@@ -461,6 +461,85 @@ object SimilarityQueries {
              |SELECT qid, nid, ROUND(sim, 6) AS sim, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Hybrid retrieval (Fusion.rrfTopK): lexical TF-IDF and dense
+    // cosine legs over the SAME candidate pool (documents that have
+    // embeddings), fused by reciprocal rank in integer micro-units
+    // (1e9 DIV (60 + rank) — exact integer sums, no double tie-break
+    // noise). The oracle replays BOTH legs (the q76 pruned-posting
+    // chain over the restricted pool + the q40 brute chain) and the
+    // integer fusion; leg ranks are already proven rank-exact by
+    // q76/q40, so the fused ranking is deterministic end-to-end.
+    Q("q151_hybrid_rrf",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val d = Tables.load(spark, dir, "documents")
+        val pool = d.join(e.select(col("vec_id").as("doc_id")), "doc_id")
+        val lex = graft.operators.TfIdf
+          .topK(graft.operators.TfIdf.weights(pool, "doc_id", "text"),
+            10, maxDfRatio = 0.5)
+          .filter(col("qid") < 20)
+          .select(col("qid"), col("nid"), col("rank"))
+        val vec = graft.operators.Similarity
+          .bruteTopK(e.filter(col("vec_id") < 20), e, 10)
+          .select(col("qid"), col("nid"), col("rank"))
+        graft.operators.Fusion.rrfTopK(Seq(lex, vec), k = 10)
+      },
+      Some("""WITH pool AS (
+             |  SELECT d.doc_id AS id, d.text FROM documents d
+             |  JOIN embeddings e ON e.vec_id = d.doc_id),
+             |terms AS (
+             |  SELECT id,
+             |    unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM pool),
+             |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms
+             |       WHERE length(term) > 0 GROUP BY 1, 2),
+             |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM pool),
+             |w AS (SELECT id, tf.term,
+             |        tf * (ln((n.n + 1.0) / (df + 1)) + 1) AS tfidf
+             |      FROM tf JOIN dfq USING (term) CROSS JOIN n
+             |      WHERE df <= 0.5 * n.n),
+             |norms AS (SELECT id, sqrt(SUM(tfidf * tfidf)) AS norm FROM w GROUP BY id),
+             |dots AS (
+             |  SELECT a.id AS idA, b.id AS idB, SUM(a.tfidf * b.tfidf) AS dot
+             |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             |  GROUP BY 1, 2),
+             |sims AS (
+             |  SELECT idA, idB, dot / (na.norm * nb.norm) AS sim
+             |  FROM dots JOIN norms na ON na.id = idA JOIN norms nb ON nb.id = idB),
+             |sym AS (
+             |  SELECT idA AS qid, idB AS nid, sim FROM sims
+             |  UNION ALL SELECT idB, idA, sim FROM sims),
+             |lex AS (
+             |  SELECT qid, nid, rank FROM (
+             |    SELECT qid, nid,
+             |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |    FROM sym) WHERE rank <= 10 AND qid < 20),
+             |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+             |vpairs AS (
+             |  SELECT qid, nid,
+             |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) *
+             |      sqrt(list_dot_product(nv, nv))) AS sim
+             |  FROM q JOIN c ON qid <> nid),
+             |vec AS (
+             |  SELECT qid, nid, rank FROM (
+             |    SELECT qid, nid,
+             |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |    FROM vpairs) WHERE rank <= 10),
+             |con AS (
+             |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w FROM lex
+             |  UNION ALL
+             |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w FROM vec),
+             |fused AS (SELECT qid, nid, CAST(sum(w) AS BIGINT) AS rrf
+             |  FROM con GROUP BY 1, 2),
+             |ranked AS (SELECT qid, nid, rrf,
+             |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+             |  FROM fused)
+             |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // SRP-LSH approximate top-k (bucketed candidates only). Oracled: the
     // signature is deterministic given the seed, so the Rademacher plane
     // matrix is embedded in the SQL as a literal — generated from the

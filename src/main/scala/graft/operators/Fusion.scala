@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval: combine ranked candidate lists
+  * from heterogeneous scorers (lexical TF-IDF, dense ANN, …) without
+  * comparing their incomparable scores — reciprocal-rank fusion,
+  * RRF(d) = Σ_legs 1 / (c + rank_leg(d)) (Cormack et al.'s c = 60
+  * default).
+  *
+  * Determinism discipline: the reciprocal is computed in INTEGER
+  * micro-units — `1e9 DIV (c + rank)` — so fused scores are exact
+  * integer sums (cross-engine, aggregation-order-free; doubles would
+  * tie-break on summation noise). Ranks are ints, so every fused score
+  * is exact.
+  *
+  * Scale shape: each leg contributes ≤ k slim (qid, nid, weight) rows
+  * per query; the union groups on (qid, nid) with map-side combine and
+  * the final top-k uses the bounded-heap aggregator (≤ k rows per
+  * query per map task) — never a full per-query sort. */
+object Fusion {
+
+  /** Fuse legs of shape (qid, nid, rank) → (qid, nid, rrf, rank),
+    * top `k` per query by (rrf DESC, nid ASC). */
+  def rrfTopK(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfTopK needs at least one leg")
+    require(k >= 1 && c >= 0, s"bad params k=$k c=$c")
+    val contrib = legs
+      .map(_.select(col("qid"), col("nid"),
+        expr(s"CAST(1000000000 DIV ($c + rank) AS BIGINT)").as("w")))
+      .reduce(_.unionByName(_))
+    contrib.groupBy(col("qid"), col("nid"))
+      .agg(sum(col("w")).as("rrf"))
+      .groupBy(col("qid"))
+      // exact: rrf ≤ legs × 1e9/61 ≈ tens of millions — far inside the
+      // double's 2^53 exact-integer range the aggregator scores with
+      .agg(graft.plans.TopKAggregator.top_k(k)(
+        col("rrf").cast("double"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        col("col.score").cast("long").as("rrf"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}
