@@ -38,7 +38,10 @@ object TextQueries {
     * ASCII — a non-ASCII character folds as one code point here but as
     * 2-4 bytes in the Scala kernel. The pinned corpus is verified pure
     * ASCII; a multi-byte corpus would need a UTF-8 byte-expansion CTE. */
-  private lazy val lshCandidateCtes: String = {
+  /** The chain through `banded`, parameterized over the corpus SELECT —
+    * the incremental form (q152) runs it over existing ∪ incoming with
+    * namespaced ids; the pair form keeps the doubled corpus. */
+  private def lshBandCtes(corpusSql: String): String = {
     val seeds = (0 until 128).map { h =>
       val u = java.lang.Long.toUnsignedString(TextFunctions.mix64(h.toLong))
       s"($h,CAST($u AS UBIGINT))"
@@ -48,8 +51,7 @@ object TextQueries {
     def xorShift(u: String, s: Int): String =
       s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     s"""WITH corpus AS (
-       |  SELECT doc_id AS id, text FROM documents
-       |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+       |  $corpusSql),
        |toks AS (
        |  SELECT id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
        |  FROM corpus),
@@ -84,12 +86,17 @@ object TextQueries {
        |  GROUP BY s.id, m.h),
        |banded AS (
        |  SELECT id, h // 4 AS band, string_agg(sig::VARCHAR, ',' ORDER BY h) AS key
-       |  FROM sigs GROUP BY id, h // 4),
+       |  FROM sigs GROUP BY id, h // 4)""".stripMargin
+  }
+
+  private lazy val lshCandidateCtes: String =
+    lshBandCtes("""SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents""".stripMargin) +
+    """,
        |cand AS (
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
        |  WHERE a.id < b.id)""".stripMargin
-  }
 
   private def q36Oracle: String = lshCandidateCtes +
     """,
@@ -317,6 +324,43 @@ object TextQueries {
             round(avg(col("est_jaccard")), 4).as("avg_est_jaccard"))
       },
       Some(q36Oracle)),
+
+    // Incremental LSH dedup (Dedup.incrementalLshMatches): the daily-
+    // ingest shape — a new batch's band rows join the EXISTING corpus's
+    // band table (computed once per epoch; bucketize it on (band,
+    // bucket) in production and the corpus side never shuffles again).
+    // Incoming = exact copies of the %3==0 docs (must match) + %3==1
+    // docs with appended tokens (most shingles unchanged — banding
+    // decides deterministically) ; per-incoming verdicts under the
+    // gate, zero matches = new.
+    Q("q152_incremental_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val incoming = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 1)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(col("text"), lit(" graft incremental probe words"))
+                .as("text")))
+        Dedup.incrementalLshMatches(d, incoming, "doc_id", "text")
+      },
+      Some(lshBandCtes(
+        """SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL SELECT doc_id + 20000, text || ' graft incremental probe words'
+           |    FROM documents WHERE doc_id % 3 = 1""".stripMargin) +
+        """,
+           |matches AS (
+           |  SELECT b.id AS in_id, count(DISTINCT a.id) AS n_matches
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+           |  WHERE a.id < 10000 AND b.id >= 10000 GROUP BY 1),
+           |inc AS (
+           |  SELECT doc_id + 10000 AS in_id FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000 FROM documents WHERE doc_id % 3 = 1)
+           |SELECT i.in_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+           |FROM inc i LEFT JOIN matches m ON m.in_id = i.in_id""".stripMargin)),
 
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays

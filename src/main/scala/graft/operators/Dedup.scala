@@ -37,32 +37,50 @@ object Dedup {
     *
     * @return (idA, idB, est_jaccard) with idA < idB, distinct.
     */
+  /** The per-doc signature stage shared by the pair and incremental
+    * forms: fused tokenize→shingle→minhash kernel (one JVM pass per
+    * doc). sig(0)=MaxValue ⇔ the doc had < shingleSize words: dropped
+    * (two shingle-less docs would otherwise pair with est_jaccard 1). */
+  private def signatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        minhashText(col(textCol), shingleSize, numHashes).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+
+  /** Band stage over a signature frame: one (id, band, bucket) row per
+    * band — the bucket join carries ONLY these ~28 bytes/row, never the
+    * 1 KB signature. Bucket = xxhash64 of the band slice: the oracles
+    * compare TRUE band keys, so bucket equality must coincide with key
+    * equality in practice — 32-bit murmur actually collided at sf0.1
+    * (≈0.2 expected cross-key collisions over 32 bands × 8k keys,
+    * q152 hit one); at 64 bits the corpus-scale expectation is ~5e-11
+    * and stays negligible far past 100 TB band-key cardinalities. */
+  private def banded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), col("band"), xxhash64(col("band"),
+        slice(col("sig"), col("band") * rows + lit(1), lit(rows))).as("bucket"))
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    // fused tokenize→shingle→minhash kernel (one JVM pass per doc); the
-    // sig table is read 3× below (banding + 2 re-attach joins) → persist,
-    // tracked so callers release it after their action (OperatorCaches).
-    // sig(0)=MaxValue ⇔ the doc had < shingleSize words: drop those (two
-    // shingle-less docs would otherwise pair up with est_jaccard 1).
-    val sigs = OperatorCaches.track(df.select(col(idCol).as("id"),
-        minhashText(col(textCol), shingleSize, numHashes).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-      .persist())
+    // the sig table is read 3× below (banding + 2 re-attach joins) →
+    // persist, tracked so callers release it after their action
+    // (OperatorCaches contract)
+    val sigs = OperatorCaches.track(
+      signatures(df, idCol, textCol, shingleSize, numHashes).persist())
 
-    // The bucket join carries ONLY (band, bucket, id) — 24 bytes/row, not
-    // the 1 KB signature: at sf0.1 that's the difference between shuffling
-    // ~8 MB and ~640 MB. Signatures re-attach after the candidate pairs
-    // are deduped (two broadcast-able joins against the compact sig table).
-    val banded = sigs.select(col("id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
-      .select(col("id"), col("band"), hash(col("band"),
-        slice(col("sig"), col("band") * rows + lit(1), lit(rows))).as("bucket"))
+    // At sf0.1 the 24-byte band rows are the difference between
+    // shuffling ~8 MB and ~640 MB. Signatures re-attach after the
+    // candidate pairs are deduped (two broadcast-able joins against the
+    // compact sig table).
+    val bandedAll = banded(sigs, numHashes, bands)
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"))
+    val a = bandedAll.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = bandedAll.select(col("band"), col("bucket"), col("id").as("idB"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"))
@@ -76,6 +94,38 @@ object Dedup {
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
           / numHashes, 6))
       .select(col("idA"), col("idB"), col("est_jaccard"))
+  }
+
+  /** Incremental LSH dedup: count, per INCOMING document, the distinct
+    * EXISTING documents sharing at least one band bucket — the daily-
+    * ingest shape: the existing corpus's band table is computed once
+    * per epoch (and in production saved bucketed on (band, bucket) via
+    * Layout.bucketize, so a new batch joins it with ZERO corpus-side
+    * work — no re-shingling, no re-hashing, no corpus shuffle).
+    * n_matches = 0 ⇒ the incoming doc is NEW. Incoming docs too short
+    * to shingle (< shingleSize words) have no signature and report 0 —
+    * unmatchable, not known-new; route them to exact dedup.
+    *
+    * Returns one row per incoming id: (in_id, n_matches). */
+  def incrementalLshMatches(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0)
+    val bandsE = banded(
+      signatures(existing, idCol, textCol, shingleSize, numHashes),
+      numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("ex_id"))
+    val bandsI = banded(
+      signatures(incoming, idCol, textCol, shingleSize, numHashes),
+      numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("in_id"))
+    val matches = bandsI.join(bandsE, Seq("band", "bucket"))
+      .groupBy(col("in_id"))
+      .agg(countDistinct(col("ex_id")).as("n_matches"))
+    incoming.select(col(idCol).as("in_id"))
+      .join(matches, Seq("in_id"), "left")
+      .select(col("in_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.

@@ -11,6 +11,23 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSuite {
   import spark.implicits._
 
+  test("incrementalLshMatches: copies match, disjoint text is new, short docs report 0") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red green blue yellow purple orange pink teal"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of 1
+      (102L, "totally different words sharing nothing at all here now"),
+      (103L, "hi"))                                            // < 3 words
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalLshMatches(existing, incoming, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(101L -> 1L, 102L -> 0L, 103L -> 0L), got.toString)
+  }
+
+
   private lazy val docs = Tables.load(spark, sf("sf0.001"), "documents")
   private lazy val corpus =
     docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000L))
