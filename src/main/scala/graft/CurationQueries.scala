@@ -366,6 +366,40 @@ object CurationQueries {
           .limit(20)
       },
       Some(pageRankOracle(4, seedsSql = None))),
+
+    // Deterministic epoch shuffle: every training epoch re-orders the
+    // corpus by unsigned mix64(doc_id + epoch·1000003) — reproducible,
+    // RNG-free, retry-stable, and a DIFFERENT permutation per epoch.
+    // No global sort anywhere: the gate's per-epoch head-50 comes from
+    // the bottom-k-by-hash aggregator (≤ k rows per epoch per map
+    // task); a full-epoch materialization at scale is repartitionByRange
+    // + sortWithinPartitions on the same key. The oracle replays the
+    // hash chain and the unsigned order exactly.
+    Q("q153_epoch_shuffle",
+      (spark, dir) => {
+        import graft.functions.TextFunctions
+        val d = Tables.load(spark, dir, "documents").select(col("doc_id"))
+        val mixFlip = udf((x: Long) => TextFunctions.mix64(x) ^ Long.MinValue)
+        val epochs = spark.range(3).select(col("id").as("epoch"))
+        d.crossJoin(epochs)
+          .select(col("epoch"), col("doc_id"),
+            mixFlip(col("doc_id") + col("epoch") * lit(1000003L)).as("_h"))
+          .groupBy(col("epoch"))
+          .agg(graft.plans.BottomKAggregator.bottom_k_sample(50)(
+            col("_h"), col("doc_id").cast("double")).as("head"))
+          .select(col("epoch"), posexplode(col("head")))
+          .select(col("epoch"), (col("pos") + 1).cast("int").as("pos"),
+            col("col").cast("long").as("doc_id"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT e.epoch, d.doc_id FROM documents d
+             |  CROSS JOIN (VALUES (0), (1), (2)) e(epoch)),
+             |${RelationalQueries5.mix64Stages("base", Seq("epoch", "doc_id"), "CAST(doc_id + epoch * 1000003 AS HUGEINT)")},
+             |ranked AS (SELECT epoch, doc_id,
+             |    row_number() OVER (PARTITION BY epoch ORDER BY vu) AS pos
+             |  FROM mixed)
+             |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS INT) AS pos, doc_id
+             |FROM ranked WHERE pos <= 50""".stripMargin)),
   )
 
   /** The q139 oracle: the identical lexer regex, the identical integer

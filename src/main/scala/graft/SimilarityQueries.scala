@@ -540,6 +540,60 @@ object SimilarityQueries {
              |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // Deterministic negative sampling for contrastive training: per
+    // query, 8 negatives drawn by unsigned mix64(qid·1000003 + nid)
+    // from the corpus MINUS the query itself MINUS its brute top-5
+    // positives — RNG-free, retry-stable, reproducible epoch-to-epoch,
+    // and exclusion-correct by construction (an anti-join, not
+    // rejection sampling). Bottom-k-by-hash aggregator keeps ≤ 8 rows
+    // per query per map task. Oracle replays the q40 positive chain,
+    // the NOT EXISTS exclusion, and the hash order.
+    Q("q154_negative_sampling",
+      (spark, dir) => {
+        import graft.functions.TextFunctions
+        val e = Tables.load(spark, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        val pos = graft.operators.Similarity.bruteTopK(qs, e, 5)
+          .select(col("qid"), col("nid"))
+        val mixFlip = udf((x: Long) => TextFunctions.mix64(x) ^ Long.MinValue)
+        e.select(col("vec_id").as("nid"))
+          .crossJoin(qs.select(col("vec_id").as("qid")))
+          .filter(col("qid") =!= col("nid"))
+          .join(pos, Seq("qid", "nid"), "left_anti")
+          .select(col("qid"), col("nid"),
+            mixFlip(col("qid") * lit(1000003L) + col("nid")).as("_h"))
+          .groupBy(col("qid"))
+          .agg(graft.plans.BottomKAggregator.bottom_k_sample(8)(
+            col("_h"), col("nid").cast("double")).as("negs"))
+          .select(col("qid"), posexplode(col("negs")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("pos"),
+            col("col").cast("long").as("neg_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+             |vpairs AS (
+             |  SELECT qid, nid,
+             |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) *
+             |      sqrt(list_dot_product(nv, nv))) AS sim
+             |  FROM q JOIN c ON qid <> nid),
+             |vranked AS (
+             |  SELECT qid, nid,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             |  FROM vpairs),
+             |pos AS (SELECT qid, nid FROM vranked WHERE rank <= 5),
+             |cand AS (
+             |  SELECT qq.qid, e.vec_id AS nid
+             |  FROM (SELECT DISTINCT qid FROM q) qq CROSS JOIN embeddings e
+             |  WHERE e.vec_id <> qq.qid AND NOT EXISTS (
+             |    SELECT 1 FROM pos p WHERE p.qid = qq.qid AND p.nid = e.vec_id)),
+             |${RelationalQueries5.mix64Stages("cand", Seq("qid", "nid"), "CAST(qid * 1000003 + nid AS HUGEINT)")},
+             |nranked AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY vu) AS pos
+             |  FROM mixed)
+             |SELECT qid, CAST(pos AS INT) AS pos, nid AS neg_id
+             |FROM nranked WHERE pos <= 8""".stripMargin)),
+
     // SRP-LSH approximate top-k (bucketed candidates only). Oracled: the
     // signature is deterministic given the seed, so the Rademacher plane
     // matrix is embedded in the SQL as a literal — generated from the

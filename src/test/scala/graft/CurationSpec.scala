@@ -85,6 +85,35 @@ class CurationSpec extends SparkSuite {
       "a and b tie at 3; token-asc puts both ahead of c=2")
   }
 
+  test("epoch shuffle: different permutations per epoch, reproducible") {
+    val a = SparkEntry.queries("q153_epoch_shuffle")(spark, sf("sf0.001"))
+      .as[(Long, Int, Long)].collect()
+    val byEpoch = a.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    assert(byEpoch(0L).size == 50 && byEpoch(0L).distinct.size == 50)
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L),
+      "epochs must shuffle differently")
+    val b = SparkEntry.queries("q153_epoch_shuffle")(spark, sf("sf0.001"))
+      .as[(Long, Int, Long)].collect()
+    assert(a.toSet == b.toSet, "shuffle must be reproducible run-to-run")
+  }
+
+  test("negative sampling: exactly 8 per query, never a positive, never self") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val pos = Similarity.bruteTopK(e.filter(col("vec_id") < 20), e, 5)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    val negs = SparkEntry.queries("q154_negative_sampling")(spark, sf("sf0.001"))
+      .as[(Long, Int, Long)].collect()
+    val byQ = negs.groupBy(_._1)
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 8))
+    negs.foreach { case (q, _, n) =>
+      assert(q != n, s"self-negative for $q")
+      assert(!pos.contains((q, n)), s"positive ($q,$n) sampled as negative")
+    }
+  }
+
   test("packSequences: hand-computed landing offsets, straddling, sharding") {
     import org.apache.spark.sql.functions._
     // one shard (ids all even, shards=2 -> shard 0); token counts 3,4,2,5
