@@ -369,6 +369,27 @@ object RelationalQueries5 {
              |  CAST(sum(price * (1 - disc)) AS DOUBLE) AS revenue
              |FROM l JOIN o ON l.k = o.k GROUP BY l.k""".stripMargin)),
 
+    // ANALYZE-style column profiling (Profiling.profile): per column,
+    // rows / nulls / exact distinct / native-typed min-max — one scan
+    // (multi-column distincts via Expand, map-side partial everywhere),
+    // stats row unpivoted driver-side. Long + string columns only in
+    // the gate (double/timestamp stringification differs cross-engine;
+    // native min/max order is the point — "9" < "10" holds).
+    Q("q155_column_profile",
+      (spark, dir) => {
+        val o = Tables.load(spark, dir, "orders")
+        graft.operators.Profiling.profile(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      },
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s,
+             |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
+
     // Two-phase salted aggregation, same stance: partial agg on
     // (key, salt), final on key — must equal the plain GROUP BY.
     Q("q104_salted_agg",

@@ -85,6 +85,19 @@ class CurationSpec extends SparkSuite {
       "a and b tie at 3; token-asc puts both ahead of c=2")
   }
 
+  test("column profile: nulls, exact distincts, native-order min/max") {
+    import graft.operators.Profiling
+    val df = Seq(
+      (Some(9L), "b"), (Some(10L), "a"), (None, "a"), (Some(2L), null)
+    ).toDF("k", "s")
+    val got = Profiling.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("k") == ("k", 4L, 1L, 3L, "2", "10"),
+      "min/max must be NUMERIC order stringified after (9 < 10): " + got("k"))
+    assert(got("s") == ("s", 4L, 1L, 2L, "a", "b"))
+  }
+
   test("epoch shuffle: different permutations per epoch, reproducible") {
     val a = SparkEntry.queries("q153_epoch_shuffle")(spark, sf("sf0.001"))
       .as[(Long, Int, Long)].collect()
