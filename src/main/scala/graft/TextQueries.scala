@@ -89,6 +89,38 @@ object TextQueries {
        |  FROM sigs GROUP BY id, h // 4)""".stripMargin
   }
 
+  /** The q152/q156 incoming batch: exact copies of the %3==0 docs
+    * (+10000) and token-appended variants of the %3==1 docs (+20000) —
+    * one definition for the batch and streaming forms. */
+  private def incomingBatch(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graft incremental probe words"))
+            .as("text")))
+
+  /** Shared by q152 (batch) and q156 (streaming) — the physical path
+    * differs, the verdicts must not. */
+  private lazy val incrementalDedupOracle: String =
+    lshBandCtes(
+      """SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 20000, text || ' graft incremental probe words'
+         |    FROM documents WHERE doc_id % 3 = 1""".stripMargin) +
+      """,
+         |matches AS (
+         |  SELECT b.id AS in_id, count(DISTINCT a.id) AS n_matches
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.id < 10000 AND b.id >= 10000 GROUP BY 1),
+         |inc AS (
+         |  SELECT doc_id + 10000 AS in_id FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000 FROM documents WHERE doc_id % 3 = 1)
+         |SELECT i.in_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+         |FROM inc i LEFT JOIN matches m ON m.in_id = i.in_id""".stripMargin
+
   private lazy val lshCandidateCtes: String =
     lshBandCtes("""SELECT doc_id AS id, text FROM documents
        |  UNION ALL SELECT doc_id + 10000, text FROM documents""".stripMargin) +
@@ -337,30 +369,48 @@ object TextQueries {
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val incoming = d.filter(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-          .unionByName(d.filter(col("doc_id") % 3 === 1)
-            .select((col("doc_id") + 20000).as("doc_id"),
-              concat(col("text"), lit(" graft incremental probe words"))
-                .as("text")))
-        Dedup.incrementalLshMatches(d, incoming, "doc_id", "text")
+        Dedup.incrementalLshMatches(d, incomingBatch(d), "doc_id", "text")
       },
-      Some(lshBandCtes(
-        """SELECT doc_id AS id, text FROM documents
-           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
-           |  UNION ALL SELECT doc_id + 20000, text || ' graft incremental probe words'
-           |    FROM documents WHERE doc_id % 3 = 1""".stripMargin) +
-        """,
-           |matches AS (
-           |  SELECT b.id AS in_id, count(DISTINCT a.id) AS n_matches
-           |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-           |  WHERE a.id < 10000 AND b.id >= 10000 GROUP BY 1),
-           |inc AS (
-           |  SELECT doc_id + 10000 AS in_id FROM documents WHERE doc_id % 3 = 0
-           |  UNION ALL
-           |  SELECT doc_id + 20000 FROM documents WHERE doc_id % 3 = 1)
-           |SELECT i.in_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
-           |FROM inc i LEFT JOIN matches m ON m.in_id = i.in_id""".stripMargin)),
+      Some(incrementalDedupOracle)),
+
+    // STREAMING incremental dedup: the same verdicts, but the incoming
+    // batch arrives as a file STREAM and its band rows join the STATIC
+    // existing-corpus band table (the stream-static join family) before
+    // one Complete-mode aggregation. countDistinct is unsupported in
+    // streaming, so the distinct-existing count is size(collect_set) —
+    // ONE stateful operator; per-key state is the incoming doc's
+    // candidate set (bounded by its near-dup degree; a heavy-hitter
+    // corpus would move this to flatMapGroupsWithState with a capped
+    // set). Same oracle text as q152 BY DESIGN: streaming is a physical
+    // path, the verdicts must be identical (the q138/q130 re-layout
+    // rule).
+    Q("q156_streaming_incremental_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val incoming = incomingBatch(d)
+        val inDir = s"/tmp/graft-incdedup-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(d, "doc_id", s"$dir/documents_incdedup")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists()) {
+          incoming.write.mode("overwrite").parquet(inDir)
+        }
+        val exBands = Dedup.bandTable(d, "doc_id", "text")
+          .select(col("band"), col("bucket"), col("id").as("ex_id"))
+        val matches = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => Dedup.bandTable(stream, "doc_id", "text")
+            .select(col("band"), col("bucket"), col("id").as("in_id"))
+            .join(exBands, Seq("band", "bucket")) // stream-static join
+            .groupBy(col("in_id"))
+            .agg(size(collect_set(col("ex_id"))).cast("long").as("n_matches")),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q156_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        incoming.select(col("doc_id").as("in_id"))
+          .join(matches, Seq("in_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      },
+      Some(incrementalDedupOracle)),
 
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays

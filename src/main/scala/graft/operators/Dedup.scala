@@ -107,17 +107,23 @@ object Dedup {
     * unmatchable, not known-new; route them to exact dedup.
     *
     * Returns one row per incoming id: (in_id, n_matches). */
+  /** Public band-table stage: (id, band, bucket) rows for a corpus —
+    * the saved/bucketized index side of incremental dedup, and the
+    * per-batch side of its STREAMING form (works on a streaming frame:
+    * the kernel is a per-row UDF + explode, no state). */
+  def bandTable(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0)
+    banded(signatures(df, idCol, textCol, shingleSize, numHashes),
+      numHashes, bands)
+  }
+
   def incrementalLshMatches(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0)
-    val bandsE = banded(
-      signatures(existing, idCol, textCol, shingleSize, numHashes),
-      numHashes, bands)
+    val bandsE = bandTable(existing, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("band"), col("bucket"), col("id").as("ex_id"))
-    val bandsI = banded(
-      signatures(incoming, idCol, textCol, shingleSize, numHashes),
-      numHashes, bands)
+    val bandsI = bandTable(incoming, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("band"), col("bucket"), col("id").as("in_id"))
     val matches = bandsI.join(bandsE, Seq("band", "bucket"))
       .groupBy(col("in_id"))
