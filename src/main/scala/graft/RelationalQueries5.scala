@@ -369,6 +369,84 @@ object RelationalQueries5 {
              |  CAST(sum(price * (1 - disc)) AS DOUBLE) AS revenue
              |FROM l JOIN o ON l.k = o.k GROUP BY l.k""".stripMargin)),
 
+    // SCD2 history build: per user, the event-type state compressed
+    // into validity intervals — consecutive same-state events collapse
+    // (lag() run filter), valid_to = next change's timestamp (NULL =
+    // current). The warehouse dimension-history op as two window
+    // passes; ordering tie-broken by event_id, timestamps compared at
+    // epoch-ms (the events-table cross-engine granularity rule).
+    Q("q157_scd2_history",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(spark, dir, "events")
+          .filter(col("user_id").isNotNull && col("user_id") % 50 === 0)
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val changes = e
+          .withColumn("_prev", lag(col("event_type"), 1).over(w))
+          .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+        changes
+          .withColumn("valid_to",
+            lag(col("ts_ms"), -1).over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_ms"), col("event_id"))))
+          .select(col("user_id"), col("event_type"),
+            col("ts_ms").as("valid_from"), col("valid_to"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+             |  FROM events WHERE user_id IS NOT NULL AND user_id % 50 = 0),
+             |lagged AS (
+             |  SELECT user_id, event_type, ts_ms, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+             |  FROM e),
+             |changes AS (
+             |  SELECT user_id, event_type, ts_ms, event_id FROM lagged
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, ts_ms AS valid_from,
+             |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to
+             |FROM changes""".stripMargin)),
+
+    // Right-to-be-forgotten propagation: a deletion list (one key
+    // column) anti-joined through the foreign-key graph — per table,
+    // how many rows the purge removes and how many remain. Counts only
+    // (the delete itself is a rewrite); lineitem reaches the list
+    // through orders (two-hop FK), the semi/anti pair must partition
+    // exactly.
+    Q("q158_delete_propagation",
+      (spark, dir) => {
+        import spark.implicits._
+        val del = Tables.load(spark, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        val o = Tables.load(spark, dir, "orders")
+        val l = Tables.load(spark, dir, "lineitem")
+        val oPurge = o.join(del, o("o_custkey") === del("k"), "left_semi")
+        val oKeep = o.join(del, o("o_custkey") === del("k"), "left_anti")
+        val purgedOrders = oPurge.select(col("o_orderkey").as("k2"))
+        val lPurge = l.join(purgedOrders, l("l_orderkey") === col("k2"), "left_semi")
+        def cnt(df: org.apache.spark.sql.DataFrame): Long = df.count()
+        Seq(
+          ("customer", cnt(del), cnt(Tables.load(spark, dir, "customer")) - cnt(del)),
+          ("orders", cnt(oPurge), cnt(oKeep)),
+          ("lineitem", cnt(lPurge), cnt(l) - cnt(lPurge)))
+          .toDF("table_name", "n_purged", "n_kept")
+      },
+      Some("""WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+             |po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM del))
+             |SELECT 'customer' AS table_name,
+             |  (SELECT count(*) FROM del) AS n_purged,
+             |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS n_kept
+             |UNION ALL
+             |SELECT 'orders', (SELECT count(*) FROM po),
+             |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM po)
+             |UNION ALL
+             |SELECT 'lineitem',
+             |  (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+             |  (SELECT count(*) FROM lineitem) -
+             |    (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po))""".stripMargin)),
+
     // ANALYZE-style column profiling (Profiling.profile): per column,
     // rows / nulls / exact distinct / native-typed min-max — one scan
     // (multi-column distincts via Expand, map-side partial everywhere),

@@ -85,6 +85,23 @@ class CurationSpec extends SparkSuite {
       "a and b tie at 3; token-asc puts both ahead of c=2")
   }
 
+  test("SCD2: consecutive same-state events collapse into one interval") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Seq(
+      (0L, "a", 100L, 1L), (0L, "a", 200L, 2L), // run of a -> one row
+      (0L, "b", 300L, 3L), (0L, "a", 400L, 4L)  // back to a -> new row
+    ).toDF("user_id", "event_type", "ts_ms", "event_id")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val changes = e.withColumn("_p", lag(col("event_type"), 1).over(w))
+      .filter(col("_p").isNull || col("_p") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .select(col("event_type"), col("ts_ms"), col("valid_to"))
+      .as[(String, Long, Option[Long])].collect().sortBy(_._2)
+    assert(changes.toSeq == Seq(
+      ("a", 100L, Some(300L)), ("b", 300L, Some(400L)), ("a", 400L, None)),
+      changes.toSeq.toString)
+  }
+
   test("column profile: nulls, exact distincts, native-order min/max") {
     import graft.operators.Profiling
     val df = Seq(
