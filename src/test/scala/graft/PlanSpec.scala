@@ -149,6 +149,25 @@ class PlanSpec extends SparkSuite {
     assert(before == after, s"conf leak: $before vs $after")
   }
 
+  test("q151: fused top-k is the bounded-heap aggregator, not a window sort") {
+    val p = plan("q151_hybrid_rrf")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "fusion must aggregate with the typed top-k buffer:\n" + p.take(2000))
+    // the FUSED ranking must not fall back to a per-query window sort
+    // (the legs' own internal windows are their proven shapes)
+    assert(!p.contains("RunningWindowFunction"), p.take(2000))
+  }
+
+  test("q150: packing plans one exchange per shard window, no global sort") {
+    val p = plan("q150_bpe_packing")
+    // window partitioned by shard → hashpartitioning(shard); a GLOBAL
+    // cumulative sum would show a single-partition Exchange/Sort
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      "running sum must be sharded:\n" + p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no global single-task window allowed:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
