@@ -28,6 +28,33 @@ object LayoutQueries {
     d
   }
 
+  /** documents re-written hive-partitioned by `lang` (fingerprint-keyed
+    * create-once fixture) — the directory-level layout q159/q160 read. */
+  private def partitionedDocsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val d0 = Tables.load(spark, dir, "documents")
+    val fp = Tables.fingerprint(d0, "doc_id", s"$dir/documents_part")
+    derivedDir(dir, "docpart", fp) { d =>
+      d0.write.partitionBy("lang").mode("overwrite").parquet(d)
+    }
+  }
+
+  /** The q160 language→region dimension — written once as PARQUET and
+    * read back, because dynamic partition pruning requires a real
+    * selective Filter on the dim side: over a LocalRelation, Catalyst
+    * constant-folds the predicate into the literal rows and the
+    * PartitionPruning rule sees no filter to derive the runtime
+    * subquery from (observed: DPP silently absent). */
+  private def langDim(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    val d = derivedDir("static", "langdim", "v1") { p =>
+      Seq(("de", "europe"), ("fr", "europe"), ("es", "europe"),
+        ("en", "anglo"), ("zh", "asia")).toDF("lang", "region0")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(d)
+  }
+
   private def lineitemKeys(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
     Tables.load(spark, dir, "lineitem")
@@ -241,6 +268,49 @@ object LayoutQueries {
              |  CAST(sum(o_orderkey) AS BIGINT) AS order_sum
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
+
+    // Hive-style directory partitioning, the most basic 100 TB layout
+    // tool: documents re-written partitionBy(lang), a single-language
+    // read back out of the partitioned files. Static partition pruning
+    // — the lang predicate becomes a PartitionFilter and only that
+    // directory's files are LISTED, let alone read (PlanSpec asserts
+    // the filter class; LayoutSpec-style file accounting is implicit:
+    // the scan's location is the pruned partition). Re-layout rule:
+    // same oracle as the plain filtered table.
+    Q("q159_partition_prune",
+      (spark, dir) => {
+        val pd = spark.read.parquet(partitionedDocsDir(spark, dir))
+        pd.filter(col("lang") === "de")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE lang = 'de' GROUP BY 1""".stripMargin)),
+
+    // DYNAMIC partition pruning: the partition predicate is not in the
+    // query — it emerges from a dimension join (region0 = 'europe' on a
+    // lang→region dim), and Spark injects the dim's surviving keys as a
+    // runtime partition filter on the fact scan (PlanSpec asserts
+    // dynamicpruning in the plan). THE star-schema fact-scan saver at
+    // 100 TB. Oracle replays the join semantics over the plain table.
+    Q("q160_dynamic_partition_prune",
+      (spark, dir) => {
+        val pd = spark.read.parquet(partitionedDocsDir(spark, dir))
+        pd.join(broadcast(langDim(spark).filter(col("region0") === "europe")),
+            Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""WITH dim(lang, region0) AS (VALUES
+             |  ('de', 'europe'), ('fr', 'europe'), ('es', 'europe'),
+             |  ('en', 'anglo'), ('zh', 'asia'))
+             |SELECT d.lang, count(*) AS n_docs,
+             |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+             |FROM documents d JOIN dim m ON m.lang = d.lang
+             |WHERE m.region0 = 'europe' GROUP BY 1""".stripMargin)),
   )
 
   /** The q131 oracle: mortonN's interleave unrolled — bits·3 terms, bit

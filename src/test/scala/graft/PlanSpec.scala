@@ -168,6 +168,22 @@ class PlanSpec extends SparkSuite {
       "no global single-task window allowed:\n" + p.take(3000))
   }
 
+  test("q159: lang predicate prunes at the PARTITION level, not row level") {
+    val p = plan("q159_partition_prune")
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[[^\\]]*lang[^\\]]*\\].*"),
+      "lang must be a partition filter:\n" + p.take(2500))
+    // and NOT a post-scan data filter — the directory layout does the work
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang must not fall back to a data filter:\n" + p.take(2500))
+  }
+
+  test("q160: the dim join injects a DYNAMIC partition-pruning filter") {
+    val p = plan("q160_dynamic_partition_prune")
+    assert(p.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning partition filter:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
