@@ -165,6 +165,15 @@ object Bench {
       val calibField =
         if (calibSec.get() < 0) "" else s""""calib_sec":${fmt(calibSec.get())},"""
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partialField$anchorField$calibField"queries":$qs,"sf":"$sfName"}""")
+      // SECOND line — compact headline-only summary (~150 bytes), printed
+      // AFTER the per-query line. The driver captures a bounded stdout
+      // TAIL; at 156 queries the per-query line alone is ~2.1 KB and
+      // BENCH_r10.json recorded parsed:null because the tail window cut
+      // off the line's FRONT (where the headline fields live). Growing
+      // the registry must never blind the perf gate again: this trailer
+      // is what the tail always ends with, parseable standalone, and it
+      // stays <500 bytes no matter how many queries register.
+      println(s"""{"metric":"summary","total_sec":${fmt(total)},"unit":"sec",$partialField$anchorField$calibField"n_queries":${done.size},"sf":"$sfName"}""")
       System.out.flush()
     }
 
@@ -182,6 +191,13 @@ object Bench {
     // budget/deadline envelope.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
+    // optional targeted subset (comma-separated compact keys, e.g.
+    // "q46,q105") for solo regression re-checks — never set by the
+    // driver, whose artifact always covers the full registry
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = Registry.all.filter(q =>
+      only.forall(_.contains(q.name.takeWhile(_ != '_'))))
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
       .flatMap(_.toDoubleOption).getOrElse(600.0).max(1.0)
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE")
@@ -221,12 +237,12 @@ object Bench {
       }
 
       // pass 1: every query exactly once — full coverage before any re-runs
-      Registry.all.foreach(q => best.put(q.name, runOnce(q.fn)))
+      selected.foreach(q => best.put(q.name, runOnce(q.fn)))
       // passes 2..n: tighten the min while the budget lasts; under co-tenant
       // load this degrades to single-shot numbers instead of a killed run
       var pass = 1
       while (pass < iters && elapsed < budgetSec) {
-        Registry.all.foreach { q =>
+        selected.foreach { q =>
           if (elapsed < budgetSec && best.get(q.name) >= 0) {
             val t = runOnce(q.fn)
             if (t >= 0 && t < best.get(q.name)) best.put(q.name, t)

@@ -74,8 +74,19 @@ object Tables {
       memoKey: String): String =
     fingerprints.computeIfAbsent((memoKey, fpCol), { _ =>
       import org.apache.spark.sql.functions._
-      val r = df.agg(count(lit(1)), max(col(fpCol))).collect()(0)
-      s"${r.get(0)}_${r.get(1)}".replaceAll("[^a-zA-Z0-9_]", "_")
+      // (count, max-id, content) triple. The content term — order-free
+      // bit_xor of a per-row xxhash64 over EVERY column — is what makes
+      // this a true content fingerprint: regenerated testdata with the
+      // same row count and max id but changed payloads must NOT reuse a
+      // stale create-once fixture dir (bucketed tables, partitioned
+      // docs, incremental-dedup batches all key their dirs off this).
+      // Same single scan as before; xxhash64 is codegen'd per row.
+      val hashAll = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+      val r = df.agg(count(lit(1)), max(col(fpCol)),
+        bit_xor(hashAll)).collect()(0)
+      val content =
+        if (r.isNullAt(2)) "0" else java.lang.Long.toHexString(r.getLong(2))
+      s"${r.get(0)}_${r.get(1)}_$content".replaceAll("[^a-zA-Z0-9_]", "_")
     })
 
   private val maxima =

@@ -75,7 +75,11 @@ object Bpe {
         h = (h ^ TextFunctions.fnv1a64(m.l)) * 0x100000001b3L
         h = (h ^ TextFunctions.fnv1a64(m.r)) * 0x100000001b3L
       }
-      h
+      // fold in the merge count: a pure-hash key collision between two
+      // different fitted models in one JVM would silently serve the
+      // other model's tokenization from the memo; length makes the
+      // key a (hash, size) pair — collisions now need BOTH to match
+      (h * 0x100000001b3L) ^ merges.length.toLong
     }
   }
 

@@ -67,8 +67,12 @@ object Compaction {
       // which scans anyway); the write then rolls files per task with
       // zero data movement.
       val totalRows = df.count()
+      // divide-first: totalRows * targetBytes overflows Long at the
+      // design point (~1e12 rows × 128 MB target ≈ 2^87) and the old
+      // product form would clamp recordsPerFile to 1 — one file per
+      // record. rows-per-output-file = rows / number-of-output-files.
       val recordsPerFile =
-        math.max(1L, totalRows * targetBytes / math.max(1L, totalBytes))
+        math.max(1L, totalRows / math.max(1L, (totalBytes + targetBytes - 1) / targetBytes))
       Plan(df, files.size, totalBytes, nOut, shuffles = false,
         maxRecordsPerFile = Some(recordsPerFile))
     }

@@ -26,6 +26,13 @@ object Fusion {
   def rrfTopK(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfTopK needs at least one leg")
     require(k >= 1 && c >= 0, s"bad params k=$k c=$c")
+    // the aggregator scores through double: the max possible fused score
+    // (every leg ranks the doc #1) must stay inside the 2^53 exact-
+    // integer range, or ties would silently lose precision. Fails loudly
+    // if a caller ever raises the leg count or the micro-unit scale.
+    require(legs.size.toLong * (1000000000L / (c + 1)) < (1L << 53),
+      s"rrf micro-unit scores would exceed double's exact-integer range: " +
+        s"${legs.size} legs x 1e9/(${c}+1)")
     val contrib = legs
       .map(_.select(col("qid"), col("nid"),
         expr(s"CAST(1000000000 DIV ($c + rank) AS BIGINT)").as("w")))

@@ -158,6 +158,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("RunningWindowFunction"), p.take(2000))
   }
 
+  test("q46: full-index ADC top-k is the bounded-heap aggregator, not a window sort") {
+    // r10's adcTopK window→heap swap must never regress: a per-query
+    // window sort re-sorts EVERY scored (query, code) pair; the typed
+    // aggregator keeps ≤ k rows per query per map task
+    val p = plan("q46_pq_adc_topk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "ADC top-k must aggregate with the typed top-k buffer:\n" + p.take(2000))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      "ADC top-k must not fall back to a window sort:\n" + p.take(3000))
+  }
+
   test("q150: packing plans one exchange per shard window, no global sort") {
     val p = plan("q150_bpe_packing")
     // window partitioned by shard → hashpartitioning(shard); a GLOBAL
