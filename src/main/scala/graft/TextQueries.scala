@@ -193,6 +193,55 @@ object TextQueries {
       |  CAST(sum(CASE WHEN id < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_originals
       |FROM kept""".stripMargin
 
+  /** q161's oracle: FULL RECOMPUTE over existing ∪ incoming — LSH
+    * candidates verified at Jaccard ≥ 0.8 ∪ exact-hash keeper stars,
+    * closed by unrolled min-label propagation (l0..l2 — component radius
+    * here is 1: every edge is incident to a base doc or its identical
+    * +10000 copy; two rounds = radius-2 margin, the q77 discipline),
+    * emitted as the full (id, group_id) registry with singletons mapped
+    * to themselves. The Spark side computes the SAME registry
+    * incrementally (epoch closure + contracted batch CC) — the gate is
+    * precisely "incremental equals full recompute". */
+  private def q161Oracle: String = lshBandCtes(
+    """SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents
+       |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 30000, text || ' graft incremental probe words'
+       |    FROM documents WHERE doc_id % 3 = 1""".stripMargin) +
+    """,
+      |cand AS (
+      |  SELECT DISTINCT a.id AS idA, b.id AS idB
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      |  WHERE a.id < b.id),
+      |inter AS (
+      |  SELECT c.idA, c.idB, count(*) AS ni
+      |  FROM cand c JOIN shingles sa ON sa.id = c.idA
+      |  JOIN shingles sb ON sb.id = c.idB AND sb.sh = sa.sh
+      |  GROUP BY c.idA, c.idB),
+      |sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+      |edges AS MATERIALIZED (
+      |  SELECT i.idA AS a, i.idB AS b
+      |  FROM inter i JOIN sizes na ON na.id = i.idA JOIN sizes nb ON nb.id = i.idB
+      |  WHERE round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) >= 0.8
+      |  UNION
+      |  SELECT k.keeper AS a, c.id AS b
+      |  FROM corpus c JOIN (
+      |    SELECT sha256(text) AS h, min(id) AS keeper FROM corpus GROUP BY 1) k
+      |  ON sha256(c.text) = k.h
+      |  WHERE c.id <> k.keeper),
+      |sym AS MATERIALIZED (
+      |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+      |  UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges),
+      |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS g FROM sym),
+      |l1 AS MATERIALIZED (
+      |  SELECT s.a AS id, min(l.g) AS g
+      |  FROM sym s JOIN l0 l ON l.id = s.b GROUP BY s.a),
+      |l2 AS MATERIALIZED (
+      |  SELECT s.a AS id, min(l.g) AS g
+      |  FROM sym s JOIN l1 l ON l.id = s.b GROUP BY s.a)
+      |SELECT c.id, coalesce(l.g, c.id) AS group_id
+      |FROM corpus c LEFT JOIN l2 l ON l.id = c.id""".stripMargin
+
   private def q39Oracle: String = lshCandidateCtes +
     """,
       |inter AS (
@@ -527,6 +576,68 @@ object TextQueries {
           sum(when(col("doc_id") < 10000L, 1L).otherwise(0L)).as("n_originals"))
       },
       Some(q77Oracle)),
+
+    // INCREMENTAL group maintenance — the daily-ingest continuation of
+    // q152 and the reference's incremental-rerun pattern
+    // (FinishedFilterProcessor.kt:17-27) applied to the dedup registry.
+    // Epoch state: the full closure over the DOUBLED existing corpus
+    // (groups {j, j+10000}). A new batch (exact copies %3==0 at +20000,
+    // near-dup variants %3==1 at +30000) contributes edges via
+    // incremental LSH candidates + Jaccard verify ∪ exact-hash joins;
+    // DedupGroups.mergeBatch contracts existing groups to their reps and
+    // runs CC only over the batch-touched subgraph. The oracle is a FULL
+    // RECOMPUTE over existing ∪ incoming — the gate is the incremental
+    // algorithm's defining property: incremental ≡ full.
+    Q("q161_incremental_groups",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val existing = d.unionByName(
+          d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        val incoming = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 1)
+            .select((col("doc_id") + 30000L).as("doc_id"),
+              concat(col("text"), lit(" graft incremental probe words"))
+                .as("text")))
+        val combined = existing.unionByName(incoming)
+
+        // content-hash pair edges of a corpus restricted to pairs with
+        // ≥1 endpoint in `probe` — a plain hash equi-join, never an OR
+        def exactEdges(c: DataFrame, probe: DataFrame): DataFrame =
+          probe.select(sha2(col("text"), 256).as("h"), col("doc_id").as("pid"))
+            .join(c.select(sha2(col("text"), 256).as("h"),
+              col("doc_id").as("oid")), Seq("h"))
+            .filter(col("pid") =!= col("oid"))
+            .select(least(col("pid"), col("oid")).as("idA"),
+              greatest(col("pid"), col("oid")).as("idB"))
+            .distinct()
+
+        // epoch registry: closure over the existing corpus only
+        val exEdges = Dedup.ngramJaccard(
+            Dedup.minhashLshPairs(existing, "doc_id", "text"),
+            existing, "doc_id", "text")
+          .filter(col("jaccard") >= 0.8).select(col("idA"), col("idB"))
+          .unionByName(exactEdges(existing, existing))
+        val registry = existing.select(col("doc_id").as("id"))
+          .join(DedupGroups.connectedComponents(exEdges), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("groupId"), col("id")).as("groupId"))
+
+        // batch edges: ≥1 incoming endpoint (near ∪ exact)
+        val batchEdges = Dedup.ngramJaccard(
+            Dedup.incrementalLshPairs(existing, incoming, "doc_id", "text"),
+            combined, "doc_id", "text")
+          .filter(col("jaccard") >= 0.8).select(col("idA"), col("idB"))
+          .unionByName(exactEdges(combined, incoming))
+
+        val updated = DedupGroups.mergeBatch(registry, batchEdges)
+        combined.select(col("doc_id").as("id"))
+          .join(updated, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("groupId"), col("id")).as("group_id"))
+      },
+      Some(q161Oracle)),
 
     // Rolling-hash document fingerprint (whitespace-insensitive exact dedup).
     Q("q38_fingerprint",

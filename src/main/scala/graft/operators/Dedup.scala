@@ -134,6 +134,30 @@ object Dedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  /** Incremental LSH candidate PAIRS: every (existing-or-incoming,
+    * incoming) pair sharing at least one band bucket — the edge form of
+    * [[incrementalLshMatches]], feeding incremental GROUP maintenance
+    * ([[DedupGroups.mergeBatch]]). Incoming-incoming pairs are included
+    * (a batch can carry its own duplicates); existing-existing pairs are
+    * NOT regenerated — the registry already closed them.
+    *
+    * 100 TB shape: the existing band table is the once-per-epoch index
+    * (bucketized on (band, bucket) in production); the incoming side is
+    * one day's batch. The join touches only buckets the batch hits. */
+  def incrementalLshPairs(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val bandsE = bandTable(existing, idCol, textCol, shingleSize, numHashes, bands)
+    val bandsI = bandTable(incoming, idCol, textCol, shingleSize, numHashes, bands)
+    val all = bandsE.unionByName(bandsI)
+      .select(col("band"), col("bucket"), col("id").as("other"))
+    bandsI.join(all, Seq("band", "bucket"))
+      .filter(col("id") =!= col("other"))
+      .select(least(col("id"), col("other")).as("idA"),
+        greatest(col("id"), col("other")).as("idB"))
+      .distinct()
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole blocking: split the 64-bit fingerprint into

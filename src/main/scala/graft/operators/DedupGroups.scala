@@ -187,6 +187,79 @@ object DedupGroups {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Incremental group maintenance — the daily-ingest continuation of
+    * the dedup registry (the reference's whole design is incremental
+    * re-runs, `FinishedFilterProcessor.kt:17-27`; this is that pattern
+    * applied to dedup groups): merge a NEW batch's duplicate edges into
+    * an EXISTING (id, groupId) registry without recomputing the full
+    * historical pair graph.
+    *
+    * Contraction argument: each existing group is already a closed
+    * component rooted at its min id, so for connectivity it can be
+    * collapsed to its representative (the groupId). Mapping every new
+    * edge endpoint to its rep (itself if unregistered) yields a
+    * contracted graph whose components are EXACTLY the merged
+    * components' rep sets, and whose component minima are the merged
+    * components' minima (reps are group minima; new ids are their own
+    * reps). Full CC therefore runs only over the contracted edge set —
+    * bounded by the BATCH, never the corpus.
+    *
+    * Result equals a full recompute over existing ∪ incoming iff the
+    * registry was the closure of the existing-existing edges and
+    * `newPairs` covers every edge a full recompute would find with ≥1
+    * incoming endpoint — both hold for deterministic per-doc candidate
+    * generation ([[Dedup.incrementalLshPairs]]: band signatures are
+    * per-doc, so the combined corpus's candidate set is exactly
+    * existing-existing ∪ batch-touched).
+    *
+    * Shuffle shape at 100 TB: the contracted CC is batch-sized; the one
+    * registry-sized operation is the relabel join, keyed on groupId
+    * against a TOUCHED-groups-only map (bounded by batch edges, hence
+    * broadcast). A batch pathological enough to touch ≥10^8 groups
+    * should drop the broadcast hint and bucketize the registry on
+    * groupId instead.
+    *
+    * @param labels existing registry (id, groupId), groupId = component
+    *        min id; must be a closed assignment (every groupId is also
+    *        an id in its own group)
+    * @param newPairs (idA, idB) batch edges — ≥1 endpoint new, or late
+    *        edges between existing docs (also handled: they contract to
+    *        a rep-rep edge and merge the two groups)
+    * @return updated registry over ids(labels) ∪ endpoints(newPairs) */
+  def mergeBatch(labels: DataFrame, newPairs: DataFrame, maxIter: Int = 20,
+      localEdgeLimit: Long = 4000000L): DataFrame = {
+    val reps = labels.select(col("id"), col("groupId"))
+    val contracted = newPairs
+      .join(reps.select(col("id").as("idA"), col("groupId").as("repA")),
+        Seq("idA"), "left")
+      .join(reps.select(col("id").as("idB"), col("groupId").as("repB")),
+        Seq("idB"), "left")
+      .select(coalesce(col("repA"), col("idA")).as("idA"),
+        coalesce(col("repB"), col("idB")).as("idB"))
+    // CC over touched reps + new ids only; (rep → merged-component min).
+    // Read twice below (relabel + new-id lookup) and batch-small —
+    // eager localCheckpoint materializes it once and lets the returned
+    // plan own the data (no persist handle to leak past return)
+    val cc = connectedComponents(contracted, maxIter, localEdgeLimit)
+      .localCheckpoint(true)
+    // relabel map is touched-groups-sized → broadcast against the
+    // (corpus-sized) registry; untouched groups pass through
+    val relabel = cc.select(col("id").as("groupId"), col("groupId").as("newG"))
+    val updated = labels
+      .join(broadcast(relabel), Seq("groupId"), "left")
+      .select(col("id"), coalesce(col("newG"), col("groupId")).as("groupId"))
+    // unregistered endpoints: their rep is themselves → label directly
+    val newIds = newPairs.select(col("idA").as("id"))
+      .unionByName(newPairs.select(col("idB").as("id")))
+      .distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+    val newLabels = newIds
+      .join(broadcast(cc.select(col("id"), col("groupId").as("newG"))),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("newG"), col("id")).as("groupId"))
+    updated.unionByName(newLabels)
+  }
+
   /** Full closure dedup: groups from the verified near-dup pair graph
     * UNION the exact-hash pair graph (LSH filters shingle-less short
     * docs, so exact duplicates below shingleSize words would otherwise

@@ -46,4 +46,47 @@ class DedupGroupsSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Long)].toDF("idA", "idB")
     assert(DedupGroups.connectedComponents(empty).count() == 0)
   }
+
+  test("mergeBatch: a new doc bridging two existing groups merges them") {
+    // registry: {1,2} (rep 1), {5,6} (rep 5), singleton {9}
+    val registry = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("id", "groupId")
+    // new doc 10 matches a NON-rep member of each group — the contraction
+    // must route both edges through the reps and merge to min(1,5)=1
+    val batch = Seq((10L, 2L), (10L, 6L)).toDF("idA", "idB")
+    val got = DedupGroups.mergeBatch(registry, batch)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 5L, 6L, 10L).forall(got(_) == 1L),
+      s"bridge must merge both groups: $got")
+    assert(got(9L) == 9L, "untouched groups pass through unrelabeled")
+    assert(got.size == 6)
+  }
+
+  test("mergeBatch: incremental result equals full recompute") {
+    // epoch edges + batch edges, vs CC over the union — the defining
+    // property of the incremental algorithm (q161's gate in miniature)
+    val epochEdges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("idA", "idB")
+    val allIds = Seq(1L, 2L, 3L, 7L, 8L).toDF("id")
+    val registry = allIds
+      .join(DedupGroups.connectedComponents(epochEdges), Seq("id"), "left")
+      .select(col("id"), coalesce(col("groupId"), col("id")).as("groupId"))
+    // batch: new-new pair (20,21), new doc 22 joining {7,8}, late
+    // existing-existing edge (3,7) merging {1,2,3} with {7,8}
+    val batch = Seq((20L, 21L), (22L, 8L), (3L, 7L)).toDF("idA", "idB")
+    val inc = DedupGroups.mergeBatch(registry, batch)
+      .as[(Long, Long)].collect().toMap
+    val full = DedupGroups.connectedComponents(
+        epochEdges.unionByName(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc != full recompute $full")
+    assert(inc(22L) == 1L && inc(20L) == 20L && inc(21L) == 20L)
+  }
+
+  test("mergeBatch: batch with only new-new edges leaves the registry intact") {
+    val registry = Seq((1L, 1L), (2L, 1L)).toDF("id", "groupId")
+    val batch = Seq((30L, 31L)).toDF("idA", "idB")
+    val got = DedupGroups.mergeBatch(registry, batch)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 31L -> 30L))
+  }
 }
