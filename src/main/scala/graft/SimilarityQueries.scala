@@ -115,8 +115,13 @@ object SimilarityQueries {
   /** The q42 WITH-chain up to `ranked` (per-candidate rk per query), no
     * final SELECT — shared by q42 (top-k agg) and q111 (recall@k vs the
     * brute-force truth, which reuses the chain's `pts`/`q` CTEs). */
-  private def q42OracleChain(nCells: Int, nprobe: Int,
-      maxIter: Int): String = {
+  /** The k-means fit + final-assignment CTE prefix (pts → cent0 →
+    * unrolled Lloyd stages → afinal), parameterized over the pts source
+    * so the doubled-corpus form (q162 semantic dedup) shares the exact
+    * kernel the q42/q111 chain gates. `ptsSql` must yield (vid, v, nrm)
+    * with zero-norm rows already excluded. */
+  private def kmeansAssignCtes(ptsSql: String, nCells: Int,
+      maxIter: Int): StringBuilder = {
     def d2(p: String, c: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
         s"s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), (a,b) -> a + b)"
@@ -140,10 +145,7 @@ object SimilarityQueries {
          |  ON m.cell = pc.cidx)""".stripMargin
     val sb = new StringBuilder(
       s"""WITH pts AS MATERIALIZED (
-         |  SELECT vec_id AS vid, embedding AS v,
-         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings
-         |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |  $ptsSql),
          |cent0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
          |  FROM (SELECT vid, v FROM pts ORDER BY vid LIMIT $nCells))""".stripMargin)
@@ -154,6 +156,21 @@ object SimilarityQueries {
       prev = s"cent${it + 1}"
     }
     sb.append(assignStage(prev, "afinal"))
+    sb.append(s",\nfinalcent AS (SELECT * FROM $prev)")
+    sb
+  }
+
+  /** The single-corpus pts source the q42/q111 chain uses. */
+  private val defaultPtsSql: String =
+    """SELECT vec_id AS vid, embedding AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0""".stripMargin
+
+  private def q42OracleChain(nCells: Int, nprobe: Int,
+      maxIter: Int): String = {
+    val sb = kmeansAssignCtes(defaultPtsSql, nCells, maxIter)
+    val prev = "finalcent"
     sb.append(
       s""",
          |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv, nrm AS qnorm FROM pts WHERE vid < 20),
@@ -176,6 +193,45 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
          |  FROM pairs)""".stripMargin)
     sb.toString
+  }
+
+  /** q162's oracle: semantic dedup fully replayed — the SAME unrolled
+    * Lloyd kernel as q42 but over the DOUBLED corpus (embeddings ∪ exact
+    * copies at +100000, so every vector has a guaranteed semantic dup in
+    * its own cell), then intra-cell pairs at cosine ≥ τ and the
+    * keep-lowest-id verdicts. Same maxTrainRows precondition as
+    * q42Oracle: the doubled corpus (≤4k rows at sf0.1) is far under the
+    * 100k cap, so the hash-sample filter is a no-op and the oracle
+    * trains on all rows. */
+  private def q162Oracle(threshold: Double, nCells: Int,
+      maxIter: Int): String = {
+    val doubledPts =
+      """SELECT vid, v, nrm FROM (
+         |    SELECT vid, v,
+         |      sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))) AS nrm
+         |    FROM (
+         |      SELECT vec_id AS vid, embedding AS v FROM embeddings
+         |      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings))
+         |  WHERE nrm > 0""".stripMargin
+    kmeansAssignCtes(doubledPts, nCells, maxIter).append(
+      s""",
+         |dpairs AS MATERIALIZED (
+         |  SELECT x.idA, x.idB FROM (
+         |    SELECT a1.vid AS idA, a2.vid AS idB,
+         |      list_dot_product(CAST(p1.v AS DOUBLE[]), CAST(p2.v AS DOUBLE[]))
+         |        / (p1.nrm * p2.nrm) AS sim
+         |    FROM afinal a1 JOIN afinal a2 ON a1.cell = a2.cell AND a1.vid < a2.vid
+         |    JOIN pts p1 ON p1.vid = a1.vid JOIN pts p2 ON p2.vid = a2.vid) x
+         |  WHERE x.sim >= $threshold),
+         |ndups AS (
+         |  SELECT vec_id, count(*) AS n_dups FROM (
+         |    SELECT idA AS vec_id FROM dpairs
+         |    UNION ALL SELECT idB FROM dpairs) GROUP BY 1)
+         |SELECT a.vid AS vec_id, a.cell,
+         |  CAST(coalesce(n.n_dups, 0) AS BIGINT) AS n_dups,
+         |  NOT EXISTS (SELECT 1 FROM dpairs d WHERE d.idB = a.vid) AS keep
+         |FROM afinal a LEFT JOIN ndups n ON n.vec_id = a.vid""".stripMargin)
+      .toString
   }
 
   /** q111's oracle: the full q42 IVF chain, the brute-force truth from
@@ -625,6 +681,20 @@ object SimilarityQueries {
             round(max(col("sim")), 6).as("best_sim"))
       },
       Some(q42Oracle(nCells = 16, nprobe = 4, k = 5, maxIter = 10))),
+
+    // Semantic dedup (SemDeDup): the embedding-space second pass after
+    // LSH literal dedup — k-means cells, intra-cell cosine ≥ 0.95 pairs,
+    // keep-lowest-id verdicts. Runs on the doubled corpus (+100000 exact
+    // copies) so every vector provably has a semantic dup in its own
+    // cell. Oracle replays fit + assignment + pair verdicts end-to-end.
+    Q("q162_semantic_dedup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val doubledCorpus = e.unionByName(
+          e.withColumn("vec_id", col("vec_id") + 100000L))
+        Similarity.semanticDedup(doubledCorpus, 0.95)
+      },
+      Some(q162Oracle(threshold = 0.95, nCells = 16, maxIter = 10))),
 
     // Vector statistics: norms per label (higher-order fns, no UDF).
     Q("q43_embedding_stats",

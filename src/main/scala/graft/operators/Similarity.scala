@@ -92,35 +92,39 @@ object Similarity {
     * same stance as ProductQuantization.train), so index-build cost does
     * NOT grow with corpus size; assignment is still one narrow pass over
     * everything. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4,
-      maxTrainRows: Long = 100000L): DataFrame = {
+  /** Shared coarse-quantization stage (ivfTopK + semanticDedup): fit
+    * nCells KMeans centroids on a deterministic hash-sample capped at
+    * maxTrainRows, assign every vector to its nearest cell.
+    *
+    * Fit runs on the driver (LocalKMeans): the sample is capped, sorted
+    * by id for determinism; MLlib's driver-iterative jobs were the whole
+    * q42 index-build latency. Sorted-Forgy init + double precision: no
+    * RNG and arithmetic a SQL oracle can replay exactly (q42/q162 are
+    * oracle-gated on this path). Zero-norm/null rows are excluded — the
+    * NaN-sim hazard (bruteTopK scaladoc) and degenerate fit vectors.
+    *
+    * @return (assigned (nid, nv, nnorm, cell), centers) */
+  private[operators] def fitAssign(corpus: DataFrame, nCells: Int,
+      maxIter: Int, maxTrainRows: Long)
+      : (DataFrame, Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    // zero-norm/null guard mirrors bruteTopK (NaN-sim hazard) and keeps
-    // degenerate vectors out of the centroid fit.
     val vecs = corpus
       .withColumn("nnorm", normFast(col("embedding")))
       .filter(col("nnorm") > 0)
       .select(col("vec_id"), col("embedding"), col("nnorm"))
     val total = vecs.count()
     val every = math.max(1L, total / maxTrainRows)
-    // fit runs on the driver (LocalKMeans): the sample is capped, sorted
-    // by id for determinism; MLlib's driver-iterative jobs were the whole
-    // q42 index-build latency
     val trainRows = vecs
       .filter(pmod(hash(col("vec_id")), lit(every)) === 0)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
     require(trainRows.nonEmpty,
-      "ivfTopK: no trainable vectors (empty corpus or all zero-norm)")
+      "fitAssign: no trainable vectors (empty corpus or all zero-norm)")
     val sorted = trainRows.sortBy(_._1).map(_._2.toArray)
     val dim = LocalKMeans.dominantDim(sorted)
-    // sorted-Forgy init + double precision: no RNG and arithmetic a SQL
-    // oracle can replay exactly (q42 is oracle-gated on this path)
     val centers = LocalKMeans.fitSortedForgy(sorted.filter(_.length == dim),
-      nCells, maxIter = 10)
+      nCells, maxIter = maxIter)
     // cell assignment: one narrow pass with broadcast centroids; a
     // wrong-dimension row is dropped (null cell), not a job-killing
     // IndexOutOfBounds inside the kernel — same one-bad-row stance as
@@ -135,6 +139,16 @@ object Similarity {
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("nnorm"), nearestCell(col("embedding")).as("cell"))
       .filter(col("cell").isNotNull)
+    (assigned, centers)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assigned, centers) = fitAssign(corpus, nCells, maxIter = 10,
+      maxTrainRows = maxTrainRows)
 
     // centroid table is tiny: broadcast to rank cells per query
     val centroids = centers.zipWithIndex
@@ -201,5 +215,52 @@ object Similarity {
         cosinePre(dotFast(col("vA"), col("vB")), col("normA"), col("normB")))
       .filter(col("sim") >= threshold)
       .select(col("idA"), col("idB"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Semantic dedup (the SemDeDup shape: Abbas et al. 2023,
+    * arXiv:2303.09540): LSH catches near-LITERAL duplicates; this is the
+    * standard second pass that removes semantic duplicates in embedding
+    * space — k-means cells partition the corpus, intra-cell pairs above
+    * the cosine threshold mark the GREATER id as a duplicate (keep-
+    * lowest-id, the Dedup.dedupeCorpus decision rule).
+    *
+    * Scale shape: candidate generation is bucketed by cell — the
+    * quadratic term is bounded by the largest cell, never the corpus.
+    * At 100 TB, nCells must grow with the corpus (SemDeDup's own recipe:
+    * n/avgCellSize clusters); for heavier cells, compose with
+    * [[cosineDupPairs]]' SRP banding INSIDE each cell. The fit is the
+    * capped-sample driver-local [[fitAssign]] (index-build cost does not
+    * grow with the corpus); assignment is one narrow pass.
+    *
+    * @return one row per non-degenerate vector: (vec_id, cell, n_dups =
+    *         intra-cell partners at sim ≥ threshold, keep = no such
+    *         partner with a smaller id) */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      maxIter: Int = 10, maxTrainRows: Long = 100000L): DataFrame = {
+    val (assigned, _) = fitAssign(corpus, nCells, maxIter, maxTrainRows)
+    // read 3× (two pair sides + final labels) — persist via the caches
+    // contract so benched queries release it
+    val cells = OperatorCaches.track(assigned.persist())
+    val a = cells.select(col("cell"), col("nid").as("idA"),
+      col("nv").as("vA"), col("nnorm").as("normA"))
+    val b = cells.select(col("cell"), col("nid").as("idB"),
+      col("nv").as("vB"), col("nnorm").as("normB"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("sim",
+        cosinePre(dotFast(col("vA"), col("vB")), col("normA"), col("normB")))
+      .filter(col("sim") >= threshold)
+      .select(col("idA"), col("idB"))
+    val nDups = pairs.select(col("idA").as("vec_id"))
+      .unionByName(pairs.select(col("idB").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups"))
+    val droppedIds = pairs.select(col("idB").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    cells.select(col("nid").as("vec_id"), col("cell").cast("int").as("cell"))
+      .join(nDups, Seq("vec_id"), "left")
+      .join(droppedIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dropped").isNull.as("keep"))
   }
 }

@@ -154,4 +154,27 @@ class SimilaritySpec extends SparkSuite {
     assert(frames.select(countDistinct(col("doc_id"))).as[Long].head() ==
       decoded.filter(col("media_type") === "video/mp4").count())
   }
+
+  test("semanticDedup: exact copies are dropped, originals kept, cells agree") {
+    val doubledCorpus = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 100000L))
+    val v = Similarity.semanticDedup(doubledCorpus, 0.95).cache()
+    try {
+      val byId = v.select(col("vec_id"), col("cell"), col("n_dups"),
+        col("keep")).as[(Long, Int, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      val origs = byId.keys.filter(_ < 100000L)
+      assert(origs.nonEmpty)
+      origs.foreach { id =>
+        val (_, cell, nd, keep) = byId(id)
+        val (_, cCell, cNd, cKeep) = byId(id + 100000L)
+        // an identical vector lands in the identical cell, each sees the
+        // other as a dup, and keep-lowest-id keeps the original only
+        assert(cell == cCell, s"copy of $id changed cell: $cell vs $cCell")
+        assert(nd >= 1 && cNd >= 1, s"dup pair of $id not found")
+        assert(keep, s"original $id must be kept")
+        assert(!cKeep, s"copy of $id must be dropped")
+      }
+    } finally v.unpersist()
+  }
 }
