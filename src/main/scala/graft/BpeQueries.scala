@@ -275,5 +275,38 @@ object BpeQueries {
              |  CAST(sum(n_tokens) AS BIGINT) AS token_sum,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM offs GROUP BY 1, 2""".stripMargin)),
+
+    // BPE decode round-trip: the property every tokenized-corpus writer
+    // relies on. The MARKED stream (Bpe.encodeTextMarked — word-initial
+    // subwords carry the ▁ marker, the SentencePiece convention; the
+    // flat q142 stream is deliberately not decodable) decodes back to
+    // the canonical lex form: pre-tokens space-joined, alpha lowercased.
+    // The oracle computes that canonical form DIRECTLY from the raw text
+    // — it is merge-invariant by construction, so any encode/decode
+    // asymmetry (a lost subword, a marker on the wrong token, a
+    // mis-merged word changing characters) breaks the per-doc md5.
+    // encode∘decode = id on the token stream is spec-pinned
+    // (BpeSpec), including adversarial inputs.
+    Q("q163_bpe_roundtrip",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("doc_id"),
+            Bpe.decodeCol(Bpe.encodeMarkedCol(col("text"), model))
+              .as("decoded"))
+          .select(col("doc_id"),
+            length(col("decoded")).cast("long").as("n_chars"),
+            md5(col("decoded").cast("binary")).as("canon_md5"))
+      },
+      Some("""WITH canon AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(
+             |      regexp_extract_all(coalesce(text, ''), '\w+|[^\w\s]'),
+             |      t -> CASE WHEN regexp_matches(t, '^[A-Za-z]+$')
+             |        THEN lower(t) ELSE t END), ' ') AS c
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(c) AS BIGINT) AS n_chars,
+             |  md5(c) AS canon_md5
+             |FROM canon""".stripMargin)),
   )
 }

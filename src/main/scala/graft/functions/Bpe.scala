@@ -220,4 +220,57 @@ object Bpe {
     val f = udf((t: String) => encodeText(t, model))
     f(text)
   }
+
+  /** Word-boundary marker for the invertible token stream (the
+    * SentencePiece convention): prefixed to the FIRST subword of every
+    * pre-token. U+2581 never occurs in ASCII text; if an adversarial
+    * input contains it, it lexes as its own atomic punct token and the
+    * round trip still holds (the marked form is "▁▁", decode emits "▁"
+    * as a word — spec-pinned). */
+  val WordMarker = "▁"
+
+  /** Invertible encode: [[encodeText]]'s exact subword stream, but the
+    * first subword of each pre-token carries [[WordMarker]]. The FLAT
+    * stream loses word boundaries (subwords carry no markers), so the
+    * plain form cannot be decoded; this form is what a tokenized-corpus
+    * WRITER stores, because it makes [[decodeTokens]] a true inverse:
+    * decode∘encode = canonical lex form (tokens space-joined, alpha
+    * lowercased) and encode∘decode = identity on the token stream. */
+  def encodeTextMarked(text: String, model: Model): Seq[String] = {
+    val toks = lex(text)
+    val out = Seq.newBuilder[String]
+    toks.foreach { tok =>
+      val subs =
+        if (isAlpha(tok)) encodeWordMemo(tok.toLowerCase(Locale.ROOT), model)
+        else Vector(tok)
+      out += (WordMarker + subs.head)
+      subs.iterator.drop(1).foreach(out += _)
+    }
+    out.result()
+  }
+
+  /** Inverse of [[encodeTextMarked]]: marker starts a new space-joined
+    * word, unmarked subwords concatenate into the current word. Null →
+    * empty, matching encode's null stance. */
+  def decodeTokens(toks: Seq[String]): String = {
+    if (toks == null) return ""
+    val sb = new StringBuilder
+    toks.foreach { t =>
+      if (t.startsWith(WordMarker)) {
+        if (sb.nonEmpty) sb += ' '
+        sb ++= t.substring(WordMarker.length)
+      } else sb ++= t
+    }
+    sb.toString
+  }
+
+  /** Column forms of the invertible pair. */
+  def encodeMarkedCol(text: Column, model: Model): Column = {
+    val f = udf((t: String) => encodeTextMarked(t, model))
+    f(text)
+  }
+  def decodeCol(tokens: Column): Column = {
+    val f = udf((ts: Seq[String]) => decodeTokens(ts))
+    f(tokens)
+  }
 }

@@ -154,4 +154,44 @@ class BpeSpec extends SparkSuite {
     assert(a.merges == b.merges,
       "fit must not depend on partitioning (hash-capped sample is a total order)")
   }
+
+  // ------------------------------------------------------------------
+  // decode round-trip (q163's kernel)
+  // ------------------------------------------------------------------
+
+  test("decode∘encodeMarked = canonical lex form; encode∘decode = id on tokens") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val model = Bpe.fit(docs, "doc_id", "text")
+    def canon(t: String): String =
+      "[\\w]+|[^\\w\\s]".r.findAllIn(Option(t).getOrElse("")).map { tok =>
+        if (tok.matches("^[A-Za-z]+$")) tok.toLowerCase else tok
+      }.mkString(" ")
+    val adversarial = Seq(
+      "Hello, World!", "", "   \t\n", "!!!", "a  b\tc",
+      "héllo wörld", // non-ASCII \w tokens: atomic pass-through
+      "MiXeD CaSe AND lower", "x1b 42 !?.",
+      "▁marker in input▁") // the marker itself as input
+    adversarial.foreach { t =>
+      val toks = Bpe.encodeTextMarked(t, model)
+      val decoded = Bpe.decodeTokens(toks)
+      assert(decoded == canon(t),
+        s"decode∘encode != canon on '$t': '$decoded' vs '${canon(t)}'")
+      assert(Bpe.encodeTextMarked(decoded, model) == toks,
+        s"encode∘decode != id on token stream for '$t'")
+    }
+    // and over real corpus text: marked stream has the same token count
+    // as the flat stream, and the round trip holds on every sampled doc
+    import spark.implicits._
+    val sample = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].head(50)
+    sample.foreach { case (id, t) =>
+      val flat = Bpe.encodeText(t, model)
+      val marked = Bpe.encodeTextMarked(t, model)
+      assert(flat.size == marked.size, s"doc $id: marking changed the count")
+      assert(marked.map(_.stripPrefix(Bpe.WordMarker)) == flat,
+        s"doc $id: marked stream must be the flat stream + markers")
+      assert(Bpe.decodeTokens(marked) == canon(t), s"doc $id round trip")
+    }
+    assert(Bpe.decodeTokens(null) == "")
+  }
 }
