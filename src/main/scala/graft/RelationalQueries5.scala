@@ -468,6 +468,42 @@ object RelationalQueries5 {
              |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n"))),
 
+    // CBO-grade profile: q155's stats PLUS per-column equi-depth
+    // histogram bounds in the SAME single-pass agg — the q107
+    // hash-sample kernel per column (bottom-256 rows by signed
+    // mix64(o_orderkey), value-sorted, nearest-rank cuts at i/8).
+    // Oracle replays both the stats and every column's sample chain.
+    Q("q164_profile_histogram",
+      (spark, dir) => {
+        val o = Tables.load(spark, dir, "orders")
+        graft.operators.Profiling.profileWithHistogram(o,
+          Seq("o_orderkey", "o_custkey"), "o_orderkey",
+          buckets = 8, k = 256)
+      },
+      Some {
+        val cols = Seq(("o_orderkey", "ha"), ("o_custkey", "hb"))
+        val chains = cols.map { case (c, p) =>
+          s"""${p}base AS (SELECT CAST(o_orderkey AS HUGEINT) AS idh, CAST($c AS DOUBLE) AS v
+             |  FROM orders WHERE o_orderkey IS NOT NULL AND $c IS NOT NULL),
+             |${mix64Stages(s"${p}base", Seq("v"), "idh", signedOut = true, prefix = p)},
+             |${p}rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM ${p}mixed),
+             |${p}samp AS (SELECT list(v ORDER BY v) AS sorted, count(*) AS m
+             |  FROM ${p}rk WHERE rk <= 256),
+             |${p}st AS (SELECT count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+             |  FROM orders WHERE o_orderkey IS NOT NULL)""".stripMargin
+        }.mkString(",\n")
+        val selects = cols.map { case (c, p) =>
+          s"""SELECT '$c' AS col_name, n_rows, n_nulls, n_distinct, min_s, max_s,
+             |  CAST(b AS INT) AS bucket,
+             |  sorted[CAST(floor(CAST(b AS DOUBLE) / 8 * (m - 1)) AS INT) + 1] AS lo,
+             |  sorted[CAST(floor(CAST(b + 1 AS DOUBLE) / 8 * (m - 1)) AS INT) + 1] AS hi
+             |FROM ${p}samp, ${p}st, generate_series(0, 7) g(b)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $chains\n$selects"
+      }),
+
     // Two-phase salted aggregation, same stance: partial agg on
     // (key, salt), final on key — must equal the plain GROUP BY.
     Q("q104_salted_agg",

@@ -115,6 +115,34 @@ class CurationSpec extends SparkSuite {
     assert(got("s") == ("s", 4L, 1L, 2L, "a", "b"))
   }
 
+  test("profileWithHistogram: equi-depth bounds, null values excluded per-column") {
+    import graft.operators.Profiling
+    // 100 ids; column v = id but null on multiples of 10 (10 nulls);
+    // with k=256 > n the sample is exhaustive, so the bounds are exact
+    // nearest-rank quantiles of the 90 non-null values
+    val df = (0L until 100L)
+      .map(i => (i, if (i % 10 == 0) None else Some(i.toDouble)))
+      .toDF("id", "v")
+    val got = Profiling.profileWithHistogram(df, Seq("v"), "id",
+        buckets = 4, k = 256)
+      .as[(String, Long, Long, Long, String, String, Int, Double, Double)]
+      .collect().sortBy(_._7)
+    assert(got.length == 4)
+    val (_, nRows, nNulls, nd, _, _, _, _, _) = got(0)
+    assert((nRows, nNulls, nd) == (100L, 10L, 90L), got(0).toString)
+    val sorted = (0L until 100L).filter(_ % 10 != 0).map(_.toDouble).sorted
+    def at(q: Double): Double = sorted(math.floor(q * (sorted.size - 1)).toInt)
+    got.foreach { case (_, _, _, _, _, _, b, lo, hi) =>
+      assert(lo == at(b / 4.0) && hi == at((b + 1) / 4.0),
+        s"bucket $b bounds ($lo, $hi)")
+    }
+    // equal depth: each bucket's [lo, hi) holds ~1/4 of the mass
+    val depths = got.map { case (_, _, _, _, _, _, b, lo, hi) =>
+      sorted.count(v => v >= lo && (if (b == 3) v <= hi else v < hi))
+    }
+    assert(depths.forall(d => d >= 20 && d <= 25), depths.toSeq.toString)
+  }
+
   test("epoch shuffle: different permutations per epoch, reproducible") {
     val a = SparkEntry.queries("q153_epoch_shuffle")(spark, sf("sf0.001"))
       .as[(Long, Int, Long)].collect()
