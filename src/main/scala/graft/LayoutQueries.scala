@@ -55,6 +55,32 @@ object LayoutQueries {
     spark.read.parquet(d)
   }
 
+  /** The q165 fixture pair: documents written hive-partitioned AND
+    * deliberately fragmented (repartition(8) before partitionBy → up to
+    * 8 files per lang dir — the streaming-ingest-into-partitions
+    * pathology), then compacted per-partition through
+    * [[graft.operators.Compaction.compactPartitioned]] — the q159+q137
+    * composition that IS the table-maintenance loop. The build REQUIREs
+    * every per-partition plan narrow (shuffles=false), so a shuffle
+    * regression fails the gate loudly at fixture build, not silently. */
+  private def compactedPartitionedDocsDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val d0 = Tables.load(spark, dir, "documents")
+    val fp = Tables.fingerprint(d0, "doc_id", s"$dir/documents_part")
+    val frag = derivedDir(dir, "docpart-frag8", fp) { d =>
+      d0.repartition(8).write.partitionBy("lang").mode("overwrite").parquet(d)
+    }
+    derivedDir(dir, "docpart-compact1m", fp) { d =>
+      graft.operators.Compaction.compactPartitioned(spark, frag, d, 1L << 20)
+        .foreach { case (part, pl) =>
+          require(!pl.shuffles, s"partition $part compaction shuffled")
+        }
+      // compactPartitioned writes per-partition _SUCCESS markers; the
+      // create-once guard needs the top-level one
+      new java.io.File(d, "_SUCCESS").createNewFile()
+    }
+  }
+
   private def lineitemKeys(spark: org.apache.spark.sql.SparkSession,
       dir: String) =
     Tables.load(spark, dir, "lineitem")
@@ -311,6 +337,27 @@ object LayoutQueries {
              |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum
              |FROM documents d JOIN dim m ON m.lang = d.lang
              |WHERE m.region0 = 'europe' GROUP BY 1""".stripMargin)),
+
+    // Partition maintenance END-TO-END (q159 ∘ q137): the fragmented
+    // hive-partitioned table compacted per-partition — layout preserved
+    // (lang still rides as a partition column, still prunable), every
+    // per-partition plan narrow (REQUIREd at fixture build; file
+    // accounting + zero-Exchange in CompactionSpec), and the rows
+    // untouched: same oracle as the plain table (re-layout rule). The
+    // read exercises the compacted layout's pruning too — one lang's
+    // aggregate comes out of one compacted directory.
+    Q("q165_partitioned_compaction",
+      (spark, dir) => {
+        val pd = spark.read.parquet(compactedPartitionedDocsDir(spark, dir))
+        pd.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
   )
 
   /** The q131 oracle: mortonN's interleave unrolled — bits·3 terms, bit

@@ -93,4 +93,34 @@ object Compaction {
     w.mode("overwrite").parquet(outDir)
     pl
   }
+
+  /** Per-partition compaction of a hive-partitioned table — the real
+    * table-maintenance loop (q159's layout composed with q137's
+    * compaction): each `col=value` partition directory is compacted
+    * INDEPENDENTLY into the same directory under `outDir`, so the
+    * partitioned layout (and every pruning property it buys) survives
+    * the rewrite, and each per-partition plan is the narrow shrink/
+    * grow path — zero Exchange anywhere (spec-asserted).
+    *
+    * A shuffle-free GLOBAL rewrite of a partitioned table is not
+    * possible through one `partitionBy` write (tasks mix partition
+    * values, so files-per-dir would be tasks-touching-that-value, not
+    * bytes/target); the per-directory loop is how table formats run
+    * OPTIMIZE, and the driver-side iteration is over PARTITION COUNT
+    * (thousands at 100 TB, each a cheap narrow job — parallelize
+    * across a job pool if partition count dominates wall clock).
+    *
+    * @return (partition dir name, plan) per partition, sorted */
+  def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Seq[(String, Plan)] = {
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    require(parts.nonEmpty, s"no hive partition dirs (col=value) under $inDir")
+    parts.map { part =>
+      part -> compact(spark, s"$inDir/$part", s"$outDir/$part", targetBytes)
+    }
+  }
 }

@@ -81,4 +81,39 @@ class CompactionSpec extends SparkSuite {
       Compaction.plan(spark, empty, targetBytes = 0)
     }
   }
+
+  test("partitioned compaction: layout preserved, per-dir file counts, no shuffle") {
+    val src = java.nio.file.Files.createTempDirectory("cmp-psrc").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp-pout").toString
+    // 3 partitions, fragmented into up to 8 files each
+    (0L until 3000L).map(i => (i, s"cat${i % 3}", s"payload-$i"))
+      .toDF("id", "cat", "payload")
+      .repartition(8).write.partitionBy("cat").mode("overwrite").parquet(src)
+    val inCounts = (0 until 3).map(c =>
+      parquetFiles(s"$src/cat=cat$c").length)
+    assert(inCounts.forall(_ >= 2), s"fixture not fragmented: $inCounts")
+
+    val plans = Compaction.compactPartitioned(spark, src, out, 1L << 30)
+    assert(plans.map(_._1) == Seq("cat=cat0", "cat=cat1", "cat=cat2"))
+    plans.foreach { case (part, pl) =>
+      assert(!pl.shuffles && pl.targetFiles == 1, s"$part: $pl")
+      // zero Exchange in every per-partition plan — the whole point
+      val p = pl.df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$part plan shuffles:\n" + p)
+      assert(parquetFiles(s"$out/${part}").length == 1, part)
+    }
+    // hive layout survives: the partition column still reads back, and
+    // every row is preserved
+    val a = spark.read.parquet(src).select("id", "cat", "payload")
+      .as[(Long, String, String)].collect().toSet
+    val b = spark.read.parquet(out).select("id", "cat", "payload")
+      .as[(Long, String, String)].collect().toSet
+    assert(a == b && a.size == 3000)
+    // and the compacted table still partition-prunes
+    val pruned = spark.read.parquet(out).filter(col("cat") === "cat1")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cat1"),
+      "compacted layout must still prune:\n" + scan.take(2000))
+    assert(pruned.count() == 1000)
+  }
 }
