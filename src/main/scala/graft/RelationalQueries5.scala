@@ -408,6 +408,49 @@ object RelationalQueries5 {
              |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to
              |FROM changes""".stripMargin)),
 
+    // STREAMING SCD2 upsert — q157's streaming twin (the q152→q156
+    // batch/stream pattern): the same per-user validity intervals, but
+    // events arrive as a file stream and merge via
+    // flatMapGroupsWithState with an event-time timeout
+    // (EventStream.scd2Stream). Append emission is watermark-final:
+    // intervals whose valid_to the watermark passed are immutable
+    // facts; the open interval and the raw tail stay in state. Gate =
+    // the q157 oracle RESTRICTED to valid_to < final watermark
+    // (max(ts) − 1 h, the q95 admission-rule discipline).
+    Q("q166_streaming_scd2",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+          .filter(col("user_id").isNotNull && col("user_id") % 50 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val inDir = s"/tmp/graft-scd2-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(e, "event_id", s"$dir/events_scd2")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          e.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => graft.streaming.EventStream.scd2Stream(stream).toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q166_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+             |  FROM events WHERE user_id IS NOT NULL AND user_id % 50 = 0),
+             |wm AS (SELECT max(ts_ms) - 3600000 AS w FROM e),
+             |lagged AS (
+             |  SELECT user_id, event_type, ts_ms, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+             |  FROM e),
+             |changes AS (
+             |  SELECT user_id, event_type, ts_ms, event_id FROM lagged
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |iv AS (
+             |  SELECT user_id, event_type, ts_ms AS valid_from,
+             |    lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to
+             |  FROM changes)
+             |SELECT user_id, event_type, valid_from, valid_to
+             |FROM iv, wm WHERE valid_to < w""".stripMargin)),
+
     // Right-to-be-forgotten propagation: a deletion list (one key
     // column) anti-joined through the foreign-key graph — per table,
     // how many rows the purge removes and how many remain. Counts only

@@ -139,6 +139,79 @@ object EventStream {
       }
   }
 
+  final case class Scd2State(openFromMs: Long, openType: String,
+    buf: Seq[(Long, Long, String)])
+  final case class Scd2Interval(user_id: Long, event_type: String,
+    valid_from: Long, valid_to: Long)
+
+  /** STREAMING SCD2 upsert — q157's streaming twin (the q152→q156
+    * pattern: the batch/stream pair shares one decision rule): per-user
+    * event-type state compressed into validity intervals as the events
+    * ARRIVE, late and out-of-order within the watermark delay included,
+    * via flatMapGroupsWithState with an event-time timeout.
+    *
+    * Finality argument (what makes Append-mode emission correct): only
+    * events with ts ≥ watermark can still arrive, so once the watermark
+    * passes a change-point's timestamp, no admissible event can insert
+    * before it — every buffered event with ts < wm folds IRREVERSIBLY
+    * into the run compression, intervals whose valid_to lands < wm are
+    * immutable facts (emitted exactly once), and the interval left open
+    * at the frontier carries forward in state (its START is final, its
+    * end unknown). Events with ts ≥ wm stay raw in the buffer — state
+    * is bounded by the watermark horizon, the sessionizeEventTime
+    * argument. An event arriving with ts < wm (late beyond the
+    * watermark) is dropped — absorbing it could rewrite an emitted
+    * interval; that is the watermark contract, not data loss.
+    *
+    * Equal-timestamp discipline: ties order by (ts, event_id) — q157's
+    * rule — and an interval closing AT the watermark is NOT emitted
+    * (strict <): an admissible event with ts == wm could still tie-sort
+    * before the closing change and extend the run.
+    *
+    * Batch parity (the q166 gate): emitted intervals equal the q157
+    * batch decomposition restricted to valid_to < final watermark. */
+  def scd2Stream(events: DataFrame,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[Scd2Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Interval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[Scd2State]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(Scd2State(Long.MinValue, null, Seq.empty))
+          // new admissible rows join the raw buffer; late-beyond-wm drop
+          val buffered = st.buf ++ rows
+            .map(r => (r._2.getTime, r._3, r._4)).filter(_._1 >= wm)
+          val sorted = buffered.sortBy(t => (t._1, t._2))
+          // fold the FINAL prefix (ts < wm) into run-compressed intervals
+          val (finalPfx, still) = sorted.partition(_._1 < wm)
+          var openFrom = st.openFromMs
+          var openType = st.openType
+          val out = Seq.newBuilder[Scd2Interval]
+          finalPfx.foreach { case (ms, _, tpe) =>
+            if (openType == null) { openFrom = ms; openType = tpe }
+            else if (tpe != openType) {
+              out += Scd2Interval(user, openType, openFrom, ms)
+              openFrom = ms; openType = tpe
+            } // same type: run collapse, nothing changes
+          }
+          state.update(Scd2State(openFrom, openType, still))
+          // wake when the watermark strictly passes the earliest raw
+          // event — that is the next moment anything new finalizes.
+          // min ts ≥ wm, so min+1 > wm (setTimeoutTimestamp's contract).
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(math.max(still.map(_._1).min + 1, wm + 1))
+          out.result().iterator
+      }
+  }
+
   final case class KmvState(ks: List[Long])
   final case class DistinctEstimate(group: String, kmv_estimate: Double)
 

@@ -207,6 +207,56 @@ class StreamingRecoverySpec extends SparkSuite {
         "phase-1 sketch state was lost across the restart")
   }
 
+  test("SCD2 open interval survives a restart; closed intervals never re-emit") {
+    // base > 0: a row whose event time EQUALS the initial watermark (0)
+    // is dropped by the late-row filter (predicate is ts <= wm) before
+    // the handler sees it — an epoch-0 test artifact, not a real case
+    val base = 1700000000000L
+    def t(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val input = Files.createTempDirectory("scd2-input").toString
+    val out = Files.createTempDirectory("scd2-out").toString
+    val ckpt = Files.createTempDirectory("scd2-ckpt").toString
+    def addFile(name: String,
+        rows: (Long, java.sql.Timestamp, Long, String)*): Unit = {
+      val stage = s"$input-stage"
+      rows.toSeq.toDF("user_id", "ts", "event_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      Paths.get(stage).toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(f =>
+          Files.copy(f.toPath, Paths.get(input, name),
+            StandardCopyOption.REPLACE_EXISTING))
+    }
+    val schema = Seq((1L, t(0), 1L, "a")).toDF(
+      "user_id", "ts", "event_id", "event_type").schema
+    def life(): Unit = drainOnce(input, out, ckpt, schema,
+      df => EventStream.scd2Stream(df, watermarkDelay = "45 minutes").toDF())
+
+    // life 1: user 1 a@0 b@10 b@100 → wm 55: (a,0,10) emits; the open
+    // interval (b, from 10) and the raw b@100 live ONLY in the checkpoint
+    addFile("f1.parquet", (1L, t(0), 1L, "a"), (1L, t(10), 2L, "b"),
+      (1L, t(100), 3L, "b"))
+    life()
+    val after1 = spark.read.parquet(out)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(after1 == Set((1L, "a", base, base + 10L * 60000)), after1.toString)
+
+    // life 2: c@200 a@210 b@300 → wm 255: b@100 must COLLAPSE into the
+    // recovered open (b, from 10) — lost state would emit (b,100,200)
+    // instead of (b,10,200) — then (c,200,210) closes too
+    addFile("f2.parquet", (1L, t(200), 4L, "c"), (1L, t(210), 5L, "a"),
+      (1L, t(300), 6L, "b"))
+    life()
+    val got = spark.read.parquet(out)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == got.distinct.length,
+      "restart produced duplicate interval emissions")
+    assert(got.toSet == Set(
+      (1L, "a", base, base + 10L * 60000),
+      (1L, "b", base + 10L * 60000, base + 200L * 60000),
+      (1L, "c", base + 200L * 60000, base + 210L * 60000)),
+      s"open-interval recovery broken: ${got.toSeq.sortBy(_._3)}")
+  }
+
   test("snapshot stream restart delivers new files only — never re-sends") {
     StreamingRecoverySpec.sendCounts.clear()
     val fixture = "/tmp/graft-fixture-recovery"
