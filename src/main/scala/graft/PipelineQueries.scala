@@ -495,6 +495,48 @@ object PipelineQueries {
       },
       Some(RelationalQueries5.kmvWindowedOracle(16))),
 
+    // STREAMING hash-sample quantiles (Update) — q107's streaming twin,
+    // closing the one batch-only member of the deterministic-sketch
+    // family. A quantile is NOT monotone over arriving rows (unlike the
+    // KMV estimate), so the final state is selected by max_by on the
+    // emitted n_seen counter, not max over emissions. Oracle = q107's
+    // chain verbatim: shared insert kernel + identical nearest-rank
+    // arithmetic ⇒ final stream state equals the batch sample
+    // bit-for-bit.
+    Q("q167_streaming_quantiles",
+      (spark, dir) => {
+        val ups = EventStream.runToCompletion(spark,
+          normalizedEventsDir(spark, dir),
+          df => EventStream.sampleQuantilesStream(spark, df,
+            "event_type", "event_id", "value", 256).toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          s"q167_${math.abs(dir.hashCode)}")
+        ups.groupBy(col("group"))
+          .agg(max_by(struct(col("p50"), col("p90"), col("p99")),
+            col("n_seen")).as("q"))
+          .select(col("group").as("event_type"), col("q.p50").as("p50"),
+            col("q.p90").as("p90"), col("q.p99").as("p99"))
+      },
+      Some(RelationalQueries5.q107Oracle(256))),
+
+    // EVENT-TIME windowed quantiles (Append) — the q133 discipline on
+    // q107's kernel: one immutable k-row sample per (day, event_type),
+    // emitted when the watermark passes the window end. Oracle replays
+    // the sample chain per closed window under the 25-hour admission
+    // rule.
+    Q("q168_windowed_quantiles",
+      (spark, dir) => {
+        EventStream.runToCompletion(spark, normalizedEventsDir(spark, dir),
+          df => EventStream.sampleQuantilesWindowed(df, "event_type",
+            "event_id", "value", Seq(0.5, 0.9, 0.99), 256, "1 day", "1 hour"),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q168_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+          .select(col("window_start").as("day_start"), col("event_type"),
+            col("p50"), col("p90"), col("p99"))
+      },
+      Some(RelationalQueries5.sampleQuantilesWindowedOracle(256))),
+
     // EVENT-TIME windowed HLL (Append): the stream emits final (window,
     // group, register) rows; the estimate folds over them BATCH-side
     // through the hllRaw kernel (chaining a second streaming agg is the

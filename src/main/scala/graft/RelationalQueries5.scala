@@ -896,6 +896,27 @@ object RelationalQueries5 {
        |  END, 4) AS kmv_estimate
        |FROM signedk""".stripMargin
 
+  /** The q168 oracle: the q107 sample chain per CLOSED day window (the
+    * kmvWindowedOracle admission rule — a window is admitted iff
+    * day_start + 25 h ≤ max(ts)). */
+  private[graft] def sampleQuantilesWindowedOracle(k: Int): String = {
+    def sel(q: String): String =
+      s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |base AS (SELECT date_trunc('day', ts) AS day_start, event_type, event_id,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events, mx
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL AND $windowAdmitted),
+       |${mix64Stages("base", Seq("day_start", "event_type", "v"), "CAST(event_id AS HUGEINT)", signedOut = true)},
+       |ranked AS (SELECT day_start, event_type, v,
+       |  ROW_NUMBER() OVER (PARTITION BY day_start, event_type ORDER BY h) AS rk FROM mixed),
+       |samp AS (SELECT day_start, event_type, list(v ORDER BY v) AS sorted, count(*) AS n
+       |  FROM ranked WHERE rk <= $k GROUP BY 1, 2)
+       |SELECT day_start, event_type, ${sel("0.5")} AS p50, ${sel("0.9")} AS p90,
+       |  ${sel("0.99")} AS p99
+       |FROM samp""".stripMargin
+  }
+
   /** The q141 oracle: deterministic hash-Bernoulli sampling replayed —
     * mix64(doc_id) through the shared stage chain (signed out), the
     * identical signed→double→+2^64 fraction sequence, and the same
@@ -1292,7 +1313,10 @@ object RelationalQueries5 {
     * signed-order bottom-k rank (the aggregator compares signed longs),
     * value-sorted sample list, nearest-rank selection with the identical
     * floor/index arithmetic. */
-  private def q107Oracle(k: Int): String = {
+  /** package-visible: also the q167 STREAMING-quantiles gate — the
+    * stream's final state must equal the batch sample bit-for-bit
+    * (shared insert kernel, inserts commute). */
+  private[graft] def q107Oracle(k: Int): String = {
     def sel(q: String): String =
       s"sorted[CAST(floor($q * (n - 1)) AS INT) + 1]"
     s"""WITH base AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events

@@ -385,16 +385,20 @@ object Sketches {
       .agg(BottomKAggregator.bottom_k_sample(k)(col("_h"), col("_v"))
         .as("_sample"))
       .withColumn("_sorted", sort_array(col("_sample")))
-    val quantCols = qs.map { q =>
-      // floor(q·(n−1)) in double, +1 for 1-based element_at — the oracle
-      // performs the identical sequence
-      val idx = floor(lit(q) * (size(col("_sorted")) - 1)).cast("int") + 1
-      // exact decimal label: p50, p99, p99_9, p12_5 — rounding would
-      // collide 0.99 with 0.994 and mislabel fractional percentiles
+    sampled.select(col(groupCol) +: quantileCols(col("_sorted"), qs): _*)
+  }
+
+  /** Nearest-rank selection columns over a sorted sample array — shared
+    * by the batch ([[sampleQuantiles]]), windowed and streaming forms so
+    * the index arithmetic can never diverge. floor(q·(n−1)) in double,
+    * +1 for 1-based element_at — the oracle performs the identical
+    * sequence. Labels are exact decimals (p50, p99, p99_9, p12_5):
+    * rounding would collide 0.99 with 0.994. */
+  private[graft] def quantileCols(sorted: Column, qs: Seq[Double]): Seq[Column] =
+    qs.map { q =>
+      val idx = floor(lit(q) * (size(sorted) - 1)).cast("int") + 1
       val label = "p" + BigDecimal(q.toString).*(100)
         .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
-      element_at(col("_sorted"), idx).as(label)
+      element_at(sorted, idx).as(label)
     }
-    sampled.select(col(groupCol) +: quantCols: _*)
-  }
 }

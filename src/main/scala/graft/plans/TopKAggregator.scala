@@ -82,6 +82,17 @@ object BottomKAggregator {
 
   final case class HashedValue(h: Long, v: Double)
 
+  /** The sample-insert kernel, shared with the STREAMING quantile state
+    * (EventStream.sampleQuantilesStream) — one insert definition, so
+    * batch aggregation and stream state can never diverge (the
+    * [[insert]]/kmv discipline). */
+  private[graft] def insertSample(buf: List[HashedValue], a: HashedValue,
+      k: Int): List[HashedValue] = {
+    val (lt, rest) = buf.span(_.h < a.h)
+    if (rest.headOption.exists(_.h == a.h)) buf
+    else (lt ::: a :: rest).take(k)
+  }
+
   /** Bottom-k ROWS by hash, carrying a payload value — the deterministic
     * uniform-sample state for [[graft.operators.Sketches.sampleQuantiles]]:
     * keep the k rows whose (unique-id) hashes are smallest, return their
@@ -89,11 +100,8 @@ object BottomKAggregator {
     * is a bijection), so a retried row can't enter the sample twice. */
   class BottomKSample(k: Int)
     extends Aggregator[HashedValue, List[HashedValue], Seq[Double]] {
-    private def insert(buf: List[HashedValue], a: HashedValue): List[HashedValue] = {
-      val (lt, rest) = buf.span(_.h < a.h)
-      if (rest.headOption.exists(_.h == a.h)) buf
-      else (lt ::: a :: rest).take(k)
-    }
+    private def insert(buf: List[HashedValue], a: HashedValue): List[HashedValue] =
+      insertSample(buf, a, k)
     override def zero: List[HashedValue] = Nil
     override def reduce(b: List[HashedValue], a: HashedValue): List[HashedValue] =
       insert(b, a)

@@ -139,6 +139,76 @@ object EventStream {
       }
   }
 
+  final case class QuantileState(n: Long,
+    sample: List[graft.plans.BottomKAggregator.HashedValue])
+  final case class QuantileUpdate(group: String, n_seen: Long,
+    p50: Double, p90: Double, p99: Double)
+
+  /** STREAMING hash-sample quantiles (Update mode) — q107's streaming
+    * twin, completing the deterministic-sketch family's batch/stream
+    * pairing (KMV q106→q115, HLL q120→q122, CM q123→q127, Bloom
+    * q119→q129; quantiles were the one batch-only member). Per-group
+    * state is the bottom-k row sample itself (k (hash, value) pairs,
+    * bounded), folded with the SAME insert kernel as the batch
+    * aggregator ([[graft.plans.BottomKAggregator.insertSample]] — one
+    * definition, so batch and stream can never diverge), and the
+    * nearest-rank selection is the identical floor(q·(n−1)) arithmetic.
+    *
+    * Unlike KMV, a quantile is NOT monotone over arriving rows — max
+    * over Update emissions is meaningless. Each emission therefore
+    * carries n_seen (accepted-row count, strictly monotone), and the
+    * FINAL state is the row with max n_seen per group (the q167 gate
+    * takes max_by). */
+  def sampleQuantilesStream(spark: SparkSession, df: DataFrame,
+      groupCol: String, idCol: String, valueCol: String,
+      k: Int = 256): org.apache.spark.sql.Dataset[QuantileUpdate] = {
+    import spark.implicits._
+    import graft.plans.BottomKAggregator.{HashedValue, insertSample}
+    val h = graft.operators.Sketches.hashInput(df, idCol)
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), h.as("h"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[QuantileState, QuantileUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (group, rows, state: GroupState[QuantileState]) =>
+          val st = state.getOption.getOrElse(QuantileState(0L, Nil))
+          var n = st.n
+          val merged = rows.foldLeft(st.sample) { (buf, r) =>
+            n += 1; insertSample(buf, HashedValue(r._2, r._3), k)
+          }
+          state.update(QuantileState(n, merged))
+          val sorted = merged.map(_.v).sorted.toIndexedSeq
+          def sel(q: Double): Double =
+            sorted(math.floor(q * (sorted.size - 1)).toInt)
+          QuantileUpdate(group, n, sel(0.5), sel(0.9), sel(0.99))
+      }
+  }
+
+  /** EVENT-TIME windowed hash-sample quantiles (Append): one immutable
+    * per-(window, group) sample, emitted when the watermark passes the
+    * window end — the q133 discipline applied to q107's kernel. ONE
+    * stateful aggregation whose state is the k-row sample; sample
+    * inserts commute (distinct-by-hash bottom-k), so the emitted window
+    * equals the batch sample over exactly the admitted rows. */
+  def sampleQuantilesWindowed(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, qs: Seq[Double], k: Int = 256,
+      windowDuration: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val h = graft.operators.Sketches.hashInput(df, idCol)
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col(groupCol), h.as("_h"),
+        col(valueCol).cast("double").as("_v"))
+      .groupBy(window(col("ts"), windowDuration).as("_w"), col(groupCol))
+      .agg(graft.plans.BottomKAggregator.bottom_k_sample(k)(
+        col("_h"), col("_v")).as("_sample"))
+      .withColumn("_sorted", sort_array(col("_sample")))
+      .select(col("_w.start").as("window_start") +: col(groupCol) +:
+        graft.operators.Sketches.quantileCols(col("_sorted"), qs): _*)
+  }
+
   final case class Scd2State(openFromMs: Long, openType: String,
     buf: Seq[(Long, Long, String)])
   final case class Scd2Interval(user_id: Long, event_type: String,

@@ -171,6 +171,41 @@ class SketchesSpec extends SparkSuite {
       s"stream $got != batch $expected — sketch merge must commute")
   }
 
+  test("streaming quantiles == batch quantiles bit-for-bit, across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // (group, unique id, value): ids are the sample key, values skewed
+    val all = (0L until 3000L).map(i => (s"g${i % 3}", i, (i * i % 997).toDouble))
+    val batchDf = all.toDF("grp", "id", "v")
+    val expected = Sketches.sampleQuantiles(batchDf, "grp", "id", "v",
+        Seq(0.5, 0.9, 0.99), k = 64)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    val ms = MemoryStream[(String, Long, Double)](spark)
+    val q = graft.streaming.EventStream
+      .sampleQuantilesStream(spark, ms.toDF().toDF("grp", "id", "v"),
+        "grp", "id", "v", k = 64)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("quant_stream").start()
+    try {
+      // uneven batches, the second overlapping the first: a re-seen id
+      // must not re-enter the sample (distinct-by-hash state)
+      ms.addData(all.take(1000): _*); q.processAllAvailable()
+      ms.addData(all.slice(500, 2200): _*); q.processAllAvailable()
+      ms.addData(all.drop(2200): _*); q.processAllAvailable()
+    } finally q.stop()
+    // quantiles are NOT monotone — the final state is the emission with
+    // the max accepted-row counter, exactly the q167 selection rule
+    val got = spark.table("quant_stream")
+      .groupBy(col("group"))
+      .agg(max_by(struct(col("p50"), col("p90"), col("p99")),
+        col("n_seen")).as("q"))
+      .select(col("group"), col("q.p50"), col("q.p90"), col("q.p99"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expected, s"stream $got != batch $expected")
+  }
+
   test("STRING-keyed streaming KMV == batch KMV bit-for-bit (shared hash dispatch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // pre-fix regression shape: a string value column used to null-cast
