@@ -686,15 +686,19 @@ object SimilarityQueries {
     // LSH literal dedup — k-means cells, intra-cell cosine ≥ 0.95 pairs,
     // keep-lowest-id verdicts. Runs on the doubled corpus (+100000 exact
     // copies) so every vector provably has a semantic dup in its own
-    // cell. Oracle replays fit + assignment + pair verdicts end-to-end.
+    // cell. nCells = 64, not the IVF default 16: SemDeDup's own recipe
+    // scales cell count with the corpus, and the intra-cell quadratic
+    // term is the whole cost (16 cells over the 4k doubled corpus is
+    // ~250/cell = 500k scored pairs; 64 cells cuts that 16×).
+    // Oracle replays fit + assignment + pair verdicts end-to-end.
     Q("q162_semantic_dedup",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
         val doubledCorpus = e.unionByName(
           e.withColumn("vec_id", col("vec_id") + 100000L))
-        Similarity.semanticDedup(doubledCorpus, 0.95)
+        Similarity.semanticDedup(doubledCorpus, 0.95, nCells = 64)
       },
-      Some(q162Oracle(threshold = 0.95, nCells = 16, maxIter = 10))),
+      Some(q162Oracle(threshold = 0.95, nCells = 64, maxIter = 10))),
 
     // Vector statistics: norms per label (higher-order fns, no UDF).
     Q("q43_embedding_stats",

@@ -146,10 +146,22 @@ object Dedup {
     * one day's batch. The join touches only buckets the batch hits. */
   def incrementalLshPairs(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val bandsE = bandTable(existing, idCol, textCol, shingleSize, numHashes, bands)
+      numHashes: Int = 128, bands: Int = 32): DataFrame =
+    incrementalLshPairsFromIndex(
+      bandTable(existing, idCol, textCol, shingleSize, numHashes, bands),
+      incoming, idCol, textCol, shingleSize, numHashes, bands)
+
+  /** The production form of [[incrementalLshPairs]]: the existing side
+    * is the SAVED per-epoch band index (id, band, bucket) — written once
+    * by [[bandTable]] (bucketize on (band, bucket) at scale), so a daily
+    * batch never re-shingles or re-hashes the corpus. */
+  def incrementalLshPairsFromIndex(existingBands: DataFrame,
+      incoming: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
     val bandsI = bandTable(incoming, idCol, textCol, shingleSize, numHashes, bands)
-    val all = bandsE.unionByName(bandsI)
+    val all = existingBands.select(col("id"), col("band"), col("bucket"))
+      .unionByName(bandsI)
       .select(col("band"), col("bucket"), col("id").as("other"))
     bandsI.join(all, Seq("band", "bucket"))
       .filter(col("id") =!= col("other"))

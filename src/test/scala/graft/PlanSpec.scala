@@ -169,6 +169,25 @@ class PlanSpec extends SparkSuite {
       "ADC top-k must not fall back to a window sort:\n" + p.take(3000))
   }
 
+  test("q162: semantic dedup pairs are cell-bucketed, never a cross product") {
+    // the SemDeDup quadratic term must stay bounded by the largest cell:
+    // the pair stage is an equi-join on cell — a regression to a
+    // cartesian/nested-loop would score all n² pairs
+    val p = plan("q162_semantic_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "intra-cell pairs must come from an equi-join on cell:\n" + p.take(3000))
+  }
+
+  test("q161: incremental-groups relabel map broadcasts against the registry") {
+    // the touched-groups relabel map is batch-bounded — joining it
+    // against the corpus-sized registry must be a broadcast, never a
+    // shuffle of the registry on groupId
+    val p = plan("q161_incremental_groups")
+    assert(p.contains("BroadcastHashJoin"),
+      "relabel join must broadcast the touched-groups map:\n" + p.take(3000))
+  }
+
   test("q150: packing plans one exchange per shard window, no global sort") {
     val p = plan("q150_bpe_packing")
     // window partitioned by shard → hashpartitioning(shard); a GLOBAL
