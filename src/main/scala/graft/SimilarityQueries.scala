@@ -234,6 +234,52 @@ object SimilarityQueries {
       .toString
   }
 
+  /** q170's oracle: the q42 fit/assign chain over the EXISTING corpus,
+    * then the incoming batch (exact copies at +200000, first-component-
+    * flipped variants at +300000) assigned to the fitted cells with the
+    * same rk=1 selection, intra-cell cosine verdicts at ≥ threshold,
+    * distinct-match counts. Float-negate-then-widen equals
+    * widen-then-negate, so building the flipped vector in DOUBLE here
+    * matches the Spark float construction exactly. */
+  private def q170Oracle(threshold: Double, nCells: Int,
+      maxIter: Int): String = {
+    val d2inc =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(i.iv, c.c), " +
+        "s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), (a,b) -> a + b)"
+    kmeansAssignCtes(defaultPtsSql, nCells, maxIter).append(
+      s""",
+         |incraw AS (
+         |  SELECT vec_id + 200000 AS iid, CAST(embedding AS DOUBLE[]) AS iv
+         |  FROM embeddings WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 300000, list_transform(generate_series(1, 64),
+         |    i -> CASE WHEN i = 1 THEN -CAST(embedding[1] AS DOUBLE)
+         |      ELSE CAST(embedding[i] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id % 3 = 1),
+         |inc AS (
+         |  SELECT iid, iv, sqrt(list_dot_product(iv, iv)) AS inrm FROM incraw
+         |  WHERE sqrt(list_dot_product(iv, iv)) > 0),
+         |incassign AS (
+         |  SELECT iid, iv, inrm, cidx AS cell FROM (
+         |    SELECT i.iid, i.iv, i.inrm, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY i.iid ORDER BY $d2inc, c.cidx) AS rk
+         |    FROM inc i CROSS JOIN finalcent c) WHERE rk = 1),
+         |pairs170 AS (
+         |  SELECT ia.iid, a.vid,
+         |    list_dot_product(ia.iv, CAST(p.v AS DOUBLE[])) / (ia.inrm * p.nrm) AS sim
+         |  FROM incassign ia JOIN afinal a ON a.cell = ia.cell
+         |  JOIN pts p ON p.vid = a.vid),
+         |cnt AS (SELECT iid, count(DISTINCT vid) AS n FROM pairs170
+         |  WHERE sim >= $threshold GROUP BY 1),
+         |incids AS (
+         |  SELECT vec_id + 200000 AS iid FROM embeddings WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 300000 FROM embeddings WHERE vec_id % 3 = 1)
+         |SELECT i.iid AS in_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_sem_dups
+         |FROM incids i LEFT JOIN cnt c ON c.iid = i.iid""".stripMargin)
+      .toString
+  }
+
   /** q111's oracle: the full q42 IVF chain, the brute-force truth from
     * the SAME `pts`/`q` CTEs (q40's arithmetic), and recall@k as a
     * left join of truth against the probe-limited approximate set. */
@@ -699,6 +745,44 @@ object SimilarityQueries {
         Similarity.semanticDedup(doubledCorpus, 0.95, nCells = 64)
       },
       Some(q162Oracle(threshold = 0.95, nCells = 64, maxIter = 10))),
+
+    // STREAMING semantic dedup — the q152→q156 pattern applied to q162:
+    // the incoming batch arrives as a file stream, assigns to the
+    // EXISTING corpus's saved cell index (stateless UDF — centers fit
+    // once, batch side), stream-static-joins only its cell's members,
+    // and one Complete-mode collect_set aggregation yields per-incoming
+    // semantic-dup counts. Incoming = exact copies (%3==0, +200000,
+    // cosine 1 with their source) and first-component-flipped variants
+    // (%3==1, +300000 — cosine usually ≥0.95 but cell assignment can
+    // move, both decided deterministically and oracle-replayed).
+    Q("q170_streaming_semantic_dedup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val flipped = concat(
+          array((-element_at(col("embedding"), 1)).cast("float")),
+          expr("slice(embedding, 2, size(embedding) - 1)"))
+        val incoming = e.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+          .unionByName(e.filter(col("vec_id") % 3 === 1)
+            .select((col("vec_id") + 300000L).as("vec_id"),
+              flipped.as("embedding")))
+        val inDir = s"/tmp/graft-semstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(e, "vec_id", s"$dir/embeddings_semstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        val (index, centers) = Similarity.semanticIndex(e)
+        val members = index.localCheckpoint(true) // static side, computed once
+        val matches = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => Similarity.semanticDupMatches(stream, members, centers, 0.95),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q170_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        incoming.select(col("vec_id").as("in_id"))
+          .join(matches, Seq("in_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"))
+      },
+      Some(q170Oracle(threshold = 0.95, nCells = 16, maxIter = 10))),
 
     // Vector statistics: norms per label (higher-order fns, no UDF).
     Q("q43_embedding_stats",

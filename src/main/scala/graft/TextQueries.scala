@@ -461,6 +461,53 @@ object TextQueries {
       },
       Some(incrementalDedupOracle)),
 
+    // Incremental LSH dedup under a HOT-BUCKET CAP (maxBucket = 4) —
+    // the guard that keeps LSH sub-quadratic on adversarial data: the
+    // incoming batch carries FIVE extra copies of doc 0 (a crawler
+    // re-fetching one page), so every one of doc 0's band buckets holds
+    // 7 members (0, its +10000 copy, the five 40000s) and is skipped
+    // entirely; its copies correctly report 0 LSH matches (the
+    // documented trade — exact-hash dedup still catches them), while
+    // all cold buckets behave exactly as q152. The oracle replays the
+    // bucket histogram and the cap itself.
+    Q("q169_capped_incremental_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val hotCopies = d.filter(col("doc_id") === 0)
+          .select(explode(sequence(lit(0L), lit(4L))).as("g"), col("text"))
+          .select((lit(40000L) + col("g")).as("doc_id"), col("text"))
+        Dedup.incrementalLshMatchesCapped(d,
+          incomingBatch(d).unionByName(hotCopies), "doc_id", "text",
+          maxBucket = 4)
+      },
+      Some(lshBandCtes(
+        """SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL SELECT doc_id + 20000, text || ' graft incremental probe words'
+           |    FROM documents WHERE doc_id % 3 = 1
+           |  UNION ALL SELECT 40000 + g, text FROM documents, generate_series(0, 4) s(g)
+           |    WHERE doc_id = 0""".stripMargin) +
+        """,
+           |bsizes AS (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2),
+           |cold AS (
+           |  SELECT b.id, b.band, b.key
+           |  FROM banded b JOIN bsizes s ON s.band = b.band AND s.key = b.key
+           |  WHERE s.n <= 4),
+           |matches AS (
+           |  SELECT b.id AS in_id, count(DISTINCT a.id) AS n_matches
+           |  FROM cold a JOIN cold b ON a.band = b.band AND a.key = b.key
+           |  WHERE a.id < 10000 AND b.id >= 10000 GROUP BY 1),
+           |inc AS (
+           |  SELECT doc_id + 10000 AS in_id FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000 FROM documents WHERE doc_id % 3 = 1
+           |  UNION ALL
+           |  SELECT 40000 + g FROM documents, generate_series(0, 4) s(g)
+           |    WHERE doc_id = 0)
+           |SELECT i.in_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+           |FROM inc i LEFT JOIN matches m ON m.in_id = i.in_id""".stripMargin)),
+
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays
     // fnv1a64 per token (HUGEINT fold mod 2^64; corpus is ASCII so

@@ -170,6 +170,46 @@ object Dedup {
       .distinct()
   }
 
+  /** [[incrementalLshMatches]] with a HOT-BUCKET CAP — the guard that
+    * keeps LSH dedup sub-quadratic on adversarial data: a degenerate
+    * band bucket (boilerplate shingles, a crawler fetching one page a
+    * million times) holds B members and contributes B² candidate pairs;
+    * at 100 TB one such bucket is the whole job's cost. Buckets whose
+    * TOTAL membership (index ∪ batch) exceeds `maxBucket` are skipped
+    * entirely — the standard trade: a doc whose every bucket is hot
+    * reports fewer (possibly zero) matches through LSH and must be
+    * routed to exact dedup (its content hash still catches identical
+    * copies). The bucket histogram is one map-side-combining aggregate
+    * on the ~24-byte band rows — exactly what a production job computes
+    * anyway to monitor bucket skew.
+    *
+    * Returns (in_id, n_matches) — q152's shape under the cap. */
+  def incrementalLshMatchesCapped(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, maxBucket: Int,
+      shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(maxBucket >= 2, s"a bucket needs 2 members to pair: $maxBucket")
+    val bandsE = bandTable(existing, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("ex_id"))
+    val bandsI = bandTable(incoming, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("in_id"))
+    val cold = bandsE.select(col("band"), col("bucket"))
+      .unionByName(bandsI.select(col("band"), col("bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val matches = bandsI.join(cold, Seq("band", "bucket"), "left_semi")
+      .join(bandsE.join(cold, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
+      .groupBy(col("in_id"))
+      .agg(countDistinct(col("ex_id")).as("n_matches"))
+    incoming.select(col(idCol).as("in_id"))
+      .join(matches, Seq("in_id"), "left")
+      .select(col("in_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole blocking: split the 64-bit fingerprint into

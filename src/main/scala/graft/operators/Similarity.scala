@@ -217,6 +217,55 @@ object Similarity {
       .select(col("idA"), col("idB"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Public fit+assign for the INDEX side of incremental/streaming
+    * semantic dedup: the assigned corpus (nid, nv, nnorm, cell) plus
+    * the centers — saved once per epoch, so a daily batch assigns and
+    * compares without refitting (the band-index discipline of
+    * [[Dedup.incrementalLshPairsFromIndex]] in embedding space). */
+  def semanticIndex(corpus: DataFrame, nCells: Int = 16, maxIter: Int = 10,
+      maxTrainRows: Long = 100000L): (DataFrame, Array[Array[Double]]) =
+    fitAssign(corpus, nCells, maxIter, maxTrainRows)
+
+  /** Assign a batch to an EXISTING index's cells — stateless per row,
+    * so it works on a streaming frame (the q170 stream-static form).
+    * Zero-norm/null/wrong-dim rows are dropped, as in [[fitAssign]]. */
+  def assignToCells(batch: DataFrame,
+      centers: Array[Array[Double]]): DataFrame = {
+    val spark = batch.sparkSession
+    val dim = centers(0).length
+    val bc = spark.sparkContext.broadcast(centers)
+    val nearest = udf((v: Seq[Float]) =>
+      if (v == null || v.length != dim) None
+      else Some(LocalKMeans.nearestDouble(v, bc.value)))
+    batch.withColumn("vnorm", normFast(col("embedding")))
+      .filter(col("vnorm") > 0)
+      .withColumn("cell", nearest(col("embedding")))
+      .filter(col("cell").isNotNull)
+  }
+
+  /** Per-incoming semantic-dup verdicts against a saved index: assign
+    * to cells, join ONLY that cell's members, count distinct matches at
+    * cosine ≥ threshold. `batch` may be a streaming frame — assignment
+    * is stateless, the member join is stream-static, and the one
+    * stateful operator is the final aggregation (collect_set, not
+    * countDistinct — the latter is unsupported in streaming; per-key
+    * state is the incoming doc's match set, bounded by its dup degree).
+    * @return (in_id, n_sem_dups) for every assigned incoming row */
+  def semanticDupMatches(batch: DataFrame, index: DataFrame,
+      centers: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = assignToCells(batch, centers)
+      .select(col("vec_id").as("in_id"), col("embedding").as("iv"),
+        col("vnorm").as("inorm"), col("cell"))
+    val members = index.select(col("cell"), col("nid"), col("nv"),
+      col("nnorm"))
+    assigned.join(members, Seq("cell"))
+      .withColumn("sim",
+        cosinePre(dotFast(col("iv"), col("nv")), col("inorm"), col("nnorm")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("in_id"))
+      .agg(size(collect_set(col("nid"))).cast("long").as("n_sem_dups"))
+  }
+
   /** Semantic dedup (the SemDeDup shape: Abbas et al. 2023,
     * arXiv:2303.09540): LSH catches near-LITERAL duplicates; this is the
     * standard second pass that removes semantic duplicates in embedding
