@@ -276,6 +276,47 @@ object BpeQueries {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM offs GROUP BY 1, 2""".stripMargin)),
 
+    // Token-ID encoding: the form a tokenized corpus is actually STORED
+    // in — a deterministic vocabulary (subwords ranked by corpus
+    // frequency DESC, token ASC) maps the q142 stream to int ids. The
+    // vocabulary is BOUNDED (≤ distinct subwords ≈ vocab cap + merges),
+    // so its global ranking window and the broadcast id-map are
+    // constant-size at any corpus scale; the encode side stays a narrow
+    // per-doc pass. Gate hashes a position-weighted id sum per doc —
+    // one wrong id or one shifted position breaks it. Oracle extends
+    // the full fit+encode replay with the ranked vocab join.
+    Q("q171_bpe_token_ids",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        val toks = graft.operators.OperatorCaches.track(
+          d.select(col("doc_id"),
+            posexplode(Bpe.encodeCol(col("text"), model))
+              .as(Seq("pos", "tok"))).persist())
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .withColumn("id",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .select(col("tok"), col("id"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("id").cast("long") * (col("pos") + 1)).as("id_weighted_sum"),
+            min(col("id")).cast("long").as("min_id"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |btoks AS (SELECT doc_id, bt[i] AS tok, i
+             |  FROM per, unnest(generate_series(1, len(bt))) AS s(i)),
+             |tcounts AS (SELECT tok, count(*) AS c FROM btoks GROUP BY tok),
+             |tvocab AS (SELECT tok,
+             |  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM tcounts)
+             |SELECT b.doc_id, count(*) AS n_tok,
+             |  CAST(sum(v.id * b.i) AS BIGINT) AS id_weighted_sum,
+             |  CAST(min(v.id) AS BIGINT) AS min_id
+             |FROM btoks b JOIN tvocab v USING (tok)
+             |GROUP BY b.doc_id""".stripMargin)),
+
     // BPE decode round-trip: the property every tokenized-corpus writer
     // relies on. The MARKED stream (Bpe.encodeTextMarked — word-initial
     // subwords carry the ▁ marker, the SentencePiece convention; the
