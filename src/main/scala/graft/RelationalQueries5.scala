@@ -1163,7 +1163,9 @@ object RelationalQueries5 {
     * unicode('') is -1 — a bogus "byte" the JVM fold never sees (fnv1a64
     * of "" is the untouched offset basis); list_filter drops it (non-
     * empty splits never contain ''). */
-  private def fnvFold(colExpr: String): String =
+  /** package-visible: q109/q125's string-key fold, and q172's
+    * per-window fold (the substring-dedup oracle). */
+  private[graft] def fnvFold(colExpr: String): String =
     s"""list_reduce(
        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |      list_transform(list_filter(string_split($colExpr, ''), c -> c <> ''),

@@ -508,6 +508,63 @@ object TextQueries {
            |SELECT i.in_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
            |FROM inc i LEFT JOIN matches m ON m.in_id = i.in_id""".stripMargin)),
 
+    // Substring-level duplication (Lee et al. 2022's exact-substring
+    // dedup, alignment-free windowed form): content-defined anchors
+    // (fnv of a 4-char gate ≡ 0 mod 16) place 64-char windows at the
+    // same RELATIVE positions in any two copies of a span regardless of
+    // offset; cross-doc hash equality marks the duplicated substrings.
+    // Corpus plants the three regimes: %4==0 docs get a full copy
+    // (dup_frac 1.0 both sides), %4==1 docs get their FIRST HALF as a
+    // new doc (partial duplication — the original's early windows dup,
+    // its late ones don't), the rest show only natural repeats. Oracle
+    // replays per-position gate folds and per-anchor window folds over
+    // a per-doc char-code list.
+    Q("q172_substring_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d
+          .unionByName(d.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+          .unionByName(d.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              substring(col("text"), lit(1), (length(col("text")) / 2)
+                .cast("int")).as("text")))
+        Dedup.duplicatedSubstrings(corpus, "doc_id", "text")
+      },
+      Some {
+        def fold(slice: String): String =
+          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+             |    (h, b) -> ((h - (h % 256) +
+             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0
+           |  UNION ALL SELECT doc_id + 20000, substr(text, 1, length(text) // 2)
+           |    FROM documents WHERE doc_id % 4 = 1),
+           |codes AS MATERIALIZED (
+           |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+           |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+           |      ELSE CAST(error('non-ASCII byte in q172 oracle — JVM kernel folds UTF-8 bytes') AS HUGEINT) END) AS cs
+           |  FROM corpus WHERE text IS NOT NULL),
+           |pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
+           |  FROM codes WHERE len(cs) >= 64),
+           |wins AS MATERIALIZED (
+           |  SELECT id, ${fold("cs[i:i+63]")} AS h
+           |  FROM pos WHERE ${fold("cs[i:i+3]")} % 16 = 0),
+           |duph AS (SELECT h FROM (
+           |  SELECT h, count(DISTINCT id) AS nd FROM wins GROUP BY h) WHERE nd >= 2),
+           |nw AS (SELECT id, count(*) AS n_windows FROM wins GROUP BY id),
+           |ndp AS (SELECT id, count(*) AS n_dup FROM wins
+           |  WHERE h IN (SELECT h FROM duph) GROUP BY id)
+           |SELECT c.id, CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(ndp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           |  round(CASE WHEN coalesce(nw.n_windows, 0) = 0 THEN 0.0
+           |    ELSE CAST(coalesce(ndp.n_dup, 0) AS DOUBLE) / nw.n_windows END, 6) AS dup_frac
+           |FROM corpus c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
+      }),
+
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays
     // fnv1a64 per token (HUGEINT fold mod 2^64; corpus is ASCII so

@@ -250,6 +250,46 @@ object TextFunctions {
   def allShinglesCol(text: Column, n: Int): Column =
     allShinglesUdf(text, lit(n))
 
+  /** Content-defined duplicated-substring windows (the Lee et al. 2022
+    * "Deduplicating Training Data" op in windowed form): a position i
+    * anchors iff fnv1a64 of its `gate`-char prefix ≡ 0 (mod `modulo`) —
+    * the winnowing idea, so anchor positions are a function of CONTENT,
+    * not absolute offset, and a span duplicated at DIFFERENT offsets in
+    * two documents anchors at the same relative positions in both
+    * (fixed-stride windows would only match offset-aligned copies).
+    * Each anchored window's fnv1a64 is emitted; cross-doc hash equality
+    * marks duplicated substrings.
+    *
+    * Recall is probabilistic in span length — a duplicated span of
+    * length L ≥ window carries an anchor with prob 1 − (1−1/modulo)^
+    * (L−window+1) (≈95% at L = window + 3·modulo) — precision is exact
+    * up to 64-bit hash collision. Expected windows per char = 1/modulo,
+    * so cost matches stride-`modulo` windowing. The exact-all-positions
+    * form is modulo = 1 (Lee et al.'s suffix array replaces the ×window
+    * hashing cost, at the price of global sorts — this form is the
+    * shuffle-on-small-keys shape). */
+  def anchoredWindowHashes(text: String, window: Int, gate: Int,
+      modulo: Int): Array[Long] = {
+    if (text == null || text.length < window) return Array.empty[Long]
+    val out = Array.newBuilder[Long]
+    var i = 0
+    val max = text.length - window
+    while (i <= max) {
+      if (java.lang.Long.remainderUnsigned(
+          fnv1a64(text.substring(i, i + gate)), modulo) == 0L)
+        out += fnv1a64(text.substring(i, i + window))
+      i += 1
+    }
+    out.result()
+  }
+
+  private val anchoredWindowsUdf =
+    udf((t: String, w: Int, g: Int, m: Int) => anchoredWindowHashes(t, w, g, m))
+
+  def anchoredWindowHashesCol(text: Column, window: Int, gate: Int,
+      modulo: Int): Column =
+    anchoredWindowsUdf(text, lit(window), lit(gate), lit(modulo))
+
   /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes.
     * Null token list (null text upstream) → 0L fingerprint. */
   def simhash64(toks: Seq[String]): Long = {

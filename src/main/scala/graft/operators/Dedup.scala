@@ -210,6 +210,44 @@ object Dedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  /** Substring-level duplication profile (the Lee et al. 2022 exact-
+    * substring dedup, in the alignment-free windowed form of
+    * [[graft.functions.TextFunctions.anchoredWindowHashes]]): per doc,
+    * how many of its content-anchored windows also occur in ANOTHER
+    * doc. Downstream policy chooses what to do (drop the doc, cut the
+    * span, keep one copy) — this operator owns the detection.
+    *
+    * Scale shape: narrow per-doc kernel → shuffle of (id, hash64) rows
+    * only → one countDistinct per hash + one semi-join. No text ever
+    * shuffles; the quadratic term is bounded per duplicated hash, and a
+    * pathological boilerplate hash (every doc shares a header) is a
+    * skew key to salt or cap exactly like the LSH hot buckets (q169).
+    *
+    * @return per corpus doc: (id, n_windows, n_dup_windows, dup_frac) */
+  def duplicatedSubstrings(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int = 64, gate: Int = 4,
+      modulo: Int = 16): DataFrame = {
+    import graft.functions.TextFunctions
+    val wins = OperatorCaches.track(corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.anchoredWindowHashesCol(col(textCol),
+        window, gate, modulo)).as("h")).persist())
+    val dupH = wins.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val nWin = wins.groupBy(col("id")).agg(count(lit(1)).as("n_windows"))
+    val nDup = wins.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
+    corpus.select(col(idCol).as("id"))
+      .join(nWin, Seq("id"), "left")
+      .join(nDup, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac", when(col("n_windows") === 0, lit(0.0))
+        .otherwise(round(col("n_dup_windows").cast("double")
+          / col("n_windows"), 6)))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole blocking: split the 64-bit fingerprint into

@@ -72,6 +72,28 @@ class DedupSpec extends SparkSuite {
     assert(hashes.count() == 4) // sha256 treats all four as distinct
   }
 
+  test("anchored windows find a duplicated span at DIFFERENT offsets") {
+    // prefix lengths 9 vs 30: offset difference 21 ≢ 0 (mod 16), so
+    // fixed-stride-16 windows of the shared span NEVER align across the
+    // two docs — content-defined anchoring must still match them
+    val span = "the quick brown fox jumps over the lazy dog repeatedly and often " * 3
+    val a = ("x" * 9) + span + " suffix one"
+    val b = ("y" * 30) + span + " a different tail"
+    val ha = TextFunctions.anchoredWindowHashes(a, 64, 4, 16).toSet
+    val hb = TextFunctions.anchoredWindowHashes(b, 64, 4, 16).toSet
+    assert((ha intersect hb).nonEmpty,
+      "shared span must anchor at the same content positions in both docs")
+    def stride(t: String): Set[Long] =
+      (0 to t.length - 64 by 16)
+        .map(i => TextFunctions.fnv1a64(t.substring(i, i + 64))).toSet
+    assert((stride(a) intersect stride(b)).isEmpty,
+      "fixed-stride windows at unaligned offsets must miss — the case " +
+        "content anchoring exists for")
+    // degenerate inputs
+    assert(TextFunctions.anchoredWindowHashes(null, 64, 4, 16).isEmpty)
+    assert(TextFunctions.anchoredWindowHashes("short", 64, 4, 16).isEmpty)
+  }
+
   test("langId picks the language whose markers dominate") {
     val samples = Seq(
       ("the cat and the dog is in a house", "en"),
