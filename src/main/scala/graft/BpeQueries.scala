@@ -317,6 +317,64 @@ object BpeQueries {
              |FROM btoks b JOIN tvocab v USING (tok)
              |GROUP BY b.doc_id""".stripMargin)),
 
+    // TRAINING SHARDS end-to-end (q150 ∘ q171): the file a trainer
+    // actually reads — per-doc token-ID streams concatenated in doc
+    // order within 8 hash shards and cut at 512-token boundaries, docs
+    // SPANNING sequences (token t of a doc lands at global offset
+    // start_off + t, sequence idx DIV 512, slot idx MOD 512). The gate
+    // hashes per-(shard, seq) token counts, doc counts, and a
+    // slot-weighted id sum — one mis-tokenized doc, one wrong vocab id,
+    // or one shifted boundary moves every later slot in its shard.
+    Q("q173_training_shards",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        val toks = graft.operators.OperatorCaches.track(
+          d.select(col("doc_id"),
+            posexplode(Bpe.encodeCol(col("text"), model))
+              .as(Seq("pos", "tok"))).persist())
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .withColumn("id",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .select(col("tok"), col("id"))
+        val offs = graft.operators.Curation.packSequences(d, "doc_id",
+            Bpe.encodeCol(col("text"), model), budgetTokens = 512, shards = 8)
+          .select(col("doc_id"), col("shard"), col("start_off"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .join(offs, Seq("doc_id"))
+          .withColumn("idx", col("start_off") + col("pos"))
+          .select(col("shard"), expr("idx DIV 512").as("seq_id"),
+            col("doc_id"), col("id"), (col("idx") % 512).as("off"))
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("id").cast("long") * (col("off") + 1)).as("id_wsum"),
+            max(col("off")).cast("long").as("last_off"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |btoks AS (SELECT doc_id, bt[i] AS tok, i
+             |  FROM per, unnest(generate_series(1, len(bt))) AS s(i)),
+             |tcounts AS (SELECT tok, count(*) AS c FROM btoks GROUP BY tok),
+             |tvocab AS (SELECT tok,
+             |  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM tcounts),
+             |nt AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+             |offs AS (SELECT doc_id, shard,
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+             |  FROM nt),
+             |tok AS (SELECT b.doc_id, o.shard, o.start_off + b.i - 1 AS idx, v.id
+             |  FROM btoks b JOIN tvocab v USING (tok)
+             |  JOIN offs o ON o.doc_id = b.doc_id)
+             |SELECT shard, CAST(idx // 512 AS BIGINT) AS seq_id,
+             |  count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs,
+             |  CAST(sum(id * ((idx % 512) + 1)) AS BIGINT) AS id_wsum,
+             |  CAST(max(idx % 512) AS BIGINT) AS last_off
+             |FROM tok GROUP BY 1, 2""".stripMargin)),
+
     // BPE decode round-trip: the property every tokenized-corpus writer
     // relies on. The MARKED stream (Bpe.encodeTextMarked — word-initial
     // subwords carry the ▁ marker, the SentencePiece convention; the
