@@ -565,6 +565,74 @@ object TextQueries {
            |FROM corpus c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
       }),
 
+    // INCREMENTAL substring dedup (q172's daily-batch form — the
+    // crawl-ingest gatekeeper "how much of this new doc is copied from
+    // the corpus", completing the incremental family across all three
+    // dedup modalities: literal LSH q152, semantic q170, substring
+    // here). Incoming plants three regimes: exact copies (+10000,
+    // frac 1), first-half + a novel slogan (+20000, frac strictly
+    // between — windows inside the half dup, windows reaching the
+    // slogan don't), reversed text (+30000, frac ≈ 0). The batch probes
+    // the corpus's distinct-window index; the corpus is never
+    // re-hashed per batch.
+    Q("q174_incremental_substring_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val slogan = " entirely novel appended content the corpus has never seen"
+        val incoming = d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              concat(substring(col("text"), lit(1),
+                (length(col("text")) / 2).cast("int")), lit(slogan))
+                .as("text")))
+          .unionByName(d.filter(col("doc_id") % 4 === 2)
+            .select((col("doc_id") + 30000L).as("doc_id"),
+              reverse(col("text")).as("text")))
+        Dedup.incrementalDuplicatedSubstrings(
+          Dedup.substringIndex(d, "doc_id", "text"), incoming,
+          "doc_id", "text")
+      },
+      Some {
+        def fold(slice: String): String =
+          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+             |    (h, b) -> ((h - (h % 256) +
+             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+        def winCtes(src: String, p: String): String =
+          s"""${p}codes AS MATERIALIZED (
+             |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+             |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+             |      ELSE CAST(error('non-ASCII byte in q174 oracle') AS HUGEINT) END) AS cs
+             |  FROM $src WHERE text IS NOT NULL),
+             |${p}pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
+             |  FROM ${p}codes WHERE len(cs) >= 64),
+             |${p}wins AS MATERIALIZED (
+             |  SELECT id, ${fold("cs[i:i+63]")} AS h
+             |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0)""".stripMargin
+        val slogan = " entirely novel appended content the corpus has never seen"
+        s"""WITH ex AS (SELECT doc_id AS id, text FROM documents),
+           |inc AS (
+           |  SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id % 4 = 0
+           |  UNION ALL SELECT doc_id + 20000,
+           |    substr(text, 1, length(text) // 2) || '$slogan'
+           |    FROM documents WHERE doc_id % 4 = 1
+           |  UNION ALL SELECT doc_id + 30000, reverse(text)
+           |    FROM documents WHERE doc_id % 4 = 2),
+           |${winCtes("ex", "e")},
+           |${winCtes("inc", "n")},
+           |eidx AS (SELECT DISTINCT h FROM ewins),
+           |nw AS (SELECT id, count(*) AS n_windows FROM nwins GROUP BY id),
+           |ndp AS (SELECT id, count(*) AS n_dup FROM nwins
+           |  WHERE h IN (SELECT h FROM eidx) GROUP BY id)
+           |SELECT c.id AS in_id, CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(ndp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           |  round(CASE WHEN coalesce(nw.n_windows, 0) = 0 THEN 0.0
+           |    ELSE CAST(coalesce(ndp.n_dup, 0) AS DOUBLE) / nw.n_windows END, 6) AS dup_frac
+           |FROM inc c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
+      }),
+
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays
     // fnv1a64 per token (HUGEINT fold mod 2^64; corpus is ASCII so

@@ -248,6 +248,43 @@ object Dedup {
           / col("n_windows"), 6)))
   }
 
+  /** The once-per-epoch substring index: DISTINCT anchored-window
+    * hashes of the corpus — 8 bytes per distinct window, the saved side
+    * a daily batch probes (the band-index discipline at substring
+    * granularity). */
+  def substringIndex(corpus: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, gate: Int = 4, modulo: Int = 16): DataFrame =
+    corpus.select(explode(graft.functions.TextFunctions
+      .anchoredWindowHashesCol(col(textCol), window, gate, modulo)).as("h"))
+      .distinct()
+
+  /** Incremental [[duplicatedSubstrings]]: per INCOMING doc, how many of
+    * its anchored windows already exist in the epoch's
+    * [[substringIndex]] — "how much of this new document is copied from
+    * the corpus", the crawl-ingest gatekeeper. The batch side is narrow
+    * per-doc hashing + one semi-join against the index; the corpus is
+    * never re-hashed. */
+  def incrementalDuplicatedSubstrings(existingIndex: DataFrame,
+      incoming: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, gate: Int = 4, modulo: Int = 16): DataFrame = {
+    val winsI = OperatorCaches.track(incoming.select(
+      col(idCol).as("in_id"),
+      explode(graft.functions.TextFunctions.anchoredWindowHashesCol(
+        col(textCol), window, gate, modulo)).as("h")).persist())
+    val nWin = winsI.groupBy(col("in_id")).agg(count(lit(1)).as("n_windows"))
+    val nDup = winsI.join(existingIndex.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("in_id")).agg(count(lit(1)).as("n_dup_windows"))
+    incoming.select(col(idCol).as("in_id"))
+      .join(nWin, Seq("in_id"), "left")
+      .join(nDup, Seq("in_id"), "left")
+      .select(col("in_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac", when(col("n_windows") === 0, lit(0.0))
+        .otherwise(round(col("n_dup_windows").cast("double")
+          / col("n_windows"), 6)))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole blocking: split the 64-bit fingerprint into
