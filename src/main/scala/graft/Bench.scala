@@ -50,7 +50,17 @@ object Bench {
     * code regression stands out above the host factor). calib_sec is
     * a deterministic single-thread spin (JIT-warmed xorshift64*)
     * giving future rounds an absolute same-artifact host-speed
-    * witness (r8's host predates the field; its calib is unknown). */
+    * witness (r8's host predates the field; its calib is unknown).
+    *
+    * q142–q174 were appended in round 12 (the r11 verdict's "anchor
+    * blind spot": regress could never see post-r8 queries). They were
+    * measured in one clean solo min-of-3 pass (calib 2.059 s,
+    * regress 0 over 12 anchored controls spanning the cost classes)
+    * and NORMALIZED to the r8 scale by dividing each minimum by that
+    * run's control median ratio (1.4412), so the whole map shares one
+    * host scale and vs_anchor_med keeps its uniform-host-factor
+    * reading. Recorded in BASELINE.md "Bench anchor" per the
+    * append-only rule. */
   private[graft] val anchor: Map[String, Double] = Map(
     "q01"->0.453, "q02"->0.151, "q03"->1.101, "q04"->0.357, "q05"->0.205, "q06"->0.272,
     "q07"->0.683, "q08"->0.356, "q09"->0.323, "q10"->0.512, "q11"->0.145, "q12"->0.631,
@@ -76,7 +86,15 @@ object Bench {
     "q126"->0.265, "q127"->0.91, "q128"->3.608, "q129"->0.956, "q130"->0.155,
     "q131"->0.328, "q132"->0.575, "q133"->1.04, "q134"->1.163, "q135"->1.659,
     "q136"->1.835, "q137"->0.248, "q138"->0.116, "q139"->0.335, "q140"->0.335,
-    "q141"->0.139)
+    "q141"->0.139,
+    // round-12 append (r8-normalized, see scaladoc)
+    "q142"->0.316, "q143"->0.12, "q144"->0.579, "q145"->3.571, "q146"->0.205,
+    "q147"->1.862, "q148"->0.349, "q149"->0.619, "q150"->0.386, "q151"->3.029,
+    "q152"->0.913, "q153"->0.271, "q154"->1.376, "q155"->1.302, "q156"->1.229,
+    "q157"->0.176, "q158"->0.846, "q159"->0.164, "q160"->0.229, "q161"->3.838,
+    "q162"->2.848, "q163"->0.357, "q164"->2.302, "q165"->0.17, "q166"->0.764,
+    "q167"->1.007, "q168"->1.337, "q169"->1.866, "q170"->3.355, "q171"->0.928,
+    "q172"->0.905, "q173"->1.107, "q174"->0.586)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
