@@ -272,15 +272,60 @@ object TextFunctions {
       modulo: Int): Array[Long] = {
     if (text == null || text.length < window) return Array.empty[Long]
     val out = Array.newBuilder[Long]
-    var i = 0
-    val max = text.length - window
-    while (i <= max) {
-      if (java.lang.Long.remainderUnsigned(
-          fnv1a64(text.substring(i, i + gate)), modulo) == 0L)
-        out += fnv1a64(text.substring(i, i + window))
+    anchoredScan(text, window, gate, modulo)((_, h) => out += h)
+    out.result()
+  }
+
+  /** fnv1a64 over bytes[from, until) — the substring-free fold. */
+  private def fnvRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
       i += 1
     }
-    out.result()
+    h
+  }
+
+  /** Shared anchored-window scan: emits (0-based anchor position,
+    * window hash) for every position whose gate-prefix fnv ≡ 0 mod
+    * `modulo`. ASCII fast path folds directly over ONE per-doc UTF-8
+    * byte array (no per-position substring/byte-array allocation — at
+    * corpus scale the old per-position 4-char substring + getBytes
+    * dominated GC); any non-ASCII char falls back to the original
+    * per-position substring fold, whose UTF-8 multi-byte semantics the
+    * byte-offset arithmetic can't reproduce (oracles reject non-ASCII
+    * corpora loudly anyway). */
+  private def anchoredScan(text: String, window: Int, gate: Int,
+      modulo: Int)(emit: (Int, Long) => Unit): Unit = {
+    val n = text.length
+    val max = n - window
+    var ascii = true
+    var k = 0
+    while (ascii && k < n) {
+      if (text.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    if (ascii) {
+      val bytes =
+        text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      var i = 0
+      while (i <= max) {
+        if (java.lang.Long.remainderUnsigned(
+            fnvRange(bytes, i, i + gate), modulo) == 0L)
+          emit(i, fnvRange(bytes, i, i + window))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= max) {
+        if (java.lang.Long.remainderUnsigned(
+            fnv1a64(text.substring(i, i + gate)), modulo) == 0L)
+          emit(i, fnv1a64(text.substring(i, i + window)))
+        i += 1
+      }
+    }
   }
 
   private val anchoredWindowsUdf =
@@ -289,6 +334,31 @@ object TextFunctions {
   def anchoredWindowHashesCol(text: Column, window: Int, gate: Int,
       modulo: Int): Column =
     anchoredWindowsUdf(text, lit(window), lit(gate), lit(modulo))
+
+  /** One anchored window: 0-based character position + fnv1a64 of the
+    * `window`-char slice starting there. */
+  final case class AnchoredSpan(pos: Int, h: Long)
+
+  /** [[anchoredWindowHashes]] keeping the anchor POSITION alongside each
+    * hash — the form span-removal needs (detection alone can discard
+    * positions; excision cannot). Same anchors, same hashes, in document
+    * order. */
+  def anchoredWindowSpans(text: String, window: Int, gate: Int,
+      modulo: Int): Array[AnchoredSpan] = {
+    if (text == null || text.length < window) return Array.empty[AnchoredSpan]
+    val out = Array.newBuilder[AnchoredSpan]
+    anchoredScan(text, window, gate, modulo)((p, h) => out += AnchoredSpan(p, h))
+    out.result()
+  }
+
+  private val anchoredSpansUdf =
+    udf((t: String, w: Int, g: Int, m: Int) => anchoredWindowSpans(t, w, g, m))
+
+  /** Column form of [[anchoredWindowSpans]]:
+    * array&lt;struct&lt;pos:int,h:long&gt;&gt;. */
+  def anchoredWindowSpansCol(text: Column, window: Int, gate: Int,
+      modulo: Int): Column =
+    anchoredSpansUdf(text, lit(window), lit(gate), lit(modulo))
 
   /** 64-bit SimHash over tokens: per-bit weighted vote of token hashes.
     * Null token list (null text upstream) → 0L fingerprint. */

@@ -248,6 +248,78 @@ object Dedup {
           / col("n_windows"), 6)))
   }
 
+  /** Substring span REMOVAL — the second half of Lee et al. 2022's
+    * exact-substring dedup ([[duplicatedSubstrings]] is the detection
+    * half): excise every corpus-duplicated substring from every doc and
+    * emit the cleaned text. Per doc, anchored windows whose hash occurs
+    * in ≥2 distinct docs become char spans [pos, pos+window); touching
+    * or overlapping spans merge (gaps-and-islands over a running-max
+    * window function); the cleaned text is the concatenation of the
+    * complement segments, built by one codegen'd `aggregate` fold over
+    * the per-doc merged-span array — no UDF on the rewrite path.
+    *
+    * Scale shape: identical to [[duplicatedSubstrings]] until the spans
+    * exist — narrow (id, pos, hash) rows shuffle, never text — then ONE
+    * window + ONE groupBy both partitioned by doc id (span counts per
+    * doc are bounded by len/modulo), and text is touched exactly once
+    * in the final map-side fold. Removing from every copy is the
+    * deterministic policy; "keep one occurrence" is this plus exempting
+    * min(id) per duplicated hash from the span table.
+    *
+    * @return (id, n_spans, removed_chars, clean_len, clean_text) */
+  def removeDuplicatedSpans(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int = 64, gate: Int = 4,
+      modulo: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val wins = OperatorCaches.track(corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.anchoredWindowSpansCol(col(textCol),
+        window, gate, modulo)).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .persist())
+    val dupH = wins.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dupWins = wins.join(dupH, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    val wPrev = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = dupWins
+      .withColumn("prev_end", max(col("pos") + lit(window)).over(wPrev))
+      // new island iff this span starts strictly after every prior span's
+      // end (pos == prev_end means touching spans — merged, same cut)
+      .withColumn("isl", sum(when(col("prev_end").isNull ||
+        col("pos") > col("prev_end"), 1).otherwise(0)).over(wRun))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(window)).as("e"))
+    val perDoc = merged.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("removed_chars"))
+    val withText = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(perDoc, Seq("id"), "left")
+    val cut = aggregate(
+      col("spans"),
+      struct(lit("").as("acc"), lit(0).as("cur")),
+      (a, sp) => struct(
+        concat(a.getField("acc"), col("text").substr(
+          a.getField("cur") + lit(1),
+          sp.getField("s") - a.getField("cur"))).as("acc"),
+        sp.getField("e").as("cur")),
+      a => concat(a.getField("acc"), col("text").substr(
+        a.getField("cur") + lit(1),
+        length(col("text")) - a.getField("cur"))))
+    withText.select(col("id"),
+      coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+      coalesce(col("removed_chars"), lit(0L)).cast("long").as("removed_chars"),
+      when(col("spans").isNull, col("text")).otherwise(cut).as("clean_text"))
+      .select(col("id"), col("n_spans"), col("removed_chars"),
+        coalesce(length(col("clean_text")), lit(0)).cast("long").as("clean_len"),
+        col("clean_text"))
+  }
+
   /** The once-per-epoch substring index: DISTINCT anchored-window
     * hashes of the corpus — 8 bytes per distinct window, the saved side
     * a daily batch probes (the band-index discipline at substring

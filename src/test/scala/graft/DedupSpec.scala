@@ -94,6 +94,64 @@ class DedupSpec extends SparkSuite {
     assert(TextFunctions.anchoredWindowHashes("short", 64, 4, 16).isEmpty)
   }
 
+  test("removeDuplicatedSpans excises a planted duplicated span, novel text survives") {
+    // the same long span planted at DIFFERENT offsets in two docs,
+    // wrapped in unique prose; a third doc shares nothing
+    val span = "the quick brown fox jumps over the lazy dog repeatedly and often " * 3
+    val aHead = "unique head of document alpha with its own words here "
+    val aTail = " and a unique alpha tail that must survive the cut entirely"
+    val bHead = "doc beta opens differently and much longer than alpha does here today "
+    val bTail = " beta ends on its own novel closing words"
+    val cText = "gamma is entirely novel text sharing no sixty-four character run " +
+      "with anything else in this tiny corpus at all, padded to be long enough " +
+      "that windows exist but none of them are duplicated anywhere"
+    val df = Seq((1L, aHead + span + aTail), (2L, bHead + span + bTail),
+      (3L, cText)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the unique doc passes through byte-identical, zero spans
+    assert(got(3L)._2 == 0 && got(3L)._5 == cText)
+    // both copies of the span lose it: no 64-char run of the span text
+    // survives in either cleaned doc
+    for (id <- Seq(1L, 2L)) {
+      val (_, nSpans, removed, cleanLen, clean) = got(id)
+      assert(nSpans >= 1, s"doc $id must carry at least one merged span")
+      assert(removed >= span.length - 64,
+        s"doc $id removed only $removed of a ${span.length}-char duplicated span")
+      assert(cleanLen == clean.length)
+      assert(!clean.contains(span.substring(0, 64)),
+        s"doc $id still contains the duplicated span head")
+    }
+    // novel fringes survive: heads and tails are outside every anchored
+    // window of the planted span (windows need 64 chars of context, so
+    // up to window-1 chars of span fringe may also survive — that's the
+    // documented recall shape, not a bug)
+    assert(got(1L)._5.startsWith(aHead.substring(0, 40)))
+    assert(got(1L)._5.endsWith(aTail.substring(aTail.length - 40)))
+    assert(got(2L)._5.startsWith(bHead.substring(0, 40)))
+    assert(got(2L)._5.endsWith(bTail.substring(bTail.length - 40)))
+  }
+
+  test("anchoredWindowSpans positions+hashes agree with anchoredWindowHashes") {
+    val texts = Seq(
+      ("x" * 9) + ("the quick brown fox jumps over the lazy dog " * 4) + " end",
+      "padded but unique " * 10,
+      "café au lait " * 20) // non-ASCII: exercises the fallback path
+    for (t <- texts) {
+      val spans = TextFunctions.anchoredWindowSpans(t, 64, 4, 16)
+      val hashes = TextFunctions.anchoredWindowHashes(t, 64, 4, 16)
+      assert(spans.map(_.h).toSeq == hashes.toSeq)
+      // every reported position re-hashes to the reported hash via the
+      // original per-substring fold (pins the ASCII byte-array fast
+      // path to the reference semantics)
+      for (s <- spans)
+        assert(TextFunctions.fnv1a64(t.substring(s.pos, s.pos + 64)) == s.h)
+    }
+    assert(TextFunctions.anchoredWindowSpans(null, 64, 4, 16).isEmpty)
+    assert(TextFunctions.anchoredWindowSpans("short", 64, 4, 16).isEmpty)
+  }
+
   test("langId picks the language whose markers dominate") {
     val samples = Seq(
       ("the cat and the dog is in a house", "en"),
