@@ -1091,6 +1091,78 @@ object TextQueries {
              |    AS residual_pii
              |FROM scrubbed GROUP BY source""".stripMargin)),
 
+    // PER-DOC PII battery (q88's aggregate scrub, at row granularity and
+    // with a FOURTH class): emails, SSN-style ids, contiguous ≥9-digit
+    // runs (account/national-id shapes), and E.164-ish phones, redacted
+    // most-specific-first so each character is attributed to exactly one
+    // class, with per-doc per-class counts AND the redacted text itself
+    // under the gate. Planting mixes the classes per doc (mod 2/3/5
+    // cycles) so every subset combination occurs. The long-id/phone
+    // overlap is resolved by a documented policy: a bare contiguous run
+    // is an id, a separator-grouped run is a phone.
+    Q("q176_pii_battery",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val injected = concat(col("text"),
+          lit(" ref 9876"), lpad((col("doc_id") % 100000).cast("string"), 5, "0"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +44 20 7946 0"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact agent"), col("doc_id") % 50,
+              lit("@dept.example.net"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ssn 987-65-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val counts = TextFunctions.piiBatteryCounts(injected).toMap
+        d.select(col("doc_id"),
+          counts("n_emails").cast("long").as("n_emails"),
+          counts("n_ids").cast("long").as("n_ids"),
+          counts("n_longids").cast("long").as("n_longids"),
+          counts("n_phones").cast("long").as("n_phones"),
+          TextFunctions.redactPiiBattery(injected).as("redacted"))
+      },
+      Some("""WITH injected AS (
+             |  SELECT doc_id,
+             |    text || ' ref 9876' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+             |      || (CASE WHEN doc_id % 2 = 0
+             |          THEN ' call +44 20 7946 0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             |          ELSE '' END)
+             |      || (CASE WHEN doc_id % 3 = 0
+             |          THEN ' contact agent' || CAST(doc_id % 50 AS VARCHAR) || '@dept.example.net'
+             |          ELSE '' END)
+             |      || (CASE WHEN doc_id % 5 = 0
+             |          THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |          ELSE '' END) AS t
+             |  FROM documents),
+             |chain AS (
+             |  SELECT doc_id, t,
+             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g') AS ne
+             |  FROM injected),
+             |chain2 AS (
+             |  SELECT doc_id, t, ne,
+             |    regexp_replace(ne, '\b\d{3}-\d{2}-\d{4}\b', '', 'g') AS ni
+             |  FROM chain),
+             |chain3 AS (
+             |  SELECT doc_id, t, ne, ni,
+             |    regexp_replace(ni, '\b\d{9,}\b', '', 'g') AS nl
+             |  FROM chain2)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(ne, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+             |  CAST(len(regexp_extract_all(ni, '\b\d{9,}\b')) AS BIGINT) AS n_longids,
+             |  CAST(len(regexp_extract_all(nl, '\+?\d[\d()\- ]{6,}\d')) AS BIGINT) AS n_phones,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |        '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+             |      '\b\d{9,}\b', '<LONGID>', 'g'),
+             |    '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS redacted
+             |FROM chain3""".stripMargin)),
+
     // Char-n-gram language-ID (CharLangId): the curation-grade upgrade
     // of q's 10-marker argmax — Cavnar–Trenkle rank profiles (top-64
     // padded trigrams per lang) fit from the hash-capped sample, every

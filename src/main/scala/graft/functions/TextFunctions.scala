@@ -89,6 +89,42 @@ object TextFunctions {
       regexp_replace(regexp_replace(text, emailRe, ""), idRe, ""),
       lit(phoneRe), lit(0))))
 
+  /** Contiguous ≥9-digit runs (account / national-id shapes). Word-
+    * bounded: digits are word chars, so a run glued to letters
+    * (`id987654321`) does NOT match — only standalone runs. E.164-ish
+    * phones written WITH separators never form a contiguous run and
+    * stay in the phone class; a phone written as one bare digit run is
+    * classified as a long id (a fixed, documented policy — the two
+    * classes overlap textually and SOME deterministic order must win). */
+  val longIdRe = "\\b\\d{9,}\\b"
+
+  /** Four-class redaction ladder, most-specific first: email → SSN-style
+    * id → contiguous long digit run → phone-shaped run. Each later class
+    * is counted/redacted on text with earlier classes removed, so one
+    * character is only ever attributed to one class. */
+  def redactPiiBattery(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailRe, "<EMAIL>"),
+          idRe, "<ID>"),
+        longIdRe, "<LONGID>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-class hit counts for the 4-class battery; each class counted
+    * with the earlier classes excised (same attribution rule as
+    * [[redactPiiBattery]]). */
+  def piiBatteryCounts(text: Column): Seq[(String, Column)] = {
+    val noEmail = regexp_replace(text, emailRe, "")
+    val noId = regexp_replace(noEmail, idRe, "")
+    val noLong = regexp_replace(noId, longIdRe, "")
+    Seq(
+      "n_emails" -> size(regexp_extract_all(text, lit(emailRe), lit(0))),
+      "n_ids" -> size(regexp_extract_all(noEmail, lit(idRe), lit(0))),
+      "n_longids" -> size(regexp_extract_all(noId, lit(longIdRe), lit(0))),
+      "n_phones" -> size(regexp_extract_all(noLong, lit(phoneRe), lit(0))))
+  }
+
   /** Heuristic quality score in [0,1]: penalizes very short docs, all-caps,
     * low alpha ratio, missing stopwords. Exact arithmetic: integer counts
     * + one double division per ratio (cross-engine deterministic). */

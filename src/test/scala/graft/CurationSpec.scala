@@ -85,6 +85,40 @@ class CurationSpec extends SparkSuite {
       "a and b tie at 3; token-asc puts both ahead of c=2")
   }
 
+  test("PII battery: 4-class attribution, overlap policy, zero residue") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "mail a.user@corp.example.com and ssn 123-45-6789 here"),
+      (2L, "account 987654321012 then phone +44 20 7946 0958 ok"),
+      (3L, "glued id987654321 must not match but 123456789 must"),
+      (4L, "no pii in this document at all")).toDF("doc_id", "text")
+    val counts = TextFunctions.piiBatteryCounts(col("text")).toMap
+    val got = docs.select(col("doc_id"),
+        counts("n_emails").as("e"), counts("n_ids").as("i"),
+        counts("n_longids").as("l"), counts("n_phones").as("p"),
+        TextFunctions.redactPiiBattery(col("text")).as("r"))
+      .as[(Long, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert((got(1L)._2, got(1L)._3, got(1L)._4, got(1L)._5) == ((1, 1, 0, 0)))
+    // bare contiguous run → LONGID, separator-grouped run → PHONE
+    assert((got(2L)._2, got(2L)._3, got(2L)._4, got(2L)._5) == ((0, 0, 1, 1)))
+    assert(got(2L)._6 == "account <LONGID> then phone <PHONE> ok")
+    // digits glued to letters carry no word boundary: not a LONGID —
+    // but the phone-shaped pattern (no boundary requirement) still
+    // catches the run, so it is redacted as PHONE, not left behind
+    assert(got(3L)._4 == 1, got(3L)._6)
+    assert(got(3L)._5 == 1, got(3L)._6)
+    assert(got(3L)._6 == "glued id<PHONE> must not match but <LONGID> must")
+    assert((got(4L)._2, got(4L)._3, got(4L)._4, got(4L)._5) == ((0, 0, 0, 0)))
+    assert(got(4L)._6 == "no pii in this document at all")
+    // zero residue: nothing PII-shaped survives any redacted text
+    for ((_, (_, _, _, _, _, r)) <- got) {
+      assert(!r.contains("@"))
+      assert(!r.matches(".*\\d{3}-\\d{2}-\\d{4}.*"))
+      assert(!r.matches(".*\\d{9,}.*"))
+    }
+  }
+
   test("SCD2: consecutive same-state events collapse into one interval") {
     import org.apache.spark.sql.expressions.Window
     val e = Seq(
