@@ -269,6 +269,32 @@ object TextQueries {
       |  CAST(sum(CASE WHEN id >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
       |FROM kept""".stripMargin
 
+  /** Planted quality-rule violators for q177 — one doc per Gopher rule,
+    * each failing ITS rule while passing the others where the rules
+    * don't inherently interact (the symbol doc also fails alpha: '#'
+    * tokens carry no letter — that interaction is real, not an
+    * artifact). Shared verbatim between the Spark corpus and the DuckDB
+    * oracle (newlines become chr(10) concatenation in SQL). */
+  private[graft] val qualityPlanted: Seq[(Long, String)] = Seq(
+    50001L -> "way too short to keep.",
+    50002L -> ("pneumonoultramicroscopicsilicovolcanoconiosis supercalifragilisticexpialidocious " +
+      "honorificabilitudinitatibus antidisestablishmentarianism floccinaucinihilipilification " +
+      "pseudopseudohypoparathyroidism thyroparathyroidectomized dichlorodifluoromethane " +
+      "incomprehensibilities uncharacteristically the a is of and to in that for it"),
+    50003L -> ("the data # pipeline # holds # a # lot # of # hash # marks # in # it # today # now"),
+    50004L -> ("- item one for the group\n- item two for the group\n" +
+      "- item three for the group\n- item four for the group"),
+    50005L -> ("the story trails off here...\nthe next line also fades away...\n" +
+      "the third line keeps going fine\nthe fourth one ends quietly now"),
+    50006L -> "the totals 111 222 333 444 555 666 777 888 999 000 are in it",
+    50007L -> ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+      "eiusmod tempor incididunt labore dolore magna aliqua"))
+
+  private def qualityPlantedSql: String =
+    qualityPlanted.map { case (id, t) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '${t.replace("\n", "' || chr(10) || '")}' AS text"
+    }.mkString("\n  UNION ALL ")
+
   val all: Seq[Q] = Seq(
     // Exact dedup by content hash (sha256): one shuffle on the digest,
     // min(doc_id) is the canonical keeper.
@@ -1162,6 +1188,112 @@ object TextQueries {
              |      '\b\d{9,}\b', '<LONGID>', 'g'),
              |    '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS redacted
              |FROM chain3""".stripMargin)),
+
+    // C4/Gopher heuristic quality-filter battery: the per-doc VERDICT
+    // TABLE (each rule's value, each rule's pass flag, composite keep)
+    // that q86's aggregate filter lacks. Seven Gopher rules with pinned
+    // thresholds — word count [10, 100k] (tiny-corpus-scaled; Gopher
+    // uses 50), mean word length [2, 10], symbol-to-word ratio ≤ 0.1
+    // ('#' + '...' per word), bullet-line ratio ≤ 0.9, ellipsis-line
+    // ratio ≤ 0.3, alpha-word ratio ≥ 0.8, ≥ 2 stopword hits — plus
+    // C4's terminal-punctuation line ratio reported as a value (the
+    // natural corpus is unpunctuated single-line prose, so folding it
+    // into keep would reject everything; C4 applies it per LINE
+    // anyway). One pass, zero shuffles: every rule is a codegen'd
+    // expression over the same row. Pass flags compare UNROUNDED
+    // IEEE-identical divisions; the displayed values are rounded once.
+    // The corpus carries one planted violator per rule (qualityPlanted).
+    Q("q177_quality_verdicts",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(qualityPlanted.toDF("doc_id", "text"))
+        val toks = TextFunctions.tokens(col("text"))
+        val nWords = size(toks).cast("long")
+        val meanLen = aggregate(toks, lit(0L),
+          (a, t) => a + length(t).cast("long")).cast("double") / nWords
+        val nHash = length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))
+        val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+        val symRatio = (nHash + nEll).cast("double") / nWords
+        val lines = split(col("text"), "\n", -1)
+        val nLines = size(lines)
+        val bulletRatio = size(filter(lines,
+          l => l.like("- %") || l.like("* %"))).cast("double") / nLines
+        val ellRatio = size(filter(lines,
+          l => l.like("%..."))).cast("double") / nLines
+        val punctRatio = size(filter(lines, l => l.like("%.") ||
+          l.like("%!") || l.like("%?") || l.like("%\"")))
+          .cast("double") / nLines
+        val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast("double") / nWords
+        val nStop = TextFunctions.langScore(
+          TextFunctions.tokens(lower(col("text"))), "en").cast("long")
+        def flag(c: org.apache.spark.sql.Column) =
+          when(c, 1L).otherwise(0L)
+        val pWords = nWords >= 10 && nWords <= 100000
+        val pMean = meanLen >= 2.0 && meanLen <= 10.0
+        val pSym = symRatio <= 0.1
+        val pBullet = bulletRatio <= 0.9
+        val pEll = ellRatio <= 0.3
+        val pAlpha = alphaRatio >= 0.8
+        val pStop = nStop >= 2
+        d.select(col("doc_id"),
+          nWords.as("n_words"), round(meanLen, 6).as("mean_word_len"),
+          round(symRatio, 6).as("symbol_ratio"),
+          round(bulletRatio, 6).as("bullet_ratio"),
+          round(ellRatio, 6).as("ellipsis_ratio"),
+          round(alphaRatio, 6).as("alpha_word_ratio"),
+          nStop.as("n_stopwords"), round(punctRatio, 6).as("term_punct_ratio"),
+          flag(pWords).as("p_words"), flag(pMean).as("p_meanlen"),
+          flag(pSym).as("p_symbol"), flag(pBullet).as("p_bullet"),
+          flag(pEll).as("p_ellipsis"), flag(pAlpha).as("p_alpha"),
+          flag(pStop).as("p_stopwords"),
+          flag(pWords && pMean && pSym && pBullet && pEll && pAlpha && pStop)
+            .as("keep"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL $qualityPlantedSql),
+             |feat AS (
+             |  SELECT doc_id, text,
+             |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
+             |    string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ltoks,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM corpus),
+             |vals AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_raw,
+             |    CAST(length(text) - length(replace(text, '#', ''))
+             |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks) AS sym_raw,
+             |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bullet_raw,
+             |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ell_raw,
+             |    CAST(len(list_filter(lines, l -> l LIKE '%.' OR l LIKE '%!'
+             |      OR l LIKE '%?' OR l LIKE '%\"')) AS DOUBLE) / len(lines) AS punct_raw,
+             |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_raw,
+             |    CAST(len(list_filter(ltoks, t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS BIGINT) AS n_stop
+             |  FROM feat)
+             |SELECT doc_id, n_words,
+             |  ROUND(mean_raw, 6) AS mean_word_len,
+             |  ROUND(sym_raw, 6) AS symbol_ratio,
+             |  ROUND(bullet_raw, 6) AS bullet_ratio,
+             |  ROUND(ell_raw, 6) AS ellipsis_ratio,
+             |  ROUND(alpha_raw, 6) AS alpha_word_ratio,
+             |  n_stop AS n_stopwords,
+             |  ROUND(punct_raw, 6) AS term_punct_ratio,
+             |  CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS p_words,
+             |  CAST(CASE WHEN mean_raw BETWEEN 2.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS p_meanlen,
+             |  CAST(CASE WHEN sym_raw <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS p_symbol,
+             |  CAST(CASE WHEN bullet_raw <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS p_bullet,
+             |  CAST(CASE WHEN ell_raw <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS p_ellipsis,
+             |  CAST(CASE WHEN alpha_raw >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS p_alpha,
+             |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS p_stopwords,
+             |  CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_raw BETWEEN 2.0 AND 10.0
+             |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
+             |    AND alpha_raw >= 0.8 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM vals""".stripMargin)),
 
     // Char-n-gram language-ID (CharLangId): the curation-grade upgrade
     // of q's 10-marker argmax — Cavnar–Trenkle rank profiles (top-64

@@ -119,6 +119,26 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("quality battery: each planted violator fails exactly its rule") {
+    val got = TextQueries.all.find(_.name == "q177_quality_verdicts").get
+      .fn(spark, sf("sf0.001"))
+      .filter(col("doc_id") >= 50000L)
+      .select(col("doc_id"), col("p_words"), col("p_meanlen"), col("p_symbol"),
+        col("p_bullet"), col("p_ellipsis"), col("p_alpha"), col("p_stopwords"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // rows: (words, meanlen, symbol, bullet, ellipsis, alpha, stopwords);
+    // 50001 also misses stopwords (a 5-word doc has one marker), 50003
+    // also fails alpha ('#' tokens carry no letter) — real interactions
+    assert(got(50001L) == ((50001L, 0L, 1L, 1L, 1L, 1L, 1L, 0L)))
+    assert(got(50002L) == ((50002L, 1L, 0L, 1L, 1L, 1L, 1L, 1L)))
+    assert(got(50003L) == ((50003L, 1L, 1L, 0L, 1L, 1L, 0L, 1L)))
+    assert(got(50004L) == ((50004L, 1L, 1L, 1L, 0L, 1L, 1L, 1L)))
+    assert(got(50005L) == ((50005L, 1L, 1L, 1L, 1L, 0L, 1L, 1L)))
+    assert(got(50006L) == ((50006L, 1L, 1L, 1L, 1L, 1L, 0L, 1L)))
+    assert(got(50007L) == ((50007L, 1L, 1L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
   test("SCD2: consecutive same-state events collapse into one interval") {
     import org.apache.spark.sql.expressions.Window
     val e = Seq(
