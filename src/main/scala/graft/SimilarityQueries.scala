@@ -766,8 +766,12 @@ object SimilarityQueries {
           .unionByName(e.filter(col("vec_id") % 3 === 1)
             .select((col("vec_id") + 300000L).as("vec_id"),
               flipped.as("embedding")))
+        // fixture keyed off the INCOMING frame's own fingerprint (not
+        // the base table's): the written content is a code-derived
+        // transform, so keying off `e` would silently reuse a stale
+        // fixture after a derivation edit (r11 ADVICE)
         val inDir = s"/tmp/graft-semstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-          s"-${Tables.fingerprint(e, "vec_id", s"$dir/embeddings_semstream")}"
+          s"-${Tables.fingerprint(incoming, "vec_id", s"$dir/embeddings_semstream")}"
         if (!new java.io.File(s"$inDir/_SUCCESS").exists())
           incoming.write.mode("overwrite").parquet(inDir)
         val (index, centers) = Similarity.semanticIndex(e)

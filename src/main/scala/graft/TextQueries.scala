@@ -290,6 +290,50 @@ object TextQueries {
     50007L -> ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
       "eiusmod tempor incididunt labore dolore magna aliqua"))
 
+  /** Shared oracle for q174 (batch-incremental) and q178 (streaming):
+    * both compute the same "how much of this new doc is copied from the
+    * corpus" answer against the same planted incoming batch, so one SQL
+    * replay gates both — the streaming query's correctness claim IS
+    * batch-equality. */
+  private[graft] def incrementalSubstringOracle: String = {
+    def fold(slice: String): String =
+      s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+         |    (h, b) -> ((h - (h % 256) +
+         |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |      * 1099511628211) % 18446744073709551616)""".stripMargin
+    def winCtes(src: String, p: String): String =
+      s"""${p}codes AS MATERIALIZED (
+         |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+         |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+         |      ELSE CAST(error('non-ASCII byte in q174/q178 oracle') AS HUGEINT) END) AS cs
+         |  FROM $src WHERE text IS NOT NULL),
+         |${p}pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
+         |  FROM ${p}codes WHERE len(cs) >= 64),
+         |${p}wins AS MATERIALIZED (
+         |  SELECT id, ${fold("cs[i:i+63]")} AS h
+         |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0)""".stripMargin
+    val slogan = " entirely novel appended content the corpus has never seen"
+    s"""WITH ex AS (SELECT doc_id AS id, text FROM documents),
+       |inc AS (
+       |  SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL SELECT doc_id + 20000,
+       |    substr(text, 1, length(text) // 2) || '$slogan'
+       |    FROM documents WHERE doc_id % 4 = 1
+       |  UNION ALL SELECT doc_id + 30000, reverse(text)
+       |    FROM documents WHERE doc_id % 4 = 2),
+       |${winCtes("ex", "e")},
+       |${winCtes("inc", "n")},
+       |eidx AS (SELECT DISTINCT h FROM ewins),
+       |nw AS (SELECT id, count(*) AS n_windows FROM nwins GROUP BY id),
+       |ndp AS (SELECT id, count(*) AS n_dup FROM nwins
+       |  WHERE h IN (SELECT h FROM eidx) GROUP BY id)
+       |SELECT c.id AS in_id, CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(ndp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |  round(CASE WHEN coalesce(nw.n_windows, 0) = 0 THEN 0.0
+       |    ELSE CAST(coalesce(ndp.n_dup, 0) AS DOUBLE) / nw.n_windows END, 6) AS dup_frac
+       |FROM inc c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
+  }
+
   private def qualityPlantedSql: String =
     qualityPlanted.map { case (id, t) =>
       s"SELECT CAST($id AS BIGINT) AS doc_id, '${t.replace("\n", "' || chr(10) || '")}' AS text"
@@ -465,7 +509,7 @@ object TextQueries {
           .select(col("doc_id"), col("text"))
         val incoming = incomingBatch(d)
         val inDir = s"/tmp/graft-incdedup-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-          s"-${Tables.fingerprint(d, "doc_id", s"$dir/documents_incdedup")}"
+          s"-${Tables.fingerprint(incoming, "doc_id", s"$dir/documents_incdedup")}"
         if (!new java.io.File(s"$inDir/_SUCCESS").exists()) {
           incoming.write.mode("overwrite").parquet(inDir)
         }
@@ -620,44 +664,7 @@ object TextQueries {
           Dedup.substringIndex(d, "doc_id", "text"), incoming,
           "doc_id", "text")
       },
-      Some {
-        def fold(slice: String): String =
-          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-             |    (h, b) -> ((h - (h % 256) +
-             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616)""".stripMargin
-        def winCtes(src: String, p: String): String =
-          s"""${p}codes AS MATERIALIZED (
-             |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-             |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
-             |      ELSE CAST(error('non-ASCII byte in q174 oracle') AS HUGEINT) END) AS cs
-             |  FROM $src WHERE text IS NOT NULL),
-             |${p}pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
-             |  FROM ${p}codes WHERE len(cs) >= 64),
-             |${p}wins AS MATERIALIZED (
-             |  SELECT id, ${fold("cs[i:i+63]")} AS h
-             |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0)""".stripMargin
-        val slogan = " entirely novel appended content the corpus has never seen"
-        s"""WITH ex AS (SELECT doc_id AS id, text FROM documents),
-           |inc AS (
-           |  SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id % 4 = 0
-           |  UNION ALL SELECT doc_id + 20000,
-           |    substr(text, 1, length(text) // 2) || '$slogan'
-           |    FROM documents WHERE doc_id % 4 = 1
-           |  UNION ALL SELECT doc_id + 30000, reverse(text)
-           |    FROM documents WHERE doc_id % 4 = 2),
-           |${winCtes("ex", "e")},
-           |${winCtes("inc", "n")},
-           |eidx AS (SELECT DISTINCT h FROM ewins),
-           |nw AS (SELECT id, count(*) AS n_windows FROM nwins GROUP BY id),
-           |ndp AS (SELECT id, count(*) AS n_dup FROM nwins
-           |  WHERE h IN (SELECT h FROM eidx) GROUP BY id)
-           |SELECT c.id AS in_id, CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
-           |  CAST(coalesce(ndp.n_dup, 0) AS BIGINT) AS n_dup_windows,
-           |  round(CASE WHEN coalesce(nw.n_windows, 0) = 0 THEN 0.0
-           |    ELSE CAST(coalesce(ndp.n_dup, 0) AS DOUBLE) / nw.n_windows END, 6) AS dup_frac
-           |FROM inc c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
-      }),
+      Some(incrementalSubstringOracle)),
 
     // Substring span REMOVAL (the second half of Lee et al. 2022 —
     // q172 detects, this excises): corpus-duplicated anchored windows
@@ -740,6 +747,64 @@ object TextQueries {
            |FROM corpus c LEFT JOIN stats st ON st.id = c.id
            |  LEFT JOIN cleaned cl ON cl.id = c.id""".stripMargin
       }),
+
+    // STREAMING substring dedup — q174's stream twin, completing the
+    // 3×3 dedup matrix (literal LSH q152/q156, semantic q162/q170,
+    // substring q174/here): the incoming batch arrives as a file
+    // stream, window hashing is STATELESS (one codegen'd kernel per
+    // doc, no state store), the epoch's substringIndex is the static
+    // side of a stream-static left join (dup marker), and ONE
+    // Complete-mode aggregation yields per-doc window/dup counts.
+    // Same planted regimes and same oracle as q174 by construction —
+    // the streaming query's correctness claim IS batch-equality.
+    // 100 TB shape: the only state is the running per-doc counts; the
+    // corpus index is a broadcast-or-shuffled static join, never
+    // re-hashed per batch.
+    Q("q178_streaming_substring_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val slogan = " entirely novel appended content the corpus has never seen"
+        val incoming = d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              concat(substring(col("text"), lit(1),
+                (length(col("text")) / 2).cast("int")), lit(slogan))
+                .as("text")))
+          .unionByName(d.filter(col("doc_id") % 4 === 2)
+            .select((col("doc_id") + 30000L).as("doc_id"),
+              reverse(col("text")).as("text")))
+        // fixture keyed off the INCOMING frame's own fingerprint (not
+        // the base table's): a change to the derivation above changes
+        // the key, so a stale fixture can never be silently reused
+        val inDir = s"/tmp/graft-substream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(incoming, "doc_id", s"$dir/documents_substream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        val index = Dedup.substringIndex(d, "doc_id", "text")
+          .localCheckpoint(true) // static side, computed once
+        val counts = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream.select(col("doc_id").as("in_id"),
+              explode(TextFunctions.anchoredWindowHashesCol(
+                col("text"), 64, 4, 16)).as("h"))
+            .join(index.withColumn("dup", lit(1L)), Seq("h"), "left")
+            .groupBy(col("in_id"))
+            .agg(count(lit(1)).as("n_windows"),
+              sum(coalesce(col("dup"), lit(0L))).as("n_dup_windows")),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q178_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        incoming.select(col("doc_id").as("in_id"))
+          .join(counts, Seq("in_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+          .withColumn("dup_frac", when(col("n_windows") === 0, lit(0.0))
+            .otherwise(round(col("n_dup_windows").cast("double")
+              / col("n_windows"), 6)))
+      },
+      Some(incrementalSubstringOracle)),
 
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays
