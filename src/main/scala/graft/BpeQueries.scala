@@ -93,10 +93,32 @@ object BpeQueries {
 
   /** Encode replay: distinct corpus words through all M passes, then the
     * per-document ordered token stream `per(doc_id, bt)`. */
-  private def encodeChain: String = {
+  private def encodeChain: String =
+    encodeChainOver("documents", byteFallback = false)
+
+  /** [[encodeChain]] parameterized over the corpus CTE and the
+    * non-ASCII policy. With `byteFallback` the atomic ELSE splits into
+    * ASCII-atomic vs the UTF-8 byte split of the single non-ASCII code
+    * point (the `\w` lexer is ASCII, so a non-ASCII pre-token is always
+    * exactly one code point and the split is pure `unicode(c)`
+    * arithmetic — 2/3/4-byte UTF-8 encoding unrolled as CASE arms). */
+  private def encodeChainOver(src: String, byteFallback: Boolean): String = {
+    def p(expr: String) = s"printf('<0x%02X>', $expr)"
+    val cp = "unicode(d.tok)"
+    val nonAlpha =
+      if (!byteFallback) "ELSE [d.tok]"
+      else s"""WHEN regexp_matches(d.tok, '^[\\x00-\\x7f]+$$') THEN [d.tok]
+              |    WHEN $cp < 2048 THEN
+              |      [${p(s"192 + $cp // 64")}, ${p(s"128 + $cp % 64")}]
+              |    WHEN $cp < 65536 THEN
+              |      [${p(s"224 + $cp // 4096")}, ${p(s"128 + ($cp // 64) % 64")},
+              |       ${p(s"128 + $cp % 64")}]
+              |    ELSE
+              |      [${p(s"240 + $cp // 262144")}, ${p(s"128 + ($cp // 4096) % 64")},
+              |       ${p(s"128 + ($cp // 64) % 64")}, ${p(s"128 + $cp % 64")}]""".stripMargin
     val head =
       s"""ct AS MATERIALIZED (SELECT doc_id,
-         |  regexp_extract_all(text, '$Lex') AS t FROM documents),
+         |  regexp_extract_all(text, '$Lex') AS t FROM $src),
          |cw AS (SELECT DISTINCT lower(tok) AS w FROM (SELECT unnest(t) AS tok FROM ct)
          |  WHERE regexp_matches(tok, '$Alpha')),
          |e0 AS MATERIALIZED (SELECT w,
@@ -107,7 +129,8 @@ object BpeQueries {
       s"""dt AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM ct),
          |dk AS (SELECT doc_id, i, t[i] AS tok FROM dt),
          |ds AS (SELECT d.doc_id, d.i,
-         |  CASE WHEN regexp_matches(d.tok, '$Alpha') THEN e.s ELSE [d.tok] END AS subs
+         |  CASE WHEN regexp_matches(d.tok, '$Alpha') THEN e.s
+         |    $nonAlpha END AS subs
          |  FROM dk d LEFT JOIN e$NumMerges e ON e.w = lower(d.tok)),
          |df AS (SELECT doc_id, i, unnest(generate_series(1, len(subs))) AS j, subs FROM ds),
          |dg AS (SELECT doc_id, i, j, subs[j] AS st FROM df),
@@ -407,5 +430,87 @@ object BpeQueries {
              |SELECT doc_id, CAST(length(c) AS BIGINT) AS n_chars,
              |  md5(c) AS canon_md5
              |FROM canon""".stripMargin)),
+
+    // BYTE-FALLBACK BPE (q171's id surface made total): non-ASCII
+    // pre-tokens decompose to their UTF-8 bytes through the 256
+    // RESERVED byte-token vocab slots (ids 1–256; learned subwords rank
+    // from 257), so EVERY string encodes to in-vocabulary ids and the
+    // vocab stays bounded at 256 + learned instead of one entry per
+    // distinct glyph. The corpus plants non-ASCII docs (2-byte é/ü/ï,
+    // 3-byte CJK, 4-byte emoji — a UTF-16 surrogate pair, one code
+    // point); the model fits on the BASE ASCII corpus, so the planted
+    // glyphs are exactly the out-of-vocab case byte fallback exists
+    // for. Gate: per-doc token count, byte-token count, position-
+    // weighted id sum (one wrong byte or id breaks it), AND the q163
+    // round-trip md5 over the SAME extended corpus — decode must
+    // reassemble the bytes. Oracle replays the byte split as pure
+    // unicode(c) arithmetic (2/3/4-byte UTF-8 unrolled) plus the
+    // reserved-slot vocab.
+    Q("q179_byte_fallback_bpe",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sq = spark; import sq.implicits._
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        val planted = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 60000L).as("doc_id"),
+            concat(substring(col("text"), 1, 40),
+              lit(" café naïve über résumé 東京 emoji 🚀 done")).as("text"))
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        val toks = graft.operators.OperatorCaches.track(
+          corpus.select(col("doc_id"),
+            posexplode(Bpe.encodeCol(col("text"), model))
+              .as(Seq("pos", "tok"))).persist())
+        val isByte = col("tok").rlike("^<0x[0-9A-F]{2}>$")
+        val ranked = toks.filter(!isByte)
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .withColumn("id", row_number()
+            .over(Window.orderBy(col("c").desc, col("tok"))) + 256)
+          .select(col("tok"), col("id"))
+        val byteVocab = Bpe.ByteTokens.zipWithIndex
+          .map { case (t, b) => (t, b + 1) }.toDF("tok", "id")
+        val ids = toks.join(broadcast(byteVocab.unionByName(ranked)), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(isByte, 1L).otherwise(0L)).as("n_byte"),
+            sum(col("id").cast("long") * (col("pos") + 1)).as("id_wsum"))
+        val rt = corpus.select(col("doc_id"),
+          md5(Bpe.decodeCol(Bpe.encodeMarkedCol(col("text"), model))
+            .cast("binary")).as("canon_md5"))
+        ids.join(rt, Seq("doc_id"))
+      },
+      Some(s"""WITH $fitChain,
+             |xcorpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 60000,
+             |    substr(text, 1, 40) || ' café naïve über résumé 東京 emoji 🚀 done'
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |${encodeChainOver("xcorpus", byteFallback = true)},
+             |btoks AS (SELECT doc_id, bt[i] AS tok, i
+             |  FROM per, unnest(generate_series(1, len(bt))) AS s(i)),
+             |nb AS (SELECT tok, count(*) AS c FROM btoks
+             |  WHERE NOT regexp_matches(tok, '^<0x[0-9A-F]{2}>$$') GROUP BY tok),
+             |rv AS (SELECT tok,
+             |  ROW_NUMBER() OVER (ORDER BY c DESC, tok) + 256 AS id FROM nb),
+             |bv AS (SELECT printf('<0x%02X>', b) AS tok, b + 1 AS id
+             |  FROM (SELECT unnest(generate_series(0, 255)) AS b)),
+             |voc AS (SELECT tok, id FROM bv UNION ALL SELECT tok, id FROM rv),
+             |idt AS (SELECT b.doc_id, b.i, b.tok, v.id
+             |  FROM btoks b JOIN voc v USING (tok)),
+             |idsum AS (SELECT doc_id, count(*) AS n_tok,
+             |  sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>$$')
+             |    THEN 1 ELSE 0 END) AS n_byte,
+             |  sum(id * i) AS id_wsum FROM idt GROUP BY doc_id),
+             |canon AS (SELECT doc_id, array_to_string(list_transform(
+             |    regexp_extract_all(coalesce(text, ''), '$Lex'),
+             |    t -> CASE WHEN regexp_matches(t, '$Alpha')
+             |      THEN lower(t) ELSE t END), ' ') AS c
+             |  FROM xcorpus)
+             |SELECT i.doc_id, CAST(i.n_tok AS BIGINT) AS n_tok,
+             |  CAST(i.n_byte AS BIGINT) AS n_byte,
+             |  CAST(i.id_wsum AS BIGINT) AS id_wsum,
+             |  md5(c.c) AS canon_md5
+             |FROM idsum i JOIN canon c USING (doc_id)""".stripMargin)),
   )
 }

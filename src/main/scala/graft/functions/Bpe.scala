@@ -202,15 +202,50 @@ object Bpe {
     }
   }
 
-  /** Fused per-document kernel: lex → per-token encode/atomic → flat
-    * subword stream. Null text → empty (never null — callers aggregate). */
+  /** The 256 reserved byte-fallback token strings `<0x00>`…`<0xFF>`
+    * (GPT-2/SentencePiece byte-fallback convention): any non-ASCII
+    * pre-token decomposes to its UTF-8 bytes mapped through this
+    * alphabet, so EVERY string encodes to in-vocabulary tokens — the
+    * vocab is bounded at 256 + learned subwords instead of growing one
+    * entry per distinct non-ASCII glyph. Unambiguous by construction:
+    * a literal "<0xC3>" in input lexes as `<`, `0xC3`, `>` (three
+    * ASCII pre-tokens), so a byte token string can never be produced
+    * by the atomic path. Non-ASCII pre-tokens are always SINGLE code
+    * points (the `\w` lexer is ASCII, so any char ≥ U+0080 matches
+    * `[^\w\s]` alone) — the oracle replays the byte split as pure
+    * arithmetic over `unicode(c)`. */
+  val ByteTokens: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  private val byteTokenValue: Map[String, Int] =
+    ByteTokens.zipWithIndex.toMap
+
+  private def isAscii(tok: String): Boolean = {
+    var i = 0
+    while (i < tok.length) {
+      if (tok.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
+  private def byteFallback(tok: String): Vector[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toVector.map(b => ByteTokens(b & 0xff))
+
+  /** Fused per-document kernel: lex → per-token encode/atomic/byte-
+    * fallback → flat subword stream. ASCII alpha pre-tokens are
+    * BPE-encoded, other ASCII pre-tokens are atomic, non-ASCII
+    * pre-tokens decompose to [[ByteTokens]]. Null text → empty (never
+    * null — callers aggregate). */
   def encodeText(text: String, model: Model): Seq[String] = {
     val toks = lex(text)
     val out = Seq.newBuilder[String]
     toks.foreach { tok =>
       if (isAlpha(tok))
         out ++= encodeWordMemo(tok.toLowerCase(Locale.ROOT), model)
-      else out += tok
+      else if (isAscii(tok)) out += tok
+      else out ++= byteFallback(tok)
     }
     out.result()
   }
@@ -223,10 +258,11 @@ object Bpe {
 
   /** Word-boundary marker for the invertible token stream (the
     * SentencePiece convention): prefixed to the FIRST subword of every
-    * pre-token. U+2581 never occurs in ASCII text; if an adversarial
-    * input contains it, it lexes as its own atomic punct token and the
-    * round trip still holds (the marked form is "▁▁", decode emits "▁"
-    * as a word — spec-pinned). */
+    * pre-token. U+2581 never occurs in ASCII text; an adversarial input
+    * containing it goes down the byte-fallback path (marked form
+    * "▁<0xE2>", "<0x96>", "<0x81>"), so the marker never appears
+    * INSIDE a token except as this prefix and the round trip holds —
+    * spec-pinned. */
   val WordMarker = "▁"
 
   /** Invertible encode: [[encodeText]]'s exact subword stream, but the
@@ -242,7 +278,8 @@ object Bpe {
     toks.foreach { tok =>
       val subs =
         if (isAlpha(tok)) encodeWordMemo(tok.toLowerCase(Locale.ROOT), model)
-        else Vector(tok)
+        else if (isAscii(tok)) Vector(tok)
+        else byteFallback(tok)
       out += (WordMarker + subs.head)
       subs.iterator.drop(1).foreach(out += _)
     }
@@ -250,17 +287,32 @@ object Bpe {
   }
 
   /** Inverse of [[encodeTextMarked]]: marker starts a new space-joined
-    * word, unmarked subwords concatenate into the current word. Null →
-    * empty, matching encode's null stance. */
+    * word, unmarked subwords concatenate into the current word, and
+    * runs of byte tokens collect into a byte buffer that UTF-8-decodes
+    * at the next non-byte token / word boundary / end (the byte-
+    * fallback inverse). Null → empty, matching encode's null stance. */
   def decodeTokens(toks: Seq[String]): String = {
     if (toks == null) return ""
     val sb = new StringBuilder
-    toks.foreach { t =>
-      if (t.startsWith(WordMarker)) {
-        if (sb.nonEmpty) sb += ' '
-        sb ++= t.substring(WordMarker.length)
-      } else sb ++= t
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def flushBytes(): Unit = if (bytes.nonEmpty) {
+      sb ++= new String(bytes.toArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      bytes.clear()
     }
+    toks.foreach { t0 =>
+      val marked = t0.startsWith(WordMarker)
+      val t = if (marked) t0.substring(WordMarker.length) else t0
+      if (marked) {
+        flushBytes()
+        if (sb.nonEmpty) sb += ' '
+      }
+      byteTokenValue.get(t) match {
+        case Some(b) => bytes += b.toByte
+        case None => flushBytes(); sb ++= t
+      }
+    }
+    flushBytes()
     sb.toString
   }
 

@@ -168,7 +168,7 @@ class BpeSpec extends SparkSuite {
       }.mkString(" ")
     val adversarial = Seq(
       "Hello, World!", "", "   \t\n", "!!!", "a  b\tc",
-      "héllo wörld", // non-ASCII \w tokens: atomic pass-through
+      "héllo wörld", // non-ASCII chars: byte-fallback, reassembled on decode
       "MiXeD CaSe AND lower", "x1b 42 !?.",
       "▁marker in input▁") // the marker itself as input
     adversarial.foreach { t =>
@@ -193,5 +193,36 @@ class BpeSpec extends SparkSuite {
       assert(Bpe.decodeTokens(marked) == canon(t), s"doc $id round trip")
     }
     assert(Bpe.decodeTokens(null) == "")
+  }
+
+  test("byte fallback: non-ASCII decomposes to byte tokens; every token is ASCII") {
+    val model = Model(Vector.empty)
+    // 2-byte sequence: é = U+00E9 → C3 A9
+    assert(Bpe.encodeText("café", model) ==
+      Seq("c", "a", "f", "<0xC3>", "<0xA9>"))
+    // 3-byte sequences: 東 = U+6771, 京 = U+4EAC
+    assert(Bpe.encodeText("東京", model) ==
+      Seq("<0xE6>", "<0x9D>", "<0xB1>", "<0xE4>", "<0xBA>", "<0xAC>"))
+    // the whole output alphabet is ASCII — the bounded-vocab guarantee
+    val toks = Bpe.encodeText("naïve 🚀 über résumé x1b!", model)
+    assert(toks.forall(t => t.forall(_ < 0x80)), toks.toString)
+    // a literal byte-token string in INPUT lexes as ASCII pieces, never
+    // as a byte token (no ambiguity)
+    assert(Bpe.encodeText("<0xC3>", model) == Seq("<", "0", "x", "C3".toLowerCase, ">")
+      || Bpe.encodeText("<0xC3>", model) == Seq("<", "0xC3", ">"))
+    // marked round trip over 2-, 3- and 4-byte sequences (🚀 = U+1F680,
+    // a surrogate pair in UTF-16 — one code point, 4 UTF-8 bytes)
+    def canon(t: String): String =
+      "[\\w]+|[^\\w\\s]".r.findAllIn(t).map { tok =>
+        if (tok.matches("^[A-Za-z]+$")) tok.toLowerCase else tok
+      }.mkString(" ")
+    for (t <- Seq("café au lait", "東京 tower", "emoji 🚀 launch", "ü ü ü")) {
+      val m = Bpe.encodeTextMarked(t, model)
+      assert(m.forall(tk =>
+        tk.stripPrefix(Bpe.WordMarker).forall(_ < 0x80)), m.toString)
+      assert(Bpe.decodeTokens(m) == canon(t), s"round trip on '$t'")
+      assert(Bpe.encodeTextMarked(Bpe.decodeTokens(m), model) == m,
+        s"encode∘decode != id on '$t'")
+    }
   }
 }
