@@ -512,5 +512,54 @@ object BpeQueries {
              |  CAST(i.id_wsum AS BIGINT) AS id_wsum,
              |  md5(c.c) AS canon_md5
              |FROM idsum i JOIN canon c USING (doc_id)""".stripMargin)),
+
+    // BIGRAM LM surprisal over the BPE token stream (q149's unigram
+    // upgraded to the KenLM shape the verdicts asked for; tokens ≅ q171
+    // ids — the bijection makes string-keyed and id-keyed scoring
+    // identical). Add-one smoothing: P(v|u) = (C(u,v)+1)/(C(u)+V) with
+    // C(u) the left-context count and V the distinct-token vocab;
+    // surprisal −ln P in integer micro-nats (q94's discipline); the
+    // outlier verdict (doc mean > 1.25 × corpus mean) decided by exact
+    // integer cross-multiplication, no float compare. The oracle
+    // replays fit → encode → per-doc bigrams (lead window) → smoothed
+    // probabilities → micro-nat rounding → the cross-multiplied
+    // verdict, end to end.
+    Q("q180_bigram_surprisal",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.bigramSurprisalTokens(d, "doc_id",
+            Bpe.encodeCol(col("text"), model))
+          .select(col("id").as("doc_id"), col("n_bigrams"),
+            col("mean_surprisal"), col("is_outlier"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |bgtoks AS (SELECT doc_id, bt[i] AS tok, i
+             |  FROM per, unnest(generate_series(1, len(bt))) AS s(i)),
+             |bgbi AS (SELECT doc_id, tok,
+             |    lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+             |  FROM bgtoks),
+             |bgd AS (SELECT doc_id, tok, nxt, count(*) AS m FROM bgbi
+             |  WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+             |bgc AS (SELECT tok, nxt, CAST(sum(m) AS BIGINT) AS c
+             |  FROM bgd GROUP BY 1, 2),
+             |bgx AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cu FROM bgc GROUP BY 1),
+             |bgv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM bgtoks),
+             |bgp AS (SELECT b.tok, b.nxt, b.c,
+             |    CAST(round(-ln((CAST(b.c AS DOUBLE) + 1)
+             |      / CAST(x.cu + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS s
+             |  FROM bgc b JOIN bgx x USING (tok), bgv v),
+             |bgg AS (SELECT CAST(sum(s * c) AS BIGINT) AS gt,
+             |    CAST(sum(c) AS BIGINT) AS gn FROM bgp),
+             |bgs AS (SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(d.m * p.s) AS BIGINT) AS s_total
+             |  FROM bgd d JOIN bgp p ON p.tok = d.tok AND p.nxt = d.nxt
+             |  GROUP BY 1)
+             |SELECT doc_id, n_bigrams,
+             |  round(CAST(s_total AS DOUBLE) / n_bigrams / 1000000, 4) AS mean_surprisal,
+             |  CAST(CASE WHEN 4 * s_total * g.gn > 5 * g.gt * n_bigrams
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+             |FROM bgs, bgg g""".stripMargin)),
   )
 }

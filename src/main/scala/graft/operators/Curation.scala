@@ -369,6 +369,63 @@ object Curation {
           .as("mean_surprisal"))
   }
 
+  /** Add-one-smoothed BIGRAM surprisal over an arbitrary token-array
+    * column — the KenLM-shaped upgrade of [[unigramSurprisalTokens]]
+    * (a unigram LM can't see word-order scrambles; a bigram LM scores
+    * them as improbable). Per doc: bigrams (t_i, t_{i+1}) within the
+    * doc, P(v|u) = (C(u,v)+1) / (C(u)+V) with C(u) the left-context
+    * count and V the distinct-token vocabulary, surprisal −ln P in
+    * INTEGER micro-nats (q94's cross-engine discipline), mean per doc.
+    * The outlier verdict (doc mean > 1.25 × corpus mean) is decided by
+    * EXACT integer cross-multiplication — 4·s_total·G_n > 5·G_t·n_b —
+    * so no float comparison can drift between engines.
+    *
+    * Scale shape: one window (lead) partitioned by doc id, bigram
+    * counts via map-side-combining groupBys, the score join
+    * co-partitioned on the (u,v) pair key (the pair table is corpus
+    * vocabulary², far too big to broadcast — only the 1-row totals
+    * broadcast). Docs with < 2 tokens carry no bigrams and are absent
+    * from the output (nothing to score).
+    *
+    * @return (id, n_bigrams, mean_surprisal, is_outlier) */
+  def bigramSurprisalTokens(corpus: DataFrame, idCol: String,
+      toks0: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = OperatorCaches.track(corpus.select(col(idCol).as("id"),
+        posexplode(toks0).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0).persist())
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val dbc = OperatorCaches.track(
+      toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("id"), col("tok"), col("nxt"))
+        .agg(count(lit(1)).as("m")).persist())
+    val bc = dbc.groupBy(col("tok"), col("nxt")).agg(sum(col("m")).as("c"))
+    val ctx = bc.groupBy(col("tok")).agg(sum(col("c")).as("cu"))
+    val vocabSize = toks.agg(countDistinct(col("tok")).as("_v"))
+    val probs = OperatorCaches.track(bc.join(ctx, Seq("tok"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("tok"), col("nxt"), col("c"),
+        round(-log((col("c") + lit(1)).cast("double")
+          / (col("cu") + col("_v")).cast("double")) * 1e6, 0)
+          .cast("long").as("s"))
+      .persist())
+    val totals = probs.agg(sum(col("s") * col("c")).as("_gt"),
+      sum(col("c")).as("_gn"))
+    dbc.join(probs.select(col("tok"), col("nxt"), col("s")),
+        Seq("tok", "nxt"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("s")).as("s_total"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("n_bigrams"),
+        round(col("s_total").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("mean_surprisal"),
+        when(col("s_total") * col("_gn") * 4 >
+          col("_gt") * col("n_bigrams") * 5, 1L).otherwise(0L)
+          .as("is_outlier"))
+  }
+
   /** Domain-mixture reweighting toward a UNIFORM token budget per domain:
     * weight(g) = (total_tokens / n_domains) / tokens(g) — the sampling
     * multiplier that equalizes each domain's token contribution (the
