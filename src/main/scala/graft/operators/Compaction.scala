@@ -119,6 +119,19 @@ object Compaction {
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath.getName).sorted
     require(parts.nonEmpty, s"no hive partition dirs (col=value) under $inDir")
+    // single-level layouts only: a nested col=value level under a
+    // partition dir would be read with partition discovery and
+    // rewritten FLAT, silently destroying the inner level — refuse
+    // loudly instead (nested layouts want a recursive walk to the leaf
+    // dirs, which nothing here needs yet)
+    parts.foreach { part =>
+      val nested = fs.listStatus(new Path(p, part))
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      require(nested.isEmpty,
+        s"nested hive partition level under $inDir/$part " +
+          s"(${nested.map(_.getPath.getName).mkString(", ")}); " +
+          "compactPartitioned handles single-level layouts only")
+    }
     parts.map { part =>
       part -> compact(spark, s"$inDir/$part", s"$outDir/$part", targetBytes)
     }

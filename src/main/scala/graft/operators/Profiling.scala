@@ -63,7 +63,11 @@ object Profiling {
     * (Long.MaxValue, NaN) sentinel that any real row's mix64 hash
     * evicts, and at most one survives an under-full sample, stripped
     * before the bounds are cut. The profile side still counts the
-    * nulls. */
+    * nulls. Collision assumption: a real row whose mix64(id) happens
+    * to equal Long.MaxValue ties with the sentinel and may be dropped
+    * from that column's SAMPLE (never from the exact profile stats) —
+    * probability 2⁻⁶⁴ per row, and the histogram is an approximation
+    * by construction, so this is accepted rather than guarded. */
   def profileWithHistogram(df: DataFrame, columns: Seq[String],
       idCol: String, buckets: Int = 8, k: Int = 256): DataFrame = {
     require(columns.nonEmpty, "profileWithHistogram needs columns")

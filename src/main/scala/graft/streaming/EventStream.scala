@@ -256,7 +256,12 @@ object EventStream {
         case (user, rows, state: GroupState[Scd2State]) =>
           val wm = state.getCurrentWatermarkMs()
           val st = state.getOption.getOrElse(Scd2State(Long.MinValue, null, Seq.empty))
-          // new admissible rows join the raw buffer; late-beyond-wm drop
+          // new admissible rows join the raw buffer. Spark's fMGWS
+          // pre-filter already drops rows with ts <= watermark before
+          // they reach this handler (observed empirically — see the
+          // watermark-zero trap note), so the >= here is a conservative
+          // backstop whose equality branch is unreachable; rows seen
+          // here always have ts > wm
           val buffered = st.buf ++ rows
             .map(r => (r._2.getTime, r._3, r._4)).filter(_._1 >= wm)
           val sorted = buffered.sortBy(t => (t._1, t._2))

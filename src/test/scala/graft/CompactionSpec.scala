@@ -116,4 +116,21 @@ class CompactionSpec extends SparkSuite {
       "compacted layout must still prune:\n" + scan.take(2000))
     assert(pruned.count() == 1000)
   }
+
+  test("partitioned compaction refuses nested col=value layouts loudly") {
+    val src = java.nio.file.Files.createTempDirectory("cmp-nest").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp-nout").toString
+    // two-level layout a=.../b=... — compacting per top-level dir would
+    // read b with partition discovery and rewrite it FLAT, silently
+    // destroying the inner level; the guard must refuse instead
+    (0L until 600L).map(i => (i, s"a${i % 2}", s"b${i % 3}", s"p-$i"))
+      .toDF("id", "a", "b", "payload")
+      .repartition(4).write.partitionBy("a", "b").mode("overwrite").parquet(src)
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compactPartitioned(spark, src, out, 1L << 30)
+    }
+    assert(ex.getMessage.contains("nested hive partition level"),
+      ex.getMessage)
+    assert(ex.getMessage.contains("b="), ex.getMessage)
+  }
 }
