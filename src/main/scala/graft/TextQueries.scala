@@ -339,6 +339,91 @@ object TextQueries {
       s"SELECT CAST($id AS BIGINT) AS doc_id, '${t.replace("\n", "' || chr(10) || '")}' AS text"
     }.mkString("\n  UNION ALL ")
 
+  /** The seven Gopher rule expressions + pass flags + composite keep,
+    * shared by q177 (the full verdict table) and q181 (the funnel's
+    * quality stage) — single definition, no drift. All predicates
+    * compare UNROUNDED IEEE-identical divisions. */
+  private[graft] case class GopherRules(
+      nWords: org.apache.spark.sql.Column,
+      meanLen: org.apache.spark.sql.Column,
+      symRatio: org.apache.spark.sql.Column,
+      bulletRatio: org.apache.spark.sql.Column,
+      ellRatio: org.apache.spark.sql.Column,
+      punctRatio: org.apache.spark.sql.Column,
+      alphaRatio: org.apache.spark.sql.Column,
+      nStop: org.apache.spark.sql.Column,
+      pWords: org.apache.spark.sql.Column,
+      pMean: org.apache.spark.sql.Column,
+      pSym: org.apache.spark.sql.Column,
+      pBullet: org.apache.spark.sql.Column,
+      pEll: org.apache.spark.sql.Column,
+      pAlpha: org.apache.spark.sql.Column,
+      pStop: org.apache.spark.sql.Column,
+      keep: org.apache.spark.sql.Column)
+
+  private[graft] def gopherRules(text: org.apache.spark.sql.Column): GopherRules = {
+    val toks = TextFunctions.tokens(text)
+    val nWords = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L),
+      (a, t) => a + length(t).cast("long")).cast("double") / nWords
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val symRatio = (nHash + nEll).cast("double") / nWords
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines)
+    val bulletRatio = size(filter(lines,
+      l => l.like("- %") || l.like("* %"))).cast("double") / nLines
+    val ellRatio = size(filter(lines,
+      l => l.like("%..."))).cast("double") / nLines
+    val punctRatio = size(filter(lines, l => l.like("%.") ||
+      l.like("%!") || l.like("%?") || l.like("%\"")))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val nStop = TextFunctions.langScore(
+      TextFunctions.tokens(lower(text)), "en").cast("long")
+    val pWords = nWords >= 10 && nWords <= 100000
+    val pMean = meanLen >= 2.0 && meanLen <= 10.0
+    val pSym = symRatio <= 0.1
+    val pBullet = bulletRatio <= 0.9
+    val pEll = ellRatio <= 0.3
+    val pAlpha = alphaRatio >= 0.8
+    val pStop = nStop >= 2
+    GopherRules(nWords, meanLen, symRatio, bulletRatio, ellRatio,
+      punctRatio, alphaRatio, nStop, pWords, pMean, pSym, pBullet, pEll,
+      pAlpha, pStop,
+      pWords && pMean && pSym && pBullet && pEll && pAlpha && pStop)
+  }
+
+  /** Shared oracle SQL: the per-doc rule-value CTEs over `$src`
+    * (expects (doc_id, text)) and the composite keep predicate over
+    * the `vals` CTE's raw columns. */
+  private def gopherValsSql(src: String): String =
+    s"""feat AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
+       |    string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ltoks,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM $src),
+       |vals AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_raw,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks) AS sym_raw,
+       |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bullet_raw,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ell_raw,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%.' OR l LIKE '%!'
+       |      OR l LIKE '%?' OR l LIKE '%\"')) AS DOUBLE) / len(lines) AS punct_raw,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_raw,
+       |    CAST(len(list_filter(ltoks, t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS BIGINT) AS n_stop
+       |  FROM feat)""".stripMargin
+
+  private val gopherKeepSql: String =
+    """n_words BETWEEN 10 AND 100000 AND mean_raw BETWEEN 2.0 AND 10.0
+      |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
+      |    AND alpha_raw >= 0.8 AND n_stop >= 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact dedup by content hash (sha256): one shuffle on the digest,
     // min(doc_id) is the canonical keeper.
@@ -1274,72 +1359,27 @@ object TextQueries {
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
           .unionByName(qualityPlanted.toDF("doc_id", "text"))
-        val toks = TextFunctions.tokens(col("text"))
-        val nWords = size(toks).cast("long")
-        val meanLen = aggregate(toks, lit(0L),
-          (a, t) => a + length(t).cast("long")).cast("double") / nWords
-        val nHash = length(col("text")) -
-          length(regexp_replace(col("text"), "#", ""))
-        val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
-        val symRatio = (nHash + nEll).cast("double") / nWords
-        val lines = split(col("text"), "\n", -1)
-        val nLines = size(lines)
-        val bulletRatio = size(filter(lines,
-          l => l.like("- %") || l.like("* %"))).cast("double") / nLines
-        val ellRatio = size(filter(lines,
-          l => l.like("%..."))).cast("double") / nLines
-        val punctRatio = size(filter(lines, l => l.like("%.") ||
-          l.like("%!") || l.like("%?") || l.like("%\"")))
-          .cast("double") / nLines
-        val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
-          .cast("double") / nWords
-        val nStop = TextFunctions.langScore(
-          TextFunctions.tokens(lower(col("text"))), "en").cast("long")
+        val r = gopherRules(col("text"))
         def flag(c: org.apache.spark.sql.Column) =
           when(c, 1L).otherwise(0L)
-        val pWords = nWords >= 10 && nWords <= 100000
-        val pMean = meanLen >= 2.0 && meanLen <= 10.0
-        val pSym = symRatio <= 0.1
-        val pBullet = bulletRatio <= 0.9
-        val pEll = ellRatio <= 0.3
-        val pAlpha = alphaRatio >= 0.8
-        val pStop = nStop >= 2
         d.select(col("doc_id"),
-          nWords.as("n_words"), round(meanLen, 6).as("mean_word_len"),
-          round(symRatio, 6).as("symbol_ratio"),
-          round(bulletRatio, 6).as("bullet_ratio"),
-          round(ellRatio, 6).as("ellipsis_ratio"),
-          round(alphaRatio, 6).as("alpha_word_ratio"),
-          nStop.as("n_stopwords"), round(punctRatio, 6).as("term_punct_ratio"),
-          flag(pWords).as("p_words"), flag(pMean).as("p_meanlen"),
-          flag(pSym).as("p_symbol"), flag(pBullet).as("p_bullet"),
-          flag(pEll).as("p_ellipsis"), flag(pAlpha).as("p_alpha"),
-          flag(pStop).as("p_stopwords"),
-          flag(pWords && pMean && pSym && pBullet && pEll && pAlpha && pStop)
-            .as("keep"))
+          r.nWords.as("n_words"), round(r.meanLen, 6).as("mean_word_len"),
+          round(r.symRatio, 6).as("symbol_ratio"),
+          round(r.bulletRatio, 6).as("bullet_ratio"),
+          round(r.ellRatio, 6).as("ellipsis_ratio"),
+          round(r.alphaRatio, 6).as("alpha_word_ratio"),
+          r.nStop.as("n_stopwords"),
+          round(r.punctRatio, 6).as("term_punct_ratio"),
+          flag(r.pWords).as("p_words"), flag(r.pMean).as("p_meanlen"),
+          flag(r.pSym).as("p_symbol"), flag(r.pBullet).as("p_bullet"),
+          flag(r.pEll).as("p_ellipsis"), flag(r.pAlpha).as("p_alpha"),
+          flag(r.pStop).as("p_stopwords"),
+          flag(r.keep).as("keep"))
       },
       Some(s"""WITH corpus AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL $qualityPlantedSql),
-             |feat AS (
-             |  SELECT doc_id, text,
-             |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
-             |    string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ltoks,
-             |    string_split(text, chr(10)) AS lines
-             |  FROM corpus),
-             |vals AS (
-             |  SELECT doc_id,
-             |    CAST(len(toks) AS BIGINT) AS n_words,
-             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_raw,
-             |    CAST(length(text) - length(replace(text, '#', ''))
-             |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks) AS sym_raw,
-             |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bullet_raw,
-             |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ell_raw,
-             |    CAST(len(list_filter(lines, l -> l LIKE '%.' OR l LIKE '%!'
-             |      OR l LIKE '%?' OR l LIKE '%\"')) AS DOUBLE) / len(lines) AS punct_raw,
-             |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_raw,
-             |    CAST(len(list_filter(ltoks, t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS BIGINT) AS n_stop
-             |  FROM feat)
+             |${gopherValsSql("corpus")}
              |SELECT doc_id, n_words,
              |  ROUND(mean_raw, 6) AS mean_word_len,
              |  ROUND(sym_raw, 6) AS symbol_ratio,
@@ -1355,10 +1395,78 @@ object TextQueries {
              |  CAST(CASE WHEN ell_raw <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS p_ellipsis,
              |  CAST(CASE WHEN alpha_raw >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS p_alpha,
              |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS p_stopwords,
-             |  CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_raw BETWEEN 2.0 AND 10.0
-             |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
-             |    AND alpha_raw >= 0.8 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |  CAST(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM vals""".stripMargin)),
+
+    // CURATION FUNNEL capstone — the three passes a real corpus actually
+    // runs, COMPOSED: Gopher quality gate (q177's shared rules) → PII
+    // redaction (q176's shared 4-class ladder) → exact dedup keep-one
+    // (q30's sha256 decision rule), emitting the per-doc cleaned-corpus
+    // manifest (id, redaction count, cleaned length, content hash) a
+    // downstream tokenizer consumes. PII is injected pre-copy so exact
+    // copies (+10000, every %3==0 doc) share identical injected text,
+    // survive or fail quality together, redact identically, and dedup
+    // to the min-id keeper — any drift in ANY stage (a flipped verdict,
+    // a missed redaction, a wrong keeper) changes the manifest rows.
+    // One pass per stage, the only shuffle is the dedup groupBy on the
+    // 32-byte content hash — the 100 TB shape.
+    Q("q181_curation_funnel",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val injected = d.select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id") % 100,
+          lit("@ex.org ref 987654"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0")).as("text"))
+        val corpus = injected.unionByName(
+          injected.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        val kept = corpus.filter(gopherRules(col("text")).keep)
+        val counts = TextFunctions.piiBatteryCounts(col("text")).toMap
+        val red = kept.select(col("doc_id"),
+          TextFunctions.redactPiiBattery(col("text")).as("clean"),
+          (counts("n_emails") + counts("n_ids") + counts("n_longids") +
+            counts("n_phones")).cast("long").as("n_redactions"))
+        val keepers = red
+          .groupBy(sha2(col("clean"), 256).as("content_sha"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        red.join(keepers, Seq("doc_id"))
+          .select(col("doc_id"), col("n_redactions"),
+            length(col("clean")).cast("long").as("clean_len"),
+            col("content_sha"))
+      },
+      Some {
+        val em = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val idp = """\b\d{3}-\d{2}-\d{4}\b"""
+        val lg = """\b\d{9,}\b"""
+        val ph = """\+?\d[\d()\- ]{6,}\d"""
+        s"""WITH inj AS (
+           |  SELECT doc_id, text || ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+           |    || '@ex.org ref 987654' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, text FROM inj
+           |  UNION ALL SELECT doc_id + 10000, text FROM inj WHERE doc_id % 3 = 0),
+           |${gopherValsSql("corpus")},
+           |keeps AS (SELECT doc_id FROM vals WHERE $gopherKeepSql),
+           |surv AS (SELECT c.doc_id, c.text AS t FROM corpus c
+           |  JOIN keeps k ON k.doc_id = c.doc_id),
+           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '', 'g') AS ne FROM surv),
+           |ch2 AS (SELECT doc_id, t, ne, regexp_replace(ne, '$idp', '', 'g') AS ni FROM ch1),
+           |ch3 AS (SELECT doc_id, t, ne, ni, regexp_replace(ni, '$lg', '', 'g') AS nl FROM ch2),
+           |red AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$em', '<EMAIL>', 'g'), '$idp', '<ID>', 'g'),
+           |    '$lg', '<LONGID>', 'g'), '$ph', '<PHONE>', 'g') AS clean,
+           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(ne, '$idp'))
+           |    + len(regexp_extract_all(ni, '$lg'))
+           |    + len(regexp_extract_all(nl, '$ph')) AS n_red
+           |  FROM ch3),
+           |keepers AS (SELECT sha256(clean) AS content_sha, min(doc_id) AS doc_id
+           |  FROM red GROUP BY 1)
+           |SELECT r.doc_id, CAST(r.n_red AS BIGINT) AS n_redactions,
+           |  CAST(length(r.clean) AS BIGINT) AS clean_len, k.content_sha
+           |FROM red r JOIN keepers k ON k.doc_id = r.doc_id""".stripMargin
+      }),
 
     // Char-n-gram language-ID (CharLangId): the curation-grade upgrade
     // of q's 10-marker argmax — Cavnar–Trenkle rank profiles (top-64
