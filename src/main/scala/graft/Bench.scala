@@ -94,7 +94,11 @@ object Bench {
     "q157"->0.176, "q158"->0.846, "q159"->0.164, "q160"->0.229, "q161"->3.838,
     "q162"->2.848, "q163"->0.357, "q164"->2.302, "q165"->0.17, "q166"->0.764,
     "q167"->1.007, "q168"->1.337, "q169"->1.866, "q170"->3.355, "q171"->0.928,
-    "q172"->0.905, "q173"->1.107, "q174"->0.586)
+    "q172"->0.905, "q173"->1.107, "q174"->0.586,
+    // round-12 new queries (same normalization, control median 1.502,
+    // calib 2.026 — recorded so next round's regress covers them too)
+    "q175"->1.055, "q176"->0.558, "q177"->0.42, "q178"->1.041,
+    "q179"->1.144, "q180"->2.08, "q181"->1.703)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
