@@ -833,6 +833,86 @@ object TextQueries {
            |  LEFT JOIN cleaned cl ON cl.id = c.id""".stripMargin
       }),
 
+    // KEEP-ONE substring span removal (q175's production policy — Lee
+    // et al. 2022 keeps one occurrence of every duplicated substring):
+    // the lowest-id doc carrying a duplicated window keeps it, chosen
+    // PER HASH, so exactly one copy of each duplicated substring
+    // survives the corpus. On the planted q172 corpus that means the
+    // base %4==0 docs keep their text while their +10000 copies are
+    // gutted, and the %4==1 docs keep their first halves while the
+    // +20000 half-docs lose everything anchored — asymmetry the
+    // remove-all form (q175) cannot produce, and exactly what the gate
+    // hashes. Oracle = q175's replay with a min(id)-keeper exemption
+    // joined into the span table.
+    Q("q182_span_removal_keep_one",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d
+          .unionByName(d.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+          .unionByName(d.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              substring(col("text"), lit(1), (length(col("text")) / 2)
+                .cast("int")).as("text")))
+        Dedup.removeDuplicatedSpansKeepOne(corpus, "doc_id", "text")
+      },
+      Some {
+        def fold(slice: String): String =
+          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+             |    (h, b) -> ((h - (h % 256) +
+             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0
+           |  UNION ALL SELECT doc_id + 20000, substr(text, 1, length(text) // 2)
+           |    FROM documents WHERE doc_id % 4 = 1),
+           |codes AS MATERIALIZED (
+           |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+           |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+           |      ELSE CAST(error('non-ASCII byte in q182 oracle — JVM kernel folds UTF-8 bytes') AS HUGEINT) END) AS cs
+           |  FROM corpus WHERE text IS NOT NULL),
+           |pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
+           |  FROM codes WHERE len(cs) >= 64),
+           |wins AS MATERIALIZED (
+           |  SELECT id, i, ${fold("cs[i:i+63]")} AS h
+           |  FROM pos WHERE ${fold("cs[i:i+3]")} % 16 = 0),
+           |keepers AS (SELECT h, min(id) AS keeper FROM wins
+           |  GROUP BY h HAVING count(DISTINCT id) >= 2),
+           |dw AS (SELECT w.id, w.i FROM wins w
+           |  JOIN keepers k ON k.h = w.h AND w.id <> k.keeper),
+           |mk AS (SELECT id, i,
+           |  CASE WHEN max(i + 64) OVER (PARTITION BY id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           |    OR i > max(i + 64) OVER (PARTITION BY id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    THEN 1 ELSE 0 END AS isl0 FROM dw),
+           |isl AS (SELECT id, i, sum(isl0) OVER (PARTITION BY id ORDER BY i
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM mk),
+           |merged AS (SELECT id, g, min(i) AS s, max(i) + 64 AS e
+           |  FROM isl GROUP BY 1, 2),
+           |gaps AS (
+           |  SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS gs,
+           |    s AS ge FROM merged
+           |  UNION ALL
+           |  SELECT id, max(e) AS gs, NULL AS ge FROM merged GROUP BY id),
+           |cleaned AS (
+           |  SELECT g.id, string_agg(
+           |    substr(c.text, CAST(g.gs AS INT),
+           |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
+           |    '' ORDER BY g.gs) AS ct
+           |  FROM gaps g JOIN corpus c ON c.id = g.id GROUP BY g.id),
+           |stats AS (SELECT id, count(*) AS n_spans, sum(e - s) AS removed
+           |  FROM merged GROUP BY id)
+           |SELECT c.id, CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           |  CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+           |  CAST(coalesce(length(coalesce(cl.ct, c.text)), 0) AS BIGINT) AS clean_len,
+           |  coalesce(cl.ct, c.text) AS clean_text
+           |FROM corpus c LEFT JOIN stats st ON st.id = c.id
+           |  LEFT JOIN cleaned cl ON cl.id = c.id""".stripMargin
+      }),
+
     // STREAMING substring dedup — q174's stream twin, completing the
     // 3×3 dedup matrix (literal LSH q152/q156, semantic q162/q170,
     // substring q174/here): the incoming batch arrives as a file

@@ -270,18 +270,55 @@ object Dedup {
   def removeDuplicatedSpans(corpus: DataFrame, idCol: String,
       textCol: String, window: Int = 64, gate: Int = 4,
       modulo: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.TextFunctions
-    val wins = OperatorCaches.track(corpus.select(col(idCol).as("id"),
-      explode(TextFunctions.anchoredWindowSpansCol(col(textCol),
-        window, gate, modulo)).as("w"))
-      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
-      .persist())
+    val wins = spanWindows(corpus, idCol, textCol, window, gate, modulo)
     val dupH = wins.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
     val dupWins = wins.join(dupH, Seq("h"), "left_semi")
       .select(col("id"), col("pos"))
+    cutSpans(corpus, idCol, textCol, dupWins, window)
+  }
+
+  /** [[removeDuplicatedSpans]] under the KEEP-ONE policy (Lee et al.
+    * 2022's production form): the lowest-id document carrying a
+    * duplicated window keeps it; every other occurrence is excised.
+    * The keeper is chosen PER WINDOW HASH (a doc can keep one span and
+    * lose another), so exactly one copy of every duplicated substring
+    * survives in the corpus. Cross-doc duplication only: a hash
+    * repeated within the keeper doc alone keeps all its copies (the
+    * dup definition is countDistinct(doc) ≥ 2, same as detection).
+    * Same shuffle shape as the remove-all form plus one min(id)
+    * carried on the existing hash aggregation. */
+  def removeDuplicatedSpansKeepOne(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int = 64, gate: Int = 4,
+      modulo: Int = 16): DataFrame = {
+    val wins = spanWindows(corpus, idCol, textCol, window, gate, modulo)
+    val keepers = wins.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"), min(col("id")).as("keeper"))
+      .filter(col("nd") >= 2).select(col("h"), col("keeper"))
+    val dupWins = wins.join(keepers, Seq("h"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), col("pos"))
+    cutSpans(corpus, idCol, textCol, dupWins, window)
+  }
+
+  /** Shared first stage of the span-removal forms: per-doc anchored
+    * (pos, hash) windows, persisted for the two aggregations over it. */
+  private def spanWindows(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int, gate: Int, modulo: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    OperatorCaches.track(corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.anchoredWindowSpansCol(col(textCol),
+        window, gate, modulo)).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .persist())
+  }
+
+  /** Shared second stage: merge the given per-doc span starts into
+    * islands and cut the text (scaladoc on [[removeDuplicatedSpans]]). */
+  private def cutSpans(corpus: DataFrame, idCol: String, textCol: String,
+      dupWins: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("id").orderBy("pos")

@@ -133,6 +133,32 @@ class DedupSpec extends SparkSuite {
     assert(got(2L)._5.endsWith(bTail.substring(bTail.length - 40)))
   }
 
+  test("keep-one span removal: lowest id keeps the span, others lose it") {
+    val span = "the quick brown fox jumps over the lazy dog repeatedly and often " * 3
+    val df = Seq(
+      (1L, "alpha head " + span + " alpha tail"),
+      (2L, "longer beta heading text " + span + " beta tail"),
+      (3L, "gamma prose " + span + " gamma close")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpansKeepOne(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is the keeper of every duplicated window: untouched
+    assert(got(1L)._2 == 0 && got(1L)._5.contains(span),
+      s"keeper doc must keep the span: ${got(1L)}")
+    // docs 2 and 3 lose it
+    for (id <- Seq(2L, 3L)) {
+      assert(got(id)._3 >= span.length - 64,
+        s"doc $id kept too much of the span: ${got(id)}")
+      assert(!got(id)._5.contains(span.substring(0, 64)), s"doc $id")
+    }
+    // remove-all (q175 policy) on the same corpus guts ALL THREE —
+    // the two policies must actually differ
+    val all = Dedup.removeDuplicatedSpans(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(all(1L)._3 >= span.length - 64, all(1L).toString)
+  }
+
   test("anchoredWindowSpans positions+hashes agree with anchoredWindowHashes") {
     val texts = Seq(
       ("x" * 9) + ("the quick brown fox jumps over the lazy dog " * 4) + " end",
