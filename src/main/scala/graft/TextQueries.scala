@@ -1548,6 +1548,93 @@ object TextQueries {
            |FROM red r JOIN keepers k ON k.doc_id = r.doc_id""".stripMargin
       }),
 
+    // STREAMING INGEST GATE — q181's funnel at the crawl-ingest
+    // boundary, run as a STREAM: incoming docs arrive as a file stream
+    // and pass through exact-dup rejection (stream-static LEFT ANTI
+    // join on sha256 against the epoch corpus's content-hash index —
+    // the q174 epoch-index discipline applied to exact dedup), the
+    // Gopher quality gate, and PII redaction — every stage stateless
+    // or stream-static, so the query runs in Append mode with ZERO
+    // state store. Three planted regimes: exact corpus copies
+    // (+10000, rejected by the index), novel text with a planted email
+    // (+20000, the only survivors — each manifest row carries its
+    // redaction), and junk ('too # short', +30000, fails quality on
+    // words/symbols/stopwords). The oracle replays all three stages in
+    // batch SQL — batch-equality IS the streaming correctness claim.
+    Q("q183_streaming_ingest_gate",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val incoming = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 1)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              concat(col("text"),
+                lit(" fresh reporting the corpus lacks entirely today contact user"),
+                col("doc_id") % 100, lit("@ex.org")).as("text")))
+          .unionByName(d.filter(col("doc_id") % 3 === 2)
+            .select((col("doc_id") + 30000L).as("doc_id"),
+              lit("too # short").as("text")))
+        val inDir = s"/tmp/graft-ingest-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(incoming, "doc_id", s"$dir/documents_ingest")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        val index = d.select(sha2(col("text"), 256).as("h")).distinct()
+          .localCheckpoint(true) // the epoch content-hash index
+        val counts = TextFunctions.piiBatteryCounts(col("text")).toMap
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream
+            .withColumn("h", sha2(col("text"), 256))
+            .join(index, Seq("h"), "left_anti")
+            .filter(gopherRules(col("text")).keep)
+            .select(col("doc_id").as("in_id"),
+              TextFunctions.redactPiiBattery(col("text")).as("clean"),
+              (counts("n_emails") + counts("n_ids") + counts("n_longids") +
+                counts("n_phones")).cast("long").as("n_redactions"))
+            .select(col("in_id"), col("n_redactions"),
+              length(col("clean")).cast("long").as("clean_len"),
+              sha2(col("clean"), 256).as("content_sha")),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q183_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some {
+        val em = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val idp = """\b\d{3}-\d{2}-\d{4}\b"""
+        val lg = """\b\d{9,}\b"""
+        val ph = """\+?\d[\d()\- ]{6,}\d"""
+        s"""WITH inc AS (
+           |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL SELECT doc_id + 20000,
+           |    text || ' fresh reporting the corpus lacks entirely today contact user'
+           |      || CAST(doc_id % 100 AS VARCHAR) || '@ex.org'
+           |    FROM documents WHERE doc_id % 3 = 1
+           |  UNION ALL SELECT doc_id + 30000, 'too # short'
+           |    FROM documents WHERE doc_id % 3 = 2),
+           |idx AS (SELECT DISTINCT sha256(text) AS h FROM documents),
+           |novel AS (SELECT doc_id, text FROM inc
+           |  WHERE sha256(text) NOT IN (SELECT h FROM idx)),
+           |${gopherValsSql("novel")},
+           |keeps AS (SELECT doc_id FROM vals WHERE $gopherKeepSql),
+           |surv AS (SELECT n.doc_id, n.text AS t FROM novel n
+           |  JOIN keeps k USING (doc_id)),
+           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '', 'g') AS ne FROM surv),
+           |ch2 AS (SELECT doc_id, t, ne, regexp_replace(ne, '$idp', '', 'g') AS ni FROM ch1),
+           |ch3 AS (SELECT doc_id, t, ne, ni, regexp_replace(ni, '$lg', '', 'g') AS nl FROM ch2),
+           |red AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$em', '<EMAIL>', 'g'), '$idp', '<ID>', 'g'),
+           |    '$lg', '<LONGID>', 'g'), '$ph', '<PHONE>', 'g') AS clean,
+           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(ne, '$idp'))
+           |    + len(regexp_extract_all(ni, '$lg'))
+           |    + len(regexp_extract_all(nl, '$ph')) AS n_red
+           |  FROM ch3)
+           |SELECT doc_id AS in_id, CAST(n_red AS BIGINT) AS n_redactions,
+           |  CAST(length(clean) AS BIGINT) AS clean_len,
+           |  sha256(clean) AS content_sha
+           |FROM red""".stripMargin
+      }),
+
     // Char-n-gram language-ID (CharLangId): the curation-grade upgrade
     // of q's 10-marker argmax — Cavnar–Trenkle rank profiles (top-64
     // padded trigrams per lang) fit from the hash-capped sample, every
