@@ -971,6 +971,72 @@ object TextQueries {
       },
       Some(incrementalSubstringOracle)),
 
+    // EXACT substring dedup — the modulo=1 all-positions form of q172
+    // (Lee et al.'s exact semantics: EVERY duplicated window-length
+    // substring is caught, no anchor-sampling recall term; q172's
+    // anchored form trades that for 1/modulo cost, this query gates
+    // the exact end of the dial on a %5 subset at window 32). A
+    // 40-char span is planted mid-doc at a DIFFERENT offset in a +40000
+    // partner — shorter than 64 and offset-shifted, so q172's 64-char
+    // anchored windows could only probabilistically see it, while the
+    // exact 32-char form must catch every one of its 9 duplicated
+    // windows. The oracle replays every position (no gate filter).
+    Q("q184_exact_substring_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+        val span = "exact duplicated forty char span here!!"
+        val corpus = d
+          .unionByName(d.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 40000L).as("doc_id"),
+              concat(substring(col("text"), lit(1), lit(25)), lit(span),
+                substring(col("text"), lit(26), length(col("text"))))
+                .as("text")))
+          .unionByName(d.filter(col("doc_id") % 2 === 1)
+            .select((col("doc_id") + 50000L).as("doc_id"),
+              concat(lit("lead-in text then "), lit(span),
+                lit(" and an unrelated tail follows")).as("text")))
+        Dedup.duplicatedSubstrings(corpus, "doc_id", "text",
+          window = 32, gate = 4, modulo = 1)
+      },
+      Some {
+        def fold(slice: String): String =
+          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+             |    (h, b) -> ((h - (h % 256) +
+             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+        val span = "exact duplicated forty char span here!!"
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |corpus AS (
+           |  SELECT doc_id AS id, text FROM base
+           |  UNION ALL SELECT doc_id + 40000,
+           |    substr(text, 1, 25) || '$span' || substr(text, 26, length(text))
+           |    FROM base WHERE doc_id % 2 = 0
+           |  UNION ALL SELECT doc_id + 50000,
+           |    'lead-in text then ' || '$span' || ' and an unrelated tail follows'
+           |    FROM base WHERE doc_id % 2 = 1),
+           |codes AS MATERIALIZED (
+           |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+           |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+           |      ELSE CAST(error('non-ASCII byte in q184 oracle') AS HUGEINT) END) AS cs
+           |  FROM corpus WHERE text IS NOT NULL),
+           |pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 31)) AS i
+           |  FROM codes WHERE len(cs) >= 32),
+           |wins AS MATERIALIZED (
+           |  SELECT id, ${fold("cs[i:i+31]")} AS h FROM pos),
+           |duph AS (SELECT h FROM (
+           |  SELECT h, count(DISTINCT id) AS nd FROM wins GROUP BY h) WHERE nd >= 2),
+           |nw AS (SELECT id, count(*) AS n_windows FROM wins GROUP BY id),
+           |ndp AS (SELECT id, count(*) AS n_dup FROM wins
+           |  WHERE h IN (SELECT h FROM duph) GROUP BY id)
+           |SELECT c.id, CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(ndp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           |  round(CASE WHEN coalesce(nw.n_windows, 0) = 0 THEN 0.0
+           |    ELSE CAST(coalesce(ndp.n_dup, 0) AS DOUBLE) / nw.n_windows END, 6) AS dup_frac
+           |FROM corpus c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
+      }),
+
     // SimHash near-dup candidates (Hamming ≤ 3) on the doubled corpus.
     // Oracled: simhash is pure integer arithmetic — DuckDB replays
     // fnv1a64 per token (HUGEINT fold mod 2^64; corpus is ASCII so

@@ -343,12 +343,14 @@ object TextFunctions {
       if (text.charAt(k) >= 0x80) ascii = false
       k += 1
     }
+    // modulo = 1 is the exact-all-positions form (every position
+    // anchors) — skip the gate fold entirely, it can't reject
     if (ascii) {
       val bytes =
         text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       var i = 0
       while (i <= max) {
-        if (java.lang.Long.remainderUnsigned(
+        if (modulo == 1 || java.lang.Long.remainderUnsigned(
             fnvRange(bytes, i, i + gate), modulo) == 0L)
           emit(i, fnvRange(bytes, i, i + window))
         i += 1
@@ -356,7 +358,7 @@ object TextFunctions {
     } else {
       var i = 0
       while (i <= max) {
-        if (java.lang.Long.remainderUnsigned(
+        if (modulo == 1 || java.lang.Long.remainderUnsigned(
             fnv1a64(text.substring(i, i + gate)), modulo) == 0L)
           emit(i, fnv1a64(text.substring(i, i + window)))
         i += 1
