@@ -98,7 +98,12 @@ object Bench {
     // round-12 new queries (same normalization, control median 1.502,
     // calib 2.026 — recorded so next round's regress covers them too)
     "q175"->1.055, "q176"->0.558, "q177"->0.42, "q178"->1.041,
-    "q179"->1.144, "q180"->2.08, "q181"->1.703)
+    "q179"->1.144, "q180"->2.08, "q181"->1.703,
+    // round-12 late additions: two contended control runs (medians
+    // 1.695 / 1.806, calib 2.03 / 2.14, regress 0 both — uniform
+    // inflation), each query normalized within its own run, best
+    // host-adjusted reading kept
+    "q182"->1.134, "q183"->0.94, "q184"->1.214)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
