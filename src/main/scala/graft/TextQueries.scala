@@ -979,14 +979,17 @@ object TextQueries {
     // 40-char span is planted mid-doc at a DIFFERENT offset in a +40000
     // partner — shorter than 64 and offset-shifted, so q172's 64-char
     // anchored windows could only probabilistically see it, while the
-    // exact 32-char form must catch every one of its 9 duplicated
-    // windows. The oracle replays every position (no gate filter).
+    // exact 32-char form must catch every one of its 9 fully-internal
+    // duplicated windows (40 − 32 + 1). The modulo=1 kernel hashes with
+    // the ROLLING polynomial (O(len), TextFunctions.PolyBase) — the
+    // oracle replays the same polynomial fold at every position (no
+    // gate filter); TextFunctionsSpec pins rolling == direct fold.
     Q("q184_exact_substring_dedup",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
           .filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"), col("text"))
-        val span = "exact duplicated forty char span here!!"
+        val span = "exact duplicated forty char span here!!!"
         val corpus = d
           .unionByName(d.filter(col("doc_id") % 2 === 0)
             .select((col("doc_id") + 40000L).as("doc_id"),
@@ -1001,12 +1004,13 @@ object TextQueries {
           window = 32, gate = 4, modulo = 1)
       },
       Some {
+        // the rollable polynomial (h·B + b) mod 2^64, B = fnv prime —
+        // NOT the fnv1a fold: the modulo=1 kernel rolls (see
+        // TextFunctions.PolyBase); product < 2^105 fits HUGEINT directly
         def fold(slice: String): String =
-          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-             |    (h, b) -> ((h - (h % 256) +
-             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616)""".stripMargin
-        val span = "exact duplicated forty char span here!!"
+          s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), $slice),
+             |    (h, b) -> (h * 1099511628211 + b) % 18446744073709551616)""".stripMargin
+        val span = "exact duplicated forty char span here!!!"
         s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
            |corpus AS (
            |  SELECT doc_id AS id, text FROM base
@@ -1461,28 +1465,22 @@ object TextQueries {
              |  FROM documents),
              |chain AS (
              |  SELECT doc_id, t,
-             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g') AS ne
+             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS se
              |  FROM injected),
              |chain2 AS (
-             |  SELECT doc_id, t, ne,
-             |    regexp_replace(ne, '\b\d{3}-\d{2}-\d{4}\b', '', 'g') AS ni
+             |  SELECT doc_id, t, se,
+             |    regexp_replace(se, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS si
              |  FROM chain),
              |chain3 AS (
-             |  SELECT doc_id, t, ne, ni,
-             |    regexp_replace(ni, '\b\d{9,}\b', '', 'g') AS nl
+             |  SELECT doc_id, t, se, si,
+             |    regexp_replace(si, '\b\d{9,}\b', '<LONGID>', 'g') AS sl
              |  FROM chain2)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-             |  CAST(len(regexp_extract_all(ne, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
-             |  CAST(len(regexp_extract_all(ni, '\b\d{9,}\b')) AS BIGINT) AS n_longids,
-             |  CAST(len(regexp_extract_all(nl, '\+?\d[\d()\- ]{6,}\d')) AS BIGINT) AS n_phones,
-             |  regexp_replace(
-             |    regexp_replace(
-             |      regexp_replace(
-             |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |        '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-             |      '\b\d{9,}\b', '<LONGID>', 'g'),
-             |    '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS redacted
+             |  CAST(len(regexp_extract_all(se, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+             |  CAST(len(regexp_extract_all(si, '\b\d{9,}\b')) AS BIGINT) AS n_longids,
+             |  CAST(len(regexp_extract_all(sl, '\+?\d[\d()\- ]{6,}\d')) AS BIGINT) AS n_phones,
+             |  regexp_replace(sl, '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS redacted
              |FROM chain3""".stripMargin)),
 
     // C4/Gopher heuristic quality-filter battery: the per-doc VERDICT
@@ -1596,16 +1594,14 @@ object TextQueries {
            |keeps AS (SELECT doc_id FROM vals WHERE $gopherKeepSql),
            |surv AS (SELECT c.doc_id, c.text AS t FROM corpus c
            |  JOIN keeps k ON k.doc_id = c.doc_id),
-           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '', 'g') AS ne FROM surv),
-           |ch2 AS (SELECT doc_id, t, ne, regexp_replace(ne, '$idp', '', 'g') AS ni FROM ch1),
-           |ch3 AS (SELECT doc_id, t, ne, ni, regexp_replace(ni, '$lg', '', 'g') AS nl FROM ch2),
+           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS se FROM surv),
+           |ch2 AS (SELECT doc_id, t, se, regexp_replace(se, '$idp', '<ID>', 'g') AS si FROM ch1),
+           |ch3 AS (SELECT doc_id, t, se, si, regexp_replace(si, '$lg', '<LONGID>', 'g') AS sl FROM ch2),
            |red AS (SELECT doc_id,
-           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-           |    '$em', '<EMAIL>', 'g'), '$idp', '<ID>', 'g'),
-           |    '$lg', '<LONGID>', 'g'), '$ph', '<PHONE>', 'g') AS clean,
-           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(ne, '$idp'))
-           |    + len(regexp_extract_all(ni, '$lg'))
-           |    + len(regexp_extract_all(nl, '$ph')) AS n_red
+           |  regexp_replace(sl, '$ph', '<PHONE>', 'g') AS clean,
+           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(se, '$idp'))
+           |    + len(regexp_extract_all(si, '$lg'))
+           |    + len(regexp_extract_all(sl, '$ph')) AS n_red
            |  FROM ch3),
            |keepers AS (SELECT sha256(clean) AS content_sha, min(doc_id) AS doc_id
            |  FROM red GROUP BY 1)
@@ -1677,23 +1673,22 @@ object TextQueries {
            |    FROM documents WHERE doc_id % 3 = 1
            |  UNION ALL SELECT doc_id + 30000, 'too # short'
            |    FROM documents WHERE doc_id % 3 = 2),
-           |idx AS (SELECT DISTINCT sha256(text) AS h FROM documents),
+           |idx AS (SELECT DISTINCT sha256(text) AS h FROM documents
+           |  WHERE text IS NOT NULL),
            |novel AS (SELECT doc_id, text FROM inc
-           |  WHERE sha256(text) NOT IN (SELECT h FROM idx)),
+           |  WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = sha256(inc.text))),
            |${gopherValsSql("novel")},
            |keeps AS (SELECT doc_id FROM vals WHERE $gopherKeepSql),
            |surv AS (SELECT n.doc_id, n.text AS t FROM novel n
            |  JOIN keeps k USING (doc_id)),
-           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '', 'g') AS ne FROM surv),
-           |ch2 AS (SELECT doc_id, t, ne, regexp_replace(ne, '$idp', '', 'g') AS ni FROM ch1),
-           |ch3 AS (SELECT doc_id, t, ne, ni, regexp_replace(ni, '$lg', '', 'g') AS nl FROM ch2),
+           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS se FROM surv),
+           |ch2 AS (SELECT doc_id, t, se, regexp_replace(se, '$idp', '<ID>', 'g') AS si FROM ch1),
+           |ch3 AS (SELECT doc_id, t, se, si, regexp_replace(si, '$lg', '<LONGID>', 'g') AS sl FROM ch2),
            |red AS (SELECT doc_id,
-           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-           |    '$em', '<EMAIL>', 'g'), '$idp', '<ID>', 'g'),
-           |    '$lg', '<LONGID>', 'g'), '$ph', '<PHONE>', 'g') AS clean,
-           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(ne, '$idp'))
-           |    + len(regexp_extract_all(ni, '$lg'))
-           |    + len(regexp_extract_all(nl, '$ph')) AS n_red
+           |  regexp_replace(sl, '$ph', '<PHONE>', 'g') AS clean,
+           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(se, '$idp'))
+           |    + len(regexp_extract_all(si, '$lg'))
+           |    + len(regexp_extract_all(sl, '$ph')) AS n_red
            |  FROM ch3)
            |SELECT doc_id AS in_id, CAST(n_red AS BIGINT) AS n_redactions,
            |  CAST(length(clean) AS BIGINT) AS clean_len,

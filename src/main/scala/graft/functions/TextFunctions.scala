@@ -100,8 +100,10 @@ object TextFunctions {
 
   /** Four-class redaction ladder, most-specific first: email → SSN-style
     * id → contiguous long digit run → phone-shaped run. Each later class
-    * is counted/redacted on text with earlier classes removed, so one
-    * character is only ever attributed to one class. */
+    * is matched on the text with earlier classes already substituted by
+    * their placeholders, so one character is only ever attributed to one
+    * class and [[piiBatteryCounts]] (which counts on the same
+    * intermediate strings) agrees with this output by construction. */
   def redactPiiBattery(text: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -111,18 +113,24 @@ object TextFunctions {
         longIdRe, "<LONGID>"),
       phoneRe, "<PHONE>")
 
-  /** Per-class hit counts for the 4-class battery; each class counted
-    * with the earlier classes excised (same attribution rule as
-    * [[redactPiiBattery]]). */
+  /** Per-class hit counts for the 4-class battery; each later class is
+    * counted on the text with earlier classes SUBSTITUTED by their
+    * placeholders — exactly the intermediate strings the
+    * [[redactPiiBattery]] chain rewrites — so counts and redaction can
+    * never disagree. (Counting on excised text instead could attribute
+    * a run that only becomes contiguous once an earlier-class match is
+    * removed — e.g. `12 a@b.co 3456789` would count a phone the
+    * redacted output doesn't contain; placeholders' letters block such
+    * spans, matching what redaction actually sees.) */
   def piiBatteryCounts(text: Column): Seq[(String, Column)] = {
-    val noEmail = regexp_replace(text, emailRe, "")
-    val noId = regexp_replace(noEmail, idRe, "")
-    val noLong = regexp_replace(noId, longIdRe, "")
+    val subEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val subId = regexp_replace(subEmail, idRe, "<ID>")
+    val subLong = regexp_replace(subId, longIdRe, "<LONGID>")
     Seq(
       "n_emails" -> size(regexp_extract_all(text, lit(emailRe), lit(0))),
-      "n_ids" -> size(regexp_extract_all(noEmail, lit(idRe), lit(0))),
-      "n_longids" -> size(regexp_extract_all(noId, lit(longIdRe), lit(0))),
-      "n_phones" -> size(regexp_extract_all(noLong, lit(phoneRe), lit(0))))
+      "n_ids" -> size(regexp_extract_all(subEmail, lit(idRe), lit(0))),
+      "n_longids" -> size(regexp_extract_all(subId, lit(longIdRe), lit(0))),
+      "n_phones" -> size(regexp_extract_all(subLong, lit(phoneRe), lit(0))))
   }
 
   /** Heuristic quality score in [0,1]: penalizes very short docs, all-caps,
@@ -301,9 +309,10 @@ object TextFunctions {
     * (L−window+1) (≈95% at L = window + 3·modulo) — precision is exact
     * up to 64-bit hash collision. Expected windows per char = 1/modulo,
     * so cost matches stride-`modulo` windowing. The exact-all-positions
-    * form is modulo = 1 (Lee et al.'s suffix array replaces the ×window
-    * hashing cost, at the price of global sorts — this form is the
-    * shuffle-on-small-keys shape). */
+    * form is modulo = 1: every position anchors, and the window hash is
+    * the ROLLABLE polynomial ([[PolyBase]]) instead of fnv1a, so the
+    * scan is O(len) — matching the suffix-array form's linear cost
+    * (Lee et al.) while keeping the shuffle-on-small-keys shape. */
   def anchoredWindowHashes(text: String, window: Int, gate: Int,
       modulo: Int): Array[Long] = {
     if (text == null || text.length < window) return Array.empty[Long]
@@ -319,6 +328,31 @@ object TextFunctions {
     while (i < until) {
       h ^= (bytes(i) & 0xffL)
       h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Base of the ROLLABLE polynomial hash used by the exact
+    * (modulo = 1) substring path: H = Σ b_j · B^(W-1-j) mod 2⁶⁴. The
+    * fnv prime re-used as the base (odd → invertible mod 2⁶⁴, and its
+    * value is already embedded in every oracle's arithmetic). fnv1a
+    * itself cannot roll (the xor sits between the multiplies); the
+    * plain polynomial form rolls in O(1) per position:
+    * H(i+1) = (H(i) − b_i·B^(W-1))·B + b_{i+W}, everything mod 2⁶⁴ via
+    * natural Long overflow — replayable in DuckDB as the direct fold
+    * `(h*B + b) % 2^64` in HUGEINT (h < 2⁶⁴, B < 2⁴¹ → product < 2¹⁰⁵
+    * < 2¹²⁷). */
+  private[graft] val PolyBase = 0x100000001b3L
+
+  /** Direct polynomial fold over bytes[from, until) — the reference
+    * form the rolling recurrence must equal at every position
+    * (spec-pinned in TextFunctionsSpec). */
+  private[graft] def polyRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) {
+      h = h * PolyBase + (bytes(i) & 0xffL)
       i += 1
     }
     h
@@ -343,22 +377,51 @@ object TextFunctions {
       if (text.charAt(k) >= 0x80) ascii = false
       k += 1
     }
-    // modulo = 1 is the exact-all-positions form (every position
-    // anchors) — skip the gate fold entirely, it can't reject
+    // modulo = 1 is the exact-all-positions form: every position
+    // anchors (no gate fold), and the window hash switches from fnv1a
+    // (which cannot roll — the xor sits between the multiplies) to the
+    // rollable polynomial hash, so the scan is O(len) instead of the
+    // O(len·window) per-position re-fold. Anchored (modulo > 1) paths
+    // keep fnv1a unchanged — hashes are only ever compared for
+    // equality, within one parameterization.
     if (ascii) {
       val bytes =
         text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      var i = 0
-      while (i <= max) {
-        if (modulo == 1 || java.lang.Long.remainderUnsigned(
-            fnvRange(bytes, i, i + gate), modulo) == 0L)
-          emit(i, fnvRange(bytes, i, i + window))
-        i += 1
+      if (modulo == 1) {
+        var pow = 1L // B^(window-1) mod 2^64
+        var j = 0
+        while (j < window - 1) { pow *= PolyBase; j += 1 }
+        var h = polyRange(bytes, 0, window)
+        var i = 0
+        while (i <= max) {
+          emit(i, h)
+          if (i < max)
+            h = (h - (bytes(i) & 0xffL) * pow) * PolyBase +
+              (bytes(i + window) & 0xffL)
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i <= max) {
+          if (java.lang.Long.remainderUnsigned(
+              fnvRange(bytes, i, i + gate), modulo) == 0L)
+            emit(i, fnvRange(bytes, i, i + window))
+          i += 1
+        }
       }
     } else {
+      // non-ASCII fallback: per-position UTF-8 substring folds (the
+      // byte-offset arithmetic above can't reproduce multi-byte
+      // semantics; oracles reject non-ASCII corpora loudly anyway).
+      // modulo = 1 keeps the polynomial hash for parameterization
+      // consistency, folded per position over the substring's bytes.
       var i = 0
       while (i <= max) {
-        if (modulo == 1 || java.lang.Long.remainderUnsigned(
+        if (modulo == 1) {
+          val b = text.substring(i, i + window)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          emit(i, polyRange(b, 0, b.length))
+        } else if (java.lang.Long.remainderUnsigned(
             fnv1a64(text.substring(i, i + gate)), modulo) == 0L)
           emit(i, fnv1a64(text.substring(i, i + window)))
         i += 1

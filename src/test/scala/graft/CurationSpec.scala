@@ -119,6 +119,24 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("PII battery: counts agree with redaction across class boundaries") {
+    import graft.functions.TextFunctions
+    // digits on both sides of an email: with the email EXCISED they'd
+    // fuse into a phone-shaped run the redacted output doesn't contain;
+    // counting on the placeholder-SUBSTITUTED text (what redaction
+    // sees) must report 0 phones and leave the digits in place
+    val docs = Seq((1L, "12 a@b.co 3456789")).toDF("doc_id", "text")
+    val counts = TextFunctions.piiBatteryCounts(col("text")).toMap
+    val (e, i, l, p, r) = docs.select(counts("n_emails"), counts("n_ids"),
+        counts("n_longids"), counts("n_phones"),
+        TextFunctions.redactPiiBattery(col("text")))
+      .as[(Int, Int, Int, Int, String)].head()
+    assert((e, i, l, p) == ((1, 0, 0, 0)), s"counts=($e,$i,$l,$p)")
+    assert(r == "12 <EMAIL> 3456789")
+    assert(!r.contains("<PHONE>"),
+      "a phone count without a phone redaction would be internally inconsistent")
+  }
+
   test("quality battery: each planted violator fails exactly its rule") {
     val got = TextQueries.all.find(_.name == "q177_quality_verdicts").get
       .fn(spark, sf("sf0.001"))

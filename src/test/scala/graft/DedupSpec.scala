@@ -178,6 +178,35 @@ class DedupSpec extends SparkSuite {
     assert(TextFunctions.anchoredWindowSpans("short", 64, 4, 16).isEmpty)
   }
 
+  test("modulo=1 rolling polynomial hash equals the direct fold at every position") {
+    // adversarial shapes: long repeats (rolling subtraction hits equal
+    // bytes), 0xFF-adjacent chars (Long overflow wraps), short-window
+    // boundaries, and a non-ASCII text (substring-fallback path)
+    val texts = Seq(
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "the quick brown fox jumps over the lazy dog " * 3,
+      (0 until 200).map(i => (32 + (i * 37) % 95).toChar).mkString,
+      "~~" * 30,
+      "café au lait " * 10) // non-ASCII fallback
+    for (t <- texts; w <- Seq(4, 32)) {
+      val rolled = TextFunctions.anchoredWindowHashes(t, w, 4, 1)
+      assert(rolled.length == t.length - w + 1,
+        s"modulo=1 must emit every position (len=${t.length}, w=$w)")
+      val direct = (0 to t.length - w).map { i =>
+        val b = t.substring(i, i + w)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        TextFunctions.polyRange(b, 0, b.length)
+      }
+      assert(rolled.toSeq == direct,
+        s"rolling recurrence diverged from the direct polynomial fold (w=$w)")
+    }
+    // spans form agrees on the same kernel
+    val t = "exactly repeated text exactly repeated text tail"
+    val spans = TextFunctions.anchoredWindowSpans(t, 8, 4, 1)
+    assert(spans.map(_.h).toSeq ==
+      TextFunctions.anchoredWindowHashes(t, 8, 4, 1).toSeq)
+  }
+
   test("langId picks the language whose markers dominate") {
     val samples = Seq(
       ("the cat and the dog is in a house", "en"),
