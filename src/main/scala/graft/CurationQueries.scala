@@ -400,7 +400,103 @@ object CurationQueries {
              |  FROM mixed)
              |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS INT) AS pos, doc_id
              |FROM ranked WHERE pos <= 50""".stripMargin)),
+
+    // MODEL-BASED quality scoring (QualityModel): count-sketch hashed
+    // bag-of-words + a linear classifier trained by distillation from
+    // the q177 rule battery (rules label, the model learns) — the
+    // CCNet shape production curation stacks run next to heuristics.
+    // The trainer is the integer-exact online margin perceptron (see
+    // QualityModel's scaladoc for why not exp-logistic or fixed-point
+    // GD), and the oracle replays EVERYTHING: labels (the gopher rule
+    // chain), both fnv1a64 feature probes, the deterministic sample
+    // (all label-0 ∪ label-1 with id%8=0), the ENTIRE sequential fit —
+    // one list_reduce folding 48 epochs of id-ordered updates — and
+    // every per-doc integer score + verdict. One flipped label, one
+    // mis-hashed probe, or one mis-ordered update moves some score.
+    // Learned behavior (not gated, but real): zero sample error at
+    // every test scale, zero false keeps, the planted violators all
+    // rejected.
+    Q("q185_quality_classifier",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(TextQueries.qualityPlanted.toDF("doc_id", "text"))
+        graft.operators.QualityModel.classify(d, "doc_id", "text",
+            TextQueries.gopherRules(col("text")).keep)
+          .select(col("id").as("doc_id"), col("label"),
+            col("score"), col("pred"), col("in_sample"))
+      },
+      Some(q185Oracle)),
   )
+
+  /** q185 oracle: the full QualityModel fit + score replay (see the
+    * registration comment). The fit is ONE list_reduce over the
+    * epoch-repeated, id-ordered sample list; the accumulator rides in
+    * the same struct shape as the sample elements (y unused) because
+    * list_reduce requires accumulator type == element type. Integer
+    * bounds are tiny: weights are sums of token counts (≤ thousands),
+    * scores ≤ ~1e7 — Long-safe on the Spark side by orders of
+    * magnitude. */
+  private def q185Oracle: String = {
+    import graft.operators.QualityModel.{Dim, Epochs, Margin, NumBuckets}
+    def fold(colExpr: String) =
+      s"""list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |      list_transform(string_split($colExpr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+         |    (h, b) -> ((h - (h % 256) +
+         |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |      * 1099511628211) % 18446744073709551616)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL ${TextQueries.qualityPlantedSql}),
+       |${TextQueries.gopherValsSql("corpus")},
+       |lab AS (SELECT v.doc_id,
+       |  CAST(CASE WHEN ${TextQueries.gopherKeepSql} THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM vals v),
+       |ltoks AS (SELECT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(string_split_regex(
+       |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+       |  FROM corpus)
+       |  WHERE length(tok) > 0),
+       |probes AS (
+       |  SELECT doc_id, CAST(${fold("tok")} % $NumBuckets AS INT) AS b FROM ltoks
+       |  UNION ALL
+       |  SELECT doc_id, $NumBuckets + CAST(${fold("reverse(tok)")} % $NumBuckets AS INT) AS b
+       |  FROM ltoks),
+       |fx AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM probes GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT c.doc_id, list(CASE WHEN g.b = ${Dim - 1} THEN 1
+       |      ELSE coalesce(fx.x, 0) END ORDER BY g.b) AS xs
+       |  FROM corpus c CROSS JOIN generate_series(0, ${Dim - 1}) g(b)
+       |  LEFT JOIN fx ON fx.doc_id = c.doc_id AND fx.b = g.b
+       |  GROUP BY c.doc_id),
+       |sampl AS (
+       |  SELECT list(STRUCT_PACK(y := CAST(l.y AS BIGINT), xs := d.xs)
+       |    ORDER BY l.doc_id) AS ds
+       |  FROM lab l JOIN dense d USING (doc_id)
+       |  WHERE l.y = 0 OR l.doc_id % 8 = 0),
+       |ep AS (SELECT list_prepend(
+       |    STRUCT_PACK(y := CAST(0 AS BIGINT),
+       |      xs := list_transform(generate_series(1, $Dim), i -> CAST(0 AS BIGINT))),
+       |    flatten(list_transform(generate_series(1, $Epochs), e -> ds))) AS seq
+       |  FROM sampl),
+       |wfit AS (
+       |  SELECT list_reduce(seq, (acc, d) -> STRUCT_PACK(y := CAST(0 AS BIGINT),
+       |      xs := CASE WHEN (2*d.y - 1) *
+       |          list_sum(list_transform(generate_series(1, $Dim), i -> acc.xs[i] * d.xs[i])) <= $Margin
+       |        THEN list_transform(generate_series(1, $Dim), i -> acc.xs[i] + (2*d.y - 1) * d.xs[i])
+       |        ELSE acc.xs END)).xs AS w
+       |  FROM ep),
+       |sc AS (
+       |  SELECT d.doc_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> w.w[i] * d.xs[i])) AS BIGINT) AS z
+       |  FROM dense d CROSS JOIN wfit w)
+       |SELECT l.doc_id, l.y AS label, sc.z AS score,
+       |  CAST(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  CAST(CASE WHEN l.y = 0 OR l.doc_id % 8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS in_sample
+       |FROM lab l JOIN sc USING (doc_id)""".stripMargin
+  }
 
   /** The q139 oracle: the identical lexer regex, the identical integer
     * chunk-count arithmetic (DuckDB `//` floors == Spark DIV on the

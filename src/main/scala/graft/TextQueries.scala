@@ -334,7 +334,7 @@ object TextQueries {
        |FROM inc c LEFT JOIN nw ON nw.id = c.id LEFT JOIN ndp ON ndp.id = c.id""".stripMargin
   }
 
-  private def qualityPlantedSql: String =
+  private[graft] def qualityPlantedSql: String =
     qualityPlanted.map { case (id, t) =>
       s"SELECT CAST($id AS BIGINT) AS doc_id, '${t.replace("\n", "' || chr(10) || '")}' AS text"
     }.mkString("\n  UNION ALL ")
@@ -398,7 +398,7 @@ object TextQueries {
   /** Shared oracle SQL: the per-doc rule-value CTEs over `$src`
     * (expects (doc_id, text)) and the composite keep predicate over
     * the `vals` CTE's raw columns. */
-  private def gopherValsSql(src: String): String =
+  private[graft] def gopherValsSql(src: String): String =
     s"""feat AS (
        |  SELECT doc_id, text,
        |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
@@ -419,7 +419,7 @@ object TextQueries {
        |    CAST(len(list_filter(ltoks, t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS BIGINT) AS n_stop
        |  FROM feat)""".stripMargin
 
-  private val gopherKeepSql: String =
+  private[graft] val gopherKeepSql: String =
     """n_words BETWEEN 10 AND 100000 AND mean_raw BETWEEN 2.0 AND 10.0
       |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
       |    AND alpha_raw >= 0.8 AND n_stop >= 2""".stripMargin

@@ -430,4 +430,48 @@ class CurationSpec extends SparkSuite {
       .queryExecution.analyzed.toString
     assert(!p.contains("UDF("), "chunking must stay pure Column")
   }
+
+  test("QualityModel: count-sketch features, perceptron fit, end-to-end classify") {
+    import graft.operators.QualityModel
+    // featureRows: every token probes exactly two buckets + one bias row
+    val docs = Seq((1L, "the the a"), (2L, "zebra")).toDF("doc_id", "text")
+    val fr = QualityModel.featureRows(docs, "doc_id", "text")
+      .as[(Long, Int, Long)].collect()
+    val byDoc = fr.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).sum == 2 * 3 + 1, "3 tokens x 2 probes + bias")
+    assert(byDoc(2L).map(_._3).sum == 2 * 1 + 1)
+    assert(fr.filter(_._2 == QualityModel.BiasIdx).map(_._1).toSet == Set(1L, 2L))
+    assert(fr.forall(r => r._2 >= 0 && r._2 <= QualityModel.BiasIdx))
+
+    // fit on a hand-separable sample: feature 0 ⇒ keep, feature 1 ⇒ reject
+    def vec(pairs: (Int, Long)*): Array[Long] = {
+      val a = new Array[Long](QualityModel.Dim)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a(QualityModel.Dim - 1) = 1
+      a
+    }
+    val sample = Array(
+      QualityModel.SampleDoc(1L, 1, vec(0 -> 3L)),
+      QualityModel.SampleDoc(2L, 0, vec(1 -> 3L)))
+    val w = QualityModel.fit(sample)
+    def dot(x: Array[Long]) = w.zip(x).map { case (a, b) => a * b }.sum
+    assert(dot(sample(0).x) > QualityModel.Margin,
+      "keep doc must end beyond the margin")
+    assert(dot(sample(1).x) < -QualityModel.Margin,
+      "reject doc must end beyond the margin on the other side")
+    // determinism: identical input → identical weights
+    assert(QualityModel.fit(sample).toSeq == w.toSeq)
+
+    // end-to-end: a lexically separable rule is learned exactly
+    val corpus = (0L until 40L).map { i =>
+      if (i % 4 == 0) (i, "junk junk spam noise junk")
+      else (i, "clean prose words with signal tokens here")
+    }.toDF("doc_id", "text")
+    val out = QualityModel.classify(corpus, "doc_id", "text",
+        !col("text").contains("junk"), sampleMod = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r._2 == r._4),
+      s"separable corpus must classify perfectly: ${out.filter(r => r._2 != r._4).toSeq}")
+  }
 }
