@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{ImageDedup, Multimodal, Similarity}
 
 /** Similarity-search + multimodal operators over `embeddings`/`documents`
   * (LLM-data-pipeline surface). Brute-force cosine top-k is the
@@ -1088,5 +1088,64 @@ object SimilarityQueries {
              |  CAST(sum(sample_rate) AS BIGINT) AS rate_sum,
              |  CAST(sum(payload_bytes) AS BIGINT) AS payload_sum
              |FROM m GROUP BY format""".stripMargin)),
+
+    // PERCEPTUAL IMAGE DEDUP (ImageDedup): dHash fingerprints over
+    // REAL decoded PNG rasters (ImageIO — genuine zlib/CRC round
+    // trip), 16-bit pigeonhole blocking (the q37 discipline), Hamming
+    // ≤ 3 verification — the near-dup modality for images next to the
+    // three text modalities. Every even doc carries a planted
+    // brightness-shifted partner (+2 mod 256, +40000): same scene,
+    // few flipped comparisons — the gate hashes the Hamming histogram
+    // AND how many planted partners were recovered at each distance.
+    // The oracle recomputes the SAMPLED 9×8 grid straight from the
+    // doc_id pixel formula (it never decodes — the Spark side's
+    // encoder→zlib→ImageIO→raster chain must land on the same
+    // integers), then bits → fingerprint → blocks → pairs in exact
+    // integer arithmetic.
+    Q("q186_image_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        ImageDedup.hammingPairs(
+            ImageDedup.fingerprints(Multimodal.dhashMedia(d)), maxHamming = 3)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("idB") === col("idA") + 40000L, 1L).otherwise(0L))
+              .as("n_planted"))
+      },
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS id, doc_id AS bid, 0 AS shift FROM documents
+             |  UNION ALL SELECT doc_id + 40000, doc_id, 2 FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |dims AS (SELECT id, bid, shift,
+             |  8 + bid % 16 AS w, 8 + (bid // 3) % 16 AS h FROM imgs),
+             |grid AS (
+             |  SELECT d.id, gx.x, gy.y,
+             |    (d.bid * 31 + ((gx.x * d.w) // 9) * 7 + ((gy.y * d.h) // 8) * 13
+             |      + (d.bid % 7) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
+             |      + d.shift) % 256 AS v
+             |  FROM dims d, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+             |bits AS (
+             |  SELECT a.id, a.y * 8 + a.x AS bit
+             |  FROM grid a JOIN grid b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 8 AND b.v > a.v),
+             |fps AS (
+             |  SELECT i.id, coalesce(sum(CAST(1 AS HUGEINT) << b.bit),
+             |    CAST(0 AS HUGEINT)) AS fpu
+             |  FROM imgs i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id),
+             |signed AS (
+             |  SELECT id, CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+             |  FROM fps),
+             |blocked AS (
+             |  SELECT id, fp, block, (fp >> (block * 16)) & 65535 AS bv
+             |  FROM signed CROSS JOIN generate_series(0, 3) g(block)),
+             |pairs AS (
+             |  SELECT DISTINCT a.id AS idA, b.id AS idB,
+             |    bit_count(xor(a.fp, b.fp)) AS hamming
+             |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.bv = b.bv
+             |  WHERE a.id < b.id)
+             |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN idB = idA + 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+             |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin)),
   )
 }

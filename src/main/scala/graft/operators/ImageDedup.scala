@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image deduplication — dHash (difference hash) over decoded
+  * pixel rasters, closing the modality gap: text gets three dedup
+  * modalities (literal / semantic / substring), images get this one.
+  *
+  * dHash (the standard perceptual fingerprint, cf. pHash family):
+  * downsample the grayscale raster to a 9×8 grid, then bit (y·8 + x) =
+  * [grid(x+1, y) > grid(x, y)] — 8 adjacent-column comparisons per row
+  * × 8 rows = a 64-bit fingerprint invariant to scale and robust to
+  * small brightness/compression perturbations (a global shift flips
+  * only comparisons straddling a wrap/clip boundary).
+  *
+  * Downsampling is NEAREST-NEIGHBOR on integer arithmetic —
+  * px = ⌊x·W/9⌋, py = ⌊y·H/8⌋ — not area-averaging: the comparison
+  * structure (what dHash actually measures) is preserved, and every
+  * sampled value is an exact integer function the SQL oracle can
+  * recompute, so the whole decode→fingerprint→block→verify chain is
+  * gated bit-for-bit. (A production variant would area-average; the
+  * blocking and pairing layers are unchanged by that swap.)
+  *
+  * Candidate pairing is the q37 SimHash pigeonhole discipline: split
+  * the 64-bit fingerprint into four 16-bit blocks — any pair within
+  * Hamming distance 3 agrees on ≥ 1 block exactly — shuffle on
+  * (block, value), pair inside buckets only, verify with
+  * bit_count(xor). No all-pairs product; bucket width bounds the
+  * quadratic term, signatures are 8 bytes/image.
+  *
+  * Scale shape (100 TB): decode is mapPartitions (one decoder init per
+  * partition, the Multimodal.decode seam); everything after rides on
+  * (id, fp) rows — the images themselves never shuffle. */
+object ImageDedup {
+
+  /** dHash of a decodable grayscale image via the REAL JDK decode stack
+    * (ImageIO). None for undecodable bytes — the one-bad-object
+    * contract. Images narrower than 2px or shorter than 1px cannot
+    * carry comparisons and are dropped too. */
+  def dhashFromImage(media: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null || img.getWidth < 2 || img.getHeight < 1) None
+      else {
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var fp = 0L
+        var y = 0
+        while (y < 8) {
+          val py = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val pxA = x * w / 9
+            val pxB = (x + 1) * w / 9
+            if (r.getSample(pxB, py, 0) > r.getSample(pxA, py, 0))
+              fp |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(fp)
+      }
+    } catch { case _: Exception => None }
+
+  /** Fingerprint table (doc_id, fp) over a media table: mapPartitions
+    * (decoder-init seam), undecodable rows dropped. */
+  def fingerprints(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => dhashFromImage(r.media).map(fp => (r.doc_id, fp)))
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Near-duplicate pairs (idA < idB, hamming ≤ maxHamming) via 16-bit
+    * pigeonhole blocking. Exact recall for maxHamming ≤ 3 (4 blocks);
+    * larger thresholds would need more/narrower blocks. */
+  def hammingPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    // the q37 SimHash block arithmetic verbatim (Dedup.simhashPairs):
+    // logical shift + 16-bit mask; oracles replay it as the signed
+    // `(fp >> s) & 65535`, identical for s ≤ 48 since the mask keeps
+    // only bits the sign extension can't reach
+    val blockVals = array((0 until 4).map(b =>
+      shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(65535L))): _*)
+    val blocked = fps.select(col("doc_id"), col("fp"),
+      posexplode(blockVals).as(Seq("block", "bv")))
+    val a = blocked.select(col("block"), col("bv"),
+      col("doc_id").as("idA"), col("fp").as("fpA"))
+    val b = blocked.select(col("block"), col("bv"),
+      col("doc_id").as("idB"), col("fp").as("fpB"))
+    a.join(b, Seq("block", "bv"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

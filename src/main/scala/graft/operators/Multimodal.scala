@@ -335,6 +335,35 @@ object Multimodal {
     }
   }
 
+  /** Image table for the perceptual-dedup gate (q186): one REAL gray
+    * PNG per document (dims and pixels deterministic in doc_id, the
+    * q45 discipline, with an (id%7)·x·y cross term so fingerprints
+    * differ across ids instead of collapsing into the linear formula's
+    * residue classes), plus a NEAR-DUPLICATE partner (+40000) for every
+    * even doc: same geometry, every pixel shifted +2 mod 256 — a
+    * brightness nudge that flips only the dHash comparisons straddling
+    * a wrap boundary, exactly the perturbation class perceptual
+    * hashing exists to catch.
+    *
+    * pixel(x,y) = (id·31 + 7x + 13y + (id%7)·x·y + shift) mod 256,
+    * w = 8 + id%16, h = 8 + (id/3)%16 — partner dims from the BASE id.
+    * doc_id must be nonnegative (oracle `%` semantics, as realMedia). */
+  def dhashMedia(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].flatMap { id =>
+      require(id >= 0, s"dhashMedia: doc_id must be nonnegative, got $id " +
+        "(oracle formulas use nonnegative % semantics)")
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 3) % 16).toInt
+      def png(shift: Long) = pngEncoded(w, h, (x, y) =>
+        ((id * 31 + x * 7 + y * 13 + (id % 7) * x * y + shift) % 256).toInt)
+      if (id % 2 == 0)
+        Seq(MediaRow(id, "image/png", png(0)),
+          MediaRow(id + 40000L, "image/png", png(2)))
+      else Seq(MediaRow(id, "image/png", png(0)))
+    }
+  }
+
   /** Real-decode over a media table: mapPartitions (one decoder warm-up
     * per partition — ImageIO's plugin registry scan is per-JVM but the
     * seam is where a native decoder would init), unsupported rows

@@ -115,6 +115,50 @@ class MultimodalSpec extends SparkSuite {
     assert(decoded == Map(0L -> "image/png", 1L -> "audio/wav", 3L -> "image/png"))
   }
 
+  test("ImageDedup: dHash through the real decode equals the formula, partners pair") {
+    import graft.operators.ImageDedup
+    // hand-compute the dHash straight from the pixel formula (no PNG,
+    // no decode) — the decoded path must land on the same bits
+    def refDhash(id: Long, shift: Long): Long = {
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 3) % 16).toInt
+      def v(x: Int, y: Int): Long =
+        (id * 31 + x * 7 + y * 13 + (id % 7) * x * y + shift) % 256
+      var fp = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val py = y * h / 8
+        if (v((x + 1) * w / 9, py) > v(x * w / 9, py))
+          fp |= 1L << (y * 8 + x)
+      }
+      fp
+    }
+    for (id <- Seq(0L, 5L, 13L, 100L)) {
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 3) % 16).toInt
+      val png = Multimodal.pngEncoded(w, h, (x, y) =>
+        ((id * 31 + x * 7 + y * 13 + (id % 7) * x * y) % 256).toInt)
+      assert(ImageDedup.dhashFromImage(png).contains(refDhash(id, 0)),
+        s"decoded dHash must equal the formula dHash for id $id")
+    }
+    // garbage bytes drop, never throw
+    assert(ImageDedup.dhashFromImage("not a png".getBytes).isEmpty)
+    // end-to-end: brightness-shifted partners land within small Hamming
+    // distance and the blocking recovers every pair the threshold keeps
+    val docs = (0L until 30L).map((_, "")).toDF("doc_id", "text")
+    val fps = ImageDedup.fingerprints(Multimodal.dhashMedia(docs))
+    val pairs = ImageDedup.hammingPairs(fps, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 40000L)
+    assert(planted.nonEmpty, "some brightness-shifted partner must pair")
+    assert(planted.forall(_._3 <= 3))
+    // recall check: every planted pair with true Hamming ≤ 3 is found
+    val trueClose = (0L until 30L by 2).filter { id =>
+      java.lang.Long.bitCount(refDhash(id, 0) ^ refDhash(id, 2)) <= 3
+    }.toSet
+    assert(planted.map(_._1).toSet == trueClose,
+      "pigeonhole blocking must have exact recall at Hamming ≤ 3")
+  }
+
   test("headeredMedia fields are the documented doc_id functions") {
     val docs = Seq((0L, "abc"), (1L, "de"), (2L, "f"), (7L, "xyz"))
       .toDF("doc_id", "text")
