@@ -428,6 +428,82 @@ object CurationQueries {
             col("score"), col("pred"), col("in_sample"))
       },
       Some(q185Oracle)),
+
+    // TRIGRAM STUPID-BACKOFF surprisal (Curation.trigramBackoffTokens):
+    // q180's bigram LM extended one order with the Brants et al. 2007
+    // backoff, and the first surprisal query where backoff is REAL —
+    // counts fit on the even-id half, scoring on the held-out odd half,
+    // so unseen test trigrams actually walk the ladder (trigram →
+    // α·bigram → α²·unigram → α³·OOV). A planted odd-id doc carries
+    // words the train split cannot contain ('zzzunseen', 'qqnovel') so
+    // the OOV arm provably fires. α = 2/5 exact rational: every level
+    // is −ln(integer/integer), fixed to micro-nats per trigram TYPE,
+    // exact-integer outlier cross-multiplication — one double division
+    // + one ln per type is the only float anywhere.
+    Q("q188_trigram_backoff",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(Seq((60001L,
+            "the data zzzunseen pipeline holds qqnovel words beyond zzzunseen reach today"))
+            .toDF("doc_id", "text"))
+        Curation.trigramBackoffTokens(d, "doc_id",
+            TextFunctions.tokens(lower(col("text"))), col("doc_id") % 2 === 0)
+          .select(col("id").as("doc_id"), col("n_trigrams"),
+            col("mean_surprisal"), col("is_outlier"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 60001, 'the data zzzunseen pipeline holds qqnovel words beyond zzzunseen reach today'),
+             |lt AS (SELECT doc_id, doc_id % 2 = 0 AS is_train,
+             |    list_filter(string_split_regex(
+             |      regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+             |      t -> t <> '') AS L
+             |  FROM corpus),
+             |tg AS (SELECT doc_id, is_train, L[i] AS u, L[i+1] AS v, L[i+2] AS w
+             |  FROM lt, unnest(generate_series(1, len(L) - 2)) AS s(i)
+             |  WHERE len(L) >= 3),
+             |bg AS (SELECT doc_id, is_train, L[i] AS u, L[i+1] AS v
+             |  FROM lt, unnest(generate_series(1, len(L) - 1)) AS s(i)
+             |  WHERE len(L) >= 2),
+             |ug AS (SELECT doc_id, is_train, unnest(L) AS u FROM lt),
+             |tc3 AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS c3
+             |  FROM tg WHERE is_train GROUP BY 1, 2, 3),
+             |tc2 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c2
+             |  FROM bg WHERE is_train GROUP BY 1, 2),
+             |tc1 AS (SELECT u, CAST(count(*) AS BIGINT) AS c1
+             |  FROM ug WHERE is_train GROUP BY 1),
+             |tn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM tc1),
+             |tt AS (SELECT doc_id, u, v, w, CAST(count(*) AS BIGINT) AS m
+             |  FROM tg WHERE NOT is_train GROUP BY 1, 2, 3, 4),
+             |ty AS (SELECT u, v, w, CAST(sum(m) AS BIGINT) AS mt FROM tt GROUP BY 1, 2, 3),
+             |sc AS (SELECT ty.u, ty.v, ty.w, ty.mt,
+             |    CAST(round(-ln(CAST(CASE WHEN a.c3 IS NOT NULL THEN a.c3
+             |        WHEN b2.c2 IS NOT NULL THEN 2 * b2.c2
+             |        WHEN u1w.c1 IS NOT NULL THEN 4 * u1w.c1 ELSE 8 END AS DOUBLE)
+             |      / CAST(CASE WHEN a.c3 IS NOT NULL THEN b1.c2
+             |        WHEN b2.c2 IS NOT NULL THEN 5 * u1v.c1
+             |        WHEN u1w.c1 IS NOT NULL THEN 25 * tn.n ELSE 125 * tn.n END AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS s
+             |  FROM ty
+             |  LEFT JOIN tc3 a ON a.u = ty.u AND a.v = ty.v AND a.w = ty.w
+             |  LEFT JOIN tc2 b1 ON b1.u = ty.u AND b1.v = ty.v
+             |  LEFT JOIN tc2 b2 ON b2.u = ty.v AND b2.v = ty.w
+             |  LEFT JOIN tc1 u1v ON u1v.u = ty.v
+             |  LEFT JOIN tc1 u1w ON u1w.u = ty.w
+             |  CROSS JOIN tn),
+             |gg AS (SELECT CAST(sum(s * mt) AS BIGINT) AS gt,
+             |  CAST(sum(mt) AS BIGINT) AS gn FROM sc),
+             |ds AS (SELECT t.doc_id, CAST(sum(t.m) AS BIGINT) AS n_trigrams,
+             |    CAST(sum(t.m * sc.s) AS BIGINT) AS s_total
+             |  FROM tt t JOIN sc ON sc.u = t.u AND sc.v = t.v AND sc.w = t.w
+             |  GROUP BY 1)
+             |SELECT doc_id, n_trigrams,
+             |  round(CAST(s_total AS DOUBLE) / n_trigrams / 1000000, 4) AS mean_surprisal,
+             |  CAST(CASE WHEN 4 * s_total * g.gn > 5 * g.gt * n_trigrams
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+             |FROM ds, gg g""".stripMargin)),
   )
 
   /** q185 oracle: the full QualityModel fit + score replay (see the

@@ -426,6 +426,94 @@ object Curation {
           .as("is_outlier"))
   }
 
+  /** TRIGRAM surprisal with STUPID BACKOFF (Brants et al. 2007) — the
+    * KenLM-class upgrade of [[bigramSurprisalTokens]], and the first
+    * of the family where backoff is REAL: counts are fit on the
+    * `trainPred` split and scoring runs on the held-out rest, so test
+    * trigrams unseen in training actually fall through the ladder
+    * (score the corpus against itself and every trigram is seen — the
+    * backoff arms would be dead code).
+    *
+    * Ladder, with α = 2/5 kept as an EXACT rational so every level is
+    * −ln of an integer ratio (one double division + one ln per
+    * distinct trigram type, the q94/q180 micro-nat discipline):
+    *   C₃(u,v,w) > 0:  P = C₃/C₂(u,v)            (num=C₃,    den=C₂)
+    *   C₂(v,w) > 0:    P = α·C₂(v,w)/C₁(v)       (num=2·C₂,  den=5·C₁)
+    *   C₁(w) > 0:      P = α²·C₁(w)/N            (num=4·C₁,  den=25·N)
+    *   OOV:            P = α³·1/N                (num=8,     den=125·N)
+    * Surprisal is fixed to integer micro-nats per TYPE before any
+    * per-doc summing (order-independent integer aggregation); the
+    * outlier verdict (doc mean > 1.25 × test-set mean) is the exact
+    * integer cross-multiplication 4·s_total·G_n > 5·G_t·n_tri.
+    *
+    * Scale shape: count tables are map-side-combining groupBys; the
+    * type→score joins are co-partitioned equi-joins on the (u,v[,w])
+    * keys (vocabulary-cubed tables never broadcast — only the 1-row N
+    * and G totals do); docs with < 3 test tokens carry no trigrams and
+    * are absent from the output.
+    *
+    * @return (id, n_trigrams, mean_surprisal, is_outlier) for test docs */
+  def trigramBackoffTokens(corpus: DataFrame, idCol: String,
+      toks0: Column, trainPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = OperatorCaches.track(corpus.select(col(idCol).as("id"),
+        trainPred.as("is_train"), posexplode(toks0).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0).persist())
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val tri = OperatorCaches.track(toks
+      .withColumn("v", lead(col("tok"), 1).over(w))
+      .withColumn("w3", lead(col("tok"), 2).over(w)).persist())
+    val c3 = tri.filter(col("is_train") && col("w3").isNotNull)
+      .groupBy(col("tok"), col("v"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = OperatorCaches.track(
+      tri.filter(col("is_train") && col("v").isNotNull)
+        .groupBy(col("tok"), col("v"))
+        .agg(count(lit(1)).as("c2")).persist())
+    val c1 = OperatorCaches.track(toks.filter(col("is_train"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1")).persist())
+    val nTot = c1.agg(sum(col("c1")).as("_n"))
+    val testTri = OperatorCaches.track(
+      tri.filter(!col("is_train") && col("w3").isNotNull)
+        .groupBy(col("id"), col("tok"), col("v"), col("w3"))
+        .agg(count(lit(1)).as("m")).persist())
+    val types = testTri.groupBy(col("tok"), col("v"), col("w3"))
+      .agg(sum(col("m")).as("mt"))
+      .join(c3, Seq("tok", "v", "w3"), "left")
+      .join(c2, Seq("tok", "v"), "left")
+      .join(c2.select(col("tok").as("v"), col("v").as("w3"),
+        col("c2").as("c2b")), Seq("v", "w3"), "left")
+      .join(c1.select(col("tok").as("v"), col("c1").as("c1v")), Seq("v"), "left")
+      .join(c1.select(col("tok").as("w3"), col("c1").as("c1w")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    val num = when(col("c3").isNotNull, col("c3"))
+      .when(col("c2b").isNotNull, col("c2b") * 2)
+      .when(col("c1w").isNotNull, col("c1w") * 4)
+      .otherwise(lit(8L))
+    val den = when(col("c3").isNotNull, col("c2"))
+      .when(col("c2b").isNotNull, col("c1v") * 5)
+      .when(col("c1w").isNotNull, col("_n") * 25)
+      .otherwise(col("_n") * 125)
+    val scored = OperatorCaches.track(types.select(col("tok"), col("v"),
+        col("w3"), col("mt"),
+        round(-log(num.cast("double") / den.cast("double")) * 1e6, 0)
+          .cast("long").as("s")).persist())
+    val totals = scored.agg(sum(col("s") * col("mt")).as("_gt"),
+      sum(col("mt")).as("_gn"))
+    testTri.join(scored.select(col("tok"), col("v"), col("w3"), col("s")),
+        Seq("tok", "v", "w3"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        sum(col("m") * col("s")).as("s_total"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("n_trigrams"),
+        round(col("s_total").cast("double") / col("n_trigrams") / 1e6, 4)
+          .as("mean_surprisal"),
+        when(col("s_total") * col("_gn") * 4 >
+          col("_gt") * col("n_trigrams") * 5, 1L).otherwise(0L)
+          .as("is_outlier"))
+  }
+
   /** Domain-mixture reweighting toward a UNIFORM token budget per domain:
     * weight(g) = (total_tokens / n_domains) / tokens(g) — the sampling
     * multiplier that equalizes each domain's token contribution (the

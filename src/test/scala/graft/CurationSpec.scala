@@ -431,6 +431,38 @@ class CurationSpec extends SparkSuite {
     assert(!p.contains("UDF("), "chunking must stay pure Column")
   }
 
+  test("trigram stupid backoff: every ladder level scores its hand case") {
+    import graft.functions.TextFunctions
+    // train (id 0): trigrams (a,b,c),(b,c,a),(c,a,b),(a,b,d);
+    // C2(a,b)=2; C1: a=2,b=2,c=1,d=1; N=6. One test doc per level.
+    val corpus = Seq(
+      (0L, "a b c a b d"),  // train (even id)
+      (1L, "a b c"),        // level 1: C3=1, C2(a,b)=2 → -ln(1/2)
+      (3L, "d a b"),        // level 2: no C3, C2(a,b)=2, C1(a)=2 → -ln(4/10)
+      (5L, "b d c"),        // level 3: no C3/C2(d,c), C1(c)=1 → -ln(4/150)
+      (7L, "a b z")         // level 4: z unseen → -ln(8/750)
+    ).toDF("doc_id", "text")
+    val got = Curation.trigramBackoffTokens(corpus, "doc_id",
+        TextFunctions.tokens(lower(col("text"))), col("doc_id") % 2 === 0)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def s(num: Long, den: Long): Long =
+      math.round(-math.log(num.toDouble / den.toDouble) * 1e6)
+    def mean(v: Long): Double =
+      BigDecimal(v.toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(got.keySet == Set(1L, 3L, 5L, 7L), "only test docs with >= 3 tokens")
+    assert(got(1L)._2 == 1 && got(1L)._3 == mean(s(1, 2)))
+    assert(got(3L)._3 == mean(s(4, 10)))
+    assert(got(5L)._3 == mean(s(4, 150)))
+    assert(got(7L)._3 == mean(s(8, 750)))
+    // determinism
+    val again = Curation.trigramBackoffTokens(corpus, "doc_id",
+        TextFunctions.tokens(lower(col("text"))), col("doc_id") % 2 === 0)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("QualityModel: count-sketch features, perceptron fit, end-to-end classify") {
     import graft.operators.QualityModel
     // featureRows: every token probes exactly two buckets + one bias row
