@@ -561,5 +561,127 @@ object BpeQueries {
              |  CAST(CASE WHEN 4 * s_total * g.gn > 5 * g.gt * n_bigrams
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM bgs, bgg g""".stripMargin)),
+
+    // RAW CRAWL → TRAINING SHARDS capstone: the full corpus-rewrite
+    // chain a real pipeline runs, COMPOSED end-to-end with every
+    // intermediate oracle-replayed — keep-one substring span removal
+    // (q182, on a crawl with planted full- and half-copies + injected
+    // PII) → Gopher quality gate (q177's rules, now judging the
+    // CLEANED text: gutted copies fail word-count and drop) → PII
+    // redaction (q176's ladder) → exact-dedup keep-one (q181's rule,
+    // on the redacted bytes) → BPE encode (the q143 model, fit on the
+    // raw corpus as tokenizers are) → vocabulary ids (q171) → packed
+    // 512-token sequences in 8 shards (q173). The gate hashes q173's
+    // per-(shard, seq) landing stats over the SURVIVING cleaned docs:
+    // where every doc starts depends on every cleaned token count
+    // before it in its shard, so ONE mis-excised span, one flipped
+    // quality verdict, one missed redaction, one wrong keeper, or one
+    // mis-tokenized doc moves the whole shard tail. The file a trainer
+    // reads is thus derivable from raw crawl with zero unverified
+    // stages.
+    Q("q187_crawl_to_shards",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        val inj = d.select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id") % 100,
+          lit("@ex.org ref 987654"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0")).as("text"))
+        val corpus = inj
+          .unionByName(inj.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+          .unionByName(inj.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              substring(col("text"), lit(1), (length(col("text")) / 2)
+                .cast("int")).as("text")))
+        val cleaned = graft.operators.Dedup
+          .removeDuplicatedSpansKeepOne(corpus, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("clean_text").as("text"))
+        val kept = cleaned.filter(TextQueries.gopherRules(col("text")).keep)
+        val red = kept.select(col("doc_id"),
+          graft.functions.TextFunctions.redactPiiBattery(col("text")).as("text"))
+        val keepers = red.groupBy(sha2(col("text"), 256).as("_sha"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val fin = graft.operators.OperatorCaches.track(
+          red.join(keepers.select(col("doc_id")), Seq("doc_id")).persist())
+        val toks = graft.operators.OperatorCaches.track(
+          fin.select(col("doc_id"),
+            posexplode(Bpe.encodeCol(col("text"), model))
+              .as(Seq("pos", "tok"))).persist())
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .withColumn("id",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .select(col("tok"), col("id"))
+        val offs = graft.operators.Curation.packSequences(fin, "doc_id",
+            Bpe.encodeCol(col("text"), model), budgetTokens = 512, shards = 8)
+          .select(col("doc_id"), col("shard"), col("start_off"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .join(offs, Seq("doc_id"))
+          .withColumn("idx", col("start_off") + col("pos"))
+          .select(col("shard"), expr("idx DIV 512").as("seq_id"),
+            col("doc_id"), col("id"), (col("idx") % 512).as("off"))
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("id").cast("long") * (col("off") + 1)).as("id_wsum"),
+            max(col("off")).cast("long").as("last_off"))
+      },
+      Some(q187Oracle)),
   )
+
+  /** q187 oracle: the composed replay — injected corpus → q182's
+    * span-removal CTEs (TextQueries.spanKeepOneCtes, 'sr' prefix) →
+    * gopher keep over cleaned text → PII placeholder chain →
+    * sha256 keep-one → the standard fit+encode chains (fit on RAW
+    * documents, encode over the surviving cleaned text) → q173's
+    * vocabulary/offset/landing arithmetic. */
+  private def q187Oracle: String = {
+    val em = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val idp = """\b\d{3}-\d{2}-\d{4}\b"""
+    val lg = """\b\d{9,}\b"""
+    val ph = """\+?\d[\d()\- ]{6,}\d"""
+    s"""WITH inj AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+       |    || '@ex.org ref 987654' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+       |  FROM documents),
+       |srcorpus AS (
+       |  SELECT doc_id AS id, text FROM inj
+       |  UNION ALL SELECT doc_id + 10000, text FROM inj WHERE doc_id % 4 = 0
+       |  UNION ALL SELECT doc_id + 20000, substr(text, 1, length(text) // 2)
+       |    FROM inj WHERE doc_id % 4 = 1),
+       |${TextQueries.spanKeepOneCtes("srcorpus", "sr")},
+       |srtext AS (SELECT id AS doc_id, clean_text AS text FROM srclean),
+       |${TextQueries.gopherValsSql("srtext")},
+       |keeps AS (SELECT doc_id FROM vals WHERE ${TextQueries.gopherKeepSql}),
+       |surv AS (SELECT s.doc_id, s.text AS t FROM srtext s JOIN keeps k USING (doc_id)),
+       |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS se FROM surv),
+       |ch2 AS (SELECT doc_id, se, regexp_replace(se, '$idp', '<ID>', 'g') AS si FROM ch1),
+       |ch3 AS (SELECT doc_id, si, regexp_replace(si, '$lg', '<LONGID>', 'g') AS sl FROM ch2),
+       |red AS (SELECT doc_id, regexp_replace(sl, '$ph', '<PHONE>', 'g') AS text FROM ch3),
+       |dkeep AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY sha256(text)),
+       |fin AS (SELECT r.doc_id, r.text FROM red r JOIN dkeep USING (doc_id)),
+       |$fitChain,
+       |${encodeChainOver("fin", byteFallback = false)},
+       |btoks AS (SELECT doc_id, bt[i] AS tok, i
+       |  FROM per, unnest(generate_series(1, len(bt))) AS s(i)),
+       |tcounts AS (SELECT tok, count(*) AS c FROM btoks GROUP BY tok),
+       |tvocab AS (SELECT tok,
+       |  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM tcounts),
+       |nt AS (SELECT f.doc_id, f.doc_id % 8 AS shard,
+       |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tokens
+       |  FROM fin f LEFT JOIN per p ON p.doc_id = f.doc_id),
+       |offs AS (SELECT doc_id, shard,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM nt),
+       |tok AS (SELECT b.doc_id, o.shard, o.start_off + b.i - 1 AS idx, v.id
+       |  FROM btoks b JOIN tvocab v USING (tok)
+       |  JOIN offs o ON o.doc_id = b.doc_id)
+       |SELECT shard, CAST(idx // 512 AS BIGINT) AS seq_id,
+       |  count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(id * ((idx % 512) + 1)) AS BIGINT) AS id_wsum,
+       |  CAST(max(idx % 512) AS BIGINT) AS last_off
+       |FROM tok GROUP BY 1, 2""".stripMargin
+  }
 }

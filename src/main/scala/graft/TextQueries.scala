@@ -339,6 +339,65 @@ object TextQueries {
       s"SELECT CAST($id AS BIGINT) AS doc_id, '${t.replace("\n", "' || chr(10) || '")}' AS text"
     }.mkString("\n  UNION ALL ")
 
+  /** KEEP-ONE span-removal replay CTEs over a corpus CTE (must yield
+    * (id, text)) — the q182 oracle chain, factored so the q187
+    * capstone can run the identical replay mid-pipeline. Emits
+    * `{p}codes … {p}stats` plus the final `{p}clean(id, n_spans,
+    * removed_chars, clean_text)` — cleaned corpus with pass-through
+    * docs included (clean_text = original text when no span was cut).
+    * 1-based char positions; island test i > max_prev(i'+64) == the
+    * Spark kernel's pos > prev_end. */
+  private[graft] def spanKeepOneCtes(corpusCte: String, p: String): String = {
+    def fold(slice: String): String =
+      s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+         |    (h, b) -> ((h - (h % 256) +
+         |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |      * 1099511628211) % 18446744073709551616)""".stripMargin
+    s"""${p}codes AS MATERIALIZED (
+       |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+       |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+       |      ELSE CAST(error('non-ASCII byte in span-removal oracle — JVM kernel folds UTF-8 bytes') AS HUGEINT) END) AS cs
+       |  FROM $corpusCte WHERE text IS NOT NULL),
+       |${p}pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
+       |  FROM ${p}codes WHERE len(cs) >= 64),
+       |${p}wins AS MATERIALIZED (
+       |  SELECT id, i, ${fold("cs[i:i+63]")} AS h
+       |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0),
+       |${p}kp AS (SELECT h, min(id) AS keeper FROM ${p}wins
+       |  GROUP BY h HAVING count(DISTINCT id) >= 2),
+       |${p}dw AS (SELECT w.id, w.i FROM ${p}wins w
+       |  JOIN ${p}kp k ON k.h = w.h AND w.id <> k.keeper),
+       |${p}mk AS (SELECT id, i,
+       |  CASE WHEN max(i + 64) OVER (PARTITION BY id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |    OR i > max(i + 64) OVER (PARTITION BY id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS isl0 FROM ${p}dw),
+       |${p}isl AS (SELECT id, i, sum(isl0) OVER (PARTITION BY id ORDER BY i
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM ${p}mk),
+       |${p}merged AS (SELECT id, g, min(i) AS s, max(i) + 64 AS e
+       |  FROM ${p}isl GROUP BY 1, 2),
+       |${p}gaps AS (
+       |  SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS gs,
+       |    s AS ge FROM ${p}merged
+       |  UNION ALL
+       |  SELECT id, max(e) AS gs, NULL AS ge FROM ${p}merged GROUP BY id),
+       |${p}cl AS (
+       |  SELECT g.id, string_agg(
+       |    substr(c.text, CAST(g.gs AS INT),
+       |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
+       |    '' ORDER BY g.gs) AS ct
+       |  FROM ${p}gaps g JOIN $corpusCte c ON c.id = g.id GROUP BY g.id),
+       |${p}stats AS (SELECT id, count(*) AS n_spans, sum(e - s) AS removed
+       |  FROM ${p}merged GROUP BY id),
+       |${p}clean AS (
+       |  SELECT c.id, CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       |    CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+       |    coalesce(cl.ct, c.text) AS clean_text
+       |  FROM $corpusCte c LEFT JOIN ${p}stats st ON st.id = c.id
+       |    LEFT JOIN ${p}cl cl ON cl.id = c.id)""".stripMargin
+  }
+
   /** The seven Gopher rule expressions + pass flags + composite keep,
     * shared by q177 (the full verdict table) and q181 (the funnel's
     * quality stage) — single definition, no drift. All predicates
@@ -858,59 +917,16 @@ object TextQueries {
         Dedup.removeDuplicatedSpansKeepOne(corpus, "doc_id", "text")
       },
       Some {
-        def fold(slice: String): String =
-          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-             |    (h, b) -> ((h - (h % 256) +
-             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616)""".stripMargin
         s"""WITH corpus AS (
            |  SELECT doc_id AS id, text FROM documents
            |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0
            |  UNION ALL SELECT doc_id + 20000, substr(text, 1, length(text) // 2)
            |    FROM documents WHERE doc_id % 4 = 1),
-           |codes AS MATERIALIZED (
-           |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-           |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
-           |      ELSE CAST(error('non-ASCII byte in q182 oracle — JVM kernel folds UTF-8 bytes') AS HUGEINT) END) AS cs
-           |  FROM corpus WHERE text IS NOT NULL),
-           |pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
-           |  FROM codes WHERE len(cs) >= 64),
-           |wins AS MATERIALIZED (
-           |  SELECT id, i, ${fold("cs[i:i+63]")} AS h
-           |  FROM pos WHERE ${fold("cs[i:i+3]")} % 16 = 0),
-           |keepers AS (SELECT h, min(id) AS keeper FROM wins
-           |  GROUP BY h HAVING count(DISTINCT id) >= 2),
-           |dw AS (SELECT w.id, w.i FROM wins w
-           |  JOIN keepers k ON k.h = w.h AND w.id <> k.keeper),
-           |mk AS (SELECT id, i,
-           |  CASE WHEN max(i + 64) OVER (PARTITION BY id ORDER BY i
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-           |    OR i > max(i + 64) OVER (PARTITION BY id ORDER BY i
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           |    THEN 1 ELSE 0 END AS isl0 FROM dw),
-           |isl AS (SELECT id, i, sum(isl0) OVER (PARTITION BY id ORDER BY i
-           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM mk),
-           |merged AS (SELECT id, g, min(i) AS s, max(i) + 64 AS e
-           |  FROM isl GROUP BY 1, 2),
-           |gaps AS (
-           |  SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS gs,
-           |    s AS ge FROM merged
-           |  UNION ALL
-           |  SELECT id, max(e) AS gs, NULL AS ge FROM merged GROUP BY id),
-           |cleaned AS (
-           |  SELECT g.id, string_agg(
-           |    substr(c.text, CAST(g.gs AS INT),
-           |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
-           |    '' ORDER BY g.gs) AS ct
-           |  FROM gaps g JOIN corpus c ON c.id = g.id GROUP BY g.id),
-           |stats AS (SELECT id, count(*) AS n_spans, sum(e - s) AS removed
-           |  FROM merged GROUP BY id)
-           |SELECT c.id, CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
-           |  CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
-           |  CAST(coalesce(length(coalesce(cl.ct, c.text)), 0) AS BIGINT) AS clean_len,
-           |  coalesce(cl.ct, c.text) AS clean_text
-           |FROM corpus c LEFT JOIN stats st ON st.id = c.id
-           |  LEFT JOIN cleaned cl ON cl.id = c.id""".stripMargin
+           |${spanKeepOneCtes("corpus", "")}
+           |SELECT id, n_spans, removed_chars,
+           |  CAST(coalesce(length(clean_text), 0) AS BIGINT) AS clean_len,
+           |  clean_text
+           |FROM clean""".stripMargin
       }),
 
     // STREAMING substring dedup — q174's stream twin, completing the
