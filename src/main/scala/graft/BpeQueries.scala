@@ -628,7 +628,113 @@ object BpeQueries {
             max(col("off")).cast("long").as("last_off"))
       },
       Some(q187Oracle)),
+
+    // UNIGRAM-LM TOKENIZER (UnigramLm): SentencePiece's other family
+    // next to BPE — a piece inventory with unigram log-prob costs
+    // segments words by minimum-cost Viterbi, refined by hard-EM
+    // (segment → recount → prune zero-count pieces → re-score, 2
+    // fixed iterations, alphabet floored so segmentation stays
+    // total). Same hash-capped sample and word basis as the BPE fit.
+    // The gate hashes the segmentation of every fitted-vocab word
+    // under the final model (cost in integer micro-nats, piece count,
+    // pieces verbatim). The oracle replays the WHOLE fit relationally
+    // (no DuckDB lambdas — they miscompiled the fold): seed counts,
+    // per-iteration scores, and THREE full Viterbi passes as unrolled
+    // per-position DP stages that carry the winning segmentation
+    // string forward (ties broken (cost, start) — exactly the Scala
+    // scan order), so no backtrace stage is needed.
+    Q("q189_unigram_lm",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+        val (model, vocab) =
+          graft.functions.UnigramLm.fit(d, "doc_id", "text")
+        vocab.toDF("word", "freq")
+          .select(col("word"), col("freq"),
+            graft.functions.UnigramLm.segmentCol(col("word"), model).as("_s"))
+          .select(col("word"), col("freq"),
+            col("_s")("_1").as("cost_micro"),
+            col("_s")("_2").cast("long").as("n_pieces"),
+            col("_s")("_3").as("pieces"))
+      },
+      Some(q189Oracle)),
   )
+
+  /** q189 oracle (see the registration comment). Each seg block is 24
+    * unrolled DP stages: `sel` extends every reachable position by a
+    * piece ending at p, `nxt` keeps the (cost, start)-minimal
+    * extension with its segmentation string, `acc` accumulates. */
+  private def q189Oracle: String = {
+    import graft.functions.UnigramLm.{EmIters, MaxPieceLen, MaxWordLen, SeedSize}
+    def scoreCte(k: Int): String =
+      s"""us$k AS (SELECT p, CAST(round(-ln(CAST(c AS DOUBLE)
+         |  / CAST((SELECT sum(c) FROM uc$k) AS DOUBLE)) * 1000000) AS BIGINT) AS s
+         |  FROM uc$k)""".stripMargin
+    def segBlock(k: Int, tag: String): String = {
+      val stages = (1 to MaxWordLen).map { p =>
+        s"""sel$tag$p AS (
+           |  SELECT a.w, a.f, a.cost + s.s AS c, a.pos AS j, a.seg, a.np
+           |  FROM acc$tag${p - 1} a JOIN us$k s
+           |    ON s.p = substr(a.w, a.pos + 1, $p - a.pos)
+           |  WHERE a.pos BETWEEN ${math.max(0, p - MaxPieceLen)} AND ${p - 1}
+           |    AND length(a.w) >= $p),
+           |nxt$tag$p AS (
+           |  SELECT w, f, $p AS pos, c AS cost,
+           |    CASE WHEN np = 0 THEN substr(w, j + 1, $p - j)
+           |      ELSE seg || '|' || substr(w, j + 1, $p - j) END AS seg,
+           |    np + 1 AS np
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, j) AS rn
+           |    FROM sel$tag$p) WHERE rn = 1),
+           |acc$tag$p AS MATERIALIZED (
+           |  SELECT * FROM acc$tag${p - 1} UNION ALL SELECT * FROM nxt$tag$p)""".stripMargin
+      }
+      (s"""acc${tag}0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+          |  '' AS seg, 0 AS np FROM uwords)""".stripMargin +: stages :+
+        s"""useg$tag AS (SELECT w, f, cost, seg, np
+           |  FROM acc$tag$MaxWordLen WHERE pos = length(w))""".stripMargin)
+        .mkString(",\n")
+    }
+    def countCte(k: Int, tag: String): String =
+      s"""usegcnt$k AS (SELECT p, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT f, unnest(string_split(seg, '|')) AS p FROM useg$tag)
+         |  GROUP BY p),
+         |uc$k AS (
+         |  SELECT p, c FROM usegcnt$k WHERE length(p) > 1
+         |  UNION ALL
+         |  SELECT ch.p, greatest(coalesce(sc.c, 0), 1)
+         |  FROM uchars ch LEFT JOIN usegcnt$k sc ON sc.p = ch.p)""".stripMargin
+    require(EmIters == 2, "q189 oracle unrolls exactly EmIters = 2 blocks")
+    s"""WITH ubase AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |${RelationalQueries5.mix64Stages("ubase", Seq("doc_id", "text"),
+            "CAST(doc_id AS HUGEINT)", prefix = "u")},
+       |usamp AS (SELECT doc_id, text FROM umixed ORDER BY vu LIMIT $SampleDocs),
+       |ustoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM usamp),
+       |uwf AS (SELECT lower(tok) AS w, count(*) AS f FROM ustoks
+       |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
+       |uvocab AS (SELECT w, f FROM uwf ORDER BY f DESC, w LIMIT $MaxWords),
+       |uwords AS (SELECT w, CAST(f AS BIGINT) AS f FROM uvocab
+       |  WHERE length(w) <= $MaxWordLen),
+       |usubs AS (SELECT substr(u.w, a.a, l.l) AS p, u.f
+       |  FROM uwords u, generate_series(1, $MaxWordLen) a(a),
+       |    generate_series(1, $MaxPieceLen) l(l)
+       |  WHERE a.a + l.l - 1 <= length(u.w)),
+       |ucntall AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM usubs GROUP BY p),
+       |utop AS (SELECT p, c FROM ucntall ORDER BY c DESC, p LIMIT $SeedSize),
+       |uchars AS (SELECT p, c FROM ucntall WHERE length(p) = 1),
+       |uc0 AS (SELECT DISTINCT p, c FROM
+       |  (SELECT * FROM utop UNION ALL SELECT * FROM uchars)),
+       |${scoreCte(0)},
+       |${segBlock(0, "a")},
+       |${countCte(1, "a")},
+       |${scoreCte(1)},
+       |${segBlock(1, "b")},
+       |${countCte(2, "b")},
+       |${scoreCte(2)},
+       |${segBlock(2, "f")}
+       |SELECT w AS word, f AS freq, cost AS cost_micro,
+       |  CAST(np AS BIGINT) AS n_pieces, seg AS pieces
+       |FROM usegf""".stripMargin
+  }
 
   /** q187 oracle: the composed replay — injected corpus → q182's
     * span-removal CTEs (TextQueries.spanKeepOneCtes, 'sr' prefix) →

@@ -225,4 +225,33 @@ class BpeSpec extends SparkSuite {
         s"encode∘decode != id on '$t'")
     }
   }
+
+  test("UnigramLm: Viterbi hand cases, tie-break, total hard-EM fit") {
+    import graft.functions.UnigramLm
+    // hand DP: "abc" under {a:10,b:10,c:10,ab:15,bc:12,abc:40} —
+    // best = a(10) + bc(12) = 22, not abc(40) nor ab+c(25)
+    val sc = Map("a" -> 10L, "b" -> 10L, "c" -> 10L,
+      "ab" -> 15L, "bc" -> 12L, "abc" -> 40L)
+    val s1 = UnigramLm.segment("abc", sc).get
+    assert(s1.cost == 22L && s1.pieces == Vector("a", "bc"))
+    // cost tie: ab(20) == a(10)+b(10) — the ascending-start scan keeps
+    // the LONGEST piece
+    val s2 = UnigramLm.segment("ab",
+      Map("a" -> 10L, "b" -> 10L, "ab" -> 20L)).get
+    assert(s2.pieces == Vector("ab"), s2.toString)
+    // out-of-alphabet char → None, never a crash
+    assert(UnigramLm.segment("axb", Map("a" -> 1L, "b" -> 1L)).isEmpty)
+    // hard-EM fit is total over its own vocab and deterministic
+    val wf = Map("abab" -> 5L, "ab" -> 3L, "ba" -> 2L, "cab" -> 1L)
+    val m1 = UnigramLm.fitFromWordFreq(wf)
+    val m2 = UnigramLm.fitFromWordFreq(wf)
+    assert(m1.scores == m2.scores)
+    wf.keys.foreach { w =>
+      val s = UnigramLm.segment(w, m1.scores)
+      assert(s.nonEmpty, s"fit must segment its own vocab word '$w'")
+      assert(s.get.pieces.mkString("") == w, "pieces must concatenate back")
+    }
+    // the dominant pattern 'ab' should survive EM as a piece
+    assert(m1.scores.contains("ab"))
+  }
 }
