@@ -29,81 +29,62 @@ import org.apache.spark.sql.SparkSession
   * is finishing, by the clock, before the external killer fires.
   */
 object Bench {
-  /** The FIXED bench anchor: round-8 per-query minima (sec, sf0.1,
-    * local[32], min-of-2 — BENCH_r08.json, clean rc 0, full 137-query
-    * coverage; re-anchored from r7 in round 10 per BASELINE.md's
-    * append-only rule), recorded so the ≤2× gate has a mechanical
-    * denominator instead of being re-litigated round-over-round
-    * (BASELINE.md "Bench anchor"). Keys are the compact bench keys;
-    * queries added after r8 have no anchor and are excluded from the
-    * ratio (the ratio compares like-for-like totals).
+  /** The FIXED bench anchor: round-13 per-query minima (sec, sf0.1,
+    * local[32], min-of-3 — one clean solo pass at round-13 close,
+    * calib 2.053 s, full 185-query coverage, rc 0), recorded so the
+    * ≤2× gate has a mechanical denominator instead of being
+    * re-litigated round-over-round (BASELINE.md "Bench anchor").
     *
-    * The anchor was recorded on round 8's machine; rounds run on
-    * whatever host the harness lands on, and round 10 measured a
-    * UNIFORM ~1.8× inflation across all 137 queries (including
-    * trivial fixed-cost ones) on a slower Xeon — host speed, not
-    * regression. The sum ratio (vs_anchor) cannot tell those apart,
-    * so the line also carries host-invariant signals:
-    * vs_anchor_med (median per-query ratio — uniform host slowdown
-    * moves the median, a few regressed queries cannot) and regress
-    * (count of queries whose ratio exceeds 1.5× that median — a true
-    * code regression stands out above the host factor). calib_sec is
-    * a deterministic single-thread spin (JIT-warmed xorshift64*)
-    * giving future rounds an absolute same-artifact host-speed
-    * witness (r8's host predates the field; its calib is unknown).
+    * Re-anchored from the r8 scale per the r12 verdict: the old map
+    * had accreted FOUR normalization regimes (r8 raw; r12 appends
+    * ÷1.4412; ÷1.502; per-run best for q182–q184) — correct but
+    * unauditable. This map is ONE scale measured in ONE run; the
+    * retired entries and every normalization are preserved in
+    * BASELINE.md (append-only). The recording host's calib (2.053 s)
+    * is the cross-round bridge: r8-class hosts read vs_anchor ≈ 0.65,
+    * r10-class ≈ 1.0–1.2.
     *
-    * q142–q174 were appended in round 12 (the r11 verdict's "anchor
-    * blind spot": regress could never see post-r8 queries). They were
-    * measured in one clean solo min-of-3 pass (calib 2.059 s,
-    * regress 0 over 12 anchored controls spanning the cost classes)
-    * and NORMALIZED to the r8 scale by dividing each minimum by that
-    * run's control median ratio (1.4412), so the whole map shares one
-    * host scale and vs_anchor_med keeps its uniform-host-factor
-    * reading. Recorded in BASELINE.md "Bench anchor" per the
-    * append-only rule. */
+    * Rounds run on whatever host the harness lands on; the sum ratio
+    * (vs_anchor) cannot distinguish a uniformly slower host from a
+    * real regression, so the line also carries host-invariant
+    * signals: vs_anchor_med (median per-query ratio — a uniform host
+    * factor moves the median, a few regressed queries cannot) and
+    * regress (count of queries above 1.5× that median and 0.3 s over
+    * anchor — the true-regression signal). calib_sec is a
+    * deterministic single-thread spin (JIT-warmed xorshift64*), an
+    * absolute same-artifact host-speed witness. */
   private[graft] val anchor: Map[String, Double] = Map(
-    "q01"->0.453, "q02"->0.151, "q03"->1.101, "q04"->0.357, "q05"->0.205, "q06"->0.272,
-    "q07"->0.683, "q08"->0.356, "q09"->0.323, "q10"->0.512, "q11"->0.145, "q12"->0.631,
-    "q13"->0.171, "q14"->0.25, "q15"->0.188, "q16"->0.097, "q17"->0.093, "q18"->0.121,
-    "q19"->0.13, "q20"->0.478, "q21"->0.402, "q22"->0.233, "q23"->0.224, "q24"->0.36,
-    "q26"->0.239, "q27"->0.126, "q28"->0.189, "q29"->0.197, "q30"->0.137, "q31"->0.132,
-    "q32"->0.917, "q33"->0.222, "q34"->0.223, "q35"->0.272, "q36"->1.114, "q37"->0.744,
-    "q38"->0.156, "q39"->1.387, "q40"->1.309, "q41"->0.886, "q42"->1.015, "q43"->0.152,
-    "q44"->2.394, "q45"->0.441, "q46"->1.868, "q50"->0.951, "q51"->0.154, "q52"->0.155,
-    "q53"->0.242, "q54"->0.177, "q55"->0.131, "q56"->0.128, "q57"->0.196, "q58"->0.142,
-    "q59"->0.353, "q60"->0.502, "q61"->0.446, "q62"->0.83, "q63"->0.333, "q64"->0.185,
-    "q65"->0.188, "q66"->0.263, "q67"->0.409, "q68"->0.132, "q69"->0.138, "q70"->1.718,
-    "q71"->0.272, "q72"->0.492, "q73"->0.161, "q74"->0.26, "q75"->0.302, "q76"->1.699,
-    "q77"->1.988, "q78"->0.301, "q79"->0.634, "q80"->0.168, "q81"->0.202, "q82"->0.37,
-    "q83"->0.425, "q84"->0.107, "q85"->0.124, "q86"->0.372, "q87"->0.227, "q88"->0.657,
-    "q89"->0.343, "q90"->0.388, "q91"->0.646, "q92"->0.214, "q93"->0.264, "q94"->0.392,
-    "q95"->1.711, "q96"->0.441, "q97"->0.221, "q98"->0.17, "q99"->0.197, "q100"->0.237,
-    "q101"->0.252, "q102"->0.233, "q103"->1.753, "q104"->0.243, "q105"->1.064,
-    "q106"->0.363, "q107"->0.693, "q108"->0.217, "q109"->0.264, "q110"->0.588,
-    "q111"->1.583, "q112"->1.463, "q113"->4.451, "q114"->1.326, "q115"->0.959,
-    "q116"->0.198, "q117"->2.05, "q118"->5.042, "q119"->0.519, "q120"->0.292,
-    "q121"->0.298, "q122"->0.588, "q123"->0.303, "q124"->0.461, "q125"->0.397,
-    "q126"->0.265, "q127"->0.91, "q128"->3.608, "q129"->0.956, "q130"->0.155,
-    "q131"->0.328, "q132"->0.575, "q133"->1.04, "q134"->1.163, "q135"->1.659,
-    "q136"->1.835, "q137"->0.248, "q138"->0.116, "q139"->0.335, "q140"->0.335,
-    "q141"->0.139,
-    // round-12 append (r8-normalized, see scaladoc)
-    "q142"->0.316, "q143"->0.12, "q144"->0.579, "q145"->3.571, "q146"->0.205,
-    "q147"->1.862, "q148"->0.349, "q149"->0.619, "q150"->0.386, "q151"->3.029,
-    "q152"->0.913, "q153"->0.271, "q154"->1.376, "q155"->1.302, "q156"->1.229,
-    "q157"->0.176, "q158"->0.846, "q159"->0.164, "q160"->0.229, "q161"->3.838,
-    "q162"->2.848, "q163"->0.357, "q164"->2.302, "q165"->0.17, "q166"->0.764,
-    "q167"->1.007, "q168"->1.337, "q169"->1.866, "q170"->3.355, "q171"->0.928,
-    "q172"->0.905, "q173"->1.107, "q174"->0.586,
-    // round-12 new queries (same normalization, control median 1.502,
-    // calib 2.026 — recorded so next round's regress covers them too)
-    "q175"->1.055, "q176"->0.558, "q177"->0.42, "q178"->1.041,
-    "q179"->1.144, "q180"->2.08, "q181"->1.703,
-    // round-12 late additions: two contended control runs (medians
-    // 1.695 / 1.806, calib 2.03 / 2.14, regress 0 both — uniform
-    // inflation), each query normalized within its own run, best
-    // host-adjusted reading kept
-    "q182"->1.134, "q183"->0.94, "q184"->1.214)
+    "q01"->0.689, "q02"->0.219, "q03"->1.659, "q04"->0.656, "q05"->0.324, "q06"->0.385,
+    "q07"->0.865, "q08"->0.481, "q09"->0.496, "q10"->0.808, "q11"->0.231, "q12"->1.128,
+    "q13"->0.24, "q14"->0.343, "q15"->0.277, "q16"->0.136, "q17"->0.14, "q18"->0.176,
+    "q19"->0.207, "q20"->0.633, "q21"->0.396, "q22"->0.398, "q23"->0.347, "q24"->0.514,
+    "q26"->0.36, "q27"->0.2, "q28"->0.317, "q29"->0.28, "q30"->0.232, "q31"->0.242,
+    "q32"->1.331, "q33"->0.4, "q34"->0.362, "q35"->0.489, "q36"->1.699, "q37"->1.089,
+    "q38"->0.25, "q39"->2.378, "q40"->1.83, "q41"->1.226, "q42"->1.474, "q43"->0.257,
+    "q44"->3.482, "q45"->0.612, "q46"->2.64, "q50"->1.562, "q51"->0.277, "q52"->0.276,
+    "q53"->0.407, "q54"->0.315, "q55"->0.191, "q56"->0.183, "q57"->0.337, "q58"->0.131,
+    "q59"->0.368, "q60"->0.703, "q61"->0.605, "q62"->1.02, "q63"->0.281, "q64"->0.134,
+    "q65"->0.203, "q66"->0.254, "q67"->0.415, "q68"->0.134, "q69"->0.114, "q70"->2.514,
+    "q71"->0.5, "q72"->0.468, "q73"->0.247, "q74"->0.413, "q75"->0.488, "q76"->2.698,
+    "q77"->3.117, "q78"->0.518, "q79"->0.808, "q80"->0.293, "q81"->0.293, "q82"->0.567,
+    "q83"->0.664, "q84"->0.169, "q85"->0.204, "q86"->0.545, "q87"->0.37, "q88"->0.944,
+    "q89"->0.555, "q90"->0.591, "q91"->1.071, "q92"->0.327, "q93"->0.442, "q94"->0.609,
+    "q95"->2.231, "q96"->0.764, "q97"->0.331, "q98"->0.289, "q99"->0.466, "q100"->0.399,
+    "q101"->0.431, "q102"->0.37, "q103"->2.414, "q104"->0.395, "q105"->1.701, "q106"->0.623,
+    "q107"->0.905, "q108"->0.342, "q109"->0.432, "q110"->0.919, "q111"->2.475, "q112"->2.532,
+    "q113"->6.233, "q114"->2.029, "q115"->1.417, "q116"->0.321, "q117"->2.709, "q118"->7.389,
+    "q119"->0.95, "q120"->0.453, "q121"->0.581, "q122"->0.879, "q123"->0.546, "q124"->0.68,
+    "q125"->0.735, "q126"->0.449, "q127"->1.496, "q128"->5.325, "q129"->1.629, "q130"->0.288,
+    "q131"->0.473, "q132"->0.769, "q133"->1.579, "q134"->1.899, "q135"->2.413, "q136"->2.738,
+    "q137"->0.364, "q138"->0.184, "q139"->0.483, "q140"->0.583, "q141"->0.236, "q142"->0.496,
+    "q143"->0.176, "q144"->0.8, "q145"->5.475, "q146"->0.343, "q147"->2.499, "q148"->0.507,
+    "q149"->1.037, "q150"->0.595, "q151"->4.768, "q152"->1.248, "q153"->0.505, "q154"->2.1,
+    "q155"->1.913, "q156"->1.877, "q157"->0.26, "q158"->1.187, "q159"->0.27, "q160"->0.417,
+    "q161"->4.7, "q162"->4.146, "q163"->0.484, "q164"->3.445, "q165"->0.228, "q166"->1.164,
+    "q167"->1.524, "q168"->2.151, "q169"->2.681, "q170"->5.186, "q171"->1.597, "q172"->1.189,
+    "q173"->1.813, "q174"->0.81, "q175"->1.589, "q176"->0.65, "q177"->0.611, "q178"->1.56,
+    "q179"->1.715, "q180"->3.654, "q181"->2.327, "q182"->1.065, "q183"->1.101, "q184"->1.738,
+    "q185"->2.129, "q186"->2.844, "q187"->6.157, "q188"->4.306, "q189"->0.22)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
