@@ -504,17 +504,94 @@ object CurationQueries {
              |  CAST(CASE WHEN 4 * s_total * g.gn > 5 * g.gt * n_trigrams
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
+
+    // LEARNED-GATE curation funnel — q181 with the rule gate REPLACED
+    // by the q185 classifier: rules label a sample, the perceptron
+    // generalizes, and the MODEL's verdict gates the corpus — the full
+    // CCNet production loop (heuristics bootstrap a classifier, the
+    // classifier curates), composed with PII redaction and exact-dedup
+    // keep-one into the same manifest shape as q181. Exact copies
+    // (+10000 of every %3==0 doc) share injected PII, get identical
+    // model scores by construction (same text → same features), and
+    // dedup to the min-id keeper. The oracle replays the classifier
+    // fit (the shared classifierCtes — byte-identical to q185's) AND
+    // the funnel; a drift in any weight update flips some gate verdict
+    // and changes the manifest rows.
+    Q("q192_learned_gate_funnel",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+        val inj = d.select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id") % 100,
+            lit("@ex.org ref 987654"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0")).as("text"))
+          .unionByName(TextQueries.qualityPlanted.toDF("doc_id", "text"))
+        val corpus = inj.unionByName(
+          inj.filter(col("doc_id") % 3 === 0 && col("doc_id") < 10000)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        val verdicts = graft.operators.QualityModel.classify(corpus,
+          "doc_id", "text", TextQueries.gopherRules(col("text")).keep)
+        val gated = corpus.join(verdicts.filter(col("pred") === 1L)
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+        val counts = TextFunctions.piiBatteryCounts(col("text")).toMap
+        val red = gated.select(col("doc_id"),
+          TextFunctions.redactPiiBattery(col("text")).as("clean"),
+          (counts("n_emails") + counts("n_ids") + counts("n_longids") +
+            counts("n_phones")).cast("long").as("n_redactions"))
+        val keepers = red
+          .groupBy(sha2(col("clean"), 256).as("content_sha"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        red.join(keepers, Seq("doc_id"))
+          .select(col("doc_id"), col("n_redactions"),
+            length(col("clean")).cast("long").as("clean_len"),
+            col("content_sha"))
+      },
+      Some {
+        val em = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val idp = """\b\d{3}-\d{2}-\d{4}\b"""
+        val lg = """\b\d{9,}\b"""
+        val ph = """\+?\d[\d()\- ]{6,}\d"""
+        s"""WITH inj AS (
+           |  SELECT doc_id, text || ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+           |    || '@ex.org ref 987654' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+           |  FROM documents
+           |  UNION ALL ${TextQueries.qualityPlantedSql}),
+           |corpus AS (
+           |  SELECT doc_id, text FROM inj
+           |  UNION ALL SELECT doc_id + 10000, text FROM inj
+           |  WHERE doc_id % 3 = 0 AND doc_id < 10000),
+           |${classifierCtes("corpus")},
+           |gated AS (SELECT c.doc_id, c.text AS t FROM corpus c
+           |  JOIN sc ON sc.doc_id = c.doc_id WHERE sc.z > 0),
+           |ch1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS se FROM gated),
+           |ch2 AS (SELECT doc_id, t, se, regexp_replace(se, '$idp', '<ID>', 'g') AS si FROM ch1),
+           |ch3 AS (SELECT doc_id, t, se, si, regexp_replace(si, '$lg', '<LONGID>', 'g') AS sl FROM ch2),
+           |red AS (SELECT doc_id,
+           |  regexp_replace(sl, '$ph', '<PHONE>', 'g') AS clean,
+           |  len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(se, '$idp'))
+           |    + len(regexp_extract_all(si, '$lg'))
+           |    + len(regexp_extract_all(sl, '$ph')) AS n_red
+           |  FROM ch3),
+           |keepers AS (SELECT sha256(clean) AS content_sha, min(doc_id) AS doc_id
+           |  FROM red GROUP BY 1)
+           |SELECT r.doc_id, CAST(r.n_red AS BIGINT) AS n_redactions,
+           |  CAST(length(r.clean) AS BIGINT) AS clean_len, k.content_sha
+           |FROM red r JOIN keepers k ON k.doc_id = r.doc_id""".stripMargin
+      }),
   )
 
-  /** q185 oracle: the full QualityModel fit + score replay (see the
-    * registration comment). The fit is ONE list_reduce over the
-    * epoch-repeated, id-ordered sample list; the accumulator rides in
-    * the same struct shape as the sample elements (y unused) because
-    * list_reduce requires accumulator type == element type. Integer
-    * bounds are tiny: weights are sums of token counts (≤ thousands),
-    * scores ≤ ~1e7 — Long-safe on the Spark side by orders of
+  /** QualityModel fit + score replay CTEs over a corpus CTE (must
+    * yield (doc_id, text)): rule labels `lab(doc_id, y)`, count-sketch
+    * probes, dense vectors, the ENTIRE sequential perceptron fit as
+    * ONE list_reduce over the epoch-repeated id-ordered sample list
+    * (the accumulator rides in the same struct shape as the sample
+    * elements — list_reduce requires accumulator type == element
+    * type), ending in `sc(doc_id, z)` — every doc's integer logit.
+    * Shared verbatim by q185 and the q192 learned-gate funnel.
+    * Integer bounds are tiny: weights are sums of token counts
+    * (≤ thousands), scores ≤ ~1e7 — Long-safe by orders of
     * magnitude. */
-  private def q185Oracle: String = {
+  private[graft] def classifierCtes(corpusCte: String): String = {
     import graft.operators.QualityModel.{Dim, Epochs, Margin, NumBuckets}
     def fold(colExpr: String) =
       s"""list_reduce(
@@ -523,17 +600,14 @@ object CurationQueries {
          |    (h, b) -> ((h - (h % 256) +
          |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
          |      * 1099511628211) % 18446744073709551616)""".stripMargin
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL ${TextQueries.qualityPlantedSql}),
-       |${TextQueries.gopherValsSql("corpus")},
+    s"""${TextQueries.gopherValsSql(corpusCte)},
        |lab AS (SELECT v.doc_id,
        |  CAST(CASE WHEN ${TextQueries.gopherKeepSql} THEN 1 ELSE 0 END AS BIGINT) AS y
        |  FROM vals v),
        |ltoks AS (SELECT doc_id, tok FROM (
        |  SELECT doc_id, unnest(string_split_regex(
        |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
-       |  FROM corpus)
+       |  FROM $corpusCte)
        |  WHERE length(tok) > 0),
        |probes AS (
        |  SELECT doc_id, CAST(${fold("tok")} % $NumBuckets AS INT) AS b FROM ltoks
@@ -544,7 +618,7 @@ object CurationQueries {
        |dense AS (
        |  SELECT c.doc_id, list(CASE WHEN g.b = ${Dim - 1} THEN 1
        |      ELSE coalesce(fx.x, 0) END ORDER BY g.b) AS xs
-       |  FROM corpus c CROSS JOIN generate_series(0, ${Dim - 1}) g(b)
+       |  FROM $corpusCte c CROSS JOIN generate_series(0, ${Dim - 1}) g(b)
        |  LEFT JOIN fx ON fx.doc_id = c.doc_id AND fx.b = g.b
        |  GROUP BY c.doc_id),
        |sampl AS (
@@ -567,12 +641,20 @@ object CurationQueries {
        |sc AS (
        |  SELECT d.doc_id,
        |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> w.w[i] * d.xs[i])) AS BIGINT) AS z
-       |  FROM dense d CROSS JOIN wfit w)
+       |  FROM dense d CROSS JOIN wfit w)""".stripMargin
+  }
+
+  /** q185 oracle: [[classifierCtes]] over documents ∪ planted, plus
+    * the per-doc verdict projection. */
+  private def q185Oracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL ${TextQueries.qualityPlantedSql}),
+       |${classifierCtes("corpus")}
        |SELECT l.doc_id, l.y AS label, sc.z AS score,
        |  CAST(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
        |  CAST(CASE WHEN l.y = 0 OR l.doc_id % 8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS in_sample
        |FROM lab l JOIN sc USING (doc_id)""".stripMargin
-  }
 
   /** The q139 oracle: the identical lexer regex, the identical integer
     * chunk-count arithmetic (DuckDB `//` floors == Spark DIV on the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{ImageDedup, Multimodal, Similarity}
+import graft.operators.{AudioDedup, ImageDedup, Multimodal, Similarity}
 
 /** Similarity-search + multimodal operators over `embeddings`/`documents`
   * (LLM-data-pipeline surface). Brute-force cosine top-k is the
@@ -1143,6 +1143,130 @@ object SimilarityQueries {
              |  SELECT DISTINCT a.id AS idA, b.id AS idB,
              |    bit_count(xor(a.fp, b.fp)) AS hamming
              |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.bv = b.bv
+             |  WHERE a.id < b.id)
+             |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN idB = idA + 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+             |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin)),
+
+    // INCREMENTAL image dedup (q186's daily-ingest form — the
+    // crawl-gatekeeper "is this image already in the corpus?",
+    // completing the incremental family across FOUR modalities:
+    // literal LSH q152, semantic q170, substring q174, images here):
+    // the epoch's dHash index is computed once (8 bytes/image, in
+    // production saved bucketed on (block, bv) — a daily batch joins
+    // it with zero epoch-side decode); the incoming batch plants
+    // +2-brightness near-dups of every even doc (must match their
+    // epoch base) and formula-B NOVEL images for odd docs (must
+    // report 0 unless a fingerprint genuinely collides). Per incoming
+    // image: distinct epoch matches within Hamming ≤ 3 + the best
+    // distance. The oracle replays both pixel formulas, both
+    // fingerprint sets, the blocking, and the per-image verdicts.
+    Q("q190_incremental_image_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        ImageDedup.incrementalMatches(
+          ImageDedup.fingerprints(Multimodal.dhashEpoch(d)),
+          ImageDedup.fingerprints(Multimodal.dhashIncoming(d)),
+          maxHamming = 3)
+      },
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS id, doc_id AS bid, 0 AS shift, 0 AS fm, 0 AS side
+             |  FROM documents
+             |  UNION ALL SELECT doc_id + 40000, doc_id, 2, 0, 1 FROM documents
+             |  WHERE doc_id % 2 = 0
+             |  UNION ALL SELECT doc_id + 50000, doc_id, 0, 1, 1 FROM documents
+             |  WHERE doc_id % 2 = 1),
+             |dims AS (SELECT id, bid, shift, fm, side,
+             |  8 + bid % 16 AS w, 8 + (bid // 3) % 16 AS h FROM imgs),
+             |grid AS (
+             |  SELECT d.id, d.side, gx.x, gy.y,
+             |    CASE WHEN d.fm = 0 THEN
+             |      (d.bid * 31 + ((gx.x * d.w) // 9) * 7 + ((gy.y * d.h) // 8) * 13
+             |        + (d.bid % 7) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
+             |        + d.shift) % 256
+             |    ELSE
+             |      (d.bid * 53 + ((gx.x * d.w) // 9) * 11 + ((gy.y * d.h) // 8) * 17
+             |        + (d.bid % 5) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
+             |        + 3) % 256 END AS v
+             |  FROM dims d, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+             |bits AS (
+             |  SELECT a.id, a.y * 8 + a.x AS bit
+             |  FROM grid a JOIN grid b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 8 AND b.v > a.v),
+             |fps AS (
+             |  SELECT i.id, i.side, coalesce(sum(CAST(1 AS HUGEINT) << b.bit),
+             |    CAST(0 AS HUGEINT)) AS fpu
+             |  FROM imgs i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id, i.side),
+             |signed AS (
+             |  SELECT id, side, CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+             |  FROM fps),
+             |blockedq AS (
+             |  SELECT id, side, fp, block, (fp >> (block * 16)) & 65535 AS bv
+             |  FROM signed CROSS JOIN generate_series(0, 3) g(block)),
+             |m AS (
+             |  SELECT DISTINCT i.id AS in_id, e.id AS eid,
+             |    bit_count(xor(i.fp, e.fp)) AS hamming
+             |  FROM blockedq i JOIN blockedq e
+             |    ON e.block = i.block AND e.bv = i.bv AND e.side = 0
+             |  WHERE i.side = 1),
+             |agg AS (
+             |  SELECT in_id, count(DISTINCT eid) AS n_matches, min(hamming) AS best
+             |  FROM m WHERE hamming <= 3 GROUP BY in_id)
+             |SELECT i.id AS in_id,
+             |  CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+             |  CAST(coalesce(a.best, -1) AS INT) AS best_hamming
+             |FROM imgs i LEFT JOIN agg a ON a.in_id = i.id
+             |WHERE i.side = 1""".stripMargin)),
+
+    // PERCEPTUAL AUDIO DEDUP (AudioDedup): adjacent-window mean-
+    // comparison fingerprints over REAL PCM decode (AudioSystem) —
+    // the acoustic dHash, completing near-dup coverage across all
+    // three media classes. Means compare via exact integer cross-
+    // multiplication (never divided), so the oracle replays the whole
+    // decode->window->fingerprint->block->verify chain from the
+    // sample formula in pure integer SQL. Every even doc carries a
+    // planted partner with +7 on every 13th sample - a sparse
+    // perturbation the window means mostly absorb; the gate hashes
+    // the Hamming histogram and per-distance planted recovery.
+    Q("q191_audio_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        AudioDedup.hammingPairs(
+            AudioDedup.fingerprints(Multimodal.audioMedia(d)), maxHamming = 3)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("idB") === col("idA") + 40000L, 1L).otherwise(0L))
+              .as("n_planted"))
+      },
+      Some("""WITH auds AS (
+             |  SELECT doc_id AS id, doc_id AS bid, 0 AS pert FROM documents
+             |  UNION ALL SELECT doc_id + 40000, doc_id, 1 FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |nsa AS (SELECT id, bid, pert, 64 + bid % 64 AS n FROM auds),
+             |smp AS (
+             |  SELECT a.id, i.i, a.n,
+             |    (a.bid * 37 + i.i * 11) % 4096 - 2048
+             |      + CASE WHEN a.pert = 1 AND i.i % 13 = 0 THEN 7 ELSE 0 END AS v
+             |  FROM nsa a, generate_series(0, 127) i(i) WHERE i.i < a.n),
+             |blk AS (
+             |  SELECT s.id, b.b, CAST(sum(s.v) AS BIGINT) AS sm,
+             |    CAST(count(*) AS BIGINT) AS ln
+             |  FROM smp s JOIN generate_series(0, 32) b(b)
+             |    ON s.i >= (b.b * s.n) // 33 AND s.i < ((b.b + 1) * s.n) // 33
+             |  GROUP BY s.id, b.b),
+             |bits AS (
+             |  SELECT a.id, a.b AS bit
+             |  FROM blk a JOIN blk c ON c.id = a.id AND c.b = a.b + 1
+             |  WHERE c.sm * a.ln > a.sm * c.ln),
+             |fps AS (SELECT n.id,
+             |    CAST(coalesce(sum(CAST(1 AS BIGINT) << bit), 0) AS BIGINT) AS fp
+             |  FROM nsa n LEFT JOIN bits b ON b.id = n.id GROUP BY n.id),
+             |blockedq AS (SELECT id, fp, block, (fp >> (block * 8)) & 255 AS bv
+             |  FROM fps CROSS JOIN generate_series(0, 3) g(block)),
+             |pairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+             |    bit_count(xor(a.fp, b.fp)) AS hamming
+             |  FROM blockedq a JOIN blockedq b ON a.block = b.block AND a.bv = b.bv
              |  WHERE a.id < b.id)
              |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
              |  CAST(sum(CASE WHEN idB = idA + 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted

@@ -73,23 +73,28 @@ object ImageDedup {
     }.toDF("doc_id", "fp")
   }
 
+  /** (doc_id, fp, block, bv) rows — the q37 SimHash block arithmetic
+    * verbatim (Dedup.simhashPairs): logical shift + 16-bit mask;
+    * oracles replay it as the signed `(fp >> s) & 65535`, identical
+    * for s ≤ 48 since the mask keeps only bits the sign extension
+    * can't reach. */
+  private def blocked(fps: DataFrame): DataFrame = {
+    val blockVals = array((0 until 4).map(b =>
+      shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(65535L))): _*)
+    fps.select(col("doc_id"), col("fp"),
+      posexplode(blockVals).as(Seq("block", "bv")))
+  }
+
   /** Near-duplicate pairs (idA < idB, hamming ≤ maxHamming) via 16-bit
     * pigeonhole blocking. Exact recall for maxHamming ≤ 3 (4 blocks);
     * larger thresholds would need more/narrower blocks. */
   def hammingPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4-block pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    // the q37 SimHash block arithmetic verbatim (Dedup.simhashPairs):
-    // logical shift + 16-bit mask; oracles replay it as the signed
-    // `(fp >> s) & 65535`, identical for s ≤ 48 since the mask keeps
-    // only bits the sign extension can't reach
-    val blockVals = array((0 until 4).map(b =>
-      shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(65535L))): _*)
-    val blocked = fps.select(col("doc_id"), col("fp"),
-      posexplode(blockVals).as(Seq("block", "bv")))
-    val a = blocked.select(col("block"), col("bv"),
+    val bl = blocked(fps)
+    val a = bl.select(col("block"), col("bv"),
       col("doc_id").as("idA"), col("fp").as("fpA"))
-    val b = blocked.select(col("block"), col("bv"),
+    val b = bl.select(col("block"), col("bv"),
       col("doc_id").as("idB"), col("fp").as("fpB"))
     a.join(b, Seq("block", "bv"))
       .filter(col("idA") < col("idB"))
@@ -97,5 +102,39 @@ object ImageDedup {
         bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** INCREMENTAL near-dup gate: per INCOMING image, how many DISTINCT
+    * epoch images sit within `maxHamming` — the crawl-ingest question
+    * ("is this image already in the corpus?") answered against a
+    * once-per-epoch fingerprint index, the q174/q152 epoch-index
+    * discipline at image granularity. The epoch side is 8 bytes per
+    * image (in production saved bucketed on (block, bv) via
+    * Layout.bucketize, so a daily batch joins it with ZERO epoch-side
+    * recompute — images are never re-decoded); only the incoming
+    * batch decodes and blocks per run. n_matches = 0 ⇒ the image is
+    * NEW. Returns one row per incoming id:
+    * (in_id, n_matches, best_hamming [-1 when none]). */
+  def incrementalMatches(epochFps: DataFrame, incomingFps: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    val e = blocked(epochFps).select(col("block"), col("bv"),
+      col("doc_id").as("eid"), col("fp").as("efp"))
+    val i = blocked(incomingFps).select(col("block"), col("bv"),
+      col("doc_id").as("in_id"), col("fp").as("ifp"))
+    val matches = i.join(e, Seq("block", "bv"))
+      .select(col("in_id"), col("eid"),
+        bit_count(col("ifp").bitwiseXOR(col("efp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("in_id"))
+      .agg(countDistinct(col("eid")).as("n_matches"),
+        min(col("hamming")).as("best_hamming"))
+    incomingFps.select(col("doc_id").as("in_id"))
+      .join(matches, Seq("in_id"), "left")
+      .select(col("in_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_hamming"), lit(-1)).cast("int").as("best_hamming"))
   }
 }

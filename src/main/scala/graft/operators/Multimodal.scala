@@ -348,19 +348,83 @@ object Multimodal {
     * pixel(x,y) = (id·31 + 7x + 13y + (id%7)·x·y + shift) mod 256,
     * w = 8 + id%16, h = 8 + (id/3)%16 — partner dims from the BASE id.
     * doc_id must be nonnegative (oracle `%` semantics, as realMedia). */
+  /** Formula-A gray PNG for base id `bid` with brightness `shift` —
+    * dims and pixels the documented doc_id functions. */
+  private def dhashPngA(bid: Long, shift: Long): Array[Byte] = {
+    require(bid >= 0, s"dhash media: doc_id must be nonnegative, got $bid " +
+      "(oracle formulas use nonnegative % semantics)")
+    pngEncoded((8 + bid % 16).toInt, (8 + (bid / 3) % 16).toInt, (x, y) =>
+      ((bid * 31 + x * 7 + y * 13 + (bid % 7) * x * y + shift) % 256).toInt)
+  }
+
+  /** Formula-B gray PNG (the NOVEL-content formula for the incremental
+    * gate): same dims as A, unrelated pixel pattern. */
+  private def dhashPngB(bid: Long): Array[Byte] = {
+    require(bid >= 0, s"dhash media: doc_id must be nonnegative, got $bid")
+    pngEncoded((8 + bid % 16).toInt, (8 + (bid / 3) % 16).toInt, (x, y) =>
+      ((bid * 53 + x * 11 + y * 17 + (bid % 5) * x * y + 3) % 256).toInt)
+  }
+
   def dhashMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].flatMap { id =>
-      require(id >= 0, s"dhashMedia: doc_id must be nonnegative, got $id " +
-        "(oracle formulas use nonnegative % semantics)")
-      val w = (8 + id % 16).toInt
-      val h = (8 + (id / 3) % 16).toInt
-      def png(shift: Long) = pngEncoded(w, h, (x, y) =>
-        ((id * 31 + x * 7 + y * 13 + (id % 7) * x * y + shift) % 256).toInt)
+      val base = MediaRow(id, "image/png", dhashPngA(id, 0))
       if (id % 2 == 0)
-        Seq(MediaRow(id, "image/png", png(0)),
-          MediaRow(id + 40000L, "image/png", png(2)))
-      else Seq(MediaRow(id, "image/png", png(0)))
+        Seq(base, MediaRow(id + 40000L, "image/png", dhashPngA(id, 2)))
+      else Seq(base)
+    }
+  }
+
+  /** The EPOCH side of the incremental image gate (q190): one base
+    * formula-A PNG per document, no partners. */
+  def dhashEpoch(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "image/png", dhashPngA(id, 0)))
+  }
+
+  /** The INCOMING batch for the incremental image gate (q190): even
+    * docs arrive as +2-brightness near-dups of their epoch image
+    * (+40000); odd docs arrive as NOVEL formula-B images (+50000) the
+    * epoch has never seen. */
+  def dhashIncoming(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) MediaRow(id + 40000L, "image/png", dhashPngA(id, 2))
+      else MediaRow(id + 50000L, "image/png", dhashPngB(id))
+    }
+  }
+
+  /** Audio table for the perceptual-dedup gate (q191): one REAL PCM16
+    * mono 8 kHz WAV per document (the q45 sample formula:
+    * n = 64 + id%64 samples, sample(i) = (id·37 + 11i) mod 4096 −
+    * 2048), plus a NEAR-DUPLICATE partner (+40000) for every even
+    * doc: the same stream with +7 added to every 13th sample — a
+    * sparse perturbation that nudges a few window means, exactly the
+    * robustness class the mean-comparison fingerprint absorbs.
+    * doc_id must be nonnegative (oracle `%` semantics). */
+  def audioMedia(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].flatMap { id =>
+      require(id >= 0, s"audioMedia: doc_id must be nonnegative, got $id " +
+        "(oracle formulas use nonnegative % semantics)")
+      val n = (64 + id % 64).toInt
+      def wav(perturb: Boolean): Array[Byte] = {
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val base = (id * 37 + i * 11) % 4096 - 2048
+          val v = (base + (if (perturb && i % 13 == 0) 7 else 0)).toShort
+          pcm(i * 2) = (v & 0xff).toByte
+          pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        wavBytes(8000, 1, 16, pcm)
+      }
+      if (id % 2 == 0)
+        Seq(MediaRow(id, "audio/wav", wav(false)),
+          MediaRow(id + 40000L, "audio/wav", wav(true)))
+      else Seq(MediaRow(id, "audio/wav", wav(false)))
     }
   }
 

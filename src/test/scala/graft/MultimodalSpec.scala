@@ -159,6 +159,75 @@ class MultimodalSpec extends SparkSuite {
       "pigeonhole blocking must have exact recall at Hamming ≤ 3")
   }
 
+  test("ImageDedup incremental: partners match their base, novel images report brute-force truth") {
+    import graft.operators.ImageDedup
+    def refDhash(bid: Long, shift: Long, fm: Int): Long = {
+      val w = (8 + bid % 16).toInt
+      val h = (8 + (bid / 3) % 16).toInt
+      def v(x: Int, y: Int): Long =
+        if (fm == 0) (bid * 31 + x * 7 + y * 13 + (bid % 7) * x * y + shift) % 256
+        else (bid * 53 + x * 11 + y * 17 + (bid % 5) * x * y + 3) % 256
+      var fp = 0L
+      for (yy <- 0 until 8; xx <- 0 until 8) {
+        val py = yy * h / 8
+        if (v((xx + 1) * w / 9, py) > v(xx * w / 9, py)) fp |= 1L << (yy * 8 + xx)
+      }
+      fp
+    }
+    val docs = (0L until 24L).map((_, "")).toDF("doc_id", "text")
+    val got = ImageDedup.incrementalMatches(
+        ImageDedup.fingerprints(Multimodal.dhashEpoch(docs)),
+        ImageDedup.fingerprints(Multimodal.dhashIncoming(docs)), 3)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 24, "one verdict per incoming image")
+    val epoch = (0L until 24L).map(id => id -> refDhash(id, 0, 0)).toMap
+    for (id <- 0L until 24L) {
+      val (inId, fp) =
+        if (id % 2 == 0) (id + 40000L, refDhash(id, 2, 0))
+        else (id + 50000L, refDhash(id, 0, 1))
+      val truth = epoch.values.count(e => java.lang.Long.bitCount(e ^ fp) <= 3)
+      assert(got(inId)._2 == truth,
+        s"incoming $inId: got ${got(inId)._2} matches, brute force says $truth")
+    }
+  }
+
+  test("AudioDedup: decoded fingerprint equals the formula, exact blocking recall") {
+    import graft.operators.AudioDedup
+    def refFp(bid: Long, pert: Boolean): Long = {
+      val n = (64 + bid % 64).toInt
+      val v = (0 until n).map(i => (bid * 37 + i * 11) % 4096 - 2048 +
+        (if (pert && i % 13 == 0) 7 else 0))
+      val sums = (0 until 33).map { b =>
+        val s = b * n / 33; val e = (b + 1) * n / 33
+        ((s until e).map(v).sum, (e - s).toLong)
+      }
+      (0 until 32).foldLeft(0L) { (fp, b) =>
+        if (sums(b + 1)._1 * sums(b)._2 > sums(b)._1 * sums(b + 1)._2)
+          fp | (1L << b) else fp
+      }
+    }
+    val docs = (0L until 30L).map((_, "")).toDF("doc_id", "text")
+    val fps = AudioDedup.fingerprints(Multimodal.audioMedia(docs))
+      .as[(Long, Long)].collect().toMap
+    for (id <- 0L until 30L) {
+      assert(fps(id) == refFp(id, pert = false),
+        s"decoded fp must equal formula fp for id $id")
+      if (id % 2 == 0)
+        assert(fps(id + 40000L) == refFp(id, pert = true))
+    }
+    assert(AudioDedup.fingerprintFromWav("garbage".getBytes).isEmpty)
+    // exact recall: blocking finds precisely the brute-force ≤3 pairs
+    val pairs = AudioDedup.hammingPairs(
+        AudioDedup.fingerprints(Multimodal.audioMedia(docs)), 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    val all = fps.toSeq
+    val brute = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute, "pigeonhole blocking must have exact recall at Hamming ≤ 3")
+  }
+
   test("headeredMedia fields are the documented doc_id functions") {
     val docs = Seq((0L, "abc"), (1L, "de"), (2L, "f"), (7L, "xyz"))
       .toDF("doc_id", "text")
