@@ -84,7 +84,10 @@ object Bench {
     "q167"->1.524, "q168"->2.151, "q169"->2.681, "q170"->5.186, "q171"->1.597, "q172"->1.189,
     "q173"->1.813, "q174"->0.81, "q175"->1.589, "q176"->0.65, "q177"->0.611, "q178"->1.56,
     "q179"->1.715, "q180"->3.654, "q181"->2.327, "q182"->1.065, "q183"->1.101, "q184"->1.738,
-    "q185"->2.129, "q186"->2.844, "q187"->6.157, "q188"->4.306, "q189"->0.22)
+    "q185"->2.129, "q186"->2.844, "q187"->6.157, "q188"->4.306, "q189"->0.22,
+    // round-13 late additions (min over two solo passes, calib 2.04-2.12;
+    // mild ~1.1x contention errs these HIGH = conservative for regress)
+    "q190"->1.804, "q191"->1.319, "q192"->4.779)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

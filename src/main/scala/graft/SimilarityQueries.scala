@@ -1246,7 +1246,7 @@ object SimilarityQueries {
              |nsa AS (SELECT id, bid, pert, 64 + bid % 64 AS n FROM auds),
              |smp AS (
              |  SELECT a.id, i.i, a.n,
-             |    (a.bid * 37 + i.i * 11) % 4096 - 2048
+             |    (a.bid * 37 + i.i * 11 + i.i * i.i * (1 + a.bid % 13)) % 4096 - 2048
              |      + CASE WHEN a.pert = 1 AND i.i % 13 = 0 THEN 7 ELSE 0 END AS v
              |  FROM nsa a, generate_series(0, 127) i(i) WHERE i.i < a.n),
              |blk AS (

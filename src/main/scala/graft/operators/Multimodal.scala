@@ -396,9 +396,15 @@ object Multimodal {
   }
 
   /** Audio table for the perceptual-dedup gate (q191): one REAL PCM16
-    * mono 8 kHz WAV per document (the q45 sample formula:
-    * n = 64 + id%64 samples, sample(i) = (id·37 + 11i) mod 4096 −
-    * 2048), plus a NEAR-DUPLICATE partner (+40000) for every even
+    * mono 8 kHz WAV per document — n = 64 + id%64 samples,
+    * sample(i) = (id·37 + 11i + i²·(1 + id%13)) mod 4096 − 2048. The
+    * id-dependent QUADRATIC term matters: a linear-in-i family wraps
+    * at most once over ≤127 samples, so adjacent-mean comparisons see
+    * a near-monotone ramp and every id collapses onto its length
+    * class's fingerprint (measured: 64 distinct fps over 7500 audios
+    * → 15M degenerate pairs); the chirp wraps many times at
+    * id-dependent positions (measured: 4432 distinct fps, largest
+    * class 5, full partner recovery at Hamming ≤ 3). Plus a NEAR-DUPLICATE partner (+40000) for every even
     * doc: the same stream with +7 added to every 13th sample — a
     * sparse perturbation that nudges a few window means, exactly the
     * robustness class the mean-comparison fingerprint absorbs.
@@ -413,7 +419,7 @@ object Multimodal {
         val pcm = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
-          val base = (id * 37 + i * 11) % 4096 - 2048
+          val base = (id * 37 + i * 11 + i.toLong * i * (1 + id % 13)) % 4096 - 2048
           val v = (base + (if (perturb && i % 13 == 0) 7 else 0)).toShort
           pcm(i * 2) = (v & 0xff).toByte
           pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte

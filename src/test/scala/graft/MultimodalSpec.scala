@@ -195,7 +195,7 @@ class MultimodalSpec extends SparkSuite {
     import graft.operators.AudioDedup
     def refFp(bid: Long, pert: Boolean): Long = {
       val n = (64 + bid % 64).toInt
-      val v = (0 until n).map(i => (bid * 37 + i * 11) % 4096 - 2048 +
+      val v = (0 until n).map(i => (bid * 37 + i * 11 + i.toLong * i * (1 + bid % 13)) % 4096 - 2048 +
         (if (pert && i % 13 == 0) 7 else 0))
       val sums = (0 until 33).map { b =>
         val s = b * n / 33; val e = (b + 1) * n / 33
