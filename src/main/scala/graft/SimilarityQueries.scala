@@ -1169,55 +1169,7 @@ object SimilarityQueries {
           ImageDedup.fingerprints(Multimodal.dhashIncoming(d)),
           maxHamming = 3)
       },
-      Some("""WITH imgs AS (
-             |  SELECT doc_id AS id, doc_id AS bid, 0 AS shift, 0 AS fm, 0 AS side
-             |  FROM documents
-             |  UNION ALL SELECT doc_id + 40000, doc_id, 2, 0, 1 FROM documents
-             |  WHERE doc_id % 2 = 0
-             |  UNION ALL SELECT doc_id + 50000, doc_id, 0, 1, 1 FROM documents
-             |  WHERE doc_id % 2 = 1),
-             |dims AS (SELECT id, bid, shift, fm, side,
-             |  8 + bid % 16 AS w, 8 + (bid // 3) % 16 AS h FROM imgs),
-             |grid AS (
-             |  SELECT d.id, d.side, gx.x, gy.y,
-             |    CASE WHEN d.fm = 0 THEN
-             |      (d.bid * 31 + ((gx.x * d.w) // 9) * 7 + ((gy.y * d.h) // 8) * 13
-             |        + (d.bid % 7) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
-             |        + d.shift) % 256
-             |    ELSE
-             |      (d.bid * 53 + ((gx.x * d.w) // 9) * 11 + ((gy.y * d.h) // 8) * 17
-             |        + (d.bid % 5) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
-             |        + 3) % 256 END AS v
-             |  FROM dims d, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
-             |bits AS (
-             |  SELECT a.id, a.y * 8 + a.x AS bit
-             |  FROM grid a JOIN grid b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
-             |  WHERE a.x < 8 AND b.v > a.v),
-             |fps AS (
-             |  SELECT i.id, i.side, coalesce(sum(CAST(1 AS HUGEINT) << b.bit),
-             |    CAST(0 AS HUGEINT)) AS fpu
-             |  FROM imgs i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id, i.side),
-             |signed AS (
-             |  SELECT id, side, CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
-             |    THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
-             |  FROM fps),
-             |blockedq AS (
-             |  SELECT id, side, fp, block, (fp >> (block * 16)) & 65535 AS bv
-             |  FROM signed CROSS JOIN generate_series(0, 3) g(block)),
-             |m AS (
-             |  SELECT DISTINCT i.id AS in_id, e.id AS eid,
-             |    bit_count(xor(i.fp, e.fp)) AS hamming
-             |  FROM blockedq i JOIN blockedq e
-             |    ON e.block = i.block AND e.bv = i.bv AND e.side = 0
-             |  WHERE i.side = 1),
-             |agg AS (
-             |  SELECT in_id, count(DISTINCT eid) AS n_matches, min(hamming) AS best
-             |  FROM m WHERE hamming <= 3 GROUP BY in_id)
-             |SELECT i.id AS in_id,
-             |  CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
-             |  CAST(coalesce(a.best, -1) AS INT) AS best_hamming
-             |FROM imgs i LEFT JOIN agg a ON a.in_id = i.id
-             |WHERE i.side = 1""".stripMargin)),
+      Some(q190Oracle)),
 
     // PERCEPTUAL AUDIO DEDUP (AudioDedup): adjacent-window mean-
     // comparison fingerprints over REAL PCM decode (AudioSystem) —
@@ -1271,5 +1223,110 @@ object SimilarityQueries {
              |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
              |  CAST(sum(CASE WHEN idB = idA + 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
              |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin)),
+
+    // STREAMING image dedup - q190's stream twin, giving images the
+    // full batch/incremental/streaming trio the text modalities have
+    // (q186/q190/here; the 3x3 text matrix becomes 4 rows of
+    // modalities): incoming images arrive as a file stream, decode +
+    // fingerprint + blocking are STATELESS per-row work, the epoch's
+    // blocked dHash index is the static side of a stream-static join,
+    // and the Hamming filter emits match rows in Append mode with
+    // ZERO state store (the q183 zero-state discipline - streaming
+    // countDistinct is unsupported, so the dedup-and-count of
+    // multi-block hits runs as batch post-aggregation over the
+    // emitted matches, exactly where a production job would land
+    // them). Same oracle as q190 BY CONSTRUCTION - the streaming
+    // correctness claim IS batch equality.
+    Q("q193_streaming_image_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val incoming = Multimodal.dhashIncoming(d).toDF()
+        val inDir = s"/tmp/graft-imgstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(incoming, "doc_id", s"$dir/documents_imgstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        val index = ImageDedup.blockedIndex(
+            ImageDedup.fingerprints(Multimodal.dhashEpoch(d)))
+          .localCheckpoint(true) // the epoch index, computed once
+        val fpUdf = udf((m: Array[Byte]) => ImageDedup.dhashFromImage(m))
+        val matches = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream
+            .select(col("doc_id").as("in_id"), fpUdf(col("media")).as("fp"))
+            .filter(col("fp").isNotNull)
+            .select(col("in_id"), col("fp"),
+              posexplode(ImageDedup.blockVals16(col("fp")))
+                .as(Seq("block", "bv")))
+            .join(index, Seq("block", "bv"))
+            .select(col("in_id"), col("eid"),
+              bit_count(col("fp").bitwiseXOR(col("efp"))).as("hamming"))
+            .filter(col("hamming") <= 3),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q193_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val agg = matches.select(col("in_id"), col("eid"), col("hamming"))
+          .distinct()
+          .groupBy(col("in_id"))
+          .agg(countDistinct(col("eid")).as("n_matches"),
+            min(col("hamming")).as("best"))
+        incoming.select(col("doc_id").as("in_id")).join(agg, Seq("in_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("best"), lit(-1)).cast("int").as("best_hamming"))
+      },
+      Some(q190Oracle)),
   )
+
+  /** The q190 verdict replay (both pixel formulas, fingerprints,
+    * blocking, per-incoming matches) — shared verbatim with q193,
+    * whose streaming correctness claim is batch equality. */
+  private def q190Oracle: String =
+    """WITH imgs AS (
+             |  SELECT doc_id AS id, doc_id AS bid, 0 AS shift, 0 AS fm, 0 AS side
+             |  FROM documents
+             |  UNION ALL SELECT doc_id + 40000, doc_id, 2, 0, 1 FROM documents
+             |  WHERE doc_id % 2 = 0
+             |  UNION ALL SELECT doc_id + 50000, doc_id, 0, 1, 1 FROM documents
+             |  WHERE doc_id % 2 = 1),
+             |dims AS (SELECT id, bid, shift, fm, side,
+             |  8 + bid % 16 AS w, 8 + (bid // 3) % 16 AS h FROM imgs),
+             |grid AS (
+             |  SELECT d.id, d.side, gx.x, gy.y,
+             |    CASE WHEN d.fm = 0 THEN
+             |      (d.bid * 31 + ((gx.x * d.w) // 9) * 7 + ((gy.y * d.h) // 8) * 13
+             |        + (d.bid % 7) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
+             |        + d.shift) % 256
+             |    ELSE
+             |      (d.bid * 53 + ((gx.x * d.w) // 9) * 11 + ((gy.y * d.h) // 8) * 17
+             |        + (d.bid % 5) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
+             |        + 3) % 256 END AS v
+             |  FROM dims d, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+             |bits AS (
+             |  SELECT a.id, a.y * 8 + a.x AS bit
+             |  FROM grid a JOIN grid b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 8 AND b.v > a.v),
+             |fps AS (
+             |  SELECT i.id, i.side, coalesce(sum(CAST(1 AS HUGEINT) << b.bit),
+             |    CAST(0 AS HUGEINT)) AS fpu
+             |  FROM imgs i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id, i.side),
+             |signed AS (
+             |  SELECT id, side, CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+             |  FROM fps),
+             |blockedq AS (
+             |  SELECT id, side, fp, block, (fp >> (block * 16)) & 65535 AS bv
+             |  FROM signed CROSS JOIN generate_series(0, 3) g(block)),
+             |m AS (
+             |  SELECT DISTINCT i.id AS in_id, e.id AS eid,
+             |    bit_count(xor(i.fp, e.fp)) AS hamming
+             |  FROM blockedq i JOIN blockedq e
+             |    ON e.block = i.block AND e.bv = i.bv AND e.side = 0
+             |  WHERE i.side = 1),
+             |agg AS (
+             |  SELECT in_id, count(DISTINCT eid) AS n_matches, min(hamming) AS best
+             |  FROM m WHERE hamming <= 3 GROUP BY in_id)
+             |SELECT i.id AS in_id,
+             |  CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+             |  CAST(coalesce(a.best, -1) AS INT) AS best_hamming
+             |FROM imgs i LEFT JOIN agg a ON a.in_id = i.id
+             |WHERE i.side = 1""".stripMargin
 }

@@ -78,12 +78,25 @@ object ImageDedup {
     * oracles replay it as the signed `(fp >> s) & 65535`, identical
     * for s ≤ 48 since the mask keeps only bits the sign extension
     * can't reach. */
-  private def blocked(fps: DataFrame): DataFrame = {
-    val blockVals = array((0 until 4).map(b =>
-      shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(65535L))): _*)
+  /** The four 16-bit block values of a fingerprint column (shared by
+    * the batch operators and the q193 streaming gate, which inlines
+    * the explode on the stream side). */
+  private[graft] def blockVals16(fp: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until 4).map(b =>
+      shiftrightunsigned(fp, b * 16).bitwiseAND(lit(65535L))): _*)
+
+  private def blocked(fps: DataFrame): DataFrame =
     fps.select(col("doc_id"), col("fp"),
-      posexplode(blockVals).as(Seq("block", "bv")))
-  }
+      posexplode(blockVals16(col("fp"))).as(Seq("block", "bv")))
+
+  /** The once-per-epoch BLOCKED fingerprint index (block, bv, eid,
+    * efp) — the static side a daily batch or stream joins
+    * (q190/q193); in production saved bucketed on (block, bv) via
+    * Layout.bucketize. */
+  def blockedIndex(fps: DataFrame): DataFrame =
+    blocked(fps).select(col("block"), col("bv"),
+      col("doc_id").as("eid"), col("fp").as("efp"))
 
   /** Near-duplicate pairs (idA < idB, hamming ≤ maxHamming) via 16-bit
     * pigeonhole blocking. Exact recall for maxHamming ≤ 3 (4 blocks);
@@ -119,8 +132,7 @@ object ImageDedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4-block pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    val e = blocked(epochFps).select(col("block"), col("bv"),
-      col("doc_id").as("eid"), col("fp").as("efp"))
+    val e = blockedIndex(epochFps)
     val i = blocked(incomingFps).select(col("block"), col("bv"),
       col("doc_id").as("in_id"), col("fp").as("ifp"))
     val matches = i.join(e, Seq("block", "bv"))
