@@ -214,6 +214,53 @@ class PlanSpec extends SparkSuite {
       "fact scan must carry a dynamicpruning partition filter:\n" + p.take(3000))
   }
 
+  test("q186/q190/q191: fingerprint pairing stays block-bucketed, never all-pairs") {
+    import graft.operators.{AudioDedup, ImageDedup, Multimodal}
+    val d = Tables.load(spark, sf("sf0.01"), "documents")
+    val imgPairs = ImageDedup.hammingPairs(
+        ImageDedup.fingerprints(Multimodal.dhashMedia(d)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!imgPairs.contains("CartesianProduct") &&
+      !imgPairs.contains("BroadcastNestedLoopJoin"),
+      "image pairs must come from the (block, bv) equi-join:\n" + imgPairs.take(2000))
+    val inc = ImageDedup.incrementalMatches(
+        ImageDedup.fingerprints(Multimodal.dhashEpoch(d)),
+        ImageDedup.fingerprints(Multimodal.dhashIncoming(d)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!inc.contains("CartesianProduct") &&
+      !inc.contains("BroadcastNestedLoopJoin"), inc.take(2000))
+    val aud = AudioDedup.hammingPairs(
+        AudioDedup.fingerprints(Multimodal.audioMedia(d)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!aud.contains("CartesianProduct") &&
+      !aud.contains("BroadcastNestedLoopJoin"), aud.take(2000))
+  }
+
+  test("q185: scoring is one feature aggregation + broadcast weight join, no window") {
+    // classify() runs the (bounded) sample collect + driver fit while
+    // BUILDING the frame — the plan under test is the distributed
+    // scoring pass that remains
+    val p = plan("q185_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 65-row weight table must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(2000))
+  }
+
+  test("q188: count joins are equi-joins; only 1-row totals nest-loop") {
+    val p = plan("q188_trigram_backoff")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // two genuine 1-row crossJoins (the train-N total and the G totals);
+    // the third occurrence is the persisted `scored` subtree inlined in
+    // BOTH the totals branch and the scoring branch of the INSPECTED
+    // plan — before materialization the cache shows as duplicated
+    // subtrees, at runtime it computes once (CacheDisciplineSpec covers
+    // the persist contract)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 3,
+      s"only 1-row-total crossJoins may nest-loop, found $nlj:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
