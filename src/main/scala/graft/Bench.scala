@@ -87,7 +87,8 @@ object Bench {
     "q185"->2.129, "q186"->2.844, "q187"->6.157, "q188"->4.306, "q189"->0.22,
     // round-13 late additions (min over two solo passes, calib 2.04-2.12;
     // mild ~1.1x contention errs these HIGH = conservative for regress)
-    "q190"->1.804, "q191"->1.319, "q192"->4.779, "q193"->3.971)
+    "q190"->1.804, "q191"->1.319, "q192"->4.779, "q193"->3.971,
+    "q194"->2.568, "q195"->2.747)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -1274,6 +1274,68 @@ object SimilarityQueries {
             coalesce(col("best"), lit(-1)).cast("int").as("best_hamming"))
       },
       Some(q190Oracle)),
+
+    // INCREMENTAL audio dedup — q190's acoustic twin: per incoming
+    // audio, distinct epoch matches within Hamming ≤ 3 against the
+    // once-per-epoch 4-byte-per-audio fingerprint index. Even docs
+    // arrive as sparse-perturbation near-dups (must match their epoch
+    // base), odd docs as formula-B novel chirps (must report only
+    // true fingerprint collisions). Oracle replays both chirp
+    // formulas, windows, fingerprints, blocking and the per-audio
+    // verdicts in exact integer arithmetic.
+    Q("q194_incremental_audio_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        AudioDedup.incrementalMatches(
+          AudioDedup.fingerprints(Multimodal.audioEpoch(d)),
+          AudioDedup.fingerprints(Multimodal.audioIncoming(d)),
+          maxHamming = 3)
+      },
+      Some(q194Oracle)),
+
+    // STREAMING audio dedup — completes audio's batch/incremental/
+    // streaming trio (q191/q194/here), matching images (q186/q190/
+    // q193): stateless decode + fingerprint + blocking on the stream,
+    // stream-static join against the epoch index, Hamming filter in
+    // Append mode with ZERO state store, batch post-aggregation of
+    // the landed matches. Same oracle as q194 by construction.
+    Q("q195_streaming_audio_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val incoming = Multimodal.audioIncoming(d).toDF()
+        val inDir = s"/tmp/graft-audstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(incoming, "doc_id", s"$dir/documents_audstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        val index = AudioDedup.blockedIndex(
+            AudioDedup.fingerprints(Multimodal.audioEpoch(d)))
+          .localCheckpoint(true) // the epoch index, computed once
+        val fpUdf = udf((m: Array[Byte]) => AudioDedup.fingerprintFromWav(m))
+        val matches = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream
+            .select(col("doc_id").as("in_id"), fpUdf(col("media")).as("fp"))
+            .filter(col("fp").isNotNull)
+            .select(col("in_id"), col("fp"),
+              posexplode(AudioDedup.blockVals8(col("fp")))
+                .as(Seq("block", "bv")))
+            .join(index, Seq("block", "bv"))
+            .select(col("in_id"), col("eid"),
+              bit_count(col("fp").bitwiseXOR(col("efp"))).as("hamming"))
+            .filter(col("hamming") <= 3),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q195_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val agg = matches.select(col("in_id"), col("eid"), col("hamming"))
+          .distinct()
+          .groupBy(col("in_id"))
+          .agg(countDistinct(col("eid")).as("n_matches"),
+            min(col("hamming")).as("best"))
+        incoming.select(col("doc_id").as("in_id")).join(agg, Seq("in_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("best"), lit(-1)).cast("int").as("best_hamming"))
+      },
+      Some(q194Oracle)),
   )
 
   /** The q190 verdict replay (both pixel formulas, fingerprints,
@@ -1329,4 +1391,54 @@ object SimilarityQueries {
              |  CAST(coalesce(a.best, -1) AS INT) AS best_hamming
              |FROM imgs i LEFT JOIN agg a ON a.in_id = i.id
              |WHERE i.side = 1""".stripMargin
+
+  /** The q194 verdict replay (both chirp formulas, windows,
+    * fingerprints, 8-bit blocking, per-incoming matches) — shared
+    * verbatim with q195, whose streaming correctness claim is batch
+    * equality. */
+  private def q194Oracle: String =
+    """WITH auds AS (
+      |  SELECT doc_id AS id, doc_id AS bid, 0 AS pert, 0 AS fm, 0 AS side
+      |  FROM documents
+      |  UNION ALL SELECT doc_id + 40000, doc_id, 1, 0, 1 FROM documents
+      |  WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT doc_id + 50000, doc_id, 0, 1, 1 FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |nsa AS (SELECT id, bid, pert, fm, side, 64 + bid % 64 AS n FROM auds),
+      |smp AS (
+      |  SELECT a.id, a.side, i.i, a.n,
+      |    CASE WHEN a.fm = 1
+      |      THEN (a.bid * 41 + i.i * 13 + i.i * i.i * (2 + a.bid % 11)) % 4096 - 2048
+      |      ELSE (a.bid * 37 + i.i * 11 + i.i * i.i * (1 + a.bid % 13)) % 4096 - 2048
+      |        + CASE WHEN a.pert = 1 AND i.i % 13 = 0 THEN 7 ELSE 0 END END AS v
+      |  FROM nsa a, generate_series(0, 127) i(i) WHERE i.i < a.n),
+      |blk AS (
+      |  SELECT s.id, b.b, CAST(sum(s.v) AS BIGINT) AS sm,
+      |    CAST(count(*) AS BIGINT) AS ln
+      |  FROM smp s JOIN generate_series(0, 32) b(b)
+      |    ON s.i >= (b.b * s.n) // 33 AND s.i < ((b.b + 1) * s.n) // 33
+      |  GROUP BY s.id, b.b),
+      |bits AS (
+      |  SELECT a.id, a.b AS bit
+      |  FROM blk a JOIN blk c ON c.id = a.id AND c.b = a.b + 1
+      |  WHERE c.sm * a.ln > a.sm * c.ln),
+      |fps AS (SELECT n.id, n.side,
+      |    CAST(coalesce(sum(CAST(1 AS BIGINT) << bit), 0) AS BIGINT) AS fp
+      |  FROM nsa n LEFT JOIN bits b ON b.id = n.id GROUP BY n.id, n.side),
+      |blockedq AS (SELECT id, side, fp, block, (fp >> (block * 8)) & 255 AS bv
+      |  FROM fps CROSS JOIN generate_series(0, 3) g(block)),
+      |m AS (
+      |  SELECT DISTINCT i.id AS in_id, e.id AS eid,
+      |    bit_count(xor(i.fp, e.fp)) AS hamming
+      |  FROM blockedq i JOIN blockedq e
+      |    ON e.block = i.block AND e.bv = i.bv AND e.side = 0
+      |  WHERE i.side = 1),
+      |agg AS (
+      |  SELECT in_id, count(DISTINCT eid) AS n_matches, min(hamming) AS best
+      |  FROM m WHERE hamming <= 3 GROUP BY in_id)
+      |SELECT a.id AS in_id,
+      |  CAST(coalesce(g.n_matches, 0) AS BIGINT) AS n_matches,
+      |  CAST(coalesce(g.best, -1) AS INT) AS best_hamming
+      |FROM auds a LEFT JOIN agg g ON g.in_id = a.id
+      |WHERE a.side = 1""".stripMargin
 }

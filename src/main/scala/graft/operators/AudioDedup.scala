@@ -84,19 +84,34 @@ object AudioDedup {
     }.toDF("doc_id", "fp")
   }
 
+  /** The four 8-BIT block values of the 32-bit fingerprint (shared by
+    * the batch operators and the q195 streaming gate). */
+  private[graft] def blockVals8(fp: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until 4).map(b =>
+      shiftrightunsigned(fp, b * 8).bitwiseAND(lit(255L))): _*)
+
+  private def blocked(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("fp"),
+      posexplode(blockVals8(col("fp"))).as(Seq("block", "bv")))
+
+  /** The once-per-epoch BLOCKED fingerprint index (block, bv, eid,
+    * efp) — the static side a daily batch or stream joins
+    * (q194/q195); in production saved bucketed on (block, bv). */
+  def blockedIndex(fps: DataFrame): DataFrame =
+    blocked(fps).select(col("block"), col("bv"),
+      col("doc_id").as("eid"), col("fp").as("efp"))
+
   /** Near-duplicate pairs (idA < idB, hamming ≤ maxHamming) via 8-BIT
     * pigeonhole blocks over the 32-bit fingerprint — exact recall at
     * Hamming ≤ 3 by the same 4-block argument as [[ImageDedup]]. */
   def hammingPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4-block pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
-    val blockVals = array((0 until 4).map(b =>
-      shiftrightunsigned(col("fp"), b * 8).bitwiseAND(lit(255L))): _*)
-    val blocked = fps.select(col("doc_id"), col("fp"),
-      posexplode(blockVals).as(Seq("block", "bv")))
-    val a = blocked.select(col("block"), col("bv"),
+    val bl = blocked(fps)
+    val a = bl.select(col("block"), col("bv"),
       col("doc_id").as("idA"), col("fp").as("fpA"))
-    val b = blocked.select(col("block"), col("bv"),
+    val b = bl.select(col("block"), col("bv"),
       col("doc_id").as("idB"), col("fp").as("fpB"))
     a.join(b, Seq("block", "bv"))
       .filter(col("idA") < col("idB"))
@@ -104,5 +119,32 @@ object AudioDedup {
         bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** INCREMENTAL near-dup gate for audio — the q190 discipline at
+    * acoustic granularity: per incoming stream, distinct epoch audios
+    * within `maxHamming` against a once-per-epoch 4-byte-per-audio
+    * fingerprint index; n_matches = 0 ⇒ the audio is NEW. Returns
+    * (in_id, n_matches, best_hamming [-1 when none]). */
+  def incrementalMatches(epochFps: DataFrame, incomingFps: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only to Hamming 3, got $maxHamming")
+    val e = blockedIndex(epochFps)
+    val i = blocked(incomingFps).select(col("block"), col("bv"),
+      col("doc_id").as("in_id"), col("fp").as("ifp"))
+    val matches = i.join(e, Seq("block", "bv"))
+      .select(col("in_id"), col("eid"),
+        bit_count(col("ifp").bitwiseXOR(col("efp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("in_id"))
+      .agg(countDistinct(col("eid")).as("n_matches"),
+        min(col("hamming")).as("best_hamming"))
+    incomingFps.select(col("doc_id").as("in_id"))
+      .join(matches, Seq("in_id"), "left")
+      .select(col("in_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_hamming"), lit(-1)).cast("int").as("best_hamming"))
   }
 }

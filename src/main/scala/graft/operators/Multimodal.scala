@@ -409,28 +409,53 @@ object Multimodal {
     * sparse perturbation that nudges a few window means, exactly the
     * robustness class the mean-comparison fingerprint absorbs.
     * doc_id must be nonnegative (oracle `%` semantics). */
+  /** kind 0 = formula A; 1 = A with +7 on every 13th sample (the
+    * near-dup perturbation); 2 = formula B, the NOVEL chirp for the
+    * incremental gate: (id·41 + 13i + i²·(2 + id%11)) mod 4096 − 2048. */
+  private def audioWav(id: Long, kind: Int): Array[Byte] = {
+    require(id >= 0, s"audio media: doc_id must be nonnegative, got $id " +
+      "(oracle formulas use nonnegative % semantics)")
+    val n = (64 + id % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val base =
+        if (kind == 2) (id * 41 + i * 13 + i.toLong * i * (2 + id % 11)) % 4096 - 2048
+        else (id * 37 + i * 11 + i.toLong * i * (1 + id % 13)) % 4096 - 2048
+      val v = (base + (if (kind == 1 && i % 13 == 0) 7 else 0)).toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavBytes(8000, 1, 16, pcm)
+  }
+
   def audioMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].flatMap { id =>
-      require(id >= 0, s"audioMedia: doc_id must be nonnegative, got $id " +
-        "(oracle formulas use nonnegative % semantics)")
-      val n = (64 + id % 64).toInt
-      def wav(perturb: Boolean): Array[Byte] = {
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val base = (id * 37 + i * 11 + i.toLong * i * (1 + id % 13)) % 4096 - 2048
-          val v = (base + (if (perturb && i % 13 == 0) 7 else 0)).toShort
-          pcm(i * 2) = (v & 0xff).toByte
-          pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
-          i += 1
-        }
-        wavBytes(8000, 1, 16, pcm)
-      }
+      val base = MediaRow(id, "audio/wav", audioWav(id, 0))
       if (id % 2 == 0)
-        Seq(MediaRow(id, "audio/wav", wav(false)),
-          MediaRow(id + 40000L, "audio/wav", wav(true)))
-      else Seq(MediaRow(id, "audio/wav", wav(false)))
+        Seq(base, MediaRow(id + 40000L, "audio/wav", audioWav(id, 1)))
+      else Seq(base)
+    }
+  }
+
+  /** The EPOCH side of the incremental audio gate (q194/q195): one
+    * base formula-A WAV per document, no partners. */
+  def audioEpoch(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio/wav", audioWav(id, 0)))
+  }
+
+  /** The INCOMING batch for the incremental audio gate: even docs
+    * arrive as sparse-perturbation near-dups of their epoch audio
+    * (+40000); odd docs arrive as NOVEL formula-B chirps (+50000). */
+  def audioIncoming(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) MediaRow(id + 40000L, "audio/wav", audioWav(id, 1))
+      else MediaRow(id + 50000L, "audio/wav", audioWav(id, 2))
     }
   }
 

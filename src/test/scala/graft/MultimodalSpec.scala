@@ -228,6 +228,46 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs == brute, "pigeonhole blocking must have exact recall at Hamming ≤ 3")
   }
 
+  test("AudioDedup incremental: partners match their base, novel chirps report brute-force truth") {
+    import graft.operators.AudioDedup
+    def refFp(bid: Long, kind: Int): Long = {
+      val n = (64 + bid % 64).toInt
+      val v = (0 until n).map { i =>
+        val base =
+          if (kind == 2) (bid * 41 + i * 13 + i.toLong * i * (2 + bid % 11)) % 4096 - 2048
+          else (bid * 37 + i * 11 + i.toLong * i * (1 + bid % 13)) % 4096 - 2048
+        base + (if (kind == 1 && i % 13 == 0) 7 else 0)
+      }
+      val sums = (0 until 33).map { b =>
+        val st = b * n / 33; val e = (b + 1) * n / 33
+        ((st until e).map(v).sum, (e - st).toLong)
+      }
+      (0 until 32).foldLeft(0L) { (fp, b) =>
+        if (sums(b + 1)._1 * sums(b)._2 > sums(b)._1 * sums(b + 1)._2)
+          fp | (1L << b) else fp
+      }
+    }
+    val docs = (0L until 24L).map((_, "")).toDF("doc_id", "text")
+    val got = AudioDedup.incrementalMatches(
+        AudioDedup.fingerprints(Multimodal.audioEpoch(docs)),
+        AudioDedup.fingerprints(Multimodal.audioIncoming(docs)), 3)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 24)
+    val epoch = (0L until 24L).map(id => refFp(id, 0))
+    for (id <- 0L until 24L) {
+      val (inId, fp) =
+        if (id % 2 == 0) (id + 40000L, refFp(id, 1))
+        else (id + 50000L, refFp(id, 2))
+      val truth = epoch.count(e => java.lang.Long.bitCount(e ^ fp) <= 3)
+      assert(got(inId)._2 == truth,
+        s"incoming $inId: got ${got(inId)._2}, brute force says $truth")
+    }
+    // every perturbed partner must actually be recovered (the formula
+    // was chosen so the sparse perturbation stays within Hamming 3)
+    for (id <- 0L until 24L by 2)
+      assert(got(id + 40000L)._2 >= 1, s"partner of $id must match its base")
+  }
+
   test("headeredMedia fields are the documented doc_id functions") {
     val docs = Seq((0L, "abc"), (1L, "de"), (2L, "f"), (7L, "xyz"))
       .toDF("doc_id", "text")
