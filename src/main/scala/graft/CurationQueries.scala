@@ -505,6 +505,53 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
 
+    // PERPLEXITY TIERING (Curation.perplexityTiers): CCNet's
+    // head/middle/tail quality buckets — per-doc mean unigram
+    // surprisal (the q94-gated value), tier boundaries = exact
+    // terciles of the mix64 hash-capped sample, assignment by
+    // broadcast (mean, id) tuple comparison. The production-scalable
+    // shape: no global sort/rank anywhere; one bounded sample collect
+    // + a map-side CASE. The oracle replays the surprisal chain, the
+    // mix64 sample, the sorted-boundary selection (row_number over
+    // (mean, id)) and every per-doc tier.
+    Q("q196_perplexity_tiers",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Curation.perplexityTiers(d, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            col("mean_surprisal"), col("tier"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, t FROM (
+             |    SELECT doc_id, unnest(string_split_regex(
+             |      lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS t
+             |    FROM documents)
+             |  WHERE length(t) > 0),
+             |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+             |tot AS (SELECT sum(c) AS n FROM counts),
+             |surp AS (
+             |  SELECT t, CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS s
+             |  FROM counts, tot),
+             |ds AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 4) AS m
+             |  FROM toks JOIN surp USING (t) GROUP BY doc_id),
+             |${RelationalQueries5.mix64Stages("ds", Seq("doc_id", "m"),
+                  "CAST(doc_id AS HUGEINT)", prefix = "t")},
+             |tsamp AS (SELECT doc_id, m FROM tmixed ORDER BY vu LIMIT 256),
+             |tsorted AS (SELECT m, doc_id AS i,
+             |    row_number() OVER (ORDER BY m, doc_id) AS rn FROM tsamp),
+             |tb1 AS (SELECT m, i FROM tsorted
+             |  WHERE rn = (SELECT count(*) FROM tsamp) // 3 + 1),
+             |tb2 AS (SELECT m, i FROM tsorted
+             |  WHERE rn = 2 * (SELECT count(*) FROM tsamp) // 3 + 1)
+             |SELECT d.doc_id, d.n_tokens, d.m AS mean_surprisal,
+             |  CAST(CASE
+             |    WHEN d.m < tb1.m OR (d.m = tb1.m AND d.doc_id < tb1.i) THEN 1
+             |    WHEN d.m < tb2.m OR (d.m = tb2.m AND d.doc_id < tb2.i) THEN 2
+             |    ELSE 3 END AS BIGINT) AS tier
+             |FROM ds d, tb1, tb2""".stripMargin)),
+
     // LEARNED-GATE curation funnel — q181 with the rule gate REPLACED
     // by the q185 classifier: rules label a sample, the perceptron
     // generalizes, and the MODEL's verdict gates the corpus — the full

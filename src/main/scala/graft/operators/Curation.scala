@@ -514,6 +514,48 @@ object Curation {
           .as("is_outlier"))
   }
 
+  /** CCNet-style perplexity TIERING (head / middle / tail): every doc
+    * is assigned a quality tier by its mean unigram surprisal, with
+    * the two tier boundaries taken as the exact terciles of the
+    * hash-capped SAMPLE — the actual CCNet recipe (cutoffs from a
+    * sample, assignment map-side), and the scalable one: no global
+    * sort or rank at any corpus size, just one bounded sample collect
+    * and a broadcast of two boundary tuples.
+    *
+    * Determinism: the sample is the mix64 bottom-`sampleDocs` docs
+    * (the Bpe.fit discipline); boundaries are elements
+    * sample[n/3] and sample[2n/3] of the sample sorted by
+    * (mean_surprisal, id); assignment compares the FULL tuple, so a
+    * doc equal to a boundary mean splits deterministically by id.
+    * mean_surprisal is the q94-gated 4-dp rounded double — identical
+    * in both engines, so tuple comparisons can never drift.
+    *
+    * @return (id, n_tokens, mean_surprisal, tier 1=head lowest
+    *         surprisal | 2 | 3=tail) */
+  def perplexityTiers(corpus: DataFrame, idCol: String, textCol: String,
+      sampleDocs: Int = 256): DataFrame = {
+    val surp = OperatorCaches.track(
+      unigramSurprisal(corpus, idCol, textCol).persist())
+    val mix = udf((id: Long) => TextFunctions.mix64(id))
+    val sample = surp
+      .withColumn("_h", mix(col("id").cast("long"))
+        .bitwiseXOR(lit(Long.MinValue)))
+      .orderBy(col("_h"))
+      .limit(sampleDocs)
+      .select(col("mean_surprisal"), col("id"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(identity)
+    require(sample.nonEmpty, "perplexityTiers: empty corpus")
+    val b1 = sample(sample.length / 3)
+    val b2 = sample(2 * sample.length / 3)
+    def below(b: (Double, Long)): Column =
+      col("mean_surprisal") < b._1 ||
+        (col("mean_surprisal") === b._1 && col("id") < b._2)
+    surp.select(col("id"), col("n_tokens"), col("mean_surprisal"),
+      when(below(b1), 1L).when(below(b2), 2L).otherwise(3L).as("tier"))
+  }
+
   /** Domain-mixture reweighting toward a UNIFORM token budget per domain:
     * weight(g) = (total_tokens / n_domains) / tokens(g) — the sampling
     * multiplier that equalizes each domain's token contribution (the
