@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AudioDedup, ImageDedup, Multimodal, Similarity}
+import graft.operators.{AudioDedup, ImageDedup, Multimodal, Similarity, VideoDedup}
 
 /** Similarity-search + multimodal operators over `embeddings`/`documents`
   * (LLM-data-pipeline surface). Brute-force cosine top-k is the
@@ -1336,6 +1336,73 @@ object SimilarityQueries {
             coalesce(col("best"), lit(-1)).cast("int").as("best_hamming"))
       },
       Some(q194Oracle)),
+
+    // PERCEPTUAL VIDEO DEDUP (VideoDedup): the temporal fingerprint
+    // over the STUB frame layer — the brief's prescribed shape for
+    // video (no decoder in the container: the per-frame signature
+    // kernel is a deterministic fake, everything around it is the
+    // real pipeline — framing, 33-window mean comparisons by exact
+    // integer cross-multiplication, 8-bit pigeonhole blocking,
+    // bit_count verification). Every even doc carries a partner with
+    // +1 on every 31st payload byte; videos with < 33 complete frames
+    // drop (the one-bad-object contract — the oracle drops them by
+    // the same rule). The oracle replays the ftyp header bytes, the
+    // perturbed payload codes, frame sums, windows, fingerprints and
+    // the Hamming histogram + planted recovery.
+    Q("q197_video_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        VideoDedup.hammingPairs(
+            VideoDedup.fingerprints(Multimodal.videoMedia(d)), maxHamming = 3)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("idB") === col("idA") + 40000L, 1L).otherwise(0L))
+              .as("n_planted"))
+      },
+      Some("""WITH vids AS (
+             |  SELECT doc_id AS id, 0 AS pert, text FROM documents
+             |  UNION ALL SELECT doc_id + 40000, 1, text FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |codes AS MATERIALIZED (
+             |  SELECT id, [0,0,0,12,102,116,121,112,105,115,111,109] ||
+             |    list_transform(list_zip(
+             |      list_filter(string_split(text, ''), c -> c <> ''),
+             |      generate_series(1, length(text))),
+             |      z -> CASE WHEN unicode(z[1]) BETWEEN 0 AND 127
+             |        THEN CAST(unicode(z[1]) AS BIGINT)
+             |          + CASE WHEN pert = 1 AND (z[2] - 1) % 31 = 0 THEN 1 ELSE 0 END
+             |        ELSE CAST(error('non-ASCII byte in q197 oracle') AS BIGINT) END) AS cs
+             |  FROM vids WHERE text IS NOT NULL),
+             |frames AS (
+             |  SELECT id, len(cs) // 4 AS nf,
+             |    list_transform(generate_series(0, len(cs) // 4 - 1),
+             |      k -> cs[4*k + 1] + cs[4*k + 2] + cs[4*k + 3] + cs[4*k + 4]) AS sig
+             |  FROM codes WHERE len(cs) // 4 >= 33),
+             |fsig AS (SELECT id, nf, unnest(generate_series(0, nf - 1)) AS k, sig
+             |  FROM frames),
+             |fs AS (SELECT id, nf, k, sig[k + 1] AS v FROM fsig),
+             |blk AS (
+             |  SELECT f.id, b.b, CAST(sum(f.v) AS BIGINT) AS sm,
+             |    CAST(count(*) AS BIGINT) AS ln
+             |  FROM fs f JOIN generate_series(0, 32) b(b)
+             |    ON f.k >= (b.b * f.nf) // 33 AND f.k < ((b.b + 1) * f.nf) // 33
+             |  GROUP BY f.id, b.b),
+             |bits AS (
+             |  SELECT a.id, a.b AS bit
+             |  FROM blk a JOIN blk c ON c.id = a.id AND c.b = a.b + 1
+             |  WHERE c.sm * a.ln > a.sm * c.ln),
+             |fps AS (SELECT fr.id,
+             |    CAST(coalesce(sum(CAST(1 AS BIGINT) << bit), 0) AS BIGINT) AS fp
+             |  FROM frames fr LEFT JOIN bits b ON b.id = fr.id GROUP BY fr.id),
+             |blockedq AS (SELECT id, fp, block, (fp >> (block * 8)) & 255 AS bv
+             |  FROM fps CROSS JOIN generate_series(0, 3) g(block)),
+             |pairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+             |    bit_count(xor(a.fp, b.fp)) AS hamming
+             |  FROM blockedq a JOIN blockedq b ON a.block = b.block AND a.bv = b.bv
+             |  WHERE a.id < b.id)
+             |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN idB = idA + 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+             |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin)),
   )
 
   /** The q190 verdict replay (both pixel formulas, fingerprints,

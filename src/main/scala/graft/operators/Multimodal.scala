@@ -459,6 +459,34 @@ object Multimodal {
     }
   }
 
+  /** Video table for the perceptual-dedup gate (q197): one MP4 per
+    * document (ftyp header + the text bytes as the opaque payload —
+    * the syntheticMedia stand-in), plus a NEAR-DUPLICATE partner
+    * (+40000) for every even doc: the payload with byte value +1 at
+    * every 31st payload position — a sparse corruption the
+    * frame-window means mostly absorb. The 12-byte ftyp header is
+    * 4-aligned, so stub frames 0–2 are the (shared) header and every
+    * later frame covers exactly 4 payload bytes — replayable. */
+  def videoMedia(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        require(id >= 0, s"videoMedia: doc_id must be nonnegative, got $id")
+        val payload = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val base = MediaRow(id, "video/mp4", mp4Bytes("isom", payload))
+        if (id % 2 == 0) {
+          val p2 = payload.clone()
+          var i = 0
+          while (i < p2.length) {
+            if (i % 31 == 0) p2(i) = (p2(i) + 1).toByte
+            i += 1
+          }
+          Seq(base, MediaRow(id + 40000L, "video/mp4", mp4Bytes("isom", p2)))
+        } else Seq(base)
+      }
+  }
+
   /** Real-decode over a media table: mapPartitions (one decoder warm-up
     * per partition — ImageIO's plugin registry scan is per-JVM but the
     * seam is where a native decoder would init), unsupported rows

@@ -268,6 +268,51 @@ class MultimodalSpec extends SparkSuite {
       assert(got(id + 40000L)._2 >= 1, s"partner of $id must match its base")
   }
 
+  test("VideoDedup: stub-frame fingerprint equals the formula, exact blocking recall") {
+    import graft.operators.VideoDedup
+    def refFp(text: String, pert: Boolean): Option[Long] = {
+      val header = Seq(0, 0, 0, 12, 102, 116, 121, 112, 105, 115, 111, 109)
+      val payload = text.getBytes("UTF-8").zipWithIndex.map { case (b, i) =>
+        (b & 0xff) + (if (pert && i % 31 == 0) 1 else 0)
+      }
+      val cs = header ++ payload
+      val nf = cs.length / 4
+      if (nf < 33) return None
+      val sig = (0 until nf).map(k => (0 until 4).map(j => cs(4 * k + j).toLong).sum)
+      val sums = (0 until 33).map { b =>
+        val st = b * nf / 33; val e = (b + 1) * nf / 33
+        ((st until e).map(sig).sum, (e - st).toLong)
+      }
+      Some((0 until 32).foldLeft(0L) { (fp, b) =>
+        if (sums(b + 1)._1 * sums(b)._2 > sums(b)._1 * sums(b + 1)._2)
+          fp | (1L << b) else fp
+      })
+    }
+    val texts = (0L until 20L).map(i =>
+      (i, ("the quick brown fox jumps over lazy dogs " * (4 + (i % 5).toInt))))
+    val docs = texts.toDF("doc_id", "text")
+    val fps = VideoDedup.fingerprints(Multimodal.videoMedia(docs))
+      .as[(Long, Long)].collect().toMap
+    for ((id, t) <- texts) {
+      assert(fps.get(id) == refFp(t, pert = false),
+        s"stub-decoded fp must equal formula fp for id $id")
+      if (id % 2 == 0) assert(fps.get(id + 40000L) == refFp(t, pert = true))
+    }
+    // short payloads (< 33 frames) drop
+    assert(VideoDedup.fingerprintFromStub("tiny".getBytes).isEmpty)
+    assert(VideoDedup.fingerprintFromStub(null).isEmpty)
+    // exact recall vs brute force
+    val pairs = VideoDedup.hammingPairs(
+        VideoDedup.fingerprints(Multimodal.videoMedia(docs)), 3)
+      .as[(Long, Long, Int)].collect().map(pr => (pr._1, pr._2)).toSet
+    val all = fps.toSeq
+    val brute = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+  }
+
   test("headeredMedia fields are the documented doc_id functions") {
     val docs = Seq((0L, "abc"), (1L, "de"), (2L, "f"), (7L, "xyz"))
       .toDF("doc_id", "text")
