@@ -505,6 +505,77 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
 
+    // EVAL-SET SUBSTRING CONTAMINATION — the verbatim-leakage report
+    // every LLM paper publishes, and the substring-level complement of
+    // q89's n-gram decontamination (n-gram overlap catches paraphrase-
+    // level sharing; this catches EXACT 64-char runs of training text
+    // inside eval docs — the Lee et al. memorization risk). The
+    // training split's once-per-epoch substringIndex (the q174 kernel,
+    // sides swapped: eval probes, training is the index) scores every
+    // eval doc; three planted regimes pin the dial — a verbatim copy
+    // of a training doc (frac ≈ 1), a half-copy with a novel tail
+    // (frac strictly between), and a fully novel doc (frac 0). The
+    // leaked flag is any verbatim window hit.
+    Q("q198_eval_contamination",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val train = d.filter(col("doc_id") % 17 =!= 3)
+        val tail = " with a freshly written analysis section no training doc contains"
+        val evalSet = d.filter(col("doc_id") % 17 === 3)
+          .unionByName(train.orderBy(col("doc_id")).limit(2)
+            .select((col("doc_id") + 70000L).as("doc_id"), col("text")))
+          .unionByName(train.orderBy(col("doc_id")).limit(1)
+            .select((col("doc_id") + 80000L).as("doc_id"),
+              concat(substring(col("text"), lit(1),
+                (length(col("text")) / 2).cast("int")), lit(tail)).as("text")))
+        graft.operators.Dedup.incrementalDuplicatedSubstrings(
+            graft.operators.Dedup.substringIndex(train, "doc_id", "text"),
+            evalSet, "doc_id", "text")
+          .select(col("in_id").as("eval_id"), col("n_windows"),
+            col("n_dup_windows"), col("dup_frac"),
+            when(col("n_dup_windows") > 0, 1L).otherwise(0L).as("leaked"))
+      },
+      Some {
+        def fold(slice: String): String =
+          s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
+             |    (h, b) -> ((h - (h % 256) +
+             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+        def winCtes(src: String, p: String): String =
+          s"""${p}codes AS MATERIALIZED (
+             |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+             |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
+             |      ELSE CAST(error('non-ASCII byte in q198 oracle') AS HUGEINT) END) AS cs
+             |  FROM $src WHERE text IS NOT NULL),
+             |${p}pos AS (SELECT id, cs, unnest(generate_series(1, len(cs) - 63)) AS i
+             |  FROM ${p}codes WHERE len(cs) >= 64),
+             |${p}wins AS MATERIALIZED (
+             |  SELECT id, ${fold("cs[i:i+63]")} AS h
+             |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0)""".stripMargin
+        val tail = " with a freshly written analysis section no training doc contains"
+        s"""WITH train AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 <> 3),
+           |lead2 AS (SELECT id, text FROM train ORDER BY id LIMIT 2),
+           |evals AS (
+           |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 = 3
+           |  UNION ALL SELECT id + 70000, text FROM lead2
+           |  UNION ALL SELECT id + 80000, substr(text, 1, length(text) // 2) || '$tail'
+           |    FROM (SELECT id, text FROM train ORDER BY id LIMIT 1)),
+           |${winCtes("train", "t")},
+           |${winCtes("evals", "e")},
+           |tidx AS (SELECT DISTINCT h FROM twins),
+           |ew AS (SELECT id, count(*) AS n_windows FROM ewins GROUP BY id),
+           |ed AS (SELECT id, count(*) AS n_dup FROM ewins
+           |  WHERE h IN (SELECT h FROM tidx) GROUP BY id)
+           |SELECT v.id AS eval_id,
+           |  CAST(coalesce(ew.n_windows, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(ed.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           |  round(CASE WHEN coalesce(ew.n_windows, 0) = 0 THEN 0.0
+           |    ELSE CAST(coalesce(ed.n_dup, 0) AS DOUBLE) / ew.n_windows END, 6) AS dup_frac,
+           |  CAST(CASE WHEN coalesce(ed.n_dup, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS leaked
+           |FROM evals v LEFT JOIN ew ON ew.id = v.id LEFT JOIN ed ON ed.id = v.id""".stripMargin
+      }),
+
     // PERPLEXITY TIERING (Curation.perplexityTiers): CCNet's
     // head/middle/tail quality buckets — per-doc mean unigram
     // surprisal (the q94-gated value), tier boundaries = exact
