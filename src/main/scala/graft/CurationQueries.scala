@@ -505,6 +505,24 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
 
+    // DoReMi-SHAPED domain reweighting (Curation.doremiWeights): the
+    // iterative data-mixing step above q93's flat special case —
+    // domains the MIXTURE unigram LM explains worse than their own LM
+    // (positive excess loss, the under-represented ones) get
+    // multiplicatively upweighted, three fixed rounds. Everything is
+    // integer counts/products + one −ln(int/int) per (token[, round])
+    // fixed to micro-nats; the update is the LINEARIZED multiplicative
+    // weights (exp() would not be bit-identical cross-engine). The
+    // oracle unrolls all three rounds: mixture denominators, weighted
+    // token scores, per-domain losses, truncating-division excess, and
+    // the final weights and shares.
+    Q("q199_doremi_weights",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Curation.doremiWeights(d, "doc_id", "text", "lang")
+      },
+      Some(q199Oracle)),
+
     // EVAL-SET SUBSTRING CONTAMINATION — the verbatim-leakage report
     // every LLM paper publishes, and the substring-level complement of
     // q89's n-gram decontamination (n-gram overlap catches paraphrase-
@@ -773,6 +791,52 @@ object CurationQueries {
        |  CAST(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
        |  CAST(CASE WHEN l.y = 0 OR l.doc_id % 8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS in_sample
        |FROM lab l JOIN sc USING (doc_id)""".stripMargin
+
+  /** q199 oracle: the full 3-round DoReMi replay (see the registration
+    * comment). Each round k reads weights w{k-1}, scores every token
+    * under the weighted mixture, aggregates per-domain loss, and
+    * produces w{k} via the clamped truncating-division update (DuckDB
+    * `//` == Scala `/` toward zero, verified on negatives). */
+  private def q199Oracle: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""d$k AS (SELECT CAST(sum(w.w * g.n) AS BIGINT) AS d
+         |  FROM w${k - 1} w JOIN ng g USING (g)),
+         |sm$k AS (SELECT c.tok,
+         |    CAST(round(-ln(CAST(sum(w.w * c.c) AS DOUBLE)
+         |      / CAST((SELECT d FROM d$k) AS DOUBLE)) * 1000000) AS BIGINT) AS s
+         |  FROM counts c JOIN w${k - 1} w USING (g) GROUP BY c.tok),
+         |mx$k AS (SELECT c.g, CAST(sum(c.c * s.s) AS BIGINT) AS smix
+         |  FROM counts c JOIN sm$k s USING (tok) GROUP BY c.g),
+         |w$k AS (SELECT w.g,
+         |    w.w * (1000000 + greatest(-900000, least(900000,
+         |      (m.smix - r.sref) // g.n))) // 1000000 AS w
+         |  FROM w${k - 1} w JOIN mx$k m USING (g)
+         |  JOIN refs r USING (g) JOIN ng g USING (g))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT lang AS g, tok FROM (
+       |    SELECT lang, unnest(string_split_regex(
+       |      regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0),
+       |counts AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY g),
+       |ndocs AS (SELECT lang AS g, count(*) AS n_docs FROM documents GROUP BY 1),
+       |sref AS (SELECT c.g, c.tok, c.c,
+       |    CAST(round(-ln(CAST(c.c AS DOUBLE) / CAST(g.n AS DOUBLE)) * 1000000) AS BIGINT) AS s
+       |  FROM counts c JOIN ng g USING (g)),
+       |refs AS (SELECT g, CAST(sum(c * s) AS BIGINT) AS sref FROM sref GROUP BY g),
+       |w0 AS (SELECT g, CAST(1000000 AS BIGINT) AS w FROM ng),
+       |$rounds
+       |SELECT g AS lang, d.n_docs, g2.n AS n_tokens,
+       |  round(CAST(r.sref AS DOUBLE) / g2.n / 1000000, 4) AS ref_loss,
+       |  round(CAST(m.smix AS DOUBLE) / g2.n / 1000000, 4) AS mix_loss,
+       |  w3.w AS weight_micro,
+       |  round(CAST(w3.w AS DOUBLE) / (SELECT sum(w) FROM w3), 6) AS weight_share
+       |FROM w3 JOIN ng g2 USING (g) JOIN refs r USING (g)
+       |  JOIN mx3 m USING (g) JOIN ndocs d USING (g)""".stripMargin
+  }
 
   /** The q139 oracle: the identical lexer regex, the identical integer
     * chunk-count arithmetic (DuckDB `//` floors == Spark DIV on the

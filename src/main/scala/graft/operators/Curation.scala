@@ -556,6 +556,98 @@ object Curation {
       when(below(b1), 1L).when(below(b2), 2L).otherwise(3L).as("tier"))
   }
 
+  /** DoReMi-SHAPED iterative domain reweighting (Xie et al. 2023,
+    * deterministic distillation): domains whose text the MIXTURE
+    * language model explains worse than their OWN language model
+    * (positive excess loss) get upweighted by multiplicative weights,
+    * iterated a fixed number of rounds — the data-mixing step above
+    * [[mixtureWeights]]' flat special case. The proxy-model machinery
+    * is distilled to its deterministic core: the "model" is the
+    * unigram LM (the engine's gated surprisal basis), so every
+    * quantity is an integer count, an integer product, or one
+    * −ln(integer/integer) fixed to micro-nats.
+    *
+    * Per round t (weights w in MICRO units, start 1e6):
+    *   s_t(tok)  = round(−ln(Σ_g w·c_g(tok) / Σ_g w·N_g)·1e6)  [mixture LM]
+    *   S_t(g)    = Σ_tok c_g(tok)·s_t(tok)                     [integer]
+    *   excess(g) = (S_t(g) − S_ref(g)) / N_g    [micro-nats, trunc toward 0]
+    *   w'(g)     = w(g)·(1e6 + clamp(excess, ±9e5)) / 1e6      [trunc]
+    * with S_ref(g) the domain's loss under its own unigram LM — the
+    * linearized multiplicative-weights update, exact in integers (the
+    * exp() form would not be bit-identical cross-engine).
+    *
+    * Scale shape: the per-(domain, token) count table is one
+    * map-side-combining aggregate; each round is one distributed score
+    * pass plus a |domains|-row collect (the LocalKMeans bounded-driver
+    * discipline) whose 5 scalars re-enter the next round as literals.
+    *
+    * @return per domain: (domain, n_docs, n_tokens, ref_loss,
+    *         mix_loss, weight_micro, weight_share) */
+  def doremiWeights(corpus: DataFrame, idCol: String, textCol: String,
+      domainCol: String, iters: Int = 3): DataFrame = {
+    val toks = corpus.select(col(domainCol).as("g"), col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = OperatorCaches.track(
+      toks.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c")).persist())
+    val ng = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val nd = corpus.groupBy(col(domainCol).as("g"))
+      .agg(count(lit(1)).as("n_docs"))
+    // reference: each domain under its OWN unigram LM
+    val sRef = counts.join(ng, Seq("g"))
+      .select(col("g"), col("tok"), col("c"),
+        round(-log(col("c").cast("double") / col("n").cast("double")) * 1e6, 0)
+          .cast("long").as("s"))
+    val refRows = sRef.groupBy(col("g"))
+      .agg(sum(col("c") * col("s")).as("sref"))
+      .join(ng, Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val domains = refRows.keys.toSeq.sorted
+    var w: Map[String, Long] = domains.map(_ -> 1000000L).toMap
+    var lastMix: Map[String, Long] = Map.empty
+    var it = 0
+    while (it < iters) {
+      val wCol = domains.foldLeft(lit(0L)) { (acc, g) =>
+        when(col("g") === g, lit(w(g))).otherwise(acc)
+      }
+      val d = domains.map(g => w(g) * refRows(g)._2).sum
+      val sMix = counts.withColumn("wc", wCol * col("c"))
+        .groupBy(col("tok")).agg(sum(col("wc")).as("numer"))
+        .select(col("tok"),
+          round(-log(col("numer").cast("double") / lit(d.toDouble)) * 1e6, 0)
+            .cast("long").as("s"))
+      lastMix = counts.join(sMix, Seq("tok"))
+        .groupBy(col("g")).agg(sum(col("c") * col("s")).as("smix"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      w = domains.map { g =>
+        val excess = (lastMix(g) - refRows(g)._1) / refRows(g)._2
+        val clamped = math.max(-900000L, math.min(900000L, excess))
+        g -> w(g) * (1000000L + clamped) / 1000000L
+      }.toMap
+      it += 1
+    }
+    val wTot = domains.map(w).sum
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val out = domains.map { g =>
+      val (sref, n) = refRows(g)
+      (g, n,
+        BigDecimal(sref.toDouble / n / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(lastMix(g).toDouble / n / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        w(g),
+        BigDecimal(w(g).toDouble / wTot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("g", "n_tokens", "ref_loss", "mix_loss", "weight_micro",
+      "weight_share")
+    out.join(nd, Seq("g"))
+      .select(col("g").as(domainCol), col("n_docs"), col("n_tokens"),
+        col("ref_loss"), col("mix_loss"), col("weight_micro"),
+        col("weight_share"))
+  }
+
   /** Domain-mixture reweighting toward a UNIFORM token budget per domain:
     * weight(g) = (total_tokens / n_domains) / tokens(g) — the sampling
     * multiplier that equalizes each domain's token contribution (the

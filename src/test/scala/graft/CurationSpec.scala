@@ -431,6 +431,31 @@ class CurationSpec extends SparkSuite {
     assert(!p.contains("UDF("), "chunking must stay pure Column")
   }
 
+  test("DoReMi weights: the divergent domain upweights, deterministic") {
+    // domain A text ≈ the global mixture (common words); domain B is
+    // lexically divergent — the mixture LM explains B worse than B's
+    // own LM, so B's excess loss and weight must exceed A's
+    val docs = (
+      (0L until 12L).map(i => (i, "alpha", "the quick brown fox and the lazy dog run here")) ++
+      (12L until 16L).map(i => (i, "beta", "zymurgy quokka vortex glyph zymurgy quokka"))
+    ).toDF("doc_id", "dom", "text")
+    val got = Curation.doremiWeights(docs, "doc_id", "text", "dom")
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("alpha", "beta"))
+    assert(got("beta")._6 > got("alpha")._6,
+      s"divergent domain must upweight: ${got.values.toSeq}")
+    assert(got("alpha")._5 >= got("alpha")._4 && got("beta")._5 >= got("beta")._4,
+      "mixture loss can never beat a domain's own-LM loss")
+    // shares sum to ~1
+    assert(math.abs(got.values.map(_._7).sum - 1.0) < 1e-4)
+    // determinism
+    val again = Curation.doremiWeights(docs, "doc_id", "text", "dom")
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("trigram stupid backoff: every ladder level scores its hand case") {
     import graft.functions.TextFunctions
     // train (id 0): trigrams (a,b,c),(b,c,a),(c,a,b),(a,b,d);
