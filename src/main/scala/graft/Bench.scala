@@ -88,7 +88,7 @@ object Bench {
     // round-13 late additions (min over two solo passes, calib 2.04-2.12;
     // mild ~1.1x contention errs these HIGH = conservative for regress)
     "q190"->1.804, "q191"->1.319, "q192"->4.779, "q193"->3.971,
-    "q194"->2.568, "q195"->2.747, "q196"->1.051, "q197"->0.638, "q198"->0.793, "q199"->1.243)
+    "q194"->2.568, "q195"->2.747, "q196"->1.051, "q197"->0.638, "q198"->0.793, "q199"->1.582)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
