@@ -31,7 +31,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** The FIXED bench anchor: round-13 per-query minima (sec, sf0.1,
     * local[32], min-of-3 — one clean solo pass at round-13 close,
-    * calib 2.053 s, full 185-query coverage, rc 0), recorded so the
+    * calib 2.053 s, 185-query coverage, rc 0; q186–q199 late additions
+    * appended from solo control runs, see BASELINE.md), recorded so the
     * ≤2× gate has a mechanical denominator instead of being
     * re-litigated round-over-round (BASELINE.md "Bench anchor").
     *
