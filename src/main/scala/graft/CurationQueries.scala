@@ -409,13 +409,21 @@ object CurationQueries {
     // QualityModel's scaladoc for why not exp-logistic or fixed-point
     // GD), and the oracle replays EVERYTHING: labels (the gopher rule
     // chain), both fnv1a64 feature probes, the deterministic sample
-    // (all label-0 ∪ label-1 with id%8=0), the ENTIRE sequential fit —
+    // (EACH class's mix64 bottom-SampleCap docs — the constant-bounded
+    // per-class cap that keeps the driver collect O(1) at any corpus
+    // size or label skew), the ENTIRE sequential fit —
     // one list_reduce folding 48 epochs of id-ordered updates — and
     // every per-doc integer score + verdict. One flipped label, one
     // mis-hashed probe, or one mis-ordered update moves some score.
-    // Learned behavior (not gated, but real): zero sample error at
-    // every test scale, zero false keeps, the planted violators all
-    // rejected.
+    // Learned behavior (not gated, but real, measured at all three
+    // SFs): zero sample error everywhere; at the two fit-sized scales
+    // zero false keeps and every planted violator rejected; at sf0.1
+    // (5007 docs scored from a 1024-doc capped sample) exactly ONE
+    // held-out false keep — planted 50004, the bullet-list doc, at
+    // score +340 just over the boundary — the honest generalization
+    // cost of a constant-bounded sample (margin 32→256 and epochs
+    // 128→512 were swept; the miss is sample-composition, not
+    // convergence).
     Q("q185_quality_classifier",
       (spark, dir) => {
         val sq = spark; import sq.implicits._
@@ -718,17 +726,19 @@ object CurationQueries {
 
   /** QualityModel fit + score replay CTEs over a corpus CTE (must
     * yield (doc_id, text)): rule labels `lab(doc_id, y)`, count-sketch
-    * probes, dense vectors, the ENTIRE sequential perceptron fit as
-    * ONE list_reduce over the epoch-repeated id-ordered sample list
-    * (the accumulator rides in the same struct shape as the sample
-    * elements — list_reduce requires accumulator type == element
-    * type), ending in `sc(doc_id, z)` — every doc's integer logit.
-    * Shared verbatim by q185 and the q192 learned-gate funnel.
+    * probes, dense vectors, the capped per-class sample (`cappd` —
+    * mix64 rank ≤ SampleCap WITHIN each class, replaying the bounded
+    * bottom-k the operator collects), the ENTIRE sequential perceptron
+    * fit as ONE list_reduce over the epoch-repeated id-ordered sample
+    * list (the accumulator rides in the same struct shape as the
+    * sample elements — list_reduce requires accumulator type ==
+    * element type), ending in `sc(doc_id, z)` — every doc's integer
+    * logit. Shared verbatim by q185 and the q192 learned-gate funnel.
     * Integer bounds are tiny: weights are sums of token counts
     * (≤ thousands), scores ≤ ~1e7 — Long-safe by orders of
     * magnitude. */
   private[graft] def classifierCtes(corpusCte: String): String = {
-    import graft.operators.QualityModel.{Dim, Epochs, Margin, NumBuckets}
+    import graft.operators.QualityModel.{Dim, Epochs, Margin, NumBuckets, SampleCap}
     def fold(colExpr: String) =
       s"""list_reduce(
          |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
@@ -757,11 +767,16 @@ object CurationQueries {
        |  FROM $corpusCte c CROSS JOIN generate_series(0, ${Dim - 1}) g(b)
        |  LEFT JOIN fx ON fx.doc_id = c.doc_id AND fx.b = g.b
        |  GROUP BY c.doc_id),
+       |${RelationalQueries5.mix64Stages("lab", Seq("doc_id", "y"),
+            "CAST(doc_id AS HUGEINT)", prefix = "q")},
+       |cappd AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY y ORDER BY vu) AS rk
+       |    FROM qmixed) WHERE rk <= $SampleCap),
        |sampl AS (
        |  SELECT list(STRUCT_PACK(y := CAST(l.y AS BIGINT), xs := d.xs)
        |    ORDER BY l.doc_id) AS ds
        |  FROM lab l JOIN dense d USING (doc_id)
-       |  WHERE l.y = 0 OR l.doc_id % 8 = 0),
+       |  JOIN cappd USING (doc_id)),
        |ep AS (SELECT list_prepend(
        |    STRUCT_PACK(y := CAST(0 AS BIGINT),
        |      xs := list_transform(generate_series(1, $Dim), i -> CAST(0 AS BIGINT))),
@@ -781,7 +796,8 @@ object CurationQueries {
   }
 
   /** q185 oracle: [[classifierCtes]] over documents ∪ planted, plus
-    * the per-doc verdict projection. */
+    * the per-doc verdict projection (in_sample re-reads the capped
+    * per-class sample CTE). */
   private def q185Oracle: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -789,7 +805,8 @@ object CurationQueries {
        |${classifierCtes("corpus")}
        |SELECT l.doc_id, l.y AS label, sc.z AS score,
        |  CAST(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
-       |  CAST(CASE WHEN l.y = 0 OR l.doc_id % 8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS in_sample
+       |  CAST(CASE WHEN l.doc_id IN (SELECT doc_id FROM cappd)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS in_sample
        |FROM lab l JOIN sc USING (doc_id)""".stripMargin
 
   /** q199 oracle: the full 3-round DoReMi replay (see the registration

@@ -175,19 +175,16 @@ object UnigramLm {
     (fitFromWordFreq(vocab.toMap), vocab)
   }
 
-  private val segmentUdf = udf((w: String, pieces: Seq[String], costs: Seq[Long]) => {
-    val scores = pieces.iterator.zip(costs.iterator).toMap
-    segment(w, scores).map(s => (s.cost, s.pieces.length, s.pieces.mkString("|")))
-  })
-
   /** Distributed segmentation column: struct(cost, n_pieces, seg) or
-    * null for out-of-alphabet words. The model rides as two literal
-    * arrays (broadcast by Spark as part of the plan — bounded by
-    * SeedSize + alphabet). */
+    * null for out-of-alphabet words. The piece→score Map is built ONCE
+    * here and captured in the UDF closure (shipped with the task
+    * serialization, bounded by SeedSize + alphabet) — not as per-row
+    * literal arrays, which would re-zip an O(|model|) Map allocation
+    * for every word of the advertised distributed pass. */
   def segmentCol(word: Column, model: Model): Column = {
-    val sorted = model.scores.toSeq.sortBy(_._1)
-    segmentUdf(word,
-      array(sorted.map(p => lit(p._1)): _*),
-      array(sorted.map(p => lit(p._2)): _*))
+    val scores = model.scores
+    val segUdf = udf((w: String) =>
+      segment(w, scores).map(s => (s.cost, s.pieces.length, s.pieces.mkString("|"))))
+    segUdf(word)
   }
 }

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: means are never divided — the comparison
   * mean(b+1) > mean(b) is the exact integer cross-multiplication
-  * sum(b+1)·len(b) > sum(b)·len(b+1), so the whole
-  * decode→fingerprint→block→verify chain replays bit-for-bit in SQL
-  * (sums ≤ 127·2048 and lens ≤ 4: products far inside int64).
+  * sum(b+1)·len(b) > sum(b)·len(b+1), evaluated as a 128-bit signed
+  * product compare (Math.multiplyHigh), so it cannot wrap at ANY
+  * stream length (a full-range int16 stream overflows a 64-bit
+  * product past ~5e8 samples — ~3.5 h at 44.1 kHz). The SQL replay
+  * keeps plain BIGINT products: at fixture sizes they are orders of
+  * magnitude inside int64, and DuckDB errors loudly (never wraps) if
+  * a future fixture crossed the line.
   *
   * Decode is the REAL JDK stack (AudioSystem, signed LE16 PCM, the
   * q45 discipline); candidate pairing is 8-bit pigeonhole blocking
@@ -31,16 +35,31 @@ object AudioDedup {
     * anywhere). */
   val NumBlocks = 33
 
+  /** Exact signed compare a·b > c·d in 128 bits (b, d > 0 here —
+    * window lengths — so order is preserved; the high/low split is
+    * sign-correct for any a, c). Never wraps, whatever the stream
+    * length. */
+  private[operators] def productGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val h1 = Math.multiplyHigh(a, b); val l1 = a * b
+    val h2 = Math.multiplyHigh(c, d); val l2 = c * d
+    if (h1 != h2) h1 > h2 else java.lang.Long.compareUnsigned(l1, l2) > 0
+  }
+
   /** Fingerprint of a decodable WAV via AudioSystem. None for
-    * undecodable bytes, non-16-bit/big-endian formats, or streams
-    * shorter than [[NumBlocks]] samples (a window would be empty). */
+    * undecodable bytes, any format other than MONO SIGNED
+    * little-endian 16-bit PCM (a multi-channel or PCM_UNSIGNED stream
+    * would be silently misread as mono signed samples — reject, don't
+    * guess), or streams shorter than [[NumBlocks]] samples (a window
+    * would be empty). */
   def fingerprintFromWav(media: Array[Byte]): Option[Long] =
     try {
       val ais = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new java.io.ByteArrayInputStream(media))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getChannels != 1) None
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
@@ -65,7 +84,7 @@ object AudioDedup {
             var fp = 0L
             b = 0
             while (b < NumBlocks - 1) {
-              if (sums(b + 1) * lens(b) > sums(b) * lens(b + 1))
+              if (productGt(sums(b + 1), lens(b), sums(b), lens(b + 1)))
                 fp |= 1L << b
               b += 1
             }

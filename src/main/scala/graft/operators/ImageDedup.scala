@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * modalities (literal / semantic / substring), images get this one.
   *
   * dHash (the standard perceptual fingerprint, cf. pHash family):
-  * downsample the grayscale raster to a 9×8 grid, then bit (y·8 + x) =
+  * downsample the luminance raster (see [[dhashFromImage]] for the
+  * exact-integer BT.601 basis on color inputs) to a 9×8 grid, then
+  * bit (y·8 + x) =
   * [grid(x+1, y) > grid(x, y)] — 8 adjacent-column comparisons per row
   * × 8 rows = a 64-bit fingerprint invariant to scale and robust to
   * small brightness/compression perturbations (a global shift flips
@@ -34,10 +36,18 @@ import org.apache.spark.sql.functions._
   * (id, fp) rows — the images themselves never shuffle. */
 object ImageDedup {
 
-  /** dHash of a decodable grayscale image via the REAL JDK decode stack
+  /** dHash of a decodable image via the REAL JDK decode stack
     * (ImageIO). None for undecodable bytes — the one-bad-object
     * contract. Images narrower than 2px or shorter than 1px cannot
-    * carry comparisons and are dropped too. */
+    * carry comparisons and are dropped too.
+    *
+    * Luminance basis: single-band (grayscale) rasters compare the band
+    * directly; RGB(A) rasters compare the exact-integer BT.601
+    * combination 299·R + 587·G + 114·B — UNSCALED (dHash only compares
+    * values, so dividing by 1000 would add nothing but rounding), with
+    * alpha ignored. A gray+alpha raster compares band 0. This makes
+    * the luminance contract explicit instead of silently hashing color
+    * images on the red channel. */
   def dhashFromImage(media: Array[Byte]): Option[Long] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
@@ -46,6 +56,11 @@ object ImageDedup {
         val r = img.getRaster
         val w = img.getWidth
         val h = img.getHeight
+        val rgb = r.getNumBands >= 3
+        def lum(px: Int, py: Int): Int =
+          if (rgb) 299 * r.getSample(px, py, 0) + 587 * r.getSample(px, py, 1) +
+            114 * r.getSample(px, py, 2)
+          else r.getSample(px, py, 0)
         var fp = 0L
         var y = 0
         while (y < 8) {
@@ -54,7 +69,7 @@ object ImageDedup {
           while (x < 8) {
             val pxA = x * w / 9
             val pxB = (x + 1) * w / 9
-            if (r.getSample(pxB, py, 0) > r.getSample(pxA, py, 0))
+            if (lum(pxB, py) > lum(pxA, py))
               fp |= 1L << (y * 8 + x)
             x += 1
           }

@@ -35,10 +35,11 @@ import graft.functions.TextFunctions
   *    batch subgradient steps limit-cycle;
   *  - the perceptron update is pure integer addition — no division,
   *    no clamp, no float — and on linearly separable data Novikoff
-  *    guarantees convergence. Measured: zero sample error within 41
-  *    epochs at every test scale, so the FIXED `Epochs` budget is
-  *    parity-safe (a converged epoch performs zero updates — a no-op —
-  *    so an oracle folding the full budget reaches the identical w).
+  *    guarantees convergence. Measured: zero sample error within 128
+  *    epochs for every (test scale × per-class cap) sample, so the
+  *    FIXED `Epochs` budget is parity-safe (a converged epoch performs
+  *    zero updates — a no-op — so an oracle folding the full budget
+  *    reaches the identical w).
   * The margin (rather than plain perceptron) buys generalization:
   * update-until-comfortably-correct leaves held-out near-threshold
   * docs on the right side.
@@ -51,10 +52,15 @@ import graft.functions.TextFunctions
   *
   * Scale shape (100 TB): the LocalKMeans discipline — one distributed
   * pass aggregates per-doc probe counts, the deterministic sample
-  * (all rare-class docs ∪ id-thinned majority) collects to the driver
-  * (~65 longs/doc), the fit is O(sample·Epochs) driver-local, then the
-  * 65 weights broadcast for one distributed scoring pass. No iterative
-  * Spark jobs; the only shuffle is the feature groupBy.
+  * (the mix64 bottom-[[SampleCap]] docs of EACH class — a per-class
+  * hash cap, so the collect is ≤ 2·SampleCap docs ≈ 65 longs/doc no
+  * matter the corpus size or the label skew) collects to the driver,
+  * the fit is O(sample·Epochs) driver-local, then the 65 weights
+  * broadcast for one distributed scoring pass. The cap is a bounded
+  * map-side aggregator (one bottom-k heap per class per partition),
+  * not a sort; Novikoff's convergence bound is sample-size-free, so
+  * capping costs epochs nothing. No iterative Spark jobs; the only
+  * shuffle is the feature groupBy.
   */
 object QualityModel {
 
@@ -70,11 +76,24 @@ object QualityModel {
   /** Dense feature dimension. */
   val Dim: Int = 2 * NumBuckets + 1
 
-  /** Fixed epoch budget (converged epochs are no-ops — see scaladoc). */
-  val Epochs = 48
+  /** Fixed epoch budget (converged epochs are no-ops — see scaladoc).
+    * Sized with headroom over the measured convergence point: the
+    * capped per-class samples at every test SF reach zero sample
+    * error within 128 epochs (48 leaves up to 21 errors for some
+    * mix64-sampled orderings), so the budget is 128. */
+  val Epochs = 128
 
   /** Perceptron margin: update while y'·(w·x) ≤ Margin. */
   val Margin = 32L
+
+  /** Fit-sample cap PER CLASS: each class contributes its mix64
+    * bottom-SampleCap doc ids (the perplexityTiers / LocalKMeans
+    * sampling discipline), so the driver collect is bounded by
+    * 2·SampleCap docs — a CONSTANT, independent of corpus rows and of
+    * label skew. Sized so every test scale's sample is still rich
+    * enough for zero training error within [[Epochs]] (Novikoff's
+    * mistake bound does not grow with sample size). */
+  val SampleCap = 512
 
   /** Per-doc count-sketch feature rows (id, b, x): token-count per
     * probed bucket plus the bias row (BiasIdx, 1). Token basis =
@@ -129,22 +148,45 @@ object QualityModel {
     w
   }
 
+  /** Deterministic capped fit-sample ids: EACH class's mix64
+    * bottom-`sampleCap` doc ids, selected by a bounded per-class
+    * bottom-k aggregator (no global sort; the shuffle moves at most
+    * 2·partitions·sampleCap slim rows). SQL-replayable: row_number()
+    * over (PARTITION BY y ORDER BY mix64(id)) ≤ cap. */
+  def sampleIds(labels: DataFrame, sampleCap: Int): Array[Long] = {
+    val mixFlip = udf((id: Long) =>
+      graft.functions.TextFunctions.mix64(id) ^ Long.MinValue)
+    val ids = labels
+      .select(col("y"), col("id"),
+        mixFlip(col("id").cast("long")).as("_h"))
+      .groupBy(col("y"))
+      .agg(graft.plans.BottomKAggregator.bottom_k_sample(sampleCap)(
+        col("_h"), col("id").cast("double")).as("ids"))
+      .select(explode(col("ids")).as("id"))
+      .collect().map(_.getDouble(0).toLong)
+    require(ids.length <= 2 * sampleCap,
+      s"QualityModel.sampleIds: ${ids.length} ids exceed the 2×$sampleCap bound")
+    ids
+  }
+
   /** Full operator: label every doc with `label` (1 = keep), train on
-    * (all label-0 docs) ∪ (label-1 docs with id ≡ 0 mod `sampleMod`) —
-    * the rare class is kept whole, the majority id-thinned; both rules
-    * are one-predicate SQL, which is what lets the oracle rebuild the
-    * exact sample — then score EVERY doc with the broadcast weights.
+    * the mix64 bottom-`sampleCap` docs OF EACH CLASS — a constant-
+    * bounded deterministic sample whatever the corpus size or label
+    * skew, and still one rank predicate in SQL, which is what lets
+    * the oracle rebuild the exact sample — then score EVERY doc with
+    * the broadcast weights.
     *
     * Returns (id, label, score, pred, in_sample): score is the exact
     * integer dot product w·x, pred = score > 0. */
   def classify(corpus: DataFrame, idCol: String, textCol: String,
-      label: Column, sampleMod: Int = 8): DataFrame = {
+      label: Column, sampleCap: Int = SampleCap): DataFrame = {
     val labels = OperatorCaches.track(corpus.select(col(idCol).as("id"),
       when(label, 1).otherwise(0).as("y")).persist())
     val feats = OperatorCaches.track(
       featureRows(corpus, idCol, textCol).persist())
+    val ids = sampleIds(labels, sampleCap)
     val sampleRows = feats.join(labels, Seq("id"))
-      .filter(col("y") === 0 || col("id") % sampleMod === 0)
+      .filter(col("id").isInCollection(ids))
       .select(col("id"), col("y"), col("b"), col("x"))
       .collect()
     val byDoc = new scala.collection.mutable.HashMap[Long, SampleDoc]()
@@ -153,6 +195,8 @@ object QualityModel {
         SampleDoc(r.getLong(0), r.getInt(1), new Array[Long](Dim)))
       doc.x(r.getInt(2)) = r.getLong(3)
     }
+    require(byDoc.size <= 2 * sampleCap,
+      s"QualityModel.classify: sample of ${byDoc.size} docs exceeds 2×$sampleCap")
     val w = fit(byDoc.values.toArray.sortBy(_.id))
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -165,7 +209,7 @@ object QualityModel {
       .select(col("id"), col("y").cast("long").as("label"),
         col("score"),
         when(col("score") > 0, 1L).otherwise(0L).as("pred"),
-        when(col("y") === 0 || col("id") % sampleMod === 0, 1L)
+        when(col("id").isInCollection(ids), 1L)
           .otherwise(0L).as("in_sample"))
   }
 }

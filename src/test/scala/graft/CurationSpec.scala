@@ -525,10 +525,41 @@ class CurationSpec extends SparkSuite {
       else (i, "clean prose words with signal tokens here")
     }.toDF("doc_id", "text")
     val out = QualityModel.classify(corpus, "doc_id", "text",
-        !col("text").contains("junk"), sampleMod = 2)
+        !col("text").contains("junk"))
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(out.length == 40)
     assert(out.forall(r => r._2 == r._4),
       s"separable corpus must classify perfectly: ${out.filter(r => r._2 != r._4).toSeq}")
+  }
+
+  test("QualityModel: fit sample is constant-bounded regardless of corpus size and label skew") {
+    import graft.operators.QualityModel
+    val cap = 16
+    // a corpus 20x the per-class cap where the MAJORITY class is the
+    // rejected one (the skew the old all-label-0 rule collected whole)
+    val corpus = (0L until (20L * 2 * cap)).map { i =>
+      if (i % 8 == 0) (i, "clean prose words with signal tokens here")
+      else (i, "junk junk spam noise junk")
+    }.toDF("doc_id", "text")
+    val labels = corpus.select(col("doc_id").as("id"),
+      when(!col("text").contains("junk"), 1).otherwise(0).as("y"))
+    val ids = QualityModel.sampleIds(labels, cap)
+    // the bound: at most cap ids PER CLASS, however many docs exist
+    assert(ids.length == 2 * cap, s"expected ${2 * cap} capped ids, got ${ids.length}")
+    val yById = labels.as[(Long, Int)].collect().toMap
+    assert(ids.count(yById(_) == 0) == cap)
+    assert(ids.count(yById(_) == 1) == cap)
+    // the capped set is the mix64 bottom-k of each class (determinism
+    // + exact membership, the predicate the oracle replays)
+    def bottomK(y: Int): Set[Long] = yById.collect { case (id, l) if l == y => id }
+      .toSeq.sortBy(id => graft.functions.TextFunctions.mix64(id) ^ Long.MinValue)
+      .take(cap).toSet
+    assert(ids.toSet == bottomK(0) ++ bottomK(1))
+    // classify on the skewed corpus stays exact AND in_sample matches the cap
+    val out = QualityModel.classify(corpus, "doc_id", "text",
+        !col("text").contains("junk"), sampleCap = cap)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 == r._4), "separable skewed corpus must classify perfectly")
+    assert(out.filter(_._5 == 1L).map(_._1).toSet == ids.toSet)
   }
 }
