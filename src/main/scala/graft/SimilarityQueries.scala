@@ -280,6 +280,63 @@ object SimilarityQueries {
       .toString
   }
 
+  /** q200's oracle: the q170 chain (fit on the training corpus, assign
+    * the planted eval set with the same rk=1 selection, intra-cell
+    * cosines) extended with a third regime (NEGATED vectors at
+    * +400000 — float-negate-then-widen equals widen-then-negate, like
+    * the flip) and the evidence columns: distinct sources at ≥
+    * threshold, best similarity among them (−2 sentinel when clean),
+    * and the binary verdict. */
+  private def q200Oracle(threshold: Double, nCells: Int,
+      maxIter: Int): String = {
+    val d2inc =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(i.iv, c.c), " +
+        "s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), (a,b) -> a + b)"
+    kmeansAssignCtes(defaultPtsSql, nCells, maxIter).append(
+      s""",
+         |incraw AS (
+         |  SELECT vec_id + 200000 AS iid, CAST(embedding AS DOUBLE[]) AS iv
+         |  FROM embeddings WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 300000, list_transform(generate_series(1, 64),
+         |    i -> CASE WHEN i = 1 THEN -CAST(embedding[1] AS DOUBLE)
+         |      ELSE CAST(embedding[i] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id % 3 = 1
+         |  UNION ALL
+         |  SELECT vec_id + 400000, list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+         |  FROM embeddings WHERE vec_id % 3 = 2),
+         |inc AS (
+         |  SELECT iid, iv, sqrt(list_dot_product(iv, iv)) AS inrm FROM incraw
+         |  WHERE sqrt(list_dot_product(iv, iv)) > 0),
+         |incassign AS (
+         |  SELECT iid, iv, inrm, cidx AS cell FROM (
+         |    SELECT i.iid, i.iv, i.inrm, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY i.iid ORDER BY $d2inc, c.cidx) AS rk
+         |    FROM inc i CROSS JOIN finalcent c) WHERE rk = 1),
+         |pairs200 AS (
+         |  SELECT ia.iid, a.vid,
+         |    list_dot_product(ia.iv, CAST(p.v AS DOUBLE[])) / (ia.inrm * p.nrm) AS sim
+         |  FROM incassign ia JOIN afinal a ON a.cell = ia.cell
+         |  JOIN pts p ON p.vid = a.vid),
+         |agg200 AS (SELECT iid,
+         |    count(DISTINCT CASE WHEN sim >= $threshold THEN vid END) AS n,
+         |    max(CASE WHEN sim >= $threshold THEN sim END) AS bs
+         |  FROM pairs200 GROUP BY 1),
+         |incids AS (
+         |  SELECT vec_id + 200000 AS iid, 'verbatim' AS regime
+         |  FROM embeddings WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 300000, 'paraphrase' FROM embeddings WHERE vec_id % 3 = 1
+         |  UNION ALL
+         |  SELECT vec_id + 400000, 'novel' FROM embeddings WHERE vec_id % 3 = 2)
+         |SELECT i.iid AS in_id, i.regime,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_sources,
+         |  round(coalesce(a.bs, -2.0), 6) AS best_sim,
+         |  CAST(CASE WHEN coalesce(a.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM incids i LEFT JOIN agg200 a ON a.iid = i.iid""".stripMargin)
+      .toString
+  }
+
   /** q111's oracle: the full q42 IVF chain, the brute-force truth from
     * the SAME `pts`/`q` CTEs (q40's arithmetic), and recall@k as a
     * left join of truth against the probe-limited approximate set. */
@@ -1403,6 +1460,122 @@ object SimilarityQueries {
              |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
              |  CAST(sum(CASE WHEN idB = idA + 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
              |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin)),
+
+    // INCREMENTAL video dedup — completes the video column of the
+    // media matrix (q197 batch / here / q203 streaming), giving every
+    // media class the full trio: per incoming video, distinct epoch
+    // matches within Hamming ≤ 3 against the once-per-epoch 4-byte
+    // fingerprint index. Even docs arrive as sparse-corruption
+    // near-dups (+1 every 31st payload byte, must match their epoch
+    // base), odd docs as NOVEL remapped-payload videos ((3c+7) mod 128
+    // per byte — ASCII-range, so the oracle replays it as unicode(c)
+    // arithmetic). The kernel is AudioDedup.incrementalMatches
+    // verbatim (same 32-bit fingerprint shape); only the stub frame
+    // signatures are video's. Videos under 33 complete frames drop on
+    // BOTH sides by the same rule — the verdict anchor is the
+    // decodable incoming set.
+    Q("q202_incremental_video_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        VideoDedup.incrementalMatches(
+          VideoDedup.fingerprints(Multimodal.videoEpoch(d)),
+          VideoDedup.fingerprints(Multimodal.videoIncoming(d)),
+          maxHamming = 3)
+      },
+      Some(q202Oracle)),
+
+    // STREAMING video dedup — the last empty cell of the media dedup
+    // matrix: stateless stub-decode + fingerprint + blocking on the
+    // stream, stream-static join against the epoch index, Hamming
+    // filter in Append mode with ZERO state store, batch
+    // post-aggregation of the landed matches (the q193/q195
+    // discipline verbatim). Same oracle as q202 by construction —
+    // the streaming correctness claim IS batch equality.
+    Q("q203_streaming_video_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val incoming = Multimodal.videoIncoming(d).toDF()
+        val inDir = s"/tmp/graft-vidstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(incoming, "doc_id", s"$dir/documents_vidstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        val index = VideoDedup.blockedIndex(
+            VideoDedup.fingerprints(Multimodal.videoEpoch(d)))
+          .localCheckpoint(true) // the epoch index, computed once
+        val fpUdf = udf((m: Array[Byte]) => VideoDedup.fingerprintFromStub(m))
+        val matches = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream
+            .select(col("doc_id").as("in_id"), fpUdf(col("media")).as("fp"))
+            .filter(col("fp").isNotNull)
+            .select(col("in_id"), col("fp"),
+              posexplode(AudioDedup.blockVals8(col("fp")))
+                .as(Seq("block", "bv")))
+            .join(index, Seq("block", "bv"))
+            .select(col("in_id"), col("eid"),
+              bit_count(col("fp").bitwiseXOR(col("efp"))).as("hamming"))
+            .filter(col("hamming") <= 3),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q203_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val agg = matches.select(col("in_id"), col("eid"), col("hamming"))
+          .distinct()
+          .groupBy(col("in_id"))
+          .agg(countDistinct(col("eid")).as("n_matches"),
+            min(col("hamming")).as("best"))
+        VideoDedup.fingerprints(Multimodal.videoIncoming(d))
+          .select(col("doc_id").as("in_id"))
+          .join(agg, Seq("in_id"), "left")
+          .select(col("in_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("best"), lit(-1)).cast("int").as("best_hamming"))
+      },
+      Some(q202Oracle)),
+
+    // SEMANTIC eval-set contamination (Similarity.semanticContamination):
+    // the embedding-space sibling of q198's verbatim substring probe —
+    // production releases report near-duplicate leakage (eval doc ≈
+    // training doc by cosine) next to exact overlap, because paraphrased
+    // contamination passes every n-gram check. Training corpus = the
+    // embeddings table; the planted eval set carries all three regimes:
+    // VERBATIM copies (+200000, cosine 1 with their source — must be
+    // flagged), PARAPHRASE first-component flips (+300000, cosine
+    // usually ≥ 0.95 — decided deterministically per doc), NOVEL
+    // negated vectors (+400000, cosine −1 with their source — flagged
+    // only on a true coincidental neighbor). The probe is the q162/q170
+    // cell machinery: fit cells on TRAINING only, assign each eval doc
+    // to its one cell, score just that cell's members. The oracle
+    // replays fit + assignment + per-eval evidence (source count, best
+    // similarity, verdict) — a drift in any Lloyd iteration or one
+    // mis-assigned eval doc moves a verdict.
+    Q("q200_semantic_eval_contamination",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val flipped = concat(
+          array((-element_at(col("embedding"), 1)).cast("float")),
+          expr("slice(embedding, 2, size(embedding) - 1)"))
+        val negated = expr("transform(embedding, x -> CAST(-x AS FLOAT))")
+        val evalSet = e.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+          .unionByName(e.filter(col("vec_id") % 3 === 1)
+            .select((col("vec_id") + 300000L).as("vec_id"),
+              flipped.as("embedding")))
+          .unionByName(e.filter(col("vec_id") % 3 === 2)
+            .select((col("vec_id") + 400000L).as("vec_id"),
+              negated.as("embedding")))
+        val (index, centers) = Similarity.semanticIndex(e)
+        val report = Similarity.semanticContamination(
+          evalSet, index, centers, 0.95)
+        evalSet.select(col("vec_id").as("in_id"),
+            when(col("vec_id") >= 400000L, "novel")
+              .when(col("vec_id") >= 300000L, "paraphrase")
+              .otherwise("verbatim").as("regime"))
+          .join(report, Seq("in_id"), "left")
+          .select(col("in_id"), col("regime"),
+            coalesce(col("n_sources"), lit(0L)).as("n_sources"),
+            coalesce(col("best_sim"), lit(-2.0)).as("best_sim"),
+            coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      },
+      Some(q200Oracle(threshold = 0.95, nCells = 16, maxIter = 10))),
   )
 
   /** The q190 verdict replay (both pixel formulas, fingerprints,
@@ -1508,4 +1681,67 @@ object SimilarityQueries {
       |  CAST(coalesce(g.best, -1) AS INT) AS best_hamming
       |FROM auds a LEFT JOIN agg g ON g.in_id = a.id
       |WHERE a.side = 1""".stripMargin
+
+  /** The q202 verdict replay (epoch stub videos, both incoming payload
+    * formulas, frame sums, windows, fingerprints, 8-bit blocking,
+    * per-incoming matches) — shared verbatim with q203, whose
+    * streaming correctness claim is batch equality. The final anchor
+    * is fps WHERE side = 1: incoming videos under 33 complete frames
+    * are undecodable on BOTH engines and emit no verdict row. */
+  private def q202Oracle: String =
+    """WITH vids AS (
+      |  SELECT doc_id AS id, 0 AS pert, 0 AS fm, 0 AS side, text FROM documents
+      |  UNION ALL SELECT doc_id + 40000, 1, 0, 1, text FROM documents
+      |  WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT doc_id + 50000, 0, 1, 1, text FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |codes AS MATERIALIZED (
+      |  SELECT id, side, [0,0,0,12,102,116,121,112,105,115,111,109] ||
+      |    list_transform(list_zip(
+      |      list_filter(string_split(text, ''), c -> c <> ''),
+      |      generate_series(1, length(text))),
+      |      z -> CASE WHEN unicode(z[1]) BETWEEN 0 AND 127
+      |        THEN CASE WHEN fm = 1
+      |          THEN (CAST(unicode(z[1]) AS BIGINT) * 3 + 7) % 128
+      |          ELSE CAST(unicode(z[1]) AS BIGINT)
+      |            + CASE WHEN pert = 1 AND (z[2] - 1) % 31 = 0 THEN 1 ELSE 0 END END
+      |        ELSE CAST(error('non-ASCII byte in q202 oracle') AS BIGINT) END) AS cs
+      |  FROM vids WHERE text IS NOT NULL),
+      |frames AS (
+      |  SELECT id, side, len(cs) // 4 AS nf,
+      |    list_transform(generate_series(0, len(cs) // 4 - 1),
+      |      k -> cs[4*k + 1] + cs[4*k + 2] + cs[4*k + 3] + cs[4*k + 4]) AS sig
+      |  FROM codes WHERE len(cs) // 4 >= 33),
+      |fsig AS (SELECT id, side, nf, unnest(generate_series(0, nf - 1)) AS k, sig
+      |  FROM frames),
+      |fs AS (SELECT id, side, nf, k, sig[k + 1] AS v FROM fsig),
+      |blk AS (
+      |  SELECT f.id, b.b, CAST(sum(f.v) AS BIGINT) AS sm,
+      |    CAST(count(*) AS BIGINT) AS ln
+      |  FROM fs f JOIN generate_series(0, 32) b(b)
+      |    ON f.k >= (b.b * f.nf) // 33 AND f.k < ((b.b + 1) * f.nf) // 33
+      |  GROUP BY f.id, b.b),
+      |bits AS (
+      |  SELECT a.id, a.b AS bit
+      |  FROM blk a JOIN blk c ON c.id = a.id AND c.b = a.b + 1
+      |  WHERE c.sm * a.ln > a.sm * c.ln),
+      |fps AS (SELECT fr.id, fr.side,
+      |    CAST(coalesce(sum(CAST(1 AS BIGINT) << bit), 0) AS BIGINT) AS fp
+      |  FROM frames fr LEFT JOIN bits b ON b.id = fr.id GROUP BY fr.id, fr.side),
+      |blockedq AS (SELECT id, side, fp, block, (fp >> (block * 8)) & 255 AS bv
+      |  FROM fps CROSS JOIN generate_series(0, 3) g(block)),
+      |m AS (
+      |  SELECT DISTINCT i.id AS in_id, e.id AS eid,
+      |    bit_count(xor(i.fp, e.fp)) AS hamming
+      |  FROM blockedq i JOIN blockedq e
+      |    ON e.block = i.block AND e.bv = i.bv AND e.side = 0
+      |  WHERE i.side = 1),
+      |agg AS (
+      |  SELECT in_id, count(DISTINCT eid) AS n_matches, min(hamming) AS best
+      |  FROM m WHERE hamming <= 3 GROUP BY in_id)
+      |SELECT f.id AS in_id,
+      |  CAST(coalesce(g.n_matches, 0) AS BIGINT) AS n_matches,
+      |  CAST(coalesce(g.best, -1) AS INT) AS best_hamming
+      |FROM fps f LEFT JOIN agg g ON g.in_id = f.id
+      |WHERE f.side = 1""".stripMargin
 }

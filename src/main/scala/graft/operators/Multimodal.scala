@@ -487,6 +487,46 @@ object Multimodal {
       }
   }
 
+  /** One stub MP4 for the video gates: kind 0 = base (the text bytes as
+    * payload), 1 = near-dup perturbation (+1 on every 31st payload
+    * byte — the videoMedia partner), 2 = NOVEL content (every payload
+    * byte remapped (3·code + 7) mod 128 — stays ASCII-range so the
+    * oracle replays it as pure unicode(c) arithmetic). */
+  private def videoStub(id: Long, text: String, kind: Int): MediaRow = {
+    require(id >= 0, s"videoStub: doc_id must be nonnegative, got $id")
+    val payload = Option(text).getOrElse("")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val p = payload.clone()
+    var i = 0
+    while (i < p.length) {
+      if (kind == 2) p(i) = (((p(i) & 0xff) * 3 + 7) % 128).toByte
+      else if (kind == 1 && i % 31 == 0) p(i) = (p(i) + 1).toByte
+      i += 1
+    }
+    MediaRow(id, "video/mp4", mp4Bytes("isom", p))
+  }
+
+  /** The EPOCH side of the incremental video gate (q202/q203): one
+    * base stub MP4 per document, no partners. */
+  def videoEpoch(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => videoStub(id, text, 0) }
+  }
+
+  /** The INCOMING batch for the incremental video gate: even docs
+    * arrive as sparse-corruption near-dups of their epoch video
+    * (+40000); odd docs arrive as NOVEL remapped-payload videos
+    * (+50000) the epoch has never seen. */
+  def videoIncoming(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 2 == 0) videoStub(id + 40000L, text, 1)
+        else videoStub(id + 50000L, text, 2)
+      }
+  }
+
   /** Real-decode over a media table: mapPartitions (one decoder warm-up
     * per partition — ImageIO's plugin registry scan is per-JVM but the
     * seam is where a native decoder would init), unsupported rows

@@ -266,6 +266,45 @@ object Similarity {
       .agg(size(collect_set(col("nid"))).cast("long").as("n_sem_dups"))
   }
 
+  /** SEMANTIC eval-set contamination report — the embedding-space
+    * sibling of the verbatim substring probe: for every EVAL doc, how
+    * many TRAINING docs sit within cosine ≥ threshold (paraphrased or
+    * copied leakage a verbatim check cannot see — the near-duplicate
+    * overlap metric model releases report next to n-gram overlap).
+    * Same machinery as [[semanticDupMatches]] (assign each eval doc to
+    * its fitted training cell, score only that cell's members), but
+    * the report keeps the evidence: distinct contaminating sources AND
+    * the best similarity among them (−2 sentinel when none — below any
+    * real cosine).
+    *
+    * Scale shape: the training index is fitted once ([[semanticIndex]],
+    * capped driver-local k-means) and saved; eval sets are small by
+    * definition, so the probe is one broadcast-friendly cell join —
+    * per eval doc only its own cell's members are scored, never the
+    * corpus.
+    *
+    * @return (in_id, n_sources, best_sim [6 dp, −2 when clean],
+    *         contaminated 1|0) for every assigned eval row */
+  def semanticContamination(evalBatch: DataFrame, index: DataFrame,
+      centers: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = assignToCells(evalBatch, centers)
+      .select(col("vec_id").as("in_id"), col("embedding").as("iv"),
+        col("vnorm").as("inorm"), col("cell"))
+    val members = index.select(col("cell"), col("nid"), col("nv"),
+      col("nnorm"))
+    assigned.join(members, Seq("cell"))
+      .withColumn("sim",
+        cosinePre(dotFast(col("iv"), col("nv")), col("inorm"), col("nnorm")))
+      .groupBy(col("in_id"))
+      .agg(
+        size(collect_set(when(col("sim") >= threshold, col("nid"))))
+          .cast("long").as("n_sources"),
+        round(coalesce(max(when(col("sim") >= threshold, col("sim"))),
+          lit(-2.0)), 6).as("best_sim"))
+      .select(col("in_id"), col("n_sources"), col("best_sim"),
+        when(col("n_sources") > 0, 1L).otherwise(0L).as("contaminated"))
+  }
+
   /** Semantic dedup (the SemDeDup shape: Abbas et al. 2023,
     * arXiv:2303.09540): LSH catches near-LITERAL duplicates; this is the
     * standard second pass that removes semantic duplicates in embedding

@@ -61,7 +61,12 @@ object VideoDedup {
     var fp = 0L
     b = 0
     while (b < 32) {
-      if (sums(b + 1) * lens(b) > sums(b) * lens(b + 1)) fp |= 1L << b
+      // 128-bit exact compare (AudioDedup.productGt): frame signatures
+      // are ≤ 1020 so int64 would suffice today, but the shared kernel
+      // keeps the no-wrap guarantee if the stub signature is replaced
+      // by a real decoder's wider luma sums
+      if (AudioDedup.productGt(sums(b + 1), lens(b), sums(b), lens(b + 1)))
+        fp |= 1L << b
       b += 1
     }
     Some(fp)
@@ -81,4 +86,17 @@ object VideoDedup {
     * verbatim (exact recall at Hamming ≤ 3). */
   def hammingPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
     AudioDedup.hammingPairs(fps, maxHamming)
+
+  /** The once-per-epoch blocked fingerprint index — same 32-bit/8-bit
+    * shape as audio, shared verbatim (q202/q203). */
+  def blockedIndex(fps: DataFrame): DataFrame =
+    AudioDedup.blockedIndex(fps)
+
+  /** INCREMENTAL near-dup gate for video (q202): the [[AudioDedup]]
+    * kernel verbatim — the fingerprints are the same 32-bit shape, so
+    * the 8-bit blocking, Hamming verification and per-incoming verdict
+    * are one shared code path across both temporal media classes. */
+  def incrementalMatches(epochFps: DataFrame, incomingFps: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    AudioDedup.incrementalMatches(epochFps, incomingFps, maxHamming)
 }
