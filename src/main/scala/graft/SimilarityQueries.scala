@@ -1531,6 +1531,27 @@ object SimilarityQueries {
       },
       Some(q202Oracle)),
 
+    // CROSS-MODAL (caption, image) pair construction (CrossModal):
+    // the multimodal trainer-file step — doc-keyed caption↔image
+    // pairing, NEAR-DUP-AWARE pair dedup (odd docs carry a
+    // +2-brightness copy of the previous even doc's image under a
+    // different caption; keep-lowest-id drops their pairs), and
+    // in-batch contrastive negatives (mix64 buckets; a pair's
+    // negatives exclude images within Hamming ≤ 3 of its own — the
+    // false-negative anti-join). The gate hashes the full manifest:
+    // per pair the keep verdict, batch, and the negative set's exact
+    // count/sum/min/max — one mis-dropped pair or one near-dup
+    // negative that leaks through moves a row. The oracle replays the
+    // dHash pixel formula, the near-dup relation, the mix64 batching
+    // and every negative aggregate.
+    Q("q201_crossmodal_pairs",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.CrossModal.pairManifest(d,
+          ImageDedup.fingerprints(Multimodal.pairMedia(d)), nBatches = 16)
+      },
+      Some(q201Oracle(nBatches = 16))),
+
     // SEMANTIC eval-set contamination (Similarity.semanticContamination):
     // the embedding-space sibling of q198's verbatim substring probe —
     // production releases report near-duplicate leakage (eval doc ≈
@@ -1744,4 +1765,59 @@ object SimilarityQueries {
       |  CAST(coalesce(g.best, -1) AS INT) AS best_hamming
       |FROM fps f LEFT JOIN agg g ON g.in_id = f.id
       |WHERE f.side = 1""".stripMargin
+
+  /** The q201 manifest replay: the q186 dHash pixel chain with the
+    * pair-media id mapping (bid = id − id%2, shift = 2·(id%2)), the
+    * near-dup drop relation, mix64 batching (vu % nBatches == Spark's
+    * remainderUnsigned), and per-pair negative aggregates. */
+  private def q201Oracle(nBatches: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, length(coalesce(text, '')) AS clen FROM documents),
+       |dims AS (SELECT id, clen, id - (id % 2) AS bid, 2 * (id % 2) AS shift
+       |  FROM docs),
+       |dims2 AS (SELECT id, clen, bid, shift,
+       |  8 + bid % 16 AS w, 8 + (bid // 3) % 16 AS h FROM dims),
+       |grid AS (
+       |  SELECT d.id, gx.x, gy.y,
+       |    (d.bid * 31 + ((gx.x * d.w) // 9) * 7 + ((gy.y * d.h) // 8) * 13
+       |      + (d.bid % 7) * ((gx.x * d.w) // 9) * ((gy.y * d.h) // 8)
+       |      + d.shift) % 256 AS v
+       |  FROM dims2 d, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+       |pbits AS (
+       |  SELECT a.id, a.y * 8 + a.x AS bit
+       |  FROM grid a JOIN grid b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 8 AND b.v > a.v),
+       |fpsu AS (
+       |  SELECT d.id, coalesce(sum(CAST(1 AS HUGEINT) << b.bit),
+       |    CAST(0 AS HUGEINT)) AS fpu
+       |  FROM dims2 d LEFT JOIN pbits b ON b.id = d.id GROUP BY d.id),
+       |fps AS (
+       |  SELECT id, CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+       |  FROM fpsu),
+       |blockedq AS (SELECT id, fp, block, (fp >> (block * 16)) & 65535 AS bv
+       |  FROM fps CROSS JOIN generate_series(0, 3) g(block)),
+       |dup AS (SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM blockedq a JOIN blockedq b ON a.block = b.block AND a.bv = b.bv
+       |  WHERE a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= 3),
+       |droppedq AS (SELECT DISTINCT idB AS id FROM dup),
+       |${RelationalQueries5.mix64Stages("fps", Seq("id"),
+            "CAST(id AS HUGEINT)", prefix = "p")},
+       |lbl AS (SELECT f.id, f.fp, CAST(m.vu % $nBatches AS BIGINT) AS batch,
+       |    f.id NOT IN (SELECT id FROM droppedq) AS kept
+       |  FROM fps f JOIN pmixed m USING (id)),
+       |keptp AS (SELECT id, fp, batch FROM lbl WHERE kept),
+       |negs AS (SELECT p.id, count(*) AS n_neg, CAST(sum(n.id) AS BIGINT) AS s,
+       |    min(n.id) AS mn, max(n.id) AS mx
+       |  FROM keptp p JOIN keptp n ON n.batch = p.batch AND n.id <> p.id
+       |  WHERE bit_count(xor(p.fp, n.fp)) > 3 GROUP BY p.id)
+       |SELECT d.id AS doc_id, CAST(d.clen AS BIGINT) AS caption_len,
+       |  CAST(CASE WHEN l.kept THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  l.batch,
+       |  CAST(coalesce(g.n_neg, 0) AS BIGINT) AS n_negatives,
+       |  CAST(coalesce(g.s, 0) AS BIGINT) AS neg_id_sum,
+       |  CAST(coalesce(g.mn, -1) AS BIGINT) AS neg_id_min,
+       |  CAST(coalesce(g.mx, -1) AS BIGINT) AS neg_id_max
+       |FROM docs d JOIN lbl l ON l.id = d.id
+       |LEFT JOIN negs g ON g.id = d.id""".stripMargin
 }

@@ -506,6 +506,19 @@ object Multimodal {
     MediaRow(id, "video/mp4", mp4Bytes("isom", p))
   }
 
+  /** Doc-keyed images for the cross-modal pair gate (q201): EVEN docs
+    * carry a fresh formula-A scene of their own id; ODD docs carry a
+    * +2-brightness NEAR-DUP of the previous even id's scene —
+    * cross-document image duplication under different captions, the
+    * exact case pair-level dedup exists for (keep-lowest-id keeps the
+    * even doc's pair). */
+  def pairMedia(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "image/png",
+        dhashPngA(id - id % 2, 2 * (id % 2))))
+  }
+
   /** The EPOCH side of the incremental video gate (q202/q203): one
     * base stub MP4 per document, no partners. */
   def videoEpoch(documents: DataFrame): Dataset[MediaRow] = {
