@@ -513,6 +513,80 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
 
+    // Interpolated KNESER-NEY bigram surprisal (Curation.
+    // kneserNeyTokens): the production perplexity filter (KenLM's
+    // default smoothing), completing the LM ladder add-one (q180) →
+    // stupid backoff (q188) → KN here. Discount D = 3/4 exact
+    // rational: every estimate is one integer ratio (see the operator
+    // scaladoc's three-arm table — discounted-ML + continuation
+    // interpolation / bare continuation / OOV floor), one ln per test
+    // bigram TYPE, micro-nat scores, exact-integer outlier cross-
+    // multiplication. Train on even ids, score the odd half; the
+    // planted odd doc carries words the train split cannot contain
+    // ('zzgone', 'qqfresh') so the OOV floor provably fires, and
+    // held-out text guarantees unseen-bigram interpolation and
+    // unseen-context continuation arms fire too.
+    Q("q204_kneser_ney",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(Seq((61001L,
+            "the data zzgone pipeline holds qqfresh words beyond zzgone reach today"))
+            .toDF("doc_id", "text"))
+        Curation.kneserNeyTokens(d, "doc_id",
+            TextFunctions.tokens(lower(col("text"))), col("doc_id") % 2 === 0)
+          .select(col("id").as("doc_id"), col("n_bigrams"),
+            col("mean_surprisal"), col("is_outlier"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 61001, 'the data zzgone pipeline holds qqfresh words beyond zzgone reach today'),
+             |lt AS (SELECT doc_id, doc_id % 2 = 0 AS is_train,
+             |    list_filter(string_split_regex(
+             |      regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+             |      t -> t <> '') AS L
+             |  FROM corpus),
+             |kbg AS (SELECT doc_id, is_train, L[i] AS u, L[i+1] AS v
+             |  FROM lt, unnest(generate_series(1, len(L) - 1)) AS s(i)
+             |  WHERE len(L) >= 2),
+             |kc2 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM kbg WHERE is_train GROUP BY 1, 2),
+             |kctx AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu,
+             |    CAST(count(*) AS BIGINT) AS n1f FROM kc2 GROUP BY u),
+             |knc AS (SELECT v, CAST(count(*) AS BIGINT) AS ncont
+             |  FROM kc2 GROUP BY v),
+             |knt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM kc2),
+             |ktt AS (SELECT doc_id, u, v, CAST(count(*) AS BIGINT) AS m
+             |  FROM kbg WHERE NOT is_train GROUP BY 1, 2, 3),
+             |kty AS (SELECT u, v, CAST(sum(m) AS BIGINT) AS mt FROM ktt GROUP BY 1, 2),
+             |ksc AS (SELECT y.u, y.v, y.mt,
+             |    CAST(round(-ln(CAST(
+             |      CASE WHEN x.cu IS NOT NULL AND (b.c IS NOT NULL OR n.ncont IS NOT NULL)
+             |        THEN greatest(4 * coalesce(b.c, 0) - 3, 0) * t.t
+             |          + 3 * x.n1f * coalesce(n.ncont, 0)
+             |      WHEN n.ncont IS NOT NULL THEN n.ncont
+             |      ELSE 1 END AS DOUBLE) / CAST(
+             |      CASE WHEN x.cu IS NOT NULL AND (b.c IS NOT NULL OR n.ncont IS NOT NULL)
+             |        THEN 4 * x.cu * t.t
+             |      WHEN n.ncont IS NOT NULL THEN t.t
+             |      ELSE 4 * t.t END AS DOUBLE)) * 1000000) AS BIGINT) AS s
+             |  FROM kty y LEFT JOIN kc2 b ON b.u = y.u AND b.v = y.v
+             |  LEFT JOIN kctx x ON x.u = y.u
+             |  LEFT JOIN knc n ON n.v = y.v
+             |  CROSS JOIN knt t),
+             |kgg AS (SELECT CAST(sum(s * mt) AS BIGINT) AS gt,
+             |  CAST(sum(mt) AS BIGINT) AS gn FROM ksc),
+             |kds AS (SELECT t.doc_id, CAST(sum(t.m) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(t.m * ksc.s) AS BIGINT) AS s_total
+             |  FROM ktt t JOIN ksc ON ksc.u = t.u AND ksc.v = t.v
+             |  GROUP BY 1)
+             |SELECT doc_id, n_bigrams,
+             |  round(CAST(s_total AS DOUBLE) / n_bigrams / 1000000, 4) AS mean_surprisal,
+             |  CAST(CASE WHEN 4 * s_total * g.gn > 5 * g.gt * n_bigrams
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+             |FROM kds, kgg g""".stripMargin)),
+
     // DoReMi-SHAPED domain reweighting (Curation.doremiWeights): the
     // iterative data-mixing step above q93's flat special case —
     // domains the MIXTURE unigram LM explains worse than their own LM

@@ -514,6 +514,96 @@ object Curation {
           .as("is_outlier"))
   }
 
+  /** Interpolated KNESER–NEY bigram surprisal (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the production-grade
+    * smoothed LM the perplexity filters of real pipelines run (KenLM's
+    * default), completing the LM ladder above add-one
+    * ([[bigramSurprisalTokens]]) and stupid backoff
+    * ([[trigramBackoffTokens]]). The absolute discount D = 3/4 is kept
+    * as an EXACT rational, so with Pcont(v) = Ncont(v)/T (distinct
+    * left-contexts of v over bigram TYPES T) the whole estimate is one
+    * integer ratio per scored bigram type:
+    *
+    *   u seen as context, and (u,v) seen or v seen as continuation:
+    *     P = (max(c(u,v) − D, 0) + D·N1+(u·)·Pcont(v)) / c(u·)
+    *       = [max(4c − 3, 0)·T + 3·N1+(u·)·Ncont(v)] / (4·c(u·)·T)
+    *   u unseen as context, v seen as continuation:
+    *     P = Pcont(v)                      (num = Ncont(v), den = T)
+    *   v unseen as continuation (incl. OOV):
+    *     P = 1/(4T)                        (the documented OOV floor)
+    *
+    * Surprisal per TYPE is round(−ln(num/den)·1e6) — one double
+    * division + one ln per distinct test bigram type, everything else
+    * integer (the q180/q188 micro-nat discipline); the outlier verdict
+    * is the exact cross-multiplication 4·s_total·G_n > 5·G_t·n_b.
+    * Counts fit on the `trainPred` split, scoring on the held-out
+    * rest, so every arm demonstrably fires.
+    *
+    * Scale shape: c2 / context / continuation tables are map-side-
+    * combining groupBys; the type→score joins are co-partitioned
+    * equi-joins on (u[,v]); only the 1-row T and G totals broadcast.
+    * Integer bounds: num ≤ 4·c·T + 3·N1+·Ncont and den = 4·c(u·)·T —
+    * inside int64 up to T·c(u·) ~ 2.3e18 (petabyte-scale corpora push
+    * the den product through ln(num) − ln(den) instead; the seam is
+    * this one expression). Docs with < 2 test tokens carry no bigrams
+    * and are absent from the output.
+    *
+    * @return (id, n_bigrams, mean_surprisal, is_outlier) for test docs */
+  def kneserNeyTokens(corpus: DataFrame, idCol: String,
+      toks0: Column, trainPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = OperatorCaches.track(corpus.select(col(idCol).as("id"),
+        trainPred.as("is_train"), posexplode(toks0).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0).persist())
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val bg = OperatorCaches.track(toks
+      .withColumn("v", lead(col("tok"), 1).over(w))
+      .filter(col("v").isNotNull).persist())
+    val c2 = OperatorCaches.track(bg.filter(col("is_train"))
+      .groupBy(col("tok"), col("v"))
+      .agg(count(lit(1)).as("c")).persist())
+    val ctx = c2.groupBy(col("tok"))
+      .agg(sum(col("c")).as("cu"), count(lit(1)).as("n1f"))
+    val ncont = c2.groupBy(col("v")).agg(count(lit(1)).as("ncont"))
+    val ntypes = c2.agg(count(lit(1)).as("_t"))
+    val testBg = OperatorCaches.track(bg.filter(!col("is_train"))
+      .groupBy(col("id"), col("tok"), col("v"))
+      .agg(count(lit(1)).as("m")).persist())
+    val types = testBg.groupBy(col("tok"), col("v")).agg(sum(col("m")).as("mt"))
+      .join(c2, Seq("tok", "v"), "left")
+      .join(ctx, Seq("tok"), "left")
+      .join(ncont, Seq("v"), "left")
+      .crossJoin(broadcast(ntypes))
+    val arm1 = col("cu").isNotNull &&
+      (col("c").isNotNull || col("ncont").isNotNull)
+    val num = when(arm1,
+        greatest(coalesce(col("c"), lit(0L)) * 4 - 3, lit(0L)) * col("_t") +
+          col("n1f") * 3 * coalesce(col("ncont"), lit(0L)))
+      .when(col("ncont").isNotNull, col("ncont"))
+      .otherwise(lit(1L))
+    val den = when(arm1, col("cu") * 4 * col("_t"))
+      .when(col("ncont").isNotNull, col("_t"))
+      .otherwise(col("_t") * 4)
+    val scored = OperatorCaches.track(types.select(col("tok"), col("v"),
+        col("mt"),
+        round(-log(num.cast("double") / den.cast("double")) * 1e6, 0)
+          .cast("long").as("s")).persist())
+    val totals = scored.agg(sum(col("s") * col("mt")).as("_gt"),
+      sum(col("mt")).as("_gn"))
+    testBg.join(scored.select(col("tok"), col("v"), col("s")),
+        Seq("tok", "v"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("s")).as("s_total"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("n_bigrams"),
+        round(col("s_total").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("mean_surprisal"),
+        when(col("s_total") * col("_gn") * 4 >
+          col("_gt") * col("n_bigrams") * 5, 1L).otherwise(0L)
+          .as("is_outlier"))
+  }
+
   /** CCNet-style perplexity TIERING (head / middle / tail): every doc
     * is assigned a quality tier by its mean unigram surprisal, with
     * the two tier boundaries taken as the exact terciles of the

@@ -488,6 +488,41 @@ class CurationSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("Kneser-Ney: every arm scores its hand case") {
+    import graft.functions.TextFunctions
+    // train (id 0): bigrams (a,b)x2,(b,c),(c,a),(b,d) → T = 4 types;
+    // kctx: a(cu 2, n1f 1), b(2, 2), c(1, 1); ncont: a,b,c,d all 1.
+    val corpus = Seq(
+      (0L, "a b c a b d"), // train (even id)
+      (1L, "a b"),  // arm 1 seen bigram: [max(8-3,0)*4 + 3*1*1] / (4*2*4) = 23/32
+      (3L, "a c"),  // arm 1 unseen bigram, seen ctx+cont: 3*1*1 / 32 = 3/32
+      (5L, "d a"),  // arm 2 unseen ctx, seen cont: ncont(a)/T = 1/4
+      (7L, "a z"),  // arm 3 OOV continuation under a seen ctx: 1/(4T) = 1/16
+      (9L, "z q"),  // arm 3 fully OOV: 1/16
+      (11L, "a")    // single token: no bigram, absent
+    ).toDF("doc_id", "text")
+    val got = Curation.kneserNeyTokens(corpus, "doc_id",
+        TextFunctions.tokens(lower(col("text"))), col("doc_id") % 2 === 0)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    def s(num: Long, den: Long): Long =
+      math.round(-math.log(num.toDouble / den.toDouble) * 1e6)
+    def mean(v: Long): Double =
+      BigDecimal(v.toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(got.keySet == Set(1L, 3L, 5L, 7L, 9L), "only test docs with >= 2 tokens")
+    assert(got.values.forall(_._2 == 1L))
+    assert(got(1L)._3 == mean(s(23, 32)))
+    assert(got(3L)._3 == mean(s(3, 32)))
+    assert(got(5L)._3 == mean(s(1, 4)))
+    assert(got(7L)._3 == mean(s(1, 16)))
+    assert(got(9L)._3 == mean(s(1, 16)))
+    // determinism
+    val again = Curation.kneserNeyTokens(corpus, "doc_id",
+        TextFunctions.tokens(lower(col("text"))), col("doc_id") % 2 === 0)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("QualityModel: count-sketch features, perceptron fit, end-to-end classify") {
     import graft.operators.QualityModel
     // featureRows: every token probes exactly two buckets + one bias row
