@@ -267,6 +267,40 @@ object CurationQueries {
              |  round(CAST(tot AS DOUBLE) / k / n_tokens, 6) AS weight
              |FROM s, t""".stripMargin)),
 
+    // TEMPERATURE-SCALED mixture weights (Curation.temperatureWeights):
+    // w ∝ n^α with α = 7/10 exact rational — the standard data-mixing
+    // middle (the LLaMA/UL2 upsampling recipe) between q93's uniform
+    // budget (α = 0) and proportional sampling (α = 1), completing the
+    // family q199's learned DoReMi weights sit on top of. Applied in
+    // log space on the micro-nat integer grid: one ln and one exp per
+    // DOMAIN, each rounded once onto integers (exp anchored at the
+    // largest domain, which reads exactly 1e6), then a pure integer
+    // share ratio. The oracle replays the same two float calls on the
+    // same grid plus the flooring division.
+    Q("q205_temperature_weights",
+      (spark, dir) =>
+        Curation.temperatureWeights(
+          Tables.load(spark, dir, "documents"), "source", "text"),
+      Some("""WITH s AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |lw AS (SELECT source, n_docs, n_tokens,
+             |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7) // 10
+             |      AS logw_micro
+             |  FROM s),
+             |mx AS (SELECT max(logw_micro) AS m FROM lw),
+             |wm AS (SELECT source, n_docs, n_tokens, logw_micro,
+             |    CAST(round(exp(CAST(logw_micro - (SELECT m FROM mx) AS DOUBLE)
+             |      / 1000000) * 1000000) AS BIGINT) AS weight_micro
+             |  FROM lw),
+             |tw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM wm)
+             |SELECT source, n_docs, n_tokens, logw_micro, weight_micro,
+             |  round(CAST(weight_micro AS DOUBLE) / (SELECT t FROM tw), 6)
+             |    AS weight_share
+             |FROM wm""".stripMargin)),
+
     // Fixed-point PageRank (operators/Graph.scala) — the link-analysis
     // quality prior of a web-crawl curation pipeline, over the bipartite
     // customer↔supplier interaction graph (both directions, supplier ids

@@ -757,4 +757,49 @@ object Curation {
         round(col("_tot").cast("double") / col("_k") / col("n_tokens"), 6)
           .as("weight"))
   }
+
+  /** TEMPERATURE-SCALED mixture weights — w(g) ∝ n(g)^α, the standard
+    * data-mixing recipe between [[mixtureWeights]]' uniform budget
+    * (α = 0) and proportional sampling (α = 1): the LLaMA/UL2-style
+    * upsampling of small domains without flattening the mixture.
+    * α is an EXACT rational (alphaNum/alphaDen, default 7/10), applied
+    * in log space on the micro-nat integer grid (the q180 discipline):
+    *
+    *   s(g)       = round(ln(n_tokens(g))·1e6)        [one ln/domain]
+    *   t(g)       = (alphaNum·s(g)) DIV alphaDen      [integer]
+    *   w_micro(g) = round(exp((t(g) − max_t)/1e6)·1e6)[one exp/domain]
+    *   share(g)   = round(w_micro(g) / Σ w_micro, 6)  [integer ratio]
+    *
+    * The exp is anchored at the LARGEST domain (w_micro = 1e6 exactly
+    * for it, everything else relative), so the two float calls per
+    * domain are each rounded ONCE onto an integer grid before any
+    * arithmetic that could compound drift.
+    *
+    * Scale shape: one map-side-combining groupBy over the corpus plus
+    * a 1-row broadcast (max_t, Σ); the domain table is tiny by
+    * definition — no driver collect anywhere. */
+  def temperatureWeights(corpus: DataFrame, groupCol: String,
+      textCol: String, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame = {
+    val stats = corpus.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col(textCol))).cast("long"))
+          .as("n_tokens"))
+    // integer DIV (not /, which widens to double in Spark SQL) — all
+    // operands nonnegative, so DIV == DuckDB's flooring //
+    val logw = stats.select(col(groupCol), col("n_docs"), col("n_tokens"),
+      expr(s"(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)" +
+        s" * $alphaNum) DIV $alphaDen").as("logw_micro"))
+    val mx = logw.agg(max(col("logw_micro")).as("_mx"))
+    val wm = logw.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("logw_micro"),
+        round(exp((col("logw_micro") - col("_mx")).cast("double") / 1e6) * 1e6,
+          0).cast("long").as("weight_micro"))
+    val tot = wm.agg(sum(col("weight_micro")).as("_tw"))
+    wm.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("logw_micro"), col("weight_micro"),
+        round(col("weight_micro").cast("double") / col("_tw"), 6)
+          .as("weight_share"))
+  }
 }

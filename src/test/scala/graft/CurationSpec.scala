@@ -488,6 +488,49 @@ class CurationSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("temperatureWeights: anchor, monotonicity, alpha endpoints") {
+    val docs = (
+      (0L until 2L).map(i => (i, "tiny", "three token text")) ++
+      (2L until 6L).map(i => (i, "mid", "six tokens of middling body here")) ++
+      (6L until 18L).map(i => (i, "big", "twelve tokens in every single one of these larger documents right here"))
+    ).toDF("doc_id", "dom", "text")
+    val got = Curation.temperatureWeights(docs, "dom", "text")
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("tiny", "mid", "big"))
+    // the largest domain anchors at exactly 1e6 micro
+    assert(got("big")._5 == 1000000L)
+    // weights are monotone in size but FLATTER than proportional:
+    // n(big)/n(tiny) = 144/6 = 24x, α=0.7 → ratio 24^0.7 ≈ 9.2x
+    assert(got("tiny")._5 < got("mid")._5 && got("mid")._5 < got("big")._5)
+    val ratio = got("big")._5.toDouble / got("tiny")._5
+    val expected = math.pow(got("big")._3.toDouble / got("tiny")._3, 0.7)
+    assert(math.abs(ratio - expected) / expected < 0.001,
+      s"w-ratio $ratio must track n^0.7 = $expected")
+    // shares sum to ~1
+    assert(math.abs(got.values.map(_._6).sum - 1.0) < 1e-4)
+    // α = 1 endpoint: proportional sampling (shares track token shares)
+    val prop = Curation.temperatureWeights(docs, "dom", "text",
+        alphaNum = 1, alphaDen = 1)
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val nTot = prop.values.map(_._3).sum.toDouble
+    prop.values.foreach { r =>
+      assert(math.abs(r._6 - r._3 / nTot) < 1e-3,
+        s"alpha=1 must be proportional: $r")
+    }
+    // α = 0 endpoint: flat mixture
+    val flat = Curation.temperatureWeights(docs, "dom", "text",
+        alphaNum = 0, alphaDen = 1)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(flat.forall(_._5 == 1000000L), "alpha=0 weighs every domain equally")
+    // determinism
+    val again = Curation.temperatureWeights(docs, "dom", "text")
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("Kneser-Ney: every arm scores its hand case") {
     import graft.functions.TextFunctions
     // train (id 0): bigrams (a,b)x2,(b,c),(c,a),(b,d) → T = 4 types;
