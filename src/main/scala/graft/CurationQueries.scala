@@ -547,6 +547,64 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
 
+    // CORPUS-WIDE LINE DEDUP (Curation.lineDedup) — the RefinedWeb/
+    // CCNet boilerplate filter, the line-granularity member of the
+    // dedup family (substring q172+ / line here / document q30): any
+    // line occurring >= 3 times across the corpus is boilerplate and
+    // every occurrence drops; docs reassemble from surviving lines in
+    // order. The corpus is made genuinely multi-line by a
+    // deterministic newline every 7 tokens (replayed token-exactly in
+    // SQL), and half the docs (%4 in 0,1) carry a planted 'subscribe'
+    // boilerplate line that must vanish everywhere; organic 7-token
+    // line collisions dedup too. The gate hashes per-doc line counts,
+    // dropped counts, and the sha256 of the reassembled text — one
+    // mis-ordered or mis-dropped line moves a doc's sha.
+    Q("q206_line_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val ml = d.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("_tk"))
+          .select(col("doc_id"),
+            expr("array_join(transform(sequence(0, CAST((size(_tk)-1) DIV 7 AS INT)), " +
+              "i -> array_join(slice(_tk, i*7+1, 7), ' ')), '\n')").as("t0"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 <= 1,
+              concat(col("t0"), lit("\nsubscribe to our newsletter today")))
+              .otherwise(col("t0")).as("text"))
+        Curation.lineDedup(ml, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_dropped"),
+            col("clean_len"), col("content_sha"))
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+             |  FROM documents),
+             |ml AS (SELECT doc_id, array_to_string(
+             |    list_transform(generate_series(0, (len(t) - 1) // 7),
+             |      i -> array_to_string(t[i*7 + 1 : i*7 + 7], ' ')),
+             |    chr(10)) AS t0
+             |  FROM tk),
+             |corpus AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 4 <= 1
+             |      THEN t0 || chr(10) || 'subscribe to our newsletter today'
+             |      ELSE t0 END AS text
+             |  FROM ml),
+             |lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+             |ln AS (SELECT doc_id, i.i - 1 AS pos, ls[i.i] AS line
+             |  FROM lns, unnest(generate_series(1, len(ls))) AS i(i)),
+             |bad AS (SELECT line FROM ln GROUP BY line HAVING count(*) >= 3)
+             |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  CAST(length(coalesce(string_agg(
+             |    CASE WHEN b.line IS NULL THEN l.line END, chr(10)
+             |    ORDER BY l.pos), '')) AS BIGINT) AS clean_len,
+             |  sha256(coalesce(string_agg(
+             |    CASE WHEN b.line IS NULL THEN l.line END, chr(10)
+             |    ORDER BY l.pos), '')) AS content_sha
+             |FROM ln l LEFT JOIN bad b USING (line)
+             |GROUP BY l.doc_id""".stripMargin)),
+
     // Interpolated KNESER-NEY bigram surprisal (Curation.
     // kneserNeyTokens): the production perplexity filter (KenLM's
     // default smoothing), completing the LM ladder add-one (q180) →

@@ -277,7 +277,16 @@ object Curation {
     * (offset of the document's first token in the shard's concatenated
     * stream) and seq_id (the budget-sized sequence that first token
     * lands in, = start_off DIV budget). Deterministic: ordering is by
-    * the unique id. */
+    * the unique id.
+    *
+    * `shards` IS the scale contract: each shard's cumulative offset is
+    * ONE window task holding that shard's slim (id, n_tokens) rows —
+    * ~16 bytes/doc — so per-task state is corpus_docs/shards rows. Size
+    * shards ∝ corpus (docs/shards ≲ 10M keeps a task under ~200 MB); a
+    * FIXED shard count at a growing corpus funnels every row through
+    * the same few tasks. The knob costs nothing downstream — shards
+    * are independent output files, exactly how pre-tokenized dataset
+    * writers parallelize. */
   def packSequences(corpus: DataFrame, idCol: String, toks: Column,
       budgetTokens: Int, shards: Int): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
@@ -756,6 +765,50 @@ object Curation {
         round(col("n_tokens").cast("double") / col("_tot"), 6).as("token_share"),
         round(col("_tot").cast("double") / col("_k") / col("n_tokens"), 6)
           .as("weight"))
+  }
+
+  /** CORPUS-WIDE LINE-LEVEL DEDUP (the RefinedWeb/CCNet boilerplate
+    * filter): any line whose occurrence count across the WHOLE corpus
+    * reaches `minOcc` is boilerplate (nav bars, cookie banners,
+    * "subscribe" calls) and every occurrence is dropped; documents are
+    * reassembled from their surviving lines in original order. This is
+    * the line-granularity member of the dedup family — coarser than
+    * substring dedup (q172+), finer than document dedup (q30) — and
+    * the one production web pipelines run FIRST because boilerplate
+    * dominates crawl bytes.
+    *
+    * Scale shape: one explode + one map-side-combining line count +
+    * one join back on the line key, then a per-doc aggregation —
+    * reassembly sorts each doc's own lines inside its aggregation
+    * buffer (array_sort over collect_list), never a global sort. At
+    * 100 TB the join key becomes a 128-bit line hash (8–16 bytes
+    * instead of the line text) with the same plan shape; the string
+    * key here keeps the oracle replay byte-exact.
+    *
+    * @return (id, n_lines, n_dropped, clean_len, content_sha) */
+  def lineDedup(corpus: DataFrame, idCol: String, textCol: String,
+      minOcc: Int = 3): DataFrame = {
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val lines = OperatorCaches.track(corpus
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .persist())
+    val bad = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minOcc)
+      .select(col("line"), lit(true).as("_bad"))
+    lines.join(bad, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_dropped"),
+        collect_list(when(col("_bad").isNull,
+          struct(col("pos"), col("line")))).as("_ls"))
+      .select(col("id"), col("n_lines"), col("n_dropped"),
+        array_join(expr("transform(array_sort(_ls), s -> s.line)"), "\n")
+          .as("_clean"))
+      .select(col("id"), col("n_lines"), col("n_dropped"),
+        length(col("_clean")).cast("long").as("clean_len"),
+        sha2(col("_clean"), 256).as("content_sha"))
   }
 
   /** TEMPERATURE-SCALED mixture weights — w(g) ∝ n(g)^α, the standard

@@ -488,6 +488,35 @@ class CurationSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("lineDedup: boilerplate drops everywhere, unique lines survive in order") {
+    val docs = Seq(
+      (1L, "alpha unique\nSUBSCRIBE NOW\nbeta unique"),
+      (2L, "gamma unique\nSUBSCRIBE NOW"),
+      (3L, "SUBSCRIBE NOW\ndelta unique"),
+      (4L, "only unique lines\nhere entirely"),
+      (5L, "twice shared\nepsilon unique"),
+      (6L, "twice shared\nzeta unique")).toDF("doc_id", "text")
+    val got = Curation.lineDedup(docs, "doc_id", "text", minOcc = 3)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // SUBSCRIBE NOW occurs 3x → dropped from all three docs
+    assert(got(1L)._2 == 3 && got(1L)._3 == 1)
+    assert(got(2L)._3 == 1 && got(3L)._3 == 1)
+    // 'twice shared' occurs only 2x < minOcc → kept
+    assert(got(5L)._3 == 0 && got(6L)._3 == 0)
+    assert(got(4L)._3 == 0)
+    // reassembly preserves original order around the excision
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._5 == sha("alpha unique\nbeta unique"))
+    assert(got(3L)._5 == sha("delta unique"))
+    assert(got(5L)._5 == sha("twice shared\nepsilon unique"))
+    assert(got(1L)._4 == "alpha unique\nbeta unique".length.toLong)
+    // determinism
+    val again = Curation.lineDedup(docs, "doc_id", "text", minOcc = 3)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("temperatureWeights: anchor, monotonicity, alpha endpoints") {
     val docs = (
       (0L until 2L).map(i => (i, "tiny", "three token text")) ++
