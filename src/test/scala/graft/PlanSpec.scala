@@ -236,6 +236,47 @@ class PlanSpec extends SparkSuite {
       !aud.contains("BroadcastNestedLoopJoin"), aud.take(2000))
   }
 
+  test("q201/q202: pair manifest and video pairing stay bucketed, never all-pairs") {
+    import graft.operators.{CrossModal, ImageDedup, VideoDedup, Multimodal}
+    val d = Tables.load(spark, sf("sf0.01"), "documents")
+    val vid = VideoDedup.incrementalMatches(
+        VideoDedup.fingerprints(Multimodal.videoEpoch(d)),
+        VideoDedup.fingerprints(Multimodal.videoIncoming(d)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!vid.contains("CartesianProduct") &&
+      !vid.contains("BroadcastNestedLoopJoin"),
+      "video matches must come from the (block, bv) equi-join:\n" + vid.take(2000))
+    val pm = CrossModal.pairManifest(d,
+        ImageDedup.fingerprints(Multimodal.pairMedia(d)), nBatches = 16)
+      .queryExecution.executedPlan.toString
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      "pair dedup is block-bucketed; negatives are a batch equi-join:\n" +
+        pm.take(2000))
+  }
+
+  test("q200: the contamination probe joins per-cell, never corpus-wide") {
+    val p = plan("q200_semantic_eval_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "eval docs must join only their own cell's members:\n" + p.take(2500))
+  }
+
+  test("q204/q206: count/line joins are equi-joins; only 1-row totals nest-loop") {
+    val p = plan("q204_kneser_ney")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the 1-row T and G totals are the only nest-loops (the persisted
+    // `scored` subtree shows twice pre-materialization, as in q188)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 3, s"$nlj nest-loops (want <= 3: T + G + cached dup):\n" +
+      p.take(2500))
+    val q = plan("q206_line_dedup")
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"), q.take(2000))
+    assert(!q.contains("Exchange SinglePartition"),
+      "line reassembly must stay per-doc, no global funnel:\n" + q.take(2500))
+  }
+
   test("q185: scoring is one feature aggregation + broadcast weight join, no window") {
     // classify() runs the (bounded) sample collect + driver fit while
     // BUILDING the frame — the plan under test is the distributed
