@@ -89,7 +89,12 @@ object Bench {
     // round-13 late additions (min over two solo passes, calib 2.04-2.12;
     // mild ~1.1x contention errs these HIGH = conservative for regress)
     "q190"->1.804, "q191"->1.319, "q192"->4.779, "q193"->3.971,
-    "q194"->2.568, "q195"->2.747, "q196"->1.051, "q197"->0.638, "q198"->0.793, "q199"->1.582)
+    "q194"->2.568, "q195"->2.747, "q196"->1.051, "q197"->0.638, "q198"->0.793, "q199"->1.582,
+    // round-14 additions (clean solo min-of-3, calib 2.034, rc 0;
+    // normalized to the anchor scale by the same run's 12-control
+    // median ratio 1.0658 — BASELINE.md "round-14 append")
+    "q200"->3.331, "q201"->2.043, "q202"->0.558, "q203"->1.230,
+    "q204"->3.750, "q205"->0.586, "q206"->0.834)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
