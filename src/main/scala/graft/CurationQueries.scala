@@ -471,6 +471,52 @@ object CurationQueries {
       },
       Some(q185Oracle)),
 
+    // STREAMING LEARNED GATE — the q185 classifier at INGEST time, the
+    // streaming cell of the learned-curation family (rules gate q183 /
+    // learned batch q192 / learned stream here): weights fit once
+    // batch-side (the capped per-class sample), then the stream is
+    // scored ROW-WISE by a scorer closing over the 65 weights —
+    // by linearity w·x equals the per-token accumulation
+    // w[p1(tok)]+w[p2(tok)] summed + bias (spec-proven equal to the
+    // distributed dot product) — so the gate is STATELESS: Append mode,
+    // zero state store, no aggregation anywhere on the stream. Same
+    // fit replay as q185's oracle; streaming correctness IS batch
+    // equality.
+    Q("q207_streaming_learned_gate",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(TextQueries.qualityPlanted.toDF("doc_id", "text"))
+        val inDir = s"/tmp/graft-qgstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(d, "doc_id", s"$dir/documents_qgstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          d.write.mode("overwrite").parquet(inDir)
+        val w = graft.operators.QualityModel.fitWeights(d, "doc_id", "text",
+          TextQueries.gopherRules(col("text")).keep)
+        val score = graft.operators.QualityModel.scoreText(w)
+        val scored = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream
+            .select(col("doc_id"), score(col("text")).as("score"))
+            .select(col("doc_id"), col("score"),
+              when(col("score") > 0, 1L).otherwise(0L).as("pred")),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q207_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        d.select(col("doc_id"),
+            when(TextQueries.gopherRules(col("text")).keep, 1L)
+              .otherwise(0L).as("label"))
+          .join(scored, Seq("doc_id"))
+          .select(col("doc_id"), col("label"), col("score"), col("pred"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${TextQueries.qualityPlantedSql}),
+             |${classifierCtes("corpus")}
+             |SELECT l.doc_id, l.y AS label, sc.z AS score,
+             |  CAST(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+             |FROM lab l JOIN sc USING (doc_id)""".stripMargin)),
+
     // TRIGRAM STUPID-BACKOFF surprisal (Curation.trigramBackoffTokens):
     // q180's bigram LM extended one order with the Brants et al. 2007
     // backoff, and the first surprisal query where backoff is REAL —

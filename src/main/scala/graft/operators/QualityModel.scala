@@ -169,17 +169,12 @@ object QualityModel {
     ids
   }
 
-  /** Full operator: label every doc with `label` (1 = keep), train on
-    * the mix64 bottom-`sampleCap` docs OF EACH CLASS — a constant-
-    * bounded deterministic sample whatever the corpus size or label
-    * skew, and still one rank predicate in SQL, which is what lets
-    * the oracle rebuild the exact sample — then score EVERY doc with
-    * the broadcast weights.
-    *
-    * Returns (id, label, score, pred, in_sample): score is the exact
-    * integer dot product w·x, pred = score > 0. */
-  def classify(corpus: DataFrame, idCol: String, textCol: String,
-      label: Column, sampleCap: Int = SampleCap): DataFrame = {
+  /** The shared fit pipeline: labels and feature rows (persisted via
+    * the caches contract), the capped per-class sample ids, and the
+    * driver-local weights. */
+  private def fitCore(corpus: DataFrame, idCol: String, textCol: String,
+      label: Column, sampleCap: Int)
+      : (DataFrame, DataFrame, Array[Long], Array[Long]) = {
     val labels = OperatorCaches.track(corpus.select(col(idCol).as("id"),
       when(label, 1).otherwise(0).as("y")).persist())
     val feats = OperatorCaches.track(
@@ -196,8 +191,59 @@ object QualityModel {
       doc.x(r.getInt(2)) = r.getLong(3)
     }
     require(byDoc.size <= 2 * sampleCap,
-      s"QualityModel.classify: sample of ${byDoc.size} docs exceeds 2×$sampleCap")
-    val w = fit(byDoc.values.toArray.sortBy(_.id))
+      s"QualityModel.fitCore: sample of ${byDoc.size} docs exceeds 2×$sampleCap")
+    (labels, feats, ids, fit(byDoc.values.toArray.sortBy(_.id)))
+  }
+
+  /** Fit only: the Dim weights from the capped per-class sample — for
+    * callers that score elsewhere (the streaming gate closes a
+    * row-wise scorer over these). */
+  def fitWeights(corpus: DataFrame, idCol: String, textCol: String,
+      label: Column, sampleCap: Int = SampleCap): Array[Long] =
+    fitCore(corpus, idCol, textCol, label, sampleCap)._4
+
+  /** ROW-WISE integer scorer over fitted weights: one pass per doc,
+    * accumulating w[probe1(tok)] + w[probe2(tok)] per token + the bias
+    * weight — by linearity exactly the distributed groupBy-then-dot
+    * score (Σ_b w(b)·x(b)), proven equal by spec. STATELESS, so it
+    * scores a streaming frame with zero state store; the weights ride
+    * in the closure (65 longs). Token basis matches [[featureRows]]:
+    * whitespace tokens of the lowercased text, empties dropped. */
+  def scoreText(w: Array[Long]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(w.length == Dim, s"scoreText: ${w.length} weights, want $Dim")
+    udf((text: String) => {
+      var z = w(BiasIdx)
+      if (text != null) {
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t.nonEmpty) {
+            z += w((graft.functions.TextFunctions.fnv1a64(t)
+              & (NumBuckets - 1L)).toInt)
+            z += w(NumBuckets + (graft.functions.TextFunctions.fnv1a64(t.reverse)
+              & (NumBuckets - 1L)).toInt)
+          }
+          i += 1
+        }
+      }
+      z
+    })
+  }
+
+  /** Full operator: label every doc with `label` (1 = keep), train on
+    * the mix64 bottom-`sampleCap` docs OF EACH CLASS — a constant-
+    * bounded deterministic sample whatever the corpus size or label
+    * skew, and still one rank predicate in SQL, which is what lets
+    * the oracle rebuild the exact sample — then score EVERY doc with
+    * the broadcast weights.
+    *
+    * Returns (id, label, score, pred, in_sample): score is the exact
+    * integer dot product w·x, pred = score > 0. */
+  def classify(corpus: DataFrame, idCol: String, textCol: String,
+      label: Column, sampleCap: Int = SampleCap): DataFrame = {
+    val (labels, feats, ids, w) =
+      fitCore(corpus, idCol, textCol, label, sampleCap)
     val spark = corpus.sparkSession
     import spark.implicits._
     val wDf = w.zipWithIndex.map { case (wv, b) => (b, wv) }.toSeq

@@ -639,6 +639,25 @@ class CurationSpec extends SparkSuite {
       s"separable corpus must classify perfectly: ${out.filter(r => r._2 != r._4).toSeq}")
   }
 
+  test("QualityModel.scoreText: row-wise scorer equals the distributed dot product") {
+    import graft.operators.QualityModel
+    val corpus = Seq(
+      (1L, "  The QUICK  brown fox  "), (2L, "a b a b a"),
+      (3L, ""), (4L, "onetoken"), (5L, "\trepeat repeat\nrepeat")
+    ).toDF("doc_id", "text")
+    val w = (0 until QualityModel.Dim).map(i => (i * 37 % 23 - 11).toLong).toArray
+    val wDf = w.zipWithIndex.map { case (wv, b) => (b, wv) }.toSeq.toDF("b", "w")
+    val dist = QualityModel.featureRows(corpus, "doc_id", "text")
+      .join(broadcast(wDf), Seq("b"))
+      .groupBy(col("id")).agg(sum(col("w") * col("x")).as("score"))
+      .as[(Long, Long)].collect().toMap
+    val rowWise = corpus
+      .select(col("doc_id"), QualityModel.scoreText(w)(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(rowWise == dist,
+      s"row-wise and distributed scores must be identical:\n$rowWise\n$dist")
+  }
+
   test("QualityModel: fit sample is constant-bounded regardless of corpus size and label skew") {
     import graft.operators.QualityModel
     val cap = 16
