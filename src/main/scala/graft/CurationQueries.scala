@@ -471,6 +471,61 @@ object CurationQueries {
       },
       Some(q185Oracle)),
 
+    // CLASSIFIER CALIBRATION SWEEP — the evaluation layer every learned
+    // gate ships with: the q185 (label, score) table swept over a fixed
+    // 13-point threshold grid spanning the score range, yielding the
+    // full confusion matrix + precision/recall per operating point (the
+    // curve a pipeline owner reads to PICK the gate threshold; q185's
+    // pred is the t = 0 row). Counts are exact integers; the two ratios
+    // divide once and round once (zero denominators floored at 1 →
+    // exact 0.0 both engines). The oracle replays the ENTIRE fit yet
+    // again (shared classifierCtes) plus the sweep — a one-unit score
+    // drift on one doc moves a cell of some confusion row.
+    Q("q208_classifier_calibration",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(TextQueries.qualityPlanted.toDF("doc_id", "text"))
+        val v = graft.operators.QualityModel.classify(d, "doc_id", "text",
+          TextQueries.gopherRules(col("text")).keep)
+        val ts = Seq(-3200L, -1600L, -800L, -400L, -200L, -100L, 0L,
+          100L, 200L, 400L, 800L, 1600L, 3200L).toDF("threshold")
+        v.crossJoin(broadcast(ts))
+          .groupBy(col("threshold"))
+          .agg(
+            sum(when(col("label") === 1 && col("score") > col("threshold"),
+              1L).otherwise(0L)).as("tp"),
+            sum(when(col("label") === 0 && col("score") > col("threshold"),
+              1L).otherwise(0L)).as("fp"),
+            sum(when(col("label") === 1 && col("score") <= col("threshold"),
+              1L).otherwise(0L)).as("fn"),
+            sum(when(col("label") === 0 && col("score") <= col("threshold"),
+              1L).otherwise(0L)).as("tn"))
+          .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+            round(col("tp").cast("double") /
+              greatest(col("tp") + col("fp"), lit(1L)), 6).as("prec"),
+            round(col("tp").cast("double") /
+              greatest(col("tp") + col("fn"), lit(1L)), 6).as("rec"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${TextQueries.qualityPlantedSql}),
+             |${classifierCtes("corpus")},
+             |v AS (SELECT l.doc_id, l.y, sc.z FROM lab l JOIN sc USING (doc_id)),
+             |th AS (SELECT CAST(unnest([-3200, -1600, -800, -400, -200, -100,
+             |    0, 100, 200, 400, 800, 1600, 3200]) AS BIGINT) AS threshold),
+             |cagg AS (SELECT t.threshold,
+             |    CAST(sum(CASE WHEN v.y = 1 AND v.z > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN v.y = 0 AND v.z > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN v.y = 1 AND v.z <= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(sum(CASE WHEN v.y = 0 AND v.z <= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM th t CROSS JOIN v GROUP BY 1)
+             |SELECT threshold, tp, fp, fn, tn,
+             |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS prec,
+             |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS rec
+             |FROM cagg""".stripMargin)),
+
     // STREAMING LEARNED GATE — the q185 classifier at INGEST time, the
     // streaming cell of the learned-curation family (rules gate q183 /
     // learned batch q192 / learned stream here): weights fit once
