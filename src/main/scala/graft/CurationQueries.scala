@@ -706,6 +706,73 @@ object CurationQueries {
              |FROM ln l LEFT JOIN bad b USING (line)
              |GROUP BY l.doc_id""".stripMargin)),
 
+    // INCREMENTAL line dedup (Curation.lineDedupIncremental) — q206's
+    // daily-ingest form: the epoch's boilerplate line set is computed
+    // once (the saved index; in production bucketed on the line hash),
+    // and each incoming doc drops exactly the lines that index marks.
+    // Incoming docs are derived three-liners: a NOVEL per-doc line
+    // (must survive), the planted 'subscribe' boilerplate (epoch count
+    // >= 3 — must drop), and the doc's own first epoch line (drops only
+    // if organically boilerplate — decided by the replayed index).
+    // Incoming-only repetition deliberately does NOT dedup (not
+    // boilerplate until the epoch roll sees it — the epoch-index
+    // semantics the incremental media/substring gates share).
+    Q("q209_incremental_line_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val base = d.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("_tk"))
+          .select(col("doc_id"), col("_tk"),
+            expr("array_join(transform(sequence(0, CAST((size(_tk)-1) DIV 7 AS INT)), " +
+              "i -> array_join(slice(_tk, i*7+1, 7), ' ')), '\n')").as("t0"))
+        val epoch = base.select(col("doc_id"),
+          when(col("doc_id") % 4 <= 1,
+            concat(col("t0"), lit("\nsubscribe to our newsletter today")))
+            .otherwise(col("t0")).as("text"))
+        val incoming = base.select((col("doc_id") + 70000L).as("doc_id"),
+          concat(lit("fresh line for doc "), col("doc_id").cast("string"),
+            lit("\nsubscribe to our newsletter today\n"),
+            expr("array_join(slice(_tk, 1, 7), ' ')")).as("text"))
+        Curation.lineDedupIncremental(epoch, incoming, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_dropped"),
+            col("clean_len"), col("content_sha"))
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+             |  FROM documents),
+             |ml AS (SELECT doc_id, t, array_to_string(
+             |    list_transform(generate_series(0, (len(t) - 1) // 7),
+             |      i -> array_to_string(t[i*7 + 1 : i*7 + 7], ' ')),
+             |    chr(10)) AS t0
+             |  FROM tk),
+             |epoch AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 4 <= 1
+             |      THEN t0 || chr(10) || 'subscribe to our newsletter today'
+             |      ELSE t0 END AS text
+             |  FROM ml),
+             |eln AS (SELECT unnest(string_split(text, chr(10))) AS line FROM epoch),
+             |bad AS (SELECT line FROM eln GROUP BY line HAVING count(*) >= 3),
+             |inc AS (SELECT doc_id + 70000 AS doc_id,
+             |    'fresh line for doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             |    'subscribe to our newsletter today' || chr(10) ||
+             |    array_to_string(t[1:7], ' ') AS text
+             |  FROM ml),
+             |ilns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inc),
+             |iln AS (SELECT doc_id, i.i - 1 AS pos, ls[i.i] AS line
+             |  FROM ilns, unnest(generate_series(1, len(ls))) AS i(i))
+             |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  CAST(length(coalesce(string_agg(
+             |    CASE WHEN b.line IS NULL THEN l.line END, chr(10)
+             |    ORDER BY l.pos), '')) AS BIGINT) AS clean_len,
+             |  sha256(coalesce(string_agg(
+             |    CASE WHEN b.line IS NULL THEN l.line END, chr(10)
+             |    ORDER BY l.pos), '')) AS content_sha
+             |FROM iln l LEFT JOIN bad b USING (line)
+             |GROUP BY l.doc_id""".stripMargin)),
+
     // Interpolated KNESER-NEY bigram surprisal (Curation.
     // kneserNeyTokens): the production perplexity filter (KenLM's
     // default smoothing), completing the LM ladder add-one (q180) →

@@ -793,10 +793,22 @@ object Curation {
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .persist())
-    val bad = lines.groupBy(col("line"))
+    dropAndAssemble(lines, lineBoilerplate(lines, minOcc))
+  }
+
+  /** The corpus's boilerplate line set: (line, _bad) for every line at
+    * `minOcc`+ occurrences — the once-per-epoch index the incremental
+    * form joins (in production saved bucketed on the line hash). */
+  private def lineBoilerplate(lines: DataFrame, minOcc: Int): DataFrame =
+    lines.groupBy(col("line"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minOcc)
       .select(col("line"), lit(true).as("_bad"))
+
+  /** Shared tail of both line-dedup forms: mark lines against the
+    * boilerplate set, reassemble survivors in original order inside
+    * each doc's aggregation buffer. */
+  private def dropAndAssemble(lines: DataFrame, bad: DataFrame): DataFrame =
     lines.join(bad, Seq("line"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_lines"),
@@ -809,6 +821,25 @@ object Curation {
       .select(col("id"), col("n_lines"), col("n_dropped"),
         length(col("_clean")).cast("long").as("clean_len"),
         sha2(col("_clean"), 256).as("content_sha"))
+
+  /** INCREMENTAL line dedup — [[lineDedup]]'s daily-ingest form: the
+    * EPOCH corpus's boilerplate set is computed once (count ≥ minOcc
+    * over epoch lines only — the saved index a daily batch joins with
+    * zero epoch-side recompute); incoming docs drop exactly the lines
+    * that index marks and reassemble. Incoming-only repetition does
+    * NOT dedup here by design (it isn't boilerplate until the epoch
+    * roll sees it — the q174/q190 epoch-index semantics at line
+    * granularity).
+    *
+    * @return per incoming doc: (id, n_lines, n_dropped, clean_len,
+    *         content_sha) */
+  def lineDedupIncremental(epoch: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, minOcc: Int = 3): DataFrame = {
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    def explodeLines(df: DataFrame) = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val bad = lineBoilerplate(explodeLines(epoch), minOcc)
+    dropAndAssemble(explodeLines(incoming), bad)
   }
 
   /** TEMPERATURE-SCALED mixture weights — w(g) ∝ n(g)^α, the standard
