@@ -94,7 +94,10 @@ object Bench {
     // normalized to the anchor scale by the same run's 12-control
     // median ratio 1.0658 — BASELINE.md "round-14 append")
     "q200"->3.331, "q201"->2.043, "q202"->0.558, "q203"->1.230,
-    "q204"->3.750, "q205"->0.586, "q206"->0.834)
+    "q204"->3.750, "q205"->0.586, "q206"->0.834,
+    // round-14 late additions (clean solo min-of-3, calib 2.082,
+    // 12-control median 0.995, regress 0 — BASELINE.md)
+    "q207"->2.346, "q208"->2.694, "q209"->0.878)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
