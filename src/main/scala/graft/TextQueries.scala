@@ -1162,6 +1162,54 @@ object TextQueries {
              |SELECT qid, nid, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 3 AND qid < 30""".stripMargin)),
 
+    // OKAPI BM25 top-k retrieval (operators/Bm25) — the production
+    // ranking function next to q76's cosine, formulated EXACT-INTEGER:
+    // k1 = 6/5 and b = 3/4 as rationals, Lucene's idf as one
+    // −ln(int/int) micro-nat per TERM, the tf saturation cleared of
+    // denominators by 20·T, and every per-term contribution rounded to
+    // an integer with (2ap + q) DIV 2q — so the per-doc score is an
+    // integer SUM (associative: distributed aggregation order cannot
+    // drift, unlike float BM25). Queries = the first 20 docs' term
+    // sets, self excluded, top-10 by (score DESC, id) total order.
+    // The oracle replays tf/df/dl/idf and the flooring division.
+    Q("q210_bm25_topk",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Bm25.topK(d, "doc_id", "text",
+          col("id") < 20, k = 10)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS id,
+             |    unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+             |       WHERE length(term) > 0 GROUP BY 1, 2),
+             |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM terms
+             |       WHERE length(term) > 0 GROUP BY 1),
+             |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM terms
+             |                WHERE length(term) > 0) AS t,
+             |               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n),
+             |idf AS (SELECT term,
+             |    CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE)
+             |      / CAST(2 * df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+             |  FROM dfq, tot),
+             |contrib AS (SELECT tf.term, tf.id,
+             |    (2 * idf.idf_micro * 44 * tf.tf * tot.t
+             |      + (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n))
+             |    // (2 * (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n)) AS c
+             |  FROM tf JOIN idf USING (term) JOIN dl USING (id), tot),
+             |qt AS (SELECT id AS qid, term FROM tf WHERE id < 20),
+             |sc AS (SELECT q.qid, c.id, CAST(sum(c.c) AS BIGINT) AS score_micro
+             |  FROM qt q JOIN contrib c USING (term)
+             |  WHERE c.id <> q.qid GROUP BY 1, 2),
+             |ranked AS (SELECT qid, id, score_micro,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY score_micro DESC, id) AS rank
+             |  FROM sc)
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+             |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // Transitive dedup groups: connected components over the verified
     // near-dup graph (A~B, B~C → one group even without an A~C pair).
     Q("q77_dedup_groups",

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Okapi BM25 retrieval (Robertson & Zaragoza 2009; the Lucene
+  * `BM25Similarity` idf form) — the production ranking function a RAG /
+  * eval-retrieval pipeline runs next to the cosine stack ([[TfIdf]]),
+  * formulated EXACT-INTEGER so the distributed score sum is
+  * order-independent and replays bit-for-bit in SQL.
+  *
+  * With k1 = 6/5 and b = 3/4 as exact rationals, T = total corpus
+  * tokens and N = docs (avgdl = T/N kept as the ratio, never divided):
+  *
+  *   idf_micro(t)    = round(ln((2N + 2)/(2·df + 1)) · 1e6)
+  *                     [Lucene's ln(1 + (N − df + ½)/(df + ½)), one ln
+  *                      per TERM — the micro-nat discipline]
+  *   den(t, d)       = 20·T·tf + 6·T + 18·dl·N
+  *                     [tf + k1·(1 − b + b·dl/avgdl), cleared of
+  *                      denominators by 20·T — pure integers]
+  *   contrib_micro   = round(idf_micro · 44·tf·T / den)
+  *                     [tf·(k1+1) = 11·tf/5 → 44·tf·T over den;
+  *                      computed as (2·a·p + q) DIV (2·q) — exact
+  *                      integer rounding, no float anywhere]
+  *   score_micro     = Σ_t contrib_micro   [INTEGER sum — associative,
+  *                      so distributed aggregation order cannot drift]
+  *
+  * Integer bounds: 2·idf_micro·44·tf·T ≤ ~2e16 at the test scales;
+  * T beyond ~1e9 tokens needs the product in 128-bit (the one
+  * expression to widen at petabyte scale — same seam as Kneser–Ney's
+  * denominator).
+  *
+  * Scale shape: the score join is the POSTING-LIST join (query terms ⋈
+  * term-frequency table on term) — only documents sharing a query term
+  * are ever scored, the inverted-index shape; tf/df/dl are map-side-
+  * combining groupBys; T and N ride as one broadcast row. Top-k per
+  * query is a window over qid here (queries are few); at
+  * many-query scale the q57 bounded-heap aggregator drops in, and
+  * impact-ordered postings / WAND are the classic skip paths.
+  */
+object Bm25 {
+
+  /** Top-k BM25 results per query doc. Queries are the corpus docs
+    * matching `queryPred` (their distinct terms form the query);
+    * self-retrieval is excluded.
+    *
+    * @return (qid, rank 1..k, id, score_micro) ordered by
+    *         (score_micro DESC, id ASC) — a total order, deterministic */
+  def topK(corpus: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, k: Int = 10): DataFrame = {
+    val terms = OperatorCaches.track(corpus
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0).persist())
+    val tf = OperatorCaches.track(terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")).persist())
+    val dl = terms.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = terms.agg(count(lit(1)).as("_T"))
+      .crossJoin(corpus.agg(count(lit(1)).as("_N")))
+    val idf = dfT.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log((col("_N") * 2 + 2).cast("double")
+          / (col("df") * 2 + 1).cast("double")) * 1e6, 0)
+          .cast("long").as("idf_micro"),
+        col("_T"), col("_N"))
+    val contrib = tf.join(idf, Seq("term"))
+      .join(dl, Seq("id"))
+      .select(col("term"), col("id"),
+        expr("CAST((2 * idf_micro * 44 * tf * _T" +
+          " + (20 * _T * tf + 6 * _T + 18 * dl * _N))" +
+          " DIV (2 * (20 * _T * tf + 6 * _T + 18 * dl * _N)) AS BIGINT)")
+          .as("c"))
+    val qterms = tf.filter(queryPred).select(col("id").as("qid"), col("term"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    qterms.join(contrib, Seq("term"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id"), col("score_micro"))
+  }
+}

@@ -73,3 +73,31 @@ class TfIdfSpec extends SparkSuite {
       ids.intersect((0L until 50L).toSet).size >= 45)
   }
 }
+
+class Bm25Spec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("BM25: hand-computed integer scores, saturation ordering, self exclusion") {
+    // N = 4 docs, T = 9 tokens; df(apple) = 3 (docs 0, 1, 3);
+    // idf_micro(apple) = round(ln(10/7)*1e6) = 356675.
+    // query doc 3 = {apple}; candidates 0 (tf 1, dl 2) and 1 (tf 2, dl 3):
+    //   den(0) = 20*9*1 + 6*9 + 18*2*4 = 378 -> round(356675*396/378) = 373660
+    //   den(1) = 20*9*2 + 6*9 + 18*3*4 = 630 -> round(356675*792/630) = 448391
+    val docs = Seq(
+      (0L, "apple banana"), (1L, "apple apple cherry"),
+      (2L, "banana banana banana"), (3L, "apple")).toDF("doc_id", "text")
+    val got = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        col("id") === 3L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((3L, 1L, 1L, 448391L), (3L, 2L, 0L, 373660L)),
+      s"hand-computed BM25 ranking: ${got.toSeq}")
+    // doc 2 shares no query term and doc 3 (self) is excluded
+    assert(!got.exists(r => r._3 == 2L || r._3 == 3L))
+    // determinism
+    val again = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        col("id") === 3L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(again.toSeq == got.toSeq)
+  }
+}
