@@ -191,6 +191,40 @@ object RelationalQueries5 {
              |CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
              |FROM supplier GROUP BY s_nationkey""".stripMargin)),
 
+    // PARQUET SCHEMA EVOLUTION — the lakehouse ingest reality the other
+    // source gates (q82 CSV/JSON, q97 ORC) don't cover: an early epoch
+    // written WITHOUT a column and a later epoch WITH it read as ONE
+    // dataset via mergeSchema, missing values surfacing as NULLs the
+    // query must handle (coalesce to a sentinel). The epoch fixture is
+    // content-fingerprint-keyed (the create-once discipline); the
+    // oracle replays the split + NULL semantics over the parquet truth.
+    Q("q212_schema_evolution",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val src = d.select(col("doc_id"), col("text"), col("lang"))
+        val base = s"/tmp/graft-schemaevo-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(src, "doc_id", s"$dir/documents_schemaevo")}"
+        if (!new java.io.File(s"$base/e2/_SUCCESS").exists()) {
+          src.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$base/e1")
+          src.filter(col("doc_id") % 2 === 1)
+            .write.mode("overwrite").parquet(s"$base/e2")
+        }
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$base/e1", s"$base/e2")
+          .groupBy(coalesce(col("lang"), lit("_pre_schema")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("text_len_sum"),
+            sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_nulls"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN '_pre_schema' ELSE lang END AS lang,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS text_len_sum,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+             |FROM documents
+             |GROUP BY 1""".stripMargin)),
+
     // RANGE window frame: running revenue over a VALUE range (all peers
     // within 5000 of the current price), distinct from q13's ROWS frame.
     Q("q81_range_frame",

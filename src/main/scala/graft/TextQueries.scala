@@ -1162,6 +1162,62 @@ object TextQueries {
              |SELECT qid, nid, ROUND(sim, 4) AS sim, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 3 AND qid < 30""".stripMargin)),
 
+    // VOCABULARY COVERAGE CURVE — the statistic that sizes a tokenizer
+    // vocabulary: for each budget k in a fixed doubling grid, the
+    // fraction of corpus token OCCURRENCES covered by the k most
+    // frequent types (ties broken by term ASC — a total order, so the
+    // curve is deterministic). Rank + running sum are windows over the
+    // VOCABULARY (bounded, ≪ corpus — the one acceptable global-window
+    // domain; at open-vocab scale the top-k prefix comes from the q57
+    // bounded heap instead). Integer counts, one division rounded once
+    // per grid point.
+    Q("q211_vocab_coverage",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+        val counts = d.select(
+            explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("term").asc)
+        val ranked = counts
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum", sum(col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = counts.agg(sum(col("c")).as("_t"),
+          count(lit(1)).as("n_types"))
+        val ks = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256).toDF("k")
+        ranked.crossJoin(broadcast(ks))
+          .filter(col("rank") <= col("k"))
+          .groupBy(col("k"))
+          .agg(max(col("cum")).as("covered"),
+            count(lit(1)).as("n_in_budget"))
+          .crossJoin(broadcast(tot))
+          .select(col("k").cast("long").as("k"), col("n_in_budget"),
+            col("n_types"), col("covered"), col("_t").as("total"),
+            round(col("covered").cast("double") / col("_t"), 6)
+              .as("coverage"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM documents),
+             |counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms
+             |  WHERE length(term) > 0 GROUP BY term),
+             |ranked AS (SELECT term, c,
+             |    ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank,
+             |    SUM(c) OVER (ORDER BY c DESC, term
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM counts),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+             |    CAST(COUNT(*) AS BIGINT) AS n_types FROM counts),
+             |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS BIGINT) AS k)
+             |SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_in_budget,
+             |  tot.n_types, CAST(MAX(r.cum) AS BIGINT) AS covered, tot.t AS total,
+             |  round(CAST(MAX(r.cum) AS DOUBLE) / tot.t, 6) AS coverage
+             |FROM ks JOIN ranked r ON r.rank <= ks.k, tot
+             |GROUP BY ks.k, tot.n_types, tot.t""".stripMargin)),
+
     // OKAPI BM25 top-k retrieval (operators/Bm25) — the production
     // ranking function next to q76's cosine, formulated EXACT-INTEGER:
     // k1 = 6/5 and b = 3/4 as rationals, Lucene's idf as one
