@@ -159,7 +159,10 @@ object TextQueries {
     * optimizations (~6× slower here); the Spark operator is the general
     * solution, the oracle only needs to be exact for the static gate
     * data. */
-  private def q77Oracle: String = lshCandidateCtes +
+  /** The q77 edge closure (LSH candidates → Jaccard verify ∪ exact
+    * keeper stars → two min-label rounds) ending in `l2(id, g)` —
+    * shared by q77's keep-one verdict and q214's split registry. */
+  private lazy val q77EdgeClosureCtes: String = lshCandidateCtes +
     """,
       |inter AS (
       |  SELECT c.idA, c.idB, count(*) AS ni
@@ -186,12 +189,31 @@ object TextQueries {
       |  FROM sym s JOIN l0 l ON l.id = s.b GROUP BY s.a),
       |l2 AS MATERIALIZED (
       |  SELECT s.a AS id, min(l.g) AS g
-      |  FROM sym s JOIN l1 l ON l.id = s.b GROUP BY s.a),
+      |  FROM sym s JOIN l1 l ON l.id = s.b GROUP BY s.a)""".stripMargin
+
+  private def q77Oracle: String = q77EdgeClosureCtes +
+    """,
       |drops AS (SELECT id FROM l2 WHERE g < id),
       |kept AS (SELECT id FROM corpus WHERE id NOT IN (SELECT id FROM drops))
       |SELECT count(*) AS n_kept,
       |  CAST(sum(CASE WHEN id < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_originals
       |FROM kept""".stripMargin
+
+  /** q214's oracle: the q77 closure (LSH candidates → Jaccard ≥ 0.8 ∪
+    * exact keeper stars → min-label rounds) emitted as the full
+    * (id, group) registry with singletons mapped to themselves, then
+    * the mix64 8:2 split on the GROUP id (vu % 10 == Spark's
+    * remainderUnsigned on the same splitmix64). */
+  private def q214Oracle: String = q77EdgeClosureCtes +
+    s""",
+      |glab AS (
+      |  SELECT c.id, coalesce(l.g, c.id) AS g
+      |  FROM corpus c LEFT JOIN l2 l ON l.id = c.id),
+      |${RelationalQueries5.mix64Stages("glab", Seq("id", "g"),
+           "CAST(g AS HUGEINT)", prefix = "m")}
+      |SELECT id AS doc_id, g AS group_id,
+      |  CASE WHEN vu % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+      |FROM mmixed""".stripMargin
 
   /** q161's oracle: FULL RECOMPUTE over existing ∪ incoming — LSH
     * candidates verified at Jaccard ≥ 0.8 ∪ exact-hash keeper stars,
@@ -1276,6 +1298,29 @@ object TextQueries {
           sum(when(col("doc_id") < 10000L, 1L).otherwise(0L)).as("n_originals"))
       },
       Some(q77Oracle)),
+
+    // LEAKAGE-SAFE train/eval SPLIT — the split every model release
+    // should make but per-doc hashing cannot: assignment is by
+    // duplicate GROUP (the q77 near∪exact closure, singletons = their
+    // own group), so a near-dup pair can never straddle the boundary
+    // and leak training text into eval BY CONSTRUCTION (the q198/q200
+    // probes then verify residual leakage, this prevents the
+    // structural kind). Split = mix64(group_id) unsigned mod 10, 8:2.
+    // The doubled corpus guarantees every doc has an exact twin — one
+    // mis-grouped doc lands twins on opposite sides and moves rows.
+    // The oracle replays LSH candidates, Jaccard verification, exact
+    // stars, the min-label closure, and the mix64 split arithmetic.
+    Q("q214_leakage_safe_split",
+      (spark, dir) => {
+        val corpus = doubled(spark, dir)
+        val reg = DedupGroups.groupRegistry(corpus, "doc_id", "text")
+        val mixU = udf((g: Long) => java.lang.Long.remainderUnsigned(
+          graft.functions.TextFunctions.mix64(g), 10L))
+        reg.select(col("id").as("doc_id"), col("group_id"),
+          when(mixU(col("group_id")) < 8, "train").otherwise("eval")
+            .as("split"))
+      },
+      Some(q214Oracle)),
 
     // INCREMENTAL group maintenance — the daily-ingest continuation of
     // q152 and the reference's incremental-rerun pattern

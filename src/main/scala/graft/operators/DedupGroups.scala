@@ -265,8 +265,10 @@ object DedupGroups {
     * docs, so exact duplicates below shingleSize words would otherwise
     * escape the closure); survivors = every unpaired doc + one keeper
     * (min id) per group. */
-  def dedupeTransitive(df: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+  /** The duplicate-edge set (near ∪ exact) dedupeTransitive closes
+    * over — exposed so group-level consumers share the exact relation. */
+  private def dupEdges(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double): DataFrame = {
     val near = Dedup.ngramJaccard(
         Dedup.minhashLshPairs(df, idCol, textCol), df, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
@@ -277,7 +279,28 @@ object DedupGroups {
         collect_list(col("id")).as("ids"))
       .select(col("idA"), explode(col("ids")).as("idB"))
       .filter(col("idA") =!= col("idB"))
-    val groups = connectedComponents(near.unionByName(exact), maxIter)
+    near.unionByName(exact)
+  }
+
+  /** Full (id, group_id) duplicate-group registry over the corpus:
+    * connected components of the near ∪ exact edge relation, singletons
+    * mapped to themselves — the group-ATOMIC view a leakage-safe
+    * train/eval splitter hashes instead of per-doc ids (splitting by
+    * doc would strand a near-dup pair across the split boundary and
+    * leak training text into eval). */
+  def groupRegistry(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+    val groups = connectedComponents(
+      dupEdges(df, idCol, textCol, jaccardThreshold), maxIter)
+    df.select(col(idCol).as("id"))
+      .join(groups, Seq("id"), "left")
+      .select(col("id"), coalesce(col("groupId"), col("id")).as("group_id"))
+  }
+
+  def dedupeTransitive(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+    val groups = connectedComponents(
+      dupEdges(df, idCol, textCol, jaccardThreshold), maxIter)
     val drops = groups.filter(col("id") =!= col("groupId"))
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")

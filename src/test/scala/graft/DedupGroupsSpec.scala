@@ -89,4 +89,37 @@ class DedupGroupsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 31L -> 30L))
   }
+
+  test("groupRegistry split is group-atomic: no duplicate edge ever crosses the boundary") {
+    import org.apache.spark.sql.functions._
+    // exact-copy pairs, a near-dup CHAIN (1~2~3 via shared shingles),
+    // and singletons — the structures a per-doc hash split would break
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "beta gamma delta epsilon zeta eta iota kappa"),
+      (10L, "completely different text about other things entirely"),
+      (11L, "completely different text about other things entirely"),
+      (20L, "a lone singleton document with its own words here"),
+      (21L, "another unrelated standalone piece of text content")
+    ).toDF("doc_id", "text")
+    val reg = DedupGroups.groupRegistry(docs, "doc_id", "text",
+      jaccardThreshold = 0.5)
+    val byId = reg.as[(Long, Long)].collect().toMap
+    // chain closes transitively; exact copies group; singletons self-map
+    assert(byId(1L) == 1L && byId(2L) == 1L && byId(3L) == 1L)
+    assert(byId(10L) == 10L && byId(11L) == 10L)
+    assert(byId(20L) == 20L && byId(21L) == 21L)
+    // the invariant the operator exists for: same group ⇒ same split,
+    // so NO duplicate relation can cross the train/eval boundary
+    val mixU = udf((g: Long) => java.lang.Long.remainderUnsigned(
+      graft.functions.TextFunctions.mix64(g), 10L))
+    val split = reg.select(col("id"), col("group_id"),
+        when(mixU(col("group_id")) < 8, "train").otherwise("eval").as("split"))
+      .as[(Long, Long, String)].collect()
+    split.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"a group split across the boundary: ${members.toSeq}")
+    }
+  }
 }
