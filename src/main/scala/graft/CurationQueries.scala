@@ -952,36 +952,47 @@ object CurationQueries {
           .select(col("id").as("doc_id"), col("n_tokens"),
             col("mean_surprisal"), col("tier"))
       },
-      Some(s"""WITH toks AS (
-             |  SELECT doc_id, t FROM (
-             |    SELECT doc_id, unnest(string_split_regex(
-             |      lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS t
-             |    FROM documents)
-             |  WHERE length(t) > 0),
-             |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
-             |tot AS (SELECT sum(c) AS n FROM counts),
-             |surp AS (
-             |  SELECT t, CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS s
-             |  FROM counts, tot),
-             |ds AS (
-             |  SELECT doc_id, count(*) AS n_tokens,
-             |    round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 4) AS m
-             |  FROM toks JOIN surp USING (t) GROUP BY doc_id),
-             |${RelationalQueries5.mix64Stages("ds", Seq("doc_id", "m"),
-                  "CAST(doc_id AS HUGEINT)", prefix = "t")},
-             |tsamp AS (SELECT doc_id, m FROM tmixed ORDER BY vu LIMIT 256),
-             |tsorted AS (SELECT m, doc_id AS i,
-             |    row_number() OVER (ORDER BY m, doc_id) AS rn FROM tsamp),
-             |tb1 AS (SELECT m, i FROM tsorted
-             |  WHERE rn = (SELECT count(*) FROM tsamp) // 3 + 1),
-             |tb2 AS (SELECT m, i FROM tsorted
-             |  WHERE rn = 2 * (SELECT count(*) FROM tsamp) // 3 + 1)
-             |SELECT d.doc_id, d.n_tokens, d.m AS mean_surprisal,
-             |  CAST(CASE
-             |    WHEN d.m < tb1.m OR (d.m = tb1.m AND d.doc_id < tb1.i) THEN 1
-             |    WHEN d.m < tb2.m OR (d.m = tb2.m AND d.doc_id < tb2.i) THEN 2
-             |    ELSE 3 END AS BIGINT) AS tier
-             |FROM ds d, tb1, tb2""".stripMargin)),
+      Some(perplexityTierCtes +
+        """
+          |SELECT doc_id, n_tokens, m AS mean_surprisal, tier
+          |FROM tiers""".stripMargin)),
+
+    // CURRICULUM PACKING — packSequences with the quality ORDER knob
+    // engaged: within each shard, docs pack in (tier, id) order, so the
+    // head-tier (cleanest) documents fill the EARLY sequences of every
+    // shard — the curriculum-learning data order, built from two gated
+    // pieces (q196 tiers + q150 packing) with zero new kernels. The
+    // gate hashes every doc's landing (shard, start_off, seq_id): one
+    // doc assigned the wrong tier, or one cumulative sum drifting,
+    // moves every offset after it in that shard. The oracle replays
+    // tiers (shared CTE chain with q196) + the shard-partitioned
+    // (tier, id)-ordered running sum.
+    Q("q213_curriculum_packing",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val tiers = Curation.perplexityTiers(d, "doc_id", "text")
+        val corpus = tiers.select(col("id"), col("tier"))
+          .join(d.select(col("doc_id").as("id"), col("text")), Seq("id"))
+        Curation.packSequences(corpus, "id",
+            TextFunctions.tokens(lower(col("text"))),
+            budgetTokens = 128, shards = 8, orderCols = Seq("tier"))
+          .select(col("id").as("doc_id"), col("tier"), col("shard"),
+            col("n_tokens"), col("start_off"), col("seq_id"))
+      },
+      Some(perplexityTierCtes +
+        """,
+          |pk AS (SELECT doc_id, tier, n_tokens, doc_id % 8 AS shard FROM tiers)
+          |SELECT doc_id, tier, CAST(shard AS BIGINT) AS shard,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard
+          |    ORDER BY tier, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |    AS start_off,
+          |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard
+          |    ORDER BY tier, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 128 AS BIGINT)
+          |    AS seq_id
+          |FROM pk""".stripMargin)),
 
     // LEARNED-GATE curation funnel — q181 with the rule gate REPLACED
     // by the q185 classifier: rules label a sample, the perceptron
@@ -1057,6 +1068,43 @@ object CurationQueries {
            |FROM red r JOIN keepers k ON k.doc_id = r.doc_id""".stripMargin
       }),
   )
+
+  /** The q196 tier replay (surprisal chain → mix64 bottom-256 sample →
+    * tercile boundaries → per-doc tier) ending in
+    * `tiers(doc_id, n_tokens, m, tier)` — shared by q196 and q213's
+    * curriculum packing. */
+  private def perplexityTierCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split_regex(
+       |      lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS t
+       |    FROM documents)
+       |  WHERE length(t) > 0),
+       |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+       |tot AS (SELECT sum(c) AS n FROM counts),
+       |surp AS (
+       |  SELECT t, CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS s
+       |  FROM counts, tot),
+       |ds AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 4) AS m
+       |  FROM toks JOIN surp USING (t) GROUP BY doc_id),
+       |${RelationalQueries5.mix64Stages("ds", Seq("doc_id", "m"),
+            "CAST(doc_id AS HUGEINT)", prefix = "t")},
+       |tsamp AS (SELECT doc_id, m FROM tmixed ORDER BY vu LIMIT 256),
+       |tsorted AS (SELECT m, doc_id AS i,
+       |    row_number() OVER (ORDER BY m, doc_id) AS rn FROM tsamp),
+       |tb1 AS (SELECT m, i FROM tsorted
+       |  WHERE rn = (SELECT count(*) FROM tsamp) // 3 + 1),
+       |tb2 AS (SELECT m, i FROM tsorted
+       |  WHERE rn = 2 * (SELECT count(*) FROM tsamp) // 3 + 1),
+       |tiers AS (
+       |  SELECT d.doc_id, d.n_tokens, d.m,
+       |    CAST(CASE
+       |      WHEN d.m < tb1.m OR (d.m = tb1.m AND d.doc_id < tb1.i) THEN 1
+       |      WHEN d.m < tb2.m OR (d.m = tb2.m AND d.doc_id < tb2.i) THEN 2
+       |      ELSE 3 END AS BIGINT) AS tier
+       |  FROM ds d, tb1, tb2)""".stripMargin
 
   /** QualityModel fit + score replay CTEs over a corpus CTE (must
     * yield (doc_id, text)): rule labels `lab(doc_id, y)`, count-sketch

@@ -287,19 +287,27 @@ object Curation {
     * the same few tasks. The knob costs nothing downstream — shards
     * are independent output files, exactly how pre-tokenized dataset
     * writers parallelize. */
+  /** @param orderCols extra columns ordering docs WITHIN each shard
+    *        BEFORE the id tiebreak — the curriculum knob (e.g. a
+    *        quality tier packs cleanest-first); empty = plain id order,
+    *        byte-identical to the original contract. */
   def packSequences(corpus: DataFrame, idCol: String, toks: Column,
-      budgetTokens: Int, shards: Int): DataFrame = {
+      budgetTokens: Int, shards: Int,
+      orderCols: Seq[String] = Seq()): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val reserved = Set("shard", "n_tokens", "start_off", "seq_id", "_t")
     require(!reserved.contains(idCol),
       s"packSequences reserves column name '$idCol' — rename the id column first")
+    require(orderCols.forall(!reserved.contains(_)),
+      s"packSequences reserves $reserved — rename the order columns first")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy((orderCols :+ idCol).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    corpus.select(col(idCol), toks.as("_t"))
-      .select(col(idCol), (col(idCol) % shards).as("shard"),
-        size(col("_t")).cast("long").as("n_tokens"))
+    corpus.select(col(idCol) +: toks.as("_t") +: orderCols.map(col): _*)
+      .select(col(idCol) +: (col(idCol) % shards).as("shard") +:
+        size(col("_t")).cast("long").as("n_tokens") +: orderCols.map(col): _*)
       .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"start_off DIV $budgetTokens"))
   }
