@@ -97,7 +97,10 @@ object Bench {
     "q204"->3.750, "q205"->0.586, "q206"->0.834,
     // round-14 late additions (clean solo min-of-3, calib 2.082,
     // 12-control median 0.995, regress 0 — BASELINE.md)
-    "q207"->2.346, "q208"->2.694, "q209"->0.878)
+    "q207"->2.346, "q208"->2.694, "q209"->0.878,
+    // round-14 third wave (clean solo min-of-3, calib 2.021,
+    // 12-control median 0.9385, regress 0 — BASELINE.md)
+    "q210"->2.794, "q211"->0.539, "q212"->0.238, "q213"->1.414, "q214"->3.219)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
