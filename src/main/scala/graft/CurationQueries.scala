@@ -648,6 +648,97 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
              |FROM ds, gg g""".stripMargin)),
 
+    // INTRA-DOCUMENT REPETITION (the Gopher/MassiveText duplicate
+    // n-gram fraction): per doc, 1 − distinct/total word 3-grams — the
+    // within-doc quality signal the corpus-level dedup family cannot
+    // see (a doc repeating ITSELF dedups against nothing). Entirely
+    // map-side: higher-order shingles + array_distinct per row, no
+    // shuffle, no UDF. The verdict (rep_frac > 1/5) is the exact
+    // integer cross-multiplication 5·(n−d) > n. Planted: a 'buy now'
+    // spam loop that must flag and an all-distinct control that must
+    // not.
+    Q("q215_intradoc_repetition",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(Seq(
+            (62001L, "buy now buy now buy now buy now buy now buy now buy now buy now"),
+            (62002L, "a clean sentence with entirely distinct words throughout the body"))
+            .toDF("doc_id", "text"))
+        val sh = TextFunctions.wordShingles(lower(col("text")), 3)
+        d.select(col("doc_id"), size(sh).cast("long").as("n_ngrams"),
+            size(array_distinct(sh)).cast("long").as("n_distinct"))
+          .filter(col("n_ngrams") > 0)
+          .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct").cast("double")
+              / col("n_ngrams"), 6).as("rep_frac"),
+            when((col("n_ngrams") - col("n_distinct")) * 5 > col("n_ngrams"),
+              1L).otherwise(0L).as("flagged"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT 62001, 'buy now buy now buy now buy now buy now buy now buy now buy now'
+             |  UNION ALL SELECT 62002, 'a clean sentence with entirely distinct words throughout the body'),
+             |lt AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS L
+             |  FROM corpus),
+             |sh AS (SELECT doc_id, list_transform(generate_series(0, len(L) - 3),
+             |    i -> array_to_string(L[i + 1 : i + 3], ' ')) AS g
+             |  FROM lt),
+             |stats AS (SELECT doc_id, len(g) AS n, len(list_distinct(g)) AS d
+             |  FROM sh WHERE len(g) > 0)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_ngrams,
+             |  CAST(d AS BIGINT) AS n_distinct,
+             |  round(1.0 - CAST(d AS DOUBLE) / n, 6) AS rep_frac,
+             |  CAST(CASE WHEN (n - d) * 5 > n THEN 1 ELSE 0 END AS BIGINT)
+             |    AS flagged
+             |FROM stats""".stripMargin)),
+
+    // EPOCH-SEEDED SHUFFLED PACKING — the other face of q213's order
+    // knob: every trainer reshuffles data each epoch, DETERMINISTICALLY
+    // (reproducible runs); here each epoch packs in mix64(id + epoch·P)
+    // order within its shards, so the two epochs place the same docs at
+    // different offsets while each epoch's order is a pure function of
+    // (corpus, epoch). The gate hashes both epochs' full landings — a
+    // drift in the hash, the order, or the running sum moves offsets.
+    Q("q216_shuffled_packing",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val mixFlip = udf((x: Long) =>
+          TextFunctions.mix64(x) ^ Long.MinValue)
+        Seq(1L, 2L).map { ep =>
+          val c = d.select(col("doc_id"), col("text"))
+            .withColumn("shuf",
+              mixFlip(col("doc_id") + lit(ep * 1000003L)))
+          Curation.packSequences(c, "doc_id",
+              TextFunctions.tokens(lower(col("text"))),
+              budgetTokens = 128, shards = 8, orderCols = Seq("shuf"))
+            .withColumn("epoch", lit(ep))
+        }.reduce(_ unionByName _)
+          .select(col("epoch"), col("doc_id"), col("shard"),
+            col("n_tokens"), col("start_off"), col("seq_id"))
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT doc_id, len(string_split_regex(
+             |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS n
+             |  FROM documents),
+             |ep AS (SELECT doc_id, n, e.epoch FROM tk
+             |  CROSS JOIN (VALUES (1), (2)) e(epoch)),
+             |${RelationalQueries5.mix64Stages("ep", Seq("doc_id", "n", "epoch"),
+                  "CAST(doc_id + epoch * 1000003 AS HUGEINT)", prefix = "u")}
+             |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             |  CAST(doc_id % 8 AS BIGINT) AS shard, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(SUM(n) OVER (PARTITION BY epoch, doc_id % 8
+             |    ORDER BY vu, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS start_off,
+             |  CAST(coalesce(SUM(n) OVER (PARTITION BY epoch, doc_id % 8
+             |    ORDER BY vu, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 128 AS BIGINT)
+             |    AS seq_id
+             |FROM umixed""".stripMargin)),
+
     // CORPUS-WIDE LINE DEDUP (Curation.lineDedup) — the RefinedWeb/
     // CCNet boilerplate filter, the line-granularity member of the
     // dedup family (substring q172+ / line here / document q30): any
