@@ -237,6 +237,56 @@ object BpeQueries {
       },
       Some(chunkingOracle(64, 16))),
 
+    // TOKENIZER FERTILITY / COMPRESSION report — the metric a tokenizer
+    // is judged by before any training run: per language, BPE tokens
+    // per word (fertility — how much the tokenizer fragments text) and
+    // characters per BPE token (compression). Composes the gated BPE
+    // encode with plain aggregations; ratios divide once and round
+    // once, zero-word/token languages guarded to exact 0. High-fertility
+    // languages are the ones a shared vocabulary underserves — the
+    // signal multilingual vocab sizing (and q205's mixture weighting)
+    // consumes.
+    Q("q217_tokenizer_fertility",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("lang"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(org.apache.spark.sql.functions.filter(
+              graft.functions.TextFunctions.tokens(lower(col("text"))),
+              t => length(t) > 0)).cast("long").as("n_words"),
+            size(Bpe.encodeCol(col("text"), model)).cast("long").as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tok")).as("n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double")
+              / greatest(col("n_words"), lit(1L)), 4).as("fertility"),
+            round(col("n_chars").cast("double")
+              / greatest(col("n_tokens"), lit(1L)), 4).as("chars_per_token"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |st AS (SELECT d.doc_id, d.lang,
+             |    CAST(length(d.text) AS BIGINT) AS n_chars,
+             |    CAST(len(list_filter(string_split_regex(
+             |      lower(regexp_replace(d.text, '^\\s+|\\s+$$', '', 'g')), '\\s+'),
+             |      t -> t <> '')) AS BIGINT) AS n_words,
+             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tok
+             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  round(CAST(SUM(n_tok) AS DOUBLE) / greatest(SUM(n_words), 1), 4)
+             |    AS fertility,
+             |  round(CAST(SUM(n_chars) AS DOUBLE) / greatest(SUM(n_tok), 1), 4)
+             |    AS chars_per_token
+             |FROM st GROUP BY lang""".stripMargin)),
+
     // Unigram surprisal re-based on REAL tokenizer tokens (the q94
     // arithmetic over the BPE stream): quality scoring against the
     // distribution of the tokens a training pipeline actually counts.
