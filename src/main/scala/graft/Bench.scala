@@ -100,7 +100,11 @@ object Bench {
     "q207"->2.346, "q208"->2.694, "q209"->0.878,
     // round-14 third wave (clean solo min-of-3, calib 2.021,
     // 12-control median 0.9385, regress 0 — BASELINE.md)
-    "q210"->2.794, "q211"->0.539, "q212"->0.238, "q213"->1.414, "q214"->3.219)
+    "q210"->2.794, "q211"->0.539, "q212"->0.238, "q213"->1.414, "q214"->3.219,
+    // round-14 fourth wave (clean solo min-of-3, calib 2.170,
+    // 12-control median 0.9849, regress 0 — BASELINE.md; q215 anchored
+    // AFTER its O(len²)→O(len) kernel fix, 13.9 s → 0.34 s)
+    "q215"->0.342, "q216"->0.512, "q217"->0.735)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -666,9 +666,29 @@ object CurationQueries {
             (62001L, "buy now buy now buy now buy now buy now buy now buy now buy now"),
             (62002L, "a clean sentence with entirely distinct words throughout the body"))
             .toDF("doc_id", "text"))
-        val sh = TextFunctions.wordShingles(lower(col("text")), 3)
-        d.select(col("doc_id"), size(sh).cast("long").as("n_ngrams"),
-            size(array_distinct(sh)).cast("long").as("n_distinct"))
+        // ONE-PASS scalar kernel, not the HOF shingle pipeline: Catalyst's
+        // CollapseProject inlines alias references into lambda bodies, so
+        // the wordShingles form re-evaluates the tokenizing split for
+        // EVERY shingle (O(len²) per doc — measured 13.9 s at sf0.1, and
+        // pre-staging the columns still collapsed back to 5.3 s); the
+        // per-row kernel is the distinctShinglesCol precedent and stays
+        // linear (0.7 s)
+        val repStats = udf((text: String) => {
+          val ws = Option(text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+          if (ws.length < 3) (0L, 0L)
+          else {
+            val seen = new scala.collection.mutable.HashSet[String]
+            var i = 0
+            while (i + 2 < ws.length) {
+              seen += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1
+            }
+            ((ws.length - 2).toLong, seen.size.toLong)
+          }
+        })
+        d.select(col("doc_id"), repStats(col("text")).as("_s"))
+          .select(col("doc_id"), col("_s._1").as("n_ngrams"),
+            col("_s._2").as("n_distinct"))
           .filter(col("n_ngrams") > 0)
           .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
             round(lit(1.0) - col("n_distinct").cast("double")
