@@ -25,7 +25,17 @@ object TextFunctions {
     regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
 
   /** Word n-gram shingles via higher-order functions (no UDF):
-    * shingle i = words[i..i+n-1] joined by space. */
+    * shingle i = words[i..i+n-1] joined by space.
+    *
+    * PERF TRAP (measured, round 14): the transform lambda references
+    * the `words` SPLIT subtree, and Catalyst's CollapseProject inlines
+    * alias references into lambda bodies — so this form re-tokenizes
+    * the text once PER SHINGLE (O(len²) per doc; 13.9 s vs 0.34 s on
+    * the q215 corpus), and pre-staging the tokens column does NOT
+    * help (the collapse puts the subtree back). Fine on bounded demo
+    * inputs (q34's 100 docs); corpus-scale consumers use the one-pass
+    * scalar kernels ([[distinctShinglesCol]], [[minhashText]], or a
+    * per-row stats UDF) instead. */
   def wordShingles(text: Column, n: Int): Column = {
     val words = tokens(text)
     when(size(words) < n, array())
