@@ -1178,6 +1178,89 @@ object CurationQueries {
            |  CAST(length(r.clean) AS BIGINT) AS clean_len, k.content_sha
            |FROM red r JOIN keepers k ON k.doc_id = r.doc_id""".stripMargin
       }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023): select raw docs RESEMBLING a small target corpus by
+    // hashed-n-gram importance weight (operators/Dsir — scale-
+    // invariant N/B pseudocount smoothing, one ln per bucket,
+    // exact-integer micro-nat dot product, deterministic top-k
+    // variant). Fixture plants the dial: target docs (%11==7) carry a
+    // 4-word astronomy tail absent from the base corpus; %11==3 raw
+    // docs carry the SAME tail (strong regime), %11==5 raw docs half
+    // of it (weak regime) — measured top-50: sf0.001 = 36 full + 9
+    // half + 5 none, sf0.1 = 50 full (every unigram AND bigram of the
+    // tail aligns with the target distribution). The `regime` column
+    // exposes the dial in the gate. The oracle replays tokenization,
+    // unigram∪bigram fnv1a64 bucket hashing (prime modulus 997), the
+    // smoothed integer ratio, each ln rounded once, the integer dot
+    // product and the total-order top-k.
+    Q("q218_dsir_selection",
+      (spark, dir) => {
+        val tail = " telescope galaxy nebula quasar"
+        val half = " telescope galaxy"
+        val base = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val target = base.filter(col("doc_id") % 11 === 7)
+          .select(col("doc_id").as("id"),
+            concat(col("text"), lit(tail)).as("text"))
+        val raw = base.filter(col("doc_id") % 11 =!= 7)
+          .select(col("doc_id").as("id"),
+            when(col("doc_id") % 11 === 3, concat(col("text"), lit(tail)))
+              .when(col("doc_id") % 11 === 5, concat(col("text"), lit(half)))
+              .otherwise(col("text")).as("text"))
+        graft.operators.Dsir.selectTopK(raw, target, "id", "text", k = 50)
+          .withColumn("regime",
+            when(col("id") % 11 === 3, "full")
+              .when(col("id") % 11 === 5, "half").otherwise("none"))
+      },
+      Some {
+        val fold = RelationalQueries5.fnvFold("g")
+        def gramCtes(src: String, p: String): String =
+          s"""${p}w AS (SELECT id, list_filter(string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+             |    w -> w <> '') AS ws FROM $src),
+             |${p}g AS (
+             |  SELECT id, g FROM (SELECT id, unnest(ws) AS g FROM ${p}w)
+             |  UNION ALL
+             |  SELECT id, ws[i] || ' ' || ws[i + 1] AS g
+             |  FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+             |        FROM ${p}w)),
+             |${p}b AS (SELECT id, CAST($fold % 997 AS BIGINT) AS bucket
+             |  FROM ${p}g)""".stripMargin
+        s"""WITH tgt AS (
+           |  SELECT doc_id AS id, text || ' telescope galaxy nebula quasar' AS text
+           |  FROM documents WHERE doc_id % 11 = 7),
+           |raw AS (
+           |  SELECT doc_id AS id,
+           |    CASE WHEN doc_id % 11 = 3 THEN text || ' telescope galaxy nebula quasar'
+           |         WHEN doc_id % 11 = 5 THEN text || ' telescope galaxy'
+           |      ELSE text END AS text
+           |  FROM documents WHERE doc_id % 11 <> 7),
+           |${gramCtes("tgt", "t")},
+           |${gramCtes("raw", "r")},
+           |ctb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t FROM tb GROUP BY 1),
+           |crb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r FROM rb GROUP BY 1),
+           |tot AS (SELECT (SELECT count(*) FROM tb) AS t,
+           |               (SELECT count(*) FROM rb) AS r),
+           |lam AS (SELECT coalesce(ctb.bucket, crb.bucket) AS bucket,
+           |    CAST(round(ln(
+           |      CAST((coalesce(cnt_t, 0) * 997 + tot.t) * tot.r AS DOUBLE)
+           |      / CAST((coalesce(cnt_r, 0) * 997 + tot.r) * tot.t AS DOUBLE))
+           |      * 1000000) AS BIGINT) AS lam_micro
+           |  FROM ctb FULL OUTER JOIN crb ON ctb.bucket = crb.bucket, tot),
+           |dbc AS (SELECT id, bucket, CAST(count(*) AS BIGINT) AS n
+           |  FROM rb GROUP BY 1, 2),
+           |scores AS (SELECT id, CAST(sum(n) AS BIGINT) AS n_grams,
+           |    CAST(sum(n * lam_micro) AS BIGINT) AS score_micro
+           |  FROM dbc JOIN lam USING (bucket) GROUP BY 1),
+           |ranked AS (SELECT id, n_grams, score_micro,
+           |    row_number() OVER (ORDER BY score_micro DESC, id) AS rank
+           |  FROM scores)
+           |SELECT CAST(rank AS BIGINT) AS rank, id, n_grams, score_micro,
+           |  CASE WHEN id % 11 = 3 THEN 'full'
+           |       WHEN id % 11 = 5 THEN 'half' ELSE 'none' END AS regime
+           |FROM ranked WHERE rank <= 50""".stripMargin
+      }),
   )
 
   /** The q196 tier replay (surprisal chain → mix64 bottom-256 sample →

@@ -302,6 +302,19 @@ class PlanSpec extends SparkSuite {
       s"only 1-row-total crossJoins may nest-loop, found $nlj:\n" + p.take(3000))
   }
 
+  test("q218: DSIR lam joins broadcast, top-k is TakeOrdered, no cartesian") {
+    val p = plan("q218_dsir_selection")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-doc score join against the ≤B-row lam table must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // top-k must be a bounded heap, never a global Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // only the 1-row totals crossJoins may nest-loop: T×R (two 1-row
+    // aggregates combined) and the λ-table attach of that 1-row frame
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
