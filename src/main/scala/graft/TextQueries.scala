@@ -163,6 +163,38 @@ object TextQueries {
     * keeper stars → two min-label rounds) ending in `l2(id, g)` —
     * shared by q77's keep-one verdict and q214's split registry. */
   private lazy val q77EdgeClosureCtes: String = lshCandidateCtes +
+    edgeClosureTail(2)
+
+  /** The same closure over an ARBITRARY corpus CTE (q219): emitted
+    * after a `lshBandCtes(corpusSql)` + `cand` prefix; identical to
+    * the q77 chain by construction up to the propagation depth
+    * (q219's fixture chains base near-dup components with twin edges,
+    * so its min-label radius exceeds the doubled corpus's measured 1 —
+    * callers pass the rounds their component diameter needs; the final
+    * label CTE is always named l2). */
+  private def edgeClosureCtes(corpusSql: String, rounds: Int): String =
+    lshBandCtes(corpusSql) +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.id AS idA, b.id AS idB
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |  WHERE a.id < b.id)""".stripMargin +
+      edgeClosureTail(rounds)
+
+  /** Unrolled min-label propagation (`rounds` ≥ 2 joins over `sym`),
+    * ending in the FINAL label CTE `l2` whatever the depth — every
+    * consumer selects from `l2`; intermediate rounds are li1.. to keep
+    * one namespace. */
+  private def edgeClosureTail(rounds: Int): String = {
+    require(rounds >= 1)
+    val names = (1 until rounds).map(i => s"li$i") :+ "l2"
+    val its = names.zipWithIndex.map { case (name, i) =>
+      val prev = if (i == 0) "l0" else names(i - 1)
+      s""",
+         |$name AS MATERIALIZED (
+         |  SELECT s.a AS id, min(l.g) AS g
+         |  FROM sym s JOIN $prev l ON l.id = s.b GROUP BY s.a)""".stripMargin
+    }.mkString
     """,
       |inter AS (
       |  SELECT c.idA, c.idB, count(*) AS ni
@@ -183,13 +215,9 @@ object TextQueries {
       |sym AS MATERIALIZED (
       |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
       |  UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges),
-      |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS g FROM sym),
-      |l1 AS MATERIALIZED (
-      |  SELECT s.a AS id, min(l.g) AS g
-      |  FROM sym s JOIN l0 l ON l.id = s.b GROUP BY s.a),
-      |l2 AS MATERIALIZED (
-      |  SELECT s.a AS id, min(l.g) AS g
-      |  FROM sym s JOIN l1 l ON l.id = s.b GROUP BY s.a)""".stripMargin
+      |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS g FROM sym)""".stripMargin +
+      its
+  }
 
   private def q77Oracle: String = q77EdgeClosureCtes +
     """,
@@ -1321,6 +1349,59 @@ object TextQueries {
             .as("split"))
       },
       Some(q214Oracle)),
+
+    // QUALITY-AWARE keep-one — the production cluster-representative
+    // rule: per duplicate group keep the member with the LOWEST mean
+    // unigram surprisal (cleanest under the corpus LM), not the lowest
+    // id. Fixture inverts the naive rule on purpose: originals sit at
+    // HIGH ids (+10000); %3==0 docs get a LOW-id near-dup twin with a
+    // 3-junk-word tail (higher surprisal → quality keeps the high-id
+    // original; min-id would keep the degraded copy — min_id ≠ id rows
+    // expose exactly these inversions in the gate); %3==1 docs get a
+    // LOW-id EXACT twin (identical surprisal → tie-break keeps min
+    // id); %3==2 stay singletons. The oracle replays the full q77
+    // closure chain over this corpus (shared edgeClosureCtes — q77/
+    // q214 re-gate on the same factored SQL), the surprisal chain, and
+    // the (m, id) argmin per group.
+    Q("q219_quality_keep_one",
+      (spark, dir) => {
+        val junk = " xerxes zyzzyva qwertyu"
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), concat(col("text"), lit(junk)).as("text")))
+          .unionByName(d.filter(col("doc_id") % 3 === 1))
+        DedupGroups.keepBestByQuality(corpus, "doc_id", "text")
+      },
+      Some(edgeClosureCtes(
+        """SELECT doc_id + 10000 AS id, text FROM documents
+          |  UNION ALL SELECT doc_id AS id, text || ' xerxes zyzzyva qwertyu'
+          |    FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+          rounds = 4) +
+        """,
+          |glab AS (SELECT c.id, coalesce(l.g, c.id) AS g
+          |  FROM corpus c LEFT JOIN l2 l ON l.id = c.id),
+          |stoks AS (SELECT id, t FROM (SELECT id, unnest(w) AS t FROM toks)
+          |  WHERE length(t) > 0),
+          |scnt AS (SELECT t, count(*) AS c FROM stoks GROUP BY t),
+          |stot AS (SELECT sum(c) AS n FROM scnt),
+          |ssurp AS (SELECT t,
+          |    CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS s
+          |  FROM scnt, stot),
+          |dmean AS (SELECT id, round(CAST(sum(s) AS DOUBLE) / count(*) / 1000000, 4) AS m
+          |  FROM stoks JOIN ssurp USING (t) GROUP BY id),
+          |grp AS (SELECT g.g AS group_id, g.id, d.m
+          |  FROM glab g JOIN dmean d USING (id)),
+          |rk AS (SELECT group_id, id, m,
+          |    min(id) OVER (PARTITION BY group_id) AS min_id,
+          |    count(*) OVER (PARTITION BY group_id) AS n_members,
+          |    row_number() OVER (PARTITION BY group_id ORDER BY m, id) AS rn
+          |  FROM grp)
+          |SELECT id, group_id, min_id, CAST(n_members AS BIGINT) AS n_members,
+          |  m AS kept_mean
+          |FROM rk WHERE rn = 1""".stripMargin)),
 
     // INCREMENTAL group maintenance — the daily-ingest continuation of
     // q152 and the reference's incremental-rerun pattern

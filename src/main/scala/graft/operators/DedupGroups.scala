@@ -297,6 +297,37 @@ object DedupGroups {
       .select(col("id"), coalesce(col("groupId"), col("id")).as("group_id"))
   }
 
+  /** QUALITY-AWARE keep-one: per duplicate group, keep the member with
+    * the LOWEST mean unigram surprisal (the cleanest text under the
+    * corpus LM — Curation.unigramSurprisal's q94-gated 4-dp value), id
+    * ascending as the deterministic tie-break — so exact copies
+    * (identical text → identical surprisal) still resolve to min-id,
+    * while a near-dup pair where the lower id is the DEGRADED variant
+    * keeps the clean higher-id member, which min-id keep-one gets
+    * wrong (production pipelines keep the best cluster member, not the
+    * first-crawled one).
+    *
+    * Scale shape: the argmin is `min(struct(quality, id))` per group —
+    * a map-side-combining aggregation, no per-group window/sort; the
+    * surprisal table side is the gated broadcast chain.
+    *
+    * @return (id, group_id, min_id, n_members, kept_mean): one row per
+    *         KEPT doc; min_id ≠ id exactly on the groups where quality
+    *         inverted the naive rule. */
+  def keepBestByQuality(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+    val reg = groupRegistry(df, idCol, textCol, jaccardThreshold, maxIter)
+    val q = Curation.unigramSurprisal(df, idCol, textCol)
+      .select(col("id"), col("mean_surprisal"))
+    reg.join(q, Seq("id"))
+      .groupBy(col("group_id"))
+      .agg(min(struct(col("mean_surprisal"), col("id"))).as("best"),
+        min(col("id")).as("min_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("best.id").as("id"), col("group_id"), col("min_id"),
+        col("n_members"), col("best.mean_surprisal").as("kept_mean"))
+  }
+
   def dedupeTransitive(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
     val groups = connectedComponents(

@@ -122,4 +122,30 @@ class DedupGroupsSpec extends SparkSuite {
         s"a group split across the boundary: ${members.toSeq}")
     }
   }
+
+  test("keepBestByQuality: quality inverts min-id; exact ties fall back to min-id") {
+    // words repeated so near-dup shingles overlap; 'zzqq'/'xxpp' are
+    // corpus-rare → higher surprisal for the docs carrying them
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base + " zzqq xxpp"), // degraded copy at the LOW id
+      (11L, base),               // clean original at the HIGH id
+      (20L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (21L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"), // exact twin
+      (30L, "solo document with entirely unshared vocabulary tokens here"),
+    ).toDF("doc_id", "text")
+    val kept = DedupGroups.keepBestByQuality(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(kept.keySet == Set(11L, 20L, 30L), s"kept: $kept")
+    val inv = kept(11L)
+    assert(inv._3 == 1L && inv._4 == 2L,
+      s"the {1, 11} group must keep the CLEAN high id over min-id 1: $inv")
+    assert(kept(20L)._3 == 20L && kept(20L)._4 == 2L,
+      "exact twins tie on surprisal and fall back to min-id")
+    assert(kept(30L)._4 == 1L, "singleton keeps itself")
+  }
 }
