@@ -281,25 +281,46 @@ object CurationQueries {
       (spark, dir) =>
         Curation.temperatureWeights(
           Tables.load(spark, dir, "documents"), "source", "text"),
-      Some("""WITH s AS (
-             |  SELECT source, count(*) AS n_docs,
-             |    CAST(sum(len(string_split_regex(
-             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT) AS n_tokens
-             |  FROM documents GROUP BY source),
-             |lw AS (SELECT source, n_docs, n_tokens,
-             |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7) // 10
-             |      AS logw_micro
-             |  FROM s),
-             |mx AS (SELECT max(logw_micro) AS m FROM lw),
-             |wm AS (SELECT source, n_docs, n_tokens, logw_micro,
-             |    CAST(round(exp(CAST(logw_micro - (SELECT m FROM mx) AS DOUBLE)
-             |      / 1000000) * 1000000) AS BIGINT) AS weight_micro
-             |  FROM lw),
-             |tw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM wm)
-             |SELECT source, n_docs, n_tokens, logw_micro, weight_micro,
-             |  round(CAST(weight_micro AS DOUBLE) / (SELECT t FROM tw), 6)
-             |    AS weight_share
-             |FROM wm""".stripMargin)),
+      Some(temperatureWeightCtes +
+        """
+          |SELECT source, n_docs, n_tokens, logw_micro, weight_micro,
+          |  round(CAST(weight_micro AS DOUBLE) / (SELECT t FROM tw), 6)
+          |    AS weight_share
+          |FROM wm""".stripMargin)),
+
+    // EPOCH SAMPLING PLAN (Curation.samplingPlan) — the q205 weights
+    // MATERIALIZED into integers a trainer can execute: a 1M-token
+    // epoch budget apportioned by Hamilton's largest-remainder method
+    // (base = floored proportional share on weight_micro, leftover
+    // +1s to the largest exact remainders, (rem DESC, source) total
+    // order), so Σ quota == budget EXACTLY — one mis-floored share or
+    // a drifted remainder rank moves a bonus token and the hash. The
+    // per-domain repeat_micro (quota/n_tokens, rounded once) is the
+    // upsampling factor the plan exposes. Oracle shares the q205 CTE
+    // chain verbatim and replays the apportionment integer-for-
+    // integer.
+    Q("q220_sampling_plan",
+      (spark, dir) =>
+        Curation.samplingPlan(
+          Tables.load(spark, dir, "documents"), "source", "text",
+          budget = 1000000L),
+      Some(temperatureWeightCtes +
+        """,
+          |base AS (SELECT source, n_tokens, weight_micro,
+          |    (1000000 * weight_micro) // t AS base_quota,
+          |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+          |  FROM wm, tw),
+          |lo AS (SELECT 1000000 - sum(base_quota) AS l FROM base),
+          |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+          |  FROM base)
+          |SELECT source, n_tokens, weight_micro,
+          |  CAST(base_quota AS BIGINT) AS base_quota,
+          |  CAST(CASE WHEN r <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+          |  CAST(base_quota + CASE WHEN r <= (SELECT l FROM lo) THEN 1 ELSE 0 END
+          |    AS BIGINT) AS quota,
+          |  CAST((2 * (base_quota + CASE WHEN r <= (SELECT l FROM lo) THEN 1 ELSE 0 END)
+          |      * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS repeat_micro
+          |FROM rk""".stripMargin)),
 
     // Fixed-point PageRank (operators/Graph.scala) — the link-analysis
     // quality prior of a web-crawl curation pipeline, over the bipartite
@@ -1267,6 +1288,26 @@ object CurationQueries {
     * tercile boundaries → per-doc tier) ending in
     * `tiers(doc_id, n_tokens, m, tier)` — shared by q196 and q213's
     * curriculum packing. */
+  /** The q205 temperature-weight chain (stats → α-scaled micro-nat
+    * logs → max-anchored exp → weight_micro + total `tw(t)`) — shared
+    * verbatim by q205 and the q220 apportionment. */
+  private def temperatureWeightCtes: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(
+      |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |lw AS (SELECT source, n_docs, n_tokens,
+      |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7) // 10
+      |      AS logw_micro
+      |  FROM s),
+      |mx AS (SELECT max(logw_micro) AS m FROM lw),
+      |wm AS (SELECT source, n_docs, n_tokens, logw_micro,
+      |    CAST(round(exp(CAST(logw_micro - (SELECT m FROM mx) AS DOUBLE)
+      |      / 1000000) * 1000000) AS BIGINT) AS weight_micro
+      |  FROM lw),
+      |tw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM wm)""".stripMargin
+
   private def perplexityTierCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id, t FROM (

@@ -894,4 +894,54 @@ object Curation {
         round(col("weight_micro").cast("double") / col("_tw"), 6)
           .as("weight_share"))
   }
+
+  /** EPOCH SAMPLING PLAN — the materialized step after
+    * [[temperatureWeights]]: apportion an integer token budget across
+    * domains by HAMILTON'S LARGEST-REMAINDER method, so the per-domain
+    * quotas are exact integers that sum to the budget EXACTLY (floored
+    * proportional shares under-allocate by < |domains| tokens; the
+    * leftover goes +1 each to the largest fractional remainders —
+    * (remainder DESC, domain ASC) as the deterministic total order).
+    * All apportionment arithmetic is exact integers on weight_micro:
+    *
+    *   base(g)  = (budget·w(g)) DIV Σw          [floor]
+    *   rem(g)   = budget·w(g) − base(g)·Σw      [exact remainder]
+    *   bonus(g) = 1 iff rank_{(rem DESC, g ASC)}(g) ≤ budget − Σ base
+    *
+    * repeat_micro = the domain's effective epoch count under its quota
+    * (quota/n_tokens, half-up-rounded once to micro units via
+    * (2·q·1e6 + n) DIV 2n) — the upsampling factor trainers read off
+    * the plan.
+    *
+    * Scale shape: everything after the [[temperatureWeights]] groupBy
+    * lives on the |domains|-row table; the rank window is over that
+    * bounded table (domains are tens, not millions — a plan with
+    * millions of groups would switch to the q57 bounded-heap top-k for
+    * the bonus set).
+    *
+    * @return (group, n_tokens, weight_micro, base_quota, bonus, quota,
+    *         repeat_micro); Σ quota == budget exactly. */
+  def samplingPlan(corpus: DataFrame, groupCol: String, textCol: String,
+      budget: Long, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame = {
+    require(budget > 0)
+    val w = temperatureWeights(corpus, groupCol, textCol, alphaNum, alphaDen)
+      .select(col(groupCol), col("n_tokens"), col("weight_micro"))
+    val tot = w.agg(sum(col("weight_micro")).as("_tw"))
+    val base = w.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"), col("weight_micro"),
+        expr(s"($budget * weight_micro) DIV _tw").as("base_quota"),
+        expr(s"$budget * weight_micro - (($budget * weight_micro) DIV _tw) * _tw")
+          .as("rem"))
+    val leftover = base.agg((lit(budget) - sum(col("base_quota"))).as("_l"))
+    import org.apache.spark.sql.expressions.Window
+    base.crossJoin(broadcast(leftover))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(groupCol).asc)))
+      .select(col(groupCol), col("n_tokens"), col("weight_micro"),
+        col("base_quota"),
+        when(col("_rk") <= col("_l"), 1L).otherwise(0L).as("bonus"))
+      .withColumn("quota", col("base_quota") + col("bonus"))
+      .withColumn("repeat_micro",
+        expr("(2 * quota * 1000000 + n_tokens) DIV (2 * n_tokens)"))
+  }
 }

@@ -688,4 +688,29 @@ class CurationSpec extends SparkSuite {
     assert(out.forall(r => r._2 == r._4), "separable skewed corpus must classify perfectly")
     assert(out.filter(_._5 == 1L).map(_._1).toSet == ids.toSet)
   }
+
+  test("samplingPlan: quotas sum to the budget exactly, bonuses to largest remainders") {
+    // three domains with token counts 100/10/1 → α=0.7 weights are
+    // deliberately awkward so floored shares under-allocate
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "a", ("w " * 10).trim)) ++   // 100 toks
+        Seq((100L, "b", ("w " * 10).trim)) ++                     // 10 toks
+        Seq((200L, "c", "w"))                                     // 1 tok
+      ).toDF("doc_id", "src", "text")
+    val budget = 999L
+    val plan = Curation.samplingPlan(docs, "src", "text", budget)
+      .select("src", "n_tokens", "base_quota", "bonus", "quota", "repeat_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan.values.map(_._5).sum == budget,
+      s"largest-remainder must hit the budget exactly: $plan")
+    assert(plan.values.forall(r => r._5 == r._3 + r._4))
+    assert(plan.values.map(_._4).sum < 3, "bonus count < |domains|")
+    // repeat factor: quota/n_tokens rounded half-up to micro units
+    plan.values.foreach { r =>
+      assert(r._6 == (2L * r._5 * 1000000L + r._2) / (2L * r._2), r.toString)
+    }
+    // α=0.7 upsamples small domains: c's repeat factor exceeds a's
+    assert(plan("c")._6 > plan("a")._6)
+  }
 }
