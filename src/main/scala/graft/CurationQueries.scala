@@ -1068,6 +1068,58 @@ object CurationQueries {
            |FROM evals v LEFT JOIN ew ON ew.id = v.id LEFT JOIN ed ON ed.id = v.id""".stripMargin
       }),
 
+    // SURGICAL DECONTAMINATION (Dedup.exciseContaminatedSpans) — the
+    // REMOVAL half of q198's report, the Llama-style cleanup: training
+    // docs carrying benchmark text get the LEAKED SPANS excised and
+    // keep the rest, instead of q90-style whole-doc dropping. Probe =
+    // training anchored windows against the eval set's DISTINCT window
+    // index (broadcast — benchmark suites are tiny), then the gated
+    // island-merge/cut machinery. Fixture plants two +90000 training
+    // docs embedding a full eval doc between prefix/suffix padding —
+    // the cut must remove exactly the anchored-window-covered run of
+    // the eval text and stitch prefix+suffix (plus any residual
+    // anchored remnant shorter than a window) back together; the gate
+    // hashes every training doc's span count, removed chars, and the
+    // sha256 of the cleaned text. Oracle shares q182's factored window
+    // + cut-tail CTEs (q175/q182 re-gate on the refactor).
+    Q("q221_surgical_decontamination",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val evalSet = d.filter(col("doc_id") % 17 === 3)
+        val planted = evalSet.orderBy(col("doc_id")).limit(2)
+          .select((col("doc_id") + 90000L).as("doc_id"),
+            concat(lit("prefix padding words before the leaked benchmark passage "),
+              col("text"),
+              lit(" suffix padding words after the leaked benchmark passage"))
+              .as("text"))
+        val train = d.filter(col("doc_id") % 17 =!= 3).unionByName(planted)
+        graft.operators.Dedup.exciseContaminatedSpans(
+            train, evalSet, "doc_id", "text")
+          .select(col("id"), col("n_spans"), col("removed_chars"),
+            col("clean_len"), sha2(col("clean_text"), 256).as("clean_sha"))
+      },
+      Some {
+        s"""WITH evals AS (
+           |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 = 3),
+           |train AS (
+           |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 <> 3
+           |  UNION ALL
+           |  SELECT id + 90000,
+           |    'prefix padding words before the leaked benchmark passage ' || text
+           |      || ' suffix padding words after the leaked benchmark passage'
+           |  FROM (SELECT id, text FROM evals ORDER BY id LIMIT 2)),
+           |${TextQueries.spanWindowCtes("evals", "e")},
+           |${TextQueries.spanWindowCtes("train", "t")},
+           |eidx AS (SELECT DISTINCT h FROM ewins),
+           |tdw AS (SELECT w.id, w.i FROM twins w JOIN eidx USING (h))
+           |${TextQueries.spanCutTail("train", "t")}
+           |SELECT id, n_spans, removed_chars,
+           |  CAST(coalesce(length(clean_text), 0) AS BIGINT) AS clean_len,
+           |  sha256(clean_text) AS clean_sha
+           |FROM tclean""".stripMargin
+      }),
+
     // PERPLEXITY TIERING (Curation.perplexityTiers): CCNet's
     // head/middle/tail quality buckets — per-doc mean unigram
     // surprisal (the q94-gated value), tier boundaries = exact

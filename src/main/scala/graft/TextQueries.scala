@@ -397,7 +397,10 @@ object TextQueries {
     * docs included (clean_text = original text when no span was cut).
     * 1-based char positions; island test i > max_prev(i'+64) == the
     * Spark kernel's pos > prev_end. */
-  private[graft] def spanKeepOneCtes(corpusCte: String, p: String): String = {
+  /** Anchored 64-char window extraction CTEs (`codes` → `pos` →
+    * `wins(id, i, h)`) over a corpus CTE — the shared front of every
+    * span oracle. */
+  private[graft] def spanWindowCtes(corpusCte: String, p: String): String = {
     def fold(slice: String): String =
       s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
          |    (h, b) -> ((h - (h % 256) +
@@ -412,11 +415,23 @@ object TextQueries {
        |  FROM ${p}codes WHERE len(cs) >= 64),
        |${p}wins AS MATERIALIZED (
        |  SELECT id, i, ${fold("cs[i:i+63]")} AS h
-       |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0),
+       |  FROM ${p}pos WHERE ${fold("cs[i:i+3]")} % 16 = 0)""".stripMargin
+  }
+
+  private[graft] def spanKeepOneCtes(corpusCte: String, p: String): String =
+    spanWindowCtes(corpusCte, p) +
+    s""",
        |${p}kp AS (SELECT h, min(id) AS keeper FROM ${p}wins
        |  GROUP BY h HAVING count(DISTINCT id) >= 2),
        |${p}dw AS (SELECT w.id, w.i FROM ${p}wins w
-       |  JOIN ${p}kp k ON k.h = w.h AND w.id <> k.keeper),
+       |  JOIN ${p}kp k ON k.h = w.h AND w.id <> k.keeper)""".stripMargin +
+    spanCutTail(corpusCte, p)
+
+  /** Island-merge → gap-segment cut → per-doc stats tail (`mk` …
+    * `clean`), reading the dup-window CTE `${p}dw(id, i)` — shared by
+    * the keep-one form and the q221 eval-index excision. */
+  private[graft] def spanCutTail(corpusCte: String, p: String): String =
+    s""",
        |${p}mk AS (SELECT id, i,
        |  CASE WHEN max(i + 64) OVER (PARTITION BY id ORDER BY i
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -446,7 +461,6 @@ object TextQueries {
        |    coalesce(cl.ct, c.text) AS clean_text
        |  FROM $corpusCte c LEFT JOIN ${p}stats st ON st.id = c.id
        |    LEFT JOIN ${p}cl cl ON cl.id = c.id)""".stripMargin
-  }
 
   /** The seven Gopher rule expressions + pass flags + composite keep,
     * shared by q177 (the full verdict table) and q181 (the funnel's

@@ -302,6 +302,34 @@ object Dedup {
     cutSpans(corpus, idCol, textCol, dupWins, window)
   }
 
+  /** SURGICAL DECONTAMINATION — the removal half of the q198 report
+    * (the Llama-style cleanup: when benchmark text leaks into training
+    * documents, excise the LEAKED SPANS and keep the document, instead
+    * of dropping every contaminated doc wholesale): every training-doc
+    * anchored window whose hash appears in the EVAL set's window index
+    * is cut, overlapping/touching windows merged to islands first
+    * (the [[removeDuplicatedSpans]] machinery with the dup-window set
+    * swapped for the eval-index probe).
+    *
+    * Scale shape: the eval index is DISTINCT window hashes of the
+    * benchmark suite — tiny by definition — so the probe is a
+    * broadcast join against the corpus's (id, pos, h) windows; the
+    * island merge is a per-doc window over each doc's few hits, and
+    * documents without hits never enter it (left join at the end).
+    *
+    * @return (id, n_spans, removed_chars, clean_len, clean_text) per
+    *         corpus doc */
+  def exciseContaminatedSpans(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, window: Int = 64, gate: Int = 4,
+      modulo: Int = 16): DataFrame = {
+    val evalIdx = spanWindows(evalSet, idCol, textCol, window, gate, modulo)
+      .select(col("h")).distinct()
+    val hits = spanWindows(corpus, idCol, textCol, window, gate, modulo)
+      .join(broadcast(evalIdx), Seq("h"))
+      .select(col("id"), col("pos"))
+    cutSpans(corpus, idCol, textCol, hits, window)
+  }
+
   /** Shared first stage of the span-removal forms: per-doc anchored
     * (pos, hash) windows, persisted for the two aggregations over it. */
   private def spanWindows(corpus: DataFrame, idCol: String,

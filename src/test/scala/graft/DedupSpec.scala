@@ -159,6 +159,37 @@ class DedupSpec extends SparkSuite {
     assert(all(1L)._3 >= span.length - 64, all(1L).toString)
   }
 
+  test("exciseContaminatedSpans cuts leaked eval text, leaves clean docs intact") {
+    val evalText = "benchmark question: what is the airspeed velocity of an " +
+      "unladen swallow given standard atmospheric conditions and wingspan " * 2
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val contaminated = "training doc opens with its own prose before leaking " +
+      evalText + " and then continues with novel training content afterwards"
+    val clean = "a fully clean training document sharing no sixty-four " +
+      "character window with the benchmark suite, long enough that anchored " +
+      "windows exist inside it but none of them appear in the eval index"
+    val train = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val got = Dedup.exciseContaminatedSpans(train, evalSet, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the clean doc passes through byte-identical
+    assert(got(2L)._2 == 0 && got(2L)._5 == clean)
+    // the contaminated doc loses the leaked passage but keeps its fringes
+    val (_, nSpans, removed, cleanLen, cleaned) = got(1L)
+    assert(nSpans >= 1, s"contaminated doc must carry a span: ${got(1L)}")
+    assert(removed >= evalText.length - 64,
+      s"removed only $removed of a ${evalText.length}-char leak")
+    assert(cleanLen == cleaned.length)
+    assert(!cleaned.contains(evalText.substring(0, 64)),
+      "leaked benchmark head survived the cut")
+    assert(cleaned.startsWith("training doc opens"))
+    assert(cleaned.endsWith("training content afterwards"))
+    // unlike remove-all span dedup, the eval set itself is untouched: the
+    // operator reads it only as an index (nothing to assert on output —
+    // the output ids are exactly the training ids)
+    assert(got.keySet == Set(1L, 2L))
+  }
+
   test("anchoredWindowSpans positions+hashes agree with anchoredWindowHashes") {
     val texts = Seq(
       ("x" * 9) + ("the quick brown fox jumps over the lazy dog " * 4) + " end",
