@@ -1120,6 +1120,64 @@ object CurationQueries {
            |FROM tclean""".stripMargin
       }),
 
+    // EVAL-SIDE 13-GRAM CONTAMINATION REPORT
+    // (Curation.evalContaminationReport) — the GPT-3 appendix-C
+    // direction, complementing q89/q90 (training-side flags) and
+    // q198/q200/q221 (window/semantic/excision): per EVAL doc, what
+    // fraction of its distinct 13-grams appear anywhere in training,
+    // verdict 'dirty' on any collision (releases then report the clean
+    // subset's metrics separately). Fixture plants the lowest-id eval
+    // doc verbatim inside a +90000 training doc → that doc must read
+    // overlap 1.0 / dirty; short docs read n_grams 0 / clean. The
+    // broadcast direction flips vs q89: eval grams broadcast, the
+    // 100-TB training side never shuffles.
+    Q("q222_eval_contamination_report",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val evalSet = d.filter(col("doc_id") % 17 === 3)
+        val planted = evalSet.orderBy(col("doc_id")).limit(1)
+          .select((col("doc_id") + 90000L).as("doc_id"),
+            concat(lit("prefix padding words before the leaked benchmark passage "),
+              col("text"),
+              lit(" suffix padding words after the leaked benchmark passage"))
+              .as("text"))
+        val train = d.filter(col("doc_id") % 17 =!= 3).unionByName(planted)
+        graft.operators.Curation.evalContaminationReport(
+          train, evalSet, "doc_id", "text", n = 13)
+      },
+      Some("""WITH evals AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 = 3),
+             |train AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 <> 3
+             |  UNION ALL
+             |  SELECT id + 90000,
+             |    'prefix padding words before the leaked benchmark passage ' || text
+             |      || ' suffix padding words after the leaked benchmark passage'
+             |  FROM (SELECT id, text FROM evals ORDER BY id LIMIT 1)),
+             |ew AS (SELECT id, string_split_regex(
+             |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM evals),
+             |eg AS (SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM ew WHERE len(w) >= 13)),
+             |tw AS (SELECT string_split_regex(
+             |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM train),
+             |tg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tw WHERE len(w) >= 13)),
+             |ng AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM eg GROUP BY 1),
+             |hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dirty
+             |  FROM eg JOIN tg USING (g) GROUP BY 1)
+             |SELECT v.id, coalesce(ng.n_grams, 0) AS n_grams,
+             |  coalesce(h.n_dirty, 0) AS n_dirty,
+             |  CASE WHEN coalesce(ng.n_grams, 0) > 0
+             |    THEN round(CAST(coalesce(h.n_dirty, 0) AS DOUBLE) / ng.n_grams, 6)
+             |    ELSE 0.0 END AS overlap,
+             |  CASE WHEN coalesce(h.n_dirty, 0) > 0 THEN 'dirty' ELSE 'clean' END
+             |    AS verdict
+             |FROM evals v LEFT JOIN ng ON ng.id = v.id
+             |  LEFT JOIN hits h ON h.id = v.id""".stripMargin)),
+
     // PERPLEXITY TIERING (Curation.perplexityTiers): CCNet's
     // head/middle/tail quality buckets — per-doc mean unigram
     // surprisal (the q94-gated value), tier boundaries = exact

@@ -55,6 +55,42 @@ object Curation {
       .agg(count(lit(1)).as("n_shared")) // grams already distinct per doc
   }
 
+  /** EVAL-SIDE contamination report — the direction [[ngramContamination]]
+    * doesn't cover: for each EVAL document, the fraction of its distinct
+    * word n-grams that appear anywhere in the training corpus, plus the
+    * GPT-3-style verdict (any collision → 'dirty'; release reports then
+    * quote benchmark metrics on the clean subset separately). Output per
+    * eval doc: (id, n_grams, n_dirty, overlap, verdict); docs too short
+    * to carry a gram report n_grams = 0 / clean.
+    *
+    * Scale shape: the roles flip relative to [[ngramContamination]] — the
+    * PROBE side (the training corpus) is the 100-TB side, so the eval
+    * (id, gram) pairs broadcast and training grams stream through a
+    * map-side hash join with no corpus shuffle; only matched pairs
+    * (bounded by eval gram count × multiplicity, deduped by the partial
+    * distinct-aggregate) reach the one small shuffle. */
+  def evalContaminationReport(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val eg = evalSet.select(col(idCol).as("id"),
+      explode(TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram"))
+    val tg = train.select(
+      explode(TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram"))
+    val hits = tg.join(broadcast(eg), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("gram")).as("n_dirty"))
+    val counts = evalSet.select(col(idCol).as("id"),
+      size(TextFunctions.distinctShinglesCol(col(textCol), n))
+        .cast("long").as("n_grams"))
+    counts.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_dirty"), lit(0L)).cast("double")
+            / col("n_grams"), 6)).otherwise(lit(0.0)).as("overlap"),
+        when(coalesce(col("n_dirty"), lit(0L)) > 0, lit("dirty"))
+          .otherwise(lit("clean")).as("verdict"))
+  }
+
   /** The cleaning form: corpus minus every contaminated document (one
     * anti-join against [[ngramContamination]] ids). */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,

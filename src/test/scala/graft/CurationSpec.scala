@@ -689,6 +689,30 @@ class CurationSpec extends SparkSuite {
     assert(out.filter(_._5 == 1L).map(_._1).toSet == ids.toSet)
   }
 
+  test("evalContaminationReport: planted leak dirty at 1.0, novel doc clean, short doc 0-gram") {
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra"
+    val train = Seq(
+      (1L, "training prose wrapping the benchmark " + leak + " and moving on"),
+      (2L, "ordinary training content with no overlap whatsoever here today " +
+        "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      (10L, leak), // fully leaked
+      (11L, "completely novel evaluation question text that shares no " +
+        "thirteen token run with anything inside the training corpus at all"),
+      (12L, "too short to gram")
+    ).toDF("doc_id", "text")
+    val got = Curation.evalContaminationReport(train, evals, "doc_id", "text", 13)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._5 == "dirty" && got(10L)._4 == 1.0,
+      s"fully leaked eval doc must be dirty at overlap 1.0: ${got(10L)}")
+    assert(got(10L)._2 == got(10L)._3 && got(10L)._2 == leak.split(" ").length - 12)
+    assert(got(11L)._5 == "clean" && got(11L)._3 == 0, got(11L).toString)
+    assert(got(12L)._2 == 0 && got(12L)._4 == 0.0 && got(12L)._5 == "clean")
+  }
+
   test("samplingPlan: quotas sum to the budget exactly, bonuses to largest remainders") {
     // three domains with token counts 100/10/1 → α=0.7 weights are
     // deliberately awkward so floored shares under-allocate
