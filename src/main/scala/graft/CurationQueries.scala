@@ -322,6 +322,46 @@ object CurationQueries {
           |      * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS repeat_micro
           |FROM rk""".stripMargin)),
 
+    // PRIORITY SAMPLING (Curation.prioritySample) — weighted sampling
+    // WITHOUT replacement, Duffield–Lund–Thorup: u = (mix64(id)>>>32)+1,
+    // priority w/u (bit-identical binary64 in both engines: exact
+    // integer operands, correctly-rounded IEEE division), sample =
+    // top-64 by (pri DESC, id), τ = the 65th priority, per-doc
+    // Horvitz–Thompson weight max(w, τ) in integer nano units so
+    // Σ est_nano unbiasedly estimates total corpus tokens. The w ≥ τ
+    // branch decides by exact cross-multiplication (w·u_τ ≥ w_τ).
+    // Plan: TakeOrderedAndProject (per-partition heaps, no global
+    // sort); the oracle replays mix64, the division, the total order,
+    // and the nano rounding.
+    Q("q223_priority_sample",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Curation.prioritySample(d, "doc_id",
+          size(graft.functions.TextFunctions.tokens(col("text"))), k = 64)
+      },
+      Some(s"""WITH toksrc AS (SELECT doc_id AS id,
+             |    CAST(len(string_split_regex(
+             |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS BIGINT) AS w
+             |  FROM documents),
+             |wts AS (SELECT id, w FROM toksrc WHERE w > 0),
+             |${RelationalQueries5.mix64Stages("wts", Seq("id", "w"),
+                 "CAST(id AS UBIGINT)")},
+             |upri AS (SELECT id, w, CAST(vu // 4294967296 + 1 AS BIGINT) AS u
+             |  FROM mixed),
+             |pri AS (SELECT id, w, u,
+             |    CAST(w AS DOUBLE) / CAST(u AS DOUBLE) AS p FROM upri),
+             |rk AS (SELECT id, w, u, p,
+             |    row_number() OVER (ORDER BY p DESC, id) AS rank FROM pri),
+             |tau AS (SELECT max(CASE WHEN rank = 65 THEN w END) AS w_tau,
+             |    max(CASE WHEN rank = 65 THEN u END) AS u_tau FROM rk)
+             |SELECT CAST(rank AS BIGINT) AS rank, id, w,
+             |  CASE WHEN t.w_tau IS NULL OR r.w * t.u_tau >= t.w_tau
+             |    THEN r.w * 1000000000
+             |    ELSE CAST(round(CAST(t.w_tau AS DOUBLE) / t.u_tau
+             |      * 1000000000) AS BIGINT)
+             |  END AS est_nano
+             |FROM rk r, tau t WHERE rank <= 64""".stripMargin)),
+
     // Fixed-point PageRank (operators/Graph.scala) — the link-analysis
     // quality prior of a web-crawl curation pipeline, over the bipartite
     // customer↔supplier interaction graph (both directions, supplier ids

@@ -100,6 +100,51 @@ object Curation {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** WEIGHTED sampling without replacement — priority sampling (Duffield,
+    * Lund & Thorup, JACM 2007): each doc draws u = (mix64(id) >>> 32) + 1
+    * (a deterministic 32-bit uniform, never 0), priority = w / u, and the
+    * sample is the top-k by (priority DESC, id). The (k+1)-th priority is
+    * the threshold τ, and each selected doc's Horvitz–Thompson weight
+    * max(w, τ) makes Σ est an unbiased estimator of Σ w over the corpus —
+    * the sound way to subsample a corpus proportional to token counts
+    * while still estimating corpus totals from the sample.
+    *
+    * Exactness: u < 2³³ and w are both exactly representable in binary64,
+    * and IEEE division is correctly rounded, so priority w/u is
+    * BIT-IDENTICAL in any engine; the w ≥ τ branch decides by integer
+    * cross-multiplication (w·u_τ ≥ w_τ, products < 2⁴⁶), and est is
+    * emitted in integer NANO units (the w branch is exact; the τ branch
+    * rounds the bit-identical double once).
+    *
+    * Scale shape: orderBy(limit k+1) compiles to TakeOrderedAndProject —
+    * per-partition bounded heaps merged on the driver, NO global sort or
+    * shuffle; the k+1 survivors then pay one tiny window + broadcast.
+    *
+    * @return (rank, id, w, est_nano) for the k selected docs */
+  def prioritySample(corpus: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mixU = udf((id: Long) => (TextFunctions.mix64(id) >>> 32) + 1L)
+    val base = corpus.select(col(idCol).as("id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("u", mixU(col("id")))
+      .withColumn("pri", col("w").cast("double") / col("u"))
+    val top = base.orderBy(col("pri").desc, col("id").asc).limit(k + 1)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pri").desc, col("id").asc)))
+    val tau = top.agg(
+      max(when(col("rank") === k + 1, col("w"))).as("w_tau"),
+      max(when(col("rank") === k + 1, col("u"))).as("u_tau"))
+    top.filter(col("rank") <= k).crossJoin(broadcast(tau))
+      .select(col("rank").cast("long").as("rank"), col("id"), col("w"),
+        when(col("w_tau").isNull ||
+            col("w") * col("u_tau") >= col("w_tau"),
+          col("w") * lit(1000000000L))
+          .otherwise(round(col("w_tau").cast("double") / col("u_tau")
+            * lit(1e9)).cast("long"))
+          .as("est_nano"))
+  }
+
   /** Per-document repetition features (the "repetitive junk" filter of a
     * quality pipeline): token count, most-frequent-token ratio, `n`-gram
     * count and duplicate-gram ratio. Documents with fewer than `n` tokens

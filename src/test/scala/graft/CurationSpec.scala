@@ -713,6 +713,37 @@ class CurationSpec extends SparkSuite {
     assert(got(12L)._2 == 0 && got(12L)._4 == 0.0 && got(12L)._5 == "clean")
   }
 
+  test("prioritySample: matches brute force, τ floor applied, heavy doc always in") {
+    import graft.functions.TextFunctions
+    // weights 1..200 keyed by id; one doc with overwhelming weight
+    val rows = (1L to 200L).map(i => (i, i)) :+ (999L, 1000000L)
+    val df = rows.toDF("doc_id", "w")
+    val k = 16
+    val got = Curation.prioritySample(df, "doc_id", col("w"), k)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == k)
+    // brute-force replay: same u, same priority, same total order
+    val pri = rows.map { case (id, w) =>
+      val u = (TextFunctions.mix64(id) >>> 32) + 1L
+      (id, w, u, w.toDouble / u)
+    }.sortBy { case (id, _, _, p) => (-p, id) }
+    assert(got.map(_._2).toSeq == pri.take(k).map(_._1).toSeq,
+      "selection must equal the brute-force top-k")
+    // the overwhelming-weight doc cannot be displaced
+    assert(got.exists(_._2 == 999L))
+    // τ floor: every selected doc with w*u_tau < w_tau reads the τ nano
+    // value, the others read their own weight exactly
+    val (wTau, uTau) = (pri(k)._2, pri(k)._3)
+    val tauNano = math.round(wTau.toDouble / uTau * 1e9)
+    got.foreach { case (_, id, w, est) =>
+      val expected = if (w * uTau >= wTau) w * 1000000000L else tauNano
+      assert(est == expected, s"doc $id: est $est != $expected")
+    }
+    // τ floor actually fires for at least one selected doc (w < τ)
+    assert(got.exists(_._4 == tauNano) || wTau.toDouble / uTau <= got.map(_._3).min,
+      "fixture should exercise the τ branch")
+  }
+
   test("samplingPlan: quotas sum to the budget exactly, bonuses to largest remainders") {
     // three domains with token counts 100/10/1 → α=0.7 weights are
     // deliberately awkward so floored shares under-allocate

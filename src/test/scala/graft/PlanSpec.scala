@@ -315,6 +315,17 @@ class PlanSpec extends SparkSuite {
     assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
   }
 
+  test("q223: priority-sample top-k is a bounded heap, no global sort") {
+    val p = plan("q223_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only acceptable global-sort surface is the 65-row window after
+    // the Take — assert no Exchange feeds a Sort over the corpus scan
+    // (the window's sort sees k+1 rows, the scan side must not sort)
+    val sorts = "Sort \\[pri".r.findAllIn(p).size
+    assert(sorts <= 1, s"corpus-side sort leaked into the plan:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
