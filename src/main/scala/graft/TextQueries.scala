@@ -397,6 +397,39 @@ object TextQueries {
     * docs included (clean_text = original text when no span was cut).
     * 1-based char positions; island test i > max_prev(i'+64) == the
     * Spark kernel's pos > prev_end. */
+  /** The q210 BM25 scoring chain, parameterized: CTEs `{p}terms …
+    * {p}sc(qid, id, score_micro)` over `src(idExpr, text)`; `predSql`
+    * selects the query docs (column name `id`). Shared by q210 (ranked
+    * top-k) and q224 (group-excluded hard negatives). */
+  private def bm25ScoreCtes(src: String, idExpr: String, predSql: String,
+      p: String = ""): String =
+    s"""${p}terms AS (
+       |  SELECT $idExpr AS id,
+       |    unnest(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
+       |  FROM $src),
+       |${p}tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM ${p}terms
+       |       WHERE length(term) > 0 GROUP BY 1, 2),
+       |${p}dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM ${p}terms
+       |       WHERE length(term) > 0 GROUP BY 1),
+       |${p}dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ${p}tf GROUP BY 1),
+       |${p}tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}terms
+       |                WHERE length(term) > 0) AS t,
+       |               (SELECT CAST(COUNT(*) AS BIGINT) FROM $src) AS n),
+       |${p}idf AS (SELECT term,
+       |    CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE)
+       |      / CAST(2 * df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM ${p}dfq, ${p}tot tot),
+       |${p}contrib AS (SELECT tf.term, tf.id,
+       |    (2 * idf.idf_micro * 44 * tf.tf * tot.t
+       |      + (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n))
+       |    // (2 * (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n)) AS c
+       |  FROM ${p}tf tf JOIN ${p}idf idf USING (term)
+       |    JOIN ${p}dl dl USING (id), ${p}tot tot),
+       |${p}qt AS (SELECT id AS qid, term FROM ${p}tf WHERE $predSql),
+       |${p}sc AS (SELECT q.qid, c.id, CAST(sum(c.c) AS BIGINT) AS score_micro
+       |  FROM ${p}qt q JOIN ${p}contrib c USING (term)
+       |  WHERE c.id <> q.qid GROUP BY 1, 2)""".stripMargin
+
   /** Anchored 64-char window extraction CTEs (`codes` → `pos` →
     * `wins(id, i, h)`) over a corpus CTE — the shared front of every
     * span oracle. */
@@ -1298,37 +1331,51 @@ object TextQueries {
         graft.operators.Bm25.topK(d, "doc_id", "text",
           col("id") < 20, k = 10)
       },
-      Some("""WITH terms AS (
-             |  SELECT doc_id AS id,
-             |    unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
-             |  FROM documents),
-             |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
-             |       WHERE length(term) > 0 GROUP BY 1, 2),
-             |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM terms
-             |       WHERE length(term) > 0 GROUP BY 1),
-             |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-             |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM terms
-             |                WHERE length(term) > 0) AS t,
-             |               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n),
-             |idf AS (SELECT term,
-             |    CAST(round(ln(CAST(2 * tot.n + 2 AS DOUBLE)
-             |      / CAST(2 * df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
-             |  FROM dfq, tot),
-             |contrib AS (SELECT tf.term, tf.id,
-             |    (2 * idf.idf_micro * 44 * tf.tf * tot.t
-             |      + (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n))
-             |    // (2 * (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n)) AS c
-             |  FROM tf JOIN idf USING (term) JOIN dl USING (id), tot),
-             |qt AS (SELECT id AS qid, term FROM tf WHERE id < 20),
-             |sc AS (SELECT q.qid, c.id, CAST(sum(c.c) AS BIGINT) AS score_micro
-             |  FROM qt q JOIN contrib c USING (term)
-             |  WHERE c.id <> q.qid GROUP BY 1, 2),
-             |ranked AS (SELECT qid, id, score_micro,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY score_micro DESC, id) AS rank
-             |  FROM sc)
-             |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
-             |FROM ranked WHERE rank <= 10""".stripMargin)),
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "id < 20") +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
+    // — the DPR/Contriever recipe: per query doc the top-5 BM25
+    // candidates EXCLUDING the query's own duplicate group (q77's
+    // exact∪near closure) — a near-dup of the query is a mislabeled
+    // positive ("false negative"), and training a bi-encoder on it
+    // pushes true matches apart. On the doubled corpus every query's
+    // exact twin (+10000) would be the #1 BM25 hit — the exclusion
+    // must drop it, so the gate pins both the score machinery AND the
+    // group filter. Ranks dense AFTER exclusion. Oracle = the shared
+    // closure CTEs + the factored q210 chain ('b' prefix) + the
+    // exclusion join.
+    Q("q224_hard_negatives",
+      (spark, dir) => {
+        val corpus = doubled(spark, dir)
+        val groups = DedupGroups.groupRegistry(corpus, "doc_id", "text")
+        graft.operators.Bm25.hardNegatives(corpus, "doc_id", "text",
+          col("id") < 20, groups, k = 5)
+      },
+      Some(edgeClosureCtes(
+        """SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000 AS id, text FROM documents""".stripMargin,
+        rounds = 4) +
+        ",\n" + bm25ScoreCtes("corpus", "id", "id < 20", "b") +
+        """,
+          |glab AS (SELECT c.id, coalesce(l.g, c.id) AS g
+          |  FROM corpus c LEFT JOIN l2 l ON l.id = c.id),
+          |negs AS (SELECT s.qid, s.id, s.score_micro
+          |  FROM bsc s JOIN glab gq ON gq.id = s.qid
+          |    JOIN glab gd ON gd.id = s.id
+          |  WHERE gq.g <> gd.g),
+          |nrk AS (SELECT qid, id, score_micro,
+          |    row_number() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS neg_rank
+          |  FROM negs)
+          |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, id, score_micro
+          |FROM nrk WHERE neg_rank <= 5""".stripMargin)),
 
     // Transitive dedup groups: connected components over the verified
     // near-dup graph (A~B, B~C → one group even without an A~C pair).

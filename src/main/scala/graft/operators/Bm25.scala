@@ -51,6 +51,51 @@ object Bm25 {
     *         (score_micro DESC, id ASC) — a total order, deterministic */
   def topK(corpus: DataFrame, idCol: String, textCol: String,
       queryPred: Column, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scores(corpus, idCol, textCol, queryPred)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id"), col("score_micro"))
+  }
+
+  /** HARD-NEGATIVE MINING for retrieval training (the DPR/Contriever
+    * recipe): per query doc, the top-k BM25 candidates EXCLUDING every
+    * document in the query's own duplicate group — a near-dup of the
+    * query is a positive mislabeled as negative (a "false negative"),
+    * and training on it teaches the bi-encoder to push true matches
+    * apart. `groups` is the (id, group_id) registry from
+    * [[DedupGroups.groupRegistry]] (exact ∪ near closure); exclusion is
+    * by GROUP, so a paraphrase twin is dropped even when its text
+    * differs. Ranks are assigned AFTER exclusion (dense top-k of true
+    * negatives).
+    *
+    * Scale shape: two id-keyed equi-joins against the registry on top of
+    * the posting-list score join — no new shuffle classes; the rank
+    * window partitions by qid (queries are few).
+    *
+    * @return (qid, neg_rank 1..k, id, score_micro) */
+  def hardNegatives(corpus: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, groups: DataFrame, k: Int = 5): DataFrame = {
+    val g = groups.select(col("id"), col("group_id"))
+    val qg = groups.select(col("id").as("qid"), col("group_id").as("qgroup"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scores(corpus, idCol, textCol, queryPred)
+      .join(g, Seq("id"))
+      .join(qg, Seq("qid"))
+      .filter(col("group_id") =!= col("qgroup"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid"), col("neg_rank").cast("long").as("neg_rank"),
+        col("id"), col("score_micro"))
+  }
+
+  /** Shared scoring stage: (qid, id, score_micro) for every candidate
+    * sharing ≥1 term with the query, self-retrieval excluded, unranked. */
+  private def scores(corpus: DataFrame, idCol: String, textCol: String,
+      queryPred: Column): DataFrame = {
     val terms = OperatorCaches.track(corpus
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
@@ -75,15 +120,9 @@ object Bm25 {
           " DIV (2 * (20 * _T * tf + 6 * _T + 18 * dl * _N)) AS BIGINT)")
           .as("c"))
     val qterms = tf.filter(queryPred).select(col("id").as("qid"), col("term"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score_micro").desc, col("id").asc)
     qterms.join(contrib, Seq("term"))
       .filter(col("id") =!= col("qid"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("c")).as("score_micro"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("id"), col("score_micro"))
   }
 }

@@ -100,4 +100,28 @@ class Bm25Spec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
     assert(again.toSeq == got.toSeq)
   }
+
+  test("BM25 hard negatives: the query's dup group is excluded, ranks re-densify") {
+    // query 1 has an exact twin 11 (same group); docs 2, 3 share terms
+    // with the query but sit in their own groups → true negatives
+    val docs = Seq(
+      (1L, "apple banana cherry durian elderberry fig grape"),
+      (11L, "apple banana cherry durian elderberry fig grape"),
+      (2L, "apple banana cherry melon papaya lime kiwi"),
+      (3L, "apple orange peach plum mango guava lychee")).toDF("doc_id", "text")
+    val groups = Seq((1L, 1L), (11L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("id", "group_id")
+    val negs = graft.operators.Bm25.hardNegatives(docs, "doc_id", "text",
+        col("id") === 1L, groups, k = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    // plain BM25 would rank the twin #1 — hardNegatives must drop it
+    val plain = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        col("id") === 1L, k = 1).as[(Long, Long, Long, Long)].collect()
+    assert(plain.head._3 == 11L, s"twin must top plain BM25: ${plain.toSeq}")
+    assert(!negs.exists(_._3 == 11L), s"twin leaked into negatives: ${negs.toSeq}")
+    // ranks are dense over the survivors, scores ordered
+    assert(negs.map(_._2).toSeq == (1L to negs.length).toSeq)
+    assert(negs.map(_._3).toSet == Set(2L, 3L))
+    assert(negs.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
+  }
 }
