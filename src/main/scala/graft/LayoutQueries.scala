@@ -346,6 +346,33 @@ object LayoutQueries {
     // untouched: same oracle as the plain table (re-layout rule). The
     // read exercises the compacted layout's pruning too — one lang's
     // aggregate comes out of one compacted directory.
+    // RENDEZVOUS SHARDING (Layout.rendezvousShards) — HRW assignment at
+    // S=8 vs S=9: the stable doc→shard rule for incremental pipelines
+    // (shard-local epoch indexes like q174/q209 survive a shard-count
+    // change). The HRW guarantee IS the gate's dial: every moved doc
+    // must land on the NEW shard 8 (old shards never trade docs), and
+    // only ~1/9 of the corpus moves. The oracle replays mix64(id·31+s)
+    // via one shared stage chain over the exploded (id, s) frame,
+    // signed comparison, (h DESC, s DESC) tie-break.
+    Q("q225_rendezvous_sharding",
+      (spark, dir) =>
+        Layout.rendezvousShards(
+          Tables.load(spark, dir, "documents"), "doc_id", 8, 9),
+      Some(s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |sh AS (SELECT id, unnest(generate_series(0, 8)) AS s FROM ids),
+             |inp AS (SELECT id, s, CAST(id * 31 + s AS UBIGINT) AS x FROM sh),
+             |${RelationalQueries5.mix64Stages("inp", Seq("id", "s"), "x",
+                  signedOut = true)},
+             |rk9 AS (SELECT id, s, row_number() OVER (PARTITION BY id
+             |    ORDER BY h DESC, s DESC) AS rn FROM mixed),
+             |rk8 AS (SELECT id, s, row_number() OVER (PARTITION BY id
+             |    ORDER BY h DESC, s DESC) AS rn FROM mixed WHERE s < 8)
+             |SELECT a8.id AS doc_id, CAST(a8.s AS BIGINT) AS shard_old,
+             |  CAST(a9.s AS BIGINT) AS shard_new,
+             |  CAST(CASE WHEN a8.s <> a9.s THEN 1 ELSE 0 END AS BIGINT) AS moved
+             |FROM (SELECT id, s FROM rk8 WHERE rn = 1) a8
+             |  JOIN (SELECT id, s FROM rk9 WHERE rn = 1) a9 ON a9.id = a8.id""".stripMargin)),
+
     Q("q165_partitioned_compaction",
       (spark, dir) => {
         val pd = spark.read.parquet(compactedPartitionedDocsDir(spark, dir))

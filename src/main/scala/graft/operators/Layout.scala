@@ -18,6 +18,47 @@ import org.apache.spark.sql.functions._
   * the codes in DuckDB.
   */
 object Layout {
+  /** RENDEZVOUS (highest-random-weight) sharding — stable doc→shard
+    * assignment across shard-count changes (Thaler & Ravishankar 1998;
+    * the assignment rule behind consistent routing in distributed
+    * stores): doc d lands on argmax over shards s of h(d, s), here
+    * h = mix64(id·31 + s) compared SIGNED with (h DESC, s DESC)
+    * tie-break. The property that makes it the right key→shard rule for
+    * an incremental pipeline: growing S→S+1 moves ONLY the ~1/(S+1) of
+    * docs whose new-shard weight wins — every moved doc lands on the
+    * NEW shard, nothing reshuffles among the old ones (an id%S scheme
+    * moves ~S/(S+1) of the corpus instead, invalidating every
+    * shard-local epoch index).
+    *
+    * Output per doc: (doc_id, shard8 = assignment at `oldShards`,
+    * shard9 = assignment at `newShards`, moved 0/1).
+    *
+    * Scale shape: per-doc independent — an explode to S+1 slim rows and
+    * two windows PARTITIONED BY doc over ≤S+1 rows each; no global
+    * state, no shuffle beyond the doc-keyed window exchange. */
+  def rendezvousShards(df: DataFrame, idCol: String,
+      oldShards: Int, newShards: Int): DataFrame = {
+    require(0 < oldShards && oldShards <= newShards)
+    import org.apache.spark.sql.expressions.Window
+    val mixH = udf((id: Long, s: Int) =>
+      graft.functions.TextFunctions.mix64(id * 31L + s))
+    val withS = df.select(col(idCol).as("doc_id"))
+      .select(col("doc_id"),
+        explode(array((0 until newShards).map(lit): _*)).as("s"))
+      .withColumn("h", mixH(col("doc_id"), col("s")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("h").desc, col("s").desc)
+    def assign(frame: DataFrame, name: String): DataFrame = frame
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("s").cast("long").as(name))
+    assign(withS.filter(col("s") < oldShards), "shard_old")
+      .join(assign(withS, "shard_new"), Seq("doc_id"))
+      .select(col("doc_id"), col("shard_old"), col("shard_new"),
+        when(col("shard_old") =!= col("shard_new"), 1L).otherwise(0L)
+          .as("moved"))
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of two
     * NONNEGATIVE integral columns: bit i of `x` lands at position 2i,
     * bit i of `y` at 2i+1. Values wider than `bits` bits alias into the

@@ -218,6 +218,28 @@ class LayoutSpec extends SparkSuite {
       s"hilbert layout should read < half the rows: h=$hRead vs unsorted=$uRead")
   }
 
+  test("rendezvous sharding: minimal disruption — moved docs all land on the NEW shard") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("doc_id")
+    val g = graft.operators.Layout.rendezvousShards(ids, "doc_id", 8, 9)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(g.length == 2000)
+    // the HRW guarantee: growing 8→9 only ever moves a doc TO shard 8
+    g.filter(_._4 == 1L).foreach { r =>
+      assert(r._3 == 8L, s"doc ${r._1} moved to old shard ${r._3}") }
+    assert(g.filter(_._4 == 0L).forall(r => r._2 == r._3))
+    // movement is ~1/9 (binomial bounds at n=2000), never ~8/9 like id%S
+    val frac = g.count(_._4 == 1L).toDouble / g.length
+    assert(frac > 0.06 && frac < 0.18, s"moved fraction $frac")
+    // assignment balances across shards (each ≤ 2× the uniform share)
+    val byShard = g.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.values.forall(n => n > 125 && n < 500), byShard.toMap.toString)
+    // and is a pure function of the id (stable across runs)
+    val again = graft.operators.Layout.rendezvousShards(ids, "doc_id", 8, 9)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == g.sortBy(_._1).toSeq)
+  }
+
   test("morton2 is pure Column arithmetic — no ScalaUDF, stays in codegen") {
     // a real source, not a Seq literal — Catalyst constant-folds a local
     // relation into a LocalTableScan (itself proof the expression is
