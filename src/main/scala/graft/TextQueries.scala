@@ -1377,6 +1377,52 @@ object TextQueries {
           |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, id, score_micro
           |FROM nrk WHERE neg_rank <= 5""".stripMargin)),
 
+    // SKETCH-QUALITY AUDIT (Dedup.minhashAccuracyAudit) — estimated vs
+    // exact Jaccard per LSH candidate pair, the measurement that
+    // justifies trusting 128-hash MinHash verdicts at 100 TB (est std
+    // ≈ √(j(1−j)/128)): n_match/n_inter/n_union as INTEGERS plus the
+    // two 6-dp ratios, over the q152 corpus (exact twins at +10000 →
+    // n_match 128 & jaccard 1.0; token-appended variants at +20000 →
+    // the near-dup error band; natural dups fill the rest). Oracle
+    // replays the whole sketch (128 seeded mix64 minima) AND the exact
+    // set arithmetic; the LEFT join keeps a collision-only pair with
+    // n_inter 0 honest instead of dropping it.
+    Q("q226_minhash_accuracy_audit",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.unionByName(incomingBatch(d))
+        graft.operators.Dedup.minhashAccuracyAudit(
+          corpus, "doc_id", "text")
+      },
+      Some(lshBandCtes(
+        """SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL SELECT doc_id + 20000, text || ' graft incremental probe words'
+          |    FROM documents WHERE doc_id % 3 = 1""".stripMargin) +
+        """,
+          |cand AS (
+          |  SELECT DISTINCT a.id AS idA, b.id AS idB
+          |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+          |  WHERE a.id < b.id),
+          |nm AS (SELECT c.idA, c.idB, CAST(count(*) AS BIGINT) AS n_match
+          |  FROM cand c JOIN sigs sa ON sa.id = c.idA
+          |    JOIN sigs sb ON sb.id = c.idB AND sb.h = sa.h AND sb.sig = sa.sig
+          |  GROUP BY 1, 2),
+          |ji AS (SELECT c.idA, c.idB, CAST(count(*) AS BIGINT) AS ni
+          |  FROM cand c JOIN shingles sa ON sa.id = c.idA
+          |    JOIN shingles sb ON sb.id = c.idB AND sb.sh = sa.sh
+          |  GROUP BY 1, 2),
+          |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY id)
+          |SELECT c.idA, c.idB, m.n_match, coalesce(j.ni, 0) AS n_inter,
+          |  na.n + nb.n - coalesce(j.ni, 0) AS n_union,
+          |  round(m.n_match / 128.0, 6) AS est_jaccard,
+          |  round(CAST(coalesce(j.ni, 0) AS DOUBLE)
+          |    / (na.n + nb.n - coalesce(j.ni, 0)), 6) AS jaccard
+          |FROM cand c JOIN nm m ON m.idA = c.idA AND m.idB = c.idB
+          |  LEFT JOIN ji j ON j.idA = c.idA AND j.idB = c.idB
+          |  JOIN sz na ON na.id = c.idA JOIN sz nb ON nb.id = c.idB""".stripMargin)),
+
     // Transitive dedup groups: connected components over the verified
     // near-dup graph (A~B, B~C → one group even without an A~C pair).
     Q("q77_dedup_groups",

@@ -96,6 +96,54 @@ object Dedup {
       .select(col("idA"), col("idB"), col("est_jaccard"))
   }
 
+  /** SKETCH-QUALITY AUDIT — the measurement a pipeline owner runs before
+    * trusting MinHash dedup verdicts at scale: for every LSH candidate
+    * pair, the signature-estimated Jaccard (n_match/numHashes) NEXT TO
+    * the exact shingle Jaccard, as integers (n_match, n_inter, n_union)
+    * plus the two 6-dp ratios. The per-pair error distribution tells you
+    * whether the 128-hash estimate separates your dedup threshold (est
+    * std ≈ √(j(1−j)/128) ≈ 0.035 at j = 0.8) — if thresholding est
+    * instead of exact Jaccard would flip verdicts, you need more hashes
+    * or a verification stage.
+    *
+    * Scale shape: identical to [[minhashLshPairs]] (24-byte band rows
+    * shuffle, signatures re-attach to the deduped candidate list) plus
+    * the [[ngramJaccard]] shingle attach — all candidate-bounded; no
+    * new all-pairs surface. */
+  def minhashAccuracyAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0)
+    val sigs = OperatorCaches.track(
+      signatures(df, idCol, textCol, shingleSize, numHashes).persist())
+    val bandedAll = banded(sigs, numHashes, bands)
+    val a = bandedAll.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = bandedAll.select(col("band"), col("bucket"), col("id").as("idB"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB")).distinct()
+    val sh = OperatorCaches.track(df.select(col(idCol).as("id"),
+      distinctShinglesCol(col(textCol), shingleSize).as("sh")).persist())
+    candidates
+      .join(sigs.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+      .join(sigs.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
+      .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        size(filter(zip_with(col("sigA"), col("sigB"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("long").as("n_match"),
+        size(array_intersect(col("shA"), col("shB"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("shA"), col("shB"))).cast("long").as("n_union"))
+      .select(col("idA"), col("idB"), col("n_match"), col("n_inter"),
+        col("n_union"),
+        round(col("n_match").cast("double") / numHashes, 6)
+          .as("est_jaccard"),
+        round(col("n_inter").cast("double") / col("n_union"), 6)
+          .as("jaccard"))
+  }
+
   /** Incremental LSH dedup: count, per INCOMING document, the distinct
     * EXISTING documents sharing at least one band bucket — the daily-
     * ingest shape: the existing corpus's band table is computed once

@@ -159,6 +159,36 @@ class DedupSpec extends SparkSuite {
     assert(all(1L)._3 >= span.length - 64, all(1L).toString)
   }
 
+  test("minhashAccuracyAudit: exact twin saturates, near pair lands in the error band") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                  // exact twin of 1
+      (3L, base + " five six seven"),              // near-dup of 1
+      (4L, "entirely different text with no shared three word shingle " +
+        "anywhere inside it at all padded padded padded padded padded"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashAccuracyAudit(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // exact twins: all 128 slots match, exact jaccard 1.0
+    val t = got((1L, 2L))
+    assert(t._3 == 128L && t._4 == t._5 && t._7 == 1.0, t.toString)
+    assert(t._6 == 1.0)
+    // near pair: hand-count shingles — base has 28 3-shingles (30 words),
+    // doc 3 appends 3 words → 31 shingles sharing all 28 → j = 28/31
+    val n = got.get((1L, 3L)).orElse(got.get((2L, 3L)))
+    assert(n.isDefined, s"near pair must be an LSH candidate: ${got.keySet}")
+    assert(n.get._4 == 28L && n.get._5 == 31L, n.get.toString)
+    assert(n.get._7 == math.round(28.0 / 31 * 1e6) / 1e6)
+    // estimate within the 128-hash error band of the truth
+    assert(math.abs(n.get._6 - n.get._7) < 0.15, n.get.toString)
+    // the disjoint doc never pairs
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("exciseContaminatedSpans cuts leaked eval text, leaves clean docs intact") {
     val evalText = "benchmark question: what is the airspeed velocity of an " +
       "unladen swallow given standard atmospheric conditions and wingspan " * 2
