@@ -402,7 +402,7 @@ object TextQueries {
     * selects the query docs (column name `id`). Shared by q210 (ranked
     * top-k) and q224 (group-excluded hard negatives). */
   private def bm25ScoreCtes(src: String, idExpr: String, predSql: String,
-      p: String = ""): String =
+      p: String = "", qtOverride: Option[String] = None): String =
     s"""${p}terms AS (
        |  SELECT $idExpr AS id,
        |    unnest(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
@@ -425,7 +425,8 @@ object TextQueries {
        |    // (2 * (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n)) AS c
        |  FROM ${p}tf tf JOIN ${p}idf idf USING (term)
        |    JOIN ${p}dl dl USING (id), ${p}tot tot),
-       |${p}qt AS (SELECT id AS qid, term FROM ${p}tf WHERE $predSql),
+       |${p}qt AS (${qtOverride.getOrElse(
+             s"SELECT id AS qid, term FROM ${p}tf WHERE $predSql")}),
        |${p}sc AS (SELECT q.qid, c.id, CAST(sum(c.c) AS BIGINT) AS score_micro
        |  FROM ${p}qt q JOIN ${p}contrib c USING (term)
        |  WHERE c.id <> q.qid GROUP BY 1, 2)""".stripMargin
@@ -1376,6 +1377,40 @@ object TextQueries {
           |  FROM negs)
           |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, id, score_micro
           |FROM nrk WHERE neg_rank <= 5""".stripMargin)),
+
+    // QUERY-AT-INGEST BM25 (Bm25.topKExternal) — EXTERNAL query docs
+    // scored against the epoch corpus's static index: idf/avgdl/T/N
+    // are the epoch's statistics, incoming docs pay only the
+    // posting-list join (the q174/q209 epoch-index discipline applied
+    // to retrieval; in production the contrib table is saved bucketed
+    // on term). Queries = the first 25 tokens of docs 0..9 re-keyed to
+    // +80000 — a verbatim prefix snippet long enough to carry rare
+    // terms, so the source doc surfaces despite the length-
+    // normalization penalty; the gate hashes the full ranking.
+    Q("q227_bm25_query_at_ingest",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        graft.operators.Bm25.topKExternal(d, "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "", qtOverride = Some(
+        """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+          |  FROM (SELECT doc_id, unnest(string_split_regex(
+          |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+          |    FROM documents WHERE doc_id < 10)
+          |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
 
     // SKETCH-QUALITY AUDIT (Dedup.minhashAccuracyAudit) — estimated vs
     // exact Jaccard per LSH candidate pair, the measurement that

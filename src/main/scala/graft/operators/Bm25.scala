@@ -92,10 +92,55 @@ object Bm25 {
         col("id"), col("score_micro"))
   }
 
+  /** QUERY-AT-INGEST — scoring EXTERNAL query docs against the epoch
+    * corpus's BM25 index: idf/avgdl/T/N are the EPOCH's statistics (the
+    * static-index semantics of a search engine), so incoming documents
+    * are ranked without touching corpus text again. In production the
+    * contrib posting table (term → (id, contrib_micro)) is materialized
+    * once per epoch and saved bucketed on term ([[Layout.bucketize]]),
+    * and an ingest batch pays ONLY the posting-list join — the same
+    * epoch-index discipline as the q174/q209 dedup indexes. Query terms
+    * are the distinct lowercase tokens of `qtextCol`.
+    *
+    * @return (qid, rank 1..k, id, score_micro) */
+  def topKExternal(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(TextFunctions.tokens(lower(col(qtextCol)))).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scoresForTerms(corpus, idCol, textCol, qterms)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id"), col("score_micro"))
+  }
+
   /** Shared scoring stage: (qid, id, score_micro) for every candidate
     * sharing ≥1 term with the query, self-retrieval excluded, unranked. */
   private def scores(corpus: DataFrame, idCol: String, textCol: String,
       queryPred: Column): DataFrame = {
+    val (tf, contrib) = index(corpus, idCol, textCol)
+    val qterms = tf.filter(queryPred).select(col("id").as("qid"), col("term"))
+    scoreJoin(qterms, contrib)
+  }
+
+  private def scoresForTerms(corpus: DataFrame, idCol: String,
+      textCol: String, qterms: DataFrame): DataFrame =
+    scoreJoin(qterms, index(corpus, idCol, textCol)._2)
+
+  private def scoreJoin(qterms: DataFrame, contrib: DataFrame): DataFrame =
+    qterms.join(contrib, Seq("term"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_micro"))
+
+  /** The epoch index: (tf, contrib) — contrib is the posting table
+    * (term, id, per-term integer score contribution). */
+  private def index(corpus: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val terms = OperatorCaches.track(corpus
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
@@ -119,10 +164,6 @@ object Bm25 {
           " + (20 * _T * tf + 6 * _T + 18 * dl * _N))" +
           " DIV (2 * (20 * _T * tf + 6 * _T + 18 * dl * _N)) AS BIGINT)")
           .as("c"))
-    val qterms = tf.filter(queryPred).select(col("id").as("qid"), col("term"))
-    qterms.join(contrib, Seq("term"))
-      .filter(col("id") =!= col("qid"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("c")).as("score_micro"))
+    (tf, contrib)
   }
 }

@@ -101,6 +101,34 @@ class Bm25Spec extends SparkSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("BM25 query-at-ingest: external query retrieves its source, index stats are the epoch's") {
+    val docs = Seq(
+      (1L, "quantum entanglement research paper about bell inequalities"),
+      (2L, "cooking recipes for pasta and pizza and risotto tonight"),
+      (3L, "gardening tips tomatoes cucumbers and other summer vegetables"))
+      .toDF("doc_id", "text")
+    val queries = Seq((901L, "quantum entanglement bell inequalities"))
+      .toDF("qid", "qtext")
+    val got = graft.operators.Bm25.topKExternal(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.head == ((901L, 1L, 1L, got.head._4)), got.toSeq.toString)
+    // docs sharing no query term are never scored (posting-list shape)
+    assert(got.forall(_._3 == 1L), got.toSeq.toString)
+    // an external qid colliding with nothing: the whole ranking is
+    // against the epoch index — scoring must equal the pred-based path
+    // when the query doc IS an epoch doc (same term set ⇒ same scores)
+    val viaPred = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        col("id") === 1L, k = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._3, r._4)).toMap
+    val external = graft.operators.Bm25.topKExternal(docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 1L)
+          .select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", k = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._3, r._4)).toMap
+    assert(external == viaPred, s"$external vs $viaPred")
+  }
+
   test("BM25 hard negatives: the query's dup group is excluded, ranks re-densify") {
     // query 1 has an exact twin 11 (same group); docs 2, 3 share terms
     // with the query but sit in their own groups → true negatives
