@@ -397,6 +397,14 @@ object TextQueries {
     * docs included (clean_text = original text when no span was cut).
     * 1-based char positions; island test i > max_prev(i'+64) == the
     * Spark kernel's pos > prev_end. */
+  /** q228's planted boilerplate — one sentence long enough to carry
+    * several content-anchored windows shared verbatim by every doc it's
+    * appended to. */
+  private val q228Banner: String =
+    " click here to accept cookies and subscribe to our newsletter for" +
+    " the latest updates delivered straight to your inbox every single" +
+    " morning without fail"
+
   /** The q210 BM25 scoring chain, parameterized: CTEs `{p}terms …
     * {p}sc(qid, id, score_micro)` over `src(idExpr, text)`; `predSql`
     * selects the query docs (column name `id`). Shared by q210 (ranked
@@ -1377,6 +1385,44 @@ object TextQueries {
           |  FROM negs)
           |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, id, score_micro
           |FROM nrk WHERE neg_rank <= 5""".stripMargin)),
+
+    // TOP DUPLICATED WINDOWS (Dedup.topDuplicatedWindows) — the
+    // reconnaissance report over the anchored-window index: the 20
+    // most-repeated 64-char windows with occurrence/doc counts and a
+    // readable example, i.e. "what boilerplate dominates my corpus"
+    // BEFORE choosing line dedup vs span excision. Fixture appends a
+    // 150-char cookie-banner sentence to every %5==0 doc — its anchored
+    // windows must own the top of the report (~100 docs at sf0.001);
+    // natural repeats fill the tail. Total order (n_total DESC,
+    // example_id, example_pos); the oracle replays the window index,
+    // the per-hash first occurrence, and the substr.
+    Q("q228_top_duplicated_windows",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(q228Banner)))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Dedup.topDuplicatedWindows(corpus, "doc_id", "text")
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id AS id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || '$q228Banner'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |${spanWindowCtes("corpus", "d")},
+             |stats AS (SELECT h, CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+             |  FROM dwins GROUP BY h HAVING count(*) >= 2),
+             |ex AS (SELECT h, id, i FROM (SELECT h, id, i,
+             |      row_number() OVER (PARTITION BY h ORDER BY id, i) AS rn
+             |    FROM dwins)
+             |  WHERE rn = 1)
+             |SELECT s.n_total, s.n_docs, e.id AS example_id,
+             |  CAST(e.i AS BIGINT) AS example_pos,
+             |  substr(c.text, e.i, 64) AS window_text
+             |FROM stats s JOIN ex e USING (h) JOIN corpus c ON c.id = e.id
+             |ORDER BY s.n_total DESC, example_id, example_pos
+             |LIMIT 20""".stripMargin)),
 
     // QUERY-AT-INGEST BM25 (Bm25.topKExternal) — EXTERNAL query docs
     // scored against the epoch corpus's static index: idf/avgdl/T/N

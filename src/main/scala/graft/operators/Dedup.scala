@@ -378,6 +378,48 @@ object Dedup {
     cutSpans(corpus, idCol, textCol, hits, window)
   }
 
+  /** CORPUS DIAGNOSTICS — the "what boilerplate dominates my corpus"
+    * report a curation run starts from: the top-k most-duplicated
+    * anchored 64-char windows, with occurrence count, distinct-doc
+    * count, and a readable example (the lexicographically first
+    * (id, pos) occurrence's text). This is the reconnaissance view over
+    * the same window index the span-removal operators consume —
+    * scanning it tells you whether to reach for line dedup (q206),
+    * span excision (q175), or nothing.
+    *
+    * Scale shape: one groupBy(h) with map-side combine plus an
+    * h-partitioned row_number window — same key, so the exchange is
+    * reused; the example text attaches by one id-keyed join against the
+    * frame already collapsed to distinct duplicated hashes, and the
+    * final top-k is a TakeOrdered bounded heap. Output order
+    * (n_total DESC, example_id, example_pos) is total.
+    *
+    * @return top-k rows (n_total, n_docs, example_id, example_pos
+    *         1-based, window_text) */
+  def topDuplicatedWindows(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 20, window: Int = 64, gate: Int = 4,
+      modulo: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = spanWindows(corpus, idCol, textCol, window, gate, modulo)
+    val stats = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_total") >= 2)
+    val firstOcc = wins.withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("h"), col("id").as("example_id"),
+        (col("pos") + 1).cast("long").as("example_pos"))
+    stats.join(firstOcc, Seq("h"))
+      .join(corpus.select(col(idCol).as("example_id"),
+        col(textCol).as("_t")), Seq("example_id"))
+      .select(col("n_total"), col("n_docs"), col("example_id"),
+        col("example_pos"),
+        expr(s"substring(_t, example_pos, $window)").as("window_text"))
+      .orderBy(col("n_total").desc, col("example_id"), col("example_pos"))
+      .limit(k)
+  }
+
   /** Shared first stage of the span-removal forms: per-doc anchored
     * (pos, hash) windows, persisted for the two aggregations over it. */
   private def spanWindows(corpus: DataFrame, idCol: String,

@@ -159,6 +159,33 @@ class DedupSpec extends SparkSuite {
     assert(all(1L)._3 >= span.length - 64, all(1L).toString)
   }
 
+  test("topDuplicatedWindows: planted banner owns the top, counts and example text line up") {
+    val banner = " click here to accept cookies and subscribe to our " +
+      "newsletter for the latest updates delivered straight to your inbox"
+    val df = (1L to 9L).map { i =>
+      val body = s"document number $i has its own unique body text " +
+        (1 to 20).map(j => s"tok${i}x$j").mkString(" ")
+      (i, if (i % 3 == 0) body + banner else body)
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.topDuplicatedWindows(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty, "banner must anchor at least one shared window")
+    // ordered by n_total desc, then example id/pos
+    assert(got.sliding(2).forall(p => p.length < 2 || p(0)._1 >= p(1)._1))
+    // the top rows are the banner family: present in all 3 banner docs,
+    // once each, first occurrence in doc 3
+    val top = got.head
+    assert(top._1 == 3L && top._2 == 3L && top._3 == 3L, top.toString)
+    // example text is the real 64-char window at the reported 1-based pos
+    val texts = df.as[(Long, String)].collect().toMap
+    got.foreach { r =>
+      val expected = texts(r._3).substring(r._4.toInt - 1,
+        math.min(r._4.toInt - 1 + 64, texts(r._3).length))
+      assert(r._5 == expected, s"window_text mismatch at ${(r._3, r._4)}")
+      assert(banner.contains(r._5) || r._1 >= 2)
+    }
+  }
+
   test("minhashAccuracyAudit: exact twin saturates, near pair lands in the error band") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliett kilo lima mike november oscar papa quebec romeo sierra " +
