@@ -1218,6 +1218,75 @@ object CurationQueries {
              |FROM evals v LEFT JOIN ng ON ng.id = v.id
              |  LEFT JOIN hits h ON h.id = v.id""".stripMargin)),
 
+    // CODE-SWITCHING REPORT (Curation.codeSwitchReport) — line-level
+    // language disagreement per doc, the CCNet mixed-language signal:
+    // lines = the q209 7-token reconstruction; %7==0 docs get a planted
+    // Spanish marker line, %7==1 a German one → those docs MUST read
+    // mixed=1 with the foreign label in their line counts, while en+und
+    // docs stay unmixed ('und' is not a language). dom_lang total order
+    // (count DESC, lang ASC); minority_frac is the cut knob. Oracle
+    // replays line splitting, the 5-language marker argmax per line
+    // (q32's encoding), and both aggregations.
+    Q("q229_code_switch_report",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val base = d.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("_tk"))
+          .select(col("doc_id"),
+            expr("array_join(transform(sequence(0, CAST((size(_tk)-1) DIV 7 AS INT)), " +
+              "i -> array_join(slice(_tk, i*7+1, 7), ' ')), '\n')").as("t0"))
+        val corpus = base.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("t0"), lit("\nel la de que y en un es se no")))
+            .when(col("doc_id") % 7 === 1,
+              concat(col("t0"), lit("\nder die das und ist nicht ein mit zu ich")))
+            .otherwise(col("t0")).as("text"))
+        Curation.codeSwitchReport(corpus, "doc_id", "text")
+      },
+      Some {
+        val score = (l: String) => {
+          val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(",")
+          s"lpad(CAST(len(list_filter(string_split_regex(lower(regexp_replace(line, '^\\s+|\\s+$$', '', 'g')), '\\s+'), t -> t IN ($markers))) AS VARCHAR), 5, '0') || '$l'"
+        }
+        val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split_regex(
+           |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+           |  FROM documents),
+           |ml AS (SELECT doc_id, array_to_string(
+           |    list_transform(generate_series(0, (len(t) - 1) // 7),
+           |      i -> array_to_string(t[i*7 + 1 : i*7 + 7], ' ')),
+           |    chr(10)) AS t0
+           |  FROM tk),
+           |corpus AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0
+           |        THEN t0 || chr(10) || 'el la de que y en un es se no'
+           |      WHEN doc_id % 7 = 1
+           |        THEN t0 || chr(10) || 'der die das und ist nicht ein mit zu ich'
+           |      ELSE t0 END AS text
+           |  FROM ml),
+           |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           |  FROM corpus),
+           |scored AS (SELECT doc_id,
+           |  list_max([${langs.map(score).mkString(",\n  ")}]) AS best
+           |  FROM lines),
+           |ll AS (SELECT doc_id, CASE WHEN best[1:5] = '00000' THEN 'und'
+           |    ELSE best[6:7] END AS llang FROM scored),
+           |cnt AS (SELECT doc_id, llang, count(*) AS c FROM ll GROUP BY 1, 2),
+           |dom AS (SELECT doc_id, llang, c, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY c DESC, llang) AS rn FROM cnt),
+           |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+           |    CAST(sum(CASE WHEN llang <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_langs
+           |  FROM cnt GROUP BY 1)
+           |SELECT t.doc_id, t.n_lines, t.n_langs, d.llang AS dom_lang,
+           |  CAST(d.c AS BIGINT) AS dom_n,
+           |  round(CAST(t.n_lines - d.c AS DOUBLE) / t.n_lines, 6)
+           |    AS minority_frac,
+           |  CAST(CASE WHEN t.n_langs >= 2 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+           |FROM tot t JOIN dom d ON d.doc_id = t.doc_id AND d.rn = 1""".stripMargin
+      }),
+
     // PERPLEXITY TIERING (Curation.perplexityTiers): CCNet's
     // head/middle/tail quality buckets — per-doc mean unigram
     // surprisal (the q94-gated value), tier boundaries = exact

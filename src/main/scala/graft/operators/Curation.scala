@@ -100,6 +100,45 @@ object Curation {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** CODE-SWITCHING REPORT — per-document line-level language
+    * disagreement (the CCNet-style mixed-language quality signal): each
+    * line gets the stopword-marker langId, and the doc reports how its
+    * lines disagree. `n_langs` counts distinct REAL languages ('und'
+    * lines — too short to carry a marker — are not a language, so an
+    * en+und doc is NOT mixed); `dom_lang` is the most common line label
+    * overall (count DESC, lang ASC — total order), and
+    * `minority_frac = (n_lines − dom_n)/n_lines` is the cut knob.
+    *
+    * Scale shape: explode to lines, one (doc, lang) groupBy with
+    * map-side combine, then a doc-partitioned window over ≤6 label rows
+    * and a doc-keyed re-aggregation — all traffic keyed by doc id.
+    *
+    * @return (doc_id, n_lines, n_langs, dom_lang, dom_n, minority_frac,
+    *         mixed 0/1) */
+  def codeSwitchReport(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ll = corpus.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("doc_id"), TextFunctions.langId(col("line")).as("llang"))
+    val cnt = ll.groupBy(col("doc_id"), col("llang"))
+      .agg(count(lit(1)).as("c"))
+    val dom = cnt.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("llang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("llang").as("dom_lang"), col("c").as("dom_n"))
+    val tot = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("llang") =!= "und", 1L).otherwise(0L)).as("n_langs"))
+    tot.join(dom, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_langs"),
+        col("dom_lang"), col("dom_n"),
+        round((col("n_lines") - col("dom_n")).cast("double")
+          / col("n_lines"), 6).as("minority_frac"),
+        when(col("n_langs") >= 2, 1L).otherwise(0L).as("mixed"))
+  }
+
   /** WEIGHTED sampling without replacement — priority sampling (Duffield,
     * Lund & Thorup, JACM 2007): each doc draws u = (mix64(id) >>> 32) + 1
     * (a deterministic 32-bit uniform, never 0), priority = w / u, and the

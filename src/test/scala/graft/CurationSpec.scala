@@ -713,6 +713,28 @@ class CurationSpec extends SparkSuite {
     assert(got(12L)._2 == 0 && got(12L)._4 == 0.0 && got(12L)._5 == "clean")
   }
 
+  test("codeSwitchReport: real-language mix flags, und is not a language") {
+    val en = "the cat sat on the mat and it is that for it"
+    val es = "el la de que y en un es se no"
+    val und = "zxqv wvut plmk okni"
+    val df = Seq(
+      (1L, en + "\n" + es),          // genuine code-switch
+      (2L, en + "\n" + und),         // en + unidentifiable → NOT mixed
+      (3L, en + "\n" + en + "\n" + es), // en dominant 2:1
+      (4L, und)                      // all und
+    ).toDF("doc_id", "text")
+    val got = Curation.codeSwitchReport(df, "doc_id", "text")
+      .as[(Long, Long, Long, String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._7 == 1L && got(1L)._3 == 2L, got(1L).toString)
+    assert(got(2L)._7 == 0L && got(2L)._3 == 1L, got(2L).toString)
+    assert(got(3L)._4 == "en" && got(3L)._5 == 2L
+      && got(3L)._6 == math.round(1.0 / 3 * 1e6) / 1e6, got(3L).toString)
+    assert(got(4L)._4 == "und" && got(4L)._3 == 0L && got(4L)._7 == 0L)
+    // doc 1 tie between en and es at 1 line each: dom = 'en' (lang ASC)
+    assert(got(1L)._4 == "en" && got(1L)._6 == 0.5)
+  }
+
   test("prioritySample: matches brute force, τ floor applied, heavy doc always in") {
     import graft.functions.TextFunctions
     // weights 1..200 keyed by id; one doc with overwhelming weight
