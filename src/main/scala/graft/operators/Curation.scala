@@ -100,6 +100,54 @@ object Curation {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** CORPUS DRIFT — smoothed unigram KL divergence KL(new ‖ old) between
+    * two corpus versions, the dataset-shift monitor a pipeline runs
+    * between crawls/epochs before retraining on the new dump. Add-one
+    * smoothing over the JOINT vocabulary V:
+    *   p_t = (c_new+1)/(T_new+|V|),  q_t = (c_old+1)/(T_old+|V|)
+    *   contrib_micro(t) = round(ln((c_new+1)(T_old+|V|)
+    *                         / ((c_old+1)(T_new+|V|))) · (c_new+1) · 1e6
+    *                         / (T_new+|V|))
+    * — one ln of an exact integer ratio per TERM (the q210/q188
+    * micro-nat discipline; ulp differences absorbed by the single
+    * rounding), so kl_total_micro = Σ contrib is an associative integer
+    * sum. Report = the top-k drift contributors by |contrib| with the
+    * corpus-wide total and vocab size attached.
+    *
+    * Scale shape: two combiner-friendly term groupBys, one full-outer
+    * join on term, 1-row totals broadcast, TakeOrdered top-k; every
+    * frame is vocab-sized, never corpus-sized.
+    *
+    * @return top-k rows (term, c_old, c_new, contrib_micro,
+    *         kl_total_micro, n_vocab) by (|contrib| DESC, term) */
+  def corpusDriftKl(oldCorpus: DataFrame, newCorpus: DataFrame,
+      textCol: String, k: Int = 20): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val oc = counts(oldCorpus).withColumnRenamed("c", "co")
+    val nc = counts(newCorpus).withColumnRenamed("c", "cn")
+    val v = oc.join(nc, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("co"), lit(0L)).as("co"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = v.agg(sum(col("co")).as("tol"), sum(col("cn")).as("tnw"),
+      count(lit(1)).as("nv"))
+    val contrib = v.crossJoin(broadcast(tot))
+      .withColumn("contrib_micro",
+        round(log(((col("cn") + 1) * (col("tol") + col("nv"))).cast("double")
+            / ((col("co") + 1) * (col("tnw") + col("nv"))).cast("double"))
+          * (col("cn") + 1) * lit(1000000.0) / (col("tnw") + col("nv")))
+          .cast("long"))
+    val klt = contrib.agg(sum(col("contrib_micro")).as("kl_total_micro"))
+    contrib.crossJoin(broadcast(klt))
+      .select(col("term"), col("co").as("c_old"), col("cn").as("c_new"),
+        col("contrib_micro"), col("kl_total_micro"),
+        col("nv").as("n_vocab"))
+      .orderBy(abs(col("contrib_micro")).desc, col("term").asc)
+      .limit(k)
+  }
+
   /** CODE-SWITCHING REPORT — per-document line-level language
     * disagreement (the CCNet-style mixed-language quality signal): each
     * line gets the stopword-marker langId, and the doc reports how its

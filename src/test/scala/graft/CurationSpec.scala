@@ -713,6 +713,28 @@ class CurationSpec extends SparkSuite {
     assert(got(12L)._2 == 0 && got(12L)._4 == 0.0 && got(12L)._5 == "clean")
   }
 
+  test("corpusDriftKl: identical corpora read zero, a novel term drives positive drift") {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val same = Curation.corpusDriftKl(a, a, "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(same.forall(_._4 == 0L), same.toSeq.toString)
+    assert(same.head._5 == 0L, "identical corpora must read KL 0")
+    // new corpus introduces one heavy novel term
+    val b = Seq((3L, "alpha beta gamma delta"),
+      (4L, "alpha beta qubit qubit qubit qubit")).toDF("doc_id", "text")
+    val got = Curation.corpusDriftKl(a, b, "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val top = got.head
+    assert(top._1 == "qubit" && top._2 == 0L && top._3 == 4L, top.toString)
+    // hand-replay: V = 7 (alpha beta gamma delta epsilon zeta qubit),
+    // T_old = 8, T_new = 10 → contrib = round(ln(5·15/(1·17))·5e6/17)
+    val expected = math.round(math.log(5.0 * 15 / 17) * 5 * 1e6 / 17)
+    assert(top._4 == expected, s"${top._4} != $expected")
+    assert(top._5 > 0L, "novel mass must drive total KL positive")
+    assert(top._6 == 7L)
+  }
+
   test("codeSwitchReport: real-language mix flags, und is not a language") {
     val en = "the cat sat on the mat and it is that for it"
     val es = "el la de que y en un es se no"
