@@ -104,7 +104,13 @@ object Bench {
     // round-14 fourth wave (clean solo min-of-3, calib 2.170,
     // 12-control median 0.9849, regress 0 — BASELINE.md; q215 anchored
     // AFTER its O(len²)→O(len) kernel fix, 13.9 s → 0.34 s)
-    "q215"->0.342, "q216"->0.512, "q217"->0.735)
+    "q215"->0.342, "q216"->0.512, "q217"->0.735,
+    // round-14 fifth wave (clean solo min-of-3, calib 2.042,
+    // 12-control median 0.973, regress 0 — BASELINE.md)
+    "q218"->1.095, "q219"->4.275, "q220"->0.787, "q221"->0.936,
+    "q222"->0.654, "q223"->0.621, "q224"->6.562, "q225"->0.397,
+    "q226"->1.591, "q227"->1.883, "q228"->0.896, "q229"->1.667,
+    "q230"->0.806)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

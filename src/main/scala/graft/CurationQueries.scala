@@ -1218,6 +1218,60 @@ object CurationQueries {
              |FROM evals v LEFT JOIN ng ON ng.id = v.id
              |  LEFT JOIN hits h ON h.id = v.id""".stripMargin)),
 
+    // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
+    // sibling: per-source cosine between OLD (even vec_id) and NEW
+    // (odd) epoch centroids, with a planted model shift (+0.25 on
+    // dim 1 for %6==3 vectors) that must pull every source's cosine
+    // measurably under 1. Components quantize to integer micros per
+    // row BEFORE summing (associative — partition order cannot move
+    // the result), centroids re-round once, dot/norms are exact BIGINT
+    // products, one sqrt/round at the end. The oracle replays the
+    // quantization, the subscript explode, and the final cosine.
+    Q("q231_embedding_drift",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val base = e.join(d, e("vec_id") === d("doc_id"))
+          .select(col("vec_id"), col("source"),
+            col("embedding").cast("array<double>").as("v"))
+        val oldV = base.filter(col("vec_id") % 2 === 0)
+        val newV = base.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("source"),
+            when(col("vec_id") % 6 === 3,
+              concat(array(element_at(col("v"), 1) + lit(0.25)),
+                slice(col("v"), lit(2), size(col("v")) - 1)))
+              .otherwise(col("v")).as("v"))
+        Curation.embeddingDriftCos(oldV, newV, "source", "v")
+      },
+      Some("""WITH base AS (SELECT e.vec_id, d.source,
+             |    CAST(e.embedding AS DOUBLE[]) AS v
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+             |oldv AS (SELECT source, v FROM base WHERE vec_id % 2 = 0),
+             |newv AS (SELECT source, CASE WHEN vec_id % 6 = 3
+             |    THEN [v[1] + 0.25] || v[2:] ELSE v END AS v
+             |  FROM base WHERE vec_id % 2 = 1),
+             |oc AS (SELECT source, i AS dim,
+             |    CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM oldv, unnest(generate_series(1, len(v))) AS t(i)
+             |  GROUP BY 1, 2),
+             |nc AS (SELECT source, i AS dim,
+             |    CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM newv, unnest(generate_series(1, len(v))) AS t(i)
+             |  GROUP BY 1, 2),
+             |om AS (SELECT source, dim,
+             |    CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS mo, n FROM oc),
+             |nm AS (SELECT source, dim,
+             |    CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS mn, n FROM nc)
+             |SELECT o.source, max(o.n) AS n_old, max(nw.n) AS n_new,
+             |  round(CAST(sum(o.mo * nw.mn) AS DOUBLE)
+             |    / (sqrt(CAST(sum(o.mo * o.mo) AS DOUBLE))
+             |      * sqrt(CAST(sum(nw.mn * nw.mn) AS DOUBLE))), 6) AS cos_sim
+             |FROM om o JOIN nm nw ON nw.source = o.source AND nw.dim = o.dim
+             |GROUP BY o.source""".stripMargin)),
+
     // CORPUS DRIFT (Curation.corpusDriftKl) — smoothed unigram
     // KL(new ‖ old) in integer micro-nats between two corpus versions,
     // the dataset-shift monitor run between crawls: old = %2==0 docs,

@@ -100,6 +100,45 @@ object Curation {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** EMBEDDING DRIFT — per-group cosine between the OLD and NEW epochs'
+    * centroid vectors, [[corpusDriftKl]]'s dense sibling: the monitor
+    * that catches an embedding-model version bump or a topical shift
+    * in a source before semantic dedup / ANN indexes silently degrade.
+    *
+    * Exactness at scale: float sums are order-dependent, so components
+    * quantize to integer MICROS per row first — per-(group, dim) sums
+    * are then associative integer aggregations immune to partition
+    * order; the centroid component re-rounds once to integer micros
+    * (mean = exact-integer double division), the dot/norms are exact
+    * BIGINT products (|x| ≤ ~3e6 micro, ≤ 4096 dims stays < 2⁶³), and
+    * cosine pays one sqrt/division/round at the end.
+    *
+    * @return per group: (group, n_old, n_new, cos_sim) */
+  def embeddingDriftCos(oldVecs: DataFrame, newVecs: DataFrame,
+      groupCol: String, vecCol: String): DataFrame = {
+    def centroid(df: DataFrame, tag: String): DataFrame = df
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim"))
+      .agg(sum(round(col("x") * lit(1000000)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("dim"),
+        round(col("s").cast("double") / col("n")).cast("long").as(s"m_$tag"),
+        col("n").as(s"n_$tag"))
+    val o = centroid(oldVecs, "old")
+    val n = centroid(newVecs, "new")
+    o.join(n, Seq("g", "dim"))
+      .groupBy(col("g"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("m_old") * col("m_new")).as("dot"),
+        sum(col("m_old") * col("m_old")).as("na"),
+        sum(col("m_new") * col("m_new")).as("nb"))
+      .select(col("g").as(groupCol), col("n_old"), col("n_new"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("cos_sim"))
+  }
+
   /** CORPUS DRIFT — smoothed unigram KL divergence KL(new ‖ old) between
     * two corpus versions, the dataset-shift monitor a pipeline runs
     * between crawls/epochs before retraining on the new dump. Add-one
