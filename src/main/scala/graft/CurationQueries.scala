@@ -1219,14 +1219,22 @@ object CurationQueries {
              |  LEFT JOIN hits h ON h.id = v.id""".stripMargin)),
 
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
-    // sibling: per-source cosine between OLD (even vec_id) and NEW
-    // (odd) epoch centroids, with a planted model shift (+0.25 on
-    // dim 1 for %6==3 vectors) that must pull every source's cosine
-    // measurably under 1. Components quantize to integer micros per
-    // row BEFORE summing (associative — partition order cannot move
-    // the result), centroids re-round once, dot/norms are exact BIGINT
-    // products, one sqrt/round at the end. The oracle replays the
-    // quantization, the subscript explode, and the final cosine.
+    // sibling: per-source cosine between OLD (even 20-id block) and
+    // NEW (odd block) epoch centroids. The raw synthetic embeddings
+    // carry NO per-source structure (random centroids ≈ noise, cos ≈
+    // 0 — measured on the first fixture), so the fixture gives every
+    // vector a deterministic source-signature dimension (+2.0 on
+    // dim = vec_id%20, both epochs → unplanted sources cohere) and
+    // the NEW epoch of every %5==0 source an extra +2.0 on dim
+    // src+32 — the model-version shift the monitor must flag (those
+    // four sources read cos ≈ 0.7, the rest near 1). The epoch split
+    // is by 20-id BLOCK: source = src(doc_id % 20), so any id-mod
+    // split leaves the source sets disjoint (found by the empty first
+    // gate). Components quantize to integer micros per row BEFORE
+    // summing (associative — partition order cannot move the result),
+    // centroids re-round once, dot/norms are exact BIGINT products,
+    // one sqrt/round at the end. The oracle replays the signature and
+    // plant arithmetic, the quantization, and the cosine.
     Q("q231_embedding_drift",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
@@ -1234,23 +1242,31 @@ object CurationQueries {
           .select(col("doc_id"), col("source"))
         val base = e.join(d, e("vec_id") === d("doc_id"))
           .select(col("vec_id"), col("source"),
-            col("embedding").cast("array<double>").as("v"))
-        val oldV = base.filter(col("vec_id") % 2 === 0)
-        val newV = base.filter(col("vec_id") % 2 === 1)
+            expr("transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> " +
+              "x + CASE WHEN i = vec_id % 20 THEN 2.0D ELSE 0.0D END)")
+              .as("v"))
+        val oldV = base.filter(expr("(vec_id DIV 20) % 2") === 0)
+        val newV = base.filter(expr("(vec_id DIV 20) % 2") === 1)
           .select(col("vec_id"), col("source"),
-            when(col("vec_id") % 6 === 3,
-              concat(array(element_at(col("v"), 1) + lit(0.25)),
-                slice(col("v"), lit(2), size(col("v")) - 1)))
+            when(col("vec_id") % 20 % 5 === 0,
+              expr("transform(v, (x, i) -> x + CASE WHEN " +
+                "i = vec_id % 20 + 32 THEN 2.0D ELSE 0.0D END)"))
               .otherwise(col("v")).as("v"))
         Curation.embeddingDriftCos(oldV, newV, "source", "v")
       },
       Some("""WITH base AS (SELECT e.vec_id, d.source,
-             |    CAST(e.embedding AS DOUBLE[]) AS v
+             |    list_transform(generate_series(1, len(e.embedding)),
+             |      i -> CAST(e.embedding[i] AS DOUBLE)
+             |        + CASE WHEN i = e.vec_id % 20 + 1 THEN 2.0 ELSE 0.0 END)
+             |      AS v
              |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-             |oldv AS (SELECT source, v FROM base WHERE vec_id % 2 = 0),
-             |newv AS (SELECT source, CASE WHEN vec_id % 6 = 3
-             |    THEN [v[1] + 0.25] || v[2:] ELSE v END AS v
-             |  FROM base WHERE vec_id % 2 = 1),
+             |oldv AS (SELECT source, v FROM base WHERE (vec_id // 20) % 2 = 0),
+             |newv AS (SELECT source, CASE WHEN vec_id % 20 % 5 = 0
+             |    THEN list_transform(generate_series(1, len(v)),
+             |      i -> v[i] + CASE WHEN i = vec_id % 20 + 33
+             |        THEN 2.0 ELSE 0.0 END)
+             |    ELSE v END AS v
+             |  FROM base WHERE (vec_id // 20) % 2 = 1),
              |oc AS (SELECT source, i AS dim,
              |    CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS BIGINT) AS s,
              |    CAST(count(*) AS BIGINT) AS n

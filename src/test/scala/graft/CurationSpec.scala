@@ -713,6 +713,29 @@ class CurationSpec extends SparkSuite {
     assert(got(12L)._2 == 0 && got(12L)._4 == 0.0 && got(12L)._5 == "clean")
   }
 
+  test("embeddingDriftCos: identical epochs read 1, an orthogonal shift reads ~1/√2") {
+    // group g1: constant e1-dominant vectors; group g2 likewise on dim 2
+    def vec(hot: Int, scale: Double): Seq[Double] =
+      (0 until 8).map(i => if (i == hot) scale else 0.01)
+    val a = Seq(("g1", vec(1, 2.0)), ("g1", vec(1, 2.0)),
+      ("g2", vec(2, 2.0)), ("g2", vec(2, 2.0))).toDF("g", "v")
+    val same = Curation.embeddingDriftCos(a, a, "g", "v")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(same.values.forall(_ == 1.0), same.toString)
+    // new epoch: g1 gains an equal-magnitude orthogonal component →
+    // cos = 2·2 / (2·√8) = 1/√2; g2 unchanged
+    val b = Seq(
+      ("g1", (0 until 8).map(i =>
+        if (i == 1 || i == 5) 2.0 else 0.01).toSeq),
+      ("g2", vec(2, 2.0))).toDF("g", "v")
+    val got = Curation.embeddingDriftCos(a, b, "g", "v")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("g2")._4 > 0.999, got("g2").toString)
+    val expected = 1.0 / math.sqrt(2)
+    assert(math.abs(got("g1")._4 - expected) < 0.01, got("g1").toString)
+    assert(got("g1")._2 == 2L && got("g1")._3 == 1L)
+  }
+
   test("corpusDriftKl: identical corpora read zero, a novel term drives positive drift") {
     val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
       .toDF("doc_id", "text")
