@@ -1538,6 +1538,64 @@ object TextQueries {
       },
       Some(q214Oracle)),
 
+    // CLEAN EVAL-SET CONSTRUCTION (DedupGroups.cleanSplit) — the
+    // capstone of the leakage family: the q214 group-atomic split
+    // composed with q222-direction contamination REPAIR (eval docs
+    // still sharing a 13-gram with train — common phrases, boilerplate,
+    // below-threshold near-misses — move to train; eval-into-train is
+    // the safe direction). Fixture: the doubled corpus with a 13-token
+    // disclaimer appended to (id%10000)%11==0 docs AND their twins
+    // (same predicate mod 10000, so twins stay exact dups) — the
+    // disclaimer spans groups, so every eval-side planted doc is dirty
+    // and must read moved=1. Oracle = the full closure + mix64 split +
+    // the gram probe over the split (reusing the closure's own toks).
+    Q("q232_clean_eval_split",
+      (spark, dir) => {
+        val disc = " this content is provided as is without any warranty of any kind express"
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val dd = d.unionByName(
+          d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        val corpus = dd.select(col("doc_id"),
+          when(col("doc_id") % 10000 % 11 === 0,
+            concat(col("text"), lit(disc)))
+            .otherwise(col("text")).as("text"))
+        DedupGroups.cleanSplit(corpus, "doc_id", "text")
+      },
+      Some(edgeClosureCtes(
+        """SELECT id, CASE WHEN id % 10000 % 11 = 0
+          |    THEN text || ' this content is provided as is without any warranty of any kind express'
+          |    ELSE text END AS text
+          |  FROM (SELECT doc_id AS id, text FROM documents
+          |    UNION ALL SELECT doc_id + 10000, text FROM documents)""".stripMargin,
+        rounds = 4) +
+        s""",
+          |glab AS (
+          |  SELECT c.id, coalesce(l.g, c.id) AS g
+          |  FROM corpus c LEFT JOIN l2 l ON l.id = c.id),
+          |${RelationalQueries5.mix64Stages("glab", Seq("id", "g"),
+               "CAST(g AS HUGEINT)", prefix = "m")},
+          |spw AS (SELECT id AS doc_id, g AS group_id,
+          |    CASE WHEN vu % 10 < 8 THEN 'train' ELSE 'eval' END AS split0
+          |  FROM mmixed),
+          |ttk AS (SELECT t.id, t.w FROM toks t
+          |  JOIN spw s ON s.doc_id = t.id AND s.split0 = 'train'),
+          |etk AS (SELECT t.id, t.w FROM toks t
+          |  JOIN spw s ON s.doc_id = t.id AND s.split0 = 'eval'),
+          |tgm AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS gm
+          |  FROM ttk, unnest(generate_series(1, len(w) - 12)) AS u(i)
+          |  WHERE len(w) >= 13),
+          |egm AS (SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS gm
+          |  FROM etk, unnest(generate_series(1, len(w) - 12)) AS u(i)
+          |  WHERE len(w) >= 13),
+          |dirty AS (SELECT DISTINCT e.id FROM egm e JOIN tgm USING (gm))
+          |SELECT s.doc_id, s.group_id, s.split0,
+          |  CASE WHEN s.split0 = 'eval' AND dd.id IS NOT NULL THEN 'train'
+          |    ELSE s.split0 END AS split,
+          |  CAST(CASE WHEN s.split0 = 'eval' AND dd.id IS NOT NULL THEN 1
+          |    ELSE 0 END AS BIGINT) AS moved
+          |FROM spw s LEFT JOIN dirty dd ON dd.id = s.doc_id""".stripMargin)),
+
     // QUALITY-AWARE keep-one — the production cluster-representative
     // rule: per duplicate group keep the member with the LOWEST mean
     // unigram surprisal (cleanest under the corpus LM), not the lowest

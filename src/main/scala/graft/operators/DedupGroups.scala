@@ -297,6 +297,51 @@ object DedupGroups {
       .select(col("id"), coalesce(col("groupId"), col("id")).as("group_id"))
   }
 
+  /** CLEAN EVAL-SET CONSTRUCTION — the two leakage defenses composed
+    * into the split table a release actually ships: (1) the q214
+    * group-atomic 8:2 split (mix64 of the duplicate-GROUP id, so no
+    * near/exact pair straddles the boundary by construction), then
+    * (2) contamination REPAIR — any eval doc still sharing a word
+    * `n`-gram with the training side (a common phrase, boilerplate, a
+    * cross-group near-miss below the Jaccard threshold) is reassigned
+    * to train. Moving a doc INTO train is always safe (train may not
+    * leak into eval, eval text in train is the harm); the reverse
+    * repair would be wrong. Output keeps both verdicts auditable:
+    * (doc_id, group_id, split0, split, moved).
+    *
+    * Scale shape: the registry + split are the q214 machinery; the
+    * repair probe is the q222 direction — eval (id, gram) pairs
+    * broadcast, the training side streams map-side, matched ids dedup
+    * into a tiny drop list that left-joins back. */
+  def cleanSplit(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    import graft.functions.TextFunctions
+    val reg = groupRegistry(corpus, idCol, textCol)
+    val mixU = udf((g: Long) =>
+      java.lang.Long.remainderUnsigned(TextFunctions.mix64(g), 10L))
+    val sp = reg.select(col("id"), col("group_id"),
+      when(mixU(col("group_id")) < 8, "train").otherwise("eval")
+        .as("split0"))
+    val withText = corpus.select(col(idCol).as("id"), col(textCol).as("_txt"))
+      .join(sp, Seq("id"))
+    def grams(split: String, withId: Boolean): DataFrame = {
+      val f = withText.filter(col("split0") === split)
+      val raw = explode(
+        TextFunctions.distinctShinglesCol(col("_txt"), n)).as("gm")
+      if (withId) f.select(col("id"), raw) else f.select(raw)
+    }
+    val dirty = grams("train", withId = false)
+      .join(broadcast(grams("eval", withId = true).distinct()), Seq("gm"))
+      .select(col("id")).distinct()
+      .withColumn("_dirty", lit(1L))
+    sp.join(dirty, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("group_id"), col("split0"),
+        when(col("split0") === "eval" && col("_dirty").isNotNull, "train")
+          .otherwise(col("split0")).as("split"),
+        when(col("split0") === "eval" && col("_dirty").isNotNull, 1L)
+          .otherwise(0L).as("moved"))
+  }
+
   /** QUALITY-AWARE keep-one: per duplicate group, keep the member with
     * the LOWEST mean unigram surprisal (the cleanest text under the
     * corpus LM — Curation.unigramSurprisal's q94-gated 4-dp value), id

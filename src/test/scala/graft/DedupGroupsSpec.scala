@@ -148,4 +148,35 @@ class DedupGroupsSpec extends SparkSuite {
       "exact twins tie on surprisal and fall back to min-id")
     assert(kept(30L)._4 == 1L, "singleton keeps itself")
   }
+
+  test("cleanSplit: group-atomic, dirty eval docs repaired into train, audit columns") {
+    // 40 base docs with +1000 exact twins; a 13-token disclaimer on
+    // ids %4==0 (and twins) crosses groups
+    val disc = " this content is provided as is without any warranty of any kind express"
+    def body(i: Long) = s"document $i body " +
+      (1 to 16).map(j => s"w${i}x$j").mkString(" ")
+    val rows = (1L to 40L).flatMap { i =>
+      val t = if (i % 4 == 0) body(i) + disc else body(i)
+      Seq((i, t), (i + 1000L, t))
+    }
+    val got = graft.operators.DedupGroups
+      .cleanSplit(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 80)
+    // twins share a group and therefore a split0 (group atomicity)
+    (1L to 40L).foreach { i =>
+      assert(got(i)._2 == got(i + 1000L)._2, s"twin group $i")
+      assert(got(i)._3 == got(i + 1000L)._3, s"twin split $i")
+    }
+    // every planted doc that landed eval is moved to train; the final
+    // eval side carries no disclaimer doc
+    val planted = got.values.filter(r => r._1 % 1000 % 4 == 0)
+    assert(planted.exists(_._3 == "eval") || planted.forall(_._3 == "train"))
+    planted.filter(_._3 == "eval").foreach { r =>
+      assert(r._5 == 1L && r._4 == "train", r.toString) }
+    // unplanted docs never move (bodies are unique, no shared 13-gram)
+    got.values.filter(r => r._1 % 1000 % 4 != 0).foreach { r =>
+      assert(r._5 == 0L && r._4 == r._3, r.toString) }
+  }
 }
