@@ -1353,58 +1353,48 @@ object CurationQueries {
     // (count DESC, lang ASC); minority_frac is the cut knob. Oracle
     // replays line splitting, the 5-language marker argmax per line
     // (q32's encoding), and both aggregations.
-    Q("q229_code_switch_report",
+    // STREAMING LANGUAGE GATE — q229's zero-state stream twin: the
+    // mixed-language verdict computed ROW-WISE (the per-doc line langs
+    // live inside one row, so the whole gate is a stateless projection
+    // — the q207 streaming-scorer discipline: no aggregation state, a
+    // micro-batch is embarrassingly parallel at any rate). Same planted
+    // corpus as q229; the gate re-derives n_lines/n_langs/mixed per doc
+    // and must agree with the batch report's columns exactly.
+    Q("q233_streaming_language_gate",
       (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-        val base = d.select(col("doc_id"),
-            TextFunctions.tokens(col("text")).as("_tk"))
-          .select(col("doc_id"),
-            expr("array_join(transform(sequence(0, CAST((size(_tk)-1) DIV 7 AS INT)), " +
-              "i -> array_join(slice(_tk, i*7+1, 7), ' ')), '\n')").as("t0"))
-        val corpus = base.select(col("doc_id"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("t0"), lit("\nel la de que y en un es se no")))
-            .when(col("doc_id") % 7 === 1,
-              concat(col("t0"), lit("\nder die das und ist nicht ein mit zu ich")))
-            .otherwise(col("t0")).as("text"))
-        Curation.codeSwitchReport(corpus, "doc_id", "text")
+        val corpus = codeSwitchCorpus(spark, dir)
+        val inDir = s"/tmp/graft-langstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(corpus, "doc_id", s"$dir/documents_langstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          corpus.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => stream
+            .select(col("doc_id"),
+              transform(split(col("text"), "\n"),
+                l => TextFunctions.langId(l)).as("_ls"))
+            .select(col("doc_id"),
+              size(col("_ls")).cast("long").as("n_lines"),
+              size(array_distinct(filter(col("_ls"), l => l =!= "und")))
+                .cast("long").as("n_langs"))
+            .select(col("doc_id"), col("n_lines"), col("n_langs"),
+              when(col("n_langs") >= 2, 1L).otherwise(0L).as("mixed")),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q233_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
       },
+      Some(s"""WITH $codeSwitchCtes
+             |SELECT doc_id, n_lines, n_langs,
+             |  CAST(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+             |FROM tot""".stripMargin)),
+
+    Q("q229_code_switch_report",
+      (spark, dir) =>
+        Curation.codeSwitchReport(
+          codeSwitchCorpus(spark, dir), "doc_id", "text"),
       Some {
-        val score = (l: String) => {
-          val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(",")
-          s"lpad(CAST(len(list_filter(string_split_regex(lower(regexp_replace(line, '^\\s+|\\s+$$', '', 'g')), '\\s+'), t -> t IN ($markers))) AS VARCHAR), 5, '0') || '$l'"
-        }
-        val langs = TextFunctions.langMarkers.keys.toSeq.sorted
-        s"""WITH tk AS (
-           |  SELECT doc_id, string_split_regex(
-           |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
-           |  FROM documents),
-           |ml AS (SELECT doc_id, array_to_string(
-           |    list_transform(generate_series(0, (len(t) - 1) // 7),
-           |      i -> array_to_string(t[i*7 + 1 : i*7 + 7], ' ')),
-           |    chr(10)) AS t0
-           |  FROM tk),
-           |corpus AS (SELECT doc_id,
-           |    CASE WHEN doc_id % 7 = 0
-           |        THEN t0 || chr(10) || 'el la de que y en un es se no'
-           |      WHEN doc_id % 7 = 1
-           |        THEN t0 || chr(10) || 'der die das und ist nicht ein mit zu ich'
-           |      ELSE t0 END AS text
-           |  FROM ml),
-           |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-           |  FROM corpus),
-           |scored AS (SELECT doc_id,
-           |  list_max([${langs.map(score).mkString(",\n  ")}]) AS best
-           |  FROM lines),
-           |ll AS (SELECT doc_id, CASE WHEN best[1:5] = '00000' THEN 'und'
-           |    ELSE best[6:7] END AS llang FROM scored),
-           |cnt AS (SELECT doc_id, llang, count(*) AS c FROM ll GROUP BY 1, 2),
+        s"""WITH $codeSwitchCtes,
            |dom AS (SELECT doc_id, llang, c, row_number() OVER (
-           |    PARTITION BY doc_id ORDER BY c DESC, llang) AS rn FROM cnt),
-           |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
-           |    CAST(sum(CASE WHEN llang <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_langs
-           |  FROM cnt GROUP BY 1)
+           |    PARTITION BY doc_id ORDER BY c DESC, llang) AS rn FROM cnt)
            |SELECT t.doc_id, t.n_lines, t.n_langs, d.llang AS dom_lang,
            |  CAST(d.c AS BIGINT) AS dom_n,
            |  round(CAST(t.n_lines - d.c AS DOUBLE) / t.n_lines, 6)
@@ -1636,6 +1626,63 @@ object CurationQueries {
   /** The q205 temperature-weight chain (stats → α-scaled micro-nat
     * logs → max-anchored exp → weight_micro + total `tw(t)`) — shared
     * verbatim by q205 and the q220 apportionment. */
+  /** q229/q233's shared fixture: documents rebuilt as 7-token lines,
+    * a Spanish marker line planted on %7==0 docs, German on %7==1. */
+  private def codeSwitchCorpus(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val base = d.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"),
+        expr("array_join(transform(sequence(0, CAST((size(_tk)-1) DIV 7 AS INT)), " +
+          "i -> array_join(slice(_tk, i*7+1, 7), ' ')), '\n')").as("t0"))
+    base.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("t0"), lit("\nel la de que y en un es se no")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("t0"), lit("\nder die das und ist nicht ein mit zu ich")))
+        .otherwise(col("t0")).as("text"))
+  }
+
+  /** The shared oracle chain for the code-switch family: line rebuild →
+    * plant → per-line marker argmax → per-(doc, lang) counts `cnt` →
+    * per-doc totals `tot(doc_id, n_lines, n_langs)`. */
+  private def codeSwitchCtes: String = {
+    val score = (l: String) => {
+      val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(",")
+      s"lpad(CAST(len(list_filter(string_split_regex(lower(regexp_replace(line, '^\\s+|\\s+$$', '', 'g')), '\\s+'), t -> t IN ($markers))) AS VARCHAR), 5, '0') || '$l'"
+    }
+    val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+    s"""tk AS (
+       |  SELECT doc_id, string_split_regex(
+       |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+       |  FROM documents),
+       |ml AS (SELECT doc_id, array_to_string(
+       |    list_transform(generate_series(0, (len(t) - 1) // 7),
+       |      i -> array_to_string(t[i*7 + 1 : i*7 + 7], ' ')),
+       |    chr(10)) AS t0
+       |  FROM tk),
+       |corpus AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0
+       |        THEN t0 || chr(10) || 'el la de que y en un es se no'
+       |      WHEN doc_id % 7 = 1
+       |        THEN t0 || chr(10) || 'der die das und ist nicht ein mit zu ich'
+       |      ELSE t0 END AS text
+       |  FROM ml),
+       |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+       |  FROM corpus),
+       |scored AS (SELECT doc_id,
+       |  list_max([${langs.map(score).mkString(",\n  ")}]) AS best
+       |  FROM lines),
+       |ll AS (SELECT doc_id, CASE WHEN best[1:5] = '00000' THEN 'und'
+       |    ELSE best[6:7] END AS llang FROM scored),
+       |cnt AS (SELECT doc_id, llang, count(*) AS c FROM ll GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN llang <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_langs
+       |  FROM cnt GROUP BY 1)""".stripMargin
+  }
+
   private def temperatureWeightCtes: String =
     """WITH s AS (
       |  SELECT source, count(*) AS n_docs,

@@ -736,6 +736,28 @@ class CurationSpec extends SparkSuite {
     assert(got("g1")._2 == 2L && got("g1")._3 == 1L)
   }
 
+  test("row-wise language gate projection agrees with the batch codeSwitchReport") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is that\nel la de que y en un es se no"),
+      (2L, "the cat sat on the mat and it is that\nzxqv wvut plmk"),
+      (3L, "zxqv wvut plmk")).toDF("doc_id", "text")
+    // the q233 stateless projection (computable inside one row)
+    val rowWise = df.select(col("doc_id"),
+        transform(split(col("text"), "\n"), l => TextFunctions.langId(l)).as("_ls"))
+      .select(col("doc_id"), size(col("_ls")).cast("long").as("n_lines"),
+        size(array_distinct(filter(col("_ls"), l => l =!= "und")))
+          .cast("long").as("n_langs"))
+      .select(col("doc_id"), col("n_lines"), col("n_langs"),
+        when(col("n_langs") >= 2, 1L).otherwise(0L).as("mixed"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = Curation.codeSwitchReport(df, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_langs", "mixed")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rowWise.toSeq == batch.toSeq, s"$rowWise vs $batch")
+    assert(rowWise(0)._4 == 1L && rowWise(1)._4 == 0L && rowWise(2)._4 == 0L)
+  }
+
   test("corpusDriftKl: identical corpora read zero, a novel term drives positive drift") {
     val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
       .toDF("doc_id", "text")
