@@ -349,6 +349,54 @@ object BpeQueries {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM offs GROUP BY 1, 2""".stripMargin)),
 
+    // PACKING EFFICIENCY REPORT — the trainer-facing audit of q150's
+    // concatenation packing: per shard, how many 512-token sequences
+    // the shard fills, how full the final partial sequence is
+    // (tail_fill = total % 512), and how many docs STRADDLE a sequence
+    // boundary (their attention span is split across sequences — the
+    // fraction that motivates doc-boundary-aware packing). Pure
+    // integer arithmetic over the q150 offsets; the oracle reuses the
+    // same fit+encode+offsets replay.
+    Q("q234_packing_efficiency",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.packSequences(d, "doc_id",
+            Bpe.encodeCol(col("text"), model), budgetTokens = 512, shards = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            expr("CAST((sum(n_tokens) + 511) DIV 512 AS BIGINT)").as("n_seqs"),
+            expr("CAST(sum(n_tokens) % 512 AS BIGINT)").as("tail_fill"),
+            sum(when(col("n_tokens") > 0 &&
+              expr("start_off DIV 512") =!= expr("(start_off + n_tokens - 1) DIV 512"),
+              1L).otherwise(0L)).as("crossing_docs"))
+          .select(col("shard"), col("n_docs"), col("total_tokens"),
+            col("n_seqs"), col("tail_fill"), col("crossing_docs"),
+            round(col("crossing_docs").cast("double") / col("n_docs"), 6)
+              .as("crossing_frac"))
+      },
+      Some(s"""WITH $fitChain,
+             |$encodeChain,
+             |nt AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+             |offs AS (SELECT doc_id, shard, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+             |  FROM nt)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
+             |  CAST(sum(n_tokens) % 512 AS BIGINT) AS tail_fill,
+             |  CAST(sum(CASE WHEN n_tokens > 0
+             |    AND start_off // 512 <> (start_off + n_tokens - 1) // 512
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs,
+             |  round(CAST(sum(CASE WHEN n_tokens > 0
+             |    AND start_off // 512 <> (start_off + n_tokens - 1) // 512
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS crossing_frac
+             |FROM offs GROUP BY shard""".stripMargin)),
+
     // Token-ID encoding: the form a tokenized corpus is actually STORED
     // in — a deterministic vocabulary (subwords ranked by corpus
     // frequency DESC, token ASC) maps the q142 stream to int ids. The

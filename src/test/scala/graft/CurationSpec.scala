@@ -833,6 +833,26 @@ class CurationSpec extends SparkSuite {
       "fixture should exercise the τ branch")
   }
 
+  test("packing efficiency arithmetic: crossing docs and tail fill, hand-checked") {
+    // one shard, budget 10: docs of 4, 8, 6, 2 tokens at offsets
+    // 0, 4, 12, 18 → doc 2 spans seqs 0→1 (crossing), doc 3 spans 1→1,
+    // doc 4 ends at 19 (seq 1); total 20 → 2 seqs, tail_fill 0
+    val toks = Map(1L -> 4, 2L -> 8, 3L -> 6, 4L -> 2)
+    val df = toks.toSeq.map { case (i, n) =>
+      (i, (1 to n).map(j => s"t$j").mkString(" ")) }.toDF("doc_id", "text")
+    val packed = Curation.packSequences(df, "doc_id",
+      split(col("text"), " "), budgetTokens = 10, shards = 1)
+    val stats = packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total"),
+        expr("CAST((sum(n_tokens) + 9) DIV 10 AS BIGINT)").as("n_seqs"),
+        expr("CAST(sum(n_tokens) % 10 AS BIGINT)").as("tail"),
+        sum(when(expr("start_off DIV 10") =!=
+          expr("(start_off + n_tokens - 1) DIV 10"), 1L).otherwise(0L))
+          .as("crossing"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(stats == ((0L, 4L, 20L, 2L, 0L, 1L)), stats.toString)
+  }
+
   test("samplingPlan: quotas sum to the budget exactly, bonuses to largest remainders") {
     // three domains with token counts 100/10/1 → α=0.7 weights are
     // deliberately awkward so floored shares under-allocate
