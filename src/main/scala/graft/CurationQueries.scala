@@ -288,6 +288,36 @@ object CurationQueries {
           |    AS weight_share
           |FROM wm""".stripMargin)),
 
+    // MIXTURE LANDING AUDIT (Curation.mixtureLandingAudit) — per
+    // source, the ACTUAL token micro-share next to the q205 α=0.7
+    // TARGET share and the signed excess: because α<1 compresses the
+    // size spread, every above-average source must read 'over' and
+    // every small one 'under' — the report that drives the next
+    // epoch's plan correction. Floored integer micro-shares (DIV ==
+    // // on nonnegative operands); oracle extends the shared q205 CTE
+    // chain with the two totals and the verdict CASE.
+    Q("q235_mixture_landing",
+      (spark, dir) =>
+        Curation.mixtureLandingAudit(
+          Tables.load(spark, dir, "documents"), "source", "text"),
+      Some(temperatureWeightCtes +
+        """,
+          |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM wm)
+          |SELECT source, n_tokens,
+          |  CAST((1000000 * n_tokens) // (SELECT tot FROM tt) AS BIGINT)
+          |    AS actual_micro,
+          |  CAST((1000000 * weight_micro) // (SELECT t FROM tw) AS BIGINT)
+          |    AS target_micro,
+          |  CAST((1000000 * n_tokens) // (SELECT tot FROM tt)
+          |    - (1000000 * weight_micro) // (SELECT t FROM tw) AS BIGINT)
+          |    AS excess_micro,
+          |  CASE WHEN (1000000 * n_tokens) // (SELECT tot FROM tt)
+          |      > (1000000 * weight_micro) // (SELECT t FROM tw) THEN 'over'
+          |    WHEN (1000000 * n_tokens) // (SELECT tot FROM tt)
+          |      < (1000000 * weight_micro) // (SELECT t FROM tw) THEN 'under'
+          |    ELSE 'on' END AS verdict
+          |FROM wm""".stripMargin)),
+
     // EPOCH SAMPLING PLAN (Curation.samplingPlan) — the q205 weights
     // MATERIALIZED into integers a trainer can execute: a 1M-token
     // epoch budget apportioned by Hamilton's largest-remainder method

@@ -1102,6 +1102,33 @@ object Curation {
           .as("weight_share"))
   }
 
+  /** MIXTURE LANDING AUDIT — did the corpus land on the sampling
+    * target? Per group, the ACTUAL token share next to the
+    * [[temperatureWeights]] TARGET share, both as floored integer
+    * micro-shares, and the signed excess: the monitor that tells a
+    * pipeline owner which sources are over/under-represented relative
+    * to the α-tempered mixture before the next epoch's plan corrects
+    * it. All integer arithmetic (nonnegative DIV == floor in both
+    * engines); group-count-sized frames only.
+    *
+    * @return (group, n_tokens, actual_micro, target_micro,
+    *         excess_micro, verdict over/under/on) */
+  def mixtureLandingAudit(corpus: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val w = temperatureWeights(corpus, groupCol, textCol)
+    val tot = w.agg(sum(col("n_tokens")).as("_T"),
+      sum(col("weight_micro")).as("_W"))
+    w.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"),
+        expr("CAST((1000000 * n_tokens) DIV _T AS BIGINT)").as("actual_micro"),
+        expr("CAST((1000000 * weight_micro) DIV _W AS BIGINT)")
+          .as("target_micro"))
+      .withColumn("excess_micro", col("actual_micro") - col("target_micro"))
+      .withColumn("verdict",
+        when(col("excess_micro") > 0, "over")
+          .when(col("excess_micro") < 0, "under").otherwise("on"))
+  }
+
   /** EPOCH SAMPLING PLAN — the materialized step after
     * [[temperatureWeights]]: apportion an integer token budget across
     * domains by HAMILTON'S LARGEST-REMAINDER method, so the per-domain

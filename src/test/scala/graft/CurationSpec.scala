@@ -833,6 +833,28 @@ class CurationSpec extends SparkSuite {
       "fixture should exercise the τ branch")
   }
 
+  test("mixtureLandingAudit: α<1 marks big sources over, small ones under, shares sum ≈ 1e6") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "big", ("w " * 100).trim)) ++  // 1000 toks
+        (1 to 5).map(i => (100L + i, "mid", ("w " * 20).trim)) ++  // 100
+        Seq((200L, "tiny", "w w w w w"))                           // 5
+      ).toDF("doc_id", "src", "text")
+    val got = Curation.mixtureLandingAudit(docs, "src", "text")
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // α = 0.7 compresses the spread: the dominant source is over,
+    // the tiny one under
+    assert(got("big")._6 == "over" && got("big")._5 > 0, got("big").toString)
+    assert(got("tiny")._6 == "under" && got("tiny")._5 < 0)
+    // floored micro-shares sum to ≤ 1e6 within |groups| flooring loss
+    val aSum = got.values.map(_._3).sum
+    val tSum = got.values.map(_._4).sum
+    assert(aSum <= 1000000L && aSum > 1000000L - 3, aSum.toString)
+    assert(tSum <= 1000000L && tSum > 1000000L - 3, tSum.toString)
+    // excess is exactly actual − target
+    got.values.foreach(r => assert(r._5 == r._3 - r._4, r.toString))
+  }
+
   test("packing efficiency arithmetic: crossing docs and tail fill, hand-checked") {
     // one shard, budget 10: docs of 4, 8, 6, 2 tokens at offsets
     // 0, 4, 12, 18 → doc 2 spans seqs 0→1 (crossing), doc 3 spans 1→1,
