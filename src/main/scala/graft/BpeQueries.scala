@@ -70,23 +70,38 @@ object BpeQueries {
   }
 
   /** Fit replay: sample → vocab `v0` → merge steps `b1…bM`, `v1…vM`. */
-  private def fitChain: String = {
+  private def fitChain: String =
+    fitChainOver("SELECT doc_id, text FROM documents WHERE text IS NOT NULL", "")
+
+  /** q236's planted jargon tail — heavy enough (×8) that its subword
+    * pairs crack the new epoch's top-48 merges. */
+  private val q236Jargon: String =
+    " crypto blockchain token ledger staking validator" * 8
+
+  /** [[fitChain]] parameterized over the fit corpus and a CTE-name
+    * prefix, so two tokenizer fits (q236's epoch drift) can coexist in
+    * one WITH chain. With `p = ""` this emits EXACTLY the historical
+    * fitChain text — every existing oracle is byte-identical. */
+  private def fitChainOver(corpusSql: String, p: String): String = {
+    val mixPrefix = if (p.isEmpty) "s" else s"${p}s"
+    val mixed = if (p.isEmpty) "mixed" else s"${p}smixed"
     val head =
-      s"""base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |${RelationalQueries5.mix64Stages("base", Seq("doc_id", "text"), "CAST(doc_id AS HUGEINT)")},
-         |samp AS (SELECT doc_id, text FROM mixed ORDER BY vu LIMIT $SampleDocs),
-         |stoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM samp),
-         |wf AS (SELECT lower(tok) AS w, count(*) AS f FROM stoks
+      s"""${p}base AS ($corpusSql),
+         |${RelationalQueries5.mix64Stages(s"${p}base", Seq("doc_id", "text"),
+             "CAST(doc_id AS HUGEINT)", prefix = mixPrefix)},
+         |${p}samp AS (SELECT doc_id, text FROM $mixed ORDER BY vu LIMIT $SampleDocs),
+         |${p}stoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM ${p}samp),
+         |${p}wf AS (SELECT lower(tok) AS w, count(*) AS f FROM ${p}stoks
          |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
-         |vocab AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT $MaxWords),
-         |v0 AS MATERIALIZED (SELECT w, f,
-         |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM vocab)""".stripMargin
+         |${p}vocab AS (SELECT w, f FROM ${p}wf ORDER BY f DESC, w LIMIT $MaxWords),
+         |${p}v0 AS MATERIALIZED (SELECT w, f,
+         |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM ${p}vocab)""".stripMargin
     val steps = (1 to NumMerges).map { k =>
-      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r, f FROM (
-         |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i FROM v${k - 1} WHERE len(s) >= 2)),
-         |c$k AS (SELECT l, r, sum(f) AS c FROM p$k GROUP BY 1, 2),
-         |b$k AS MATERIALIZED (SELECT l, r FROM c$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
-         |${applyCtes(s"f$k", s"v${k - 1}", s"b$k", s"v$k", carryF = true)}""".stripMargin
+      s"""${p}p$k AS (SELECT s[i] AS l, s[i+1] AS r, f FROM (
+         |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i FROM ${p}v${k - 1} WHERE len(s) >= 2)),
+         |${p}c$k AS (SELECT l, r, sum(f) AS c FROM ${p}p$k GROUP BY 1, 2),
+         |${p}b$k AS MATERIALIZED (SELECT l, r FROM ${p}c$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+         |${applyCtes(s"${p}f$k", s"${p}v${k - 1}", s"${p}b$k", s"${p}v$k", carryF = true)}""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -348,6 +363,60 @@ object BpeQueries {
              |  CAST(sum(n_tokens) AS BIGINT) AS token_sum,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM offs GROUP BY 1, 2""".stripMargin)),
+
+    // TOKENIZER VOCAB DRIFT — q230/q231's tokenizer sibling: two BPE
+    // fits, one per epoch (old = even docs; new = odd docs with a
+    // heavy planted jargon tail on %10==1), compared merge-for-merge:
+    // for each NEW merge, whether it exists in the old tokenizer and
+    // at what rank — the report that decides whether a corpus shift
+    // forces a re-tokenization (changed merges invalidate every cached
+    // token id downstream). Oracle: the fit chain factored over
+    // (corpusSql, prefix) so BOTH 48-step fits replay in one WITH
+    // chain ('o'/'n' prefixes); q143's single-fit oracle is
+    // byte-identical under the refactor.
+    Q("q236_tokenizer_vocab_drift",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val oldC = d.filter(col("doc_id") % 2 === 0)
+        val newC = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1,
+              concat(col("text"), lit(q236Jargon))).otherwise(col("text"))
+              .as("text"))
+        val mo = Bpe.fit(oldC, "doc_id", "text", SampleDocs, MaxWords, NumMerges)
+        val mn = Bpe.fit(newC, "doc_id", "text", SampleDocs, MaxWords, NumMerges)
+        val oldRank = mo.merges.zipWithIndex
+          .map { case (m, i) => (m.l, m.r) -> (i + 1) }.toMap
+        mn.merges.zipWithIndex.map { case (m, i) =>
+          (i + 1, m.l, m.r,
+            if (oldRank.contains((m.l, m.r))) 1L else 0L,
+            oldRank.getOrElse((m.l, m.r), -1).toLong)
+        }.toDF("rank", "l", "r", "shared", "old_rank")
+      },
+      Some {
+        val oUnion = (1 to NumMerges)
+          .map(k => s"SELECT CAST($k AS INTEGER) AS rank, l, r FROM ob$k")
+          .mkString("\nUNION ALL ")
+        val nUnion = (1 to NumMerges)
+          .map(k => s"SELECT CAST($k AS INTEGER) AS rank, l, r FROM nb$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${fitChainOver(
+              "SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0",
+              "o")},
+           |${fitChainOver(
+              "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN text || '" + q236Jargon +
+                "' ELSE text END AS text FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1",
+              "n")},
+           |omg AS ($oUnion),
+           |nmg AS ($nUnion)
+           |SELECT n.rank, n.l, n.r,
+           |  CAST(CASE WHEN o.rank IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS shared,
+           |  CAST(coalesce(o.rank, -1) AS BIGINT) AS old_rank
+           |FROM nmg n LEFT JOIN omg o ON o.l = n.l AND o.r = n.r""".stripMargin
+      }),
 
     // PACKING EFFICIENCY REPORT — the trainer-facing audit of q150's
     // concatenation packing: per shard, how many 512-token sequences

@@ -254,4 +254,28 @@ class BpeSpec extends SparkSuite {
     // the dominant pattern 'ab' should survive EM as a piece
     assert(m1.scores.contains("ab"))
   }
+
+  test("vocab drift: identical corpora share every merge at equal rank, a shifted corpus diverges") {
+    import spark.implicits._
+    val docs = (1L to 30L).toSeq.map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val a = Bpe.fit(docs, "doc_id", "text", 256, 4096, 12)
+    val b = Bpe.fit(docs, "doc_id", "text", 256, 4096, 12)
+    assert(a.merges == b.merges, "same corpus must fit the same tokenizer")
+    // shifted corpus: heavy novel jargon changes the top pair counts
+    val shifted = docs.select(col("doc_id"),
+      concat(col("text"), lit(" zzqx zzqx zzqx zzqx zzqx zzqx" * 4)).as("text"))
+    val c = Bpe.fit(shifted, "doc_id", "text", 256, 4096, 12)
+    val aSet = a.merges.map(m => (m.l, m.r)).toSet
+    val novel = c.merges.count(m => !aSet.contains((m.l, m.r)))
+    assert(novel > 0, s"jargon must force novel merges: ${c.merges}")
+    // the drift join logic (shared flag + old rank) on the model pair
+    val aRank = a.merges.zipWithIndex.map { case (m, i) => (m.l, m.r) -> (i + 1) }.toMap
+    c.merges.zipWithIndex.foreach { case (m, i) =>
+      val shared = aRank.contains((m.l, m.r))
+      val oldRank = aRank.getOrElse((m.l, m.r), -1)
+      if (shared) assert(oldRank >= 1) else assert(oldRank == -1)
+    }
+  }
 }
