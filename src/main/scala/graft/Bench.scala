@@ -110,7 +110,11 @@ object Bench {
     "q218"->1.095, "q219"->4.275, "q220"->0.787, "q221"->0.936,
     "q222"->0.654, "q223"->0.621, "q224"->6.562, "q225"->0.397,
     "q226"->1.591, "q227"->1.883, "q228"->0.896, "q229"->1.667,
-    "q230"->0.806)
+    "q230"->0.806,
+    // round-14 sixth wave (clean solo min-of-3, calib 2.009,
+    // 12-control median 0.964, regress 0 — BASELINE.md)
+    "q231"->0.860, "q232"->3.902, "q233"->1.578, "q234"->0.596,
+    "q235"->0.643, "q236"->0.284)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
