@@ -1458,6 +1458,55 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // CHUNK-LEVEL RAG RETRIEVAL (Curation.chunkTexts + Bm25.topKExternal)
+    // — the retrieval shape a RAG pipeline actually serves: the corpus
+    // is chunked (128 lexer tokens, 32 overlap; chunk_key = doc·1000 +
+    // idx so hits round-trip to (doc, chunk)), the BM25 index is built
+    // over CHUNKS (chunk-level idf/avgdl — retrieval granularity is
+    // the chunk, not the doc), and external queries (25-token prefixes
+    // of docs 0..4, re-keyed +9e6 clear of the chunk-key space) rank
+    // the top-10 chunks. The oracle materializes the same chunk table
+    // and reuses the factored BM25 chain over it.
+    Q("q237_chunk_rag_retrieval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val chunks = graft.operators.Curation.chunkTexts(
+          d, "doc_id", "text", 128, 32)
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        graft.operators.Bm25.topKExternal(chunks, "chunk_key", "chunk_text",
+          queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+          |  FROM documents),
+          |cst AS (SELECT doc_id, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
+          |cnc AS (SELECT doc_id, t, n, CASE WHEN n <= 128 THEN 1
+          |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
+          |cch AS (SELECT doc_id, t, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
+          |chunks AS (SELECT doc_id * 1000 + ci AS chunk_key,
+          |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
+          |      AS text
+          |  FROM cch),
+          |""".stripMargin +
+        bm25ScoreCtes("chunks", "chunk_key", "", "b", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 9000000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 5)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM bsc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // SKETCH-QUALITY AUDIT (Dedup.minhashAccuracyAudit) — estimated vs
     // exact Jaccard per LSH candidate pair, the measurement that
     // justifies trusting 128-hash MinHash verdicts at 100 TB (est std

@@ -437,6 +437,32 @@ object Curation {
       graft.functions.TextFunctions.lexTokens(col(textCol)),
       chunkTokens, overlapTokens)
 
+  /** The RAG-facing sibling of [[chunkByTokens]]: materializes the chunk
+    * TEXT (tokens re-joined by single spaces) instead of stats, keyed by
+    * `id·1000 + chunk_idx` so a chunk key round-trips to (doc, chunk).
+    * Same chunking arithmetic (lexer tokens, `chunkTokens` window,
+    * `overlapTokens` overlap); docs with no tokens yield no chunks.
+    * Per-doc narrow pass — no shuffle. */
+  def chunkTexts(corpus: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens)
+    val stride = chunkTokens - overlapTokens
+    corpus
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.lexTokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .withColumn("_nc", when(col("_n") <= chunkTokens, lit(1))
+        .otherwise(expr(s"CAST((_n - $chunkTokens + ${stride - 1}) DIV $stride AS INT) + 1")))
+      .select(col("id"), col("_t"), col("_n"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("ci"))
+      .select((col("id") * 1000 + col("ci")).as("chunk_key"),
+        col("id"), col("ci").cast("long").as("chunk_idx"),
+        array_join(slice(col("_t"), col("ci") * stride + 1,
+          least(lit(chunkTokens), col("_n") - col("ci") * stride)), " ")
+          .as("chunk_text"))
+  }
+
   /** [[chunkByTokens]] over an arbitrary token-array column (the BPE
     * re-basing, q144: a context-window packer budgets in tokenizer
     * tokens, not lexer tokens — pass `Bpe.encodeCol(...)` here). */

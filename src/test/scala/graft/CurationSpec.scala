@@ -855,6 +855,22 @@ class CurationSpec extends SparkSuite {
     got.values.foreach(r => assert(r._5 == r._3 - r._4, r.toString))
   }
 
+  test("chunkTexts: window/overlap arithmetic, key round-trip, text joins the slice") {
+    import graft.functions.TextFunctions
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → chunks at 0,3,6 (+ tail)
+    val df = Seq((7L, "a b c d e f g h i j"), (8L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkTexts(df, "doc_id", "text", 4, 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+    // n_chunks = (10 - 4 + 2) DIV 3 + 1 = 3
+    assert(got.length == 3, got.toSeq.toString)
+    assert(got.map(_._4).toSeq == Seq("a b c d", "d e f g", "g h i j"))
+    got.foreach { r =>
+      assert(r._1 == r._2 * 1000 + r._3, "chunk_key must round-trip")
+      assert(r._2 == 7L) }
+    // empty doc yields no chunks
+    assert(!got.exists(_._2 == 8L))
+  }
+
   test("packing efficiency arithmetic: crossing docs and tail fill, hand-checked") {
     // one shard, budget 10: docs of 4, 8, 6, 2 tokens at offsets
     // 0, 4, 12, 18 → doc 2 spans seqs 0→1 (crossing), doc 3 spans 1→1,
