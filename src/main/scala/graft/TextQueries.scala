@@ -1587,6 +1587,43 @@ object TextQueries {
       },
       Some(q214Oracle)),
 
+    // DEDUP IMPACT REPORT (DedupGroups.dedupImpact) — the before/after
+    // accounting a curation run publishes per source: doc and token
+    // counts before dedup vs after keep-one, and the duplicate
+    // fraction. On the doubled corpus every doc has an exact twin, so
+    // each source must read dup_frac ≥ 0.5 (more where natural
+    // near-dups collapse further) — the gate hashes every count, so a
+    // single mis-grouped doc moves its source's row. Oracle = the
+    // closure chain + token lengths from its own toks + the keep-one
+    // (id == min-label) accounting.
+    Q("q238_dedup_impact",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val corpus = d.unionByName(d.select(
+          (col("doc_id") + 10000L).as("doc_id"), col("source"), col("text")))
+        DedupGroups.dedupImpact(corpus, "doc_id", "text", "source")
+      },
+      Some(edgeClosureCtes(
+        """SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000 AS id, text FROM documents""".stripMargin,
+        rounds = 4) +
+        """,
+          |glab AS (SELECT c.id, coalesce(l.g, c.id) AS g
+          |  FROM corpus c LEFT JOIN l2 l ON l.id = c.id),
+          |tkc AS (SELECT id, CAST(len(w) AS BIGINT) AS tk FROM toks),
+          |j AS (SELECT g.id, g.g, t.tk, d.source
+          |  FROM glab g JOIN tkc t ON t.id = g.id
+          |    JOIN documents d ON d.doc_id = g.id % 10000)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+          |  CAST(sum(CASE WHEN id = g THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+          |  CAST(sum(tk) AS BIGINT) AS toks_before,
+          |  CAST(sum(CASE WHEN id = g THEN tk ELSE 0 END) AS BIGINT)
+          |    AS toks_after,
+          |  round(1.0 - CAST(sum(CASE WHEN id = g THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*), 6) AS dup_frac
+          |FROM j GROUP BY source""".stripMargin)),
+
     // CLEAN EVAL-SET CONSTRUCTION (DedupGroups.cleanSplit) — the
     // capstone of the leakage family: the q214 group-atomic split
     // composed with q222-direction contamination REPAIR (eval docs

@@ -297,6 +297,37 @@ object DedupGroups {
       .select(col("id"), coalesce(col("groupId"), col("id")).as("group_id"))
   }
 
+  /** DEDUP IMPACT REPORT — the before/after accounting a curation run
+    * publishes: per `groupCol` (source/domain), document and token
+    * counts before dedup, after keep-one (the min-id member of each
+    * duplicate group survives — group label == min id by construction
+    * of the min-label closure), and the duplicate fraction. One
+    * id-keyed join of the registry onto per-doc token counts, then a
+    * per-group combiner aggregation — no new shuffle class beyond the
+    * registry itself.
+    *
+    * @return (group, n_before, n_after, toks_before, toks_after,
+    *         dup_frac) */
+  def dedupImpact(corpus: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val reg = groupRegistry(corpus, idCol, textCol)
+    val base = corpus.select(col(idCol).as("id"), col(groupCol).as("_grp"),
+      size(graft.functions.TextFunctions.tokens(col(textCol)))
+        .cast("long").as("_tk"))
+    base.join(reg, Seq("id"))
+      .groupBy(col("_grp"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("id") === col("group_id"), 1L).otherwise(0L))
+          .as("n_after"),
+        sum(col("_tk")).as("toks_before"),
+        sum(when(col("id") === col("group_id"), col("_tk")).otherwise(0L))
+          .as("toks_after"))
+      .select(col("_grp").as(groupCol), col("n_before"), col("n_after"),
+        col("toks_before"), col("toks_after"),
+        round(lit(1.0) - col("n_after").cast("double") / col("n_before"), 6)
+          .as("dup_frac"))
+  }
+
   /** CLEAN EVAL-SET CONSTRUCTION — the two leakage defenses composed
     * into the split table a release actually ships: (1) the q214
     * group-atomic 8:2 split (mix64 of the duplicate-GROUP id, so no

@@ -179,4 +179,17 @@ class DedupGroupsSpec extends SparkSuite {
     got.values.filter(r => r._1 % 1000 % 4 != 0).foreach { r =>
       assert(r._5 == 0L && r._4 == r._3, r.toString) }
   }
+
+  test("dedupImpact: exact-twin corpus reads dup_frac 0.5, tokens halve, singleton source 0") {
+    val rows = Seq(
+      (1L, "a", "one two three four"), (11L, "a", "one two three four"),
+      (2L, "a", "five six seven eight nine"), (12L, "a", "five six seven eight nine"),
+      (3L, "b", "a singleton document with no twin at all anywhere"))
+    val got = graft.operators.DedupGroups
+      .dedupImpact(rows.toDF("doc_id", "src", "text"), "doc_id", "text", "src")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 4L, 2L, 18L, 9L, 0.5)), got("a").toString)
+    assert(got("b") == (("b", 1L, 1L, 9L, 9L, 0.0)), got("b").toString)
+  }
 }
