@@ -114,7 +114,10 @@ object Bench {
     // round-14 sixth wave (clean solo min-of-3, calib 2.009,
     // 12-control median 0.964, regress 0 — BASELINE.md)
     "q231"->0.860, "q232"->3.902, "q233"->1.578, "q234"->0.596,
-    "q235"->0.643, "q236"->0.284)
+    "q235"->0.643, "q236"->0.284,
+    // round-14 seventh wave (clean solo min-of-3, calib 2.124,
+    // 12-control median 1.051, regress 0 — BASELINE.md)
+    "q237"->2.012, "q238"->3.472)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
