@@ -326,6 +326,25 @@ class PlanSpec extends SparkSuite {
     assert(sorts <= 1, s"corpus-side sort leaked into the plan:\n" + p.take(3000))
   }
 
+  test("q222: eval grams broadcast — the 100-TB training side never builds a hash table") {
+    val p = plan("q222_eval_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the probe join on gram must be broadcast, not a sort-merge over
+    // the exploded training grams
+    assert(!p.contains("SortMergeJoin [gram"), "training grams must not shuffle:\n" + p.take(3000))
+  }
+
+  test("q237: chunk retrieval — posting-list join, no cartesian, bounded rank window") {
+    val p = plan("q237_chunk_rag_retrieval")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the chunk build is a narrow per-doc pass: no Exchange between the
+    // scan and the explode (generator) stage feeding it — assert the
+    // totals crossJoins are the only nest-loops
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
