@@ -16,10 +16,12 @@ import org.apache.spark.sql.SparkSession
   * The artifact must survive a contended machine: round 6's driver-side
   * run was killed by an external timeout (rc 124) under co-tenant load,
   * losing the whole round's perf signal even though the solo run took
-  * ~73 s. Two defenses: (a) the min-of-n extra iterations stop once a
-  * wall-clock budget (SPARK_GRAFT_BENCH_BUDGET, seconds) is spent — the
-  * first full pass always runs, so coverage never shrinks, only noise
-  * robustness degrades; (b) an INTERNAL deadline
+  * ~73 s. Two defenses: (a) re-runs (consecutive per-query, adaptive —
+  * see the measurement loop) stop once a wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET, seconds) is spent — every query's first
+  * run always executes, so coverage never shrinks, only noise
+  * robustness degrades, and the artifact records the degradation
+  * (passes / cold_only fields); (b) an INTERNAL deadline
   * (SPARK_GRAFT_BENCH_DEADLINE, seconds): measurement runs on a daemon
   * worker thread while the main thread waits at most the deadline, then
   * prints whatever is measured (marked "partial":true) and exits 0.
@@ -159,6 +161,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val sfName = sfDir.split('/').last
     val best = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // protocol self-description (round-15, after BENCH_r14's silent
+    // degradation): per-query run counts + the set of queries whose
+    // WANTED re-run was denied by the budget. A degraded artifact must
+    // be distinguishable from a regressed one.
+    val runCounts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val coldOnly = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val calibSec = new java.util.concurrent.atomic.AtomicReference[Double](-1.0)
     val order = Registry.all.map(_.name) // stable declaration order
     val printed = new AtomicBoolean(false)
@@ -205,7 +213,14 @@ object Bench {
         }
       val calibField =
         if (calibSec.get() < 0) "" else s""""calib_sec":${fmt(calibSec.get())},"""
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partialField$anchorField$calibField"queries":$qs,"sf":"$sfName"}""")
+      // protocol fields (verdict r14 #1c): `passes` = total query
+      // executions this run, `cold_only` = queries whose wanted re-run
+      // the budget denied. A healthy adaptive run reads cold_only:0;
+      // cold_only>0 says "these numbers may be cold artifacts, not
+      // regressions" — the r14 blind spot, now self-describing.
+      val passes = done.map(k => runCounts.getOrDefault(k, 1)).sum
+      val protoField = s""""passes":$passes,"cold_only":${coldOnly.size()},"""
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partialField$anchorField$calibField$protoField"queries":$qs,"sf":"$sfName"}""")
       // SECOND line — compact headline-only summary (~150 bytes), printed
       // AFTER the per-query line. The driver captures a bounded stdout
       // TAIL; at 156 queries the per-query line alone is ~2.1 KB and
@@ -214,11 +229,11 @@ object Bench {
       // the registry must never blind the perf gate again: this trailer
       // is what the tail always ends with, parseable standalone, and it
       // stays <500 bytes no matter how many queries register.
-      println(s"""{"metric":"summary","total_sec":${fmt(total)},"unit":"sec",$partialField$anchorField$calibField"n_queries":${done.size},"sf":"$sfName"}""")
+      println(s"""{"metric":"summary","total_sec":${fmt(total)},"unit":"sec",$partialField$anchorField$calibField$protoField"n_queries":${done.size},"sf":"$sfName"}""")
       System.out.flush()
     }
 
-    // n iterations per query, report the MIN — single-shot numbers have
+    // n max runs per query, report the MIN — single-shot numbers have
     // flagged phantom 2× regressions (GC pause / first-touch page faults
     // landing on one query) two rounds running; min-of-n is the standard
     // noise-robust point estimate for a deterministic workload.
@@ -228,8 +243,7 @@ object Bench {
     // 30-second CPU burst can span BOTH passes of one query (measured:
     // q13 spiked 4.7× with clean neighbors, twice in one run) and
     // min-of-2 then false-flags `regress`; a third pass makes the min
-    // robust to any single burst. ~65 s extra, still far inside the
-    // budget/deadline envelope.
+    // robust to any single burst.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
     // optional targeted subset (comma-separated compact keys, e.g.
@@ -239,8 +253,12 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def selected = Registry.all.filter(q =>
       only.forall(_.contains(q.name.takeWhile(_ != '_'))))
+    // budget 660 (was 600): the adaptive per-query re-run scheme below
+    // spends re-run time only on suspicious queries, so budget exhaustion
+    // means ~the whole registry already ran — the remaining cold
+    // first-runs comfortably fit in the 780 s deadline's tail
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .flatMap(_.toDoubleOption).getOrElse(600.0).max(1.0)
+      .flatMap(_.toDoubleOption).getOrElse(660.0).max(1.0)
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE")
       .flatMap(_.toDoubleOption).getOrElse(780.0).max(1.0)
 
@@ -257,7 +275,18 @@ object Bench {
 
       // warm-up: JIT, codegen, parquet reader paths (not billed to queries)
       spark.range(1000000).selectExpr("sum(id)").collect()
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n).limit(1).collect())
+      // FULL scan of every base table, all columns (same shape as the
+      // Tables.fingerprint scan): pre-pays OS page cache + vectorized
+      // reader codegen so the first query touching each table isn't
+      // billed the cold read of the whole file (verdict r14 #1a). The
+      // per-query one-time costs this can't reach (derived fixture dirs,
+      // driver fits, memoKey-specific fingerprint scans) are absorbed by
+      // the consecutive per-query re-run below instead.
+      Tables.names.foreach { n =>
+        import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+        val df = Tables.load(spark, sfDir, n)
+        df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()
+      }
       // q50's on-disk fixture is generate-once/reuse — build it here so a
       // cold /tmp bills fixture generation to warm-up, not to the query
       graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-q50",
@@ -277,19 +306,48 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
 
-      // pass 1: every query exactly once — full coverage before any re-runs
-      selected.foreach(q => best.put(q.name, runOnce(q.fn)))
-      // passes 2..n: tighten the min while the budget lasts; under co-tenant
-      // load this degrades to single-shot numbers instead of a killed run
-      var pass = 1
-      while (pass < iters && elapsed < budgetSec) {
-        selected.foreach { q =>
-          if (elapsed < budgetSec && best.get(q.name) >= 0) {
-            val t = runOnce(q.fn)
-            if (t >= 0 && t < best.get(q.name)) best.put(q.name, t)
+      // CONSECUTIVE PER-QUERY adaptive min (round-15 protocol, replacing
+      // whole-registry passes): BENCH_r14 proved the old degradation mode
+      // blind — at 234 queries, pass 1 alone ate the budget and the
+      // artifact silently became a cold single-shot vs warm min-of-3
+      // anchors (vs_anchor 1.872 "warn", 27 false regress flags; judge
+      // solo re-run read 1.005 "ok", regress 0). Re-runs now happen
+      // back-to-back per query, so a query's one-time cold costs
+      // (derived-fixture builds, driver fits, first-execution codegen)
+      // are absorbed by its OWN immediate warm re-run, not deferred to a
+      // second registry pass that never comes. Adaptive: a first run at
+      // or below 1.25× its anchor cannot flag `regress` (threshold
+      // 1.5×med) and a min can only move DOWN, so re-running it buys
+      // nothing — the re-run budget goes entirely to suspicious reads
+      // (cold artifact or true regression; the warm re-run tells them
+      // apart) and to unanchored queries (whose minima become the next
+      // round's anchors). First runs always execute — coverage never
+      // shrinks; only re-runs are budget-gated.
+      selected.foreach { q =>
+        val key = q.name.takeWhile(_ != '_')
+        val t1 = runOnce(q.fn)
+        best.put(q.name, t1)
+        runCounts.put(q.name, 1)
+        def minNow = best.get(q.name)
+        def suspicious: Boolean = minNow match {
+          case t if t < 0 => true // transient failure: one retry
+          case t => anchor.get(key) match {
+            case Some(a) => t > 1.25 * a
+            case None    => runCounts.get(q.name) < 2 // unanchored: min-of-2
           }
         }
-        pass += 1
+        var budgetHit = false
+        while (!budgetHit && runCounts.get(q.name) < iters && suspicious) {
+          if (elapsed >= budgetSec) {
+            // wanted a re-run, budget said no — the query stays a cold
+            // single-shot and the artifact must SAY so (cold_only)
+            coldOnly.add(q.name); budgetHit = true
+          } else {
+            val t = runOnce(q.fn)
+            if (t >= 0 && (minNow < 0 || t < minNow)) best.put(q.name, t)
+            runCounts.put(q.name, runCounts.get(q.name) + 1)
+          }
+        }
       }
       printLine(partial = false)
       spark.stop()

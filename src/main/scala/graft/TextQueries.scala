@@ -1460,11 +1460,12 @@ object TextQueries {
 
     // CHUNK-LEVEL RAG RETRIEVAL (Curation.chunkTexts + Bm25.topKExternal)
     // — the retrieval shape a RAG pipeline actually serves: the corpus
-    // is chunked (128 lexer tokens, 32 overlap; chunk_key = doc·1000 +
+    // is chunked (128 lexer tokens, 32 overlap; chunk_key = doc·2^20 +
     // idx so hits round-trip to (doc, chunk)), the BM25 index is built
     // over CHUNKS (chunk-level idf/avgdl — retrieval granularity is
     // the chunk, not the doc), and external queries (25-token prefixes
-    // of docs 0..4, re-keyed +9e6 clear of the chunk-key space) rank
+    // of docs 0..4, re-keyed +9e6; external qids are a separate key
+    // space — Bm25 applies no self-exclusion on this path) rank
     // the top-10 chunks. The oracle materializes the same chunk table
     // and reuses the factored BM25 chain over it.
     Q("q237_chunk_rag_retrieval",
@@ -1488,7 +1489,7 @@ object TextQueries {
           |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
           |cch AS (SELECT doc_id, t, n,
           |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
-          |chunks AS (SELECT doc_id * 1000 + ci AS chunk_key,
+          |chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key,
           |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
           |      AS text
           |  FROM cch),

@@ -129,13 +129,21 @@ object Bm25 {
 
   private def scoresForTerms(corpus: DataFrame, idCol: String,
       textCol: String, qterms: DataFrame): DataFrame =
-    scoreJoin(qterms, index(corpus, idCol, textCol)._2)
+    scoreJoin(qterms, index(corpus, idCol, textCol)._2, excludeSelf = false)
 
-  private def scoreJoin(qterms: DataFrame, contrib: DataFrame): DataFrame =
-    qterms.join(contrib, Seq("term"))
-      .filter(col("id") =!= col("qid"))
+  /** `excludeSelf` only on the INTERNAL query path (queries drawn from
+    * the corpus itself, where qid IS a corpus id): applying it to
+    * external queries would silently drop any corpus doc whose id
+    * happens to collide with a caller-chosen qid — external qids are a
+    * different key space and self-retrieval is not a concept there
+    * (round-14 advice). */
+  private def scoreJoin(qterms: DataFrame, contrib: DataFrame,
+      excludeSelf: Boolean = true): DataFrame = {
+    val joined = qterms.join(contrib, Seq("term"))
+    (if (excludeSelf) joined.filter(col("id") =!= col("qid")) else joined)
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("c")).as("score_micro"))
+  }
 
   /** The epoch index: (tf, contrib) — contrib is the posting table
     * (term, id, per-term integer score contribution). */

@@ -340,10 +340,16 @@ object DedupGroups {
     * repair would be wrong. Output keeps both verdicts auditable:
     * (doc_id, group_id, split0, split, moved).
     *
-    * Scale shape: the registry + split are the q214 machinery; the
-    * repair probe is the q222 direction — eval (id, gram) pairs
-    * broadcast, the training side streams map-side, matched ids dedup
-    * into a tiny drop list that left-joins back. */
+    * Scale shape: the registry + split are the q214 machinery. The
+    * repair probe is NOT the q222 broadcast direction: q222's eval side
+    * is a small external benchmark suite, but here "eval" is ~20% of
+    * the corpus itself — broadcasting its grams would OOM at scale
+    * (round-14 advice). So the probe is a plain shuffled equi-join on
+    * the gram (both sides hash-partition; Spark picks SMJ/shuffled-hash
+    * by size), and only the matched-id DROP LIST — bounded by the eval
+    * doc count — is small. In production, bucket both sides on an
+    * 8-byte gram hash to make the shuffle bandwidth-proportional to
+    * the hash, not the gram text. */
   def cleanSplit(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
     import graft.functions.TextFunctions
@@ -362,7 +368,7 @@ object DedupGroups {
       if (withId) f.select(col("id"), raw) else f.select(raw)
     }
     val dirty = grams("train", withId = false)
-      .join(broadcast(grams("eval", withId = true).distinct()), Seq("gm"))
+      .join(grams("eval", withId = true).distinct(), Seq("gm"))
       .select(col("id")).distinct()
       .withColumn("_dirty", lit(1L))
     sp.join(dirty, Seq("id"), "left")
@@ -389,15 +395,26 @@ object DedupGroups {
     *
     * @return (id, group_id, min_id, n_members, kept_mean): one row per
     *         KEPT doc; min_id ≠ id exactly on the groups where quality
-    *         inverted the naive rule. */
+    *         inverted the naive rule. kept_mean is null when the kept
+    *         doc has no tokens (no surprisal is defined for it).
+    *
+    * Token-less members (empty/whitespace-only text — the classic
+    * mass-duplicate case) carry no surprisal row, so the join is LEFT
+    * and a missing mean coalesces to a worst-quality sentinel for the
+    * argmin: every group still emits exactly one keeper, token-less
+    * members still count in n_members, and a token-less doc can only
+    * win its group when NO member has tokens (round-14 advice — the
+    * old inner join emitted no row at all for an all-empty group). */
   def keepBestByQuality(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
     val reg = groupRegistry(df, idCol, textCol, jaccardThreshold, maxIter)
     val q = Curation.unigramSurprisal(df, idCol, textCol)
       .select(col("id"), col("mean_surprisal"))
-    reg.join(q, Seq("id"))
+    reg.join(q, Seq("id"), "left")
       .groupBy(col("group_id"))
-      .agg(min(struct(col("mean_surprisal"), col("id"))).as("best"),
+      .agg(min(struct(
+          coalesce(col("mean_surprisal"), lit(Double.MaxValue)).as("_q"),
+          col("id"), col("mean_surprisal"))).as("best"),
         min(col("id")).as("min_id"),
         count(lit(1)).as("n_members"))
       .select(col("best.id").as("id"), col("group_id"), col("min_id"),

@@ -156,14 +156,16 @@ object QualityModel {
   def sampleIds(labels: DataFrame, sampleCap: Int): Array[Long] = {
     val mixFlip = udf((id: Long) =>
       graft.functions.TextFunctions.mix64(id) ^ Long.MinValue)
+    // ids ride the LONG-payload aggregator — the double-payload variant
+    // silently corrupts ids above 2^53 (round-14 advice)
     val ids = labels
       .select(col("y"), col("id"),
         mixFlip(col("id").cast("long")).as("_h"))
       .groupBy(col("y"))
-      .agg(graft.plans.BottomKAggregator.bottom_k_sample(sampleCap)(
-        col("_h"), col("id").cast("double")).as("ids"))
+      .agg(graft.plans.BottomKAggregator.bottom_k_sample_long(sampleCap)(
+        col("_h"), col("id").cast("long")).as("ids"))
       .select(explode(col("ids")).as("id"))
-      .collect().map(_.getDouble(0).toLong)
+      .collect().map(_.getLong(0))
     require(ids.length <= 2 * sampleCap,
       s"QualityModel.sampleIds: ${ids.length} ids exceed the 2×$sampleCap bound")
     ids

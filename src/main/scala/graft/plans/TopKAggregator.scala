@@ -120,4 +120,36 @@ object BottomKAggregator {
     implicit val enc: Encoder[HashedValue] = Encoders.product[HashedValue]
     udaf(new BottomKSample(k)).apply(h, v)
   }
+
+  final case class HashedId(h: Long, v: Long)
+
+  /** [[BottomKSample]] with a LONG payload — for sampling doc IDS, which
+    * must not round-trip through a double (53 mantissa bits silently
+    * corrupt ids above 2^53; round-14 advice on QualityModel.sampleIds).
+    * Same insert discipline: distinct-by-hash, bounded at k. */
+  class BottomKSampleLong(k: Int)
+    extends Aggregator[HashedId, List[HashedId], Seq[Long]] {
+    private def insert(buf: List[HashedId], a: HashedId): List[HashedId] = {
+      val (lt, rest) = buf.span(_.h < a.h)
+      if (rest.headOption.exists(_.h == a.h)) buf
+      else (lt ::: a :: rest).take(k)
+    }
+    override def zero: List[HashedId] = Nil
+    override def reduce(b: List[HashedId], a: HashedId): List[HashedId] =
+      insert(b, a)
+    override def merge(b1: List[HashedId], b2: List[HashedId]): List[HashedId] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: List[HashedId]): Seq[Long] = r.map(_.v)
+    override def bufferEncoder: Encoder[List[HashedId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** `df.groupBy(g).agg(bottom_k_sample_long(256)(hash, id))` →
+    * ARRAY<BIGINT> of the k sampled ids (hash order), bit-exact. */
+  def bottom_k_sample_long(k: Int)(h: Column, v: Column): Column = {
+    implicit val enc: Encoder[HashedId] = Encoders.product[HashedId]
+    udaf(new BottomKSampleLong(k)).apply(h, v)
+  }
 }

@@ -149,6 +149,33 @@ class DedupGroupsSpec extends SparkSuite {
     assert(kept(30L)._4 == 1L, "singleton keeps itself")
   }
 
+  test("keepBestByQuality: token-less members still count and all-empty groups still keep one (r14 advice)") {
+    // the classic mass-duplicate case: a group of EMPTY docs. The old
+    // inner join to the surprisal table (which has no row for zero-token
+    // docs) emitted no keeper at all for {40,41} and undercounted {1,2}.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, ""),   // token-less — joins no surprisal row
+      (40L, ""),  // all-empty exact-dup pair: must still keep one
+      (41L, "")
+    ).toDF("doc_id", "text")
+    val kept = DedupGroups.keepBestByQuality(corpus, "doc_id", "text")
+      .select("id", "group_id", "min_id", "n_members")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // empty docs are exact dups of each other: {2,40,41} one group
+    assert(kept.contains(1L), s"kept: $kept")
+    val emptyKeeper = kept.filterNot(_._1 == 1L)
+    assert(emptyKeeper.size == 1, s"exactly one keeper for the empty group: $kept")
+    val (_, (kid, _, minId, n)) = emptyKeeper.head
+    assert(kid == 2L && minId == 2L && n == 3L,
+      s"empty group keeps min-id 2 of 3 members: $kept")
+    // the keeper's mean is null (no surprisal defined), not a sentinel
+    val keptMean = DedupGroups.keepBestByQuality(corpus, "doc_id", "text")
+      .filter(col("id") === 2L).select("kept_mean")
+      .collect().head
+    assert(keptMean.isNullAt(0), s"kept_mean must be null, got $keptMean")
+  }
+
   test("cleanSplit: group-atomic, dirty eval docs repaired into train, audit columns") {
     // 40 base docs with +1000 exact twins; a 13-token disclaimer on
     // ids %4==0 (and twins) crosses groups

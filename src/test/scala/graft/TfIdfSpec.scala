@@ -115,9 +115,13 @@ class Bm25Spec extends SparkSuite {
     assert(got.head == ((901L, 1L, 1L, got.head._4)), got.toSeq.toString)
     // docs sharing no query term are never scored (posting-list shape)
     assert(got.forall(_._3 == 1L), got.toSeq.toString)
-    // an external qid colliding with nothing: the whole ranking is
-    // against the epoch index — scoring must equal the pred-based path
-    // when the query doc IS an epoch doc (same term set ⇒ same scores)
+    // external qids are a SEPARATE key space — no self-exclusion on this
+    // path (round-14 advice: a corpus doc whose id collides with a
+    // caller's qid must not silently vanish from its ranking). An
+    // external query whose qid equals an epoch doc id ranks that doc
+    // like any other — here the query IS doc 1's text, so doc 1 tops
+    // its own ranking, and the non-self tail equals the pred-based path
+    // (which DOES self-exclude, being an in-corpus query).
     val viaPred = graft.operators.Bm25.topK(docs, "doc_id", "text",
         col("id") === 1L, k = 3)
       .as[(Long, Long, Long, Long)].collect().map(r => (r._3, r._4)).toMap
@@ -125,8 +129,11 @@ class Bm25Spec extends SparkSuite {
         docs.filter(col("doc_id") === 1L)
           .select(col("doc_id").as("qid"), col("text").as("qtext")),
         "qid", "qtext", k = 3)
-      .as[(Long, Long, Long, Long)].collect().map(r => (r._3, r._4)).toMap
-    assert(external == viaPred, s"$external vs $viaPred")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(external.head._3 == 1L,
+      s"qid==corpus-id must still retrieve the doc itself: ${external.toSeq}")
+    val tail = external.filter(_._3 != 1L).map(r => (r._3, r._4)).toMap
+    assert(tail == viaPred, s"$tail vs $viaPred")
   }
 
   test("BM25 hard negatives: the query's dup group is excluded, ranks re-densify") {
