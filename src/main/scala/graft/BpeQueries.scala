@@ -466,6 +466,100 @@ object BpeQueries {
              |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS crossing_frac
              |FROM offs GROUP BY shard""".stripMargin)),
 
+    // DOC-BOUNDARY-AWARE PACKING (Curation.packSequencesBestFit) — the
+    // operator q234's 24% crossing fraction demands: best-fit-decreasing
+    // bin packing within each shard, so NO doc ≤ the 512 budget ever
+    // straddles a sequence boundary (crossing_docs counts only docs
+    // LONGER than the budget — provably unavoidable), at the cost of
+    // explicit padding (padding_tokens = n_seqs·512 − total). Same
+    // BPE-token basis / budget / shards as q234, so the two reports
+    // compare directly: crossing_frac drops from q234's ~24% to 0 here
+    // and the price appears as padding. landing_sum is an exact-integer
+    // checksum over every (doc → seq_id, seq_off) decision; the oracle
+    // replays the whole packing — dedicated sequences for oversized
+    // docs, then the best-fit fold as a recursive CTE choosing the
+    // fullest bin that fits (ties → lowest bin id), bit-identical.
+    Q("q239_boundary_aware_packing",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.packSequencesBestFit(d, "doc_id",
+            Bpe.encodeCol(col("text"), model), budgetTokens = 512, shards = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (max(col("seq_end")) + 1).as("n_seqs"),
+            ((max(col("seq_end")) + 1) * 512 - sum(col("n_tokens")))
+              .as("padding_tokens"),
+            sum(col("crossing")).as("crossing_docs"),
+            round(sum(col("crossing")).cast("double") / count(lit(1)), 6)
+              .as("crossing_frac"),
+            sum(col("doc_id") * (col("seq_id") * 1048576L + col("seq_off") + 1))
+              .as("landing_sum"))
+      },
+      Some(s"""WITH RECURSIVE $fitChain,
+             |$encodeChain,
+             |nt AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n
+             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+             |pos AS (SELECT * FROM nt WHERE n > 0),
+             |bigd AS (SELECT shard, doc_id, n,
+             |    CAST(coalesce(SUM((n + 511) // 512) OVER (PARTITION BY shard
+             |      ORDER BY n DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS seq_id,
+             |    CAST((n + 511) // 512 AS BIGINT) AS span
+             |  FROM pos WHERE n > 512),
+             |sbase AS (SELECT p.shard, CAST(coalesce(b.base, 0) AS BIGINT) AS base
+             |  FROM (SELECT DISTINCT shard FROM pos) p
+             |  LEFT JOIN (SELECT shard, sum((n + 511) // 512) AS base
+             |    FROM pos WHERE n > 512 GROUP BY shard) b ON b.shard = p.shard),
+             |small AS (SELECT shard, doc_id, n,
+             |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rn
+             |  FROM pos WHERE n <= 512),
+             |pk AS (
+             |  SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS rems,
+             |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+             |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS off
+             |  FROM (SELECT DISTINCT shard FROM small)
+             |  UNION ALL
+             |  SELECT s.shard, s.rn,
+             |    CASE WHEN b.bi IS NULL THEN list_append(p.rems, 512 - s.n)
+             |         ELSE list_transform(generate_series(1, len(p.rems)),
+             |                j -> CASE WHEN j = b.bi THEN p.rems[j] - s.n
+             |                     ELSE p.rems[j] END)
+             |    END,
+             |    s.doc_id, s.n,
+             |    CAST(CASE WHEN b.bi IS NULL THEN len(p.rems)
+             |         ELSE b.bi - 1 END AS BIGINT),
+             |    CAST(CASE WHEN b.bi IS NULL THEN 0
+             |         ELSE 512 - p.rems[b.bi] END AS BIGINT)
+             |  FROM pk p JOIN small s ON s.shard = p.shard AND s.rn = p.rn + 1,
+             |  LATERAL (SELECT list_sort(list_filter(
+             |      list_transform(generate_series(1, len(p.rems)),
+             |        i -> struct_pack(r := p.rems[i], i := i)),
+             |      x -> x.r >= s.n))[1].i AS bi) b
+             |),
+             |land AS (
+             |  SELECT shard, doc_id, n, seq_id, CAST(0 AS BIGINT) AS seq_off,
+             |         seq_id + span - 1 AS seq_end, CAST(1 AS BIGINT) AS crossing
+             |  FROM bigd
+             |  UNION ALL
+             |  SELECT k.shard, k.doc_id, k.n, ba.base + k.bin, k.off,
+             |         ba.base + k.bin, CAST(0 AS BIGINT)
+             |  FROM pk k JOIN sbase ba ON ba.shard = k.shard
+             |  WHERE k.doc_id IS NOT NULL)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  CAST(max(seq_end) + 1 AS BIGINT) AS n_seqs,
+             |  CAST((max(seq_end) + 1) * 512 - sum(n) AS BIGINT) AS padding_tokens,
+             |  CAST(sum(crossing) AS BIGINT) AS crossing_docs,
+             |  round(CAST(sum(crossing) AS DOUBLE) / count(*), 6) AS crossing_frac,
+             |  CAST(sum(doc_id * (seq_id * 1048576 + seq_off + 1)) AS BIGINT)
+             |    AS landing_sum
+             |FROM land GROUP BY shard""".stripMargin)),
+
     // Token-ID encoding: the form a tokenized corpus is actually STORED
     // in — a deterministic vocabulary (subwords ranked by corpus
     // frequency DESC, token ASC) maps the q142 stream to int ids. The

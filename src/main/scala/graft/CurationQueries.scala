@@ -1248,6 +1248,89 @@ object CurationQueries {
              |FROM evals v LEFT JOIN ng ON ng.id = v.id
              |  LEFT JOIN hits h ON h.id = v.id""".stripMargin)),
 
+    // NORMALIZED CONTAMINATION GRAMS — the q222 defense upgraded per
+    // GPT-3 appendix C: raw whitespace 13-grams are case- and
+    // punctuation-sensitive, so a train doc carrying an eval passage
+    // REFORMATTED (here: uppercased with commas injected between every
+    // word, planted at +91000) evades the raw filter entirely while
+    // leaking the same text. Both gram bases run side by side over the
+    // same corpus: the planted leak reads clean under raw grams and
+    // overlap-1.0 dirty under normalized grams (lowercase \w+ words,
+    // punctuation dropped) — `evaded` flags exactly that gap. Raw
+    // stays available for byte-exact audits; normalized is the basis
+    // to defend with.
+    Q("q240_normalized_contamination",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val evalSet = d.filter(col("doc_id") % 17 === 3)
+        val planted = evalSet.orderBy(col("doc_id")).limit(1)
+          .select((col("doc_id") + 91000L).as("doc_id"),
+            regexp_replace(upper(col("text")), " ", " , ").as("text"))
+        val train = d.filter(col("doc_id") % 17 =!= 3).unionByName(planted)
+        val raw = Curation.evalContaminationReport(
+            train, evalSet, "doc_id", "text", n = 13)
+          .select(col("id"), col("n_grams").as("n_grams_raw"),
+            col("n_dirty").as("n_dirty_raw"), col("verdict").as("verdict_raw"))
+        val norm = Curation.evalContaminationReport(
+            train, evalSet, "doc_id", "text", n = 13, normalized = true)
+          .select(col("id"), col("n_grams").as("n_grams_norm"),
+            col("n_dirty").as("n_dirty_norm"), col("verdict").as("verdict_norm"))
+        raw.join(norm, Seq("id"))
+          .select(col("id"), col("n_grams_raw"), col("n_dirty_raw"),
+            col("verdict_raw"), col("n_grams_norm"), col("n_dirty_norm"),
+            col("verdict_norm"),
+            when(col("verdict_raw") === "clean" &&
+              col("verdict_norm") === "dirty", 1L).otherwise(0L).as("evaded"))
+      },
+      Some("""WITH evals AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 = 3),
+             |train AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 17 <> 3
+             |  UNION ALL
+             |  SELECT id + 91000, regexp_replace(upper(text), ' ', ' , ', 'g')
+             |  FROM (SELECT id, text FROM evals ORDER BY id LIMIT 1)),
+             |ew AS (SELECT id, string_split_regex(
+             |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM evals),
+             |eg AS (SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM ew WHERE len(w) >= 13)),
+             |tw AS (SELECT string_split_regex(
+             |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM train),
+             |tg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tw WHERE len(w) >= 13)),
+             |ngr AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM eg GROUP BY 1),
+             |hr AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dirty
+             |  FROM eg JOIN tg USING (g) GROUP BY 1),
+             |enw AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS w FROM evals),
+             |eng AS (SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM enw WHERE len(w) >= 13)),
+             |tnw AS (SELECT regexp_extract_all(lower(text), '\w+') AS w FROM train),
+             |tng AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tnw WHERE len(w) >= 13)),
+             |ngn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM eng GROUP BY 1),
+             |hn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dirty
+             |  FROM eng JOIN tng USING (g) GROUP BY 1)
+             |SELECT v.id,
+             |  coalesce(ngr.n_grams, 0) AS n_grams_raw,
+             |  coalesce(hr.n_dirty, 0) AS n_dirty_raw,
+             |  CASE WHEN coalesce(hr.n_dirty, 0) > 0 THEN 'dirty' ELSE 'clean' END
+             |    AS verdict_raw,
+             |  coalesce(ngn.n_grams, 0) AS n_grams_norm,
+             |  coalesce(hn.n_dirty, 0) AS n_dirty_norm,
+             |  CASE WHEN coalesce(hn.n_dirty, 0) > 0 THEN 'dirty' ELSE 'clean' END
+             |    AS verdict_norm,
+             |  CAST(CASE WHEN coalesce(hr.n_dirty, 0) = 0
+             |    AND coalesce(hn.n_dirty, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS evaded
+             |FROM evals v LEFT JOIN ngr ON ngr.id = v.id
+             |  LEFT JOIN hr ON hr.id = v.id
+             |  LEFT JOIN ngn ON ngn.id = v.id
+             |  LEFT JOIN hn ON hn.id = v.id""".stripMargin)),
+
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
     // sibling: per-source cosine between OLD (even 20-id block) and
     // NEW (odd block) epoch centroids. The raw synthetic embeddings

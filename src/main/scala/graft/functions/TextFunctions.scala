@@ -276,6 +276,43 @@ object TextFunctions {
   def distinctShinglesCol(text: Column, n: Int): Column =
     distinctShinglesUdf(text, lit(n))
 
+  private val normWordPattern = java.util.regex.Pattern.compile("\\w+")
+
+  /** [[distinctShingles]] over the NORMALIZED token stream — lowercase,
+    * `\w+` word tokens only, punctuation dropped — the GPT-3 appendix-C
+    * decontamination normalization: "The Cat, Sat." and "the cat sat"
+    * shingle identically, so a trivially reformatted benchmark leak
+    * (case flips, injected punctuation) cannot evade an n-gram filter.
+    * The raw variant stays for byte-exact matching; use this one for
+    * contamination defense. */
+  def normalizedDistinctShingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val m = normWordPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) words += m.group()
+    if (words.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  private val normalizedShinglesUdf =
+    udf((t: String, n: Int) => normalizedDistinctShingles(t, n))
+
+  def normalizedDistinctShinglesCol(text: Column, n: Int): Column =
+    normalizedShinglesUdf(text, lit(n))
+
   /** Fused tokenize→shingle WITHOUT dedup (same element multiset as
     * wordShingles, one JVM pass — the expression form's interpreted
     * higher-order lambdas cost ~4 s / 10k docs and dominated q89/q90). */

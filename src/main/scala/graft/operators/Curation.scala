@@ -34,15 +34,20 @@ object Curation {
     * then ride on 64-bit fingerprints (collision odds ~|eval grams|²/2⁶⁴
     * — negligible, and an equivalence spec pins both paths identical on
     * the test corpus). Default false so the q89 oracle compares raw
-    * grams. */
+    * grams.
+    *
+    * `normalized = true` shingles the lowercased `\w+` word stream
+    * instead of raw whitespace tokens (GPT-3 appendix C): raw grams are
+    * case- and punctuation-sensitive, so a reformatted leak ("The Cat,
+    * Sat." for "the cat sat") evades them — the normalized variant is
+    * the one to DEFEND with; raw stays for byte-exact audits. */
   def ngramContamination(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int,
-      hashGrams: Boolean = false): DataFrame = {
+      hashGrams: Boolean = false, normalized: Boolean = false): DataFrame = {
     // fused JVM shingle kernel, not the expression form: interpreted
     // higher-order lambdas cost ~4 s / 10k docs and dominated the bench
     def grams(df: DataFrame, withId: Boolean): DataFrame = {
-      val raw = explode(
-        TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram")
+      val raw = explode(shingles(col(textCol), n, normalized)).as("gram")
       val sel = if (withId) df.select(col(idCol).as("id"), raw)
                 else df.select(raw)
       if (hashGrams) sel.withColumn("gram", TextFunctions.fnv1a64Col(col("gram")))
@@ -68,18 +73,23 @@ object Curation {
     * (id, gram) pairs broadcast and training grams stream through a
     * map-side hash join with no corpus shuffle; only matched pairs
     * (bounded by eval gram count × multiplicity, deduped by the partial
-    * distinct-aggregate) reach the one small shuffle. */
+    * distinct-aggregate) reach the one small shuffle.
+    *
+    * `normalized` = the [[ngramContamination]] normalization contract:
+    * the defense variant matches lowercased punctuation-free grams so
+    * a reformatted leak is still caught. */
   def evalContaminationReport(train: DataFrame, evalSet: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      normalized: Boolean = false): DataFrame = {
     val eg = evalSet.select(col(idCol).as("id"),
-      explode(TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram"))
+      explode(shingles(col(textCol), n, normalized)).as("gram"))
     val tg = train.select(
-      explode(TextFunctions.distinctShinglesCol(col(textCol), n)).as("gram"))
+      explode(shingles(col(textCol), n, normalized)).as("gram"))
     val hits = tg.join(broadcast(eg), Seq("gram"))
       .groupBy(col("id"))
       .agg(countDistinct(col("gram")).as("n_dirty"))
     val counts = evalSet.select(col(idCol).as("id"),
-      size(TextFunctions.distinctShinglesCol(col(textCol), n))
+      size(shingles(col(textCol), n, normalized))
         .cast("long").as("n_grams"))
     counts.join(hits, Seq("id"), "left")
       .select(col("id"), col("n_grams"),
@@ -90,6 +100,14 @@ object Curation {
         when(coalesce(col("n_dirty"), lit(0L)) > 0, lit("dirty"))
           .otherwise(lit("clean")).as("verdict"))
   }
+
+  /** The shingle-basis chooser shared by the contamination family:
+    * raw whitespace grams (byte-exact audits) or normalized lowercase
+    * `\w+` grams (the defense basis — see [[ngramContamination]]). */
+  private[operators] def shingles(text: Column, n: Int,
+      normalized: Boolean): Column =
+    if (normalized) TextFunctions.normalizedDistinctShinglesCol(text, n)
+    else TextFunctions.distinctShinglesCol(text, n)
 
   /** The cleaning form: corpus minus every contaminated document (one
     * anti-join against [[ngramContamination]] ids). */
@@ -561,6 +579,94 @@ object Curation {
         size(col("_t")).cast("long").as("n_tokens") +: orderCols.map(col): _*)
       .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"start_off DIV $budgetTokens"))
+  }
+
+  /** DOC-BOUNDARY-AWARE sequence packing — best-fit-decreasing bin
+    * packing within each shard, the operator [[packSequences]]'s own
+    * audit (q234: 24% of docs straddle a sequence boundary under
+    * concat-and-cut) motivates: a doc whose attention span is split
+    * across training sequences loses its cross-boundary context, so
+    * production packers trade a little padding for zero splits
+    * (best-fit-decreasing's waste is ≤ 11/9·OPT + 1 bins — Johnson's
+    * classic FFD bound applies to BFD too).
+    *
+    * Per shard (= id % shards): docs sort (n_tokens DESC, id ASC) —
+    * deterministic regardless of arrival order — then
+    *   - docs LONGER than the budget cannot fit any sequence: each
+    *     takes `ceil(n/B)` dedicated sequences, first (in sort order),
+    *     and is the only kind of doc that still crosses a boundary
+    *     (`crossing` = 1, provably minimal — no packer can avoid it);
+    *   - every other doc goes to the open bin with the SMALLEST
+    *     remaining capacity that fits it (ties → lowest bin id), or
+    *     opens a new bin. Packed docs NEVER cross (seq_off + n ≤ B by
+    *     construction).
+    *
+    * Scale shape: one shuffle (the groupByKey on shard); each shard's
+    * group is the same slim (id, n_tokens) rowset the [[packSequences]]
+    * window already holds in one task — `shards` stays the parallelism
+    * knob (docs/shards ≲ 10M per task). The in-task cost is the
+    * open-bin scan, O(docs·bins) over longs; genuinely sequential
+    * imperative logic, so this is the documented mapGroups exception
+    * to the no-UDF rule (bin packing has no window/HOF form — the
+    * running state is a mutable bin list, not a prefix sum).
+    *
+    * Zero-token docs contribute nothing to a batch and are dropped
+    * (the [[chunkTexts]] discipline).
+    *
+    * @return (shard, doc_id, n_tokens, seq_id, seq_off, seq_end,
+    *         crossing): seq_id/seq_off locate the doc's first token,
+    *         seq_end is the last sequence it touches (= seq_id unless
+    *         oversized), crossing = 1 iff seq_end > seq_id. */
+  def packSequencesBestFit(corpus: DataFrame, idCol: String, toks: Column,
+      budgetTokens: Int, shards: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val B = budgetTokens.toLong
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        size(toks).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("id"), (col("id") % shards).as("shard"), col("n"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.map { case (id, _, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val out = Array.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+        var seqCursor = 0L
+        // oversized docs: dedicated sequences, in sort order
+        docs.iterator.filter(_._2 > B).foreach { case (id, n) =>
+          val span = (n + B - 1) / B
+          out += ((shard, id, n, seqCursor, 0L, seqCursor + span - 1, 1L))
+          seqCursor += span
+        }
+        // best-fit-decreasing over the rest
+        val rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.filter(_._2 <= B).foreach { case (id, n) =>
+          var best = -1
+          var bestRem = Long.MaxValue
+          var i = 0
+          while (i < rems.length) {
+            val r = rems(i)
+            if (r >= n && r < bestRem) { best = i; bestRem = r }
+            i += 1
+          }
+          if (best < 0) {
+            rems += (B - n)
+            val s = seqCursor + rems.length - 1
+            out += ((shard, id, n, s, 0L, s, 0L))
+          } else {
+            val s = seqCursor + best
+            out += ((shard, id, n, s, B - rems(best), s, 0L))
+            rems(best) -= n
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("shard", "doc_id", "n_tokens", "seq_id", "seq_off", "seq_end",
+        "crossing")
   }
 
   /** The window-form reference implementation of [[sampleKPerStratum]]

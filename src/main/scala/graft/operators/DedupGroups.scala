@@ -351,7 +351,7 @@ object DedupGroups {
     * 8-byte gram hash to make the shuffle bandwidth-proportional to
     * the hash, not the gram text. */
   def cleanSplit(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int = 13): DataFrame = {
+      n: Int = 13, normalized: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions
     val reg = groupRegistry(corpus, idCol, textCol)
     val mixU = udf((g: Long) =>
@@ -364,7 +364,7 @@ object DedupGroups {
     def grams(split: String, withId: Boolean): DataFrame = {
       val f = withText.filter(col("split0") === split)
       val raw = explode(
-        TextFunctions.distinctShinglesCol(col("_txt"), n)).as("gm")
+        Curation.shingles(col("_txt"), n, normalized)).as("gm")
       if (withId) f.select(col("id"), raw) else f.select(raw)
     }
     val dirty = grams("train", withId = false)

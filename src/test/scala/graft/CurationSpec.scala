@@ -43,6 +43,56 @@ class CurationSpec extends SparkSuite {
     assert(kept.toSeq == Seq(2L, 4L))
   }
 
+  test("normalized grams catch a case/punct-reformatted leak raw grams miss (r14 missing #2)") {
+    import graft.functions.TextFunctions
+    // the kernel itself: case folds, punctuation drops, raw does neither
+    assert(TextFunctions.normalizedDistinctShingles(
+      "The, Cat! Sat. On The Mat", 3).toSeq ==
+      TextFunctions.normalizedDistinctShingles(
+        "the cat sat on the mat", 3).toSeq)
+    assert(!TextFunctions.distinctShingles("The, Cat! Sat. On The Mat", 3)
+      .sameElements(TextFunctions.distinctShingles("the cat sat on the mat", 3)))
+    // through the operator: a reformatted 5-gram leak
+    val reform = Seq(
+      (1L, "ALPHA , BETA , GAMMA , DELTA , EPSILON , ZETA"),
+      (2L, "one two three four five six seven"),
+    ).toDF("doc_id", "text")
+    val raw = Curation.ngramContamination(reform, evalSet, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    val norm = Curation.ngramContamination(reform, evalSet, "doc_id", "text", 5,
+        normalized = true)
+      .as[(Long, Long)].collect().toMap
+    assert(raw.isEmpty, s"raw grams must MISS the reformatted leak: $raw")
+    assert(norm == Map(1L -> 1L), s"normalized grams must catch it: $norm")
+  }
+
+  test("cleanSplit normalized=true repairs a reformatted eval leak the raw split misses") {
+    import graft.operators.DedupGroups
+    // 30 singleton docs; doc 9's text appears REFORMATTED in doc 21
+    // (upper + commas). Under mix64 group hashing doc 9 lands in eval
+    // and doc 21 in train (checked below) — raw grams see no overlap,
+    // normalized grams move doc 9 to train.
+    def body(i: Long) = (1 to 14).map(j => s"w${i}word$j").mkString(" ")
+    val rows = (1L to 30L).map { i =>
+      val t = if (i == 21L) body(9L).toUpperCase.replace(" ", " , ") else body(i)
+      (i, t)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val rawSplit = DedupGroups.cleanSplit(df, "doc_id", "text", n = 13)
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val normSplit = DedupGroups.cleanSplit(df, "doc_id", "text", n = 13,
+        normalized = true)
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // precondition for the scenario: the pair straddles the raw split
+    assume(rawSplit(9L)._3 == "eval" && rawSplit(21L)._3 == "train",
+      "mix64 split landed the planted pair on one side; scenario vacuous")
+    assert(rawSplit(9L)._5 == 0L, s"raw split must miss the leak: ${rawSplit(9L)}")
+    assert(normSplit(9L)._4 == "train" && normSplit(9L)._5 == 1L,
+      s"normalized split must repair doc 9 into train: ${normSplit(9L)}")
+  }
+
   test("repetitionStats: a repeated phrase shows up in dup_gram_ratio") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),     // 5 tokens, 3 grams all identical
@@ -897,6 +947,52 @@ class CurationSpec extends SparkSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("chunk_key would overflow")), e.toString)
+  }
+
+  test("packSequencesBestFit: hand-checked best-fit-decreasing, oversized docs, no packed doc crosses") {
+    // one shard, budget 10. Small docs 9,8,6,4,2 (DESC order) best-fit:
+    // 9→bin0(rem1); 8→bin1(rem2); 6→bin2(rem4); 4→bin2 best-fit(off 6);
+    // 2→bin1(off 8). Oversized doc 25 takes ceil(25/10)=3 DEDICATED
+    // seqs FIRST, so bins shift to seq 3,4,5.
+    def toks(n: Int) = (1 to n).map(j => s"t$j").mkString(" ")
+    val df = Seq(8L -> 25, 1L -> 4, 2L -> 8, 3L -> 6, 4L -> 2, 5L -> 9)
+      .map { case (i, n) => (i * 10, toks(n)) } // all ids %10==0 → shard 0 of 1... use shards=1
+      .toDF("doc_id", "text")
+    val got = Curation.packSequencesBestFit(df, "doc_id",
+        split(col("text"), " "), budgetTokens = 10, shards = 1)
+      .select("doc_id", "n_tokens", "seq_id", "seq_off", "seq_end", "crossing")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(80L) == ((80L, 25L, 0L, 0L, 2L, 1L)), got(80L).toString)
+    assert(got(50L) == ((50L, 9L, 3L, 0L, 3L, 0L)), got(50L).toString)
+    assert(got(20L) == ((20L, 8L, 4L, 0L, 4L, 0L)), got(20L).toString)
+    assert(got(30L) == ((30L, 6L, 5L, 0L, 5L, 0L)), got(30L).toString)
+    assert(got(10L) == ((10L, 4L, 5L, 6L, 5L, 0L)), got(10L).toString)
+    assert(got(40L) == ((40L, 2L, 4L, 8L, 4L, 0L)), got(40L).toString)
+    // invariants: packed docs never cross; per-seq spans don't overlap
+    got.values.filter(_._6 == 0L).foreach { r =>
+      assert(r._4 + r._2 <= 10L, s"packed doc crosses: $r") }
+    got.values.filter(_._6 == 0L).groupBy(_._3).foreach { case (_, ds) =>
+      val spans = ds.map(r => (r._4, r._4 + r._2)).toSeq.sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 <= s2, s"overlap in $spans")
+        case _ => ()
+      }
+    }
+  }
+
+  test("packSequencesBestFit: deterministic under input order; multi-shard routing") {
+    val docs = (1L to 40L).map(i => (i, (1 to (i % 13 + 1).toInt)
+      .map(j => s"w$j").mkString(" ")))
+    val a = Curation.packSequencesBestFit(docs.toDF("doc_id", "text"),
+        "doc_id", split(col("text"), " "), 16, 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val b = Curation.packSequencesBestFit(
+        scala.util.Random.shuffle(docs).toDF("doc_id", "text").repartition(7),
+        "doc_id", split(col("text"), " "), 16, 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(a.toSeq == b.toSeq, "packing must not depend on arrival order")
+    a.foreach(r => assert(r._1 == r._2 % 4, s"shard routing broke: $r"))
   }
 
   test("packing efficiency arithmetic: crossing docs and tail fill, hand-checked") {
