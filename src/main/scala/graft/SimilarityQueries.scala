@@ -17,7 +17,7 @@ object SimilarityQueries {
     * SAME splitmix64 derivation as VectorFunctions.srpSignatureKernel
     * (±1.0 exactly representable — multiplying by it reproduces the
     * kernel's add/subtract bit-for-bit). */
-  private def srpSignRows(planes: Int, dims: Int, seed: Long): String =
+  private[graft] def srpSignRows(planes: Int, dims: Int, seed: Long): String =
     (0 until planes).map { p =>
       val sv = (0 until dims).map { i =>
         val h = VectorFunctions.mix64(seed ^ VectorFunctions.mix64(p.toLong << 32 | i.toLong))

@@ -1508,6 +1508,207 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // HYBRID CHUNK RETRIEVAL (q237's BM25 leg + a dense leg, fused by
+    // q151's integer RRF) — the full RAG retrieval stack at CHUNK
+    // granularity: the lexical leg is the q237 chunk-level BM25 index;
+    // the dense leg embeds every chunk (and query) as a 64-bucket
+    // fnv1a64-hashed term-count vector and retrieves via SRP-LSH
+    // (16 planes, 4-bit bands — candidates share a band bucket, exact
+    // cosine rerank inside; the q41 machinery over derived vectors).
+    // Both legs emit ranks only; reciprocal-rank fusion is exact
+    // integer micro-units (1e9 DIV (60 + rank)), so the fused ranking
+    // is deterministic end-to-end. Plan shape: posting join (lexical) +
+    // band-bucket join (dense) — never query × chunks. The oracle
+    // replays chunking, both featurizations, the Rademacher signature
+    // matrix, and the fusion, bit-for-bit.
+    Q("q241_hybrid_chunk_retrieval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val chunks = graft.operators.Curation.chunkTexts(
+          d, "doc_id", "text", 128, 32)
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
+            "chunk_text", queries, "qid", "qtext", k = 10)
+          .select(col("qid"), col("id").as("nid"), col("rank"))
+        def featurize(df: org.apache.spark.sql.DataFrame, idc: String,
+            txt: String): org.apache.spark.sql.DataFrame =
+          df.select(col(idc).as("vec_id"),
+              explode(TextFunctions.tokens(lower(col(txt)))).as("term"))
+            .filter(length(col("term")) > 0)
+            .select(col("vec_id"),
+              TextFunctions.fnv1a64Col(col("term")).bitwiseAND(lit(63L))
+                .cast("int").as("b"))
+            .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("vec_id"))
+            .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
+              .as("m"))
+            .select(col("vec_id"),
+              expr("transform(sequence(0, 63), " +
+                "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
+                .as("embedding"))
+        val dense = graft.operators.Similarity.srpTopK(
+            featurize(queries, "qid", "qtext"),
+            featurize(chunks, "chunk_key", "chunk_text"), k = 10)
+          .select(col("qid"), col("nid"), col("rank"))
+        graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+      },
+      Some {
+        val fold = RelationalQueries5.fnvFold("term")
+        "WITH " +
+        """ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+          |  FROM documents),
+          |cst AS (SELECT doc_id, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
+          |cnc AS (SELECT doc_id, t, n, CASE WHEN n <= 128 THEN 1
+          |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
+          |cch AS (SELECT doc_id, t, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
+          |chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key,
+          |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
+          |      AS text
+          |  FROM cch),
+          |qsrc AS (SELECT doc_id + 9000000 AS qid, array_to_string(
+          |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+          |      '\s+')[1:25], ' ') AS text
+          |  FROM documents WHERE doc_id < 5),
+          |""".stripMargin +
+        bm25ScoreCtes("chunks", "chunk_key", "", "b", qtOverride = Some(
+          """SELECT DISTINCT qid, lower(tk) AS term
+            |  FROM (SELECT qid, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tk
+            |    FROM qsrc)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        s""",
+          |blex AS (SELECT qid, id AS nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM bsc),
+          |cterm AS (SELECT chunk_key AS id, unnest(string_split_regex(
+          |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
+          |  FROM chunks),
+          |qterm AS (SELECT qid AS id, unnest(string_split_regex(
+          |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
+          |  FROM qsrc),
+          |cbc AS (SELECT id, CAST($fold % 64 AS BIGINT) AS b,
+          |    CAST(count(*) AS DOUBLE) AS x
+          |  FROM cterm WHERE length(term) > 0 GROUP BY 1, 2),
+          |qbc AS (SELECT id, CAST($fold % 64 AS BIGINT) AS b,
+          |    CAST(count(*) AS DOUBLE) AS x
+          |  FROM qterm WHERE length(term) > 0 GROUP BY 1, 2),
+          |grid AS (SELECT unnest(generate_series(0, 63)) AS b),
+          |cvec AS (SELECT g.id, list(coalesce(c.x, 0.0) ORDER BY g.b) AS v
+          |  FROM (SELECT id, b FROM (SELECT DISTINCT id FROM cbc), grid) g
+          |  LEFT JOIN cbc c ON c.id = g.id AND c.b = g.b GROUP BY g.id),
+          |qvec AS (SELECT g.id, list(coalesce(q.x, 0.0) ORDER BY g.b) AS v
+          |  FROM (SELECT id, b FROM (SELECT DISTINCT id FROM qbc), grid) g
+          |  LEFT JOIN qbc q ON q.id = g.id AND q.b = g.b GROUP BY g.id),
+          |signs AS (SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+          |  FROM (VALUES ${SimilarityQueries.srpSignRows(16, 64, 42L)}) s(plane, sv)),
+          |csig AS (SELECT id,
+          |    sum(CASE WHEN list_dot_product(v, sv) >= 0
+          |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+          |  FROM cvec CROSS JOIN signs GROUP BY id),
+          |qsig AS (SELECT id,
+          |    sum(CASE WHEN list_dot_product(v, sv) >= 0
+          |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+          |  FROM qvec CROSS JOIN signs GROUP BY id),
+          |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+          |cband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
+          |  FROM csig CROSS JOIN bands),
+          |qband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
+          |  FROM qsig CROSS JOIN bands),
+          |dcand AS (SELECT DISTINCT q.id AS qid, c.id AS nid
+          |  FROM qband q JOIN cband c ON q.band = c.band AND q.bucket = c.bucket
+          |  WHERE q.id <> c.id),
+          |dpairs AS (SELECT d.qid, d.nid,
+          |    list_dot_product(qv.v, cv.v) /
+          |      (sqrt(list_dot_product(qv.v, qv.v)) *
+          |       sqrt(list_dot_product(cv.v, cv.v))) AS sim
+          |  FROM dcand d JOIN qvec qv ON qv.id = d.qid
+          |    JOIN cvec cv ON cv.id = d.nid),
+          |dlex AS (SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM dpairs),
+          |con AS (
+          |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w
+          |  FROM blex WHERE rank <= 10
+          |  UNION ALL
+          |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w
+          |  FROM dlex WHERE rank <= 10),
+          |fused AS (SELECT qid, nid, CAST(sum(w) AS BIGINT) AS rrf
+          |  FROM con GROUP BY 1, 2),
+          |rankedf AS (SELECT qid, nid, rrf,
+          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+          |  FROM fused)
+          |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
+          |FROM rankedf WHERE rank <= 10""".stripMargin
+      }),
+
+    // INCREMENTAL BM25 INDEX MAINTENANCE (Bm25.upsertIndexStats) — the
+    // q161/q174/q209 epoch-index discipline applied to retrieval: the
+    // epoch index is kept as the four SUFFICIENT STATISTICS (tf, dl,
+    // df, totals — each a pure additive fold), a daily append-only
+    // batch upserts them without touching the epoch corpus, and
+    // contributions re-derive at query time (storing them would go
+    // stale on every batch — idf depends on global df/T/N). Fixture:
+    // epoch = docs %3≠0; batch = docs %3=0 re-keyed +50000, a third of
+    // them carrying three BRAND-NEW terms (the df-union case); queries
+    // = the q227 external set plus one query made of only the new
+    // terms (rankable only if the upsert folded them). The DEFINING
+    // property IS the gate: the oracle is a FULL RECOMPUTE over
+    // epoch ∪ batch — hash equality proves incremental == full.
+    Q("q242_incremental_bm25_index",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.filter(col("doc_id") % 3 =!= 0)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" graftupsert novelterm ingestion")))
+              .otherwise(col("text")).as("text"))
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+          .unionByName(Seq((80100L, "graftupsert novelterm ingestion"))
+            .toDF("qid", "qtext"))
+        val stats = graft.operators.Bm25.indexStats(epoch, "doc_id", "text")
+        val upserted = graft.operators.Bm25.upsertIndexStats(
+          stats, batch, "doc_id", "text")
+        graft.operators.Bm25.topKExternalStats(
+          upserted, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """fullc AS (
+          |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 50000, CASE WHEN doc_id % 6 = 0
+          |      THEN text || ' graftupsert novelterm ingestion'
+          |      ELSE text END
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |""".stripMargin +
+        bm25ScoreCtes("fullc", "id", "", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 10)
+            |  WHERE length(tk) > 0
+            |UNION
+            |SELECT 80100 AS qid, unnest(
+            |  ['graftupsert', 'novelterm', 'ingestion']) AS term""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // SKETCH-QUALITY AUDIT (Dedup.minhashAccuracyAudit) — estimated vs
     // exact Jaccard per LSH candidate pair, the measurement that
     // justifies trusting 128-hash MinHash verdicts at 100 TB (est std

@@ -145,10 +145,29 @@ object Bm25 {
       .agg(sum(col("c")).as("score_micro"))
   }
 
-  /** The epoch index: (tf, contrib) — contrib is the posting table
-    * (term, id, per-term integer score contribution). */
-  private def index(corpus: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame) = {
+  /** The INCREMENTALLY-MAINTAINABLE form of the epoch index: the four
+    * sufficient statistics BM25 scoring needs, each a pure additive
+    * fold —
+    *   tf (id, term, tf): per-doc term frequencies (per-doc local,
+    *     append = union);
+    *   dl (id, dl): per-doc lengths (append = union);
+    *   df (term, df): document frequencies (append = summed merge);
+    *   totals 1 row (_T total tokens, _N docs) (append = summed merge).
+    * The derived posting CONTRIBUTIONS are NOT stored: idf and the
+    * length normalization depend on the global df/T/N, so every stored
+    * contribution would be stale after any batch (the idf-drift trap) —
+    * contributions are re-derived from the stats at query time, a
+    * df-table-sized join, not a corpus recompute. In production each
+    * stat persists bucketed ([[Layout.bucketize]] on term for df, on id
+    * for tf/dl) and a daily batch touches only its own rows plus the
+    * term-keyed df merge. */
+  final case class IndexStats(tf: DataFrame, dl: DataFrame,
+      df: DataFrame, totals: DataFrame)
+
+  /** Build the statistics from a corpus (the full-recompute path; also
+    * the per-batch delta builder for [[upsertIndexStats]]). */
+  def indexStats(corpus: DataFrame, idCol: String, textCol: String)
+      : IndexStats = {
     val terms = OperatorCaches.track(corpus
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
@@ -159,19 +178,70 @@ object Bm25 {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = terms.agg(count(lit(1)).as("_T"))
       .crossJoin(corpus.agg(count(lit(1)).as("_N")))
-    val idf = dfT.crossJoin(broadcast(totals))
+    IndexStats(tf, dl, dfT, totals)
+  }
+
+  /** DAILY-BATCH index maintenance: fold an APPEND-ONLY batch of new
+    * documents into the epoch statistics without touching the epoch
+    * corpus — tf/dl union (new doc ids), df summed merge (batch terms
+    * may be brand new — unionByName handles both), totals added. The
+    * defining property (gated): scoring against the upserted stats is
+    * HASH-EQUAL to a full recompute over epoch ∪ batch, because the
+    * stats are sufficient and the contribs re-derive from them.
+    * Contract: batch ids must be NEW (append-only ingest); updating or
+    * deleting a doc requires subtracting its old rows first — a
+    * different operation this deliberately does not hide. */
+  def upsertIndexStats(base: IndexStats, batch: DataFrame,
+      idCol: String, textCol: String): IndexStats = {
+    val b = indexStats(batch, idCol, textCol)
+    IndexStats(
+      tf = base.tf.unionByName(b.tf),
+      dl = base.dl.unionByName(b.dl),
+      df = base.df.unionByName(b.df)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      totals = base.totals.unionByName(b.totals)
+        .agg(sum(col("_T")).as("_T"), sum(col("_N")).as("_N")))
+  }
+
+  /** [[topKExternal]] against maintained [[IndexStats]] — ingest-time
+    * ranking that never touches corpus text. */
+  def topKExternalStats(stats: IndexStats, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(TextFunctions.tokens(lower(col(qtextCol)))).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scoreJoin(qterms, contribFromStats(stats), excludeSelf = false)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id"), col("score_micro"))
+  }
+
+  /** Derive the posting contributions (term, id, c) from the stats —
+    * the only place the BM25 arithmetic lives. */
+  private def contribFromStats(s: IndexStats): DataFrame = {
+    val idf = s.df.crossJoin(broadcast(s.totals))
       .select(col("term"),
         round(log((col("_N") * 2 + 2).cast("double")
           / (col("df") * 2 + 1).cast("double")) * 1e6, 0)
           .cast("long").as("idf_micro"),
         col("_T"), col("_N"))
-    val contrib = tf.join(idf, Seq("term"))
-      .join(dl, Seq("id"))
+    s.tf.join(idf, Seq("term"))
+      .join(s.dl, Seq("id"))
       .select(col("term"), col("id"),
         expr("CAST((2 * idf_micro * 44 * tf * _T" +
           " + (20 * _T * tf + 6 * _T + 18 * dl * _N))" +
           " DIV (2 * (20 * _T * tf + 6 * _T + 18 * dl * _N)) AS BIGINT)")
           .as("c"))
-    (tf, contrib)
+  }
+
+  /** The epoch index: (tf, contrib) — contrib is the posting table
+    * (term, id, per-term integer score contribution). */
+  private def index(corpus: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val s = indexStats(corpus, idCol, textCol)
+    (s.tf, contribFromStats(s))
   }
 }

@@ -345,6 +345,20 @@ class PlanSpec extends SparkSuite {
     assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
   }
 
+  test("q241: hybrid chunk retrieval — posting + band-bucket joins, no cartesian") {
+    val p = plan("q241_hybrid_chunk_retrieval")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // lexical leg: posting-list equi-join; dense leg: band-bucket
+    // equi-join + candidate re-attach — all hash joins, so the only
+    // admissible nest-loops are the BM25 1-row-totals crossJoins
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
+    // queries (5 rows) and their vectors must broadcast, never shuffle
+    // the chunk side against them with a sort-merge on qid
+    assert(!p.contains("SortMergeJoin [qid"),
+      "query-keyed join must broadcast:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))

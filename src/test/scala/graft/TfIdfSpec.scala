@@ -136,6 +136,43 @@ class Bm25Spec extends SparkSuite {
     assert(tail == viaPred, s"$tail vs $viaPred")
   }
 
+  test("BM25 incremental upsert == full recompute, including brand-new batch terms") {
+    import graft.operators.Bm25
+    val epoch = Seq(
+      (1L, "quantum entanglement research paper about bell inequalities"),
+      (2L, "cooking recipes for pasta and pizza and risotto tonight"),
+      (3L, "gardening tips tomatoes cucumbers and other summer vegetables"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "quantum cooking fusion cuisine experiments"), // shared terms: df bumps
+      (5L, "zymurgy kombucha fermentation"))              // all-new terms: df union
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (901L, "quantum entanglement"),
+      (902L, "zymurgy fermentation")) // rankable only if the upsert folded new terms
+      .toDF("qid", "qtext")
+    val up = Bm25.upsertIndexStats(
+      Bm25.indexStats(epoch, "doc_id", "text"), batch, "doc_id", "text")
+    val full = Bm25.indexStats(epoch.unionByName(batch), "doc_id", "text")
+    def rank(s: Bm25.IndexStats) =
+      Bm25.topKExternalStats(s, queries, "qid", "qtext", k = 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val incr = rank(up)
+    assert(incr == rank(full), "incremental stats must score identically to full recompute")
+    // the new-term query finds exactly the new doc
+    assert(incr.filter(_._1 == 902L).map(_._3) == Seq(5L), incr.toString)
+    // idf DRIFTED for the shared term: doc 4's arrival changes df(quantum),
+    // so 901's scores against the upserted index differ from the epoch-only
+    // index — the reason contributions re-derive instead of being stored
+    val epochOnly = Bm25.topKExternalStats(
+        Bm25.indexStats(epoch, "doc_id", "text"), queries, "qid", "qtext", k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(r => r._1 == 901L && r._3 == 1L).map(_._4)
+    val after = incr.filter(r => r._1 == 901L && r._3 == 1L).map(_._4)
+    assert(epochOnly.nonEmpty && after.nonEmpty && epochOnly.head != after.head,
+      s"df growth must move the idf: $epochOnly vs $after")
+  }
+
   test("BM25 hard negatives: the query's dup group is excluded, ranks re-densify") {
     // query 1 has an exact twin 11 (same group); docs 2, 3 share terms
     // with the query but sit in their own groups → true negatives
