@@ -560,6 +560,108 @@ object BpeQueries {
              |    AS landing_sum
              |FROM land GROUP BY shard""".stripMargin)),
 
+    // GPT-2-PATTERN PRE-TOKENIZER (Bpe.gpt2PreTokenize) — the
+    // production-fidelity lexer variant (round-14 missing #5): the
+    // byte-level-BPE pre-tokenization GPT-2 actually runs, with
+    // contraction splitting and literal-space attachment (" the" ≠
+    // "the"). The kernel is spec-pinned token-for-token to the literal
+    // Java regex (whose \s+(?!\S) lookahead RE2 cannot run); the
+    // oracle replays the scanner semantics as pure window SQL over
+    // char positions — class changes, the literal-space attach, the
+    // all-but-last whitespace split, scanner-aligned contraction spans
+    // — and the gate hashes the full per-doc token stream plus the
+    // tiling round-trip (concat(tokens) must equal the text exactly).
+    Q("q243_gpt2_pretokenizer",
+      (spark, dir) => {
+        import spark.implicits._
+        // the synthetic corpus carries no apostrophes or tabs, so three
+        // planted docs exercise every scanner branch IN THE GATE (not
+        // just the spec): contractions, blocked contractions (after
+        // space/punct/inside punct runs), tab/newline non-attachment,
+        // multi-space splits, trailing runs, digit/letter transitions
+        val planted = Seq(
+          (95001L, "I'm sure we're fine don't you think it'll work they've said he'd agree 's"),
+          (95002L, "rock'sand can'tify a''s x.'s 9's q're'll !'s and 'IT'S' case"),
+          (95003L, "tabs\tand\nnewlines  double  spaces\t'd trailing   ")
+        ).toDF("doc_id", "text")
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(planted)
+          .filter(length(col("text")) > 0)
+        d.select(col("doc_id"), col("text"),
+            Bpe.gpt2PreTokensCol(col("text")).as("_t"))
+          .select(col("doc_id"),
+            size(col("_t")).cast("long").as("n_pretokens"),
+            expr("CAST(size(filter(_t, x -> x IN " +
+              "(\"'s\",\"'t\",\"'re\",\"'ve\",\"'m\",\"'ll\",\"'d\"))) AS BIGINT)")
+              .as("n_contractions"),
+            sha2(array_join(col("_t"), "\u001f"), 256).as("pretok_sha"),
+            when(array_join(col("_t"), "") === col("text"), 1L).otherwise(0L)
+              .as("roundtrip_ok"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text FROM documents
+             |    UNION ALL SELECT 95001, 'I' || chr(39) || 'm sure we' || chr(39) || 're fine don' || chr(39) || 't you think it' || chr(39) || 'll work they' || chr(39) || 've said he' || chr(39) || 'd agree ' || chr(39) || 's'
+             |    UNION ALL SELECT 95002, 'rock' || chr(39) || 'sand can' || chr(39) || 'tify a' || chr(39) || chr(39) || 's x.' || chr(39) || 's 9' || chr(39) || 's q' || chr(39) || 're' || chr(39) || 'll !' || chr(39) || 's and ' || chr(39) || 'IT' || chr(39) || 'S' || chr(39) || ' case'
+             |    UNION ALL SELECT 95003, 'tabs' || chr(9) || 'and' || chr(10) || 'newlines  double  spaces' || chr(9) || chr(39) || 'd trailing   '
+             |  ) WHERE length(text) > 0),
+             |ch AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |  FROM docs),
+             |cl AS (SELECT doc_id, i, text[i] AS c,
+             |    CASE WHEN text[i] IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+             |           THEN 0
+             |         WHEN regexp_matches(text[i], '^[A-Za-z]$') THEN 1
+             |         WHEN regexp_matches(text[i], '^[0-9]$') THEN 2
+             |         WHEN unicode(text[i]) > 127 OR unicode(text[i]) < 0
+             |           THEN CAST(error('non-ASCII in q243 oracle — kernel uses unicode classes; fixture must stay ASCII') AS INTEGER)
+             |         ELSE 3 END AS k,
+             |    (text[i] = ' ') AS sp,
+             |    CASE WHEN text[i] = chr(39) THEN
+             |        CASE WHEN substr(text, i + 1, 2) IN ('re', 've', 'll') THEN 3
+             |             WHEN substr(text, i + 1, 1) IN ('s', 't', 'm', 'd') THEN 2
+             |             ELSE 0 END
+             |      ELSE 0 END AS sufx
+             |  FROM ch),
+             |fl AS (SELECT doc_id, i, c, k, sp,
+             |    CASE WHEN sufx > 0 AND (i = 1 OR lag(k) OVER w IN (1, 2)
+             |        OR (lag(k) OVER w = 0 AND NOT lag(sp) OVER w)) THEN sufx
+             |      ELSE 0 END AS clen
+             |  FROM cl WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |bd AS (SELECT doc_id, i, c, k, clen,
+             |    lag(k) OVER w AS pk, lag(sp) OVER w AS psp, lead(k) OVER w AS nk,
+             |    lag(clen, 1) OVER w AS c1, lag(clen, 2) OVER w AS c2,
+             |    lag(clen, 3) OVER w AS c3
+             |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |bnd AS (SELECT doc_id, i, c, clen,
+             |    CASE
+             |      WHEN c1 >= 2 OR c2 = 3 THEN 0
+             |      WHEN clen > 0 THEN 1
+             |      WHEN c2 = 2 OR c3 = 3 THEN 1
+             |      WHEN i = 1 THEN 1
+             |      WHEN k <> 0 AND pk = 0 THEN CASE WHEN psp THEN 0 ELSE 1 END
+             |      WHEN k <> 0 AND pk <> 0 AND k <> pk THEN 1
+             |      WHEN k <> 0 THEN 0
+             |      WHEN pk <> 0 THEN 1
+             |      ELSE CASE WHEN nk IS NOT NULL AND nk <> 0 THEN 1 ELSE 0 END
+             |    END AS b
+             |  FROM bd),
+             |tk AS (SELECT doc_id, i, c,
+             |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS tid
+             |  FROM bnd),
+             |toks AS (SELECT doc_id, tid, string_agg(c, '' ORDER BY i) AS t
+             |  FROM tk GROUP BY 1, 2)
+             |SELECT x.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_pretokens,
+             |  CAST(sum(CASE WHEN t IN (chr(39)||'s', chr(39)||'t', chr(39)||'re',
+             |    chr(39)||'ve', chr(39)||'m', chr(39)||'ll', chr(39)||'d')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contractions,
+             |  sha256(string_agg(t, chr(31) ORDER BY tid)) AS pretok_sha,
+             |  CAST(CASE WHEN string_agg(t, '' ORDER BY tid) = min(d.text)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+             |FROM toks x JOIN docs d ON d.doc_id = x.doc_id
+             |GROUP BY x.doc_id""".stripMargin)),
+
     // Token-ID encoding: the form a tokenized corpus is actually STORED
     // in — a deterministic vocabulary (subwords ranked by corpus
     // frequency DESC, token ASC) maps the q142 stream to int ids. The

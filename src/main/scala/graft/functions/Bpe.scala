@@ -256,6 +256,98 @@ object Bpe {
     f(text)
   }
 
+  /** The GPT-2 pre-tokenization pattern (Radford et al. 2019,
+    * `encoder.py`) — verbatim, for the spec that pins [[gpt2PreTokenize]]
+    * to it. Java regex supports the lookahead; DuckDB's RE2 does not,
+    * which is why the operational kernel below exists. */
+  val Gpt2Pattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** GPT-2-pattern pre-tokenizer — the production-fidelity alternative
+    * to the `\w+|[^\w\s]` lexer (round-14 missing #5): contractions
+    * split as their own tokens, a single LITERAL SPACE (0x20 — not tab
+    * or newline) ATTACHES to the following word/number/punct run (the
+    * byte-level-BPE convention that makes " the" and "the" distinct
+    * tokens), an inner whitespace run keeps all but its last char as
+    * one token (the last char attaches only if it is a literal space,
+    * else stands alone), and a trailing whitespace run is one token.
+    * Tokens tile the input exactly —
+    * concatenating them reproduces the text byte-for-byte (gated).
+    *
+    * Implemented as a single operational pass, NOT the regex: the
+    * pattern's `\s+(?!\S)` lookahead is not RE2-expressible, so a
+    * regex kernel could never be oracle-replayed. The pass implements
+    * the pattern's scanner semantics exactly (BpeSpec pins kernel ==
+    * Java-regex findAll on an adversarial battery and on corpus docs):
+    *  - at `'`: the contraction alternatives 's 't 'm 'd 're 've 'll
+    *    (case-sensitive, first-letter-disjoint) — reachable only when
+    *    the scanner LANDS on the quote (doc start or after a
+    *    letter/digit run; a quote after space/punct is consumed by the
+    *    space-attached or greedy punct run instead, exactly as the
+    *    ordered alternation behaves);
+    *  - classes: Java `\s` (ASCII whitespace), `\p{L}` (isLetter),
+    *    `\p{N}` (Unicode number categories), other. */
+  def gpt2PreTokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    def isSpace(c: Char): Boolean = // Java regex \s: [ \t\n\x0B\f\r]
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def isNum(c: Char): Boolean = Character.getType(c) match {
+      case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
+           Character.OTHER_NUMBER => true
+      case _ => false
+    }
+    def cls(c: Char): Int =
+      if (isSpace(c)) 0 else if (Character.isLetter(c)) 1
+      else if (isNum(c)) 2 else 3
+    def contractionLen(i: Int): Int =
+      if (text.charAt(i) != '\'' || i + 1 >= n) 0
+      else {
+        val c1 = text.charAt(i + 1)
+        if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') 2
+        else if (i + 2 < n) {
+          val two = text.substring(i + 1, i + 3)
+          if (two == "re" || two == "ve" || two == "ll") 3 else 0
+        } else 0
+      }
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val cl = contractionLen(i)
+      if (cl > 0) { out += text.substring(i, i + cl); i += cl }
+      else if (c == ' ' && i + 1 < n && !isSpace(text.charAt(i + 1))) {
+        // ` ?X+` — the optional prefix is a LITERAL SPACE (0x20) only;
+        // a tab/newline never attaches to the following run
+        val k = cls(text.charAt(i + 1))
+        var j = i + 2
+        while (j < n && cls(text.charAt(j)) == k) j += 1
+        out += text.substring(i, j); i = j
+      } else if (!isSpace(c)) {
+        val k = cls(c)
+        var j = i + 1
+        while (j < n && cls(text.charAt(j)) == k) j += 1
+        out += text.substring(i, j); i = j
+      } else {
+        // `\s+(?!\S)` then `\s+`: a whitespace run followed by non-space
+        // yields all-but-its-last char as one token (the lookahead
+        // backtrack); the remaining single whitespace char re-enters the
+        // scan — attaching via ` ?X+` only if it is a literal space. A
+        // trailing run (end of text) is one token whole.
+        var e = i + 1
+        while (e < n && isSpace(text.charAt(e))) e += 1
+        if (e >= n || e - i == 1) { out += text.substring(i, e); i = e }
+        else { out += text.substring(i, e - 1); i = e - 1 }
+      }
+    }
+    out.toArray
+  }
+
+  private val gpt2Udf = udf((t: String) => gpt2PreTokenize(t))
+
+  /** Column form of [[gpt2PreTokenize]]. */
+  def gpt2PreTokensCol(text: Column): Column = gpt2Udf(text)
+
   /** Word-boundary marker for the invertible token stream (the
     * SentencePiece convention): prefixed to the FIRST subword of every
     * pre-token. U+2581 never occurs in ASCII text; an adversarial input

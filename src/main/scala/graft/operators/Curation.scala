@@ -1157,24 +1157,32 @@ object Curation {
     val lines = OperatorCaches.track(corpus
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_lh", xxhash64(col("line")))
       .persist())
     dropAndAssemble(lines, lineBoilerplate(lines, minOcc))
   }
 
-  /** The corpus's boilerplate line set: (line, _bad) for every line at
-    * `minOcc`+ occurrences — the once-per-epoch index the incremental
-    * form joins (in production saved bucketed on the line hash). */
+  /** The corpus's boilerplate line set, keyed by the 8-BYTE LINE HASH
+    * (_lh, _bad) for every line at `minOcc`+ occurrences — the
+    * once-per-epoch index the incremental form joins (in production
+    * saved bucketed on _lh). Counting and joining on xxhash64(line)
+    * instead of the raw TEXT makes the boilerplate shuffle and the
+    * index bandwidth-proportional to 8 bytes/line, not line length
+    * (round-14 advisory); collision odds are the standard fingerprint
+    * argument, ~|distinct lines|²/2⁶⁴ — negligible, and a collision
+    * only over-drops a line, never corrupts reassembly (text stays on
+    * the doc side only). */
   private def lineBoilerplate(lines: DataFrame, minOcc: Int): DataFrame =
-    lines.groupBy(col("line"))
+    lines.groupBy(col("_lh"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minOcc)
-      .select(col("line"), lit(true).as("_bad"))
+      .select(col("_lh"), lit(true).as("_bad"))
 
   /** Shared tail of both line-dedup forms: mark lines against the
-    * boilerplate set, reassemble survivors in original order inside
-    * each doc's aggregation buffer. */
+    * hash-keyed boilerplate set, reassemble survivors in original
+    * order inside each doc's aggregation buffer. */
   private def dropAndAssemble(lines: DataFrame, bad: DataFrame): DataFrame =
-    lines.join(bad, Seq("line"), "left")
+    lines.join(bad, Seq("_lh"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("_bad"), 1L).otherwise(0L)).as("n_dropped"),
@@ -1202,7 +1210,8 @@ object Curation {
       idCol: String, textCol: String, minOcc: Int = 3): DataFrame = {
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
     def explodeLines(df: DataFrame) = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_lh", xxhash64(col("line")))
     val bad = lineBoilerplate(explodeLines(epoch), minOcc)
     dropAndAssemble(explodeLines(incoming), bad)
   }

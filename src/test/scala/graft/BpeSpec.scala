@@ -278,4 +278,35 @@ class BpeSpec extends SparkSuite {
       if (shared) assert(oldRank >= 1) else assert(oldRank == -1)
     }
   }
+
+  test("gpt2PreTokenize == the literal GPT-2 regex on an adversarial battery and corpus docs") {
+    val re = java.util.regex.Pattern.compile(Bpe.Gpt2Pattern)
+    def viaRegex(t: String): Seq[String] = {
+      val m = re.matcher(t)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    val battery = Seq(
+      "Hello world", "don't", "isn't's", "I'll you've we're he'd",
+      "'s leads the string", "can'tify", "rock'sand", "a''s", "x.'s",
+      " 's after space", "!'s after punct", "9's digits", "ab12cd",
+      "a  b   c", "trailing spaces   ", "   leading", "tabs\tand\nnewlines",
+      "punct...runs!?", "mixed 'IT'S' case", "a'd", "q're'll", "",
+      "  ", "'", "a'", "one-two--three", "3.14 and 2,000,000",
+      "quote 'inside' text", "I'm I'M", "'ll at start")
+    battery.foreach { t =>
+      assert(Bpe.gpt2PreTokenize(t).toSeq == viaRegex(t),
+        s"diverged on <$t>: ${Bpe.gpt2PreTokenize(t).toSeq} vs ${viaRegex(t)}")
+      assert(Bpe.gpt2PreTokenize(t).mkString("") == t,
+        s"tokens must tile the input: <$t>")
+    }
+    // and on real corpus text (all three SFs share generation style)
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("text").as[String].collect()
+    docs.foreach { t =>
+      assert(Bpe.gpt2PreTokenize(t).toSeq == viaRegex(t), s"corpus doc diverged: ${t.take(80)}")
+    }
+  }
 }
