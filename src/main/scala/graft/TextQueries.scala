@@ -1826,6 +1826,107 @@ object TextQueries {
           |    / count(*), 6) AS dup_frac
           |FROM j GROUP BY source""".stripMargin)),
 
+    // DEDUP-AWARE MIXTURE RE-PLANNING — the ACTION step q238's audit
+    // was missing (round-14 missing #6): q220 apportions the epoch
+    // budget from PRE-dedup token counts, so a source whose tokens are
+    // mostly duplicates gets quota for text that keep-one will delete.
+    // This composes the two: dedupImpact's post-dedup counts feed
+    // samplingPlanFromStats, and the output shows both plans side by
+    // side. Fixture: the doubled corpus plus a THIRD copy of sources
+    // src0–src4 (doc_id%20<5, re-keyed +20000) — duplication
+    // concentrated there, so the naive plan over-allocates those five
+    // sources and quota_shift reads negative for them, positive
+    // elsewhere. Oracle: the q238 closure + both temperature/Hamilton
+    // chains replayed integer-for-integer.
+    Q("q244_dedup_aware_replan",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val corpus = d
+          .unionByName(d.select((col("doc_id") + 10000L).as("doc_id"),
+            col("source"), col("text")))
+          .unionByName(d.filter(col("doc_id") % 20 < 5)
+            .select((col("doc_id") + 20000L).as("doc_id"),
+              col("source"), col("text")))
+        val naive = graft.operators.Curation.samplingPlan(
+            corpus, "source", "text", budget = 1000000L)
+          .select(col("source"), col("n_tokens").as("toks_before"),
+            col("quota").as("quota_naive"))
+        val stats = graft.operators.DedupGroups.dedupImpact(
+            corpus, "doc_id", "text", "source")
+          .select(col("source"), col("n_after").as("n_docs"),
+            col("toks_after").as("n_tokens"))
+        val replan = graft.operators.Curation.samplingPlanFromStats(
+            stats, "source", budget = 1000000L)
+          .select(col("source"), col("n_tokens").as("toks_after"),
+            col("quota").as("quota_replanned"), col("repeat_micro"))
+        naive.join(replan, Seq("source"))
+          .select(col("source"), col("toks_before"), col("toks_after"),
+            col("quota_naive"), col("quota_replanned"),
+            (col("quota_replanned") - col("quota_naive")).as("quota_shift"),
+            col("repeat_micro"))
+      },
+      Some(edgeClosureCtes(
+        """SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000, text FROM documents
+          |  UNION ALL SELECT doc_id + 20000, text FROM documents
+          |    WHERE doc_id % 20 < 5""".stripMargin,
+        rounds = 4) +
+        """,
+          |glab AS (SELECT c.id, coalesce(l.g, c.id) AS g
+          |  FROM corpus c LEFT JOIN l2 l ON l.id = c.id),
+          |tkc AS (SELECT id, CAST(len(w) AS BIGINT) AS tk FROM toks),
+          |j AS (SELECT g.id, g.g, t.tk, d.source
+          |  FROM glab g JOIN tkc t ON t.id = g.id
+          |    JOIN documents d ON d.doc_id = g.id % 10000),
+          |ns AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+          |  FROM j GROUP BY source),
+          |nlw AS (SELECT source, n_tokens,
+          |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7)
+          |      // 10 AS lwm FROM ns),
+          |nmx AS (SELECT max(lwm) AS m FROM nlw),
+          |nwm AS (SELECT source, n_tokens,
+          |    CAST(round(exp(CAST(lwm - (SELECT m FROM nmx) AS DOUBLE) / 1000000)
+          |      * 1000000) AS BIGINT) AS weight_micro FROM nlw),
+          |ntw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM nwm),
+          |nbase AS (SELECT source, n_tokens, weight_micro,
+          |    (1000000 * weight_micro) // t AS bq,
+          |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+          |  FROM nwm, ntw),
+          |nlo AS (SELECT 1000000 - sum(bq) AS l FROM nbase),
+          |nrk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+          |  FROM nbase),
+          |nq AS (SELECT source, n_tokens,
+          |    CAST(bq + CASE WHEN r <= (SELECT l FROM nlo) THEN 1 ELSE 0 END
+          |      AS BIGINT) AS quota FROM nrk),
+          |ps AS (SELECT source,
+          |    CAST(sum(CASE WHEN id = g THEN tk ELSE 0 END) AS BIGINT) AS n_tokens
+          |  FROM j GROUP BY source),
+          |plw AS (SELECT source, n_tokens,
+          |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7)
+          |      // 10 AS lwm FROM ps),
+          |pmx AS (SELECT max(lwm) AS m FROM plw),
+          |pwm AS (SELECT source, n_tokens,
+          |    CAST(round(exp(CAST(lwm - (SELECT m FROM pmx) AS DOUBLE) / 1000000)
+          |      * 1000000) AS BIGINT) AS weight_micro FROM plw),
+          |ptw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM pwm),
+          |pbase AS (SELECT source, n_tokens, weight_micro,
+          |    (1000000 * weight_micro) // t AS bq,
+          |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+          |  FROM pwm, ptw),
+          |plo AS (SELECT 1000000 - sum(bq) AS l FROM pbase),
+          |prk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+          |  FROM pbase),
+          |pq AS (SELECT source, n_tokens,
+          |    CAST(bq + CASE WHEN r <= (SELECT l FROM plo) THEN 1 ELSE 0 END
+          |      AS BIGINT) AS quota FROM prk)
+          |SELECT q.source, n.n_tokens AS toks_before, q.n_tokens AS toks_after,
+          |  n.quota AS quota_naive, q.quota AS quota_replanned,
+          |  q.quota - n.quota AS quota_shift,
+          |  CAST((2 * q.quota * 1000000 + q.n_tokens) // (2 * q.n_tokens)
+          |    AS BIGINT) AS repeat_micro
+          |FROM pq q JOIN nq n ON n.source = q.source""".stripMargin)),
+
     // CLEAN EVAL-SET CONSTRUCTION (DedupGroups.cleanSplit) — the
     // capstone of the leakage family: the q214 group-atomic split
     // composed with q222-direction contamination REPAIR (eval docs

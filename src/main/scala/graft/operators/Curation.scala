@@ -1237,11 +1237,20 @@ object Curation {
     * a 1-row broadcast (max_t, Σ); the domain table is tiny by
     * definition — no driver collect anywhere. */
   def temperatureWeights(corpus: DataFrame, groupCol: String,
-      textCol: String, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame = {
-    val stats = corpus.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextFunctions.tokens(col(textCol))).cast("long"))
-          .as("n_tokens"))
+      textCol: String, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame =
+    temperatureWeightsFromStats(
+      corpus.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col(textCol))).cast("long"))
+            .as("n_tokens")),
+      groupCol, alphaNum, alphaDen)
+
+  /** [[temperatureWeights]] over PRECOMPUTED per-group stats
+    * (groupCol, n_docs, n_tokens) — the seam that lets a plan rebase
+    * onto corrected counts (the q244 dedup-aware re-plan feeds
+    * post-dedup token counts here instead of raw corpus counts). */
+  def temperatureWeightsFromStats(stats: DataFrame, groupCol: String,
+      alphaNum: Int = 7, alphaDen: Int = 10): DataFrame = {
     // integer DIV (not /, which widens to double in Spark SQL) — all
     // operands nonnegative, so DIV == DuckDB's flooring //
     val logw = stats.select(col(groupCol), col("n_docs"), col("n_tokens"),
@@ -1315,9 +1324,23 @@ object Curation {
     * @return (group, n_tokens, weight_micro, base_quota, bonus, quota,
     *         repeat_micro); Σ quota == budget exactly. */
   def samplingPlan(corpus: DataFrame, groupCol: String, textCol: String,
-      budget: Long, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame = {
+      budget: Long, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame =
+    planFromWeights(
+      temperatureWeights(corpus, groupCol, textCol, alphaNum, alphaDen),
+      groupCol, budget)
+
+  /** [[samplingPlan]] over precomputed per-group stats — see
+    * [[temperatureWeightsFromStats]]. */
+  def samplingPlanFromStats(stats: DataFrame, groupCol: String,
+      budget: Long, alphaNum: Int = 7, alphaDen: Int = 10): DataFrame =
+    planFromWeights(
+      temperatureWeightsFromStats(stats, groupCol, alphaNum, alphaDen),
+      groupCol, budget)
+
+  private def planFromWeights(weights: DataFrame, groupCol: String,
+      budget: Long): DataFrame = {
     require(budget > 0)
-    val w = temperatureWeights(corpus, groupCol, textCol, alphaNum, alphaDen)
+    val w = weights
       .select(col(groupCol), col("n_tokens"), col("weight_micro"))
     val tot = w.agg(sum(col("weight_micro")).as("_tw"))
     val base = w.crossJoin(broadcast(tot))
