@@ -119,7 +119,11 @@ object Bench {
     "q235"->0.643, "q236"->0.284,
     // round-14 seventh wave (clean solo min-of-3, calib 2.124,
     // 12-control median 1.051, regress 0 — BASELINE.md)
-    "q237"->2.012, "q238"->3.472)
+    "q237"->2.012, "q238"->3.472,
+    // round-15 additions (clean solo FORCE_MIN min-of-3, calib 2.059,
+    // 12-control median 0.8758, regress 0, cold_only 0 — BASELINE.md)
+    "q239"->0.686, "q240"->0.628, "q241"->5.734, "q242"->2.439,
+    "q243"->0.248, "q244"->6.994)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
@@ -246,6 +250,13 @@ object Bench {
     // robust to any single burst.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
+    // SPARK_GRAFT_BENCH_FORCE_MIN=1 disables the adaptive skip: every
+    // query runs the full `iters` times (budget-gated) regardless of its
+    // anchor ratio — for ANCHORING waves (control medians must be true
+    // minima, not adaptive first-runs) and solo adjudication re-runs.
+    // Never set by the driver.
+    val forceMin = sys.env.get("SPARK_GRAFT_BENCH_FORCE_MIN")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     // optional targeted subset (comma-separated compact keys, e.g.
     // "q46,q105") for solo regression re-checks — never set by the
     // driver, whose artifact always covers the full registry
@@ -329,13 +340,13 @@ object Bench {
         best.put(q.name, t1)
         runCounts.put(q.name, 1)
         def minNow = best.get(q.name)
-        def suspicious: Boolean = minNow match {
+        def suspicious: Boolean = forceMin || (minNow match {
           case t if t < 0 => true // transient failure: one retry
           case t => anchor.get(key) match {
             case Some(a) => t > 1.25 * a
             case None    => runCounts.get(q.name) < 2 // unanchored: min-of-2
           }
-        }
+        })
         var budgetHit = false
         while (!budgetHit && runCounts.get(q.name) < iters && suspicious) {
           if (elapsed >= budgetSec) {
