@@ -439,6 +439,139 @@ object TextQueries {
        |  FROM ${p}qt q JOIN ${p}contrib c USING (term)
        |  WHERE c.id <> q.qid GROUP BY 1, 2)""".stripMargin
 
+  /** The q241 hybrid chunk-retrieval Spark pipeline — chunking, the
+    * BM25 lexical leg, the 64-bucket hashed-count dense leg under
+    * SRP-LSH, and integer-RRF fusion — shared by q241 (the ranking
+    * itself) and q246 (context assembly over it).
+    * @return (qid, nid, rrf, rank) top-10 per query */
+  private def hybridChunkRanks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunks = graft.operators.Curation.chunkTexts(
+      d, "doc_id", "text", 128, 32)
+    val queries = d.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 9000000L).as("qid"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+          .as("qtext"))
+    val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
+        "chunk_text", queries, "qid", "qtext", k = 10)
+      .select(col("qid"), col("id").as("nid"), col("rank"))
+    def featurize(df: org.apache.spark.sql.DataFrame, idc: String,
+        txt: String): org.apache.spark.sql.DataFrame =
+      df.select(col(idc).as("vec_id"),
+          explode(TextFunctions.tokens(lower(col(txt)))).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("vec_id"),
+          TextFunctions.fnv1a64Col(col("term")).bitwiseAND(lit(63L))
+            .cast("int").as("b"))
+        .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("vec_id"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
+          .as("m"))
+        .select(col("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
+            .as("embedding"))
+    val dense = graft.operators.Similarity.srpTopK(
+        featurize(queries, "qid", "qtext"),
+        featurize(chunks, "chunk_key", "chunk_text"), k = 10)
+      .select(col("qid"), col("nid"), col("rank"))
+    graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+  }
+
+  /** The q241 oracle replay up to `rankedf(qid, nid, rrf, rank)` — the
+    * full chunk + both-leg + fusion chain; q241 selects the ranking,
+    * q246 appends the context-assembly tail. */
+  private def hybridChunkOracleChain: String = {
+    val fold = RelationalQueries5.fnvFold("term")
+    "WITH " +
+        """ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+          |  FROM documents),
+          |cst AS (SELECT doc_id, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
+          |cnc AS (SELECT doc_id, t, n, CASE WHEN n <= 128 THEN 1
+          |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
+          |cch AS (SELECT doc_id, t, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
+          |chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key,
+          |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
+          |      AS text
+          |  FROM cch),
+          |qsrc AS (SELECT doc_id + 9000000 AS qid, array_to_string(
+          |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+          |      '\s+')[1:25], ' ') AS text
+          |  FROM documents WHERE doc_id < 5),
+          |""".stripMargin +
+        bm25ScoreCtes("chunks", "chunk_key", "", "b", qtOverride = Some(
+          """SELECT DISTINCT qid, lower(tk) AS term
+            |  FROM (SELECT qid, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tk
+            |    FROM qsrc)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        s""",
+          |blex AS (SELECT qid, id AS nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM bsc),
+          |cterm AS (SELECT chunk_key AS id, unnest(string_split_regex(
+          |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
+          |  FROM chunks),
+          |qterm AS (SELECT qid AS id, unnest(string_split_regex(
+          |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
+          |  FROM qsrc),
+          |cbc AS (SELECT id, CAST($fold % 64 AS BIGINT) AS b,
+          |    CAST(count(*) AS DOUBLE) AS x
+          |  FROM cterm WHERE length(term) > 0 GROUP BY 1, 2),
+          |qbc AS (SELECT id, CAST($fold % 64 AS BIGINT) AS b,
+          |    CAST(count(*) AS DOUBLE) AS x
+          |  FROM qterm WHERE length(term) > 0 GROUP BY 1, 2),
+          |grid AS (SELECT unnest(generate_series(0, 63)) AS b),
+          |cvec AS (SELECT g.id, list(coalesce(c.x, 0.0) ORDER BY g.b) AS v
+          |  FROM (SELECT id, b FROM (SELECT DISTINCT id FROM cbc), grid) g
+          |  LEFT JOIN cbc c ON c.id = g.id AND c.b = g.b GROUP BY g.id),
+          |qvec AS (SELECT g.id, list(coalesce(q.x, 0.0) ORDER BY g.b) AS v
+          |  FROM (SELECT id, b FROM (SELECT DISTINCT id FROM qbc), grid) g
+          |  LEFT JOIN qbc q ON q.id = g.id AND q.b = g.b GROUP BY g.id),
+          |signs AS (SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+          |  FROM (VALUES ${SimilarityQueries.srpSignRows(16, 64, 42L)}) s(plane, sv)),
+          |csig AS (SELECT id,
+          |    sum(CASE WHEN list_dot_product(v, sv) >= 0
+          |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+          |  FROM cvec CROSS JOIN signs GROUP BY id),
+          |qsig AS (SELECT id,
+          |    sum(CASE WHEN list_dot_product(v, sv) >= 0
+          |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+          |  FROM qvec CROSS JOIN signs GROUP BY id),
+          |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+          |cband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
+          |  FROM csig CROSS JOIN bands),
+          |qband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
+          |  FROM qsig CROSS JOIN bands),
+          |dcand AS (SELECT DISTINCT q.id AS qid, c.id AS nid
+          |  FROM qband q JOIN cband c ON q.band = c.band AND q.bucket = c.bucket
+          |  WHERE q.id <> c.id),
+          |dpairs AS (SELECT d.qid, d.nid,
+          |    list_dot_product(qv.v, cv.v) /
+          |      (sqrt(list_dot_product(qv.v, qv.v)) *
+          |       sqrt(list_dot_product(cv.v, cv.v))) AS sim
+          |  FROM dcand d JOIN qvec qv ON qv.id = d.qid
+          |    JOIN cvec cv ON cv.id = d.nid),
+          |dlex AS (SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM dpairs),
+          |con AS (
+          |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w
+          |  FROM blex WHERE rank <= 10
+          |  UNION ALL
+          |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w
+          |  FROM dlex WHERE rank <= 10),
+          |fused AS (SELECT qid, nid, CAST(sum(w) AS BIGINT) AS rrf
+          |  FROM con GROUP BY 1, 2),
+          |rankedf AS (SELECT qid, nid, rrf,
+          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+          |  FROM fused)""".stripMargin
+  }
+
   /** Anchored 64-char window extraction CTEs (`codes` → `pos` →
     * `wins(id, i, h)`) over a corpus CTE — the shared front of every
     * span oracle. */
@@ -1522,130 +1655,49 @@ object TextQueries {
     // replays chunking, both featurizations, the Rademacher signature
     // matrix, and the fusion, bit-for-bit.
     Q("q241_hybrid_chunk_retrieval",
+      (spark, dir) => hybridChunkRanks(spark, dir),
+      Some(hybridChunkOracleChain +
+        """
+          |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
+          |FROM rankedf WHERE rank <= 10""".stripMargin)),
+
+    // RAG CONTEXT ASSEMBLY (Fusion.assembleContext over the q241 fused
+    // ranking) — the last step of the retrieval path: per query, pack
+    // the ranked chunks into a 384-token context under doc-dedup (only
+    // the best chunk of each parent doc) and prefix-stop budget
+    // semantics. Completes retrieve → fuse → assemble end-to-end; the
+    // oracle extends the full q241 replay with the dedup window, the
+    // running token sum, and the budget cut.
+    Q("q246_rag_context_assembly",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         val chunks = graft.operators.Curation.chunkTexts(
           d, "doc_id", "text", 128, 32)
-        val queries = d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 9000000L).as("qid"),
-            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
-              .as("qtext"))
-        val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
-            "chunk_text", queries, "qid", "qtext", k = 10)
-          .select(col("qid"), col("id").as("nid"), col("rank"))
-        def featurize(df: org.apache.spark.sql.DataFrame, idc: String,
-            txt: String): org.apache.spark.sql.DataFrame =
-          df.select(col(idc).as("vec_id"),
-              explode(TextFunctions.tokens(lower(col(txt)))).as("term"))
-            .filter(length(col("term")) > 0)
-            .select(col("vec_id"),
-              TextFunctions.fnv1a64Col(col("term")).bitwiseAND(lit(63L))
-                .cast("int").as("b"))
-            .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("cnt"))
-            .groupBy(col("vec_id"))
-            .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
-              .as("m"))
-            .select(col("vec_id"),
-              expr("transform(sequence(0, 63), " +
-                "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
-                .as("embedding"))
-        val dense = graft.operators.Similarity.srpTopK(
-            featurize(queries, "qid", "qtext"),
-            featurize(chunks, "chunk_key", "chunk_text"), k = 10)
-          .select(col("qid"), col("nid"), col("rank"))
-        graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+        val ctoks = chunks.select(col("chunk_key"),
+          size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"))
+        graft.operators.Fusion.assembleContext(
+          hybridChunkRanks(spark, dir).select(col("qid"), col("nid"), col("rank")),
+          ctoks, budgetTokens = 384)
       },
-      Some {
-        val fold = RelationalQueries5.fnvFold("term")
-        "WITH " +
-        """ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
-          |  FROM documents),
-          |cst AS (SELECT doc_id, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
-          |cnc AS (SELECT doc_id, t, n, CASE WHEN n <= 128 THEN 1
-          |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
-          |cch AS (SELECT doc_id, t, n,
-          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
-          |chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key,
-          |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
-          |      AS text
-          |  FROM cch),
-          |qsrc AS (SELECT doc_id + 9000000 AS qid, array_to_string(
-          |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
-          |      '\s+')[1:25], ' ') AS text
-          |  FROM documents WHERE doc_id < 5),
-          |""".stripMargin +
-        bm25ScoreCtes("chunks", "chunk_key", "", "b", qtOverride = Some(
-          """SELECT DISTINCT qid, lower(tk) AS term
-            |  FROM (SELECT qid, unnest(string_split_regex(
-            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tk
-            |    FROM qsrc)
-            |  WHERE length(tk) > 0""".stripMargin)) +
-        s""",
-          |blex AS (SELECT qid, id AS nid,
-          |    ROW_NUMBER() OVER (PARTITION BY qid
-          |      ORDER BY score_micro DESC, id) AS rank
-          |  FROM bsc),
-          |cterm AS (SELECT chunk_key AS id, unnest(string_split_regex(
-          |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
-          |  FROM chunks),
-          |qterm AS (SELECT qid AS id, unnest(string_split_regex(
-          |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS term
-          |  FROM qsrc),
-          |cbc AS (SELECT id, CAST($fold % 64 AS BIGINT) AS b,
-          |    CAST(count(*) AS DOUBLE) AS x
-          |  FROM cterm WHERE length(term) > 0 GROUP BY 1, 2),
-          |qbc AS (SELECT id, CAST($fold % 64 AS BIGINT) AS b,
-          |    CAST(count(*) AS DOUBLE) AS x
-          |  FROM qterm WHERE length(term) > 0 GROUP BY 1, 2),
-          |grid AS (SELECT unnest(generate_series(0, 63)) AS b),
-          |cvec AS (SELECT g.id, list(coalesce(c.x, 0.0) ORDER BY g.b) AS v
-          |  FROM (SELECT id, b FROM (SELECT DISTINCT id FROM cbc), grid) g
-          |  LEFT JOIN cbc c ON c.id = g.id AND c.b = g.b GROUP BY g.id),
-          |qvec AS (SELECT g.id, list(coalesce(q.x, 0.0) ORDER BY g.b) AS v
-          |  FROM (SELECT id, b FROM (SELECT DISTINCT id FROM qbc), grid) g
-          |  LEFT JOIN qbc q ON q.id = g.id AND q.b = g.b GROUP BY g.id),
-          |signs AS (SELECT plane, CAST(sv AS DOUBLE[]) AS sv
-          |  FROM (VALUES ${SimilarityQueries.srpSignRows(16, 64, 42L)}) s(plane, sv)),
-          |csig AS (SELECT id,
-          |    sum(CASE WHEN list_dot_product(v, sv) >= 0
-          |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
-          |  FROM cvec CROSS JOIN signs GROUP BY id),
-          |qsig AS (SELECT id,
-          |    sum(CASE WHEN list_dot_product(v, sv) >= 0
-          |      THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
-          |  FROM qvec CROSS JOIN signs GROUP BY id),
-          |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
-          |cband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
-          |  FROM csig CROSS JOIN bands),
-          |qband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
-          |  FROM qsig CROSS JOIN bands),
-          |dcand AS (SELECT DISTINCT q.id AS qid, c.id AS nid
-          |  FROM qband q JOIN cband c ON q.band = c.band AND q.bucket = c.bucket
-          |  WHERE q.id <> c.id),
-          |dpairs AS (SELECT d.qid, d.nid,
-          |    list_dot_product(qv.v, cv.v) /
-          |      (sqrt(list_dot_product(qv.v, qv.v)) *
-          |       sqrt(list_dot_product(cv.v, cv.v))) AS sim
-          |  FROM dcand d JOIN qvec qv ON qv.id = d.qid
-          |    JOIN cvec cv ON cv.id = d.nid),
-          |dlex AS (SELECT qid, nid,
-          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-          |  FROM dpairs),
-          |con AS (
-          |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w
-          |  FROM blex WHERE rank <= 10
-          |  UNION ALL
-          |  SELECT qid, nid, CAST(1000000000 // (60 + rank) AS BIGINT) AS w
-          |  FROM dlex WHERE rank <= 10),
-          |fused AS (SELECT qid, nid, CAST(sum(w) AS BIGINT) AS rrf
-          |  FROM con GROUP BY 1, 2),
-          |rankedf AS (SELECT qid, nid, rrf,
-          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
-          |  FROM fused)
-          |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
-          |FROM rankedf WHERE rank <= 10""".stripMargin
-      }),
+      Some(hybridChunkOracleChain +
+        """,
+          |cand2 AS (SELECT qid, nid, rank FROM rankedf WHERE rank <= 10),
+          |fpd AS (SELECT qid, nid, rank, row_number() OVER (
+          |    PARTITION BY qid, nid // 1048576 ORDER BY rank) AS dr FROM cand2),
+          |keep AS (SELECT qid, nid, rank FROM fpd WHERE dr = 1),
+          |ctok AS (SELECT chunk_key,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ct FROM chunks),
+          |asm AS (SELECT k.qid, k.nid, k.rank, c.ct,
+          |    row_number() OVER (PARTITION BY k.qid ORDER BY k.rank) AS ctx_pos,
+          |    sum(c.ct) OVER (PARTITION BY k.qid ORDER BY k.rank
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM keep k JOIN ctok c ON c.chunk_key = k.nid)
+          |SELECT qid, CAST(ctx_pos AS BIGINT) AS ctx_pos, nid AS chunk_key,
+          |  CAST(nid // 1048576 AS BIGINT) AS doc_id, ct AS chunk_tokens,
+          |  CAST(cum AS BIGINT) AS cum_tokens
+          |FROM asm WHERE cum <= 384""".stripMargin)),
+
 
     // INCREMENTAL BM25 INDEX MAINTENANCE (Bm25.upsertIndexStats) — the
     // q161/q174/q209 epoch-index discipline applied to retrieval: the
@@ -1701,6 +1753,59 @@ object TextQueries {
             |UNION
             |SELECT 80100 AS qid, unnest(
             |  ['graftupsert', 'novelterm', 'ingestion']) AS term""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // STREAMING BM25 QUERY-AT-INGEST (Bm25.scoreExternalStats under
+    // Structured Streaming) — the retrieval family's streaming member:
+    // incoming query docs arrive as a stream and score against the
+    // STATIC epoch index statistics via a stream-static posting join.
+    // The streaming plan is deliberately minimal state: the query-term
+    // derivation is stateless (array_distinct BEFORE explode — no
+    // distinct() agg), the posting join is stream-static, and the ONE
+    // stateful operator is the (qid, id) score sum (Complete mode).
+    // Ranking happens batch-side on the materialized scores — ranking
+    // is presentation; scoring is the per-ingest work. Same fixture as
+    // q227, so the oracle is the identical full BM25 chain: streaming
+    // == batch semantics, hash-equal.
+    Q("q245_streaming_bm25_ingest",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val inDir = s"/tmp/graft-bm25stream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(queries, "qid", s"$dir/documents_bm25stream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          queries.write.mode("overwrite").parquet(inDir)
+        val stats = graft.operators.Bm25.indexStats(d, "doc_id", "text")
+        val scored = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => graft.operators.Bm25.scoreExternalStats(
+            stats, stream, "qid", "qtext"),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q245_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score_micro").desc, col("id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("id"), col("score_micro"))
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "", qtOverride = Some(
+        """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+          |  FROM (SELECT doc_id, unnest(string_split_regex(
+          |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+          |    FROM documents WHERE doc_id < 10)
+          |  WHERE length(tk) > 0""".stripMargin)) +
         """,
           |ranked AS (SELECT qid, id, score_micro,
           |    ROW_NUMBER() OVER (PARTITION BY qid

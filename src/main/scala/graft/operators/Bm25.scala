@@ -106,17 +106,26 @@ object Bm25 {
   def topKExternal(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10): DataFrame = {
-    val qterms = queries.select(col(qidCol).as("qid"),
-        explode(TextFunctions.tokens(lower(col(qtextCol)))).as("term"))
-      .filter(length(col("term")) > 0).distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("id").asc)
-    scoresForTerms(corpus, idCol, textCol, qterms)
+    scoresForTerms(corpus, idCol, textCol,
+        queryTerms(queries, qidCol, qtextCol))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id"), col("score_micro"))
   }
+
+  /** Distinct query terms per qid — `array_distinct` BEFORE the explode,
+    * so the derivation is one narrow pass: no distinct() shuffle on the
+    * batch path, and ZERO stateful operators on a STREAMING queries
+    * frame (the q245 ingest stream scores through exactly this). */
+  private def queryTerms(queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(qtextCol)))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
 
   /** Shared scoring stage: (qid, id, score_micro) for every candidate
     * sharing ≥1 term with the query, self-retrieval excluded, unranked. */
@@ -207,17 +216,25 @@ object Bm25 {
     * ranking that never touches corpus text. */
   def topKExternalStats(stats: IndexStats, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
-    val qterms = queries.select(col(qidCol).as("qid"),
-        explode(TextFunctions.tokens(lower(col(qtextCol)))).as("term"))
-      .filter(length(col("term")) > 0).distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("id").asc)
-    scoreJoin(qterms, contribFromStats(stats), excludeSelf = false)
+    scoreExternalStats(stats, queries, qidCol, qtextCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id"), col("score_micro"))
   }
+
+  /** UNRANKED external scoring against maintained stats — the
+    * STREAMING-safe core (one stateless term derivation, one
+    * stream-static posting join, ONE aggregation): a query-ingest
+    * stream scores through this in Complete mode and ranks the
+    * materialized result batch-side (ranking is presentation; scoring
+    * is the stateful work). @return (qid, id, score_micro) */
+  def scoreExternalStats(stats: IndexStats, queries: DataFrame,
+      qidCol: String, qtextCol: String): DataFrame =
+    scoreJoin(queryTerms(queries, qidCol, qtextCol),
+      contribFromStats(stats), excludeSelf = false)
 
   /** Derive the posting contributions (term, id, c) from the stats —
     * the only place the BM25 arithmetic lives. */

@@ -49,4 +49,48 @@ object Fusion {
         col("col.score").cast("long").as("rrf"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** RAG CONTEXT ASSEMBLY — the step between retrieval and the prompt:
+    * per query, walk the fused ranking and pack chunks into a token
+    * budget under two deterministic rules:
+    *  - DOC DEDUP: only the best-ranked chunk of each parent document
+    *    enters (overlapping chunks of one doc crowd out diversity; the
+    *    parent is `nid DIV keyStride` — the chunkTexts key contract);
+    *  - PREFIX STOP: chunks admit in rank order while the cumulative
+    *    token count stays ≤ `budgetTokens`, and assembly STOPS at the
+    *    first overflow (prefix semantics, not skip-and-continue — a
+    *    window-expressible total order both engines replay exactly;
+    *    skip-and-continue would be a sequential fold for marginal
+    *    context gain).
+    *
+    * Scale shape: two windows partitioned by qid over ≤ k rows each +
+    * one chunk-token equi-join — per-query work is O(k), and queries
+    * are the small side by definition.
+    *
+    * @param ranked (qid, nid, rank) — e.g. [[rrfTopK]] output
+    * @param chunkTokens (chunk_key, chunk_tokens)
+    * @return (qid, ctx_pos 1.., chunk_key, doc_id, chunk_tokens,
+    *         cum_tokens), ctx_pos dense in rank order */
+  def assembleContext(ranked: DataFrame, chunkTokens: DataFrame,
+      budgetTokens: Int, keyStride: Long = 1L << 20): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Window
+      .partitionBy(col("qid"), expr(s"nid DIV $keyStride"))
+      .orderBy(col("rank"))
+    val asm = Window.partitionBy(col("qid")).orderBy(col("rank"))
+    ranked.select(col("qid"), col("nid"), col("rank"))
+      .withColumn("_dr", row_number().over(perDoc))
+      .filter(col("_dr") === 1)
+      .join(chunkTokens.select(col("chunk_key").as("nid"),
+        col("chunk_tokens")), Seq("nid"))
+      .withColumn("ctx_pos", row_number().over(asm).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("chunk_tokens")).over(asm.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("qid"), col("ctx_pos"), col("nid").as("chunk_key"),
+        expr(s"nid DIV $keyStride").as("doc_id"),
+        col("chunk_tokens"), col("cum_tokens"))
+  }
 }

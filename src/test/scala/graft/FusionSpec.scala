@@ -38,4 +38,31 @@ class FusionSpec extends SparkSuite {
       .as[(Long, Long, Long, Int)].collect()
     assert(got.count(_._1 == 1L) == 3 && got.count(_._1 == 2L) == 2)
   }
+
+  test("assembleContext: doc dedup keeps the best-ranked chunk; prefix stop at the budget") {
+    val S = 1L << 20
+    // q1 ranking: doc7/chunk0 (rank1, 100 tok), doc7/chunk1 (rank2 —
+    // SAME doc, must drop), doc8/chunk2 (rank3, 150), doc9/chunk0
+    // (rank4, 200 — overflows 300 budget → stops; doc5 rank5 of 10
+    // tokens would fit but prefix semantics exclude it)
+    val ranked = Seq(
+      (1L, 7L * S + 0, 1), (1L, 7L * S + 1, 2), (1L, 8L * S + 2, 3),
+      (1L, 9L * S + 0, 4), (1L, 5L * S + 0, 5),
+      (2L, 3L * S + 4, 1)
+    ).toDF("qid", "nid", "rank")
+    val toks = Seq(
+      (7L * S + 0, 100L), (7L * S + 1, 90L), (8L * S + 2, 150L),
+      (9L * S + 0, 200L), (5L * S + 0, 10L), (3L * S + 4, 42L)
+    ).toDF("chunk_key", "chunk_tokens")
+    val got = Fusion.assembleContext(ranked, toks, budgetTokens = 300)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val q1 = got.filter(_._1 == 1L)
+    assert(q1.map(_._3).toSeq == Seq(7L * S + 0, 8L * S + 2),
+      s"doc-dedup + prefix stop: ${q1.toSeq}")
+    assert(q1.map(_._6).toSeq == Seq(100L, 250L), "running sums")
+    assert(q1.map(_._4).toSeq == Seq(7L, 8L), "parent doc ids")
+    val q2 = got.filter(_._1 == 2L)
+    assert(q2.map(_._3).toSeq == Seq(3L * S + 4) && q2.head._2 == 1L)
+  }
 }
