@@ -457,28 +457,32 @@ object TextQueries {
     val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
         "chunk_text", queries, "qid", "qtext", k = 10)
       .select(col("qid"), col("id").as("nid"), col("rank"))
-    def featurize(df: org.apache.spark.sql.DataFrame, idc: String,
-        txt: String): org.apache.spark.sql.DataFrame =
-      df.select(col(idc).as("vec_id"),
-          explode(TextFunctions.tokens(lower(col(txt)))).as("term"))
-        .filter(length(col("term")) > 0)
-        .select(col("vec_id"),
-          TextFunctions.fnv1a64Col(col("term")).bitwiseAND(lit(63L))
-            .cast("int").as("b"))
-        .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("vec_id"))
-        .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
-          .as("m"))
-        .select(col("vec_id"),
-          expr("transform(sequence(0, 63), " +
-            "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
-            .as("embedding"))
     val dense = graft.operators.Similarity.srpTopK(
-        featurize(queries, "qid", "qtext"),
-        featurize(chunks, "chunk_key", "chunk_text"), k = 10)
+        hashedCountVecs(queries, "qid", "qtext"),
+        hashedCountVecs(chunks, "chunk_key", "chunk_text"), k = 10)
       .select(col("qid"), col("nid"), col("rank"))
     graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
   }
+
+  /** The hybrid dense leg's featurizer: a 64-bucket fnv1a64-hashed
+    * term-count vector per row, as (vec_id, embedding FLOAT[64]) —
+    * shared by q241's dense leg and q247's recall audit of it. */
+  private def hashedCountVecs(df: org.apache.spark.sql.DataFrame,
+      idc: String, txt: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idc).as("vec_id"),
+        explode(TextFunctions.tokens(lower(col(txt)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("vec_id"),
+        TextFunctions.fnv1a64Col(col("term")).bitwiseAND(lit(63L))
+          .cast("int").as("b"))
+      .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
+        .as("m"))
+      .select(col("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
+          .as("embedding"))
 
   /** The q241 oracle replay up to `rankedf(qid, nid, rrf, rank)` — the
     * full chunk + both-leg + fusion chain; q241 selects the ranking,
@@ -1697,6 +1701,55 @@ object TextQueries {
           |  CAST(nid // 1048576 AS BIGINT) AS doc_id, ct AS chunk_tokens,
           |  CAST(cum AS BIGINT) AS cum_tokens
           |FROM asm WHERE cum <= 384""".stripMargin)),
+
+    // DENSE-LEG RECALL AUDIT (q241's SRP-LSH leg vs brute-force truth)
+    // — the q112/q226 measurement discipline applied to the hybrid
+    // stack: how much of the TRUE cosine top-10 neighborhood (over the
+    // same 64-bucket hashed chunk vectors) does the banded
+    // approximation keep per query? The number that justifies (or
+    // revokes) trusting the fast leg at scale. Oracle extends the
+    // shared chain with the brute all-pairs truth and the recall join;
+    // the chain's unreferenced BM25/fusion CTEs are dead (DuckDB
+    // inlines non-MATERIALIZED CTEs on use).
+    Q("q247_dense_leg_recall",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val chunks = graft.operators.Curation.chunkTexts(
+          d, "doc_id", "text", 128, 32)
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val qvecs = hashedCountVecs(queries, "qid", "qtext")
+        val cvecs = hashedCountVecs(chunks, "chunk_key", "chunk_text")
+        val truth = graft.operators.Similarity.bruteTopK(qvecs, cvecs, 10)
+          .select(col("qid"), col("nid"))
+        val approx = graft.operators.Similarity.srpTopK(qvecs, cvecs, 10)
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+        truth.join(approx, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+            round(sum(coalesce(col("hit"), lit(0))).cast("double")
+              / count(lit(1)), 4).as("recall"))
+      },
+      Some(hybridChunkOracleChain +
+        """,
+          |btr AS (SELECT q.id AS qid, c.id AS nid,
+          |    list_dot_product(q.v, c.v) /
+          |      (sqrt(list_dot_product(q.v, q.v)) *
+          |       sqrt(list_dot_product(c.v, c.v))) AS sim
+          |  FROM qvec q JOIN cvec c ON q.id <> c.id),
+          |btrk AS (SELECT qid, nid FROM (SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+          |  FROM btr) WHERE rk <= 10),
+          |apx AS (SELECT qid, nid FROM dlex WHERE rank <= 10)
+          |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_true,
+          |  CAST(count(a.nid) AS BIGINT) AS n_hit,
+          |  round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall
+          |FROM btrk t LEFT JOIN apx a ON a.qid = t.qid AND a.nid = t.nid
+          |GROUP BY t.qid""".stripMargin)),
 
 
     // INCREMENTAL BM25 INDEX MAINTENANCE (Bm25.upsertIndexStats) — the
