@@ -1457,6 +1457,71 @@ object CurationQueries {
              |ORDER BY abs(c.contrib_micro) DESC, c.term
              |LIMIT 20""".stripMargin)),
 
+    // STREAMING DRIFT MONITOR — q230's streaming twin, completing the
+    // drift family's streaming membership: the NEW epoch arrives as a
+    // stream and its ONLY stateful operator is the per-term token
+    // count (Complete mode — the drift monitor's sufficient statistic,
+    // Curation.termCounts); the KL contribution arithmetic runs
+    // batch-side over the materialized counts against the static old
+    // epoch (Curation.corpusDriftKlFromCounts). Same fixture and
+    // oracle as q230: streaming == batch, hash-equal.
+    Q("q248_streaming_drift_monitor",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val oldC = d.filter(col("doc_id") % 2 === 0)
+        val newC = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1,
+              concat(col("text"),
+                lit(" crypto blockchain token ledger staking validator")))
+              .otherwise(col("text")).as("text"))
+        val inDir = s"/tmp/graft-driftstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(newC, "doc_id", s"$dir/documents_driftstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          newC.write.mode("overwrite").parquet(inDir)
+        val newCounts = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => Curation.termCounts(stream, "text"),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q248_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        Curation.corpusDriftKlFromCounts(
+          Curation.termCounts(oldC, "text").withColumnRenamed("c", "co"),
+          newCounts.withColumnRenamed("c", "cn"))
+      },
+      Some("""WITH oldd AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+             |newd AS (SELECT CASE WHEN doc_id % 10 = 1
+             |    THEN text || ' crypto blockchain token ledger staking validator'
+             |    ELSE text END AS text
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |oc AS (SELECT term, CAST(count(*) AS BIGINT) AS co FROM (
+             |    SELECT unnest(string_split_regex(lower(regexp_replace(text,
+             |      '^\s+|\s+$', '', 'g')), '\s+')) AS term FROM oldd)
+             |  WHERE length(term) > 0 GROUP BY 1),
+             |nc AS (SELECT term, CAST(count(*) AS BIGINT) AS cn FROM (
+             |    SELECT unnest(string_split_regex(lower(regexp_replace(text,
+             |      '^\s+|\s+$', '', 'g')), '\s+')) AS term FROM newd)
+             |  WHERE length(term) > 0 GROUP BY 1),
+             |v AS (SELECT coalesce(o.term, n.term) AS term,
+             |    coalesce(o.co, 0) AS co, coalesce(n.cn, 0) AS cn
+             |  FROM oc o FULL OUTER JOIN nc n ON n.term = o.term),
+             |tot AS (SELECT (SELECT sum(co) FROM v) AS tol,
+             |    (SELECT sum(cn) FROM v) AS tnw,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS nv),
+             |contrib AS (SELECT term, co, cn,
+             |    CAST(round(ln(CAST((cn + 1) * (tol + nv) AS DOUBLE)
+             |        / CAST((co + 1) * (tnw + nv) AS DOUBLE))
+             |      * (cn + 1) * 1000000.0 / (tnw + nv)) AS BIGINT)
+             |      AS contrib_micro
+             |  FROM v, tot),
+             |klt AS (SELECT CAST(sum(contrib_micro) AS BIGINT)
+             |    AS kl_total_micro FROM contrib)
+             |SELECT c.term, c.co AS c_old, c.cn AS c_new, c.contrib_micro,
+             |  klt.kl_total_micro, tot.nv AS n_vocab
+             |FROM contrib c, klt, tot
+             |ORDER BY abs(c.contrib_micro) DESC, c.term
+             |LIMIT 20""".stripMargin)),
+
     // CODE-SWITCHING REPORT (Curation.codeSwitchReport) — line-level
     // language disagreement per doc, the CCNet mixed-language signal:
     // lines = the q209 7-token reconstruction; %7==0 docs get a planted

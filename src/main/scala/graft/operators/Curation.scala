@@ -178,14 +178,24 @@ object Curation {
     * @return top-k rows (term, c_old, c_new, contrib_micro,
     *         kl_total_micro, n_vocab) by (|contrib| DESC, term) */
   def corpusDriftKl(oldCorpus: DataFrame, newCorpus: DataFrame,
-      textCol: String, k: Int = 20): DataFrame = {
-    def counts(df: DataFrame): DataFrame = df
-      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val oc = counts(oldCorpus).withColumnRenamed("c", "co")
-    val nc = counts(newCorpus).withColumnRenamed("c", "cn")
-    val v = oc.join(nc, Seq("term"), "full_outer")
+      textCol: String, k: Int = 20): DataFrame =
+    corpusDriftKlFromCounts(
+      termCounts(oldCorpus, textCol).withColumnRenamed("c", "co"),
+      termCounts(newCorpus, textCol).withColumnRenamed("c", "cn"), k)
+
+  /** Per-corpus token counts (term, c) — the drift monitor's sufficient
+    * statistic, exposed so a STREAMING epoch can accumulate it as its
+    * one stateful aggregation (q248) and an epoch roll can persist it. */
+  def termCounts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    .filter(length(col("term")) > 0)
+    .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** [[corpusDriftKl]] over precomputed counts — (term, co) × (term, cn).
+    * Same arithmetic, same output. */
+  def corpusDriftKlFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+      k: Int = 20): DataFrame = {
+    val v = oldCounts.join(newCounts, Seq("term"), "full_outer")
       .select(col("term"), coalesce(col("co"), lit(0L)).as("co"),
         coalesce(col("cn"), lit(0L)).as("cn"))
     val tot = v.agg(sum(col("co")).as("tol"), sum(col("cn")).as("tnw"),
