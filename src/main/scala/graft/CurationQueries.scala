@@ -562,6 +562,57 @@ object CurationQueries {
       },
       Some(q185Oracle)),
 
+    // CLASSIFIER DRIFT (the drift family's MODEL member, completing
+    // corpus/embedding/vocab/mixture + model): the q185 quality
+    // classifier fitted on two epochs and compared weight-for-weight.
+    // Epoch A = even docs ∪ the planted battery; epoch B = odd docs ∪
+    // planted, with a symbol-spam degradation on %10==3 docs (flips
+    // their gopher keep label) — a real label-distribution shift, so
+    // the fit must move. Output: all 65 integer weights side by side
+    // with the delta — the monitor a pipeline owner reads before
+    // trusting a refit gate. Both fits are exact-integer perceptrons;
+    // the oracle replays BOTH (the prefix-parameterized classifier
+    // chain) and diffs the weight vectors, bit-for-bit.
+    Q("q249_classifier_drift",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        import graft.operators.QualityModel
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = TextQueries.qualityPlanted.toDF("doc_id", "text")
+        val epochA = d.filter(col("doc_id") % 2 === 0).unionByName(planted)
+        val epochB = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 3,
+              concat(col("text"), lit(" ### ### ### ### ### ### ### ###")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(planted)
+        val wOld = QualityModel.fitWeights(epochA, "doc_id", "text",
+          TextQueries.gopherRules(col("text")).keep, QualityModel.SampleCap)
+        val wNew = QualityModel.fitWeights(epochB, "doc_id", "text",
+          TextQueries.gopherRules(col("text")).keep, QualityModel.SampleCap)
+        (0 until QualityModel.Dim)
+          .map(i => (i.toLong, wOld(i), wNew(i), wNew(i) - wOld(i)))
+          .toDF("b", "w_old", "w_new", "delta")
+      },
+      Some(s"""WITH acorpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL ${TextQueries.qualityPlantedSql}),
+             |bcorpus AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 10 = 3
+             |      THEN text || ' ### ### ### ### ### ### ### ###'
+             |      ELSE text END AS text
+             |  FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL ${TextQueries.qualityPlantedSql}),
+             |${classifierCtes("acorpus", "ea")},
+             |${classifierCtes("bcorpus", "eb")}
+             |SELECT CAST(g.i - 1 AS BIGINT) AS b,
+             |  CAST(a.w[g.i] AS BIGINT) AS w_old,
+             |  CAST(b.w[g.i] AS BIGINT) AS w_new,
+             |  CAST(b.w[g.i] - a.w[g.i] AS BIGINT) AS delta
+             |FROM eawfit a, ebwfit b,
+             |  generate_series(1, ${graft.operators.QualityModel.Dim}) g(i)""".stripMargin)),
+
     // CLASSIFIER CALIBRATION SWEEP — the evaluation layer every learned
     // gate ships with: the q185 (label, score) table swept over a fixed
     // 13-point threshold grid spanning the score range, yielding the
@@ -1924,7 +1975,7 @@ object CurationQueries {
     * Integer bounds are tiny: weights are sums of token counts
     * (≤ thousands), scores ≤ ~1e7 — Long-safe by orders of
     * magnitude. */
-  private[graft] def classifierCtes(corpusCte: String): String = {
+  private[graft] def classifierCtes(corpusCte: String, p: String = ""): String = {
     import graft.operators.QualityModel.{Dim, Epochs, Margin, NumBuckets, SampleCap}
     def fold(colExpr: String) =
       s"""list_reduce(
@@ -1933,53 +1984,53 @@ object CurationQueries {
          |    (h, b) -> ((h - (h % 256) +
          |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
          |      * 1099511628211) % 18446744073709551616)""".stripMargin
-    s"""${TextQueries.gopherValsSql(corpusCte)},
-       |lab AS (SELECT v.doc_id,
+    s"""${TextQueries.gopherValsSql(corpusCte, p)},
+       |${p}lab AS (SELECT v.doc_id,
        |  CAST(CASE WHEN ${TextQueries.gopherKeepSql} THEN 1 ELSE 0 END AS BIGINT) AS y
-       |  FROM vals v),
-       |ltoks AS (SELECT doc_id, tok FROM (
+       |  FROM ${p}vals v),
+       |${p}ltoks AS (SELECT doc_id, tok FROM (
        |  SELECT doc_id, unnest(string_split_regex(
        |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
        |  FROM $corpusCte)
        |  WHERE length(tok) > 0),
-       |probes AS (
-       |  SELECT doc_id, CAST(${fold("tok")} % $NumBuckets AS INT) AS b FROM ltoks
+       |${p}probes AS (
+       |  SELECT doc_id, CAST(${fold("tok")} % $NumBuckets AS INT) AS b FROM ${p}ltoks
        |  UNION ALL
        |  SELECT doc_id, $NumBuckets + CAST(${fold("reverse(tok)")} % $NumBuckets AS INT) AS b
-       |  FROM ltoks),
-       |fx AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM probes GROUP BY 1, 2),
-       |dense AS (
+       |  FROM ${p}ltoks),
+       |${p}fx AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM ${p}probes GROUP BY 1, 2),
+       |${p}dense AS (
        |  SELECT c.doc_id, list(CASE WHEN g.b = ${Dim - 1} THEN 1
        |      ELSE coalesce(fx.x, 0) END ORDER BY g.b) AS xs
        |  FROM $corpusCte c CROSS JOIN generate_series(0, ${Dim - 1}) g(b)
-       |  LEFT JOIN fx ON fx.doc_id = c.doc_id AND fx.b = g.b
+       |  LEFT JOIN ${p}fx fx ON fx.doc_id = c.doc_id AND fx.b = g.b
        |  GROUP BY c.doc_id),
-       |${RelationalQueries5.mix64Stages("lab", Seq("doc_id", "y"),
-            "CAST(doc_id AS HUGEINT)", prefix = "q")},
-       |cappd AS (SELECT doc_id FROM (
+       |${RelationalQueries5.mix64Stages(s"${p}lab", Seq("doc_id", "y"),
+            "CAST(doc_id AS HUGEINT)", prefix = s"${p}q")},
+       |${p}cappd AS (SELECT doc_id FROM (
        |    SELECT doc_id, row_number() OVER (PARTITION BY y ORDER BY vu) AS rk
-       |    FROM qmixed) WHERE rk <= $SampleCap),
-       |sampl AS (
+       |    FROM ${p}qmixed) WHERE rk <= $SampleCap),
+       |${p}sampl AS (
        |  SELECT list(STRUCT_PACK(y := CAST(l.y AS BIGINT), xs := d.xs)
        |    ORDER BY l.doc_id) AS ds
-       |  FROM lab l JOIN dense d USING (doc_id)
-       |  JOIN cappd USING (doc_id)),
-       |ep AS (SELECT list_prepend(
+       |  FROM ${p}lab l JOIN ${p}dense d USING (doc_id)
+       |  JOIN ${p}cappd USING (doc_id)),
+       |${p}ep AS (SELECT list_prepend(
        |    STRUCT_PACK(y := CAST(0 AS BIGINT),
        |      xs := list_transform(generate_series(1, $Dim), i -> CAST(0 AS BIGINT))),
        |    flatten(list_transform(generate_series(1, $Epochs), e -> ds))) AS seq
-       |  FROM sampl),
-       |wfit AS (
+       |  FROM ${p}sampl),
+       |${p}wfit AS (
        |  SELECT list_reduce(seq, (acc, d) -> STRUCT_PACK(y := CAST(0 AS BIGINT),
        |      xs := CASE WHEN (2*d.y - 1) *
        |          list_sum(list_transform(generate_series(1, $Dim), i -> acc.xs[i] * d.xs[i])) <= $Margin
        |        THEN list_transform(generate_series(1, $Dim), i -> acc.xs[i] + (2*d.y - 1) * d.xs[i])
        |        ELSE acc.xs END)).xs AS w
-       |  FROM ep),
-       |sc AS (
+       |  FROM ${p}ep),
+       |${p}sc AS (
        |  SELECT d.doc_id,
        |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> w.w[i] * d.xs[i])) AS BIGINT) AS z
-       |  FROM dense d CROSS JOIN wfit w)""".stripMargin
+       |  FROM ${p}dense d CROSS JOIN ${p}wfit w)""".stripMargin
   }
 
   /** q185 oracle: [[classifierCtes]] over documents ∪ planted, plus

@@ -700,14 +700,14 @@ object TextQueries {
   /** Shared oracle SQL: the per-doc rule-value CTEs over `$src`
     * (expects (doc_id, text)) and the composite keep predicate over
     * the `vals` CTE's raw columns. */
-  private[graft] def gopherValsSql(src: String): String =
-    s"""feat AS (
+  private[graft] def gopherValsSql(src: String, p: String = ""): String =
+    s"""${p}feat AS (
        |  SELECT doc_id, text,
        |    string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks,
        |    string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ltoks,
        |    string_split(text, chr(10)) AS lines
        |  FROM $src),
-       |vals AS (
+       |${p}vals AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_words,
        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_raw,
@@ -719,7 +719,7 @@ object TextQueries {
        |      OR l LIKE '%?' OR l LIKE '%\"')) AS DOUBLE) / len(lines) AS punct_raw,
        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_raw,
        |    CAST(len(list_filter(ltoks, t -> t IN ('the','and','of','to','a','in','is','that','for','it'))) AS BIGINT) AS n_stop
-       |  FROM feat)""".stripMargin
+       |  FROM ${p}feat)""".stripMargin
 
   private[graft] val gopherKeepSql: String =
     """n_words BETWEEN 10 AND 100000 AND mean_raw BETWEEN 2.0 AND 10.0
