@@ -123,7 +123,11 @@ object Bench {
     // round-15 additions (clean solo FORCE_MIN min-of-3, calib 2.059,
     // 12-control median 0.8758, regress 0, cold_only 0 — BASELINE.md)
     "q239"->0.686, "q240"->0.628, "q241"->5.734, "q242"->2.439,
-    "q243"->0.248, "q244"->6.994)
+    "q243"->0.248, "q244"->6.994,
+    // round-15 second wave (clean solo FORCE_MIN min-of-3, calib 2.209,
+    // 12-control median 0.8996, regress 0, cold_only 0 — BASELINE.md)
+    "q245"->3.393, "q246"->6.029, "q247"->3.786, "q248"->1.426,
+    "q249"->2.136)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
