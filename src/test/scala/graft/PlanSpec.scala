@@ -359,6 +359,34 @@ class PlanSpec extends SparkSuite {
       "query-keyed join must broadcast:\n" + p.take(3000))
   }
 
+  test("q239: boundary-aware packing — one shard shuffle, no global sort, no cartesian") {
+    val p = plan("q239_boundary_aware_packing")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the packer's only wide op is the groupByKey on shard (+ the final
+    // stats agg). mapGroups inserts a PARTITION-LOCAL sort on the 8-value
+    // shard key ("Sort [...], false") — required clustering, constant
+    // keys; what must never appear is a GLOBAL sort over doc rows
+    // ("Sort [...], true" = a range-partitioned exchange)
+    assert(!p.contains("], true, 0"), "global sort leaked into the plan:\n" + p.take(3000))
+  }
+
+  test("q242: incremental index — stats folds are unions + hash aggs, totals broadcast") {
+    val p = plan("q242_incremental_bm25_index")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the 1-row totals attach is the only admissible nest-loop class
+    // (epoch + batch totals, and the idf derivation)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 4, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
+  test("q246: context assembly — two bounded qid windows over the fused top-k, no cartesian") {
+    val p = plan("q246_rag_context_assembly")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
