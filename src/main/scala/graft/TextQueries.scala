@@ -1751,6 +1751,76 @@ object TextQueries {
           |FROM btrk t LEFT JOIN apx a ON a.qid = t.qid AND a.nid = t.nid
           |GROUP BY t.qid""".stripMargin)),
 
+    // RETRIEVAL EVALUATION HARNESS — the MRR / hit@k scorecard a
+    // retrieval pipeline ships with: each q241 query is a 25-token
+    // prefix of a known document (qid − 9e6 = the source doc), so
+    // relevance is labeled BY CONSTRUCTION (a hit = any chunk of the
+    // source doc). The three legs — chunk BM25, SRP dense, RRF hybrid
+    // — are scored side by side: mean reciprocal rank in exact integer
+    // micro-units (Σ 1e6 DIV first_hit_rank, then DIV n_queries — no
+    // float averaging to drift) plus hit@1 and hit@10 counts. The
+    // scorecard that justifies shipping the hybrid: it must dominate
+    // or match both single legs. Oracle extends the shared chain with
+    // the same first-hit/aggregate arithmetic per leg.
+    Q("q250_retrieval_eval",
+      (spark, dir) => {
+        val fused = hybridChunkRanks(spark, dir)
+          .select(col("qid"), col("nid"), col("rank"), lit("hybrid").as("leg"))
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val chunks = graft.operators.Curation.chunkTexts(
+          d, "doc_id", "text", 128, 32)
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
+            "chunk_text", queries, "qid", "qtext", k = 10)
+          .select(col("qid"), col("id").as("nid"), col("rank"),
+            lit("bm25").as("leg"))
+        val dense = graft.operators.Similarity.srpTopK(
+            hashedCountVecs(queries, "qid", "qtext"),
+            hashedCountVecs(chunks, "chunk_key", "chunk_text"), k = 10)
+          .select(col("qid"), col("nid"), col("rank"), lit("dense").as("leg"))
+        lex.unionByName(dense).unionByName(fused)
+          .withColumn("rel",
+            when(expr("nid DIV 1048576") === col("qid") - 9000000L, 1L)
+              .otherwise(0L))
+          .filter(col("rel") === 1L)
+          .groupBy(col("leg"), col("qid"))
+          .agg(min(col("rank")).as("first_hit"))
+          .groupBy(col("leg"))
+          .agg(count(lit(1)).as("n_hit_queries"),
+            expr("CAST(sum(1000000 DIV first_hit) AS BIGINT)").as("rr_sum_micro"),
+            sum(when(col("first_hit") === 1, 1L).otherwise(0L)).as("hit_at_1"))
+          // the labeled query count rides as a 1-row broadcast (never a
+          // driver action inside a lazy builder)
+          .crossJoin(broadcast(queries.agg(count(lit(1)).as("_nq"))))
+          .select(col("leg"), col("n_hit_queries"), col("hit_at_1"),
+            col("n_hit_queries").as("hit_at_10"),
+            expr("CAST(rr_sum_micro DIV _nq AS BIGINT)").as("mrr_micro"))
+      },
+      Some(hybridChunkOracleChain +
+        """,
+          |legs AS (
+          |  SELECT 'bm25' AS leg, qid, nid, rank FROM blex WHERE rank <= 10
+          |  UNION ALL
+          |  SELECT 'dense', qid, nid, rank FROM dlex WHERE rank <= 10
+          |  UNION ALL
+          |  SELECT 'hybrid', qid, nid, rank FROM rankedf WHERE rank <= 10),
+          |hits AS (SELECT leg, qid, min(rank) AS first_hit
+          |  FROM legs WHERE nid // 1048576 = qid - 9000000
+          |  GROUP BY leg, qid),
+          |nq AS (SELECT CAST(count(*) AS BIGINT) AS n
+          |  FROM documents WHERE doc_id < 5)
+          |SELECT leg, CAST(count(*) AS BIGINT) AS n_hit_queries,
+          |  CAST(sum(CASE WHEN first_hit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS hit_at_1,
+          |  CAST(count(*) AS BIGINT) AS hit_at_10,
+          |  CAST(CAST(sum(1000000 // first_hit) AS BIGINT)
+          |    // (SELECT n FROM nq) AS BIGINT) AS mrr_micro
+          |FROM hits GROUP BY leg""".stripMargin)),
+
 
     // INCREMENTAL BM25 INDEX MAINTENANCE (Bm25.upsertIndexStats) — the
     // q161/q174/q209 epoch-index discipline applied to retrieval: the
