@@ -1937,6 +1937,66 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // DEDUP THRESHOLD CALIBRATION SWEEP — the run a pipeline owner does
+    // BEFORE fixing the near-dup Jaccard threshold: over the q226
+    // corpus (base ∪ exact twins ∪ token-appended variants), every LSH
+    // candidate pair's verified Jaccard is swept across τ ∈ 0.5…0.9,
+    // reporting surviving pairs, exact-duplicate pairs (j = 1), and
+    // the retained pairs' mean Jaccard — the curve that shows where
+    // the appended-variant band (≈0.7–0.95) falls off while exact
+    // twins survive every τ. Jaccard rides as micro ints (round(j·1e6)
+    // of the 6-dp value — never near a half boundary, so the re-round
+    // is engine-safe); the mean is an integer DIV. Oracle replays the
+    // full sketch + exact set arithmetic + the sweep.
+    Q("q251_dedup_threshold_sweep",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.unionByName(incomingBatch(d))
+        val ver = graft.operators.Dedup.ngramJaccard(
+            graft.operators.Dedup.minhashLshPairs(corpus, "doc_id", "text"),
+            corpus, "doc_id", "text")
+          .withColumn("jm", round(col("jaccard") * 1e6, 0).cast("long"))
+        Seq(500000L, 600000L, 700000L, 800000L, 900000L).map { t =>
+          ver.filter(col("jm") >= t)
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(when(col("jm") === 1000000L, 1L).otherwise(0L))
+                .as("n_exact"),
+              expr("CAST(sum(jm) DIV count(1) AS BIGINT)")
+                .as("mean_jaccard_micro"))
+            .select(lit(t).as("tau_micro"), col("n_pairs"), col("n_exact"),
+              col("mean_jaccard_micro"))
+        }.reduce(_ unionByName _)
+      },
+      Some(lshBandCtes(
+        """SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL SELECT doc_id + 20000, text || ' graft incremental probe words'
+          |    FROM documents WHERE doc_id % 3 = 1""".stripMargin) +
+        """,
+          |cand AS (
+          |  SELECT DISTINCT a.id AS idA, b.id AS idB
+          |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+          |  WHERE a.id < b.id),
+          |ji AS (SELECT c.idA, c.idB, CAST(count(*) AS BIGINT) AS ni
+          |  FROM cand c JOIN shingles sa ON sa.id = c.idA
+          |    JOIN shingles sb ON sb.id = c.idB AND sb.sh = sa.sh
+          |  GROUP BY 1, 2),
+          |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY id),
+          |jv AS (SELECT c.idA, c.idB,
+          |    CAST(round(round(CAST(coalesce(j.ni, 0) AS DOUBLE)
+          |      / (na.n + nb.n - coalesce(j.ni, 0)), 6) * 1000000) AS BIGINT) AS jm
+          |  FROM cand c LEFT JOIN ji j ON j.idA = c.idA AND j.idB = c.idB
+          |    JOIN sz na ON na.id = c.idA JOIN sz nb ON nb.id = c.idB),
+          |tv AS (SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS tau)
+          |SELECT CAST(tau AS BIGINT) AS tau_micro,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(sum(CASE WHEN jm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_exact,
+          |  CAST(CAST(sum(jm) AS BIGINT) // count(*) AS BIGINT)
+          |    AS mean_jaccard_micro
+          |FROM jv, tv WHERE jm >= tau GROUP BY tau""".stripMargin)),
+
     // SKETCH-QUALITY AUDIT (Dedup.minhashAccuracyAudit) — estimated vs
     // exact Jaccard per LSH candidate pair, the measurement that
     // justifies trusting 128-hash MinHash verdicts at 100 TB (est std
