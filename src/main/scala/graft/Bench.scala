@@ -127,7 +127,10 @@ object Bench {
     // round-15 second wave (clean solo FORCE_MIN min-of-3, calib 2.209,
     // 12-control median 0.8996, regress 0, cold_only 0 — BASELINE.md)
     "q245"->3.393, "q246"->6.029, "q247"->3.786, "q248"->1.426,
-    "q249"->2.136)
+    "q249"->2.136,
+    // round-15 third wave (clean solo FORCE_MIN min-of-3, calib 2.019,
+    // 12-control median 0.9103, regress 0, cold_only 0 — BASELINE.md)
+    "q250"->7.742, "q251"->2.476)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
