@@ -480,11 +480,18 @@ object Curation {
     * bounds fail loudly per row via `raise_error` — `chunk_idx < 2^20`
     * and `0 ≤ id < 2^43` (so `id·2^20 + ci` cannot overflow a long).
     * Codegen'd branches, no measurable cost. */
+  /** The chunk-key stride (`chunk_key = id·ChunkKeyStride + chunk_idx`)
+    * — ONE definition shared by [[chunkTexts]] and every consumer that
+    * decodes a chunk's parent (`Fusion.assembleContext`'s default, the
+    * q246/q250 doc-dedup): a consumer hard-coding its own stride would
+    * silently mis-parent every chunk the day this changes. */
+  val ChunkKeyStride: Long = 1L << 20
+
   def chunkTexts(corpus: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens)
     val stride = chunkTokens - overlapTokens
-    val KeyStride = 1L << 20
+    val KeyStride = ChunkKeyStride
     val MaxId = 1L << 43
     corpus
       .select(col(idCol).cast("long").as("id"),

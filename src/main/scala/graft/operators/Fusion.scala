@@ -72,7 +72,8 @@ object Fusion {
     * @return (qid, ctx_pos 1.., chunk_key, doc_id, chunk_tokens,
     *         cum_tokens), ctx_pos dense in rank order */
   def assembleContext(ranked: DataFrame, chunkTokens: DataFrame,
-      budgetTokens: Int, keyStride: Long = 1L << 20): DataFrame = {
+      budgetTokens: Int,
+      keyStride: Long = Curation.ChunkKeyStride): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     import org.apache.spark.sql.expressions.Window
     val perDoc = Window
