@@ -38,6 +38,60 @@ object BpeQueries {
   private val Lex = "\\w+|[^\\w\\s]"
   private val Alpha = "^[A-Za-z]+$"
 
+  private def bfdPackChain: String =
+    s"""WITH RECURSIVE $fitChain,
+             |$encodeChain,
+             |nt AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n
+             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+             |pos AS (SELECT * FROM nt WHERE n > 0),
+             |bigd AS (SELECT shard, doc_id, n,
+             |    CAST(coalesce(SUM((n + 511) // 512) OVER (PARTITION BY shard
+             |      ORDER BY n DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS seq_id,
+             |    CAST((n + 511) // 512 AS BIGINT) AS span
+             |  FROM pos WHERE n > 512),
+             |sbase AS (SELECT p.shard, CAST(coalesce(b.base, 0) AS BIGINT) AS base
+             |  FROM (SELECT DISTINCT shard FROM pos) p
+             |  LEFT JOIN (SELECT shard, sum((n + 511) // 512) AS base
+             |    FROM pos WHERE n > 512 GROUP BY shard) b ON b.shard = p.shard),
+             |small AS (SELECT shard, doc_id, n,
+             |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rn
+             |  FROM pos WHERE n <= 512),
+             |pk AS (
+             |  SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS rems,
+             |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+             |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS off
+             |  FROM (SELECT DISTINCT shard FROM small)
+             |  UNION ALL
+             |  SELECT s.shard, s.rn,
+             |    CASE WHEN b.bi IS NULL THEN list_append(p.rems, 512 - s.n)
+             |         ELSE list_transform(generate_series(1, len(p.rems)),
+             |                j -> CASE WHEN j = b.bi THEN p.rems[j] - s.n
+             |                     ELSE p.rems[j] END)
+             |    END,
+             |    s.doc_id, s.n,
+             |    CAST(CASE WHEN b.bi IS NULL THEN len(p.rems)
+             |         ELSE b.bi - 1 END AS BIGINT),
+             |    CAST(CASE WHEN b.bi IS NULL THEN 0
+             |         ELSE 512 - p.rems[b.bi] END AS BIGINT)
+             |  FROM pk p JOIN small s ON s.shard = p.shard AND s.rn = p.rn + 1,
+             |  LATERAL (SELECT list_sort(list_filter(
+             |      list_transform(generate_series(1, len(p.rems)),
+             |        i -> struct_pack(r := p.rems[i], i := i)),
+             |      x -> x.r >= s.n))[1].i AS bi) b
+             |),
+             |land AS (
+             |  SELECT shard, doc_id, n, seq_id, CAST(0 AS BIGINT) AS seq_off,
+             |         seq_id + span - 1 AS seq_end, CAST(1 AS BIGINT) AS crossing
+             |  FROM bigd
+             |  UNION ALL
+             |  SELECT k.shard, k.doc_id, k.n, ba.base + k.bin, k.off,
+             |         ba.base + k.bin, CAST(0 AS BIGINT)
+             |  FROM pk k JOIN sbase ba ON ba.shard = k.shard
+             |  WHERE k.doc_id IS NOT NULL)""".stripMargin
+
   private def fitModel(spark: org.apache.spark.sql.SparkSession,
       dir: String): Bpe.Model =
     Bpe.fit(Tables.load(spark, dir, "documents"), "doc_id", "text",
@@ -497,58 +551,8 @@ object BpeQueries {
             sum(col("doc_id") * (col("seq_id") * 1048576L + col("seq_off") + 1))
               .as("landing_sum"))
       },
-      Some(s"""WITH RECURSIVE $fitChain,
-             |$encodeChain,
-             |nt AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
-             |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n
-             |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
-             |pos AS (SELECT * FROM nt WHERE n > 0),
-             |bigd AS (SELECT shard, doc_id, n,
-             |    CAST(coalesce(SUM((n + 511) // 512) OVER (PARTITION BY shard
-             |      ORDER BY n DESC, doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-             |      AS seq_id,
-             |    CAST((n + 511) // 512 AS BIGINT) AS span
-             |  FROM pos WHERE n > 512),
-             |sbase AS (SELECT p.shard, CAST(coalesce(b.base, 0) AS BIGINT) AS base
-             |  FROM (SELECT DISTINCT shard FROM pos) p
-             |  LEFT JOIN (SELECT shard, sum((n + 511) // 512) AS base
-             |    FROM pos WHERE n > 512 GROUP BY shard) b ON b.shard = p.shard),
-             |small AS (SELECT shard, doc_id, n,
-             |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rn
-             |  FROM pos WHERE n <= 512),
-             |pk AS (
-             |  SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS rems,
-             |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
-             |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS off
-             |  FROM (SELECT DISTINCT shard FROM small)
-             |  UNION ALL
-             |  SELECT s.shard, s.rn,
-             |    CASE WHEN b.bi IS NULL THEN list_append(p.rems, 512 - s.n)
-             |         ELSE list_transform(generate_series(1, len(p.rems)),
-             |                j -> CASE WHEN j = b.bi THEN p.rems[j] - s.n
-             |                     ELSE p.rems[j] END)
-             |    END,
-             |    s.doc_id, s.n,
-             |    CAST(CASE WHEN b.bi IS NULL THEN len(p.rems)
-             |         ELSE b.bi - 1 END AS BIGINT),
-             |    CAST(CASE WHEN b.bi IS NULL THEN 0
-             |         ELSE 512 - p.rems[b.bi] END AS BIGINT)
-             |  FROM pk p JOIN small s ON s.shard = p.shard AND s.rn = p.rn + 1,
-             |  LATERAL (SELECT list_sort(list_filter(
-             |      list_transform(generate_series(1, len(p.rems)),
-             |        i -> struct_pack(r := p.rems[i], i := i)),
-             |      x -> x.r >= s.n))[1].i AS bi) b
-             |),
-             |land AS (
-             |  SELECT shard, doc_id, n, seq_id, CAST(0 AS BIGINT) AS seq_off,
-             |         seq_id + span - 1 AS seq_end, CAST(1 AS BIGINT) AS crossing
-             |  FROM bigd
-             |  UNION ALL
-             |  SELECT k.shard, k.doc_id, k.n, ba.base + k.bin, k.off,
-             |         ba.base + k.bin, CAST(0 AS BIGINT)
-             |  FROM pk k JOIN sbase ba ON ba.shard = k.shard
-             |  WHERE k.doc_id IS NOT NULL)
+      Some(bfdPackChain +
+        s"""
              |SELECT CAST(shard AS BIGINT) AS shard,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n) AS BIGINT) AS total_tokens,
@@ -559,6 +563,55 @@ object BpeQueries {
              |  CAST(sum(doc_id * (seq_id * 1048576 + seq_off + 1)) AS BIGINT)
              |    AS landing_sum
              |FROM land GROUP BY shard""".stripMargin)),
+
+    // PER-SEQUENCE PACKING MANIFEST — the file a pre-tokenized dataset
+    // WRITER actually emits next to its shards: for every (shard,
+    // sequence) of the q239 boundary-aware packing, how many docs the
+    // sequence holds, its fill and padding, and whether an oversized
+    // doc occupies it. Per-doc landings expand to per-sequence rows
+    // (an oversized doc contributes a full 512 to every slab but its
+    // last — pure integer arithmetic both engines replay); packed
+    // sequences never exceed the budget BY CONSTRUCTION, and the gate
+    // hashes every row, so one wrong slab moves its sequence. The
+    // oracle reuses the full q239 recursive replay plus the same
+    // expansion.
+    Q("q252_packing_manifest",
+      (spark, dir) => {
+        val model = fitModel(spark, dir)
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Curation.packSequencesBestFit(d, "doc_id",
+            Bpe.encodeCol(col("text"), model), budgetTokens = 512, shards = 8)
+          .select(col("shard"), col("doc_id"), col("n_tokens"),
+            col("seq_id"), col("seq_end"), col("crossing"),
+            explode(sequence(col("seq_id"), col("seq_end"))).as("seq"))
+          .withColumn("t",
+            when(col("crossing") === 0, col("n_tokens"))
+              .when(col("seq") < col("seq_end"), lit(512L))
+              .otherwise(col("n_tokens")
+                - (col("seq_end") - col("seq_id")) * 512L))
+          .groupBy(col("shard"), col("seq"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("t")).as("fill_tokens"),
+            (lit(512L) - sum(col("t"))).as("pad_tokens"),
+            max(col("crossing")).as("has_oversized"))
+          .select(col("shard"), col("seq").as("seq_id"), col("n_docs"),
+            col("fill_tokens"), col("pad_tokens"), col("has_oversized"))
+      },
+      Some(bfdPackChain +
+        s"""
+          |,ex AS (SELECT shard, doc_id, crossing, seq_id, seq_end, n,
+          |    unnest(generate_series(seq_id, seq_end)) AS seq FROM land),
+          |tis AS (SELECT shard, seq, doc_id, crossing,
+          |    CASE WHEN crossing = 0 THEN n
+          |         WHEN seq < seq_end THEN 512
+          |         ELSE n - (seq_end - seq_id) * 512 END AS t
+          |  FROM ex)
+          |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq_id,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(t) AS BIGINT) AS fill_tokens,
+          |  CAST(512 - sum(t) AS BIGINT) AS pad_tokens,
+          |  CAST(max(crossing) AS BIGINT) AS has_oversized
+          |FROM tis GROUP BY shard, seq""".stripMargin)),
 
     // GPT-2-PATTERN PRE-TOKENIZER (Bpe.gpt2PreTokenize) — the
     // production-fidelity lexer variant (round-14 missing #5): the

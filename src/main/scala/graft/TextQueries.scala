@@ -1884,6 +1884,66 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // INCREMENTAL CHUNK-INDEX MAINTENANCE — q242's discipline at q237's
+    // granularity: the epoch's CHUNK-LEVEL BM25 statistics upsert with
+    // a batch of new documents (chunked on arrival; fresh doc ids keep
+    // chunk keys disjoint by the id·2^20 contract), and ranking against
+    // the upserted stats must hash-equal a full recompute over the
+    // union's chunks — which is exactly what the oracle computes. The
+    // composition a daily RAG ingest actually runs: chunk → fold stats
+    // → serve.
+    Q("q253_incremental_chunk_index",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.filter(col("doc_id") % 4 =!= 0)
+        val batch = d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+        val echunks = graft.operators.Curation.chunkTexts(
+          epoch, "doc_id", "text", 128, 32)
+        val bchunks = graft.operators.Curation.chunkTexts(
+          batch, "doc_id", "text", 128, 32)
+        val up = graft.operators.Bm25.upsertIndexStats(
+          graft.operators.Bm25.indexStats(echunks, "chunk_key", "chunk_text"),
+          bchunks, "chunk_key", "chunk_text")
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        graft.operators.Bm25.topKExternalStats(
+          up, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """ucorp AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+          |  UNION ALL SELECT doc_id + 70000, text FROM documents
+          |    WHERE doc_id % 4 = 0),
+          |ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+          |  FROM ucorp),
+          |cst AS (SELECT doc_id, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
+          |cnc AS (SELECT doc_id, t, n, CASE WHEN n <= 128 THEN 1
+          |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
+          |cch AS (SELECT doc_id, t, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
+          |chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key,
+          |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
+          |      AS text
+          |  FROM cch),
+          |""".stripMargin +
+        bm25ScoreCtes("chunks", "chunk_key", "", "b", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 9000000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 5)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM bsc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // STREAMING BM25 QUERY-AT-INGEST (Bm25.scoreExternalStats under
     // Structured Streaming) — the retrieval family's streaming member:
     // incoming query docs arrive as a stream and score against the
