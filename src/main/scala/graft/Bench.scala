@@ -130,7 +130,10 @@ object Bench {
     "q249"->2.136,
     // round-15 third wave (clean solo FORCE_MIN min-of-3, calib 2.019,
     // 12-control median 0.9103, regress 0, cold_only 0 — BASELINE.md)
-    "q250"->7.742, "q251"->2.476)
+    "q250"->7.742, "q251"->2.476,
+    // round-15 fourth wave (clean solo FORCE_MIN min-of-3, calib 2.021,
+    // 12-control median 0.9245, regress 0, cold_only 0 — BASELINE.md)
+    "q252"->0.969, "q253"->2.266)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
