@@ -184,6 +184,29 @@ object Bench {
     val calibSec = new java.util.concurrent.atomic.AtomicReference[Double](-1.0)
     val order = Registry.all.map(_.name) // stable declaration order
     val printed = new AtomicBoolean(false)
+    // The session is stashed so EVERY print path (normal, deadline,
+    // worker-death) can silence Spark logging before emitting the JSON
+    // lines. BENCH_r15 was lost to exactly this: rc 0, measurement fine,
+    // but a FetchFailedException stack trace + BlockManager WARNs printed
+    // by executor threads during shutdown displaced the trailer from the
+    // driver's bounded 2000-char stdout tail. The trailer guarantee
+    // ("the tail always ends with this") only holds if the JSON lines are
+    // the process's literal last stdout bytes — so: log OFF, stop the
+    // session, THEN print.
+    val sparkRef = new java.util.concurrent.atomic.AtomicReference[SparkSession](null)
+    def silenceAndPrint(partial: Boolean): Unit = {
+      val s = sparkRef.get()
+      if (s != null) {
+        try s.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+        // stop BEFORE printing only on the non-partial path: the partial
+        // paths fire while the worker may still be mid-query, and a
+        // concurrent stop can throw from under it — there, log-OFF alone
+        // guarantees silence and System.exit's shutdown hook stops the
+        // context without being able to print.
+        if (!partial) { try s.stop() catch { case _: Throwable => () } }
+      }
+      printLine(partial)
+    }
     def printLine(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       val done = order.filter(best.containsKey)
       val qs = done.map { k =>
@@ -284,6 +307,12 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(780.0).max(1.0)
 
     val worker = new Thread(() => {
+      // spark.local.dir off /tmp (BENCH_r15 post-mortem): the sandbox's
+      // /tmp cleaner reaped blockmgr shuffle files MID-RUN
+      // (shuffle_625_9423_0.data "No such file or directory" →
+      // FetchFailedException), corrupting the run's tail. A workspace
+      // dir is outside any external reaper's remit.
+      val localDir = new java.io.File("target/spark-local").getAbsolutePath
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -291,7 +320,9 @@ object Bench {
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", localDir)
         .getOrCreate()
+      sparkRef.set(spark)
       spark.sparkContext.setLogLevel("WARN")
 
       // warm-up: JIT, codegen, parquet reader paths (not billed to queries)
@@ -370,8 +401,9 @@ object Bench {
           }
         }
       }
-      printLine(partial = false)
-      spark.stop()
+      // log OFF + stop BEFORE printing (inside silenceAndPrint): the two
+      // JSON lines must be the process's literal last stdout bytes.
+      silenceAndPrint(partial = false)
     }, "bench-worker")
     worker.setDaemon(true)
     worker.start()
@@ -379,14 +411,14 @@ object Bench {
     if (worker.isAlive) {
       // deadline hit mid-measurement: emit what we have and exit cleanly —
       // a partial artifact beats a killed run with no line at all
-      printLine(partial = true)
+      silenceAndPrint(partial = true)
       System.exit(0)
     } else if (!printed.get) {
       // the worker DIED (session build, warm-up, fixture) before printing
       // — emit the partial line so the tail stays parseable, but exit
       // nonzero: an environment failure must stay loud, not read as a
       // clean run with a silently missing artifact
-      printLine(partial = true)
+      silenceAndPrint(partial = true)
       System.exit(1)
     }
   }

@@ -561,6 +561,135 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** q255's oracle: the q105 IVF-ADC chain with the FIT sources split
+    * from the INDEX/QUERY sources — both k-means fits (coarse + m
+    * subspace codebooks) train on the EPOCH rows only (`fpts`/`fsubs`),
+    * exactly replaying fitFrozen(epoch), while the final cell
+    * assignment, PQ encode, and query stages run over the epoch ∪
+    * re-keyed batch union (`pts`/`subs`). Hash equality against the
+    * incremental Spark path (annIndex(epoch) ⊕ upsertAnnIndex(batch))
+    * proves fold-into-frozen-fit == full rebuild from the same fit —
+    * and would BREAK if the maintenance path ever refit on the union
+    * (different centroids) or re-encoded epoch rows differently. */
+  private def q255Oracle(nCells: Int, nprobe: Int, m: Int, subDim: Int,
+      kCent: Int, maxIter: Int, topK: Int, offset: Long,
+      queryPred: String): String = {
+    def d2(p: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
+        s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
+    val dim = m * subDim
+    // Lloyd stages parameterized on the point source: fit iterations run
+    // on the TRAINING rows (fpts/fsubs); the final assignment pass runs
+    // on the full union (pts/subs).
+    def cAssign(src: String, cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, cidx AS cell FROM (
+         |    SELECT p.vid, c.cidx, ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${d2("p.v", "c.c")}, c.cidx) AS rk
+         |    FROM $src p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+    def cUpdate(src: String, assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $dim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.cell, list(p.v ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN $src p ON p.vid = a.vid GROUP BY a.cell) mm
+         |  ON mm.cell = pc.cidx)""".stripMargin
+    def sAssign(src: String, cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, s, cidx AS cell FROM (
+         |    SELECT p.vid, p.s, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vid, p.s ORDER BY ${d2("p.sv", "c.c")}, c.cidx) AS rk
+         |    FROM $src p JOIN $cent c ON c.s = p.s) WHERE rk = 1)""".stripMargin
+    def sUpdate(src: String, assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.s, pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $subDim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.s, a.cell, list(p.sv ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN $src p ON p.vid = a.vid AND p.s = a.s
+         |    GROUP BY a.s, a.cell) mm
+         |  ON mm.s = pc.s AND mm.cell = pc.cidx)""".stripMargin
+    val sb = new StringBuilder(
+      s"""WITH upts AS MATERIALIZED (
+         |  SELECT vec_id AS vid, embedding AS v FROM embeddings WHERE vec_id % 4 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + $offset, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |pts AS MATERIALIZED (
+         |  SELECT vid, v FROM upts
+         |  WHERE sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))) > 0),
+         |fpts AS MATERIALIZED (SELECT vid, v FROM pts WHERE vid < $offset),
+         |ccent0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
+         |  FROM (SELECT vid, v FROM fpts ORDER BY vid LIMIT $nCells)),
+         |subs AS MATERIALIZED (
+         |  SELECT p.vid, sx.s, p.v[sx.s * $subDim + 1 : (sx.s + 1) * $subDim] AS sv
+         |  FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) sx),
+         |fsubs AS MATERIALIZED (SELECT vid, s, sv FROM subs WHERE vid < $offset),
+         |first_seed AS (SELECT vid FROM fpts ORDER BY vid LIMIT $kCent),
+         |scent0 AS MATERIALIZED (
+         |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
+         |    CAST(sb.sv AS DOUBLE[]) AS c
+         |  FROM fsubs sb JOIN first_seed f ON f.vid = sb.vid)""".stripMargin)
+    var cPrev = "ccent0"
+    for (it <- 0 until maxIter) {
+      sb.append(cAssign("fpts", cPrev, s"fca$it"))
+      sb.append(cUpdate("fpts", s"fca$it", cPrev, s"ccent${it + 1}"))
+      cPrev = s"ccent${it + 1}"
+    }
+    sb.append(cAssign("pts", cPrev, "cafinal"))
+    var sPrev = "scent0"
+    for (it <- 0 until maxIter) {
+      sb.append(sAssign("fsubs", sPrev, s"fsa$it"))
+      sb.append(sUpdate("fsubs", s"fsa$it", sPrev, s"scent${it + 1}"))
+      sPrev = s"scent${it + 1}"
+    }
+    sb.append(sAssign("subs", sPrev, "safinal"))
+    sb.append(
+      s""",
+         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE $queryPred),
+         |probes AS (
+         |  SELECT qid, cidx AS cell FROM (
+         |    SELECT q.qid, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, c.c) /
+         |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+         |        c.cidx) AS crk
+         |    FROM q CROSS JOIN $cPrev c) WHERE crk <= $nprobe),
+         |elig AS (
+         |  SELECT pr.qid, cf.vid AS nid
+         |  FROM probes pr JOIN cafinal cf ON cf.cell = pr.cell
+         |  WHERE cf.vid <> pr.qid),
+         |qsubs AS (SELECT vid AS qid, s, CAST(sv AS DOUBLE[]) AS qsv FROM subs WHERE $queryPred),
+         |adc AS MATERIALIZED (
+         |  SELECT qs.qid, c.s, c.cidx, list_dot_product(qs.qsv, c.c) AS dot
+         |  FROM qsubs qs JOIN $sPrev c ON c.s = qs.s),
+         |contrib AS (
+         |  SELECT e.qid, e.nid, a.s, ad.dot
+         |  FROM elig e JOIN safinal a ON a.vid = e.nid
+         |  JOIN adc ad ON ad.qid = e.qid AND ad.s = a.s AND ad.cidx = a.cell),
+         |scores AS (
+         |  SELECT qid, nid,
+         |    list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+         |  FROM contrib GROUP BY qid, nid),
+         |ranked AS (
+         |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+         |  FROM scores)
+         |SELECT qid, nid, approx6 AS approx_dot, CAST(rk AS INT) AS rank
+         |FROM ranked WHERE rk <= $topK""".stripMargin)
+    sb.toString
+  }
+
   /** q112's oracle: the full q105 IVF-ADC chain plus the brute-force
     * cosine truth over the same `pts` (norms computed inline — q105's
     * pts carries no norm column), recall@k as a truth-vs-approx join.
@@ -1001,6 +1130,37 @@ object SimilarityQueries {
         s"""
            |SELECT qid, count(*) AS n_results, max(approx6) AS best_approx_dot
            |FROM ranked WHERE rk <= 10 GROUP BY qid""".stripMargin)),
+
+    // INCREMENTAL ANN MAINTENANCE (r15 missing #2) — the q242
+    // sufficient-statistics discipline applied to the dense tier: the
+    // coarse + PQ fits FREEZE on the epoch (fitFrozen — versioned by a
+    // deterministic fit_id), the epoch index is built once (annIndex),
+    // and a daily batch of re-keyed vectors folds in WITHOUT refit or
+    // epoch re-encode (upsertAnnIndex; a mixed-fit union raise_errors
+    // per row). Queries — epoch AND batch members — rank against the
+    // folded index via the prebuilt-index serve path
+    // (queryIndexDistributed). The oracle replays the fits over the
+    // EPOCH only and the assignment/encode/query stages over the union:
+    // hash equality proves fold == full rebuild from the same frozen
+    // fit, and would break if maintenance ever refit on the union.
+    Q("q255_incremental_ann_index",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(epoch)
+        val idx = pq.upsertAnnIndex(fit, pq.annIndex(fit, epoch), batch)
+        val queries = epoch.unionByName(batch)
+          .filter(col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
+        pq.queryIndexDistributed(fit, idx, queries, k = 10, nprobe = 4)
+      },
+      Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)"))),
 
     // SRP-LSH recall@10 — the third ANN family's quality gate (q111 IVF,
     // q112 IVF-ADC): 16 planes / 4-bit bands on random 64-dim data is a

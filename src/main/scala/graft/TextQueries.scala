@@ -1944,6 +1944,74 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // DELETION-AWARE INDEX MAINTENANCE (Bm25.removeIndexStats) — the
+    // r15 missing #1: the pipeline's own dedup REMOVES documents, so
+    // the first real consumer of the incremental index needs the
+    // subtract path, not just the append. Fixture runs the full
+    // dedup-then-reindex cycle a curated epoch actually performs:
+    // build epoch stats → upsert a daily batch (q242's, novel terms
+    // included) → REMOVE every id ≡ 2 (mod 7) from the union (epoch
+    // and batch rows both hit, including some novelterm carriers — the
+    // df-decrement case) plus one id never indexed (delete must be
+    // idempotent, not corrupting). The defining property IS the gate:
+    // the oracle is a FULL RECOMPUTE over (epoch ∪ batch) ∖ deleted —
+    // hash equality proves remove(upsert(stats)) == recompute.
+    Q("q254_deletion_aware_index",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.filter(col("doc_id") % 3 =!= 0)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" graftupsert novelterm ingestion")))
+              .otherwise(col("text")).as("text"))
+        val deleted = epoch.select(col("doc_id"))
+          .unionByName(batch.select(col("doc_id")))
+          .filter(col("doc_id") % 7 === 2)
+          .unionByName(Seq(999999L).toDF("doc_id"))
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+          .unionByName(Seq((80100L, "graftupsert novelterm ingestion"))
+            .toDF("qid", "qtext"))
+        val upserted = graft.operators.Bm25.upsertIndexStats(
+          graft.operators.Bm25.indexStats(epoch, "doc_id", "text"),
+          batch, "doc_id", "text")
+        val pruned = graft.operators.Bm25.removeIndexStats(
+          upserted, deleted, "doc_id")
+        graft.operators.Bm25.topKExternalStats(
+          pruned, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """fullc AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 2
+          |  UNION ALL
+          |  SELECT doc_id + 50000, CASE WHEN doc_id % 6 = 0
+          |      THEN text || ' graftupsert novelterm ingestion'
+          |      ELSE text END
+          |  FROM documents WHERE doc_id % 3 = 0 AND (doc_id + 50000) % 7 <> 2),
+          |""".stripMargin +
+        bm25ScoreCtes("fullc", "id", "", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 10)
+            |  WHERE length(tk) > 0
+            |UNION
+            |SELECT 80100 AS qid, unnest(
+            |  ['graftupsert', 'novelterm', 'ingestion']) AS term""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // STREAMING BM25 QUERY-AT-INGEST (Bm25.scoreExternalStats under
     // Structured Streaming) — the retrieval family's streaming member:
     // incoming query docs arrive as a stream and score against the

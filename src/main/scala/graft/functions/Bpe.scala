@@ -152,21 +152,9 @@ object Bpe {
       numMerges: Int = 48): Model = {
     require(sampleDocs >= 1 && maxWords >= 1 && numMerges >= 0,
       s"bad fit params: sampleDocs=$sampleDocs maxWords=$maxWords numMerges=$numMerges")
-    val mix = udf((id: Long) => TextFunctions.mix64(id))
-    // unsigned order via the sign-flip bijection (x ^ Long.MinValue
-    // preserves unsigned order under signed compare), so the bottom-k
-    // runs as a DISTRIBUTED sort+limit — the only collect is the capped
-    // sample itself
-    val sample = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
-      .withColumn("_h", mix(col("_id")).bitwiseXOR(lit(Long.MinValue)))
-      .orderBy(col("_h"))
-      .limit(sampleDocs)
-      .collect()
     val freq = scala.collection.mutable.HashMap.empty[String, Long]
-    sample.foreach { row =>
-      lex(row.getString(1)).foreach { tok =>
+    sampleTexts(docs, idCol, textCol, sampleDocs).foreach { text =>
+      lex(text).foreach { tok =>
         if (isAlpha(tok)) {
           val w = tok.toLowerCase(Locale.ROOT)
           freq.update(w, freq.getOrElse(w, 0L) + 1L)
@@ -174,6 +162,27 @@ object Bpe {
       }
     }
     fitFromWordFreq(freq.toMap, maxWords, numMerges)
+  }
+
+  /** The shared fit sample: the `sampleDocs` texts with the smallest
+    * unsigned splitmix64(doc id). Unsigned order rides the sign-flip
+    * bijection (x ^ Long.MinValue preserves unsigned order under signed
+    * compare), so the bottom-k runs as a DISTRIBUTED sort+limit — the
+    * only collect is the capped sample itself. Identical doc selection
+    * for every tokenizer basis (it depends only on ids), so the lexer
+    * and GPT-2 fits sample the same documents and their oracles share
+    * one `samp` CTE. */
+  private def sampleTexts(docs: DataFrame, idCol: String, textCol: String,
+      sampleDocs: Int): Array[String] = {
+    val mix = udf((id: Long) => TextFunctions.mix64(id))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+      .withColumn("_h", mix(col("_id")).bitwiseXOR(lit(Long.MinValue)))
+      .orderBy(col("_h"))
+      .limit(sampleDocs)
+      .collect()
+      .map(_.getString(1))
   }
 
   /** Encode one (lowercased alpha) word: chars, then every merge in rank
@@ -293,14 +302,27 @@ object Bpe {
     val n = text.length
     def isSpace(c: Char): Boolean = // Java regex \s: [ \t\n\x0B\f\r]
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-    def isNum(c: Char): Boolean = Character.getType(c) match {
+    def isNum(cp: Int): Boolean = Character.getType(cp) match {
       case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
            Character.OTHER_NUMBER => true
       case _ => false
     }
-    def cls(c: Char): Int =
-      if (isSpace(c)) 0 else if (Character.isLetter(c)) 1
-      else if (isNum(c)) 2 else 3
+    // classify per CODE POINT, not per UTF-16 char (r15 advice): the
+    // pinned Java regex's \p{L}/\p{N} match code points, so a non-BMP
+    // letter/number (surrogate pair, e.g. 𝒜 U+1D49C) must class as
+    // letter/number here too or the kernel==regex parity silently
+    // breaks outside the BMP. An unpaired surrogate classes as "other"
+    // — the regex's \p{L}/\p{N} cannot match one either. \s stays
+    // char-based (every Java-regex whitespace char is ASCII).
+    def clsAt(i: Int): Int = {
+      val c = text.charAt(i)
+      if (isSpace(c)) 0
+      else {
+        val cp = text.codePointAt(i)
+        if (Character.isLetter(cp)) 1 else if (isNum(cp)) 2 else 3
+      }
+    }
+    def step(i: Int): Int = i + Character.charCount(text.codePointAt(i))
     def contractionLen(i: Int): Int =
       if (text.charAt(i) != '\'' || i + 1 >= n) 0
       else {
@@ -319,14 +341,14 @@ object Bpe {
       else if (c == ' ' && i + 1 < n && !isSpace(text.charAt(i + 1))) {
         // ` ?X+` — the optional prefix is a LITERAL SPACE (0x20) only;
         // a tab/newline never attaches to the following run
-        val k = cls(text.charAt(i + 1))
-        var j = i + 2
-        while (j < n && cls(text.charAt(j)) == k) j += 1
+        val k = clsAt(i + 1)
+        var j = step(i + 1)
+        while (j < n && clsAt(j) == k) j = step(j)
         out += text.substring(i, j); i = j
       } else if (!isSpace(c)) {
-        val k = cls(c)
-        var j = i + 1
-        while (j < n && cls(text.charAt(j)) == k) j += 1
+        val k = clsAt(i)
+        var j = step(i)
+        while (j < n && clsAt(j) == k) j = step(j)
         out += text.substring(i, j); i = j
       } else {
         // `\s+(?!\S)` then `\s+`: a whitespace run followed by non-space
@@ -347,6 +369,72 @@ object Bpe {
 
   /** Column form of [[gpt2PreTokenize]]. */
   def gpt2PreTokensCol(text: Column): Column = gpt2Udf(text)
+
+  /** The GPT-2-basis BPE-merged pre-token class: an optionally
+    * space-prefixed pure-ASCII letter run (`" the"` / `"the"` — the
+    * leading literal space is PART of the word, so the two learn
+    * separate merge statistics: byte-level BPE's defining property).
+    * Everything else the scanner emits — contractions (`'s`),
+    * space-attached digit/punct runs, whitespace tokens — passes
+    * through atomic (ASCII) or byte-fallback (non-ASCII). */
+  val Gpt2AlphaPattern = "^ ?[A-Za-z]+$"
+
+  private val gpt2AlphaRe = Gpt2AlphaPattern.r
+
+  private def isGpt2Alpha(tok: String): Boolean = gpt2AlphaRe.matches(tok)
+
+  /** [[fit]] on the GPT-2 pre-token basis (r15 missing #3): the same
+    * hash-capped sample and merge loop, but words are
+    * [[gpt2PreTokenize]]'s space-attached letter runs, ASCII-lowered —
+    * so the fitted table contains merges like (" ", "t") that the
+    * lexer basis can never learn, and " the" / "the" tokenize
+    * independently. Symbols are single chars incl. the leading space;
+    * [[fitFromWordFreq]] is shared unchanged. */
+  def fitGpt2(docs: DataFrame, idCol: String, textCol: String,
+      sampleDocs: Int = 256, maxWords: Int = 4096,
+      numMerges: Int = 48): Model = {
+    require(sampleDocs >= 1 && maxWords >= 1 && numMerges >= 0,
+      s"bad fit params: sampleDocs=$sampleDocs maxWords=$maxWords numMerges=$numMerges")
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    sampleTexts(docs, idCol, textCol, sampleDocs).foreach { text =>
+      gpt2PreTokenize(text).foreach { tok =>
+        if (isGpt2Alpha(tok)) {
+          val w = tok.toLowerCase(Locale.ROOT)
+          freq.update(w, freq.getOrElse(w, 0L) + 1L)
+        }
+      }
+    }
+    fitFromWordFreq(freq.toMap, maxWords, numMerges)
+  }
+
+  /** Fused GPT-2-basis encode — ONE pass per document (pre-tokenize →
+    * per-token merge/atomic/byte-fallback inside a single kernel, so
+    * the text crosses the JVM boundary once — the r15 advisory's
+    * composition seam closed). Space-attached alpha pre-tokens
+    * BPE-encode (lowercased, space as a first-class symbol); other
+    * ASCII pre-tokens are atomic; a non-ASCII pre-token decomposes to
+    * [[ByteTokens]] over its FULL UTF-8 byte run (under this scanner a
+    * non-ASCII pre-token can be a multi-code-point letter run — unlike
+    * the `\w` lexer's single-code-point guarantee, so oracles must
+    * stay ASCII, q243's stance). Tokens still tile the input up to
+    * ASCII lowering of the merged class. */
+  def encodeTextGpt2(text: String, model: Model): Seq[String] = {
+    val toks = gpt2PreTokenize(text)
+    val out = Seq.newBuilder[String]
+    toks.foreach { tok =>
+      if (isGpt2Alpha(tok))
+        out ++= encodeWordMemo(tok.toLowerCase(Locale.ROOT), model)
+      else if (isAscii(tok)) out += tok
+      else out ++= byteFallback(tok)
+    }
+    out.result()
+  }
+
+  /** Column form of [[encodeTextGpt2]] (the model rides the closure). */
+  def encodeGpt2Col(text: Column, model: Model): Column = {
+    val f = udf((t: String) => encodeTextGpt2(t, model))
+    f(text)
+  }
 
   /** Word-boundary marker for the invertible token stream (the
     * SentencePiece convention): prefixed to the FIRST subword of every

@@ -119,7 +119,16 @@ object Bm25 {
   /** Distinct query terms per qid — `array_distinct` BEFORE the explode,
     * so the derivation is one narrow pass: no distinct() shuffle on the
     * batch path, and ZERO stateful operators on a STREAMING queries
-    * frame (the q245 ingest stream scores through exactly this). */
+    * frame (the q245 ingest stream scores through exactly this).
+    *
+    * PRECONDITION (r15 advice): the queries frame must carry ONE row per
+    * qid. Dedup here is per-row, so two rows sharing a qid would have
+    * their term multisets summed, double-counting shared terms and
+    * silently changing rankings — and the streaming path CANNOT repair
+    * that (a cross-row dropDuplicates is a second stateful op). Callers
+    * with possibly-duplicated query frames must dropDuplicates(qid)
+    * batch-side before calling [[topKExternal]] / [[topKExternalStats]]
+    * / [[scoreExternalStats]]. */
   private def queryTerms(queries: DataFrame, qidCol: String,
       qtextCol: String): DataFrame =
     queries.select(col(qidCol).as("qid"),
@@ -210,6 +219,48 @@ object Bm25 {
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
       totals = base.totals.unionByName(b.totals)
         .agg(sum(col("_T")).as("_T"), sum(col("_N")).as("_N")))
+  }
+
+  /** DELETION-AWARE index maintenance (r15 missing #1): subtract a set
+    * of deleted document ids from the epoch statistics WITHOUT touching
+    * corpus text — the pipeline's own dedup (q219/q238) removes
+    * documents, so an append-only index goes stale the first time its
+    * corpus is curated. Every stat is an additive fold, so deletion is
+    * the same algebra with negated deltas, and the deltas are all
+    * DERIVABLE FROM THE INDEX ITSELF (tf holds the deleted docs' term
+    * rows; dl their lengths):
+    *   tf/dl: anti-join on id (drop the deleted docs' rows);
+    *   df: per-term count of deleted docs containing the term,
+    *     subtracted; terms reaching 0 DROP (a term no live doc contains
+    *     must not linger with df=0 — idf would divide by a phantom);
+    *   totals: _T minus the deleted docs' token mass, _N minus the
+    *     count of deleted docs actually present in the index (ids never
+    *     indexed are ignored, so delete is idempotent).
+    * Composes with [[upsertIndexStats]] for the dedup-then-reindex
+    * cycle: remove(upsert(stats, batch), dupIds) ≡ recompute over
+    * (epoch ∪ batch) ∖ dups — gated hash-equal (q254).
+    *
+    * Scale shape: two id-keyed anti/semi-joins against a (small)
+    * deleted-id set — broadcastable in the daily case — one term-keyed
+    * merge for df, one 1-row totals fold; never touches text. */
+  def removeIndexStats(base: IndexStats, deletedIds: DataFrame,
+      idCol: String): IndexStats = {
+    val del = deletedIds.select(col(idCol).as("id"))
+    val delTf = base.tf.join(del, Seq("id"), "left_semi")
+    val dfDelta = delTf.groupBy(col("term")).agg(count(lit(1)).as("_ddf"))
+    val delTotals = base.dl.join(del, Seq("id"), "left_semi")
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("_dT"),
+        count(lit(1)).as("_dN"))
+    IndexStats(
+      tf = base.tf.join(del, Seq("id"), "left_anti"),
+      dl = base.dl.join(del, Seq("id"), "left_anti"),
+      df = base.df.join(dfDelta, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("_ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0),
+      totals = base.totals.crossJoin(broadcast(delTotals))
+        .select((col("_T") - col("_dT")).as("_T"),
+          (col("_N") - col("_dN")).as("_N")))
   }
 
   /** [[topKExternal]] against maintained [[IndexStats]] — ingest-time

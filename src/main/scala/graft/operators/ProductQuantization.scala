@@ -142,8 +142,33 @@ object ProductQuantization {
   private[graft] final case class IvfPq(coarse: Array[Array[Double]],
       model: PQModel, dim: Int, index: DataFrame)
 
-  private def fitIvfPq(corpus: DataFrame, nCells: Int, m: Int, kCodes: Int,
-      maxTrainRows: Long): IvfPq = {
+  /** A FROZEN, VERSIONED IVF-PQ fit — the maintainable form of the ANN
+    * index's model half (r15 missing #2). `fitId` is a deterministic
+    * fold of every centroid bit, so two fits agree on fitId iff they
+    * are the same geometry: index rows stamp it, and [[upsertAnnIndex]]
+    * refuses (loudly, per row) to fold a batch into an index built
+    * under a different fit — the silent-mixed-codebook corruption a
+    * daily ingest would otherwise hit on the first refit. */
+  final case class IvfPqFit(fitId: Long, coarse: Array[Array[Double]],
+      model: PQModel, dim: Int) extends Serializable
+
+  private def foldDoubles(seed: Long, xs: Iterator[Double]): Long = {
+    var h = seed
+    xs.foreach { d =>
+      h ^= java.lang.Double.doubleToLongBits(d)
+      h *= 0x9e3779b97f4a7c15L
+      h ^= (h >>> 32)
+    }
+    h
+  }
+
+  /** Train the coarse + PQ fits on a hash-capped sorted sample and
+    * FREEZE them (the [[fitIvfPq]] training half, exposed): the fit is
+    * a pure function of (corpus, params), does not grow with data, and
+    * is the unit a daily-maintenance cycle holds CONSTANT while the
+    * index rows accrete ([[upsertAnnIndex]]). */
+  def fitFrozen(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
+      kCodes: Int = 16, maxTrainRows: Long = 100000L): IvfPqFit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions.normFast
@@ -169,20 +194,63 @@ object ProductQuantization {
         java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       LocalKMeans.fitSortedForgy(sub, kCodes, maxIter = 10)
     }
-    val model = PQModel(m, subDim, codebooks)
+    val fitId = foldDoubles(dim.toLong * 31 + m,
+      coarse.iterator.flatten ++
+        codebooks.iterator.flatMap(_.iterator).flatten)
+    IvfPqFit(fitId, coarse, PQModel(m, subDim, codebooks), dim)
+  }
 
-    // index build: coarse cell + code in one narrow pass; a null/wrong-dim
-    // row drops (one bad row must not kill the build)
-    val bcCoarse = spark.sparkContext.broadcast(coarse)
+  /** Assign + encode a vector set under a FROZEN fit: (vec_id, cell,
+    * code, fit_id) — one narrow pass, zero-norm / null / wrong-dim rows
+    * dropped (one bad row must not kill the build). Because every
+    * output row is a pure per-row function of the frozen fit, the index
+    * is trivially incremental: fold a daily batch with
+    * [[upsertAnnIndex]] and query-time results are HASH-EQUAL to a full
+    * rebuild from the same fit over the union (gated, q255). */
+  def annIndex(fit: IvfPqFit, vectors: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.normFast
+    val spark = vectors.sparkSession
+    val dim = fit.dim
+    val bcCoarse = spark.sparkContext.broadcast(fit.coarse)
+    val model = fit.model
     val cellOf = udf((v: Seq[Float]) =>
       if (v == null || v.length != dim) None
       else Some(LocalKMeans.nearestDouble(v, bcCoarse.value)))
     val enc = udf((v: Seq[Float]) => Option(encodeKernel(v, model)))
-    val index = vecs
+    vectors
+      .withColumn("nnorm", normFast(col("embedding")))
+      .filter(col("nnorm") > 0)
       .select(col("vec_id"), cellOf(col("embedding")).as("cell"),
         enc(col("embedding")).as("code"))
       .filter(col("cell").isNotNull && col("code").isNotNull)
-    IvfPq(coarse, model, dim, index)
+      .withColumn("fit_id", lit(fit.fitId))
+  }
+
+  /** DAILY-BATCH ANN index maintenance: encode the batch under the
+    * FROZEN fit and union it into the epoch index — no refit, no
+    * re-encode of epoch rows (the q242 sufficient-statistics argument,
+    * ANN edition: index rows are per-row functions of the fit, so
+    * append IS maintenance). The per-row `raise_error` guard keeps a
+    * mixed-fit union impossible: folding rows stamped by a DIFFERENT
+    * fit id fails loudly at scan time, not silently at ranking time.
+    * Deletion composes the same way as BM25's ([[Bm25
+    * .removeIndexStats]]): an anti-join on vec_id, no stats to adjust
+    * — codes are per-row. */
+  def upsertAnnIndex(fit: IvfPqFit, base: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val guarded = base.withColumn("fit_id",
+      when(col("fit_id") === lit(fit.fitId), col("fit_id"))
+        .otherwise(raise_error(concat(
+          lit(s"upsertAnnIndex: base index was built under fit_id "),
+          col("fit_id"), lit(s", not ${fit.fitId} — refit requires a full"
+            + " index rebuild, not an upsert")))))
+    guarded.unionByName(annIndex(fit, batch))
+  }
+
+  private def fitIvfPq(corpus: DataFrame, nCells: Int, m: Int, kCodes: Int,
+      maxTrainRows: Long): IvfPq = {
+    val fit = fitFrozen(corpus, nCells, m, kCodes, maxTrainRows)
+    IvfPq(fit.coarse, fit.model, fit.dim, annIndex(fit, corpus))
   }
 
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -263,10 +331,20 @@ object ProductQuantization {
   def ivfAdcTopKDistributed(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
       maxTrainRows: Long = 100000L): DataFrame = {
-    val fitted = fitIvfPq(corpus, nCells, m, kCodes, maxTrainRows)
-    val dim = fitted.dim
-    val model = fitted.model
-    val coarse = fitted.coarse
+    val fit = fitFrozen(corpus, nCells, m, kCodes, maxTrainRows)
+    queryIndexDistributed(fit, annIndex(fit, corpus), queries, k, nprobe)
+  }
+
+  /** The [[ivfAdcTopKDistributed]] QUERY stage against a PREBUILT
+    * (vec_id, cell, code) index — the serve path of the maintenance
+    * cycle: fit once ([[fitFrozen]]), build/fold the index
+    * ([[annIndex]]/[[upsertAnnIndex]]), query here without refitting.
+    * Arithmetic identical to the fused form path-for-path. */
+  def queryIndexDistributed(fit: IvfPqFit, index: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val dim = fit.dim
+    val model = fit.model
+    val coarse = fit.coarse
     val cNorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
     // per-codebook offsets into the flattened table (a codebook may hold
     // fewer than kCodes centroids when the training sample is small)
@@ -307,7 +385,7 @@ object ProductQuantization {
       while (i < code.length) { s += tbl(offsets(i) + code(i)); i += 1 }
       s
     })
-    val scored = fitted.index.join(qSide, Seq("cell"))
+    val scored = index.join(qSide, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("approx_dot", score(col("code"), col("tbl")))
     scored.groupBy(col("qid"))

@@ -294,7 +294,12 @@ class BpeSpec extends SparkSuite {
       "a  b   c", "trailing spaces   ", "   leading", "tabs\tand\nnewlines",
       "punct...runs!?", "mixed 'IT'S' case", "a'd", "q're'll", "",
       "  ", "'", "a'", "one-two--three", "3.14 and 2,000,000",
-      "quote 'inside' text", "I'm I'M", "'ll at start")
+      "quote 'inside' text", "I'm I'M", "'ll at start",
+      // non-BMP (surrogate pairs) — r15 advice: \p{L}/\p{N} match code
+      // points, so 𝒜 (U+1D49C, letter) and 𝟙 (U+1D7D9, number) must
+      // class per code point, not per UTF-16 char; 😀 is "other"
+      "math 𝒜𝒷𝒸 script", "digits 𝟙𝟚𝟛 here", "a𝒜b mixed", " 𝒜fter space",
+      "𝒜't contraction", "😀 emoji 𝒜𝟙 run", "café naïve BMP accents")
     battery.foreach { t =>
       assert(Bpe.gpt2PreTokenize(t).toSeq == viaRegex(t),
         s"diverged on <$t>: ${Bpe.gpt2PreTokenize(t).toSeq} vs ${viaRegex(t)}")

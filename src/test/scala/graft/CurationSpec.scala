@@ -995,6 +995,83 @@ class CurationSpec extends SparkSuite {
     a.foreach(r => assert(r._1 == r._2 % 4, s"shard routing broke: $r"))
   }
 
+  /** The pre-r16 linear open-bin scan, kept verbatim as the parity
+    * oracle for the TreeMap rewrite: smallest remaining capacity that
+    * fits, ties to the lowest bin index. */
+  private def bfdLinearReference(shard: Long, docsIn: Array[(Long, Long)],
+      b: Long): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val docs = docsIn.sortBy { case (id, n) => (-n, id) }
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+    var seqCursor = 0L
+    docs.iterator.filter(_._2 > b).foreach { case (id, n) =>
+      val span = (n + b - 1) / b
+      out += ((shard, id, n, seqCursor, 0L, seqCursor + span - 1, 1L))
+      seqCursor += span
+    }
+    val rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+    docs.iterator.filter(_._2 <= b).foreach { case (id, n) =>
+      var best = -1; var bestRem = Long.MaxValue; var i = 0
+      while (i < rems.length) {
+        val r = rems(i)
+        if (r >= n && r < bestRem) { best = i; bestRem = r }
+        i += 1
+      }
+      if (best < 0) {
+        rems += (b - n)
+        val s = seqCursor + rems.length - 1
+        out += ((shard, id, n, s, 0L, s, 0L))
+      } else {
+        val s = seqCursor + best
+        out += ((shard, id, n, s, b - rems(best), s, 0L))
+        rems(best) -= n
+      }
+    }
+    out.result()
+  }
+
+  test("bfdPackShard: TreeMap search is placement-identical to the linear scan (adversarial near-full bins)") {
+    // deterministic xorshift sizes; the mix of sizes just under B/2 and
+    // tiny fillers produces MANY open bins at MANY distinct remaining
+    // capacities with frequent capacity ties — exactly where a tie-rule
+    // divergence between ceilingEntry+first() and the old scan would show
+    var x = 0x9e3779b97f4a7c15L
+    def nx(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    val b = 1000L
+    val docs = (0 until 5000).map { i =>
+      val r = math.floorMod(nx(), 100)
+      val n = if (r < 30) 480L + math.floorMod(nx(), 25)      // near-half
+              else if (r < 60) 1L + math.floorMod(nx(), 20)   // tiny filler
+              else if (r < 90) 1L + math.floorMod(nx(), b)    // uniform
+              else b + math.floorMod(nx(), 3 * b)             // oversized
+      (i.toLong, n)
+    }.toArray
+    val got = Curation.bfdPackShard(7L, docs, b).toSeq
+    val want = bfdLinearReference(7L, docs, b)
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("bfdPackShard: 1M-doc shard completes fast (sub-quadratic bin search)") {
+    // 1M docs averaging ~500 tokens at budget 2048 opens ~250k bins; the
+    // pre-r16 linear scan is ~10^11 long-compares here (minutes). The
+    // ordered-map search is ~1M·log2(250k) ≈ 2·10^7 map ops — well under
+    // the bound even on a loaded host. Growth check: 4× the docs must
+    // cost far less than 16× (quadratic); allow 12× for JIT/GC noise.
+    var x = 0x2545f4914f6cdd1dL
+    def nx(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    def run(nDocs: Int): Double = {
+      val docs = Array.tabulate(nDocs)(i => (i.toLong, 1L + math.floorMod(nx(), 1000)))
+      val t0 = System.nanoTime()
+      val m = Curation.bfdPackShard(0L, docs, 2048L).length
+      assert(m == nDocs)
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(50000) // JIT warm-up
+    val t1 = run(250000)
+    val t4 = run(1000000)
+    assert(t4 < 30.0, s"1M-doc shard took $t4 s — bin search regressed to quadratic?")
+    assert(t4 < 12 * math.max(t1, 0.05), s"growth 250k→1M: $t1 s → $t4 s")
+  }
+
   test("packing efficiency arithmetic: crossing docs and tail fill, hand-checked") {
     // one shard, budget 10: docs of 4, 8, 6, 2 tokens at offsets
     // 0, 4, 12, 18 → doc 2 spans seqs 0→1 (crossing), doc 3 spans 1→1,
