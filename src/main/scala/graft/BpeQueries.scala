@@ -38,6 +38,141 @@ object BpeQueries {
   private val Lex = "\\w+|[^\\w\\s]"
   private val Alpha = "^[A-Za-z]+$"
 
+  /** [[Bpe.Gpt2AlphaPattern]] verbatim — the GPT-2-basis merged class
+    * (optionally space-prefixed ASCII letter run). */
+  private val GAlpha = "^ ?[A-Za-z]+$"
+
+  /** The q243/q256 fixture corpus: documents plus three planted docs
+    * that exercise every scanner branch IN THE GATE (the synthetic
+    * corpus carries no apostrophes or tabs) — contractions, blocked
+    * contractions (after space/punct/inside punct runs), tab/newline
+    * non-attachment, multi-space splits, trailing runs, digit/letter
+    * transitions. */
+  private def plantedGpt2Docs(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (95001L, "I'm sure we're fine don't you think it'll work they've said he'd agree 's"),
+      (95002L, "rock'sand can'tify a''s x.'s 9's q're'll !'s and 'IT'S' case"),
+      (95003L, "tabs\tand\nnewlines  double  spaces\t'd trailing   ")
+    ).toDF("doc_id", "text")
+  }
+
+  /** SQL twin of [[plantedGpt2Docs]] ∪ documents: the `docs` CTE. */
+  private val gpt2DocsCte: String =
+    """docs AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text FROM documents
+      |    UNION ALL SELECT 95001, 'I' || chr(39) || 'm sure we' || chr(39) || 're fine don' || chr(39) || 't you think it' || chr(39) || 'll work they' || chr(39) || 've said he' || chr(39) || 'd agree ' || chr(39) || 's'
+      |    UNION ALL SELECT 95002, 'rock' || chr(39) || 'sand can' || chr(39) || 'tify a' || chr(39) || chr(39) || 's x.' || chr(39) || 's 9' || chr(39) || 's q' || chr(39) || 're' || chr(39) || 'll !' || chr(39) || 's and ' || chr(39) || 'IT' || chr(39) || 'S' || chr(39) || ' case'
+      |    UNION ALL SELECT 95003, 'tabs' || chr(9) || 'and' || chr(10) || 'newlines  double  spaces' || chr(9) || chr(39) || 'd trailing   '
+      |  ) WHERE length(text) > 0)""".stripMargin
+
+  /** The GPT-2 scanner replayed as pure window SQL over char positions
+    * (q243's oracle chain, parameterized): class changes, the
+    * literal-space attach, the all-but-last whitespace split, and
+    * scanner-aligned contraction spans. Emits CTEs `{p}ch…{p}toks`;
+    * output `{p}toks(doc_id, tid, t)` tiles `src(doc_id, text)`
+    * exactly. Non-ASCII errors loudly — the kernel classifies by
+    * unicode code point, which this ASCII replay cannot. */
+  private def gpt2PreTokCtes(p: String, src: String): String =
+    s"""${p}ch AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+       |  FROM $src),
+       |${p}cl AS (SELECT doc_id, i, text[i] AS c,
+       |    CASE WHEN text[i] IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+       |           THEN 0
+       |         WHEN regexp_matches(text[i], '^[A-Za-z]$$') THEN 1
+       |         WHEN regexp_matches(text[i], '^[0-9]$$') THEN 2
+       |         WHEN unicode(text[i]) > 127 OR unicode(text[i]) < 0
+       |           THEN CAST(error('non-ASCII in gpt2 pre-token oracle — kernel uses unicode classes; fixture must stay ASCII') AS INTEGER)
+       |         ELSE 3 END AS k,
+       |    (text[i] = ' ') AS sp,
+       |    CASE WHEN text[i] = chr(39) THEN
+       |        CASE WHEN substr(text, i + 1, 2) IN ('re', 've', 'll') THEN 3
+       |             WHEN substr(text, i + 1, 1) IN ('s', 't', 'm', 'd') THEN 2
+       |             ELSE 0 END
+       |      ELSE 0 END AS sufx
+       |  FROM ${p}ch),
+       |${p}fl AS (SELECT doc_id, i, c, k, sp,
+       |    CASE WHEN sufx > 0 AND (i = 1 OR lag(k) OVER w IN (1, 2)
+       |        OR (lag(k) OVER w = 0 AND NOT lag(sp) OVER w)) THEN sufx
+       |      ELSE 0 END AS clen
+       |  FROM ${p}cl WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |${p}bd AS (SELECT doc_id, i, c, k, clen,
+       |    lag(k) OVER w AS pk, lag(sp) OVER w AS psp, lead(k) OVER w AS nk,
+       |    lag(clen, 1) OVER w AS c1, lag(clen, 2) OVER w AS c2,
+       |    lag(clen, 3) OVER w AS c3
+       |  FROM ${p}fl WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |${p}bnd AS (SELECT doc_id, i, c, clen,
+       |    CASE
+       |      WHEN c1 >= 2 OR c2 = 3 THEN 0
+       |      WHEN clen > 0 THEN 1
+       |      WHEN c2 = 2 OR c3 = 3 THEN 1
+       |      WHEN i = 1 THEN 1
+       |      WHEN k <> 0 AND pk = 0 THEN CASE WHEN psp THEN 0 ELSE 1 END
+       |      WHEN k <> 0 AND pk <> 0 AND k <> pk THEN 1
+       |      WHEN k <> 0 THEN 0
+       |      WHEN pk <> 0 THEN 1
+       |      ELSE CASE WHEN nk IS NOT NULL AND nk <> 0 THEN 1 ELSE 0 END
+       |    END AS b
+       |  FROM ${p}bd),
+       |${p}tk AS (SELECT doc_id, i, c,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS tid
+       |  FROM ${p}bnd),
+       |${p}toks AS (SELECT doc_id, tid, string_agg(c, '' ORDER BY i) AS t
+       |  FROM ${p}tk GROUP BY 1, 2)""".stripMargin
+
+  /** GPT-2-basis fit replay ([[Bpe.fitGpt2]]): word frequencies from
+    * the SAME mix64 sample docs as the lexer fit (`samp` — doc
+    * selection depends only on ids), words = space-attached alpha
+    * pre-tokens from `gstoks`, then the standard merge-step unroll
+    * under `g` names. */
+  private def gpt2FitCtes: String = {
+    val head =
+      s"""gwf AS (SELECT lower(t) AS w, count(*) AS f FROM gstoks
+         |  WHERE regexp_matches(t, '$GAlpha') GROUP BY 1),
+         |gvocab AS (SELECT w, f FROM gwf ORDER BY f DESC, w LIMIT $MaxWords),
+         |gv0 AS MATERIALIZED (SELECT w, f,
+         |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM gvocab)""".stripMargin
+    val steps = (1 to NumMerges).map { k =>
+      s"""gp$k AS (SELECT s[i] AS l, s[i+1] AS r, f FROM (
+         |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i FROM gv${k - 1} WHERE len(s) >= 2)),
+         |gc$k AS (SELECT l, r, sum(f) AS c FROM gp$k GROUP BY 1, 2),
+         |gb$k AS MATERIALIZED (SELECT l, r FROM gc$k WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+         |${applyCtes(s"gf$k", s"gv${k - 1}", s"gb$k", s"gv$k", carryF = true)}""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** GPT-2-basis encode replay ([[Bpe.encodeTextGpt2]]): every distinct
+    * alpha-class pre-token of `gdtoks` through all merge passes, then
+    * the per-doc ordered stream `gper(doc_id, bt, ok)` — `ok` asserts
+    * each pre-token's subwords concatenate back to its (lowered) text,
+    * the merge-pass reconstruction check. */
+  private def gpt2EncodeCtes: String = {
+    val head =
+      s"""gcw AS (SELECT DISTINCT lower(t) AS w FROM gdtoks
+         |  WHERE regexp_matches(t, '$GAlpha')),
+         |ge0 AS MATERIALIZED (SELECT w,
+         |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM gcw)""".stripMargin
+    val steps = (1 to NumMerges).map(k =>
+      applyCtes(s"gx$k", s"ge${k - 1}", s"gb$k", s"ge$k", carryF = false))
+    val flat =
+      s"""gds AS (SELECT d.doc_id, d.tid,
+         |    CASE WHEN regexp_matches(d.t, '$GAlpha') THEN e.s
+         |      WHEN regexp_matches(d.t, '^[\\x00-\\x7f]+$$') THEN [d.t]
+         |      ELSE [error('non-ASCII pre-token in q256 oracle — gpt2 byte fallback is multi-code-point; fixture must stay ASCII')]
+         |      END AS subs,
+         |    CASE WHEN regexp_matches(d.t, '$GAlpha') THEN lower(d.t)
+         |      ELSE d.t END AS want
+         |  FROM gdtoks d LEFT JOIN ge$NumMerges e ON e.w = lower(d.t)),
+         |gper AS MATERIALIZED (SELECT doc_id,
+         |    flatten(list(subs ORDER BY tid)) AS bt,
+         |    min(CASE WHEN array_to_string(subs, '') = want THEN 1 ELSE 0 END) AS ok
+         |  FROM gds GROUP BY doc_id)""".stripMargin
+    (head +: steps :+ flat).mkString(",\n")
+  }
+
   private def bfdPackChain: String =
     s"""WITH RECURSIVE $fitChain,
              |$encodeChain,
@@ -45,7 +180,15 @@ object BpeQueries {
              |    CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n
              |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
              |pos AS (SELECT * FROM nt WHERE n > 0),
-             |bigd AS (SELECT shard, doc_id, n,
+             |$bfdLandCtes""".stripMargin
+
+  /** The per-shard BFD replay (`bigd` … `land`, budget 512) over a
+    * caller-provided `pos(shard, doc_id, n)` CTE — shared by the q239
+    * family (pos = doc_id % 8 over BPE counts) and q258 (pos =
+    * token-mass-balanced shards over lexer counts). Requires WITH
+    * RECURSIVE on the enclosing chain. */
+  private def bfdLandCtes: String =
+    s"""bigd AS (SELECT shard, doc_id, n,
              |    CAST(coalesce(SUM((n + 511) // 512) OVER (PARTITION BY shard
              |      ORDER BY n DESC, doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -613,6 +756,78 @@ object BpeQueries {
           |  CAST(max(crossing) AS BIGINT) AS has_oversized
           |FROM tis GROUP BY shard, seq""".stripMargin)),
 
+    // TOKEN-MASS-BALANCED PACKING SHARDS (Curation.balancedShards +
+    // packSequencesBestFitBalanced, r15 missing #6): `id % shards` puts
+    // unbounded token mass on one task under id-correlated length skew
+    // — this fixture PLANTS exactly that (every doc_id ≡ 0 mod 8 is 8×
+    // longer, so naive shard 0 carries ~4× the mean). Running-mass
+    // binning assigns shard = ⌊prefix_mass · 8 / total⌋ instead; the
+    // gate emits per-shard load factors in micro units under BOTH
+    // assignments (balanced ≈ 1.0×, naive shard 0 visibly heavy) plus
+    // the q239-parity packing stats (n_seqs, crossing) of the BFD run
+    // over the balanced shards. Oracle replays the prefix-sum
+    // assignment as one window + the recursive best-fit replay.
+    Q("q258_balanced_packing_shards",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 8 === 0,
+              expr("repeat(concat(text, ' '), 8)"))
+              .otherwise(col("text")).as("text"))
+        def toks = graft.functions.TextFunctions.tokens(col("text"))
+        val packed = graft.operators.Curation.packSequencesBestFitBalanced(
+          d, "doc_id", toks, budgetTokens = 512, shards = 8)
+        val nt = d.select(col("doc_id"), size(toks).cast("long").as("n"))
+          .filter(col("n") > 0)
+        val tot = nt.agg(sum(col("n")).as("_T"))
+        val naive = nt.groupBy((col("doc_id") % 8).as("shard"))
+          .agg(sum(col("n")).as("naive_mass"))
+        packed.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bal_mass"),
+            (max(col("seq_end")) + 1).as("n_seqs"),
+            sum(col("crossing")).as("crossing_docs"))
+          .join(naive, Seq("shard"))
+          .crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("bal_mass"),
+            col("naive_mass"), col("n_seqs"), col("crossing_docs"),
+            expr("CAST(bal_mass * 8000000 DIV _T AS BIGINT)")
+              .as("bal_load_micro"),
+            expr("CAST(naive_mass * 8000000 DIV _T AS BIGINT)")
+              .as("naive_load_micro"))
+      },
+      Some(s"""WITH RECURSIVE docs2 AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 8 = 0
+             |    THEN repeat(text || ' ', 8) ELSE text END AS text
+             |  FROM documents),
+             |nt AS (SELECT doc_id, CAST(len(string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+             |    AS BIGINT) AS n FROM docs2),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM nt WHERE n > 0),
+             |pre AS (SELECT doc_id, n,
+             |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS p
+             |  FROM nt WHERE n > 0),
+             |pos AS (SELECT CAST((p * 8) // (SELECT t FROM tot) AS BIGINT)
+             |    AS shard, doc_id, n FROM pre),
+             |$bfdLandCtes,
+             |bal AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n) AS BIGINT) AS bal_mass,
+             |    CAST(max(seq_end) + 1 AS BIGINT) AS n_seqs,
+             |    CAST(sum(crossing) AS BIGINT) AS crossing_docs
+             |  FROM land GROUP BY shard),
+             |naive AS (SELECT doc_id % 8 AS shard,
+             |    CAST(sum(n) AS BIGINT) AS naive_mass
+             |  FROM nt WHERE n > 0 GROUP BY 1)
+             |SELECT b.shard, b.n_docs, b.bal_mass, nv.naive_mass, b.n_seqs,
+             |  b.crossing_docs,
+             |  CAST(b.bal_mass * 8000000 // (SELECT t FROM tot) AS BIGINT)
+             |    AS bal_load_micro,
+             |  CAST(nv.naive_mass * 8000000 // (SELECT t FROM tot) AS BIGINT)
+             |    AS naive_load_micro
+             |FROM bal b JOIN naive nv USING (shard)""".stripMargin)),
+
     // GPT-2-PATTERN PRE-TOKENIZER (Bpe.gpt2PreTokenize) — the
     // production-fidelity lexer variant (round-14 missing #5): the
     // byte-level-BPE pre-tokenization GPT-2 actually runs, with
@@ -626,20 +841,9 @@ object BpeQueries {
     // tiling round-trip (concat(tokens) must equal the text exactly).
     Q("q243_gpt2_pretokenizer",
       (spark, dir) => {
-        import spark.implicits._
-        // the synthetic corpus carries no apostrophes or tabs, so three
-        // planted docs exercise every scanner branch IN THE GATE (not
-        // just the spec): contractions, blocked contractions (after
-        // space/punct/inside punct runs), tab/newline non-attachment,
-        // multi-space splits, trailing runs, digit/letter transitions
-        val planted = Seq(
-          (95001L, "I'm sure we're fine don't you think it'll work they've said he'd agree 's"),
-          (95002L, "rock'sand can'tify a''s x.'s 9's q're'll !'s and 'IT'S' case"),
-          (95003L, "tabs\tand\nnewlines  double  spaces\t'd trailing   ")
-        ).toDF("doc_id", "text")
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
-          .unionByName(planted)
+          .unionByName(plantedGpt2Docs(spark))
           .filter(length(col("text")) > 0)
         d.select(col("doc_id"), col("text"),
             Bpe.gpt2PreTokensCol(col("text")).as("_t"))
@@ -652,58 +856,8 @@ object BpeQueries {
             when(array_join(col("_t"), "") === col("text"), 1L).otherwise(0L)
               .as("roundtrip_ok"))
       },
-      Some("""WITH docs AS (
-             |  SELECT doc_id, text FROM (
-             |    SELECT doc_id, text FROM documents
-             |    UNION ALL SELECT 95001, 'I' || chr(39) || 'm sure we' || chr(39) || 're fine don' || chr(39) || 't you think it' || chr(39) || 'll work they' || chr(39) || 've said he' || chr(39) || 'd agree ' || chr(39) || 's'
-             |    UNION ALL SELECT 95002, 'rock' || chr(39) || 'sand can' || chr(39) || 'tify a' || chr(39) || chr(39) || 's x.' || chr(39) || 's 9' || chr(39) || 's q' || chr(39) || 're' || chr(39) || 'll !' || chr(39) || 's and ' || chr(39) || 'IT' || chr(39) || 'S' || chr(39) || ' case'
-             |    UNION ALL SELECT 95003, 'tabs' || chr(9) || 'and' || chr(10) || 'newlines  double  spaces' || chr(9) || chr(39) || 'd trailing   '
-             |  ) WHERE length(text) > 0),
-             |ch AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
-             |  FROM docs),
-             |cl AS (SELECT doc_id, i, text[i] AS c,
-             |    CASE WHEN text[i] IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
-             |           THEN 0
-             |         WHEN regexp_matches(text[i], '^[A-Za-z]$') THEN 1
-             |         WHEN regexp_matches(text[i], '^[0-9]$') THEN 2
-             |         WHEN unicode(text[i]) > 127 OR unicode(text[i]) < 0
-             |           THEN CAST(error('non-ASCII in q243 oracle — kernel uses unicode classes; fixture must stay ASCII') AS INTEGER)
-             |         ELSE 3 END AS k,
-             |    (text[i] = ' ') AS sp,
-             |    CASE WHEN text[i] = chr(39) THEN
-             |        CASE WHEN substr(text, i + 1, 2) IN ('re', 've', 'll') THEN 3
-             |             WHEN substr(text, i + 1, 1) IN ('s', 't', 'm', 'd') THEN 2
-             |             ELSE 0 END
-             |      ELSE 0 END AS sufx
-             |  FROM ch),
-             |fl AS (SELECT doc_id, i, c, k, sp,
-             |    CASE WHEN sufx > 0 AND (i = 1 OR lag(k) OVER w IN (1, 2)
-             |        OR (lag(k) OVER w = 0 AND NOT lag(sp) OVER w)) THEN sufx
-             |      ELSE 0 END AS clen
-             |  FROM cl WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-             |bd AS (SELECT doc_id, i, c, k, clen,
-             |    lag(k) OVER w AS pk, lag(sp) OVER w AS psp, lead(k) OVER w AS nk,
-             |    lag(clen, 1) OVER w AS c1, lag(clen, 2) OVER w AS c2,
-             |    lag(clen, 3) OVER w AS c3
-             |  FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-             |bnd AS (SELECT doc_id, i, c, clen,
-             |    CASE
-             |      WHEN c1 >= 2 OR c2 = 3 THEN 0
-             |      WHEN clen > 0 THEN 1
-             |      WHEN c2 = 2 OR c3 = 3 THEN 1
-             |      WHEN i = 1 THEN 1
-             |      WHEN k <> 0 AND pk = 0 THEN CASE WHEN psp THEN 0 ELSE 1 END
-             |      WHEN k <> 0 AND pk <> 0 AND k <> pk THEN 1
-             |      WHEN k <> 0 THEN 0
-             |      WHEN pk <> 0 THEN 1
-             |      ELSE CASE WHEN nk IS NOT NULL AND nk <> 0 THEN 1 ELSE 0 END
-             |    END AS b
-             |  FROM bd),
-             |tk AS (SELECT doc_id, i, c,
-             |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS tid
-             |  FROM bnd),
-             |toks AS (SELECT doc_id, tid, string_agg(c, '' ORDER BY i) AS t
-             |  FROM tk GROUP BY 1, 2)
+      Some(s"""WITH $gpt2DocsCte,
+             |${gpt2PreTokCtes("", "docs")}
              |SELECT x.doc_id,
              |  CAST(count(*) AS BIGINT) AS n_pretokens,
              |  CAST(sum(CASE WHEN t IN (chr(39)||'s', chr(39)||'t', chr(39)||'re',
@@ -714,6 +868,67 @@ object BpeQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
              |FROM toks x JOIN docs d ON d.doc_id = x.doc_id
              |GROUP BY x.doc_id""".stripMargin)),
+
+    // BPE OVER GPT-2 PRE-TOKENS (Bpe.fitGpt2 + encodeTextGpt2) — the
+    // production composition (r15 missing #3): byte-level-BPE's
+    // defining property is that the leading literal space is part of
+    // the word (" the" and "the" carry separate merge statistics), and
+    // contractions stay atomic ('t never merges into "don t"-style
+    // lexer splits). Fit and encode run on the scanner's pre-tokens in
+    // ONE fused pass per doc; the oracle replays the scanner (window
+    // SQL, shared with q243), the fit (same mix64 sample docs — doc
+    // selection depends only on ids), every merge step, and every
+    // encode pass. The lexer-basis stream rides alongside (same docs,
+    // the existing fit+encode replay) so the fidelity delta is IN the
+    // gate: the contraction-heavy planted docs and every spaced doc
+    // must tokenize differently (shas differ, counts differ), and
+    // rebuild_ok pins that merged subwords still tile each pre-token.
+    Q("q256_bpe_gpt2_basis",
+      (spark, dir) => {
+        val base = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val d = base.unionByName(plantedGpt2Docs(spark))
+          .filter(length(col("text")) > 0)
+        val lexModel = fitModel(spark, dir)
+        val gModel = Bpe.fitGpt2(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", SampleDocs, MaxWords, NumMerges)
+        d.select(col("doc_id"), col("text"),
+            Bpe.encodeGpt2Col(col("text"), gModel).as("_g"),
+            Bpe.encodeCol(col("text"), lexModel).as("_l"),
+            Bpe.gpt2PreTokensCol(col("text")).as("_pt"))
+          .select(col("doc_id"),
+            size(col("_g")).cast("long").as("n_tok_gpt2"),
+            size(col("_l")).cast("long").as("n_tok_lex"),
+            sha2(array_join(col("_g"), "\u001f"), 256).as("gpt2_sha"),
+            sha2(array_join(col("_l"), "\u001f"), 256).as("lex_sha"),
+            array_join(slice(col("_g"), 1, 5), " ").as("head5"),
+            expr("CAST(size(filter(_g, x -> x IN " +
+              "(\"'s\",\"'t\",\"'re\",\"'ve\",\"'m\",\"'ll\",\"'d\"))) AS BIGINT)")
+              .as("n_contraction_toks"),
+            when(array_join(col("_g"), "") === array_join(expr(
+              "transform(_pt, x -> CASE WHEN x rlike '^ ?[A-Za-z]+$' " +
+                "THEN lower(x) ELSE x END)"), ""), 1L)
+              .otherwise(0L).as("rebuild_ok"))
+      },
+      Some(s"""WITH $gpt2DocsCte,
+             |$fitChain,
+             |${encodeChainOver("docs", byteFallback = false)},
+             |${gpt2PreTokCtes("gs", "samp")},
+             |$gpt2FitCtes,
+             |${gpt2PreTokCtes("gd", "docs")},
+             |$gpt2EncodeCtes
+             |SELECT d.doc_id,
+             |  CAST(len(gp.bt) AS BIGINT) AS n_tok_gpt2,
+             |  CAST(coalesce(len(p.bt), 0) AS BIGINT) AS n_tok_lex,
+             |  sha256(coalesce(array_to_string(gp.bt, chr(31)), '')) AS gpt2_sha,
+             |  sha256(coalesce(array_to_string(p.bt, chr(31)), '')) AS lex_sha,
+             |  array_to_string(gp.bt[1:5], ' ') AS head5,
+             |  CAST(len(list_filter(gp.bt, x -> x IN (chr(39)||'s',
+             |    chr(39)||'t', chr(39)||'re', chr(39)||'ve', chr(39)||'m',
+             |    chr(39)||'ll', chr(39)||'d'))) AS BIGINT) AS n_contraction_toks,
+             |  CAST(gp.ok AS BIGINT) AS rebuild_ok
+             |FROM docs d JOIN gper gp ON gp.doc_id = d.doc_id
+             |LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin)),
 
     // Token-ID encoding: the form a tokenized corpus is actually STORED
     // in — a deterministic vocabulary (subwords ranked by corpus

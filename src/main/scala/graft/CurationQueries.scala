@@ -1382,6 +1382,101 @@ object CurationQueries {
              |  LEFT JOIN ngn ON ngn.id = v.id
              |  LEFT JOIN hn ON hn.id = v.id""".stripMargin)),
 
+    // CHAR-LEVEL WINNOWING CONTAMINATION (Curation.winnowingFingerprints
+    // / charContaminationReport, r15 missing #5) — the rung UNDER the
+    // token 13-gram filters: ten planted eval docs are 60 RAW CHARS
+    // lifted verbatim from training docs (≈10 tokens — they carry ZERO
+    // 13-grams, so both token bases are structurally blind), plus one
+    // genuinely fresh doc long enough to carry 13-grams. Winnowing
+    // (k=25-char grams, window w=8, unsigned min selection) guarantees
+    // any shared run ≥ 32 chars shares a fingerprint, so the leaks
+    // read dirty on the char probe while the fresh doc stays clean on
+    // both — `sub_ngram_leak` is the defense's receipt. Broadcast
+    // stays on the eval side (q222 discipline); the oracle replays the
+    // fnv1a64 char-gram hashes (fnvFold), the ROWS-frame window min,
+    // and the raw 13-gram probe.
+    Q("q259_winnowing_contamination",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val leaks = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 97000L).as("doc_id"),
+            substring(col("text"), 21, 60).as("text"))
+        val fresh = Seq((97100L,
+          "the purple quantum walrus audits a crystalline ledger of " +
+            "unseen comets while seventeen translucent beacons hum " +
+            "beneath the patient glacier tonight"))
+          .toDF("doc_id", "text")
+        val evalSet = leaks.unionByName(fresh)
+        val char = Curation.charContaminationReport(
+          d, evalSet, "doc_id", "text", k = 25, w = 8)
+        val tok = Curation.evalContaminationReport(
+            d, evalSet, "doc_id", "text", n = 13)
+          .select(col("id"), col("n_grams").as("n13_grams"),
+            col("n_dirty").as("n13_dirty"))
+        char.join(tok, Seq("id"))
+          .select(col("id"), col("n_fp"), col("n_dirty_fp"), col("verdict"),
+            col("n13_grams"), col("n13_dirty"),
+            when(col("n_dirty_fp") > 0 && col("n13_dirty") === 0, 1L)
+              .otherwise(0L).as("sub_ngram_leak"))
+      },
+      Some(s"""WITH evals AS (
+             |  SELECT doc_id + 97000 AS id, substr(text, 21, 60) AS text
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL SELECT 97100,
+             |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
+             |ech AS (SELECT id, lower(text) AS t FROM evals),
+             |egr AS (SELECT id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM ech WHERE length(t) >= 25)),
+             |esel AS (SELECT DISTINCT id, fp FROM (
+             |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
+             |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
+             |tgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM tch WHERE length(t) >= 25)),
+             |tsel AS (SELECT DISTINCT fp FROM (
+             |  SELECT min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
+             |fcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp
+             |  FROM esel GROUP BY 1),
+             |fhit AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dirty_fp
+             |  FROM esel JOIN tsel USING (fp) GROUP BY 1),
+             |ew AS (SELECT id, string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+             |  FROM evals),
+             |eg AS (SELECT DISTINCT id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM ew WHERE len(w) >= 13)),
+             |tw AS (SELECT string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+             |  FROM documents),
+             |tg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tw WHERE len(w) >= 13)),
+             |ngr AS (SELECT id, CAST(count(*) AS BIGINT) AS n13_grams
+             |  FROM eg GROUP BY 1),
+             |hr AS (SELECT id, CAST(count(*) AS BIGINT) AS n13_dirty
+             |  FROM eg JOIN tg USING (g) GROUP BY 1)
+             |SELECT v.id,
+             |  coalesce(f.n_fp, 0) AS n_fp,
+             |  coalesce(fh.n_dirty_fp, 0) AS n_dirty_fp,
+             |  CASE WHEN coalesce(fh.n_dirty_fp, 0) > 0 THEN 'dirty'
+             |    ELSE 'clean' END AS verdict,
+             |  coalesce(ngr.n13_grams, 0) AS n13_grams,
+             |  coalesce(hr.n13_dirty, 0) AS n13_dirty,
+             |  CAST(CASE WHEN coalesce(fh.n_dirty_fp, 0) > 0
+             |    AND coalesce(hr.n13_dirty, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS sub_ngram_leak
+             |FROM evals v LEFT JOIN fcnt f ON f.id = v.id
+             |  LEFT JOIN fhit fh ON fh.id = v.id
+             |  LEFT JOIN ngr ON ngr.id = v.id
+             |  LEFT JOIN hr ON hr.id = v.id""".stripMargin)),
+
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
     // sibling: per-source cosine between OLD (even 20-id block) and
     // NEW (odd block) epoch centroids. The raw synthetic embeddings

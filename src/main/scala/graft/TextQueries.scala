@@ -484,6 +484,28 @@ object TextQueries {
           "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
           .as("embedding"))
 
+  /** Per-ROW form of [[hashedCountVecs]] (one UDF, no aggregation) —
+    * the STREAM-SAFE featurizer: a streaming queries frame must
+    * produce its dense-leg vectors without the aggregated form's two
+    * stateful groupBys. Kernel-equal by construction: same lower →
+    * whitespace tokens → fnv1a64 & 63 bucket counts (q257 gates the
+    * equality against the q241 chain, whose oracle replays the
+    * aggregated form). A zero-token text yields the zero vector here
+    * (vs no row there) — both are dropped by the SRP stage's norm>0
+    * guard before any band forms. */
+  private val hashedCountVecRowUdf = udf((t: String) => {
+    val counts = new Array[Float](64)
+    if (t != null) {
+      val trimmed = t.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("^\\s+|\\s+$", "")
+      if (trimmed.nonEmpty) trimmed.split("\\s+").foreach { tok =>
+        if (tok.nonEmpty)
+          counts((TextFunctions.fnv1a64(tok) & 63L).toInt) += 1f
+      }
+    }
+    counts.toSeq
+  })
+
   /** The q241 oracle replay up to `rankedf(qid, nid, rrf, rank)` — the
     * full chunk + both-leg + fusion chain; q241 selects the ranking,
     * q246 appends the context-assembly tail. */
@@ -2065,6 +2087,69 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // STREAMING HYBRID RETRIEVAL (r15 missing #4) — the fused (q241)
+    // ranking's streaming member: query docs arrive as a stream and
+    // BOTH legs score them against the static epoch chunk index with
+    // ONE stateful aggregation each. Lexical: the q245 stream-static
+    // posting join (score sum per (qid, id)). Dense: a per-ROW
+    // featurizer (hashedCountVecRowUdf — no groupBys), stateless SRP
+    // banding + bucket join + cosine against the static chunk vectors
+    // (srpScoredCandidates), then max(sim) per (qid, nid) — which
+    // equals the batch path's distinct-then-score because sim is a
+    // pure pair function. Ranking and integer-RRF fusion run batch-
+    // side on the materialized scores (presentation, not state). The
+    // oracle is q241's full chain verbatim: streaming == batch,
+    // hash-equal.
+    Q("q257_streaming_hybrid_retrieval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val chunks = graft.operators.Curation.chunkTexts(
+          d, "doc_id", "text", 128, 32)
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val inDir = s"/tmp/graft-hybstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(queries, "qid", s"$dir/documents_hybstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          queries.write.mode("overwrite").parquet(inDir)
+        val stats = graft.operators.Bm25.indexStats(
+          chunks, "chunk_key", "chunk_text")
+        val lexScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => graft.operators.Bm25.scoreExternalStats(
+            stats, stream, "qid", "qtext"),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q257lex_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        val chunkVecs = hashedCountVecs(chunks, "chunk_key", "chunk_text")
+        val denseScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => graft.operators.Similarity.srpScoredCandidates(
+              stream.select(col("qid").as("vec_id"),
+                hashedCountVecRowUdf(col("qtext")).as("embedding")),
+              chunkVecs)
+            .groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim")),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q257dense_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        import org.apache.spark.sql.expressions.Window
+        val wl = Window.partitionBy(col("qid"))
+          .orderBy(col("score_micro").desc, col("id").asc)
+        val lex = lexScores.withColumn("rank", row_number().over(wl))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("id").as("nid"), col("rank"))
+        val wd = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))
+        val dense = denseScores.withColumn("rank", row_number().over(wd))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("nid"), col("rank"))
+        graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+      },
+      Some(hybridChunkOracleChain +
+        """
+          |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
+          |FROM rankedf WHERE rank <= 10""".stripMargin)),
+
     // DEDUP THRESHOLD CALIBRATION SWEEP — the run a pipeline owner does
     // BEFORE fixing the near-dup Jaccard threshold: over the q226
     // corpus (base ∪ exact twins ∪ token-appended variants), every LSH
@@ -2092,8 +2177,18 @@ object TextQueries {
                 .as("n_exact"),
               expr("CAST(sum(jm) DIV count(1) AS BIGINT)")
                 .as("mean_jaccard_micro"))
-            .select(lit(t).as("tau_micro"), col("n_pairs"), col("n_exact"),
-              col("mean_jaccard_micro"))
+            // loud guard (r15 advice): the oracle's GROUP BY tau omits
+            // empty buckets while this side would emit an n_pairs=0 row
+            // with null aggregates — a latent row-count mismatch. The
+            // fixture plants exact twins that survive every tau, so an
+            // emptied bucket is fixture drift and must FAIL, not
+            // hash-diverge.
+            .select(lit(t).as("tau_micro"),
+              when(col("n_pairs") > 0, col("n_pairs"))
+                .otherwise(raise_error(lit(s"q251: tau bucket $t emptied —" +
+                  " the oracle omits empty buckets; re-plant the fixture")))
+                .as("n_pairs"),
+              col("n_exact"), col("mean_jaccard_micro"))
         }.reduce(_ unionByName _)
       },
       Some(lshBandCtes(

@@ -207,8 +207,8 @@ object Bm25 {
     * HASH-EQUAL to a full recompute over epoch ∪ batch, because the
     * stats are sufficient and the contribs re-derive from them.
     * Contract: batch ids must be NEW (append-only ingest); updating or
-    * deleting a doc requires subtracting its old rows first — a
-    * different operation this deliberately does not hide. */
+    * deleting a doc requires subtracting its old rows first — the
+    * separate [[removeIndexStats]] (update = remove ∘ upsert). */
   def upsertIndexStats(base: IndexStats, batch: DataFrame,
       idCol: String, textCol: String): IndexStats = {
     val b = indexStats(batch, idCol, textCol)
@@ -261,6 +261,25 @@ object Bm25 {
       totals = base.totals.crossJoin(broadcast(delTotals))
         .select((col("_T") - col("_dT")).as("_T"),
           (col("_N") - col("_dN")).as("_N")))
+  }
+
+  /** [[removeIndexStats]] at CHUNK granularity, keyed by parent doc
+    * (the q253 index's deletion path): a curation pass deletes DOCS,
+    * but the chunk index is keyed by `chunk_key = doc_id·stride +
+    * idx` — the affected chunk keys are derived FROM THE INDEX ITSELF
+    * (dl holds every live chunk key; `key DIV stride` is the parent
+    * contract, [[Curation.ChunkKeyStride]]), so no re-chunking and no
+    * text touch. Deleting a doc with no surviving chunks is a no-op
+    * (idempotent, like the id form). */
+  def removeDocsFromChunkIndex(base: IndexStats, deletedDocs: DataFrame,
+      docIdCol: String,
+      stride: Long = graft.operators.Curation.ChunkKeyStride): IndexStats = {
+    val del = deletedDocs.select(col(docIdCol).as("_doc"))
+    val chunkIds = base.dl
+      .select(col("id"), expr(s"id DIV $stride").as("_doc"))
+      .join(del, Seq("_doc"), "left_semi")
+      .select(col("id"))
+    removeIndexStats(base, chunkIds, "id")
   }
 
   /** [[topKExternal]] against maintained [[IndexStats]] — ingest-time

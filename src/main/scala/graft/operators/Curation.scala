@@ -22,6 +22,93 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
+  /** WINNOWING fingerprint kernel (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS document-fingerprinting algorithm): hash every k-char
+    * gram of the lowercased text (fnv1a64), then every window of `w`
+    * consecutive gram hashes selects its MINIMUM (unsigned compare, so
+    * the SQL replay's HUGEINT min agrees); the fingerprint set is the
+    * distinct selected hashes. GUARANTEE: two documents sharing any
+    * substring of ≥ k + w − 1 chars share ≥ 1 fingerprint — the
+    * char-level rung UNDER the token n-gram filters (r15 missing #5):
+    * a partial leak of 6–10 tokens never carries a shared 13-token
+    * gram but easily spans k+w−1 chars. Tail windows (fewer than w
+    * hashes remaining) still select their min — a deterministic
+    * superset of the classic w-sized-windows-only set, chosen because
+    * both engines express it as one ROWS BETWEEN frame.
+    * O(m·w) per doc (w is small; the monotonic-deque O(m) form is not
+    * worth losing the window-SQL parity). */
+  def winnowingKernel(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val n = t.length
+    if (n < k) return Array.empty
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = TextFunctions.fnv1a64(t.substring(i, i + k)); i += 1
+    }
+    val sel = new java.util.HashSet[java.lang.Long]()
+    var j = 0
+    while (j < m) {
+      var mn = hs(j)
+      var x = j + 1
+      while (x < j + w && x < m) {
+        if (java.lang.Long.compareUnsigned(hs(x), mn) < 0) mn = hs(x)
+        x += 1
+      }
+      sel.add(mn); j += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  /** [[winnowingKernel]] per document → exploded (id, fp) rows. One
+    * fused UDF per doc (the shingles-kernel stance: an expression-form
+    * transform would re-lower the text once per position under
+    * CollapseProject). */
+  def winnowingFingerprints(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 25, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params k=$k w=$w")
+    val fps = udf((t: String) => winnowingKernel(t, k, w))
+    corpus.select(col(idCol).as("id"),
+        explode(fps(col(textCol))).as("fp"))
+  }
+
+  /** CHAR-LEVEL contamination report over winnowing fingerprints — the
+    * probe that catches partial-overlap leaks SHORTER than the token
+    * filters' n ([[evalContaminationReport]] at n=13 is blind to any
+    * leak under 13 tokens; this fires from k+w−1 chars ≈ 5 tokens).
+    * Per EVAL doc: fingerprint count, how many of its fingerprints
+    * appear anywhere in the training corpus, and the verdict.
+    *
+    * Scale shape (the q222 discipline): the eval fingerprints — small
+    * by definition — BROADCAST; the training side streams through the
+    * map-side hash join with no corpus shuffle, and only matched
+    * (id, fp) pairs reach the one distinct-aggregate. */
+  def charContaminationReport(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 25,
+      w: Int = 8): DataFrame = {
+    val efp = winnowingFingerprints(evalSet, idCol, textCol, k, w)
+    val tfp = winnowingFingerprints(train, idCol, textCol, k, w)
+      .select(col("fp"))
+    val hits = tfp.join(broadcast(efp), Seq("fp"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("fp")).as("n_dirty_fp"))
+    val counts = efp.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    evalSet.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_dirty_fp"), lit(0L)).as("n_dirty_fp"),
+        when(coalesce(col("n_dirty_fp"), lit(0L)) > 0, "dirty")
+          .otherwise("clean").as("verdict"))
+  }
+
   /** Documents sharing at least one word `n`-gram with `evalSet` —
     * GPT-3-style benchmark decontamination, reported as
     * (id, n_shared BIGINT = distinct overlapping grams).
@@ -641,14 +728,26 @@ object Curation {
       budgetTokens: Int, shards: Int): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val spark = corpus.sparkSession
+    packAssignedBestFit(
+      corpus
+        .select(col(idCol).cast("long").as("id"),
+          size(toks).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(col("id"), (col("id") % shards).as("shard"), col("n")),
+      budgetTokens)
+  }
+
+  /** The packing core shared by [[packSequencesBestFit]] (id % shards)
+    * and [[packSequencesBestFitBalanced]] (token-mass binning):
+    * `assigned` is the slim (id, shard, n) frame, one shuffle on shard,
+    * [[bfdPackShard]] per group. */
+  private def packAssignedBestFit(assigned: DataFrame,
+      budgetTokens: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     val B = budgetTokens.toLong
-    corpus
-      .select(col(idCol).cast("long").as("id"),
-        size(toks).cast("long").as("n"))
-      .filter(col("n") > 0)
-      .select(col("id"), (col("id") % shards).as("shard"), col("n"))
+    assigned
+      .select(col("id"), col("shard"), col("n"))
       .as[(Long, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
@@ -656,6 +755,74 @@ object Curation {
       }
       .toDF("shard", "doc_id", "n_tokens", "seq_id", "seq_off", "seq_end",
         "crossing")
+  }
+
+  /** TOKEN-MASS-BALANCED shard assignment (r15 missing #6): `id %
+    * shards` puts unbounded token mass on one task under id-correlated
+    * length skew (every 8th doc being 8× longer lands ALL the excess on
+    * shard 0). This assigns by RUNNING MASS instead — shard(d) =
+    * ⌊prefix_mass(d) · shards / total_mass⌋ with the exclusive prefix
+    * taken in id order — so every shard's mass is ≤ total/shards +
+    * max_doc by construction (each shard is a contiguous mass slice;
+    * only the doc straddling its boundary can overshoot).
+    *
+    * Scale shape — the prefix sum is DISTRIBUTED, not a global-order
+    * window (which would be one task): ids split into `buckets`
+    * id-RANGE buckets; within-bucket exclusive prefixes run as a
+    * window PARTITIONED by bucket (parallel), and the cross-bucket
+    * offsets are one ordered fold over ≤`buckets` rows (a single-task
+    * window over a frame that never grows with data). The result
+    * depends only on the global id order — bucketing is pure
+    * parallelism, invisible in the output (the oracle replays the
+    * single-window form). Overflow: prefix·shards ≤ total·shards must
+    * stay under 2^63 — at 10^14 tokens (100 TB) that allows ~10^4
+    * shards, `require`d.
+    *
+    * @return (id, shard, n) over the n>0 docs */
+  def balancedShards(corpus: DataFrame, idCol: String, toks: Column,
+      shards: Int, buckets: Int = 256): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val slim = corpus
+      .select(col(idCol).cast("long").as("id"),
+        size(toks).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val bounds = slim.agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"),
+      sum(col("n")).as("_T"))
+    val bucketed = slim.crossJoin(broadcast(bounds))
+      .withColumn("_bkt", expr(s"(id - _lo) DIV ((_hi - _lo) DIV $buckets + 1)"))
+    val offs = bucketed.groupBy(col("_bkt")).agg(sum(col("n")).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val w = Window.partitionBy(col("_bkt")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("_wp", coalesce(sum(col("n")).over(w), lit(0L)))
+      .join(broadcast(offs), Seq("_bkt"))
+      .select(col("id"),
+        // the overflow guard lives INSIDE the consumed expression — a
+        // separate guard column would be pruned and never fire
+        when(col("_T") <= lit(Long.MaxValue / shards),
+          expr(s"CAST(((_off + _wp) * $shards) DIV _T AS BIGINT)"))
+          .otherwise(raise_error(lit("balancedShards: total token mass x " +
+            s"$shards shards overflows 64-bit prefix arithmetic — reduce" +
+            " shards"))).as("shard"),
+        col("n"))
+  }
+
+  /** [[packSequencesBestFit]] under [[balancedShards]] — bounded
+    * per-task token mass (hence bounded per-task packing work and
+    * output quality skew) regardless of id-correlated length skew;
+    * same output contract, gated q258. */
+  def packSequencesBestFitBalanced(corpus: DataFrame, idCol: String,
+      toks: Column, budgetTokens: Int, shards: Int,
+      buckets: Int = 256): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    packAssignedBestFit(
+      balancedShards(corpus, idCol, toks, shards, buckets), budgetTokens)
   }
 
   /** One shard's best-fit-decreasing pass (the [[packSequencesBestFit]]

@@ -85,6 +85,47 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** The SRP leg's STREAM-SAFE candidate stage (r15 missing #4): band
+    * signatures, the bucket join against the STATIC corpus side, and
+    * the cosine — with NO distinct and NO aggregation, so a STREAMING
+    * `queries` frame flows through statelessly (signature/norm are
+    * per-row; the join is stream-static). A (qid, nid) pair colliding
+    * in several bands emits several rows carrying the SAME sim (sim is
+    * a pure function of the pair), so the caller's ONE aggregation —
+    * max(sim) per (qid, nid) — reproduces [[srpTopK]]'s
+    * distinct-then-score values exactly; ranking is batch-side
+    * presentation (the q245 discipline).
+    * @return (qid, nid, sim) with per-band duplicates */
+  def srpScoredCandidates(queries: DataFrame, corpus: DataFrame,
+      planes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    require(planes % bandBits == 0)
+    val nBands = planes / bandBits
+    val buckets = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+    def base(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("id"), col("embedding").as("v"),
+        srpSignature(col("embedding"), planes, seed).as("sig"),
+        normFast(col("embedding")).as("vnorm"))
+        .filter(col("vnorm") > 0)
+    // the stream side keeps vector + norm alongside its exploded bands
+    // (re-attaching them would need a second stream join); the static
+    // corpus side re-attaches vectors per candidate as in srpTopK
+    val qSide = base(queries).select(col("id").as("qid"),
+        col("v").as("qv"), col("vnorm").as("qnorm"),
+        posexplode(buckets).as(Seq("band", "bucket")))
+    val cBands = base(corpus).select(col("id").as("nid"),
+      posexplode(buckets).as(Seq("band", "bucket")))
+    val cVecs = base(corpus).select(col("id").as("nid"), col("v").as("nv"),
+      col("vnorm").as("nnorm"))
+    qSide.join(cBands, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .join(cVecs, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm"))
+          .as("sim"))
+  }
+
   /** IVF top-k: coarse-quantize the corpus into nCells KMeans cells, then
     * score queries only against their nprobe nearest cells. The centroid
     * fit runs on a deterministic hash-sample capped at `maxTrainRows`

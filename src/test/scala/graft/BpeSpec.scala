@@ -279,6 +279,40 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("GPT-2-basis BPE: space-attached words are first-class, contractions atomic, fused encode tiles") {
+    import spark.implicits._
+    // ' the' dominates the sample; the fit must learn merges over the
+    // 5-symbol word {' ','t','h','e'} — merges the lexer basis can
+    // never contain (no lexer word starts with a space)
+    val docs = (1L to 20L)
+      .map(i => (i, "the theme of the thesis is that the theory holds"))
+      .toDF("doc_id", "text")
+    val g = Bpe.fitGpt2(docs, "doc_id", "text",
+      sampleDocs = 20, maxWords = 100, numMerges = 20)
+    assert(g.merges.exists(m => (m.l + m.r).startsWith(" ")),
+      s"no space-prefixed merge learned: ${g.merges}")
+    val enc = Bpe.encodeTextGpt2("the theory, don't they'll say", g)
+    // contractions stay atomic — never merged into neighbors
+    assert(enc.contains("'t") && enc.contains("'ll"), enc.toString)
+    // the merged stream tiles the input modulo ASCII lowering of the
+    // alpha class (space prefixes included)
+    val pretoks = Bpe.gpt2PreTokenize("the theory, don't they'll say")
+    val want = pretoks.map(t =>
+      if (t.matches(Bpe.Gpt2AlphaPattern)) t.toLowerCase else t).mkString("")
+    assert(enc.mkString("") == want, s"${enc.mkString("|")} vs $want")
+    // ' the' and 'the' tokenize independently: doc-initial 'the' has no
+    // space, so its subword stream may differ from the attached form
+    val bare = Bpe.encodeTextGpt2("the", g)
+    val attached = Bpe.encodeTextGpt2("x the", g).drop(1) // drop 'x'
+    assert(attached.mkString("") == " the" && bare.mkString("") == "the")
+    // non-ASCII pre-token: the WHOLE multi-code-point run byte-falls-back
+    val enc2 = Bpe.encodeTextGpt2("a café b", g)
+    val cafeBytes = " café".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => Bpe.ByteTokens(b & 0xff)).toSeq
+    assert(enc2.containsSlice(cafeBytes),
+      s"multi-code-point byte fallback: $enc2")
+  }
+
   test("gpt2PreTokenize == the literal GPT-2 regex on an adversarial battery and corpus docs") {
     val re = java.util.regex.Pattern.compile(Bpe.Gpt2Pattern)
     def viaRegex(t: String): Seq[String] = {

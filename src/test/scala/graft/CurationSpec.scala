@@ -1050,6 +1050,55 @@ class CurationSpec extends SparkSuite {
     assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
   }
 
+  test("balancedShards: bounded per-shard mass under planted skew; bucketing invisible in output") {
+    // every 8th doc is 16x longer — id % 8 would put ALL the excess on
+    // one shard; running-mass binning bounds every shard at mean + max_doc
+    val docs = (0L until 400L).map { i =>
+      val n = if (i % 8 == 0) 1600 else 100
+      (i, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(buckets: Int) = Curation.balancedShards(docs, "doc_id",
+        split(col("text"), " "), shards = 8, buckets = buckets)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(256)
+    assert(a.map(_._2).forall(s => s >= 0 && s < 8))
+    assert(a.map(_._1).toSet == (0L until 400L).toSet, "every doc assigned")
+    val masses = a.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = a.map(_._3).sum
+    val mean = total.toDouble / 8
+    assert(masses.values.max <= mean + 1600,
+      s"mass bound broke: ${masses.toSeq.sortBy(_._1)}")
+    // the same corpus under id % 8 concentrates ~3x the mean on shard 0
+    val naive0 = a.filter(_._1 % 8 == 0).map(_._3).sum
+    assert(naive0 > 2.5 * mean, s"fixture lost its skew: $naive0 vs $mean")
+    // bucketing is parallelism only — 3 buckets and 256 buckets agree
+    assert(run(3) == a, "bucket count must be invisible in the output")
+  }
+
+  test("winnowingKernel: shared-substring guarantee, dedup, short-text edge") {
+    val k = 25; val w = 8
+    val core = "this exact fragment of thirty two chars plus some more padding around it"
+    val a = "left context before the leak " + core + " and trailing words here"
+    val b = "completely different opener text :: " + core + " :: other ending"
+    val fa = Curation.winnowingKernel(a, k, w).toSet
+    val fb = Curation.winnowingKernel(b, k, w).toSet
+    // core is >= k + w - 1 chars -> the winnowing guarantee applies
+    assert(core.length >= k + w - 1)
+    assert(fa.intersect(fb).nonEmpty,
+      "documents sharing a >=k+w-1 substring must share a fingerprint")
+    // unrelated texts of the same shape share nothing
+    val fc = Curation.winnowingKernel(
+      "zq xv wk jn qp rr ss tt uu vv ww xx yy zz aa bb cc dd ee ff gg hh", k, w).toSet
+    assert(fa.intersect(fc).isEmpty)
+    // dedup: fingerprints are distinct values; identical text -> identical set
+    val fa2 = Curation.winnowingKernel(a.toUpperCase, k, w).toSet
+    assert(fa2 == fa, "lowercasing is part of the kernel")
+    assert(Curation.winnowingKernel("short", k, w).isEmpty)
+    assert(Curation.winnowingKernel(null, k, w).isEmpty)
+    // selection density: far fewer fingerprints than positions
+    assert(fa.size < a.length - k + 1)
+  }
+
   test("bfdPackShard: 1M-doc shard completes fast (sub-quadratic bin search)") {
     // 1M docs averaging ~500 tokens at budget 2048 opens ~250k bins; the
     // pre-r16 linear scan is ~10^11 long-compares here (minutes). The

@@ -387,6 +387,52 @@ class PlanSpec extends SparkSuite {
     assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
   }
 
+  test("q254: deletion-aware index — anti/semi joins on id, no cartesian") {
+    val p = plan("q254_deletion_aware_index")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // deletion must be join-shaped (anti on tf/dl), never a per-row
+    // NOT IN subquery scan
+    assert(p.contains("LeftAnti"), "tf/dl deletion must be an anti-join:\n" + p.take(3000))
+    // admissible nest-loops: the 1-row totals attaches (epoch+batch,
+    // delete delta, idf derivation)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 5, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
+  test("q255: incremental ANN — cell equi-join on the folded index, no cartesian") {
+    val p = plan("q255_incremental_ann_index")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // candidate generation is the cell-keyed join, never all-pairs;
+    // top-k is the bounded-heap aggregate, not a per-query sort window
+    assert(p.contains("topk"), "bounded-heap top-k missing:\n" + p.take(3000))
+  }
+
+  test("q258: balanced packing — bucket-partitioned prefix windows, no global doc sort") {
+    val p = plan("q258_balanced_packing_shards")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the prefix sum must run as windows PARTITIONED by bucket (parallel),
+    // plus the tiny cross-bucket offset fold; a GLOBAL range sort over doc
+    // rows would be the one-task form this operator exists to avoid. The
+    // offsets window is over <=256 one-per-bucket rows — its rangepartitioning
+    // exchange is constant-size; what must never appear is a global sort keyed
+    // on doc id.
+    assert(!p.contains("rangepartitioning(id"),
+      "global doc-id sort leaked into the prefix sum:\n" + p.take(3000))
+  }
+
+  test("q259: winnowing contamination — eval fingerprints broadcast, train side streams") {
+    val p = plan("q259_winnowing_contamination")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the fp join must be a broadcast hash join (eval side small by
+    // definition) — a sort-merge on fp would shuffle the full training
+    // fingerprint stream
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin [fp"),
+      "train fingerprints must not shuffle on fp:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))

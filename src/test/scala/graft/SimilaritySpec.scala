@@ -177,4 +177,23 @@ class SimilaritySpec extends SparkSuite {
       }
     } finally v.unpersist()
   }
+
+  test("srpScoredCandidates + one max-agg == srpTopK (stream-safe decomposition parity)") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 20)
+    val viaTopK = Similarity.srpTopK(qs, e, 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // the streaming shape: stateless candidates, ONE agg, batch-side rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val viaDecomp = Similarity.srpScoredCandidates(qs, e)
+      .groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaDecomp == viaTopK,
+      "the decomposed (stateless + one agg) form must reproduce srpTopK exactly")
+  }
 }

@@ -173,6 +173,38 @@ class Bm25Spec extends SparkSuite {
       s"df growth must move the idf: $epochOnly vs $after")
   }
 
+  test("BM25 removeIndexStats: delete == recompute, df rows drop at 0, unknown ids are no-ops") {
+    import graft.operators.Bm25
+    val corpus = Seq(
+      (1L, "quantum entanglement research paper about bell inequalities"),
+      (2L, "cooking recipes for pasta and pizza and risotto tonight"),
+      (3L, "gardening tips tomatoes cucumbers and other summer vegetables"),
+      (4L, "quantum cooking fusion cuisine experiments"))
+      .toDF("doc_id", "text")
+    val queries = Seq((901L, "quantum entanglement cooking"))
+      .toDF("qid", "qtext")
+    val deleted = Seq(4L, 999L).toDF("doc_id") // 999 never indexed
+    val pruned = Bm25.removeIndexStats(
+      Bm25.indexStats(corpus, "doc_id", "text"), deleted, "doc_id")
+    val full = Bm25.indexStats(
+      corpus.filter(col("doc_id") =!= 4L), "doc_id", "text")
+    def rank(s: Bm25.IndexStats) =
+      Bm25.topKExternalStats(s, queries, "qid", "qtext", k = 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(rank(pruned) == rank(full),
+      "delete must score identically to a recompute over the survivors")
+    // terms only doc 4 carried must DROP from df, not linger at 0
+    val dfTerms = pruned.df.as[(String, Long)].collect().toMap
+    assert(!dfTerms.contains("fusion") && !dfTerms.contains("cuisine"),
+      s"df must drop rows reaching 0: ${dfTerms.keys.toSeq.sorted}")
+    assert(dfTerms("quantum") == 1L && dfTerms("cooking") == 1L,
+      "shared terms decrement, not vanish")
+    assert(dfTerms.values.forall(_ > 0))
+    // totals shrink by exactly doc 4's contribution
+    val (t, n) = pruned.totals.as[(Long, Long)].collect().head
+    assert(n == 3L && t == full.totals.as[(Long, Long)].collect().head._1)
+  }
+
   test("BM25 hard negatives: the query's dup group is excluded, ranks re-densify") {
     // query 1 has an exact twin 11 (same group); docs 2, 3 share terms
     // with the query but sit in their own groups → true negatives
