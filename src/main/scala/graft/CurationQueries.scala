@@ -1382,6 +1382,49 @@ object CurationQueries {
              |  LEFT JOIN ngn ON ngn.id = v.id
              |  LEFT JOIN hn ON hn.id = v.id""".stripMargin)),
 
+    // CROSS-DOC QUOTE DETECTION (Curation.winnowingDupCandidates) — the
+    // MOSS pairing over winnowing fingerprints: eight planted docs each
+    // lift 150 verbatim chars from a training doc and append fresh
+    // commentary — word-gram dedup sees mostly-new documents, but the
+    // lifted run is ~5 windows of shared fingerprints, so every
+    // (original, quoter) pair surfaces with n_shared ≥ 2. Fingerprints
+    // with df > 20 drop before pairing (boilerplate ≠ copying, and the
+    // cap bounds the fp-blocked self-join). Oracle replays fingerprints,
+    // the df cap, and the pair join.
+    Q("q264_winnowing_dup_candidates",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val quoters = d.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 96000L).as("doc_id"),
+            concat(substring(col("text"), 1, 150),
+              lit(" entirely new commentary words follow the lifted passage"))
+              .as("text"))
+        graft.operators.Curation.winnowingDupCandidates(
+          d.unionByName(quoters), "doc_id", "text",
+          k = 25, w = 8, minShared = 2, maxDf = 20)
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 96000,
+             |    substr(text, 1, 150) || ' entirely new commentary words follow the lifted passage'
+             |  FROM documents WHERE doc_id < 8),
+             |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |csel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
+             |rare AS (SELECT fp FROM csel GROUP BY fp HAVING count(*) <= 20),
+             |capped AS (SELECT doc_id, fp FROM csel JOIN rare USING (fp))
+             |SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
     // CHAR-LEVEL WINNOWING CONTAMINATION (Curation.winnowingFingerprints
     // / charContaminationReport, r15 missing #5) — the rung UNDER the
     // token 13-gram filters: ten planted eval docs are 60 RAW CHARS

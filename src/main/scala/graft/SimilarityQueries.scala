@@ -573,7 +573,7 @@ object SimilarityQueries {
     * (different centroids) or re-encoded epoch rows differently. */
   private def q255Oracle(nCells: Int, nprobe: Int, m: Int, subDim: Int,
       kCent: Int, maxIter: Int, topK: Int, offset: Long,
-      queryPred: String): String = {
+      queryPred: String, indexPred: String = "TRUE"): String = {
     def d2(p: String, c: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
         s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
@@ -628,6 +628,7 @@ object SimilarityQueries {
          |  SELECT vid, v FROM upts
          |  WHERE sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))) > 0),
          |fpts AS MATERIALIZED (SELECT vid, v FROM pts WHERE vid < $offset),
+         |ipts AS MATERIALIZED (SELECT vid, v FROM pts WHERE $indexPred),
          |ccent0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
          |  FROM (SELECT vid, v FROM fpts ORDER BY vid LIMIT $nCells)),
@@ -635,6 +636,7 @@ object SimilarityQueries {
          |  SELECT p.vid, sx.s, p.v[sx.s * $subDim + 1 : (sx.s + 1) * $subDim] AS sv
          |  FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) sx),
          |fsubs AS MATERIALIZED (SELECT vid, s, sv FROM subs WHERE vid < $offset),
+         |isubs AS MATERIALIZED (SELECT vid, s, sv FROM subs WHERE $indexPred),
          |first_seed AS (SELECT vid FROM fpts ORDER BY vid LIMIT $kCent),
          |scent0 AS MATERIALIZED (
          |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
@@ -646,14 +648,14 @@ object SimilarityQueries {
       sb.append(cUpdate("fpts", s"fca$it", cPrev, s"ccent${it + 1}"))
       cPrev = s"ccent${it + 1}"
     }
-    sb.append(cAssign("pts", cPrev, "cafinal"))
+    sb.append(cAssign("ipts", cPrev, "cafinal"))
     var sPrev = "scent0"
     for (it <- 0 until maxIter) {
       sb.append(sAssign("fsubs", sPrev, s"fsa$it"))
       sb.append(sUpdate("fsubs", s"fsa$it", sPrev, s"scent${it + 1}"))
       sPrev = s"scent${it + 1}"
     }
-    sb.append(sAssign("subs", sPrev, "safinal"))
+    sb.append(sAssign("isubs", sPrev, "safinal"))
     sb.append(
       s""",
          |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE $queryPred),
@@ -1161,6 +1163,45 @@ object SimilarityQueries {
       Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
         kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
         queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)"))),
+
+    // ANN INDEX DELETION (ProductQuantization.removeFromAnnIndex) —
+    // the q254 discipline on the dense tier: the pipeline's dedup
+    // removes vectors, and because index rows are per-row functions of
+    // the FROZEN fit there are no stats to adjust — delete is an
+    // anti-join, composed here with the q255 upsert (the full
+    // maintain-then-curate cycle: fit frozen on epoch, batch folded,
+    // every id ≡ 1 mod 5 deleted plus one never-indexed id — delete
+    // must be idempotent). The oracle keeps the FIT trained on the
+    // full epoch (deletion is an index event, not a refit) while the
+    // assignment/encode stages run over the survivors only: hash
+    // equality proves delete == rebuild from the same frozen fit.
+    Q("q261_ann_index_deletion",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(epoch)
+        val idx = pq.upsertAnnIndex(fit, pq.annIndex(fit, epoch), batch)
+        val deleted = epoch.select(col("vec_id"))
+          .unionByName(batch.select(col("vec_id")))
+          .filter(col("vec_id") % 5 === 1)
+          .unionByName(Seq(77777777L).toDF("vec_id"))
+        val pruned = pq.removeFromAnnIndex(idx, deleted, "vec_id")
+        val queries = epoch.unionByName(batch)
+          .filter((col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L)) &&
+            col("vec_id") % 5 =!= 1)
+        pq.queryIndexDistributed(fit, pruned, queries, k = 10, nprobe = 4)
+      },
+      Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "(vid < 20 OR (vid >= 10000000 AND vid < 10000020))" +
+          " AND vid % 5 <> 1",
+        indexPred = "vid % 5 <> 1"))),
 
     // SRP-LSH recall@10 — the third ANN family's quality gate (q111 IVF,
     // q112 IVF-ADC): 16 planes / 4-bit bands on random 64-dim data is a

@@ -506,6 +506,61 @@ object TextQueries {
     counts.toSeq
   })
 
+  /** The q257/q263 STREAMING hybrid pipeline: query docs stream from a
+    * fingerprint-keyed parquet fixture; the lexical leg is the q245
+    * stream-static posting join (ONE stateful score sum), the dense leg
+    * is the per-row featurizer + stateless SRP band join/cosine
+    * ([[graft.operators.Similarity.srpScoredCandidates]]) deduped by
+    * ONE max(sim) aggregation; ranking + integer-RRF fusion run
+    * batch-side on the materialized scores. `tag` keys the two memory
+    * sinks so multiple queries can run the pipeline in one session.
+    * @return (qid, nid, rrf, rank) — q241's exact output shape */
+  private def streamingHybridRanks(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunks = graft.operators.Curation.chunkTexts(
+      d, "doc_id", "text", 128, 32)
+    val queries = d.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 9000000L).as("qid"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+          .as("qtext"))
+    val inDir = s"/tmp/graft-hybstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"-${Tables.fingerprint(queries, "qid", s"$dir/documents_hybstream")}"
+    if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+      queries.write.mode("overwrite").parquet(inDir)
+    val stats = graft.operators.Bm25.indexStats(
+      chunks, "chunk_key", "chunk_text")
+    val lexScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
+      stream => graft.operators.Bm25.scoreExternalStats(
+        stats, stream, "qid", "qtext"),
+      org.apache.spark.sql.streaming.OutputMode.Complete,
+      s"${tag}lex_${math.abs(dir.hashCode)}",
+      shufflePartitions = Some(8))
+    val chunkVecs = hashedCountVecs(chunks, "chunk_key", "chunk_text")
+    val denseScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
+      stream => graft.operators.Similarity.srpScoredCandidates(
+          stream.select(col("qid").as("vec_id"),
+            hashedCountVecRowUdf(col("qtext")).as("embedding")),
+          chunkVecs)
+        .groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim")),
+      org.apache.spark.sql.streaming.OutputMode.Complete,
+      s"${tag}dense_${math.abs(dir.hashCode)}",
+      shufflePartitions = Some(8))
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    val lex = lexScores.withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("id").as("nid"), col("rank"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    val dense = denseScores.withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), col("rank"))
+    graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+  }
+
   /** The q241 oracle replay up to `rankedf(qid, nid, rrf, rank)` — the
     * full chunk + both-leg + fusion chain; q241 selects the ranking,
     * q246 appends the context-assembly tail. */
@@ -1966,6 +2021,75 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // CHUNK-INDEX DOC DELETION (Bm25.removeDocsFromChunkIndex) — q254's
+    // subtract path at q253's granularity: curation deletes DOCS, the
+    // index is keyed by chunk, and the affected chunk keys derive from
+    // the index itself via the id·2^20 stride contract — no re-chunking,
+    // no text touch. Fixture = q253's epoch⊕batch upsert, then every
+    // union doc ≡ 1 (mod 5) deleted plus one never-indexed id
+    // (idempotence). Oracle = full recompute over the survivors'
+    // chunks, hash-equal: remove(upsert(chunk stats)) == re-chunk +
+    // re-index of (epoch ∪ batch) ∖ deleted.
+    Q("q260_chunk_index_deletion",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.filter(col("doc_id") % 4 =!= 0)
+        val batch = d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+        val echunks = graft.operators.Curation.chunkTexts(
+          epoch, "doc_id", "text", 128, 32)
+        val bchunks = graft.operators.Curation.chunkTexts(
+          batch, "doc_id", "text", 128, 32)
+        val up = graft.operators.Bm25.upsertIndexStats(
+          graft.operators.Bm25.indexStats(echunks, "chunk_key", "chunk_text"),
+          bchunks, "chunk_key", "chunk_text")
+        val deleted = epoch.select(col("doc_id"))
+          .unionByName(batch.select(col("doc_id")))
+          .filter(col("doc_id") % 5 === 1)
+          .unionByName(Seq(888888L).toDF("doc_id"))
+        val pruned = graft.operators.Bm25.removeDocsFromChunkIndex(
+          up, deleted, "doc_id")
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        graft.operators.Bm25.topKExternalStats(
+          pruned, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """ucorp AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 1
+          |  UNION ALL SELECT doc_id + 70000, text FROM documents
+          |    WHERE doc_id % 4 = 0 AND (doc_id + 70000) % 5 <> 1),
+          |ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+          |  FROM ucorp),
+          |cst AS (SELECT doc_id, t, len(t) AS n FROM ctoks WHERE len(t) > 0),
+          |cnc AS (SELECT doc_id, t, n, CASE WHEN n <= 128 THEN 1
+          |    ELSE (n - 128 + 95) // 96 + 1 END AS n_chunks FROM cst),
+          |cch AS (SELECT doc_id, t, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS ci FROM cnc),
+          |chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key,
+          |    array_to_string(t[ci*96 + 1 : ci*96 + least(128, n - ci*96)], ' ')
+          |      AS text
+          |  FROM cch),
+          |""".stripMargin +
+        bm25ScoreCtes("chunks", "chunk_key", "", "b", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 9000000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 5)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM bsc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // DELETION-AWARE INDEX MAINTENANCE (Bm25.removeIndexStats) — the
     // r15 missing #1: the pipeline's own dedup REMOVES documents, so
     // the first real consumer of the incremental index needs the
@@ -2026,6 +2150,57 @@ object TextQueries {
             |UNION
             |SELECT 80100 AS qid, unnest(
             |  ['graftupsert', 'novelterm', 'ingestion']) AS term""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // DOCUMENT UPDATE MAINTENANCE (remove ∘ upsert) — the third CRUD
+    // leg the scaladoc contract names (update = subtract the old rows,
+    // fold the new): every epoch doc ≡ 2 (mod 9) is EDITED (a revision
+    // suffix appended), the index updates by removeIndexStats(old ids)
+    // then upsertIndexStats(new texts) — same ids, changed content,
+    // the case append-only ingest cannot express. Oracle = full
+    // recompute over the post-edit corpus, hash-equal: the composed
+    // maintenance cycle is indistinguishable from a rebuild. With q242
+    // (insert) and q254 (delete) this closes insert/update/delete on
+    // the incremental index.
+    Q("q262_index_update_cycle",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val edited = d.filter(col("doc_id") % 9 === 2)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" revision graftupdate pass"))
+              .as("text"))
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val base = graft.operators.Bm25.indexStats(d, "doc_id", "text")
+        val updated = graft.operators.Bm25.upsertIndexStats(
+          graft.operators.Bm25.removeIndexStats(
+            base, edited.select(col("doc_id")), "doc_id"),
+          edited, "doc_id", "text")
+        graft.operators.Bm25.topKExternalStats(
+          updated, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """fullc AS (
+          |  SELECT doc_id AS id, CASE WHEN doc_id % 9 = 2
+          |      THEN text || ' revision graftupdate pass'
+          |      ELSE text END AS text
+          |  FROM documents),
+          |""".stripMargin +
+        bm25ScoreCtes("fullc", "id", "", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 10)
+            |  WHERE length(tk) > 0""".stripMargin)) +
         """,
           |ranked AS (SELECT qid, id, score_micro,
           |    ROW_NUMBER() OVER (PARTITION BY qid
@@ -2101,54 +2276,49 @@ object TextQueries {
     // oracle is q241's full chain verbatim: streaming == batch,
     // hash-equal.
     Q("q257_streaming_hybrid_retrieval",
+      (spark, dir) => streamingHybridRanks(spark, dir, "q257"),
+      Some(hybridChunkOracleChain +
+        """
+          |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
+          |FROM rankedf WHERE rank <= 10""".stripMargin)),
+
+    // STREAMING RAG END-TO-END (q257's fused streaming ranking →
+    // Fusion.assembleContext) — the full retrieve-at-ingest path a
+    // streaming RAG service runs: queries stream in, both legs score
+    // with one aggregation each, and the materialized fused ranking
+    // assembles each query's 384-token context batch-side. Oracle =
+    // q246's (the batch chain + assembly tail): streaming end-to-end
+    // == batch end-to-end, hash-equal.
+    Q("q263_streaming_rag_assembly",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         val chunks = graft.operators.Curation.chunkTexts(
           d, "doc_id", "text", 128, 32)
-        val queries = d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 9000000L).as("qid"),
-            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
-              .as("qtext"))
-        val inDir = s"/tmp/graft-hybstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-          s"-${Tables.fingerprint(queries, "qid", s"$dir/documents_hybstream")}"
-        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
-          queries.write.mode("overwrite").parquet(inDir)
-        val stats = graft.operators.Bm25.indexStats(
-          chunks, "chunk_key", "chunk_text")
-        val lexScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
-          stream => graft.operators.Bm25.scoreExternalStats(
-            stats, stream, "qid", "qtext"),
-          org.apache.spark.sql.streaming.OutputMode.Complete,
-          s"q257lex_${math.abs(dir.hashCode)}",
-          shufflePartitions = Some(8))
-        val chunkVecs = hashedCountVecs(chunks, "chunk_key", "chunk_text")
-        val denseScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
-          stream => graft.operators.Similarity.srpScoredCandidates(
-              stream.select(col("qid").as("vec_id"),
-                hashedCountVecRowUdf(col("qtext")).as("embedding")),
-              chunkVecs)
-            .groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim")),
-          org.apache.spark.sql.streaming.OutputMode.Complete,
-          s"q257dense_${math.abs(dir.hashCode)}",
-          shufflePartitions = Some(8))
-        import org.apache.spark.sql.expressions.Window
-        val wl = Window.partitionBy(col("qid"))
-          .orderBy(col("score_micro").desc, col("id").asc)
-        val lex = lexScores.withColumn("rank", row_number().over(wl))
-          .filter(col("rank") <= 10)
-          .select(col("qid"), col("id").as("nid"), col("rank"))
-        val wd = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid"))
-        val dense = denseScores.withColumn("rank", row_number().over(wd))
-          .filter(col("rank") <= 10)
-          .select(col("qid"), col("nid"), col("rank"))
-        graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+        val ctoks = chunks.select(col("chunk_key"),
+          size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"))
+        graft.operators.Fusion.assembleContext(
+          streamingHybridRanks(spark, dir, "q263")
+            .select(col("qid"), col("nid"), col("rank")),
+          ctoks, budgetTokens = 384)
       },
       Some(hybridChunkOracleChain +
-        """
-          |SELECT qid, nid, rrf, CAST(rank AS INT) AS rank
-          |FROM rankedf WHERE rank <= 10""".stripMargin)),
+        """,
+          |cand2 AS (SELECT qid, nid, rank FROM rankedf WHERE rank <= 10),
+          |fpd AS (SELECT qid, nid, rank, row_number() OVER (
+          |    PARTITION BY qid, nid // 1048576 ORDER BY rank) AS dr FROM cand2),
+          |keep AS (SELECT qid, nid, rank FROM fpd WHERE dr = 1),
+          |ctok AS (SELECT chunk_key,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ct FROM chunks),
+          |asm AS (SELECT k.qid, k.nid, k.rank, c.ct,
+          |    row_number() OVER (PARTITION BY k.qid ORDER BY k.rank) AS ctx_pos,
+          |    sum(c.ct) OVER (PARTITION BY k.qid ORDER BY k.rank
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM keep k JOIN ctok c ON c.chunk_key = k.nid)
+          |SELECT qid, CAST(ctx_pos AS BIGINT) AS ctx_pos, nid AS chunk_key,
+          |  CAST(nid // 1048576 AS BIGINT) AS doc_id, ct AS chunk_tokens,
+          |  CAST(cum AS BIGINT) AS cum_tokens
+          |FROM asm WHERE cum <= 384""".stripMargin)),
 
     // DEDUP THRESHOLD CALIBRATION SWEEP — the run a pipeline owner does
     // BEFORE fixing the near-dup Jaccard threshold: over the q226

@@ -109,6 +109,37 @@ object Curation {
           .otherwise("clean").as("verdict"))
   }
 
+  /** CROSS-DOC duplicate candidates over winnowing fingerprints — the
+    * MOSS pairing: two docs sharing ≥ `minShared` selected fingerprints
+    * are quote/boilerplate-overlap candidates, catching char-level
+    * copying (a lifted paragraph, a reformatted quote) that word-gram
+    * dedup under-reports. Fingerprints with document frequency >
+    * `maxDf` are dropped BEFORE pairing — a fingerprint in hundreds of
+    * docs is boilerplate, not copying, and it alone would make the
+    * fp-blocked self-join quadratic in that fp's posting (the LSH
+    * band-bucket cap, same reasoning as stopword df-caps).
+    *
+    * Scale shape: fingerprints are the blocking key — one fp-keyed
+    * self-join over the df-capped posting lists (≤ maxDf² pairs per
+    * fp), then a (idA, idB) count agg; never all-pairs.
+    * @return (idA, idB, n_shared) with idA < idB */
+  def winnowingDupCandidates(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 25, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 20): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"bad params minShared=$minShared maxDf=$maxDf")
+    val fps = winnowingFingerprints(corpus, idCol, textCol, k, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("fp"))
+    val capped = fps.join(rare, Seq("fp"), "left_semi")
+    capped.select(col("fp"), col("id").as("idA"))
+      .join(capped.select(col("fp"), col("id").as("idB")), Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).as("n_shared")) // (id, fp) unique by kernel dedup
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Documents sharing at least one word `n`-gram with `evalSet` —
     * GPT-3-style benchmark decontamination, reported as
     * (id, n_shared BIGINT = distinct overlapping grams).

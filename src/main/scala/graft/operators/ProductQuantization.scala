@@ -247,6 +247,18 @@ object ProductQuantization {
     guarded.unionByName(annIndex(fit, batch))
   }
 
+  /** Deletion for the ANN index — the [[graft.operators.Bm25
+    * .removeIndexStats]] counterpart, trivially simpler here: index
+    * rows are per-row functions of the frozen fit (no global stats to
+    * adjust), so delete IS an anti-join on vec_id. Idempotent on ids
+    * never indexed; composes with [[upsertAnnIndex]] for the
+    * dedup-then-refresh cycle (gated q261: delete == rebuild from the
+    * same frozen fit over the survivors). */
+  def removeFromAnnIndex(index: DataFrame, deletedIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(deletedIds.select(col(idCol).as("vec_id")),
+      Seq("vec_id"), "left_anti")
+
   private def fitIvfPq(corpus: DataFrame, nCells: Int, m: Int, kCodes: Int,
       maxTrainRows: Long): IvfPq = {
     val fit = fitFrozen(corpus, nCells, m, kCodes, maxTrainRows)
