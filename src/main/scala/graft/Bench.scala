@@ -133,7 +133,12 @@ object Bench {
     "q250"->7.742, "q251"->2.476,
     // round-15 fourth wave (clean solo FORCE_MIN min-of-3, calib 2.021,
     // 12-control median 0.9245, regress 0, cold_only 0 — BASELINE.md)
-    "q252"->0.969, "q253"->2.266)
+    "q252"->0.969, "q253"->2.266,
+    // round-16 wave (clean solo FORCE_MIN min-of-3, calib 2.080,
+    // 12-control median 1.0177, regress 0, cold_only 0 — BASELINE.md)
+    "q254"->4.429, "q255"->1.132, "q256"->0.963, "q257"->6.827,
+    "q258"->0.967, "q259"->0.658, "q260"->6.203, "q261"->1.156,
+    "q262"->3.261, "q263"->7.312, "q264"->1.478)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
