@@ -930,6 +930,52 @@ object BpeQueries {
              |FROM docs d JOIN gper gp ON gp.doc_id = d.doc_id
              |LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin)),
 
+    // GPT-2-BASIS TOKEN IDS (q171 ∘ q256) — the downstream layer the
+    // r15 verdict said "inherits the fidelity gap until it lands": the
+    // stored id-stream form, rebased on the production pre-tokenizer.
+    // Same deterministic vocabulary rule (corpus frequency DESC, token
+    // ASC) over the gpt2-basis subword stream — " the"-class tokens get
+    // their own ids, contractions their own rows. Oracle = the gpt2
+    // fit+encode replay (q256's chains) + the ranked-vocab join.
+    Q("q265_gpt2_token_ids",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val model = Bpe.fitGpt2(d, "doc_id", "text",
+          SampleDocs, MaxWords, NumMerges)
+        val toks = graft.operators.OperatorCaches.track(
+          d.select(col("doc_id"),
+            posexplode(Bpe.encodeGpt2Col(col("text"), model))
+              .as(Seq("pos", "tok"))).persist())
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .withColumn("id",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .select(col("tok"), col("id"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("id").cast("long") * (col("pos") + 1)).as("id_weighted_sum"),
+            min(col("id")).cast("long").as("min_id"))
+      },
+      Some(s"""WITH $fitChain,
+             |gdsrc AS (SELECT doc_id, text FROM documents
+             |  WHERE length(text) > 0),
+             |${gpt2PreTokCtes("gs", "samp")},
+             |$gpt2FitCtes,
+             |${gpt2PreTokCtes("gd", "gdsrc")},
+             |$gpt2EncodeCtes,
+             |btoks AS (SELECT doc_id, bt[i] AS tok, i
+             |  FROM gper, unnest(generate_series(1, len(bt))) AS s(i)),
+             |tcounts AS (SELECT tok, count(*) AS c FROM btoks GROUP BY tok),
+             |tvocab AS (SELECT tok,
+             |  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM tcounts)
+             |SELECT b.doc_id, count(*) AS n_tok,
+             |  CAST(sum(v.id * b.i) AS BIGINT) AS id_weighted_sum,
+             |  CAST(min(v.id) AS BIGINT) AS min_id
+             |FROM btoks b JOIN tvocab v USING (tok)
+             |GROUP BY b.doc_id""".stripMargin)),
+
     // Token-ID encoding: the form a tokenized corpus is actually STORED
     // in — a deterministic vocabulary (subwords ranked by corpus
     // frequency DESC, token ASC) maps the q142 stream to int ids. The

@@ -233,13 +233,17 @@ object ProductQuantization {
     * append IS maintenance). The per-row `raise_error` guard keeps a
     * mixed-fit union impossible: folding rows stamped by a DIFFERENT
     * fit id fails loudly at scan time, not silently at ranking time.
+    * The guard is a FILTER predicate, not a projected column — a
+    * projection on `fit_id` is pruned whenever downstream consumes
+    * nothing from it (e.g. a bare count()), silently skipping the
+    * check; a filter must evaluate per row no matter what is read.
     * Deletion composes the same way as BM25's ([[Bm25
     * .removeIndexStats]]): an anti-join on vec_id, no stats to adjust
     * — codes are per-row. */
   def upsertAnnIndex(fit: IvfPqFit, base: DataFrame,
       batch: DataFrame): DataFrame = {
-    val guarded = base.withColumn("fit_id",
-      when(col("fit_id") === lit(fit.fitId), col("fit_id"))
+    val guarded = base.filter(
+      when(col("fit_id") === lit(fit.fitId), lit(true))
         .otherwise(raise_error(concat(
           lit(s"upsertAnnIndex: base index was built under fit_id "),
           col("fit_id"), lit(s", not ${fit.fitId} — refit requires a full"

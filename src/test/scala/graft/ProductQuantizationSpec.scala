@@ -80,4 +80,30 @@ class ProductQuantizationSpec extends SparkSuite {
       .select("code").as[Seq[Int]].collect()
     assert(codes.length == 2 && codes(0) == codes(1))
   }
+
+  test("upsertAnnIndex refuses a base index built under a different fit; delete is an idempotent anti-join") {
+    val epoch = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    val fit = ProductQuantization.fitFrozen(epoch)
+    val base = ProductQuantization.annIndex(fit, epoch)
+    // a fit over a DIFFERENT corpus has a different fit_id; folding its
+    // batch into our base must fail loudly at scan time
+    val otherFit = ProductQuantization.fitFrozen(batch)
+    assert(otherFit.fitId != fit.fitId, "fit ids must separate geometries")
+    val e = intercept[Exception] {
+      ProductQuantization.upsertAnnIndex(otherFit,
+        base, batch).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("refit requires a full")), e.toString)
+    // same fit folds fine, and deletion is an idempotent anti-join
+    val folded = ProductQuantization.upsertAnnIndex(fit, base, batch)
+    val n = folded.count()
+    val deleted = Seq(0L, 123456789L).toDF("vec_id") // one real, one unknown
+    val pruned = ProductQuantization.removeFromAnnIndex(folded, deleted, "vec_id")
+    assert(pruned.count() == n - 1)
+    assert(ProductQuantization.removeFromAnnIndex(pruned, deleted, "vec_id")
+      .count() == n - 1, "deleting again must be a no-op")
+  }
 }
