@@ -1520,6 +1520,85 @@ object CurationQueries {
              |  LEFT JOIN ngr ON ngr.id = v.id
              |  LEFT JOIN hr ON hr.id = v.id""".stripMargin)),
 
+    // EXACT LONGEST-LEAKED-SPAN (Curation.leakedSpans) — the forensic
+    // layer over q259's boolean verdict: winnowing nominates candidate
+    // (train, eval) pairs, then ALL positional 25-gram hashes are
+    // matched and extended along diagonals (constant ti−ei offset) —
+    // the longest run of consecutive matches r gives the EXACT longest
+    // common substring r+24. The q259 fixture's ten 60-char lifts must
+    // each read span_chars=60 against their source doc with
+    // whole_doc_leak=1 (the lift IS the whole eval doc); the fresh doc
+    // nominates no pair at all. Oracle replays fingerprint nomination,
+    // the positional gram match, and the gaps-and-islands run fold —
+    // 1-based vs 0-based positions cancel in both the diagonal and the
+    // island key.
+    Q("q266_leaked_spans",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val leaks = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 97000L).as("doc_id"),
+            substring(col("text"), 21, 60).as("text"))
+        val fresh = Seq((97100L,
+          "the purple quantum walrus audits a crystalline ledger of " +
+            "unseen comets while seventeen translucent beacons hum " +
+            "beneath the patient glacier tonight"))
+          .toDF("doc_id", "text")
+        val evalSet = leaks.unionByName(fresh)
+        val spans = Curation.leakedSpans(
+          d, evalSet, "doc_id", "text", k = 25, w = 8)
+        val elen = evalSet.select(col("doc_id").as("eval_id"),
+          length(col("text")).as("_elen"))
+        spans.join(broadcast(elen), Seq("eval_id"))
+          .select(col("eval_id"), col("train_id"), col("span_chars"),
+            col("n_runs"),
+            when(col("span_chars") >= col("_elen"), 1L).otherwise(0L)
+              .as("whole_doc_leak"))
+      },
+      Some(s"""WITH evals AS (
+             |  SELECT doc_id + 97000 AS id, substr(text, 21, 60) AS text
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL SELECT 97100,
+             |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
+             |ech AS (SELECT id, lower(text) AS t FROM evals),
+             |egr AS (SELECT id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM ech WHERE length(t) >= 25)),
+             |esel AS (SELECT DISTINCT id, fp FROM (
+             |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
+             |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
+             |tgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM tch WHERE length(t) >= 25)),
+             |tsel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
+             |cpairs AS (SELECT DISTINCT ts.doc_id AS train_id, es.id AS eval_id
+             |  FROM tsel ts JOIN esel es ON ts.fp = es.fp),
+             |mm AS (SELECT cp.train_id, cp.eval_id,
+             |    tg.i - eg.i AS d, eg.i AS ei
+             |  FROM cpairs cp
+             |  JOIN tgr tg ON tg.doc_id = cp.train_id
+             |  JOIN egr eg ON eg.id = cp.eval_id AND eg.h = tg.h),
+             |runs AS (SELECT train_id, eval_id, count(*) AS run
+             |  FROM (SELECT train_id, eval_id, d,
+             |      ei - ROW_NUMBER() OVER (PARTITION BY train_id, eval_id, d
+             |        ORDER BY ei) AS grp
+             |    FROM mm)
+             |  GROUP BY train_id, eval_id, d, grp),
+             |spans AS (SELECT train_id, eval_id,
+             |    CAST(max(run) + 24 AS BIGINT) AS span_chars,
+             |    CAST(count(*) AS BIGINT) AS n_runs
+             |  FROM runs GROUP BY 1, 2)
+             |SELECT sp.eval_id, sp.train_id, sp.span_chars, sp.n_runs,
+             |  CAST(CASE WHEN sp.span_chars >= length(v.text)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS whole_doc_leak
+             |FROM spans sp JOIN evals v ON v.id = sp.eval_id""".stripMargin)),
+
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
     // sibling: per-source cosine between OLD (even 20-id block) and
     // NEW (odd block) epoch centroids. The raw synthetic embeddings

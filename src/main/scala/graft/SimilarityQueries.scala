@@ -1133,6 +1133,111 @@ object SimilarityQueries {
            |SELECT qid, count(*) AS n_results, max(approx6) AS best_approx_dot
            |FROM ranked WHERE rk <= 10 GROUP BY qid""".stripMargin)),
 
+    // TWO-STAGE ANN SERVE PATH (ProductQuantization.rerankTopK): ADC
+    // shortlist (3k = 15 candidates from the compressed codes) → EXACT
+    // cosine re-rank over only those 15 original vectors per query —
+    // the standard IVF-PQ answer-quality recipe. Row-level gate: every
+    // (qid, nid, sim, rank) of the re-ranked head must match the
+    // oracle's replay of shortlist + exact re-scoring; ranks order on
+    // the UNROUNDED sim (round-once discipline). The expensive
+    // full-vector join touches |q|·15 rows, never the corpus.
+    Q("q267_ann_rerank_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val idx = pq.annIndex(fit, e)
+        pq.rerankTopK(fit, idx, e.filter(col("vec_id") < 20), e,
+          k = 5, shortlist = 15, nprobe = 4)
+      },
+      Some(q105OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10) +
+        s"""
+           |, short AS (SELECT qid, nid FROM ranked WHERE rk <= 15),
+           |exact AS (
+           |  SELECT sh.qid, sh.nid,
+           |    list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) /
+           |      (sqrt(list_dot_product(q.qv, q.qv)) *
+           |       sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[])))) AS sim
+           |  FROM short sh JOIN q ON q.qid = sh.qid
+           |  JOIN pts p ON p.vid = sh.nid),
+           |rr AS (
+           |  SELECT qid, nid, sim,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+           |  FROM exact)
+           |SELECT qid, nid, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+           |FROM rr WHERE rank <= 5""".stripMargin)),
+
+    // RE-RANK RECALL AUDIT — the value receipt for q267's second stage:
+    // recall@5 vs brute truth for the raw ADC top-5 and for the
+    // re-ranked top-5 from the SAME 15-candidate shortlist, side by
+    // side per query. Re-rank recall is provably ≥ ADC recall (any
+    // true-top-5 member in the shortlist must survive an exact
+    // re-scoring — fewer than 5 corpus vectors beat it globally, so
+    // fewer than 5 shortlist members can), and `lifted` marks the
+    // queries where the exact pass actually recovered a neighbor the
+    // quantized ordering had pushed past rank 5.
+    Q("q268_ann_rerank_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val qs = e.filter(col("vec_id") < 20)
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val idx = pq.annIndex(fit, e)
+        val truth = Similarity.bruteTopK(qs, e, 5)
+          .select(col("qid"), col("nid"))
+        val adc = pq.queryIndexDistributed(fit, idx, qs, k = 5, nprobe = 4)
+          .select(col("qid"), col("nid"))
+        val rr = pq.rerankTopK(fit, idx, qs, e, k = 5, shortlist = 15,
+          nprobe = 4).select(col("qid"), col("nid"))
+        val ra = recallVsTruth(truth, adc)
+          .select(col("qid"), col("n_true"), col("n_hit").as("adc_hit"),
+            col("recall").as("recall_adc"))
+        val rb = recallVsTruth(truth, rr)
+          .select(col("qid"), col("n_hit").as("rr_hit"),
+            col("recall").as("recall_rerank"))
+        ra.join(rb, Seq("qid"))
+          .withColumn("lifted",
+            when(col("rr_hit") > col("adc_hit"), 1L).otherwise(0L))
+      },
+      Some(q105OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10) +
+        s"""
+           |, adc5 AS (SELECT qid, nid FROM ranked WHERE rk <= 5),
+           |short AS (SELECT qid, nid FROM ranked WHERE rk <= 15),
+           |exact AS (
+           |  SELECT sh.qid, sh.nid,
+           |    list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) /
+           |      (sqrt(list_dot_product(q.qv, q.qv)) *
+           |       sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[])))) AS sim
+           |  FROM short sh JOIN q ON q.qid = sh.qid
+           |  JOIN pts p ON p.vid = sh.nid),
+           |rr5 AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rrk
+           |  FROM exact) WHERE rrk <= 5),
+           |btruth AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT q.qid, p.vid AS nid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |        list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) /
+           |        (sqrt(list_dot_product(q.qv, q.qv)) *
+           |         sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[])))) DESC,
+           |        p.vid) AS rk
+           |    FROM q JOIN pts p ON p.vid <> q.qid) WHERE rk <= 5)
+           |SELECT t.qid, count(*) AS n_true,
+           |  CAST(count(a.nid) AS BIGINT) AS adc_hit,
+           |  round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall_adc,
+           |  CAST(count(r.nid) AS BIGINT) AS rr_hit,
+           |  round(CAST(count(r.nid) AS DOUBLE) / count(*), 4) AS recall_rerank,
+           |  CAST(CASE WHEN count(r.nid) > count(a.nid) THEN 1 ELSE 0 END AS BIGINT) AS lifted
+           |FROM btruth t
+           |LEFT JOIN adc5 a ON a.qid = t.qid AND a.nid = t.nid
+           |LEFT JOIN rr5 r ON r.qid = t.qid AND r.nid = t.nid
+           |GROUP BY t.qid""".stripMargin)),
+
     // INCREMENTAL ANN MAINTENANCE (r15 missing #2) — the q242
     // sufficient-statistics discipline applied to the dense tier: the
     // coarse + PQ fits FREEZE on the epoch (fitFrozen — versioned by a

@@ -37,7 +37,11 @@ object Curation {
     * both engines express it as one ROWS BETWEEN frame.
     * O(m·w) per doc (w is small; the monotonic-deque O(m) form is not
     * worth losing the window-SQL parity). */
-  def winnowingKernel(text: String, k: Int, w: Int): Array[Long] = {
+  /** All k-gram fnv1a64 hashes of the lowercased text, positionally
+    * indexed (`hs(i)` = hash of chars `[i, i+k)`). The shared kernel
+    * under [[winnowingKernel]] (min-selection) and [[leakedSpans]]
+    * (exact span extension over candidate pairs). */
+  def gramHashes(text: String, k: Int): Array[Long] = {
     if (text == null) return Array.empty
     val t = text.toLowerCase(java.util.Locale.ROOT)
     val n = t.length
@@ -48,6 +52,13 @@ object Curation {
     while (i < m) {
       hs(i) = TextFunctions.fnv1a64(t.substring(i, i + k)); i += 1
     }
+    hs
+  }
+
+  def winnowingKernel(text: String, k: Int, w: Int): Array[Long] = {
+    val hs = gramHashes(text, k)
+    if (hs.isEmpty) return hs
+    val m = hs.length
     val sel = new java.util.HashSet[java.lang.Long]()
     var j = 0
     while (j < m) {
@@ -138,6 +149,60 @@ object Curation {
       .groupBy(col("idA"), col("idB"))
       .agg(count(lit(1)).as("n_shared")) // (id, fp) unique by kernel dedup
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** EXACT longest-leaked-span per (train, eval) candidate pair — the
+    * forensic layer over [[charContaminationReport]]'s boolean verdict:
+    * not just "dirty" but HOW MUCH text leaked and from WHERE. Two
+    * stages: (1) winnowing fingerprints nominate candidate pairs
+    * (guaranteed to catch any shared run ≥ k+w−1 chars); (2) for
+    * candidate docs only, ALL positional k-gram hashes are matched and
+    * extended along diagonals — a common substring of length L ≥ k
+    * produces exactly L−k+1 consecutive matches with constant
+    * offset ti−ei, so the longest diagonal run r gives the EXACT
+    * longest common substring length r+k−1 (the seed-and-extend
+    * argument; equal-hash = equal-gram up to fnv1a64 collisions, which
+    * both engines share). `n_runs` counts maximal leaked runs — one
+    * lifted paragraph reads as one run, scattered quoting as many.
+    *
+    * Scale shape: the eval side (small by definition) broadcasts at
+    * every step; train docs are pruned to candidate ids via a
+    * broadcast semi-join BEFORE per-position grams materialize, so the
+    * full-corpus cost stays the winnowing pass (selected fps only) and
+    * the quadratic-looking extension touches only nominated docs. The
+    * diagonal islands are one window + two aggs, all partitioned by
+    * (pair, diagonal) — no global sort.
+    * @return (train_id, eval_id, span_chars, n_runs) */
+  def leakedSpans(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, k: Int = 25, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val efp = winnowingFingerprints(evalSet, idCol, textCol, k, w)
+      .select(col("id").as("eval_id"), col("fp"))
+    val tfp = winnowingFingerprints(train, idCol, textCol, k, w)
+      .select(col("id").as("train_id"), col("fp"))
+    val pairs = tfp.join(broadcast(efp), Seq("fp"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    val gh = udf((t: String) => gramHashes(t, k))
+    val eg = evalSet.select(col(idCol).as("eval_id"),
+      posexplode(gh(col(textCol))).as(Seq("ei", "h")))
+    val tg = train
+      .join(broadcast(pairs.select(col("train_id")).distinct()),
+        train(idCol) === col("train_id"), "left_semi")
+      .select(col(idCol).as("train_id"),
+        posexplode(gh(col(textCol))).as(Seq("ti", "h")))
+    val matches = tg.join(broadcast(eg), Seq("h"))
+      .join(broadcast(pairs), Seq("train_id", "eval_id"), "left_semi")
+      .select(col("train_id"), col("eval_id"),
+        (col("ti") - col("ei")).as("d"), col("ei"))
+    val byDiag = Window.partitionBy(col("train_id"), col("eval_id"),
+      col("d")).orderBy(col("ei"))
+    matches
+      .withColumn("grp", col("ei") - row_number().over(byDiag))
+      .groupBy(col("train_id"), col("eval_id"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg((max(col("run")) + lit(k - 1)).cast("long").as("span_chars"),
+        count(lit(1)).as("n_runs"))
   }
 
   /** Documents sharing at least one word `n`-gram with `evalSet` —

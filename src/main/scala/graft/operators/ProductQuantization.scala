@@ -413,6 +413,50 @@ object ProductQuantization {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** TWO-STAGE ANN serve path: ADC shortlist from the compressed index,
+    * then EXACT cosine re-rank over only the shortlisted ORIGINAL
+    * vectors — the standard IVF-PQ answer-quality recipe. Stage 1
+    * ([[queryIndexDistributed]]) touches only the m-int codes and
+    * prunes the corpus to ≤ `shortlist` candidates per query; stage 2
+    * re-attaches full vectors for exactly those (qid, nid) pairs and
+    * restores brute-force scoring on that sliver, undoing the
+    * quantization error's rank inversions near the top. Same exact
+    * kernel as [[Similarity.bruteTopK]] (`cosinePre(dotFast)`, ties
+    * sim DESC / nid ASC) so the re-ranked head is directly comparable
+    * to the brute-truth baseline.
+    *
+    * Scale shape: the expensive full-vector join is on the SHORTLIST
+    * (|queries|·shortlist rows, corpus side equi-joined on nid), never
+    * the corpus; the query side broadcasts; the head is a bounded-heap
+    * top-k, no global sort. */
+  def rerankTopK(fit: IvfPqFit, index: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    import graft.functions.VectorFunctions.{normFast, dotFast, cosinePre}
+    val short = queryIndexDistributed(fit, index, queries, shortlist, nprobe)
+      .select(col("qid"), col("nid"))
+    val cVecs = corpus.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"))
+      .withColumn("nnorm", normFast(col("nv")))
+      .filter(col("nnorm") > 0)
+    val qVecs = queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+      .withColumn("qnorm", normFast(col("qv")))
+      .filter(col("qnorm") > 0)
+    short.join(cVecs, Seq("nid"))
+      .join(broadcast(qVecs), Seq("qid"))
+      .withColumn("sim",
+        cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKAggregator.top_k(k)(col("sim"), col("nid"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Approximate top-k by ADC over the compressed index: queries are
     * collected (small side), their ADC tables broadcast via the UDF
     * closure; the corpus side touches ONLY the m-int codes. */

@@ -1099,6 +1099,27 @@ class CurationSpec extends SparkSuite {
     assert(fa.size < a.length - k + 1)
   }
 
+  test("leakedSpans: exact span length, run count, and non-nomination") {
+    import spark.implicits._
+    val k = 10; val w = 4
+    // no repeated 10-gram anywhere: 4-char tokens with increasing ids
+    val train = (0 until 20).map(i => f"q$i%02d ").mkString.trim // 79 chars
+    val lift1 = train.substring(0, 15)  // 15-char run -> 6 matching grams
+    val lift2 = train.substring(50, 70) // 20-char run -> 11 matching grams
+    val trainDf = Seq((1L, train)).toDF("doc_id", "text")
+    val evals = Seq(
+      (100L, train.substring(10, 40)),            // one 30-char lift
+      (101L, lift1 + "@@@@@@@@@@" + lift2),       // two separated lifts
+      (102L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")) // fresh
+      .toDF("doc_id", "text")
+    val out = Curation.leakedSpans(trainDf, evals, "doc_id", "text", k, w)
+      .select(col("eval_id"), col("span_chars"), col("n_runs"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(100L) == ((30L, 1L)), out.toString)
+    assert(out(101L) == ((20L, 2L)), out.toString)
+    assert(!out.contains(102L), "fresh doc must nominate no pair")
+  }
+
   test("bfdPackShard: 1M-doc shard completes fast (sub-quadratic bin search)") {
     // 1M docs averaging ~500 tokens at budget 2048 opens ~250k bins; the
     // pre-r16 linear scan is ~10^11 long-compares here (minutes). The

@@ -106,4 +106,22 @@ class ProductQuantizationSpec extends SparkSuite {
     assert(ProductQuantization.removeFromAnnIndex(pruned, deleted, "vec_id")
       .count() == n - 1, "deleting again must be a no-op")
   }
+
+  test("rerankTopK with a full shortlist and all probes equals bruteTopK exactly") {
+    val qs = emb.filter(col("vec_id") < 5)
+    val fit = ProductQuantization.fitFrozen(emb)
+    val idx = ProductQuantization.annIndex(fit, emb)
+    val n = emb.count().toInt
+    // every cell probed + shortlist covering the corpus -> the exact
+    // re-rank sees everything, so stage 2 must reproduce brute force
+    // row-for-row (same kernel, same tie rule, same rounding)
+    val rr = ProductQuantization
+      .rerankTopK(fit, idx, qs, emb, k = 5, shortlist = n, nprobe = 16)
+      .select("qid", "nid", "sim", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val bt = Similarity.bruteTopK(qs, emb, 5)
+      .select("qid", "nid", "sim", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rr.length == 25 && rr.sameElements(bt))
+  }
 }
