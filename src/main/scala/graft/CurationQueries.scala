@@ -1599,6 +1599,283 @@ object CurationQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS whole_doc_leak
              |FROM spans sp JOIN evals v ON v.id = sp.eval_id""".stripMargin)),
 
+    // INCREMENTAL WINNOWING CONTAMINATION INDEX — the q242/q254/q255
+    // index-CRUD discipline on the char-contamination tier, closing the
+    // fourth index family (BM25, chunk, ANN, winnowing): the (id, fp)
+    // postings are per-row functions of each doc's own text, so upsert
+    // is a union and delete an anti-join (plus one never-indexed id —
+    // delete must be idempotent). The full cycle runs here: index the
+    // epoch (ids %4≠0), fold a re-keyed batch (+50000), delete every
+    // epoch id ≡1 mod 5, then PROBE the q259 eval fixture against the
+    // maintained index. The oracle recomputes the probe from scratch
+    // over exactly the surviving corpus — hash equality proves
+    // remove ∘ upsert == recompute. Note the fixture's own teeth: leaks
+    // sourced from deleted or batch-moved docs flip verdicts unless
+    // natural corpus duplicates still carry the text.
+    Q("q269_incremental_winnowing_index",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.filter(col("doc_id") % 4 =!= 0)
+        val batch = d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+        val deleted = epoch.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"))
+          .unionByName(Seq(999999L).toDF("doc_id")) // never indexed
+        val idx = Curation.removeFromWinnowingIndex(
+          Curation.upsertWinnowingIndex(
+            Curation.winnowingFingerprints(epoch, "doc_id", "text", 25, 8),
+            batch, "doc_id", "text", 25, 8),
+          deleted, "doc_id")
+        val leaks = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 97000L).as("doc_id"),
+            substring(col("text"), 21, 60).as("text"))
+        val fresh = Seq((97100L,
+          "the purple quantum walrus audits a crystalline ledger of " +
+            "unseen comets while seventeen translucent beacons hum " +
+            "beneath the patient glacier tonight"))
+          .toDF("doc_id", "text")
+        Curation.charContaminationProbe(idx,
+          leaks.unionByName(fresh), "doc_id", "text", k = 25, w = 8)
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 1
+             |  UNION ALL
+             |  SELECT doc_id + 50000, text FROM documents WHERE doc_id % 4 = 0),
+             |evals AS (
+             |  SELECT doc_id + 97000 AS id, substr(text, 21, 60) AS text
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL SELECT 97100,
+             |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
+             |ech AS (SELECT id, lower(text) AS t FROM evals),
+             |egr AS (SELECT id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM ech WHERE length(t) >= 25)),
+             |esel AS (SELECT DISTINCT id, fp FROM (
+             |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
+             |tch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |tgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM tch WHERE length(t) >= 25)),
+             |tsel AS (SELECT DISTINCT fp FROM (
+             |  SELECT min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
+             |fcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp
+             |  FROM esel GROUP BY 1),
+             |fhit AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dirty_fp
+             |  FROM esel JOIN tsel USING (fp) GROUP BY 1)
+             |SELECT v.id,
+             |  coalesce(f.n_fp, 0) AS n_fp,
+             |  coalesce(fh.n_dirty_fp, 0) AS n_dirty_fp,
+             |  CASE WHEN coalesce(fh.n_dirty_fp, 0) > 0 THEN 'dirty'
+             |    ELSE 'clean' END AS verdict
+             |FROM evals v LEFT JOIN fcnt f ON f.id = v.id
+             |  LEFT JOIN fhit fh ON fh.id = v.id""".stripMargin)),
+
+    // STREAMING CONTAMINATION-AT-INGEST (Curation
+    // .ingestContaminationVerdicts under Structured Streaming) — the
+    // reverse probe direction: incoming TRAINING docs stream in and
+    // each is asked "do you contain benchmark text?" so leaks are
+    // quarantined before they train. Stream-safe by construction:
+    // stateless per-row fingerprints, broadcast stream-static join
+    // against the (tiny, pre-distincted) eval fingerprint set, ONE
+    // stateful per-doc count agg in Complete mode. The q259 fixture's
+    // source docs (0–9) and their natural corpus duplicates must read
+    // dirty; the oracle recomputes the same per-train-doc verdicts in
+    // batch SQL — streaming == batch, hash-equal.
+    Q("q270_streaming_ingest_contamination",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val leaks = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 97000L).as("doc_id"),
+            substring(col("text"), 21, 60).as("text"))
+        val fresh = Seq((97100L,
+          "the purple quantum walrus audits a crystalline ledger of " +
+            "unseen comets while seventeen translucent beacons hum " +
+            "beneath the patient glacier tonight"))
+          .toDF("doc_id", "text")
+        val evalFps = Curation.winnowingFingerprints(
+          leaks.unionByName(fresh), "doc_id", "text", 25, 8)
+          .select(col("fp")).distinct()
+        val inDir = s"/tmp/graft-ingestcontam-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(d, "doc_id", s"$dir/documents_ingestcontam")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          d.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => Curation.ingestContaminationVerdicts(
+            stream, evalFps, "doc_id", "text", 25, 8),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q270_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some(s"""WITH evals AS (
+             |  SELECT doc_id + 97000 AS id, substr(text, 21, 60) AS text
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL SELECT 97100,
+             |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
+             |ech AS (SELECT id, lower(text) AS t FROM evals),
+             |egr AS (SELECT id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM ech WHERE length(t) >= 25)),
+             |esel AS (SELECT DISTINCT fp FROM (
+             |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
+             |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
+             |tgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM tch WHERE length(t) >= 25)),
+             |tselD AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr))
+             |SELECT t.doc_id AS id, CAST(count(*) AS BIGINT) AS n_fp,
+             |  CAST(sum(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dirty,
+             |  CASE WHEN sum(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) > 0
+             |    THEN 'dirty' ELSE 'clean' END AS verdict
+             |FROM tselD t LEFT JOIN esel e ON e.fp = t.fp
+             |GROUP BY t.doc_id""".stripMargin)),
+
+    // CONTAMINATION-AWARE MIXTURE RE-PLAN — q244's discipline with
+    // contamination as the removal cause: the naive temperature plan
+    // apportions the epoch budget from raw per-source token counts,
+    // but decontamination (q270's per-train-doc verdicts) EXCISES the
+    // docs carrying benchmark text before training, so sources holding
+    // leaks get quota for tokens that will never train. Compose the
+    // two: winnowing verdicts → excised corpus → per-source stats →
+    // samplingPlanFromStats, with the naive plan side by side and
+    // n_excised as the receipt. Oracle replays the fingerprint
+    // verdicts and BOTH integer temperature/Hamilton chains.
+    Q("q271_contamination_aware_replan",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val leaks = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 97000L).as("doc_id"),
+            substring(col("text"), 21, 60).as("text"))
+        val fresh = Seq((97100L,
+          "the purple quantum walrus audits a crystalline ledger of " +
+            "unseen comets while seventeen translucent beacons hum " +
+            "beneath the patient glacier tonight"))
+          .toDF("doc_id", "text")
+        val evalFps = Curation.winnowingFingerprints(
+          leaks.unionByName(fresh), "doc_id", "text", 25, 8)
+          .select(col("fp")).distinct()
+        val dirtyIds = Curation.ingestContaminationVerdicts(
+            d, evalFps, "doc_id", "text", 25, 8)
+          .filter(col("verdict") === "dirty")
+          .select(col("id").as("doc_id"))
+        val naive = Curation.samplingPlan(
+            d, "source", "text", budget = 1000000L)
+          .select(col("source"), col("n_tokens").as("toks_before"),
+            col("quota").as("quota_naive"))
+        val clean = d.join(dirtyIds, Seq("doc_id"), "left_anti")
+        val stats = clean.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long")).as("n_tokens"))
+        val replan = Curation.samplingPlanFromStats(
+            stats, "source", budget = 1000000L)
+          .select(col("source"), col("n_tokens").as("toks_after"),
+            col("quota").as("quota_replanned"))
+        val excised = d.join(dirtyIds, Seq("doc_id"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_excised"))
+        naive.join(replan, Seq("source"))
+          .join(excised, Seq("source"), "left")
+          .select(col("source"), col("toks_before"), col("toks_after"),
+            col("quota_naive"), col("quota_replanned"),
+            (col("quota_replanned") - col("quota_naive")).as("quota_shift"),
+            coalesce(col("n_excised"), lit(0L)).as("n_excised"))
+      },
+      Some(s"""WITH evals AS (
+             |  SELECT doc_id + 97000 AS id, substr(text, 21, 60) AS text
+             |  FROM documents WHERE doc_id < 10
+             |  UNION ALL SELECT 97100,
+             |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
+             |ech AS (SELECT id, lower(text) AS t FROM evals),
+             |egr AS (SELECT id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM ech WHERE length(t) >= 25)),
+             |esel AS (SELECT DISTINCT fp FROM (
+             |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
+             |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
+             |tgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM tch WHERE length(t) >= 25)),
+             |tselD AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
+             |dirty AS (SELECT DISTINCT t.doc_id
+             |  FROM tselD t JOIN esel e ON e.fp = t.fp),
+             |tkc AS (SELECT doc_id, source,
+             |    CAST(len(string_split_regex(
+             |      regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+             |      AS BIGINT) AS tk
+             |  FROM documents),
+             |ns AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+             |  FROM tkc GROUP BY source),
+             |nlw AS (SELECT source, n_tokens,
+             |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7)
+             |      // 10 AS lwm FROM ns),
+             |nmx AS (SELECT max(lwm) AS m FROM nlw),
+             |nwm AS (SELECT source, n_tokens,
+             |    CAST(round(exp(CAST(lwm - (SELECT m FROM nmx) AS DOUBLE) / 1000000)
+             |      * 1000000) AS BIGINT) AS weight_micro FROM nlw),
+             |ntw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM nwm),
+             |nbase AS (SELECT source, n_tokens, weight_micro,
+             |    (1000000 * weight_micro) // t AS bq,
+             |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+             |  FROM nwm, ntw),
+             |nlo AS (SELECT 1000000 - sum(bq) AS l FROM nbase),
+             |nrk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+             |  FROM nbase),
+             |nq AS (SELECT source, n_tokens,
+             |    CAST(bq + CASE WHEN r <= (SELECT l FROM nlo) THEN 1 ELSE 0 END
+             |      AS BIGINT) AS quota FROM nrk),
+             |ps AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+             |  FROM tkc WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+             |  GROUP BY source),
+             |plw AS (SELECT source, n_tokens,
+             |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7)
+             |      // 10 AS lwm FROM ps),
+             |pmx AS (SELECT max(lwm) AS m FROM plw),
+             |pwm AS (SELECT source, n_tokens,
+             |    CAST(round(exp(CAST(lwm - (SELECT m FROM pmx) AS DOUBLE) / 1000000)
+             |      * 1000000) AS BIGINT) AS weight_micro FROM plw),
+             |ptw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM pwm),
+             |pbase AS (SELECT source, n_tokens, weight_micro,
+             |    (1000000 * weight_micro) // t AS bq,
+             |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+             |  FROM pwm, ptw),
+             |plo AS (SELECT 1000000 - sum(bq) AS l FROM pbase),
+             |prk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+             |  FROM pbase),
+             |pq AS (SELECT source, n_tokens,
+             |    CAST(bq + CASE WHEN r <= (SELECT l FROM plo) THEN 1 ELSE 0 END
+             |      AS BIGINT) AS quota FROM prk),
+             |exc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_excised
+             |  FROM tkc WHERE doc_id IN (SELECT doc_id FROM dirty)
+             |  GROUP BY source)
+             |SELECT n.source, n.n_tokens AS toks_before,
+             |  p.n_tokens AS toks_after,
+             |  n.quota AS quota_naive, p.quota AS quota_replanned,
+             |  p.quota - n.quota AS quota_shift,
+             |  coalesce(e.n_excised, 0) AS n_excised
+             |FROM nq n JOIN pq p ON p.source = n.source
+             |LEFT JOIN exc e ON e.source = n.source""".stripMargin)),
+
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
     // sibling: per-source cosine between OLD (even 20-id block) and
     // NEW (odd block) epoch centroids. The raw synthetic embeddings

@@ -102,10 +102,22 @@ object Curation {
     * (id, fp) pairs reach the one distinct-aggregate. */
   def charContaminationReport(train: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, k: Int = 25,
+      w: Int = 8): DataFrame =
+    charContaminationProbe(
+      winnowingFingerprints(train, idCol, textCol, k, w),
+      evalSet, idCol, textCol, k, w)
+
+  /** [[charContaminationReport]] against a PREBUILT winnowing index —
+    * the serve path of the contamination index's maintenance cycle
+    * (build once with [[winnowingFingerprints]], fold daily batches
+    * with [[upsertWinnowingIndex]], curate with
+    * [[removeFromWinnowingIndex]], probe here without re-fingerprinting
+    * the corpus). `index` is the (id, fp) postings frame. */
+  def charContaminationProbe(index: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, k: Int = 25,
       w: Int = 8): DataFrame = {
     val efp = winnowingFingerprints(evalSet, idCol, textCol, k, w)
-    val tfp = winnowingFingerprints(train, idCol, textCol, k, w)
-      .select(col("fp"))
+    val tfp = index.select(col("fp"))
     val hits = tfp.join(broadcast(efp), Seq("fp"))
       .groupBy(col("id"))
       .agg(countDistinct(col("fp")).as("n_dirty_fp"))
@@ -119,6 +131,51 @@ object Curation {
         when(coalesce(col("n_dirty_fp"), lit(0L)) > 0, "dirty")
           .otherwise("clean").as("verdict"))
   }
+
+  /** DAILY-BATCH maintenance for the winnowing contamination index —
+    * the [[graft.operators.Bm25.upsertIndexStats]] discipline on the
+    * char-contamination tier: the (id, fp) postings are per-row
+    * functions of each doc's own text (nothing global), so append IS
+    * maintenance — a union, no merge. Contract: batch ids must be NEW
+    * (update = [[removeFromWinnowingIndex]] ∘ upsert). */
+  def upsertWinnowingIndex(base: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 25,
+      w: Int = 8): DataFrame =
+    base.unionByName(winnowingFingerprints(batch, idCol, textCol, k, w))
+
+  /** Deletion for the winnowing index: postings are per-doc, so delete
+    * is an anti-join on id — idempotent on ids never indexed. The
+    * pipeline's own dedup/excision removes training docs, and a stale
+    * contamination index would keep flagging eval docs against text
+    * that no longer trains. */
+  def removeFromWinnowingIndex(index: DataFrame,
+      deletedIds: DataFrame, idCol: String): DataFrame =
+    index.join(deletedIds.select(col(idCol).as("id")),
+      Seq("id"), "left_anti")
+
+  /** Per-TRAIN-doc contamination verdict at INGEST — the reverse
+    * direction of [[charContaminationReport]] (which scores eval docs):
+    * here each incoming TRAINING doc is asked "do you contain benchmark
+    * text?" so leaks are quarantined before they ever train. The shape
+    * is STREAM-SAFE by construction: fingerprints are a stateless
+    * per-row kernel, the eval fingerprint set (static, tiny) joins
+    * broadcast, and the ONE stateful operator is the per-doc count
+    * aggregation — drop this behind readStream and it is the
+    * contamination filter of a streaming ingest pipeline (gated q270
+    * streaming == batch). `evalFps` must be pre-distincted (one row per
+    * fingerprint). Docs shorter than k chars carry no fingerprints and
+    * are absent from the output (nothing to quarantine on). */
+  def ingestContaminationVerdicts(incoming: DataFrame, evalFps: DataFrame,
+      idCol: String, textCol: String, k: Int = 25,
+      w: Int = 8): DataFrame =
+    winnowingFingerprints(incoming, idCol, textCol, k, w)
+      .join(broadcast(evalFps.select(col("fp")).withColumn("_hit", lit(1))),
+        Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_dirty"))
+      .select(col("id"), col("n_fp"), col("n_dirty"),
+        when(col("n_dirty") > 0, "dirty").otherwise("clean").as("verdict"))
 
   /** CROSS-DOC duplicate candidates over winnowing fingerprints — the
     * MOSS pairing: two docs sharing ≥ `minShared` selected fingerprints

@@ -1099,6 +1099,29 @@ class CurationSpec extends SparkSuite {
     assert(fa.size < a.length - k + 1)
   }
 
+  test("winnowing index CRUD: remove ∘ upsert == recompute; delete idempotent") {
+    import spark.implicits._
+    val mk = (r: Range, tag: String) => r.map(i =>
+      (i.toLong, s"document number $i about $tag with plenty of chars " * 3))
+      .toDF("doc_id", "text")
+    val epoch = mk(0 until 8, "alpha")
+    val batch = mk(8 until 12, "beta")
+    val idx = Curation.removeFromWinnowingIndex(
+      Curation.upsertWinnowingIndex(
+        Curation.winnowingFingerprints(epoch, "doc_id", "text", 25, 8),
+        batch, "doc_id", "text", 25, 8),
+      Seq(3L, 9L, 777L).toDF("doc_id"), "doc_id") // 777 never indexed
+    val survivors = epoch.unionByName(batch)
+      .filter(!col("doc_id").isin(3L, 9L))
+    val full = Curation.winnowingFingerprints(
+      survivors, "doc_id", "text", 25, 8)
+    assert(idx.exceptAll(full).isEmpty && full.exceptAll(idx).isEmpty,
+      "maintained index must equal the recompute over survivors")
+    val again = Curation.removeFromWinnowingIndex(
+      idx, Seq(3L, 777L).toDF("doc_id"), "doc_id")
+    assert(again.count() == idx.count(), "re-delete must be a no-op")
+  }
+
   test("leakedSpans: exact span length, run count, and non-nomination") {
     import spark.implicits._
     val k = 10; val w = 4
