@@ -1876,6 +1876,65 @@ object CurationQueries {
              |FROM nq n JOIN pq p ON p.source = n.source
              |LEFT JOIN exc e ON e.source = n.source""".stripMargin)),
 
+    // DUP-CANDIDATE SPAN VERIFICATION (Curation.dupCandidateSpans) —
+    // the MOSS pipeline's verification stage over q264's candidates:
+    // fingerprint-overlap counts rank pairs, but "lifted paragraph vs
+    // scattered boilerplate" needs the actual extent, so every
+    // candidate pair gets its EXACT longest common substring and
+    // maximal-run count via the q266 diagonal extension. The planted
+    // quoters (150-char prefix lifts + fresh commentary) must read
+    // span_chars=150 against their sources; natural whole-doc dups
+    // read spans the length of the shared text. Oracle = the q264
+    // candidate chain + the positional gram match and islands fold.
+    Q("q272_dup_candidate_spans",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val quoters = d.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 96000L).as("doc_id"),
+            concat(substring(col("text"), 1, 150),
+              lit(" entirely new commentary words follow the lifted passage"))
+              .as("text"))
+        Curation.dupCandidateSpans(
+          d.unionByName(quoters), "doc_id", "text",
+          k = 25, w = 8, minShared = 2, maxDf = 20)
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 96000,
+             |    substr(text, 1, 150) || ' entirely new commentary words follow the lifted passage'
+             |  FROM documents WHERE doc_id < 8),
+             |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |csel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
+             |rare AS (SELECT fp FROM csel GROUP BY fp HAVING count(*) <= 20),
+             |capped AS (SELECT doc_id, fp FROM csel JOIN rare USING (fp)),
+             |cand AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |mm AS (SELECT cd.idA, cd.idB, ga.i - gb.i AS d, gb.i AS ei
+             |  FROM cand cd
+             |  JOIN cgr ga ON ga.doc_id = cd.idA
+             |  JOIN cgr gb ON gb.doc_id = cd.idB AND gb.h = ga.h),
+             |runs AS (SELECT idA, idB, count(*) AS run FROM (
+             |    SELECT idA, idB, d,
+             |      ei - ROW_NUMBER() OVER (PARTITION BY idA, idB, d
+             |        ORDER BY ei) AS grp
+             |    FROM mm)
+             |  GROUP BY idA, idB, d, grp)
+             |SELECT r.idA, r.idB, cd.n_shared,
+             |  CAST(max(r.run) + 24 AS BIGINT) AS span_chars,
+             |  CAST(count(*) AS BIGINT) AS n_runs
+             |FROM runs r JOIN cand cd USING (idA, idB)
+             |GROUP BY r.idA, r.idB, cd.n_shared""".stripMargin)),
+
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
     // sibling: per-source cosine between OLD (even 20-id block) and
     // NEW (odd block) epoch centroids. The raw synthetic embeddings

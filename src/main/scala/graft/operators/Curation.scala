@@ -208,6 +208,48 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** EXACT longest shared span per [[winnowingDupCandidates]] pair —
+    * the verification stage of the MOSS pipeline: fingerprint overlap
+    * counts (`n_shared`) rank candidates, but the decision "is this a
+    * lifted paragraph or scattered boilerplate" needs the actual
+    * extent, so each candidate pair gets its exact longest common
+    * substring and maximal-run count via the same diagonal extension
+    * as [[leakedSpans]]. Per-position grams materialize ONLY for docs
+    * appearing in some candidate pair (broadcast semi-joins), so the
+    * full-corpus cost stays the winnowing pass; the gram match is an
+    * equi-join on the 8-byte hash filtered to candidate pairs.
+    * @return (idA, idB, n_shared, span_chars, n_runs) with idA < idB */
+  def dupCandidateSpans(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 25, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = winnowingDupCandidates(corpus, idCol, textCol, k, w,
+      minShared, maxDf)
+    val gh = udf((t: String) => gramHashes(t, k))
+    def side(tag: String): DataFrame = corpus
+      .join(broadcast(pairs.select(col(tag)).distinct()),
+        corpus(idCol) === col(tag), "left_semi")
+      .select(col(idCol).as(tag),
+        posexplode(gh(col(textCol))).as(Seq(s"i$tag", "h")))
+    val matches = side("idA").join(side("idB"), Seq("h"))
+      .join(broadcast(pairs.select(col("idA"), col("idB"))),
+        Seq("idA", "idB"), "left_semi")
+      .select(col("idA"), col("idB"),
+        (col("iidA") - col("iidB")).as("d"), col("iidB").as("ei"))
+    val byDiag = Window.partitionBy(col("idA"), col("idB"), col("d"))
+      .orderBy(col("ei"))
+    matches
+      .withColumn("grp", col("ei") - row_number().over(byDiag))
+      .groupBy(col("idA"), col("idB"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("idA"), col("idB"))
+      .agg((max(col("run")) + lit(k - 1)).cast("long").as("span_chars"),
+        count(lit(1)).as("n_runs"))
+      .join(pairs, Seq("idA", "idB"))
+      .select(col("idA"), col("idB"), col("n_shared"), col("span_chars"),
+        col("n_runs"))
+  }
+
   /** EXACT longest-leaked-span per (train, eval) candidate pair — the
     * forensic layer over [[charContaminationReport]]'s boolean verdict:
     * not just "dirty" but HOW MUCH text leaked and from WHERE. Two

@@ -433,6 +433,46 @@ class PlanSpec extends SparkSuite {
       "train fingerprints must not shuffle on fp:\n" + p.take(3000))
   }
 
+  test("q266: leaked spans — eval grams broadcast, no cartesian, no global sort") {
+    val p = plan("q266_leaked_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the positional gram match must be a broadcast hash join on the
+    // 8-byte hash (eval side small by definition); the diagonal islands
+    // windows cluster-sort per (pair, d) — never globally
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("], true, 0"),
+      "no global sort in the islands fold:\n" + p.take(3000))
+  }
+
+  test("q267: two-stage re-rank — equi-joins only, bounded-heap head, queries broadcast") {
+    val p = plan("q267_ann_rerank_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "shortlist and re-rank joins must stay keyed:\n" + p.take(3000))
+    // the exact stage re-attaches vectors via hash joins (query side
+    // broadcast); the head is the typed bounded heap, not a window sort
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
+  test("q269: winnowing index probe — broadcast fp join, anti/semi maintenance joins") {
+    val p = plan("q269_incremental_winnowing_index")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin [fp"),
+      "index fingerprints must not shuffle on fp:\n" + p.take(3000))
+  }
+
+  test("q272: dup-candidate spans — candidate docs pruned before grams, no cartesian") {
+    val p = plan("q272_dup_candidate_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("], true, 0"),
+      "no global sort in the islands fold:\n" + p.take(3000))
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
