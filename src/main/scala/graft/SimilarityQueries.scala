@@ -65,6 +65,75 @@ object SimilarityQueries {
        |  FROM pairs)""".stripMargin
   }
 
+  /** The multi-probe SRP WITH-chain: q41's chain plus the query-side
+    * probe set — per query the `nProbes` planes with the smallest
+    * |projection| (ties to the lower plane; margins are bit-exact
+    * across engines, the q40/q41-proven accumulation) contribute their
+    * single-bit-flip buckets (flip = sig + 2^p − 2·(sig & 2^p), the
+    * single-bit-safe arithmetic XOR). Emits BOTH `rankedB` (base
+    * buckets only — srpTopK's candidates) and `rankedM` (multi-probe)
+    * so q273 gates the ranking and q274 the recall lift. */
+  private def q273OracleChain(planes: Int, bandBits: Int, seed: Long,
+      nProbes: Int): String = {
+    val nBands = planes / bandBits
+    val bandVals = (0 until nBands).map(b => s"($b)").mkString(",")
+    val mask = (1 << bandBits) - 1
+    s"""WITH signs AS (
+       |  SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+       |  FROM (VALUES ${srpSignRows(planes, dims = 64, seed)}) s(plane, sv)),
+       |base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |normed AS (
+       |  SELECT id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM base
+       |  WHERE sqrt(list_dot_product(v, v)) > 0),
+       |accs AS (
+       |  SELECT id, plane, list_dot_product(v, sv) AS acc
+       |  FROM normed CROSS JOIN signs),
+       |sigs AS (
+       |  SELECT id,
+       |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+       |  FROM accs GROUP BY id),
+       |banded AS (
+       |  SELECT id, band, (sig >> (band * $bandBits)) & $mask AS bucket
+       |  FROM sigs CROSS JOIN (VALUES $bandVals) b(band)),
+       |qflip AS (SELECT id, plane FROM (
+       |  SELECT id, plane,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY abs(acc), plane) AS r
+       |  FROM accs WHERE id < 20) WHERE r <= $nProbes),
+       |qprobe AS (
+       |  SELECT id, band, bucket FROM banded WHERE id < 20
+       |  UNION ALL
+       |  SELECT f.id, f.plane // $bandBits AS band,
+       |    ((s.sig + (CAST(1 AS BIGINT) << f.plane)
+       |        - 2 * (s.sig & (CAST(1 AS BIGINT) << f.plane)))
+       |      >> ((f.plane // $bandBits) * $bandBits)) & $mask AS bucket
+       |  FROM qflip f JOIN sigs s ON s.id = f.id),
+       |candM AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM qprobe q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.id <> c.id),
+       |candB AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.id < 20 AND q.id <> c.id),
+       |pairsM AS (
+       |  SELECT qid, nid,
+       |    list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) AS sim
+       |  FROM candM JOIN normed qn ON qn.id = qid JOIN normed cn ON cn.id = nid),
+       |rankedM AS (
+       |  SELECT qid, nid, ROUND(sim, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM pairsM),
+       |pairsB AS (
+       |  SELECT qid, nid,
+       |    list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) AS sim
+       |  FROM candB JOIN normed qn ON qn.id = qid JOIN normed cn ON cn.id = nid),
+       |rankedB AS (
+       |  SELECT qid, nid, ROUND(sim, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM pairsB)""".stripMargin
+  }
+
   /** q114's oracle: the q41 SRP chain + brute truth over `normed` +
     * recall@k — the third ANN family's quality number under the gate
     * (SRP misses whatever never shares a band bucket; LOW recall at
@@ -903,6 +972,76 @@ object SimilarityQueries {
         s"""
            |SELECT qid, count(*) AS n_results, ROUND(max(sim), 6) AS best_sim
            |FROM ranked WHERE rank <= 5 GROUP BY qid""".stripMargin)),
+
+    // MULTI-PROBE SRP top-k (Similarity.srpMultiProbeTopK): the q41
+    // index queried harder instead of built bigger — each query also
+    // probes the buckets reached by flipping its 2 lowest-|margin|
+    // sign bits (a near-zero projection puts the true neighbor across
+    // that hyperplane with probability ≈ 1/2). Row-level gate over the
+    // re-ranked head; the oracle replays margins, flips, probe union,
+    // and exact re-rank.
+    Q("q273_srp_multiprobe_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.srpMultiProbeTopK(e.filter(col("vec_id") < 20), e, 5)
+      },
+      Some(q273OracleChain(planes = 16, bandBits = 4, seed = 42L,
+        nProbes = 2) +
+        s"""
+           |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
+           |FROM rankedM WHERE rank <= 5""".stripMargin)),
+
+    // MULTI-PROBE RECALL LIFT — q114's recall gate run for BOTH probe
+    // budgets from the same banded index: base buckets (srpTopK) vs
+    // base + 4 lowest-margin single-bit flips, against brute truth.
+    // Multi-probe candidates are a strict superset, so recall can only
+    // rise; `lifted` marks the queries where the extra probes actually
+    // recovered a true neighbor. The scale story: recall bought with
+    // ~nBands+4 bucket lookups per query instead of a bigger index.
+    Q("q274_srp_multiprobe_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20)
+        val truth = Similarity.bruteTopK(qs, e, 10)
+          .select(col("qid"), col("nid"))
+        val base = Similarity.srpTopK(qs, e, 10)
+          .select(col("qid"), col("nid"))
+        val mp = Similarity.srpMultiProbeTopK(qs, e, 10, nProbes = 4)
+          .select(col("qid"), col("nid"))
+        val ra = recallVsTruth(truth, base)
+          .select(col("qid"), col("n_true"), col("n_hit").as("base_hit"),
+            col("recall").as("recall_base"))
+        val rb = recallVsTruth(truth, mp)
+          .select(col("qid"), col("n_hit").as("mp_hit"),
+            col("recall").as("recall_mp"))
+        ra.join(rb, Seq("qid"))
+          .withColumn("lifted",
+            when(col("mp_hit") > col("base_hit"), 1L).otherwise(0L))
+      },
+      Some(q273OracleChain(planes = 16, bandBits = 4, seed = 42L,
+        nProbes = 4) +
+        s""",
+           |approxB AS (SELECT qid, nid FROM rankedB WHERE rank <= 10),
+           |approxM AS (SELECT qid, nid FROM rankedM WHERE rank <= 10),
+           |btruth AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qn.id AS qid, cn.id AS nid,
+           |      ROW_NUMBER() OVER (PARTITION BY qn.id ORDER BY
+           |        list_dot_product(qn.v, cn.v) / (qn.vnorm * cn.vnorm) DESC,
+           |        cn.id) AS rk
+           |    FROM normed qn JOIN normed cn ON qn.id < 20 AND cn.id <> qn.id)
+           |  WHERE rk <= 10)
+           |SELECT t.qid, count(*) AS n_true,
+           |  CAST(count(b.nid) AS BIGINT) AS base_hit,
+           |  round(CAST(count(b.nid) AS DOUBLE) / count(*), 4) AS recall_base,
+           |  CAST(count(m.nid) AS BIGINT) AS mp_hit,
+           |  round(CAST(count(m.nid) AS DOUBLE) / count(*), 4) AS recall_mp,
+           |  CAST(CASE WHEN count(m.nid) > count(b.nid) THEN 1 ELSE 0 END
+           |    AS BIGINT) AS lifted
+           |FROM btruth t
+           |LEFT JOIN approxB b ON b.qid = t.qid AND b.nid = t.nid
+           |LEFT JOIN approxM m ON m.qid = t.qid AND m.nid = t.nid
+           |GROUP BY t.qid""".stripMargin)),
 
     // IVF (k-means cells, nprobe probing) approximate top-k — ORACLED,
     // k-means included: see q42Oracle.

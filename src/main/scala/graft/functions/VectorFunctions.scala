@@ -55,6 +55,52 @@ object VectorFunctions {
     sig
   }
 
+  /** Multi-probe SRP bucket set: the base (band, bucket) pairs of the
+    * signature PLUS, for each of the `nProbes` planes with the smallest
+    * projection magnitude |v·r_p| (ties to the lower plane), the bucket
+    * obtained by flipping that plane's bit in its own band — the
+    * standard multi-probe LSH trick (query MORE buckets instead of
+    * storing more tables): a near-zero projection means the true
+    * neighbor sits on the other side of that hyperplane with
+    * probability ≈ 1/2, so the single-bit-flip buckets are exactly the
+    * highest-yield extra probes. Flipped buckets are always distinct
+    * from their band's base (the flipped bit differs), so the result
+    * has nBands + nProbes entries. The margin ordering is
+    * oracle-replayable: accumulation order matches list_dot_product
+    * over the ±1 sign rows bit-for-bit (the q40/q41-proven kernel). */
+  def multiProbeBucketsKernel(v: Seq[Float], planes: Int, bandBits: Int,
+      seed: Long, nProbes: Int): Array[(Int, Int)] = {
+    val accs = new Array[Double](planes)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = mix64(seed ^ mix64(p.toLong << 32 | i.toLong))
+        acc += (if ((h & 1L) == 0L) v(i).toDouble else -v(i).toDouble)
+        i += 1
+      }
+      accs(p) = acc
+      p += 1
+    }
+    var sig = 0
+    p = 0
+    while (p < planes) { if (accs(p) >= 0) sig |= (1 << p); p += 1 }
+    val mask = (1 << bandBits) - 1
+    val nBands = planes / bandBits
+    val out = Array.newBuilder[(Int, Int)]
+    var b = 0
+    while (b < nBands) {
+      out += ((b, (sig >>> (b * bandBits)) & mask)); b += 1
+    }
+    (0 until planes).sortBy(q => (math.abs(accs(q)), q)).take(nProbes)
+      .foreach { q =>
+        val band = q / bandBits
+        out += ((band, ((sig ^ (1 << q)) >>> (band * bandBits)) & mask))
+      }
+    out.result()
+  }
+
   private[graft] def mix64(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

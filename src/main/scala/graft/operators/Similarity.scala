@@ -85,6 +85,55 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** MULTI-PROBE SRP top-k: same index as [[srpTopK]] (the corpus is
+    * banded exactly once — the trick queries MORE buckets instead of
+    * storing more tables), but the QUERY side also probes, per band,
+    * the buckets reached by flipping its `nProbes` lowest-margin sign
+    * bits ([[graft.functions.VectorFunctions.multiProbeBucketsKernel]]).
+    * Candidates are a strict superset of srpTopK's, so recall can only
+    * go up; corpus-side cost rises by the probed-bucket fraction, not
+    * by a rebuild. Output shape and tie rules identical to srpTopK. */
+  def srpMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 16, bandBits: Int = 4, seed: Long = 42L,
+      nProbes: Int = 2): DataFrame = {
+    require(planes % bandBits == 0)
+    val nBands = planes / bandBits
+    val buckets = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+    def base(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("id"), col("embedding").as("v"),
+        srpSignature(col("embedding"), planes, seed).as("sig"),
+        normFast(col("embedding")).as("vnorm"))
+        .filter(col("vnorm") > 0)
+    val cBanded = base(corpus).select(col("id").as("nid"),
+      posexplode(buckets).as(Seq("band", "bucket")))
+    val probeUdf = udf((v: Seq[Float]) =>
+      multiProbeBucketsKernel(v, planes, bandBits, seed, nProbes))
+    val qProbes = queries
+      .withColumn("vnorm", normFast(col("embedding")))
+      .filter(col("vnorm") > 0)
+      .select(col("vec_id").as("qid"),
+        explode(probeUdf(col("embedding"))).as("bb"))
+      .select(col("qid"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+    val qVecs = base(queries).select(col("id").as("qid"), col("v").as("qv"),
+      col("vnorm").as("qnorm"))
+    val cVecs = base(corpus).select(col("id").as("nid"), col("v").as("nv"),
+      col("vnorm").as("nnorm"))
+    val cand = cBanded.join(broadcast(qProbes), Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct() // a pair can collide in several probed buckets
+      .join(broadcast(qVecs), Seq("qid"))
+      .join(cVecs, Seq("nid"))
+      .withColumn("sim",
+        cosinePre(dotFast(col("qv"), col("nv")), col("qnorm"), col("nnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** The SRP leg's STREAM-SAFE candidate stage (r15 missing #4): band
     * signatures, the bucket join against the STATIC corpus side, and
     * the cosine — with NO distinct and NO aggregation, so a STREAMING

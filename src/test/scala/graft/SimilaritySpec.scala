@@ -196,4 +196,32 @@ class SimilaritySpec extends SparkSuite {
     assert(viaDecomp == viaTopK,
       "the decomposed (stateless + one agg) form must reproduce srpTopK exactly")
   }
+
+  test("multi-probe buckets: shape invariants and zero-probe parity with srpTopK") {
+    import graft.functions.VectorFunctions.{multiProbeBucketsKernel, srpSignatureKernel}
+    val v = (0 until 64).map(i => (math.sin(i + 1) * 3).toFloat)
+    val planes = 16; val bandBits = 4; val seed = 42L
+    val sig = srpSignatureKernel(v, planes, seed)
+    val mask = (1 << bandBits) - 1
+    val out = multiProbeBucketsKernel(v, planes, bandBits, seed, 3)
+    assert(out.length == 4 + 3, "nBands base + nProbes flipped")
+    // the first nBands entries ARE the signature's base buckets
+    (0 until 4).foreach { b =>
+      assert(out(b) == ((b, (sig >>> (b * bandBits)) & mask)))
+    }
+    // each flipped entry differs from its band's base bucket
+    out.drop(4).foreach { case (b, bucket) =>
+      assert(bucket != ((sig >>> (b * bandBits)) & mask),
+        s"flip in band $b must leave the base bucket")
+    }
+    // nProbes = 0 degenerates to srpTopK exactly (same candidates)
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 20)
+    val base = Similarity.srpTopK(qs, e, 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val mp0 = Similarity.srpMultiProbeTopK(qs, e, 10, nProbes = 0)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(mp0 == base, "zero extra probes must reproduce srpTopK")
+  }
 }
