@@ -630,6 +630,173 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** The RESIDUAL IVF-PQ chain (q275/q276): q105's coarse stages, then
+    * PQ codebooks trained on residuals v − c(cell) w.r.t. the FINAL
+    * coarse centroids (all double — [[graft.operators.LocalKMeans
+    * .fitSortedForgyD]] replays exactly), and the serve-path score
+    * q·c(cell) + Σ_s table lookups (the exact decomposition
+    * q·v̂ = q·c + q·r̂). Emits `rankedR` (residual); with
+    * `withRaw = true` also the q105 raw-PQ tail as `ranked`, from the
+    * SAME coarse cells, for the q276 side-by-side recall gate. */
+  private def q275OracleChain(nCells: Int, nprobe: Int, m: Int, subDim: Int,
+      kCent: Int, maxIter: Int, queryPred: String = "vid < 20",
+      withRaw: Boolean = false): String = {
+    def d2(p: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
+        s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
+    val dim = m * subDim
+    def cAssign(cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, cidx AS cell FROM (
+         |    SELECT p.vid, c.cidx, ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${d2("p.v", "c.c")}, c.cidx) AS rk
+         |    FROM pts p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+    def cUpdate(assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $dim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.cell, list(p.v ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN pts p ON p.vid = a.vid GROUP BY a.cell) mm
+         |  ON mm.cell = pc.cidx)""".stripMargin
+    // subspace Lloyd stages over an arbitrary (vid, s, sv) source CTE
+    def sAssign(subsName: String, cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, s, cidx AS cell FROM (
+         |    SELECT p.vid, p.s, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vid, p.s ORDER BY ${d2("p.sv", "c.c")}, c.cidx) AS rk
+         |    FROM $subsName p JOIN $cent c ON c.s = p.s) WHERE rk = 1)""".stripMargin
+    def sUpdate(subsName: String, assign: String, prev: String,
+        out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.s, pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $subDim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.s, a.cell, list(p.sv ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN $subsName p ON p.vid = a.vid AND p.s = a.s
+         |    GROUP BY a.s, a.cell) mm
+         |  ON mm.s = pc.s AND mm.cell = pc.cidx)""".stripMargin
+    val sb = new StringBuilder(
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS vid, embedding AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |ccent0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
+         |  FROM (SELECT vid, v FROM pts ORDER BY vid LIMIT $nCells)),
+         |sxx AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+         |first_seed AS (SELECT vid FROM pts ORDER BY vid LIMIT $kCent)""".stripMargin)
+    var cPrev = "ccent0"
+    for (it <- 0 until maxIter) {
+      sb.append(cAssign(cPrev, s"ca$it"))
+      sb.append(cUpdate(s"ca$it", cPrev, s"ccent${it + 1}"))
+      cPrev = s"ccent${it + 1}"
+    }
+    sb.append(cAssign(cPrev, "cafinal"))
+    // residual points w.r.t. the FINAL coarse centroids, then subspace
+    // codebooks over residual subvectors (all double, no casts needed)
+    sb.append(
+      s""",
+         |rres AS MATERIALIZED (
+         |  SELECT p.vid, list_transform(generate_series(1, $dim), i ->
+         |    CAST(p.v[i] AS DOUBLE) - c.c[i]) AS rv
+         |  FROM pts p JOIN cafinal a ON a.vid = p.vid
+         |  JOIN $cPrev c ON c.cidx = a.cell),
+         |rsubs AS MATERIALIZED (
+         |  SELECT r.vid, sxx.s, r.rv[sxx.s * $subDim + 1 : (sxx.s + 1) * $subDim] AS sv
+         |  FROM rres r CROSS JOIN sxx),
+         |rscent0 AS MATERIALIZED (
+         |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
+         |    sb.sv AS c
+         |  FROM rsubs sb JOIN first_seed f ON f.vid = sb.vid)""".stripMargin)
+    var rsPrev = "rscent0"
+    for (it <- 0 until maxIter) {
+      sb.append(sAssign("rsubs", rsPrev, s"rsa$it"))
+      sb.append(sUpdate("rsubs", s"rsa$it", rsPrev, s"rscent${it + 1}"))
+      rsPrev = s"rscent${it + 1}"
+    }
+    sb.append(sAssign("rsubs", rsPrev, "rsafinal"))
+    sb.append(
+      s""",
+         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE $queryPred),
+         |probes AS (
+         |  SELECT qid, cidx AS cell, dt AS qdotc FROM (
+         |    SELECT q.qid, c.cidx, list_dot_product(q.qv, c.c) AS dt,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, c.c) /
+         |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+         |        c.cidx) AS crk
+         |    FROM q CROSS JOIN $cPrev c) WHERE crk <= $nprobe),
+         |elig AS (
+         |  SELECT pr.qid, cf.vid AS nid, pr.qdotc
+         |  FROM probes pr JOIN cafinal cf ON cf.cell = pr.cell
+         |  WHERE cf.vid <> pr.qid),
+         |rqsubs AS (SELECT vid AS qid, sxx.s,
+         |    CAST(v[sxx.s * $subDim + 1 : (sxx.s + 1) * $subDim] AS DOUBLE[]) AS qsv
+         |  FROM pts CROSS JOIN sxx WHERE $queryPred),
+         |radc AS MATERIALIZED (
+         |  SELECT qs.qid, c.s, c.cidx, list_dot_product(qs.qsv, c.c) AS dot
+         |  FROM rqsubs qs JOIN $rsPrev c ON c.s = qs.s),
+         |rcontrib AS (
+         |  SELECT e.qid, e.nid, e.qdotc, a.s, ad.dot
+         |  FROM elig e JOIN rsafinal a ON a.vid = e.nid
+         |  JOIN radc ad ON ad.qid = e.qid AND ad.s = a.s AND ad.cidx = a.cell),
+         |rscores AS (
+         |  SELECT qid, nid,
+         |    qdotc + list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+         |  FROM rcontrib GROUP BY qid, nid, qdotc),
+         |rankedR AS (
+         |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+         |  FROM rscores)""".stripMargin)
+    if (withRaw) {
+      // the q105 raw-PQ tail from the SAME coarse cells/probes
+      sb.append(
+        s""",
+           |subs AS MATERIALIZED (
+           |  SELECT p.vid, sxx.s, p.v[sxx.s * $subDim + 1 : (sxx.s + 1) * $subDim] AS sv
+           |  FROM pts p CROSS JOIN sxx),
+           |scent0 AS MATERIALIZED (
+           |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
+           |    CAST(sb.sv AS DOUBLE[]) AS c
+           |  FROM subs sb JOIN first_seed f ON f.vid = sb.vid)""".stripMargin)
+      var sPrev = "scent0"
+      for (it <- 0 until maxIter) {
+        sb.append(sAssign("subs", sPrev, s"sa$it"))
+        sb.append(sUpdate("subs", s"sa$it", sPrev, s"scent${it + 1}"))
+        sPrev = s"scent${it + 1}"
+      }
+      sb.append(sAssign("subs", sPrev, "safinal"))
+      sb.append(
+        s""",
+           |adc AS MATERIALIZED (
+           |  SELECT qs.qid, c.s, c.cidx, list_dot_product(qs.qsv, c.c) AS dot
+           |  FROM rqsubs qs JOIN $sPrev c ON c.s = qs.s),
+           |contrib AS (
+           |  SELECT e.qid, e.nid, a.s, ad.dot
+           |  FROM elig e JOIN safinal a ON a.vid = e.nid
+           |  JOIN adc ad ON ad.qid = e.qid AND ad.s = a.s AND ad.cidx = a.cell),
+           |scores AS (
+           |  SELECT qid, nid,
+           |    list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+           |  FROM contrib GROUP BY qid, nid),
+           |ranked AS (
+           |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+           |  FROM scores)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** q255's oracle: the q105 IVF-ADC chain with the FIT sources split
     * from the INDEX/QUERY sources — both k-means fits (coarse + m
     * subspace codebooks) train on the EPOCH rows only (`fpts`/`fsubs`),
@@ -1041,6 +1208,88 @@ object SimilarityQueries {
            |FROM btruth t
            |LEFT JOIN approxB b ON b.qid = t.qid AND b.nid = t.nid
            |LEFT JOIN approxM m ON m.qid = t.qid AND m.nid = t.nid
+           |GROUP BY t.qid""".stripMargin)),
+
+    // RESIDUAL IVF-PQ (ProductQuantization.fitFrozenResidual /
+    // queryIndexResidualDistributed) — the production-standard FAISS
+    // IVFPQ form: PQ codebooks train on residuals v − c(cell), and the
+    // serve score is the exact decomposition q·c + ADC(q, r̂). Same
+    // index size, same probes; the code budget spends its resolution on
+    // the residual ball instead of the whole space. Row-level gate; the
+    // oracle unrolls the coarse fit, the residual codebook fit, and the
+    // decomposed scoring.
+    Q("q275_ivfpq_residual_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozenResidual(e)
+        val idx = pq.annIndexResidual(fit, e)
+        pq.queryIndexResidualDistributed(fit, idx,
+          e.filter(col("vec_id") < 20), k = 10, nprobe = 4)
+      },
+      Some(q275OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10) +
+        s"""
+           |SELECT qid, nid, approx6 AS approx_dot, CAST(rk AS INT) AS rank
+           |FROM rankedR WHERE rk <= 10""".stripMargin)),
+
+    // RESIDUAL vs RAW PQ RECALL — the value receipt for q275: both
+    // fits share the identical coarse quantizer and probes (candidates
+    // are the same rows), so any recall difference vs brute truth is
+    // PURELY quantization quality. Residual codebooks see vectors
+    // already centered by their cell, so the same m×k budget resolves
+    // finer — `lifted` marks queries where that recovered a true
+    // neighbor the raw ordering lost.
+    Q("q276_residual_pq_recall",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val qs = e.filter(col("vec_id") < 20)
+        val pq = graft.operators.ProductQuantization
+        val truth = Similarity.bruteTopK(qs, e, 10)
+          .select(col("qid"), col("nid"))
+        val rawFit = pq.fitFrozen(e)
+        val raw = pq.queryIndexDistributed(rawFit, pq.annIndex(rawFit, e),
+          qs, k = 10, nprobe = 4).select(col("qid"), col("nid"))
+        val resFit = pq.fitFrozenResidual(e)
+        val res = pq.queryIndexResidualDistributed(resFit,
+          pq.annIndexResidual(resFit, e), qs, k = 10, nprobe = 4)
+          .select(col("qid"), col("nid"))
+        val ra = recallVsTruth(truth, raw)
+          .select(col("qid"), col("n_true"), col("n_hit").as("raw_hit"),
+            col("recall").as("recall_raw"))
+        val rb = recallVsTruth(truth, res)
+          .select(col("qid"), col("n_hit").as("res_hit"),
+            col("recall").as("recall_residual"))
+        ra.join(rb, Seq("qid"))
+          .withColumn("lifted",
+            when(col("res_hit") > col("raw_hit"), 1L).otherwise(0L))
+      },
+      Some(q275OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, withRaw = true) +
+        s""",
+           |approxA AS (SELECT qid, nid FROM ranked WHERE rk <= 10),
+           |approxR AS (SELECT qid, nid FROM rankedR WHERE rk <= 10),
+           |btruth AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT q.qid, p.vid AS nid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |        list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) /
+           |        (sqrt(list_dot_product(q.qv, q.qv)) *
+           |         sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[])))) DESC,
+           |        p.vid) AS rk
+           |    FROM q JOIN pts p ON p.vid <> q.qid) WHERE rk <= 10)
+           |SELECT t.qid, count(*) AS n_true,
+           |  CAST(count(a.nid) AS BIGINT) AS raw_hit,
+           |  round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall_raw,
+           |  CAST(count(r.nid) AS BIGINT) AS res_hit,
+           |  round(CAST(count(r.nid) AS DOUBLE) / count(*), 4) AS recall_residual,
+           |  CAST(CASE WHEN count(r.nid) > count(a.nid) THEN 1 ELSE 0 END
+           |    AS BIGINT) AS lifted
+           |FROM btruth t
+           |LEFT JOIN approxA a ON a.qid = t.qid AND a.nid = t.nid
+           |LEFT JOIN approxR r ON r.qid = t.qid AND r.nid = t.nid
            |GROUP BY t.qid""".stripMargin)),
 
     // IVF (k-means cells, nprobe probing) approximate top-k — ORACLED,

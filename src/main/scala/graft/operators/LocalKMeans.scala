@@ -70,6 +70,64 @@ object LocalKMeans {
     centroids
   }
 
+  /** [[fitSortedForgy]] over DOUBLE-precision points — the residual-PQ
+    * training path: residuals are v − centroid, already double, and a
+    * float round-trip would break the oracle's exact replay. Same
+    * algorithm, seeding, tie rules, and fold order. */
+  def fitSortedForgyD(points: Array[Array[Double]], k: Int,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty, "LocalKMeans.fitSortedForgyD: no points")
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    val centroids = Array.tabulate(kk)(c => points(c).clone())
+    val assign = Array.fill(n)(-1)
+    val sums = Array.ofDim[Double](kk, dim)
+    val counts = new Array[Long](kk)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      java.util.Arrays.fill(counts, 0L)
+      var ci = 0
+      while (ci < kk) { java.util.Arrays.fill(sums(ci), 0.0); ci += 1 }
+      var j = 0
+      while (j < n) {
+        val p = points(j)
+        val best = nearestD(p, centroids)
+        if (assign(j) != best) { assign(j) = best; changed = true }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        j += 1
+      }
+      ci = 0
+      while (ci < kk) {
+        if (counts(ci) > 0) {
+          var i = 0
+          while (i < dim) { centroids(ci)(i) = sums(ci)(i) / counts(ci); i += 1 }
+        }
+        ci += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** [[nearestDouble]] for double-precision points (residual encode). */
+  def nearestD(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cb = centroids(c)
+      var d = 0.0; var i = 0
+      while (i < cb.length) { val t = v(i) - cb(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Dominant vector length in a sample: the fit dimension is decided by
     * MAJORITY, not by whichever row sorts first — one truncated row with
     * the lowest id must not flip `dim` and silently disqualify every

@@ -150,7 +150,8 @@ object ProductQuantization {
     * under a different fit — the silent-mixed-codebook corruption a
     * daily ingest would otherwise hit on the first refit. */
   final case class IvfPqFit(fitId: Long, coarse: Array[Array[Double]],
-      model: PQModel, dim: Int) extends Serializable
+      model: PQModel, dim: Int,
+      residual: Boolean = false) extends Serializable
 
   private def foldDoubles(seed: Long, xs: Iterator[Double]): Long = {
     var h = seed
@@ -208,6 +209,11 @@ object ProductQuantization {
     * [[upsertAnnIndex]] and query-time results are HASH-EQUAL to a full
     * rebuild from the same fit over the union (gated, q255). */
   def annIndex(fit: IvfPqFit, vectors: DataFrame): DataFrame = {
+    // the encode basis is a property of the FIT — a residual fit folded
+    // through the raw kernel (or vice versa) would silently corrupt the
+    // index, so every caller (incl. upsertAnnIndex's batch path)
+    // dispatches here
+    if (fit.residual) return annIndexResidual(fit, vectors)
     import graft.functions.VectorFunctions.normFast
     val spark = vectors.sparkSession
     val dim = fit.dim
@@ -262,6 +268,159 @@ object ProductQuantization {
       idCol: String): DataFrame =
     index.join(deletedIds.select(col(idCol).as("vec_id")),
       Seq("vec_id"), "left_anti")
+
+  /** RESIDUAL IVF-PQ fit (the production-standard FAISS IVFPQ form):
+    * the PQ codebooks train on RESIDUALS v − c(cell) w.r.t. the frozen
+    * coarse centroids instead of raw vectors. Residual magnitudes are a
+    * fraction of vector magnitudes (the coarse quantizer has already
+    * explained the cell mean), so the same m×k code budget spends its
+    * resolution on a much smaller ball — lower quantization error, same
+    * index size (gated q276: recall up vs the raw-PQ fit from identical
+    * coarse cells). Residuals stay DOUBLE end-to-end
+    * ([[LocalKMeans.fitSortedForgyD]]) so the oracle replays the exact
+    * arithmetic; a float round-trip would break parity. */
+  def fitFrozenResidual(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
+      kCodes: Int = 16, maxTrainRows: Long = 100000L): IvfPqFit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.normFast
+    val vecs = corpus
+      .withColumn("nnorm", normFast(col("embedding")))
+      .filter(col("nnorm") > 0)
+      .select(col("vec_id"), col("embedding"))
+    val total = vecs.count()
+    val every = math.max(1L, total / maxTrainRows)
+    val sample = vecs
+      .filter(pmod(hash(col("vec_id")), lit(every)) === 0)
+      .as[(Long, Seq[Float])].collect()
+    require(sample.nonEmpty,
+      "fitFrozenResidual: no trainable vectors (empty corpus or all zero-norm)")
+    val sorted = sample.sortBy(_._1).map(_._2.toArray)
+    val dim = LocalKMeans.dominantDim(sorted)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val clean = sorted.filter(_.length == dim)
+    val coarse = LocalKMeans.fitSortedForgy(clean, nCells, maxIter = 10)
+    val resid = clean.map { v =>
+      val c = coarse(LocalKMeans.nearestDouble(v, coarse))
+      Array.tabulate(dim)(i => v(i).toDouble - c(i))
+    }
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = resid.map(r =>
+        java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
+      LocalKMeans.fitSortedForgyD(sub, kCodes, maxIter = 10)
+    }
+    // +1 salt: a residual fit over the same data is a DIFFERENT geometry
+    // than the raw fit — their ids must never collide
+    val fitId = foldDoubles(dim.toLong * 31 + m + 1,
+      coarse.iterator.flatten ++
+        codebooks.iterator.flatMap(_.iterator).flatten)
+    IvfPqFit(fitId, coarse, PQModel(m, subDim, codebooks), dim,
+      residual = true)
+  }
+
+  /** Residual encode: cell = nearest coarse centroid, code = per-subspace
+    * nearest RESIDUAL codebook centroid over v − c(cell). Null /
+    * wrong-dim → null (dropped by the index builder). */
+  def encodeResidualKernel(v: Seq[Float], fit: IvfPqFit): (Int, Array[Int]) = {
+    if (v == null || v.length != fit.dim) return null
+    val cell = LocalKMeans.nearestDouble(v, fit.coarse)
+    val c = fit.coarse(cell)
+    val r = new Array[Double](fit.dim)
+    var i = 0
+    while (i < fit.dim) { r(i) = v(i) - c(i); i += 1 }
+    val m = fit.model.m
+    val subDim = fit.model.subDim
+    val code = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      code(s) = LocalKMeans.nearestD(
+        java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim),
+        fit.model.codebooks(s))
+      s += 1
+    }
+    (cell, code)
+  }
+
+  /** [[annIndex]] under a residual fit: (vec_id, cell, code, fit_id) —
+    * same shape, so [[upsertAnnIndex]]/[[removeFromAnnIndex]] compose
+    * unchanged (the fit_id guard separates residual from raw fits). */
+  def annIndexResidual(fit: IvfPqFit, vectors: DataFrame): DataFrame = {
+    require(fit.residual,
+      "annIndexResidual: fit was trained on raw vectors, not residuals")
+    import graft.functions.VectorFunctions.normFast
+    val enc = udf((v: Seq[Float]) => Option(encodeResidualKernel(v, fit)))
+    vectors
+      .withColumn("nnorm", normFast(col("embedding")))
+      .filter(col("nnorm") > 0)
+      .select(col("vec_id"), enc(col("embedding")).as("cc"))
+      .filter(col("cc").isNotNull)
+      .select(col("vec_id"), col("cc._1").as("cell"),
+        col("cc._2").as("code"))
+      .withColumn("fit_id", lit(fit.fitId))
+  }
+
+  /** [[queryIndexDistributed]] under a residual fit: approx dot(q, v) =
+    * q·c(cell) + Σ_s table(s)(code(s)) — the exact coarse term plus the
+    * ADC of the residual (q's RAW subvectors against the residual
+    * codebooks; q·v̂ = q·c + q·r̂ decomposes exactly). Probe ranking,
+    * tie rules, fold order, and the bounded-heap head are identical to
+    * the raw path. */
+  def queryIndexResidualDistributed(fit: IvfPqFit, index: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    require(fit.residual,
+      "queryIndexResidualDistributed: fit was trained on raw vectors")
+    val dim = fit.dim
+    val model = fit.model
+    val coarse = fit.coarse
+    val cNorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    val offsets = model.codebooks.scanLeft(0)(_ + _.length)
+    // probes carry (cell, q·c) — the raw coarse dot is the exact term of
+    // the residual decomposition, already computed for the probe ranking
+    val probesUdf = udf((v: Seq[Float]) =>
+      if (v == null || v.length != dim) null
+      else {
+        var qn = 0.0
+        var i = 0
+        while (i < v.length) { qn += v(i).toDouble * v(i); i += 1 }
+        qn = math.sqrt(qn)
+        if (qn <= 0) null
+        else coarse.indices.map { c =>
+          var d = 0.0
+          var j = 0
+          while (j < dim) { d += v(j).toDouble * coarse(c)(j); j += 1 }
+          (d / (qn * cNorms(c)), c, d)
+        }.sortBy { case (sim, c, _) => (-sim, c) }.take(nprobe)
+          .map { case (_, c, d) => (c, d) }.toArray
+      })
+    val tableUdf = udf((v: Seq[Float]) =>
+      if (v == null || v.length != dim) null else adcTable(v, model).flatten)
+    val qSide = queries
+      .select(col("vec_id").as("qid"),
+        probesUdf(col("embedding")).as("cells"),
+        tableUdf(col("embedding")).as("tbl"))
+      .filter(col("cells").isNotNull && col("tbl").isNotNull)
+      .select(col("qid"), explode(col("cells")).as("cd"), col("tbl"))
+      .select(col("qid"), col("cd._1").as("cell"),
+        col("cd._2").as("qdotc"), col("tbl"))
+    val score = udf((code: Seq[Int], tbl: Seq[Double]) => {
+      var s = 0.0
+      var i = 0
+      while (i < code.length) { s += tbl(offsets(i) + code(i)); i += 1 }
+      s
+    })
+    val scored = index.join(qSide, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx_dot",
+        col("qdotc") + score(col("code"), col("tbl")))
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKAggregator.top_k(k)(col("approx_dot"), col("vec_id"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 6).as("approx_dot"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 
   private def fitIvfPq(corpus: DataFrame, nCells: Int, m: Int, kCodes: Int,
       maxTrainRows: Long): IvfPq = {
@@ -358,6 +517,8 @@ object ProductQuantization {
     * Arithmetic identical to the fused form path-for-path. */
   def queryIndexDistributed(fit: IvfPqFit, index: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    if (fit.residual)
+      return queryIndexResidualDistributed(fit, index, queries, k, nprobe)
     val dim = fit.dim
     val model = fit.model
     val coarse = fit.coarse

@@ -107,6 +107,35 @@ class ProductQuantizationSpec extends SparkSuite {
       .count() == n - 1, "deleting again must be a no-op")
   }
 
+  test("residual fit: CRUD composes through the dispatching annIndex; raw fit refused") {
+    val epoch = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    val fit = ProductQuantization.fitFrozenResidual(epoch)
+    assert(fit.residual)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("code"), col("fit_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).mkString(","), r.getLong(3))).sorted.toSeq
+    // upsertAnnIndex's internal batch encode must dispatch to the
+    // RESIDUAL kernel (a raw-encoded batch would silently corrupt)
+    val folded = ProductQuantization.upsertAnnIndex(fit,
+      ProductQuantization.annIndex(fit, epoch), batch)
+    val rebuilt = ProductQuantization.annIndex(fit,
+      epoch.unionByName(batch))
+    assert(rows(folded) == rows(rebuilt),
+      "fold-into-frozen-residual-fit must equal the full rebuild")
+    // a raw fit over the same epoch is a different geometry: different
+    // id, and folding into the residual index fails loudly
+    val rawFit = ProductQuantization.fitFrozen(epoch)
+    assert(!rawFit.residual && rawFit.fitId != fit.fitId)
+    val e = intercept[Exception] {
+      ProductQuantization.upsertAnnIndex(rawFit, folded, batch).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("refit requires a full")), e.toString)
+  }
+
   test("rerankTopK with a full shortlist and all probes equals bruteTopK exactly") {
     val qs = emb.filter(col("vec_id") < 5)
     val fit = ProductQuantization.fitFrozen(emb)
