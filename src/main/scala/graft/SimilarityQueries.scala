@@ -797,6 +797,153 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** q277's oracle: the RESIDUAL chain with the q255 source split AND
+    * the q261 deletion — both fits (coarse + residual codebooks) train
+    * on the EPOCH rows only (`fpts`), while the final cell assignment,
+    * residual encode, and query stages run over the SURVIVORS of
+    * (epoch ∪ re-keyed batch) ∖ deleted (`ipts`). Hash equality against
+    * the Spark remove(upsert(annIndex(epoch), batch), deleted) chain
+    * proves the whole CRUD cycle on the residual tier: fold == rebuild
+    * from the frozen fit, delete == an index event, never a refit. */
+  private def q277Oracle(nCells: Int, nprobe: Int, m: Int, subDim: Int,
+      kCent: Int, maxIter: Int, topK: Int, offset: Long,
+      queryPred: String, indexPred: String): String = {
+    def d2(p: String, c: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
+        s"s2 -> (CAST(s2[1] AS DOUBLE) - s2[2]) * (CAST(s2[1] AS DOUBLE) - s2[2]))), (a,b) -> a + b)"
+    val dim = m * subDim
+    def cAssign(src: String, cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, cidx AS cell FROM (
+         |    SELECT p.vid, c.cidx, ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${d2("p.v", "c.c")}, c.cidx) AS rk
+         |    FROM $src p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+    def cUpdate(src: String, assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $dim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.cell, list(p.v ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN $src p ON p.vid = a.vid GROUP BY a.cell) mm
+         |  ON mm.cell = pc.cidx)""".stripMargin
+    def sAssign(src: String, cent: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT vid, s, cidx AS cell FROM (
+         |    SELECT p.vid, p.s, c.cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vid, p.s ORDER BY ${d2("p.sv", "c.c")}, c.cidx) AS rk
+         |    FROM $src p JOIN $cent c ON c.s = p.s) WHERE rk = 1)""".stripMargin
+    def sUpdate(src: String, assign: String, prev: String, out: String): String =
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT pc.s, pc.cidx,
+         |    CASE WHEN mm.cell IS NULL THEN pc.c
+         |    ELSE list_transform(generate_series(1, $subDim), i ->
+         |      list_reduce(list_prepend(0.0, list_transform(mm.vs, v -> CAST(v[i] AS DOUBLE))), (a,b) -> a + b) / mm.n)
+         |    END AS c
+         |  FROM $prev pc LEFT JOIN (
+         |    SELECT a.s, a.cell, list(p.sv ORDER BY p.vid) AS vs, count(*) AS n
+         |    FROM $assign a JOIN $src p ON p.vid = a.vid AND p.s = a.s
+         |    GROUP BY a.s, a.cell) mm
+         |  ON mm.s = pc.s AND mm.cell = pc.cidx)""".stripMargin
+    val sb = new StringBuilder(
+      s"""WITH upts AS MATERIALIZED (
+         |  SELECT vec_id AS vid, embedding AS v FROM embeddings WHERE vec_id % 4 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + $offset, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |pts AS MATERIALIZED (
+         |  SELECT vid, v FROM upts
+         |  WHERE sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))) > 0),
+         |fpts AS MATERIALIZED (SELECT vid, v FROM pts WHERE vid < $offset),
+         |ipts AS MATERIALIZED (SELECT vid, v FROM pts WHERE $indexPred),
+         |sxx AS (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+         |ccent0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
+         |  FROM (SELECT vid, v FROM fpts ORDER BY vid LIMIT $nCells)),
+         |first_seed AS (SELECT vid FROM fpts ORDER BY vid LIMIT $kCent)""".stripMargin)
+    var cPrev = "ccent0"
+    for (it <- 0 until maxIter) {
+      sb.append(cAssign("fpts", cPrev, s"fca$it"))
+      sb.append(cUpdate("fpts", s"fca$it", cPrev, s"ccent${it + 1}"))
+      cPrev = s"ccent${it + 1}"
+    }
+    // fit-row cells (for the codebook-training residuals) and INDEX-row
+    // cells (the survivors' index entries), both vs the FROZEN coarse
+    sb.append(cAssign("fpts", cPrev, "fcafinal"))
+    sb.append(cAssign("ipts", cPrev, "icafinal"))
+    sb.append(
+      s""",
+         |frres AS MATERIALIZED (
+         |  SELECT p.vid, list_transform(generate_series(1, $dim), i ->
+         |    CAST(p.v[i] AS DOUBLE) - c.c[i]) AS rv
+         |  FROM fpts p JOIN fcafinal a ON a.vid = p.vid
+         |  JOIN $cPrev c ON c.cidx = a.cell),
+         |frsubs AS MATERIALIZED (
+         |  SELECT r.vid, sxx.s, r.rv[sxx.s * $subDim + 1 : (sxx.s + 1) * $subDim] AS sv
+         |  FROM frres r CROSS JOIN sxx),
+         |rscent0 AS MATERIALIZED (
+         |  SELECT sb.s, CAST(ROW_NUMBER() OVER (PARTITION BY sb.s ORDER BY sb.vid) - 1 AS INT) AS cidx,
+         |    sb.sv AS c
+         |  FROM frsubs sb JOIN first_seed f ON f.vid = sb.vid)""".stripMargin)
+    var rsPrev = "rscent0"
+    for (it <- 0 until maxIter) {
+      sb.append(sAssign("frsubs", rsPrev, s"rsa$it"))
+      sb.append(sUpdate("frsubs", s"rsa$it", rsPrev, s"rscent${it + 1}"))
+      rsPrev = s"rscent${it + 1}"
+    }
+    sb.append(
+      s""",
+         |irres AS MATERIALIZED (
+         |  SELECT p.vid, list_transform(generate_series(1, $dim), i ->
+         |    CAST(p.v[i] AS DOUBLE) - c.c[i]) AS rv
+         |  FROM ipts p JOIN icafinal a ON a.vid = p.vid
+         |  JOIN $cPrev c ON c.cidx = a.cell),
+         |irsubs AS MATERIALIZED (
+         |  SELECT r.vid, sxx.s, r.rv[sxx.s * $subDim + 1 : (sxx.s + 1) * $subDim] AS sv
+         |  FROM irres r CROSS JOIN sxx)""".stripMargin)
+    sb.append(sAssign("irsubs", rsPrev, "irsafinal"))
+    sb.append(
+      s""",
+         |q AS (SELECT vid AS qid, CAST(v AS DOUBLE[]) AS qv FROM pts WHERE $queryPred),
+         |probes AS (
+         |  SELECT qid, cidx AS cell, dt AS qdotc FROM (
+         |    SELECT q.qid, c.cidx, list_dot_product(q.qv, c.c) AS dt,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_dot_product(q.qv, c.c) /
+         |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+         |        c.cidx) AS crk
+         |    FROM q CROSS JOIN $cPrev c) WHERE crk <= $nprobe),
+         |elig AS (
+         |  SELECT pr.qid, cf.vid AS nid, pr.qdotc
+         |  FROM probes pr JOIN icafinal cf ON cf.cell = pr.cell
+         |  WHERE cf.vid <> pr.qid),
+         |rqsubs AS (SELECT vid AS qid, sxx.s,
+         |    CAST(v[sxx.s * $subDim + 1 : (sxx.s + 1) * $subDim] AS DOUBLE[]) AS qsv
+         |  FROM pts CROSS JOIN sxx WHERE $queryPred),
+         |radc AS MATERIALIZED (
+         |  SELECT qs.qid, c.s, c.cidx, list_dot_product(qs.qsv, c.c) AS dot
+         |  FROM rqsubs qs JOIN $rsPrev c ON c.s = qs.s),
+         |rcontrib AS (
+         |  SELECT e.qid, e.nid, e.qdotc, a.s, ad.dot
+         |  FROM elig e JOIN irsafinal a ON a.vid = e.nid
+         |  JOIN radc ad ON ad.qid = e.qid AND ad.s = a.s AND ad.cidx = a.cell),
+         |rscores AS (
+         |  SELECT qid, nid,
+         |    qdotc + list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+         |  FROM rcontrib GROUP BY qid, nid, qdotc),
+         |rankedR AS (
+         |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+         |  FROM rscores)
+         |SELECT qid, nid, approx6 AS approx_dot, CAST(rk AS INT) AS rank
+         |FROM rankedR WHERE rk <= $topK""".stripMargin)
+    sb.toString
+  }
+
   /** q255's oracle: the q105 IVF-ADC chain with the FIT sources split
     * from the INDEX/QUERY sources — both k-means fits (coarse + m
     * subspace codebooks) train on the EPOCH rows only (`fpts`/`fsubs`),
@@ -1291,6 +1438,40 @@ object SimilarityQueries {
            |LEFT JOIN approxA a ON a.qid = t.qid AND a.nid = t.nid
            |LEFT JOIN approxR r ON r.qid = t.qid AND r.nid = t.nid
            |GROUP BY t.qid""".stripMargin)),
+
+    // RESIDUAL-TIER CRUD CYCLE (q255 ∘ q261 on the residual fit): fit
+    // frozen on the epoch, batch folded through the DISPATCHING
+    // annIndex (the residual flag makes silent raw-encode impossible),
+    // every epoch id ≡1 mod 5 deleted plus one never-indexed id, then
+    // queried via the residual serve path. The oracle trains both fits
+    // on the epoch only and runs assignment/encode/query over exactly
+    // the survivors — hash equality proves the full
+    // remove ∘ upsert == rebuild-from-frozen-fit cycle on the new tier.
+    Q("q277_residual_index_cycle",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozenResidual(epoch)
+        val deleted = epoch.filter(col("vec_id") % 5 === 1)
+          .select(col("vec_id"))
+          .unionByName(Seq(987654321L).toDF("vec_id"))
+        val idx = pq.removeFromAnnIndex(
+          pq.upsertAnnIndex(fit, pq.annIndex(fit, epoch), batch),
+          deleted, "vec_id")
+        val queries = epoch.unionByName(batch)
+          .filter(col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
+        pq.queryIndexDistributed(fit, idx, queries, k = 10, nprobe = 4)
+      },
+      Some(q277Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)",
+        indexPred = "NOT (vid < 10000000 AND vid % 5 = 1)"))),
 
     // IVF (k-means cells, nprobe probing) approximate top-k — ORACLED,
     // k-means included: see q42Oracle.
