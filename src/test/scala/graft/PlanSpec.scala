@@ -473,6 +473,19 @@ class PlanSpec extends SparkSuite {
       "no global sort in the islands fold:\n" + p.take(3000))
   }
 
+  test("q275/q277: residual serve path — cell equi-join, bounded-heap head, no cartesian") {
+    Seq("q275_ivfpq_residual_topk", "q277_residual_index_cycle").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$n candidate generation must stay cell-keyed:\n" + p.take(2000))
+      assert(p.contains("ObjectHashAggregate"),
+        s"$n top-k must be the bounded heap:\n" + p.take(2000))
+      assert(!p.contains("Window"),
+        s"$n top-k must not be a window sort:\n" + p.take(2000))
+    }
+  }
+
   test("pipeline decrypt/gunzip are native expressions, not ScalaUDF") {
     graft.sources.SnapshotFixture.generate("/tmp/graft-fixture-plan",
       graft.sources.SnapshotFixture.defaultTopics(1, 5))
