@@ -138,7 +138,13 @@ object Bench {
     // 12-control median 1.0177, regress 0, cold_only 0 — BASELINE.md)
     "q254"->4.429, "q255"->1.132, "q256"->0.963, "q257"->6.827,
     "q258"->0.967, "q259"->0.658, "q260"->6.203, "q261"->1.156,
-    "q262"->3.261, "q263"->7.312, "q264"->1.478)
+    "q262"->3.261, "q263"->7.312, "q264"->1.478,
+    // round-16 second wave (clean solo FORCE_MIN min-of-3, calib 2.037,
+    // 12-control median 1.0677, regress 0, cold_only 0 — BASELINE.md)
+    "q265"->1.169, "q266"->0.700, "q267"->1.574, "q268"->2.543,
+    "q269"->0.542, "q270"->1.451, "q271"->2.354, "q272"->2.688,
+    "q273"->1.300, "q274"->2.095, "q275"->1.279, "q276"->3.030,
+    "q277"->1.347)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
