@@ -1473,6 +1473,143 @@ object SimilarityQueries {
         queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)",
         indexPred = "NOT (vid < 10000000 AND vid % 5 = 1)"))),
 
+    // IVF CELL-BALANCE AUDIT — the operational metric an IVF deployment
+    // watches: probe cost is bounded by the LARGEST probed cell, so a
+    // skewed coarse quantizer silently turns nprobe/nCells pruning into
+    // a full scan. Per cell: occupancy, integer micro-share of the
+    // corpus, and the max/mean skew ratio (same value on every row —
+    // the single number a monitor alerts on). Oracle replays the coarse
+    // fit and the assignment census.
+    Q("q278_ivf_cell_balance",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val occ = pq.annIndex(fit, e)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        val tot = occ.agg(sum(col("n_vecs")).as("_t"),
+          max(col("n_vecs")).as("_mx"),
+          count(lit(1)).as("_nc"))
+        occ.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            expr("n_vecs * 1000000 DIV _t").as("share_micro"),
+            expr("_mx * _nc * 1000000 DIV _t").as("skew_micro"))
+      },
+      Some(kmeansAssignCtes(defaultPtsSql, nCells = 16, maxIter = 10)
+        .toString +
+        s""",
+           |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+           |  FROM afinal GROUP BY cell),
+           |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+           |    CAST(max(n_vecs) AS BIGINT) AS mx,
+           |    CAST(count(*) AS BIGINT) AS nc FROM occ)
+           |SELECT CAST(cell AS INT) AS cell, n_vecs,
+           |  CAST((n_vecs * 1000000) // t AS BIGINT) AS share_micro,
+           |  CAST((mx * nc * 1000000) // t AS BIGINT) AS skew_micro
+           |FROM occ, tt""".stripMargin)),
+
+    // FILTERED VECTOR SEARCH — the production feature every vector
+    // store grows: top-k among vectors satisfying a predicate. The
+    // scale-correct form PRE-FILTERS the index (a semi-join before
+    // scoring — k results guaranteed from the allowed set); the naive
+    // form post-filters an unfiltered top-k and STARVES (≤ k survive).
+    // Both run here side by side: `n_prefilter` is always k while
+    // `postfilter_yield` shows what the naive form would have kept —
+    // the starvation the pre-filter exists to fix. Oracle replays the
+    // chain with elig restricted to the allowed ids for the pre-filter
+    // leg and filters the unfiltered ranking for the naive leg.
+    Q("q279_ann_filtered_search",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val qs = e.filter(col("vec_id") < 20)
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val idx = pq.annIndex(fit, e)
+        val allowed = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"))
+        val pre = pq.queryIndexDistributed(fit,
+          idx.join(allowed, Seq("vec_id"), "left_semi"), qs,
+          k = 10, nprobe = 4)
+        val post = pq.queryIndexDistributed(fit, idx, qs,
+            k = 10, nprobe = 4)
+          .join(allowed.select(col("vec_id").as("nid")), Seq("nid"),
+            "left_semi")
+        val a = pre.groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_prefilter"),
+            max(col("approx_dot")).as("best_prefilter_dot"))
+        val b = post.groupBy(col("qid"))
+          .agg(count(lit(1)).as("postfilter_yield"))
+        a.join(b, Seq("qid"), "left")
+          .select(col("qid"), col("n_prefilter"), col("best_prefilter_dot"),
+            coalesce(col("postfilter_yield"), lit(0L)).as("postfilter_yield"),
+            (col("n_prefilter") - coalesce(col("postfilter_yield"), lit(0L)))
+              .as("starved"))
+      },
+      Some(q105OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10) +
+        s""",
+           |eligF AS (
+           |  SELECT pr.qid, cf.vid AS nid
+           |  FROM probes pr JOIN cafinal cf ON cf.cell = pr.cell
+           |  WHERE cf.vid <> pr.qid AND cf.vid % 2 = 0),
+           |contribF AS (
+           |  SELECT e.qid, e.nid, a.s, ad.dot
+           |  FROM eligF e JOIN safinal a ON a.vid = e.nid
+           |  JOIN adc ad ON ad.qid = e.qid AND ad.s = a.s AND ad.cidx = a.cell),
+           |scoresF AS (
+           |  SELECT qid, nid,
+           |    list_reduce(list_prepend(0.0, list(dot ORDER BY s)), (a,b) -> a + b) AS approx_dot
+           |  FROM contribF GROUP BY qid, nid),
+           |rankedF AS (
+           |  SELECT qid, nid, round(approx_dot, 6) AS approx6,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS rk
+           |  FROM scoresF),
+           |pre AS (SELECT qid, count(*) AS n_prefilter,
+           |    max(approx6) AS best_prefilter_dot
+           |  FROM rankedF WHERE rk <= 10 GROUP BY qid),
+           |post AS (SELECT qid, CAST(count(*) AS BIGINT) AS postfilter_yield
+           |  FROM ranked WHERE rk <= 10 AND nid % 2 = 0 GROUP BY qid)
+           |SELECT p.qid, p.n_prefilter, p.best_prefilter_dot,
+           |  coalesce(po.postfilter_yield, 0) AS postfilter_yield,
+           |  p.n_prefilter - coalesce(po.postfilter_yield, 0) AS starved
+           |FROM pre p LEFT JOIN post po ON po.qid = p.qid""".stripMargin)),
+
+    // STREAMING ANN QUERY-AT-INGEST — the dense analog of q245:
+    // query vectors arrive as a stream and rank against the STATIC
+    // frozen-fit index via the UNCHANGED serve path
+    // (queryIndexDistributed is stream-safe by construction: stateless
+    // per-row probe/table UDFs, a stream-static cell join, and ONE
+    // stateful bounded-heap aggregation in Complete mode). Query-at-
+    // ingest is now closed on all three retrieval legs: lexical
+    // (q245), hybrid (q257), dense (here). Oracle = the q105 chain:
+    // streaming == batch, hash-equal.
+    Q("q280_streaming_ann_ingest",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val qs = e.filter(col("vec_id") < 20)
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val idx = pq.annIndex(fit, e)
+        val inDir = s"/tmp/graft-annstream-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(qs, "vec_id", s"$dir/embeddings_annstream")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          qs.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => pq.queryIndexDistributed(fit, idx, stream,
+            k = 10, nprobe = 4),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q280_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some(q105OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10) +
+        s"""
+           |SELECT qid, nid, approx6 AS approx_dot, CAST(rk AS INT) AS rank
+           |FROM ranked WHERE rk <= 10""".stripMargin)),
+
     // IVF (k-means cells, nprobe probing) approximate top-k — ORACLED,
     // k-means included: see q42Oracle.
     Q("q42_cosine_ivf_topk",
