@@ -564,6 +564,17 @@ object TextQueries {
   /** The q241 oracle replay up to `rankedf(qid, nid, rrf, rank)` — the
     * full chunk + both-leg + fusion chain; q241 selects the ranking,
     * q246 appends the context-assembly tail. */
+  /** q281's log2 discount table, micro-units — computed ONCE here and
+    * embedded as literals in BOTH the Spark plan and the DuckDB VALUES,
+    * so an engine-libm log2 ulp difference can never reach the gate. */
+  private val ndcgWts: Seq[Long] = (1 to 10).map(r =>
+    math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+  private val ndcgIdcg: Seq[Long] = ndcgWts.scanLeft(0L)(_ + _).tail
+  private val wtsSql: String = ndcgWts.zipWithIndex
+    .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+  private val idcgSql: String = ndcgIdcg.zipWithIndex
+    .map { case (s, i) => s"(${i + 1}, $s)" }.mkString(", ")
+
   private def hybridChunkOracleChain: String = {
     val fold = RelationalQueries5.fnvFold("term")
     "WITH " +
@@ -1898,6 +1909,91 @@ object TextQueries {
           |    // (SELECT n FROM nq) AS BIGINT) AS mrr_micro
           |FROM hits GROUP BY leg""".stripMargin)),
 
+    // RETRIEVAL nDCG@10 — the graded companion to q250's MRR/hit@k:
+    // binary relevance (a chunk of the query's source doc), DCG =
+    // Σ w(rank), IDCG = the best arrangement of min(n_rel, 10)
+    // relevant chunks. The log2 discount weights are computed ONCE in
+    // Scala (micro-units) and the SAME constants embed in both the
+    // Spark plan and the SQL — a libm-ulp divergence between engines'
+    // log2 can never reach the gate. Queries with zero hits score 0 via
+    // the (leg × query) grid. Per-(leg, qid) rows so the gate pins
+    // every cell, not just the mean.
+    Q("q281_retrieval_ndcg",
+      (spark, dir) => {
+        import spark.implicits._
+        val wts = ndcgWts
+        val idcg = ndcgIdcg
+        val fused = hybridChunkRanks(spark, dir)
+          .select(col("qid"), col("nid"), col("rank"), lit("hybrid").as("leg"))
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val chunks = graft.operators.Curation.chunkTexts(
+          d, "doc_id", "text", 128, 32)
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
+            "chunk_text", queries, "qid", "qtext", k = 10)
+          .select(col("qid"), col("id").as("nid"), col("rank"),
+            lit("bm25").as("leg"))
+        val dense = graft.operators.Similarity.srpTopK(
+            hashedCountVecs(queries, "qid", "qtext"),
+            hashedCountVecs(chunks, "chunk_key", "chunk_text"), k = 10)
+          .select(col("qid"), col("nid"), col("rank"), lit("dense").as("leg"))
+        val wArr = array(wts.map(lit): _*)
+        val hits = lex.unionByName(dense).unionByName(fused)
+          .filter(expr("nid DIV 1048576") === col("qid") - 9000000L &&
+            col("rank") <= 10)
+          .withColumn("w", element_at(wArr, col("rank").cast("int")))
+          .groupBy(col("leg"), col("qid"))
+          .agg(sum(col("w")).as("dcg_micro"))
+        val idcgArr = array(idcg.map(lit): _*)
+        val nrel = chunks
+          .select(expr("chunk_key DIV 1048576").as("d"))
+          .filter(col("d") < 5)
+          .groupBy(col("d")).agg(count(lit(1)).as("nr"))
+          .select((col("d") + 9000000L).as("qid"),
+            element_at(idcgArr, least(col("nr"), lit(10L)).cast("int"))
+              .as("idcg_micro"))
+        val grid = queries.select(col("qid"))
+          .crossJoin(broadcast(Seq("bm25", "dense", "hybrid").toDF("leg")))
+        grid.join(hits, Seq("leg", "qid"), "left")
+          .join(broadcast(nrel), Seq("qid"))
+          .select(col("leg"), col("qid"),
+            coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+            col("idcg_micro"),
+            expr("coalesce(dcg_micro, 0) * 1000000 DIV idcg_micro")
+              .as("ndcg_micro"))
+      },
+      Some(hybridChunkOracleChain +
+        s""",
+           |legs AS (
+           |  SELECT 'bm25' AS leg, qid, nid, rank FROM blex WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'dense', qid, nid, rank FROM dlex WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'hybrid', qid, nid, rank FROM rankedf WHERE rank <= 10),
+           |wt(r, w) AS (VALUES ${wtsSql}),
+           |icg(j, s) AS (VALUES ${idcgSql}),
+           |hts AS (SELECT leg, qid, CAST(sum(w.w) AS BIGINT) AS dcg
+           |  FROM legs JOIN wt w ON w.r = legs.rank
+           |  WHERE nid // 1048576 = qid - 9000000
+           |  GROUP BY leg, qid),
+           |nrel AS (SELECT chunk_key // 1048576 AS d, count(*) AS nr
+           |  FROM chunks WHERE chunk_key // 1048576 < 5 GROUP BY 1),
+           |idcgq AS (SELECT d + 9000000 AS qid, i.s AS idcg
+           |  FROM nrel JOIN icg i ON i.j = least(nr, 10)),
+           |qgrid AS (SELECT l.leg, q.qid
+           |  FROM (VALUES ('bm25'), ('dense'), ('hybrid')) l(leg)
+           |  CROSS JOIN (SELECT qid FROM qsrc) q)
+           |SELECT g.leg, g.qid,
+           |  CAST(coalesce(h.dcg, 0) AS BIGINT) AS dcg_micro,
+           |  CAST(iq.idcg AS BIGINT) AS idcg_micro,
+           |  CAST(coalesce(h.dcg, 0) * 1000000 // iq.idcg AS BIGINT) AS ndcg_micro
+           |FROM qgrid g
+           |LEFT JOIN hts h ON h.leg = g.leg AND h.qid = g.qid
+           |JOIN idcgq iq ON iq.qid = g.qid""".stripMargin)),
 
     // INCREMENTAL BM25 INDEX MAINTENANCE (Bm25.upsertIndexStats) — the
     // q161/q174/q209 epoch-index discipline applied to retrieval: the
