@@ -144,7 +144,12 @@ object Bench {
     "q265"->1.169, "q266"->0.700, "q267"->1.574, "q268"->2.543,
     "q269"->0.542, "q270"->1.451, "q271"->2.354, "q272"->2.688,
     "q273"->1.300, "q274"->2.095, "q275"->1.279, "q276"->3.030,
-    "q277"->1.347)
+    "q277"->1.347,
+    // round-16 third wave (two clean solo FORCE_MIN min-of-3 runs,
+    // calib 2.094/2.131, 12-control medians 1.0611/1.1722, regress 0,
+    // cold_only 0 — BASELINE.md; q281 re-anchored after its chunk
+    // persist landed)
+    "q278"->0.973, "q279"->1.480, "q280"->2.896, "q281"->8.271)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -1927,8 +1927,11 @@ object TextQueries {
           .select(col("qid"), col("nid"), col("rank"), lit("hybrid").as("leg"))
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val chunks = graft.operators.Curation.chunkTexts(
-          d, "doc_id", "text", 128, 32)
+        // consumed three times (lexical leg, dense featurizer, n_rel
+        // census) — one chunk pass instead of three
+        val chunks = graft.operators.OperatorCaches.track(
+          graft.operators.Curation.chunkTexts(
+            d, "doc_id", "text", 128, 32).persist())
         val queries = d.filter(col("doc_id") < 5)
           .select((col("doc_id") + 9000000L).as("qid"),
             array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
