@@ -149,7 +149,10 @@ object Bench {
     // calib 2.094/2.131, 12-control medians 1.0611/1.1722, regress 0,
     // cold_only 0 — BASELINE.md; q281 re-anchored after its chunk
     // persist landed)
-    "q278"->0.973, "q279"->1.480, "q280"->2.896, "q281"->8.271)
+    "q278"->0.973, "q279"->1.480, "q280"->2.896, "q281"->8.271,
+    // round-16 fourth wave (clean solo FORCE_MIN min-of-3, calib 2.103,
+    // 12-control median 0.9962, regress 0, cold_only 0 — BASELINE.md)
+    "q282"->1.395)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -1875,6 +1875,39 @@ object SimilarityQueries {
            |SELECT qid, nid, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
            |FROM rr WHERE rank <= 5""".stripMargin)),
 
+    // THE FULL PRODUCTION SERVE PATH — residual-index ADC shortlist →
+    // exact cosine re-rank, composed from q275's fit and q267's second
+    // stage with ZERO new code: rerankTopK's stage 1 dispatches on the
+    // fit's residual flag, so the best quantizer feeds the exact head.
+    // Oracle = the residual chain's shortlist + the exact re-scoring.
+    Q("q282_residual_rerank_topk",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozenResidual(e)
+        val idx = pq.annIndex(fit, e)
+        pq.rerankTopK(fit, idx, e.filter(col("vec_id") < 20), e,
+          k = 5, shortlist = 15, nprobe = 4)
+      },
+      Some(q275OracleChain(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10) +
+        s""",
+           |short AS (SELECT qid, nid FROM rankedR WHERE rk <= 15),
+           |exact AS (
+           |  SELECT sh.qid, sh.nid,
+           |    list_dot_product(q.qv, CAST(p.v AS DOUBLE[])) /
+           |      (sqrt(list_dot_product(q.qv, q.qv)) *
+           |       sqrt(list_dot_product(CAST(p.v AS DOUBLE[]), CAST(p.v AS DOUBLE[])))) AS sim
+           |  FROM short sh JOIN q ON q.qid = sh.qid
+           |  JOIN pts p ON p.vid = sh.nid),
+           |rr AS (
+           |  SELECT qid, nid, sim,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+           |  FROM exact)
+           |SELECT qid, nid, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+           |FROM rr WHERE rank <= 5""".stripMargin)),
+
     // RE-RANK RECALL AUDIT — the value receipt for q267's second stage:
     // recall@5 vs brute truth for the raw ADC top-5 and for the
     // re-ranked top-5 from the SAME 15-candidate shortlist, side by
