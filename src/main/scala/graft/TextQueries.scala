@@ -448,8 +448,11 @@ object TextQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val chunks = graft.operators.Curation.chunkTexts(
-      d, "doc_id", "text", 128, 32)
+    // consumed by BOTH legs (lexical postings + dense featurizer) —
+    // one chunk pass instead of two
+    val chunks = graft.operators.OperatorCaches.track(
+      graft.operators.Curation.chunkTexts(
+        d, "doc_id", "text", 128, 32).persist())
     val queries = d.filter(col("doc_id") < 5)
       .select((col("doc_id") + 9000000L).as("qid"),
         array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
@@ -1856,8 +1859,10 @@ object TextQueries {
           .select(col("qid"), col("nid"), col("rank"), lit("hybrid").as("leg"))
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val chunks = graft.operators.Curation.chunkTexts(
-          d, "doc_id", "text", 128, 32)
+        // consumed twice (lexical + dense legs) — one chunk pass
+        val chunks = graft.operators.OperatorCaches.track(
+          graft.operators.Curation.chunkTexts(
+            d, "doc_id", "text", 128, 32).persist())
         val queries = d.filter(col("doc_id") < 5)
           .select((col("doc_id") + 9000000L).as("qid"),
             array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
