@@ -152,7 +152,10 @@ object Bench {
     "q278"->0.973, "q279"->1.480, "q280"->2.896, "q281"->8.271,
     // round-16 fourth wave (clean solo FORCE_MIN min-of-3, calib 2.103,
     // 12-control median 0.9962, regress 0, cold_only 0 — BASELINE.md)
-    "q282"->1.395)
+    "q282"->1.395,
+    // round-16 fifth wave (clean solo FORCE_MIN min-of-3, calib 2.024,
+    // 12-control median 0.872, regress 0, cold_only 0 — BASELINE.md)
+    "q283"->0.859, "q284"->3.133)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

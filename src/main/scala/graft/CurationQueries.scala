@@ -1935,6 +1935,111 @@ object CurationQueries {
              |FROM runs r JOIN cand cd USING (idA, idB)
              |GROUP BY r.idA, r.idB, cd.n_shared""".stripMargin)),
 
+    // BOILERPLATE FINGERPRINT MINER (Curation.boilerplateFingerprints)
+    // — the strip-list a template-removal pass consumes: fps with df ≥
+    // 25 are SHARED text, exactly what the dup pairing df-caps away as
+    // non-evidence. Fixture plants a 79-char license header on docs
+    // 0–39 (spanning all 20 sources): its fingerprints must surface
+    // with df ≈ 40 and n_sources = 20 while ordinary text stays under
+    // the bar. One winnowing pass + one fp agg; no pairing.
+    Q("q283_boilerplate_fps",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        Curation.boilerplateFingerprints(planted, "doc_id", "text",
+          "source", k = 25, w = 8, minDf = 25L)
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |csel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr))
+             |SELECT CAST(CASE WHEN s.fp >= 9223372036854775808
+             |    THEN s.fp - 18446744073709551616 ELSE s.fp END AS BIGINT)
+             |    AS fp,
+             |  CAST(count(*) AS BIGINT) AS df,
+             |  CAST(count(DISTINCT c.source) AS BIGINT) AS n_sources
+             |FROM csel s JOIN corpus c ON c.doc_id = s.doc_id
+             |GROUP BY s.fp HAVING count(*) >= 25""".stripMargin)),
+
+    // SPAN-EVIDENCE DEDUP VERDICTS (Curation.spanDedupVerdicts) — the
+    // char-level dedup DECISION made on verified extent: a doc drops
+    // iff it shares a ≥100-char exact span with any lower-id doc
+    // (keep-lowest-id neighbor rule over q272's verified pairs). The
+    // planted 150-char quoters drop against their sources; pairs
+    // sharing only short scattered runs don't qualify.
+    Q("q284_span_dedup_verdicts",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val quoters = d.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 96000L).as("doc_id"),
+            concat(substring(col("text"), 1, 150),
+              lit(" entirely new commentary words follow the lifted passage"))
+              .as("text"))
+        Curation.spanDedupVerdicts(d.unionByName(quoters),
+          "doc_id", "text", minSpan = 100L,
+          k = 25, w = 8, minShared = 2, maxDf = 20)
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 96000,
+             |    substr(text, 1, 150) || ' entirely new commentary words follow the lifted passage'
+             |  FROM documents WHERE doc_id < 8),
+             |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |csel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
+             |rare AS (SELECT fp FROM csel GROUP BY fp HAVING count(*) <= 20),
+             |capped AS (SELECT doc_id, fp FROM csel JOIN rare USING (fp)),
+             |cand AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+             |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |mm AS (SELECT cd.idA, cd.idB, ga.i - gb.i AS d, gb.i AS ei
+             |  FROM cand cd
+             |  JOIN cgr ga ON ga.doc_id = cd.idA
+             |  JOIN cgr gb ON gb.doc_id = cd.idB AND gb.h = ga.h),
+             |runs AS (SELECT idA, idB, count(*) AS run FROM (
+             |    SELECT idA, idB, d,
+             |      ei - ROW_NUMBER() OVER (PARTITION BY idA, idB, d
+             |        ORDER BY ei) AS grp
+             |    FROM mm)
+             |  GROUP BY idA, idB, d, grp),
+             |spans AS (SELECT idA, idB,
+             |    CAST(max(run) + 24 AS BIGINT) AS span_chars
+             |  FROM runs GROUP BY 1, 2),
+             |qual AS (SELECT idA, idB, span_chars FROM spans
+             |  WHERE span_chars >= 100),
+             |sides AS (
+             |  SELECT idA AS doc_id, idB AS partner, span_chars FROM qual
+             |  UNION ALL
+             |  SELECT idB, idA, span_chars FROM qual)
+             |SELECT doc_id,
+             |  CASE WHEN min(partner) < doc_id THEN 'drop' ELSE 'keep' END
+             |    AS verdict,
+             |  max(span_chars) AS max_span,
+             |  CAST(count(*) AS BIGINT) AS n_partners
+             |FROM sides GROUP BY doc_id""".stripMargin)),
+
     // EMBEDDING DRIFT (Curation.embeddingDriftCos) — q230's dense
     // sibling: per-source cosine between OLD (even 20-id block) and
     // NEW (odd block) epoch centroids. The raw synthetic embeddings

@@ -132,6 +132,57 @@ object Curation {
           .otherwise("clean").as("verdict"))
   }
 
+  /** BOILERPLATE FINGERPRINT MINER — the strip-list a template-removal
+    * pass consumes: winnowing fingerprints whose document frequency
+    * exceeds `minDf` are SHARED text (headers, footers, license
+    * blocks) — exactly the fps [[winnowingDupCandidates]] df-caps away
+    * as non-evidence of copying. Reported with df and source spread
+    * (template text crosses sources; a popular quote usually doesn't)
+    * so a reviewer can triage before stripping.
+    * Scale shape: one winnowing pass, one id-keyed join to attach the
+    * source, one fp-keyed agg — no pairing, no text shuffle. */
+  def boilerplateFingerprints(corpus: DataFrame, idCol: String,
+      textCol: String, srcCol: String, k: Int = 25, w: Int = 8,
+      minDf: Long = 25L): DataFrame = {
+    require(minDf >= 2, s"bad minDf $minDf")
+    val fps = winnowingFingerprints(corpus, idCol, textCol, k, w)
+    fps.join(corpus.select(col(idCol).as("id"), col(srcCol).as("_src")),
+        Seq("id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"),
+        countDistinct(col("_src")).as("n_sources"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Span-evidence dedup verdicts — keep-one over
+    * [[dupCandidateSpans]] pairs whose exact shared span reaches
+    * `minSpan` chars: a document DROPS iff it shares a long-enough
+    * span with any LOWER-id document (the keep-lowest-id neighbor
+    * rule). This is the char-level dedup decision made on VERIFIED
+    * extent rather than fingerprint-count heuristics — a 150-char
+    * lifted passage drops the quoter; two docs sharing scattered
+    * 25-char runs don't.
+    * @return (doc_id, verdict, max_span, n_partners) for every doc
+    *         appearing in a qualifying pair */
+  def spanDedupVerdicts(corpus: DataFrame, idCol: String,
+      textCol: String, minSpan: Long, k: Int = 25, w: Int = 8,
+      minShared: Int = 2, maxDf: Int = 20): DataFrame = {
+    val qual = dupCandidateSpans(corpus, idCol, textCol, k, w,
+      minShared, maxDf).filter(col("span_chars") >= minSpan)
+    val sides = qual.select(col("idA").as("doc_id"),
+        col("idB").as("partner"), col("span_chars"))
+      .unionByName(qual.select(col("idB").as("doc_id"),
+        col("idA").as("partner"), col("span_chars")))
+    sides.groupBy(col("doc_id"))
+      .agg(max(col("span_chars")).as("max_span"),
+        count(lit(1)).as("n_partners"),
+        min(col("partner")).as("_minp"))
+      .select(col("doc_id"),
+        when(col("_minp") < col("doc_id"), "drop").otherwise("keep")
+          .as("verdict"),
+        col("max_span"), col("n_partners"))
+  }
+
   /** DAILY-BATCH maintenance for the winnowing contamination index —
     * the [[graft.operators.Bm25.upsertIndexStats]] discipline on the
     * char-contamination tier: the (id, fp) postings are per-row
