@@ -1122,6 +1122,47 @@ class CurationSpec extends SparkSuite {
     assert(again.count() == idx.count(), "re-delete must be a no-op")
   }
 
+  test("boilerplate miner: planted header surfaces, ordinary text stays under") {
+    import spark.implicits._
+    val header = "shared template header line with enough characters here "
+    val docs = (0 until 30).map { i =>
+      val body = s"unique body $i " + (1 to 8).map(j => s"w$i$j").mkString(" ")
+      (i.toLong, s"s${i % 3}", if (i < 20) header + body else body)
+    }.toDF("doc_id", "source", "text")
+    val mined = Curation.boilerplateFingerprints(
+      docs, "doc_id", "text", "source", k = 25, w = 8, minDf = 15L)
+      .as[(Long, Long, Long)].collect()
+    assert(mined.nonEmpty, "header fingerprints must surface")
+    assert(mined.forall(r => r._2 >= 15L && r._3 == 3L),
+      s"mined fps must carry the df and full source spread: ${mined.toSeq}")
+    // every mined fp comes from the header region: remove the header
+    // and nothing reaches the bar
+    val clean = docs.filter(col("doc_id") >= 20)
+    assert(Curation.boilerplateFingerprints(clean, "doc_id", "text",
+      "source", 25, 8, 5L).isEmpty)
+  }
+
+  test("spanDedupVerdicts: long verified span drops the higher id; short runs don't") {
+    import spark.implicits._
+    val base = (0 until 20).map(i => f"t$i%02da t$i%02db t$i%02dc ")
+      .mkString.trim // distinct 10-gram structure throughout
+    val docs = Seq(
+      (1L, base),
+      (2L, base.substring(0, 120) + " entirely different tail content here"),
+      (3L, "fresh doc " + (0 until 20).map(i => f"z$i%02dx z$i%02dy ").mkString.trim))
+      .toDF("doc_id", "text")
+    val v = Curation.spanDedupVerdicts(docs, "doc_id", "text",
+      minSpan = 100L, k = 25, w = 8, minShared = 2, maxDf = 20)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(v(1L)._2 == "keep" && v(2L)._2 == "drop", v.toString)
+    assert(v(2L)._3 >= 120L, s"span must reach the planted 120: ${v(2L)}")
+    assert(!v.contains(3L), "unrelated doc must not appear")
+    // raising the bar past the shared span empties the verdicts
+    assert(Curation.spanDedupVerdicts(docs, "doc_id", "text",
+      minSpan = 200L, k = 25, w = 8).isEmpty)
+  }
+
   test("leakedSpans: exact span length, run count, and non-nomination") {
     import spark.implicits._
     val k = 10; val w = 4
