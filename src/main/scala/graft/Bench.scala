@@ -155,7 +155,10 @@ object Bench {
     "q282"->1.395,
     // round-16 fifth wave (clean solo FORCE_MIN min-of-3, calib 2.024,
     // 12-control median 0.872, regress 0, cold_only 0 — BASELINE.md)
-    "q283"->0.859, "q284"->3.133)
+    "q283"->0.859, "q284"->3.133,
+    // round-16 sixth wave (clean solo FORCE_MIN min-of-3, calib 2.186,
+    // 12-control median 0.9404, regress 0, cold_only 0 — BASELINE.md)
+    "q285"->0.756)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -1876,6 +1876,130 @@ object CurationQueries {
              |FROM nq n JOIN pq p ON p.source = n.source
              |LEFT JOIN exc e ON e.source = n.source""".stripMargin)),
 
+    // DECONTAMINATION-LADDER ROLLUP — the one artifact that justifies
+    // running THREE contamination rungs: per rung (raw 13-gram,
+    // normalized 13-gram, char-level winnowing), how many TRAIN docs
+    // are flagged and their token mass. The fixture plants one eval
+    // doc per evasion class: a verbatim 200-char lift (all rungs catch
+    // its sources), a case/punct-reformatted lift (raw misses — q240's
+    // lesson; normalized catches; the char stream is mangled so
+    // winnowing misses too), and a 60-char sub-n-gram lift (both token
+    // rungs structurally blind; winnowing catches) — the rungs are
+    // COMPLEMENTARY, not nested, which is why a pipeline runs all
+    // three. Oracle replays all three probes train-side.
+    Q("q285_decontamination_ladder",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val e1 = d.filter(col("doc_id") === 0)
+          .select(lit(95001L).as("doc_id"),
+            substring(col("text"), 31, 200).as("text"))
+        val e2 = d.filter(col("doc_id") === 1)
+          .select(lit(95002L).as("doc_id"),
+            regexp_replace(upper(substring(col("text"), 31, 200)),
+              " ", " , ").as("text"))
+        val e3 = d.filter(col("doc_id") === 2)
+          .select(lit(95003L).as("doc_id"),
+            substring(col("text"), 31, 60).as("text"))
+        val e4 = Seq((95004L,
+          "a wholly original probe sentence that mentions seventeen " +
+            "imaginary lighthouses humming beneath twelve patient " +
+            "glaciers while nobody anywhere copies anything tonight"))
+          .toDF("doc_id", "text")
+        val evalSet = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+        val toks = d.select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("tk"))
+        def rollup(ids: org.apache.spark.sql.DataFrame, rung: String) =
+          ids.join(toks, Seq("doc_id"))
+            .agg(count(lit(1)).as("n_dirty_docs"),
+              coalesce(sum(col("tk")), lit(0L)).as("dirty_tokens"))
+            .select(lit(rung).as("rung"), col("n_dirty_docs"),
+              col("dirty_tokens"))
+        val raw = Curation.ngramContamination(
+            d, evalSet, "doc_id", "text", n = 13)
+          .select(col("id").as("doc_id"))
+        val norm = Curation.ngramContamination(
+            d, evalSet, "doc_id", "text", n = 13, normalized = true)
+          .select(col("id").as("doc_id"))
+        val evalFps = Curation.winnowingFingerprints(
+          evalSet, "doc_id", "text", 25, 8).select(col("fp")).distinct()
+        val char = Curation.ingestContaminationVerdicts(
+            d, evalFps, "doc_id", "text", 25, 8)
+          .filter(col("verdict") === "dirty")
+          .select(col("id").as("doc_id"))
+        rollup(raw, "raw13")
+          .unionByName(rollup(norm, "norm13"))
+          .unionByName(rollup(char, "char_winnow"))
+      },
+      Some(s"""WITH evals AS (
+             |  SELECT 95001 AS id, substr(text, 31, 200) AS text
+             |  FROM documents WHERE doc_id = 0
+             |  UNION ALL
+             |  SELECT 95002, regexp_replace(upper(substr(text, 31, 200)), ' ', ' , ', 'g')
+             |  FROM documents WHERE doc_id = 1
+             |  UNION ALL
+             |  SELECT 95003, substr(text, 31, 60) FROM documents WHERE doc_id = 2
+             |  UNION ALL
+             |  SELECT 95004, 'a wholly original probe sentence that mentions seventeen imaginary lighthouses humming beneath twelve patient glaciers while nobody anywhere copies anything tonight'),
+             |tkc AS (SELECT doc_id, CAST(len(string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+             |    AS BIGINT) AS tk FROM documents),
+             |ew AS (SELECT string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+             |  FROM evals),
+             |eg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM ew WHERE len(w) >= 13)),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+             |  FROM documents),
+             |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tw WHERE len(w) >= 13)),
+             |rawids AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
+             |enw AS (SELECT regexp_extract_all(lower(text), '\\w+') AS w FROM evals),
+             |eng AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM enw WHERE len(w) >= 13)),
+             |tnw AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+             |  FROM documents),
+             |tng AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tnw WHERE len(w) >= 13)),
+             |normids AS (SELECT DISTINCT t.doc_id FROM tng t JOIN eng e ON e.g = t.g),
+             |ech AS (SELECT id, lower(text) AS t FROM evals),
+             |egr AS (SELECT id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM ech WHERE length(t) >= 25)),
+             |esel AS (SELECT DISTINCT fp FROM (
+             |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
+             |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
+             |tgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM tch WHERE length(t) >= 25)),
+             |tselD AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
+             |charids AS (SELECT DISTINCT t.doc_id
+             |  FROM tselD t JOIN esel e ON e.fp = t.fp)
+             |SELECT 'raw13' AS rung,
+             |  CAST(count(*) AS BIGINT) AS n_dirty_docs,
+             |  CAST(coalesce(sum(tk), 0) AS BIGINT) AS dirty_tokens
+             |FROM rawids JOIN tkc USING (doc_id)
+             |UNION ALL
+             |SELECT 'norm13', CAST(count(*) AS BIGINT),
+             |  CAST(coalesce(sum(tk), 0) AS BIGINT)
+             |FROM normids JOIN tkc USING (doc_id)
+             |UNION ALL
+             |SELECT 'char_winnow', CAST(count(*) AS BIGINT),
+             |  CAST(coalesce(sum(tk), 0) AS BIGINT)
+             |FROM charids JOIN tkc USING (doc_id)""".stripMargin)),
+
     // DUP-CANDIDATE SPAN VERIFICATION (Curation.dupCandidateSpans) —
     // the MOSS pipeline's verification stage over q264's candidates:
     // fingerprint-overlap counts rank pairs, but "lifted paragraph vs
