@@ -158,7 +158,10 @@ object Bench {
     "q283"->0.859, "q284"->3.133,
     // round-16 sixth wave (clean solo FORCE_MIN min-of-3, calib 2.186,
     // 12-control median 0.9404, regress 0, cold_only 0 — BASELINE.md)
-    "q285"->0.756)
+    "q285"->0.756,
+    // round-16 seventh wave (clean solo FORCE_MIN min-of-3, calib 2.030,
+    // 12-control median 0.8688, regress 0, cold_only 0 — BASELINE.md)
+    "q286"->1.091)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -2100,6 +2100,62 @@ object CurationQueries {
              |FROM csel s JOIN corpus c ON c.doc_id = s.doc_id
              |GROUP BY s.fp HAVING count(*) >= 25""".stripMargin)),
 
+    // PER-SOURCE BOILERPLATE BURDEN — q283's mined strip-list joined
+    // back to the corpus: per source, how many docs carry at least one
+    // boilerplate fingerprint and the integer micro-share — the number
+    // that decides WHICH sources get the template-stripping pass. The
+    // planted header sits on docs 0–39, i.e. exactly 2 of every
+    // source's docs at sf0.01 (share 80000 micro). Mined fps broadcast
+    // (tiny by construction); one fp semi-join + one source agg.
+    Q("q286_boilerplate_burden",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        val mined = Curation.boilerplateFingerprints(planted, "doc_id",
+          "text", "source", k = 25, w = 8, minDf = 25L).select(col("fp"))
+        val carriers = Curation.winnowingFingerprints(
+            planted, "doc_id", "text", 25, 8)
+          .join(broadcast(mined), Seq("fp"))
+          .select(col("id")).distinct()
+          .withColumn("_hit", lit(1L))
+        planted.select(col("doc_id").as("id"), col("source"))
+          .join(carriers, Seq("id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_carriers"))
+          .select(col("source"), col("n_docs"), col("n_carriers"),
+            expr("n_carriers * 1000000 DIV n_docs").as("burden_micro"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |csel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
+             |mined AS (SELECT fp FROM csel GROUP BY fp HAVING count(*) >= 25),
+             |carriers AS (SELECT DISTINCT doc_id
+             |  FROM csel JOIN mined USING (fp))
+             |SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN ca.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_carriers,
+             |  CAST((sum(CASE WHEN ca.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    * 1000000) // count(*) AS BIGINT) AS burden_micro
+             |FROM corpus c LEFT JOIN carriers ca ON ca.doc_id = c.doc_id
+             |GROUP BY c.source""".stripMargin)),
+
     // SPAN-EVIDENCE DEDUP VERDICTS (Curation.spanDedupVerdicts) — the
     // char-level dedup DECISION made on verified extent: a doc drops
     // iff it shares a ≥100-char exact span with any lower-id doc
