@@ -2156,6 +2156,392 @@ object CurationQueries {
              |FROM corpus c LEFT JOIN carriers ca ON ca.doc_id = c.doc_id
              |GROUP BY c.source""".stripMargin)),
 
+    // TEMPLATE-STRIP PASS (Curation.stripBoilerplate) — the pass that
+    // q283 mines the list for and q286 routes sources to: every
+    // winnowing-SELECTED position whose fingerprint is on the mined
+    // strip-list becomes a 25-char span; spans merge per doc and the
+    // text is cut (q175's island machinery). The planted 79-char
+    // header on docs 0–39 must be cut CONTIGUOUSLY (winnowing selects
+    // a gram at least every w=8 grams inside a shared region and k=25
+    // > 8, so consecutive spans overlap), while docs 40+ pass through
+    // byte-identical. The oracle replays POSITIONAL winnowing as one
+    // window frame over the combined key h·2^20 + i (unsigned HUGEINT
+    // min == the kernel's unsigned-compare + leftmost tie rule), the
+    // mined-list df bar, the island merge, and the substring cut —
+    // and compares the CLEANED TEXT itself.
+    Q("q287_boilerplate_strip",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        val mined = Curation.boilerplateFingerprints(planted, "doc_id",
+          "text", "source", k = 25, w = 8, minDf = 25L).select(col("fp"))
+        Curation.stripBoilerplate(planted, mined, "doc_id", "text",
+          k = 25, w = 8)
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |cch AS (SELECT doc_id, text, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
+             |    PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
+             |psel AS (SELECT DISTINCT doc_id,
+             |    CAST(key % 1048576 AS BIGINT) AS i, key // 1048576 AS fp
+             |  FROM pk),
+             |mined AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM psel)
+             |  GROUP BY fp HAVING count(*) >= 25),
+             |hits AS (SELECT doc_id, i FROM psel JOIN mined USING (fp)),
+             |mk AS (SELECT doc_id, i,
+             |  CASE WHEN max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |    OR i > max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS isl0 FROM hits),
+             |isl AS (SELECT doc_id, i, sum(isl0) OVER (PARTITION BY doc_id
+             |  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM mk),
+             |merged AS (SELECT doc_id, g, min(i) AS s, max(i) + 25 AS e
+             |  FROM isl GROUP BY 1, 2),
+             |gaps AS (
+             |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id
+             |      ORDER BY s), 1) AS gs, s AS ge FROM merged
+             |  UNION ALL
+             |  SELECT doc_id, max(e) AS gs, NULL AS ge FROM merged
+             |  GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT g.doc_id, string_agg(
+             |    substr(c.text, CAST(g.gs AS INT),
+             |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
+             |    '' ORDER BY g.gs) AS ct
+             |  FROM gaps g JOIN corpus c ON c.doc_id = g.doc_id GROUP BY 1),
+             |stats AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(e - s) AS removed FROM merged GROUP BY 1)
+             |SELECT c.doc_id AS id,
+             |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+             |  CAST(coalesce(length(coalesce(cl.ct, c.text)), 0) AS BIGINT)
+             |    AS clean_len,
+             |  coalesce(cl.ct, c.text) AS clean_text
+             |FROM corpus c LEFT JOIN stats st ON st.doc_id = c.doc_id
+             |  LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id""".stripMargin)),
+
+    // SEMANTIC CONTAMINATION RUNG (Curation.semanticContamination) —
+    // the embedding-space member of the q285 ladder: a train vector is
+    // flagged when its cosine to ANY eval probe reaches τ = 0.9. The
+    // probes plant one per evasion class: a verbatim copy of vec 0
+    // (every rung would catch this), vec 1 SCALED ×2 (cosine is
+    // scale-invariant — flagged at sim 1.0; an exact-hash rung would
+    // miss it), a NEAR-dup of vec 2 (v2 + 0.2·v3 — the paraphrase
+    // stand-in no token/char rung can see), and a clean 50/50 mix of
+    // vecs 4/5 (cos ≈ 1/√2 on near-orthogonal vectors — must NOT
+    // flag). All probe arithmetic is double end-to-end (the q231
+    // idiom) so both engines build bit-identical probes; sims compare
+    // on the raw double (identical sequential fold), rounded once for
+    // output. Eval side broadcast — one corpus scan, no shuffle.
+    Q("q288_semantic_contamination",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        def vOf(id: Long) = e.filter(col("vec_id") === id)
+        val e1 = vOf(0).select(lit(9001L).as("eid"), col("v"))
+        val e2 = vOf(1).select(lit(9002L).as("eid"),
+          transform(col("v"), x => x * lit(2.0)).as("v"))
+        val e3 = vOf(2).select(col("v").as("a"))
+          .crossJoin(vOf(3).select(col("v").as("b")))
+          .select(lit(9003L).as("eid"),
+            zip_with(col("a"), col("b"), (x, y) => x + y * lit(0.2)).as("v"))
+        val e4 = vOf(4).select(col("v").as("a"))
+          .crossJoin(vOf(5).select(col("v").as("b")))
+          .select(lit(9004L).as("eid"),
+            zip_with(col("a"), col("b"), (x, y) => (x + y) * lit(0.5)).as("v"))
+        val probes = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+        Curation.semanticContamination(
+          e.select(col("vec_id").as("id"), col("v")), probes, tau = 0.9)
+      },
+      Some("""WITH tr AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |pe AS (
+             |  SELECT 9001 AS eid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id = 0
+             |  UNION ALL
+             |  SELECT 9002, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+             |  FROM embeddings WHERE vec_id = 1
+             |  UNION ALL
+             |  SELECT 9003, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE) * 0.2)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 2 AND b.vec_id = 3
+             |  UNION ALL
+             |  SELECT 9004, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> (CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE)) * 0.5)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 4 AND b.vec_id = 5),
+             |tn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM tr
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |en AS (SELECT eid, v, sqrt(list_dot_product(v, v)) AS en FROM pe
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |sims AS (SELECT t.id, e.eid,
+             |    list_dot_product(t.v, e.v) / (t.vn * e.en) AS sim
+             |  FROM tn t, en e)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_probes_hit,
+             |  round(max(sim), 6) AS max_sim
+             |FROM sims WHERE sim >= 0.9 GROUP BY id""".stripMargin)),
+
+    // STREAMING TEMPLATE-STRIP AT INGEST (Curation
+    // .stripBoilerplateAtIngest) — the streaming member of the
+    // boilerplate family (mine q283 → route q286 → cut q287 → here):
+    // the mined strip-list is an epoch-STATIC artifact, tiny by
+    // construction, so it rides in the UDF closure and every incoming
+    // doc strips itself in one fused stateless kernel (positional
+    // selection → mined filter → island merge → cut, island semantics
+    // identical to the batch cutSpans) — ZERO stateful operators,
+    // Append mode, no watermark. Same planted fixture as q287; the
+    // oracle IS q287's chain — streaming == batch, hash-equal.
+    Q("q291_streaming_boilerplate_strip",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        val mined = Curation.boilerplateFingerprints(planted, "doc_id",
+            "text", "source", k = 25, w = 8, minDf = 25L)
+          .select(col("fp")).collect().map(_.getLong(0))
+        val inDir = s"/tmp/graft-stripingest-" +
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_stripingest")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          planted.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => Curation.stripBoilerplateAtIngest(
+            stream, mined, "doc_id", "text", 25, 8),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q291_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |cch AS (SELECT doc_id, text, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
+             |    PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
+             |psel AS (SELECT DISTINCT doc_id,
+             |    CAST(key % 1048576 AS BIGINT) AS i, key // 1048576 AS fp
+             |  FROM pk),
+             |mined AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM psel)
+             |  GROUP BY fp HAVING count(*) >= 25),
+             |hits AS (SELECT doc_id, i FROM psel JOIN mined USING (fp)),
+             |mk AS (SELECT doc_id, i,
+             |  CASE WHEN max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |    OR i > max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS isl0 FROM hits),
+             |isl AS (SELECT doc_id, i, sum(isl0) OVER (PARTITION BY doc_id
+             |  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM mk),
+             |merged AS (SELECT doc_id, g, min(i) AS s, max(i) + 25 AS e
+             |  FROM isl GROUP BY 1, 2),
+             |gaps AS (
+             |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id
+             |      ORDER BY s), 1) AS gs, s AS ge FROM merged
+             |  UNION ALL
+             |  SELECT doc_id, max(e) AS gs, NULL AS ge FROM merged
+             |  GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT g.doc_id, string_agg(
+             |    substr(c.text, CAST(g.gs AS INT),
+             |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
+             |    '' ORDER BY g.gs) AS ct
+             |  FROM gaps g JOIN corpus c ON c.doc_id = g.doc_id GROUP BY 1),
+             |stats AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(e - s) AS removed FROM merged GROUP BY 1)
+             |SELECT c.doc_id AS id,
+             |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+             |  CAST(coalesce(length(coalesce(cl.ct, c.text)), 0) AS BIGINT)
+             |    AS clean_len,
+             |  coalesce(cl.ct, c.text) AS clean_text
+             |FROM corpus c LEFT JOIN stats st ON st.doc_id = c.doc_id
+             |  LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id""".stripMargin)),
+
+    // SOURCE DATA CARD — the one-artifact per-source census a corpus
+    // release ships with (the "datasheet" rollup): doc and token
+    // counts, exact-duplicate carriers, PII carriers (4-class
+    // battery), benchmark-contaminated docs (raw 13-gram), mined-
+    // boilerplate carriers, non-English share — every column the
+    // output of an already-gated operator family, joined into ONE
+    // frame so a release reviewer reads one table instead of six
+    // reports. Fixture: the q283 header on docs 0–39 (boilerplate
+    // bites), exact copies of docs 0–19 at +95000 (one dup pair per
+    // source), the q285 slice of doc 1 as the eval probe (its source
+    // shows contamination); PII is whatever the corpus organically
+    // carries (deterministic). Scale shape: the corpus persists once;
+    // each flag column is its own gated family's shape (semi-joins,
+    // broadcast eval/mined sides); the rollup is one source-keyed agg.
+    Q("q290_source_data_card",
+      (spark, dir) => {
+        import graft.functions.TextFunctions
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"), col("lang"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        val corpus = graft.operators.OperatorCaches.track(
+          planted.unionByName(planted.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 95000L).as("doc_id"), col("source"),
+              col("lang"), col("text"))).persist())
+        val dupIds = corpus.join(
+          corpus.groupBy(col("text")).agg(count(lit(1)).as("_c"))
+            .filter(col("_c") >= 2).select(col("text")),
+          Seq("text"), "left_semi").select(col("doc_id"))
+        val pc = TextFunctions.piiBatteryCounts(col("text")).toMap
+        val piiIds = corpus.filter(
+          (pc("n_emails") + pc("n_ids") + pc("n_longids") +
+            pc("n_phones")) > 0).select(col("doc_id"))
+        val evalSet = d.filter(col("doc_id") === 1)
+          .select(lit(95001L).as("doc_id"),
+            substring(col("text"), 31, 200).as("text"))
+        val contamIds = Curation.ngramContamination(
+          corpus, evalSet, "doc_id", "text", n = 13)
+          .select(col("id").as("doc_id"))
+        val mined = Curation.boilerplateFingerprints(corpus, "doc_id",
+          "text", "source", k = 25, w = 8, minDf = 25L).select(col("fp"))
+        val boilerIds = Curation.winnowingFingerprints(
+            corpus, "doc_id", "text", 25, 8)
+          .join(broadcast(mined), Seq("fp"))
+          .select(col("id").as("doc_id")).distinct()
+        def flag(ids: org.apache.spark.sql.DataFrame, name: String) =
+          ids.distinct().withColumn(name, lit(1L))
+        corpus.select(col("doc_id"), col("source"), col("lang"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("tk"))
+          .join(flag(dupIds, "_dup"), Seq("doc_id"), "left")
+          .join(flag(piiIds, "_pii"), Seq("doc_id"), "left")
+          .join(flag(contamIds, "_con"), Seq("doc_id"), "left")
+          .join(flag(boilerIds, "_boi"), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tk")).as("n_tokens"),
+            sum(coalesce(col("_dup"), lit(0L))).as("dup_docs"),
+            sum(coalesce(col("_pii"), lit(0L))).as("pii_docs"),
+            sum(coalesce(col("_con"), lit(0L))).as("contam_docs"),
+            sum(coalesce(col("_boi"), lit(0L))).as("boiler_docs"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L))
+              .as("nonen_docs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dup_docs"), col("pii_docs"), col("contam_docs"),
+            col("boiler_docs"), col("nonen_docs"),
+            expr("dup_docs * 1000000 DIV n_docs").as("dup_micro"))
+      },
+      Some {
+        val em = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val idp = """\b\d{3}-\d{2}-\d{4}\b"""
+        val lg = """\b\d{9,}\b"""
+        val ph = """\+?\d[\d()\- ]{6,}\d"""
+        s"""WITH corpus AS (
+           |  SELECT doc_id, source, lang,
+           |    CASE WHEN doc_id < 40
+           |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+           |      ELSE text END AS text
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 95000, source, lang,
+           |    'licensed under the corpus commons attribution agreement version four point two ' || text
+           |  FROM documents WHERE doc_id < 20),
+           |tkc AS (SELECT doc_id, CAST(len(string_split_regex(
+           |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+           |    AS BIGINT) AS tk FROM corpus),
+           |dups AS (SELECT doc_id FROM corpus WHERE text IN (
+           |  SELECT text FROM corpus GROUP BY text HAVING count(*) >= 2)),
+           |pii AS (SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(text, '$em'))
+           |    + len(regexp_extract_all(se, '$idp'))
+           |    + len(regexp_extract_all(si, '$lg'))
+           |    + len(regexp_extract_all(sl, '$ph')) AS n
+           |  FROM (SELECT doc_id, text, se, si,
+           |      regexp_replace(si, '$lg', '<LONGID>', 'g') AS sl
+           |    FROM (SELECT doc_id, text, se,
+           |        regexp_replace(se, '$idp', '<ID>', 'g') AS si
+           |      FROM (SELECT doc_id, text,
+           |          regexp_replace(text, '$em', '<EMAIL>', 'g') AS se
+           |        FROM corpus)))) WHERE n > 0),
+           |ew AS (SELECT string_split_regex(regexp_replace(
+           |    substr(text, 31, 200), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+           |  FROM documents WHERE doc_id = 1),
+           |eg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+           |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+           |        FROM ew WHERE len(w) >= 13)),
+           |tw AS (SELECT doc_id, string_split_regex(
+           |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+           |  FROM corpus),
+           |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+           |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+           |        FROM tw WHERE len(w) >= 13)),
+           |contam AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
+           |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+           |cgr AS (SELECT doc_id, i,
+           |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+           |        FROM cch WHERE length(t) >= 25)),
+           |csel AS (SELECT DISTINCT doc_id, fp FROM (
+           |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
+           |mined AS (SELECT fp FROM csel GROUP BY fp HAVING count(*) >= 25),
+           |boiler AS (SELECT DISTINCT doc_id FROM csel JOIN mined USING (fp))
+           |SELECT c.source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(t.tk) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS dup_docs,
+           |  CAST(sum(CASE WHEN pi.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS pii_docs,
+           |  CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS contam_docs,
+           |  CAST(sum(CASE WHEN bo.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS boiler_docs,
+           |  CAST(sum(CASE WHEN c.lang <> 'en' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS nonen_docs,
+           |  CAST((sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000000) // count(*) AS BIGINT) AS dup_micro
+           |FROM corpus c
+           |  JOIN tkc t USING (doc_id)
+           |  LEFT JOIN (SELECT DISTINCT doc_id FROM dups) dp USING (doc_id)
+           |  LEFT JOIN (SELECT DISTINCT doc_id FROM pii) pi USING (doc_id)
+           |  LEFT JOIN contam co USING (doc_id)
+           |  LEFT JOIN boiler bo USING (doc_id)
+           |GROUP BY c.source""".stripMargin
+      }),
+
     // SPAN-EVIDENCE DEDUP VERDICTS (Curation.spanDedupVerdicts) — the
     // char-level dedup DECISION made on verified extent: a doc drops
     // iff it shares a ≥100-char exact span with any lower-id doc

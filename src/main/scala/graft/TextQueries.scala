@@ -1577,6 +1577,56 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // RM3 PSEUDO-RELEVANCE FEEDBACK (Bm25.rm3TopK) — the classic
+    // recall lever on the lexical leg (Lavrenko & Croft 2001; the
+    // Anserini default): BM25's top-5 per query become the feedback
+    // set, each feedback doc votes (tf·1e6) DIV dl per term, the
+    // top-10 new terms (rm_w DESC, term ASC; original query terms
+    // excluded) join the query at λ=½ micro-weights, and candidates
+    // re-score as Σ wt_micro·contrib_micro — integers end-to-end, so
+    // the expanded ranking replays exactly. Same query set as q210
+    // truncated to id < 10; the gate pins BOTH passes (feedback
+    // selection feeds the final scores) and the weight arithmetic.
+    Q("q289_rm3_expansion",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Bm25.rm3TopK(d, "doc_id", "text",
+          col("id") < 10, kFeedback = 5, mExpand = 10, k = 10)
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "id < 10") +
+        """,
+          |fb AS (SELECT qid, id FROM (
+          |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS r FROM sc) WHERE r <= 5),
+          |rmw AS (SELECT f.qid, t.term,
+          |    CAST(sum((t.tf * 1000000) // d.dl) AS BIGINT) AS rm_w
+          |  FROM fb f JOIN tf t ON t.id = f.id JOIN dl d ON d.id = f.id
+          |  GROUP BY 1, 2),
+          |rmx AS (SELECT r.qid, r.term, r.rm_w FROM rmw r
+          |  WHERE NOT EXISTS (SELECT 1 FROM qt q
+          |    WHERE q.qid = r.qid AND q.term = r.term)),
+          |ex AS (SELECT qid, term, rm_w FROM (
+          |    SELECT qid, term, rm_w, ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY rm_w DESC, term) AS er FROM rmx) WHERE er <= 10),
+          |ws AS (SELECT qid, CAST(sum(rm_w) AS BIGINT) AS wsum
+          |  FROM ex GROUP BY 1),
+          |expw AS (SELECT e.qid, e.term, (e.rm_w * 500000) // w.wsum AS wt
+          |  FROM ex e JOIN ws w USING (qid)),
+          |nqc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n
+          |  FROM qt GROUP BY 1),
+          |origw AS (SELECT q.qid, q.term, 500000 // n.n AS wt
+          |  FROM qt q JOIN nqc n USING (qid)),
+          |allw AS (SELECT qid, term, wt FROM origw
+          |  UNION ALL SELECT qid, term, wt FROM expw),
+          |sc2 AS (SELECT a.qid, c.id,
+          |    CAST(sum(a.wt * c.c) AS BIGINT) AS score_micro
+          |  FROM allw a JOIN contrib c USING (term)
+          |  WHERE c.id <> a.qid GROUP BY 1, 2)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro FROM (
+          |  SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc2) WHERE rank <= 10""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

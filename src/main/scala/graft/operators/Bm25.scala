@@ -116,6 +116,78 @@ object Bm25 {
         col("id"), col("score_micro"))
   }
 
+  /** RM3 PSEUDO-RELEVANCE-FEEDBACK query expansion (Lavrenko & Croft
+    * 2001's relevance model, Jaleel et al. 2004's RM3 interpolation —
+    * the Anserini/Indri default), formulated EXACT-INTEGER like the
+    * base ranking so the expanded scores replay bit-for-bit in SQL:
+    *
+    *   1. First pass: plain BM25 top-`kFeedback` per query (the
+    *      feedback set F).
+    *   2. Relevance model: rm_w(q,t) = Σ_{d∈F} (tf(t,d)·1e6) DIV dl(d)
+    *      — integer micro P(t|d) summed over feedback docs.
+    *   3. Expansion terms: top-`mExpand` by (rm_w DESC, term ASC),
+    *      EXCLUDING the original query's terms (so the expansion is
+    *      visible and no term is double-weighted).
+    *   4. RM3 weights at λ = ½ in micro-units: original terms carry
+    *      500000 DIV |q| each; expansion terms carry
+    *      (rm_w·500000) DIV Σrm_w — both exact integer folds.
+    *   5. Final score(q,d) = Σ_t wt_micro(t) · contrib_micro(t,d) —
+    *      an integer sum of integer products (≤ ~1.5e13 per term at
+    *      the documented T/N bounds), associative, order-independent.
+    *
+    * Scale shape: both passes are the posting-list join; the feedback
+    * set is k·|Q| rows (tiny), so the relevance-model agg and the
+    * expansion window are bounded by it; no new shuffle classes over
+    * [[topK]]. The per-query windows partition on qid (queries are
+    * few — the q57 bounded heap drops in at many-query scale).
+    *
+    * @return (qid, rank 1..k, id, score_micro) by the RM3-expanded
+    *         ranking, self-retrieval excluded, total order */
+  def rm3TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, kFeedback: Int = 5, mExpand: Int = 10,
+      k: Int = 10): DataFrame = {
+    require(kFeedback >= 1 && mExpand >= 1 && k >= 1,
+      s"bad rm3 params kFeedback=$kFeedback mExpand=$mExpand k=$k")
+    val s = indexStats(corpus, idCol, textCol)
+    // consumed by both passes — derive once
+    val contrib = OperatorCaches.track(contribFromStats(s).persist())
+    val qterms = OperatorCaches.track(s.tf.filter(queryPred)
+      .select(col("id").as("qid"), col("term")).persist())
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    val fb = scoreJoin(qterms, contrib)
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= kFeedback)
+      .select(col("qid"), col("id"))
+    val rm = fb.join(s.tf, Seq("id")).join(s.dl, Seq("id"))
+      .groupBy(col("qid"), col("term"))
+      .agg(sum(expr("(tf * 1000000) DIV dl")).as("rm_w"))
+    val wExp = Window.partitionBy(col("qid"))
+      .orderBy(col("rm_w").desc, col("term").asc)
+    val exp = rm.join(qterms, Seq("qid", "term"), "left_anti")
+      .withColumn("er", row_number().over(wExp))
+      .filter(col("er") <= mExpand)
+      .select(col("qid"), col("term"), col("rm_w"))
+    val expW = exp
+      .join(exp.groupBy(col("qid")).agg(sum(col("rm_w")).as("_ws")),
+        Seq("qid"))
+      .select(col("qid"), col("term"),
+        expr("(rm_w * 500000) DIV _ws").as("wt"))
+    val origW = qterms
+      .join(qterms.groupBy(col("qid")).agg(count(lit(1)).as("_nq")),
+        Seq("qid"))
+      .select(col("qid"), col("term"), expr("500000 DIV _nq").as("wt"))
+    origW.unionByName(expW)
+      .join(contrib, Seq("term"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(expr("wt * c")).as("score_micro"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id"), col("score_micro"))
+  }
+
   /** Distinct query terms per qid — `array_distinct` BEFORE the explode,
     * so the derivation is one narrow pass: no distinct() shuffle on the
     * batch path, and ZERO stateful operators on a STREAMING queries

@@ -89,6 +89,175 @@ object Curation {
         explode(fps(col(textCol))).as("fp"))
   }
 
+  /** POSITIONAL winnowing selection — [[winnowingKernel]] keeping WHERE
+    * each fingerprint was selected: per window of `w` consecutive gram
+    * hashes, the (position, hash) of the minimum hash (unsigned order,
+    * ties to the LEFTMOST position — equivalently the minimum of the
+    * combined key h·2^20 + pos, which is how the SQL replay expresses
+    * it in one window frame); selected positions deduped. The per-doc
+    * fp SET equals [[winnowingKernel]]'s, so a strip-list mined over
+    * the set form ([[boilerplateFingerprints]]) keys these positions
+    * directly. Texts must stay under 2^20 chars (the combined-key
+    * stride — ~1 MB; chunk longer docs first), enforced loudly. */
+  def winnowingPositionsKernel(text: String, k: Int,
+      w: Int): Array[(Long, Long)] = {
+    val hs = gramHashes(text, k)
+    if (hs.isEmpty) return Array.empty
+    require(text.length < (1 << 20),
+      s"winnowingPositions: ${text.length}-char doc >= 2^20 — chunk first")
+    val m = hs.length
+    val sel = new java.util.TreeSet[Integer]()
+    var j = 0
+    while (j < m) {
+      var mnPos = j
+      var x = j + 1
+      while (x < j + w && x < m) {
+        if (java.lang.Long.compareUnsigned(hs(x), hs(mnPos)) < 0) mnPos = x
+        x += 1
+      }
+      sel.add(mnPos); j += 1
+    }
+    val out = new Array[(Long, Long)](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val p = it.next().intValue()
+      out(o) = (p.toLong, hs(p)); o += 1
+    }
+    out
+  }
+
+  /** [[winnowingPositionsKernel]] per document → exploded
+    * (id, pos 0-based, fp) rows. */
+  def winnowingPositions(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 25, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params k=$k w=$w")
+    val f = udf((t: String) => winnowingPositionsKernel(t, k, w))
+    corpus.select(col(idCol).as("id"),
+        explode(f(col(textCol))).as("pw"))
+      .select(col("id"), col("pw._1").as("pos"), col("pw._2").as("fp"))
+  }
+
+  /** TEMPLATE-STRIP PASS — applying [[boilerplateFingerprints]]'s mined
+    * strip-list to the corpus text (q283 mines the list, q286 routes
+    * sources to the pass, this CUTS): every winnowing-SELECTED position
+    * whose fingerprint is on the mined list becomes a k-char span;
+    * touching/overlapping spans merge per doc (gaps-and-islands) and
+    * the text is cut through [[Dedup]]'s shared span machinery (q175).
+    * Winnowing guarantees a selected gram in every window of w
+    * consecutive grams inside a shared region, and k > w means
+    * consecutive selected spans OVERLAP — the cut is contiguous across
+    * a boilerplate block, not confetti (edges taper where grams cross
+    * into doc-specific text and stop being corpus-frequent). Docs
+    * carrying no mined fp pass through byte-identical.
+    *
+    * Scale shape: the mined list is tiny by construction (df ≥ minDf
+    * shared templates) — broadcast; one positional winnowing pass over
+    * the corpus; the island merge windows over each doc's few hits.
+    * @return (id, n_spans, removed_chars, clean_len, clean_text) */
+  def stripBoilerplate(corpus: DataFrame, minedFps: DataFrame,
+      idCol: String, textCol: String, k: Int = 25,
+      w: Int = 8): DataFrame = {
+    val hits = winnowingPositions(corpus, idCol, textCol, k, w)
+      .join(broadcast(minedFps.select(col("fp"))), Seq("fp"))
+      .select(col("id"), col("pos").cast("int").as("pos"))
+    Dedup.cutSpans(corpus, idCol, textCol, hits, k)
+  }
+
+  /** Per-row strip kernel — [[stripBoilerplate]]'s whole pipeline
+    * (positional selection → mined filter → island merge → cut) fused
+    * into ONE stateless function of the document alone, for the
+    * STREAMING ingest path where the batch form's merge window would
+    * be a second stateful operator. Island semantics match
+    * [[Dedup.cutSpans]] exactly (new island iff pos strictly exceeds
+    * the previous end; touching spans merge), so streaming == batch is
+    * gated hash-equal (q291 vs q287).
+    * @return (n_spans, removed_chars, clean_len, clean_text) */
+  def stripKernel(text: String, mined: scala.collection.Set[Long],
+      k: Int, w: Int): (Long, Long, Long, String) = {
+    val t = if (text == null) "" else text
+    val pws = winnowingPositionsKernel(t, k, w) // ascending positions
+    var nSpans = 0L
+    var removed = 0L
+    val sb = new java.lang.StringBuilder
+    var cur = 0
+    var s = -1
+    var e = -1
+    var i = 0
+    while (i < pws.length) {
+      val (pL, fp) = pws(i)
+      if (mined.contains(fp)) {
+        val p = pL.toInt
+        if (s < 0) { s = p; e = p + k }
+        else if (p > e) {
+          sb.append(t, cur, s); removed += e - s; nSpans += 1; cur = e
+          s = p; e = p + k
+        } else e = p + k
+      }
+      i += 1
+    }
+    if (s >= 0) {
+      sb.append(t, cur, s); removed += e - s; nSpans += 1; cur = e
+    }
+    sb.append(t, cur, t.length)
+    val clean = sb.toString
+    (nSpans, removed, clean.length.toLong, clean)
+  }
+
+  /** [[stripBoilerplate]] AT INGEST — the streaming member of the
+    * template-removal family: the mined strip-list is an epoch-static
+    * artifact (tiny by construction), so it rides in the UDF closure
+    * and each incoming doc strips itself in one stateless map — ZERO
+    * stateful operators, Append-mode safe, no watermark needed. Gated
+    * streaming == batch against [[stripBoilerplate]] (q291 == q287's
+    * oracle). */
+  def stripBoilerplateAtIngest(incoming: DataFrame, minedFps: Array[Long],
+      idCol: String, textCol: String, k: Int = 25,
+      w: Int = 8): DataFrame = {
+    val set: scala.collection.Set[Long] = minedFps.toSet
+    val f = udf((t: String) => stripKernel(t, set, k, w))
+    incoming.select(col(idCol).as("id"), f(col(textCol)).as("_r"))
+      .select(col("id"), col("_r._1").as("n_spans"),
+        col("_r._2").as("removed_chars"), col("_r._3").as("clean_len"),
+        col("_r._4").as("clean_text"))
+  }
+
+  /** SEMANTIC contamination rung — the EMBEDDING-space member of the
+    * decontamination ladder (raw 13-gram → normalized 13-gram → char
+    * winnowing → here): a training item is flagged when its
+    * embedding's cosine to ANY eval-probe embedding reaches `tau`.
+    * This is the rung that catches PARAPHRASE leaks: token grams and
+    * char fingerprints both die under rewording, but a paraphrase
+    * embeds next to its source — and cosine is scale-invariant, so
+    * magnitude games don't evade it either.
+    *
+    * Exact by design: eval sets are tiny, so the probe is a broadcast
+    * nested-loop over the corpus — ONE corpus scan, no corpus shuffle,
+    * no index to go stale (the [[charContaminationProbe]] shape in
+    * vector space). At many-probe scale the SRP band index
+    * ([[Similarity.srpTopK]]'s banding) drops in as the candidate
+    * filter with this as the verifier. Zero-norm rows can't flag
+    * (0/0 cosine is NaN, and Spark sorts NaN above every double — the
+    * [[Similarity.bruteTopK]] guard).
+    * @param train    (id, v ARRAY&lt;DOUBLE&gt;)
+    * @param evalVecs (eid, v ARRAY&lt;DOUBLE&gt;) — the probe set
+    * @return flagged train rows (id, n_probes_hit, max_sim round-6) */
+  def semanticContamination(train: DataFrame, evalVecs: DataFrame,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val t = train.select(col("id"), col("v"))
+      .withColumn("_tn", normFast(col("v"))).filter(col("_tn") > 0)
+    val e = evalVecs.select(col("eid"), col("v").as("_ev"))
+      .withColumn("_en", normFast(col("_ev"))).filter(col("_en") > 0)
+    t.crossJoin(broadcast(e))
+      .withColumn("_sim",
+        cosinePre(dotFast(col("v"), col("_ev")), col("_tn"), col("_en")))
+      .filter(col("_sim") >= tau)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_probes_hit"),
+        round(max(col("_sim")), 6).as("max_sim"))
+  }
+
   /** CHAR-LEVEL contamination report over winnowing fingerprints — the
     * probe that catches partial-overlap leaks SHORTER than the token
     * filters' n ([[evalContaminationReport]] at n=13 is blind to any

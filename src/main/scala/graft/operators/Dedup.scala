@@ -433,9 +433,11 @@ object Dedup {
   }
 
   /** Shared second stage: merge the given per-doc span starts into
-    * islands and cut the text (scaladoc on [[removeDuplicatedSpans]]). */
-  private def cutSpans(corpus: DataFrame, idCol: String, textCol: String,
-      dupWins: DataFrame, window: Int): DataFrame = {
+    * islands and cut the text (scaladoc on [[removeDuplicatedSpans]]).
+    * Package-visible: [[Curation.stripBoilerplate]] cuts its mined
+    * winnowing spans through the same machinery. */
+  private[operators] def cutSpans(corpus: DataFrame, idCol: String,
+      textCol: String, dupWins: DataFrame, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1142,6 +1142,117 @@ class CurationSpec extends SparkSuite {
       "source", 25, 8, 5L).isEmpty)
   }
 
+  test("winnowingPositions: fp-set parity, hash validity, combined-key tie rule") {
+    val k = 25; val w = 8
+    val texts = Seq(
+      "left context before the leak this exact fragment of thirty two" +
+        " chars plus padding and trailing words go here at the end",
+      "ab" * 40, // period-2 text: identical gram hashes tie within windows
+      "short", "")
+    // brute-force reference: per window start j, the position minimizing
+    // the combined key unsigned(h)·2^20 + pos — the documented semantics
+    def brute(t: String): Set[(Long, Long)] = {
+      val hs = Curation.gramHashes(t, k)
+      (0 until hs.length).map { j =>
+        val p = (j until math.min(j + w, hs.length)).minBy(x =>
+          (BigInt(hs(x)) & BigInt("ffffffffffffffff", 16)) * 1048576 + x)
+        (p.toLong, hs(p))
+      }.toSet
+    }
+    texts.foreach { t =>
+      val got = Curation.winnowingPositionsKernel(t, k, w)
+      assert(got.map(_._1).distinct.length == got.length,
+        "selected positions are deduped")
+      assert(got.toSet == brute(t), s"positional selection for '$t'")
+      // the fp SET equals the set-form kernel's (strip-lists mined over
+      // the set form key these positions)
+      assert(got.map(_._2).toSet == Curation.winnowingKernel(t, k, w).toSet)
+      // each fp really is the hash of the k-gram at its position
+      val lower = if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT)
+      got.foreach { case (p, fp) =>
+        assert(fp == graft.functions.TextFunctions.fnv1a64(
+          lower.substring(p.toInt, p.toInt + k))) }
+    }
+  }
+
+  test("stripBoilerplate: contiguous header cut; clean docs byte-identical") {
+    import spark.implicits._
+    val header = "shared template header line with enough characters here "
+    val docs = (0 until 30).map { i =>
+      // bodies diverge at their FIRST char — a shared body prefix would
+      // legitimately mine as boilerplate too (grams are df-counted, not
+      // position-aware), which is the operator working as intended
+      val body = s"$i marker " + (1 to 8).map(j => s"w$i$j").mkString(" ")
+      (i.toLong, s"s${i % 3}", if (i < 20) header + body else body)
+    }.toDF("doc_id", "source", "text")
+    val mined = Curation.boilerplateFingerprints(
+      docs, "doc_id", "text", "source", 25, 8, minDf = 15L).select(col("fp"))
+    val out = Curation.stripBoilerplate(docs, mined, "doc_id", "text", 25, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val original = docs.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    (0 until 20).map(_.toLong).foreach { i =>
+      val (_, nSpans, removed, cleanLen, clean) = out(i)
+      assert(nSpans == 1L, s"header must cut as ONE contiguous span: doc $i")
+      assert(removed >= header.length - 32 && removed <= header.length,
+        s"cut ≈ the 57-char header (edge taper bounded by k+w): doc $i removed $removed")
+      assert(clean.contains(s"$i marker"), s"body must survive: doc $i")
+      assert(!clean.contains("template header line"), s"header must go: doc $i")
+      assert(cleanLen == original(i).length - removed)
+    }
+    (20 until 30).map(_.toLong).foreach { i =>
+      assert(out(i) == ((i, 0L, 0L, original(i).length.toLong, original(i))),
+        s"non-carrier must pass through byte-identical: doc $i")
+    }
+    // empty strip-list → everything passes through
+    val none = Curation.stripBoilerplate(docs,
+      Seq.empty[Long].toDF("fp"), "doc_id", "text", 25, 8)
+    assert(none.filter(col("n_spans") =!= 0L).isEmpty)
+  }
+
+  test("stripKernel (ingest path) == batch stripBoilerplate, row for row") {
+    import spark.implicits._
+    val header = "shared template header line with enough characters here "
+    val docs = (0 until 30).map { i =>
+      val body = s"$i marker " + (1 to 8).map(j => s"w$i$j").mkString(" ")
+      (i.toLong, s"s${i % 3}", if (i < 20) header + body else body)
+    }.toDF("doc_id", "source", "text")
+    val minedDf = Curation.boilerplateFingerprints(
+      docs, "doc_id", "text", "source", 25, 8, minDf = 15L).select(col("fp"))
+    val mined = minedDf.collect().map(_.getLong(0))
+    val batch = Curation.stripBoilerplate(docs, minedDf, "doc_id", "text",
+        25, 8)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val ingest = Curation.stripBoilerplateAtIngest(docs, mined, "doc_id",
+        "text", 25, 8)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(ingest == batch,
+      "the fused per-row kernel must replicate the batch island/cut exactly")
+    assert(batch.count(_._2 > 0) == 20, "all 20 carriers cut")
+  }
+
+  test("semanticContamination: scale-invariant flag; orthogonal and zero-norm clean") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0))). // zero-norm: must never flag (NaN guard)
+      toDF("id", "v")
+    val probes = Seq(
+      (901L, Seq(5.0, 0.0, 0.0)),  // scaled copy of train 1 → cos exactly 1
+      (902L, Seq(3.0, 4.0, 0.0)),  // cos 0.6 to 1, 0.8 to 2 — both under τ
+      (903L, Seq(0.0, 0.0, 2.0))). // orthogonal to everything
+      toDF("eid", "v")
+    val got = Curation.semanticContamination(train, probes, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1.0)), s"only the scaled copy flags: $got")
+    // dropping τ below 0.8 admits the 902 probe's nearest vector too
+    val loose = Curation.semanticContamination(train, probes, tau = 0.75)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loose.map(_._1) == Seq(1L, 2L) && loose(1)._3 == 0.8, loose.toString)
+  }
+
   test("spanDedupVerdicts: long verified span drops the higher id; short runs don't") {
     import spark.implicits._
     val base = (0 until 20).map(i => f"t$i%02da t$i%02db t$i%02dc ")

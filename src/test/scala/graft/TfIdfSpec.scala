@@ -228,4 +228,36 @@ class Bm25Spec extends SparkSuite {
     assert(negs.map(_._3).toSet == Set(2L, 3L))
     assert(negs.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
   }
+
+  test("RM3: expansion retrieves a doc sharing NO original query term") {
+    // query doc 1 = {apple, banana}; docs 2/3 match it and both carry
+    // "cherry" → cherry tops the relevance model and joins the query;
+    // doc 4 contains ONLY cherry (+ filler), so plain BM25 can never
+    // score it for this query but the RM3 pass must.
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana cherry orchard notes"),
+      (3L, "apple banana cherry harvest diary"),
+      (4L, "cherry cherry cherry preserves recipe"),
+      (5L, "unrelated walrus thermodynamics lecture")).toDF("doc_id", "text")
+    val plain = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        col("id") === 1L, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(!plain.exists(_._3 == 4L),
+      s"doc 4 shares no query term — plain BM25 must not see it: ${plain.toSeq}")
+    val rm3 = graft.operators.Bm25.rm3TopK(docs, "doc_id", "text",
+        col("id") === 1L, kFeedback = 2, mExpand = 3, k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(rm3.exists(_._3 == 4L),
+      s"RM3 expansion must pull in the cherry-only doc: ${rm3.toSeq}")
+    assert(!rm3.exists(r => r._3 == 1L || r._3 == 5L),
+      s"self excluded; doc sharing neither query nor expansion terms absent: ${rm3.toSeq}")
+    // ranks dense, scores non-increasing, deterministic re-run
+    assert(rm3.map(_._2).toSeq == (1L to rm3.length).toSeq)
+    assert(rm3.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
+    val again = graft.operators.Bm25.rm3TopK(docs, "doc_id", "text",
+        col("id") === 1L, kFeedback = 2, mExpand = 3, k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(again.toSeq == rm3.toSeq)
+  }
 }
