@@ -2416,6 +2416,14 @@ object CurationQueries {
         val planted = d.select(col("doc_id"), col("source"), col("lang"),
           when(col("doc_id") < 40, concat(lit(header), col("text")))
             .otherwise(col("text")).as("text"))
+          // PII tail on one full id-block per 5 (ids 40–59, 140–159, …)
+          // so every source carries some PII docs — the corpus has no
+          // organic PII and a card column that can never read nonzero
+          // is untested surface
+          .select(col("doc_id"), col("source"), col("lang"),
+            when(expr("(doc_id DIV 20) % 5") === 2,
+              concat(col("text"), lit(" contact user7@ex.org now")))
+              .otherwise(col("text")).as("text"))
         val corpus = graft.operators.OperatorCaches.track(
           planted.unionByName(planted.filter(col("doc_id") < 20)
             .select((col("doc_id") + 95000L).as("doc_id"), col("source"),
@@ -2467,16 +2475,19 @@ object CurationQueries {
         val idp = """\b\d{3}-\d{2}-\d{4}\b"""
         val lg = """\b\d{9,}\b"""
         val ph = """\+?\d[\d()\- ]{6,}\d"""
-        s"""WITH corpus AS (
+        s"""WITH planted AS (
            |  SELECT doc_id, source, lang,
            |    CASE WHEN doc_id < 40
            |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
-           |      ELSE text END AS text
-           |  FROM documents
+           |      ELSE text END
+           |    || CASE WHEN (doc_id // 20) % 5 = 2
+           |      THEN ' contact user7@ex.org now' ELSE '' END AS text
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, source, lang, text FROM planted
            |  UNION ALL
-           |  SELECT doc_id + 95000, source, lang,
-           |    'licensed under the corpus commons attribution agreement version four point two ' || text
-           |  FROM documents WHERE doc_id < 20),
+           |  SELECT doc_id + 95000, source, lang, text
+           |  FROM planted WHERE doc_id < 20),
            |tkc AS (SELECT doc_id, CAST(len(string_split_regex(
            |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
            |    AS BIGINT) AS tk FROM corpus),
