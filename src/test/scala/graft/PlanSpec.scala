@@ -387,6 +387,69 @@ class PlanSpec extends SparkSuite {
     assert(nlj <= 2, s"found $nlj nest-loops:\n" + p.take(3000))
   }
 
+  test("q287: boilerplate strip — mined list broadcasts, no cartesian, no global sort") {
+    val p = plan("q287_boilerplate_strip")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the strip-list (tiny by construction) must broadcast against the
+    // positional fingerprints — shuffling the corpus's (id, pos, fp)
+    // rows against a df-filtered agg would be the wrong direction
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the island merge windows are per-doc (partition-local sort);
+    // a global sort = a range exchange over every hit row
+    assert(!p.contains("], true, 0"),
+      "global sort leaked into the plan:\n" + p.take(3000))
+  }
+
+  test("q288: semantic contamination — ONE broadcast probe pass, corpus never shuffles") {
+    val p = plan("q288_semantic_contamination")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the eval side is deliberately a broadcast nested-loop (exact
+    // probe over a tiny probe set); the only other admissible
+    // nest-loops are the fixture's two 1-row × 1-row probe mixes
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 3, s"expected probe pass + 2 fixture mixes, found $nlj:\n" + p.take(3000))
+    // no shuffle join anywhere: the corpus is scanned once; the only
+    // wide op is the per-id flag aggregation
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle against the probes:\n" + p.take(3000))
+  }
+
+  test("q289: RM3 — posting-list equi-joins across both passes, no cartesian") {
+    val p = plan("q289_rm3_expansion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // admissible nest-loops: the BM25 1-row totals attaches (totals
+    // build + idf attach + per-pass print of the cached contrib
+    // subtree, which the pre-execution plan renders twice)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 8, s"found $nlj nest-loops:\n" + p.take(3000))
+    // expansion selection must stay an anti-join on (qid, term), not a
+    // per-row subquery
+    assert(p.contains("LeftAnti"),
+      "original-term exclusion must be an anti-join:\n" + p.take(3000))
+  }
+
+  test("q290: data card — every flag column is a keyed join, no cartesian") {
+    val p = plan("q290_source_data_card")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the mined strip-list broadcasts into the carrier probe
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q291 ingest strip: the fused kernel plan is NARROW — zero exchanges") {
+    // the streaming form's whole point: one stateless map per row, so
+    // the batch plan of the same operator must contain no Exchange at
+    // all (the strip-list rides the closure, not a join)
+    val docs = Tables.load(spark, sf("sf0.01"), "documents")
+      .select(col("doc_id"), col("text"))
+    val p = graft.operators.Curation.stripBoilerplateAtIngest(
+        docs, Array(1L, 2L, 3L), "doc_id", "text", 25, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "ingest strip must be a narrow per-row pass:\n" + p.take(2000))
+  }
+
   test("q254: deletion-aware index — anti/semi joins on id, no cartesian") {
     val p = plan("q254_deletion_aware_index")
     assert(!p.contains("CartesianProduct"), p.take(2000))
