@@ -165,7 +165,10 @@ object Bench {
     // round-16 eighth wave (clean solo FORCE_MIN min-of-3, calib 2.301,
     // 12-control median 0.7849, regress 0, cold_only 0 — BASELINE.md)
     "q287"->1.058, "q288"->0.678, "q289"->4.495, "q290"->1.571,
-    "q291"->1.614)
+    "q291"->1.614,
+    // round-16 ninth wave (clean solo FORCE_MIN min-of-3, calib 2.318,
+    // 12-control median 0.829, regress 0, cold_only 0 — BASELINE.md)
+    "q292"->3.917, "q293"->1.515)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -2392,6 +2392,261 @@ object CurationQueries {
              |FROM corpus c LEFT JOIN stats st ON st.doc_id = c.doc_id
              |  LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id""".stripMargin)),
 
+    // STRIP-AWARE MIXTURE RE-PLAN — the q271 discipline with
+    // template-stripping as the token-mass remover: the naive
+    // temperature plan apportions the epoch budget from raw per-source
+    // token counts, but the strip pass (q287) cuts boilerplate BEFORE
+    // training, so sources heavy in templates get quota for tokens
+    // that never train. Compose mine → strip → recount → replan, with
+    // the naive plan side by side and (n_stripped, chars_removed) as
+    // the receipt. Oracle replays the q287 positional strip chain, the
+    // post-strip token counts, and BOTH integer temperature/Hamilton
+    // chains.
+    Q("q292_strip_aware_replan",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        val naive = Curation.samplingPlan(
+            planted, "source", "text", budget = 1000000L)
+          .select(col("source"), col("n_tokens").as("toks_before"),
+            col("quota").as("quota_naive"))
+        val mined = Curation.boilerplateFingerprints(planted, "doc_id",
+          "text", "source", k = 25, w = 8, minDf = 25L).select(col("fp"))
+        val withSrc = Curation.stripBoilerplate(planted, mined,
+            "doc_id", "text", 25, 8)
+          .join(planted.select(col("doc_id").as("id"), col("source")),
+            Seq("id"))
+        val stats = withSrc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(graft.functions.TextFunctions.tokens(col("clean_text")))
+              .cast("long")).as("n_tokens"))
+        val replan = Curation.samplingPlanFromStats(
+            stats, "source", budget = 1000000L)
+          .select(col("source"), col("n_tokens").as("toks_after"),
+            col("quota").as("quota_replanned"))
+        val receipt = withSrc.groupBy(col("source"))
+          .agg(sum(when(col("n_spans") > 0, 1L).otherwise(0L))
+              .as("n_stripped"),
+            sum(col("removed_chars")).as("chars_removed"))
+        naive.join(replan, Seq("source")).join(receipt, Seq("source"))
+          .select(col("source"), col("toks_before"), col("toks_after"),
+            col("quota_naive"), col("quota_replanned"),
+            (col("quota_replanned") - col("quota_naive")).as("quota_shift"),
+            col("n_stripped"), col("chars_removed"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |cch AS (SELECT doc_id, text, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
+             |    PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
+             |psel AS (SELECT DISTINCT doc_id,
+             |    CAST(key % 1048576 AS BIGINT) AS i, key // 1048576 AS fp
+             |  FROM pk),
+             |mined AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM psel)
+             |  GROUP BY fp HAVING count(*) >= 25),
+             |hits AS (SELECT doc_id, i FROM psel JOIN mined USING (fp)),
+             |mk AS (SELECT doc_id, i,
+             |  CASE WHEN max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |    OR i > max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS isl0 FROM hits),
+             |isl AS (SELECT doc_id, i, sum(isl0) OVER (PARTITION BY doc_id
+             |  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM mk),
+             |merged AS (SELECT doc_id, g, min(i) AS s, max(i) + 25 AS e
+             |  FROM isl GROUP BY 1, 2),
+             |gaps AS (
+             |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id
+             |      ORDER BY s), 1) AS gs, s AS ge FROM merged
+             |  UNION ALL
+             |  SELECT doc_id, max(e) AS gs, NULL AS ge FROM merged
+             |  GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT g.doc_id, string_agg(
+             |    substr(c.text, CAST(g.gs AS INT),
+             |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
+             |    '' ORDER BY g.gs) AS ct
+             |  FROM gaps g JOIN corpus c ON c.doc_id = g.doc_id GROUP BY 1),
+             |stst AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(e - s) AS removed FROM merged GROUP BY 1),
+             |ntk AS (SELECT doc_id, source, CAST(len(string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+             |    AS BIGINT) AS tk FROM corpus),
+             |ctk AS (SELECT c.doc_id, c.source, CAST(len(string_split_regex(
+             |    regexp_replace(coalesce(cl.ct, c.text), '^\\s+|\\s+$$', '', 'g'),
+             |    '\\s+')) AS BIGINT) AS tk
+             |  FROM corpus c LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id),
+             |ns AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+             |  FROM ntk GROUP BY source),
+             |nlw AS (SELECT source, n_tokens,
+             |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7)
+             |      // 10 AS lwm FROM ns),
+             |nmx AS (SELECT max(lwm) AS m FROM nlw),
+             |nwm AS (SELECT source, n_tokens,
+             |    CAST(round(exp(CAST(lwm - (SELECT m FROM nmx) AS DOUBLE) / 1000000)
+             |      * 1000000) AS BIGINT) AS weight_micro FROM nlw),
+             |ntw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM nwm),
+             |nbase AS (SELECT source, n_tokens, weight_micro,
+             |    (1000000 * weight_micro) // t AS bq,
+             |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+             |  FROM nwm, ntw),
+             |nlo AS (SELECT 1000000 - sum(bq) AS l FROM nbase),
+             |nrk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+             |  FROM nbase),
+             |nq AS (SELECT source, n_tokens,
+             |    CAST(bq + CASE WHEN r <= (SELECT l FROM nlo) THEN 1 ELSE 0 END
+             |      AS BIGINT) AS quota FROM nrk),
+             |ps AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+             |  FROM ctk GROUP BY source),
+             |plw AS (SELECT source, n_tokens,
+             |    (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) * 7)
+             |      // 10 AS lwm FROM ps),
+             |pmx AS (SELECT max(lwm) AS m FROM plw),
+             |pwm AS (SELECT source, n_tokens,
+             |    CAST(round(exp(CAST(lwm - (SELECT m FROM pmx) AS DOUBLE) / 1000000)
+             |      * 1000000) AS BIGINT) AS weight_micro FROM plw),
+             |ptw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS t FROM pwm),
+             |pbase AS (SELECT source, n_tokens, weight_micro,
+             |    (1000000 * weight_micro) // t AS bq,
+             |    1000000 * weight_micro - ((1000000 * weight_micro) // t) * t AS rem
+             |  FROM pwm, ptw),
+             |plo AS (SELECT 1000000 - sum(bq) AS l FROM pbase),
+             |prk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+             |  FROM pbase),
+             |pq AS (SELECT source, n_tokens,
+             |    CAST(bq + CASE WHEN r <= (SELECT l FROM plo) THEN 1 ELSE 0 END
+             |      AS BIGINT) AS quota FROM prk),
+             |rc AS (SELECT c.source,
+             |    CAST(sum(CASE WHEN st.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_stripped,
+             |    CAST(coalesce(sum(st.removed), 0) AS BIGINT) AS chars_removed
+             |  FROM corpus c LEFT JOIN stst st ON st.doc_id = c.doc_id
+             |  GROUP BY c.source)
+             |SELECT n.source, n.n_tokens AS toks_before,
+             |  p.n_tokens AS toks_after,
+             |  n.quota AS quota_naive, p.quota AS quota_replanned,
+             |  p.quota - n.quota AS quota_shift,
+             |  rc.n_stripped, rc.chars_removed
+             |FROM nq n JOIN pq p ON p.source = n.source
+             |JOIN rc ON rc.source = n.source""".stripMargin)),
+
+    // BANDED SEMANTIC CONTAMINATION (Curation
+    // .semanticContaminationBanded) — q288's SCALE PATH audited
+    // against it: when the probe set outgrows the broadcast
+    // nested-loop, both sides band on the SRP signature and only
+    // band-bucket collisions are cosine-verified — a flag is never
+    // approximate, only a miss can be. The gate runs the exact form
+    // and the banded form over the SAME probes and reports, per
+    // exactly-flagged train vector, whether the banded path also
+    // caught it (banded ⊆ exact by construction; the audit column is
+    // where the LSH trade becomes visible). Oracle replays probe
+    // construction, both cosine chains, and the signature/band
+    // arithmetic with the same Rademacher literals as the kernel.
+    Q("q293_banded_semantic_contamination",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        def vOf(id: Long) = e.filter(col("vec_id") === id)
+        val e1 = vOf(0).select(lit(9001L).as("eid"), col("v"))
+        val e2 = vOf(1).select(lit(9002L).as("eid"),
+          transform(col("v"), x => x * lit(2.0)).as("v"))
+        val e3 = vOf(2).select(col("v").as("a"))
+          .crossJoin(vOf(3).select(col("v").as("b")))
+          .select(lit(9003L).as("eid"),
+            zip_with(col("a"), col("b"), (x, y) => x + y * lit(0.2)).as("v"))
+        val e4 = vOf(4).select(col("v").as("a"))
+          .crossJoin(vOf(5).select(col("v").as("b")))
+          .select(lit(9004L).as("eid"),
+            zip_with(col("a"), col("b"), (x, y) => (x + y) * lit(0.5)).as("v"))
+        val probes = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+        val train = e.select(col("vec_id").as("id"), col("v"))
+        val exact = Curation.semanticContamination(train, probes, tau = 0.9)
+        val banded = Curation.semanticContaminationBanded(
+            train, probes, tau = 0.9, planes = 16, bandBits = 4,
+            seed = 42L)
+          .select(col("id"), lit(1L).as("_bh"))
+        exact.join(banded, Seq("id"), "left")
+          .select(col("id"), col("n_probes_hit"), col("max_sim"),
+            coalesce(col("_bh"), lit(0L)).as("banded_hit"))
+      },
+      Some(s"""WITH signs AS (
+             |  SELECT plane, CAST(sv AS DOUBLE[]) AS sv
+             |  FROM (VALUES ${SimilarityQueries.srpSignRows(16, 64, 42L)})
+             |    s(plane, sv)),
+             |tr AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |pe AS (
+             |  SELECT 9001 AS eid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id = 0
+             |  UNION ALL
+             |  SELECT 9002, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+             |  FROM embeddings WHERE vec_id = 1
+             |  UNION ALL
+             |  SELECT 9003, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE) * 0.2)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 2 AND b.vec_id = 3
+             |  UNION ALL
+             |  SELECT 9004, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> (CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE)) * 0.5)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 4 AND b.vec_id = 5),
+             |tn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM tr
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |en AS (SELECT eid, v, sqrt(list_dot_product(v, v)) AS en FROM pe
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |sims AS (SELECT t.id, e.eid,
+             |    list_dot_product(t.v, e.v) / (t.vn * e.en) AS sim
+             |  FROM tn t, en e),
+             |taccs AS (SELECT id, plane, list_dot_product(v, sv) AS acc
+             |  FROM tn CROSS JOIN signs),
+             |tsigs AS (SELECT id,
+             |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane)
+             |      ELSE 0 END) AS sig
+             |  FROM taccs GROUP BY id),
+             |tband AS (SELECT id, band, (sig >> (band * 4)) & 15 AS bucket
+             |  FROM tsigs CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+             |eaccs AS (SELECT eid, plane, list_dot_product(v, sv) AS acc
+             |  FROM en CROSS JOIN signs),
+             |esigs AS (SELECT eid,
+             |    sum(CASE WHEN acc >= 0 THEN (CAST(1 AS BIGINT) << plane)
+             |      ELSE 0 END) AS sig
+             |  FROM eaccs GROUP BY eid),
+             |eband AS (SELECT eid, band, (sig >> (band * 4)) & 15 AS bucket
+             |  FROM esigs CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)),
+             |cand AS (SELECT DISTINCT t.id, e.eid
+             |  FROM tband t JOIN eband e USING (band, bucket)),
+             |bsims AS (SELECT c.id, c.eid,
+             |    list_dot_product(t.v, e.v) / (t.vn * e.en) AS sim
+             |  FROM cand c JOIN tn t ON t.id = c.id JOIN en e ON e.eid = c.eid),
+             |bflag AS (SELECT DISTINCT id FROM bsims WHERE sim >= 0.9)
+             |SELECT s.id, CAST(count(*) AS BIGINT) AS n_probes_hit,
+             |  round(max(s.sim), 6) AS max_sim,
+             |  CAST(max(CASE WHEN bf.id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS banded_hit
+             |FROM sims s LEFT JOIN bflag bf ON bf.id = s.id
+             |WHERE s.sim >= 0.9 GROUP BY s.id""".stripMargin)),
+
     // SOURCE DATA CARD — the one-artifact per-source census a corpus
     // release ships with (the "datasheet" rollup): doc and token
     // counts, exact-duplicate carriers, PII carriers (4-class

@@ -55,6 +55,35 @@ object VectorFunctions {
     sig
   }
 
+  /** [[srpSignatureKernel]] over DOUBLE vectors — for callers whose
+    * vectors are already double-constructed (probe fixtures, q231-style
+    * surgery). Same accumulation numerics: ±v(i) summed sequentially,
+    * so the SQL replay (`list_dot_product(v, sv)` with ±1.0 sign rows
+    * over DOUBLE[]) is bit-identical. */
+  def srpSignatureKernelD(v: Seq[Double], planes: Int, seed: Long): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = mix64(seed ^ mix64(p.toLong << 32 | i.toLong))
+        acc += (if ((h & 1L) == 0L) v(i) else -v(i))
+        i += 1
+      }
+      if (acc >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Column form of [[srpSignatureKernelD]]. */
+  def srpSignatureD(v: Column, planes: Int, seed: Long): Column = {
+    val f = udf((x: Seq[Double]) =>
+      if (x == null) None else Some(srpSignatureKernelD(x, planes, seed)))
+    f(v)
+  }
+
   /** Multi-probe SRP bucket set: the base (band, bucket) pairs of the
     * signature PLUS, for each of the `nProbes` planes with the smallest
     * projection magnitude |v·r_p| (ties to the lower plane), the bucket

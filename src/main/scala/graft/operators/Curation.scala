@@ -258,6 +258,54 @@ object Curation {
         round(max(col("_sim")), 6).as("max_sim"))
   }
 
+  /** [[semanticContamination]]'s SCALE PATH — SRP-banded candidate
+    * generation before the exact verify, for when the probe set
+    * outgrows the broadcast nested-loop (a full benchmark suite's
+    * embeddings against a 100 TB corpus): both sides band on the
+    * signed-random-projection signature, only band-bucket COLLISIONS
+    * are scored (the [[Similarity.srpTopK]] index shape with the query
+    * side broadcast), and the exact cosine + τ decide — so a flag here
+    * is never approximate, only a MISS can be (the classic LSH
+    * trade, audited by gating this against the exact form's output).
+    * @param train    (id, v ARRAY&lt;DOUBLE&gt;)
+    * @param evalVecs (eid, v ARRAY&lt;DOUBLE&gt;)
+    * @return flagged train rows (id, n_probes_hit, max_sim round-6) —
+    *         [[semanticContamination]]'s shape, possibly missing rows
+    *         whose probe never collides in any band */
+  def semanticContaminationBanded(train: DataFrame, evalVecs: DataFrame,
+      tau: Double, planes: Int = 16, bandBits: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(planes % bandBits == 0, s"bad bands planes=$planes bits=$bandBits")
+    val nBands = planes / bandBits
+    val buckets = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1 << bandBits) - 1))): _*)
+    def base(df: DataFrame, idc: String): DataFrame =
+      df.select(col(idc).as("_bid"), col("v").as("_bv"),
+        srpSignatureD(col("v"), planes, seed).as("sig"),
+        normFast(col("v")).as("_bn"))
+        .filter(col("_bn") > 0)
+    def banded(df: DataFrame, idc: String, outId: String): DataFrame =
+      base(df, idc).select(col("_bid").as(outId),
+        posexplode(buckets).as(Seq("band", "bucket")))
+    val cand = banded(train, "id", "id")
+      .join(broadcast(banded(evalVecs, "eid", "eid")),
+        Seq("band", "bucket"))
+      .select(col("id"), col("eid")).distinct()
+    val tVecs = base(train, "id")
+      .select(col("_bid").as("id"), col("_bv").as("v"), col("_bn").as("_tn"))
+    val eVecs = base(evalVecs, "eid")
+      .select(col("_bid").as("eid"), col("_bv").as("_ev"), col("_bn").as("_en"))
+    cand.join(tVecs, Seq("id")).join(broadcast(eVecs), Seq("eid"))
+      .withColumn("_sim",
+        cosinePre(dotFast(col("v"), col("_ev")), col("_tn"), col("_en")))
+      .filter(col("_sim") >= tau)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_probes_hit"),
+        round(max(col("_sim")), 6).as("max_sim"))
+  }
+
   /** CHAR-LEVEL contamination report over winnowing fingerprints — the
     * probe that catches partial-overlap leaks SHORTER than the token
     * filters' n ([[evalContaminationReport]] at n=13 is blind to any

@@ -1253,6 +1253,40 @@ class CurationSpec extends SparkSuite {
     assert(loose.map(_._1) == Seq(1L, 2L) && loose(1)._3 == 0.8, loose.toString)
   }
 
+  test("semanticContaminationBanded: flags ⊆ exact; scale-invariant signatures collide") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // the D-kernel agrees with the float kernel on float-valued input,
+    // and the signature is scale-invariant (sign(2v·r) = sign(v·r))
+    val vf = Seq(0.3f, -1.2f, 0.7f, 2.5f)
+    val vd = vf.map(_.toDouble)
+    assert(VectorFunctions.srpSignatureKernelD(vd, 16, 42L) ==
+      VectorFunctions.srpSignatureKernel(vf, 16, 42L))
+    assert(VectorFunctions.srpSignatureKernelD(vd.map(_ * 2), 16, 42L) ==
+      VectorFunctions.srpSignatureKernelD(vd, 16, 42L))
+    // banded flags are a subset of exact flags on a real-ish fixture
+    val rnd = new scala.util.Random(7)
+    val train = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() - 0.5))).toDF("id", "v")
+    val probes = train.filter(col("id") === 3)
+        .select(lit(901L).as("eid"),
+          transform(col("v"), x => x * lit(3.0)).as("v"))
+      .unionByName(train.filter(col("id") === 7)
+        .select(lit(902L).as("eid"), col("v")))
+    val exact = Curation.semanticContamination(train, probes, 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val banded = Curation.semanticContaminationBanded(train, probes, 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(banded.keySet.subsetOf(exact.keySet),
+      s"banded flags must be exact-verified: ${banded.keySet} vs ${exact.keySet}")
+    // identical/scaled vectors share the signature → ALWAYS collide
+    assert(banded.contains(3L) && banded(3L)._3 == 1.0,
+      s"scaled copy must band-collide and verify at 1.0: $banded")
+    assert(banded.contains(7L) && banded(7L)._3 == 1.0)
+    // and the flagged rows carry identical stats to the exact form
+    banded.keys.foreach(k => assert(banded(k) == exact(k)))
+  }
+
   test("spanDedupVerdicts: long verified span drops the higher id; short runs don't") {
     import spark.implicits._
     val base = (0 until 20).map(i => f"t$i%02da t$i%02db t$i%02dc ")
