@@ -2647,6 +2647,137 @@ object CurationQueries {
              |FROM sims s LEFT JOIN bflag bf ON bf.id = s.id
              |WHERE s.sim >= 0.9 GROUP BY s.id""".stripMargin)),
 
+    // SEMANTIC LADDER RUNG (token-mass shape) — the q285 rollup row
+    // for the FOURTH rung: probes that exist only in EMBEDDING space
+    // (a scaled copy of vec 5, a 0.2-mix near-dup of vec 6) flag their
+    // train docs and the rung reports (n_dirty_docs, dirty_tokens) in
+    // exactly q285's schema — unionable with the three text rungs into
+    // the full four-rung ladder. The text rungs are blind to these
+    // probes BY CONSTRUCTION (no text was lifted; vec_id == doc_id is
+    // the q231 correspondence), which is the whole reason the ladder
+    // needs an embedding member: paraphrase leaks reword the text but
+    // embed next to their source.
+    Q("q294_semantic_ladder_rung",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        def vOf(id: Long) = e.filter(col("vec_id") === id)
+        val probes = vOf(5).select(lit(9101L).as("eid"),
+            transform(col("v"), x => x * lit(1.5)).as("v"))
+          .unionByName(vOf(6).select(col("v").as("a"))
+            .crossJoin(vOf(7).select(col("v").as("b")))
+            .select(lit(9102L).as("eid"),
+              zip_with(col("a"), col("b"), (x, y) => x + y * lit(0.2))
+                .as("v")))
+        val flagged = Curation.semanticContamination(
+            e.select(col("vec_id").as("id"), col("v")), probes, tau = 0.9)
+          .select(col("id").as("doc_id"))
+        val toks = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("tk"))
+        flagged.join(toks, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_dirty_docs"),
+            coalesce(sum(col("tk")), lit(0L)).as("dirty_tokens"))
+          .select(lit("semantic").as("rung"), col("n_dirty_docs"),
+            col("dirty_tokens"))
+      },
+      Some("""WITH tr AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |pe AS (
+             |  SELECT 9101 AS eid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS v
+             |  FROM embeddings WHERE vec_id = 5
+             |  UNION ALL
+             |  SELECT 9102, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE) * 0.2)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 6 AND b.vec_id = 7),
+             |tn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM tr
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |en AS (SELECT eid, v, sqrt(list_dot_product(v, v)) AS en FROM pe
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |flg AS (SELECT DISTINCT t.id FROM tn t, en e
+             |  WHERE list_dot_product(t.v, e.v) / (t.vn * e.en) >= 0.9),
+             |tkc AS (SELECT doc_id, CAST(len(string_split_regex(
+             |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+             |    AS BIGINT) AS tk FROM documents)
+             |SELECT 'semantic' AS rung,
+             |  CAST(count(*) AS BIGINT) AS n_dirty_docs,
+             |  CAST(coalesce(sum(tk), 0) AS BIGINT) AS dirty_tokens
+             |FROM flg JOIN tkc ON tkc.doc_id = flg.id""".stripMargin)),
+
+    // INCREMENTAL STRIP-LIST MAINTENANCE (Curation
+    // .boilerplateFingerprintsFromIndex) — the q242 discipline on the
+    // miner: the strip-list is ONE df-aggregation over the winnowing
+    // postings, so an epoch index kept current through upsert (q269's
+    // machinery) re-mines without re-fingerprinting any text — and
+    // deletion is LOAD-BEARING here: template B's carriers fall below
+    // the df bar when half are deleted, so B must VANISH from the
+    // mined list while template A (untouched carriers) stays. Fixture:
+    // header A on docs 0–39, header B on docs 40–69; epoch = %3≠0,
+    // batch = %3=0 (disjoint ids — the upsert contract), then delete
+    // the even-id B carriers. Oracle = the full recompute over the
+    // survivors (maintained == recompute, hash-equal).
+    Q("q295_incremental_strip_list",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val headerA = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val headerB = "this material is reproduced from the municipal " +
+          "gazette archive edition nine "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(headerA), col("text")))
+            .when(col("doc_id") >= 40 && col("doc_id") < 70,
+              concat(lit(headerB), col("text")))
+            .otherwise(col("text")).as("text"))
+        val epoch = planted.filter(col("doc_id") % 3 =!= 0)
+        val batch = planted.filter(col("doc_id") % 3 === 0)
+        val deleted = planted.filter(col("doc_id") >= 40 &&
+          col("doc_id") < 70 && col("doc_id") % 2 === 0)
+          .select(col("doc_id"))
+        val idx = Curation.removeFromWinnowingIndex(
+          Curation.upsertWinnowingIndex(
+            Curation.winnowingFingerprints(epoch, "doc_id", "text", 25, 8),
+            batch, "doc_id", "text", 25, 8),
+          deleted, "doc_id")
+        val meta = planted.join(deleted, Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("id"), col("source").as("_src"))
+        Curation.boilerplateFingerprintsFromIndex(idx, meta, minDf = 25L)
+          .select(
+            // fp is an OUTPUT column here — wrap to signed (pandas
+            // HUGEINT trap); internal joins elsewhere keep it raw
+            col("fp"), col("df"), col("n_sources"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      WHEN doc_id >= 40 AND doc_id < 70
+             |      THEN 'this material is reproduced from the municipal gazette archive edition nine ' || text
+             |      ELSE text END AS text
+             |  FROM documents
+             |  WHERE NOT (doc_id >= 40 AND doc_id < 70 AND doc_id % 2 = 0)),
+             |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |csel AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr))
+             |SELECT CAST(CASE WHEN s.fp >= 9223372036854775808
+             |    THEN s.fp - 18446744073709551616 ELSE s.fp END AS BIGINT)
+             |    AS fp,
+             |  CAST(count(*) AS BIGINT) AS df,
+             |  CAST(count(DISTINCT c.source) AS BIGINT) AS n_sources
+             |FROM csel s JOIN corpus c ON c.doc_id = s.doc_id
+             |GROUP BY s.fp HAVING count(*) >= 25""".stripMargin)),
+
     // SOURCE DATA CARD — the one-artifact per-source census a corpus
     // release ships with (the "datasheet" rollup): doc and token
     // counts, exact-duplicate carriers, PII carriers (4-class

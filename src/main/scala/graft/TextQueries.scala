@@ -1627,6 +1627,112 @@ object TextQueries {
           |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
           |  FROM sc2) WHERE rank <= 10""".stripMargin)),
 
+    // RM3 EVAL — q250's harness discipline on the expansion: the SAME
+    // by-construction-relevant queries (first-25-token prefixes of
+    // docs 0–4, relevance = the source doc) run through plain external
+    // BM25 and through rm3TopKExternal, and the per-leg scorecard
+    // (queries hit, hit@1, hit@10, integer micro MRR) says what the
+    // second retrieval pass buys — the number that justifies (or
+    // doesn't) running RM3 in production. Oracle replays both ranking
+    // chains and the scorecard fold.
+    Q("q296_rm3_eval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val queries = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        val bm = graft.operators.Bm25.topKExternal(d, "doc_id", "text",
+            queries, "qid", "qtext", k = 10)
+          .select(col("qid"), col("id").as("nid"), col("rank"),
+            lit("bm25").as("leg"))
+        val rm = graft.operators.Bm25.rm3TopKExternal(d, "doc_id", "text",
+            queries, "qid", "qtext", kFeedback = 5, mExpand = 10, k = 10)
+          .select(col("qid"), col("id").as("nid"), col("rank"),
+            lit("rm3").as("leg"))
+        val sq = spark; import sq.implicits._
+        val metrics = bm.unionByName(rm)
+          .filter(col("nid") === col("qid") - 9000000L)
+          .groupBy(col("leg"), col("qid"))
+          .agg(min(col("rank")).as("first_hit"))
+          .groupBy(col("leg"))
+          .agg(count(lit(1)).as("n_hit_queries"),
+            expr("CAST(sum(1000000 DIV first_hit) AS BIGINT)")
+              .as("rr_sum_micro"),
+            sum(when(col("first_hit") === 1, 1L).otherwise(0L))
+              .as("hit_at_1"))
+        // a leg whose every query misses must still report its zeros
+        // (the scorecard's whole point when the expansion hurts)
+        Seq("bm25", "rm3").toDF("leg")
+          .join(metrics, Seq("leg"), "left")
+          .crossJoin(broadcast(queries.agg(count(lit(1)).as("_nq"))))
+          .select(col("leg"),
+            coalesce(col("n_hit_queries"), lit(0L)).as("n_hit_queries"),
+            coalesce(col("hit_at_1"), lit(0L)).as("hit_at_1"),
+            coalesce(col("n_hit_queries"), lit(0L)).as("hit_at_10"),
+            expr("CAST(coalesce(rr_sum_micro, 0) DIV _nq AS BIGINT)")
+              .as("mrr_micro"))
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "",
+        qtOverride = Some(
+          """SELECT DISTINCT doc_id + 9000000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 5)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |fb AS (SELECT qid, id FROM (
+          |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS r FROM sc) WHERE r <= 5),
+          |rmw AS (SELECT f.qid, t.term,
+          |    CAST(sum((t.tf * 1000000) // d.dl) AS BIGINT) AS rm_w
+          |  FROM fb f JOIN tf t ON t.id = f.id JOIN dl d ON d.id = f.id
+          |  GROUP BY 1, 2),
+          |rmx AS (SELECT r.qid, r.term, r.rm_w FROM rmw r
+          |  WHERE NOT EXISTS (SELECT 1 FROM qt q
+          |    WHERE q.qid = r.qid AND q.term = r.term)),
+          |ex AS (SELECT qid, term, rm_w FROM (
+          |    SELECT qid, term, rm_w, ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY rm_w DESC, term) AS er FROM rmx) WHERE er <= 10),
+          |ws AS (SELECT qid, CAST(sum(rm_w) AS BIGINT) AS wsum
+          |  FROM ex GROUP BY 1),
+          |expw AS (SELECT e.qid, e.term, (e.rm_w * 500000) // w.wsum AS wt
+          |  FROM ex e JOIN ws w USING (qid)),
+          |nqc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n
+          |  FROM qt GROUP BY 1),
+          |origw AS (SELECT q.qid, q.term, 500000 // n.n AS wt
+          |  FROM qt q JOIN nqc n USING (qid)),
+          |allw AS (SELECT qid, term, wt FROM origw
+          |  UNION ALL SELECT qid, term, wt FROM expw),
+          |sc2 AS (SELECT a.qid, c.id,
+          |    CAST(sum(a.wt * c.c) AS BIGINT) AS score_micro
+          |  FROM allw a JOIN contrib c USING (term) GROUP BY 1, 2),
+          |rankedb AS (SELECT qid, id, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank FROM sc),
+          |rankedr AS (SELECT qid, id, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank FROM sc2),
+          |legs AS (
+          |  SELECT 'bm25' AS leg, qid, id, rank FROM rankedb WHERE rank <= 10
+          |  UNION ALL
+          |  SELECT 'rm3', qid, id, rank FROM rankedr WHERE rank <= 10),
+          |hits AS (SELECT leg, qid, min(rank) AS first_hit
+          |  FROM legs WHERE id = qid - 9000000 GROUP BY 1, 2),
+          |nqt AS (SELECT CAST(count(*) AS BIGINT) AS n
+          |  FROM documents WHERE doc_id < 5),
+          |hagg AS (SELECT leg, CAST(count(*) AS BIGINT) AS nh,
+          |    CAST(sum(CASE WHEN first_hit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS h1,
+          |    CAST(sum(1000000 // first_hit) AS BIGINT) AS rrs
+          |  FROM hits GROUP BY leg)
+          |SELECT g.leg,
+          |  CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_queries,
+          |  CAST(coalesce(h.h1, 0) AS BIGINT) AS hit_at_1,
+          |  CAST(coalesce(h.nh, 0) AS BIGINT) AS hit_at_10,
+          |  CAST(coalesce(h.rrs, 0) // (SELECT n FROM nqt) AS BIGINT)
+          |    AS mrr_micro
+          |FROM (VALUES ('bm25'), ('rm3')) g(leg)
+          |LEFT JOIN hagg h ON h.leg = g.leg""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

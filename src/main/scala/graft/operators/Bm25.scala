@@ -146,16 +146,35 @@ object Bm25 {
   def rm3TopK(corpus: DataFrame, idCol: String, textCol: String,
       queryPred: Column, kFeedback: Int = 5, mExpand: Int = 10,
       k: Int = 10): DataFrame = {
-    require(kFeedback >= 1 && mExpand >= 1 && k >= 1,
-      s"bad rm3 params kFeedback=$kFeedback mExpand=$mExpand k=$k")
     val s = indexStats(corpus, idCol, textCol)
-    // consumed by both passes — derive once
-    val contrib = OperatorCaches.track(contribFromStats(s).persist())
     val qterms = OperatorCaches.track(s.tf.filter(queryPred)
       .select(col("id").as("qid"), col("term")).persist())
+    rm3Core(s, qterms, excludeSelf = true, kFeedback, mExpand, k)
+  }
+
+  /** [[rm3TopK]] for EXTERNAL queries (the [[topKExternal]] key-space
+    * contract: qids are a separate key space, so no self-exclusion on
+    * either pass — round-14 advice). Same integer RM3 arithmetic; the
+    * qid-uniqueness precondition of [[queryTerms]] applies. */
+  def rm3TopKExternal(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      kFeedback: Int = 5, mExpand: Int = 10, k: Int = 10): DataFrame = {
+    val s = indexStats(corpus, idCol, textCol)
+    val qterms = OperatorCaches.track(
+      queryTerms(queries, qidCol, qtextCol).persist())
+    rm3Core(s, qterms, excludeSelf = false, kFeedback, mExpand, k)
+  }
+
+  private def rm3Core(s: IndexStats, qterms: DataFrame,
+      excludeSelf: Boolean, kFeedback: Int, mExpand: Int,
+      k: Int): DataFrame = {
+    require(kFeedback >= 1 && mExpand >= 1 && k >= 1,
+      s"bad rm3 params kFeedback=$kFeedback mExpand=$mExpand k=$k")
+    // consumed by both passes — derive once
+    val contrib = OperatorCaches.track(contribFromStats(s).persist())
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("id").asc)
-    val fb = scoreJoin(qterms, contrib)
+    val fb = scoreJoin(qterms, contrib, excludeSelf)
       .withColumn("r", row_number().over(wRank))
       .filter(col("r") <= kFeedback)
       .select(col("qid"), col("id"))
@@ -177,9 +196,8 @@ object Bm25 {
       .join(qterms.groupBy(col("qid")).agg(count(lit(1)).as("_nq")),
         Seq("qid"))
       .select(col("qid"), col("term"), expr("500000 DIV _nq").as("wt"))
-    origW.unionByName(expW)
-      .join(contrib, Seq("term"))
-      .filter(col("id") =!= col("qid"))
+    val joined = origW.unionByName(expW).join(contrib, Seq("term"))
+    (if (excludeSelf) joined.filter(col("id") =!= col("qid")) else joined)
       .groupBy(col("qid"), col("id"))
       .agg(sum(expr("wt * c")).as("score_micro"))
       .withColumn("rank", row_number().over(wRank))

@@ -360,11 +360,23 @@ object Curation {
     * source, one fp-keyed agg — no pairing, no text shuffle. */
   def boilerplateFingerprints(corpus: DataFrame, idCol: String,
       textCol: String, srcCol: String, k: Int = 25, w: Int = 8,
-      minDf: Long = 25L): DataFrame = {
+      minDf: Long = 25L): DataFrame =
+    boilerplateFingerprintsFromIndex(
+      winnowingFingerprints(corpus, idCol, textCol, k, w),
+      corpus.select(col(idCol).as("id"), col(srcCol).as("_src")), minDf)
+
+  /** [[boilerplateFingerprints]] over a MAINTAINED winnowing index —
+    * the strip-list is one df-aggregation over the (id, fp) postings,
+    * so an epoch kept current with [[upsertWinnowingIndex]] /
+    * [[removeFromWinnowingIndex]] re-mines WITHOUT re-fingerprinting
+    * any text (and a deletion that drops a template's carriers below
+    * `minDf` correctly drops it from the strip-list — the q295 gate).
+    * `meta` is (id, _src) — ids absent from it contribute df but no
+    * source spread, so keep it in lockstep with the index. */
+  def boilerplateFingerprintsFromIndex(index: DataFrame, meta: DataFrame,
+      minDf: Long): DataFrame = {
     require(minDf >= 2, s"bad minDf $minDf")
-    val fps = winnowingFingerprints(corpus, idCol, textCol, k, w)
-    fps.join(corpus.select(col(idCol).as("id"), col(srcCol).as("_src")),
-        Seq("id"))
+    index.join(meta, Seq("id"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("df"),
         countDistinct(col("_src")).as("n_sources"))

@@ -1287,6 +1287,43 @@ class CurationSpec extends SparkSuite {
     banded.keys.foreach(k => assert(banded(k) == exact(k)))
   }
 
+  test("strip-list maintenance: deletion drops a template below the df bar") {
+    import spark.implicits._
+    val hA = "template alpha header shared by the first cohort of docs "
+    val hB = "template beta footer stamped on the second cohort instead "
+    val docs = (0 until 40).map { i =>
+      val body = s"$i body " + (1 to 6).map(j => s"x$i$j").mkString(" ")
+      val t = if (i < 20) hA + body else hB + body
+      (i.toLong, s"s${i % 4}", t)
+    }.toDF("doc_id", "source", "text")
+    val idx = Curation.winnowingFingerprints(docs, "doc_id", "text", 25, 8)
+    val meta = docs.select(col("doc_id").as("id"), col("source").as("_src"))
+    def mined(index: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) =
+      Curation.boilerplateFingerprintsFromIndex(index, m, minDf = 15L)
+        .as[(Long, Long, Long)].collect().map(_._1).toSet
+    val before = mined(idx, meta)
+    assert(before.nonEmpty, "both templates mine before deletion")
+    // delete 10 of B's 20 carriers → B df 10 < 15 drops; A untouched
+    val deleted = (20L until 30L).toDF("doc_id")
+    val after = mined(
+      Curation.removeFromWinnowingIndex(idx, deleted, "doc_id"),
+      docs.join(deleted, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("id"), col("source").as("_src")))
+    assert(after.nonEmpty && after.subsetOf(before))
+    val bOnly = Curation.winnowingFingerprints(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text", 25, 8)
+      .select(col("fp")).distinct().as[Long].collect().toSet
+    val aOnly = Curation.winnowingFingerprints(
+        docs.filter(col("doc_id") < 20), "doc_id", "text", 25, 8)
+      .select(col("fp")).distinct().as[Long].collect().toSet
+    assert(before.exists(bOnly.contains),
+      "template B must mine before deletion")
+    assert(!after.exists(fp => bOnly.contains(fp) && !aOnly.contains(fp)),
+      "template B must vanish once its carriers fall below the bar")
+    assert(after.exists(aOnly.contains), "template A must survive")
+  }
+
   test("spanDedupVerdicts: long verified span drops the higher id; short runs don't") {
     import spark.implicits._
     val base = (0 until 20).map(i => f"t$i%02da t$i%02db t$i%02dc ")

@@ -260,4 +260,23 @@ class Bm25Spec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
     assert(again.toSeq == rm3.toSeq)
   }
+
+  test("RM3 external: separate qid key space, no self-exclusion, same recall lift") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana cherry orchard notes"),
+      (3L, "apple banana cherry harvest diary"),
+      (4L, "cherry cherry cherry preserves recipe")).toDF("doc_id", "text")
+    // qid 2 COLLIDES with a corpus id — the external contract says doc 2
+    // must still appear in its own ranking (no self-exclusion)
+    val queries = Seq((2L, "apple banana")).toDF("qid", "qtext")
+    val got = graft.operators.Bm25.rm3TopKExternal(docs, "doc_id", "text",
+        queries, "qid", "qtext", kFeedback = 2, mExpand = 3, k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.exists(_._3 == 2L),
+      s"colliding qid must not drop corpus doc 2: ${got.toSeq}")
+    assert(got.exists(_._3 == 4L),
+      s"expansion must still pull the cherry-only doc: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq)
+  }
 }
