@@ -2778,6 +2778,248 @@ object CurationQueries {
              |FROM csel s JOIN corpus c ON c.doc_id = s.doc_id
              |GROUP BY s.fp HAVING count(*) >= 25""".stripMargin)),
 
+    // STREAMING SEMANTIC CONTAMINATION AT INGEST — q288 under
+    // Structured Streaming: incoming vectors are probed against the
+    // static eval set as they arrive, so embedding-space leaks are
+    // quarantined before they train (the dense analog of q270's
+    // text-side quarantine; with q245/q257/q280 this closes
+    // query/contamination-at-ingest across every retrieval surface).
+    // Stream-safe by construction: the probe is a stateless broadcast
+    // nested-loop over the (tiny) eval side; the ONE stateful op is
+    // the per-id flag aggregation in Complete mode. Same probes and τ
+    // as q288 — streaming == batch, hash-equal against q288's oracle.
+    Q("q297_streaming_semantic_contamination",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        def vOf(id: Long) = e.filter(col("vec_id") === id)
+        val e1 = vOf(0).select(lit(9001L).as("eid"), col("v"))
+        val e2 = vOf(1).select(lit(9002L).as("eid"),
+          transform(col("v"), x => x * lit(2.0)).as("v"))
+        val e3 = vOf(2).select(col("v").as("a"))
+          .crossJoin(vOf(3).select(col("v").as("b")))
+          .select(lit(9003L).as("eid"),
+            zip_with(col("a"), col("b"), (x, y) => x + y * lit(0.2)).as("v"))
+        val e4 = vOf(4).select(col("v").as("a"))
+          .crossJoin(vOf(5).select(col("v").as("b")))
+          .select(lit(9004L).as("eid"),
+            zip_with(col("a"), col("b"), (x, y) => (x + y) * lit(0.5)).as("v"))
+        val probes = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+        val incoming = e.select(col("vec_id").as("id"), col("v"))
+        val inDir = s"/tmp/graft-semingest-" +
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(incoming, "id", s"$dir/embeddings_semingest")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          incoming.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => Curation.semanticContamination(stream, probes, tau = 0.9),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q297_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some("""WITH tr AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |pe AS (
+             |  SELECT 9001 AS eid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id = 0
+             |  UNION ALL
+             |  SELECT 9002, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+             |  FROM embeddings WHERE vec_id = 1
+             |  UNION ALL
+             |  SELECT 9003, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE) * 0.2)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 2 AND b.vec_id = 3
+             |  UNION ALL
+             |  SELECT 9004, list_transform(generate_series(1, len(a.embedding)),
+             |    i -> (CAST(a.embedding[i] AS DOUBLE)
+             |      + CAST(b.embedding[i] AS DOUBLE)) * 0.5)
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id = 4 AND b.vec_id = 5),
+             |tn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS vn FROM tr
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |en AS (SELECT eid, v, sqrt(list_dot_product(v, v)) AS en FROM pe
+             |  WHERE sqrt(list_dot_product(v, v)) > 0),
+             |sims AS (SELECT t.id, e.eid,
+             |    list_dot_product(t.v, e.v) / (t.vn * e.en) AS sim
+             |  FROM tn t, en e)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_probes_hit,
+             |  round(max(sim), 6) AS max_sim
+             |FROM sims WHERE sim >= 0.9 GROUP BY id""".stripMargin)),
+
+    // RELEASE BUILD — the END-TO-END curation funnel in one gated
+    // artifact: exact dedup (keep-lowest-id) → benchmark
+    // decontamination (drop 13-gram carriers) → template strip (mine
+    // on the SURVIVORS, cut) → per-source release card with the drop
+    // receipt of every stage. This is the composition a corpus release
+    // actually runs, and the gate pins the INTERACTIONS (a dup copy of
+    // the contaminated doc falls to dedup first, so the contamination
+    // stage drops only the original; the strip-list is mined on what
+    // survives, not the raw corpus). Fixture: q290's header + copies +
+    // eval-slice plant. Oracle replays all three stages and the
+    // rollup.
+    Q("q298_release_build",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+        val corpus = graft.operators.OperatorCaches.track(
+          planted.unionByName(planted.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 95000L).as("doc_id"), col("source"),
+              col("text"))).persist())
+        // stage 1: exact dedup, keep-lowest-id
+        val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
+        val s1 = graft.operators.OperatorCaches.track(corpus
+          .withColumn("_keep", keeper)
+          .filter(col("doc_id") === col("_keep"))
+          .drop("_keep").persist())
+        // stage 2: decontamination (raw 13-gram vs the eval slice)
+        val evalSet = d.filter(col("doc_id") === 1)
+          .select(lit(95001L).as("doc_id"),
+            substring(col("text"), 31, 200).as("text"))
+        val contamIds = Curation.ngramContamination(
+          s1, evalSet, "doc_id", "text", n = 13)
+          .select(col("id").as("doc_id"))
+        val s2 = graft.operators.OperatorCaches.track(
+          s1.join(contamIds, Seq("doc_id"), "left_anti").persist())
+        // stage 3: template strip, mined on the survivors
+        val mined = Curation.boilerplateFingerprints(s2, "doc_id",
+          "text", "source", k = 25, w = 8, minDf = 25L).select(col("fp"))
+        val stripped = Curation.stripBoilerplate(s2, mined,
+            "doc_id", "text", 25, 8)
+          .join(s2.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        // rollup: the release card with per-stage receipts
+        val in = corpus.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_in"))
+        val dupDrop = corpus.withColumn("_keep", keeper)
+          .filter(col("doc_id") =!= col("_keep"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dropped_dup"))
+        val conDrop = s1.join(contamIds, Seq("doc_id"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dropped_contam"))
+        val rel = stripped.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_released"),
+            sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_stripped"),
+            sum(col("removed_chars")).as("chars_removed"),
+            sum(size(graft.functions.TextFunctions.tokens(col("clean_text")))
+              .cast("long")).as("toks_released"))
+        in.join(dupDrop, Seq("source"), "left")
+          .join(conDrop, Seq("source"), "left")
+          .join(rel, Seq("source"))
+          .select(col("source"), col("n_docs_in"),
+            coalesce(col("n_dropped_dup"), lit(0L)).as("n_dropped_dup"),
+            coalesce(col("n_dropped_contam"), lit(0L)).as("n_dropped_contam"),
+            col("n_released"), col("n_stripped"), col("chars_removed"),
+            col("toks_released"))
+      },
+      Some(s"""WITH planted AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id < 40
+             |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |corpus AS (
+             |  SELECT doc_id, source, text FROM planted
+             |  UNION ALL
+             |  SELECT doc_id + 95000, source, text
+             |  FROM planted WHERE doc_id < 20),
+             |keyed AS (SELECT doc_id, source, text,
+             |    min(doc_id) OVER (PARTITION BY text) AS kp FROM corpus),
+             |s1 AS (SELECT doc_id, source, text FROM keyed WHERE doc_id = kp),
+             |ew AS (SELECT string_split_regex(regexp_replace(
+             |    substr(text, 31, 200), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+             |  FROM documents WHERE doc_id = 1),
+             |eg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM ew WHERE len(w) >= 13)),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+             |  FROM s1),
+             |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+             |        FROM tw WHERE len(w) >= 13)),
+             |contam AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
+             |s2 AS (SELECT * FROM s1
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             |cch AS (SELECT doc_id, text, lower(text) AS t FROM s2),
+             |cgr AS (SELECT doc_id, i,
+             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+             |        FROM cch WHERE length(t) >= 25)),
+             |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
+             |    PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
+             |psel AS (SELECT DISTINCT doc_id,
+             |    CAST(key % 1048576 AS BIGINT) AS i, key // 1048576 AS fp
+             |  FROM pk),
+             |mined AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM psel)
+             |  GROUP BY fp HAVING count(*) >= 25),
+             |hits AS (SELECT doc_id, i FROM psel JOIN mined USING (fp)),
+             |mk AS (SELECT doc_id, i,
+             |  CASE WHEN max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |    OR i > max(i + 25) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS isl0 FROM hits),
+             |isl AS (SELECT doc_id, i, sum(isl0) OVER (PARTITION BY doc_id
+             |  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM mk),
+             |merged AS (SELECT doc_id, g, min(i) AS s, max(i) + 25 AS e
+             |  FROM isl GROUP BY 1, 2),
+             |gaps AS (
+             |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id
+             |      ORDER BY s), 1) AS gs, s AS ge FROM merged
+             |  UNION ALL
+             |  SELECT doc_id, max(e) AS gs, NULL AS ge FROM merged
+             |  GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT g.doc_id, string_agg(
+             |    substr(c.text, CAST(g.gs AS INT),
+             |      CAST(coalesce(g.ge, length(c.text) + 1) - g.gs AS INT)),
+             |    '' ORDER BY g.gs) AS ct
+             |  FROM gaps g JOIN s2 c ON c.doc_id = g.doc_id GROUP BY 1),
+             |stst AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(e - s) AS removed FROM merged GROUP BY 1),
+             |relc AS (SELECT s.doc_id, s.source,
+             |    coalesce(cl.ct, s.text) AS ctext,
+             |    coalesce(st.n_spans, 0) AS n_spans,
+             |    coalesce(st.removed, 0) AS removed
+             |  FROM s2 s LEFT JOIN cleaned cl ON cl.doc_id = s.doc_id
+             |    LEFT JOIN stst st ON st.doc_id = s.doc_id),
+             |incnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in
+             |  FROM corpus GROUP BY source),
+             |dups AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dropped_dup
+             |  FROM keyed WHERE doc_id <> kp GROUP BY source),
+             |cond AS (SELECT s.source,
+             |    CAST(count(*) AS BIGINT) AS n_dropped_contam
+             |  FROM s1 s JOIN contam c ON c.doc_id = s.doc_id
+             |  GROUP BY s.source),
+             |relagg AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS n_released,
+             |    CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_stripped,
+             |    CAST(sum(removed) AS BIGINT) AS chars_removed,
+             |    CAST(sum(len(string_split_regex(
+             |      regexp_replace(ctext, '^\\s+|\\s+$$', '', 'g'), '\\s+')))
+             |      AS BIGINT) AS toks_released
+             |  FROM relc GROUP BY source)
+             |SELECT i.source, i.n_docs_in,
+             |  coalesce(d.n_dropped_dup, 0) AS n_dropped_dup,
+             |  coalesce(c.n_dropped_contam, 0) AS n_dropped_contam,
+             |  r.n_released, r.n_stripped, r.chars_removed, r.toks_released
+             |FROM incnt i
+             |LEFT JOIN dups d ON d.source = i.source
+             |LEFT JOIN cond c ON c.source = i.source
+             |JOIN relagg r ON r.source = i.source""".stripMargin)),
+
     // SOURCE DATA CARD — the one-artifact per-source census a corpus
     // release ships with (the "datasheet" rollup): doc and token
     // counts, exact-duplicate carriers, PII carriers (4-class
