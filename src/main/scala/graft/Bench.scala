@@ -174,7 +174,10 @@ object Bench {
     "q294"->0.61, "q295"->0.843, "q296"->5.067,
     // round-16 eleventh wave (clean solo FORCE_MIN min-of-3, calib
     // 2.289, 12-control median 0.812, regress 0, cold_only 0)
-    "q297"->1.589, "q298"->2.363)
+    "q297"->1.589, "q298"->2.363,
+    // round-16 twelfth wave (clean solo FORCE_MIN min-of-3, calib
+    // 2.290, 12-control median 0.8731, regress 0, cold_only 0)
+    "q299"->3.39)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -3020,6 +3020,138 @@ object CurationQueries {
              |LEFT JOIN cond c ON c.source = i.source
              |JOIN relagg r ON r.source = i.source""".stripMargin)),
 
+    // INCREMENTAL DATA CARD (Curation.cardStats / upsertCardStats /
+    // removeCardStats / dataCardFromStats) — the q242
+    // sufficient-statistics discipline on the RELEASE CARD: per-doc
+    // facts (tokens, PII, contamination-vs-epoch-eval, text hash) and
+    // the winnowing postings maintain through an append-only batch and
+    // a deletion, and the card derives from the stats alone — no
+    // epoch re-scan. The global columns are the load-bearing part:
+    // dup-ness derives from maintained hash COUNTS (deleting docs
+    // 0–9's copies UN-DUPS the surviving originals — a stored flag
+    // could never get that right), and boilerplate carrier-ship
+    // re-derives under the df bar as maintenance shifts df. Fixture:
+    // q290's plants; epoch/batch split %3 so dup pairs SPAN the
+    // upsert boundary; delete the first ten copies + five PII-tail
+    // docs. Oracle = the full q290 recompute over the survivors
+    // (maintained == recompute, hash-equal).
+    Q("q299_incremental_data_card",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        val header = "licensed under the corpus commons attribution " +
+          "agreement version four point two "
+        val planted = d.select(col("doc_id"), col("source"), col("lang"),
+          when(col("doc_id") < 40, concat(lit(header), col("text")))
+            .otherwise(col("text")).as("text"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            when(expr("(doc_id DIV 20) % 5") === 2,
+              concat(col("text"), lit(" contact user7@ex.org now")))
+              .otherwise(col("text")).as("text"))
+        val pool = planted.unionByName(planted.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 95000L).as("doc_id"), col("source"),
+            col("lang"), col("text")))
+        val epoch = pool.filter(col("doc_id") % 3 =!= 0)
+        val batch = pool.filter(col("doc_id") % 3 === 0)
+        val evalSet = d.filter(col("doc_id") === 1)
+          .select(lit(95001L).as("doc_id"),
+            substring(col("text"), 31, 200).as("text"))
+        val deleted = pool.filter(
+          (col("doc_id") >= 95000L && col("doc_id") < 95010L) ||
+            (col("doc_id") >= 40L && col("doc_id") < 45L))
+          .select(col("doc_id"))
+        val maintained = Curation.removeCardStats(
+          Curation.upsertCardStats(
+            Curation.cardStats(epoch, "doc_id", "source", "lang",
+              "text", evalSet),
+            batch, "doc_id", "source", "lang", "text", evalSet),
+          deleted, "doc_id")
+        Curation.dataCardFromStats(maintained, minDf = 25L)
+      },
+      Some {
+        val em = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val idp = """\b\d{3}-\d{2}-\d{4}\b"""
+        val lg = """\b\d{9,}\b"""
+        val ph = """\+?\d[\d()\- ]{6,}\d"""
+        s"""WITH planted AS (
+           |  SELECT doc_id, source, lang,
+           |    CASE WHEN doc_id < 40
+           |      THEN 'licensed under the corpus commons attribution agreement version four point two ' || text
+           |      ELSE text END
+           |    || CASE WHEN (doc_id // 20) % 5 = 2
+           |      THEN ' contact user7@ex.org now' ELSE '' END AS text
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, source, lang, text FROM planted
+           |  WHERE NOT (doc_id >= 40 AND doc_id < 45)
+           |  UNION ALL
+           |  SELECT doc_id + 95000, source, lang, text
+           |  FROM planted WHERE doc_id >= 10 AND doc_id < 20),
+           |tkc AS (SELECT doc_id, CAST(len(string_split_regex(
+           |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+           |    AS BIGINT) AS tk FROM corpus),
+           |dups AS (SELECT doc_id FROM corpus WHERE text IN (
+           |  SELECT text FROM corpus GROUP BY text HAVING count(*) >= 2)),
+           |pii AS (SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(text, '$em'))
+           |    + len(regexp_extract_all(se, '$idp'))
+           |    + len(regexp_extract_all(si, '$lg'))
+           |    + len(regexp_extract_all(sl, '$ph')) AS n
+           |  FROM (SELECT doc_id, text, se, si,
+           |      regexp_replace(si, '$lg', '<LONGID>', 'g') AS sl
+           |    FROM (SELECT doc_id, text, se,
+           |        regexp_replace(se, '$idp', '<ID>', 'g') AS si
+           |      FROM (SELECT doc_id, text,
+           |          regexp_replace(text, '$em', '<EMAIL>', 'g') AS se
+           |        FROM corpus)))) WHERE n > 0),
+           |ew AS (SELECT string_split_regex(regexp_replace(
+           |    substr(text, 31, 200), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+           |  FROM documents WHERE doc_id = 1),
+           |eg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+           |  FROM (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i
+           |        FROM ew WHERE len(w) >= 13)),
+           |tw AS (SELECT doc_id, string_split_regex(
+           |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+           |  FROM corpus),
+           |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+           |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i
+           |        FROM tw WHERE len(w) >= 13)),
+           |contam AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
+           |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
+           |cgr AS (SELECT doc_id, i,
+           |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
+           |        FROM cch WHERE length(t) >= 25)),
+           |csel AS (SELECT DISTINCT doc_id, fp FROM (
+           |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
+           |mined AS (SELECT fp FROM csel GROUP BY fp HAVING count(*) >= 25),
+           |boiler AS (SELECT DISTINCT doc_id FROM csel JOIN mined USING (fp))
+           |SELECT c.source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(t.tk) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS dup_docs,
+           |  CAST(sum(CASE WHEN pi.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS pii_docs,
+           |  CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS contam_docs,
+           |  CAST(sum(CASE WHEN bo.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS boiler_docs,
+           |  CAST(sum(CASE WHEN c.lang <> 'en' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS nonen_docs,
+           |  CAST((sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000000) // count(*) AS BIGINT) AS dup_micro
+           |FROM corpus c
+           |  JOIN tkc t ON t.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT DISTINCT doc_id FROM dups) dp ON dp.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT DISTINCT doc_id FROM pii) pi ON pi.doc_id = c.doc_id
+           |  LEFT JOIN contam co ON co.doc_id = c.doc_id
+           |  LEFT JOIN boiler bo ON bo.doc_id = c.doc_id
+           |GROUP BY c.source""".stripMargin
+      }),
+
     // SOURCE DATA CARD — the one-artifact per-source census a corpus
     // release ships with (the "datasheet" rollup): doc and token
     // counts, exact-duplicate carriers, PII carriers (4-class

@@ -306,6 +306,116 @@ object Curation {
         round(max(col("_sim")), 6).as("max_sim"))
   }
 
+  /** SUFFICIENT STATISTICS for the per-source data card (q290's
+    * columns), maintained incrementally — the
+    * [[graft.operators.Bm25.IndexStats]] discipline on the release
+    * card so a daily batch never re-scans the epoch:
+    *  - `rows` (id, source, lang, tk, pii, contam, th): per-doc local
+    *    facts — token count, PII-battery flag, contamination flag
+    *    against the FIXED epoch eval set (an eval-set change is a
+    *    rebuild, stated loudly), and the 64-bit text hash. Append =
+    *    union; delete = anti-join.
+    *  - `hashCnt` (th, cnt): text-hash occurrence counts — the dup
+    *    column derives from cnt ≥ 2 at CARD TIME (a deletion can
+    *    un-dup the surviving partner, so the flag is never stored).
+    *    Append = summed merge; delete = subtract, drop zeros (the
+    *    removeIndexStats algebra). Dup equality is by xxhash64(text):
+    *    codegen'd, no text shuffle; a collision would misclassify one
+    *    pair per ~2^64 — the oracle gate compares against full-text
+    *    grouping, so any collision at gated scale would fail loudly.
+    *  - `winIdx` (id, fp): the winnowing postings
+    *    ([[upsertWinnowingIndex]] / [[removeFromWinnowingIndex]]);
+    *    the boilerplate column derives at card time via the df bar
+    *    ([[boilerplateFingerprintsFromIndex]]'s agg), because
+    *    maintenance SHIFTS df and carrier-ship must follow it. */
+  final case class CardStats(rows: DataFrame, hashCnt: DataFrame,
+      winIdx: DataFrame)
+
+  /** Build [[CardStats]] from a corpus (full-recompute path; also the
+    * per-batch delta builder). `evalSet` is the epoch's benchmark
+    * probe set (13-gram raw basis, q290's contamination column). */
+  def cardStats(corpus: DataFrame, idCol: String, srcCol: String,
+      langCol: String, textCol: String, evalSet: DataFrame,
+      k: Int = 25, w: Int = 8): CardStats = {
+    val pc = TextFunctions.piiBatteryCounts(col(textCol)).toMap
+    val contamIds = ngramContamination(corpus, evalSet, idCol, textCol,
+      n = 13).select(col("id")).withColumn("_cf", lit(1L))
+    val rows = corpus.select(col(idCol).as("id"), col(srcCol).as("source"),
+        col(langCol).as("lang"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("tk"),
+        when((pc("n_emails") + pc("n_ids") + pc("n_longids") +
+          pc("n_phones")) > 0, 1L).otherwise(0L).as("pii"),
+        xxhash64(col(textCol)).as("th"))
+      .join(contamIds, Seq("id"), "left")
+      .select(col("id"), col("source"), col("lang"), col("tk"),
+        col("pii"), coalesce(col("_cf"), lit(0L)).as("contam"), col("th"))
+    val hashCnt = rows.groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    CardStats(rows, hashCnt,
+      winnowingFingerprints(corpus, idCol, textCol, k, w))
+  }
+
+  /** Fold an APPEND-ONLY batch into the card statistics (batch ids must
+    * be NEW; update = [[removeCardStats]] ∘ upsert). The eval set must
+    * be the SAME epoch set the base was built with. */
+  def upsertCardStats(base: CardStats, batch: DataFrame, idCol: String,
+      srcCol: String, langCol: String, textCol: String,
+      evalSet: DataFrame, k: Int = 25, w: Int = 8): CardStats = {
+    val b = cardStats(batch, idCol, srcCol, langCol, textCol, evalSet, k, w)
+    CardStats(
+      rows = base.rows.unionByName(b.rows),
+      hashCnt = base.hashCnt.unionByName(b.hashCnt)
+        .groupBy(col("th")).agg(sum(col("cnt")).as("cnt")),
+      winIdx = base.winIdx.unionByName(b.winIdx))
+  }
+
+  /** Delete documents from the card statistics — every delta derives
+    * FROM THE STATS THEMSELVES (rows holds the deleted docs' hashes),
+    * no text touch; ids never present are ignored (idempotent). */
+  def removeCardStats(base: CardStats, deletedIds: DataFrame,
+      idCol: String): CardStats = {
+    val del = deletedIds.select(col(idCol).as("id"))
+    val hDelta = base.rows.join(del, Seq("id"), "left_semi")
+      .groupBy(col("th")).agg(count(lit(1)).as("_d"))
+    CardStats(
+      rows = base.rows.join(del, Seq("id"), "left_anti"),
+      hashCnt = base.hashCnt.join(hDelta, Seq("th"), "left")
+        .select(col("th"), (col("cnt") - coalesce(col("_d"), lit(0L)))
+          .as("cnt"))
+        .filter(col("cnt") > 0),
+      winIdx = base.winIdx.join(del, Seq("id"), "left_anti"))
+  }
+
+  /** Derive the per-source release card (q290's shape minus the
+    * plant-specific columns) from maintained [[CardStats]]: dup flags
+    * from the hash counts, boilerplate carriers from the winnowing
+    * postings under the df bar — both GLOBAL facts recomputed from the
+    * stats at card time because maintenance shifts them. */
+  def dataCardFromStats(s: CardStats, minDf: Long = 25L): DataFrame = {
+    val dupIds = s.rows
+      .join(s.hashCnt.filter(col("cnt") >= 2).select(col("th")),
+        Seq("th"), "left_semi")
+      .select(col("id")).withColumn("_dup", lit(1L))
+    val mined = s.winIdx.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select(col("fp"))
+    val boilerIds = s.winIdx.join(broadcast(mined), Seq("fp"))
+      .select(col("id")).distinct().withColumn("_boi", lit(1L))
+    s.rows
+      .join(dupIds, Seq("id"), "left")
+      .join(boilerIds, Seq("id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        sum(coalesce(col("_dup"), lit(0L))).as("dup_docs"),
+        sum(col("pii")).as("pii_docs"),
+        sum(col("contam")).as("contam_docs"),
+        sum(coalesce(col("_boi"), lit(0L))).as("boiler_docs"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nonen_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_docs"), col("pii_docs"), col("contam_docs"),
+        col("boiler_docs"), col("nonen_docs"),
+        expr("dup_docs * 1000000 DIV n_docs").as("dup_micro"))
+  }
+
   /** CHAR-LEVEL contamination report over winnowing fingerprints — the
     * probe that catches partial-overlap leaks SHORTER than the token
     * filters' n ([[evalContaminationReport]] at n=13 is blind to any

@@ -1324,6 +1324,40 @@ class CurationSpec extends SparkSuite {
     assert(after.exists(aOnly.contains), "template A must survive")
   }
 
+  test("card stats maintenance: deletion un-dups the survivor; maintained == recompute") {
+    import spark.implicits._
+    val mk = (rows: Seq[(Long, String)]) => rows.map { case (i, t) =>
+      (i, s"s${i % 2}", "en", t) }.toDF("doc_id", "source", "lang", "text")
+    val shared = "this exact paragraph is long enough to fingerprint " * 2
+    val epoch = mk(Seq(1L -> shared, 3L -> ("unique alpha text " * 4)))
+    val batch = mk(Seq(2L -> shared, 4L -> ("unique beta text " * 4)))
+    val evalSet = Seq((900L, "no overlap with anything here at all ok"))
+      .toDF("doc_id", "text")
+    val up = Curation.upsertCardStats(
+      Curation.cardStats(epoch, "doc_id", "source", "lang", "text", evalSet),
+      batch, "doc_id", "source", "lang", "text", evalSet)
+    def dupTotal(s: Curation.CardStats): Long =
+      Curation.dataCardFromStats(s, minDf = 100L)
+        .agg(sum(col("dup_docs"))).as[Long].collect().head
+    // the pair SPANS the epoch/batch boundary — only the merged hash
+    // counts can see it
+    assert(dupTotal(up) == 2L, "cross-boundary dup pair must count")
+    val rm = Curation.removeCardStats(up, Seq(2L, 777L).toDF("doc_id"),
+      "doc_id") // 777 never indexed — idempotent
+    assert(dupTotal(rm) == 0L,
+      "deleting one copy must UN-dup the surviving partner")
+    // maintained stats == full recompute over the survivors
+    val full = Curation.cardStats(
+      epoch.unionByName(batch).filter(col("doc_id") =!= 2L),
+      "doc_id", "source", "lang", "text", evalSet)
+    assert(rm.rows.exceptAll(full.rows).isEmpty &&
+      full.rows.exceptAll(rm.rows).isEmpty)
+    assert(rm.hashCnt.exceptAll(full.hashCnt).isEmpty &&
+      full.hashCnt.exceptAll(rm.hashCnt).isEmpty)
+    assert(rm.winIdx.exceptAll(full.winIdx).isEmpty &&
+      full.winIdx.exceptAll(rm.winIdx).isEmpty)
+  }
+
   test("spanDedupVerdicts: long verified span drops the higher id; short runs don't") {
     import spark.implicits._
     val base = (0 until 20).map(i => f"t$i%02da t$i%02db t$i%02dc ")
