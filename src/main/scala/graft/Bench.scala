@@ -177,7 +177,10 @@ object Bench {
     "q297"->1.589, "q298"->2.363,
     // round-16 twelfth wave (clean solo FORCE_MIN min-of-3, calib
     // 2.290, 12-control median 0.8731, regress 0, cold_only 0)
-    "q299"->3.39)
+    "q299"->3.39,
+    // round-16 thirteenth wave (clean solo FORCE_MIN min-of-3, calib
+    // 2.412, 12-control median 0.895, regress 0, cold_only 0)
+    "q300"->0.61, "q301"->1.781, "q302"->3.238)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

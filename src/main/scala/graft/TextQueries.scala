@@ -1733,6 +1733,165 @@ object TextQueries {
           |FROM (VALUES ('bm25'), ('rm3')) g(leg)
           |LEFT JOIN hagg h ON h.leg = g.leg""".stripMargin)),
 
+    // EXACT PHRASE MATCH (Bm25.phraseMatches) — consecutive-token
+    // phrase search over the positional posting index: the i-th
+    // phrase term joins on (id, pos − i), so the work is |phrase|−1
+    // keyed equi-joins over single-term posting lists and no document
+    // is touched unless it carries EVERY phrase term. Fixture plants
+    // the 4-token phrase once on %7==0 docs and TWICE on %14==0 docs
+    // (adjacent plants — occurrence counting, not just existence).
+    // Oracle replays positions over the same lowercased split.
+    Q("q300_phrase_match",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          when(col("doc_id") % 14 === 0,
+            concat(col("text"), lit(phrase), lit(phrase)))
+            .when(col("doc_id") % 7 === 0, concat(col("text"), lit(phrase)))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Bm25.phraseMatches(planted, "doc_id", "text",
+          Seq("grafted", "exact", "phrase", "marker"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 14 = 0
+             |      THEN text || ' grafted exact phrase marker grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN text || ' grafted exact phrase marker'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |m AS (SELECT a.doc_id FROM pos a
+             |  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN pos d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+             |    AND d.term = 'marker'
+             |  WHERE a.term = 'grafted')
+             |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM m GROUP BY doc_id""".stripMargin)),
+
+    // BOOLEAN RETRIEVAL (Bm25.booleanTopK) — must/should/must-not
+    // semantics as pure posting-list algebra (|must| semi-joins, one
+    // anti-join over ids, never text), ranked by the summed BM25
+    // contributions of the present must ∪ should terms. Fixture:
+    // %5==0 docs carry both must terms, %10==0 add the should term
+    // (ranked higher via its contribution + visible in n_should),
+    // %20==0 add the must-not term and are excluded. Oracle = the
+    // factored score chain + the boolean algebra in SQL.
+    Q("q301_boolean_retrieval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, " qmustone qmusttwo").otherwise(""),
+            when(col("doc_id") % 10 === 0, " qshouldone").otherwise(""),
+            when(col("doc_id") % 20 === 0, " qnotone").otherwise(""))
+            .as("text"))
+        graft.operators.Bm25.booleanTopK(planted, "doc_id", "text",
+          must = Seq("qmustone", "qmusttwo"),
+          should = Seq("qshouldone"), mustNot = Seq("qnotone"), k = 15)
+      },
+      Some("WITH " +
+        """corpus AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 5 = 0 THEN ' qmustone qmusttwo' ELSE '' END
+          |    || CASE WHEN doc_id % 10 = 0 THEN ' qshouldone' ELSE '' END
+          |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END AS text
+          |  FROM documents),
+          |""".stripMargin +
+        bm25ScoreCtes("corpus", "doc_id", "",
+          qtOverride = Some("SELECT 0 AS qid, '' AS term WHERE 1 = 0")) +
+        """,
+          |cand AS (SELECT id FROM dl
+          |  WHERE id IN (SELECT id FROM tf WHERE term = 'qmustone')
+          |    AND id IN (SELECT id FROM tf WHERE term = 'qmusttwo')
+          |    AND id NOT IN (SELECT id FROM tf WHERE term = 'qnotone')),
+          |sc3 AS (SELECT c.id, CAST(sum(ct.c) AS BIGINT) AS score_micro
+          |  FROM cand c JOIN contrib ct ON ct.id = c.id
+          |  WHERE ct.term IN ('qmustone', 'qmusttwo', 'qshouldone')
+          |  GROUP BY c.id),
+          |ns AS (SELECT id, CAST(count(DISTINCT term) AS BIGINT) AS n_should
+          |  FROM tf WHERE term = 'qshouldone' GROUP BY id),
+          |rk AS (SELECT s3.id, coalesce(n.n_should, 0) AS n_should,
+          |    s3.score_micro,
+          |    ROW_NUMBER() OVER (ORDER BY s3.score_micro DESC, s3.id) AS rank
+          |  FROM sc3 s3 LEFT JOIN ns n ON n.id = s3.id)
+          |SELECT CAST(rank AS BIGINT) AS rank, id, n_should, score_micro
+          |FROM rk WHERE rank <= 15""".stripMargin)),
+
+    // SERVE-SIDE SNIPPETS (Bm25.snippets) — per (query, result) pair
+    // the best 20-token window of the document: the one containing
+    // the most query-term occurrences, ties to the earliest start. An
+    // optimal window can always start AT a query-term hit, so only
+    // hit positions anchor candidates and hits-in-window is a RANGE
+    // frame over each doc's few hit positions — the serve-path cost
+    // is bounded by the result set, never the corpus. Results = the
+    // external BM25 top-3 of prefix queries from docs 0–2; the gate
+    // compares the SNIPPET TEXT itself.
+    Q("q302_result_snippets",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val queries = d.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 9000000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+              .as("qtext"))
+        val results = graft.operators.Bm25.topKExternal(d, "doc_id",
+            "text", queries, "qid", "qtext", k = 3)
+          .select(col("qid"), col("id"))
+        val qterms = queries.select(col("qid"),
+            explode(array_distinct(TextFunctions.tokens(lower(col("qtext")))))
+              .as("term"))
+          .filter(length(col("term")) > 0)
+        graft.operators.Bm25.snippets(d, "doc_id", "text", results,
+          qterms, windowTokens = 20)
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "",
+        qtOverride = Some(
+          """SELECT DISTINCT doc_id + 9000000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:8]) AS tk
+            |    FROM documents WHERE doc_id < 3)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |res AS (SELECT qid, id FROM (
+          |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS r FROM sc) WHERE r <= 3),
+          |tw AS (SELECT doc_id, string_split_regex(
+          |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+          |  FROM documents
+          |  WHERE doc_id IN (SELECT id FROM res)),
+          |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |        FROM tw)
+          |  WHERE length(w[i]) > 0),
+          |hp AS (SELECT r.qid, r.id, p.pos
+          |  FROM res r JOIN qt q ON q.qid = r.qid
+          |  JOIN pos p ON p.doc_id = r.id AND p.term = q.term),
+          |wh AS (SELECT qid, id, pos,
+          |    count(*) OVER (PARTITION BY qid, id ORDER BY pos
+          |      RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING) AS n_hits
+          |  FROM hp),
+          |best AS (SELECT qid, id, pos AS snip_start, n_hits FROM (
+          |    SELECT qid, id, pos, n_hits, ROW_NUMBER() OVER (
+          |      PARTITION BY qid, id ORDER BY n_hits DESC, pos) AS rn
+          |    FROM wh) WHERE rn = 1)
+          |SELECT b.qid, b.id, b.snip_start, CAST(b.n_hits AS BIGINT) AS n_hits,
+          |  array_to_string(t.w[CAST(b.snip_start + 1 AS INT)
+          |    :CAST(b.snip_start + 20 AS INT)], ' ') AS snippet
+          |FROM best b JOIN tw t ON t.doc_id = b.id""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -206,6 +206,129 @@ object Bm25 {
         col("id"), col("score_micro"))
   }
 
+  /** POSITIONAL posting table (id, pos 0-based, term) — the index
+    * behind phrase matching and snippet extraction. One narrow pass
+    * (posexplode, no shuffle); persist/bucket by term at epoch scale
+    * like the tf table. */
+  def positionalPostings(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("id"), col("pos").cast("long").as("pos"), col("term"))
+
+  /** EXACT PHRASE MATCH over the positional index: documents
+    * containing `phrase` as consecutive tokens, with occurrence
+    * counts. The classic adjacency chain — the i-th phrase term joins
+    * on (id, pos = anchor + i), so the work is |phrase| − 1 keyed
+    * equi-joins over SINGLE-TERM posting lists (each pre-filtered to
+    * its term — the inverted-index shape; no doc is touched unless it
+    * contains EVERY phrase term). Matching is on the lowercased token
+    * stream, same basis as BM25.
+    * @return (id, n_occurrences) for docs with ≥1 occurrence */
+  def phraseMatches(corpus: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "empty phrase")
+    val p = OperatorCaches.track(
+      positionalPostings(corpus, idCol, textCol).persist())
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val anchor = p.filter(col("term") === terms.head)
+      .select(col("id"), col("pos").as("p0"))
+    terms.zipWithIndex.tail.foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(p.filter(col("term") === t)
+          .select(col("id"), (col("pos") - i).as("p0")),
+        Seq("id", "p0"))
+    }.groupBy(col("id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** BOOLEAN retrieval with BM25 ranking: docs containing EVERY `must`
+    * term and NONE of the `mustNot` terms, scored by the summed
+    * contributions of their (must ∪ should) terms. Pure posting-list
+    * algebra — |must| semi-joins, one anti-join, one score join — so
+    * no corpus scan beyond the index build, and the boolean filter
+    * runs on 8-byte (id) keys, never text.
+    * @return (id, n_should, score_micro) ranked total-order by
+    *         (score DESC, id) with rank 1..k */
+  def booleanTopK(corpus: DataFrame, idCol: String, textCol: String,
+      must: Seq[String], should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil, k: Int = 10): DataFrame = {
+    require(must.nonEmpty, "boolean retrieval needs ≥1 must term")
+    val lc = (s: Seq[String]) => s.map(_.toLowerCase(java.util.Locale.ROOT))
+    val s = indexStats(corpus, idCol, textCol)
+    val contrib = contribFromStats(s)
+    val candidates = lc(must).foldLeft(s.dl.select(col("id"))) { (acc, t) =>
+      acc.join(s.tf.filter(col("term") === t).select(col("id")),
+        Seq("id"), "left_semi")
+    }
+    val excluded = lc(mustNot) match {
+      case Nil => candidates
+      case ts => candidates.join(
+        s.tf.filter(col("term").isin(ts: _*)).select(col("id")).distinct(),
+        Seq("id"), "left_anti")
+    }
+    val scoreTerms = (lc(must) ++ lc(should)).distinct
+    val scored = excluded
+      .join(contrib.filter(col("term").isin(scoreTerms: _*)), Seq("id"))
+      .groupBy(col("id")).agg(sum(col("c")).as("score_micro"))
+    val withShould =
+      if (should.isEmpty) scored.withColumn("n_should", lit(0L))
+      else scored.join(
+        s.tf.filter(col("term").isin(lc(should): _*))
+          .groupBy(col("id")).agg(countDistinct(col("term")).as("_ns")),
+        Seq("id"), "left")
+        .withColumn("n_should", coalesce(col("_ns"), lit(0L)))
+    val w = Window.orderBy(col("score_micro").desc, col("id").asc)
+    withShould
+      .select(col("id"), col("n_should"), col("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("id"),
+        col("n_should"), col("score_micro"))
+  }
+
+  /** SERVE-SIDE SNIPPET: per (qid, id) result pair, the best
+    * `windowTokens`-token window of the document — the one containing
+    * the most query-term occurrences, ties to the EARLIEST start. An
+    * optimal window can always start at a query-term hit, so only hit
+    * positions anchor candidates: per anchor, hits-in-window is a
+    * RANGE frame over the doc's hit positions (never all positions),
+    * and the snippet text re-derives from the token stream. Runs on
+    * the (tiny) result set — `results` is (qid, id); the posting
+    * filter semi-joins it first.
+    * @return (qid, id, snip_start 0-based token pos, n_hits, snippet) */
+  def snippets(corpus: DataFrame, idCol: String, textCol: String,
+      results: DataFrame, queryTermsDf: DataFrame,
+      windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 1, "bad window")
+    val p = OperatorCaches.track(positionalPostings(corpus, idCol, textCol)
+      .join(results.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .persist())
+    // hit positions of each query's terms within its result docs
+    val hitPos = results.select(col("qid"), col("id"))
+      .join(queryTermsDf.select(col("qid"), col("term")), Seq("qid"))
+      .join(p, Seq("id", "term"))
+      .select(col("qid"), col("id"), col("pos"))
+    val frame = Window.partitionBy(col("qid"), col("id")).orderBy(col("pos"))
+      .rangeBetween(0, windowTokens - 1)
+    val wBest = Window.partitionBy(col("qid"), col("id"))
+      .orderBy(col("n_hits").desc, col("pos").asc)
+    val best = hitPos
+      .withColumn("n_hits", count(lit(1)).over(frame))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("id"), col("pos").as("snip_start"),
+        col("n_hits"))
+    val toks = p.groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x.getField("term")).as("_toks"))
+    best.join(toks, Seq("id"))
+      .select(col("qid"), col("id"), col("snip_start"), col("n_hits"),
+        array_join(slice(col("_toks"),
+          (col("snip_start") + 1).cast("int"), lit(windowTokens)), " ")
+          .as("snippet"))
+  }
+
   /** Distinct query terms per qid — `array_distinct` BEFORE the explode,
     * so the derivation is one narrow pass: no distinct() shuffle on the
     * batch path, and ZERO stateful operators on a STREAMING queries

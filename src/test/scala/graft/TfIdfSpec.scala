@@ -261,6 +261,51 @@ class Bm25Spec extends SparkSuite {
     assert(again.toSeq == rm3.toSeq)
   }
 
+  test("phraseMatches: adjacency not bag-of-words; occurrence counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha gamma"),          // both words, wrong order
+      (3L, "x alpha beta y alpha beta"), // two occurrences
+      (4L, "alpha only here")).toDF("doc_id", "text")
+    val got = graft.operators.Bm25.phraseMatches(docs, "doc_id", "text",
+        Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L),
+      s"order matters and occurrences count: $got")
+  }
+
+  test("booleanTopK: must is AND, mustNot excludes, should only boosts") {
+    val docs = Seq(
+      (1L, "aa bb filler words here"),
+      (2L, "aa bb cc filler words"),
+      (3L, "aa missing the second term"),
+      (4L, "aa bb nn poisoned doc")).toDF("doc_id", "text")
+    val got = graft.operators.Bm25.booleanTopK(docs, "doc_id", "text",
+        must = Seq("aa", "bb"), should = Seq("cc"), mustNot = Seq("nn"),
+        k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSet == Set(1L, 2L),
+      s"doc 3 fails must, doc 4 hits mustNot: ${got.toSeq}")
+    val byId = got.map(r => r._2 -> r).toMap
+    assert(byId(2L)._3 == 1L && byId(1L)._3 == 0L, "n_should visible")
+    assert(byId(2L)._1 == 1L,
+      s"the should term's contribution must rank doc 2 first: ${got.toSeq}")
+  }
+
+  test("snippets: densest window wins, ties to the earliest start") {
+    val docs = Seq(
+      (1L, "hit a b c d hit hit e f g h i j k l m n o p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val results = Seq((900L, 1L)).toDF("qid", "id")
+    val qterms = Seq((900L, "hit")).toDF("qid", "term")
+    val got = graft.operators.Bm25.snippets(docs, "doc_id", "text",
+        results, qterms, windowTokens = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // hits at 0, 5, 6; 3-token windows anchored at hits: [0..2]=1,
+    // [5..7]=2, [6..8]=1 → best start 5 with 2 hits
+    assert(got.toSeq == Seq((900L, 1L, 5L, 2L, "hit hit e")), got.toSeq)
+  }
+
   test("RM3 external: separate qid key space, no self-exclusion, same recall lift") {
     val docs = Seq(
       (1L, "apple banana"),
