@@ -450,6 +450,60 @@ class PlanSpec extends SparkSuite {
       "ingest strip must be a narrow per-row pass:\n" + p.take(2000))
   }
 
+  test("q293: banded semantic — band-bucket equi-join candidates, no cartesian") {
+    val p = plan("q293_banded_semantic_contamination")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // candidates come from the (band, bucket) hash join with the probe
+    // side broadcast. Admissible nest-loops: the EXACT audit side's
+    // single probe pass plus the 1-row×1-row fixture probe mixes,
+    // which the pre-execution plan prints once per consumer (exact
+    // probes, banded banding, banded vector attach) — the banded
+    // candidate path itself contributes none
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 7, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
+  test("q298: release build — anti-join drops, broadcast strip-list, no cartesian") {
+    val p = plan("q298_release_build")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftAnti"),
+      "contamination drop must be an anti-join:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q299: incremental card — stats maintenance is join-shaped, no cartesian") {
+    val p = plan("q299_incremental_data_card")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftAnti"),
+      "deletion must be an anti-join over the stats:\n" + p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q300/q301: posting-list algebra — keyed joins only, no cartesian") {
+    val p0 = plan("q300_phrase_match")
+    assert(!p0.contains("CartesianProduct") &&
+      !p0.contains("BroadcastNestedLoopJoin"),
+      "phrase adjacency must be keyed equi-joins:\n" + p0.take(2000))
+    val p1 = plan("q301_boolean_retrieval")
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    assert(p1.contains("LeftSemi") && p1.contains("LeftAnti"),
+      "must/mustNot must be semi/anti joins over ids:\n" + p1.take(3000))
+  }
+
+  test("q302: snippets — cost bounded by the result set (semi-join before positions)") {
+    val p = plan("q302_result_snippets")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftSemi"),
+      "positional postings must filter to result docs first:\n" + p.take(3000))
+    // admissible nest-loops: the BM25 1-row totals attaches inside the
+    // result-producing external chain, printed once per consumer of
+    // the results frame by the pre-execution plan
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 8, s"found $nlj nest-loops:\n" + p.take(3000))
+  }
+
   test("q254: deletion-aware index — anti/semi joins on id, no cartesian") {
     val p = plan("q254_deletion_aware_index")
     assert(!p.contains("CartesianProduct"), p.take(2000))
