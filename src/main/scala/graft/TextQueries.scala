@@ -1892,6 +1892,112 @@ object TextQueries {
           |    :CAST(b.snip_start + 20 AS INT)], ' ') AS snippet
           |FROM best b JOIN tw t ON t.doc_id = b.id""".stripMargin)),
 
+    // PROXIMITY-BOOSTED RANKING (Bm25.proximityTopK) — BM25 plus an
+    // integer proximity bonus: every unordered pair of distinct query
+    // terms co-occurring in a candidate contributes 1e6 DIV
+    // (1 + closest distance in token positions) micro-points, so
+    // near-co-occurrence outranks bag-of-words ties (the sloppy-phrase
+    // serve signal). Same query set as q210 truncated to id < 5; the
+    // oracle replays positions, per-pair minimum distances, the DIV
+    // bonus fold, and the boosted total order.
+    Q("q303_proximity_ranking",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Bm25.proximityTopK(d, "doc_id", "text",
+          col("id") < 5, k = 10)
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "id < 5") +
+        """,
+          |tw0 AS (SELECT doc_id, string_split_regex(
+          |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+          |  FROM documents),
+          |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |        FROM tw0)
+          |  WHERE length(w[i]) > 0),
+          |qp AS (SELECT q.qid, p.doc_id AS id, q.term, p.pos
+          |  FROM qt q JOIN pos p ON p.term = q.term
+          |  WHERE p.doc_id <> q.qid),
+          |md AS (SELECT a.qid, a.id, a.term AS t1, b.term AS t2,
+          |    min(abs(a.pos - b.pos)) AS mdv
+          |  FROM qp a JOIN qp b ON b.qid = a.qid AND b.id = a.id
+          |    AND a.term < b.term
+          |  GROUP BY 1, 2, 3, 4),
+          |px AS (SELECT qid, id,
+          |    CAST(sum(1000000 // (1 + mdv)) AS BIGINT) AS prox
+          |  FROM md GROUP BY 1, 2),
+          |totx AS (SELECT s.qid, s.id,
+          |    s.score_micro + coalesce(p.prox, 0) AS total,
+          |    coalesce(p.prox, 0) AS prox
+          |  FROM sc s LEFT JOIN px p ON p.qid = s.qid AND p.id = s.id)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id,
+          |  CAST(total AS BIGINT) AS score_micro,
+          |  CAST(prox AS BIGINT) AS prox_micro
+          |FROM (SELECT qid, id, total, prox, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY total DESC, id) AS rank FROM totx)
+          |WHERE rank <= 10""".stripMargin)),
+
+    // FUZZY RETRIEVAL (Bm25.fuzzyTopK) — SymSpell delete-1 candidate
+    // matching: a typo'd query term reaches every vocabulary term
+    // within OSA distance 1 through the deletion-variant EQUI-join
+    // (shared variant string as the key + the ±1 length rule — never
+    // an edit-distance scan of the vocabulary), and matched terms
+    // score as ordinary BM25 query terms. Fixture plants
+    // ' zxcorrectterm' on %9==0 docs; the deletion typo and the exact
+    // spelling must retrieve the same docs, and the no-match control
+    // query yields no rows. Variants are pure string arithmetic —
+    // both engines build the identical set.
+    Q("q304_fuzzy_retrieval",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = d.select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" zxcorrectterm")))
+            .otherwise(col("text")).as("text"))
+        val queries = Seq(
+          (9000001L, "zxcorrecterm"),   // deletion typo → distance 1
+          (9000002L, "zxcorrectterm"),  // exact
+          (9000003L, "qqqqzz"))         // matches nothing
+          .toDF("qid", "qtext")
+        graft.operators.Bm25.fuzzyTopK(planted, "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """corpus AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+          |    THEN text || ' zxcorrectterm' ELSE text END AS text
+          |  FROM documents),
+          |""".stripMargin +
+        bm25ScoreCtes("corpus", "doc_id", "",
+          qtOverride = Some("SELECT 0 AS qid, '' AS term WHERE 1 = 0")) +
+        """,
+          |fv AS (SELECT term, unnest(list_distinct(list_concat([term],
+          |    list_transform(generate_series(0, length(term) - 1),
+          |      i -> substr(term, 1, i) || substr(term, i + 2))))) AS v
+          |  FROM dfq),
+          |fq AS (SELECT qid, qt, unnest(list_distinct(list_concat([qt],
+          |    list_transform(generate_series(0, length(qt) - 1),
+          |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
+          |  FROM (VALUES (9000001, 'zxcorrecterm'),
+          |    (9000002, 'zxcorrectterm'), (9000003, 'qqqqzz')) q(qid, qt)),
+          |fm AS (SELECT DISTINCT fq.qid, fv.term FROM fv
+          |  JOIN fq ON fq.v = fv.v
+          |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1),
+          |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_terms_matched
+          |  FROM fm GROUP BY 1),
+          |fsc AS (SELECT m.qid, c.id,
+          |    CAST(sum(c.c) AS BIGINT) AS score_micro
+          |  FROM fm m JOIN contrib c USING (term) GROUP BY 1, 2)
+          |SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.id,
+          |  r.score_micro, nm.n_terms_matched
+          |FROM (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+          |  FROM fsc) r
+          |JOIN nm ON nm.qid = r.qid
+          |WHERE r.rank <= 10""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

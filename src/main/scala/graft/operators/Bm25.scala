@@ -329,6 +329,94 @@ object Bm25 {
           .as("snippet"))
   }
 
+  /** PROXIMITY-BOOSTED ranking: BM25 plus an integer proximity bonus
+    * — for every unordered pair of distinct query terms present in a
+    * candidate, 1e6 DIV (1 + mindist) micro-points where mindist is
+    * the closest co-occurrence in token positions. Terms appearing
+    * near each other rank above bag-of-words ties (the sloppy-phrase
+    * signal), and the arithmetic stays integer so the boosted ranking
+    * replays exactly. Pair work is positions(t1) × positions(t2) per
+    * candidate doc — bounded by tf² per doc per pair; df-cap frequent
+    * terms at epoch scale (the LSH band-cap argument).
+    * @return (qid, rank, id, score_micro, prox_micro) */
+  def proximityTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, k: Int = 10): DataFrame = {
+    val s = indexStats(corpus, idCol, textCol)
+    val contrib = contribFromStats(s)
+    val qterms = OperatorCaches.track(s.tf.filter(queryPred)
+      .select(col("id").as("qid"), col("term")).persist())
+    val base = scoreJoin(qterms, contrib)
+    val p = OperatorCaches.track(
+      positionalPostings(corpus, idCol, textCol).persist())
+    val qpos = qterms.join(p, Seq("term"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("term"), col("pos"))
+    val minDist = qpos.as("a")
+      .join(qpos.as("b"),
+        col("a.qid") === col("b.qid") && col("a.id") === col("b.id") &&
+          col("a.term") < col("b.term"))
+      .groupBy(col("a.qid").as("qid"), col("a.id").as("id"),
+        col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(min(abs(col("a.pos") - col("b.pos"))).as("_md"))
+    val prox = minDist.groupBy(col("qid"), col("id"))
+      .agg(sum(expr("1000000 DIV (1 + _md)")).as("prox_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("total_micro").desc, col("id").asc)
+    base.join(prox, Seq("qid", "id"), "left")
+      .select(col("qid"), col("id"), col("score_micro"),
+        coalesce(col("prox_micro"), lit(0L)).as("prox_micro"))
+      .withColumn("total_micro", col("score_micro") + col("prox_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+        col("total_micro").as("score_micro"), col("prox_micro"))
+  }
+
+  /** Delete-1 variant set of a term (the SymSpell index key set): the
+    * term itself plus every string obtained by deleting ONE character
+    * — pure Column arithmetic (sequence + transform), codegen'd, no
+    * UDF. Two terms are OSA/Damerau distance ≤ 1 iff their variant
+    * sets intersect AND their lengths differ by ≤ 1 (equal-length
+    * intersection = substitution or adjacent transposition; ±1 =
+    * insert/delete). */
+  def delete1Variants(term: Column): Column =
+    array_union(
+      array(term),
+      transform(sequence(lit(0), length(term) - 1),
+        i => concat(term.substr(lit(1), i),
+          term.substr(i + lit(2), length(term)))))
+
+  /** FUZZY retrieval (SymSpell delete-1 candidates, Norvig/Garbe): a
+    * typo'd query term matches every vocabulary term within OSA
+    * distance 1 via the deletion-variant EQUI-join — never an edit-
+    * distance scan of the vocabulary (the join key is the shared
+    * variant string; candidate pairs are verified by the length rule).
+    * Matched terms score as ordinary BM25 query terms (deduped).
+    * @return (qid, rank, id, score_micro, n_terms_matched) */
+  def fuzzyTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10): DataFrame = {
+    val s = indexStats(corpus, idCol, textCol)
+    val vocab = s.df.select(col("term"))
+      .withColumn("_v", explode(delete1Variants(col("term"))))
+    val qv = queryTerms(queries, qidCol, qtextCol)
+      .select(col("qid"), col("term").as("_qt"))
+      .withColumn("_v", explode(delete1Variants(col("_qt"))))
+    val matched = vocab.join(broadcast(qv), Seq("_v"))
+      .filter(abs(length(col("term")) - length(col("_qt"))) <= 1)
+      .select(col("qid"), col("term")).distinct()
+    val nMatched = matched.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_terms_matched"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scoreJoin(matched, contribFromStats(s), excludeSelf = false)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(nMatched), Seq("qid"))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+        col("score_micro"), col("n_terms_matched"))
+  }
+
   /** Distinct query terms per qid — `array_distinct` BEFORE the explode,
     * so the derivation is one narrow pass: no distinct() shuffle on the
     * batch path, and ZERO stateful operators on a STREAMING queries

@@ -306,6 +306,44 @@ class Bm25Spec extends SparkSuite {
     assert(got.toSeq == Seq((900L, 1L, 5L, 2L, "hit hit e")), got.toSeq)
   }
 
+  test("proximityTopK: adjacency outranks scattered bag-of-words ties") {
+    // docs 2 and 3 have IDENTICAL tf/dl for both query terms — base
+    // BM25 cannot separate them; only proximity can
+    val docs = Seq(
+      (1L, "aa bb"),
+      (2L, "aa bb x1 x2 x3 x4"),
+      (3L, "aa x1 x2 x3 x4 bb")).toDF("doc_id", "text")
+    val got = graft.operators.Bm25.proximityTopK(docs, "doc_id", "text",
+        col("id") === 1L, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(2L, 3L),
+      s"adjacent pair must outrank the scattered one: ${got.toSeq}")
+    val byId = got.map(r => r._3 -> r).toMap
+    assert(byId(2L)._5 == 500000L, s"mindist 1 → 1e6 DIV 2: ${byId(2L)}")
+    assert(byId(3L)._5 == 166666L, s"mindist 5 → 1e6 DIV 6: ${byId(3L)}")
+    assert(byId(2L)._4 - byId(2L)._5 == byId(3L)._4 - byId(3L)._5,
+      "base BM25 components must be identical — only the bonus differs")
+  }
+
+  test("fuzzy matching: delete-1 variants, OSA≤1 semantics, 2-edit rejection") {
+    val variants = spark.range(1)
+      .select(graft.operators.Bm25.delete1Variants(lit("abc")).as("v"))
+      .as[Seq[String]].collect().head.toSet
+    assert(variants == Set("abc", "bc", "ac", "ab"), variants.toString)
+    val docs = Seq(
+      (1L, "prefix correctterm suffix"),
+      (2L, "nothing relevant here at all")).toDF("doc_id", "text")
+    def run(q: String) = graft.operators.Bm25.fuzzyTopK(docs, "doc_id",
+        "text", Seq((900L, q)).toDF("qid", "qtext"), "qid", "qtext", 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(run("correctterm").map(_._3) == Seq(1L), "exact matches")
+    assert(run("corectterm").map(_._3) == Seq(1L), "deletion typo matches")
+    assert(run("correctterms").map(_._3) == Seq(1L), "insertion typo matches")
+    assert(run("corretcterm").map(_._3) == Seq(1L),
+      "adjacent transposition matches (OSA/Damerau semantics)")
+    assert(run("cXrrectXerm").isEmpty, "two substitutions must NOT match")
+  }
+
   test("RM3 external: separate qid key space, no self-exclusion, same recall lift") {
     val docs = Seq(
       (1L, "apple banana"),
