@@ -180,7 +180,10 @@ object Bench {
     "q299"->3.39,
     // round-16 thirteenth wave (clean solo FORCE_MIN min-of-3, calib
     // 2.412, 12-control median 0.895, regress 0, cold_only 0)
-    "q300"->0.61, "q301"->1.781, "q302"->3.238)
+    "q300"->0.61, "q301"->1.781, "q302"->3.238,
+    // round-16 fourteenth wave (clean solo FORCE_MIN min-of-3, calib
+    // 2.317, 12-control median 0.8761, regress 0, cold_only 0)
+    "q303"->2.943, "q304"->1.458)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
