@@ -183,7 +183,10 @@ object Bench {
     "q300"->0.61, "q301"->1.781, "q302"->3.238,
     // round-16 fourteenth wave (clean solo FORCE_MIN min-of-3, calib
     // 2.317, 12-control median 0.8761, regress 0, cold_only 0)
-    "q303"->2.943, "q304"->1.458)
+    "q303"->2.943, "q304"->1.458,
+    // round-16 fifteenth wave (clean solo FORCE_MIN min-of-3, calib
+    // 2.297, 12-control median 0.9025, regress 0, cold_only 0)
+    "q305"->1.069)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -1998,6 +1998,65 @@ object TextQueries {
           |JOIN nm ON nm.qid = r.qid
           |WHERE r.rank <= 10""".stripMargin)),
 
+    // "DID YOU MEAN" SUGGESTIONS (Bm25.didYouMean) — the fuzzy
+    // family's serve companion: per query term, the OSA-distance-1
+    // vocabulary terms ranked by document frequency (popularity, then
+    // lexicographic; exact self-match excluded). Fixture plants two
+    // near-spellings with different dfs (%6 plural > %9 singular), so
+    // the 'zxcorrecttermz' typo must rank the plural first, and the
+    // correctly-spelled query still earns its plural as a suggestion.
+    // Same deletion-variant equi-join as q304; df rides the index.
+    Q("q305_did_you_mean",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, " zxcorrectterm").otherwise(""),
+            when(col("doc_id") % 6 === 0, " zxcorrectterms").otherwise(""))
+            .as("text"))
+        val queries = Seq(
+          (9000001L, "zxcorrecttermz"), // dist 1 to BOTH plants
+          (9000002L, "zxcorrectterm"),  // exact — only the plural suggests
+          (9000003L, "qqqqzz"))         // no suggestions
+          .toDF("qid", "qtext")
+        graft.operators.Bm25.didYouMean(planted, "doc_id", "text",
+          queries, "qid", "qtext", k = 3)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxcorrectterm' ELSE '' END
+             |    || CASE WHEN doc_id % 6 = 0 THEN ' zxcorrectterms' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |terms AS (SELECT doc_id AS id, unnest(string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM corpus),
+             |tfq AS (SELECT id, term FROM terms WHERE length(term) > 0
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |fv AS (SELECT term, df, unnest(list_distinct(list_concat([term],
+             |    list_transform(generate_series(0, length(term) - 1),
+             |      i -> substr(term, 1, i) || substr(term, i + 2))))) AS v
+             |  FROM dfq),
+             |fq AS (SELECT qid, qt, unnest(list_distinct(list_concat([qt],
+             |    list_transform(generate_series(0, length(qt) - 1),
+             |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
+             |  FROM (VALUES (9000001, 'zxcorrecttermz'),
+             |    (9000002, 'zxcorrectterm'), (9000003, 'qqqqzz')) q(qid, qt)),
+             |fm AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
+             |  FROM fv JOIN fq ON fq.v = fv.v
+             |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1
+             |    AND fv.term <> fq.qt)
+             |SELECT qid, qt AS term, CAST(rank AS BIGINT) AS rank,
+             |  sterm AS suggestion, df
+             |FROM (SELECT qid, qt, term AS sterm, df, ROW_NUMBER() OVER (
+             |    PARTITION BY qid, qt ORDER BY df DESC, term) AS rank
+             |  FROM fm)
+             |WHERE rank <= 3""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -417,6 +417,35 @@ object Bm25 {
         col("score_micro"), col("n_terms_matched"))
   }
 
+  /** "DID YOU MEAN" suggestions — for each query term, the vocabulary
+    * terms within OSA distance 1 ranked by document frequency (the
+    * standard spell-suggestion ranking: popularity first, then
+    * lexicographic for determinism), exact self-match excluded. Same
+    * deletion-variant equi-join as [[fuzzyTopK]]; the df attach rides
+    * the existing df table, so suggestions never touch text.
+    * @return (qid, term, rank 1..k, suggestion, df) */
+  def didYouMean(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 3): DataFrame = {
+    val s = indexStats(corpus, idCol, textCol)
+    val vocab = s.df
+      .withColumn("_v", explode(delete1Variants(col("term"))))
+    val qv = queryTerms(queries, qidCol, qtextCol)
+      .select(col("qid"), col("term").as("_qt"))
+      .withColumn("_v", explode(delete1Variants(col("_qt"))))
+    val w = Window.partitionBy(col("qid"), col("_qt"))
+      .orderBy(col("df").desc, col("term").asc)
+    vocab.join(broadcast(qv), Seq("_v"))
+      .filter(abs(length(col("term")) - length(col("_qt"))) <= 1 &&
+        col("term") =!= col("_qt"))
+      .select(col("qid"), col("_qt"), col("term"), col("df")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_qt").as("term"),
+        col("rank").cast("long").as("rank"),
+        col("term").as("suggestion"), col("df"))
+  }
+
   /** Distinct query terms per qid — `array_distinct` BEFORE the explode,
     * so the derivation is one narrow pass: no distinct() shuffle on the
     * batch path, and ZERO stateful operators on a STREAMING queries

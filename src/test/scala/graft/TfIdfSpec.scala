@@ -344,6 +344,21 @@ class Bm25Spec extends SparkSuite {
     assert(run("cXrrectXerm").isEmpty, "two substitutions must NOT match")
   }
 
+  test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
+    val docs = Seq(
+      (1L, "cat cot dog"), (2L, "cat dog"), (3L, "cat bird"),
+      (4L, "unrelated words entirely")).toDF("doc_id", "text")
+    // query 'cut': distance-1 vocab = cat (df 3), cot (df 1)
+    val got = graft.operators.Bm25.didYouMean(docs, "doc_id", "text",
+        Seq((900L, "cut cat")).toDF("qid", "qtext"), "qid", "qtext", 3)
+      .as[(Long, String, Long, String, Long)].collect().sortBy(r => (r._2, r._3))
+    val forCut = got.filter(_._2 == "cut").map(r => (r._4, r._5)).toSeq
+    assert(forCut == Seq(("cat", 3L), ("cot", 1L)),
+      s"df ranks cat above cot: $got")
+    // the correctly-spelled 'cat' never suggests itself
+    assert(!got.exists(r => r._2 == "cat" && r._4 == "cat"), got.toSeq)
+  }
+
   test("RM3 external: separate qid key space, no self-exclusion, same recall lift") {
     val docs = Seq(
       (1L, "apple banana"),
