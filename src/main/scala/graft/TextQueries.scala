@@ -1982,9 +1982,19 @@ object TextQueries {
           |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
           |  FROM (VALUES (9000001, 'zxcorrecterm'),
           |    (9000002, 'zxcorrectterm'), (9000003, 'qqqqzz')) q(qid, qt)),
-          |fm AS (SELECT DISTINCT fq.qid, fv.term FROM fv
+          |cand AS (SELECT DISTINCT fq.qid, fq.qt, fv.term FROM fv
           |  JOIN fq ON fq.v = fv.v
           |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1),
+          |cmm AS (SELECT qid, qt, term,
+          |    list_filter(generate_series(1, length(term)),
+          |      p -> substr(term, p, 1) <> substr(qt, p, 1)) AS mm
+          |  FROM cand),
+          |fm AS (SELECT DISTINCT qid, term FROM cmm
+          |  WHERE length(term) <> length(qt)
+          |     OR len(mm) <= 1
+          |     OR (len(mm) = 2 AND mm[2] = mm[1] + 1
+          |         AND substr(term, mm[1], 1) = substr(qt, mm[2], 1)
+          |         AND substr(term, mm[2], 1) = substr(qt, mm[1], 1))),
           |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_terms_matched
           |  FROM fm GROUP BY 1),
           |fsc AS (SELECT m.qid, c.id,
@@ -2046,10 +2056,20 @@ object TextQueries {
              |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
              |  FROM (VALUES (9000001, 'zxcorrecttermz'),
              |    (9000002, 'zxcorrectterm'), (9000003, 'qqqqzz')) q(qid, qt)),
-             |fm AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
+             |cand AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
              |  FROM fv JOIN fq ON fq.v = fv.v
              |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1
-             |    AND fv.term <> fq.qt)
+             |    AND fv.term <> fq.qt),
+             |cmm AS (SELECT qid, qt, term, df,
+             |    list_filter(generate_series(1, length(term)),
+             |      p -> substr(term, p, 1) <> substr(qt, p, 1)) AS mm
+             |  FROM cand),
+             |fm AS (SELECT qid, qt, term, df FROM cmm
+             |  WHERE length(term) <> length(qt)
+             |     OR len(mm) <= 1
+             |     OR (len(mm) = 2 AND mm[2] = mm[1] + 1
+             |         AND substr(term, mm[1], 1) = substr(qt, mm[2], 1)
+             |         AND substr(term, mm[2], 1) = substr(qt, mm[1], 1)))
              |SELECT qid, qt AS term, CAST(rank AS BIGINT) AS rank,
              |  sterm AS suggestion, df
              |FROM (SELECT qid, qt, term AS sterm, df, ROW_NUMBER() OVER (

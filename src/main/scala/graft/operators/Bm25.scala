@@ -278,11 +278,17 @@ object Bm25 {
           .groupBy(col("id")).agg(countDistinct(col("term")).as("_ns")),
         Seq("id"), "left")
         .withColumn("n_should", coalesce(col("_ns"), lit(0L)))
+    // TakeOrdered head FIRST (orderBy.limit — per-partition heaps, no
+    // global sort), THEN the rank window over the surviving ≤k rows.
+    // A bare global rank window here would move EVERY doc matching the
+    // must set into one partition — a single-task sort of millions of
+    // rows for a top-10 when a must term is common at scale (the
+    // Dsir.selectTopK pattern).
     val w = Window.orderBy(col("score_micro").desc, col("id").asc)
     withShould
       .select(col("id"), col("n_should"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("rank").cast("long").as("rank"), col("id"),
         col("n_should"), col("score_micro"))
   }
@@ -375,10 +381,14 @@ object Bm25 {
   /** Delete-1 variant set of a term (the SymSpell index key set): the
     * term itself plus every string obtained by deleting ONE character
     * — pure Column arithmetic (sequence + transform), codegen'd, no
-    * UDF. Two terms are OSA/Damerau distance ≤ 1 iff their variant
-    * sets intersect AND their lengths differ by ≤ 1 (equal-length
-    * intersection = substitution or adjacent transposition; ±1 =
-    * insert/delete). */
+    * UDF. Two terms at OSA/Damerau distance ≤ 1 ALWAYS share a
+    * variant with lengths differing by ≤ 1 — but the converse holds
+    * ONLY for the ±1-length case (the sole shareable variant is the
+    * shorter string itself, proving a single deletion). Equal-length
+    * pairs can share a proper delete-1 variant at OSA distance 2
+    * (shifted pairs: "stop"/"tops" both delete to "top"), so
+    * candidates from the variant equi-join MUST pass [[osaLe1]] —
+    * SymSpell's required verify step. */
   def delete1Variants(term: Column): Column =
     array_union(
       array(term),
@@ -386,11 +396,50 @@ object Bm25 {
         i => concat(term.substr(lit(1), i),
           term.substr(i + lit(2), length(term)))))
 
+  /** TRUE iff the OSA (optimal string alignment: insert / delete /
+    * substitute / adjacent transposition) distance between `a` and `b`
+    * is ≤ 1 — the verify step run on candidate pairs AFTER the
+    * [[delete1Variants]] equi-join. Case split on lengths:
+    *   - |len(a) − len(b)| ≥ 2: never (each edit moves length by ≤ 1).
+    *   - |len(a) − len(b)| = 1: distance 1 iff the shorter IS a
+    *     delete-1 variant of the longer.
+    *   - equal length: distance ≤ 1 iff the per-position mismatch set
+    *     is empty (equal), a single position (substitution), or
+    *     exactly two ADJACENT positions with the chars swapped
+    *     (transposition). Shifted pairs ("stop"/"tops") fail here.
+    * Pure Column HOFs (sequence/filter/element_at) — codegen'd, no
+    * UDF; cost is O(len) per verified pair, paid only on equi-join
+    * survivors (never a vocabulary scan). */
+  def osaLe1(a: Column, b: Column): Column = {
+    val la = length(a)
+    val lb = length(b)
+    def mismatches(n: Column): Column =
+      filter(sequence(lit(1), n),
+        p => a.substr(p, lit(1)) =!= b.substr(p, lit(1)))
+    def isDelete1Of(longer: Column, shorter: Column): Column =
+      array_contains(
+        transform(sequence(lit(0), length(longer) - 1),
+          i => concat(longer.substr(lit(1), i),
+            longer.substr(i + lit(2), length(longer)))),
+        shorter)
+    val mm = mismatches(la)
+    val i = element_at(mm, 1)
+    val j = element_at(mm, 2)
+    val eqLen = size(mm) <= 1 ||
+      (size(mm) === 2 && j === i + 1 &&
+        a.substr(i, lit(1)) === b.substr(j, lit(1)) &&
+        a.substr(j, lit(1)) === b.substr(i, lit(1)))
+    when(la === lb, eqLen)
+      .when(la === lb + 1, isDelete1Of(a, b))
+      .when(lb === la + 1, isDelete1Of(b, a))
+      .otherwise(lit(false))
+  }
+
   /** FUZZY retrieval (SymSpell delete-1 candidates, Norvig/Garbe): a
     * typo'd query term matches every vocabulary term within OSA
     * distance 1 via the deletion-variant EQUI-join — never an edit-
     * distance scan of the vocabulary (the join key is the shared
-    * variant string; candidate pairs are verified by the length rule).
+    * variant string; candidate pairs are verified by [[osaLe1]]).
     * Matched terms score as ordinary BM25 query terms (deduped).
     * @return (qid, rank, id, score_micro, n_terms_matched) */
   def fuzzyTopK(corpus: DataFrame, idCol: String, textCol: String,
@@ -403,7 +452,7 @@ object Bm25 {
       .select(col("qid"), col("term").as("_qt"))
       .withColumn("_v", explode(delete1Variants(col("_qt"))))
     val matched = vocab.join(broadcast(qv), Seq("_v"))
-      .filter(abs(length(col("term")) - length(col("_qt"))) <= 1)
+      .filter(osaLe1(col("term"), col("_qt")))
       .select(col("qid"), col("term")).distinct()
     val nMatched = matched.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_terms_matched"))
@@ -436,7 +485,7 @@ object Bm25 {
     val w = Window.partitionBy(col("qid"), col("_qt"))
       .orderBy(col("df").desc, col("term").asc)
     vocab.join(broadcast(qv), Seq("_v"))
-      .filter(abs(length(col("term")) - length(col("_qt"))) <= 1 &&
+      .filter(osaLe1(col("term"), col("_qt")) &&
         col("term") =!= col("_qt"))
       .select(col("qid"), col("_qt"), col("term"), col("df")).distinct()
       .withColumn("rank", row_number().over(w))

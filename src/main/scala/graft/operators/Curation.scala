@@ -40,10 +40,24 @@ object Curation {
   /** All k-gram fnv1a64 hashes of the lowercased text, positionally
     * indexed (`hs(i)` = hash of chars `[i, i+k)`). The shared kernel
     * under [[winnowingKernel]] (min-selection) and [[leakedSpans]]
-    * (exact span extension over candidate pairs). */
+    * (exact span extension over candidate pairs).
+    *
+    * Lowercasing is the LENGTH-PRESERVING per-char map
+    * (`Character.toLowerCase`), NOT `String.toLowerCase`: the string
+    * form can change length (U+0130 'İ' → "i̇"), which would
+    * misalign every downstream position against the ORIGINAL text —
+    * [[stripKernel]] cuts the original at positions computed here, so
+    * a length drift would cut the wrong chars or walk past the end. */
   def gramHashes(text: String, k: Int): Array[Long] = {
     if (text == null) return Array.empty
-    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val t = {
+      val arr = new Array[Char](text.length)
+      var c = 0
+      while (c < text.length) {
+        arr(c) = Character.toLowerCase(text.charAt(c)); c += 1
+      }
+      new String(arr)
+    }
     val n = t.length
     if (n < k) return Array.empty
     val m = n - k + 1

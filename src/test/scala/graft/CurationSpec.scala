@@ -1232,6 +1232,34 @@ class CurationSpec extends SparkSuite {
     assert(batch.count(_._2 > 0) == 20, "all 20 carriers cut")
   }
 
+  test("stripKernel: length-changing-lowercase chars keep spans aligned") {
+    // U+0130 'İ' lowercases to TWO chars under String.toLowerCase —
+    // gramHashes must use the length-preserving per-char map, so cut
+    // positions computed over the lowercased text still index the
+    // ORIGINAL (r16 advisory: a trailing İ run after a mined template
+    // threw StringIndexOutOfBounds when the spans drifted past the end).
+    import spark.implicits._
+    val header = "shared template header line with enough characters here "
+    val docs = (0 until 30).map { i =>
+      val body =
+        if (i < 5) s"İİ$i body İİİ tail$i İ"
+        else s"$i marker " + (1 to 8).map(j => s"w$i$j").mkString(" ")
+      (i.toLong, "s0", if (i < 20) header + body else body)
+    }.toDF("doc_id", "source", "text")
+    val minedDf = Curation.boilerplateFingerprints(
+      docs, "doc_id", "text", "source", 25, 8, minDf = 15L).select(col("fp"))
+    val mined = minedDf.collect().map(_.getLong(0))
+    val batch = Curation.stripBoilerplate(docs, minedDf, "doc_id", "text",
+        25, 8)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val ingest = Curation.stripBoilerplateAtIngest(docs, mined, "doc_id",
+        "text", 25, 8)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(ingest == batch, "streaming == batch must hold on non-ASCII input")
+    assert(batch.take(5).forall(r => r._2 > 0 && r._5.contains("İ")),
+      s"carriers cut with the İ body intact: ${batch.take(5)}")
+  }
+
   test("semanticContamination: scale-invariant flag; orthogonal and zero-norm clean") {
     import spark.implicits._
     val train = Seq(

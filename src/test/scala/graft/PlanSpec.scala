@@ -490,6 +490,12 @@ class PlanSpec extends SparkSuite {
     assert(!p1.contains("CartesianProduct"), p1.take(2000))
     assert(p1.contains("LeftSemi") && p1.contains("LeftAnti"),
       "must/mustNot must be semi/anti joins over ids:\n" + p1.take(3000))
+    // the top-k head must be a TakeOrdered (per-partition heaps), never
+    // a global rank window over the full candidate set — a common must
+    // term at scale would otherwise single-task-sort millions of rows
+    assert(p1.contains("TakeOrderedAndProject"),
+      "booleanTopK head must be TakeOrdered before the rank window:\n" +
+        p1.take(3000))
   }
 
   test("q302: snippets — cost bounded by the result set (semi-join before positions)") {

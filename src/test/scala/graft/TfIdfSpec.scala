@@ -344,6 +344,27 @@ class Bm25Spec extends SparkSuite {
     assert(run("cXrrectXerm").isEmpty, "two substitutions must NOT match")
   }
 
+  test("fuzzy verify: equal-length shifted pairs (OSA distance 2) rejected") {
+    // 'stop'/'tops' share delete-1 variant 'top' and pass the ±1 length
+    // rule, but OSA('stop','tops') = 2 — the post-join osaLe1 verify
+    // must reject the pair (the r16 advisory counterexample).
+    val docs = Seq(
+      (1L, "stop abcd zz"),
+      (2L, "filler text here")).toDF("doc_id", "text")
+    def run(q: String) = graft.operators.Bm25.fuzzyTopK(docs, "doc_id",
+        "text", Seq((900L, q)).toDF("qid", "qtext"), "qid", "qtext", 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(run("tops").isEmpty, "shifted pair stop/tops must NOT match")
+    assert(run("bcde").isEmpty, "shifted pair abcd/bcde must NOT match")
+    assert(run("stpo").map(_._3) == Seq(1L),
+      "true adjacent transposition still matches")
+    val sug = graft.operators.Bm25.didYouMean(docs, "doc_id", "text",
+        Seq((900L, "tops")).toDF("qid", "qtext"), "qid", "qtext", 3)
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(!sug.exists(_._4 == "stop"),
+      s"didYouMean must not suggest a distance-2 shift: $sug")
+  }
+
   test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
     val docs = Seq(
       (1L, "cat cot dog"), (2L, "cat dog"), (3L, "cat bird"),
