@@ -1152,9 +1152,9 @@ object CurationQueries {
       Some {
         def fold(slice: String): String =
           s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-             |    (h, b) -> ((h - (h % 256) +
-             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+             |    (h, b) -> (((h & 18446744073709551360) +
+             |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) & 18446744073709551615)""".stripMargin
         def winCtes(src: String, p: String): String =
           s"""${p}codes AS MATERIALIZED (
              |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
@@ -1411,10 +1411,7 @@ object CurationQueries {
              |    substr(text, 1, 150) || ' entirely new commentary words follow the lifted passage'
              |  FROM documents WHERE doc_id < 8),
              |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |csel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
@@ -1470,18 +1467,12 @@ object CurationQueries {
              |  UNION ALL SELECT 97100,
              |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
              |ech AS (SELECT id, lower(text) AS t FROM evals),
-             |egr AS (SELECT id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM ech WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("egr", "id", "ech")},
              |esel AS (SELECT DISTINCT id, fp FROM (
              |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
              |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
-             |tgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM tch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("tgr", "doc_id", "tch")},
              |tsel AS (SELECT DISTINCT fp FROM (
              |  SELECT min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
@@ -1562,18 +1553,12 @@ object CurationQueries {
              |  UNION ALL SELECT 97100,
              |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
              |ech AS (SELECT id, lower(text) AS t FROM evals),
-             |egr AS (SELECT id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM ech WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("egr", "id", "ech")},
              |esel AS (SELECT DISTINCT id, fp FROM (
              |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
              |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
-             |tgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM tch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("tgr", "doc_id", "tch")},
              |tsel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
@@ -1650,18 +1635,12 @@ object CurationQueries {
              |  UNION ALL SELECT 97100,
              |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
              |ech AS (SELECT id, lower(text) AS t FROM evals),
-             |egr AS (SELECT id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM ech WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("egr", "id", "ech")},
              |esel AS (SELECT DISTINCT id, fp FROM (
              |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
              |tch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |tgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM tch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("tgr", "doc_id", "tch")},
              |tsel AS (SELECT DISTINCT fp FROM (
              |  SELECT min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
@@ -1721,18 +1700,12 @@ object CurationQueries {
              |  UNION ALL SELECT 97100,
              |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
              |ech AS (SELECT id, lower(text) AS t FROM evals),
-             |egr AS (SELECT id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM ech WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("egr", "id", "ech")},
              |esel AS (SELECT DISTINCT fp FROM (
              |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
              |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
-             |tgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM tch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("tgr", "doc_id", "tch")},
              |tselD AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr))
@@ -1802,18 +1775,12 @@ object CurationQueries {
              |  UNION ALL SELECT 97100,
              |    'the purple quantum walrus audits a crystalline ledger of unseen comets while seventeen translucent beacons hum beneath the patient glacier tonight'),
              |ech AS (SELECT id, lower(text) AS t FROM evals),
-             |egr AS (SELECT id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM ech WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("egr", "id", "ech")},
              |esel AS (SELECT DISTINCT fp FROM (
              |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
              |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
-             |tgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM tch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("tgr", "doc_id", "tch")},
              |tselD AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
@@ -1970,18 +1937,12 @@ object CurationQueries {
              |        FROM tnw WHERE len(w) >= 13)),
              |normids AS (SELECT DISTINCT t.doc_id FROM tng t JOIN eng e ON e.g = t.g),
              |ech AS (SELECT id, lower(text) AS t FROM evals),
-             |egr AS (SELECT id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM ech WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("egr", "id", "ech")},
              |esel AS (SELECT DISTINCT fp FROM (
              |  SELECT id, min(h) OVER (PARTITION BY id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM egr)),
              |tch AS (SELECT doc_id, lower(text) AS t FROM documents),
-             |tgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM tch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("tgr", "doc_id", "tch")},
              |tselD AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM tgr)),
@@ -2030,10 +1991,7 @@ object CurationQueries {
              |    substr(text, 1, 150) || ' entirely new commentary words follow the lifted passage'
              |  FROM documents WHERE doc_id < 8),
              |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |csel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
@@ -2085,10 +2043,7 @@ object CurationQueries {
              |      ELSE text END AS text
              |  FROM documents),
              |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |csel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr))
@@ -2138,10 +2093,7 @@ object CurationQueries {
              |      ELSE text END AS text
              |  FROM documents),
              |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |csel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
@@ -2190,10 +2142,7 @@ object CurationQueries {
              |      ELSE text END AS text
              |  FROM documents),
              |cch AS (SELECT doc_id, text, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
              |    PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
@@ -2345,10 +2294,7 @@ object CurationQueries {
              |      ELSE text END AS text
              |  FROM documents),
              |cch AS (SELECT doc_id, text, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
              |    PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
@@ -2446,10 +2392,7 @@ object CurationQueries {
              |      ELSE text END AS text
              |  FROM documents),
              |cch AS (SELECT doc_id, text, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
              |    PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
@@ -2763,10 +2706,7 @@ object CurationQueries {
              |  FROM documents
              |  WHERE NOT (doc_id >= 40 AND doc_id < 70 AND doc_id % 2 = 0)),
              |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |csel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr))
@@ -2950,10 +2890,7 @@ object CurationQueries {
              |s2 AS (SELECT * FROM s1
              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
              |cch AS (SELECT doc_id, text, lower(text) AS t FROM s2),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |pk AS (SELECT doc_id, min(h * 1048576 + i) OVER (
              |    PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS key FROM cgr),
@@ -3119,10 +3056,7 @@ object CurationQueries {
            |        FROM tw WHERE len(w) >= 13)),
            |contam AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
            |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-           |cgr AS (SELECT doc_id, i,
-           |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-           |        FROM cch WHERE length(t) >= 25)),
+           |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
            |csel AS (SELECT DISTINCT doc_id, fp FROM (
            |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
            |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
@@ -3280,10 +3214,7 @@ object CurationQueries {
            |        FROM tw WHERE len(w) >= 13)),
            |contam AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
            |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-           |cgr AS (SELECT doc_id, i,
-           |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-           |        FROM cch WHERE length(t) >= 25)),
+           |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
            |csel AS (SELECT DISTINCT doc_id, fp FROM (
            |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
            |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
@@ -3339,10 +3270,7 @@ object CurationQueries {
              |    substr(text, 1, 150) || ' entirely new commentary words follow the lifted passage'
              |  FROM documents WHERE doc_id < 8),
              |cch AS (SELECT doc_id, lower(text) AS t FROM corpus),
-             |cgr AS (SELECT doc_id, i,
-             |    ${RelationalQueries5.fnvFold("substr(t, i, 25)")} AS h
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 24)) AS i
-             |        FROM cch WHERE length(t) >= 25)),
+             |${RelationalQueries5.fnvGramCtes("cgr", "doc_id", "cch")},
              |csel AS (SELECT DISTINCT doc_id, fp FROM (
              |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
              |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM cgr)),
@@ -3976,9 +3904,9 @@ object CurationQueries {
       s"""list_reduce(
          |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
          |      list_transform(string_split($colExpr, ''), c -> CAST(unicode(c) AS HUGEINT))),
-         |    (h, b) -> ((h - (h % 256) +
-         |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-         |      * 1099511628211) % 18446744073709551616)""".stripMargin
+         |    (h, b) -> (((h & 18446744073709551360) +
+         |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |      * 1099511628211) & 18446744073709551615)""".stripMargin
     s"""${TextQueries.gopherValsSql(corpusCte, p)},
        |${p}lab AS (SELECT v.doc_id,
        |  CAST(CASE WHEN ${TextQueries.gopherKeepSql} THEN 1 ELSE 0 END AS BIGINT) AS y

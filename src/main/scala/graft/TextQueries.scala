@@ -47,7 +47,7 @@ object TextQueries {
       s"($h,CAST($u AS UBIGINT))"
     }.mkString(",")
     def mulmod(a: String, b: String): String =
-      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+      s"((($a) & 4294967295) * $b + (((($a) >> 32) * $b) & 4294967295) * 4294967296) & 18446744073709551615"
     def xorShift(u: String, s: Int): String =
       s"CAST(xor($u, $u >> $s) AS HUGEINT)"
     s"""WITH corpus AS (
@@ -64,13 +64,13 @@ object TextQueries {
        |  SELECT sh, CAST(list_reduce(
        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
        |      list_transform(string_split(sh, ''), c -> CAST(unicode(c) AS HUGEINT))),
-       |    (h, b) -> ((h - (h % 256) +
-       |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-       |      * 1099511628211) % 18446744073709551616) AS UBIGINT) AS base
+       |    (h, b) -> (((h & 18446744073709551360) +
+       |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |      * 1099511628211) & 18446744073709551615) AS UBIGINT) AS base
        |  FROM bases),
        |hseeds AS (SELECT h, seed FROM (VALUES $seeds) s(h, seed)),
        |s0 AS (SELECT sh, h,
-       |  (CAST(xor(base, seed) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z1
+       |  (CAST(xor(base, seed) AS HUGEINT) + 11400714819323198485) & 18446744073709551615 AS z1
        |  FROM bhash CROSS JOIN hseeds),
        |s1 AS (SELECT sh, h, ${mulmod(xorShift("CAST(z1 AS UBIGINT)", 30), "13787848793156543929")} AS z2 FROM s0),
        |s2 AS (SELECT sh, h, ${mulmod(xorShift("CAST(z2 AS UBIGINT)", 27), "10723151780598845931")} AS z3 FROM s1),
@@ -348,9 +348,9 @@ object TextQueries {
   private[graft] def incrementalSubstringOracle: String = {
     def fold(slice: String): String =
       s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-         |    (h, b) -> ((h - (h % 256) +
-         |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-         |      * 1099511628211) % 18446744073709551616)""".stripMargin
+         |    (h, b) -> (((h & 18446744073709551360) +
+         |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |      * 1099511628211) & 18446744073709551615)""".stripMargin
     def winCtes(src: String, p: String): String =
       s"""${p}codes AS MATERIALIZED (
          |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
@@ -673,9 +673,9 @@ object TextQueries {
   private[graft] def spanWindowCtes(corpusCte: String, p: String): String = {
     def fold(slice: String): String =
       s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-         |    (h, b) -> ((h - (h % 256) +
-         |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-         |      * 1099511628211) % 18446744073709551616)""".stripMargin
+         |    (h, b) -> (((h & 18446744073709551360) +
+         |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         |      * 1099511628211) & 18446744073709551615)""".stripMargin
     s"""${p}codes AS MATERIALIZED (
        |  SELECT id, list_transform(list_filter(string_split(text, ''), c -> c <> ''),
        |    c -> CASE WHEN unicode(c) BETWEEN 0 AND 127 THEN CAST(unicode(c) AS HUGEINT)
@@ -1083,9 +1083,9 @@ object TextQueries {
       Some {
         def fold(slice: String): String =
           s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-             |    (h, b) -> ((h - (h % 256) +
-             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+             |    (h, b) -> (((h & 18446744073709551360) +
+             |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) & 18446744073709551615)""".stripMargin
         s"""WITH corpus AS (
            |  SELECT doc_id AS id, text FROM documents
            |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0
@@ -1171,9 +1171,9 @@ object TextQueries {
       Some {
         def fold(slice: String): String =
           s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $slice),
-             |    (h, b) -> ((h - (h % 256) +
-             |      CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616)""".stripMargin
+             |    (h, b) -> (((h & 18446744073709551360) +
+             |      CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) & 18446744073709551615)""".stripMargin
         // 1-based char positions: span i covers chars [i, i+64); Spark's
         // 0-based [pos, pos+64) is the same char set (pos = i-1). The
         // island test i > max_prev(i'+64) == Spark's pos > prev_end.
@@ -1359,7 +1359,7 @@ object TextQueries {
         // TextFunctions.PolyBase); product < 2^105 fits HUGEINT directly
         def fold(slice: String): String =
           s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), $slice),
-             |    (h, b) -> (h * 1099511628211 + b) % 18446744073709551616)""".stripMargin
+             |    (h, b) -> (h * 1099511628211 + b) & 18446744073709551615)""".stripMargin
         val span = "exact duplicated forty char span here!!!"
         s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
            |corpus AS (
@@ -1413,9 +1413,9 @@ object TextQueries {
              |    list_reduce(
              |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
              |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
-             |      (h, b) -> ((h - (h % 256) +
-             |        CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
-             |        * 1099511628211) % 18446744073709551616) AS h
+             |      (h, b) -> (((h & 18446744073709551360) +
+             |        CAST(xor(CAST(h & 255 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+             |        * 1099511628211) & 18446744073709551615) AS h
              |  FROM toks),
              |votes AS (
              |  SELECT id, bit,
@@ -2056,6 +2056,197 @@ object TextQueries {
              |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
              |  FROM (VALUES (9000001, 'zxcorrecttermz'),
              |    (9000002, 'zxcorrectterm'), (9000003, 'qqqqzz')) q(qid, qt)),
+             |cand AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
+             |  FROM fv JOIN fq ON fq.v = fv.v
+             |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1
+             |    AND fv.term <> fq.qt),
+             |cmm AS (SELECT qid, qt, term, df,
+             |    list_filter(generate_series(1, length(term)),
+             |      p -> substr(term, p, 1) <> substr(qt, p, 1)) AS mm
+             |  FROM cand),
+             |fm AS (SELECT qid, qt, term, df FROM cmm
+             |  WHERE length(term) <> length(qt)
+             |     OR len(mm) <= 1
+             |     OR (len(mm) = 2 AND mm[2] = mm[1] + 1
+             |         AND substr(term, mm[1], 1) = substr(qt, mm[2], 1)
+             |         AND substr(term, mm[2], 1) = substr(qt, mm[1], 1)))
+             |SELECT qid, qt AS term, CAST(rank AS BIGINT) AS rank,
+             |  sterm AS suggestion, df
+             |FROM (SELECT qid, qt, term AS sterm, df, ROW_NUMBER() OVER (
+             |    PARTITION BY qid, qt ORDER BY df DESC, term) AS rank
+             |  FROM fm)
+             |WHERE rank <= 3""".stripMargin)),
+
+    // MAINTAINED POSITIONAL INDEX → SERVE (Bm25.upsertPositional /
+    // removePositional / phraseMatchesFrom / snippetsFrom — r16
+    // missing #1): positions are PER-DOC facts, so the positional
+    // member folds with the tf/dl algebra (append = union, delete =
+    // id anti-join), and serving phrase + snippets from the MAINTAINED
+    // frame must hash-equal a recompute over (epoch ∪ batch) ∖ deleted
+    // — which is exactly what the oracle computes. Fixture: the batch
+    // plants the q300 phrase on its %7==0 docs (double at %14==0),
+    // epoch carriers at %7==0 too, and the deletion (%11==3) kills
+    // carriers on BOTH sides — a stale index would still match them.
+    // The serve side also exercises the RAREST-TERM anchor (df probe
+    // over the maintained frame; 'zq0grafted' is the rarest by
+    // construction so the chain anchors off-head).
+    Q("q306_positional_index_serve",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        def plant(c: org.apache.spark.sql.DataFrame) = c.select(col("doc_id"),
+          when(col("doc_id") % 14 === 0,
+            concat(col("text"), lit(phrase), lit(phrase)))
+            .when(col("doc_id") % 7 === 0, concat(col("text"), lit(phrase)))
+            .otherwise(col("text")).as("text"))
+        val epoch = plant(d.filter(col("doc_id") % 3 =!= 0))
+        val batch = plant(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+        val deleted = epoch.select(col("doc_id"))
+          .unionByName(batch.select(col("doc_id")))
+          .filter(col("doc_id") % 11 === 3)
+        val maintained = graft.operators.Bm25.removePositional(
+          graft.operators.Bm25.upsertPositional(
+            graft.operators.Bm25.positionalPostings(epoch, "doc_id", "text"),
+            batch, "doc_id", "text"),
+          deleted, "doc_id")
+        val p = graft.operators.OperatorCaches.track(maintained.persist())
+        val terms = Seq("zq0grafted", "exact", "phrase", "marker")
+        val ph = graft.operators.Bm25.phraseMatchesFrom(p, terms)
+        val results = ph.select(lit(1L).as("qid"), col("id"))
+        val qterms = terms.map((1L, _)).toDF("qid", "term")
+        val sn = graft.operators.Bm25.snippetsFrom(p, results, qterms,
+          windowTokens = 20)
+        ph.join(sn.select(col("id"), col("snip_start"), col("n_hits"),
+            col("snippet")), Seq("id"))
+      },
+      Some("""WITH surv AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+             |    UNION ALL
+             |    SELECT doc_id + 50000, text FROM documents WHERE doc_id % 3 = 0)
+             |  WHERE doc_id % 11 <> 3),
+             |corpus AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 14 = 0
+             |      THEN text || ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN text || ' zq0grafted exact phrase marker'
+             |      ELSE text END AS text
+             |  FROM surv),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |m AS (SELECT a.doc_id, a.pos FROM pos a
+             |  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN pos d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+             |    AND d.term = 'marker'
+             |  WHERE a.term = 'zq0grafted'),
+             |occ AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_occurrences
+             |  FROM m GROUP BY doc_id),
+             |hp AS (SELECT p.doc_id AS id, p.pos
+             |  FROM pos p JOIN occ ON occ.id = p.doc_id
+             |  WHERE p.term IN ('zq0grafted', 'exact', 'phrase', 'marker')),
+             |wh AS (SELECT id, pos,
+             |    count(*) OVER (PARTITION BY id ORDER BY pos
+             |      RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING) AS n_hits
+             |  FROM hp),
+             |best AS (SELECT id, pos AS snip_start, n_hits FROM (
+             |    SELECT id, pos, n_hits, ROW_NUMBER() OVER (
+             |      PARTITION BY id ORDER BY n_hits DESC, pos) AS rn
+             |    FROM wh) WHERE rn = 1)
+             |SELECT o.id, o.n_occurrences, b.snip_start,
+             |  CAST(b.n_hits AS BIGINT) AS n_hits,
+             |  array_to_string(t.w[CAST(b.snip_start + 1 AS INT)
+             |    :CAST(b.snip_start + 20 AS INT)], ' ') AS snippet
+             |FROM occ o JOIN best b ON b.id = o.id
+             |  JOIN tw t ON t.doc_id = o.id""".stripMargin)),
+
+    // MAINTAINED SYMSPELL VARIANT INDEX (Bm25.variantIndex /
+    // maintainVariantIndex / didYouMeanFrom — r16 missing #2 + the
+    // per-call-rebuild advisory): delete-1 variants are PER-TERM
+    // facts, so the variant index's row set follows the df table's
+    // term set exactly, and the fold across an IndexStats transition
+    // is pure term-set algebra (born terms explode in, dead terms
+    // anti-join out) — never a text or vocabulary re-scan. Fixture:
+    // the epoch plants 'zxsingular' (%9==0) and 'zxsingulars' (%6==0),
+    // the batch births 'zxbrandnew' (+50000 docs, %4==0), then the
+    // DELETION kills every zxsingular carrier — its df hits 0, the
+    // stats CRUD drops the term, and the folded variant index must
+    // stop suggesting it (deletion load-bearing) while the born term
+    // starts. Oracle = suggestion recompute over the survivors.
+    Q("q307_variant_index_maintenance",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, " zxsingular").otherwise(""),
+            when(col("doc_id") % 6 === 0, " zxsingulars").otherwise(""))
+            .as("text"))
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            when(col("doc_id") % 4 === 0,
+              concat(col("text"), lit(" zxbrandnew")))
+              .otherwise(col("text")).as("text"))
+        val deleted = epoch.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"))
+        val bm = graft.operators.Bm25
+        val s0 = bm.indexStats(epoch, "doc_id", "text")
+        val df0 = graft.operators.OperatorCaches.track(s0.df.persist())
+        val vi0 = bm.variantIndex(df0)
+        val s1 = bm.upsertIndexStats(
+          bm.IndexStats(s0.tf, s0.dl, df0, s0.totals),
+          batch, "doc_id", "text")
+        val df1 = graft.operators.OperatorCaches.track(s1.df.persist())
+        val vi1 = bm.maintainVariantIndex(vi0, df0, df1)
+        val s2 = bm.removeIndexStats(
+          bm.IndexStats(s1.tf, s1.dl, df1, s1.totals), deleted, "doc_id")
+        val df2 = graft.operators.OperatorCaches.track(s2.df.persist())
+        val vi2 = bm.maintainVariantIndex(vi1, df1, df2)
+        val queries = Seq(
+          (9000001L, "zxsingularz"),  // dist 1 to BOTH plants; one is dead
+          (9000002L, "zxbrandnews"),  // dist 1 to the born term
+          (9000003L, "qqqqzz"))       // no suggestions
+          .toDF("qid", "qtext")
+        bm.didYouMeanFrom(vi2, df2, queries, "qid", "qtext", k = 3)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 6 = 0 THEN ' zxsingulars' ELSE '' END
+             |    AS text
+             |  FROM documents WHERE doc_id % 9 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 50000,
+             |    CASE WHEN (doc_id + 50000) % 4 = 0
+             |      THEN text || ' zxbrandnew' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |terms AS (SELECT doc_id AS id, unnest(string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM corpus),
+             |tfq AS (SELECT id, term FROM terms WHERE length(term) > 0
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |fv AS (SELECT term, df, unnest(list_distinct(list_concat([term],
+             |    list_transform(generate_series(0, length(term) - 1),
+             |      i -> substr(term, 1, i) || substr(term, i + 2))))) AS v
+             |  FROM dfq),
+             |fq AS (SELECT qid, qt, unnest(list_distinct(list_concat([qt],
+             |    list_transform(generate_series(0, length(qt) - 1),
+             |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
+             |  FROM (VALUES (9000001, 'zxsingularz'),
+             |    (9000002, 'zxbrandnews'), (9000003, 'qqqqzz')) q(qid, qt)),
              |cand AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
              |  FROM fv JOIN fq ON fq.v = fv.v
              |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1

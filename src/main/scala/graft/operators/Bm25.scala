@@ -228,19 +228,62 @@ object Bm25 {
     * stream, same basis as BM25.
     * @return (id, n_occurrences) for docs with ≥1 occurrence */
   def phraseMatches(corpus: DataFrame, idCol: String, textCol: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String]): DataFrame =
+    phraseMatchesFrom(OperatorCaches.track(
+      positionalPostings(corpus, idCol, textCol).persist()), phrase)
+
+  /** [[phraseMatches]] over an EXISTING positional postings frame —
+    * the maintained-index serve path ([[upsertPositional]] /
+    * [[removePositional]] keep the frame current; a live corpus is
+    * never re-scanned per query set). The adjacency chain anchors at
+    * the RAREST phrase term (min df, tie to the leftmost): the chain's
+    * intermediate size is then bounded by the SMALLEST posting list
+    * instead of the first word's — phrase.head is often a stopword
+    * whose list is the corpus. The df probe is a driver-local
+    * aggregate over just the |phrase| filtered posting lists (the
+    * fit-time-collect discipline); anchor choice cannot change the
+    * RESULT (the joins commute), only the plan's intermediate. */
+  def phraseMatchesFrom(p: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "empty phrase")
-    val p = OperatorCaches.track(
-      positionalPostings(corpus, idCol, textCol).persist())
     val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
-    val anchor = p.filter(col("term") === terms.head)
-      .select(col("id"), col("pos").as("p0"))
-    terms.zipWithIndex.tail.foldLeft(anchor) { case (acc, (t, i)) =>
-      acc.join(p.filter(col("term") === t)
-          .select(col("id"), (col("pos") - i).as("p0")),
-        Seq("id", "p0"))
+    val dfs = p.filter(col("term").isin(terms.distinct: _*))
+      .groupBy(col("term")).agg(countDistinct(col("id")).as("_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a phrase term absent from the index ⇒ zero matches either way;
+    // Long.MaxValue keeps the absent term OUT of the anchor slot so the
+    // empty filter still participates as a join (plan stays uniform)
+    val ai = terms.indices
+      .minBy(i => (dfs.getOrElse(terms(i), Long.MaxValue), i))
+    val anchor = p.filter(col("term") === terms(ai))
+      .select(col("id"), (col("pos") - ai).as("p0"))
+    terms.zipWithIndex.filter(_._2 != ai).foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(p.filter(col("term") === t)
+            .select(col("id"), (col("pos") - i).as("p0")),
+          Seq("id", "p0"))
     }.groupBy(col("id")).agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** POSITIONAL postings as a MAINTAINED index member (the q254
+    * sufficient-statistics discipline applied to positions): a token's
+    * position is a PER-DOC fact — no global statistic depends on other
+    * docs — so the fold algebra is tf/dl's: append = union, delete =
+    * id anti-join, update = remove ∘ upsert, and fold == recompute
+    * over (epoch ∪ batch) ∖ deleted holds by construction (gated
+    * hash-equal, q306). Serve [[phraseMatchesFrom]] /
+    * [[proximityTopKFrom]] / [[snippetsFrom]] read this frame; in
+    * production it persists bucketed on term (phrase/fuzzy serve) or
+    * id (snippets) per [[Layout.bucketize]]. */
+  def upsertPositional(base: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    base.unionByName(positionalPostings(batch, idCol, textCol))
+
+  /** Deletion for the positional member — an id anti-join (positions
+    * are per-doc facts; nothing global to rebalance). Idempotent. */
+  def removePositional(base: DataFrame, deletedIds: DataFrame,
+      idCol: String): DataFrame =
+    base.join(deletedIds.select(col(idCol).as("id")), Seq("id"),
+      "left_anti")
 
   /** BOOLEAN retrieval with BM25 ranking: docs containing EVERY `must`
     * term and NONE of the `mustNot` terms, scored by the summed
@@ -305,9 +348,18 @@ object Bm25 {
     * @return (qid, id, snip_start 0-based token pos, n_hits, snippet) */
   def snippets(corpus: DataFrame, idCol: String, textCol: String,
       results: DataFrame, queryTermsDf: DataFrame,
-      windowTokens: Int = 20): DataFrame = {
+      windowTokens: Int = 20): DataFrame =
+    snippetsFrom(positionalPostings(corpus, idCol, textCol), results,
+      queryTermsDf, windowTokens)
+
+  /** [[snippets]] over an existing positional postings frame (the
+    * maintained-index serve path — no corpus re-scan per result set).
+    * The result-set semi-join stays INSIDE: only result docs'
+    * positions are paid, whatever the index size. */
+  def snippetsFrom(postings: DataFrame, results: DataFrame,
+      queryTermsDf: DataFrame, windowTokens: Int = 20): DataFrame = {
     require(windowTokens >= 1, "bad window")
-    val p = OperatorCaches.track(positionalPostings(corpus, idCol, textCol)
+    val p = OperatorCaches.track(postings
       .join(results.select(col("id")).distinct(), Seq("id"), "left_semi")
       .persist())
     // hit positions of each query's terms within its result docs
@@ -346,14 +398,22 @@ object Bm25 {
     * terms at epoch scale (the LSH band-cap argument).
     * @return (qid, rank, id, score_micro, prox_micro) */
   def proximityTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, k: Int = 10): DataFrame =
+    proximityTopKFrom(indexStats(corpus, idCol, textCol),
+      OperatorCaches.track(
+        positionalPostings(corpus, idCol, textCol).persist()),
+      queryPred, k)
+
+  /** [[proximityTopK]] against MAINTAINED index members — BM25 scores
+    * from [[IndexStats]], pair distances from the positional frame; a
+    * live corpus is never re-tokenized per query set. */
+  def proximityTopKFrom(s: IndexStats, postings: DataFrame,
       queryPred: Column, k: Int = 10): DataFrame = {
-    val s = indexStats(corpus, idCol, textCol)
     val contrib = contribFromStats(s)
     val qterms = OperatorCaches.track(s.tf.filter(queryPred)
       .select(col("id").as("qid"), col("term")).persist())
     val base = scoreJoin(qterms, contrib)
-    val p = OperatorCaches.track(
-      positionalPostings(corpus, idCol, textCol).persist())
+    val p = postings
     val qpos = qterms.join(p, Seq("term"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("term"), col("pos"))
@@ -446,12 +506,47 @@ object Bm25 {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10): DataFrame = {
     val s = indexStats(corpus, idCol, textCol)
-    val vocab = s.df.select(col("term"))
+    fuzzyTopKFrom(s, variantIndex(s.df), queries, qidCol, qtextCol, k)
+  }
+
+  /** SymSpell delete-1 variant index as a MAINTAINED artifact beside
+    * the df table (the r16 advisory: the per-call vocabulary variant
+    * explosion — one row per character of every distinct term — is the
+    * dominant fuzzy-serve cost repaid per query batch at epoch scale).
+    * Variants are PER-TERM facts, so the index's row set follows the
+    * df table's TERM set exactly: a term lives in the variant index
+    * iff df > 0. Rows are (term, _v); in production it persists
+    * bucketed on _v (the equi-join key). */
+  def variantIndex(terms: DataFrame): DataFrame =
+    terms.select(col("term"))
       .withColumn("_v", explode(delete1Variants(col("term"))))
+
+  /** Fold the variant index across one [[IndexStats]] transition:
+    * terms BORN in `afterDf` (absent from `beforeDf`) explode in;
+    * terms DEAD (df reached 0, so [[removeIndexStats]] dropped them
+    * from the df table) anti-join out. Both deltas derive from the df
+    * tables the stats CRUD already maintains — never from text. Fold
+    * == rebuild from afterDf's term set (gated hash-equal, q307, with
+    * deletion load-bearing: a dead term stops suggesting). */
+  def maintainVariantIndex(vi: DataFrame, beforeDf: DataFrame,
+      afterDf: DataFrame): DataFrame = {
+    val born = afterDf.select(col("term"))
+      .join(beforeDf.select(col("term")), Seq("term"), "left_anti")
+    val dead = beforeDf.select(col("term"))
+      .join(afterDf.select(col("term")), Seq("term"), "left_anti")
+    vi.join(dead, Seq("term"), "left_anti")
+      .unionByName(variantIndex(born))
+  }
+
+  /** [[fuzzyTopK]] against maintained members — the variant equi-join
+    * reads the persisted index instead of re-exploding the vocabulary
+    * per call. */
+  def fuzzyTopKFrom(s: IndexStats, vi: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
     val qv = queryTerms(queries, qidCol, qtextCol)
       .select(col("qid"), col("term").as("_qt"))
       .withColumn("_v", explode(delete1Variants(col("_qt"))))
-    val matched = vocab.join(broadcast(qv), Seq("_v"))
+    val matched = vi.join(broadcast(qv), Seq("_v"))
       .filter(osaLe1(col("term"), col("_qt")))
       .select(col("qid"), col("term")).distinct()
     val nMatched = matched.groupBy(col("qid"))
@@ -477,8 +572,15 @@ object Bm25 {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 3): DataFrame = {
     val s = indexStats(corpus, idCol, textCol)
-    val vocab = s.df
-      .withColumn("_v", explode(delete1Variants(col("term"))))
+    didYouMeanFrom(variantIndex(s.df), s.df, queries, qidCol, qtextCol, k)
+  }
+
+  /** [[didYouMean]] against the maintained variant index + df table —
+    * suggestions never touch text OR re-explode the vocabulary. */
+  def didYouMeanFrom(vi: DataFrame, dfTable: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 3): DataFrame = {
+    val vocab = vi.join(dfTable.select(col("term"), col("df")), Seq("term"))
     val qv = queryTerms(queries, qidCol, qtextCol)
       .select(col("qid"), col("term").as("_qt"))
       .withColumn("_v", explode(delete1Variants(col("_qt"))))

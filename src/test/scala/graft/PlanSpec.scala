@@ -498,6 +498,19 @@ class PlanSpec extends SparkSuite {
         p1.take(3000))
   }
 
+  test("q306/q307: maintained-index serve — anti-join deletes, no cartesian") {
+    val p0 = plan("q306_positional_index_serve")
+    assert(!p0.contains("CartesianProduct"), p0.take(2000))
+    assert(p0.contains("LeftAnti"),
+      "positional deletion must be an id anti-join:\n" + p0.take(3000))
+    assert(!p0.contains("], true, 0"),
+      "no global sort in the positional serve:\n" + p0.take(3000))
+    val p1 = plan("q307_variant_index_maintenance")
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    assert(p1.contains("LeftAnti"),
+      "dead-term removal must be an anti-join:\n" + p1.take(3000))
+  }
+
   test("q302: snippets — cost bounded by the result set (semi-join before positions)") {
     val p = plan("q302_result_snippets")
     assert(!p.contains("CartesianProduct"), p.take(2000))

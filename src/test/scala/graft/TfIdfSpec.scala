@@ -365,6 +365,68 @@ class Bm25Spec extends SparkSuite {
       s"didYouMean must not suggest a distance-2 shift: $sug")
   }
 
+  test("positional index fold == rebuild; serve equals corpus form") {
+    import spark.implicits._
+    val epoch = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "alpha beta gamma epsilon"),
+      (5L, "unrelated words")).toDF("doc_id", "text")
+    val deleted = Seq(3L, 4L).toDF("doc_id")
+    val bm = graft.operators.Bm25
+    val maintained = bm.removePositional(
+      bm.upsertPositional(bm.positionalPostings(epoch, "doc_id", "text"),
+        batch, "doc_id", "text"),
+      deleted, "doc_id")
+    val survivors = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma"),
+      (5L, "unrelated words")).toDF("doc_id", "text")
+    val rebuilt = bm.positionalPostings(survivors, "doc_id", "text")
+    val m = maintained.as[(Long, Long, String)].collect().sorted.toSeq
+    val r = rebuilt.as[(Long, Long, String)].collect().sorted.toSeq
+    assert(m == r, "positional fold must equal the survivor recompute")
+    // serve parity: the From form over the maintained frame == the
+    // corpus form over the survivors (and the rarest-term anchor
+    // choice cannot change the result — 'beta' is commonest here)
+    val a = bm.phraseMatchesFrom(maintained, Seq("beta", "gamma"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = bm.phraseMatches(survivors, "doc_id", "text",
+        Seq("beta", "gamma")).as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b && a.map(_._1) == Seq(1L, 2L), s"$a vs $b")
+  }
+
+  test("variant index fold == rebuild; dead terms stop suggesting") {
+    import spark.implicits._
+    val epoch = Seq(
+      (1L, "zxsingular common"),
+      (2L, "zxsingulars common"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val batch = Seq((4L, "zxbrandnew common")).toDF("doc_id", "text")
+    val bm = graft.operators.Bm25
+    val s0 = bm.indexStats(epoch, "doc_id", "text")
+    val vi0 = bm.variantIndex(s0.df)
+    val s1 = bm.upsertIndexStats(s0, batch, "doc_id", "text")
+    val vi1 = bm.maintainVariantIndex(vi0, s0.df, s1.df)
+    val s2 = bm.removeIndexStats(s1, Seq(1L).toDF("doc_id"), "doc_id")
+    val vi2 = bm.maintainVariantIndex(vi1, s1.df, s2.df)
+    val folded = vi2.as[(String, String)].collect().sorted.toSeq
+    val rebuilt = bm.variantIndex(s2.df).as[(String, String)]
+      .collect().sorted.toSeq
+    assert(folded == rebuilt, "variant fold must equal rebuild from df")
+    assert(!folded.exists(_._1 == "zxsingular"),
+      "a term whose df hit 0 must leave the variant index")
+    assert(folded.exists(_._1 == "zxbrandnew"),
+      "a born term must enter the variant index")
+    val sug = bm.didYouMeanFrom(vi2, s2.df,
+        Seq((9L, "zxsingularz")).toDF("qid", "qtext"), "qid", "qtext", 3)
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(sug.map(_._4) == Seq("zxsingulars"),
+      s"only the live plural may suggest: $sug")
+  }
+
   test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
     val docs = Seq(
       (1L, "cat cot dog"), (2L, "cat dog"), (3L, "cat bird"),

@@ -71,26 +71,55 @@ def main():
     names = sorted([d for d in os.listdir(outdir)
                     if os.path.isdir(os.path.join(outdir, d))])
     n_exact = n_close = n_bad = n_noracle = 0
+    # Per-query verdicts STREAM to <outdir>/correctness_partial.json as
+    # they complete (atomic rename per update): a budget-killed compare
+    # leaves an adjudicable partial file, never an empty artifact (the
+    # CORRECTNESS_r16 == {} failure mode).
+    verdicts = {}
+    partial_path = os.path.join(outdir, "correctness_partial.json")
+    def flush():
+        tmp = partial_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(verdicts, f)
+        os.replace(tmp, partial_path)
+    import time
     for name in names:
+        t0 = time.time()
         spark_df = load_spark(outdir, name)
         if spark_df is None:
-            print(f"FAIL  {name}: no spark output"); n_bad += 1; continue
+            print(f"FAIL  {name}: no spark output", flush=True); n_bad += 1
+            verdicts[name] = {"status": "fail", "msg": "no spark output"}
+            flush(); continue
         if name not in oracles:
             status = "ROWS " if len(spark_df) > 0 else "EMPTY"
-            print(f"{status} {name}: no oracle, rows={len(spark_df)}")
+            print(f"{status} {name}: no oracle, rows={len(spark_df)}",
+                  flush=True)
             n_noracle += 1
-            continue
+            verdicts[name] = {"status": "rows_only", "rows": len(spark_df)}
+            flush(); continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}"); n_bad += 1; continue
+            print(f"FAIL  {name}: oracle SQL error: {e}", flush=True)
+            n_bad += 1
+            verdicts[name] = {"status": "fail",
+                              "msg": f"oracle SQL error: {e}"[:400]}
+            flush(); continue
         exact, close, msg = cmp_frames(spark_df, odf)
+        dt = time.time() - t0
         if exact:
-            print(f"OK    {name} ({len(spark_df)} rows)"); n_exact += 1
+            print(f"OK    {name} ({len(spark_df)} rows, {dt:.1f}s)",
+                  flush=True)
+            n_exact += 1
+            verdicts[name] = {"status": "exact", "rows": len(spark_df),
+                              "sec": round(dt, 2)}
         elif close:
-            print(f"CLOSE {name}: {msg}"); n_close += 1
+            print(f"CLOSE {name}: {msg}", flush=True); n_close += 1
+            verdicts[name] = {"status": "close", "msg": msg[:400]}
         else:
-            print(f"FAIL  {name}: {msg}"); n_bad += 1
+            print(f"FAIL  {name}: {msg}", flush=True); n_bad += 1
+            verdicts[name] = {"status": "fail", "msg": msg[:400]}
+        flush()
     print(f"\n== {n_exact} exact, {n_close} close, {n_bad} FAIL, {n_noracle} rows-only ==")
     sys.exit(1 if n_bad else 0)
 
