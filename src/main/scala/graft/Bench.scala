@@ -186,7 +186,11 @@ object Bench {
     "q303"->2.943, "q304"->1.458,
     // round-16 fifteenth wave (clean solo FORCE_MIN min-of-3, calib
     // 2.297, 12-control median 0.9025, regress 0, cold_only 0)
-    "q305"->1.069)
+    "q305"->1.069,
+    // r17 appends — clean solo FORCE_MIN wave (calib 2.290, regress 0,
+    // cold_only 0), normalized by the wave's 12-control median 0.855
+    "q306"->2.398, "q307"->2.855, "q308"->4.372, "q309"->0.605,
+    "q310"->6.645)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

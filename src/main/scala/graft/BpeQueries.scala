@@ -1335,13 +1335,99 @@ object BpeQueries {
             col("_s")("_3").as("pieces"))
       },
       Some(q189Oracle)),
+
+    // CROSS-BASIS FERTILITY SCORECARD (r16 missing #4's comparison
+    // half): the three production tokenizer bases — unigram-LM
+    // (q189's fit), lexer-basis BPE (q142's fit), and GPT-2-basis BPE
+    // (q256's fit, measured on the IN-CONTEXT spaced form ' '||word,
+    // where the leading space is part of the token) — segment the SAME
+    // fitted vocabulary, weighted by fit frequency. Fertility
+    // (pieces per word occurrence, micro-exact) is THE number a
+    // pretraining-budget decision reads: more pieces = more sequence
+    // positions for the same text. Oracle composes the three existing
+    // fit replays (u-chain, fitChain+encode over the words-as-docs,
+    // gpt2 chains over the spaced forms) — every np is earned by a
+    // full relational replay of its fit.
+    Q("q309_tokenizer_basis_fertility",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val (uModel, vocab) =
+          graft.functions.UnigramLm.fit(d, "doc_id", "text")
+        val vw = vocab.toDF("word", "freq")
+        val lexModel = fitModel(spark, dir)
+        val gModel = Bpe.fitGpt2(d, "doc_id", "text",
+          SampleDocs, MaxWords, NumMerges)
+        val per = graft.operators.OperatorCaches.track(vw.select(
+          col("word"), col("freq"),
+          graft.functions.UnigramLm.segmentCol(col("word"), uModel)("_2")
+            .cast("long").as("np_u"),
+          size(Bpe.encodeCol(col("word"), lexModel)).cast("long").as("np_l"),
+          size(Bpe.encodeGpt2Col(concat(lit(" "), col("word")), gModel))
+            .cast("long").as("np_g")).persist())
+        def leg(basis: String, c: String) = per
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("freq")).as("total_freq"),
+            sum(col("freq") * col(c)).as("weighted_pieces"))
+          .select(lit(basis).as("basis"), col("n_words"),
+            col("total_freq"), col("weighted_pieces"),
+            expr("weighted_pieces * 1000000 DIV total_freq")
+              .as("fertility_micro"))
+        leg("bpe_gpt2", "np_g")
+          .unionByName(leg("bpe_lexer", "np_l"))
+          .unionByName(leg("unigram", "np_u"))
+      },
+      Some {
+        def legSql(basis: String, c: String): String =
+          s"""SELECT '$basis' AS basis,
+             |  CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(f) AS BIGINT) AS total_freq,
+             |  CAST(sum(f * $c) AS BIGINT) AS weighted_pieces,
+             |  CAST(sum(f * $c) * 1000000 // sum(f) AS BIGINT)
+             |    AS fertility_micro
+             |FROM stats""".stripMargin
+        s"""WITH $unigramFitCtes,
+           |$fitChain,
+           |uwdocs AS (SELECT ROW_NUMBER() OVER (ORDER BY w) AS doc_id,
+           |  w AS text, w, f FROM uwords),
+           |${encodeChainOver("uwdocs", byteFallback = false)},
+           |${gpt2PreTokCtes("gs", "samp")},
+           |$gpt2FitCtes,
+           |guwdocs AS (SELECT doc_id, ' ' || text AS text FROM uwdocs),
+           |${gpt2PreTokCtes("gd", "guwdocs")},
+           |$gpt2EncodeCtes,
+           |stats AS (
+           |  SELECT u.w, u.f,
+           |    sg.np AS np_u,
+           |    len(p.bt) AS np_l,
+           |    len(gp.bt) AS np_g
+           |  FROM uwords u
+           |  JOIN usegf sg ON sg.w = u.w
+           |  JOIN uwdocs ud ON ud.w = u.w
+           |  JOIN per p ON p.doc_id = ud.doc_id
+           |  JOIN gper gp ON gp.doc_id = ud.doc_id)
+           |${legSql("bpe_gpt2", "np_g")}
+           |UNION ALL ${legSql("bpe_lexer", "np_l")}
+           |UNION ALL ${legSql("unigram", "np_u")}""".stripMargin
+      }),
   )
 
   /** q189 oracle (see the registration comment). Each seg block is 24
     * unrolled DP stages: `sel` extends every reachable position by a
     * piece ending at p, `nxt` keeps the (cost, start)-minimal
     * extension with its segmentation string, `acc` accumulates. */
-  private def q189Oracle: String = {
+  private def q189Oracle: String =
+    s"""WITH $unigramFitCtes
+       |SELECT w AS word, f AS freq, cost AS cost_micro,
+       |  CAST(np AS BIGINT) AS n_pieces, seg AS pieces
+       |FROM usegf""".stripMargin
+
+  /** The q189 fit+segmentation chain WITHOUT the leading WITH or final
+    * SELECT — `usegf(w, f, cost, seg, np)` is the final model's
+    * segmentation of every fitted-vocab word. Shared by q189 and the
+    * q309 cross-basis fertility comparison. */
+  private def unigramFitCtes: String = {
     import graft.functions.UnigramLm.{EmIters, MaxPieceLen, MaxWordLen, SeedSize}
     def scoreCte(k: Int): String =
       s"""us$k AS (SELECT p, CAST(round(-ln(CAST(c AS DOUBLE)
@@ -1380,8 +1466,8 @@ object BpeQueries {
          |  UNION ALL
          |  SELECT ch.p, greatest(coalesce(sc.c, 0), 1)
          |  FROM uchars ch LEFT JOIN usegcnt$k sc ON sc.p = ch.p)""".stripMargin
-    require(EmIters == 2, "q189 oracle unrolls exactly EmIters = 2 blocks")
-    s"""WITH ubase AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    require(EmIters == 2, "unigramFitCtes unrolls exactly EmIters = 2 blocks")
+    s"""ubase AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
        |${RelationalQueries5.mix64Stages("ubase", Seq("doc_id", "text"),
             "CAST(doc_id AS HUGEINT)", prefix = "u")},
        |usamp AS (SELECT doc_id, text FROM umixed ORDER BY vu LIMIT $SampleDocs),
@@ -1407,10 +1493,7 @@ object BpeQueries {
        |${segBlock(1, "b")},
        |${countCte(2, "b")},
        |${scoreCte(2)},
-       |${segBlock(2, "f")}
-       |SELECT w AS word, f AS freq, cost AS cost_micro,
-       |  CAST(np AS BIGINT) AS n_pieces, seg AS pieces
-       |FROM usegf""".stripMargin
+       |${segBlock(2, "f")}""".stripMargin
   }
 
   /** q187 oracle: the composed replay — injected corpus → q182's

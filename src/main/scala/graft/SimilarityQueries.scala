@@ -189,8 +189,12 @@ object SimilarityQueries {
     * so the doubled-corpus form (q162 semantic dedup) shares the exact
     * kernel the q42/q111 chain gates. `ptsSql` must yield (vid, v, nrm)
     * with zero-norm rows already excluded. */
+  /** `pfx` renames the whole CTE chain (`{pfx}pts` … `{pfx}afinal` /
+    * `{pfx}finalcent`) and suppresses the leading WITH, so one oracle
+    * can replay TWO independent fits (the q308 refit cycle trains the
+    * old fit on the epoch and the new fit on epoch ∪ drift). */
   private def kmeansAssignCtes(ptsSql: String, nCells: Int,
-      maxIter: Int): StringBuilder = {
+      maxIter: Int, pfx: String = ""): StringBuilder = {
     def d2(p: String, c: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($p, $c), " +
         s"s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), (a,b) -> a + b)"
@@ -199,7 +203,7 @@ object SimilarityQueries {
          |$out AS MATERIALIZED (
          |  SELECT vid, cidx AS cell FROM (
          |    SELECT p.vid, c.cidx, ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${d2("p.v", "c.c")}, c.cidx) AS rk
-         |    FROM pts p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
+         |    FROM ${pfx}pts p CROSS JOIN $cent c) WHERE rk = 1)""".stripMargin
     def updateStage(assign: String, prev: String, out: String): String =
       s""",
          |$out AS MATERIALIZED (
@@ -210,22 +214,22 @@ object SimilarityQueries {
          |    END AS c
          |  FROM $prev pc LEFT JOIN (
          |    SELECT a.cell, list(p.v ORDER BY p.vid) AS vs, count(*) AS n
-         |    FROM $assign a JOIN pts p ON p.vid = a.vid GROUP BY a.cell) m
+         |    FROM $assign a JOIN ${pfx}pts p ON p.vid = a.vid GROUP BY a.cell) m
          |  ON m.cell = pc.cidx)""".stripMargin
     val sb = new StringBuilder(
-      s"""WITH pts AS MATERIALIZED (
+      s"""${if (pfx.isEmpty) "WITH " else ""}${pfx}pts AS MATERIALIZED (
          |  $ptsSql),
-         |cent0 AS MATERIALIZED (
+         |${pfx}cent0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INT) AS cidx, CAST(v AS DOUBLE[]) AS c
-         |  FROM (SELECT vid, v FROM pts ORDER BY vid LIMIT $nCells))""".stripMargin)
-    var prev = "cent0"
+         |  FROM (SELECT vid, v FROM ${pfx}pts ORDER BY vid LIMIT $nCells))""".stripMargin)
+    var prev = s"${pfx}cent0"
     for (it <- 0 until maxIter) {
-      sb.append(assignStage(prev, s"a$it"))
-      sb.append(updateStage(s"a$it", prev, s"cent${it + 1}"))
-      prev = s"cent${it + 1}"
+      sb.append(assignStage(prev, s"${pfx}a$it"))
+      sb.append(updateStage(s"${pfx}a$it", prev, s"${pfx}cent${it + 1}"))
+      prev = s"${pfx}cent${it + 1}"
     }
-    sb.append(assignStage(prev, "afinal"))
-    sb.append(s",\nfinalcent AS (SELECT * FROM $prev)")
+    sb.append(assignStage(prev, s"${pfx}afinal"))
+    sb.append(s",\n${pfx}finalcent AS (SELECT * FROM $prev)")
     sb
   }
 
@@ -1575,6 +1579,121 @@ object SimilarityQueries {
            |  coalesce(po.postfilter_yield, 0) AS postfilter_yield,
            |  p.n_prefilter - coalesce(po.postfilter_yield, 0) AS starved
            |FROM pre p LEFT JOIN post po ON po.qid = p.qid""".stripMargin)),
+
+    // ANN REFIT / REBALANCE CYCLE (r16 missing #3) — closing the loop
+    // q278's audit opens: a drift batch (3 extra copies of every
+    // vector in vec 0's cell — no float arithmetic, so both engines
+    // see identical points) folds into the old-fit index and blows the
+    // hot cell past the 2×-mean bar (refit_triggered); the cycle then
+    // refits on CURRENT data (new fit_id), REBUILDS under the new fit,
+    // and proves (a) fold-from-scratch under the new fit == rebuild,
+    // row-for-row on (cell, code) — the q255 per-row-function argument
+    // survives the refit; (b) the drifted skew actually improves
+    // (refit_improves); (c) the OLD index loudly refuses an upsert
+    // under the NEW fit — the mixed-fit raise_error guard's POSITIVE
+    // test (its absence would let a refit silently corrupt serving).
+    // Oracle replays BOTH k-means fits (epoch; epoch ∪ drift via the
+    // prefixed chain), the drift derivation from the old fit's own
+    // assignment, and the skew arithmetic; parity/guard verdicts are
+    // pinned constants the Spark side must EARN at run time.
+    Q("q308_ann_refit_cycle",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit0 = pq.fitFrozen(e)
+        val idx0 = graft.operators.OperatorCaches.track(
+          pq.annIndex(fit0, e).persist())
+        val hotCell = idx0.filter(col("vec_id") === 0L)
+          .select(col("cell")).first().getInt(0)
+        val driftE = e
+          .join(idx0.filter(col("cell") === hotCell).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .select(explode(sequence(lit(1L), lit(3L))).as("_r"),
+            col("vec_id"), col("embedding"))
+          .select((col("vec_id") + col("_r") * 1000000L).as("vec_id"),
+            col("embedding"))
+        val idx1 = graft.operators.OperatorCaches.track(
+          pq.upsertAnnIndex(fit0, idx0, driftE).persist())
+        def skew(idx: org.apache.spark.sql.DataFrame): Long = idx
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(expr("max(n) * count(*) * 1000000 DIV sum(n)"))
+          .first().getLong(0)
+        val s0 = skew(idx0)
+        val s1 = skew(idx1)
+        val current = e.unionByName(driftE)
+        val fit1 = pq.fitFrozen(current)
+        require(fit1.fitId != fit0.fitId,
+          "refit on drifted data must produce a new fit_id")
+        val rebuild = graft.operators.OperatorCaches.track(
+          pq.annIndex(fit1, current).persist())
+        val fold = pq.upsertAnnIndex(fit1, pq.annIndex(fit1, e), driftE)
+        val mismatch = fold.as("f")
+          .join(rebuild.as("r"), Seq("vec_id"), "full_outer")
+          .filter(col("f.cell").isNull || col("r.cell").isNull ||
+            col("f.cell") =!= col("r.cell") ||
+            col("f.code") =!= col("r.code"))
+          .count()
+        val s2 = skew(rebuild)
+        // the guard's positive test: the OLD index must refuse a fold
+        // under the NEW fit (count() forces the per-row filter guard)
+        val guardFired =
+          try { pq.upsertAnnIndex(fit1, idx1, driftE).count(); 0L }
+          catch {
+            case ex: Throwable =>
+              val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .flatMap(t => Option(t.getMessage)).mkString(" ")
+              if (msgs.contains("upsertAnnIndex")) 1L else throw ex
+          }
+        Seq(
+          ("skew_before_micro", s0),
+          ("skew_after_drift_micro", s1),
+          ("refit_triggered", if (s1 > 2000000L) 1L else 0L),
+          ("skew_after_refit_micro", s2),
+          ("refit_improves", if (s2 < s1) 1L else 0L),
+          ("fold_rebuild_mismatch", mismatch),
+          ("old_index_refuses_new_fit", guardFired))
+          .toDF("check", "value")
+      },
+      Some(kmeansAssignCtes(defaultPtsSql, nCells = 16, maxIter = 10)
+        .toString + ",\n" +
+        s"""hot AS (SELECT cell FROM afinal WHERE vid = 0),
+           |drift AS (
+           |  SELECT p.vid + 1000000 * g.r AS vid, p.v
+           |  FROM pts p JOIN afinal a ON a.vid = p.vid JOIN hot h
+           |    ON a.cell = h.cell
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS r) g),
+           |""".stripMargin +
+        kmeansAssignCtes(
+          """SELECT vid, v FROM pts UNION ALL SELECT vid, v FROM drift""",
+          nCells = 16, maxIter = 10, pfx = "n").toString + ",\n" +
+        s"""occ0 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+           |  FROM afinal GROUP BY cell),
+           |occ1 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT vid, cell FROM afinal
+           |    UNION ALL
+           |    SELECT d.vid, a.cell FROM drift d
+           |      JOIN afinal a ON a.vid = d.vid % 1000000) GROUP BY cell),
+           |occ2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+           |  FROM nafinal GROUP BY cell),
+           |sk AS (SELECT
+           |  (SELECT CAST(max(n) * count(*) * 1000000 // sum(n) AS BIGINT)
+           |    FROM occ0) AS s0,
+           |  (SELECT CAST(max(n) * count(*) * 1000000 // sum(n) AS BIGINT)
+           |    FROM occ1) AS s1,
+           |  (SELECT CAST(max(n) * count(*) * 1000000 // sum(n) AS BIGINT)
+           |    FROM occ2) AS s2)
+           |SELECT 'skew_before_micro' AS check, s0 AS value FROM sk
+           |UNION ALL SELECT 'skew_after_drift_micro', s1 FROM sk
+           |UNION ALL SELECT 'refit_triggered',
+           |  CASE WHEN s1 > 2000000 THEN 1 ELSE 0 END FROM sk
+           |UNION ALL SELECT 'skew_after_refit_micro', s2 FROM sk
+           |UNION ALL SELECT 'refit_improves',
+           |  CASE WHEN s2 < s1 THEN 1 ELSE 0 END FROM sk
+           |UNION ALL SELECT 'fold_rebuild_mismatch', 0
+           |UNION ALL SELECT 'old_index_refuses_new_fit', 1""".stripMargin)),
 
     // STREAMING ANN QUERY-AT-INGEST — the dense analog of q245:
     // query vectors arrive as a stream and rank against the STATIC

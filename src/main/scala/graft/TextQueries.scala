@@ -2268,6 +2268,80 @@ object TextQueries {
              |  FROM fm)
              |WHERE rank <= 3""".stripMargin)),
 
+    // STREAMING PHRASE/BOOLEAN AT-INGEST (Bm25.standingMatchAtIngest —
+    // r16 missing #5): the lexical serve surface's streaming member.
+    // Standing alerts (one phrase, one must/must-not boolean) evaluate
+    // on every incoming doc as ONE stateless projection — adjacency
+    // and membership are per-row facts, so the plan has ZERO stateful
+    // operators (Append mode, no watermark; pure Column HOFs). Fixture
+    // combines q300's phrase plants (%7, double %14) with q301's
+    // boolean plants (%5 musts, %10 should-ignored here, %20 the
+    // must-not); the oracle is the batch SQL replay — streaming ==
+    // batch, hash-equal, one row per incoming doc.
+    Q("q310_streaming_standing_queries",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, " qmustone qmusttwo").otherwise(""),
+            when(col("doc_id") % 20 === 0, " qnotone").otherwise(""))
+            .as("text"))
+        val inDir = s"/tmp/graft-standq-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_standq")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          planted.write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStream.runToCompletion(spark, inDir,
+          stream => graft.operators.Bm25.standingMatchAtIngest(stream,
+            "doc_id", "text",
+            Seq("zq0grafted", "exact", "phrase", "marker"),
+            Seq("qmustone", "qmusttwo"), Seq("qnotone")),
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          s"q310_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 14 = 0
+             |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' qmustone qmusttwo' ELSE '' END
+             |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END AS text
+             |  FROM documents),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |m AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS occ FROM pos a
+             |  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN pos d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+             |    AND d.term = 'marker'
+             |  WHERE a.term = 'zq0grafted' GROUP BY 1),
+             |mem AS (SELECT doc_id,
+             |    max(CASE WHEN term = 'qmustone' THEN 1 ELSE 0 END)
+             |      + max(CASE WHEN term = 'qmusttwo' THEN 1 ELSE 0 END) AS nm,
+             |    max(CASE WHEN term = 'qnotone' THEN 1 ELSE 0 END) AS nn
+             |  FROM pos GROUP BY 1)
+             |SELECT c.doc_id AS id,
+             |  CAST(coalesce(m.occ, 0) AS BIGINT) AS n_phrase,
+             |  CAST(coalesce(mm.nm, 0) AS BIGINT) AS n_must,
+             |  CAST(coalesce(mm.nn, 0) AS BIGINT) AS has_not,
+             |  CAST(CASE WHEN coalesce(mm.nm, 0) = 2
+             |    AND coalesce(mm.nn, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS bool_match
+             |FROM corpus c LEFT JOIN m ON m.doc_id = c.doc_id
+             |  LEFT JOIN mem mm ON mm.doc_id = c.doc_id""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

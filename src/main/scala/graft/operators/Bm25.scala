@@ -285,6 +285,50 @@ object Bm25 {
     base.join(deletedIds.select(col(idCol).as("id")), Seq("id"),
       "left_anti")
 
+  /** STANDING-QUERY MATCHING AT INGEST — the streaming member of the
+    * lexical serve surface: a fixed phrase alert and a fixed boolean
+    * (must / must-not) alert evaluated on every INCOMING document.
+    * Phrase adjacency and term membership are functions of the
+    * document ALONE (per-row facts), so the whole surface is ONE
+    * stateless projection: Append-safe, zero stateful operators, no
+    * watermark — the fused-kernel stance of the streaming strip
+    * (q291), here in pure Column HOFs (sequence / filter /
+    * element_at / array_contains — codegen'd, no UDF). The token
+    * array is referenced by several output columns, so CollapseProject
+    * re-derives it per use — ~|phrase|+|must| regex splits per row,
+    * the price of staying UDF-free; matching basis (lowercased \\s+
+    * tokens) is [[positionalPostings]]'s, so batch phrase counts agree
+    * (gated q310: streaming == the batch SQL replay).
+    * @return (id, n_phrase, n_must, has_not, bool_match) */
+  def standingMatchAtIngest(incoming: DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String], must: Seq[String],
+      mustNot: Seq[String] = Nil): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "empty phrase")
+    require(must.nonEmpty, "boolean alert needs ≥1 must term")
+    val lc = (s: Seq[String]) => s.map(_.toLowerCase(java.util.Locale.ROOT))
+    val p = lc(phrase)
+    val m = lc(must)
+    val mn = lc(mustNot)
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    // sequence(a, b) DESCENDS when a > b — the short-doc guard must
+    // stay outside, not rely on an empty range
+    val occ = when(size(toks) >= p.length,
+      size(filter(sequence(lit(1), size(toks) - (p.length - 1)),
+        i => p.zipWithIndex.map { case (t, j) =>
+          element_at(toks, i + lit(j)) === t }.reduce(_ && _)))
+        .cast("long")).otherwise(lit(0L))
+    val nMust = m.map(t => when(array_contains(toks, t), 1L)
+      .otherwise(0L)).reduce(_ + _)
+    val hasNot =
+      if (mn.isEmpty) lit(0L)
+      else when(mn.map(t => array_contains(toks, t)).reduce(_ || _), 1L)
+        .otherwise(0L)
+    incoming.select(col(idCol).as("id"),
+      occ.as("n_phrase"), nMust.as("n_must"), hasNot.as("has_not"),
+      when(nMust === m.length && hasNot === 0L, 1L).otherwise(0L)
+        .as("bool_match"))
+  }
+
   /** BOOLEAN retrieval with BM25 ranking: docs containing EVERY `must`
     * term and NONE of the `mustNot` terms, scored by the summed
     * contributions of their (must ∪ should) terms. Pure posting-list

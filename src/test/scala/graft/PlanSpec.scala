@@ -511,6 +511,20 @@ class PlanSpec extends SparkSuite {
       "dead-term removal must be an anti-join:\n" + p1.take(3000))
   }
 
+  test("standingMatchAtIngest: stateless projection — no exchange, no join, no agg") {
+    // matching is a per-row fact, so the plan must be scan → project;
+    // any exchange/join/aggregate here would be a stateful operator on
+    // the streaming path (q310 relies on Append-safety)
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val p = graft.operators.Bm25.standingMatchAtIngest(docs, "doc_id",
+        "text", Seq("a", "b"), Seq("x"), Seq("y"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Aggregate"),
+      "standing-query matching must stay a stateless projection:\n" + p)
+  }
+
   test("q302: snippets — cost bounded by the result set (semi-join before positions)") {
     val p = plan("q302_result_snippets")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -427,6 +427,31 @@ class Bm25Spec extends SparkSuite {
       s"only the live plural may suggest: $sug")
   }
 
+  test("standingMatchAtIngest: phrase edges, boolean semantics, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pp qq tail"),            // phrase at doc START
+      (2L, "head pp qq"),            // phrase at doc END
+      (3L, "pp qq pp qq"),           // two occurrences
+      (4L, "pp x qq"),               // broken adjacency
+      (5L, "m1 m2 ok"),              // boolean match
+      (6L, "m1 m2 bad nn"),          // must-not kills it
+      (7L, "m1 only"),               // missing a must
+      (8L, "pp")).                   // shorter than the phrase
+      toDF("doc_id", "text")
+    val got = graft.operators.Bm25.standingMatchAtIngest(docs, "doc_id",
+        "text", Seq("pp", "qq"), Seq("m1", "m2"), Seq("nn"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1 && byId(2L)._2 == 1 && byId(3L)._2 == 2 &&
+      byId(4L)._2 == 0 && byId(8L)._2 == 0,
+      s"phrase counts wrong: $got")
+    assert(byId(5L)._5 == 1 && byId(6L)._5 == 0 && byId(7L)._5 == 0,
+      s"boolean verdicts wrong: $got")
+    assert(byId(6L)._3 == 2 && byId(6L)._4 == 1,
+      "must count and has_not must both report")
+  }
+
   test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
     val docs = Seq(
       (1L, "cat cot dog"), (2L, "cat dog"), (3L, "cat bird"),
