@@ -190,7 +190,10 @@ object Bench {
     // r17 appends — clean solo FORCE_MIN wave (calib 2.290, regress 0,
     // cold_only 0), normalized by the wave's 12-control median 0.855
     "q306"->2.398, "q307"->2.855, "q308"->4.372, "q309"->0.605,
-    "q310"->6.645)
+    "q310"->6.645,
+    // r17 second wave — clean solo FORCE_MIN (calib 2.443, regress 0,
+    // cold_only 0), 12-control median 0.9095
+    "q311"->2.494, "q312"->0.975, "q313"->0.156)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -279,18 +279,26 @@ object BpeQueries {
     * prefix, so two tokenizer fits (q236's epoch drift) can coexist in
     * one WITH chain. With `p = ""` this emits EXACTLY the historical
     * fitChain text — every existing oracle is byte-identical. */
-  private def fitChainOver(corpusSql: String, p: String): String = {
+  /** The fit chain's SAMPLE + WORD-FREQUENCY head alone (`{p}base` …
+    * `{p}vocab(w, f)`), shared by every tokenizer family's fit replay
+    * — doc selection depends only on ids, so BPE / WordPiece fits
+    * sample identical documents. */
+  private def fitHeadOver(corpusSql: String, p: String): String = {
     val mixPrefix = if (p.isEmpty) "s" else s"${p}s"
     val mixed = if (p.isEmpty) "mixed" else s"${p}smixed"
+    s"""${p}base AS ($corpusSql),
+       |${RelationalQueries5.mix64Stages(s"${p}base", Seq("doc_id", "text"),
+           "CAST(doc_id AS HUGEINT)", prefix = mixPrefix)},
+       |${p}samp AS (SELECT doc_id, text FROM $mixed ORDER BY vu LIMIT $SampleDocs),
+       |${p}stoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM ${p}samp),
+       |${p}wf AS (SELECT lower(tok) AS w, count(*) AS f FROM ${p}stoks
+       |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
+       |${p}vocab AS (SELECT w, f FROM ${p}wf ORDER BY f DESC, w LIMIT $MaxWords)""".stripMargin
+  }
+
+  private def fitChainOver(corpusSql: String, p: String): String = {
     val head =
-      s"""${p}base AS ($corpusSql),
-         |${RelationalQueries5.mix64Stages(s"${p}base", Seq("doc_id", "text"),
-             "CAST(doc_id AS HUGEINT)", prefix = mixPrefix)},
-         |${p}samp AS (SELECT doc_id, text FROM $mixed ORDER BY vu LIMIT $SampleDocs),
-         |${p}stoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM ${p}samp),
-         |${p}wf AS (SELECT lower(tok) AS w, count(*) AS f FROM ${p}stoks
-         |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
-         |${p}vocab AS (SELECT w, f FROM ${p}wf ORDER BY f DESC, w LIMIT $MaxWords),
+      s"""${fitHeadOver(corpusSql, p)},
          |${p}v0 AS MATERIALIZED (SELECT w, f,
          |  list_transform(generate_series(1, length(w)), i -> w[i]) AS s FROM ${p}vocab)""".stripMargin
     val steps = (1 to NumMerges).map { k =>
@@ -1411,7 +1419,114 @@ object BpeQueries {
            |UNION ALL ${legSql("bpe_lexer", "np_l")}
            |UNION ALL ${legSql("unigram", "np_u")}""".stripMargin
       }),
+
+    // WORDPIECE TOKENIZER (Wordpiece.fit / encodeWord — the BERT
+    // basis, closing the third production tokenizer family next to
+    // BPE and the unigram LM): likelihood-ratio greedy merges
+    // (score = c(l,r)/(c(l)·c(r)), decided by an EXACT floor(c·2^80 /
+    // (c_l·c_r)) key — no float in either engine), '##' continuation
+    // convention, and greedy longest-match-first ENCODING off the
+    // final vocabulary (not a merge replay — WordPiece's defining
+    // difference from BPE). The gate hashes the segmentation of every
+    // fitted-vocab word (≤ 24 chars): pieces verbatim, so one wrong
+    // merge choice or one wrong greedy step moves rows. Oracle = the
+    // shared sample head + 48 unrolled merge steps (scored argmax +
+    // the gaps-and-islands merge pass with '##'-stripping concat) +
+    // a 24-stage greedy longest-match unroll over the final vocab.
+    Q("q313_wordpiece_tokenizer",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val (m, vocab) = graft.functions.Wordpiece.fit(d, "doc_id",
+          "text", SampleDocs, MaxWords, NumMerges)
+        vocab.toDF("word", "freq").filter(length(col("word")) <= 24)
+          .select(col("word"), col("freq"),
+            graft.functions.Wordpiece.encodeWordCol(col("word"), m)
+              .as("_p"))
+          .select(col("word"), col("freq"),
+            size(col("_p")).cast("long").as("n_pieces"),
+            array_join(col("_p"), "|").as("pieces"))
+      },
+      Some(q313Oracle)),
   )
+
+  /** q313 oracle (see the registration comment). */
+  private def q313Oracle: String = {
+    val mergeSteps = (1 to NumMerges).map { k =>
+      s"""wpp$k AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(f) AS BIGINT) AS c FROM (
+         |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |  FROM wv${k - 1} WHERE len(s) >= 2) GROUP BY 1, 2),
+         |wsc$k AS (SELECT sym, CAST(sum(f) AS BIGINT) AS c FROM (
+         |  SELECT f, unnest(s) AS sym FROM wv${k - 1}) GROUP BY 1),
+         |wpb$k AS MATERIALIZED (SELECT l, r FROM (
+         |  SELECT p.l, p.r, p.c,
+         |    (CAST(p.c AS HUGEINT)
+         |      * ${graft.functions.Wordpiece.ScaleSqlLiteral})
+         |      // (CAST(cl.c AS HUGEINT) * cr.c) AS key
+         |  FROM wpp$k p JOIN wsc$k cl ON cl.sym = p.l
+         |    JOIN wsc$k cr ON cr.sym = p.r
+         |  WHERE p.c >= 2)
+         |  ORDER BY key DESC, c DESC, l, r LIMIT 1),
+         |${wpApplyCtes(s"wm$k", s"wv${k - 1}", s"wpb$k", s"wv$k")}""".stripMargin
+    }.mkString(",\n")
+    val mergedSyms = (1 to NumMerges)
+      .map(k => s"SELECT l || substr(r, 3) AS sym FROM wpb$k")
+      .mkString("\n  UNION ALL ")
+    val greedy = (0 until 24).map { s =>
+      s"""wsel$s AS (
+         |  SELECT a.w, a.f, a.pos + ll.l AS npos, a.np, a.seg,
+         |    (CASE WHEN a.pos = 0 THEN '' ELSE '##' END) ||
+         |      substr(a.w, a.pos + 1, ll.l) AS piece, ll.l AS plen
+         |  FROM wacc$s a CROSS JOIN generate_series(1, 24) ll(l)
+         |  JOIN wvoc v ON v.sym = (CASE WHEN a.pos = 0 THEN '' ELSE '##' END) ||
+         |    substr(a.w, a.pos + 1, ll.l)
+         |  WHERE a.pos = $s AND a.pos + ll.l <= length(a.w)),
+         |wnxt$s AS (SELECT w, f, npos AS pos, np + 1 AS np,
+         |    CASE WHEN np = 0 THEN piece ELSE seg || '|' || piece END AS seg
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY plen DESC) AS rn FROM wsel$s) WHERE rn = 1),
+         |wacc${s + 1} AS MATERIALIZED (
+         |  SELECT * FROM wacc$s UNION ALL SELECT * FROM wnxt$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${fitHeadOver(
+          "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", "")},
+       |wv0 AS MATERIALIZED (SELECT w, f,
+       |  list_transform(generate_series(1, length(w)),
+       |    i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS s
+       |  FROM vocab),
+       |$mergeSteps,
+       |wvoc AS (SELECT DISTINCT sym FROM (
+       |  SELECT unnest(s) AS sym FROM wv0
+       |  UNION ALL $mergedSyms)),
+       |wacc0 AS (SELECT w, f, 0 AS pos, 0 AS np, '' AS seg FROM vocab
+       |  WHERE length(w) <= 24),
+       |$greedy,
+       |wseg AS (SELECT w, f, np, seg FROM wacc24 WHERE pos = length(w))
+       |SELECT w AS word, CAST(f AS BIGINT) AS freq,
+       |  CAST(np AS BIGINT) AS n_pieces, seg AS pieces
+       |FROM wseg""".stripMargin
+  }
+
+  /** [[applyCtes]] with WordPiece's merged-symbol form (`l` ++ `r`
+    * without r's '##' — a continuation stays a continuation): the same
+    * gaps-and-islands left-to-right non-overlapping pass. */
+  private def wpApplyCtes(p: String, src: String, b: String,
+      out: String): String =
+    s"""${p}x AS (SELECT w, f, unnest(generate_series(1, len(s))) AS i, s FROM $src),
+       |${p}y AS (SELECT w, f, i, s[i] AS sym,
+       |  coalesce(s[i] = (SELECT l FROM $b) AND s[i+1] = (SELECT r FROM $b), FALSE) AS m FROM ${p}x),
+       |${p}z AS (SELECT w, f, i, sym, m,
+       |  i - row_number() OVER (PARTITION BY w, m ORDER BY i) AS grp FROM ${p}y),
+       |${p}t AS (SELECT w, f, i, sym, m,
+       |  m AND (row_number() OVER (PARTITION BY w, m, grp ORDER BY i) % 2 = 1) AS taken FROM ${p}z),
+       |${p}u AS (SELECT w, f, i, sym, taken,
+       |  coalesce(lag(taken) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed,
+       |  lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM ${p}t),
+       |$out AS MATERIALIZED (SELECT w, min(f) AS f,
+       |  list(CASE WHEN taken THEN sym || substr(nxt, 3) ELSE sym END ORDER BY i)
+       |    FILTER (WHERE NOT consumed) AS s
+       |  FROM ${p}u GROUP BY w)""".stripMargin
 
   /** q189 oracle (see the registration comment). Each seg block is 24
     * unrolled DP stages: `sel` extends every reachable position by a

@@ -2342,6 +2342,86 @@ object TextQueries {
              |FROM corpus c LEFT JOIN m ON m.doc_id = c.doc_id
              |  LEFT JOIN mem mm ON mm.doc_id = c.doc_id""".stripMargin)),
 
+    // EPOCH INDEX MERGE (Bm25.mergeIndexStats) — the production
+    // reindex path: two shards (doc_id parity split) index
+    // INDEPENDENTLY, the stats merge (tf/dl union, df summed merge,
+    // totals added), and ranking against the merged index must
+    // hash-equal a recompute over the whole corpus — which is exactly
+    // the oracle (the q254 external-query chain over the unsplit
+    // corpus). A wrong df merge shifts idf on every shared term; a
+    // wrong totals fold shifts every length normalization — the gate
+    // hashes full rankings, so either moves rows.
+    Q("q311_index_shard_merge",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val merged = bm.mergeIndexStats(
+          bm.indexStats(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          bm.indexStats(d.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+        bm.topKExternalStats(merged, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " + bm25ScoreCtes("documents", "doc_id", "",
+        qtOverride = Some(
+          """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 10)
+            |  WHERE length(tk) > 0""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // PREFIX AUTOCOMPLETE (Bm25.autocomplete) — the third serve
+    // artifact off the maintained df table (ranked suggestions beside
+    // q305's corrections and q304's fuzzy match): per typed prefix the
+    // top-5 df-ranked completions, read straight from (term, df).
+    // Fixture reuses q305's plants so the 'zxsing' prefix has TWO
+    // completions with KNOWN df order (%6 plural > %9 singular); 'th'
+    // exercises a dense natural prefix; 'qqqq' completes to nothing.
+    Q("q312_prefix_autocomplete",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, " zxsingular").otherwise(""),
+            when(col("doc_id") % 6 === 0, " zxsingulars").otherwise(""))
+            .as("text"))
+        val s = graft.operators.Bm25.indexStats(planted, "doc_id", "text")
+        graft.operators.Bm25.autocomplete(s.df,
+          Seq("th", "zxsing", "qqqq").toDF("prefix"), k = 5)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+             |    || CASE WHEN doc_id % 6 = 0 THEN ' zxsingulars' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |terms AS (SELECT doc_id AS id, unnest(string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM corpus),
+             |tfq AS (SELECT id, term FROM terms WHERE length(term) > 0
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |px AS (SELECT unnest(['th', 'zxsing', 'qqqq']) AS prefix),
+             |hits AS (SELECT p.prefix, d.term, d.df,
+             |    ROW_NUMBER() OVER (PARTITION BY p.prefix
+             |      ORDER BY d.df DESC, d.term) AS rank
+             |  FROM dfq d JOIN px p ON starts_with(d.term, p.prefix))
+             |SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df
+             |FROM hits WHERE rank <= 5""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -98,13 +98,13 @@ object Bpe {
     out.result()
   }
 
-  private def lex(text: String): Array[String] =
+  private[functions] def lex(text: String): Array[String] =
     if (text == null) Array.empty
     else LexPattern.r.findAllIn(text).toArray
 
   private val alphaRe = AlphaPattern.r
 
-  private def isAlpha(tok: String): Boolean = alphaRe.matches(tok)
+  private[functions] def isAlpha(tok: String): Boolean = alphaRe.matches(tok)
 
   /** Fit a merge table from the word-frequency view of a sample.
     * Deterministic given the input map (see class doc for tie order). */
@@ -172,7 +172,7 @@ object Bpe {
     * for every tokenizer basis (it depends only on ids), so the lexer
     * and GPT-2 fits sample the same documents and their oracles share
     * one `samp` CTE. */
-  private def sampleTexts(docs: DataFrame, idCol: String, textCol: String,
+  private[functions] def sampleTexts(docs: DataFrame, idCol: String, textCol: String,
       sampleDocs: Int): Array[String] = {
     val mix = udf((id: Long) => TextFunctions.mix64(id))
     docs

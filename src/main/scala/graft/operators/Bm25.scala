@@ -788,6 +788,45 @@ object Bm25 {
           (col("_N") - col("_dN")).as("_N")))
   }
 
+  /** MERGE two independently-built epoch indexes (the production
+    * reindex path: shards index in parallel, then merge) — every stat
+    * is an additive fold, so the merge is tf/dl union, df summed
+    * merge, totals added; scoring against the merged stats is
+    * HASH-EQUAL to a recompute over the concatenated corpus (gated
+    * q311). PRECONDITION: the two indexes cover DISJOINT doc ids — a
+    * doc indexed in both would double-count (re-indexing a live doc is
+    * the remove ∘ upsert update path, never a merge). Scale shape: two
+    * unions and one term-keyed df merge — no text, no per-doc work. */
+  def mergeIndexStats(a: IndexStats, b: IndexStats): IndexStats =
+    IndexStats(
+      tf = a.tf.unionByName(b.tf),
+      dl = a.dl.unionByName(b.dl),
+      df = a.df.unionByName(b.df)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      totals = a.totals.unionByName(b.totals)
+        .agg(sum(col("_T")).as("_T"), sum(col("_N")).as("_N")))
+
+  /** PREFIX AUTOCOMPLETE over the maintained df table — the
+    * search-box serve artifact beside [[didYouMeanFrom]]: per prefix
+    * the top-k completions ranked by document frequency (popularity,
+    * then lexicographic), straight off the (term, df) stats the index
+    * CRUD already maintains — no text, no variant explosion. The
+    * probe is a startsWith theta-join against a BROADCAST prefix set
+    * (prefix sets are human-typed — tiny by nature); on a df table
+    * persisted sorted by term the equivalent production form is a
+    * range scan per prefix. @return (prefix, rank 1..k, term, df) */
+  def autocomplete(dfTable: DataFrame, prefixes: DataFrame,
+      k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("df").desc, col("term").asc)
+    dfTable.join(broadcast(prefixes.select(col("prefix"))),
+        col("term").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank").cast("long").as("rank"),
+        col("term"), col("df"))
+  }
+
   /** [[removeIndexStats]] at CHUNK granularity, keyed by parent doc
     * (the q253 index's deletion path): a curation pass deletes DOCS,
     * but the chunk index is keyed by `chunk_key = doc_id·stride +

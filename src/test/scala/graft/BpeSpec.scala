@@ -348,4 +348,36 @@ class BpeSpec extends SparkSuite {
       assert(Bpe.gpt2PreTokenize(t).toSeq == viaRegex(t), s"corpus doc diverged: ${t.take(80)}")
     }
   }
+
+  test("wordpiece: score argmax, ## convention, greedy encode, UNK") {
+    import graft.functions.Wordpiece
+    // 'ab' pair: c=6, c(a)=8, c(b)=6 → key ∝ 6/48; 'bc': c=6, c(b)=6,
+    // c(c)=6 → 6/36 — WordPiece merges 'b ##c' FIRST even though raw
+    // counts tie (BPE's tie-break would pick 'a ##b' lexicographically)
+    val freq = Map("abc" -> 6L, "ad" -> 2L, "xb" -> 0L)
+    val (m, vocab) = Wordpiece.fitFromWordFreq(freq, maxWords = 10,
+      numMerges = 1)
+    assert(m.vocab.contains("##bc") && !m.vocab.contains("ab"),
+      s"likelihood ratio must beat raw count: ${m.vocab}")
+    assert(vocab.head == ("abc", 6L))
+    // greedy longest-match + ## continuation + multi-merge
+    val (m2, _) = Wordpiece.fitFromWordFreq(
+      Map("abc" -> 6L, "ad" -> 2L), 10, 5)
+    assert(Wordpiece.encodeWord("abc", m2) == Seq("abc"),
+      s"fully merged word is one piece: ${Wordpiece.encodeWord("abc", m2)}")
+    assert(Wordpiece.encodeWord("adc", m2).head == "a" ||
+      Wordpiece.encodeWord("adc", m2).head == "ad",
+      "prefix pieces reuse the vocab")
+    // unseen char → whole word [UNK] (BERT's rule)
+    assert(Wordpiece.encodeWord("azq", m2) == Seq(Wordpiece.Unk))
+    // continuation marker: second piece of a split word carries ##
+    val (m3, _) = Wordpiece.fitFromWordFreq(
+      Map("ab" -> 5L, "cd" -> 5L), 10, 0) // no merges: chars only
+    assert(Wordpiece.encodeWord("ab", m3) == Seq("a", "##b"))
+    assert(Wordpiece.encodeWord("cdb", m3) == Seq("c", "##d", "##b"))
+    // positional forms are distinct vocab entries: 'a' was only ever
+    // seen word-INITIAL, so a continuation-position 'a' is unseen →
+    // the whole word is [UNK] (the ## convention's point)
+    assert(Wordpiece.encodeWord("cda", m3) == Seq(Wordpiece.Unk))
+  }
 }
