@@ -193,7 +193,10 @@ object Bench {
     "q310"->6.645,
     // r17 second wave — clean solo FORCE_MIN (calib 2.443, regress 0,
     // cold_only 0), 12-control median 0.9095
-    "q311"->2.494, "q312"->0.975, "q313"->0.156)
+    "q311"->2.494, "q312"->0.975, "q313"->0.156,
+    // r17 third wave — clean solo FORCE_MIN (calib 2.33, regress 0),
+    // 12-control median 0.8337
+    "q314"->8.996)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

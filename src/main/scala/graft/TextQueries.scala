@@ -2422,6 +2422,117 @@ object TextQueries {
              |SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df
              |FROM hits WHERE rank <= 5""".stripMargin)),
 
+    // STREAMING INDEX MAINTENANCE (Bm25.applyCdcBatch — the index
+    // CRUD's streaming member): document changes arrive as a CDC feed
+    // (op I/U/D), each micro-batch folds into VERSIONED on-disk
+    // statistics (foreachBatch reads version N, applies
+    // remove-then-upsert, writes N+1 — the production shape: the index
+    // is a durable artifact, not session state), and ranking against
+    // the final version must hash-equal a recompute over the net
+    // corpus. maxFilesPerTrigger=1 forces MULTIPLE micro-batches, so
+    // the gate proves CROSS-BATCH fold composition, and the per-window
+    // one-event-per-doc contract makes the result batch-composition
+    // invariant (Spark's file→batch assignment cannot move the hash).
+    Q("q314_streaming_index_maintenance",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        // CDC events, one per touched doc: updates (%9==2), inserts
+        // (+50000 from %3==0, novel term on %6==0), deletes (%7==3,
+        // minus the updated set — one event per doc per window)
+        val updates = d.filter(col("doc_id") % 9 === 2)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" revision graftcdc pass")).as("text"))
+        val inserts = d.filter(col("doc_id") % 3 === 0)
+          .select(lit("I").as("op"), (col("doc_id") + 50000L).as("doc_id"),
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" graftcdc novel ingest")))
+              .otherwise(col("text")).as("text"))
+        val deletes = d.filter(col("doc_id") % 7 === 3 &&
+            col("doc_id") % 9 =!= 2)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("string").as("text"))
+        val cdc = updates.unionByName(inserts).unionByName(deletes)
+        val inDir = s"/tmp/graft-cdc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(cdc, "doc_id", s"$dir/documents_cdc")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          cdc.repartition(3, col("op")).write.mode("overwrite")
+            .parquet(inDir)
+        // fresh state root per run: a persisted checkpoint would mark
+        // the feed consumed and silently serve last run's versions
+        val stateRoot = new java.io.File(s"$inDir-state")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        if (stateRoot.exists()) rm(stateRoot)
+        stateRoot.mkdirs()
+        val root = stateRoot.getAbsolutePath
+        // the maintenance folds shuffle tiny stat tables — run them (and
+        // the v0 build) at low parallelism; restore the session conf
+        // after (the runToCompletion discipline)
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        try {
+          bm.writeIndexStats(bm.indexStats(d, "doc_id", "text"),
+            s"$root/v0")
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              val n = version.get()
+              val cur = bm.readIndexStats(spark, s"$root/v$n")
+              bm.writeIndexStats(
+                bm.applyCdcBatch(cur, batch, "doc_id", "text", "op"),
+                s"$root/v${n + 1}")
+              version.incrementAndGet(); ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        val fin = bm.readIndexStats(spark, s"$root/v${version.get()}")
+        val queries = d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
+              .as("qtext"))
+          .unionByName {
+            val sq = spark; import sq.implicits._
+            Seq((80100L, "revision graftcdc novel")).toDF("qid", "qtext")
+          }
+        bm.topKExternalStats(fin, queries, "qid", "qtext", k = 10)
+      },
+      Some("WITH " +
+        """net AS (
+          |  SELECT doc_id AS id, CASE WHEN doc_id % 9 = 2
+          |      THEN text || ' revision graftcdc pass' ELSE text END AS text
+          |  FROM documents WHERE NOT (doc_id % 7 = 3 AND doc_id % 9 <> 2)
+          |  UNION ALL
+          |  SELECT doc_id + 50000, CASE WHEN doc_id % 6 = 0
+          |      THEN text || ' graftcdc novel ingest' ELSE text END
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |""".stripMargin +
+        bm25ScoreCtes("net", "id", "", qtOverride = Some(
+          """SELECT DISTINCT doc_id + 80000 AS qid, lower(tk) AS term
+            |  FROM (SELECT doc_id, unnest(string_split_regex(
+            |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:25]) AS tk
+            |    FROM documents WHERE doc_id < 10)
+            |  WHERE length(tk) > 0
+            |UNION
+            |SELECT 80100 AS qid, unnest(
+            |  ['revision', 'graftcdc', 'novel']) AS term""".stripMargin)) +
+        """,
+          |ranked AS (SELECT qid, id, score_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
+          |FROM ranked WHERE rank <= 10""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

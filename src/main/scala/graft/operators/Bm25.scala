@@ -788,6 +788,51 @@ object Bm25 {
           (col("_N") - col("_dN")).as("_N")))
   }
 
+  /** One CDC micro-batch folded into the epoch statistics — the
+    * streaming member of the index CRUD (insert = q242, delete = q254,
+    * update = q262; this is all three ARRIVING AS A CHANGE FEED).
+    * Ops: 'I' insert (new id), 'U' update (remove old rows, fold new
+    * text), 'D' delete (text ignored). remove-then-upsert order makes
+    * 'U' exact and 'I'/'D' are unaffected by it (remove is idempotent
+    * on unseen ids). CONTRACT: within one maintenance window each doc
+    * id carries AT MOST ONE event — then the fold is batch-composition
+    * invariant (micro-batch boundaries cannot change the result), which
+    * is what lets q314 gate streaming == batch without pinning Spark's
+    * file-to-batch assignment. */
+  def applyCdcBatch(stats: IndexStats, batch: DataFrame, idCol: String,
+      textCol: String, opCol: String): IndexStats = {
+    val touched = batch.filter(col(opCol).isin("U", "D"))
+      .select(col(idCol))
+    val adds = batch.filter(col(opCol).isin("I", "U"))
+      .select(col(idCol), col(textCol))
+    upsertIndexStats(removeIndexStats(stats, touched, idCol), adds,
+      idCol, textCol)
+  }
+
+  /** Persist the four statistics as parquet under `dir` — the
+    * versioned-artifact shape a production maintenance cycle writes
+    * (each CDC fold reads version N, writes N+1; serving reads the
+    * latest). In production each table is bucketed per the
+    * [[IndexStats]] scaladoc; here plain parquet. */
+  def writeIndexStats(s: IndexStats, dir: String): Unit = {
+    // coalesce(2): the stats are orders of magnitude smaller than the
+    // corpus (distinct (id, term) / id / term rows) — writing them at
+    // corpus partitioning pays file-count overhead per maintenance
+    // version for nothing. Production would bucketBy instead.
+    s.tf.coalesce(2).write.mode("overwrite").parquet(s"$dir/tf")
+    s.dl.coalesce(2).write.mode("overwrite").parquet(s"$dir/dl")
+    s.df.coalesce(2).write.mode("overwrite").parquet(s"$dir/df")
+    s.totals.coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  def readIndexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexStats =
+    IndexStats(
+      tf = spark.read.parquet(s"$dir/tf"),
+      dl = spark.read.parquet(s"$dir/dl"),
+      df = spark.read.parquet(s"$dir/df"),
+      totals = spark.read.parquet(s"$dir/totals"))
+
   /** MERGE two independently-built epoch indexes (the production
     * reindex path: shards index in parallel, then merge) — every stat
     * is an additive fold, so the merge is tf/dl union, df summed

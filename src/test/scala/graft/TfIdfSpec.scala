@@ -452,6 +452,32 @@ class Bm25Spec extends SparkSuite {
       "must count and has_not must both report")
   }
 
+  test("applyCdcBatch: I/U/D fold == recompute over the net corpus") {
+    import spark.implicits._
+    val epoch = Seq(
+      (1L, "alpha beta"),
+      (2L, "beta gamma"),
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    val cdc = Seq(
+      ("U", 2L, "beta gamma revised"),
+      ("I", 4L, "epsilon new"),
+      ("D", 3L, null.asInstanceOf[String])).toDF("op", "doc_id", "text")
+    val bm = graft.operators.Bm25
+    val folded = bm.applyCdcBatch(
+      bm.indexStats(epoch, "doc_id", "text"), cdc, "doc_id", "text", "op")
+    val net = Seq(
+      (1L, "alpha beta"),
+      (2L, "beta gamma revised"),
+      (4L, "epsilon new")).toDF("doc_id", "text")
+    val want = bm.indexStats(net, "doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(folded.tf) == rows(want.tf), "tf fold diverged")
+    assert(rows(folded.dl) == rows(want.dl), "dl fold diverged")
+    assert(rows(folded.df) == rows(want.df), "df fold diverged")
+    assert(rows(folded.totals) == rows(want.totals), "totals diverged")
+  }
+
   test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
     val docs = Seq(
       (1L, "cat cot dog"), (2L, "cat dog"), (3L, "cat bird"),
