@@ -189,7 +189,9 @@ object Bench {
     "q305"->1.069,
     // r17 appends — clean solo FORCE_MIN wave (calib 2.290, regress 0,
     // cold_only 0), normalized by the wave's 12-control median 0.855
-    "q306"->2.398, "q307"->2.855, "q308"->4.372, "q309"->0.605,
+    "q306"->2.398, "q307"->2.855, "q308"->4.372,
+    // q309 re-anchored after the wordpiece leg landed (median 0.915)
+    "q309"->0.952,
     "q310"->6.645,
     // r17 second wave — clean solo FORCE_MIN (calib 2.443, regress 0,
     // cold_only 0), 12-control median 0.9095

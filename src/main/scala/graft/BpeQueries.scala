@@ -293,7 +293,7 @@ object BpeQueries {
        |${p}stoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM ${p}samp),
        |${p}wf AS (SELECT lower(tok) AS w, count(*) AS f FROM ${p}stoks
        |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
-       |${p}vocab AS (SELECT w, f FROM ${p}wf ORDER BY f DESC, w LIMIT $MaxWords)""".stripMargin
+       |${p}vocab AS MATERIALIZED (SELECT w, f FROM ${p}wf ORDER BY f DESC, w LIMIT $MaxWords)""".stripMargin
   }
 
   private def fitChainOver(corpusSql: String, p: String): String = {
@@ -1345,17 +1345,19 @@ object BpeQueries {
       Some(q189Oracle)),
 
     // CROSS-BASIS FERTILITY SCORECARD (r16 missing #4's comparison
-    // half): the three production tokenizer bases — unigram-LM
-    // (q189's fit), lexer-basis BPE (q142's fit), and GPT-2-basis BPE
-    // (q256's fit, measured on the IN-CONTEXT spaced form ' '||word,
-    // where the leading space is part of the token) — segment the SAME
-    // fitted vocabulary, weighted by fit frequency. Fertility
-    // (pieces per word occurrence, micro-exact) is THE number a
+    // half): ALL FOUR production tokenizer bases — unigram-LM (q189's
+    // fit), lexer-basis BPE (q142's fit), GPT-2-basis BPE (q256's
+    // fit, measured on the IN-CONTEXT spaced form ' '||word, where
+    // the leading space is part of the token), and WordPiece (q313's
+    // fit, greedy longest-match) — segment the SAME fitted
+    // vocabulary, weighted by fit frequency. Fertility (pieces per
+    // word occurrence, micro-exact) is THE number a
     // pretraining-budget decision reads: more pieces = more sequence
-    // positions for the same text. Oracle composes the three existing
-    // fit replays (u-chain, fitChain+encode over the words-as-docs,
-    // gpt2 chains over the spaced forms) — every np is earned by a
-    // full relational replay of its fit.
+    // positions for the same text. Oracle composes the four fit
+    // replays (u-chain, fitChain+encode over the words-as-docs, gpt2
+    // chains over the spaced forms, the WordPiece merge+greedy
+    // chains over the shared vocab) — every np is earned by a full
+    // relational replay of its fit.
     Q("q309_tokenizer_basis_fertility",
       (spark, dir) => {
         val sq = spark; import sq.implicits._
@@ -1367,13 +1369,17 @@ object BpeQueries {
         val lexModel = fitModel(spark, dir)
         val gModel = Bpe.fitGpt2(d, "doc_id", "text",
           SampleDocs, MaxWords, NumMerges)
+        val (wModel, _) = graft.functions.Wordpiece.fit(d, "doc_id",
+          "text", SampleDocs, MaxWords, NumMerges)
         val per = graft.operators.OperatorCaches.track(vw.select(
           col("word"), col("freq"),
           graft.functions.UnigramLm.segmentCol(col("word"), uModel)("_2")
             .cast("long").as("np_u"),
           size(Bpe.encodeCol(col("word"), lexModel)).cast("long").as("np_l"),
           size(Bpe.encodeGpt2Col(concat(lit(" "), col("word")), gModel))
-            .cast("long").as("np_g")).persist())
+            .cast("long").as("np_g"),
+          size(graft.functions.Wordpiece.encodeWordCol(col("word"), wModel))
+            .cast("long").as("np_w")).persist())
         def leg(basis: String, c: String) = per
           .agg(count(lit(1)).as("n_words"),
             sum(col("freq")).as("total_freq"),
@@ -1385,6 +1391,7 @@ object BpeQueries {
         leg("bpe_gpt2", "np_g")
           .unionByName(leg("bpe_lexer", "np_l"))
           .unionByName(leg("unigram", "np_u"))
+          .unionByName(leg("wordpiece", "np_w"))
       },
       Some {
         def legSql(basis: String, c: String): String =
@@ -1405,19 +1412,24 @@ object BpeQueries {
            |guwdocs AS (SELECT doc_id, ' ' || text AS text FROM uwdocs),
            |${gpt2PreTokCtes("gd", "guwdocs")},
            |$gpt2EncodeCtes,
+           |${wordpieceChainCtes(greedyOver = "uwords",
+              greedyWordCol = "w")},
            |stats AS (
            |  SELECT u.w, u.f,
            |    sg.np AS np_u,
            |    len(p.bt) AS np_l,
-           |    len(gp.bt) AS np_g
+           |    len(gp.bt) AS np_g,
+           |    ws.np AS np_w
            |  FROM uwords u
            |  JOIN usegf sg ON sg.w = u.w
            |  JOIN uwdocs ud ON ud.w = u.w
            |  JOIN per p ON p.doc_id = ud.doc_id
-           |  JOIN gper gp ON gp.doc_id = ud.doc_id)
+           |  JOIN gper gp ON gp.doc_id = ud.doc_id
+           |  JOIN wseg ws ON ws.w = u.w)
            |${legSql("bpe_gpt2", "np_g")}
            |UNION ALL ${legSql("bpe_lexer", "np_l")}
-           |UNION ALL ${legSql("unigram", "np_u")}""".stripMargin
+           |UNION ALL ${legSql("unigram", "np_u")}
+           |UNION ALL ${legSql("wordpiece", "np_w")}""".stripMargin
       }),
 
     // WORDPIECE TOKENIZER (Wordpiece.fit / encodeWord — the BERT
@@ -1452,7 +1464,24 @@ object BpeQueries {
   )
 
   /** q313 oracle (see the registration comment). */
-  private def q313Oracle: String = {
+  private def q313Oracle: String =
+    s"""WITH ${fitHeadOver(
+          "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", "")},
+       |${wordpieceChainCtes(greedyOver = "vocab", greedyWordCol = "w")}
+       |SELECT w AS word, CAST(f AS BIGINT) AS freq,
+       |  CAST(np AS BIGINT) AS n_pieces, seg AS pieces
+       |FROM wseg""".stripMargin
+
+  /** The WordPiece fit + greedy-encode replay WITHOUT leading WITH:
+    * `wv0` (##-form symbols from the shared `vocab(w, f)` CTE) → 48
+    * scored merge steps (`wpb_k` exact 2^80-scaled argmax + the
+    * '##'-stripping merge pass) → `wvoc` (final vocabulary) → a
+    * 24-stage greedy longest-match unroll over `greedyOver(w, f)` →
+    * `wseg(w, f, np, seg)`. Shared by q313 (encode the fit vocab) and
+    * q309 (encode the unigram-chain words — the same word set, so the
+    * scorecard's four bases segment identical words). */
+  private def wordpieceChainCtes(greedyOver: String,
+      greedyWordCol: String): String = {
     val mergeSteps = (1 to NumMerges).map { k =>
       s"""wpp$k AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(f) AS BIGINT) AS c FROM (
          |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i
@@ -1489,23 +1518,19 @@ object BpeQueries {
          |wacc${s + 1} AS MATERIALIZED (
          |  SELECT * FROM wacc$s UNION ALL SELECT * FROM wnxt$s)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${fitHeadOver(
-          "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", "")},
-       |wv0 AS MATERIALIZED (SELECT w, f,
+    s"""wv0 AS MATERIALIZED (SELECT w, f,
        |  list_transform(generate_series(1, length(w)),
        |    i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS s
        |  FROM vocab),
        |$mergeSteps,
-       |wvoc AS (SELECT DISTINCT sym FROM (
+       |wvoc AS MATERIALIZED (SELECT DISTINCT sym FROM (
        |  SELECT unnest(s) AS sym FROM wv0
        |  UNION ALL $mergedSyms)),
-       |wacc0 AS (SELECT w, f, 0 AS pos, 0 AS np, '' AS seg FROM vocab
-       |  WHERE length(w) <= 24),
+       |wacc0 AS (SELECT $greedyWordCol AS w, f, 0 AS pos, 0 AS np,
+       |  '' AS seg FROM $greedyOver
+       |  WHERE length($greedyWordCol) <= 24),
        |$greedy,
-       |wseg AS (SELECT w, f, np, seg FROM wacc24 WHERE pos = length(w))
-       |SELECT w AS word, CAST(f AS BIGINT) AS freq,
-       |  CAST(np AS BIGINT) AS n_pieces, seg AS pieces
-       |FROM wseg""".stripMargin
+       |wseg AS (SELECT w, f, np, seg FROM wacc24 WHERE pos = length(w))""".stripMargin
   }
 
   /** [[applyCtes]] with WordPiece's merged-symbol form (`l` ++ `r`
@@ -1590,7 +1615,7 @@ object BpeQueries {
        |uwf AS (SELECT lower(tok) AS w, count(*) AS f FROM ustoks
        |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
        |uvocab AS (SELECT w, f FROM uwf ORDER BY f DESC, w LIMIT $MaxWords),
-       |uwords AS (SELECT w, CAST(f AS BIGINT) AS f FROM uvocab
+       |uwords AS MATERIALIZED (SELECT w, CAST(f AS BIGINT) AS f FROM uvocab
        |  WHERE length(w) <= $MaxWordLen),
        |usubs AS (SELECT substr(u.w, a.a, l.l) AS p, u.f
        |  FROM uwords u, generate_series(1, $MaxWordLen) a(a),
