@@ -198,7 +198,9 @@ object Bench {
     "q311"->2.494, "q312"->0.975, "q313"->0.156,
     // r17 third wave — clean solo FORCE_MIN (calib 2.33, regress 0),
     // 12-control median 0.8337
-    "q314"->8.996)
+    "q314"->8.996,
+    // r17 fourth wave — clean solo FORCE_MIN, 12-control median 0.9253
+    "q315"->0.717)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

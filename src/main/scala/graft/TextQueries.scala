@@ -2533,6 +2533,62 @@ object TextQueries {
           |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_micro
           |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    // PERCOLATOR (Bm25.registerStandingQueries / percolate — q310's
+    // fixed alert at PRODUCTION scale): thousands of boolean alerts
+    // register as a term-keyed QUERY INDEX and each incoming doc
+    // probes it relationally — index the queries, stream the docs.
+    // The signed-weight trick (+1 per must, −2^20 per mustNot) folds
+    // must-counting AND must-not exclusion into ONE aggregation
+    // (streaming-safe: per-row term derivation, stream-static join,
+    // one sum). Fixture: 15 alerts = first-6-token conjunctions of
+    // docs < 15, every third alert excludes the planted ' qnotone'
+    // (%20 docs carry it) — each alert matches at least its source
+    // doc unless the exclusion kills it. Oracle replays the boolean
+    // algebra with an explicit NOT EXISTS.
+    Q("q315_percolator",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = d.select(col("doc_id"),
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" qnotone")))
+            .otherwise(col("text")).as("text"))
+        val queries = d.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 90000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
+              .as("must_text"),
+            when(col("doc_id") % 3 === 0, "qnotone")
+              .otherwise(null).cast("string").as("not_text"))
+        val idx = graft.operators.Bm25.registerStandingQueries(
+          queries, "qid", "must_text", "not_text")
+        graft.operators.Bm25.percolate(idx, planted, "doc_id", "text")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 20 = 0
+             |    THEN text || ' qnotone' ELSE text END AS text
+             |  FROM documents),
+             |qm AS (SELECT DISTINCT doc_id + 90000 AS qid, lower(tk) AS term
+             |  FROM (SELECT doc_id, unnest(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
+             |    FROM documents WHERE doc_id < 15)
+             |  WHERE length(tk) > 0),
+             |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
+             |  FROM documents WHERE doc_id < 15 AND doc_id % 3 = 0),
+             |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
+             |  GROUP BY 1),
+             |dt AS (SELECT DISTINCT doc_id AS id, lower(tk) AS term
+             |  FROM (SELECT doc_id, unnest(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tk
+             |    FROM corpus)
+             |  WHERE length(tk) > 0),
+             |hits AS (SELECT d.id, m.qid, CAST(count(*) AS BIGINT) AS c
+             |  FROM dt d JOIN qm m USING (term) GROUP BY 1, 2)
+             |SELECT h.id, h.qid FROM hits h JOIN nm ON nm.qid = h.qid
+             |WHERE h.c = nm.n
+             |  AND NOT EXISTS (SELECT 1 FROM qn n JOIN dt d2
+             |    ON d2.id = h.id AND d2.term = n.term
+             |    WHERE n.qid = h.qid)""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

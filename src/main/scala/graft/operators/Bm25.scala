@@ -833,6 +833,62 @@ object Bm25 {
       df = spark.read.parquet(s"$dir/df"),
       totals = spark.read.parquet(s"$dir/totals"))
 
+  /** PERCOLATOR — the standing-query surface at PRODUCTION scale
+    * (q310's fixed alert generalized): REGISTER thousands of boolean
+    * alerts as a term-keyed QUERY INDEX, then each incoming document
+    * probes the index relationally — the Elasticsearch-percolator
+    * inversion (index the queries, stream the docs). One signed-weight
+    * trick keeps matching to ONE aggregation (streaming-safe): every
+    * (qid, must term) carries +1, every (qid, mustNot term) carries
+    * −2^20; a doc's distinct-term join summed per (doc, qid) equals
+    * n_must iff ALL musts are present AND NO mustNot is (positives are
+    * bounded by |must| ≪ 2^20, so one negative can never cancel back).
+    * Registration is per-query fact derivation — fold/delete by qid
+    * like every other maintained index member.
+    * @return the query index (qid, term, wt) + per-qid totals folded in
+    */
+  def registerStandingQueries(queries: DataFrame, qidCol: String,
+      mustTextCol: String, mustNotTextCol: String): DataFrame = {
+    val must = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(
+          TextFunctions.tokens(lower(col(mustTextCol))))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("wt", lit(1L))
+    val mustNot = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(
+          TextFunctions.tokens(lower(coalesce(col(mustNotTextCol),
+            lit("")))))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("wt", lit(-(1L << 20)))
+    // a term both must and mustNot would be a contradictory alert;
+    // keep the mustNot weight (the query can then never match — the
+    // honest reading) by summing weights per (qid, term)
+    must.unionByName(mustNot)
+      .groupBy(col("qid"), col("term")).agg(sum(col("wt")).as("wt"))
+  }
+
+  /** Match incoming docs against the registered query index: distinct
+    * doc terms equi-join the index on term, ONE sum per (id, qid),
+    * match iff the sum equals the query's must count. Work is bounded
+    * by posting-list overlap (docs never meet queries sharing no
+    * term). Streaming shape: term derivation is per-row, the join is
+    * stream-static, the sum is the single stateful aggregation.
+    * @return (id, qid) matched pairs */
+  def percolate(queryIndex: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val nMust = queryIndex.filter(col("wt") === 1L)
+      .groupBy(col("qid")).agg(count(lit(1)).as("_nm"))
+    val docTerms = incoming.select(col(idCol).as("id"),
+        explode(array_distinct(
+          TextFunctions.tokens(lower(col(textCol))))).as("term"))
+      .filter(length(col("term")) > 0)
+    docTerms.join(queryIndex, Seq("term"))
+      .groupBy(col("id"), col("qid")).agg(sum(col("wt")).as("_s"))
+      .join(broadcast(nMust), Seq("qid"))
+      .filter(col("_s") === col("_nm"))
+      .select(col("id"), col("qid"))
+  }
+
   /** MERGE two independently-built epoch indexes (the production
     * reindex path: shards index in parallel, then merge) — every stat
     * is an additive fold, so the merge is tf/dl union, df summed

@@ -478,6 +478,38 @@ class Bm25Spec extends SparkSuite {
     assert(rows(folded.totals) == rows(want.totals), "totals diverged")
   }
 
+  test("percolator: conjunction, exclusion, weight bound, contradictions") {
+    import spark.implicits._
+    val bm = graft.operators.Bm25
+    val queries = Seq(
+      (1L, "alpha beta", null),
+      (2L, "alpha", "nogo"),
+      (3L, "alpha", "alpha")) // contradictory: can never match
+      .toDF("qid", "must_text", "not_text")
+    val idx = bm.registerStandingQueries(queries, "qid", "must_text",
+      "not_text")
+    val docs = Seq(
+      (10L, "alpha beta rest"),   // q1 + q2
+      (11L, "alpha only here"),   // q2
+      (12L, "alpha beta nogo"),   // q1 (q2 excluded by nogo)
+      (13L, "beta without the a") // nothing
+    ).toDF("doc_id", "text")
+    val got = bm.percolate(idx, docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 2L), (12L, 1L)),
+      s"percolation wrong: $got")
+    // the contradictory alert never matches anything
+    assert(!got.exists(_._2 == 3L))
+    // weight bound: a doc repeating a must term many times still
+    // counts it ONCE (distinct terms), so the -2^20 exclusion can
+    // never be cancelled by positives
+    val spam = Seq((20L, ("alpha " * 50) + "nogo")).toDF("doc_id", "text")
+    val spamGot = bm.percolate(idx, spam, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(spamGot.isEmpty,
+      s"spam doc lacks beta (q1) and carries nogo (q2): $spamGot")
+  }
+
   test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
     val docs = Seq(
       (1L, "cat cot dog"), (2L, "cat dog"), (3L, "cat bird"),
