@@ -2589,6 +2589,70 @@ object TextQueries {
              |    ON d2.id = h.id AND d2.term = n.term
              |    WHERE n.qid = h.qid)""".stripMargin)),
 
+    // STREAMING PERCOLATION (Bm25.percolateScores at ingest — q315's
+    // streaming member, closing the alerting surface the way q245
+    // closed ranked retrieval): incoming docs stream against the
+    // REGISTERED query index with one stateless term derivation, one
+    // stream-static join, ONE stateful aggregation (Complete mode);
+    // the n_must match filter is presentation and runs batch-side on
+    // the materialized sums. Same fixture and oracle as q315 —
+    // streaming == batch, hash-equal.
+    Q("q316_streaming_percolation",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = d.select(col("doc_id"),
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" qnotone")))
+            .otherwise(col("text")).as("text"))
+        val queries = d.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 90000L).as("qid"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
+              .as("must_text"),
+            when(col("doc_id") % 3 === 0, "qnotone")
+              .otherwise(null).cast("string").as("not_text"))
+        val idx = graft.operators.OperatorCaches.track(
+          graft.operators.Bm25.registerStandingQueries(
+            queries, "qid", "must_text", "not_text").persist())
+        val inDir = s"/tmp/graft-perc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_perc")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          planted.write.mode("overwrite").parquet(inDir)
+        val scores = graft.streaming.EventStream.runToCompletion(spark,
+          inDir,
+          stream => graft.operators.Bm25.percolateScores(idx, stream,
+            "doc_id", "text"),
+          org.apache.spark.sql.streaming.OutputMode.Complete,
+          s"q316_${math.abs(dir.hashCode)}",
+          shufflePartitions = Some(8))
+        graft.operators.Bm25.percolateMatches(scores, idx)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 20 = 0
+             |    THEN text || ' qnotone' ELSE text END AS text
+             |  FROM documents),
+             |qm AS (SELECT DISTINCT doc_id + 90000 AS qid, lower(tk) AS term
+             |  FROM (SELECT doc_id, unnest(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
+             |    FROM documents WHERE doc_id < 15)
+             |  WHERE length(tk) > 0),
+             |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
+             |  FROM documents WHERE doc_id < 15 AND doc_id % 3 = 0),
+             |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
+             |  GROUP BY 1),
+             |dt AS (SELECT DISTINCT doc_id AS id, lower(tk) AS term
+             |  FROM (SELECT doc_id, unnest(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tk
+             |    FROM corpus)
+             |  WHERE length(tk) > 0),
+             |hits AS (SELECT d.id, m.qid, CAST(count(*) AS BIGINT) AS c
+             |  FROM dt d JOIN qm m USING (term) GROUP BY 1, 2)
+             |SELECT h.id, h.qid FROM hits h JOIN nm ON nm.qid = h.qid
+             |WHERE h.c = nm.n
+             |  AND NOT EXISTS (SELECT 1 FROM qn n JOIN dt d2
+             |    ON d2.id = h.id AND d2.term = n.term
+             |    WHERE n.qid = h.qid)""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

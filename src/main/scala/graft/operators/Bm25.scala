@@ -875,16 +875,31 @@ object Bm25 {
     * stream-static, the sum is the single stateful aggregation.
     * @return (id, qid) matched pairs */
   def percolate(queryIndex: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val nMust = queryIndex.filter(col("wt") === 1L)
-      .groupBy(col("qid")).agg(count(lit(1)).as("_nm"))
-    val docTerms = incoming.select(col(idCol).as("id"),
+      idCol: String, textCol: String): DataFrame =
+    percolateMatches(
+      percolateScores(queryIndex, incoming, idCol, textCol), queryIndex)
+
+  /** [[percolate]]'s STREAMING-safe core: the summed signed weights
+    * per (id, qid), UNFILTERED — one stateless per-row term
+    * derivation, one stream-static join against the registered query
+    * index, ONE aggregation (Complete mode); the n_must filter is
+    * presentation and runs batch-side on the materialized sums (the
+    * q245 scoring/ranking split applied to alerting). */
+  def percolateScores(queryIndex: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    incoming.select(col(idCol).as("id"),
         explode(array_distinct(
           TextFunctions.tokens(lower(col(textCol))))).as("term"))
       .filter(length(col("term")) > 0)
-    docTerms.join(queryIndex, Seq("term"))
+      .join(queryIndex, Seq("term"))
       .groupBy(col("id"), col("qid")).agg(sum(col("wt")).as("_s"))
-      .join(broadcast(nMust), Seq("qid"))
+
+  /** The match filter over [[percolateScores]]' output — batch-side. */
+  def percolateMatches(scores: DataFrame,
+      queryIndex: DataFrame): DataFrame = {
+    val nMust = queryIndex.filter(col("wt") === 1L)
+      .groupBy(col("qid")).agg(count(lit(1)).as("_nm"))
+    scores.join(broadcast(nMust), Seq("qid"))
       .filter(col("_s") === col("_nm"))
       .select(col("id"), col("qid"))
   }

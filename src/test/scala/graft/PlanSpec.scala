@@ -525,6 +525,15 @@ class PlanSpec extends SparkSuite {
       "standing-query matching must stay a stateless projection:\n" + p)
   }
 
+  test("q311/q315: merge + percolate — keyed joins, no cartesian") {
+    val p0 = plan("q311_index_shard_merge")
+    assert(!p0.contains("CartesianProduct"), p0.take(2000))
+    val p1 = plan("q315_percolator")
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    assert(!p1.contains("], true, 0"),
+      "percolation must not global-sort:\n" + p1.take(3000))
+  }
+
   test("q302: snippets — cost bounded by the result set (semi-join before positions)") {
     val p = plan("q302_result_snippets")
     assert(!p.contains("CartesianProduct"), p.take(2000))
