@@ -202,7 +202,9 @@ object Bench {
     // r17 fourth wave — clean solo FORCE_MIN, 12-control median 0.9253
     "q315"->0.717,
     // r17 fifth wave — clean solo FORCE_MIN, 12-control median 0.8993
-    "q316"->2.493)
+    "q316"->2.493,
+    // r17 sixth wave — clean solo FORCE_MIN, 12-control median 0.9621
+    "q317"->3.058)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -2653,6 +2653,73 @@ object TextQueries {
              |    ON d2.id = h.id AND d2.term = n.term
              |    WHERE n.qid = h.qid)""".stripMargin)),
 
+    // INDEX DATA CARD (Bm25.indexCard — the q290 card discipline
+    // applied to the index itself): the one-row operational report
+    // (counts, integer-exact avgdl, EXACT df quantiles, dominant
+    // term) read off MAINTAINED statistics after a full CRUD cycle
+    // (q254's fixture: epoch + upserted batch + deletions), so the
+    // card is deletion-aware by construction — a stale index moves
+    // every field. Quantiles run over distinct-df cumulative counts
+    // (a few hundred rows at any vocabulary size), never a
+    // vocab-wide sort. Oracle = recompute over the net corpus.
+    Q("q317_index_card",
+      (spark, dir) => {
+        import spark.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.filter(col("doc_id") % 3 =!= 0)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" graftupsert novelterm ingestion")))
+              .otherwise(col("text")).as("text"))
+        val deleted = epoch.select(col("doc_id"))
+          .unionByName(batch.select(col("doc_id")))
+          .filter(col("doc_id") % 7 === 2)
+          .unionByName(Seq(999999L).toDF("doc_id"))
+        val bm = graft.operators.Bm25
+        val pruned = bm.removeIndexStats(
+          bm.upsertIndexStats(bm.indexStats(epoch, "doc_id", "text"),
+            batch, "doc_id", "text"),
+          deleted, "doc_id")
+        bm.indexCard(pruned)
+      },
+      Some("""WITH net AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 2
+             |  UNION ALL
+             |  SELECT doc_id + 50000, CASE WHEN doc_id % 6 = 0
+             |      THEN text || ' graftupsert novelterm ingestion'
+             |      ELSE text END
+             |  FROM documents WHERE doc_id % 3 = 0 AND (doc_id + 50000) % 7 <> 2),
+             |terms AS (SELECT id, unnest(string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM net),
+             |tok AS (SELECT id, term FROM terms WHERE length(term) > 0),
+             |tfq AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM net),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_terms FROM dfq),
+             |np AS (SELECT CAST(count(*) AS BIGINT) AS n_postings FROM tfq),
+             |dfc AS (SELECT df, count(*) AS c FROM dfq GROUP BY 1),
+             |cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cc FROM dfc),
+             |q50 AS (SELECT min(df) AS v FROM cum, nt
+             |  WHERE cc >= ceil(n_terms * 0.5)),
+             |q90 AS (SELECT min(df) AS v FROM cum, nt
+             |  WHERE cc >= ceil(n_terms * 0.9)),
+             |q99 AS (SELECT min(df) AS v FROM cum, nt
+             |  WHERE cc >= ceil(n_terms * 0.99)),
+             |tp AS (SELECT df AS max_df, term AS top_term FROM dfq
+             |  ORDER BY df DESC, term LIMIT 1)
+             |SELECT nt.n_terms, np.n_postings, nd.n AS n_docs,
+             |  tot.t AS total_tokens,
+             |  CAST(tot.t * 1000000 // nd.n AS BIGINT) AS avgdl_micro,
+             |  q50.v AS df_p50, q90.v AS df_p90, q99.v AS df_p99,
+             |  tp.max_df, tp.top_term
+             |FROM nt, np, nd, tot, q50, q90, q99, tp""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -943,6 +943,49 @@ object Bm25 {
         col("term"), col("df"))
   }
 
+  /** INDEX DATA CARD — the operational one-row report a serving team
+    * reads off the MAINTAINED statistics (the q290 data-card
+    * discipline applied to the index itself): term/posting/doc/token
+    * counts, integer-exact average doc length, EXACT df quantiles,
+    * and the dominant term. Quantiles avoid a vocabulary-wide global
+    * sort: df values collapse to DISTINCT-value counts first (a few
+    * hundred rows however large the vocabulary), the cumulative count
+    * runs over THAT, and quantile q = the smallest df whose cumulative
+    * count reaches ceil(q · n_terms) — exact, replayable, and the only
+    * window in the plan is over the tiny distinct-df frame.
+    * @return one row: (n_terms, n_postings, n_docs, total_tokens,
+    *         avgdl_micro, df_p50, df_p90, df_p99, max_df, top_term) */
+  def indexCard(s: IndexStats): DataFrame = {
+    // the card reads the df table SIX times (counts, distribution,
+    // three quantile thresholds, top term) — persist it once or every
+    // crossJoin leg re-derives the whole maintenance chain behind it
+    val dfT = OperatorCaches.track(s.df.persist())
+    val counts = s.tf.agg(count(lit(1)).as("n_postings"))
+      .crossJoin(broadcast(s.totals))
+      .crossJoin(broadcast(dfT.agg(count(lit(1)).as("n_terms"))))
+    val dfc = dfT.groupBy(col("df")).agg(count(lit(1)).as("_c"))
+    val wCum = Window.orderBy(col("df"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = OperatorCaches.track(
+      dfc.withColumn("_cum", sum(col("_c")).over(wCum)).persist())
+    def quantile(q: Double) = cum.crossJoin(broadcast(
+        dfT.agg(count(lit(1)).as("_n"))))
+      .filter(col("_cum") >= ceil(col("_n") * q))
+      .orderBy(col("df")).limit(1).select(col("df"))
+    val top = dfT.orderBy(col("df").desc, col("term").asc).limit(1)
+      .select(col("df").as("max_df"), col("term").as("top_term"))
+    counts
+      .crossJoin(broadcast(quantile(0.5).withColumnRenamed("df", "df_p50")))
+      .crossJoin(broadcast(quantile(0.9).withColumnRenamed("df", "df_p90")))
+      .crossJoin(broadcast(quantile(0.99).withColumnRenamed("df", "df_p99")))
+      .crossJoin(broadcast(top))
+      .select(col("n_terms"), col("n_postings"),
+        col("_N").as("n_docs"), col("_T").as("total_tokens"),
+        expr("_T * 1000000 DIV _N").as("avgdl_micro"),
+        col("df_p50"), col("df_p90"), col("df_p99"),
+        col("max_df"), col("top_term"))
+  }
+
   /** [[removeIndexStats]] at CHUNK granularity, keyed by parent doc
     * (the q253 index's deletion path): a curation pass deletes DOCS,
     * but the chunk index is keyed by `chunk_key = doc_id·stride +
