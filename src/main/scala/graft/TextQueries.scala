@@ -2543,10 +2543,14 @@ object TextQueries {
     // one sum). Fixture: 15 alerts = first-6-token conjunctions of
     // docs < 15, every third alert excludes the planted ' qnotone'
     // (%20 docs carry it) — each alert matches at least its source
-    // doc unless the exclusion kills it. Oracle replays the boolean
-    // algebra with an explicit NOT EXISTS.
+    // doc unless the exclusion kills it. A 16th CONTRADICTORY alert
+    // (must ∩ mustNot = 'qnotone', plus the common must 'the') pins the
+    // all-musts n_must count: a doc carrying 'the' but not 'qnotone'
+    // must NOT match it (r17 advice — the pre-fix count let it).
+    // Oracle replays the boolean algebra with an explicit NOT EXISTS.
     Q("q315_percolator",
       (spark, dir) => {
+        val sq = spark; import sq.implicits._
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         val planted = d.select(col("doc_id"),
@@ -2559,6 +2563,8 @@ object TextQueries {
               .as("must_text"),
             when(col("doc_id") % 3 === 0, "qnotone")
               .otherwise(null).cast("string").as("not_text"))
+          .unionByName(Seq((90100L, "the qnotone", "qnotone"))
+            .toDF("qid", "must_text", "not_text"))
         val idx = graft.operators.Bm25.registerStandingQueries(
           queries, "qid", "must_text", "not_text")
         graft.operators.Bm25.percolate(idx, planted, "doc_id", "text")
@@ -2571,9 +2577,12 @@ object TextQueries {
              |  FROM (SELECT doc_id, unnest(string_split_regex(
              |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
              |    FROM documents WHERE doc_id < 15)
-             |  WHERE length(tk) > 0),
+             |  WHERE length(tk) > 0
+             |  UNION SELECT qid, term FROM (VALUES (90100, 'the'),
+             |    (90100, 'qnotone')) t(qid, term)),
              |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
-             |  FROM documents WHERE doc_id < 15 AND doc_id % 3 = 0),
+             |  FROM documents WHERE doc_id < 15 AND doc_id % 3 = 0
+             |  UNION ALL SELECT 90100, 'qnotone'),
              |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
              |  GROUP BY 1),
              |dt AS (SELECT DISTINCT doc_id AS id, lower(tk) AS term
@@ -2589,16 +2598,22 @@ object TextQueries {
              |    ON d2.id = h.id AND d2.term = n.term
              |    WHERE n.qid = h.qid)""".stripMargin)),
 
-    // STREAMING PERCOLATION (Bm25.percolateScores at ingest — q315's
-    // streaming member, closing the alerting surface the way q245
-    // closed ranked retrieval): incoming docs stream against the
-    // REGISTERED query index with one stateless term derivation, one
-    // stream-static join, ONE stateful aggregation (Complete mode);
-    // the n_must match filter is presentation and runs batch-side on
-    // the materialized sums. Same fixture and oracle as q315 —
-    // streaming == batch, hash-equal.
+    // STREAMING PERCOLATION (Bm25.percolate per micro-batch — q315's
+    // streaming member, re-shaped per the r17 verdict): percolation of
+    // a whole document needs NO cross-batch state — a doc's terms
+    // arrive together in its one row, so the match is decidable INSIDE
+    // the micro-batch. Each batch percolates against the registered
+    // query index and APPENDS its matches to a durable sink (the q314
+    // foreachBatch discipline) — zero stateful operators, bounded
+    // memory at any ingest volume, matches emitted as they happen
+    // (the old Complete-mode (doc, qid) state store grew with every
+    // doc ever seen — the r17 "What's wrong #1"). maxFilesPerTrigger=1
+    // forces multi-batch composition; docs partition across batches,
+    // so appended matches == the batch percolation, hash-equal. Same
+    // fixture and oracle as q315 (incl. the contradictory alert).
     Q("q316_streaming_percolation",
       (spark, dir) => {
+        val sq = spark; import sq.implicits._
         val d = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         val planted = d.select(col("doc_id"),
@@ -2611,21 +2626,43 @@ object TextQueries {
               .as("must_text"),
             when(col("doc_id") % 3 === 0, "qnotone")
               .otherwise(null).cast("string").as("not_text"))
+          .unionByName(Seq((90100L, "the qnotone", "qnotone"))
+            .toDF("qid", "must_text", "not_text"))
         val idx = graft.operators.OperatorCaches.track(
           graft.operators.Bm25.registerStandingQueries(
             queries, "qid", "must_text", "not_text").persist())
-        val inDir = s"/tmp/graft-perc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        val inDir = s"/tmp/graft-perc3-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
           s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_perc")}"
         if (!new java.io.File(s"$inDir/_SUCCESS").exists())
-          planted.write.mode("overwrite").parquet(inDir)
-        val scores = graft.streaming.EventStream.runToCompletion(spark,
-          inDir,
-          stream => graft.operators.Bm25.percolateScores(idx, stream,
-            "doc_id", "text"),
-          org.apache.spark.sql.streaming.OutputMode.Complete,
-          s"q316_${math.abs(dir.hashCode)}",
-          shufflePartitions = Some(8))
-        graft.operators.Bm25.percolateMatches(scores, idx)
+          planted.repartition(3).write.mode("overwrite").parquet(inDir)
+        // fresh sink + checkpoint per run (a persisted checkpoint would
+        // mark the feed consumed and serve last run's matches)
+        val runRoot = new java.io.File(s"$inDir-run")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        if (runRoot.exists()) rm(runRoot)
+        runRoot.mkdirs()
+        val root = runRoot.getAbsolutePath
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        try {
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              graft.operators.Bm25.percolate(idx, batch, "doc_id", "text")
+                .write.mode("append").parquet(s"$root/matches")
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        spark.read.parquet(s"$root/matches")
       },
       Some("""WITH corpus AS (
              |  SELECT doc_id, CASE WHEN doc_id % 20 = 0
@@ -2635,9 +2672,12 @@ object TextQueries {
              |  FROM (SELECT doc_id, unnest(string_split_regex(
              |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
              |    FROM documents WHERE doc_id < 15)
-             |  WHERE length(tk) > 0),
+             |  WHERE length(tk) > 0
+             |  UNION SELECT qid, term FROM (VALUES (90100, 'the'),
+             |    (90100, 'qnotone')) t(qid, term)),
              |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
-             |  FROM documents WHERE doc_id < 15 AND doc_id % 3 = 0),
+             |  FROM documents WHERE doc_id < 15 AND doc_id % 3 = 0
+             |  UNION ALL SELECT 90100, 'qnotone'),
              |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
              |  GROUP BY 1),
              |dt AS (SELECT DISTINCT doc_id AS id, lower(tk) AS term
@@ -2706,11 +2746,11 @@ object TextQueries {
              |dfc AS (SELECT df, count(*) AS c FROM dfq GROUP BY 1),
              |cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cc FROM dfc),
              |q50 AS (SELECT min(df) AS v FROM cum, nt
-             |  WHERE cc >= ceil(n_terms * 0.5)),
+             |  WHERE cc >= (n_terms * 50 + 99) // 100),
              |q90 AS (SELECT min(df) AS v FROM cum, nt
-             |  WHERE cc >= ceil(n_terms * 0.9)),
+             |  WHERE cc >= (n_terms * 90 + 99) // 100),
              |q99 AS (SELECT min(df) AS v FROM cum, nt
-             |  WHERE cc >= ceil(n_terms * 0.99)),
+             |  WHERE cc >= (n_terms * 99 + 99) // 100),
              |tp AS (SELECT df AS max_df, term AS top_term FROM dfq
              |  ORDER BY df DESC, term LIMIT 1)
              |SELECT nt.n_terms, np.n_postings, nd.n AS n_docs,

@@ -124,7 +124,10 @@ object Wordpiece {
       }
     }
     val v = vocab.toSet
-    (Model(v, v.iterator.map(pieceChars).max), top)
+    // empty/all-filtered input ⇒ empty model (Bpe/UnigramLm tolerate
+    // empty corpora — match them); encodeWord then yields [UNK] via the
+    // maxPieceChars == 0 guard (the length-0 probe loop never runs)
+    (Model(v, if (v.isEmpty) 0 else v.iterator.map(pieceChars).max), top)
   }
 
   /** Full driver-local fit: the SAME hash-capped sample, lexer, and

@@ -860,9 +860,12 @@ object Bm25 {
             lit("")))))).as("term"))
       .filter(length(col("term")) > 0)
       .withColumn("wt", lit(-(1L << 20)))
-    // a term both must and mustNot would be a contradictory alert;
-    // keep the mustNot weight (the query can then never match — the
-    // honest reading) by summing weights per (qid, term)
+    // a term both must and mustNot is a contradictory alert: its merged
+    // weight is 1 − 2^20, so a doc CONTAINING it sums far below n_must
+    // (the negative dominates) and — because [[percolateMatches]] counts
+    // the overlap term in n_must — a doc WITHOUT it tops out one short.
+    // Either way the query honestly never matches, matching the oracle's
+    // all-musts count + NOT EXISTS reading.
     must.unionByName(mustNot)
       .groupBy(col("qid"), col("term")).agg(sum(col("wt")).as("wt"))
   }
@@ -894,10 +897,18 @@ object Bm25 {
       .join(queryIndex, Seq("term"))
       .groupBy(col("id"), col("qid")).agg(sum(col("wt")).as("_s"))
 
-  /** The match filter over [[percolateScores]]' output — batch-side. */
+  /** The match filter over [[percolateScores]]' output — batch-side.
+    * n_must counts EVERY registered must term: a must-only term merged
+    * to wt = 1, a must∩mustNot contradiction to wt = 1 − 2^20 (the only
+    * two wt values a must row can reach — registration dedups terms per
+    * side, so each (qid, term) carries at most one +1 and one −2^20).
+    * Counting only wt = 1 would shrink n_must for contradictory alerts
+    * and let a doc MISSING the contradictory term match — disagreeing
+    * with the oracle's all-musts count (r17 advice). */
   def percolateMatches(scores: DataFrame,
       queryIndex: DataFrame): DataFrame = {
-    val nMust = queryIndex.filter(col("wt") === 1L)
+    val nMust = queryIndex
+      .filter(col("wt") === 1L || col("wt") === (1L - (1L << 20)))
       .groupBy(col("qid")).agg(count(lit(1)).as("_nm"))
     scores.join(broadcast(nMust), Seq("qid"))
       .filter(col("_s") === col("_nm"))
@@ -968,16 +979,19 @@ object Bm25 {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = OperatorCaches.track(
       dfc.withColumn("_cum", sum(col("_c")).over(wCum)).persist())
-    def quantile(q: Double) = cum.crossJoin(broadcast(
+    // quantile threshold ceil(n·pct/100) in EXACT integer arithmetic on
+    // both engines (r17 advice: a double n·q product can round across an
+    // integer boundary and shift the quantile one distinct-df step)
+    def quantile(pct: Int) = cum.crossJoin(broadcast(
         dfT.agg(count(lit(1)).as("_n"))))
-      .filter(col("_cum") >= ceil(col("_n") * q))
+      .filter(col("_cum") >= expr(s"(_n * $pct + 99) DIV 100"))
       .orderBy(col("df")).limit(1).select(col("df"))
     val top = dfT.orderBy(col("df").desc, col("term").asc).limit(1)
       .select(col("df").as("max_df"), col("term").as("top_term"))
     counts
-      .crossJoin(broadcast(quantile(0.5).withColumnRenamed("df", "df_p50")))
-      .crossJoin(broadcast(quantile(0.9).withColumnRenamed("df", "df_p90")))
-      .crossJoin(broadcast(quantile(0.99).withColumnRenamed("df", "df_p99")))
+      .crossJoin(broadcast(quantile(50).withColumnRenamed("df", "df_p50")))
+      .crossJoin(broadcast(quantile(90).withColumnRenamed("df", "df_p90")))
+      .crossJoin(broadcast(quantile(99).withColumnRenamed("df", "df_p99")))
       .crossJoin(broadcast(top))
       .select(col("n_terms"), col("n_postings"),
         col("_N").as("n_docs"), col("_T").as("total_tokens"),

@@ -379,5 +379,10 @@ class BpeSpec extends SparkSuite {
     // seen word-INITIAL, so a continuation-position 'a' is unseen →
     // the whole word is [UNK] (the ## convention's point)
     assert(Wordpiece.encodeWord("cda", m3) == Seq(Wordpiece.Unk))
+    // empty/all-filtered input → empty model, not a crash (r17 advice:
+    // the Bpe/UnigramLm contract); any word then encodes as [UNK]
+    val (m4, v4) = Wordpiece.fitFromWordFreq(Map.empty[String, Long], 10, 5)
+    assert(m4.vocab.isEmpty && m4.maxPieceChars == 0 && v4.isEmpty)
+    assert(Wordpiece.encodeWord("abc", m4) == Seq(Wordpiece.Unk))
   }
 }

@@ -534,6 +534,38 @@ class PlanSpec extends SparkSuite {
       "percolation must not global-sort:\n" + p1.take(3000))
   }
 
+  test("q316: streaming percolation — foreachBatch, ZERO stateful operators") {
+    // percolation of a whole document is decidable inside its
+    // micro-batch (a doc's terms arrive together in its one row), so
+    // the streaming member must hold NO cross-batch state — the r17
+    // re-shape away from an unbounded Complete-mode (doc, qid) store
+    val sq = spark; import sq.implicits._
+    val docs = Seq((1L, "alpha beta x"), (2L, "alpha y"),
+      (3L, "beta gamma alpha")).toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha beta", null.asInstanceOf[String]))
+      .toDF("qid", "must_text", "not_text")
+    val idx = graft.operators.Bm25.registerStandingQueries(
+      qs, "qid", "must_text", "not_text")
+    val root = java.nio.file.Files.createTempDirectory("graft-q316-pin")
+      .toString
+    docs.repartition(2).write.mode("overwrite").parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    val matched = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in").writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        matched.addAndGet(graft.operators.Bm25
+          .percolate(idx, b, "doc_id", "text").count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(matched.get() == 2L, s"docs 1 and 3 match: ${matched.get()}")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "percolation must run stateless per micro-batch:\n" +
+        q.lastProgress.toString)
+  }
+
   test("q302: snippets — cost bounded by the result set (semi-join before positions)") {
     val p = plan("q302_result_snippets")
     assert(!p.contains("CartesianProduct"), p.take(2000))
