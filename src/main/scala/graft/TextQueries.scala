@@ -2760,6 +2760,206 @@ object TextQueries {
              |  tp.max_df, tp.top_term
              |FROM nt, np, nd, tot, q50, q90, q99, tp""".stripMargin)),
 
+    // MERGED-MEMBER SERVE (Bm25.mergePositional / mergeVariantIndex —
+    // r17 missing #1, closing the merge across ALL index members):
+    // q311's epoch shard merge covered IndexStats only, so a merged
+    // index would re-scan text the moment a phrase or fuzzy query
+    // arrived. Positions and variants are per-doc / per-term facts:
+    // the positional merge is a bare union (same disjoint-ids
+    // precondition), the variant merge union+distinct (a term in both
+    // shards carries identical rows; no term is new to a merge). The
+    // gate serves BOTH legs from merged members — phrase adjacency off
+    // the merged positional frame, did-you-mean off the merged variant
+    // index joined to the merged (summed-df) term table — and each
+    // must hash-equal the whole-corpus recompute, which is the oracle.
+    // Fixture: q306's phrase plants (%7, double %14) + q307's
+    // 'zxsingular' plant (%9) land in BOTH parity shards.
+    Q("q318_merged_member_serve",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+              .otherwise(lit("")))
+            .as("text"))
+        val bm = graft.operators.Bm25
+        val shardA = planted.filter(col("doc_id") % 2 === 0)
+        val shardB = planted.filter(col("doc_id") % 2 === 1)
+        val sA = bm.indexStats(shardA, "doc_id", "text")
+        val sB = bm.indexStats(shardB, "doc_id", "text")
+        val merged = bm.mergeIndexStats(sA, sB)
+        val mdf = graft.operators.OperatorCaches.track(merged.df.persist())
+        val p = graft.operators.OperatorCaches.track(
+          bm.mergePositional(
+            bm.positionalPostings(shardA, "doc_id", "text"),
+            bm.positionalPostings(shardB, "doc_id", "text")).persist())
+        val vi = bm.mergeVariantIndex(
+          bm.variantIndex(sA.df), bm.variantIndex(sB.df))
+        val ph = bm.phraseMatchesFrom(p,
+          Seq("zq0grafted", "exact", "phrase", "marker"))
+        val queries = Seq((9000001L, "zxsingularz"), (9000002L, "qqqqzz"))
+          .toDF("qid", "qtext")
+        val dym = bm.didYouMeanFrom(vi, mdf, queries, "qid", "qtext", k = 3)
+        ph.select(lit("phrase").as("leg"), lit(-1L).as("qid"),
+            lit(0L).as("rank"), col("id").cast("string").as("key"),
+            col("n_occurrences").as("val"))
+          .unionByName(dym.select(lit("fuzzy").as("leg"), col("qid"),
+            col("rank"), col("suggestion").as("key"), col("df").as("val")))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 14 = 0
+             |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |m AS (SELECT a.doc_id, a.pos FROM pos a
+             |  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN pos d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+             |    AND d.term = 'marker'
+             |  WHERE a.term = 'zq0grafted'),
+             |occ AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n
+             |  FROM m GROUP BY 1),
+             |tfq AS (SELECT doc_id AS id, term FROM pos GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |fv AS (SELECT term, df, unnest(list_distinct(list_concat([term],
+             |    list_transform(generate_series(0, length(term) - 1),
+             |      i -> substr(term, 1, i) || substr(term, i + 2))))) AS v
+             |  FROM dfq),
+             |fq AS (SELECT qid, qt, unnest(list_distinct(list_concat([qt],
+             |    list_transform(generate_series(0, length(qt) - 1),
+             |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
+             |  FROM (VALUES (9000001, 'zxsingularz'),
+             |    (9000002, 'qqqqzz')) q(qid, qt)),
+             |cand AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
+             |  FROM fv JOIN fq ON fq.v = fv.v
+             |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1
+             |    AND fv.term <> fq.qt),
+             |cmm AS (SELECT qid, qt, term, df,
+             |    list_filter(generate_series(1, length(term)),
+             |      p -> substr(term, p, 1) <> substr(qt, p, 1)) AS mm
+             |  FROM cand),
+             |fm AS (SELECT qid, qt, term, df FROM cmm
+             |  WHERE length(term) <> length(qt)
+             |     OR len(mm) <= 1
+             |     OR (len(mm) = 2 AND mm[2] = mm[1] + 1
+             |         AND substr(term, mm[1], 1) = substr(qt, mm[2], 1)
+             |         AND substr(term, mm[2], 1) = substr(qt, mm[1], 1))),
+             |rk AS (SELECT qid, term AS sug, df, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY df DESC, term) AS rank
+             |  FROM fm)
+             |SELECT 'phrase' AS leg, CAST(-1 AS BIGINT) AS qid,
+             |  CAST(0 AS BIGINT) AS rank, CAST(id AS VARCHAR) AS key,
+             |  n AS val FROM occ
+             |UNION ALL
+             |SELECT 'fuzzy', qid, CAST(rank AS BIGINT), sug, df
+             |FROM rk WHERE rank <= 3""".stripMargin)),
+
+    // PROXIMITY FROM MAINTAINED MEMBERS (Bm25.proximityTopKFrom — r17
+    // missing #2): q303 gates proximity on the recompute path and q306
+    // gates phrase+snippets from the maintained positional frame, but
+    // the proximity leg of the serve-from-maintained contract was
+    // ungated. Same CRUD fixture as q306 (epoch ∪ upserted batch ∖
+    // deleted, with the phrase plants): BM25 scores read the
+    // maintained IndexStats, pair distances the maintained positional
+    // frame, and the boosted ranking must hash-equal the q303 chain
+    // recomputed over the survivor corpus. A stale positional frame
+    // (deletion skipped) moves prox bonuses; a stale df moves idf —
+    // either moves rows.
+    Q("q319_proximity_from_maintained",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        def plant(c: org.apache.spark.sql.DataFrame) = c.select(col("doc_id"),
+          when(col("doc_id") % 14 === 0,
+            concat(col("text"), lit(phrase), lit(phrase)))
+            .when(col("doc_id") % 7 === 0, concat(col("text"), lit(phrase)))
+            .otherwise(col("text")).as("text"))
+        val epoch = plant(d.filter(col("doc_id") % 3 =!= 0))
+        val batch = plant(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+        val deleted = epoch.select(col("doc_id"))
+          .unionByName(batch.select(col("doc_id")))
+          .filter(col("doc_id") % 11 === 3)
+        val bm = graft.operators.Bm25
+        val s = bm.removeIndexStats(
+          bm.upsertIndexStats(bm.indexStats(epoch, "doc_id", "text"),
+            batch, "doc_id", "text"),
+          deleted, "doc_id")
+        val p = graft.operators.OperatorCaches.track(
+          bm.removePositional(
+            bm.upsertPositional(
+              bm.positionalPostings(epoch, "doc_id", "text"),
+              batch, "doc_id", "text"),
+            deleted, "doc_id").persist())
+        bm.proximityTopKFrom(s, p, col("id") < 5, k = 10)
+      },
+      Some("WITH " +
+        """surv AS (
+          |  SELECT doc_id, text FROM (
+          |    SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+          |    UNION ALL
+          |    SELECT doc_id + 50000, text FROM documents WHERE doc_id % 3 = 0)
+          |  WHERE doc_id % 11 <> 3),
+          |corpus AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 14 = 0
+          |      THEN text || ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+          |      WHEN doc_id % 7 = 0
+          |      THEN text || ' zq0grafted exact phrase marker'
+          |      ELSE text END AS text
+          |  FROM surv),
+          |""".stripMargin +
+        bm25ScoreCtes("corpus", "doc_id", "id < 5") +
+        """,
+          |tw0 AS (SELECT doc_id, string_split_regex(
+          |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+          |  FROM corpus),
+          |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |        FROM tw0)
+          |  WHERE length(w[i]) > 0),
+          |qp AS (SELECT q.qid, p.doc_id AS id, q.term, p.pos
+          |  FROM qt q JOIN pos p ON p.term = q.term
+          |  WHERE p.doc_id <> q.qid),
+          |md AS (SELECT a.qid, a.id, a.term AS t1, b.term AS t2,
+          |    min(abs(a.pos - b.pos)) AS mdv
+          |  FROM qp a JOIN qp b ON b.qid = a.qid AND b.id = a.id
+          |    AND a.term < b.term
+          |  GROUP BY 1, 2, 3, 4),
+          |px AS (SELECT qid, id,
+          |    CAST(sum(1000000 // (1 + mdv)) AS BIGINT) AS prox
+          |  FROM md GROUP BY 1, 2),
+          |totx AS (SELECT s.qid, s.id,
+          |    s.score_micro + coalesce(p.prox, 0) AS total,
+          |    coalesce(p.prox, 0) AS prox
+          |  FROM sc s LEFT JOIN px p ON p.qid = s.qid AND p.id = s.id)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id,
+          |  CAST(total AS BIGINT) AS score_micro,
+          |  CAST(prox AS BIGINT) AS prox_micro
+          |FROM (SELECT qid, id, total, prox, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY total DESC, id) AS rank FROM totx)
+          |WHERE rank <= 10""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -933,6 +933,26 @@ object Bm25 {
       totals = a.totals.unionByName(b.totals)
         .agg(sum(col("_T")).as("_T"), sum(col("_N")).as("_N")))
 
+  /** [[mergeIndexStats]]'s POSITIONAL sibling (r17 missing #1 — merge
+    * closure for every index member): positions are per-doc facts, so
+    * merging two shards' positional frames is a bare union under the
+    * SAME disjoint-doc-ids precondition. Phrase/proximity/snippet
+    * serve off the merged frame == a whole-corpus recompute (gated
+    * q318) — the epoch-reindex path never re-scans text for a phrase
+    * query. */
+  def mergePositional(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+
+  /** [[mergeIndexStats]]'s VARIANT-INDEX sibling: delete-1 variants
+    * are per-TERM facts, so a term present in both shards carries
+    * IDENTICAL (term, _v) rows — the merge is union + distinct (no
+    * term is ever NEW to a merge: the merged df table's term set is
+    * the union of the shards'). Never re-explodes the vocabulary; the
+    * dedup shuffle is over existing index rows only. Fuzzy serve off
+    * the merged index == a whole-corpus recompute (gated q318). */
+  def mergeVariantIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
   /** PREFIX AUTOCOMPLETE over the maintained df table — the
     * search-box serve artifact beside [[didYouMeanFrom]]: per prefix
     * the top-k completions ranked by document frequency (popularity,

@@ -534,6 +534,20 @@ class PlanSpec extends SparkSuite {
       "percolation must not global-sort:\n" + p1.take(3000))
   }
 
+  test("q318/q319: merged-member + maintained-proximity serve — keyed joins only") {
+    // merged members must serve phrase/fuzzy without cartesians or
+    // global sorts (rank windows are partition-local), and the
+    // maintained-proximity path must keep its anti-join deletes
+    val p0 = plan("q318_merged_member_serve")
+    assert(!p0.contains("CartesianProduct"), p0.take(2000))
+    assert(!p0.contains("], true, 0"),
+      "no global sort in merged-member serve:\n" + p0.take(3000))
+    val p1 = plan("q319_proximity_from_maintained")
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    assert(p1.contains("LeftAnti"),
+      "maintained-member deletion must be an id anti-join:\n" + p1.take(3000))
+  }
+
   test("q316: streaming percolation — foreachBatch, ZERO stateful operators") {
     // percolation of a whole document is decidable inside its
     // micro-batch (a doc's terms arrive together in its one row), so
