@@ -2960,6 +2960,126 @@ object TextQueries {
           |    PARTITION BY qid ORDER BY total DESC, id) AS rank FROM totx)
           |WHERE rank <= 10""".stripMargin)),
 
+    // PHRASE PERCOLATOR (Bm25.registerStandingPhrases /
+    // percolatePhrases — r17 missing #3): standing PHRASE alerts at
+    // production scale — the queries index as a POSITIONAL query index
+    // (qid, off, term) and every incoming doc probes it relationally
+    // with the q306 adjacency algebra transposed to the query side
+    // (anchor = pos − off; a (doc, qid, anchor) cell collecting every
+    // query row is one occurrence). Alert mix models production: 200
+    // SELECTIVE marker alerts ('zxph<i> sig marker', planted on half
+    // the corpus keyed by doc_id % 200 — rarest-term routing is
+    // load-bearing: each routes on its tiny zxph<i> posting list, so
+    // cost stays Σ_q |postings(rarest)|·|phrase| however common 'sig'/
+    // 'marker' get), 25 natural-trigram alerts over the dense 30-word
+    // vocabulary (the worst case: every term common), and one literal
+    // alert on the planted q300 phrase. Matching is intra-doc, so the
+    // STREAMING member runs stateless per micro-batch (the q316
+    // foreachBatch shape); appended matches == batch percolation ==
+    // the oracle's SQL replay, hash-equal.
+    Q("q320_phrase_percolator",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" zxph"), col("doc_id") % 200,
+                lit(" sig marker"))).otherwise(lit("")))
+            .as("text"))
+        val toks = TextFunctions.tokens(col("text"))
+        val queries = d.filter(col("doc_id") < 25 && size(toks) >= 5)
+          .select((col("doc_id") + 90000L).as("qid"),
+            array_join(slice(toks, 3, 3), " ").as("phrase_text"))
+          .unionByName(spark.range(200)
+            .select((col("id") + 96000L).as("qid"),
+              concat(lit("zxph"), col("id"), lit(" sig marker"))
+                .as("phrase_text")))
+          .unionByName(Seq((95000L, "zq0grafted exact phrase marker"))
+            .toDF("qid", "phrase_text"))
+        val idx = graft.operators.OperatorCaches.track(
+          graft.operators.Bm25.registerStandingPhrases(
+            queries, "qid", "phrase_text").persist())
+        val inDir = s"/tmp/graft-phperc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_phperc")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          planted.repartition(3).write.mode("overwrite").parquet(inDir)
+        val runRoot = new java.io.File(s"$inDir-run")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        if (runRoot.exists()) rm(runRoot)
+        runRoot.mkdirs()
+        val root = runRoot.getAbsolutePath
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        try {
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              graft.operators.Bm25.percolatePhrases(idx, batch,
+                  "doc_id", "text")
+                .write.mode("append").parquet(s"$root/matches")
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        spark.read.parquet(s"$root/matches")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text || CASE WHEN doc_id % 14 = 0
+             |    THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |    WHEN doc_id % 7 = 0
+             |    THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 2 = 0
+             |    THEN ' zxph' || CAST(doc_id % 200 AS VARCHAR) || ' sig marker'
+             |    ELSE '' END AS text
+             |  FROM documents),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |qtw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM documents WHERE doc_id < 25),
+             |qx AS (SELECT doc_id + 90000 AS qid, CAST(i - 3 AS BIGINT) AS off,
+             |    w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(3, 5)) AS i
+             |        FROM qtw WHERE len(w) >= 5)
+             |  WHERE length(w[i]) > 0
+             |  UNION ALL
+             |  SELECT 96000 + r AS qid, CAST(v.off AS BIGINT),
+             |    CASE v.off WHEN 0 THEN 'zxph' || CAST(r AS VARCHAR)
+             |      WHEN 1 THEN 'sig' ELSE 'marker' END
+             |  FROM (SELECT unnest(generate_series(0, 199)) AS r)
+             |  CROSS JOIN (VALUES (0), (1), (2)) v(off)
+             |  UNION ALL
+             |  SELECT 95000, CAST(off AS BIGINT), term
+             |  FROM (VALUES (0, 'zq0grafted'), (1, 'exact'), (2, 'phrase'),
+             |    (3, 'marker')) v(off, term)),
+             |an AS (SELECT p.doc_id AS id, q.qid, p.pos - q.off AS a,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM pos p JOIN qx q ON q.term = p.term GROUP BY 1, 2, 3),
+             |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qx
+             |  GROUP BY 1)
+             |SELECT a.id, a.qid, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM an a JOIN qn ON qn.qid = a.qid WHERE a.c = qn.n
+             |GROUP BY 1, 2""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -915,6 +915,74 @@ object Bm25 {
       .select(col("id"), col("qid"))
   }
 
+  /** PHRASE PERCOLATOR registration (r17 missing #3): standing PHRASE
+    * queries as a POSITIONAL query index — the q306 adjacency algebra
+    * transposed to the query side, so thousands of phrase alerts scale
+    * the way boolean alerts do ([[registerStandingQueries]]) instead of
+    * as per-alert stateless literals ([[standingMatchAtIngest]], right
+    * for a handful of fixed alerts only). Rows are (qid, off, term)
+    * with `off` the term's 0-based offset in the phrase, tokenized on
+    * the corpus basis (lowercased \s+ tokens — [[positionalPostings]]').
+    * Registration is per-query fact derivation — fold/delete by qid
+    * like every other maintained member. PRECONDITION: phrases are
+    * nonempty whitespace-separated token strings (offsets must be the
+    * contiguous 0..len−1 for adjacency to mean adjacency). */
+  def registerStandingPhrases(queries: DataFrame, qidCol: String,
+      phraseTextCol: String): DataFrame =
+    queries.select(col(qidCol).as("qid"),
+        posexplode(TextFunctions.tokens(lower(col(phraseTextCol))))
+          .as(Seq("off", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("qid"), col("off").cast("long").as("off"), col("term"))
+
+  /** Percolate incoming docs against the standing-phrase index, with
+    * RAREST-TERM ROUTING (the Elasticsearch-percolator discipline —
+    * [[phraseMatchesFrom]]'s anchor rule transposed to a whole query
+    * set): candidate anchors are generated ONLY from each query's
+    * rarest term (min batch document-frequency, tie to the leftmost
+    * offset), then every remaining (off, term) row verifies against
+    * the doc postings by exact position. A naive postings⋈index join
+    * on ALL terms votes one row per (common-term occurrence × query
+    * carrying it) — quadratic in stopword overlap; routing bounds the
+    * work at Σ_q |postings(rarest term of q)| · |phrase|. A query term
+    * absent from the batch routes to an empty candidate set — correct
+    * (a match needs every term) and the cheapest possible outcome.
+    * count == the query's row count is exact because (qid, off) rows
+    * are distinct and each matches at most one doc position per anchor
+    * (doc (id, pos) rows are unique) — repeated phrase terms included.
+    * Matching is intra-doc, so the streaming member runs STATELESS per
+    * micro-batch (the q316 foreachBatch shape — gated q320).
+    * @return (id, qid, n_occurrences) for matched pairs */
+  def percolatePhrases(phraseIndex: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val p = OperatorCaches.track(
+      positionalPostings(incoming, idCol, textCol).persist())
+    val qn = phraseIndex.groupBy(col("qid")).agg(count(lit(1)).as("_qn"))
+    // batch df per index term (terms the batch lacks keep df 0 via the
+    // left join — they still win routing and correctly match nothing)
+    val pdf = p.groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("_pdf"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("_pdf").asc, col("off").asc)
+    val route = phraseIndex.join(pdf, Seq("term"), "left")
+      .withColumn("_pdf", coalesce(col("_pdf"), lit(0L)))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") === 1)
+      .select(col("term"), col("qid"), col("off").as("_roff"))
+    val cand = p.join(route, Seq("term"))
+      .select(col("id"), col("qid"), (col("pos") - col("_roff")).as("_a"))
+    val expected = cand.join(phraseIndex, Seq("qid"))
+      .select(col("id"), col("qid"), col("_a"), col("term"),
+        (col("_a") + col("off")).as("pos"))
+    expected.join(p, Seq("id", "term", "pos"), "left_semi")
+      .groupBy(col("id"), col("qid"), col("_a"))
+      .agg(count(lit(1)).as("_c"))
+      .join(broadcast(qn), Seq("qid"))
+      .filter(col("_c") === col("_qn"))
+      .groupBy(col("id"), col("qid"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** MERGE two independently-built epoch indexes (the production
     * reindex path: shards index in parallel, then merge) — every stat
     * is an additive fold, so the merge is tf/dl union, df summed

@@ -548,6 +548,21 @@ class PlanSpec extends SparkSuite {
       "maintained-member deletion must be an id anti-join:\n" + p1.take(3000))
   }
 
+  test("q320: phrase percolation — keyed joins, no cartesian, no global sort") {
+    // candidate generation must be the routed term equi-join and the
+    // verification a keyed (id, term, pos) semi-join — never all-pairs;
+    // the only sorts are partition-local (routing window, agg sorts)
+    val sq = spark; import sq.implicits._
+    val idx = graft.operators.Bm25.registerStandingPhrases(
+      Seq((1L, "a b c")).toDF("qid", "phrase_text"), "qid", "phrase_text")
+    val docs = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val p = graft.operators.Bm25.percolatePhrases(idx, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("], true, 0"),
+      "phrase percolation must not global-sort:\n" + p.take(3000))
+  }
+
   test("q316: streaming percolation — foreachBatch, ZERO stateful operators") {
     // percolation of a whole document is decidable inside its
     // micro-batch (a doc's terms arrive together in its one row), so

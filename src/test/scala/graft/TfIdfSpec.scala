@@ -484,7 +484,10 @@ class Bm25Spec extends SparkSuite {
     val queries = Seq(
       (1L, "alpha beta", null),
       (2L, "alpha", "nogo"),
-      (3L, "alpha", "alpha")) // contradictory: can never match
+      (3L, "alpha", "alpha"),      // contradictory: can never match
+      (4L, "alpha gamma", "gamma")) // contradiction BESIDE another must:
+      // n_must counts gamma too, so a doc with alpha but no gamma
+      // cannot reach it (the r17-advice bug let it)
       .toDF("qid", "must_text", "not_text")
     val idx = bm.registerStandingQueries(queries, "qid", "must_text",
       "not_text")
@@ -498,8 +501,9 @@ class Bm25Spec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((10L, 1L), (10L, 2L), (11L, 2L), (12L, 1L)),
       s"percolation wrong: $got")
-    // the contradictory alert never matches anything
-    assert(!got.exists(_._2 == 3L))
+    // the contradictory alerts never match anything — including q4
+    // against docs carrying alpha WITHOUT gamma (10, 11, 12)
+    assert(!got.exists(r => r._2 == 3L || r._2 == 4L))
     // weight bound: a doc repeating a must term many times still
     // counts it ONCE (distinct terms), so the -2^20 exclusion can
     // never be cancelled by positives
@@ -508,6 +512,30 @@ class Bm25Spec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(spamGot.isEmpty,
       s"spam doc lacks beta (q1) and carries nogo (q2): $spamGot")
+  }
+
+  test("phrase percolator: adjacency, repeats, routing on absent/rare terms") {
+    import spark.implicits._
+    val bm = graft.operators.Bm25
+    val queries = Seq(
+      (1L, "big red fox"),   // plain phrase
+      (2L, "go stop go"),    // repeated term at two offsets
+      (3L, "red fox"),       // suffix of q1's phrase
+      (4L, "qqq red fox"))   // qqq absent from every doc — never matches
+      .toDF("qid", "phrase_text")
+    val idx = bm.registerStandingPhrases(queries, "qid", "phrase_text")
+    val docs = Seq(
+      (10L, "the big red fox runs"),        // q1, q3
+      (11L, "big red FOX big red fox"),     // q1 ×2 (case-folds), q3 ×2
+      (12L, "red big fox"),                 // words present, order wrong
+      (13L, "go stop go stop go"),          // q2 ×2 (overlapping anchors)
+      (14L, "red fox only"))                // q3
+      .toDF("doc_id", "text")
+    val got = bm.percolatePhrases(idx, docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 1L), (10L, 3L, 1L), (11L, 1L, 2L),
+      (11L, 3L, 2L), (13L, 2L, 2L), (14L, 3L, 1L)),
+      s"phrase percolation wrong: $got")
   }
 
   test("didYouMean: df-ranked distance-1 suggestions, self excluded") {
