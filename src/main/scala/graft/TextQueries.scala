@@ -3080,6 +3080,191 @@ object TextQueries {
              |FROM an a JOIN qn ON qn.qid = a.qid WHERE a.c = qn.n
              |GROUP BY 1, 2""".stripMargin)),
 
+    // STREAMING CDC CLOSURE ACROSS INDEX MEMBERS (Bm25.applyCdcBatch +
+    // applyCdcBatchPositional + maintainVariantIndex in ONE versioned
+    // foreachBatch cycle — r17 missing #4): q314 maintained IndexStats
+    // only, so a live CRUD corpus served stale phrase/fuzzy results
+    // until a batch fold ran. Here each micro-batch folds ALL THREE
+    // members (stats remove∘upsert; positional remove∘upsert; variant
+    // born/dead term algebra over the before/after df tables) into
+    // versioned on-disk artifacts, and the post-stream serve — phrase
+    // adjacency off the final positional frame, did-you-mean off the
+    // final variant index — must hash-equal the net-corpus recompute.
+    // Deletion is load-bearing twice: deletes kill phrase carriers
+    // (%3==1 ∩ %7==3) AND exactly exhaust the 'zxdying' carriers, so a
+    // stale positional frame still phrase-matches dead docs and a
+    // stale variant index still suggests the dead term.
+    Q("q321_streaming_cdc_all_members",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val phrase = " zq0grafted exact phrase marker"
+        val base = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 1, lit(phrase)).otherwise(lit("")),
+            when(col("doc_id") % 7 === 3 && col("doc_id") % 9 =!= 2,
+              lit(" zxdying")).otherwise(lit(""))).as("text"))
+        val updates = base.filter(col("doc_id") % 9 === 2)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" revision graftcdc pass")).as("text"))
+        val inserts = d.filter(col("doc_id") % 3 === 0)
+          .select(lit("I").as("op"), (col("doc_id") + 50000L).as("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 6 === 0, lit(" graftcdc novel ingest"))
+                .otherwise(lit("")),
+              when(col("doc_id") % 12 === 0, lit(phrase))
+                .otherwise(lit(""))).as("text"))
+        val deletes = d.filter(col("doc_id") % 7 === 3 &&
+            col("doc_id") % 9 =!= 2)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("string").as("text"))
+        val cdc = updates.unionByName(inserts).unionByName(deletes)
+        val inDir = s"/tmp/graft-cdc3-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(cdc, "doc_id", s"$dir/documents_cdc3")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          cdc.repartition(3, col("op")).write.mode("overwrite")
+            .parquet(inDir)
+        val stateRoot = new java.io.File(s"$inDir-state")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        if (stateRoot.exists()) rm(stateRoot)
+        stateRoot.mkdirs()
+        val root = stateRoot.getAbsolutePath
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        try {
+          val s0 = bm.indexStats(base, "doc_id", "text")
+          bm.writeIndexStats(s0, s"$root/v0/stats")
+          bm.positionalPostings(base, "doc_id", "text").coalesce(2)
+            .write.mode("overwrite").parquet(s"$root/v0/pos")
+          bm.variantIndex(spark.read.parquet(s"$root/v0/stats/df"))
+            .coalesce(2).write.mode("overwrite").parquet(s"$root/v0/vi")
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              val n = version.get()
+              val cur = bm.readIndexStats(spark, s"$root/v$n/stats")
+              bm.writeIndexStats(
+                bm.applyCdcBatch(cur, batch, "doc_id", "text", "op"),
+                s"$root/v${n + 1}/stats")
+              bm.applyCdcBatchPositional(
+                  spark.read.parquet(s"$root/v$n/pos"), batch,
+                  "doc_id", "text", "op")
+                .coalesce(2).write.mode("overwrite")
+                .parquet(s"$root/v${n + 1}/pos")
+              // the after-df read back FROM the just-written version:
+              // the variant fold composes off the same durable artifact
+              // serving reads, never a recompute
+              bm.maintainVariantIndex(
+                  spark.read.parquet(s"$root/v$n/vi"), cur.df,
+                  spark.read.parquet(s"$root/v${n + 1}/stats/df"))
+                .coalesce(2).write.mode("overwrite")
+                .parquet(s"$root/v${n + 1}/vi")
+              version.incrementAndGet(); ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        val fin = bm.readIndexStats(spark, s"$root/v${version.get()}/stats")
+        val finPos = spark.read.parquet(s"$root/v${version.get()}/pos")
+        val finVi = spark.read.parquet(s"$root/v${version.get()}/vi")
+        val ph = bm.phraseMatchesFrom(finPos,
+          Seq("zq0grafted", "exact", "phrase", "marker"))
+        val queries = Seq(
+          (9000001L, "graftcdcs"),  // dist 1 to the BORN term
+          (9000002L, "zxdyingz"),   // dist 1 to the DEAD term — nothing
+          (9000003L, "qqqqzz"))     // no suggestions
+          .toDF("qid", "qtext")
+        val dym = bm.didYouMeanFrom(finVi, fin.df, queries,
+          "qid", "qtext", k = 3)
+        ph.select(lit("phrase").as("leg"), lit(-1L).as("qid"),
+            lit(0L).as("rank"), col("id").cast("string").as("key"),
+            col("n_occurrences").as("val"))
+          .unionByName(dym.select(lit("fuzzy").as("leg"), col("qid"),
+            col("rank"), col("suggestion").as("key"), col("df").as("val")))
+      },
+      Some("""WITH net AS (
+             |  SELECT doc_id AS id, text
+             |    || CASE WHEN doc_id % 3 = 1
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END AS text
+             |  FROM documents
+             |  WHERE NOT (doc_id % 7 = 3 AND doc_id % 9 <> 2)
+             |    AND doc_id % 9 <> 2
+             |  UNION ALL
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 1
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || ' revision graftcdc pass'
+             |  FROM documents WHERE doc_id % 9 = 2
+             |  UNION ALL
+             |  SELECT doc_id + 50000, text
+             |    || CASE WHEN doc_id % 6 = 0
+             |      THEN ' graftcdc novel ingest' ELSE '' END
+             |    || CASE WHEN doc_id % 12 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |tw AS (SELECT id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM net),
+             |pos AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |m AS (SELECT a.id, a.pos FROM pos a
+             |  JOIN pos b ON b.id = a.id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN pos c ON c.id = a.id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN pos d ON d.id = a.id AND d.pos = a.pos + 3
+             |    AND d.term = 'marker'
+             |  WHERE a.term = 'zq0grafted'),
+             |occ AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+             |  FROM m GROUP BY 1),
+             |tfq AS (SELECT id, term FROM pos GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |fv AS (SELECT term, df, unnest(list_distinct(list_concat([term],
+             |    list_transform(generate_series(0, length(term) - 1),
+             |      i -> substr(term, 1, i) || substr(term, i + 2))))) AS v
+             |  FROM dfq),
+             |fq AS (SELECT qid, qt, unnest(list_distinct(list_concat([qt],
+             |    list_transform(generate_series(0, length(qt) - 1),
+             |      i -> substr(qt, 1, i) || substr(qt, i + 2))))) AS v
+             |  FROM (VALUES (9000001, 'graftcdcs'),
+             |    (9000002, 'zxdyingz'), (9000003, 'qqqqzz')) q(qid, qt)),
+             |cand AS (SELECT DISTINCT fq.qid, fq.qt, fv.term, fv.df
+             |  FROM fv JOIN fq ON fq.v = fv.v
+             |  WHERE abs(length(fv.term) - length(fq.qt)) <= 1
+             |    AND fv.term <> fq.qt),
+             |cmm AS (SELECT qid, qt, term, df,
+             |    list_filter(generate_series(1, length(term)),
+             |      p -> substr(term, p, 1) <> substr(qt, p, 1)) AS mm
+             |  FROM cand),
+             |fm AS (SELECT qid, qt, term, df FROM cmm
+             |  WHERE length(term) <> length(qt)
+             |     OR len(mm) <= 1
+             |     OR (len(mm) = 2 AND mm[2] = mm[1] + 1
+             |         AND substr(term, mm[1], 1) = substr(qt, mm[2], 1)
+             |         AND substr(term, mm[2], 1) = substr(qt, mm[1], 1))),
+             |rk AS (SELECT qid, term AS sug, df, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY df DESC, term) AS rank
+             |  FROM fm)
+             |SELECT 'phrase' AS leg, CAST(-1 AS BIGINT) AS qid,
+             |  CAST(0 AS BIGINT) AS rank, CAST(id AS VARCHAR) AS key,
+             |  n AS val FROM occ
+             |UNION ALL
+             |SELECT 'fuzzy', qid, CAST(rank AS BIGINT), sug, df
+             |FROM rk WHERE rank <= 3""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

@@ -809,6 +809,25 @@ object Bm25 {
       idCol, textCol)
   }
 
+  /** [[applyCdcBatch]] for the POSITIONAL member (r17 missing #4 —
+    * streaming CDC closure across index members): same I/U/D event
+    * contract, same remove-then-upsert order, same one-event-per-doc
+    * window contract. Positions are per-doc facts, so the fold is the
+    * tf/dl algebra verbatim; a live CRUD corpus then serves FRESH
+    * phrase/proximity/snippet results (gated q321 — post-stream phrase
+    * serve == net-corpus recompute). The variant member needs no CDC
+    * form of its own: [[maintainVariantIndex]] over the (before, after)
+    * df tables each stats fold already produces IS its batch fold. */
+  def applyCdcBatchPositional(postings: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, opCol: String): DataFrame = {
+    val touched = batch.filter(col(opCol).isin("U", "D"))
+      .select(col(idCol))
+    val adds = batch.filter(col(opCol).isin("I", "U"))
+      .select(col(idCol), col(textCol))
+    upsertPositional(removePositional(postings, touched, idCol), adds,
+      idCol, textCol)
+  }
+
   /** Persist the four statistics as parquet under `dir` — the
     * versioned-artifact shape a production maintenance cycle writes
     * (each CDC fold reads version N, writes N+1; serving reads the
