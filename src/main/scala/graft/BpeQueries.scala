@@ -266,6 +266,20 @@ object BpeQueries {
        |  FROM ${p}u GROUP BY w)""".stripMargin
   }
 
+  /** PROBE-ENCODE chain: segment a (w, f) words CTE under an already
+    * replayed merge table `{bPfx}b1…{bPfx}bM` — chars `{p}0`, then one
+    * [[applyCtes]] pass per merge, ending at `{p}M(w, f, s)`. The q322
+    * drift probe: the SAME word set encoded under two fitted models. */
+  private def applyAllOver(wordsCte: String, bPfx: String,
+      p: String): String = {
+    val head = s"${p}0 AS (SELECT w, f, list_transform(" +
+      s"generate_series(1, length(w)), i -> w[i]) AS s FROM $wordsCte)"
+    val steps = (1 to NumMerges).map(k =>
+      applyCtes(s"${p}a$k", s"${p}${k - 1}", s"${bPfx}b$k", s"${p}$k",
+        carryF = true))
+    (head +: steps).mkString(",\n")
+  }
+
   /** Fit replay: sample → vocab `v0` → merge steps `b1…bM`, `v1…vM`. */
   private def fitChain: String =
     fitChainOver("SELECT doc_id, text FROM documents WHERE text IS NOT NULL", "")
@@ -1461,6 +1475,142 @@ object BpeQueries {
             array_join(col("_p"), "|").as("pieces"))
       },
       Some(q313Oracle)),
+
+    // TOKENIZER REFIT / DRIFT CYCLE (r17 missing #5 — the q308 fit_id
+    // discipline applied to tokenizer models): the OLD model (v1, fit
+    // on even docs) is probed against NEW data (odd docs with q236's
+    // heavy jargon tail) — fertility on the new sample blows the
+    // 1.1× drift bar (exact integer cross-multiplication, never a
+    // float compare), the cycle REFITS on current data under a new
+    // content-addressed vocab_id, fertility on the same probe set
+    // improves, the ENCODED ARTIFACT (parquet rows carrying vocab_id)
+    // re-reads byte-equal to a fresh encode, and serving it against
+    // the OLD vocab id raises loudly (the guard's positive test).
+    // Fertility legs are EARNED on both sides (oracle replays both
+    // 48-step fits + both 48-pass probe encodes); only the storage
+    // round-trip (0) and the guard verdict (1) are oracle-pinned
+    // constants the Spark side must earn at run time.
+    Q("q322_tokenizer_refit_cycle",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val oldC = d.filter(col("doc_id") % 2 === 0)
+        val newC = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1,
+              concat(col("text"), lit(q236Jargon))).otherwise(col("text"))
+              .as("text"))
+        val current = oldC.unionByName(newC)
+        val mo = Bpe.fit(oldC, "doc_id", "text",
+          SampleDocs, MaxWords, NumMerges)
+        val mu = Bpe.fit(current, "doc_id", "text",
+          SampleDocs, MaxWords, NumMerges)
+        val id1 = Bpe.vocabId(mo)
+        val id2 = Bpe.vocabId(mu)
+        val ovw = Bpe.sampleVocab(oldC, "doc_id", "text",
+          SampleDocs, MaxWords).toDF("w", "f")
+        val nvw = Bpe.sampleVocab(newC, "doc_id", "text",
+          SampleDocs, MaxWords).toDF("w", "f")
+        def fert(vw: org.apache.spark.sql.DataFrame,
+            m: Bpe.Model): (Long, Long) = {
+          val r = vw.agg(
+            sum(col("f") * size(Bpe.encodeCol(col("w"), m)))
+              .cast("long"),
+            sum(col("f")).cast("long")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (wpO, tfO) = fert(ovw, mo)
+        val (wpN, tfN) = fert(nvw, mo)
+        val (wpZ, _) = fert(nvw, mu)
+        // versioned encoded artifact: rows carry the vocab_id
+        val art = s"/tmp/graft-tokenc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${java.lang.Long.toHexString(id2)}"
+        if (!new java.io.File(s"$art/_SUCCESS").exists())
+          newC.select(col("doc_id"),
+              Bpe.encodeCol(col("text"), mu).as("toks"),
+              lit(id2).as("vocab_id"))
+            .write.mode("overwrite").parquet(art)
+        val back = spark.read.parquet(art)
+        val fresh = newC.select(col("doc_id"),
+          Bpe.encodeCol(col("text"), mu).as("toks2"))
+        val mismatch = Bpe.requireVocab(back, id2)
+          .select(col("doc_id"), col("toks"))
+          .join(fresh, Seq("doc_id"), "full_outer")
+          .filter(col("toks").isNull || col("toks2").isNull ||
+            col("toks") =!= col("toks2"))
+          .count()
+        // the guard's positive test: serving the v2 artifact against
+        // the OLD vocab id must refuse loudly
+        val guardFired =
+          try { Bpe.requireVocab(back, id1).count(); 0L }
+          catch {
+            case ex: Throwable =>
+              val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .flatMap(t => Option(t.getMessage)).mkString(" ")
+              if (msgs.contains("requireVocab")) 1L else throw ex
+          }
+        Seq(
+          ("fert_v1_oldsample_micro", wpO * 1000000L / tfO),
+          ("fert_v1_newsample_micro", wpN * 1000000L / tfN),
+          // drift bar 1.1×: 10·wpN·tfO > 11·wpO·tfN (exact integers)
+          ("drift_exceeds_bar",
+            if (10L * wpN * tfO > 11L * wpO * tfN) 1L else 0L),
+          ("vocab_id_changed", if (id2 != id1) 1L else 0L),
+          ("fert_v2_newsample_micro", wpZ * 1000000L / tfN),
+          ("refit_improves", if (wpZ < wpN) 1L else 0L),
+          ("artifact_reencode_mismatch", mismatch),
+          ("old_vocab_refused", guardFired))
+          .toDF("check", "value")
+      },
+      Some {
+        val oldSql = "SELECT doc_id, text FROM documents " +
+          "WHERE text IS NOT NULL AND doc_id % 2 = 0"
+        val newSql = "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN " +
+          "text || '" + q236Jargon + "' ELSE text END AS text " +
+          "FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1"
+        val oUnion = (1 to NumMerges)
+          .map(k => s"SELECT CAST($k AS INTEGER) AS rank, l, r FROM ob$k")
+          .mkString("\nUNION ALL ")
+        val uUnion = (1 to NumMerges)
+          .map(k => s"SELECT CAST($k AS INTEGER) AS rank, l, r FROM ub$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${fitChainOver(oldSql, "o")},
+           |${fitHeadOver(newSql, "n")},
+           |${applyAllOver("nvocab", "o", "ne")},
+           |${fitChainOver(s"$oldSql UNION ALL $newSql", "u")},
+           |${applyAllOver("nvocab", "u", "ze")},
+           |fo AS (SELECT CAST(sum(f * len(s)) AS BIGINT) AS wp,
+           |  CAST(sum(f) AS BIGINT) AS tf FROM ov$NumMerges),
+           |fn AS (SELECT CAST(sum(f * len(s)) AS BIGINT) AS wp,
+           |  CAST(sum(f) AS BIGINT) AS tf FROM ne$NumMerges),
+           |fz AS (SELECT CAST(sum(f * len(s)) AS BIGINT) AS wp,
+           |  CAST(sum(f) AS BIGINT) AS tf FROM ze$NumMerges),
+           |omg AS ($oUnion),
+           |umg AS ($uUnion),
+           |idchg AS (SELECT CAST(CASE WHEN
+           |    (SELECT count(*) FROM omg o JOIN umg u
+           |      ON u.rank = o.rank AND u.l = o.l AND u.r = o.r)
+           |    = (SELECT count(*) FROM omg)
+           |    AND (SELECT count(*) FROM omg) = (SELECT count(*) FROM umg)
+           |  THEN 0 ELSE 1 END AS BIGINT) AS v)
+           |SELECT 'fert_v1_oldsample_micro' AS check,
+           |  CAST(wp * 1000000 // tf AS BIGINT) AS value FROM fo
+           |UNION ALL SELECT 'fert_v1_newsample_micro',
+           |  CAST(wp * 1000000 // tf AS BIGINT) FROM fn
+           |UNION ALL SELECT 'drift_exceeds_bar',
+           |  CAST(CASE WHEN 10 * fn.wp * fo.tf > 11 * fo.wp * fn.tf
+           |    THEN 1 ELSE 0 END AS BIGINT) FROM fn, fo
+           |UNION ALL SELECT 'vocab_id_changed', v FROM idchg
+           |UNION ALL SELECT 'fert_v2_newsample_micro',
+           |  CAST(wp * 1000000 // tf AS BIGINT) FROM fz
+           |UNION ALL SELECT 'refit_improves',
+           |  CAST(CASE WHEN fz.wp < fn.wp THEN 1 ELSE 0 END AS BIGINT)
+           |  FROM fz, fn
+           |UNION ALL SELECT 'artifact_reencode_mismatch', 0
+           |UNION ALL SELECT 'old_vocab_refused', 1""".stripMargin
+      }),
   )
 
   /** q313 oracle (see the registration comment). */

@@ -164,6 +164,43 @@ object Bpe {
     fitFromWordFreq(freq.toMap, maxWords, numMerges)
   }
 
+  /** The fit's (word, freq) SAMPLE VIEW — the hash-capped sample's word
+    * frequencies, top `maxWords` by (freq DESC, word ASC): the basis
+    * every tokenizer-family fit shares, exposed so drift measurement
+    * (q322) probes the exact words a fit would see. Fitting
+    * [[fitFromWordFreq]] from this view == [[fit]] (same cap, order). */
+  def sampleVocab(docs: DataFrame, idCol: String, textCol: String,
+      sampleDocs: Int = 256, maxWords: Int = 4096): Seq[(String, Long)] = {
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    sampleTexts(docs, idCol, textCol, sampleDocs).foreach { text =>
+      lex(text).foreach { tok =>
+        if (isAlpha(tok)) {
+          val w = tok.toLowerCase(Locale.ROOT)
+          freq.update(w, freq.getOrElse(w, 0L) + 1L)
+        }
+      }
+    }
+    freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(maxWords)
+  }
+
+  /** Content-addressed vocabulary VERSION id (the ANN fit_id discipline
+    * applied to tokenizer models — r17 missing #5): FNV-1a over the
+    * ordered merge list, so two fits share the id iff they agree on
+    * every merge at every rank. Encoded artifacts carry this id;
+    * [[requireVocab]] refuses a mismatched serve loudly. */
+  def vocabId(m: Model): Long = m.key
+
+  /** Loud serve guard: every row of `encoded` must carry `vocab_id` ==
+    * `expected`. The raise_error lives in a FILTER predicate — column
+    * pruning cannot elide it (the r16 guard discipline), so a stale or
+    * foreign-vocab artifact fails the moment anything reads it. */
+  def requireVocab(encoded: DataFrame, expected: Long): DataFrame =
+    encoded.filter(
+      when(col("vocab_id") === expected, lit(true))
+        .otherwise(raise_error(concat(
+          lit("requireVocab: artifact vocab_id "), col("vocab_id"),
+          lit(s" != serving model's $expected")))))
+
   /** The shared fit sample: the `sampleDocs` texts with the smallest
     * unsigned splitmix64(doc id). Unsigned order rides the sign-flip
     * bijection (x ^ Long.MinValue preserves unsigned order under signed
