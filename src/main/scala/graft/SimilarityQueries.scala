@@ -1695,6 +1695,56 @@ object SimilarityQueries {
            |UNION ALL SELECT 'fold_rebuild_mismatch', 0
            |UNION ALL SELECT 'old_index_refuses_new_fit', 1""".stripMargin)),
 
+    // ANN INDEX DATA CARD (ProductQuantization.annIndexCard — r17
+    // missing #6, q317's card discipline on the ANN side): one-row
+    // operational report off the MAINTAINED index after a full CRUD
+    // cycle (epoch build → shifted-id batch upsert under the frozen
+    // fit → deletion of the %5==1 epoch ids) — vector/cell counts,
+    // fit-version cardinality, EXACT occupancy quantiles over
+    // distinct-occupancy cumulative counts (≤ nCells rows at any
+    // index size), and q278's skew ratio. Deletion-aware: a stale
+    // index moves every field. Oracle replays the k-means fit and the
+    // net census; the batch rows are id-shifted copies, so their
+    // cells replay from the epoch assignment.
+    Q("q323_ann_index_card",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val batch = e.select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"))
+        val deleted = e.filter(col("vec_id") % 5 === 1)
+          .select(col("vec_id"))
+        val idx = pq.removeFromAnnIndex(
+          pq.upsertAnnIndex(fit, pq.annIndex(fit, e), batch),
+          deleted, "vec_id")
+        pq.annIndexCard(idx)
+      },
+      Some(kmeansAssignCtes(defaultPtsSql, nCells = 16, maxIter = 10)
+        .toString +
+        s""",
+           |net AS (SELECT vid, cell FROM afinal WHERE vid % 5 <> 1
+           |  UNION ALL SELECT vid + 10000000, cell FROM afinal),
+           |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+           |  FROM net GROUP BY 1),
+           |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nv,
+           |    CAST(count(*) AS BIGINT) AS nc,
+           |    CAST(max(n) AS BIGINT) AS mx,
+           |    CAST(min(n) AS BIGINT) AS mn FROM occ),
+           |dc AS (SELECT n, count(*) AS c FROM occ GROUP BY 1),
+           |cum AS (SELECT n, sum(c) OVER (ORDER BY n) AS cc FROM dc),
+           |p50 AS (SELECT min(n) AS v FROM cum, tt
+           |  WHERE cc >= (nc * 50 + 99) // 100),
+           |p90 AS (SELECT min(n) AS v FROM cum, tt
+           |  WHERE cc >= (nc * 90 + 99) // 100)
+           |SELECT nv AS n_vectors, nc AS n_cells,
+           |  CAST(1 AS BIGINT) AS n_fit_ids,
+           |  p50.v AS occ_p50, p90.v AS occ_p90,
+           |  mx AS max_occ, mn AS min_occ,
+           |  CAST(mx * nc * 1000000 // nv AS BIGINT) AS skew_micro
+           |FROM tt, p50, p90""".stripMargin)),
+
     // STREAMING ANN QUERY-AT-INGEST — the dense analog of q245:
     // query vectors arrive as a stream and rank against the STATIC
     // frozen-fit index via the UNCHANGED serve path

@@ -186,9 +186,27 @@ object Layout {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), tableName)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
-        .mode("overwrite").saveAsTable(tableName)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        // CREATE-ONCE EPOCH ARTIFACT (r17 bench hygiene): the bucketed
+        // files outlive the session but the in-memory catalog does not,
+        // so a fresh JVM used to RE-WRITE both tables — a pure fixture
+        // cost that dwarfed the measured join and false-flagged q140
+        // four rounds running. The table name carries the content
+        // fingerprint, so existing files are current by construction:
+        // re-REGISTER them with the same bucket spec instead. Bucket
+        // identity rides the datasource file naming (part-*_NNNNN),
+        // which the registered spec re-interprets identically — the
+        // PlanSpec single-exchange pin holds on this path too.
+        val cols = df.schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"CREATE TABLE `$tableName` ($cols) USING parquet " +
+          s"CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) " +
+          s"INTO $buckets BUCKETS LOCATION '${loc.toString}'")
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
+          .mode("overwrite").saveAsTable(tableName)
+      }
     }
     spark.table(tableName)
   }

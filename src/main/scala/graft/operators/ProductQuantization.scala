@@ -269,6 +269,47 @@ object ProductQuantization {
     index.join(deletedIds.select(col(idCol).as("vec_id")),
       Seq("vec_id"), "left_anti")
 
+  /** ANN INDEX DATA CARD (r17 missing #6 — q317's card discipline
+    * applied to the ANN index): the one-row operational report a
+    * serving team reads off the MAINTAINED (vec_id, cell, code,
+    * fit_id) rows — vector/cell counts, fit-version cardinality, EXACT
+    * occupancy quantiles, and q278's max·cells/total skew ratio (probe
+    * cost is bounded by the largest probed cell). Quantiles run over
+    * DISTINCT-occupancy cumulative counts — at most nCells rows
+    * however large the index, so the only ordering in the plan is over
+    * that tiny frame; thresholds are exact integer ceil(n·pct/100).
+    * n_fit_ids is the card's version-hygiene field: anything but 1
+    * means a mixed-fit index that [[upsertAnnIndex]]'s guard exists to
+    * prevent. Deletion-aware by construction — the card reads the
+    * maintained rows, so a stale index moves every field.
+    * @return one row: (n_vectors, n_cells, n_fit_ids, occ_p50,
+    *         occ_p90, max_occ, min_occ, skew_micro) */
+  def annIndexCard(index: DataFrame): DataFrame = {
+    val occ = OperatorCaches.track(index.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).persist())
+    val totals = occ.agg(sum(col("n")).as("n_vectors"),
+      count(lit(1)).as("n_cells"), max(col("n")).as("max_occ"),
+      min(col("n")).as("min_occ"))
+    val dc = occ.groupBy(col("n")).agg(count(lit(1)).as("_c"))
+    val wCum = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = OperatorCaches.track(
+      dc.withColumn("_cum", sum(col("_c")).over(wCum)).persist())
+    def quantile(pct: Int) = cum.crossJoin(broadcast(
+        occ.agg(count(lit(1)).as("_n"))))
+      .filter(col("_cum") >= expr(s"(_n * $pct + 99) DIV 100"))
+      .orderBy(col("n")).limit(1).select(col("n"))
+    totals
+      .crossJoin(broadcast(index.agg(
+        countDistinct(col("fit_id")).as("n_fit_ids"))))
+      .crossJoin(broadcast(quantile(50).withColumnRenamed("n", "occ_p50")))
+      .crossJoin(broadcast(quantile(90).withColumnRenamed("n", "occ_p90")))
+      .select(col("n_vectors"), col("n_cells"), col("n_fit_ids"),
+        col("occ_p50"), col("occ_p90"), col("max_occ"), col("min_occ"),
+        expr("max_occ * n_cells * 1000000 DIV n_vectors")
+          .as("skew_micro"))
+  }
+
   /** RESIDUAL IVF-PQ fit (the production-standard FAISS IVFPQ form):
     * the PQ codebooks train on RESIDUALS v − c(cell) w.r.t. the frozen
     * coarse centroids instead of raw vectors. Residual magnitudes are a
