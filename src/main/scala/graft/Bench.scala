@@ -204,7 +204,14 @@ object Bench {
     // r17 fifth wave — clean solo FORCE_MIN, 12-control median 0.8993
     "q316"->2.493,
     // r17 sixth wave — clean solo FORCE_MIN, 12-control median 0.9621
-    "q317"->3.058)
+    "q317"->3.058,
+    // r18 wave — clean solo FORCE_MIN, 12-control median 0.9383
+    "q318"->2.839,
+    "q319"->6.401,
+    "q320"->3.794,
+    "q321"->9.636,
+    "q322"->1.149,
+    "q323"->2.273)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
