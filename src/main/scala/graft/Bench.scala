@@ -211,7 +211,9 @@ object Bench {
     "q320"->3.794,
     "q321"->9.636,
     "q322"->1.149,
-    "q323"->2.273)
+    "q323"->2.273,
+    // r18 second wave — clean solo FORCE_MIN, 12-control median 0.9009
+    "q324"->2.966)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

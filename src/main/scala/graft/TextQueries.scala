@@ -3265,6 +3265,132 @@ object TextQueries {
              |SELECT 'fuzzy', qid, CAST(rank AS BIGINT), sug, df
              |FROM rk WHERE rank <= 3""".stripMargin)),
 
+    // QUERY-INDEX CRUD (Bm25.maintainQueryIndex) — the registration
+    // scaladocs claim alerts "fold/delete by qid like every other
+    // maintained member"; this gates it for BOTH percolator members.
+    // Index rows are per-query facts, so the fold is qid algebra:
+    // epoch alerts + an added batch − deleted qids, then percolation
+    // against the folded index must hash-equal the recompute from the
+    // NET alert set (the oracle). Deletion is load-bearing: deleted
+    // alerts still have carrier docs in the corpus, so a stale index
+    // keeps matching them and moves the hash.
+    Q("q324_query_index_crud",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase))
+              .otherwise(lit("")),
+            when(col("doc_id") % 20 === 0, lit(" qnotone"))
+              .otherwise(lit(""))).as("text"))
+        val toks = TextFunctions.tokens(col("text"))
+        def boolAlerts(c: org.apache.spark.sql.DataFrame) =
+          bm.registerStandingQueries(
+            c.select((col("doc_id") + 90000L).as("qid"),
+              array_join(slice(toks, 1, 6), " ").as("must_text"),
+              when(col("doc_id") % 3 === 0, "qnotone")
+                .otherwise(null).cast("string").as("not_text")),
+            "qid", "must_text", "not_text")
+        val bA = boolAlerts(d.filter(col("doc_id") < 10))
+        val bB = boolAlerts(d.filter(col("doc_id") >= 10 &&
+          col("doc_id") < 20))
+        val bDel = d.filter(col("doc_id") < 20 && col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 90000L).as("qid"))
+        val bIdx = bm.maintainQueryIndex(
+          bm.maintainQueryIndex(bA, bB, bA.select(col("qid")).limit(0)),
+          bA.limit(0), bDel)
+        def phraseAlerts(c: org.apache.spark.sql.DataFrame) =
+          bm.registerStandingPhrases(
+            c.filter(size(toks) >= 5)
+              .select((col("doc_id") + 96000L).as("qid"),
+                array_join(slice(toks, 3, 3), " ").as("phrase_text")),
+            "qid", "phrase_text")
+        val pA = bm.maintainQueryIndex(
+          phraseAlerts(d.filter(col("doc_id") < 15)),
+          bm.registerStandingPhrases(
+            Seq((95000L, "zq0grafted exact phrase marker"))
+              .toDF("qid", "phrase_text"), "qid", "phrase_text"),
+          d.limit(0).select(col("doc_id").as("qid")))
+        val pB = phraseAlerts(d.filter(col("doc_id") >= 15 &&
+          col("doc_id") < 25))
+        val pDel = d.filter(col("doc_id") < 25 &&
+            (col("doc_id") + 96000L) % 2 === 1)
+          .select((col("doc_id") + 96000L).as("qid"))
+        val pIdx = bm.maintainQueryIndex(
+          bm.maintainQueryIndex(pA, pB, pA.select(col("qid")).limit(0)),
+          pA.limit(0), pDel)
+        bm.percolate(bIdx, planted, "doc_id", "text")
+          .select(lit("bool").as("leg"), col("id"), col("qid"),
+            lit(1L).as("val"))
+          .unionByName(bm.percolatePhrases(pIdx, planted, "doc_id", "text")
+            .select(lit("phrase").as("leg"), col("id"), col("qid"),
+              col("n_occurrences").as("val")))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text || CASE WHEN doc_id % 14 = 0
+             |    THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |    WHEN doc_id % 7 = 0
+             |    THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |dt AS (SELECT DISTINCT doc_id AS id, term FROM pos),
+             |qm AS (SELECT DISTINCT doc_id + 90000 AS qid, lower(tk) AS term
+             |  FROM (SELECT doc_id, unnest(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
+             |    FROM documents WHERE doc_id < 20 AND doc_id % 2 = 1)
+             |  WHERE length(tk) > 0),
+             |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
+             |  FROM documents
+             |  WHERE doc_id < 20 AND doc_id % 3 = 0 AND doc_id % 2 = 1),
+             |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
+             |  GROUP BY 1),
+             |bhits AS (SELECT d.id, m.qid, CAST(count(*) AS BIGINT) AS c
+             |  FROM dt d JOIN qm m USING (term) GROUP BY 1, 2),
+             |bmatch AS (SELECT h.id, h.qid FROM bhits h
+             |  JOIN nm ON nm.qid = h.qid
+             |  WHERE h.c = nm.n
+             |    AND NOT EXISTS (SELECT 1 FROM qn n JOIN dt d2
+             |      ON d2.id = h.id AND d2.term = n.term
+             |      WHERE n.qid = h.qid)),
+             |qtw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM documents WHERE doc_id < 25 AND doc_id % 2 = 0),
+             |qx AS (SELECT doc_id + 96000 AS qid, CAST(i - 3 AS BIGINT) AS off,
+             |    w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(3, 5)) AS i
+             |        FROM qtw WHERE len(w) >= 5)
+             |  WHERE length(w[i]) > 0
+             |  UNION ALL
+             |  SELECT 95000, CAST(off AS BIGINT), term
+             |  FROM (VALUES (0, 'zq0grafted'), (1, 'exact'), (2, 'phrase'),
+             |    (3, 'marker')) v(off, term)),
+             |an AS (SELECT p.doc_id AS id, q.qid, p.pos - q.off AS a,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM pos p JOIN qx q ON q.term = p.term GROUP BY 1, 2, 3),
+             |pqn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qx
+             |  GROUP BY 1),
+             |pmatch AS (SELECT a.id, a.qid,
+             |    CAST(count(*) AS BIGINT) AS n_occurrences
+             |  FROM an a JOIN pqn ON pqn.qid = a.qid WHERE a.c = pqn.n
+             |  GROUP BY 1, 2)
+             |SELECT 'bool' AS leg, id, qid, CAST(1 AS BIGINT) AS val
+             |FROM bmatch
+             |UNION ALL
+             |SELECT 'phrase', id, qid, n_occurrences FROM pmatch""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

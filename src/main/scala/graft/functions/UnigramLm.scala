@@ -103,6 +103,20 @@ object UnigramLm {
 
   /** Deterministic hard-EM fit from a word-frequency table (see object
     * scaladoc for every rule). */
+  /** Content-addressed vocabulary VERSION id — [[Bpe.vocabId]]'s
+    * unigram-LM form: segmentation consults only the (piece, cost)
+    * table, so the id folds the SORTED (piece, micro-nat cost) entries;
+    * two fits share the id iff they produce identical score tables.
+    * Artifacts carrying it serve through [[Bpe.requireVocab]]. */
+  def vocabId(m: Model): Long = {
+    var h = 0xcbf29ce484222325L
+    m.scores.toSeq.sortBy(_._1).foreach { case (p, c) =>
+      h = (h ^ TextFunctions.fnv1a64(p)) * 0x100000001b3L
+      h = (h ^ c) * 0x100000001b3L
+    }
+    (h * 0x100000001b3L) ^ m.scores.size.toLong
+  }
+
   def fitFromWordFreq(wordFreq: Map[String, Long]): Model = {
     val words = wordFreq.toSeq
       .filter { case (w, _) => w.nonEmpty && w.length <= MaxWordLen }

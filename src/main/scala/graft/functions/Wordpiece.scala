@@ -130,6 +130,21 @@ object Wordpiece {
     (Model(v, if (v.isEmpty) 0 else v.iterator.map(pieceChars).max), top)
   }
 
+  /** Content-addressed vocabulary VERSION id — [[Bpe.vocabId]]'s
+    * WordPiece form (encoding consults only the final vocabulary, so
+    * the id folds the SORTED vocab entries plus the piece-length bound;
+    * two fits share the id iff they produce the same vocabulary).
+    * Artifacts carrying this id serve through [[Bpe.requireVocab]]
+    * (the guard is model-family-agnostic — it checks a column). */
+  def vocabId(m: Model): Long = {
+    var h = 0xcbf29ce484222325L
+    m.vocab.toSeq.sorted.foreach { v =>
+      h = (h ^ TextFunctions.fnv1a64(v)) * 0x100000001b3L
+    }
+    (h * 0x100000001b3L) ^ ((m.vocab.size.toLong << 16) |
+      m.maxPieceChars.toLong)
+  }
+
   /** Full driver-local fit: the SAME hash-capped sample, lexer, and
     * word basis as [[Bpe.fit]] (doc selection depends only on ids, so
     * all tokenizer-family oracles share one sample chain). */

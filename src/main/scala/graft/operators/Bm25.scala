@@ -889,6 +889,19 @@ object Bm25 {
       .groupBy(col("qid"), col("term")).agg(sum(col("wt")).as("wt"))
   }
 
+  /** QUERY-INDEX MAINTENANCE — the registration scaladocs' "fold/delete
+    * by qid like every other maintained member", made runnable (gated
+    * q324): index rows are per-QUERY facts, so the fold is the
+    * positional member's algebra keyed by qid — delete = qid anti-join,
+    * add = union of fresh registrations, update = delete ∘ add. Works
+    * unchanged for the boolean index (qid, term, wt) and the phrase
+    * index (qid, off, term); fold == re-registration from the net alert
+    * set by construction. Idempotent on qids never registered. */
+  def maintainQueryIndex(idx: DataFrame, added: DataFrame,
+      deletedQids: DataFrame): DataFrame =
+    idx.join(deletedQids.select(col("qid")), Seq("qid"), "left_anti")
+      .unionByName(added)
+
   /** Match incoming docs against the registered query index: distinct
     * doc terms equi-join the index on term, ONE sum per (id, qid),
     * match iff the sum equals the query's must count. Work is bounded

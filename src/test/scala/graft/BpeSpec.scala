@@ -385,4 +385,35 @@ class BpeSpec extends SparkSuite {
     assert(m4.vocab.isEmpty && m4.maxPieceChars == 0 && v4.isEmpty)
     assert(Wordpiece.encodeWord("abc", m4) == Seq(Wordpiece.Unk))
   }
+
+  test("vocabId: content-addressed for all three families; serve guard refuses mismatches") {
+    import graft.functions.{Wordpiece, UnigramLm}
+    val in1 = Map("abc" -> 6L, "ad" -> 2L)
+    val in2 = Map("abq" -> 9L, "xy" -> 3L)
+    // same input → same id; different merges/vocab/scores → different id
+    assert(Bpe.vocabId(Bpe.fitFromWordFreq(in1, 10, 5)) ==
+      Bpe.vocabId(Bpe.fitFromWordFreq(in1, 10, 5)))
+    assert(Bpe.vocabId(Bpe.fitFromWordFreq(in1, 10, 5)) !=
+      Bpe.vocabId(Bpe.fitFromWordFreq(in2, 10, 5)))
+    assert(Wordpiece.vocabId(Wordpiece.fitFromWordFreq(in1, 10, 5)._1) ==
+      Wordpiece.vocabId(Wordpiece.fitFromWordFreq(in1, 10, 5)._1))
+    assert(Wordpiece.vocabId(Wordpiece.fitFromWordFreq(in1, 10, 5)._1) !=
+      Wordpiece.vocabId(Wordpiece.fitFromWordFreq(in2, 10, 5)._1))
+    assert(UnigramLm.vocabId(UnigramLm.fitFromWordFreq(in1)) ==
+      UnigramLm.vocabId(UnigramLm.fitFromWordFreq(in1)))
+    assert(UnigramLm.vocabId(UnigramLm.fitFromWordFreq(in1)) !=
+      UnigramLm.vocabId(UnigramLm.fitFromWordFreq(in2)))
+    // the guard is family-agnostic (a vocab_id column check): accepts
+    // its own id, refuses a foreign one loudly
+    import spark.implicits._
+    val id1 = Bpe.vocabId(Bpe.fitFromWordFreq(in1, 10, 5))
+    val id2 = Wordpiece.vocabId(Wordpiece.fitFromWordFreq(in2, 10, 5)._1)
+    val art = Seq((1L, id1)).toDF("doc_id", "vocab_id")
+    assert(Bpe.requireVocab(art, id1).count() == 1L)
+    val ex = intercept[Exception] { Bpe.requireVocab(art, id2).count() }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .flatMap(x => Option(x.getMessage)).mkString(" ")
+    assert(msgs(ex).contains("requireVocab"), msgs(ex))
+  }
 }
