@@ -199,10 +199,10 @@ object Bench {
     // r17 third wave — clean solo FORCE_MIN (calib 2.33, regress 0),
     // 12-control median 0.8337
     "q314"->8.996,
-    // r17 fourth wave — clean solo FORCE_MIN, 12-control median 0.9253
-    "q315"->0.717,
-    // r17 fifth wave — clean solo FORCE_MIN, 12-control median 0.8993
-    "q316"->2.493,
+    // r18 re-anchor (percolate → rarest-term routing; min of two
+    // normalized FORCE_MIN waves, control medians 1.0826 / 1.0147)
+    "q315"->1.100,
+    "q316"->3.774,
     // r17 sixth wave — clean solo FORCE_MIN, 12-control median 0.9621
     "q317"->3.058,
     // r18 wave — clean solo FORCE_MIN, 12-control median 0.9383
@@ -212,8 +212,9 @@ object Bench {
     "q321"->9.636,
     "q322"->1.149,
     "q323"->2.273,
-    // r18 second wave — clean solo FORCE_MIN, 12-control median 0.9009
-    "q324"->2.966)
+    // r18 second wave 0.9009; re-anchored after percolate routing
+    // (min of two normalized FORCE_MIN waves, medians 1.0826 / 1.0147)
+    "q324"->3.797)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

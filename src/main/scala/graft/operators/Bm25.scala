@@ -881,7 +881,7 @@ object Bm25 {
       .withColumn("wt", lit(-(1L << 20)))
     // a term both must and mustNot is a contradictory alert: its merged
     // weight is 1 − 2^20, so a doc CONTAINING it sums far below n_must
-    // (the negative dominates) and — because [[percolateMatches]] counts
+    // (the negative dominates) and — because [[percolate]] counts
     // the overlap term in n_must — a doc WITHOUT it tops out one short.
     // Either way the query honestly never matches, matching the oracle's
     // all-musts count + NOT EXISTS reading.
@@ -902,50 +902,58 @@ object Bm25 {
     idx.join(deletedQids.select(col("qid")), Seq("qid"), "left_anti")
       .unionByName(added)
 
-  /** Match incoming docs against the registered query index: distinct
-    * doc terms equi-join the index on term, ONE sum per (id, qid),
-    * match iff the sum equals the query's must count. Work is bounded
-    * by posting-list overlap (docs never meet queries sharing no
-    * term). Streaming shape: term derivation is per-row, the join is
-    * stream-static, the sum is the single stateful aggregation.
+  /** Match incoming docs against the registered query index, with
+    * RAREST-TERM ROUTING ([[percolatePhrases]]' discipline on the
+    * boolean member): candidate (doc, query) pairs are generated ONLY
+    * from each query's rarest MUST term (min batch document-frequency,
+    * ties to the lexicographically first), then the candidate's signed
+    * weights verify by a doc-term semi-join — sum == n_must iff all
+    * musts present and no mustNot. The naive all-terms vote pairs every common-term occurrence with
+    * every query carrying it — quadratic in stopword overlap; routing
+    * bounds work at Σ_q df(rarest must of q) · |query terms|. A must
+    * term absent from the batch routes to zero candidates — correct
+    * (a match needs every must) and free. Candidates ⊇ matches because
+    * every match contains its routing term; candidate sums equal the
+    * naive sums by definition — result-invariant (q315/q316/q324
+    * hashes unchanged). Matching stays intra-doc, so the streaming
+    * member runs stateless per micro-batch (q316's foreachBatch).
     * @return (id, qid) matched pairs */
   def percolate(queryIndex: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String): DataFrame =
-    percolateMatches(
-      percolateScores(queryIndex, incoming, idCol, textCol), queryIndex)
-
-  /** [[percolate]]'s STREAMING-safe core: the summed signed weights
-    * per (id, qid), UNFILTERED — one stateless per-row term
-    * derivation, one stream-static join against the registered query
-    * index, ONE aggregation (Complete mode); the n_must filter is
-    * presentation and runs batch-side on the materialized sums (the
-    * q245 scoring/ranking split applied to alerting). */
-  def percolateScores(queryIndex: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String): DataFrame =
-    incoming.select(col(idCol).as("id"),
-        explode(array_distinct(
-          TextFunctions.tokens(lower(col(textCol))))).as("term"))
-      .filter(length(col("term")) > 0)
-      .join(queryIndex, Seq("term"))
-      .groupBy(col("id"), col("qid")).agg(sum(col("wt")).as("_s"))
-
-  /** The match filter over [[percolateScores]]' output — batch-side.
-    * n_must counts EVERY registered must term: a must-only term merged
-    * to wt = 1, a must∩mustNot contradiction to wt = 1 − 2^20 (the only
-    * two wt values a must row can reach — registration dedups terms per
-    * side, so each (qid, term) carries at most one +1 and one −2^20).
-    * Counting only wt = 1 would shrink n_must for contradictory alerts
-    * and let a doc MISSING the contradictory term match — disagreeing
-    * with the oracle's all-musts count (r17 advice). */
-  def percolateMatches(scores: DataFrame,
-      queryIndex: DataFrame): DataFrame = {
-    val nMust = queryIndex
-      .filter(col("wt") === 1L || col("wt") === (1L - (1L << 20)))
+      idCol: String, textCol: String): DataFrame = {
+    val dt = OperatorCaches.track(
+      incoming.select(col(idCol).as("id"),
+          explode(array_distinct(
+            TextFunctions.tokens(lower(col(textCol))))).as("term"))
+        .filter(length(col("term")) > 0)
+        .persist())
+    val isMust = col("wt") === 1L || col("wt") === (1L - (1L << 20))
+    val qn = queryIndex.filter(isMust)
       .groupBy(col("qid")).agg(count(lit(1)).as("_nm"))
-    scores.join(broadcast(nMust), Seq("qid"))
+    val pdf = dt.groupBy(col("term")).agg(count(lit(1)).as("_pdf"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("_pdf").asc, col("term").asc)
+    val route = queryIndex.filter(isMust)
+      .join(pdf, Seq("term"), "left")
+      .withColumn("_pdf", coalesce(col("_pdf"), lit(0L)))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") === 1)
+      .select(col("term"), col("qid"))
+    val cand = dt.join(route, Seq("term")).select(col("id"), col("qid"))
+    cand.join(queryIndex, Seq("qid"))
+      .join(dt, Seq("id", "term"), "left_semi")
+      .groupBy(col("id"), col("qid")).agg(sum(col("wt")).as("_s"))
+      .join(broadcast(qn), Seq("qid"))
       .filter(col("_s") === col("_nm"))
       .select(col("id"), col("qid"))
   }
+
+  /** The match rule [[percolate]] enforces, documented once: n_must
+    * counts EVERY registered must term — a must-only term merges to
+    * wt = 1, a must∩mustNot contradiction to wt = 1 − 2^20 (the only
+    * two wt values a must row can reach; registration dedups terms per
+    * side). Counting only wt = 1 would shrink n_must for contradictory
+    * alerts and let a doc MISSING the contradictory term match —
+    * disagreeing with the oracle's all-musts count (r17 advice). */
 
   /** PHRASE PERCOLATOR registration (r17 missing #3): standing PHRASE
     * queries as a POSITIONAL query index — the q306 adjacency algebra
