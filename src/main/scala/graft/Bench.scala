@@ -214,7 +214,10 @@ object Bench {
     "q323"->2.273,
     // r18 second wave 0.9009; re-anchored after percolate routing
     // (min of two normalized FORCE_MIN waves, medians 1.0826 / 1.0147)
-    "q324"->3.797)
+    "q324"->3.797,
+    // r18 third wave — clean solo FORCE_MIN, 12-control median 1.0034
+    "q325"->5.293,
+    "q326"->1.678)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -2873,6 +2873,137 @@ object TextQueries {
              |SELECT 'fuzzy', qid, CAST(rank AS BIGINT), sug, df
              |FROM rk WHERE rank <= 3""".stripMargin)),
 
+    // PROXIMITY FROM MERGED MEMBERS (q318's third serve leg): the
+    // epoch shard-merge path must serve proximity-boosted ranking too
+    // — BM25 off the merged stats (summed df, added totals), pair
+    // distances off the merged positional frame — without re-scanning
+    // text. Same parity-shard fixture as q318; oracle = the q303
+    // chain over the whole planted corpus. A wrong df merge shifts
+    // idf on every shared term; a wrong positional merge shifts every
+    // pair distance — either moves rows.
+    Q("q325_proximity_from_merged",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+              .otherwise(lit(""))).as("text"))
+        val bm = graft.operators.Bm25
+        val shardA = planted.filter(col("doc_id") % 2 === 0)
+        val shardB = planted.filter(col("doc_id") % 2 === 1)
+        val merged = bm.mergeIndexStats(
+          bm.indexStats(shardA, "doc_id", "text"),
+          bm.indexStats(shardB, "doc_id", "text"))
+        val p = graft.operators.OperatorCaches.track(
+          bm.mergePositional(
+            bm.positionalPostings(shardA, "doc_id", "text"),
+            bm.positionalPostings(shardB, "doc_id", "text")).persist())
+        bm.proximityTopKFrom(merged, p, col("id") < 5, k = 10)
+      },
+      Some("WITH " +
+        """corpus AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 14 = 0
+          |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+          |      WHEN doc_id % 7 = 0
+          |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+          |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+          |    AS text
+          |  FROM documents),
+          |""".stripMargin +
+        bm25ScoreCtes("corpus", "doc_id", "id < 5") +
+        """,
+          |tw0 AS (SELECT doc_id, string_split_regex(
+          |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+          |  FROM corpus),
+          |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |        FROM tw0)
+          |  WHERE length(w[i]) > 0),
+          |qp AS (SELECT q.qid, p.doc_id AS id, q.term, p.pos
+          |  FROM qt q JOIN pos p ON p.term = q.term
+          |  WHERE p.doc_id <> q.qid),
+          |md AS (SELECT a.qid, a.id, a.term AS t1, b.term AS t2,
+          |    min(abs(a.pos - b.pos)) AS mdv
+          |  FROM qp a JOIN qp b ON b.qid = a.qid AND b.id = a.id
+          |    AND a.term < b.term
+          |  GROUP BY 1, 2, 3, 4),
+          |px AS (SELECT qid, id,
+          |    CAST(sum(1000000 // (1 + mdv)) AS BIGINT) AS prox
+          |  FROM md GROUP BY 1, 2),
+          |totx AS (SELECT s.qid, s.id,
+          |    s.score_micro + coalesce(p.prox, 0) AS total,
+          |    coalesce(p.prox, 0) AS prox
+          |  FROM sc s LEFT JOIN px p ON p.qid = s.qid AND p.id = s.id)
+          |SELECT qid, CAST(rank AS BIGINT) AS rank, id,
+          |  CAST(total AS BIGINT) AS score_micro,
+          |  CAST(prox AS BIGINT) AS prox_micro
+          |FROM (SELECT qid, id, total, prox, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY total DESC, id) AS rank FROM totx)
+          |WHERE rank <= 10""".stripMargin)),
+
+    // AUTOCOMPLETE FROM MAINTAINED STATS (q312's serve-from-maintained
+    // form): completions read the df table a CRUD cycle maintains —
+    // q307's fixture (epoch plants, batch births 'zxbrandnew',
+    // deletion exhausts every 'zxsingular' carrier), then the typed
+    // prefixes probe the FOLDED df table. Deletion load-bearing: a
+    // stale df still completes the dead 'zxsingular'; the born term
+    // must start completing. Oracle = q312's replay over the net
+    // corpus.
+    Q("q326_autocomplete_from_maintained",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val epoch = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, " zxsingular").otherwise(""),
+            when(col("doc_id") % 6 === 0, " zxsingulars").otherwise(""))
+            .as("text"))
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"),
+            when(col("doc_id") % 4 === 0,
+              concat(col("text"), lit(" zxbrandnew")))
+              .otherwise(col("text")).as("text"))
+        val deleted = epoch.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"))
+        val bm = graft.operators.Bm25
+        val s2 = bm.removeIndexStats(
+          bm.upsertIndexStats(bm.indexStats(epoch, "doc_id", "text"),
+            batch, "doc_id", "text"),
+          deleted, "doc_id")
+        bm.autocomplete(s2.df,
+          Seq("th", "zxsing", "zxbrand", "qqqq").toDF("prefix"), k = 5)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 6 = 0 THEN ' zxsingulars' ELSE '' END
+             |    AS text
+             |  FROM documents WHERE doc_id % 9 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 50000,
+             |    CASE WHEN (doc_id + 50000) % 4 = 0
+             |      THEN text || ' zxbrandnew' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |terms AS (SELECT doc_id AS id, unnest(string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS term
+             |  FROM corpus),
+             |tfq AS (SELECT id, term FROM terms WHERE length(term) > 0
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM tfq GROUP BY 1),
+             |px AS (SELECT unnest(['th', 'zxsing', 'zxbrand', 'qqqq']) AS prefix),
+             |hits AS (SELECT p.prefix, d.term, d.df,
+             |    ROW_NUMBER() OVER (PARTITION BY p.prefix
+             |      ORDER BY d.df DESC, d.term) AS rank
+             |  FROM dfq d JOIN px p ON starts_with(d.term, p.prefix))
+             |SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df
+             |FROM hits WHERE rank <= 5""".stripMargin)),
+
     // PROXIMITY FROM MAINTAINED MEMBERS (Bm25.proximityTopKFrom — r17
     // missing #2): q303 gates proximity on the recompute path and q306
     // gates phrase+snippets from the maintained positional frame, but
