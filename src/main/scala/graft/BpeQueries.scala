@@ -1514,10 +1514,12 @@ object BpeQueries {
           SampleDocs, MaxWords).toDF("w", "f")
         def fert(vw: org.apache.spark.sql.DataFrame,
             m: Bpe.Model): (Long, Long) = {
+          // coalesce: an empty/all-filtered sample sums to NULL — a
+          // degenerate corpus should read fertility 0, not NPE
           val r = vw.agg(
-            sum(col("f") * size(Bpe.encodeCol(col("w"), m)))
-              .cast("long"),
-            sum(col("f")).cast("long")).first()
+            coalesce(sum(col("f") * size(Bpe.encodeCol(col("w"), m))),
+              lit(0L)).cast("long"),
+            coalesce(sum(col("f")), lit(0L)).cast("long")).first()
           (r.getLong(0), r.getLong(1))
         }
         val (wpO, tfO) = fert(ovw, mo)
@@ -1551,14 +1553,16 @@ object BpeQueries {
                 .flatMap(t => Option(t.getMessage)).mkString(" ")
               if (msgs.contains("requireVocab")) 1L else throw ex
           }
+        def micro(wp: Long, tf: Long): Long =
+          if (tf == 0L) 0L else wp * 1000000L / tf
         Seq(
-          ("fert_v1_oldsample_micro", wpO * 1000000L / tfO),
-          ("fert_v1_newsample_micro", wpN * 1000000L / tfN),
+          ("fert_v1_oldsample_micro", micro(wpO, tfO)),
+          ("fert_v1_newsample_micro", micro(wpN, tfN)),
           // drift bar 1.1×: 10·wpN·tfO > 11·wpO·tfN (exact integers)
           ("drift_exceeds_bar",
             if (10L * wpN * tfO > 11L * wpO * tfN) 1L else 0L),
           ("vocab_id_changed", if (id2 != id1) 1L else 0L),
-          ("fert_v2_newsample_micro", wpZ * 1000000L / tfN),
+          ("fert_v2_newsample_micro", micro(wpZ, tfN)),
           ("refit_improves", if (wpZ < wpN) 1L else 0L),
           ("artifact_reencode_mismatch", mismatch),
           ("old_vocab_refused", guardFired))

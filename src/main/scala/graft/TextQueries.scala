@@ -19,6 +19,23 @@ object TextQueries {
 
   /** documents ∪ copy with doc_id+10000 (exact dup) — every original doc
     * has one guaranteed duplicate partner. */
+  /** Delete-and-recreate a per-run scratch dir (stream checkpoints /
+    * sinks that must NOT survive a run — a persisted checkpoint would
+    * mark the feed consumed and serve last run's output). Null-safe on
+    * listFiles (an I/O hiccup degrades to a failed delete, not an NPE).
+    * @return the absolute path */
+  private def freshRunDir(path: String): String = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(path)
+    if (d.exists()) rm(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   private def doubled(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000L))
@@ -2461,14 +2478,7 @@ object TextQueries {
             .parquet(inDir)
         // fresh state root per run: a persisted checkpoint would mark
         // the feed consumed and silently serve last run's versions
-        val stateRoot = new java.io.File(s"$inDir-state")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        if (stateRoot.exists()) rm(stateRoot)
-        stateRoot.mkdirs()
-        val root = stateRoot.getAbsolutePath
+        val root = freshRunDir(s"$inDir-state")
         // the maintenance folds shuffle tiny stat tables — run them (and
         // the v0 build) at low parallelism; restore the session conf
         // after (the runToCompletion discipline)
@@ -2637,14 +2647,7 @@ object TextQueries {
           planted.repartition(3).write.mode("overwrite").parquet(inDir)
         // fresh sink + checkpoint per run (a persisted checkpoint would
         // mark the feed consumed and serve last run's matches)
-        val runRoot = new java.io.File(s"$inDir-run")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        if (runRoot.exists()) rm(runRoot)
-        runRoot.mkdirs()
-        val root = runRoot.getAbsolutePath
+        val root = freshRunDir(s"$inDir-run")
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", 2)
         try {
@@ -2655,8 +2658,13 @@ object TextQueries {
             .option("checkpointLocation", s"$root/chk")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                 _: Long) =>
-              graft.operators.Bm25.percolate(idx, batch, "doc_id", "text")
-                .write.mode("append").parquet(s"$root/matches")
+              // scoped: percolate persists a batch-local probe frame;
+              // release it per batch (the persisted idx stays cached)
+              graft.operators.OperatorCaches.scoped {
+                graft.operators.Bm25.percolate(idx, batch,
+                    "doc_id", "text")
+                  .write.mode("append").parquet(s"$root/matches")
+              }
               ()
             }
             .start()
@@ -3140,14 +3148,7 @@ object TextQueries {
           s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_phperc")}"
         if (!new java.io.File(s"$inDir/_SUCCESS").exists())
           planted.repartition(3).write.mode("overwrite").parquet(inDir)
-        val runRoot = new java.io.File(s"$inDir-run")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        if (runRoot.exists()) rm(runRoot)
-        runRoot.mkdirs()
-        val root = runRoot.getAbsolutePath
+        val root = freshRunDir(s"$inDir-run")
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", 2)
         try {
@@ -3158,9 +3159,13 @@ object TextQueries {
             .option("checkpointLocation", s"$root/chk")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                 _: Long) =>
-              graft.operators.Bm25.percolatePhrases(idx, batch,
-                  "doc_id", "text")
-                .write.mode("append").parquet(s"$root/matches")
+              // scoped: percolatePhrases persists the batch's postings;
+              // release per batch (the persisted idx stays cached)
+              graft.operators.OperatorCaches.scoped {
+                graft.operators.Bm25.percolatePhrases(idx, batch,
+                    "doc_id", "text")
+                  .write.mode("append").parquet(s"$root/matches")
+              }
               ()
             }
             .start()
@@ -3257,14 +3262,7 @@ object TextQueries {
         if (!new java.io.File(s"$inDir/_SUCCESS").exists())
           cdc.repartition(3, col("op")).write.mode("overwrite")
             .parquet(inDir)
-        val stateRoot = new java.io.File(s"$inDir-state")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        if (stateRoot.exists()) rm(stateRoot)
-        stateRoot.mkdirs()
-        val root = stateRoot.getAbsolutePath
+        val root = freshRunDir(s"$inDir-state")
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", 2)
         val version = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -152,16 +152,11 @@ object Bpe {
       numMerges: Int = 48): Model = {
     require(sampleDocs >= 1 && maxWords >= 1 && numMerges >= 0,
       s"bad fit params: sampleDocs=$sampleDocs maxWords=$maxWords numMerges=$numMerges")
-    val freq = scala.collection.mutable.HashMap.empty[String, Long]
-    sampleTexts(docs, idCol, textCol, sampleDocs).foreach { text =>
-      lex(text).foreach { tok =>
-        if (isAlpha(tok)) {
-          val w = tok.toLowerCase(Locale.ROOT)
-          freq.update(w, freq.getOrElse(w, 0L) + 1L)
-        }
-      }
-    }
-    fitFromWordFreq(freq.toMap, maxWords, numMerges)
+    // ONE word-frequency basis for every tokenizer family — the fit is
+    // definitionally fitFromWordFreq over the shared sample view
+    fitFromWordFreq(
+      sampleVocab(docs, idCol, textCol, sampleDocs, maxWords).toMap,
+      maxWords, numMerges)
   }
 
   /** The fit's (word, freq) SAMPLE VIEW — the hash-capped sample's word

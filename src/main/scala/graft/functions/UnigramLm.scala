@@ -101,8 +101,6 @@ object UnigramLm {
     }
   }
 
-  /** Deterministic hard-EM fit from a word-frequency table (see object
-    * scaladoc for every rule). */
   /** Content-addressed vocabulary VERSION id — [[Bpe.vocabId]]'s
     * unigram-LM form: segmentation consults only the (piece, cost)
     * table, so the id folds the SORTED (piece, micro-nat cost) entries;
@@ -117,6 +115,8 @@ object UnigramLm {
     (h * 0x100000001b3L) ^ m.scores.size.toLong
   }
 
+  /** Deterministic hard-EM fit from a word-frequency table (see object
+    * scaladoc for every rule). */
   def fitFromWordFreq(wordFreq: Map[String, Long]): Model = {
     val words = wordFreq.toSeq
       .filter { case (w, _) => w.nonEmpty && w.length <= MaxWordLen }

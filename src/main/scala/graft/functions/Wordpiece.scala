@@ -153,16 +153,11 @@ object Wordpiece {
       numMerges: Int = 48): (Model, Seq[(String, Long)]) = {
     require(sampleDocs >= 1 && maxWords >= 1 && numMerges >= 0,
       s"bad fit params: $sampleDocs/$maxWords/$numMerges")
-    val freq = scala.collection.mutable.HashMap.empty[String, Long]
-    Bpe.sampleTexts(docs, idCol, textCol, sampleDocs).foreach { text =>
-      Bpe.lex(text).foreach { tok =>
-        if (Bpe.isAlpha(tok)) {
-          val w = tok.toLowerCase(Locale.ROOT)
-          freq.update(w, freq.getOrElse(w, 0L) + 1L)
-        }
-      }
-    }
-    fitFromWordFreq(freq.toMap, maxWords, numMerges)
+    // the shared sample view — one word-frequency basis for every
+    // tokenizer family (doc selection depends only on ids)
+    fitFromWordFreq(
+      Bpe.sampleVocab(docs, idCol, textCol, sampleDocs, maxWords).toMap,
+      maxWords, numMerges)
   }
 
   /** Greedy longest-match-first segmentation of one (lowercased,

@@ -1102,18 +1102,7 @@ object Bm25 {
     val counts = s.tf.agg(count(lit(1)).as("n_postings"))
       .crossJoin(broadcast(s.totals))
       .crossJoin(broadcast(dfT.agg(count(lit(1)).as("n_terms"))))
-    val dfc = dfT.groupBy(col("df")).agg(count(lit(1)).as("_c"))
-    val wCum = Window.orderBy(col("df"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = OperatorCaches.track(
-      dfc.withColumn("_cum", sum(col("_c")).over(wCum)).persist())
-    // quantile threshold ceil(n·pct/100) in EXACT integer arithmetic on
-    // both engines (r17 advice: a double n·q product can round across an
-    // integer boundary and shift the quantile one distinct-df step)
-    def quantile(pct: Int) = cum.crossJoin(broadcast(
-        dfT.agg(count(lit(1)).as("_n"))))
-      .filter(col("_cum") >= expr(s"(_n * $pct + 99) DIV 100"))
-      .orderBy(col("df")).limit(1).select(col("df"))
+    val quantile = ExactQuantiles.probe(dfT, "df")
     val top = dfT.orderBy(col("df").desc, col("term").asc).limit(1)
       .select(col("df").as("max_df"), col("term").as("top_term"))
     counts

@@ -186,17 +186,33 @@ object Layout {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), tableName)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      // the layout contract the on-disk files were written under — the
+      // content fingerprint in the table name covers the DATA, not the
+      // spec, so re-registering must prove the spec too: registering
+      // 8-bucket files as a 16-bucket table would silently drop rows
+      // from co-located joins (bucket ids parse from file names)
+      val spec = s"buckets=$buckets;key=$keyCol"
+      val specPath = new org.apache.hadoop.fs.Path(loc, "_BUCKET_SPEC")
+      def onDiskSpec: Option[String] =
+        if (!fs.exists(specPath)) None
+        else {
+          val in = fs.open(specPath)
+          try Some(new String(
+            in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
+          onDiskSpec.contains(spec)) {
         // CREATE-ONCE EPOCH ARTIFACT (r17 bench hygiene): the bucketed
         // files outlive the session but the in-memory catalog does not,
         // so a fresh JVM used to RE-WRITE both tables — a pure fixture
         // cost that dwarfed the measured join and false-flagged q140
-        // four rounds running. The table name carries the content
-        // fingerprint, so existing files are current by construction:
-        // re-REGISTER them with the same bucket spec instead. Bucket
-        // identity rides the datasource file naming (part-*_NNNNN),
-        // which the registered spec re-interprets identically — the
-        // PlanSpec single-exchange pin holds on this path too.
+        // four rounds running. Data currency rides the fingerprint in
+        // the name, layout currency the _BUCKET_SPEC marker just
+        // checked: re-REGISTER instead of re-writing. Bucket identity
+        // rides the datasource file naming (part-*_NNNNN), which the
+        // registered spec re-interprets identically — the PlanSpec
+        // single-exchange pin holds on this path too.
         val cols = df.schema.fields
           .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
         spark.sql(s"CREATE TABLE `$tableName` ($cols) USING parquet " +
@@ -206,6 +222,9 @@ object Layout {
         if (fs.exists(loc)) fs.delete(loc, true)
         df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
           .mode("overwrite").saveAsTable(tableName)
+        val out = fs.create(specPath, true)
+        try out.write(spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
     }
     spark.table(tableName)

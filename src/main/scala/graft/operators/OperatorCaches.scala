@@ -52,4 +52,32 @@ object OperatorCaches {
     * round-1 review. */
   def withCaches[T](body: => T): T =
     try body finally release()
+
+  /** NESTED scope: release only the frames `body` itself tracked,
+    * leaving earlier registrations (e.g. a persisted query index the
+    * stream probes every batch) cached. The per-micro-batch contract
+    * for streaming foreachBatch shapes (q316/q320): operators like
+    * [[Bm25.percolate]] persist a batch-local probe frame per call, and
+    * without a per-batch release a long-running stream accumulates one
+    * cached frame per micro-batch — unbounded. `body` must MATERIALIZE
+    * its result (the batch sink write is the materialization). Not safe
+    * under CONCURRENT tracking from other threads (frames they track
+    * mid-scope would be released too) — Verify/Bench run queries
+    * sequentially and a streaming query's batches are sequential. */
+  def scoped[T](body: => T): T = {
+    val before = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+    tracked.forEach(ds => { before.add(ds); () })
+    try body finally {
+      val keep = new ConcurrentLinkedQueue[Dataset[_]]()
+      var ds = tracked.poll()
+      while (ds != null) {
+        if (before.contains(ds)) keep.add(ds)
+        else ds.unpersist(blocking = false)
+        ds = tracked.poll()
+      }
+      tracked.addAll(keep)
+      ()
+    }
+  }
 }

@@ -290,15 +290,7 @@ object ProductQuantization {
     val totals = occ.agg(sum(col("n")).as("n_vectors"),
       count(lit(1)).as("n_cells"), max(col("n")).as("max_occ"),
       min(col("n")).as("min_occ"))
-    val dc = occ.groupBy(col("n")).agg(count(lit(1)).as("_c"))
-    val wCum = Window.orderBy(col("n"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = OperatorCaches.track(
-      dc.withColumn("_cum", sum(col("_c")).over(wCum)).persist())
-    def quantile(pct: Int) = cum.crossJoin(broadcast(
-        occ.agg(count(lit(1)).as("_n"))))
-      .filter(col("_cum") >= expr(s"(_n * $pct + 99) DIV 100"))
-      .orderBy(col("n")).limit(1).select(col("n"))
+    val quantile = ExactQuantiles.probe(occ, "n")
     totals
       .crossJoin(broadcast(index.agg(
         countDistinct(col("fit_id")).as("n_fit_ids"))))
