@@ -1525,8 +1525,14 @@ object BpeQueries {
         val (wpO, tfO) = fert(ovw, mo)
         val (wpN, tfN) = fert(nvw, mo)
         val (wpZ, _) = fert(nvw, mu)
-        // versioned encoded artifact: rows carry the vocab_id
+        // versioned encoded artifact: rows carry the vocab_id. The dir
+        // key carries BOTH the vocab id and a content fingerprint of the
+        // encoded corpus — the fit samples only 256 docs, so regenerated
+        // testdata can produce the SAME vocab id over different text;
+        // without the fingerprint a stale artifact would be reused and
+        // the reencode-parity leg would false-fail (ADVICE r18).
         val art = s"/tmp/graft-tokenc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(newC, "doc_id", s"$dir/documents_tokenc")}" +
           s"-${java.lang.Long.toHexString(id2)}"
         if (!new java.io.File(s"$art/_SUCCESS").exists())
           newC.select(col("doc_id"),

@@ -190,8 +190,17 @@ object Layout {
       // content fingerprint in the table name covers the DATA, not the
       // spec, so re-registering must prove the spec too: registering
       // 8-bucket files as a 16-bucket table would silently drop rows
-      // from co-located joins (bucket ids parse from file names)
-      val spec = s"buckets=$buckets;key=$keyCol"
+      // from co-located joins (bucket ids parse from file names). The
+      // SCHEMA is part of the contract for the same reason: the
+      // register path builds CREATE TABLE columns from the CALLER's
+      // frame, so a caller whose schema drifted (order/type/name) while
+      // the fingerprint-keyed name stayed would otherwise re-register
+      // the old files under a mismatched column list and reads would
+      // silently misbind (ADVICE r18) — mismatch falls to the rewrite
+      // branch instead.
+      val schemaSig = df.schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val spec = s"buckets=$buckets;key=$keyCol;schema=$schemaSig"
       val specPath = new org.apache.hadoop.fs.Path(loc, "_BUCKET_SPEC")
       def onDiskSpec: Option[String] =
         if (!fs.exists(specPath)) None
@@ -213,9 +222,7 @@ object Layout {
         // rides the datasource file naming (part-*_NNNNN), which the
         // registered spec re-interprets identically — the PlanSpec
         // single-exchange pin holds on this path too.
-        val cols = df.schema.fields
-          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        spark.sql(s"CREATE TABLE `$tableName` ($cols) USING parquet " +
+        spark.sql(s"CREATE TABLE `$tableName` ($schemaSig) USING parquet " +
           s"CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) " +
           s"INTO $buckets BUCKETS LOCATION '${loc.toString}'")
       } else {

@@ -31,8 +31,23 @@ object OperatorCaches {
 
   private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
 
+  /** Thread owning an active [[scoped]] region, or null. `scoped`'s
+    * drain-and-rebuild release would unpersist a frame another thread
+    * tracked mid-scope out from under its live query; the sequential-only
+    * assumption used to be a comment — now `track` from a foreign thread
+    * while a scope is active fails fast instead (ADVICE r18). */
+  @volatile private var scopeOwner: Thread = null
+
   /** Register an operator-internal persisted Dataset; returns it. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
+    val owner = scopeOwner
+    if (owner != null && (owner ne Thread.currentThread()))
+      throw new IllegalStateException(
+        "OperatorCaches.track from thread " +
+          s"'${Thread.currentThread().getName}' while a scoped region is " +
+          s"active on thread '${owner.getName}' — scoped release would " +
+          "unpersist this frame under a live query; confine tracking to " +
+          "the scope's thread or track outside the scope")
     tracked.add(ds)
     ds
   }
@@ -60,11 +75,21 @@ object OperatorCaches {
     * [[Bm25.percolate]] persist a batch-local probe frame per call, and
     * without a per-batch release a long-running stream accumulates one
     * cached frame per micro-batch — unbounded. `body` must MATERIALIZE
-    * its result (the batch sink write is the materialization). Not safe
-    * under CONCURRENT tracking from other threads (frames they track
-    * mid-scope would be released too) — Verify/Bench run queries
-    * sequentially and a streaming query's batches are sequential. */
+    * its result (the batch sink write is the materialization). Tracking
+    * is THREAD-CONFINED while a scope is active: `track` from any other
+    * thread fails fast (see [[scopeOwner]]) rather than silently losing
+    * a live frame to this scope's release. Nested `scoped` on the owner
+    * thread composes (owner is restored on exit); a second thread
+    * opening a scope concurrently fails fast too. */
   def scoped[T](body: => T): T = {
+    val self = Thread.currentThread()
+    val prev = scopeOwner
+    if (prev != null && (prev ne self))
+      throw new IllegalStateException(
+        s"OperatorCaches.scoped on thread '${self.getName}' while a scope " +
+          s"is already active on thread '${prev.getName}' — scopes are " +
+          "thread-confined")
+    scopeOwner = self
     val before = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
     tracked.forEach(ds => { before.add(ds); () })
@@ -77,6 +102,9 @@ object OperatorCaches {
         ds = tracked.poll()
       }
       tracked.addAll(keep)
+      // restore AFTER the drain-and-rebuild — foreign-thread track stays
+      // fenced out for the whole window in which it could be lost
+      scopeOwner = prev
       ()
     }
   }

@@ -37,6 +37,54 @@ class CacheDisciplineSpec extends SparkSuite {
     assert(cacheEmpty, "dedup/tfidf/similarity caches leaked past release")
   }
 
+  test("scoped releases only frames tracked inside the scope") {
+    spark.catalog.clearCache()
+    val outer = OperatorCaches.track(
+      spark.range(10).toDF("id").persist())
+    outer.count()
+    OperatorCaches.scoped {
+      val inner = OperatorCaches.track(
+        spark.range(5).toDF("id").persist())
+      inner.count()
+      assert(inner.storageLevel.useMemory)
+    }
+    assert(outer.storageLevel.useMemory,
+      "scoped must not release a frame tracked before the scope")
+    OperatorCaches.release()
+    assert(cacheEmpty)
+  }
+
+  test("track from a foreign thread while a scope is active fails fast") {
+    spark.catalog.clearCache()
+    // ADVICE r18: scoped's drain-and-rebuild would unpersist a frame a
+    // concurrent thread tracked mid-scope out from under its query —
+    // the sequential-only assumption is now enforced, not just documented
+    OperatorCaches.scoped {
+      val df = spark.range(3).toDF("id")
+      @volatile var thrown: Throwable = null
+      val t = new Thread(() =>
+        try OperatorCaches.track(df)
+        catch { case e: Throwable => thrown = e })
+      t.start(); t.join()
+      assert(thrown != null &&
+        thrown.isInstanceOf[IllegalStateException] &&
+        thrown.getMessage.contains("scoped"),
+        s"foreign-thread track should fail fast, got $thrown")
+      // owner-thread tracking inside the scope still works
+      val mine = OperatorCaches.track(df.persist())
+      mine.count()
+    }
+    // ... and a foreign thread may track freely once the scope closed
+    @volatile var after: Throwable = null
+    val t2 = new Thread(() =>
+      try { OperatorCaches.track(spark.range(2).toDF("id")); () }
+      catch { case e: Throwable => after = e })
+    t2.start(); t2.join()
+    assert(after == null, s"post-scope foreign track should pass, got $after")
+    OperatorCaches.release()
+    assert(cacheEmpty)
+  }
+
   test("release is safe mid-plan: results stay correct, just uncached") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, sf("sf0.001"), "documents").limit(30)

@@ -21,6 +21,62 @@ class LayoutSpec extends SparkSuite {
     z
   }
 
+  test("bucketize register path proves the SCHEMA, not just buckets/key") {
+    // ADVICE r18: the register branch builds CREATE TABLE columns from
+    // the CALLER's frame; files written under (k, v) registered as
+    // (k, w) would read w as all-null (parquet binds by name). The
+    // _BUCKET_SPEC marker now carries the schema; mismatch must fall to
+    // the rewrite branch.
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(conf)
+    val base = spark.range(20).select(col("id").as("k"),
+      (col("id") * 7).as("v"))
+    val t1 = "bspec_schema_src"
+    Seq(t1, "bspec_schema_drift", "bspec_schema_same").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val p = new Path(wh, t)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Layout.bucketize(spark, base, t1, 4, "k").count()
+
+    // simulate a fresh JVM (files persist, in-memory catalog does not):
+    // copy the table dir to a name the catalog has never seen
+    def cloneTo(t: String): Path = {
+      val dst = new Path(wh, t)
+      FileUtil.copy(fs, new Path(wh, t1), fs, dst, false, conf)
+      dst
+    }
+
+    // (a) drifted caller schema (v renamed to w) → rewrite, not misbind
+    val driftDir = cloneTo("bspec_schema_drift")
+    val drifted = base.withColumnRenamed("v", "w")
+    val out = Layout.bucketize(spark, drifted, "bspec_schema_drift", 4, "k")
+    assert(out.columns.toSeq == Seq("k", "w"))
+    val rows = out.orderBy("k").collect()
+    assert(rows.length == 20 && rows.forall(r => r.getLong(1) == r.getLong(0) * 7),
+      "drifted register must rewrite — a misbound register reads w as null")
+    val driftSpec = {
+      val in = fs.open(new Path(driftDir, "_BUCKET_SPEC"))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(driftSpec.contains("`w` BIGINT"), s"spec not rewritten: $driftSpec")
+
+    // (b) identical schema → register reuses the on-disk files untouched
+    val sameDir = cloneTo("bspec_schema_same")
+    def dataFiles(p: Path) = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val beforeFiles = dataFiles(sameDir)
+    val reg = Layout.bucketize(spark, base, "bspec_schema_same", 4, "k")
+    assert(reg.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      (0 until 20).map(_ * 7L))
+    assert(dataFiles(sameDir) == beforeFiles,
+      "same-schema register must NOT rewrite the data files")
+  }
+
   test("morton2 matches the reference interleave bit-for-bit") {
     val pts = for (x <- 0L until 40L; y <- 0L until 40L) yield (x * 7, y * 13)
     val got = pts.toDF("x", "y")
