@@ -2439,17 +2439,19 @@ object TextQueries {
              |SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df
              |FROM hits WHERE rank <= 5""".stripMargin)),
 
-    // STREAMING INDEX MAINTENANCE (Bm25.applyCdcBatch — the index
-    // CRUD's streaming member): document changes arrive as a CDC feed
-    // (op I/U/D), each micro-batch folds into VERSIONED on-disk
-    // statistics (foreachBatch reads version N, applies
-    // remove-then-upsert, writes N+1 — the production shape: the index
-    // is a durable artifact, not session state), and ranking against
-    // the final version must hash-equal a recompute over the net
-    // corpus. maxFilesPerTrigger=1 forces MULTIPLE micro-batches, so
-    // the gate proves CROSS-BATCH fold composition, and the per-window
-    // one-event-per-doc contract makes the result batch-composition
-    // invariant (Spark's file→batch assignment cannot move the hash).
+    // STREAMING INDEX MAINTENANCE (IndexArtifact.applyCdcLexical —
+    // the index CRUD's streaming member): document changes arrive as
+    // a CDC feed (op I/U/D), each micro-batch folds into VERSIONED
+    // PARTITIONED on-disk statistics (foreachBatch folds version N →
+    // N+1 touching ONLY the hash(id)/hash(term) partitions the batch's
+    // docs and terms land in; untouched partitions carry by manifest
+    // reference — per-batch I/O is O(batch), not O(corpus), the r18
+    // verdict's scale fix), and ranking against the final version must
+    // hash-equal a recompute over the net corpus. maxFilesPerTrigger=1
+    // forces MULTIPLE micro-batches, so the gate proves CROSS-BATCH
+    // fold composition, and the per-window one-event-per-doc contract
+    // makes the result batch-composition invariant (Spark's
+    // file→batch assignment cannot move the hash).
     Q("q314_streaming_index_maintenance",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
@@ -2485,9 +2487,11 @@ object TextQueries {
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", 2)
         val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        val lay = graft.operators.IndexArtifact.LexicalLayout(
+          s"$root/idx", docParts = 8, termParts = 8)
         try {
-          bm.writeIndexStats(bm.indexStats(d, "doc_id", "text"),
-            s"$root/v0")
+          graft.operators.IndexArtifact.writeLexicalFull(
+            lay, d, "doc_id", "text", version = 0)
           val schema = spark.read.parquet(inDir).schema
           val q = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -2495,17 +2499,22 @@ object TextQueries {
             .option("checkpointLocation", s"$root/chk")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                 _: Long) =>
-              val n = version.get()
-              val cur = bm.readIndexStats(spark, s"$root/v$n")
-              bm.writeIndexStats(
-                bm.applyCdcBatch(cur, batch, "doc_id", "text", "op"),
-                s"$root/v${n + 1}")
-              version.incrementAndGet(); ()
+              // scoped: the fold persists batch-local frames; release
+              // them per micro-batch (the r18 cache discipline)
+              graft.operators.OperatorCaches.scoped {
+                val n = version.get()
+                graft.operators.IndexArtifact.applyCdcLexical(
+                  lay, batch, "doc_id", "text", "op",
+                  fromVersion = n, toVersion = n + 1)
+                version.incrementAndGet()
+              }
+              ()
             }
             .start()
           try q.processAllAvailable() finally q.stop()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-        val fin = bm.readIndexStats(spark, s"$root/v${version.get()}")
+        val fin = graft.operators.IndexArtifact.readLexicalStats(
+          spark, lay, version.get())
         val queries = d.filter(col("doc_id") < 10)
           .select((col("doc_id") + 80000L).as("qid"),
             array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
@@ -3266,13 +3275,15 @@ object TextQueries {
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", 2)
         val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        // PARTITIONED versioned artifacts (r18 verdict fix): each fold
+        // touches only the batch's hash(id)/hash(term) partitions —
+        // the positional and tf tables are corpus-sized at 100 TB and
+        // must never be rewritten in full per micro-batch
+        val ia = graft.operators.IndexArtifact
+        val lay = ia.LexicalLayout(s"$root/idx", docParts = 8,
+          termParts = 8, withPositional = true, withVariants = true)
         try {
-          val s0 = bm.indexStats(base, "doc_id", "text")
-          bm.writeIndexStats(s0, s"$root/v0/stats")
-          bm.positionalPostings(base, "doc_id", "text").coalesce(2)
-            .write.mode("overwrite").parquet(s"$root/v0/pos")
-          bm.variantIndex(spark.read.parquet(s"$root/v0/stats/df"))
-            .coalesce(2).write.mode("overwrite").parquet(s"$root/v0/vi")
+          ia.writeLexicalFull(lay, base, "doc_id", "text", version = 0)
           val schema = spark.read.parquet(inDir).schema
           val q = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -3280,32 +3291,20 @@ object TextQueries {
             .option("checkpointLocation", s"$root/chk")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                 _: Long) =>
-              val n = version.get()
-              val cur = bm.readIndexStats(spark, s"$root/v$n/stats")
-              bm.writeIndexStats(
-                bm.applyCdcBatch(cur, batch, "doc_id", "text", "op"),
-                s"$root/v${n + 1}/stats")
-              bm.applyCdcBatchPositional(
-                  spark.read.parquet(s"$root/v$n/pos"), batch,
-                  "doc_id", "text", "op")
-                .coalesce(2).write.mode("overwrite")
-                .parquet(s"$root/v${n + 1}/pos")
-              // the after-df read back FROM the just-written version:
-              // the variant fold composes off the same durable artifact
-              // serving reads, never a recompute
-              bm.maintainVariantIndex(
-                  spark.read.parquet(s"$root/v$n/vi"), cur.df,
-                  spark.read.parquet(s"$root/v${n + 1}/stats/df"))
-                .coalesce(2).write.mode("overwrite")
-                .parquet(s"$root/v${n + 1}/vi")
-              version.incrementAndGet(); ()
+              graft.operators.OperatorCaches.scoped {
+                val n = version.get()
+                ia.applyCdcLexical(lay, batch, "doc_id", "text", "op",
+                  fromVersion = n, toVersion = n + 1)
+                version.incrementAndGet()
+              }
+              ()
             }
             .start()
           try q.processAllAvailable() finally q.stop()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-        val fin = bm.readIndexStats(spark, s"$root/v${version.get()}/stats")
-        val finPos = spark.read.parquet(s"$root/v${version.get()}/pos")
-        val finVi = spark.read.parquet(s"$root/v${version.get()}/vi")
+        val fin = ia.readLexicalStats(spark, lay, version.get())
+        val finPos = ia.read(spark, lay.root, lay.pos, version.get())
+        val finVi = ia.read(spark, lay.root, lay.vi, version.get())
         val ph = bm.phraseMatchesFrom(finPos,
           Seq("zq0grafted", "exact", "phrase", "marker"))
         val queries = Seq(
