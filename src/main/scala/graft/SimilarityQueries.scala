@@ -1745,6 +1745,58 @@ object SimilarityQueries {
            |  CAST(mx * nc * 1000000 // nv AS BIGINT) AS skew_micro
            |FROM tt, p50, p90""".stripMargin)),
 
+    // ANN EPOCH SHARD MERGE (ProductQuantization.mergeAnnIndex — the
+    // parallel-reindex path q311/q318 gate for text, closed for
+    // vectors per the r18 verdict): two shards encode DISJOINT vector
+    // sets under ONE frozen fit, merge is a bare union behind per-row
+    // fit_id guards, and top-k serve off the merged index must
+    // hash-equal a whole-corpus recompute under the same fit. The
+    // fixture is q255's exactly (epoch + re-keyed batch), so the
+    // shared oracle ALSO proves merge == upsert == full rebuild —
+    // three maintenance paths, one hash. The mixed-fit refusal is the
+    // in-query negative leg: a batch shard encoded under a SECOND fit
+    // (different seed corpus → different fit_id) must raise per row;
+    // a silent union here would corrupt rankings undetectably, so the
+    // query THROWS if the guard stays quiet.
+    Q("q327_ann_shard_merge",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(epoch)
+        val merged = pq.mergeAnnIndex(fit,
+          pq.annIndex(fit, epoch), pq.annIndex(fit, batch))
+        // negative leg: a shard encoded under a different frozen fit
+        // must refuse loudly (the guard fires per row, in a filter)
+        val fit2 = pq.fitFrozen(batch)
+        require(fit2.fitId != fit.fitId,
+          "q327 fixture defeated: the two fits collided on fit_id")
+        val guardFired =
+          try {
+            pq.mergeAnnIndex(fit, pq.annIndex(fit, epoch),
+              pq.annIndex(fit2, batch)).count()
+            false
+          } catch {
+            case ex: Throwable =>
+              Iterator.iterate(ex: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .flatMap(t => Option(t.getMessage))
+                .exists(_.contains("mergeAnnIndex"))
+          }
+        if (!guardFired) throw new IllegalStateException(
+          "q327: mixed-fit merge did NOT refuse — the fit_id guard is dead")
+        val queries = epoch.unionByName(batch)
+          .filter(col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
+        pq.queryIndexDistributed(fit, merged, queries, k = 10, nprobe = 4)
+      },
+      Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)"))),
+
     // STREAMING ANN QUERY-AT-INGEST — the dense analog of q245:
     // query vectors arrive as a stream and rank against the STATIC
     // frozen-fit index via the UNCHANGED serve path

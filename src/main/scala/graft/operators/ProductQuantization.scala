@@ -269,6 +269,31 @@ object ProductQuantization {
     index.join(deletedIds.select(col(idCol).as("vec_id")),
       Seq("vec_id"), "left_anti")
 
+  /** MERGE two independently-built ANN index shards under ONE frozen
+    * fit ([[graft.operators.Bm25.mergeIndexStats]]'s ANN sibling — the
+    * parallel-reindex path q311/q318 gate for text, closed for vectors
+    * per the r18 verdict): index rows are per-row functions of the
+    * fit, so the merge is a BARE UNION — no stats to re-sum, no
+    * re-encode (gated q327: top-k serve off the merged shards ==
+    * whole-corpus recompute under the same fit). PRECONDITION: the
+    * shards cover DISJOINT vec_ids (a vector indexed in both would be
+    * a duplicate candidate — re-indexing a live vector is the
+    * remove ∘ upsert path, never a merge). The MIXED-FIT refusal is
+    * checked, not assumed: two shards encoded under different fits
+    * have incomparable cells/codes, and a silent union would corrupt
+    * rankings only detectably at serve time — both sides carry
+    * [[upsertAnnIndex]]'s per-row raise_error guard (a FILTER
+    * predicate, prune-proof) against the declared fit. */
+  def mergeAnnIndex(fit: IvfPqFit, a: DataFrame, b: DataFrame): DataFrame = {
+    def guard(side: DataFrame, name: String) = side.filter(
+      when(col("fit_id") === lit(fit.fitId), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"mergeAnnIndex: $name shard was built under fit_id "),
+          col("fit_id"), lit(s", not ${fit.fitId} — shards merge only " +
+            "under ONE frozen fit; refit requires a full rebuild")))))
+    guard(a, "left").unionByName(guard(b, "right"))
+  }
+
   /** ANN INDEX DATA CARD (r17 missing #6 — q317's card discipline
     * applied to the ANN index): the one-row operational report a
     * serving team reads off the MAINTAINED (vec_id, cell, code,

@@ -107,6 +107,33 @@ class ProductQuantizationSpec extends SparkSuite {
       .count() == n - 1, "deleting again must be a no-op")
   }
 
+  test("mergeAnnIndex: disjoint shards union row-for-row; mixed fit refuses on EITHER side") {
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    val fit = ProductQuantization.fitFrozen(a)
+    val shardA = ProductQuantization.annIndex(fit, a)
+    val shardB = ProductQuantization.annIndex(fit, b)
+    val merged = ProductQuantization.mergeAnnIndex(fit, shardA, shardB)
+    val whole = ProductQuantization.annIndex(fit, emb)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("vec_id"), col("cell"), col("code").cast("string"),
+        col("fit_id")).collect().map(_.toSeq.mkString("|")).toSet
+    assert(rows(merged) == rows(whole),
+      "merge of disjoint shards must equal the whole-corpus index")
+    // mixed fit: refusal must fire whichever SIDE carries the alien rows
+    val fit2 = ProductQuantization.fitFrozen(b)
+    assert(fit2.fitId != fit.fitId)
+    val alien = ProductQuantization.annIndex(fit2, b)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for ((l, r) <- Seq((shardA, alien), (alien, shardB))) {
+      val e = intercept[Exception] {
+        ProductQuantization.mergeAnnIndex(fit, l, r).count()
+      }
+      assert(msgs(e).exists(_.contains("mergeAnnIndex")), e.toString)
+    }
+  }
+
   test("residual fit: CRUD composes through the dispatching annIndex; raw fit refused") {
     val epoch = emb.filter(col("vec_id") % 2 === 0)
     val batch = emb.filter(col("vec_id") % 2 =!= 0)
