@@ -13,6 +13,22 @@ import graft.operators.{AudioDedup, ImageDedup, Multimodal, Similarity, VideoDed
 object SimilarityQueries {
   import Registry.Q
 
+  /** Delete-and-recreate a per-run scratch dir (stream checkpoints /
+    * versioned artifact roots that must NOT survive a run — a persisted
+    * checkpoint would mark the feed consumed and serve last run's
+    * artifact). Same contract as TextQueries' helper. */
+  private def freshRunDir(path: String): String = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(path)
+    if (d.exists()) rm(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   /** The q41 oracle's literal Rademacher matrix: sign(plane, dim) from the
     * SAME splitmix64 derivation as VectorFunctions.srpSignatureKernel
     * (±1.0 exactly representable — multiplying by it reproduces the
@@ -1792,6 +1808,85 @@ object SimilarityQueries {
           .filter(col("vec_id") < 20 ||
             (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
         pq.queryIndexDistributed(fit, merged, queries, k = 10, nprobe = 4)
+      },
+      Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)"))),
+
+    // STREAMING ANN INDEX CDC (ProductQuantization.applyCdcAnn — the
+    // dense analog of q314/q321, r18 verdict missing #3): vector I/U/D
+    // events fold per micro-batch into the VERSIONED PARTITIONED
+    // (vec_id, cell, code, fit_id) artifact under the frozen fit, and
+    // post-stream top-k serve must hash-equal a whole-corpus recompute
+    // over the NET vector set. The v0 index starts WRONG three ways —
+    // junk vectors that must be deleted, corrupted (negated) embeddings
+    // that updates must re-encode, and the batch vectors absent until
+    // inserted — so every op kind is load-bearing: the net index rows
+    // equal annIndex(fit, epoch ∪ batch) exactly, which is q255's
+    // index, so q255's oracle gates all of streaming fold, layout
+    // read-back, and serve in one hash. Per-batch I/O touches only the
+    // batch ids' hash partitions (manifest-by-reference carry).
+    Q("q328_streaming_ann_cdc",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val ia = graft.operators.IndexArtifact
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val corruptPred = col("vec_id") % 9 === 2
+        val v0Corpus = epoch.select(col("vec_id"),
+            when(corruptPred, transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")).as("embedding"))
+          .unionByName(e.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 20000000L).as("vec_id"),
+              col("embedding")))
+        val fit = pq.fitFrozen(epoch)
+        val updates = epoch.filter(corruptPred)
+          .select(lit("U").as("op"), col("vec_id"), col("embedding"))
+        val inserts = batch
+          .select(lit("I").as("op"), col("vec_id"), col("embedding"))
+        val deletes = e.filter(col("vec_id") % 5 === 0)
+          .select(lit("D").as("op"), (col("vec_id") + 20000000L).as("vec_id"),
+            lit(null).cast("array<float>").as("embedding"))
+        val cdc = updates.unionByName(inserts).unionByName(deletes)
+        val inDir = s"/tmp/graft-anncdc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(cdc, "vec_id", s"$dir/embeddings_anncdc")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          cdc.repartition(3, col("op")).write.mode("overwrite")
+            .parquet(inDir)
+        val root = freshRunDir(s"$inDir-state")
+        val m = pq.annMember(parts = 8)
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        try {
+          ia.writeFull(pq.annIndex(fit, v0Corpus), s"$root/idx", m, 0)
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              graft.operators.OperatorCaches.scoped {
+                val n = version.get()
+                pq.applyCdcAnn(fit, s"$root/idx", m, b,
+                  "vec_id", "embedding", "op",
+                  fromVersion = n, toVersion = n + 1)
+                version.incrementAndGet()
+              }
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        val fin = ia.read(spark, s"$root/idx", m, version.get())
+        val queries = epoch.unionByName(batch)
+          .filter(col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
+        pq.queryIndexDistributed(fit, fin, queries, k = 10, nprobe = 4)
       },
       Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
         kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,

@@ -134,6 +134,55 @@ class ProductQuantizationSpec extends SparkSuite {
     }
   }
 
+  test("applyCdcAnn: fold == net-corpus rebuild; untouched partitions carry by reference") {
+    import graft.operators.IndexArtifact
+    val root = {
+      val d = new java.io.File("/tmp/graft-anncdc-spec")
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      if (d.exists()) rm(d)
+      d.mkdirs(); d.getAbsolutePath
+    }
+    val m = ProductQuantization.annMember(parts = 8)
+    val fit = ProductQuantization.fitFrozen(emb)
+    IndexArtifact.writeFull(ProductQuantization.annIndex(fit, emb),
+      root, m, 0)
+    val man0 = IndexArtifact.readManifest(spark, root, m, 0)
+    // one U (re-embed vec 3 as its negation), one D (vec 7), one I
+    val batch = emb.filter(col("vec_id") === 3L)
+      .select(lit("U").as("op"), col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 7L)
+        .select(lit("D").as("op"), col("vec_id"),
+          lit(null).cast("array<float>").as("embedding")))
+      .unionByName(emb.filter(col("vec_id") === 11L)
+        .select(lit("I").as("op"), (col("vec_id") + 5000L).as("vec_id"),
+          col("embedding")))
+    ProductQuantization.applyCdcAnn(fit, root, m, batch,
+      "vec_id", "embedding", "op", 0, 1)
+    val net = emb.filter(col("vec_id") =!= 7L)
+      .select(col("vec_id"),
+        when(col("vec_id") === 3L, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 11L)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("vec_id"), col("cell"), col("code").cast("string"))
+        .collect().map(_.toSeq.mkString("|")).toSet
+    assert(rows(IndexArtifact.read(spark, root, m, 1)) ==
+      rows(ProductQuantization.annIndex(fit, net)))
+    // untouched partitions still reference v0
+    val touched = batch.select(IndexArtifact.partOf(col("vec_id"), 8))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val man1 = IndexArtifact.readManifest(spark, root, m, 1)
+    assert(touched.size < 8 && man0.keySet.exists(k => !touched(k)))
+    for (k <- man0.keySet if !touched(k))
+      assert(man1(k) == 0, s"untouched ANN partition $k was rewritten")
+  }
+
   test("residual fit: CRUD composes through the dispatching annIndex; raw fit refused") {
     val epoch = emb.filter(col("vec_id") % 2 === 0)
     val batch = emb.filter(col("vec_id") % 2 =!= 0)
