@@ -1621,6 +1621,155 @@ object BpeQueries {
            |UNION ALL SELECT 'artifact_reencode_mismatch', 0
            |UNION ALL SELECT 'old_vocab_refused', 1""".stripMargin
       }),
+
+    // WORDPIECE REFIT / DRIFT CYCLE (r18 verdict missing #4 — q322's
+    // drift-bar → refit → vocab_id → parity → loud-refusal loop on the
+    // WORDPIECE family, the one whose fertility the q309 scorecard
+    // shows drifting hardest): the OLD model (fit on even docs) is
+    // probed against the NEW sample (odd docs with q236's jargon
+    // tail); fertility — pieces per word weighted by sample frequency,
+    // BERT's [UNK] counting as one piece — blows the exact-integer
+    // 1.1× bar; the cycle REFITS under a new content-addressed
+    // vocab_id (Wordpiece.vocabId — folds the FINAL vocabulary, the
+    // only thing WordPiece encoding consults); the encoded artifact
+    // re-reads equal to a fresh encode; serving it against the old id
+    // refuses loudly (Bpe.requireVocab — the guard is family-agnostic).
+    // Fertility legs are EARNED on both sides: the oracle replays BOTH
+    // 48-step scored-argmax fits and THREE 24-stage greedy unrolls
+    // (old model × {old, new} samples, refit × new sample), reading a
+    // greedy-dead word back as np = 1 via the left join (whole-word
+    // [UNK]). vocab_id_changed replays as final-vocabulary set
+    // inequality — the id folds exactly that set.
+    Q("q329_wordpiece_refit_cycle",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val wp = graft.functions.Wordpiece
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val oldC = d.filter(col("doc_id") % 2 === 0)
+        val newC = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1,
+              concat(col("text"), lit(q236Jargon))).otherwise(col("text"))
+              .as("text"))
+        // refit on the DRIFTED stream itself (newC), not old ∪ new:
+        // WordPiece's 48 likelihood-ratio merges are a scarce budget,
+        // and splitting them across both distributions leaves the new
+        // sample's fertility WORSE than v1 (measured: 3394360 vs
+        // 3362263 micro at sf0.01) — the union refit is the wrong
+        // response to drift for this family; fitting the current
+        // distribution is the cycle the bar exists to trigger
+        val (mo, _) = wp.fit(oldC, "doc_id", "text",
+          SampleDocs, MaxWords, NumMerges)
+        val (mu, _) = wp.fit(newC, "doc_id", "text",
+          SampleDocs, MaxWords, NumMerges)
+        val id1 = wp.vocabId(mo)
+        val id2 = wp.vocabId(mu)
+        // the 24-char cap mirrors the oracle's greedy unroll bound
+        // (q313's discipline); the documents vocabulary is far shorter
+        val ovw = Bpe.sampleVocab(oldC, "doc_id", "text",
+          SampleDocs, MaxWords).toDF("w", "f")
+          .filter(length(col("w")) <= 24)
+        val nvw = Bpe.sampleVocab(newC, "doc_id", "text",
+          SampleDocs, MaxWords).toDF("w", "f")
+          .filter(length(col("w")) <= 24)
+        def fert(vw: org.apache.spark.sql.DataFrame,
+            m: wp.Model): (Long, Long) = {
+          val r = vw.agg(
+            coalesce(sum(col("f") * size(wp.encodeWordCol(col("w"), m))),
+              lit(0L)).cast("long"),
+            coalesce(sum(col("f")), lit(0L)).cast("long")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (wpO, tfO) = fert(ovw, mo)
+        val (wpN, tfN) = fert(nvw, mo)
+        val (wpZ, _) = fert(nvw, mu)
+        // versioned encoded artifact: the NEW sample's word table under
+        // the refit model, rows carrying the vocab_id; dir keyed on
+        // content fingerprint + id (the r18-advice discipline)
+        val art = s"/tmp/graft-wpenc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(nvw, "f", s"$dir/documents_wpenc")}" +
+          s"-${java.lang.Long.toHexString(id2)}"
+        if (!new java.io.File(s"$art/_SUCCESS").exists())
+          nvw.select(col("w"),
+              wp.encodeWordCol(col("w"), mu).as("pieces"),
+              lit(id2).as("vocab_id"))
+            .write.mode("overwrite").parquet(art)
+        val back = spark.read.parquet(art)
+        val fresh = nvw.select(col("w"),
+          wp.encodeWordCol(col("w"), mu).as("pieces2"))
+        val mismatch = Bpe.requireVocab(back, id2)
+          .select(col("w"), col("pieces"))
+          .join(fresh, Seq("w"), "full_outer")
+          .filter(col("pieces").isNull || col("pieces2").isNull ||
+            col("pieces") =!= col("pieces2"))
+          .count()
+        val guardFired =
+          try { Bpe.requireVocab(back, id1).count(); 0L }
+          catch {
+            case ex: Throwable =>
+              val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .flatMap(t => Option(t.getMessage)).mkString(" ")
+              if (msgs.contains("requireVocab")) 1L else throw ex
+          }
+        def micro(wpp: Long, tf: Long): Long =
+          if (tf == 0L) 0L else wpp * 1000000L / tf
+        Seq(
+          ("fert_v1_oldsample_micro", micro(wpO, tfO)),
+          ("fert_v1_newsample_micro", micro(wpN, tfN)),
+          ("drift_exceeds_bar",
+            if (10L * wpN * tfO > 11L * wpO * tfN) 1L else 0L),
+          ("vocab_id_changed", if (id2 != id1) 1L else 0L),
+          ("fert_v2_newsample_micro", micro(wpZ, tfN)),
+          ("refit_improves", if (wpZ < wpN) 1L else 0L),
+          ("artifact_reencode_mismatch", mismatch),
+          ("old_vocab_refused", guardFired))
+          .toDF("check", "value")
+      },
+      Some {
+        val oldSql = "SELECT doc_id, text FROM documents " +
+          "WHERE text IS NOT NULL AND doc_id % 2 = 0"
+        val newSql = "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN " +
+          "text || '" + q236Jargon + "' ELSE text END AS text " +
+          "FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1"
+        def fertCte(name: String, vocabCte: String, segPfx: String) =
+          s"""$name AS (SELECT
+             |  CAST(sum(v.f * coalesce(s.np, 1)) AS BIGINT) AS wp,
+             |  CAST(sum(v.f) AS BIGINT) AS tf
+             |  FROM (SELECT w, f FROM $vocabCte WHERE length(w) <= 24) v
+             |  LEFT JOIN ${segPfx}wseg s ON s.w = v.w)""".stripMargin
+        s"""WITH ${fitHeadOver(oldSql, "wo")},
+           |${fitHeadOver(newSql, "wn")},
+           |${wordpieceFitOver("wovocab", "a")},
+           |${wordpieceFitOver("wnvocab", "b")},
+           |${wordpieceGreedyOver("awvoc", "wovocab", "w", "p")},
+           |${wordpieceGreedyOver("awvoc", "wnvocab", "w", "q")},
+           |${wordpieceGreedyOver("bwvoc", "wnvocab", "w", "r")},
+           |${fertCte("fo", "wovocab", "p")},
+           |${fertCte("fn", "wnvocab", "q")},
+           |${fertCte("fz", "wnvocab", "r")},
+           |idchg AS (SELECT CAST(CASE WHEN
+           |    (SELECT count(*) FROM awvoc a JOIN bwvoc b ON b.sym = a.sym)
+           |    = (SELECT count(*) FROM awvoc)
+           |    AND (SELECT count(*) FROM awvoc) = (SELECT count(*) FROM bwvoc)
+           |  THEN 0 ELSE 1 END AS BIGINT) AS v)
+           |SELECT 'fert_v1_oldsample_micro' AS check,
+           |  CAST(wp * 1000000 // tf AS BIGINT) AS value FROM fo
+           |UNION ALL SELECT 'fert_v1_newsample_micro',
+           |  CAST(wp * 1000000 // tf AS BIGINT) FROM fn
+           |UNION ALL SELECT 'drift_exceeds_bar',
+           |  CAST(CASE WHEN 10 * fn.wp * fo.tf > 11 * fo.wp * fn.tf
+           |    THEN 1 ELSE 0 END AS BIGINT) FROM fn, fo
+           |UNION ALL SELECT 'vocab_id_changed', v FROM idchg
+           |UNION ALL SELECT 'fert_v2_newsample_micro',
+           |  CAST(wp * 1000000 // tf AS BIGINT) FROM fz
+           |UNION ALL SELECT 'refit_improves',
+           |  CAST(CASE WHEN fz.wp < fn.wp THEN 1 ELSE 0 END AS BIGINT)
+           |  FROM fz, fn
+           |UNION ALL SELECT 'artifact_reencode_mismatch', 0
+           |UNION ALL SELECT 'old_vocab_refused', 1""".stripMargin
+      }),
   )
 
   /** q313 oracle (see the registration comment). */
@@ -1641,56 +1790,78 @@ object BpeQueries {
     * q309 (encode the unigram-chain words — the same word set, so the
     * scorecard's four bases segment identical words). */
   private def wordpieceChainCtes(greedyOver: String,
-      greedyWordCol: String): String = {
+      greedyWordCol: String): String =
+    s"""${wordpieceFitOver("vocab", "")},
+       |${wordpieceGreedyOver("wvoc", greedyOver, greedyWordCol, "")}""".stripMargin
+
+  /** The WordPiece FIT replay alone, prefix-parameterized so two fits
+    * (q329's epoch drift) coexist in one WITH chain: `{p}wv0` (##-form
+    * symbols from `vocabCte(w, f)`) → 48 scored merge steps → the
+    * final vocabulary `{p}wvoc(sym)`. With `p = ""` this emits EXACTLY
+    * the historical text — q309/q313's oracles are byte-identical. */
+  private def wordpieceFitOver(vocabCte: String, p: String): String = {
     val mergeSteps = (1 to NumMerges).map { k =>
-      s"""wpp$k AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(f) AS BIGINT) AS c FROM (
+      s"""${p}wpp$k AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(f) AS BIGINT) AS c FROM (
          |  SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS i
-         |  FROM wv${k - 1} WHERE len(s) >= 2) GROUP BY 1, 2),
-         |wsc$k AS (SELECT sym, CAST(sum(f) AS BIGINT) AS c FROM (
-         |  SELECT f, unnest(s) AS sym FROM wv${k - 1}) GROUP BY 1),
-         |wpb$k AS MATERIALIZED (SELECT l, r FROM (
+         |  FROM ${p}wv${k - 1} WHERE len(s) >= 2) GROUP BY 1, 2),
+         |${p}wsc$k AS (SELECT sym, CAST(sum(f) AS BIGINT) AS c FROM (
+         |  SELECT f, unnest(s) AS sym FROM ${p}wv${k - 1}) GROUP BY 1),
+         |${p}wpb$k AS MATERIALIZED (SELECT l, r FROM (
          |  SELECT p.l, p.r, p.c,
          |    (CAST(p.c AS HUGEINT)
          |      * ${graft.functions.Wordpiece.ScaleSqlLiteral})
          |      // (CAST(cl.c AS HUGEINT) * cr.c) AS key
-         |  FROM wpp$k p JOIN wsc$k cl ON cl.sym = p.l
-         |    JOIN wsc$k cr ON cr.sym = p.r
+         |  FROM ${p}wpp$k p JOIN ${p}wsc$k cl ON cl.sym = p.l
+         |    JOIN ${p}wsc$k cr ON cr.sym = p.r
          |  WHERE p.c >= 2)
          |  ORDER BY key DESC, c DESC, l, r LIMIT 1),
-         |${wpApplyCtes(s"wm$k", s"wv${k - 1}", s"wpb$k", s"wv$k")}""".stripMargin
+         |${wpApplyCtes(s"${p}wm$k", s"${p}wv${k - 1}", s"${p}wpb$k",
+            s"${p}wv$k")}""".stripMargin
     }.mkString(",\n")
     val mergedSyms = (1 to NumMerges)
-      .map(k => s"SELECT l || substr(r, 3) AS sym FROM wpb$k")
+      .map(k => s"SELECT l || substr(r, 3) AS sym FROM ${p}wpb$k")
       .mkString("\n  UNION ALL ")
+    s"""${p}wv0 AS MATERIALIZED (SELECT w, f,
+       |  list_transform(generate_series(1, length(w)),
+       |    i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS s
+       |  FROM $vocabCte),
+       |$mergeSteps,
+       |${p}wvoc AS MATERIALIZED (SELECT DISTINCT sym FROM (
+       |  SELECT unnest(s) AS sym FROM ${p}wv0
+       |  UNION ALL $mergedSyms))""".stripMargin
+  }
+
+  /** The 24-stage greedy longest-match unroll alone, parameterized on
+    * the vocabulary CTE and word source (q329 encodes TWO word sets
+    * under TWO fitted vocabularies): `{p}wacc0..24` → `{p}wseg(w, f,
+    * np, seg)`. Words over 24 chars are excluded at `{p}wacc0`; a word
+    * whose greedy walk dies (unseen char) never reaches pos =
+    * length(w) and is ABSENT from `{p}wseg` — consumers replaying
+    * BERT's whole-word [UNK] read it back as np = 1 via a left join
+    * (the q329 fertility legs). */
+  private def wordpieceGreedyOver(wvocCte: String, greedyOver: String,
+      greedyWordCol: String, p: String): String = {
     val greedy = (0 until 24).map { s =>
-      s"""wsel$s AS (
+      s"""${p}wsel$s AS (
          |  SELECT a.w, a.f, a.pos + ll.l AS npos, a.np, a.seg,
          |    (CASE WHEN a.pos = 0 THEN '' ELSE '##' END) ||
          |      substr(a.w, a.pos + 1, ll.l) AS piece, ll.l AS plen
-         |  FROM wacc$s a CROSS JOIN generate_series(1, 24) ll(l)
-         |  JOIN wvoc v ON v.sym = (CASE WHEN a.pos = 0 THEN '' ELSE '##' END) ||
+         |  FROM ${p}wacc$s a CROSS JOIN generate_series(1, 24) ll(l)
+         |  JOIN $wvocCte v ON v.sym = (CASE WHEN a.pos = 0 THEN '' ELSE '##' END) ||
          |    substr(a.w, a.pos + 1, ll.l)
          |  WHERE a.pos = $s AND a.pos + ll.l <= length(a.w)),
-         |wnxt$s AS (SELECT w, f, npos AS pos, np + 1 AS np,
+         |${p}wnxt$s AS (SELECT w, f, npos AS pos, np + 1 AS np,
          |    CASE WHEN np = 0 THEN piece ELSE seg || '|' || piece END AS seg
          |  FROM (SELECT *, row_number() OVER (PARTITION BY w
-         |      ORDER BY plen DESC) AS rn FROM wsel$s) WHERE rn = 1),
-         |wacc${s + 1} AS MATERIALIZED (
-         |  SELECT * FROM wacc$s UNION ALL SELECT * FROM wnxt$s)""".stripMargin
+         |      ORDER BY plen DESC) AS rn FROM ${p}wsel$s) WHERE rn = 1),
+         |${p}wacc${s + 1} AS MATERIALIZED (
+         |  SELECT * FROM ${p}wacc$s UNION ALL SELECT * FROM ${p}wnxt$s)""".stripMargin
     }.mkString(",\n")
-    s"""wv0 AS MATERIALIZED (SELECT w, f,
-       |  list_transform(generate_series(1, length(w)),
-       |    i -> CASE WHEN i = 1 THEN w[i] ELSE '##' || w[i] END) AS s
-       |  FROM vocab),
-       |$mergeSteps,
-       |wvoc AS MATERIALIZED (SELECT DISTINCT sym FROM (
-       |  SELECT unnest(s) AS sym FROM wv0
-       |  UNION ALL $mergedSyms)),
-       |wacc0 AS (SELECT $greedyWordCol AS w, f, 0 AS pos, 0 AS np,
+    s"""${p}wacc0 AS (SELECT $greedyWordCol AS w, f, 0 AS pos, 0 AS np,
        |  '' AS seg FROM $greedyOver
        |  WHERE length($greedyWordCol) <= 24),
        |$greedy,
-       |wseg AS (SELECT w, f, np, seg FROM wacc24 WHERE pos = length(w))""".stripMargin
+       |${p}wseg AS (SELECT w, f, np, seg FROM ${p}wacc24 WHERE pos = length(w))""".stripMargin
   }
 
   /** [[applyCtes]] with WordPiece's merged-symbol form (`l` ++ `r`
