@@ -2890,6 +2890,142 @@ object TextQueries {
              |SELECT 'fuzzy', qid, CAST(rank AS BIGINT), sug, df
              |FROM rk WHERE rank <= 3""".stripMargin)),
 
+    // SERVE-FROM-MERGED RESIDUALS (r18 verdict missing #5 — the last
+    // three serve modes off merged epoch shards, closing the matrix
+    // q318/q325/q326 opened): BM25 top-k and BOOLEAN retrieval off the
+    // merged statistics (summed df, added totals — a wrong merge
+    // shifts idf on every shared term), and SNIPPETS for the top-k
+    // results off the merged positional frame. All three compose from
+    // already-merged members — no text re-scan anywhere on the serve
+    // path. Fixture = q318's plants + the q315 ' qnotone' carrier so
+    // the boolean must-not leg is load-bearing (excluded docs carry
+    // the must terms when %7∩%20 align at 140-multiples). One oracle
+    // replays scoring, boolean algebra, and best-window selection over
+    // the whole planted corpus.
+    Q("q330_merged_serve_residuals",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 20 === 0, lit(" qnotone"))
+              .otherwise(lit("")))
+            .as("text"))
+        val bm = graft.operators.Bm25
+        val shardA = planted.filter(col("doc_id") % 2 === 0)
+        val shardB = planted.filter(col("doc_id") % 2 === 1)
+        val merged = bm.mergeIndexStats(
+          bm.indexStats(shardA, "doc_id", "text"),
+          bm.indexStats(shardB, "doc_id", "text"))
+        val mergedPos = graft.operators.OperatorCaches.track(
+          bm.mergePositional(
+            bm.positionalPostings(shardA, "doc_id", "text"),
+            bm.positionalPostings(shardB, "doc_id", "text")).persist())
+        val queries = Seq((8000001L, "zq0grafted marker"),
+          (8000002L, "zxsingular the")).toDF("qid", "qtext")
+        val bmLeg = graft.operators.OperatorCaches.track(
+          bm.topKExternalStats(merged, queries, "qid", "qtext", k = 5)
+            .persist())
+        val boolLeg = bm.booleanTopKFrom(merged,
+          must = Seq("zq0grafted", "marker"),
+          should = Seq("zxsingular"), mustNot = Seq("qnotone"), k = 15)
+        val qterms = queries.select(col("qid"),
+            explode(array_distinct(TextFunctions.tokens(lower(col("qtext")))))
+              .as("term"))
+          .filter(length(col("term")) > 0)
+        val snipLeg = bm.snippetsFrom(mergedPos,
+          bmLeg.select(col("qid"), col("id")), qterms, windowTokens = 20)
+        bmLeg.select(lit("bm25").as("leg"), col("qid"), col("rank"),
+            col("id"), col("score_micro").as("val"), lit(0L).as("val2"),
+            lit(null).cast("string").as("txt"))
+          .unionByName(boolLeg.select(lit("bool").as("leg"),
+            lit(-1L).as("qid"), col("rank"), col("id"),
+            col("score_micro").as("val"), col("n_should").as("val2"),
+            lit(null).cast("string").as("txt")))
+          .unionByName(snipLeg.select(lit("snip").as("leg"), col("qid"),
+            lit(0L).as("rank"), col("id"),
+            col("n_hits").cast("long").as("val"),
+            col("snip_start").as("val2"), col("snippet").as("txt")))
+      },
+      Some("WITH " +
+        """corpus AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 14 = 0
+          |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+          |      WHEN doc_id % 7 = 0
+          |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+          |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+          |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END AS text
+          |  FROM documents),
+          |""".stripMargin +
+        bm25ScoreCtes("corpus", "doc_id", "", qtOverride = Some(
+          """SELECT qid, term FROM (VALUES
+            |  (8000001, 'zq0grafted'), (8000001, 'marker'),
+            |  (8000002, 'zxsingular'), (8000002, 'the')) t(qid, term)"""
+            .stripMargin)) +
+        """,
+          |brk AS (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+          |  FROM sc),
+          |bcand AS (SELECT id FROM dl
+          |  WHERE id IN (SELECT id FROM tf WHERE term = 'zq0grafted')
+          |    AND id IN (SELECT id FROM tf WHERE term = 'marker')
+          |    AND id NOT IN (SELECT id FROM tf WHERE term = 'qnotone')),
+          |bsc AS (SELECT c.id, CAST(sum(ct.c) AS BIGINT) AS score_micro
+          |  FROM bcand c JOIN contrib ct ON ct.id = c.id
+          |  WHERE ct.term IN ('zq0grafted', 'marker', 'zxsingular')
+          |  GROUP BY c.id),
+          |bns AS (SELECT id, CAST(count(DISTINCT term) AS BIGINT) AS n_should
+          |  FROM tf WHERE term = 'zxsingular' GROUP BY id),
+          |brt AS (SELECT s3.id, coalesce(n.n_should, 0) AS n_should,
+          |    s3.score_micro,
+          |    ROW_NUMBER() OVER (ORDER BY s3.score_micro DESC, s3.id) AS rank
+          |  FROM bsc s3 LEFT JOIN bns n ON n.id = s3.id),
+          |res AS (SELECT qid, id FROM brk WHERE rank <= 5),
+          |tw AS (SELECT doc_id, string_split_regex(
+          |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+          |  FROM corpus
+          |  WHERE doc_id IN (SELECT id FROM res)),
+          |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+          |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |        FROM tw)
+          |  WHERE length(w[i]) > 0),
+          |hp AS (SELECT r.qid, r.id, p.pos
+          |  FROM res r JOIN qt q ON q.qid = r.qid
+          |  JOIN pos p ON p.doc_id = r.id AND p.term = q.term),
+          |wh AS (SELECT qid, id, pos,
+          |    count(*) OVER (PARTITION BY qid, id ORDER BY pos
+          |      RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING) AS n_hits
+          |  FROM hp),
+          |best AS (SELECT qid, id, pos AS snip_start, n_hits FROM (
+          |    SELECT qid, id, pos, n_hits, ROW_NUMBER() OVER (
+          |      PARTITION BY qid, id ORDER BY n_hits DESC, pos) AS rn
+          |    FROM wh) WHERE rn = 1),
+          |snp AS (SELECT b.qid, b.id, b.snip_start,
+          |    CAST(b.n_hits AS BIGINT) AS n_hits,
+          |    array_to_string(t.w[CAST(b.snip_start + 1 AS INT)
+          |      :CAST(b.snip_start + 20 AS INT)], ' ') AS snippet
+          |  FROM best b JOIN tw t ON t.doc_id = b.id)
+          |SELECT 'bm25' AS leg, CAST(qid AS BIGINT) AS qid,
+          |  CAST(rank AS BIGINT) AS rank, id,
+          |  score_micro AS val, CAST(0 AS BIGINT) AS val2,
+          |  CAST(NULL AS VARCHAR) AS txt
+          |FROM brk WHERE rank <= 5
+          |UNION ALL
+          |SELECT 'bool', -1, CAST(rank AS BIGINT), id, score_micro,
+          |  n_should, NULL
+          |FROM brt WHERE rank <= 15
+          |UNION ALL
+          |SELECT 'snip', CAST(qid AS BIGINT), 0, id, n_hits,
+          |  snip_start, snippet
+          |FROM snp""".stripMargin)),
+
     // PROXIMITY FROM MERGED MEMBERS (q318's third serve leg): the
     // epoch shard-merge path must serve proximity-boosted ranking too
     // — BM25 off the merged stats (summed df, added totals), pair

@@ -339,10 +339,18 @@ object Bm25 {
     *         (score DESC, id) with rank 1..k */
   def booleanTopK(corpus: DataFrame, idCol: String, textCol: String,
       must: Seq[String], should: Seq[String] = Nil,
-      mustNot: Seq[String] = Nil, k: Int = 10): DataFrame = {
+      mustNot: Seq[String] = Nil, k: Int = 10): DataFrame =
+    booleanTopKFrom(indexStats(corpus, idCol, textCol), must, should,
+      mustNot, k)
+
+  /** [[booleanTopK]] against MAINTAINED statistics — the serve path
+    * off an upserted/merged epoch index (no corpus re-scan; gated off
+    * merged shards in q330). */
+  def booleanTopKFrom(s: IndexStats, must: Seq[String],
+      should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+      k: Int = 10): DataFrame = {
     require(must.nonEmpty, "boolean retrieval needs ≥1 must term")
-    val lc = (s: Seq[String]) => s.map(_.toLowerCase(java.util.Locale.ROOT))
-    val s = indexStats(corpus, idCol, textCol)
+    val lc = (xs: Seq[String]) => xs.map(_.toLowerCase(java.util.Locale.ROOT))
     val contrib = contribFromStats(s)
     val candidates = lc(must).foldLeft(s.dl.select(col("id"))) { (acc, t) =>
       acc.join(s.tf.filter(col("term") === t).select(col("id")),
