@@ -3655,6 +3655,148 @@ object TextQueries {
              |UNION ALL
              |SELECT 'phrase', id, qid, n_occurrences FROM pmatch""".stripMargin)),
 
+    // PERCOLATOR-INDEX DATA CARD (Bm25.percolatorIndexCard — r18
+    // verdict missing #6, the card discipline's fifth instance): one
+    // row off the MAINTAINED query index holding the numbers that
+    // predict percolation serve cost under rarest-term routing —
+    // routing-term df quantiles (the cost model: work is
+    // Σ_q df(route) · |terms|), the worst single alert, the worst
+    // shared posting probe (fanout), alert counts per member, and the
+    // contradictory-alert hygiene count. Fixture = q324's CRUD folds
+    // (deletion-aware: the card reads the folded indexes, so every
+    // field moves with a stale fold) plus q315's contradictory alert
+    // (must ∩ mustNot = 'qnotone') so n_contradictory is load-bearing.
+    // Oracle replays the NET alert sets, the epoch df census, the
+    // min-df routing rule, and the exact-quantile census.
+    Q("q331_percolator_index_card",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase))
+              .otherwise(lit("")),
+            when(col("doc_id") % 20 === 0, lit(" qnotone"))
+              .otherwise(lit(""))).as("text"))
+        val toks = TextFunctions.tokens(col("text"))
+        def alertsOf(c: org.apache.spark.sql.DataFrame) =
+          c.select((col("doc_id") + 90000L).as("qid"),
+            array_join(slice(toks, 1, 6), " ").as("must_text"),
+            when(col("doc_id") % 3 === 0, "qnotone")
+              .otherwise(null).cast("string").as("not_text"))
+        val bA = bm.registerStandingQueries(
+          alertsOf(d.filter(col("doc_id") < 10))
+            .unionByName(Seq((90100L, "the qnotone", "qnotone"))
+              .toDF("qid", "must_text", "not_text")),
+          "qid", "must_text", "not_text")
+        val bB = bm.registerStandingQueries(
+          alertsOf(d.filter(col("doc_id") >= 10 && col("doc_id") < 20)),
+          "qid", "must_text", "not_text")
+        val bDel = d.filter(col("doc_id") < 20 && col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 90000L).as("qid"))
+        val bIdx = bm.maintainQueryIndex(
+          bm.maintainQueryIndex(bA, bB, bA.select(col("qid")).limit(0)),
+          bA.limit(0), bDel)
+        def phraseAlerts(c: org.apache.spark.sql.DataFrame) =
+          bm.registerStandingPhrases(
+            c.filter(size(toks) >= 5)
+              .select((col("doc_id") + 96000L).as("qid"),
+                array_join(slice(toks, 3, 3), " ").as("phrase_text")),
+            "qid", "phrase_text")
+        val pA = bm.maintainQueryIndex(
+          phraseAlerts(d.filter(col("doc_id") < 15)),
+          bm.registerStandingPhrases(
+            Seq((95000L, "zq0grafted exact phrase marker"))
+              .toDF("qid", "phrase_text"), "qid", "phrase_text"),
+          d.limit(0).select(col("doc_id").as("qid")))
+        val pB = phraseAlerts(d.filter(col("doc_id") >= 15 &&
+          col("doc_id") < 25))
+        val pDel = d.filter(col("doc_id") < 25 &&
+            (col("doc_id") + 96000L) % 2 === 1)
+          .select((col("doc_id") + 96000L).as("qid"))
+        val pIdx = bm.maintainQueryIndex(
+          bm.maintainQueryIndex(pA, pB, pA.select(col("qid")).limit(0)),
+          pA.limit(0), pDel)
+        val dfTable = bm.indexStats(planted, "doc_id", "text").df
+        bm.percolatorIndexCard(bIdx, pIdx, dfTable)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text || CASE WHEN doc_id % 14 = 0
+             |    THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |    WHEN doc_id % 7 = 0
+             |    THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |tw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM corpus),
+             |dt AS (SELECT DISTINCT doc_id AS id, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |  FROM dt GROUP BY 1),
+             |qm AS (SELECT DISTINCT doc_id + 90000 AS qid, lower(tk) AS term
+             |  FROM (SELECT doc_id, unnest(string_split_regex(
+             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
+             |    FROM documents WHERE doc_id < 20 AND doc_id % 2 = 1)
+             |  WHERE length(tk) > 0
+             |  UNION SELECT qid, term FROM (VALUES (90100, 'the'),
+             |    (90100, 'qnotone')) t(qid, term)),
+             |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
+             |  FROM documents
+             |  WHERE doc_id < 20 AND doc_id % 3 = 0 AND doc_id % 2 = 1
+             |  UNION ALL SELECT 90100, 'qnotone'),
+             |qtw AS (SELECT doc_id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM documents WHERE doc_id < 25 AND doc_id % 2 = 0),
+             |qx AS (SELECT doc_id + 96000 AS qid, w[i] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(3, 5)) AS i
+             |        FROM qtw WHERE len(w) >= 5)
+             |  WHERE length(w[i]) > 0
+             |  UNION ALL
+             |  SELECT 95000, term
+             |  FROM (VALUES ('zq0grafted'), ('exact'), ('phrase'),
+             |    ('marker')) v(term)),
+             |rterms AS (
+             |  SELECT 'bool' AS kind, qid, term FROM qm
+             |  UNION ALL
+             |  SELECT 'phrase', qid, term
+             |  FROM (SELECT DISTINCT qid, term FROM qx)),
+             |route AS (SELECT kind, qid, term, df FROM (
+             |  SELECT t.kind, t.qid, t.term, coalesce(d.df, 0) AS df,
+             |    ROW_NUMBER() OVER (PARTITION BY t.kind, t.qid
+             |      ORDER BY coalesce(d.df, 0), t.term) AS rn
+             |  FROM rterms t LEFT JOIN dfq d ON d.term = t.term)
+             |  WHERE rn = 1),
+             |rdc AS (SELECT df AS v, count(*) AS c FROM route GROUP BY 1),
+             |rcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM rdc),
+             |rtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM route),
+             |rp50 AS (SELECT min(v) AS v FROM rcum, rtot
+             |  WHERE cc >= (n * 50 + 99) // 100),
+             |rp90 AS (SELECT min(v) AS v FROM rcum, rtot
+             |  WHERE cc >= (n * 90 + 99) // 100),
+             |rfan AS (SELECT CAST(max(c) AS BIGINT) AS v FROM (
+             |  SELECT term, count(*) AS c FROM route GROUP BY 1)),
+             |ncontra AS (SELECT CAST(count(DISTINCT m.qid) AS BIGINT) AS v
+             |  FROM qm m JOIN qn n ON n.qid = m.qid AND n.term = m.term)
+             |SELECT
+             |  (SELECT CAST(count(DISTINCT qid) AS BIGINT) FROM qm)
+             |    AS n_bool_alerts,
+             |  (SELECT CAST(count(DISTINCT qid) AS BIGINT) FROM qx)
+             |    AS n_phrase_alerts,
+             |  ncontra.v AS n_contradictory,
+             |  CAST(rp50.v AS BIGINT) AS route_df_p50,
+             |  CAST(rp90.v AS BIGINT) AS route_df_p90,
+             |  (SELECT CAST(max(df) AS BIGINT) FROM route) AS max_route_df,
+             |  rfan.v AS max_route_fanout
+             |FROM ncontra, rp50, rp90, rfan""".stripMargin)),
+
     // HARD-NEGATIVE MINING for retrieval training (Bm25.hardNegatives)
     // — the DPR/Contriever recipe: per query doc the top-5 BM25
     // candidates EXCLUDING the query's own duplicate group (q77's

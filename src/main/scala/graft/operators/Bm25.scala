@@ -910,6 +910,64 @@ object Bm25 {
     idx.join(deletedQids.select(col("qid")), Seq("qid"), "left_anti")
       .unionByName(added)
 
+  /** PERCOLATOR-INDEX DATA CARD (r18 verdict missing #6 — the card
+    * discipline's fifth instance, after release / incremental /
+    * lexical / ANN): the one-row operational report a serving team
+    * reads off the MAINTAINED query index, and specifically the
+    * numbers that PREDICT percolation serve cost under rarest-term
+    * routing — work is Σ_q df(routing term of q) · |terms of q|, so
+    * the routing-term df distribution IS the cost model. Routing here
+    * mirrors [[percolate]]'s rule against the EPOCH df table (min df,
+    * ties to the lexicographically first term; serve-time routing uses
+    * the batch's own pdf, which the epoch table forecasts).
+    * Deletion-aware by construction: the card reads the folded
+    * indexes, so a stale fold moves every field (gated q331 on q324's
+    * CRUD fixture). Fields: alert counts per member, contradictory
+    * alerts (must ∩ mustNot — the registration hygiene number), EXACT
+    * routing-df quantiles ([[ExactQuantiles.probe]] — ≤ |distinct dfs|
+    * ordered rows at any index size), the worst single alert
+    * (max_route_df), and the worst shared posting probe
+    * (max_route_fanout — alerts routed to the SAME term share one
+    * candidate generation; fanout × df bounds that term's pair
+    * volume).
+    * @return one row: (n_bool_alerts, n_phrase_alerts,
+    *         n_contradictory, route_df_p50, route_df_p90,
+    *         max_route_df, max_route_fanout) */
+  def percolatorIndexCard(boolIdx: DataFrame, phraseIdx: DataFrame,
+      dfTable: DataFrame): DataFrame = {
+    val isMust = col("wt") === 1L || col("wt") === (1L - (1L << 20))
+    val terms = boolIdx.filter(isMust)
+      .select(lit("bool").as("kind"), col("qid"), col("term"))
+      .unionByName(phraseIdx.select(col("qid"), col("term")).distinct()
+        .select(lit("phrase").as("kind"), col("qid"), col("term")))
+    val wr = Window.partitionBy(col("kind"), col("qid"))
+      .orderBy(col("df").asc, col("term").asc)
+    val route = OperatorCaches.track(terms
+      .join(dfTable.select(col("term"), col("df")), Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") === 1)
+      .select(col("kind"), col("qid"), col("term"), col("df")).persist())
+    val quantile = ExactQuantiles.probe(route, "df")
+    boolIdx.agg(countDistinct(col("qid")).as("n_bool_alerts"))
+      .crossJoin(broadcast(phraseIdx
+        .agg(countDistinct(col("qid")).as("n_phrase_alerts"))))
+      .crossJoin(broadcast(boolIdx
+        .filter(col("wt") === (1L - (1L << 20)))
+        .agg(countDistinct(col("qid")).as("n_contradictory"))))
+      .crossJoin(broadcast(
+        quantile(50).withColumnRenamed("df", "route_df_p50")))
+      .crossJoin(broadcast(
+        quantile(90).withColumnRenamed("df", "route_df_p90")))
+      .crossJoin(broadcast(route.agg(max(col("df")).as("max_route_df"))))
+      .crossJoin(broadcast(route.groupBy(col("term"))
+        .agg(count(lit(1)).as("_f"))
+        .agg(max(col("_f")).as("max_route_fanout"))))
+      .select(col("n_bool_alerts"), col("n_phrase_alerts"),
+        col("n_contradictory"), col("route_df_p50"), col("route_df_p90"),
+        col("max_route_df"), col("max_route_fanout"))
+  }
+
   /** Match incoming docs against the registered query index, with
     * RAREST-TERM ROUTING ([[percolatePhrases]]' discipline on the
     * boolean member): candidate (doc, query) pairs are generated ONLY
