@@ -1881,6 +1881,16 @@ object SimilarityQueries {
             }
             .start()
           try q.processAllAvailable() finally q.stop()
+          // post-stream maintenance: compact the fold fragments to one
+          // physical version and GC the dead ones — the long-running-
+          // stream hygiene pair; the serve below reads the compacted
+          // artifact, so the gate proves rows survive both
+          val v = version.get()
+          ia.compact(spark, s"$root/idx", m, v, v + 1)
+          val gone = ia.gcBelow(spark, s"$root/idx", m, v + 1)
+          if (gone.isEmpty) throw new IllegalStateException(
+            "q328: GC found nothing to delete — the compaction leg is dead")
+          version.incrementAndGet()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
         val fin = ia.read(spark, s"$root/idx", m, version.get())
         val queries = epoch.unionByName(batch)

@@ -161,6 +161,40 @@ object IndexArtifact {
     readParts(spark, root, m, version,
       readManifest(spark, root, m, version).keySet)
 
+  /** COMPACT a member: rewrite its current row set as a full snapshot
+    * at `toVersion`, collapsing the manifest's version fan-in to 1.
+    * Long-running streams fragment each partition's history across
+    * many version directories (a read unions one path group per
+    * distinct version in the manifest); periodic compaction — the
+    * [[Compaction]] discipline applied to the versioned layout —
+    * bounds read amplification at O(parts) paths again. Rows are
+    * unchanged (spec-proven); pair with [[gcBelow]] once no reader
+    * needs the pre-compaction versions. */
+  def compact(spark: SparkSession, root: String, m: Member,
+      fromVersion: Int, toVersion: Int): Unit =
+    writeFull(read(spark, root, m, fromVersion), root, m, toVersion)
+
+  /** Delete physical version directories of `m` that hold NO partition
+    * referenced by `keepVersion`'s manifest and are older than it —
+    * the GC half of [[compact]]. Callers guarantee no concurrent
+    * reader still serves a manifest below `keepVersion` (the usual
+    * retention contract of any snapshot store). Returns the versions
+    * deleted. */
+  def gcBelow(spark: SparkSession, root: String, m: Member,
+      keepVersion: Int): Seq[Int] = {
+    val live = readManifest(spark, root, m, keepVersion).values.toSet
+    val base = new Path(s"$root/parts/${m.name}")
+    val fs = hfs(spark, base)
+    if (!fs.exists(base)) return Seq.empty
+    val deletable = fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toInt)
+      .filter(v => v < keepVersion && !live(v)).toSeq.sorted
+    deletable.foreach { v =>
+      fs.delete(new Path(partsDir(root, m, v)), true); ()
+    }
+    deletable
+  }
+
   /** Carry a member to `toVersion` untouched — manifest copy only,
     * zero data I/O (the batch touched none of its partitions). */
   def carry(spark: SparkSession, root: String, m: Member, fromVersion: Int,

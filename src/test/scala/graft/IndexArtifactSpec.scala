@@ -144,6 +144,36 @@ class IndexArtifactSpec extends SparkSuite {
     }
   }
 
+  test("compact collapses version fan-in to 1; gcBelow deletes only unreferenced older versions") {
+    val root = freshRoot("compact")
+    val lay = LexicalLayout(root, docParts = 8, termParts = 8)
+    OperatorCaches.withCaches {
+      IndexArtifact.writeLexicalFull(lay, corpus, "doc_id", "text", 0)
+      IndexArtifact.applyCdcLexical(lay, cdcBatch, "doc_id", "text", "op",
+        fromVersion = 0, toVersion = 1)
+      val before = sortedRows(IndexArtifact.read(spark, root, lay.tf, 1))
+      val manFanIn = IndexArtifact.readManifest(spark, root, lay.tf, 1)
+        .values.toSet
+      assert(manFanIn.size > 1, "fixture defeated: fold produced no fan-in")
+      IndexArtifact.compact(spark, root, lay.tf, 1, 2)
+      val man2 = IndexArtifact.readManifest(spark, root, lay.tf, 2)
+      assert(man2.values.toSet == Set(2), s"fan-in not collapsed: $man2")
+      assert(sortedRows(IndexArtifact.read(spark, root, lay.tf, 2)) == before,
+        "compaction changed rows")
+      // GC: v0 and v1 hold nothing v2 references — both deletable
+      val gone = IndexArtifact.gcBelow(spark, root, lay.tf, 2)
+      assert(gone == Seq(0, 1), s"expected v0/v1 gone, got $gone")
+      assert(sortedRows(IndexArtifact.read(spark, root, lay.tf, 2)) == before,
+        "GC broke the kept version")
+      // gcBelow BEFORE compaction must keep referenced versions: dl at
+      // v1 still references v0's untouched partitions
+      val keptDl = IndexArtifact.gcBelow(spark, root, lay.dl, 1)
+      assert(keptDl.isEmpty,
+        s"gc deleted versions still referenced by the manifest: $keptDl")
+      assert(sortedRows(IndexArtifact.read(spark, root, lay.dl, 1)).nonEmpty)
+    }
+  }
+
   test("a fold emitting a row outside the touched set raises loudly") {
     val root = freshRoot("guard")
     val m = Member("tf", "id", 8)
