@@ -233,7 +233,10 @@ object Bench {
     "q328"->4.025,
     "q329"->1.025,
     "q330"->5.512,
-    "q331"->3.814)
+    "q331"->3.814,
+    // r19 second wave — min of two clean solo FORCE_MIN waves
+    // (12-control medians 0.8153 / 0.9347, regress 0, cold_only 0 both)
+    "q332"->0.784)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -1770,6 +1770,132 @@ object BpeQueries {
            |UNION ALL SELECT 'artifact_reencode_mismatch', 0
            |UNION ALL SELECT 'old_vocab_refused', 1""".stripMargin
       }),
+
+    // UNIGRAM-LM REFIT / DRIFT CYCLE — the FOURTH tokenizer family
+    // through q322's loop (BPE q322, WordPiece q329; the unigram LM
+    // closes the refit-cycle matrix over every production family the
+    // engine fits): the old model (hard-EM fit on even docs) probed
+    // against the drifted odd-doc sample blows the exact-integer 1.1×
+    // fertility bar (a word the Viterbi DP cannot segment — engine
+    // null — counts as ONE piece on both sides, via coalesce here and
+    // a LEFT JOIN in the replay); the cycle refits on the drifted
+    // stream under a new content-addressed vocab_id (UnigramLm.vocabId
+    // folds the (piece, micro-nat cost) score table — the only thing
+    // segmentation consults); the stored segmentation artifact
+    // re-reads equal to a fresh segment; serving against the old id
+    // refuses loudly. Oracle replays BOTH hard-EM fits (seed counts →
+    // 2 EM rounds of score/Viterbi/count) + the one extra cross
+    // segmentation (old scores × new words); own-sample fertilities
+    // ride each fit's final segmentation for free.
+    Q("q332_unigram_refit_cycle",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val ul = graft.functions.UnigramLm
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val oldC = d.filter(col("doc_id") % 2 === 0)
+        val newC = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1,
+              concat(col("text"), lit(q236Jargon))).otherwise(col("text"))
+              .as("text"))
+        val (mo, ovwSeq) = ul.fit(oldC, "doc_id", "text")
+        val (mu, nvwSeq) = ul.fit(newC, "doc_id", "text")
+        val id1 = ul.vocabId(mo)
+        val id2 = ul.vocabId(mu)
+        val ovw = ovwSeq.toDF("w", "f")
+        val nvw = nvwSeq.toDF("w", "f")
+        def fert(vw: org.apache.spark.sql.DataFrame,
+            m: ul.Model): (Long, Long) = {
+          val np = coalesce(ul.segmentCol(col("w"), m)("_2").cast("long"),
+            lit(1L))
+          val r = vw.agg(
+            coalesce(sum(col("f") * np), lit(0L)).cast("long"),
+            coalesce(sum(col("f")), lit(0L)).cast("long")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (wpO, tfO) = fert(ovw, mo)
+        val (wpN, tfN) = fert(nvw, mo)
+        val (wpZ, _) = fert(nvw, mu)
+        val art = s"/tmp/graft-ulenc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(nvw, "f", s"$dir/documents_ulenc")}" +
+          s"-${java.lang.Long.toHexString(id2)}"
+        if (!new java.io.File(s"$art/_SUCCESS").exists())
+          nvw.select(col("w"),
+              ul.segmentCol(col("w"), mu)("_3").as("seg"),
+              lit(id2).as("vocab_id"))
+            .write.mode("overwrite").parquet(art)
+        val back = spark.read.parquet(art)
+        val fresh = nvw.select(col("w"),
+          ul.segmentCol(col("w"), mu)("_3").as("seg2"))
+        val mismatch = Bpe.requireVocab(back, id2)
+          .select(col("w"), col("seg"))
+          .join(fresh, Seq("w"), "full_outer")
+          .filter(!(col("seg") <=> col("seg2")))
+          .count()
+        val guardFired =
+          try { Bpe.requireVocab(back, id1).count(); 0L }
+          catch {
+            case ex: Throwable =>
+              val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .flatMap(t => Option(t.getMessage)).mkString(" ")
+              if (msgs.contains("requireVocab")) 1L else throw ex
+          }
+        def micro(wpp: Long, tf: Long): Long =
+          if (tf == 0L) 0L else wpp * 1000000L / tf
+        Seq(
+          ("fert_v1_oldsample_micro", micro(wpO, tfO)),
+          ("fert_v1_newsample_micro", micro(wpN, tfN)),
+          ("drift_exceeds_bar",
+            if (10L * wpN * tfO > 11L * wpO * tfN) 1L else 0L),
+          ("vocab_id_changed", if (id2 != id1) 1L else 0L),
+          ("fert_v2_newsample_micro", micro(wpZ, tfN)),
+          ("refit_improves", if (wpZ < wpN) 1L else 0L),
+          ("artifact_reencode_mismatch", mismatch),
+          ("old_vocab_refused", guardFired))
+          .toDF("check", "value")
+      },
+      Some {
+        val oldSql = "SELECT doc_id, text FROM documents " +
+          "WHERE text IS NOT NULL AND doc_id % 2 = 0"
+        val newSql = "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN " +
+          "text || '" + q236Jargon + "' ELSE text END AS text " +
+          "FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1"
+        def fertCte(name: String, wordsCte: String, segCte: String) =
+          s"""$name AS (SELECT
+             |  CAST(sum(v.f * coalesce(s.np, 1)) AS BIGINT) AS wp,
+             |  CAST(sum(v.f) AS BIGINT) AS tf
+             |  FROM $wordsCte v LEFT JOIN $segCte s ON s.w = v.w)"""
+            .stripMargin
+        s"""WITH ${unigramFitOver(oldSql, "g")},
+           |${unigramFitOver(newSql, "h")},
+           |${unigramSegBlock("gus2", "pz", "huwords")},
+           |${fertCte("fo", "guwords", "useggf")},
+           |${fertCte("fn", "huwords", "usegpz")},
+           |${fertCte("fz", "huwords", "useghf")},
+           |idchg AS (SELECT CAST(CASE WHEN
+           |    (SELECT count(*) FROM gus2 a JOIN hus2 b
+           |      ON b.p = a.p AND b.s = a.s)
+           |    = (SELECT count(*) FROM gus2)
+           |    AND (SELECT count(*) FROM gus2) = (SELECT count(*) FROM hus2)
+           |  THEN 0 ELSE 1 END AS BIGINT) AS v)
+           |SELECT 'fert_v1_oldsample_micro' AS check,
+           |  CAST(wp * 1000000 // tf AS BIGINT) AS value FROM fo
+           |UNION ALL SELECT 'fert_v1_newsample_micro',
+           |  CAST(wp * 1000000 // tf AS BIGINT) FROM fn
+           |UNION ALL SELECT 'drift_exceeds_bar',
+           |  CAST(CASE WHEN 10 * fn.wp * fo.tf > 11 * fo.wp * fn.tf
+           |    THEN 1 ELSE 0 END AS BIGINT) FROM fn, fo
+           |UNION ALL SELECT 'vocab_id_changed', v FROM idchg
+           |UNION ALL SELECT 'fert_v2_newsample_micro',
+           |  CAST(wp * 1000000 // tf AS BIGINT) FROM fz
+           |UNION ALL SELECT 'refit_improves',
+           |  CAST(CASE WHEN fz.wp < fn.wp THEN 1 ELSE 0 END AS BIGINT)
+           |  FROM fz, fn
+           |UNION ALL SELECT 'artifact_reencode_mismatch', 0
+           |UNION ALL SELECT 'old_vocab_refused', 1""".stripMargin
+      }),
   )
 
   /** q313 oracle (see the registration comment). */
@@ -1898,73 +2024,93 @@ object BpeQueries {
     * SELECT — `usegf(w, f, cost, seg, np)` is the final model's
     * segmentation of every fitted-vocab word. Shared by q189 and the
     * q309 cross-basis fertility comparison. */
-  private def unigramFitCtes: String = {
+  private def unigramFitCtes: String =
+    unigramFitOver(
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL", "")
+
+  /** The unigram-LM fit replay parameterized over the fit corpus and a
+    * CTE-name prefix, so two fits (q332's epoch drift) coexist in one
+    * WITH chain. Emits `{q}us2` (the fitted score table) and
+    * `useg{q}f` (the fit words' final segmentation — the free
+    * own-sample fertility basis). With `q = ""` this is EXACTLY the
+    * historical unigramFitCtes text — q187/q189/q309's oracles are
+    * byte-identical. */
+  private def unigramFitOver(corpusSql: String, q: String): String = {
     import graft.functions.UnigramLm.{EmIters, MaxPieceLen, MaxWordLen, SeedSize}
     def scoreCte(k: Int): String =
-      s"""us$k AS (SELECT p, CAST(round(-ln(CAST(c AS DOUBLE)
-         |  / CAST((SELECT sum(c) FROM uc$k) AS DOUBLE)) * 1000000) AS BIGINT) AS s
-         |  FROM uc$k)""".stripMargin
-    def segBlock(k: Int, tag: String): String = {
-      val stages = (1 to MaxWordLen).map { p =>
-        s"""sel$tag$p AS (
-           |  SELECT a.w, a.f, a.cost + s.s AS c, a.pos AS j, a.seg, a.np
-           |  FROM acc$tag${p - 1} a JOIN us$k s
-           |    ON s.p = substr(a.w, a.pos + 1, $p - a.pos)
-           |  WHERE a.pos BETWEEN ${math.max(0, p - MaxPieceLen)} AND ${p - 1}
-           |    AND length(a.w) >= $p),
-           |nxt$tag$p AS (
-           |  SELECT w, f, $p AS pos, c AS cost,
-           |    CASE WHEN np = 0 THEN substr(w, j + 1, $p - j)
-           |      ELSE seg || '|' || substr(w, j + 1, $p - j) END AS seg,
-           |    np + 1 AS np
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, j) AS rn
-           |    FROM sel$tag$p) WHERE rn = 1),
-           |acc$tag$p AS MATERIALIZED (
-           |  SELECT * FROM acc$tag${p - 1} UNION ALL SELECT * FROM nxt$tag$p)""".stripMargin
-      }
-      (s"""acc${tag}0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost,
-          |  '' AS seg, 0 AS np FROM uwords)""".stripMargin +: stages :+
-        s"""useg$tag AS (SELECT w, f, cost, seg, np
-           |  FROM acc$tag$MaxWordLen WHERE pos = length(w))""".stripMargin)
-        .mkString(",\n")
-    }
+      s"""${q}us$k AS (SELECT p, CAST(round(-ln(CAST(c AS DOUBLE)
+         |  / CAST((SELECT sum(c) FROM ${q}uc$k) AS DOUBLE)) * 1000000) AS BIGINT) AS s
+         |  FROM ${q}uc$k)""".stripMargin
     def countCte(k: Int, tag: String): String =
-      s"""usegcnt$k AS (SELECT p, CAST(sum(f) AS BIGINT) AS c
+      s"""${q}usegcnt$k AS (SELECT p, CAST(sum(f) AS BIGINT) AS c
          |  FROM (SELECT f, unnest(string_split(seg, '|')) AS p FROM useg$tag)
          |  GROUP BY p),
-         |uc$k AS (
-         |  SELECT p, c FROM usegcnt$k WHERE length(p) > 1
+         |${q}uc$k AS (
+         |  SELECT p, c FROM ${q}usegcnt$k WHERE length(p) > 1
          |  UNION ALL
          |  SELECT ch.p, greatest(coalesce(sc.c, 0), 1)
-         |  FROM uchars ch LEFT JOIN usegcnt$k sc ON sc.p = ch.p)""".stripMargin
-    require(EmIters == 2, "unigramFitCtes unrolls exactly EmIters = 2 blocks")
-    s"""ubase AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-       |${RelationalQueries5.mix64Stages("ubase", Seq("doc_id", "text"),
-            "CAST(doc_id AS HUGEINT)", prefix = "u")},
-       |usamp AS (SELECT doc_id, text FROM umixed ORDER BY vu LIMIT $SampleDocs),
-       |ustoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM usamp),
-       |uwf AS (SELECT lower(tok) AS w, count(*) AS f FROM ustoks
+         |  FROM ${q}uchars ch LEFT JOIN ${q}usegcnt$k sc ON sc.p = ch.p)""".stripMargin
+    require(EmIters == 2, "unigramFitOver unrolls exactly EmIters = 2 blocks")
+    s"""${q}ubase AS ($corpusSql),
+       |${RelationalQueries5.mix64Stages(s"${q}ubase", Seq("doc_id", "text"),
+            "CAST(doc_id AS HUGEINT)", prefix = s"${q}u")},
+       |${q}usamp AS (SELECT doc_id, text FROM ${q}umixed ORDER BY vu LIMIT $SampleDocs),
+       |${q}ustoks AS (SELECT unnest(regexp_extract_all(text, '$Lex')) AS tok FROM ${q}usamp),
+       |${q}uwf AS (SELECT lower(tok) AS w, count(*) AS f FROM ${q}ustoks
        |  WHERE regexp_matches(tok, '$Alpha') GROUP BY 1),
-       |uvocab AS (SELECT w, f FROM uwf ORDER BY f DESC, w LIMIT $MaxWords),
-       |uwords AS MATERIALIZED (SELECT w, CAST(f AS BIGINT) AS f FROM uvocab
+       |${q}uvocab AS (SELECT w, f FROM ${q}uwf ORDER BY f DESC, w LIMIT $MaxWords),
+       |${q}uwords AS MATERIALIZED (SELECT w, CAST(f AS BIGINT) AS f FROM ${q}uvocab
        |  WHERE length(w) <= $MaxWordLen),
-       |usubs AS (SELECT substr(u.w, a.a, l.l) AS p, u.f
-       |  FROM uwords u, generate_series(1, $MaxWordLen) a(a),
+       |${q}usubs AS (SELECT substr(u.w, a.a, l.l) AS p, u.f
+       |  FROM ${q}uwords u, generate_series(1, $MaxWordLen) a(a),
        |    generate_series(1, $MaxPieceLen) l(l)
        |  WHERE a.a + l.l - 1 <= length(u.w)),
-       |ucntall AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM usubs GROUP BY p),
-       |utop AS (SELECT p, c FROM ucntall ORDER BY c DESC, p LIMIT $SeedSize),
-       |uchars AS (SELECT p, c FROM ucntall WHERE length(p) = 1),
-       |uc0 AS (SELECT DISTINCT p, c FROM
-       |  (SELECT * FROM utop UNION ALL SELECT * FROM uchars)),
+       |${q}ucntall AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM ${q}usubs GROUP BY p),
+       |${q}utop AS (SELECT p, c FROM ${q}ucntall ORDER BY c DESC, p LIMIT $SeedSize),
+       |${q}uchars AS (SELECT p, c FROM ${q}ucntall WHERE length(p) = 1),
+       |${q}uc0 AS (SELECT DISTINCT p, c FROM
+       |  (SELECT * FROM ${q}utop UNION ALL SELECT * FROM ${q}uchars)),
        |${scoreCte(0)},
-       |${segBlock(0, "a")},
-       |${countCte(1, "a")},
+       |${unigramSegBlock(s"${q}us0", s"${q}a", s"${q}uwords")},
+       |${countCte(1, s"${q}a")},
        |${scoreCte(1)},
-       |${segBlock(1, "b")},
-       |${countCte(2, "b")},
+       |${unigramSegBlock(s"${q}us1", s"${q}b", s"${q}uwords")},
+       |${countCte(2, s"${q}b")},
        |${scoreCte(2)},
-       |${segBlock(2, "f")}""".stripMargin
+       |${unigramSegBlock(s"${q}us2", s"${q}f", s"${q}uwords")}""".stripMargin
+  }
+
+  /** One 18-stage Viterbi DP unroll: segment `wordsCte(w, f)` under
+    * the score table `scoresCte(p, s)` → `useg$tag(w, f, cost, seg,
+    * np)`. A word whose DP dies (out-of-alphabet char) never reaches
+    * pos = length(w) and is ABSENT from useg — consumers replaying the
+    * engine's null-segmentation read it back via a LEFT JOIN (q332's
+    * fertility legs count it as one piece). */
+  private def unigramSegBlock(scoresCte: String, tag: String,
+      wordsCte: String): String = {
+    import graft.functions.UnigramLm.{MaxPieceLen, MaxWordLen}
+    val stages = (1 to MaxWordLen).map { p =>
+      s"""sel$tag$p AS (
+         |  SELECT a.w, a.f, a.cost + s.s AS c, a.pos AS j, a.seg, a.np
+         |  FROM acc$tag${p - 1} a JOIN $scoresCte s
+         |    ON s.p = substr(a.w, a.pos + 1, $p - a.pos)
+         |  WHERE a.pos BETWEEN ${math.max(0, p - MaxPieceLen)} AND ${p - 1}
+         |    AND length(a.w) >= $p),
+         |nxt$tag$p AS (
+         |  SELECT w, f, $p AS pos, c AS cost,
+         |    CASE WHEN np = 0 THEN substr(w, j + 1, $p - j)
+         |      ELSE seg || '|' || substr(w, j + 1, $p - j) END AS seg,
+         |    np + 1 AS np
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, j) AS rn
+         |    FROM sel$tag$p) WHERE rn = 1),
+         |acc$tag$p AS MATERIALIZED (
+         |  SELECT * FROM acc$tag${p - 1} UNION ALL SELECT * FROM nxt$tag$p)""".stripMargin
+    }
+    (s"""acc${tag}0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+        |  '' AS seg, 0 AS np FROM $wordsCte)""".stripMargin +: stages :+
+      s"""useg$tag AS (SELECT w, f, cost, seg, np
+         |  FROM acc$tag$MaxWordLen WHERE pos = length(w))""".stripMargin)
+      .mkString(",\n")
   }
 
   /** q187 oracle: the composed replay — injected corpus → q182's
