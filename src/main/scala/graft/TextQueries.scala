@@ -834,6 +834,75 @@ object TextQueries {
       |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
       |    AND alpha_raw >= 0.8 AND n_stop >= 2""".stripMargin
 
+  /** q324's oracle — percolation of the planted corpus against the NET
+    * alert sets (bool: odd qids < 20 with 6-token musts + the %3
+    * mustNot; phrase: even doc_ids < 25 with len ≥ 5 + the literal
+    * marker alert 95000). Shared verbatim by q333: its alert-CDC
+    * STREAM is constructed to net out to exactly these sets (epoch
+    * registers wrong/partial forms, the stream updates/deletes/inserts
+    * them into shape), so one oracle proves streaming fold == batch
+    * CRUD == net-set recompute. */
+  private val q324NetPercolationSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text || CASE WHEN doc_id % 14 = 0
+      |    THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+      |    WHEN doc_id % 7 = 0
+      |    THEN ' zq0grafted exact phrase marker' ELSE '' END
+      |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |tw AS (SELECT doc_id, string_split_regex(
+      |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+      |  FROM corpus),
+      |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM tw)
+      |  WHERE length(w[i]) > 0),
+      |dt AS (SELECT DISTINCT doc_id AS id, term FROM pos),
+      |qm AS (SELECT DISTINCT doc_id + 90000 AS qid, lower(tk) AS term
+      |  FROM (SELECT doc_id, unnest(string_split_regex(
+      |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
+      |    FROM documents WHERE doc_id < 20 AND doc_id % 2 = 1)
+      |  WHERE length(tk) > 0),
+      |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
+      |  FROM documents
+      |  WHERE doc_id < 20 AND doc_id % 3 = 0 AND doc_id % 2 = 1),
+      |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
+      |  GROUP BY 1),
+      |bhits AS (SELECT d.id, m.qid, CAST(count(*) AS BIGINT) AS c
+      |  FROM dt d JOIN qm m USING (term) GROUP BY 1, 2),
+      |bmatch AS (SELECT h.id, h.qid FROM bhits h
+      |  JOIN nm ON nm.qid = h.qid
+      |  WHERE h.c = nm.n
+      |    AND NOT EXISTS (SELECT 1 FROM qn n JOIN dt d2
+      |      ON d2.id = h.id AND d2.term = n.term
+      |      WHERE n.qid = h.qid)),
+      |qtw AS (SELECT doc_id, string_split_regex(
+      |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+      |  FROM documents WHERE doc_id < 25 AND doc_id % 2 = 0),
+      |qx AS (SELECT doc_id + 96000 AS qid, CAST(i - 3 AS BIGINT) AS off,
+      |    w[i] AS term
+      |  FROM (SELECT doc_id, w, unnest(generate_series(3, 5)) AS i
+      |        FROM qtw WHERE len(w) >= 5)
+      |  WHERE length(w[i]) > 0
+      |  UNION ALL
+      |  SELECT 95000, CAST(off AS BIGINT), term
+      |  FROM (VALUES (0, 'zq0grafted'), (1, 'exact'), (2, 'phrase'),
+      |    (3, 'marker')) v(off, term)),
+      |an AS (SELECT p.doc_id AS id, q.qid, p.pos - q.off AS a,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM pos p JOIN qx q ON q.term = p.term GROUP BY 1, 2, 3),
+      |pqn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qx
+      |  GROUP BY 1),
+      |pmatch AS (SELECT a.id, a.qid,
+      |    CAST(count(*) AS BIGINT) AS n_occurrences
+      |  FROM an a JOIN pqn ON pqn.qid = a.qid WHERE a.c = pqn.n
+      |  GROUP BY 1, 2)
+      |SELECT 'bool' AS leg, id, qid, CAST(1 AS BIGINT) AS val
+      |FROM bmatch
+      |UNION ALL
+      |SELECT 'phrase', id, qid, n_occurrences FROM pmatch""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact dedup by content hash (sha256): one shuffle on the digest,
     // min(doc_id) is the canonical keeper.
@@ -3595,65 +3664,144 @@ object TextQueries {
             .select(lit("phrase").as("leg"), col("id"), col("qid"),
               col("n_occurrences").as("val")))
       },
-      Some("""WITH corpus AS (
-             |  SELECT doc_id, text || CASE WHEN doc_id % 14 = 0
-             |    THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
-             |    WHEN doc_id % 7 = 0
-             |    THEN ' zq0grafted exact phrase marker' ELSE '' END
-             |    || CASE WHEN doc_id % 20 = 0 THEN ' qnotone' ELSE '' END
-             |    AS text
-             |  FROM documents),
-             |tw AS (SELECT doc_id, string_split_regex(
-             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
-             |  FROM corpus),
-             |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
-             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
-             |        FROM tw)
-             |  WHERE length(w[i]) > 0),
-             |dt AS (SELECT DISTINCT doc_id AS id, term FROM pos),
-             |qm AS (SELECT DISTINCT doc_id + 90000 AS qid, lower(tk) AS term
-             |  FROM (SELECT doc_id, unnest(string_split_regex(
-             |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')[1:6]) AS tk
-             |    FROM documents WHERE doc_id < 20 AND doc_id % 2 = 1)
-             |  WHERE length(tk) > 0),
-             |qn AS (SELECT doc_id + 90000 AS qid, 'qnotone' AS term
-             |  FROM documents
-             |  WHERE doc_id < 20 AND doc_id % 3 = 0 AND doc_id % 2 = 1),
-             |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qm
-             |  GROUP BY 1),
-             |bhits AS (SELECT d.id, m.qid, CAST(count(*) AS BIGINT) AS c
-             |  FROM dt d JOIN qm m USING (term) GROUP BY 1, 2),
-             |bmatch AS (SELECT h.id, h.qid FROM bhits h
-             |  JOIN nm ON nm.qid = h.qid
-             |  WHERE h.c = nm.n
-             |    AND NOT EXISTS (SELECT 1 FROM qn n JOIN dt d2
-             |      ON d2.id = h.id AND d2.term = n.term
-             |      WHERE n.qid = h.qid)),
-             |qtw AS (SELECT doc_id, string_split_regex(
-             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
-             |  FROM documents WHERE doc_id < 25 AND doc_id % 2 = 0),
-             |qx AS (SELECT doc_id + 96000 AS qid, CAST(i - 3 AS BIGINT) AS off,
-             |    w[i] AS term
-             |  FROM (SELECT doc_id, w, unnest(generate_series(3, 5)) AS i
-             |        FROM qtw WHERE len(w) >= 5)
-             |  WHERE length(w[i]) > 0
-             |  UNION ALL
-             |  SELECT 95000, CAST(off AS BIGINT), term
-             |  FROM (VALUES (0, 'zq0grafted'), (1, 'exact'), (2, 'phrase'),
-             |    (3, 'marker')) v(off, term)),
-             |an AS (SELECT p.doc_id AS id, q.qid, p.pos - q.off AS a,
-             |    CAST(count(*) AS BIGINT) AS c
-             |  FROM pos p JOIN qx q ON q.term = p.term GROUP BY 1, 2, 3),
-             |pqn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n FROM qx
-             |  GROUP BY 1),
-             |pmatch AS (SELECT a.id, a.qid,
-             |    CAST(count(*) AS BIGINT) AS n_occurrences
-             |  FROM an a JOIN pqn ON pqn.qid = a.qid WHERE a.c = pqn.n
-             |  GROUP BY 1, 2)
-             |SELECT 'bool' AS leg, id, qid, CAST(1 AS BIGINT) AS val
-             |FROM bmatch
-             |UNION ALL
-             |SELECT 'phrase', id, qid, n_occurrences FROM pmatch""".stripMargin)),
+      Some(q324NetPercolationSql)),
+
+    // STREAMING QUERY-INDEX CDC (IndexArtifact.applyCdcQueryIndex) —
+    // the LAST index member family without a streaming fold: alert
+    // REGISTRATIONS arrive as a CDC stream (op I/U/D carrying the
+    // registration fields, one event per qid) and fold per micro-batch
+    // into the versioned PARTITIONED query-index artifact (both
+    // percolator members ride hash(qid); untouched qid partitions
+    // carry by manifest reference — IndexArtifactSpec proves file
+    // identity). The stream is CONSTRUCTED to net out to exactly
+    // q324's alert sets: the epoch registers WRONG forms (4-token bool
+    // musts, a wrong literal phrase), the stream Updates them into
+    // shape, Deletes the evens/odds q324 deletes, and Inserts the
+    // rest — so the oracle is q324's verbatim and one hash proves
+    // streaming fold == batch CRUD == net-set recompute. Every U/D is
+    // load-bearing: a dropped update leaves 4-token prefix alerts that
+    // match MORE docs; a dropped delete keeps alerts whose carrier
+    // docs still exist. Post-stream the members compact to one
+    // physical snapshot and GC reclaims the dead versions (throws if
+    // the stream produced no versions or GC reclaimed nothing), and
+    // percolation serves off the compacted read. Stateless per
+    // micro-batch (foreachBatch; intra-qid decidable by construction).
+    Q("q333_streaming_query_index_cdc",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val ia = graft.operators.IndexArtifact
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase))
+              .otherwise(lit("")),
+            when(col("doc_id") % 20 === 0, lit(" qnotone"))
+              .otherwise(lit(""))).as("text"))
+        val toks = TextFunctions.tokens(col("text"))
+        val notText = when(col("doc_id") % 3 === 0, "qnotone")
+          .otherwise(null).cast("string")
+        // epoch v0: WRONG forms — 4-token bool musts for doc_id < 10,
+        // phrase alerts for doc_id < 15, the marker alert mis-phrased
+        val b0 = bm.registerStandingQueries(
+          d.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 90000L).as("qid"),
+              array_join(slice(toks, 1, 4), " ").as("must_text"),
+              notText.as("not_text")),
+          "qid", "must_text", "not_text")
+        val p0 = bm.registerStandingPhrases(
+          d.filter(col("doc_id") < 15 && size(toks) >= 5)
+            .select((col("doc_id") + 96000L).as("qid"),
+              array_join(slice(toks, 3, 3), " ").as("phrase_text"))
+            .unionByName(Seq((95000L, "zq0grafted wrong phrase marker"))
+              .toDF("qid", "phrase_text")),
+          "qid", "phrase_text")
+        // the alert-CDC stream — one event per qid, net = q324's sets
+        val nullS = lit(null).cast("string")
+        val boolU = d.filter(col("doc_id") < 10 && col("doc_id") % 2 === 1)
+          .select(lit("U").as("op"), (col("doc_id") + 90000L).as("qid"),
+            array_join(slice(toks, 1, 6), " ").as("must_text"),
+            notText.as("not_text"), nullS.as("phrase_text"))
+        val boolD = d.filter(col("doc_id") < 10 && col("doc_id") % 2 === 0)
+          .select(lit("D").as("op"), (col("doc_id") + 90000L).as("qid"),
+            nullS.as("must_text"), nullS.as("not_text"),
+            nullS.as("phrase_text"))
+        val boolI = d.filter(col("doc_id") >= 10 && col("doc_id") < 20 &&
+            col("doc_id") % 2 === 1)
+          .select(lit("I").as("op"), (col("doc_id") + 90000L).as("qid"),
+            array_join(slice(toks, 1, 6), " ").as("must_text"),
+            notText.as("not_text"), nullS.as("phrase_text"))
+        val phraseU = Seq(("U", 95000L))
+          .toDF("op", "qid")
+          .select(col("op"), col("qid"), nullS.as("must_text"),
+            nullS.as("not_text"),
+            lit("zq0grafted exact phrase marker").as("phrase_text"))
+        val phraseD = d.filter(col("doc_id") < 15 && col("doc_id") % 2 === 1)
+          .select(lit("D").as("op"), (col("doc_id") + 96000L).as("qid"),
+            nullS.as("must_text"), nullS.as("not_text"),
+            nullS.as("phrase_text"))
+        val phraseI = d.filter(col("doc_id") >= 15 && col("doc_id") < 25 &&
+            col("doc_id") % 2 === 0 && size(toks) >= 5)
+          .select(lit("I").as("op"), (col("doc_id") + 96000L).as("qid"),
+            nullS.as("must_text"), nullS.as("not_text"),
+            array_join(slice(toks, 3, 3), " ").as("phrase_text"))
+        val cdc = boolU.unionByName(boolD).unionByName(boolI)
+          .unionByName(phraseU).unionByName(phraseD).unionByName(phraseI)
+        val inDir = s"/tmp/graft-qcdc-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(cdc, "qid", s"$dir/documents_qcdc")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          cdc.repartition(3, col("op")).write.mode("overwrite")
+            .parquet(inDir)
+        val root = freshRunDir(s"$inDir-state")
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        val lay = ia.QueryLayout(s"$root/qidx", qidParts = 8)
+        try {
+          ia.writeQueryFull(lay, b0, p0, version = 0)
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              graft.operators.OperatorCaches.scoped {
+                val n = version.get()
+                ia.applyCdcQueryIndex(lay, batch, "op", "qid",
+                  "must_text", "not_text", "phrase_text",
+                  fromVersion = n, toVersion = n + 1)
+                version.incrementAndGet()
+              }
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        val vN = version.get()
+        require(vN > 0, "q333: the alert stream produced zero versions " +
+          "— the CDC input dir is empty")
+        // long-running-stream hygiene: compact both members, then GC —
+        // a GC that reclaims nothing means the compaction leg is dead
+        ia.compact(spark, lay.root, lay.qbool, vN, vN + 1)
+        ia.compact(spark, lay.root, lay.qphrase, vN, vN + 1)
+        val gone = ia.gcBelow(spark, lay.root, lay.qbool, vN + 1) ++
+          ia.gcBelow(spark, lay.root, lay.qphrase, vN + 1)
+        require(gone.nonEmpty, "q333: compaction leg is dead — GC " +
+          "reclaimed no version directory after compacting")
+        val bIdx = ia.read(spark, lay.root, lay.qbool, vN + 1)
+        val pIdx = ia.read(spark, lay.root, lay.qphrase, vN + 1)
+        bm.percolate(bIdx, planted, "doc_id", "text")
+          .select(lit("bool").as("leg"), col("id"), col("qid"),
+            lit(1L).as("val"))
+          .unionByName(bm.percolatePhrases(pIdx, planted, "doc_id", "text")
+            .select(lit("phrase").as("leg"), col("id"), col("qid"),
+              col("n_occurrences").as("val")))
+      },
+      Some(q324NetPercolationSql)),
 
     // PERCOLATOR-INDEX DATA CARD (Bm25.percolatorIndexCard — r18
     // verdict missing #6, the card discipline's fifth instance): one

@@ -373,4 +373,71 @@ object IndexArtifact {
         lay.root, lay.vi, fromVersion, toVersion, touchedTerm)
     }
   }
+
+  // ----- the QUERY INDEX (percolator members) on this layout -----
+
+  /** Partition layout of a maintained percolator query index. Both
+    * members are per-QUERY fact tables ([[Bm25.maintainQueryIndex]]'s
+    * contract), so both ride hash(qid): an alert-CDC fold touches only
+    * the batch's qid partitions, while serve ([[Bm25.percolate]] /
+    * [[Bm25.percolatePhrases]]) reads every partition — correct and
+    * cheap, because every standing alert participates in rarest-term
+    * routing and the index is ALERT-sized, not corpus-sized. */
+  final case class QueryLayout(root: String, qidParts: Int = 8) {
+    val qbool: Member = Member("qbool", "qid", qidParts)
+    val qphrase: Member = Member("qphrase", "qid", qidParts)
+  }
+
+  /** Epoch registration: full snapshots of both members at `version`. */
+  def writeQueryFull(lay: QueryLayout, boolIdx: DataFrame,
+      phraseIdx: DataFrame, version: Int): Unit = {
+    writeFull(boolIdx, lay.root, lay.qbool, version)
+    writeFull(phraseIdx, lay.root, lay.qphrase, version)
+  }
+
+  /** One alert-CDC micro-batch (op I/U/D, one event per qid per
+    * maintenance window — [[Bm25.applyCdcBatch]]'s event contract on
+    * the alert stream) folded `fromVersion` → `toVersion` touching
+    * ONLY the partitions the batch's qids hash into. Events carry the
+    * REGISTRATION FIELDS, never index rows: an I/U row with a non-null
+    * must text registers into the boolean member
+    * ([[Bm25.registerStandingQueries]]) and one with a non-null phrase
+    * text into the positional member
+    * ([[Bm25.registerStandingPhrases]]); a U/D removes the qid from
+    * BOTH members first (deleting an alert retracts every fact it ever
+    * contributed). The fold is [[Bm25.maintainQueryIndex]]'s qid
+    * algebra confined to the touched partitions — equal to the global
+    * fold because a qid's rows all live in its hash partition, added
+    * rows land there by construction (the writeFolded guard raises on
+    * any stray), and deletes of never-registered qids are no-ops.
+    * Per-batch I/O: the batch's qid partitions only; everything else
+    * carries by manifest reference. */
+  def applyCdcQueryIndex(lay: QueryLayout, batch: DataFrame,
+      opCol: String, qidCol: String, mustTextCol: String,
+      mustNotTextCol: String, phraseTextCol: String,
+      fromVersion: Int, toVersion: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = OperatorCaches.track(batch.select(col(opCol).as("op"),
+      col(qidCol).as("qid"), col(mustTextCol).as("must_text"),
+      col(mustNotTextCol).as("not_text"),
+      col(phraseTextCol).as("phrase_text")).persist())
+    val dels = b.filter(col("op").isin("U", "D")).select(col("qid"))
+    val addsB = Bm25.registerStandingQueries(
+      b.filter(col("op").isin("I", "U") && col("must_text").isNotNull),
+      "qid", "must_text", "not_text")
+    val addsP = Bm25.registerStandingPhrases(
+      b.filter(col("op").isin("I", "U") && col("phrase_text").isNotNull),
+      "qid", "phrase_text")
+    // bounded driver-side manifest logic: ≤ qidParts distinct ints
+    val touched: Set[Int] = b
+      .select(partOf(col("qid"), lay.qidParts).as("p")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val baseB = readParts(spark, lay.root, lay.qbool, fromVersion, touched)
+    writeFolded(Bm25.maintainQueryIndex(baseB, addsB, dels),
+      lay.root, lay.qbool, fromVersion, toVersion, touched)
+    val baseP = readParts(spark, lay.root, lay.qphrase, fromVersion,
+      touched)
+    writeFolded(Bm25.maintainQueryIndex(baseP, addsP, dels),
+      lay.root, lay.qphrase, fromVersion, toVersion, touched)
+  }
 }

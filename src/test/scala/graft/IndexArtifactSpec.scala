@@ -217,4 +217,71 @@ class IndexArtifactSpec extends SparkSuite {
     assert(sortedRows(IndexArtifact.read(spark, root, m, 2)) ==
       Seq(s"7|$idB"))
   }
+
+  test("query-index CDC fold == global maintainQueryIndex; untouched qid partitions carry by reference") {
+    val root = freshRoot("qidx")
+    val lay = IndexArtifact.QueryLayout(root, qidParts = 8)
+    // epoch alerts: 12 boolean + 6 phrase, qids spread over partitions
+    val epochAlerts = (0L until 12L).map(q =>
+      (q, s"alpha shared${q % 5} w$q", if (q % 3 == 0) "tail0" else null))
+      .toDF("qid", "must_text", "not_text")
+    val epochPhrases = (100L until 106L).map(q =>
+      (q, s"alpha bravo w${q - 100}")).toDF("qid", "phrase_text")
+    val b0 = Bm25.registerStandingQueries(epochAlerts, "qid",
+      "must_text", "not_text")
+    val p0 = Bm25.registerStandingPhrases(epochPhrases, "qid",
+      "phrase_text")
+    // one event per qid: U re-registers 3 with new musts, D kills 2
+    // (one from each member), I adds a fresh bool + a fresh phrase
+    val cdc = Seq(
+      ("U", 3L, "rewritten must three", null, null),
+      ("U", 7L, "rewritten must seven", "tail1", null),
+      ("U", 101L, null, null, "bravo rewritten phrase"),
+      ("D", 6L, null, null, null),
+      ("D", 104L, null, null, null),
+      ("D", 999L, null, null, null), // never registered — must no-op
+      ("I", 40L, "fresh alert forty", null, null),
+      ("I", 140L, null, null, "fresh phrase mix"))
+      .toDF("op", "qid", "must_text", "not_text", "phrase_text")
+      .select(col("op"), col("qid"),
+        col("must_text").cast("string"), col("not_text").cast("string"),
+        col("phrase_text").cast("string"))
+    OperatorCaches.withCaches {
+      IndexArtifact.writeQueryFull(lay, b0, p0, version = 0)
+      val beforeB = fileIdentity(root, lay.qbool, 0)
+      val batchParts = cdc
+        .select(IndexArtifact.partOf(col("qid"), 8).as("p"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(batchParts.size < 8,
+        "fixture defeated: batch touches all 8 qid partitions")
+      IndexArtifact.applyCdcQueryIndex(lay, cdc, "op", "qid",
+        "must_text", "not_text", "phrase_text",
+        fromVersion = 0, toVersion = 1)
+      // reference fold: the global qid algebra on full frames
+      val dels = cdc.filter(col("op").isin("U", "D")).select(col("qid"))
+      val wantB = Bm25.maintainQueryIndex(b0,
+        Bm25.registerStandingQueries(
+          cdc.filter(col("op").isin("I", "U") &&
+            col("must_text").isNotNull),
+          "qid", "must_text", "not_text"), dels)
+      val wantP = Bm25.maintainQueryIndex(p0,
+        Bm25.registerStandingPhrases(
+          cdc.filter(col("op").isin("I", "U") &&
+            col("phrase_text").isNotNull),
+          "qid", "phrase_text"), dels)
+      assert(sortedRows(IndexArtifact.read(spark, root, lay.qbool, 1)) ==
+        sortedRows(wantB), "qbool mismatch")
+      assert(sortedRows(IndexArtifact.read(spark, root, lay.qphrase, 1)) ==
+        sortedRows(wantP), "qphrase mismatch")
+      // untouched qid partitions: manifest references v0, files intact
+      val man1 = IndexArtifact.readManifest(spark, root, lay.qbool, 1)
+      val untouched = man1.filter { case (k, _) => !batchParts(k) }
+      assert(untouched.nonEmpty && untouched.values.forall(_ == 0),
+        s"untouched qid partitions must reference v0, got $man1")
+      val afterB = fileIdentity(root, lay.qbool, 1)
+      for (k <- beforeB.keySet if !batchParts(k))
+        assert(afterB(k) == beforeB(k),
+          s"qbool partition $k was rewritten across the fold")
+    }
+  }
 }
