@@ -3803,6 +3803,160 @@ object TextQueries {
       },
       Some(q324NetPercolationSql)),
 
+    // TIME-TRAVEL SERVE off the versioned partitioned artifact: the
+    // manifest store retains every version until GC, so a reader can
+    // pin ANY live version — this gates that the pin is load-bearing
+    // for real serve paths, not just the read-back identity
+    // IndexArtifactSpec proves. Epoch v0 → two CDC folds (v1: one
+    // insert/update/delete wave; v2: a wave that DELETES the
+    // phrase-marker carriers and re-texts the zxsingular docs), then
+    // BM25 top-k and phrase matching served AT v1 and AT v2 — each
+    // hash-equal to a recompute over the corpus AS OF that version
+    // (the oracle replays both corpus states). The v1 read happens
+    // AFTER v2 exists — snapshot isolation, the property that lets a
+    // long-running reader keep a consistent index view while folds
+    // land. Version skew is load-bearing three ways: v2 loses the
+    // original marker docs (phrase leg shrinks to the inserted
+    // copies), 'ttrevision' df shifts (idf moves every score), and a
+    // v1-vs-v2 mixup moves both legs.
+    Q("q334_time_travel_serve",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val ia = graft.operators.IndexArtifact
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+              .otherwise(lit(""))).as("text"))
+        val nullS = lit(null).cast("string")
+        val b1 = planted.filter(col("doc_id") % 5 === 3)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" ttrevision one")).as("text"))
+          .unionByName(planted.filter(col("doc_id") % 5 === 4)
+            .select(lit("D").as("op"), col("doc_id"), nullS.as("text")))
+          .unionByName(planted.filter(col("doc_id") % 5 === 0)
+            .select(lit("I").as("op"), (col("doc_id") + 70000L).as("doc_id"),
+              concat(col("text"), lit(" ttinsert alpha")).as("text")))
+        val b2 = planted.filter(col("doc_id") % 7 === 0 &&
+            col("doc_id") % 5 =!= 4)
+          .select(lit("D").as("op"), col("doc_id"), nullS.as("text"))
+          .unionByName(planted.filter(col("doc_id") % 9 === 0 &&
+              col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 4)
+            .select(lit("U").as("op"), col("doc_id"),
+              concat(col("text"), lit(" ttrevision two")).as("text")))
+        // create-once epoch artifact (fixture discipline): the three
+        // deterministic folds build v0/v1/v2 once per corpus
+        // fingerprint; the OPERATOR under test is the versioned read,
+        // which every run pays fresh
+        val root =
+          s"/tmp/graft-ttserve-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_tt")}"
+        val lay = ia.LexicalLayout(s"$root/idx", docParts = 8,
+          termParts = 8, withPositional = true)
+        if (!new java.io.File(s"$root/_DONE").exists()) {
+          graft.operators.OperatorCaches.scoped {
+            ia.writeLexicalFull(lay, planted, "doc_id", "text", version = 0)
+            ia.applyCdcLexical(lay, b1, "doc_id", "text", "op", 0, 1)
+            ia.applyCdcLexical(lay, b2, "doc_id", "text", "op", 1, 2)
+          }
+          new java.io.FileOutputStream(s"$root/_DONE").close()
+        }
+        val queries = Seq((9000001L, "zq0grafted marker"),
+          (9000002L, "zxsingular ttrevision")).toDF("qid", "qtext")
+        // read v1 AFTER v2 landed — the time-travel pin
+        Seq(1, 2).map { v =>
+          val s = ia.readLexicalStats(spark, lay, v)
+          val pos = ia.read(spark, lay.root, lay.pos, v)
+          bm.topKExternalStats(s, queries, "qid", "qtext", k = 5)
+            .select(lit("bm25").as("leg"), lit(v.toLong).as("ver"),
+              col("qid"), col("rank"), col("id"),
+              col("score_micro").as("val"))
+            .unionByName(bm.phraseMatchesFrom(pos,
+                Seq("zq0grafted", "exact", "phrase", "marker"))
+              .select(lit("phrase").as("leg"), lit(v.toLong).as("ver"),
+                lit(-1L).as("qid"), lit(0L).as("rank"), col("id"),
+                col("n_occurrences").as("val")))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val qtVals =
+          """SELECT qid, term FROM (VALUES
+            |  (9000001, 'zq0grafted'), (9000001, 'marker'),
+            |  (9000002, 'zxsingular'), (9000002, 'ttrevision'))
+            |  t(qid, term)""".stripMargin
+        def phraseLeg(p: String, src: String): String =
+          s"""${p}tw AS (SELECT id, string_split_regex(
+             |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS w
+             |  FROM $src),
+             |${p}pos AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM ${p}tw)
+             |  WHERE length(w[i]) > 0),
+             |${p}m AS (SELECT a.id, a.pos FROM ${p}pos a
+             |  JOIN ${p}pos b ON b.id = a.id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN ${p}pos c ON c.id = a.id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN ${p}pos e ON e.id = a.id AND e.pos = a.pos + 3
+             |    AND e.term = 'marker'
+             |  WHERE a.term = 'zq0grafted'),
+             |${p}occ AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+             |  FROM ${p}m GROUP BY 1)""".stripMargin
+        "WITH " +
+          s"""pl AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 14 = 0
+             |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+             |      AS text
+             |  FROM documents),
+             |c1 AS (
+             |  SELECT doc_id AS id, text || CASE WHEN doc_id % 5 = 3
+             |      THEN ' ttrevision one' ELSE '' END AS text
+             |  FROM pl WHERE doc_id % 5 <> 4
+             |  UNION ALL
+             |  SELECT doc_id + 70000, text || ' ttinsert alpha'
+             |  FROM pl WHERE doc_id % 5 = 0),
+             |c2 AS (
+             |  SELECT doc_id AS id, text
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' ttrevision two'
+             |      WHEN doc_id % 5 = 3 THEN ' ttrevision one' ELSE '' END
+             |      AS text
+             |  FROM pl WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 70000, text || ' ttinsert alpha'
+             |  FROM pl WHERE doc_id % 5 = 0),
+             |""".stripMargin +
+          bm25ScoreCtes("c1", "id", "", p = "v1",
+            qtOverride = Some(qtVals)) + ",\n" +
+          bm25ScoreCtes("c2", "id", "", p = "v2",
+            qtOverride = Some(qtVals)) + ",\n" +
+          phraseLeg("w1", "c1") + ",\n" + phraseLeg("w2", "c2") +
+          s""",
+             |r1 AS (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+             |  FROM v1sc),
+             |r2 AS (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+             |  FROM v2sc)
+             |SELECT 'bm25' AS leg, CAST(1 AS BIGINT) AS ver,
+             |  CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+             |  id, score_micro AS val FROM r1 WHERE rank <= 5
+             |UNION ALL
+             |SELECT 'bm25', 2, qid, CAST(rank AS BIGINT), id, score_micro
+             |FROM r2 WHERE rank <= 5
+             |UNION ALL
+             |SELECT 'phrase', 1, -1, 0, id, n FROM w1occ
+             |UNION ALL
+             |SELECT 'phrase', 2, -1, 0, id, n FROM w2occ""".stripMargin
+      }),
+
     // PERCOLATOR-INDEX DATA CARD (Bm25.percolatorIndexCard — r18
     // verdict missing #6, the card discipline's fifth instance): one
     // row off the MAINTAINED query index holding the numbers that
