@@ -3957,6 +3957,83 @@ object TextQueries {
              |SELECT 'phrase', 2, -1, 0, id, n FROM w2occ""".stripMargin
       }),
 
+    // CROSS-MEMBER CONSISTENCY AUDIT (Bm25.auditLexicalIndex): nine
+    // violation counts over the lexical index's six members — the
+    // integrity check a serving team runs before trusting a fold
+    // history (every member derives from every other; disagreement
+    // means a dropped/replayed/half-applied fold). The healthy leg
+    // audits a freshly built index (nine zeros — proving the auditor
+    // raises no false positives, i.e. all members tokenize on ONE
+    // basis); the corrupted leg plants seven independent corruptions
+    // (dl rows dropped, a ghost dl doc, df inflated on the planted
+    // zxaudit terms, totals._T shifted, first-position rows dropped,
+    // variant rows of the planted terms dropped, a ghost variant) and
+    // every check must fire with the EXACT count the oracle derives
+    // from the corpus. Checks are pairwise-disjoint by construction
+    // (e.g. pos_orphans hits the %17 docs, pos_len_mismatch the
+    // %13∖%17 docs).
+    Q("q335_index_consistency_audit",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" zxaudit"), (col("doc_id") % 5).cast("string")))
+              .otherwise(lit(""))).as("text"))
+        val s = bm.indexStats(planted, "doc_id", "text")
+        val pos = graft.operators.OperatorCaches.track(
+          bm.positionalPostings(planted, "doc_id", "text").persist())
+        val vi = graft.operators.OperatorCaches.track(
+          bm.variantIndex(s.df).persist())
+        val healthy = bm.auditLexicalIndex(s, pos, vi)
+        val cdl = s.dl.filter(col("id") % 17 =!= 0)
+          .unionByName(Seq((999999991L, 7L)).toDF("id", "dl"))
+        val cdf = s.df.withColumn("df",
+          when(col("term").startsWith("zxaudit"), col("df") + 1)
+            .otherwise(col("df")))
+        val ctot = s.totals.select((col("_T") + 5).as("_T"), col("_N"))
+        val cpos = pos.filter(!(col("id") % 13 === 0 &&
+          col("id") % 17 =!= 0 && col("pos") === 0))
+        val cvi = vi.filter(!col("term").startsWith("zxaudit"))
+          .unionByName(Seq(("zzghost", "zzghost")).toDF("term", "_v"))
+        val corrupted = bm.auditLexicalIndex(
+          bm.IndexStats(s.tf, cdl, cdf, ctot), cpos, cvi)
+        healthy.select(lit("healthy").as("leg"), col("check"),
+            col("violations"))
+          .unionByName(corrupted.select(lit("corrupted").as("leg"),
+            col("check"), col("violations")))
+      },
+      Some("""WITH checks("check") AS (VALUES ('tf_ids_without_dl'),
+             |  ('dl_ids_without_tf'), ('df_mismatch'),
+             |  ('totals_t_mismatch'), ('pos_orphans'),
+             |  ('pos_len_mismatch'), ('pos_tf_mismatch'),
+             |  ('vi_missing_terms'), ('vi_stale_terms')),
+             |n17 AS (SELECT CAST(count(*) AS BIGINT) AS v
+             |  FROM documents WHERE doc_id % 17 = 0),
+             |n1313 AS (SELECT CAST(count(*) AS BIGINT) AS v
+             |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0),
+             |nzx AS (SELECT CAST(count(DISTINCT doc_id % 5) AS BIGINT) AS v
+             |  FROM documents WHERE doc_id % 11 = 0)
+             |SELECT 'healthy' AS leg, "check", CAST(0 AS BIGINT) AS violations
+             |FROM checks
+             |UNION ALL
+             |SELECT 'corrupted', "check",
+             |  CASE "check"
+             |    WHEN 'tf_ids_without_dl' THEN (SELECT v FROM n17)
+             |    WHEN 'dl_ids_without_tf' THEN 1
+             |    WHEN 'df_mismatch' THEN (SELECT v FROM nzx)
+             |    WHEN 'totals_t_mismatch' THEN 1
+             |    WHEN 'pos_orphans' THEN (SELECT v FROM n17)
+             |    WHEN 'pos_len_mismatch' THEN (SELECT v FROM n1313)
+             |    WHEN 'pos_tf_mismatch' THEN (SELECT v FROM n1313)
+             |    WHEN 'vi_missing_terms' THEN (SELECT v FROM nzx)
+             |    WHEN 'vi_stale_terms' THEN 1
+             |  END AS violations
+             |FROM checks""".stripMargin)),
+
     // PERCOLATOR-INDEX DATA CARD (Bm25.percolatorIndexCard — r18
     // verdict missing #6, the card discipline's fifth instance): one
     // row off the MAINTAINED query index holding the numbers that

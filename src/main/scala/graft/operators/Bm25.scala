@@ -910,6 +910,77 @@ object Bm25 {
     idx.join(deletedQids.select(col("qid")), Seq("qid"), "left_anti")
       .unionByName(added)
 
+  /** CROSS-MEMBER CONSISTENCY AUDIT — the operational integrity check
+    * a serving team runs over a maintained lexical index's members
+    * BEFORE trusting a fold history: every member is derivable from
+    * every other under the index's construction invariants, so any
+    * pairwise disagreement means a fold was dropped, replayed, or
+    * half-applied (the classic failure of any multi-table store
+    * updated by separate writes). Nine checks, each a VIOLATION COUNT
+    * (all zero on a healthy index — gated q335 with planted
+    * corruptions as the negative legs):
+    *   tf_ids_without_dl / dl_ids_without_tf — tf and dl must cover
+    *     exactly the same doc ids (both derive from the same token
+    *     stream);
+    *   df_mismatch — df(term) must equal the distinct-doc count
+    *     recomputed from tf (full outer: a term on either side only
+    *     also counts);
+    *   totals_t_mismatch — totals._T must equal Σ dl (0/1);
+    *   pos_orphans — positional doc ids absent from dl;
+    *   pos_len_mismatch — docs in both whose position count ≠ dl
+    *     (same length-filtered token stream ⇒ equal counts);
+    *   pos_tf_mismatch — (id, term) pairs whose positional occurrence
+    *     count ≠ tf (full outer over pairs);
+    *   vi_missing_terms / vi_stale_terms — the variant member must
+    *     cover exactly df's term set (every df term explodes to ≥1
+    *     variant row including itself).
+    * Scale shape: each check is one keyed anti-join or aggregate over
+    * member tables (never text) — distributed, no cartesian, the
+    * result is nine 1-row counts.
+    * @return (check, violations) — nine rows */
+  def auditLexicalIndex(s: IndexStats, pos: DataFrame,
+      vi: DataFrame): DataFrame = {
+    def cnt(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("violations"))
+    val tfIds = s.tf.select(col("id")).distinct()
+    val dlIds = OperatorCaches.track(s.dl.select(col("id")).persist())
+    val posCnt = OperatorCaches.track(pos.groupBy(col("id"))
+      .agg(count(lit(1)).as("_pc")).persist())
+    val dfRe = s.tf.groupBy(col("term")).agg(count(lit(1)).as("_redf"))
+    val sdl = s.dl.agg(coalesce(sum(col("dl")), lit(0L)).as("_sdl"))
+    val viTerms = OperatorCaches.track(
+      vi.select(col("term")).distinct().persist())
+    val checks: Seq[(String, DataFrame)] = Seq(
+      "tf_ids_without_dl" ->
+        cnt(tfIds.join(dlIds, Seq("id"), "left_anti")),
+      "dl_ids_without_tf" ->
+        cnt(dlIds.join(tfIds, Seq("id"), "left_anti")),
+      "df_mismatch" ->
+        cnt(s.df.join(dfRe, Seq("term"), "full_outer")
+          .filter(!(col("df") <=> col("_redf")))),
+      "totals_t_mismatch" ->
+        cnt(s.totals.crossJoin(broadcast(sdl))
+          .filter(col("_T") =!= col("_sdl"))),
+      "pos_orphans" ->
+        cnt(posCnt.join(dlIds, Seq("id"), "left_anti")),
+      "pos_len_mismatch" ->
+        cnt(posCnt.join(s.dl, Seq("id")).filter(col("_pc") =!= col("dl"))),
+      "pos_tf_mismatch" ->
+        cnt(pos.groupBy(col("id"), col("term"))
+          .agg(count(lit(1)).as("_ptf"))
+          .join(s.tf, Seq("id", "term"), "full_outer")
+          .filter(!(col("tf") <=> col("_ptf")))),
+      "vi_missing_terms" ->
+        cnt(s.df.select(col("term")).join(viTerms, Seq("term"),
+          "left_anti")),
+      "vi_stale_terms" ->
+        cnt(viTerms.join(s.df.select(col("term")), Seq("term"),
+          "left_anti")))
+    checks.map { case (name, c) =>
+      c.select(lit(name).as("check"), col("violations"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PERCOLATOR-INDEX DATA CARD (r18 verdict missing #6 — the card
     * discipline's fifth instance, after release / incremental /
     * lexical / ANN): the one-row operational report a serving team
