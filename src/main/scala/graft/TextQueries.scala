@@ -834,6 +834,66 @@ object TextQueries {
       |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
       |    AND alpha_raw >= 0.8 AND n_stop >= 2""".stripMargin
 
+  /** q334/q336's shared fixture: the planted corpus, two CDC waves,
+    * and the versioned partitioned artifact built CREATE-ONCE per
+    * corpus fingerprint (the folds are deterministic; the operators
+    * under test are the versioned reads, which every run pays fresh).
+    * `compacted = false`: the fold history as-is (v0 epoch, v1 an
+    * insert/update/delete wave, v2 a wave deleting the phrase-marker
+    * carriers and re-texting the zxsingular docs). `compacted = true`:
+    * a SIBLING root taken through the storage lifecycle — every member
+    * compacted to v3 and GC'd (q336 contrasts the two). */
+  private def ttArtifact(spark: SparkSession, dir: String,
+      compacted: Boolean): graft.operators.IndexArtifact.LexicalLayout = {
+    val ia = graft.operators.IndexArtifact
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val phrase = " zq0grafted exact phrase marker"
+    val planted = d.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+          .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+          .otherwise(lit(""))).as("text"))
+    val nullS = lit(null).cast("string")
+    val b1 = planted.filter(col("doc_id") % 5 === 3)
+      .select(lit("U").as("op"), col("doc_id"),
+        concat(col("text"), lit(" ttrevision one")).as("text"))
+      .unionByName(planted.filter(col("doc_id") % 5 === 4)
+        .select(lit("D").as("op"), col("doc_id"), nullS.as("text")))
+      .unionByName(planted.filter(col("doc_id") % 5 === 0)
+        .select(lit("I").as("op"), (col("doc_id") + 70000L).as("doc_id"),
+          concat(col("text"), lit(" ttinsert alpha")).as("text")))
+    val b2 = planted.filter(col("doc_id") % 7 === 0 &&
+        col("doc_id") % 5 =!= 4)
+      .select(lit("D").as("op"), col("doc_id"), nullS.as("text"))
+      .unionByName(planted.filter(col("doc_id") % 9 === 0 &&
+          col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 4)
+        .select(lit("U").as("op"), col("doc_id"),
+          concat(col("text"), lit(" ttrevision two")).as("text")))
+    val tag = if (compacted) "ttservec" else "ttserve"
+    val root =
+      s"/tmp/graft-$tag-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_tt")}"
+    val lay = ia.LexicalLayout(s"$root/idx", docParts = 8,
+      termParts = 8, withPositional = true)
+    if (!new java.io.File(s"$root/_DONE").exists()) {
+      graft.operators.OperatorCaches.scoped {
+        ia.writeLexicalFull(lay, planted, "doc_id", "text", version = 0)
+        ia.applyCdcLexical(lay, b1, "doc_id", "text", "op", 0, 1)
+        ia.applyCdcLexical(lay, b2, "doc_id", "text", "op", 1, 2)
+      }
+      if (compacted) {
+        val members =
+          Seq(lay.tf, lay.dl, lay.df, lay.totals, lay.pos)
+        members.foreach(m => ia.compact(spark, lay.root, m, 2, 3))
+        members.foreach(m => ia.gcBelow(spark, lay.root, m, 3))
+      }
+      new java.io.FileOutputStream(s"$root/_DONE").close()
+    }
+    lay
+  }
+
   /** q324's oracle — percolation of the planted corpus against the NET
     * alert sets (bool: odd qids < 20 with 6-token musts + the %3
     * mustNot; phrase: even doc_ids < 25 with len ≥ 5 + the literal
@@ -3822,50 +3882,9 @@ object TextQueries {
     Q("q334_time_travel_serve",
       (spark, dir) => {
         val sq = spark; import sq.implicits._
-        val d = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
         val bm = graft.operators.Bm25
         val ia = graft.operators.IndexArtifact
-        val phrase = " zq0grafted exact phrase marker"
-        val planted = d.select(col("doc_id"),
-          concat(col("text"),
-            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
-              .when(col("doc_id") % 7 === 0, lit(phrase)).otherwise(lit("")),
-            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
-              .otherwise(lit(""))).as("text"))
-        val nullS = lit(null).cast("string")
-        val b1 = planted.filter(col("doc_id") % 5 === 3)
-          .select(lit("U").as("op"), col("doc_id"),
-            concat(col("text"), lit(" ttrevision one")).as("text"))
-          .unionByName(planted.filter(col("doc_id") % 5 === 4)
-            .select(lit("D").as("op"), col("doc_id"), nullS.as("text")))
-          .unionByName(planted.filter(col("doc_id") % 5 === 0)
-            .select(lit("I").as("op"), (col("doc_id") + 70000L).as("doc_id"),
-              concat(col("text"), lit(" ttinsert alpha")).as("text")))
-        val b2 = planted.filter(col("doc_id") % 7 === 0 &&
-            col("doc_id") % 5 =!= 4)
-          .select(lit("D").as("op"), col("doc_id"), nullS.as("text"))
-          .unionByName(planted.filter(col("doc_id") % 9 === 0 &&
-              col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 4)
-            .select(lit("U").as("op"), col("doc_id"),
-              concat(col("text"), lit(" ttrevision two")).as("text")))
-        // create-once epoch artifact (fixture discipline): the three
-        // deterministic folds build v0/v1/v2 once per corpus
-        // fingerprint; the OPERATOR under test is the versioned read,
-        // which every run pays fresh
-        val root =
-          s"/tmp/graft-ttserve-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
-            s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_tt")}"
-        val lay = ia.LexicalLayout(s"$root/idx", docParts = 8,
-          termParts = 8, withPositional = true)
-        if (!new java.io.File(s"$root/_DONE").exists()) {
-          graft.operators.OperatorCaches.scoped {
-            ia.writeLexicalFull(lay, planted, "doc_id", "text", version = 0)
-            ia.applyCdcLexical(lay, b1, "doc_id", "text", "op", 0, 1)
-            ia.applyCdcLexical(lay, b2, "doc_id", "text", "op", 1, 2)
-          }
-          new java.io.FileOutputStream(s"$root/_DONE").close()
-        }
+        val lay = ttArtifact(spark, dir, compacted = false)
         val queries = Seq((9000001L, "zq0grafted marker"),
           (9000002L, "zxsingular ttrevision")).toDF("qid", "qtext")
         // read v1 AFTER v2 landed — the time-travel pin
@@ -4033,6 +4052,69 @@ object TextQueries {
              |    WHEN 'vi_stale_terms' THEN 1
              |  END AS violations
              |FROM checks""".stripMargin)),
+
+    // INDEX-ARTIFACT VERSION CARD (IndexArtifact.versionCard — the
+    // card discipline's seventh instance, on the STORAGE layout
+    // itself): per member, current row count plus the version-dir
+    // census that GC exists to bound. Fixture = q334's fold history
+    // (pre: every member carries three physical versions — epoch +
+    // two folds) contrasted with its compacted+GC'd sibling (post:
+    // one physical version, rows IDENTICAL — compaction must be
+    // row-preserving, which the shared oracle rows prove since both
+    // phases replay the same C2 corpus). n_parts / fan_in depend on
+    // the key-hash layout, so they are spec-pinned
+    // (IndexArtifactSpec) rather than hash-gated here.
+    Q("q336_artifact_version_card",
+      (spark, dir) => {
+        val ia = graft.operators.IndexArtifact
+        val layPre = ttArtifact(spark, dir, compacted = false)
+        val layPost = ttArtifact(spark, dir, compacted = true)
+        def card(lay: ia.LexicalLayout, v: Int, phase: String) =
+          Seq(lay.tf, lay.dl, lay.df, lay.totals, lay.pos)
+            .map(m => ia.versionCard(spark, lay.root, m, v))
+            .reduce(_.unionByName(_))
+            .select(lit(phase).as("phase"), col("member"), col("rows"),
+              col("n_physical_versions"))
+        card(layPre, 2, "pre").unionByName(card(layPost, 3, "post"))
+      },
+      Some("""WITH pl AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 14 = 0
+             |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+             |      AS text
+             |  FROM documents),
+             |c2 AS (
+             |  SELECT doc_id AS id, text
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' ttrevision two'
+             |      WHEN doc_id % 5 = 3 THEN ' ttrevision one' ELSE '' END
+             |      AS text
+             |  FROM pl WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 70000, text || ' ttinsert alpha'
+             |  FROM pl WHERE doc_id % 5 = 0),
+             |tw AS (SELECT id, string_split_regex(
+             |    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS w
+             |  FROM c2),
+             |tk AS (SELECT id, w[i] AS term
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM tw)
+             |  WHERE length(w[i]) > 0),
+             |rows_of(member, rows) AS (
+             |  SELECT 'tf', CAST(count(*) AS BIGINT)
+             |  FROM (SELECT DISTINCT id, term FROM tk)
+             |  UNION ALL SELECT 'dl', CAST(count(DISTINCT id) AS BIGINT)
+             |  FROM tk
+             |  UNION ALL SELECT 'df', CAST(count(DISTINCT term) AS BIGINT)
+             |  FROM tk
+             |  UNION ALL SELECT 'totals', 1
+             |  UNION ALL SELECT 'pos', CAST(count(*) AS BIGINT) FROM tk)
+             |SELECT p.phase, r.member, r.rows,
+             |  CAST(CASE p.phase WHEN 'pre' THEN 3 ELSE 1 END AS BIGINT)
+             |    AS n_physical_versions
+             |FROM (VALUES ('pre'), ('post')) p(phase), rows_of r"""
+        .stripMargin)),
 
     // PERCOLATOR-INDEX DATA CARD (Bm25.percolatorIndexCard — r18
     // verdict missing #6, the card discipline's fifth instance): one

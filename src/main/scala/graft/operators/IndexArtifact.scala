@@ -195,6 +195,34 @@ object IndexArtifact {
     deletable
   }
 
+  /** VERSION CARD — the one-row storage report per member (the card
+    * discipline applied to the artifact layout itself): `rows` (the
+    * member's current cardinality — the only distributed field),
+    * `n_physical_versions` (version directories on disk — what GC is
+    * for), `n_parts` (non-empty partitions in the manifest) and
+    * `fan_in` (distinct versions the manifest references — the read
+    * amplification: a read unions one path group per referenced
+    * version, so fan_in is the number a long-running stream grows and
+    * [[compact]] collapses to 1). Everything but `rows` is
+    * driver-local metadata over ≤ parts manifest entries. `n_parts`
+    * and `fan_in` depend on the key-hash layout, so q336 hash-gates
+    * `rows`/`n_physical_versions` and the controlled-fixture spec
+    * pins the other two. */
+  def versionCard(spark: SparkSession, root: String, m: Member,
+      version: Int): DataFrame = {
+    val man = readManifest(spark, root, m, version)
+    val base = new Path(s"$root/parts/${m.name}")
+    val fs = hfs(spark, base)
+    val nPhys =
+      if (!fs.exists(base)) 0
+      else fs.listStatus(base).count(_.getPath.getName.startsWith("v"))
+    val rows = read(spark, root, m, version).count()
+    import spark.implicits._
+    Seq((m.name, rows, nPhys.toLong, man.size.toLong,
+      man.values.toSet.size.toLong))
+      .toDF("member", "rows", "n_physical_versions", "n_parts", "fan_in")
+  }
+
   /** Carry a member to `toVersion` untouched — manifest copy only,
     * zero data I/O (the batch touched none of its partitions). */
   def carry(spark: SparkSession, root: String, m: Member, fromVersion: Int,

@@ -155,6 +155,19 @@ class IndexArtifactSpec extends SparkSuite {
       val manFanIn = IndexArtifact.readManifest(spark, root, lay.tf, 1)
         .values.toSet
       assert(manFanIn.size > 1, "fixture defeated: fold produced no fan-in")
+      // version card BEFORE compaction: fan-in reflects the fold
+      // history (2 versions referenced), two physical version dirs
+      val cardPre = IndexArtifact.versionCard(spark, root, lay.tf, 1)
+        .collect().head
+      assert(cardPre.getAs[String]("member") == "tf")
+      assert(cardPre.getAs[Long]("rows") ==
+        IndexArtifact.read(spark, root, lay.tf, 1).count())
+      assert(cardPre.getAs[Long]("n_physical_versions") == 2L,
+        s"epoch + one fold = 2 physical versions: $cardPre")
+      assert(cardPre.getAs[Long]("fan_in") == 2L,
+        s"fold history must reference both versions: $cardPre")
+      assert(cardPre.getAs[Long]("n_parts") ==
+        IndexArtifact.readManifest(spark, root, lay.tf, 1).size.toLong)
       IndexArtifact.compact(spark, root, lay.tf, 1, 2)
       val man2 = IndexArtifact.readManifest(spark, root, lay.tf, 2)
       assert(man2.values.toSet == Set(2), s"fan-in not collapsed: $man2")
@@ -163,6 +176,14 @@ class IndexArtifactSpec extends SparkSuite {
       // GC: v0 and v1 hold nothing v2 references — both deletable
       val gone = IndexArtifact.gcBelow(spark, root, lay.tf, 2)
       assert(gone == Seq(0, 1), s"expected v0/v1 gone, got $gone")
+      // version card AFTER the lifecycle: one physical version,
+      // fan-in 1, rows preserved
+      val cardPost = IndexArtifact.versionCard(spark, root, lay.tf, 2)
+        .collect().head
+      assert(cardPost.getAs[Long]("n_physical_versions") == 1L, s"$cardPost")
+      assert(cardPost.getAs[Long]("fan_in") == 1L, s"$cardPost")
+      assert(cardPost.getAs[Long]("rows") == cardPre.getAs[Long]("rows"),
+        "compaction + GC changed the row count")
       assert(sortedRows(IndexArtifact.read(spark, root, lay.tf, 2)) == before,
         "GC broke the kept version")
       // gcBelow BEFORE compaction must keep referenced versions: dl at
