@@ -236,7 +236,11 @@ object Bench {
     "q331"->3.814,
     // r19 second wave — min of two clean solo FORCE_MIN waves
     // (12-control medians 0.8153 / 0.9347, regress 0, cold_only 0 both)
-    "q332"->0.784)
+    "q332"->0.784,
+    // r19 third wave — min of two normalized FORCE_MIN waves
+    // (12-control medians 1.1260 / 1.0750; wave 2 regress 0,
+    // cold_only 0)
+    "q333"->7.551, "q334"->1.820, "q335"->5.282, "q336"->0.862)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.
