@@ -2968,6 +2968,91 @@ object SimilarityQueries {
             coalesce(col("contaminated"), lit(0L)).as("contaminated"))
       },
       Some(q200Oracle(threshold = 0.95, nCells = 16, maxIter = 10))),
+
+    // ANN INDEX CONSISTENCY AUDIT (ProductQuantization.auditAnnIndex —
+    // the audit discipline's second instance, q335's dense sibling):
+    // eight keyed checks over the maintained (vec_id, cell, code,
+    // fit_id) rows against the live corpus and the frozen fit —
+    // coverage both ways, duplicate ids, structural row health against
+    // the fit geometry (cell range, code length, subcode range,
+    // fit_id), and the definitive re-encode parity check. The healthy
+    // leg audits annIndex(fit, corpus) at eight zeros (no false
+    // positives). The corrupted leg plants SEVEN independent
+    // corruptions by vec_id arithmetic (drop %17, duplicate %23, one
+    // ghost row, cell+nCells on %19, code truncation on %29, negative
+    // subcode on %31 where not already truncated, fit_id bump on %37)
+    // so every check is load-bearing at an exact oracle-derived count;
+    // duplicated rows carry their corruptions twice (multiplicity is
+    // part of the oracle arithmetic). encode_mismatch inner-joins, so
+    // coverage/ghost corruptions are counted once, by their own checks.
+    Q("q337_ann_index_audit",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val fit = pq.fitFrozen(e)
+        val nCells = fit.coarse.length
+        val m = fit.model.m
+        val idx = graft.operators.OperatorCaches.track(
+          pq.annIndex(fit, e).persist())
+        val healthy = pq.auditAnnIndex(fit, idx, e)
+        val base = idx.filter(col("vec_id") % 17 =!= 0)
+        val dups = base.filter(col("vec_id") % 23 === 0)
+        val ghost = Seq((999999991L, 0, Seq.fill(m)(0), fit.fitId))
+          .toDF("vec_id", "cell", "code", "fit_id")
+        val planted = base.unionByName(dups)
+          .select(col("vec_id"),
+            when(col("vec_id") % 19 === 0, col("cell") + nCells)
+              .otherwise(col("cell")).as("cell"),
+            when(col("vec_id") % 29 === 0, slice(col("code"), 1, m - 1))
+              .when(col("vec_id") % 31 === 0,
+                concat(array(lit(-1)), slice(col("code"), 2, m - 1)))
+              .otherwise(col("code")).as("code"),
+            when(col("vec_id") % 37 === 0, col("fit_id") + 1)
+              .otherwise(col("fit_id")).as("fit_id"))
+          .unionByName(ghost)
+        val corrupted = pq.auditAnnIndex(fit, planted, e)
+        healthy.select(lit("healthy").as("leg"), col("check"),
+            col("violations"))
+          .unionByName(corrupted.select(lit("corrupted").as("leg"),
+            col("check"), col("violations")))
+      },
+      Some("""WITH checks("check") AS (VALUES ('vec_missing_from_index'),
+             |  ('index_orphans'), ('dup_vec_ids'), ('cell_out_of_range'),
+             |  ('code_len_mismatch'), ('subcode_out_of_range'),
+             |  ('fit_id_mismatch'), ('encode_mismatch')),
+             |ids AS (SELECT vec_id AS id FROM embeddings),
+             |surv AS (SELECT id, 1 + CAST(id % 23 = 0 AS INT) AS mult
+             |  FROM ids WHERE id % 17 <> 0)
+             |SELECT 'healthy' AS leg, "check",
+             |  CAST(0 AS BIGINT) AS violations
+             |FROM checks
+             |UNION ALL
+             |SELECT 'corrupted', "check",
+             |  CAST(CASE "check"
+             |    WHEN 'vec_missing_from_index' THEN
+             |      (SELECT count(*) FROM ids WHERE id % 17 = 0)
+             |    WHEN 'index_orphans' THEN 1
+             |    WHEN 'dup_vec_ids' THEN
+             |      (SELECT count(*) FROM surv WHERE id % 23 = 0)
+             |    WHEN 'cell_out_of_range' THEN
+             |      (SELECT coalesce(sum(mult), 0) FROM surv
+             |       WHERE id % 19 = 0)
+             |    WHEN 'code_len_mismatch' THEN
+             |      (SELECT coalesce(sum(mult), 0) FROM surv
+             |       WHERE id % 29 = 0)
+             |    WHEN 'subcode_out_of_range' THEN
+             |      (SELECT coalesce(sum(mult), 0) FROM surv
+             |       WHERE id % 31 = 0 AND id % 29 <> 0)
+             |    WHEN 'fit_id_mismatch' THEN
+             |      (SELECT coalesce(sum(mult), 0) FROM surv
+             |       WHERE id % 37 = 0)
+             |    WHEN 'encode_mismatch' THEN
+             |      (SELECT coalesce(sum(mult), 0) FROM surv
+             |       WHERE id % 19 = 0 OR id % 29 = 0 OR id % 31 = 0)
+             |  END AS BIGINT)
+             |FROM checks""".stripMargin)),
   )
 
   /** The q190 verdict replay (both pixel formulas, fingerprints,

@@ -368,6 +368,70 @@ object ProductQuantization {
           .as("skew_micro"))
   }
 
+  /** ANN INDEX CONSISTENCY AUDIT ([[graft.operators.Bm25
+    * .auditLexicalIndex]]'s dense sibling — the audit discipline's
+    * second instance): eight violation counts over the maintained
+    * (vec_id, cell, code, fit_id) rows against the live vector corpus
+    * and the frozen fit, each a keyed anti-join or per-row predicate —
+    * never a serve. The checks partition the failure surface:
+    * coverage both ways (a live vector a fold missed serves stale
+    * neighbors invisibly; an orphan row ranks a deleted vector),
+    * duplicate ids (a double-upsert double-counts a candidate),
+    * structural row health against the fit's declared geometry (cell
+    * range, code length, subcode range, fit_id), and the definitive
+    * re-encode parity check — index rows are per-row functions of the
+    * frozen fit, so `encode_mismatch` compares each surviving row to
+    * the fit's fresh encoding of the corpus embedding (the one check
+    * that catches a WRONG-but-well-formed row). Checks are
+    * intentionally orthogonal: encode parity inner-joins, so coverage
+    * gaps and ghost rows are counted once, by their own checks.
+    * Scale: one encode pass over the corpus + id-keyed joins; no
+    * pairwise work anywhere (gated q337: healthy index audits all
+    * zeros, seven planted corruptions at exact oracle-derived counts).
+    * @return rows (check, violations) — eight rows. */
+  def auditAnnIndex(fit: IvfPqFit, index: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.normFast
+    def cnt(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("violations"))
+    val idx = OperatorCaches.track(index.persist())
+    val corpusIds = corpus.select(col("vec_id"))
+    // only INDEXABLE vectors are owed an index row ([[annIndex]] drops
+    // null / wrong-dim / zero-norm embeddings by contract)
+    val expected = OperatorCaches.track(annIndex(fit, corpus).persist())
+    val idxIds = idx.select(col("vec_id"))
+    val nCells = fit.coarse.length
+    val kCodes = fit.model.codebooks(0).length
+    val checks: Seq[(String, DataFrame)] = Seq(
+      "vec_missing_from_index" ->
+        cnt(expected.select(col("vec_id"))
+          .join(idxIds, Seq("vec_id"), "left_anti")),
+      "index_orphans" ->
+        cnt(idxIds.distinct()
+          .join(corpusIds, Seq("vec_id"), "left_anti")),
+      "dup_vec_ids" ->
+        cnt(idx.groupBy(col("vec_id")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1)),
+      "cell_out_of_range" ->
+        cnt(idx.filter(col("cell") < 0 || col("cell") >= nCells)),
+      "code_len_mismatch" ->
+        cnt(idx.filter(size(col("code")) =!= fit.model.m)),
+      "subcode_out_of_range" ->
+        cnt(idx.filter(exists(col("code"),
+          c => c < 0 || c >= kCodes))),
+      "fit_id_mismatch" ->
+        cnt(idx.filter(col("fit_id") =!= fit.fitId)),
+      "encode_mismatch" ->
+        cnt(idx.join(expected.select(col("vec_id"),
+            col("cell").as("_ecell"), col("code").as("_ecode")),
+          Seq("vec_id"))
+          .filter(col("cell") =!= col("_ecell") ||
+            !(col("code") <=> col("_ecode")))))
+    checks.map { case (name, c) =>
+      c.select(lit(name).as("check"), col("violations"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** RESIDUAL IVF-PQ fit (the production-standard FAISS IVFPQ form):
     * the PQ codebooks train on RESIDUALS v − c(cell) w.r.t. the frozen
     * coarse centroids instead of raw vectors. Residual magnitudes are a

@@ -229,4 +229,45 @@ class ProductQuantizationSpec extends SparkSuite {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(rr.length == 25 && rr.sameElements(bt))
   }
+
+  test("auditAnnIndex: healthy index audits all zeros; each corruption fires exactly its own check") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val fit = ProductQuantization.fitFrozen(corpus)
+    val idx = ProductQuantization.annIndex(fit, corpus).cache()
+    def audit(i: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      ProductQuantization.auditAnnIndex(fit, i, corpus)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val healthy = audit(idx)
+    assert(healthy.size == 8 && healthy.values.forall(_ == 0L), healthy)
+    // each corruption in isolation moves ONE check (encode_mismatch
+    // additionally fires for wrong-but-well-formed cells/codes)
+    assert(audit(idx.filter(col("vec_id") =!= 0L))
+      ("vec_missing_from_index") == 1L)
+    val ghost = Seq((999999L, 0, Seq.fill(fit.model.m)(0), fit.fitId))
+      .toDF("vec_id", "cell", "code", "fit_id")
+    assert(audit(idx.unionByName(ghost))("index_orphans") == 1L)
+    val dup = audit(idx.unionByName(idx.filter(col("vec_id") === 3L)))
+    assert(dup("dup_vec_ids") == 1L && dup("encode_mismatch") == 0L)
+    val badCell = audit(idx.withColumn("cell",
+      when(col("vec_id") === 5L, lit(-1)).otherwise(col("cell"))))
+    assert(badCell("cell_out_of_range") == 1L &&
+      badCell("encode_mismatch") == 1L)
+    val shortCode = audit(idx.withColumn("code",
+      when(col("vec_id") === 7L, slice(col("code"), 1, fit.model.m - 1))
+        .otherwise(col("code"))))
+    assert(shortCode("code_len_mismatch") == 1L &&
+      shortCode("encode_mismatch") == 1L)
+    val badSub = audit(idx.withColumn("code",
+      when(col("vec_id") === 9L,
+        concat(array(lit(99)), slice(col("code"), 2, fit.model.m - 1)))
+        .otherwise(col("code"))))
+    assert(badSub("subcode_out_of_range") == 1L &&
+      badSub("encode_mismatch") == 1L)
+    val badFit = audit(idx.withColumn("fit_id",
+      when(col("vec_id") === 11L, col("fit_id") + 1L)
+        .otherwise(col("fit_id"))))
+    assert(badFit("fit_id_mismatch") == 1L &&
+      badFit("encode_mismatch") == 0L)
+    idx.unpersist()
+  }
 }
