@@ -3053,6 +3053,165 @@ object SimilarityQueries {
              |       WHERE id % 19 = 0 OR id % 29 = 0 OR id % 31 = 0)
              |  END AS BIGINT)
              |FROM checks""".stripMargin)),
+
+    // ANN TIME-TRAVEL SERVE (q334's discipline on the dense index):
+    // top-k serve READS AT v1 of the versioned partitioned ANN
+    // artifact after a v2 delete/re-encode wave has landed — the
+    // reproducibility pin a training run needs ("the neighbors used
+    // on day N" recomputed months later). The fixture folds three
+    // deterministic versions create-once per corpus fingerprint:
+    // v0 = epoch, v1 = +insert wave (net set == q255's, so q255's
+    // oracle gates the versioned read + serve), v2 = deletes of a
+    // third of the epoch plus negated re-encodes of a third of the
+    // batch — version skew is load-bearing twice over (a v2 read
+    // loses/flips query vectors AND candidates; the in-query guard
+    // proves v2 strictly shrank). The versioned read is what every
+    // run pays; serve is the unchanged queryIndexDistributed path.
+    Q("q338_ann_time_travel",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val ia = graft.operators.IndexArtifact
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding"))
+        val fit = pq.fitFrozen(epoch)
+        val m = pq.annMember(parts = 8)
+        val root = s"/tmp/graft-anntt-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(e, "vec_id", s"$dir/embeddings_anntt")}"
+        if (!new java.io.File(s"$root/_DONE").exists()) {
+          graft.operators.OperatorCaches.scoped {
+            ia.writeFull(pq.annIndex(fit, epoch), s"$root/idx", m, 0)
+            pq.applyCdcAnn(fit, s"$root/idx", m,
+              batch.select(lit("I").as("op"), col("vec_id"),
+                col("embedding")),
+              "vec_id", "embedding", "op", fromVersion = 0, toVersion = 1)
+            val cdc2 = epoch.filter(col("vec_id") % 3 === 1)
+              .select(lit("D").as("op"), col("vec_id"),
+                lit(null).cast("array<float>").as("embedding"))
+              .unionByName(batch.filter(col("vec_id") % 3 === 0)
+                .select(lit("U").as("op"), col("vec_id"),
+                  transform(col("embedding"), x => -x).as("embedding")))
+            pq.applyCdcAnn(fit, s"$root/idx", m, cdc2,
+              "vec_id", "embedding", "op", fromVersion = 1, toVersion = 2)
+          }
+          new java.io.FileOutputStream(s"$root/_DONE").close()
+        }
+        val v1 = ia.read(spark, s"$root/idx", m, 1)
+        val n1 = v1.count()
+        val n2 = ia.read(spark, s"$root/idx", m, 2).count()
+        if (n2 >= n1) throw new IllegalStateException(
+          s"q338 fixture defeated: v2 ($n2 rows) did not strictly " +
+            s"shrink below v1 ($n1) — the version pin is not load-bearing")
+        val queries = epoch.unionByName(batch)
+          .filter(col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
+        pq.queryIndexDistributed(fit, v1, queries, k = 10, nprobe = 4)
+      },
+      Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)"))),
+
+    // IN-STREAM AUTO-COMPACTION (IndexArtifact.compactLayoutIfFanIn —
+    // the read-amplification bound an INFINITE maintenance stream
+    // needs; q328's post-stream compact+GC only works for streams
+    // that end): q328's vector-CDC fixture re-batched PARTITION-
+    // ALIGNED (events route by their home hash partition, six files,
+    // maxFilesPerTrigger=1), so each fold touches ~1/6 of the
+    // partitions and the manifest's version fan-in GROWS across folds
+    // — the exact long-running-stream fragmentation the policy exists
+    // to bound. After every fold the policy compacts iff fan-in
+    // exceeds 2, so reads stay at most 3 path groups per member
+    // forever while compaction I/O amortizes to ~1/maxFanIn of the
+    // folds. The query THROWS unless the policy fired at least twice
+    // AND the post-stream fan-in is within the bound (both would pass
+    // silently under a never-compacting or always-compacting bug);
+    // the net index equals q255's, so its oracle gates fold +
+    // policy + layout read-back + serve in one hash.
+    Q("q339_stream_auto_compaction",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pq = graft.operators.ProductQuantization
+        val ia = graft.operators.IndexArtifact
+        val epoch = e.filter(col("vec_id") % 4 =!= 0)
+        val batch = e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding"))
+        val corruptPred = col("vec_id") % 9 === 2
+        val v0Corpus = epoch.select(col("vec_id"),
+            when(corruptPred, transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")).as("embedding"))
+          .unionByName(e.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 20000000L).as("vec_id"),
+              col("embedding")))
+        val fit = pq.fitFrozen(epoch)
+        val m = pq.annMember(parts = 32)
+        val updates = epoch.filter(corruptPred)
+          .select(lit("U").as("op"), col("vec_id"), col("embedding"))
+        val inserts = batch
+          .select(lit("I").as("op"), col("vec_id"), col("embedding"))
+        val deletes = e.filter(col("vec_id") % 5 === 0)
+          .select(lit("D").as("op"),
+            (col("vec_id") + 20000000L).as("vec_id"),
+            lit(null).cast("array<float>").as("embedding"))
+        val cdc = updates.unionByName(inserts).unionByName(deletes)
+        val inDir = s"/tmp/graft-annacomp-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"-${Tables.fingerprint(cdc, "vec_id", s"$dir/embeddings_annacomp")}"
+        if (!new java.io.File(s"$inDir/_SUCCESS").exists())
+          // partition-aligned ingest: route each event by its home
+          // hash partition so a micro-batch touches a SUBSET of the
+          // 32 partitions and fan-in actually fragments
+          cdc.repartition(6, ia.partOf(col("vec_id"), m.parts))
+            .write.mode("overwrite").parquet(inDir)
+        val root = freshRunDir(s"$inDir-state")
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", 2)
+        val version = new java.util.concurrent.atomic.AtomicInteger(0)
+        val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+        try {
+          ia.writeFull(pq.annIndex(fit, v0Corpus), s"$root/idx", m, 0)
+          val schema = spark.read.parquet(inDir).schema
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+            .writeStream
+            .option("checkpointLocation", s"$root/chk")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                _: Long) =>
+              graft.operators.OperatorCaches.scoped {
+                val n = version.get()
+                pq.applyCdcAnn(fit, s"$root/idx", m, b,
+                  "vec_id", "embedding", "op",
+                  fromVersion = n, toVersion = n + 1)
+                val cur = ia.compactLayoutIfFanIn(spark, s"$root/idx",
+                  Seq(m), n + 1, maxFanIn = 2)
+                if (cur != n + 1) compactions.incrementAndGet()
+                version.set(cur)
+              }
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        if (compactions.get() < 2) throw new IllegalStateException(
+          s"q339: the auto-compaction policy fired ${compactions.get()} " +
+            "times — the fan-in bound is not load-bearing " +
+            "(check the partition-aligned input batching)")
+        val fanIn = ia.readManifest(spark, s"$root/idx", m,
+          version.get()).values.toSet.size
+        if (fanIn > 2) throw new IllegalStateException(
+          s"q339: post-stream fan-in $fanIn exceeds the declared bound 2")
+        val fin = ia.read(spark, s"$root/idx", m, version.get())
+        val queries = epoch.unionByName(batch)
+          .filter(col("vec_id") < 20 ||
+            (col("vec_id") >= 10000000L && col("vec_id") < 10000020L))
+        pq.queryIndexDistributed(fit, fin, queries, k = 10, nprobe = 4)
+      },
+      Some(q255Oracle(nCells = 16, nprobe = 4, m = 8, subDim = 8,
+        kCent = 16, maxIter = 10, topK = 10, offset = 10000000L,
+        queryPred = "vid < 20 OR (vid >= 10000000 AND vid < 10000020)"))),
   )
 
   /** The q190 verdict replay (both pixel formulas, fingerprints,

@@ -223,6 +223,71 @@ object IndexArtifact {
       .toDF("member", "rows", "n_physical_versions", "n_parts", "fan_in")
   }
 
+  /** AUTO-COMPACTION POLICY — the in-stream form of [[compact]] +
+    * [[gcBelow]] (q328 runs the pair once, post-stream; an infinite
+    * stream needs the bound DURING the stream): if any member's
+    * manifest at `version` references more than `maxFanIn` distinct
+    * physical versions, advance the whole layout to `version + 1` —
+    * members over the bound compact (one physical rewrite), members
+    * under it CARRY by manifest copy (zero data I/O) — then GC every
+    * member's unreferenced versions. Returns the current version
+    * (unchanged when no member is over the bound). Read amplification
+    * is thereby bounded at `maxFanIn + 1` path groups per member read
+    * FOREVER, while compaction I/O stays amortized: a member rewrites
+    * only every ~maxFanIn folds, so per-fold maintenance I/O remains
+    * O(batch) + O(member/maxFanIn) — the LSM compaction trade, chosen
+    * explicitly (gated q339; the bound is spec-pinned). All-member
+    * advance keeps the layout's single-version serve contract: every
+    * member is readable at every returned version. */
+  def compactLayoutIfFanIn(spark: SparkSession, root: String,
+      members: Seq[Member], version: Int, maxFanIn: Int): Int = {
+    require(maxFanIn >= 1, s"maxFanIn must be >= 1, got $maxFanIn")
+    val fanIn = members.map(m =>
+      m -> readManifest(spark, root, m, version).values.toSet.size).toMap
+    if (fanIn.valuesIterator.forall(_ <= maxFanIn)) version
+    else {
+      val to = version + 1
+      members.foreach { m =>
+        if (fanIn(m) > 1) compact(spark, root, m, version, to)
+        else carry(spark, root, m, version, to)
+        gcBelow(spark, root, m, to); ()
+      }
+      to
+    }
+  }
+
+  /** ATOMIC VERSION COMMIT — crash-safety for the multi-member fold.
+    * A lexical fold writes one manifest PER MEMBER at the new version;
+    * a crash mid-fold leaves a TORN version (some members manifested,
+    * others not) that a naive latest-version reader would half-serve.
+    * The marker makes version visibility atomic: the folding writer
+    * calls [[commit]] once, AFTER every member's manifest is durable
+    * (a single marker-file create — the one atomic primitive the
+    * layout needs from its filesystem/object store, same contract as
+    * a Delta/Iceberg commit file), and readers resolve
+    * [[latestCommitted]] instead of trusting directory listings. A
+    * torn version is invisible forever and simply overwritten by the
+    * next successful fold (gated q340: a deliberately torn v2 serves
+    * v1 exactly). */
+  def commit(spark: SparkSession, root: String, version: Int): Unit =
+    writeText(spark, new Path(s"$root/v$version/_COMMITTED"), "")
+
+  /** Highest committed version under `root`, or -1 when none exists —
+    * the only version a reader may trust (see [[commit]]). Driver-local
+    * metadata: one directory listing + one marker probe per version
+    * dir. */
+  def latestCommitted(spark: SparkSession, root: String): Int = {
+    val base = new Path(root)
+    val fs = hfs(spark, base)
+    if (!fs.exists(base)) return -1
+    val vs = fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).toSeq
+    val committed = vs.filter(v =>
+      fs.exists(new Path(s"$root/v$v/_COMMITTED")))
+    if (committed.isEmpty) -1 else committed.max
+  }
+
   /** Carry a member to `toVersion` untouched — manifest copy only,
     * zero data I/O (the batch touched none of its partitions). */
   def carry(spark: SparkSession, root: String, m: Member, fromVersion: Int,

@@ -239,6 +239,81 @@ class IndexArtifactSpec extends SparkSuite {
       Seq(s"7|$idB"))
   }
 
+  test("compactLayoutIfFanIn: no-op under the bound; over it, compacts fragmented members, carries fan-in-1 members, GCs") {
+    val root = freshRoot("acomp")
+    val lay = LexicalLayout(root, docParts = 8, termParts = 8)
+    val members = Seq(lay.tf, lay.dl, lay.df, lay.totals)
+    OperatorCaches.withCaches {
+      IndexArtifact.writeLexicalFull(lay, corpus, "doc_id", "text", 0)
+      IndexArtifact.applyCdcLexical(lay, cdcBatch, "doc_id", "text", "op",
+        fromVersion = 0, toVersion = 1)
+      def fanIn(m: Member, v: Int): Int =
+        IndexArtifact.readManifest(spark, root, m, v).values.toSet.size
+      // after one fold tf references {v0, v1} — within a bound of 2
+      assert(fanIn(lay.tf, 1) == 2)
+      assert(IndexArtifact.compactLayoutIfFanIn(spark, root, members,
+        version = 1, maxFanIn = 2) == 1, "policy fired under the bound")
+      // second fold touching OTHER doc ids fragments tf past the bound
+      val batch2 = Seq(
+        ("U", 5L, "alpha refolded w5"),
+        ("D", 9L, null.asInstanceOf[String]),
+        ("I", 102L, "another injection zzprime")
+      ).toDF("op", "doc_id", "text")
+      IndexArtifact.applyCdcLexical(lay, batch2, "doc_id", "text", "op",
+        fromVersion = 1, toVersion = 2)
+      assert(fanIn(lay.tf, 2) > 2,
+        "fixture defeated: second fold did not fragment tf past the bound")
+      // totals is rewritten in full each fold — always fan-in 1, so the
+      // policy must CARRY it (manifest copy) rather than rewrite
+      assert(fanIn(lay.totals, 2) == 1)
+      val totalsFiles = fileIdentity(root, lay.totals, 2)
+      val before = members.map(m =>
+        m.name -> sortedRows(IndexArtifact.read(spark, root, m, 2))).toMap
+      val cur = IndexArtifact.compactLayoutIfFanIn(spark, root, members,
+        version = 2, maxFanIn = 2)
+      assert(cur == 3, s"policy must advance the layout one version: $cur")
+      members.foreach { m =>
+        assert(fanIn(m, 3) == 1, s"${m.name} fan-in not collapsed")
+        assert(sortedRows(IndexArtifact.read(spark, root, m, 3)) ==
+          before(m.name), s"${m.name} rows changed")
+      }
+      assert(fileIdentity(root, lay.totals, 3) == totalsFiles,
+        "carried member's physical files were rewritten")
+      // GC ran per member: only the compacted/carried versions survive
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tfBase = new Path(s"$root/parts/tf")
+      val live = tfBase.getFileSystem(conf).listStatus(tfBase)
+        .map(_.getPath.getName).filter(_.startsWith("v")).toSet
+      assert(live == Set("v3"), s"tf physical versions after GC: $live")
+    }
+  }
+
+  test("commit/latestCommitted: a torn uncommitted version is invisible; readers serve the last committed fold") {
+    val root = freshRoot("commit")
+    val lay = LexicalLayout(root, docParts = 8, termParts = 8)
+    OperatorCaches.withCaches {
+      assert(IndexArtifact.latestCommitted(spark, root) == -1)
+      IndexArtifact.writeLexicalFull(lay, corpus, "doc_id", "text", 0)
+      // data durable but uncommitted — readers must not see v0 yet
+      assert(IndexArtifact.latestCommitted(spark, root) == -1)
+      IndexArtifact.commit(spark, root, 0)
+      assert(IndexArtifact.latestCommitted(spark, root) == 0)
+      IndexArtifact.applyCdcLexical(lay, cdcBatch, "doc_id", "text", "op",
+        fromVersion = 0, toVersion = 1)
+      IndexArtifact.commit(spark, root, 1)
+      assert(IndexArtifact.latestCommitted(spark, root) == 1)
+      val v1tf = sortedRows(IndexArtifact.read(spark, root, lay.tf, 1))
+      // TORN v2: only tf's manifest lands (a crash between member
+      // folds) and no commit marker — the version must stay invisible
+      IndexArtifact.carry(spark, root, lay.tf, 1, 2)
+      assert(IndexArtifact.latestCommitted(spark, root) == 1,
+        "an uncommitted torn version became visible")
+      val serveV = IndexArtifact.latestCommitted(spark, root)
+      assert(sortedRows(IndexArtifact.read(spark, root, lay.tf, serveV))
+        == v1tf, "serving the last committed version changed rows")
+    }
+  }
+
   test("query-index CDC fold == global maintainQueryIndex; untouched qid partitions carry by reference") {
     val root = freshRoot("qidx")
     val lay = IndexArtifact.QueryLayout(root, qidParts = 8)
