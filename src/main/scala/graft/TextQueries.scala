@@ -6091,5 +6091,221 @@ object TextQueries {
              |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
              |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
              |  ON b.doc_id = d.doc_id""".stripMargin)),
+
+    // ATOMIC VERSION COMMIT under a TORN FOLD (IndexArtifact.commit /
+    // latestCommitted — crash-safety for the multi-member layout): a
+    // lexical fold writes one manifest per member, so a crash between
+    // member folds leaves a half-manifested version. The fixture
+    // builds q334's corpus under a commit-marked sibling root, commits
+    // v0 and v1, then lands a DELIBERATELY TORN v2 (the b2 wave folds
+    // the stats members but not the positional member, and never
+    // commits — the exact crash window). Readers resolve
+    // latestCommitted, so both serve paths (BM25 top-k off the stats
+    // members AND phrase matching off the positional member) read v1
+    // — hash-equal to the as-of-v1 corpus recompute. The in-query
+    // guards prove the tear is REAL (tf manifested at v2, pos not)
+    // and INVISIBLE (latestCommitted == 1): a naive latest-version
+    // reader would serve v2 stats against v1 positions — the split-
+    // brain this marker exists to prevent.
+    Q("q340_torn_version_commit",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val bm = graft.operators.Bm25
+        val ia = graft.operators.IndexArtifact
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase))
+              .otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+              .otherwise(lit(""))).as("text"))
+        val nullS = lit(null).cast("string")
+        val b1 = planted.filter(col("doc_id") % 5 === 3)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" ttrevision one")).as("text"))
+          .unionByName(planted.filter(col("doc_id") % 5 === 4)
+            .select(lit("D").as("op"), col("doc_id"), nullS.as("text")))
+          .unionByName(planted.filter(col("doc_id") % 5 === 0)
+            .select(lit("I").as("op"),
+              (col("doc_id") + 70000L).as("doc_id"),
+              concat(col("text"), lit(" ttinsert alpha")).as("text")))
+        val b2 = planted.filter(col("doc_id") % 7 === 0 &&
+            col("doc_id") % 5 =!= 4)
+          .select(lit("D").as("op"), col("doc_id"), nullS.as("text"))
+          .unionByName(planted.filter(col("doc_id") % 9 === 0 &&
+              col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 4)
+            .select(lit("U").as("op"), col("doc_id"),
+              concat(col("text"), lit(" ttrevision two")).as("text")))
+        val root =
+          s"/tmp/graft-ttcommit-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_ttc")}"
+        val lay = ia.LexicalLayout(s"$root/idx", docParts = 8,
+          termParts = 8, withPositional = true)
+        if (!new java.io.File(s"$root/_DONE").exists()) {
+          graft.operators.OperatorCaches.scoped {
+            ia.writeLexicalFull(lay, planted, "doc_id", "text", 0)
+            ia.commit(spark, lay.root, 0)
+            ia.applyCdcLexical(lay, b1, "doc_id", "text", "op", 0, 1)
+            ia.commit(spark, lay.root, 1)
+            // the torn fold: stats members land at v2, the positional
+            // member does NOT, and no commit marker is written
+            ia.applyCdcLexical(lay.copy(withPositional = false), b2,
+              "doc_id", "text", "op", 1, 2)
+          }
+          new java.io.FileOutputStream(s"$root/_DONE").close()
+        }
+        // the tear must be real and invisible
+        if (!new java.io.File(s"${lay.root}/v2/tf.manifest").exists() ||
+            new java.io.File(s"${lay.root}/v2/pos.manifest").exists())
+          throw new IllegalStateException(
+            "q340 fixture defeated: v2 is not the intended torn shape")
+        val v = ia.latestCommitted(spark, lay.root)
+        if (v != 1) throw new IllegalStateException(
+          s"q340: latestCommitted read $v — the torn v2 leaked " +
+            "(or a committed version is missing)")
+        val s = ia.readLexicalStats(spark, lay, v)
+        val pos = ia.read(spark, lay.root, lay.pos, v)
+        val queries = Seq((9000001L, "zq0grafted marker"),
+          (9000002L, "zxsingular ttrevision")).toDF("qid", "qtext")
+        bm.topKExternalStats(s, queries, "qid", "qtext", k = 5)
+          .select(lit("bm25").as("leg"), col("qid"), col("rank"),
+            col("id"), col("score_micro").as("val"))
+          .unionByName(bm.phraseMatchesFrom(pos,
+              Seq("zq0grafted", "exact", "phrase", "marker"))
+            .select(lit("phrase").as("leg"), lit(-1L).as("qid"),
+              lit(0L).as("rank"), col("id"),
+              col("n_occurrences").as("val")))
+      },
+      Some {
+        val qtVals =
+          """SELECT qid, term FROM (VALUES
+            |  (9000001, 'zq0grafted'), (9000001, 'marker'),
+            |  (9000002, 'zxsingular'), (9000002, 'ttrevision'))
+            |  t(qid, term)""".stripMargin
+        "WITH " +
+          s"""pl AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 14 = 0
+             |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+             |      AS text
+             |  FROM documents),
+             |c1 AS (
+             |  SELECT doc_id AS id, text || CASE WHEN doc_id % 5 = 3
+             |      THEN ' ttrevision one' ELSE '' END AS text
+             |  FROM pl WHERE doc_id % 5 <> 4
+             |  UNION ALL
+             |  SELECT doc_id + 70000, text || ' ttinsert alpha'
+             |  FROM pl WHERE doc_id % 5 = 0),
+             |""".stripMargin +
+          bm25ScoreCtes("c1", "id", "", p = "v1",
+            qtOverride = Some(qtVals)) +
+          s""",
+             |w1tw AS (SELECT id, string_split_regex(
+             |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS w
+             |  FROM c1),
+             |w1pos AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM w1tw)
+             |  WHERE length(w[i]) > 0),
+             |w1m AS (SELECT a.id, a.pos FROM w1pos a
+             |  JOIN w1pos b ON b.id = a.id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN w1pos c ON c.id = a.id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN w1pos e ON e.id = a.id AND e.pos = a.pos + 3
+             |    AND e.term = 'marker'
+             |  WHERE a.term = 'zq0grafted'),
+             |w1occ AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+             |  FROM w1m GROUP BY 1),
+             |r1 AS (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+             |  FROM v1sc)
+             |SELECT 'bm25' AS leg, CAST(qid AS BIGINT) AS qid,
+             |  CAST(rank AS BIGINT) AS rank, id, score_micro AS val
+             |FROM r1 WHERE rank <= 5
+             |UNION ALL
+             |SELECT 'phrase', -1, 0, id, n FROM w1occ""".stripMargin
+      }),
+
+    // QUERY-INDEX CONSISTENCY AUDIT (Bm25.auditQueryIndex — the audit
+    // discipline's third instance, covering the maintained percolator
+    // members): six keyed checks over the boolean (qid, term, wt) and
+    // phrase (qid, off, term) members — a mustless alert (matches
+    // everything under sum==n_must with n_must 0), duplicate (qid,
+    // term) rows, an illegal wt, duplicate phrase offsets, offset
+    // gaps (a hole silently weakens per-position verification), and
+    // a qid registered in BOTH members (double-fires every match).
+    // The healthy leg audits a REAL maintained index (registration +
+    // a deletion fold) at six zeros; the corrupted leg appends
+    // constant planted rows so every check fires at a literal count
+    // the oracle states outright.
+    Q("q341_query_index_audit",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val bm = graft.operators.Bm25
+        val toks = TextFunctions.tokens(col("text"))
+        val alerts = d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 90000L).as("qid"),
+            array_join(slice(toks, 1, 6), " ").as("must_text"),
+            when(col("doc_id") % 3 === 0, "qnotone")
+              .otherwise(null).cast("string").as("not_text"))
+        val bReg = bm.registerStandingQueries(alerts, "qid",
+          "must_text", "not_text")
+        val bIdx = bm.maintainQueryIndex(bReg, bReg.limit(0),
+          d.filter(col("doc_id") < 30 && col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 90000L).as("qid")))
+        val pReg = bm.registerStandingPhrases(
+          d.filter(col("doc_id") >= 30 && col("doc_id") < 60 &&
+              size(toks) >= 5)
+            .select((col("doc_id") + 96000L).as("qid"),
+              array_join(slice(toks, 2, 3), " ").as("phrase_text")),
+          "qid", "phrase_text")
+        val pIdx = bm.maintainQueryIndex(pReg, pReg.limit(0),
+          d.filter(col("doc_id") >= 30 && col("doc_id") < 60 &&
+              col("doc_id") % 2 === 1)
+            .select((col("doc_id") + 96000L).as("qid")))
+        val healthy = bm.auditQueryIndex(bIdx, pIdx)
+        val mn = -(1L << 20)
+        val extraBool = Seq(
+          (97001L, "zzneg", mn),
+          (97002L, "zzdup", 1L), (97002L, "zzdup", 1L),
+          (97003L, "zzok", 1L), (97003L, "zzbad", 7L),
+          (97020L, "zzx", 1L)
+        ).toDF("qid", "term", "wt")
+        val extraPhrase = Seq(
+          (97010L, 0L, "zza"), (97010L, 0L, "zzb"), (97010L, 1L, "zzc"),
+          (97011L, 0L, "zza"), (97011L, 2L, "zzb"),
+          (97012L, 1L, "zza"),
+          (97020L, 0L, "zzx")
+        ).toDF("qid", "off", "term")
+        val corrupted = bm.auditQueryIndex(
+          bIdx.unionByName(extraBool), pIdx.unionByName(extraPhrase))
+        healthy.select(lit("healthy").as("leg"), col("check"),
+            col("violations"))
+          .unionByName(corrupted.select(lit("corrupted").as("leg"),
+            col("check"), col("violations")))
+      },
+      Some("""SELECT leg, "check", CAST(violations AS BIGINT) AS violations
+             |FROM (VALUES
+             |  ('healthy', 'bool_qids_no_must', 0),
+             |  ('healthy', 'bool_dup_rows', 0),
+             |  ('healthy', 'bool_bad_wt', 0),
+             |  ('healthy', 'phrase_dup_offsets', 0),
+             |  ('healthy', 'phrase_off_gaps', 0),
+             |  ('healthy', 'qid_in_both_members', 0),
+             |  ('corrupted', 'bool_qids_no_must', 1),
+             |  ('corrupted', 'bool_dup_rows', 1),
+             |  ('corrupted', 'bool_bad_wt', 1),
+             |  ('corrupted', 'phrase_dup_offsets', 1),
+             |  ('corrupted', 'phrase_off_gaps', 2),
+             |  ('corrupted', 'qid_in_both_members', 1)
+             |) t(leg, "check", violations)""".stripMargin)),
   )
 }

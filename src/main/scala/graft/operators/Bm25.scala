@@ -1039,6 +1039,66 @@ object Bm25 {
         col("max_route_df"), col("max_route_fanout"))
   }
 
+  /** QUERY-INDEX CONSISTENCY AUDIT ([[auditLexicalIndex]]'s percolator
+    * sibling — the audit discipline applied to the maintained alert
+    * members): six violation counts over the boolean (qid, term, wt)
+    * and positional-phrase (qid, off, term) members, each a keyed
+    * aggregate — never a percolation. The checks are the invariants
+    * registration establishes and maintenance must preserve:
+    * `bool_qids_no_must` (an alert with zero must terms — wt carries
+    * only pure-mustNot rows — matches EVERY document under the
+    * sum==n_must rule with n_must 0: the one corruption that floods a
+    * percolator), `bool_dup_rows` (registration groups by (qid, term),
+    * so duplicates double-count the match sum), `bool_bad_wt` (the wt
+    * domain is exactly {1, −2^20, 1−2^20}: must, mustNot, merged
+    * contradictory), `phrase_dup_offsets` (one term per position by
+    * posexplode construction), `phrase_off_gaps` (offsets are a dense
+    * 0..n−1 prefix; a hole breaks [[percolatePhrases]]' per-position
+    * verification silently — anchor+off probes skip the missing slot
+    * and a shorter phrase matches as the full one), and
+    * `phrase_qids_empty` is unrepresentable (a qid exists only as
+    * rows), so the sixth check is cross-member: `qid_in_both_members`
+    * — [[applyCdcQueryIndex]]'s event contract registers an alert
+    * into bool OR phrase, never both; a qid in both would double-fire
+    * every match downstream. Gated q341: a healthy maintained index
+    * audits all zeros, five planted corruptions at exact
+    * oracle-derived counts. Scale: alert-sized aggregates only.
+    * @return rows (check, violations) — six rows. */
+  def auditQueryIndex(boolIdx: DataFrame,
+      phraseIdx: DataFrame): DataFrame = {
+    def cnt(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("violations"))
+    val isMust = col("wt") === 1L || col("wt") === (1L - (1L << 20))
+    val bool = OperatorCaches.track(boolIdx.persist())
+    val phrase = OperatorCaches.track(phraseIdx.persist())
+    val legalWt = Seq(1L, -(1L << 20), 1L - (1L << 20))
+    val checks: Seq[(String, DataFrame)] = Seq(
+      "bool_qids_no_must" ->
+        cnt(bool.groupBy(col("qid"))
+          .agg(sum(when(isMust, 1L).otherwise(0L)).as("_nm"))
+          .filter(col("_nm") === 0L)),
+      "bool_dup_rows" ->
+        cnt(bool.groupBy(col("qid"), col("term"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)),
+      "bool_bad_wt" ->
+        cnt(bool.filter(!col("wt").isin(legalWt: _*))),
+      "phrase_dup_offsets" ->
+        cnt(phrase.groupBy(col("qid"), col("off"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)),
+      "phrase_off_gaps" ->
+        cnt(phrase.groupBy(col("qid"))
+          .agg(min(col("off")).as("_mn"), max(col("off")).as("_mx"),
+            countDistinct(col("off")).as("_nd"))
+          .filter(col("_mn") =!= 0L || col("_mx") + 1L =!= col("_nd"))),
+      "qid_in_both_members" ->
+        cnt(bool.select(col("qid")).distinct()
+          .join(phrase.select(col("qid")).distinct(), Seq("qid"),
+            "left_semi")))
+    checks.map { case (name, c) =>
+      c.select(lit(name).as("check"), col("violations"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Match incoming docs against the registered query index, with
     * RAREST-TERM ROUTING ([[percolatePhrases]]' discipline on the
     * boolean member): candidate (doc, query) pairs are generated ONLY
