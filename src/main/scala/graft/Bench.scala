@@ -240,7 +240,11 @@ object Bench {
     // r19 third wave — min of two normalized FORCE_MIN waves
     // (12-control medians 1.1260 / 1.0750; wave 2 regress 0,
     // cold_only 0)
-    "q333"->7.551, "q334"->1.820, "q335"->5.282, "q336"->0.862)
+    "q333"->7.551, "q334"->1.820, "q335"->5.282, "q336"->0.862,
+    // r19 fourth wave — min of two clean solo FORCE_MIN waves
+    // (12-control medians 0.8399 / 0.9305, regress 0, cold_only 0 both)
+    "q337"->2.287, "q338"->0.702, "q339"->8.257, "q340"->1.005,
+    "q341"->2.121)
 
   /** Deterministic single-thread host-speed witness: a fixed xorshift64*
     * spin, JIT-warmed, whose wall time depends only on per-core speed.

@@ -6307,5 +6307,183 @@ object TextQueries {
              |  ('corrupted', 'phrase_off_gaps', 2),
              |  ('corrupted', 'qid_in_both_members', 1)
              |) t(leg, "check", violations)""".stripMargin)),
+
+    // RETENTION-SET GC (IndexArtifact.gcRetaining — the production GC
+    // where SEVERAL snapshots stay live at once: a pinned training run
+    // replays v1 while serving reads v3): the fixture extends q334's
+    // fold history with a third wave (v3 deletes every doc v2
+    // touched), retains {v1, v3}, and GCs every member. The dead
+    // MIDDLE version's physical dirs must be gone (superseded by v3,
+    // unreferenced by v1 — the case gcBelow cannot express) while v0
+    // files that v1 still references by manifest SURVIVE the same
+    // sweep. Both retained versions then serve (BM25 top-k + phrase
+    // matching), each hash-equal to its as-of corpus recompute — the
+    // proof that a multi-snapshot retention sweep deletes exactly the
+    // unreferenced history and nothing a live reader needs. State
+    // assertions are directory-shape-based, so they hold on warm runs
+    // of the create-once fixture.
+    Q("q342_retention_gc",
+      (spark, dir) => {
+        val sq = spark; import sq.implicits._
+        val bm = graft.operators.Bm25
+        val ia = graft.operators.IndexArtifact
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val phrase = " zq0grafted exact phrase marker"
+        val planted = d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 14 === 0, lit(phrase + phrase))
+              .when(col("doc_id") % 7 === 0, lit(phrase))
+              .otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" zxsingular"))
+              .otherwise(lit(""))).as("text"))
+        val nullS = lit(null).cast("string")
+        val b1 = planted.filter(col("doc_id") % 5 === 3)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" ttrevision one")).as("text"))
+          .unionByName(planted.filter(col("doc_id") % 5 === 4)
+            .select(lit("D").as("op"), col("doc_id"), nullS.as("text")))
+          .unionByName(planted.filter(col("doc_id") % 5 === 0)
+            .select(lit("I").as("op"),
+              (col("doc_id") + 70000L).as("doc_id"),
+              concat(col("text"), lit(" ttinsert alpha")).as("text")))
+        val b2 = planted.filter(col("doc_id") % 7 === 0 &&
+            col("doc_id") % 5 =!= 4)
+          .select(lit("D").as("op"), col("doc_id"), nullS.as("text"))
+          .unionByName(planted.filter(col("doc_id") % 9 === 0 &&
+              col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 4)
+            .select(lit("U").as("op"), col("doc_id"),
+              concat(col("text"), lit(" ttrevision two")).as("text")))
+        // v3 deletes EVERY doc v2 touched, so its doc partitions
+        // supersede v2's and the middle version goes physically dead
+        val b3 = planted.filter((col("doc_id") % 7 === 0 ||
+            col("doc_id") % 9 === 0) && col("doc_id") % 5 =!= 4)
+          .select(lit("D").as("op"), col("doc_id"), nullS.as("text"))
+        val root =
+          s"/tmp/graft-ttretain-${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"-${Tables.fingerprint(planted, "doc_id", s"$dir/documents_ttr")}"
+        val lay = ia.LexicalLayout(s"$root/idx", docParts = 8,
+          termParts = 8, withPositional = true)
+        val members = Seq(lay.tf, lay.dl, lay.df, lay.totals, lay.pos)
+        if (!new java.io.File(s"$root/_DONE").exists()) {
+          graft.operators.OperatorCaches.scoped {
+            ia.writeLexicalFull(lay, planted, "doc_id", "text", 0)
+            ia.applyCdcLexical(lay, b1, "doc_id", "text", "op", 0, 1)
+            ia.applyCdcLexical(lay, b2, "doc_id", "text", "op", 1, 2)
+            ia.applyCdcLexical(lay, b3, "doc_id", "text", "op", 2, 3)
+            members.foreach { m =>
+              ia.gcRetaining(spark, lay.root, m, Set(1, 3)); ()
+            }
+          }
+          new java.io.FileOutputStream(s"$root/_DONE").close()
+        }
+        // warm-safe state assertions: the dead middle is GONE, the
+        // referenced past SURVIVES
+        members.foreach { m =>
+          val live = Set(1, 3).flatMap(v =>
+            ia.readManifest(spark, lay.root, m, v).values.toSet)
+          if (live(2)) throw new IllegalStateException(
+            s"q342 fixture defeated: retained manifests still " +
+              s"reference v2 of ${m.name}")
+          if (new java.io.File(
+              s"${lay.root}/parts/${m.name}/v2").exists())
+            throw new IllegalStateException(
+              s"q342: dead middle version v2 of ${m.name} survived GC")
+          live.filter(_ < 3).foreach { v =>
+            if (!new java.io.File(
+                s"${lay.root}/parts/${m.name}/v$v").exists())
+              throw new IllegalStateException(
+                s"q342: GC deleted v$v of ${m.name}, still referenced " +
+                  "by a retained manifest")
+          }
+        }
+        val queries = Seq((9000001L, "zq0grafted marker"),
+          (9000002L, "zxsingular ttrevision")).toDF("qid", "qtext")
+        Seq(1, 3).map { v =>
+          val s = ia.readLexicalStats(spark, lay, v)
+          val pos = ia.read(spark, lay.root, lay.pos, v)
+          bm.topKExternalStats(s, queries, "qid", "qtext", k = 5)
+            .select(lit("bm25").as("leg"), lit(v.toLong).as("ver"),
+              col("qid"), col("rank"), col("id"),
+              col("score_micro").as("val"))
+            .unionByName(bm.phraseMatchesFrom(pos,
+                Seq("zq0grafted", "exact", "phrase", "marker"))
+              .select(lit("phrase").as("leg"), lit(v.toLong).as("ver"),
+                lit(-1L).as("qid"), lit(0L).as("rank"), col("id"),
+                col("n_occurrences").as("val")))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val qtVals =
+          """SELECT qid, term FROM (VALUES
+            |  (9000001, 'zq0grafted'), (9000001, 'marker'),
+            |  (9000002, 'zxsingular'), (9000002, 'ttrevision'))
+            |  t(qid, term)""".stripMargin
+        def phraseLeg(p: String, src: String): String =
+          s"""${p}tw AS (SELECT id, string_split_regex(
+             |    lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+') AS w
+             |  FROM $src),
+             |${p}pos AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |  FROM (SELECT id, w, unnest(generate_series(1, len(w))) AS i
+             |        FROM ${p}tw)
+             |  WHERE length(w[i]) > 0),
+             |${p}m AS (SELECT a.id, a.pos FROM ${p}pos a
+             |  JOIN ${p}pos b ON b.id = a.id AND b.pos = a.pos + 1
+             |    AND b.term = 'exact'
+             |  JOIN ${p}pos c ON c.id = a.id AND c.pos = a.pos + 2
+             |    AND c.term = 'phrase'
+             |  JOIN ${p}pos e ON e.id = a.id AND e.pos = a.pos + 3
+             |    AND e.term = 'marker'
+             |  WHERE a.term = 'zq0grafted'),
+             |${p}occ AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+             |  FROM ${p}m GROUP BY 1)""".stripMargin
+        "WITH " +
+          s"""pl AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 14 = 0
+             |      THEN ' zq0grafted exact phrase marker zq0grafted exact phrase marker'
+             |      WHEN doc_id % 7 = 0
+             |      THEN ' zq0grafted exact phrase marker' ELSE '' END
+             |    || CASE WHEN doc_id % 9 = 0 THEN ' zxsingular' ELSE '' END
+             |      AS text
+             |  FROM documents),
+             |c1 AS (
+             |  SELECT doc_id AS id, text || CASE WHEN doc_id % 5 = 3
+             |      THEN ' ttrevision one' ELSE '' END AS text
+             |  FROM pl WHERE doc_id % 5 <> 4
+             |  UNION ALL
+             |  SELECT doc_id + 70000, text || ' ttinsert alpha'
+             |  FROM pl WHERE doc_id % 5 = 0),
+             |c3 AS (
+             |  SELECT doc_id AS id, text || CASE WHEN doc_id % 5 = 3
+             |      THEN ' ttrevision one' ELSE '' END AS text
+             |  FROM pl WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 0
+             |    AND doc_id % 9 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 70000, text || ' ttinsert alpha'
+             |  FROM pl WHERE doc_id % 5 = 0),
+             |""".stripMargin +
+          bm25ScoreCtes("c1", "id", "", p = "v1",
+            qtOverride = Some(qtVals)) + ",\n" +
+          bm25ScoreCtes("c3", "id", "", p = "v3",
+            qtOverride = Some(qtVals)) + ",\n" +
+          phraseLeg("w1", "c1") + ",\n" + phraseLeg("w3", "c3") +
+          s""",
+             |r1 AS (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+             |  FROM v1sc),
+             |r3 AS (SELECT qid, id, score_micro, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY score_micro DESC, id) AS rank
+             |  FROM v3sc)
+             |SELECT 'bm25' AS leg, CAST(1 AS BIGINT) AS ver,
+             |  CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+             |  id, score_micro AS val FROM r1 WHERE rank <= 5
+             |UNION ALL
+             |SELECT 'bm25', 3, qid, CAST(rank AS BIGINT), id, score_micro
+             |FROM r3 WHERE rank <= 5
+             |UNION ALL
+             |SELECT 'phrase', 1, -1, 0, id, n FROM w1occ
+             |UNION ALL
+             |SELECT 'phrase', 3, -1, 0, id, n FROM w3occ""".stripMargin
+      }),
   )
 }

@@ -181,14 +181,35 @@ object IndexArtifact {
     * retention contract of any snapshot store). Returns the versions
     * deleted. */
   def gcBelow(spark: SparkSession, root: String, m: Member,
-      keepVersion: Int): Seq[Int] = {
-    val live = readManifest(spark, root, m, keepVersion).values.toSet
+      keepVersion: Int): Seq[Int] =
+    gcRetaining(spark, root, m, Set(keepVersion))
+
+  /** GC with a RETENTION SET — the production form of [[gcBelow]],
+    * where SEVERAL snapshots stay live at once (a pinned training run
+    * replays v1 while online serving reads v3 — the time-travel
+    * contract q334/q338 gate requires their versions' files to
+    * survive every later GC). Deletes the physical version
+    * directories of `m` that are older than the NEWEST retained
+    * version and hold no partition referenced by ANY retained
+    * version's manifest; an intermediate version fully superseded by
+    * later folds dies even though versions on both sides of it live
+    * on. [[gcBelow]] is the single-snapshot special case. Driver-local
+    * metadata over |retain| manifests; deletion is per physical
+    * version directory. Returns the versions deleted (gated q342:
+    * both retained versions serve hash-exact after the GC, the dead
+    * middle version's directories are gone). */
+  def gcRetaining(spark: SparkSession, root: String, m: Member,
+      retain: Set[Int]): Seq[Int] = {
+    require(retain.nonEmpty, "gcRetaining: empty retention set")
+    val live = retain.flatMap(v =>
+      readManifest(spark, root, m, v).values)
+    val hi = retain.max
     val base = new Path(s"$root/parts/${m.name}")
     val fs = hfs(spark, base)
     if (!fs.exists(base)) return Seq.empty
     val deletable = fs.listStatus(base).iterator.map(_.getPath.getName)
       .filter(_.startsWith("v")).map(_.stripPrefix("v").toInt)
-      .filter(v => v < keepVersion && !live(v)).toSeq.sorted
+      .filter(v => v < hi && !live(v)).toSeq.sorted
     deletable.foreach { v =>
       fs.delete(new Path(partsDir(root, m, v)), true); ()
     }

@@ -288,6 +288,38 @@ class IndexArtifactSpec extends SparkSuite {
     }
   }
 
+  test("gcRetaining: the dead middle version dies; files referenced by ANY retained version survive") {
+    val root = freshRoot("retain")
+    val m = Member("tf", "id", 8)
+    val base = (0L until 40L).map(i => (i, i)).toDF("id", "tf")
+    IndexArtifact.writeFull(base, root, m, 0)
+    val touched = Seq(3L, 17L).toDF("id")
+      .select(IndexArtifact.partOf(col("id"), 8)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // two folds over the SAME partitions: v2 supersedes v1 entirely,
+    // so with retention {0, 2} the middle version is physically dead
+    // while v0 (still referenced by both manifests for untouched
+    // partitions) must survive
+    IndexArtifact.writeFolded(
+      IndexArtifact.readParts(spark, root, m, 0, touched)
+        .withColumn("tf", col("tf") + 100L), root, m, 0, 1, touched)
+    IndexArtifact.writeFolded(
+      IndexArtifact.readParts(spark, root, m, 1, touched)
+        .withColumn("tf", col("tf") + 100L), root, m, 1, 2, touched)
+    val rows0 = sortedRows(IndexArtifact.read(spark, root, m, 0))
+    val rows2 = sortedRows(IndexArtifact.read(spark, root, m, 2))
+    assert(rows0 != rows2)
+    val gone = IndexArtifact.gcRetaining(spark, root, m, Set(0, 2))
+    assert(gone == Seq(1), s"expected exactly v1 gone, got $gone")
+    assert(sortedRows(IndexArtifact.read(spark, root, m, 0)) == rows0,
+      "GC broke the older retained version")
+    assert(sortedRows(IndexArtifact.read(spark, root, m, 2)) == rows2,
+      "GC broke the newer retained version")
+    // the single-snapshot special case afterwards: v2 still references
+    // v0's untouched partitions, so gcBelow(2) must delete nothing
+    assert(IndexArtifact.gcBelow(spark, root, m, 2).isEmpty)
+  }
+
   test("commit/latestCommitted: a torn uncommitted version is invisible; readers serve the last committed fold") {
     val root = freshRoot("commit")
     val lay = LexicalLayout(root, docParts = 8, termParts = 8)
