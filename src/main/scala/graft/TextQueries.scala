@@ -463,6 +463,23 @@ object TextQueries {
     * @return (qid, nid, rrf, rank) top-10 per query */
   private def hybridChunkRanks(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    val (_, _, lex, dense) = hybridLegs(spark, dir)
+    graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+  }
+
+  /** The q241 pipeline's building blocks — (chunks, queries, lex,
+    * dense) with chunks persisted (consumed by both featurizers). The
+    * eval queries (q250 MRR / q281 nDCG) consume the lexical and dense
+    * legs TWICE each (their own per-leg metrics AND as the fusion's
+    * inputs): sharing the leg frames — instead of re-running chunking,
+    * the posting join and the SRP band join inside a second
+    * hybridChunkRanks call — halves those queries' work (r19 opt pass;
+    * legs are result-identical by construction, hashes re-gated).
+    * Callers that consume a leg more than once persist it themselves. */
+  private def hybridLegs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     // consumed by BOTH legs (lexical postings + dense featurizer) —
@@ -481,7 +498,7 @@ object TextQueries {
         hashedCountVecs(queries, "qid", "qtext"),
         hashedCountVecs(chunks, "chunk_key", "chunk_text"), k = 10)
       .select(col("qid"), col("nid"), col("rank"))
-    graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+    (chunks, queries, lex, dense)
   }
 
   /** The hybrid dense leg's featurizer: a 64-bucket fnv1a64-hashed
@@ -4446,14 +4463,15 @@ object TextQueries {
     // running token sum, and the budget cut.
     Q("q246_rag_context_assembly",
       (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val chunks = graft.operators.Curation.chunkTexts(
-          d, "doc_id", "text", 128, 32)
+        // one chunk pass: the token census reads the SAME persisted
+        // chunks frame the ranking legs featurize (r19 opt — previously
+        // a second chunkTexts ran just for chunk_tokens)
+        val (chunks, _, lex, dense) = hybridLegs(spark, dir)
         val ctoks = chunks.select(col("chunk_key"),
           size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"))
         graft.operators.Fusion.assembleContext(
-          hybridChunkRanks(spark, dir).select(col("qid"), col("nid"), col("rank")),
+          graft.operators.Fusion.rrfTopK(Seq(lex, dense), k = 10)
+            .select(col("qid"), col("nid"), col("rank")),
           ctoks, budgetTokens = 384)
       },
       Some(hybridChunkOracleChain +
@@ -4536,26 +4554,18 @@ object TextQueries {
     // the same first-hit/aggregate arithmetic per leg.
     Q("q250_retrieval_eval",
       (spark, dir) => {
-        val fused = hybridChunkRanks(spark, dir)
+        // legs are consumed twice (per-leg metrics + fusion input) —
+        // persist them instead of running the whole chunk/posting/SRP
+        // pipeline a second time inside hybridChunkRanks (r19 opt)
+        val (_, queries, lex0, dense0) = hybridLegs(spark, dir)
+        val lexR = graft.operators.OperatorCaches.track(lex0.persist())
+        val denseR = graft.operators.OperatorCaches.track(dense0.persist())
+        val fused = graft.operators.Fusion.rrfTopK(Seq(lexR, denseR), k = 10)
           .select(col("qid"), col("nid"), col("rank"), lit("hybrid").as("leg"))
-        val d = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        // consumed twice (lexical + dense legs) — one chunk pass
-        val chunks = graft.operators.OperatorCaches.track(
-          graft.operators.Curation.chunkTexts(
-            d, "doc_id", "text", 128, 32).persist())
-        val queries = d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 9000000L).as("qid"),
-            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
-              .as("qtext"))
-        val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
-            "chunk_text", queries, "qid", "qtext", k = 10)
-          .select(col("qid"), col("id").as("nid"), col("rank"),
-            lit("bm25").as("leg"))
-        val dense = graft.operators.Similarity.srpTopK(
-            hashedCountVecs(queries, "qid", "qtext"),
-            hashedCountVecs(chunks, "chunk_key", "chunk_text"), k = 10)
-          .select(col("qid"), col("nid"), col("rank"), lit("dense").as("leg"))
+        val lex = lexR.select(col("qid"), col("nid"), col("rank"),
+          lit("bm25").as("leg"))
+        val dense = denseR.select(col("qid"), col("nid"), col("rank"),
+          lit("dense").as("leg"))
         lex.unionByName(dense).unionByName(fused)
           .withColumn("rel",
             when(expr("nid DIV 1048576") === col("qid") - 9000000L, 1L)
@@ -4609,27 +4619,19 @@ object TextQueries {
         import spark.implicits._
         val wts = ndcgWts
         val idcg = ndcgIdcg
-        val fused = hybridChunkRanks(spark, dir)
+        // legs are consumed twice (per-leg DCG + fusion input) — persist
+        // them instead of running the whole chunk/posting/SRP pipeline a
+        // second time inside hybridChunkRanks (r19 opt); chunks is shared
+        // with the n_rel census below
+        val (chunks, queries, lex0, dense0) = hybridLegs(spark, dir)
+        val lexR = graft.operators.OperatorCaches.track(lex0.persist())
+        val denseR = graft.operators.OperatorCaches.track(dense0.persist())
+        val fused = graft.operators.Fusion.rrfTopK(Seq(lexR, denseR), k = 10)
           .select(col("qid"), col("nid"), col("rank"), lit("hybrid").as("leg"))
-        val d = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        // consumed three times (lexical leg, dense featurizer, n_rel
-        // census) — one chunk pass instead of three
-        val chunks = graft.operators.OperatorCaches.track(
-          graft.operators.Curation.chunkTexts(
-            d, "doc_id", "text", 128, 32).persist())
-        val queries = d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 9000000L).as("qid"),
-            array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
-              .as("qtext"))
-        val lex = graft.operators.Bm25.topKExternal(chunks, "chunk_key",
-            "chunk_text", queries, "qid", "qtext", k = 10)
-          .select(col("qid"), col("id").as("nid"), col("rank"),
-            lit("bm25").as("leg"))
-        val dense = graft.operators.Similarity.srpTopK(
-            hashedCountVecs(queries, "qid", "qtext"),
-            hashedCountVecs(chunks, "chunk_key", "chunk_text"), k = 10)
-          .select(col("qid"), col("nid"), col("rank"), lit("dense").as("leg"))
+        val lex = lexR.select(col("qid"), col("nid"), col("rank"),
+          lit("bm25").as("leg"))
+        val dense = denseR.select(col("qid"), col("nid"), col("rank"),
+          lit("dense").as("leg"))
         val wArr = array(wts.map(lit): _*)
         val hits = lex.unionByName(dense).unionByName(fused)
           .filter(expr("nid DIV 1048576") === col("qid") - 9000000L &&
