@@ -282,7 +282,8 @@ object Bm25 {
     * are per-doc facts; nothing global to rebalance). Idempotent. */
   def removePositional(base: DataFrame, deletedIds: DataFrame,
       idCol: String): DataFrame =
-    base.join(deletedIds.select(col(idCol).as("id")), Seq("id"),
+    // broadcast: delete list is batch-bounded, postings corpus-sized
+    base.join(broadcast(deletedIds.select(col(idCol).as("id"))), Seq("id"),
       "left_anti")
 
   /** STANDING-QUERY MATCHING AT INGEST — the streaming member of the
@@ -778,7 +779,11 @@ object Bm25 {
     * merge for df, one 1-row totals fold; never touches text. */
   def removeIndexStats(base: IndexStats, deletedIds: DataFrame,
       idCol: String): IndexStats = {
-    val del = deletedIds.select(col(idCol).as("id"))
+    // broadcast: the delete list is bounded by the maintenance batch
+    // (the daily case per the scale note above) while base.tf/dl are
+    // corpus-sized — the hint keeps the big side unshuffled and skips
+    // the AQE re-plan wave the runtime conversion would cost
+    val del = broadcast(deletedIds.select(col(idCol).as("id")))
     val delTf = base.tf.join(del, Seq("id"), "left_semi")
     val dfDelta = delTf.groupBy(col("term")).agg(count(lit(1)).as("_ddf"))
     val delTotals = base.dl.join(del, Seq("id"), "left_semi")
@@ -907,7 +912,10 @@ object Bm25 {
     * set by construction. Idempotent on qids never registered. */
   def maintainQueryIndex(idx: DataFrame, added: DataFrame,
       deletedQids: DataFrame): DataFrame =
-    idx.join(deletedQids.select(col("qid")), Seq("qid"), "left_anti")
+    // broadcast: the deleted-qid list is bounded by the alert-CDC
+    // batch; the standing index side stays unshuffled
+    idx.join(broadcast(deletedQids.select(col("qid"))), Seq("qid"),
+        "left_anti")
       .unionByName(added)
 
   /** CROSS-MEMBER CONSISTENCY AUDIT — the operational integrity check
@@ -1325,7 +1333,7 @@ object Bm25 {
   def removeDocsFromChunkIndex(base: IndexStats, deletedDocs: DataFrame,
       docIdCol: String,
       stride: Long = graft.operators.Curation.ChunkKeyStride): IndexStats = {
-    val del = deletedDocs.select(col(docIdCol).as("_doc"))
+    val del = broadcast(deletedDocs.select(col(docIdCol).as("_doc")))
     val chunkIds = base.dl
       .select(col("id"), expr(s"id DIV $stride").as("_doc"))
       .join(del, Seq("_doc"), "left_semi")

@@ -411,7 +411,15 @@ object IndexArtifact {
     val spark = batch.sparkSession
     val b = OperatorCaches.track(batch.select(col(opCol).as("op"),
       col(idCol).as("id"), col(textCol).as("text")).persist())
-    val dels = b.filter(col("op").isin("U", "D")).select(col("id"))
+    // broadcast: dels is bounded by the BATCH (one event per doc per
+    // maintenance window), so the anti/semi joins against it never
+    // need an exchange of the base side — the hint removes two
+    // shuffle stages + an AQE re-plan wave per join (measured ~0.2 s
+    // of pure latency each at sf0.1; at scale the base side of these
+    // joins is the corpus-sized member, which must not be shuffled
+    // for a batch-sized delete list)
+    val dels = broadcast(
+      b.filter(col("op").isin("U", "D")).select(col("id")))
     val adds = b.filter(col("op").isin("I", "U"))
       .select(col("id"), col("text"))
     // bounded driver-side manifest logic: ≤ docParts distinct ints
@@ -482,7 +490,7 @@ object IndexArtifact {
         .join(afterDf.select(col("term")), Seq("term"), "left_anti")
       val baseVi = readParts(spark, lay.root, lay.vi, fromVersion,
         touchedTerm)
-      writeFolded(baseVi.join(dead, Seq("term"), "left_anti")
+      writeFolded(baseVi.join(broadcast(dead), Seq("term"), "left_anti")
           .unionByName(Bm25.variantIndex(born)),
         lay.root, lay.vi, fromVersion, toVersion, touchedTerm)
     }

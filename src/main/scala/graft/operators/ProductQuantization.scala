@@ -266,7 +266,9 @@ object ProductQuantization {
     * same frozen fit over the survivors). */
   def removeFromAnnIndex(index: DataFrame, deletedIds: DataFrame,
       idCol: String): DataFrame =
-    index.join(deletedIds.select(col(idCol).as("vec_id")),
+    // broadcast: the delete list is batch-bounded; the index side is
+    // corpus-sized and stays unshuffled
+    index.join(broadcast(deletedIds.select(col(idCol).as("vec_id"))),
       Seq("vec_id"), "left_anti")
 
   /** MERGE two independently-built ANN index shards under ONE frozen
