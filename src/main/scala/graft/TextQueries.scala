@@ -556,8 +556,13 @@ object TextQueries {
       dir: String, tag: String): org.apache.spark.sql.DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val chunks = graft.operators.Curation.chunkTexts(
-      d, "doc_id", "text", 128, 32)
+    // chunks feed BOTH legs' static sides, and a Complete-mode
+    // stream-static join re-executes the static subtree per micro-batch
+    // — persist the chunk pass and the dense featurization once
+    // (r19 opt; the lexical stats already persist inside indexStats)
+    val chunks = graft.operators.OperatorCaches.track(
+      graft.operators.Curation.chunkTexts(
+        d, "doc_id", "text", 128, 32).persist())
     val queries = d.filter(col("doc_id") < 5)
       .select((col("doc_id") + 9000000L).as("qid"),
         array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
@@ -574,7 +579,8 @@ object TextQueries {
       org.apache.spark.sql.streaming.OutputMode.Complete,
       s"${tag}lex_${math.abs(dir.hashCode)}",
       shufflePartitions = Some(8))
-    val chunkVecs = hashedCountVecs(chunks, "chunk_key", "chunk_text")
+    val chunkVecs = graft.operators.OperatorCaches.track(
+      hashedCountVecs(chunks, "chunk_key", "chunk_text").persist())
     val denseScores = graft.streaming.EventStream.runToCompletion(spark, inDir,
       stream => graft.operators.Similarity.srpScoredCandidates(
           stream.select(col("qid").as("vec_id"),
