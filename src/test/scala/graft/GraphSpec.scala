@@ -106,15 +106,22 @@ class GraphSpec extends SparkSuite {
     assert(ran < 100, s"should converge early, ran $ran")
     assert(fp.as[(Long, Long)].collect().toMap ==
       Map(1L -> 1000000L, 2L -> 1000000L))
-    // a bigger graph: wherever it stops, the result equals the unrolled
-    // form at that iteration count (same kernel, same arithmetic)
+    // a bigger graph: the stop must be a GENUINE fixed point — one
+    // further kernel iteration leaves every rank unchanged. (Equality
+    // with the unrolled form per iteration count is the 32-deep test
+    // above — same `step` kernel, so path equality is already pinned;
+    // re-proving it here cost ~50 s of Catalyst time analyzing an
+    // n-deep unrolled plan, r20 verification-envelope diet.)
     val edges = (0L until 400L).map(i => (i % 37, (i * 13) % 41)).distinct
     val (conv, n) = Graph.pageRankConverged(
       edges.toDF("src", "dst"), 100, tol = 0L, checkpointEvery = 10)
     assert(n < 100, s"integer arithmetic must hit an exact fixed point, ran $n")
-    val want = Graph.pageRank(edges.toDF("src", "dst"), n)
-      .as[(Long, Long)].collect().toMap
-    assert(conv.as[(Long, Long)].collect().toMap == want)
+    val got = conv.as[(Long, Long)].collect().toMap
+    val (again, ranAgain) = Graph.pageRankConverged(
+      edges.toDF("src", "dst"), n + 1, tol = -1L, checkpointEvery = 10)
+    assert(ranAgain == n + 1)
+    assert(again.as[(Long, Long)].collect().toMap == got,
+      "one further iteration past the detected fixed point moved a rank")
   }
 
   test("pageRankConverged on an empty edge frame: converges immediately, empty result (review finding)") {
