@@ -45,8 +45,12 @@ Test / testGrouping := {
   // 32 hardware threads and the kernel burns more time scheduling than
   // the tests spend working (measured: 43 min sys for 32 min user)
   val forkOpts = ForkOptions()
-    .withRunJVMOptions((Test / javaOptions).value.toVector :+
-      "-XX:ActiveProcessorCount=8")
+    .withRunJVMOptions((Test / javaOptions).value.toVector ++ Vector(
+      "-XX:ActiveProcessorCount=8",
+      // test JVMs stay at 8g (last -Xmx wins): suites run tiny data on
+      // local[8]; four 16g heaps re-introduced the kernel-page thrash
+      // the ActiveProcessorCount cap had removed (measured 216 s → 469 s)
+      "-Xmx8g"))
   // 4 groups × local[8] ≅ 32 hardware threads. Measured: 4 groups 337 s,
   // 6 groups 562 s (kernel-scheduler thrash: 66 min sys), 1 group 649 s.
   val nGroups = 4
@@ -91,5 +95,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g → 16g default (r20, guide §5): in local mode the one JVM is
+  // driver AND executor — at local[32], 8g gave ~32 concurrent tasks
+  // under 80 MB of execution memory each, and a full 341-query session
+  // degraded into GC thrash (measured: the same 24-query subset read
+  // vs_anchor 1.06/regress 3 at 8g and 0.82/regress 0 at 16g; q76
+  // 7.98 s → 2.56 s). Still env-parameterised for smaller hosts; 16g
+  // is ~12% of this sandbox's 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -506,20 +506,20 @@ object TextQueries {
     * shared by q241's dense leg and q247's recall audit of it. */
   private def hashedCountVecs(df: org.apache.spark.sql.DataFrame,
       idc: String, txt: String): org.apache.spark.sql.DataFrame =
-    df.select(col(idc).as("vec_id"),
-        explode(TextFunctions.tokens(lower(col(txt)))).as("term"))
-      .filter(length(col("term")) > 0)
-      .select(col("vec_id"),
-        TextFunctions.fnv1a64Col(col("term")).bitwiseAND(lit(63L))
-          .cast("int").as("b"))
-      .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("vec_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
-        .as("m"))
-      .select(col("vec_id"),
-        expr("transform(sequence(0, 63), " +
-          "b -> CAST(coalesce(element_at(m, b), 0) AS FLOAT))")
-          .as("embedding"))
+    // r20 single-pass form (guide §1.2 step 1 — the algorithm): the old
+    // explode → groupBy(vec_id, b) → groupBy(vec_id) chain shuffled the
+    // corpus's exploded TOKEN table twice (plus one fnv1a64 UDF call per
+    // token) to build a per-ROW 64-bucket histogram. The per-row kernel
+    // (hashedCountVecRowUdf, already gated kernel-equal against this
+    // chain's oracle replay via q257) computes the same counts in one
+    // projection, zero exchanges. The pre-filter reproduces the
+    // aggregated form's row set exactly: a row survived iff it had ≥1
+    // token, i.e. its trimmed text is non-empty (tokens() splits the
+    // trimmed text on \s+).
+    df.filter(col(txt).isNotNull &&
+        length(regexp_replace(col(txt), "^\\s+|\\s+$", "")) > 0)
+      .select(col(idc).as("vec_id"),
+        hashedCountVecRowUdf(col(txt)).as("embedding"))
 
   /** Per-ROW form of [[hashedCountVecs]] (one UDF, no aggregation) —
     * the STREAM-SAFE featurizer: a streaming queries frame must
@@ -4517,8 +4517,12 @@ object TextQueries {
           .select((col("doc_id") + 9000000L).as("qid"),
             array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ")
               .as("qtext"))
-        val qvecs = hashedCountVecs(queries, "qid", "qtext")
-        val cvecs = hashedCountVecs(chunks, "chunk_key", "chunk_text")
+        // cvecs feeds BOTH the brute-truth leg and the SRP leg — persist
+        // the chunk featurization once (r20 duplicate-subtree audit)
+        val qvecs = graft.operators.OperatorCaches.track(
+          hashedCountVecs(queries, "qid", "qtext").persist())
+        val cvecs = graft.operators.OperatorCaches.track(
+          hashedCountVecs(chunks, "chunk_key", "chunk_text").persist())
         val truth = graft.operators.Similarity.bruteTopK(qvecs, cvecs, 10)
           .select(col("qid"), col("nid"))
         val approx = graft.operators.Similarity.srpTopK(qvecs, cvecs, 10)

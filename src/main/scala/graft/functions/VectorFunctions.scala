@@ -38,15 +38,41 @@ object VectorFunctions {
     * interpreted-lambda evals per (dim × plane) and measured ~1.7 s /
     * 4k vectors.
     */
+  /** Memoized Rademacher sign tables (r20, guide §1.2 per-task work):
+    * sign(p, i) = ±1.0 from mix64(seed ^ mix64(p<<32|i)) is a CONSTANT of
+    * (seed, planes, dim) — the kernels were recomputing two mix64 calls
+    * per (plane × dim) per ROW (1024 hashes per 64-dim row per
+    * evaluation). Tables grow to the max dim seen; `acc += v * (±1.0)`
+    * is IEEE-exact negation, so accumulation order and every partial sum
+    * are bit-identical to the branch form (oracles unchanged). The cache
+    * is a pure function of constants, never of data — not result
+    * caching. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Array[Array[Double]]]()
+  private def signTable(seed: Long, planes: Int,
+      dims: Int): Array[Array[Double]] = {
+    val key = (seed, planes)
+    var t = signCache.get(key)
+    if (t == null || t(0).length < dims) {
+      val n = math.max(dims, 64)
+      t = Array.tabulate(planes, n)((p, i) =>
+        if ((mix64(seed ^ mix64(p.toLong << 32 | i.toLong)) & 1L) == 0L) 1.0
+        else -1.0)
+      signCache.put(key, t)
+    }
+    t
+  }
+
   def srpSignatureKernel(v: Seq[Float], planes: Int, seed: Long): Int = {
+    val signs = signTable(seed, planes, v.length)
     var sig = 0
     var p = 0
     while (p < planes) {
+      val sp = signs(p)
       var acc = 0.0
       var i = 0
       while (i < v.length) {
-        val h = mix64(seed ^ mix64(p.toLong << 32 | i.toLong))
-        acc += (if ((h & 1L) == 0L) v(i).toDouble else -v(i).toDouble)
+        acc += v(i).toDouble * sp(i)
         i += 1
       }
       if (acc >= 0) sig |= (1 << p)
@@ -61,14 +87,15 @@ object VectorFunctions {
     * so the SQL replay (`list_dot_product(v, sv)` with ±1.0 sign rows
     * over DOUBLE[]) is bit-identical. */
   def srpSignatureKernelD(v: Seq[Double], planes: Int, seed: Long): Int = {
+    val signs = signTable(seed, planes, v.length)
     var sig = 0
     var p = 0
     while (p < planes) {
+      val sp = signs(p)
       var acc = 0.0
       var i = 0
       while (i < v.length) {
-        val h = mix64(seed ^ mix64(p.toLong << 32 | i.toLong))
-        acc += (if ((h & 1L) == 0L) v(i) else -v(i))
+        acc += v(i) * sp(i)
         i += 1
       }
       if (acc >= 0) sig |= (1 << p)
@@ -99,14 +126,15 @@ object VectorFunctions {
     * over the ±1 sign rows bit-for-bit (the q40/q41-proven kernel). */
   def multiProbeBucketsKernel(v: Seq[Float], planes: Int, bandBits: Int,
       seed: Long, nProbes: Int): Array[(Int, Int)] = {
+    val signs = signTable(seed, planes, v.length)
     val accs = new Array[Double](planes)
     var p = 0
     while (p < planes) {
+      val sp = signs(p)
       var acc = 0.0
       var i = 0
       while (i < v.length) {
-        val h = mix64(seed ^ mix64(p.toLong << 32 | i.toLong))
-        acc += (if ((h & 1L) == 0L) v(i).toDouble else -v(i).toDouble)
+        acc += v(i).toDouble * sp(i)
         i += 1
       }
       accs(p) = acc

@@ -59,6 +59,26 @@ object IndexArtifact {
   private def hfs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run independent member-write ACTIONS concurrently (optimization
+    * guide §2.6: actions are only sequential because the driver calls
+    * them sequentially; overlapping lets one job's tasks back-fill the
+    * executor slots another job's tail leaves idle). Member folds write
+    * disjoint directories and disjoint manifests, so the only shared
+    * state is the SparkSession's scheduler — thread-safe by design.
+    * Callers must CONSTRUCT all DataFrames on their own thread first
+    * (OperatorCaches tracking is thread-confined under a scope); the
+    * closures here only execute actions. The first failure rethrows
+    * after every thread finishes (a raise_error guard must stay loud). */
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_.apply()); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = tasks.map(t => new Thread(() =>
+      try t() catch { case e: Throwable => errs.add(e); () }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private def partsDir(root: String, m: Member, version: Int): String =
     s"$root/parts/${m.name}/v$version"
 
@@ -268,11 +288,13 @@ object IndexArtifact {
     if (fanIn.valuesIterator.forall(_ <= maxFanIn)) version
     else {
       val to = version + 1
-      members.foreach { m =>
+      // per-member compact/carry+GC are independent jobs over disjoint
+      // directories — overlap them (guide §2.6)
+      runConcurrently(members.map(m => () => {
         if (fanIn(m) > 1) compact(spark, root, m, version, to)
         else carry(spark, root, m, version, to)
         gcBelow(spark, root, m, to); ()
-      }
+      }))
       to
     }
   }
@@ -363,20 +385,30 @@ object IndexArtifact {
     val totals: Member = Member("totals", "_T", 1)
   }
 
-  /** Epoch build: full snapshots of every member at `version`. */
+  /** Epoch build: full snapshots of every member at `version`. The six
+    * member writes are independent jobs over the shared (persisted)
+    * token stats — run concurrently ([[runConcurrently]]); the variant
+    * member derives from `s.df` directly (the identical row set the df
+    * member writes at this version) instead of reading the df artifact
+    * back, which both drops a parquet round-trip and removes the only
+    * inter-member write dependency. */
   def writeLexicalFull(lay: LexicalLayout, corpus: DataFrame,
       idCol: String, textCol: String, version: Int): Unit = {
     val s = Bm25.indexStats(corpus, idCol, textCol)
-    writeFull(s.tf, lay.root, lay.tf, version)
-    writeFull(s.dl, lay.root, lay.dl, version)
-    writeFull(s.df, lay.root, lay.df, version)
-    writeFull(s.totals.coalesce(1), lay.root, lay.totals, version)
-    if (lay.withPositional)
-      writeFull(Bm25.positionalPostings(corpus, idCol, textCol),
-        lay.root, lay.pos, version)
-    if (lay.withVariants)
-      writeFull(Bm25.variantIndex(read(corpus.sparkSession, lay.root,
-        lay.df, version)), lay.root, lay.vi, version)
+    // frames constructed HERE (tracking is thread-confined); closures
+    // below only execute the write actions
+    val pos =
+      if (lay.withPositional)
+        Some(Bm25.positionalPostings(corpus, idCol, textCol))
+      else None
+    val vi = if (lay.withVariants) Some(Bm25.variantIndex(s.df)) else None
+    runConcurrently(Seq[() => Unit](
+      () => writeFull(s.tf, lay.root, lay.tf, version),
+      () => writeFull(s.dl, lay.root, lay.dl, version),
+      () => writeFull(s.df, lay.root, lay.df, version),
+      () => writeFull(s.totals.coalesce(1), lay.root, lay.totals, version))
+      ++ pos.map(p => () => writeFull(p, lay.root, lay.pos, version))
+      ++ vi.map(v => () => writeFull(v, lay.root, lay.vi, version)))
   }
 
   def readLexicalStats(spark: SparkSession, lay: LexicalLayout,
@@ -442,13 +474,6 @@ object IndexArtifact {
       .unionByName(bs.df.select(partOf(col("term"), lay.termParts).as("p")))
       .distinct().collect().map(_.getInt(0)).toSet
 
-    writeFolded(baseTf.join(dels, Seq("id"), "left_anti")
-        .unionByName(bs.tf),
-      lay.root, lay.tf, fromVersion, toVersion, touchedDoc)
-    writeFolded(baseDl.join(dels, Seq("id"), "left_anti")
-        .unionByName(bs.dl),
-      lay.root, lay.dl, fromVersion, toVersion, touchedDoc)
-
     val baseDf = OperatorCaches.track(
       readParts(spark, lay.root, lay.df, fromVersion, touchedTerm).persist())
     // signed-delta merge: +base, −deletions, +additions; ≤0 drops (a
@@ -459,8 +484,6 @@ object IndexArtifact {
       .unionByName(bs.df)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0).persist())
-    writeFolded(afterDf, lay.root, lay.df, fromVersion, toVersion,
-      touchedTerm)
 
     val delTotals = baseDl.join(dels, Seq("id"), "left_semi")
       .agg(coalesce(sum(col("dl")), lit(0L)).as("_dT"),
@@ -471,15 +494,30 @@ object IndexArtifact {
         bs.totals.select(col("_T").as("_bT"), col("_N").as("_bN"))))
       .select((col("_T") - col("_dT") + col("_bT")).as("_T"),
         (col("_N") - col("_dN") + col("_bN")).as("_N"))
-    writeFull(newTotals.coalesce(1), lay.root, lay.totals, toVersion)
+    val newPos =
+      if (!lay.withPositional) None
+      else Some(readParts(spark, lay.root, lay.pos, fromVersion, touchedDoc)
+        .join(dels, Seq("id"), "left_anti")
+        .unionByName(Bm25.positionalPostings(adds, "id", "text")))
 
-    if (lay.withPositional) {
-      val basePos = readParts(spark, lay.root, lay.pos, fromVersion,
-        touchedDoc)
-      writeFolded(basePos.join(dels, Seq("id"), "left_anti")
-          .unionByName(Bm25.positionalPostings(adds, "id", "text")),
-        lay.root, lay.pos, fromVersion, toVersion, touchedDoc)
-    }
+    // the five member folds are independent jobs over shared persisted
+    // frames — run them concurrently ([[runConcurrently]]; guide §2.6:
+    // a one-task totals write no longer serializes behind the tf fold).
+    // Frames were all constructed above on this (scope-owning) thread.
+    runConcurrently(Seq[() => Unit](
+      () => writeFolded(baseTf.join(dels, Seq("id"), "left_anti")
+          .unionByName(bs.tf),
+        lay.root, lay.tf, fromVersion, toVersion, touchedDoc),
+      () => writeFolded(baseDl.join(dels, Seq("id"), "left_anti")
+          .unionByName(bs.dl),
+        lay.root, lay.dl, fromVersion, toVersion, touchedDoc),
+      () => writeFolded(afterDf, lay.root, lay.df, fromVersion, toVersion,
+        touchedTerm),
+      () => writeFull(newTotals.coalesce(1), lay.root, lay.totals,
+        toVersion))
+      ++ newPos.map(p => () => writeFolded(p, lay.root, lay.pos,
+        fromVersion, toVersion, touchedDoc)))
+
     if (lay.withVariants) {
       // born/dead ⊆ touched terms (a term's membership only changes if
       // its df changed), so the restricted anti-joins equal the global
@@ -512,10 +550,10 @@ object IndexArtifact {
 
   /** Epoch registration: full snapshots of both members at `version`. */
   def writeQueryFull(lay: QueryLayout, boolIdx: DataFrame,
-      phraseIdx: DataFrame, version: Int): Unit = {
-    writeFull(boolIdx, lay.root, lay.qbool, version)
-    writeFull(phraseIdx, lay.root, lay.qphrase, version)
-  }
+      phraseIdx: DataFrame, version: Int): Unit =
+    runConcurrently(Seq(
+      () => writeFull(boolIdx, lay.root, lay.qbool, version),
+      () => writeFull(phraseIdx, lay.root, lay.qphrase, version)))
 
   /** One alert-CDC micro-batch (op I/U/D, one event per qid per
     * maintenance window — [[Bm25.applyCdcBatch]]'s event contract on
@@ -555,11 +593,15 @@ object IndexArtifact {
       .select(partOf(col("qid"), lay.qidParts).as("p")).distinct()
       .collect().map(_.getInt(0)).toSet
     val baseB = readParts(spark, lay.root, lay.qbool, fromVersion, touched)
-    writeFolded(Bm25.maintainQueryIndex(baseB, addsB, dels),
-      lay.root, lay.qbool, fromVersion, toVersion, touched)
+    val newB = Bm25.maintainQueryIndex(baseB, addsB, dels)
     val baseP = readParts(spark, lay.root, lay.qphrase, fromVersion,
       touched)
-    writeFolded(Bm25.maintainQueryIndex(baseP, addsP, dels),
-      lay.root, lay.qphrase, fromVersion, toVersion, touched)
+    val newP = Bm25.maintainQueryIndex(baseP, addsP, dels)
+    // both member folds constructed above; write them concurrently
+    runConcurrently(Seq(
+      () => writeFolded(newB, lay.root, lay.qbool, fromVersion, toVersion,
+        touched),
+      () => writeFolded(newP, lay.root, lay.qphrase, fromVersion,
+        toVersion, touched)))
   }
 }

@@ -628,6 +628,18 @@ object EventStream {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
+    // Detach the result from the memory sink (r20 §5 leak fix): the sink
+    // pins every emitted row on the driver through the registered temp
+    // view FOREVER — a 341-query bench/verify session accumulates one
+    // such table per streaming query and degrades into GC thrash
+    // (measured: late-registry queries read 2–4× their anchors at the
+    // default heap; dropping the view after an eager localCheckpoint
+    // returns them to par). localCheckpoint materializes the (small,
+    // aggregated) result once; its blocks are reclaimed by the
+    // ContextCleaner when the returned frame goes unreferenced, unlike
+    // the catalog-pinned sink table.
+    val out = spark.table(queryName).localCheckpoint(true)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 }
